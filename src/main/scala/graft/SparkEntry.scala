@@ -1,13 +1,531 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.cdc.CdcBatch
+import graft.functions.{TextFns, VectorFns}
+import graft.multimodal.Binary
+import graft.operators.{Dedup, MinHashLSH, SimHash, Similarity}
+import graft.search.{Aggs, SearchDsl}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry per operator in SURVEY.md §2, with
+  * a DuckDB-equivalent `oracleSql` wherever the semantics are
+  * SQL-expressible. Column names and row ordering match the oracle exactly
+  * (the driver hash-compares values under name-sorted columns).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: CDC latest-state materialization (the reference pipeline's
+    * core semantic) on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("cdc_latest_state")(spark, "/root/testdata/sf0.001")
+
+  // Shared query-vector fetch (O(1) driver fetch of one 64-dim row).
+  private def queryVec(s: SparkSession, dir: String, vecId: Long): Seq[Float] =
+    Tables
+      .embeddings(s, dir)
+      .filter(col("vec_id") === vecId)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── CDC core ────────────────────────────────────────────────────────
+    "cdc_latest_state" -> ((s, dir) =>
+      CdcBatch
+        .latestState(
+          Tables.events(s, dir),
+          "user_id",
+          struct(col("ts"), col("event_id")),
+          col("event_id"),
+          col("ts"),
+          col("event_type"),
+          col("value")
+        )
+        .orderBy("user_id")),
+    "cdc_apply_ops" -> ((s, dir) =>
+      CdcBatch
+        .applyOps(
+          Tables.events(s, dir),
+          "user_id",
+          struct(col("ts"), col("event_id")),
+          col("event_type") === "error",
+          col("event_id"),
+          col("ts"),
+          col("event_type"),
+          col("value")
+        )
+        .orderBy("user_id")),
+    "cdc_snapshot_sync" -> ((s, dir) =>
+      Tables
+        .customer(s, dir)
+        .select(
+          col("c_custkey").as("id"),
+          lower(col("c_name")).as("name"),
+          col("c_nationkey").cast("long").as("nation_id"),
+          round(col("c_acctbal"), 2).as("balance"),
+          (col("c_acctbal") > 0).as("in_good_standing"),
+          lower(col("c_mktsegment")).as("segment")
+        )
+        .orderBy("id")),
+    "cdc_op_stats" -> ((s, dir) =>
+      CdcBatch
+        .opStats(
+          Tables.events(s, dir),
+          when(col("event_type") === "signup", "c").when(col("event_type") === "error", "d").otherwise("u")
+        )
+        .orderBy("op")),
+    "cdc_changelog_rate" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("bucket")),
+    "cdc_count_parity" -> ((s, dir) => {
+      val parts = Seq(
+        "customer" -> Tables.customer(s, dir),
+        "lineitem" -> Tables.lineitem(s, dir),
+        "orders" -> Tables.orders(s, dir)
+      ).map { case (n, df) => df.agg(count(lit(1)).as("n")).select(lit(n).as("entity"), col("n")) }
+      parts.reduce(_ unionByName _).orderBy("entity")
+    }),
+
+    // ── Search / query DSL ──────────────────────────────────────────────
+    "search_match" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), SearchDsl.matchScore(col("text"), Seq("spark", "stream")).as("score"))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))),
+    "search_bool_term" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .filter(
+          SearchDsl.bool(
+            must = Seq(SearchDsl.term(col("o_orderstatus"), "O")),
+            mustNot = Seq(SearchDsl.term(col("o_orderpriority"), "5-LOW"))
+          )
+        )
+        .select(
+          col("o_orderkey"),
+          SearchDsl
+            .shouldScore(Seq(col("o_orderpriority") === "1-URGENT", col("o_orderpriority") === "2-HIGH"))
+            .as("score")
+        )
+        .orderBy(col("score").desc, col("o_orderkey"))),
+    "search_range" -> ((s, dir) =>
+      Tables
+        .lineitem(s, dir)
+        .filter(
+          SearchDsl.range(col("l_quantity"), gte = Some(10), lte = Some(20)) &&
+            SearchDsl.range(col("l_shipdate"), gte = Some("1999-01-01 00:00:00"))
+        )
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")),
+    "search_wildcard" -> ((s, dir) =>
+      Tables
+        .part(s, dir)
+        .filter(SearchDsl.wildcard(col("p_name"), "*re*"))
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy("p_partkey")),
+    "search_terms_agg" -> ((s, dir) => Aggs.termsAgg(Tables.orders(s, dir), col("o_orderpriority"), 5)),
+    "search_date_histogram" -> ((s, dir) =>
+      Aggs.dateHistogram(
+        Tables.orders(s, dir),
+        col("o_orderdate"),
+        "month",
+        Seq(round(sum("o_totalprice"), 2).as("revenue"))
+      )),
+    "search_filtered_count" -> ((s, dir) =>
+      Aggs.filteredCounts(
+        Tables.events(s, dir),
+        Seq("n_high_value" -> (col("value") > 100), "n_purchase" -> (col("event_type") === "purchase"))
+      )),
+    "search_stats_agg" -> ((s, dir) => Aggs.stats(Tables.lineitem(s, dir), col("l_extendedprice"))),
+    "search_cardinality" -> ((s, dir) =>
+      Aggs.cardinality(
+        Tables.lineitem(s, dir),
+        Seq("n_parts" -> col("l_partkey"), "n_supps" -> col("l_suppkey"), "n_orders" -> col("l_orderkey"))
+      )),
+    "search_percentiles" -> ((s, dir) =>
+      Aggs.percentiles(Tables.orders(s, dir), col("o_totalprice"), Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))),
+    "search_top_n" -> ((s, dir) =>
+      Aggs.topN(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"), col("o_orderstatus")),
+        10,
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc)
+      )),
+    "search_multi_index" -> ((s, dir) => {
+      val li = Tables
+        .lineitem(s, dir)
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("amount"))
+        .select(lit("lineitem").as("idx"), col("n"), col("amount"))
+      val o = Tables
+        .orders(s, dir)
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("amount"))
+        .select(lit("orders").as("idx"), col("n"), col("amount"))
+      SearchDsl.multiIndex(Seq(li, o)).orderBy("idx")
+    }),
+
+    // ── Analytics / joins ───────────────────────────────────────────────
+    "q1_pricing_summary" -> ((s, dir) =>
+      Tables
+        .lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
+            .as("sum_charge"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          round(avg("l_extendedprice"), 2).as("avg_price"),
+          round(avg("l_discount"), 2).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cutoff = lit("1998-01-01 00:00:00").cast("timestamp")
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables
+        .orders(s, dir)
+        .filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = Tables
+        .lineitem(s, dir)
+        .filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q5_local_supplier" -> ((s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val o = Tables
+        .orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    "agg_running_balance" -> ((s, dir) => {
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables
+        .events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), round(sum("value").over(w), 2).as("balance"))
+        .orderBy("user_id", "event_id")
+    }),
+    "agg_sessionize" -> ((s, dir) => {
+      val ordW = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cumW = ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables
+        .events(s, dir)
+        .withColumn(
+          "is_new",
+          when(col("ts").cast("double") - lag(col("ts"), 1).over(ordW).cast("double") > 1800, 1).otherwise(0)
+        )
+        .withColumn("session_id", sum("is_new").over(cumW))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"), max("ts").as("session_end"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // ── Dedup ───────────────────────────────────────────────────────────
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), col("text"), col("doc_id")).orderBy("h")),
+    "dedup_fingerprint" -> ((s, dir) =>
+      Dedup.fingerprintGroups(Tables.documents(s, dir), col("text"), col("doc_id")).orderBy("fp")),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      MinHashLSH.nearDupPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5).orderBy("a", "b")),
+    "dedup_simhash" -> ((s, dir) =>
+      SimHash.nearDupPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3).orderBy("a", "b")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.4).orderBy("a", "b")),
+    // Threshold calibrated to the synthetic corpus (max pairwise cosine
+    // ~0.46): "near-dup" here = the far tail of the similarity histogram.
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity
+        .embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.35, nBits = 4)
+        .orderBy("a", "b")),
+
+    // ── Similarity search ───────────────────────────────────────────────
+    "ann_bruteforce_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        "vec_id",
+        "embedding",
+        queryVec(s, dir, 0),
+        10
+      )),
+    "ann_knn_join" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity
+        .knnJoin(emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") >= 3), "vec_id", "embedding", 5)
+        .orderBy("probe_id", "rank")
+    }),
+    // 4-bit sigs x 8 tables: ~16 buckets over a 500-vector corpus keeps
+    // per-bucket candidate lists ~30 and multi-table union recall high.
+    "ann_lsh_topk" -> ((s, dir) =>
+      Similarity
+        .lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nBits = 4, tables = 8)),
+
+    // ── Text analysis ───────────────────────────────────────────────────
+    "text_token_count" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          TextFns.tokenCount(col("text")).as("n_tokens"),
+          TextFns.distinctTokenCount(col("text")).as("n_distinct")
+        )
+        .orderBy("doc_id")),
+    "text_quality_score" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          TextFns.tokenCount(col("text")).as("n_tokens"),
+          // 6-dp rounding: for rationals with denominator <= ~600 a tie at
+          // the 6th decimal would need a denominator divisible by 2^7*5^k,
+          // so Spark's round-of-shortest-repr and DuckDB's round-of-binary
+          // cannot disagree (they do at 2dp: 189/40 = 4.725).
+          round(TextFns.avgTokenLen(col("text")), 6).as("avg_token_len"),
+          round(TextFns.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          round(TextFns.charRatio(col("text"), "0-9"), 6).as("digit_ratio")
+        )
+        .orderBy("doc_id")),
+    "text_lang_id" -> ((s, dir) => {
+      val scoreCols = TextFns.langScores(col("text")).map { case (l, c) => c.as(s"s_$l") }
+      Tables
+        .documents(s, dir)
+        .select((col("doc_id") +: scoreCols) :+ TextFns.langPredict(col("text")).as("pred_lang"): _*)
+        .orderBy("doc_id")
+    }),
+    "text_ngram_freq" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(explode(TextFns.wordNgrams(col("text"), 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)),
+
+    // ── Multimodal ──────────────────────────────────────────────────────
+    "mm_binary_meta" -> ((s, dir) =>
+      Binary
+        .asPayload(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .select(col("id"), col("n_bytes"), col("sha256"), col("format"))
+        .orderBy("id")),
+    "mm_frame_sample" -> ((s, dir) =>
+      Binary
+        .frameSample(Binary.asPayload(Tables.documents(s, dir), col("doc_id"), col("text")), 64, 4)
+        .orderBy("id"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_latest_state" ->
+      """SELECT user_id, event_id, ts, event_type, value
+        |FROM (SELECT user_id, event_id, ts, event_type, value,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "cdc_apply_ops" ->
+      """SELECT user_id, event_id, ts, event_type, value
+        |FROM (SELECT user_id, event_id, ts, event_type, value,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
+    "cdc_snapshot_sync" ->
+      """SELECT c_custkey AS id, lower(c_name) AS name, CAST(c_nationkey AS BIGINT) AS nation_id,
+        |       round(c_acctbal, 2) AS balance, c_acctbal > 0 AS in_good_standing,
+        |       lower(c_mktsegment) AS segment
+        |FROM customer ORDER BY id""".stripMargin,
+    "cdc_op_stats" ->
+      """SELECT CASE WHEN event_type = 'signup' THEN 'c' WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+        |       count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY op""".stripMargin,
+    "cdc_changelog_rate" ->
+      """SELECT date_trunc('hour', ts) AS bucket, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "cdc_count_parity" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS entity, count(*) AS n FROM customer
+        |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |  UNION ALL SELECT 'orders', count(*) FROM orders) t
+        |ORDER BY entity""".stripMargin,
+    "search_match" ->
+      """SELECT doc_id, score FROM (
+        |  SELECT doc_id,
+        |         (CASE WHEN list_contains(string_split(lower(text), ' '), 'spark') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(string_split(lower(text), ' '), 'stream') THEN 1 ELSE 0 END) AS score
+        |  FROM documents) t
+        |WHERE score > 0 ORDER BY score DESC, doc_id""".stripMargin,
+    "search_bool_term" ->
+      """SELECT o_orderkey,
+        |       (CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+        |      + CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS score
+        |FROM orders WHERE o_orderstatus = 'O' AND NOT (o_orderpriority = '5-LOW')
+        |ORDER BY score DESC, o_orderkey""".stripMargin,
+    "search_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "search_wildcard" ->
+      """SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%re%' ORDER BY p_partkey""".stripMargin,
+    "search_terms_agg" ->
+      """SELECT o_orderpriority AS "key", count(*) AS doc_count
+        |FROM orders GROUP BY 1 ORDER BY doc_count DESC, "key" LIMIT 5""".stripMargin,
+    "search_date_histogram" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket, count(*) AS doc_count,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "search_filtered_count" ->
+      """SELECT count(*) AS n_total,
+        |       count(*) FILTER (WHERE value > 100) AS n_high_value,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+        |FROM events""".stripMargin,
+    "search_stats_agg" ->
+      """SELECT count(l_extendedprice) AS cnt, round(min(l_extendedprice), 2) AS min_v,
+        |       round(max(l_extendedprice), 2) AS max_v, round(avg(l_extendedprice), 2) AS avg_v,
+        |       round(sum(l_extendedprice), 2) AS sum_v
+        |FROM lineitem""".stripMargin,
+    "search_cardinality" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
+        |       count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+    "search_percentiles" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+        |       round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+        |FROM orders""".stripMargin,
+    "search_top_n" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice, o_orderstatus
+        |FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10""".stripMargin,
+    "search_multi_index" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem' AS idx, count(*) AS n, round(sum(l_extendedprice), 2) AS amount FROM lineitem
+        |  UNION ALL SELECT 'orders', count(*), round(sum(o_totalprice), 2) FROM orders) t
+        |ORDER BY idx""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       round(avg(l_quantity), 2) AS avg_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price,
+        |       round(avg(l_discount), 2) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "agg_running_balance" ->
+      """SELECT user_id, event_id, ts,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS balance
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "agg_sessionize" ->
+      """SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+        |FROM (SELECT user_id, ts,
+        |             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |      FROM (SELECT user_id, ts, event_id,
+        |                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+        |                        THEN 1 ELSE 0 END AS is_new
+        |            FROM events) a) b
+        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "dedup_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
+        |       count(*) AS n_dups, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "ann_bruteforce_topk" ->
+      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_knn_join" ->
+      """SELECT probe_id, cand_id, cos, rank FROM (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |         round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos,
+        |         CAST(row_number() OVER (PARTITION BY p.vec_id
+        |           ORDER BY round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+        |                    c.vec_id) AS INTEGER) AS rank
+        |  FROM embeddings p, embeddings c WHERE p.vec_id < 3 AND c.vec_id >= 3) t
+        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(lower(text), ' '))) AS INTEGER) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality_score" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+        |       round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(lower(text), ' ')), 6) AS avg_token_len,
+        |       round(CAST(len(list_filter(string_split(lower(text), ' '),
+        |                    t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+        |             / len(string_split(lower(text), ' ')), 6) AS stop_ratio,
+        |       round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 6) AS digit_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      """SELECT doc_id, s_en, s_fr, s_de, s_es,
+        |       CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+        |            WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+        |            WHEN s_de >= s_es THEN 'de'
+        |            ELSE 'es' END AS pred_lang
+        |FROM (SELECT doc_id,
+        |        CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains(['the','a','of','and'], t))) AS INTEGER) AS s_en,
+        |        CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains(['le','la','et','les'], t))) AS INTEGER) AS s_fr,
+        |        CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains(['der','die','und','das'], t))) AS INTEGER) AS s_de,
+        |        CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains(['el','los','que','y'], t))) AS INTEGER) AS s_es
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "text_ngram_freq" ->
+      """SELECT bigram, count(*) AS n FROM (
+        |  SELECT t[i] || ' ' || t[i + 1] AS bigram
+        |  FROM (SELECT string_split(lower(text), ' ') AS t FROM documents) d
+        |  CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(i)) b
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id AS id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |       sha256(text) AS sha256,
+        |       CASE WHEN text LIKE 'th%' THEN 'th-container' ELSE 'raw' END AS format
+        |FROM documents ORDER BY id""".stripMargin
+  )
 }

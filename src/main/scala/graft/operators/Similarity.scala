@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `array<float>` embedding column.
+  *
+  * Brute-force top-k is the correctness baseline: one scan, per-row cosine
+  * against a literal query vector (broadcast as a constant into codegen),
+  * then TakeOrderedAndProject (per-partition heaps + single reduce — no
+  * global sort). Embarrassingly parallel: at 100 TB this is scan-bound.
+  *
+  * The scale path is LSH bucketing ([[VectorFns.hyperplaneSig]]): probes
+  * join only their own signature bucket; a k-NN *join* shuffles both sides
+  * on the signature instead of cross-joining.
+  */
+object Similarity {
+
+  private def vecLit(v: Seq[Float]): Column = array(v.map(x => lit(x.toDouble)): _*)
+
+  /** Exact top-k by cosine against a single query vector. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, query: Seq[Float], k: Int): DataFrame =
+    emb
+      .select(col(idCol), round(VectorFns.cosine(col(vecCol), vecLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Batch k-NN join: for every probe row, its top-k neighbors from the
+    * candidate set. Probes are broadcast (small side); ranking is a window
+    * partitioned by probe — each partition's state is one probe's heap.
+    */
+  def knnJoin(
+      probes: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    val scored = c
+      .join(broadcast(p))
+      .select(
+        col("probe_id"),
+        col("cand_id"),
+        round(VectorFns.cosine(col("probe_vec"), col("cand_vec")), 6).as("cos")
+      )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: candidates whose hyperplane signature matches the
+    * probe's in at least one of `tables` independent signatures, ranked by
+    * exact cosine within the candidate set. Recall is tunable via
+    * (nBits, tables); cost is a key-equality join, never a cross join.
+    */
+  def lshTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      nBits: Int = 12,
+      tables: Int = 4
+  ): DataFrame = {
+    val sigd = emb.select(
+      col(idCol),
+      col(vecCol),
+      posexplode(
+        array((0 until tables).map(t => VectorFns.hyperplaneSig(col(vecCol), nBits, seed = t * 7919 + 1)): _*)
+      ).as(Seq("table", "sig"))
+    )
+    val qlit = vecLit(query)
+    val qsigs = (0 until tables).map(t => VectorFns.hyperplaneSig(qlit, nBits, seed = t * 7919 + 1))
+    val probeSigs = emb.sparkSession
+      .range(tables)
+      .select(
+        col("id").cast("int").as("table"),
+        element_at(array(qsigs: _*), col("id").cast("int") + 1).as("sig")
+      )
+    sigd
+      .join(broadcast(probeSigs), Seq("table", "sig"))
+      .select(col(idCol), col(vecCol))
+      .distinct()
+      .select(col(idCol), round(VectorFns.cosine(col(vecCol), qlit), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: bucket by one hyperplane
+    * signature, pair within buckets (a < b), verify exact cosine >=
+    * threshold. Same banding shape as MinHash — quadratic work confined to
+    * buckets.
+    */
+  def embeddingNearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBits: Int = 8,
+      tables: Int = 4
+  ): DataFrame = {
+    val sigd = emb.select(
+      col(idCol).as("id"),
+      col(vecCol).as("vec"),
+      posexplode(
+        array((0 until tables).map(t => VectorFns.hyperplaneSig(col(vecCol), nBits, seed = t * 104729 + 13)): _*)
+      ).as(Seq("table", "sig"))
+    )
+    val l = sigd.as("l")
+    val r = sigd.as("r")
+    l.join(r, col("l.table") === col("r.table") && col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"), col("l.vec").as("va"), col("r.vec").as("vb"))
+      .distinct()
+      .select(col("a"), col("b"), round(VectorFns.cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** OpenSearch query-DSL semantics re-expressed as Catalyst `Column`
+  * combinators (reference DASHBOARD_GUIDE.md "Dev Tools" queries and
+  * Discover filters, e.g. `status:ACTIVE AND card_type:DEBIT`,
+  * `range: {amount: {gte: 100}}`, `match: {status: "ACTIVE"}`).
+  *
+  * Everything stays declarative so Catalyst pushes the predicates into the
+  * parquet scan (visible as PushedFilters in `.explain`): at 100 TB a
+  * filter that reaches the reader skips row groups via min/max stats
+  * instead of materializing rows.
+  */
+object SearchDsl {
+
+  /** Whitespace analyzer: lowercase + split on spaces, as OpenSearch's
+    * default analyzer would tokenize the synthetic corpus.
+    */
+  def analyze(text: Column): Column = split(lower(text), " ")
+
+  /** `term` query: exact filter-context match. */
+  def term(field: Column, value: Any): Column = field === lit(value)
+
+  /** `terms` query: field in (values...). */
+  def terms(field: Column, values: Seq[Any]): Column = field.isin(values: _*)
+
+  /** `range` query with optional bounds (gte/lte). */
+  def range(field: Column, gte: Option[Any] = None, lte: Option[Any] = None): Column =
+    Seq(gte.map(v => field >= lit(v)), lte.map(v => field <= lit(v))).flatten
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+
+  /** `wildcard` query: `*` → `%`, `?` → `_` (SQL LIKE). */
+  def wildcard(field: Column, pattern: String): Column =
+    field.like(pattern.replace("*", "%").replace("?", "_"))
+
+  /** `match` query (OR operator): at least one analyzed query term occurs.
+    * Returns the per-row number of matching terms — a deterministic stand-in
+    * for the relevance score; filter on `> 0` for match semantics.
+    */
+  def matchScore(text: Column, queryTerms: Seq[String]): Column =
+    queryTerms
+      .map(t => array_contains(analyze(text), t.toLowerCase).cast("int"))
+      .reduce(_ + _)
+
+  /** `bool` query: must (AND), must_not (NOT), filter (AND, no score). */
+  def bool(must: Seq[Column] = Nil, mustNot: Seq[Column] = Nil, filter: Seq[Column] = Nil): Column =
+    ((must ++ filter).map(c => c) ++ mustNot.map(c => !c))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+
+  /** `should` clauses contribute to the score (minimum_should_match=0). */
+  def shouldScore(should: Seq[Column]): Column =
+    should.map(c => when(c, 1).otherwise(0)).reduceOption(_ + _).getOrElse(lit(0))
+
+  /** Multi-index pattern (`*transaction*`): union of per-entity frames that
+    * were projected to a common (idx, doc) shape by the caller.
+    */
+  def multiIndex(frames: Seq[DataFrame]): DataFrame = frames.reduce(_ unionByName _)
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming CDC: the reference pipeline's streaming half
+  * (Debezium envelope stream → keyed latest-state store → sink), as
+  * `flatMapGroupsWithState` over a typed envelope.
+  *
+  * State is one row per key (the current document), exactly what the
+  * OpenSearch index holds — so state size tracks table cardinality, not
+  * stream length. Emits the post-image changelog (upserts) and tombstones
+  * (deletes), which a downstream [[graft.sinks.IndexFileSink.DocWriter]]
+  * applies idempotently.
+  */
+object CdcStream {
+
+  /** Debezium-style envelope (reference consumer.py:55-70: `op`,
+    * `before`/`after` payloads, source ts for ordering).
+    */
+  case class Envelope(key: Long, seq: Long, op: String, payload: String)
+
+  /** Output changelog row: current state or tombstone. */
+  case class StateChange(key: Long, op: String, payload: String, seq: Long)
+
+  private case class KeyState(seq: Long, payload: String, deleted: Boolean)
+
+  /** Apply a stream of envelopes; emit one StateChange per input that
+    * advances the key's state (out-of-order events below the stored seq are
+    * dropped — last-write-wins, the same race rule the reference's
+    * upsert-by-id gives).
+    */
+  def applyChanges(envelopes: Dataset[Envelope]): Dataset[StateChange] = {
+    val spark = envelopes.sparkSession
+    import spark.implicits._
+    envelopes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[Envelope], state: GroupState[KeyState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.seq))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[StateChange]
+          sorted.foreach { e =>
+            if (cur.forall(_.seq < e.seq)) {
+              val deleted = e.op == "d"
+              cur = Some(KeyState(e.seq, e.payload, deleted))
+              out += StateChange(key, if (deleted) "d" else "u", e.payload, e.seq)
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Event-rate dashboard: windowed counts with a watermark (the Kibana
+    * date-histogram, incrementally maintained).
+    */
+  def eventRate(events: DataFrame, tsCol: String, window: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_events"))
+
+  /** Streaming dedup by content key within a watermark horizon. */
+  def streamingDedup(df: DataFrame, keyCols: Seq[String], tsCol: String, watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
+}

@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfdir> <outdir>
+  1. expects `sbt "runMain graft.Verify <sfdir> <outdir>"` to have run
+  2. registers each parquet table from sfdir as a DuckDB view
+  3. runs every oracle_sql.json query, compares against the Spark parquet
+     dump: schema (column names), row count, and value hash with columns
+     sorted by name.
+"""
+import json
+import sys
+import glob
+import os
+
+import duckdb
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        # driver-style canonicalization: repr of float
+        if v != v:
+            return "nan"
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def table_digest(cols, rows, sort_rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    data = [[norm_cell(r[i]) for i in order] for r in rows]
+    if sort_rows:
+        data.sort()
+    import hashlib
+
+    h = hashlib.sha256()
+    for r in data:
+        h.update(("\x1f".join(r) + "\x1e").encode())
+    return h.hexdigest()
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(f"{sfdir}/*.parquet"):
+        name = os.path.basename(p).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = f"{outdir}/{name}"
+        if not os.path.isdir(spark_dir):
+            print(f"MISSING  {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            orc = con.sql(sql)
+            o_cols = [c.lower() for c in orc.columns]
+            o_rows = orc.fetchall()
+        except Exception as e:
+            print(f"ORA_ERR  {name}: {e}")
+            n_fail += 1
+            continue
+        sp = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        s_cols = [c.lower() for c in sp.columns]
+        s_rows = sp.fetchall()
+        problems = []
+        if sorted(o_cols) != sorted(s_cols):
+            problems.append(f"schema oracle={sorted(o_cols)} spark={sorted(s_cols)}")
+        elif len(o_rows) != len(s_rows):
+            problems.append(f"rows oracle={len(o_rows)} spark={len(s_rows)}")
+        else:
+            ho = table_digest(o_cols, o_rows, sort_rows=True)
+            hs = table_digest(s_cols, s_rows, sort_rows=True)
+            if ho != hs:
+                problems.append("value hash mismatch (row-sorted)")
+                # show first differing row for debugging
+                oo = sorted([[norm_cell(r[i]) for i in sorted(range(len(o_cols)), key=lambda i: o_cols[i])] for r in o_rows])
+                ss = sorted([[norm_cell(r[i]) for i in sorted(range(len(s_cols)), key=lambda i: s_cols[i])] for r in s_rows])
+                for a, b in zip(oo, ss):
+                    if a != b:
+                        problems.append(f"  first diff oracle={a} spark={b}")
+                        break
+            else:
+                ho2 = table_digest(o_cols, o_rows, sort_rows=False)
+                hs2 = table_digest(s_cols, s_rows, sort_rows=False)
+                if ho2 != hs2:
+                    problems.append("ROW ORDER differs (values match when sorted)")
+        if problems:
+            print(f"FAIL     {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"pass     {name} ({len(s_rows)} rows)")
+            n_pass += 1
+
+    # rows-only queries (no oracle): just report counts
+    for d in sorted(glob.glob(f"{outdir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name not in oracle:
+            try:
+                n = con.sql(f"SELECT count(*) FROM read_parquet('{d}*.parquet')").fetchone()[0]
+                print(f"rowsonly {name}: {n} rows")
+            except Exception as e:
+                print(f"rowsonly {name}: ERROR {e}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
