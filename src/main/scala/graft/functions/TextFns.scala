@@ -80,10 +80,16 @@ object TextFns {
     */
   def wordNgrams(text: Column, n: Int): Column = {
     val t = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(t) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)
-    )
+    // Guard: Spark's sequence(1, 0) yields [1, 0] (descending), so short
+    // docs must short-circuit to an empty array or element_at goes out of
+    // bounds under ANSI semantics.
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)
+        )
+      )
   }
 
   /** Rolling polynomial hash over the token stream (document shingling
@@ -92,9 +98,12 @@ object TextFns {
     */
   def rollingHashes(text: Column, window: Int): Column = {
     val t = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(t) - (window - 1), lit(0))),
-      i => abs(hash((0 until window).map(j => element_at(t, i + j)): _*))
-    )
+    when(size(t) < window, array().cast("array<int>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(t) - (window - 1)),
+          i => abs(hash((0 until window).map(j => element_at(t, i + j)): _*))
+        )
+      )
   }
 }

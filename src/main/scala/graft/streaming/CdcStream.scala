@@ -24,7 +24,9 @@ object CdcStream {
   /** Output changelog row: current state or tombstone. */
   case class StateChange(key: Long, op: String, payload: String, seq: Long)
 
-  private case class KeyState(seq: Long, payload: String, deleted: Boolean)
+  // Must be public: the state-store encoder's generated code references the
+  // class directly and Janino rejects members of a non-public class.
+  case class KeyState(lastSeq: Long, payload: String, deleted: Boolean)
 
   /** Apply a stream of envelopes; emit one StateChange per input that
     * advances the key's state (out-of-order events below the stored seq are
@@ -42,7 +44,7 @@ object CdcStream {
           var cur = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[StateChange]
           sorted.foreach { e =>
-            if (cur.forall(_.seq < e.seq)) {
+            if (cur.forall(_.lastSeq < e.seq)) {
               val deleted = e.op == "d"
               cur = Some(KeyState(e.seq, e.payload, deleted))
               out += StateChange(key, if (deleted) "d" else "u", e.payload, e.seq)

@@ -1,0 +1,53 @@
+package graft
+
+import graft.cdc.CdcBatch
+import org.apache.spark.sql.functions._
+
+class CdcBatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def changelog = Seq(
+    // (key, seq, op, payload)
+    (1L, 1L, "c", "v1"),
+    (1L, 2L, "u", "v2"),
+    (1L, 3L, "u", "v3"),
+    (2L, 1L, "c", "w1"),
+    (2L, 2L, "d", "w1"),
+    (3L, 5L, "c", "x1")
+  ).toDF("key", "seq", "op", "payload")
+
+  test("latestState keeps the highest-seq row per key") {
+    val out = CdcBatch
+      .latestState(changelog, "key", struct(col("seq")), col("seq"), col("op"), col("payload"))
+      .orderBy("key")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getString(3))).toSeq == Seq((1L, "v3"), (2L, "w1"), (3L, "x1")))
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 2L, 5L))
+  }
+
+  test("applyOps drops keys whose final op is a delete") {
+    val out = CdcBatch
+      .applyOps(changelog, "key", struct(col("seq")), col("op") === "d", col("payload"))
+      .orderBy("key")
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L)) // key 2 deleted
+  }
+
+  test("opStats counts per op") {
+    val out = CdcBatch.opStats(changelog, col("op")).orderBy("op").as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("c", 3L), ("d", 1L), ("u", 2L)))
+  }
+
+  test("latestState is a partial-aggregate plan, not a window sort") {
+    val plan = CdcBatch
+      .latestState(changelog, "key", struct(col("seq")), col("payload"))
+      .queryExecution
+      .executedPlan
+      .toString
+    // Map-side partial aggregation collapses duplicates before the single
+    // key shuffle; there must be no Window (which would shuffle+sort the
+    // full changelog).
+    assert(plan.contains("partial_max_by"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{Dedup, MinHashLSH, SimHash}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private val nearDup = base.replace("sigma", "sigmoid") // one token differs
+  private val shuffled = base.split(" ").reverse.mkString(" ") // same token set, reversed
+  private val unrelated = "one two three four five six seven eight nine ten eleven twelve"
+
+  private def docs = Seq(
+    (1L, base),
+    (2L, base), // exact dup of 1
+    (3L, nearDup), // near dup of 1
+    (4L, shuffled), // bag-of-words dup of 1
+    (5L, unrelated)
+  ).toDF("doc_id", "text")
+
+  test("exactGroups finds the exact duplicate, keeps min id") {
+    val groups = Dedup.exactGroups(docs, $"text", $"doc_id").filter($"n_dups" > 1).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n_dups") == 2L && groups.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("fingerprintGroups also catches the reshuffled doc") {
+    val groups = Dedup.fingerprintGroups(docs, $"text", $"doc_id").filter($"n_dups" > 1).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n_dups") == 3L) // 1, 2, 4
+  }
+
+  test("MinHash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = MinHashLSH
+      .nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("a", "b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup missed: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)), s"near dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), s"unrelated doc matched: $pairs")
+  }
+
+  test("MinHash signature sketches Jaccard: identical docs share all minhashes") {
+    val sigs = MinHashLSH.signatures(docs, "doc_id", "text", 3, 32).orderBy("id").collect()
+    assert(sigs(0).getSeq[Int](1) == sigs(1).getSeq[Int](1))
+  }
+
+  test("SimHash: hamming(exact dup)=0, near dup small, unrelated large") {
+    val sh = SimHash.simhash64(docs, "doc_id", "text").orderBy("id").collect().map(_.getLong(1))
+    assert(sh(0) == sh(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0), sh(2)) <= 16, s"near dup hamming ${ham(sh(0), sh(2))}")
+    assert(ham(sh(0), sh(4)) > 16, s"unrelated hamming ${ham(sh(0), sh(4))}")
+  }
+
+  test("ngramJaccardPairs verifies exact Jaccard on blocked candidates") {
+    val pairs = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.4)
+      .select("a", "b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L))) // 1-token change keeps most 3-shingles
+    assert(!pairs.contains((1L, 4L))) // reversal destroys shingle order
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.search.{Aggs, SearchDsl}
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox", "ACTIVE", 10.0),
+    (2L, "lazy dog sleeps", "ACTIVE", 150.0),
+    (3L, "quick quick dog", "BLOCKED", 75.0),
+    (4L, "nothing here", "INACTIVE", 200.0)
+  ).toDF("id", "text", "status", "amount")
+
+  test("matchScore: OR semantics, per-term hit count") {
+    val out = docs
+      .select($"id", SearchDsl.matchScore($"text", Seq("quick", "dog")).as("score"))
+      .filter($"score" > 0)
+      .orderBy($"score".desc, $"id")
+      .as[(Long, Int)]
+      .collect()
+    assert(out.toSeq == Seq((3L, 2), (1L, 1), (2L, 1)))
+  }
+
+  test("bool combines must/mustNot; range is inclusive") {
+    val out = docs
+      .filter(
+        SearchDsl.bool(
+          must = Seq(SearchDsl.range($"amount", gte = Some(75.0))),
+          mustNot = Seq(SearchDsl.term($"status", "INACTIVE"))
+        )
+      )
+      .select("id")
+      .as[Long]
+      .collect()
+      .sorted
+    assert(out.toSeq == Seq(2L, 3L))
+  }
+
+  test("wildcard maps * and ? to SQL LIKE") {
+    assert(docs.filter(SearchDsl.wildcard($"text", "*quick*")).count() == 2)
+    assert(docs.filter(SearchDsl.wildcard($"text", "lazy do? sleeps")).count() == 1)
+  }
+
+  test("termsAgg orders by count desc then key") {
+    val out = Aggs.termsAgg(docs, $"status", 2).as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("ACTIVE", 2L), ("BLOCKED", 1L)))
+  }
+
+  test("filteredCounts computes conditional counts in one pass") {
+    val out = Aggs.filteredCounts(docs, Seq("n_big" -> ($"amount" > 100))).collect().head
+    assert(out.getLong(0) == 4L && out.getLong(1) == 2L)
+  }
+
+  test("topN is TakeOrderedAndProject (no global sort at scale)") {
+    val q = Aggs.topN(docs, 2, Seq($"amount".desc))
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    assert(q.select("id").as[Long].collect().toSeq == Seq(4L, 2L))
+  }
+
+  test("predicates push down to the parquet scan") {
+    val q = Tables.lineitem(spark, Sf).filter($"l_quantity" > 10).select("l_orderkey", "l_quantity")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10.0)]"), scan)
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), scan)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.functions.VectorFns
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // Orthogonal-ish crafted vectors: 0 and 1 nearly parallel, 2 orthogonal,
+  // 3 anti-parallel.
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+    (4L, Array(0.7f, 0.7f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine column matches hand-computed values") {
+    val out = vecs
+      .select($"vec_id", round(VectorFns.cosine($"embedding", array(lit(1.0), lit(0.0), lit(0.0), lit(0.0))), 4))
+      .as[(Long, Double)]
+      .collect()
+      .toMap
+    assert(out(0L) == 1.0)
+    assert(out(3L) == -1.0)
+    assert(out(2L) == 0.0)
+    assert(math.abs(out(4L) - 0.7071) < 1e-4)
+  }
+
+  test("bruteForceTopK ranks by cosine desc") {
+    val top = Similarity
+      .bruteForceTopK(vecs.filter($"vec_id" =!= 0), "vec_id", "embedding", Seq(1.0f, 0.0f, 0.0f, 0.0f), 3)
+      .select("vec_id")
+      .as[Long]
+      .collect()
+    assert(top.toSeq == Seq(1L, 4L, 2L))
+  }
+
+  test("knnJoin returns k ranked neighbors per probe") {
+    val out = Similarity
+      .knnJoin(vecs.filter($"vec_id" < 2), vecs.filter($"vec_id" >= 2), "vec_id", "embedding", 2)
+      .orderBy("probe_id", "rank")
+      .select("probe_id", "cand_id", "rank")
+      .as[(Long, Long, Int)]
+      .collect()
+    assert(out.length == 4)
+    assert(out(0) == ((0L, 4L, 1)) && out(1) == ((0L, 2L, 2)))
+  }
+
+  test("LSH topk recall matches brute force on the real corpus") {
+    val emb = Tables.embeddings(spark, Sf)
+    val q = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).select("vec_id").as[Long].collect().toSet
+    val lsh = Similarity
+      .lshTopK(emb, "vec_id", "embedding", q, 10, nBits = 4, tables = 8)
+      .select("vec_id")
+      .as[Long]
+      .collect()
+      .toSet
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall (bf=$bf lsh=$lsh)")
+  }
+
+  test("embeddingNearDupPairs finds the planted near-parallel pair") {
+    val pairs = Similarity
+      .embeddingNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.95, nBits = 2, tables = 4)
+      .select("a", "b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((0L, 1L)), s"planted pair missed: $pairs")
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("brute-force plan broadcasts probes — no shuffle of the candidate side") {
+    val plan = Similarity
+      .knnJoin(vecs.limit(1), vecs, "vec_id", "embedding", 2)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+}

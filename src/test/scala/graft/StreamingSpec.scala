@@ -1,0 +1,78 @@
+package graft
+
+import graft.streaming.CdcStream
+import graft.streaming.CdcStream.{Envelope, StateChange}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CdcStream.applyChanges: upserts, deletes, out-of-order drops") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Envelope]
+    val q = CdcStream
+      .applyChanges(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("cdc_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData(Envelope(1L, 1L, "c", "v1"), Envelope(1L, 2L, "u", "v2"), Envelope(2L, 1L, "c", "w1"))
+      q.processAllAvailable()
+      input.addData(Envelope(1L, 1L, "u", "stale"), Envelope(2L, 2L, "d", "w1"))
+      q.processAllAvailable()
+      val out = spark.table("cdc_out").as[StateChange].collect()
+      // batch 1: key1 advances twice, key2 once
+      assert(out.count(_.key == 1L) == 2)
+      assert(out.filter(_.key == 1L).map(_.payload).toSet == Set("v1", "v2"))
+      // batch 2: stale seq=1 for key1 dropped; key2 tombstoned
+      assert(!out.map(_.payload).contains("stale"))
+      assert(out.filter(_.key == 2L).map(_.op).toSeq.sorted == Seq("d", "u"))
+    } finally q.stop()
+  }
+
+  test("eventRate: windowed counts with watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val q = CdcStream
+      .eventRate(df, "ts", "10 minutes", "1 hour")
+      .writeStream
+      .format("memory")
+      .queryName("rate_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData((ts(1), 1L), (ts(2), 2L), (ts(11), 3L))
+      q.processAllAvailable()
+      // advance watermark far enough to close both windows
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 9L))
+      q.processAllAvailable()
+      val out = spark.table("rate_out").orderBy("window_start").as[(java.sql.Timestamp, Long)].collect()
+      assert(out.map(_._2).toSeq == Seq(2L, 1L))
+    } finally q.stop()
+  }
+
+  test("streamingDedup drops duplicate keys within the watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "k")
+    val q = CdcStream
+      .streamingDedup(df, Seq("k"), "ts", "1 hour")
+      .writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      input.addData((t, "a"), (t, "a"), (t, "b"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the cat and the hat"),
+    (2L, "le chat et la table"),
+    (3L, "a1 b2 c3")
+  ).toDF("doc_id", "text")
+
+  test("token counts") {
+    val out = docs
+      .select($"doc_id", TextFns.tokenCount($"text"), TextFns.distinctTokenCount($"text"))
+      .as[(Long, Int, Int)]
+      .collect()
+      .map { case (k, a, b) => k -> ((a, b)) }
+      .toMap
+    assert(out(1L) == ((5, 4)))
+    assert(out(3L) == ((3, 3)))
+  }
+
+  test("fingerprint is order- and repeat-insensitive") {
+    val fps = Seq((1L, "b a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+      .select(TextFns.fingerprint($"text"))
+      .as[String]
+      .collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("langPredict scores marker words with declaration-order tie-break") {
+    val out = docs.select($"doc_id", TextFns.langPredict($"text")).as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "fr")
+    assert(out(3L) == "en") // all scores 0 -> tie -> first lang wins
+  }
+
+  test("wordNgrams builds sliding windows; short docs yield empty") {
+    val bi = docs.filter($"doc_id" === 1).select(TextFns.wordNgrams($"text", 2)).as[Seq[String]].head()
+    assert(bi == Seq("the cat", "cat and", "and the", "the hat"))
+    val tri = Seq((1L, "only two")).toDF("doc_id", "text").select(TextFns.wordNgrams($"text", 3)).as[Seq[String]].head()
+    assert(tri.isEmpty)
+  }
+
+  test("charRatio and stopwordRatio") {
+    val r = docs
+      .filter($"doc_id" === 3)
+      .select(round(TextFns.charRatio($"text", "0-9"), 4), round(TextFns.stopwordRatio($"text"), 4))
+      .as[(Double, Double)]
+      .head()
+    assert(r._1 == 0.375) // 3 digits / 8 chars
+    assert(r._2 == 0.0)
+  }
+
+  test("rollingHashes: same window -> same hash, deterministic across runs") {
+    val h1 = docs.select(TextFns.rollingHashes($"text", 3)).as[Seq[Int]].collect()
+    val h2 = docs.select(TextFns.rollingHashes($"text", 3)).as[Seq[Int]].collect()
+    assert(h1.toSeq == h2.toSeq)
+    assert(h1.head.length == 3) // 5 tokens, window 3
+  }
+}
