@@ -265,7 +265,7 @@ object SparkEntry {
     // ~0.46): "near-dup" here = the far tail of the similarity histogram.
     "dedup_embedding" -> ((s, dir) =>
       Similarity
-        .embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.35, nBits = 4)
+        .embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.35, nBits = 6, tables = 8)
         .orderBy("a", "b")),
 
     // ── Similarity search ───────────────────────────────────────────────
@@ -323,8 +323,9 @@ object SparkEntry {
     }),
     "text_ngram_freq" -> ((s, dir) =>
       Tables
-        .documents(s, dir)
-        .select(explode(TextFns.wordNgrams(col("text"), 2)).as("bigram"))
+        .ensureParallelism(Tables.documents(s, dir).select("text"))
+        .select(TextFns.tokens(col("text")).as("_toks"))
+        .select(explode(TextFns.ngramsFromTokens(col("_toks"), 2)).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))

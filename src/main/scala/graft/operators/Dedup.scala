@@ -30,44 +30,83 @@ object Dedup {
     df.groupBy(TextFns.fingerprint(text).as("fp"))
       .agg(count(lit(1)).as("n_dups"), min(id).as("keep_id"))
 
-  /** Exact n-gram (token shingle) Jaccard pairs above `threshold`, with
-    * length-bucket blocking: documents whose token counts land in the same
-    * `lenBucket`-wide bucket are compared (near-dups have near-equal
-    * length; docs straddling a boundary are also compared via the +1
-    * bucket). Quadratic work is confined to a bucket — never a full cross
-    * join. For web-scale recall guarantees prefer [[MinHashLSH]]; this is
-    * the exact-verification variant.
+  /** Compiled exact-Jaccard over two string sets (hash-set intersection) —
+    * interpreted array_intersect/array_union measured ~5x slower on the
+    * candidate-verification hot path.
+    */
+  val jaccardUdf = udf((a: Seq[String], b: Seq[String]) => {
+    val sa = a.toSet
+    var inter = 0
+    b.foreach(x => if (sa.contains(x)) inter += 1)
+    val union = sa.size + b.toSet.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  })
+
+  /** Exact n-gram (token shingle) Jaccard pairs above `threshold`, via
+    * frequency-ordered prefix filtering (the PPJoin family, Xiao et al.
+    * WWW'08):
+    *
+    * Order every doc's shingles by ascending corpus document-frequency;
+    * two sets with Jaccard >= t MUST share at least one shingle within each
+    * other's first `floor((1-t)*|sh|) + 1` shingles, and because those
+    * prefixes now hold the RAREST shingles, the equi-join on prefix
+    * shingles generates few collisions (canonical-hash ordering measured
+    * 577k candidates for 256 true pairs on a shared-vocab corpus;
+    * df-ordering cuts that by orders of magnitude). A size-ratio filter
+    * (t*|b| <= |a| <= |b|/t) prunes before the exact verify; the verify
+    * joins full shingle arrays back by id so the candidate distinct()
+    * shuffles only (a, b) id pairs.
+    *
+    * Shuffles: one per groupBy/join on small keys — document-frequency
+    * count, prefix ranking window (partitioned by doc id), prefix-key join,
+    * and the verify joins. No cross join, no within-bucket quadratic.
     */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.4,
-      lenBucket: Int = 8
+      threshold: Double = 0.4
   ): DataFrame = {
-    val base = df.select(
-      col(idCol).as("id"),
-      array_distinct(TextFns.wordNgrams(col(textCol), n)).as("sh"),
-      floor(TextFns.tokenCount(col(textCol)) / lenBucket).cast("long").as("bucket")
-    )
-    // Each doc lands in its bucket and the next one, so boundary-straddling
-    // pairs still collide exactly once via the lower bucket.
-    val blocked = base.select(col("id"), col("sh"), explode(array(col("bucket"), col("bucket") + 1)).as("blk"))
-    val l = blocked.as("l")
-    val r = blocked.as("r")
-    l.join(r, col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"), col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
-      .distinct()
-      .select(
-        col("a"),
-        col("b"),
-        round(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))),
-          4
-        ).as("jaccard")
+    // Persisted: referenced by the prefix path and both verify sides; at
+    // scale this is the standard "materialize the shingle table once"
+    // step of a dedup job (spills to disk if it outgrows memory).
+    val base = graft.Tables
+      .ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("_text")))
+      .select(col("id"), TextFns.tokens(col("_text")).as("_toks"))
+      .select(col("id"), array_distinct(TextFns.ngramsFromTokens(col("_toks"), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"), size(col("sh")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val exploded = base.select(col("id"), col("sz"), explode(col("sh")).as("p"))
+    val docFreq = exploded.groupBy(col("p")).agg(count(lit(1)).as("_df"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("_df").asc, col("p").asc)
+    val prefix = exploded
+      .join(docFreq, "p")
+      .withColumn("_rk", row_number().over(rankW))
+      .filter(col("_rk") <= floor(col("sz") * (1 - threshold)) + 1)
+      .select(col("id"), col("sz"), col("p"))
+
+    val l = prefix.as("l")
+    val r = prefix.as("r")
+    val cands = l
+      .join(
+        r,
+        col("l.p") === col("r.p") && col("l.id") < col("r.id") &&
+          col("l.sz") >= col("r.sz") * threshold && col("r.sz") >= col("l.sz") * threshold
       )
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+
+    val sa = base.select(col("id").as("a"), col("sh").as("sh_a"))
+    val sb = base.select(col("id").as("b"), col("sh").as("sh_b"))
+    cands
+      .join(sa, "a")
+      .join(sb, "b")
+      .select(col("a"), col("b"), round(jaccardUdf(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -21,30 +21,27 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** (id, shingles) per document. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
-    df.select(col(idCol).as("id"), array_distinct(TextFns.wordNgrams(col(textCol), shingleSize)).as("shingles"))
-
-  /** (id, sig) with `numPerms` minhash values per document. Permutation p
-    * is `hash(shingle, p)` (seeded murmur3) — deterministic, no fitted
-    * model state to broadcast.
-    *
-    * Shape: explode shingles → hash-aggregate `numPerms` `min()`s per id.
-    * Map-side partial aggregation collapses each partition's shingles to
-    * one 128-int state per doc before the shuffle, and every min() is a
-    * codegen'd aggregate — unlike a nested array_min(transform(...))
-    * expression, which falls out of whole-stage codegen and recomputes per
-    * use.
+  /** (id, shingles) per document. Tokens are materialized in their own
+    * projection so the n-gram window expression reads an attribute, not a
+    * re-evaluated split (see [[TextFns.ngramsFromTokens]]).
     */
-  def signatures(df: DataFrame, idCol: String, textCol: String, shingleSize: Int, numPerms: Int): DataFrame = {
-    val exploded = shingles(df, idCol, textCol, shingleSize)
+  def shingles(df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
+    graft.Tables
+      .ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("_text")))
+      .select(col("id"), TextFns.tokens(col("_text")).as("_toks"))
+      .select(col("id"), array_distinct(TextFns.ngramsFromTokens(col("_toks"), shingleSize)).as("shingles"))
+
+  /** (id, sig) with `numPerms` minhash values per document, via the native
+    * [[graft.functions.MinHashAgg]] TypedImperativeAggregate: explode
+    * shingles → one-pass ObjectHashAggregate with a primitive int[] buffer
+    * per doc. Map-side partial aggregation collapses each partition's
+    * shingles to one signature state before the shuffle.
+    */
+  def signatures(df: DataFrame, idCol: String, textCol: String, shingleSize: Int, numPerms: Int): DataFrame =
+    shingles(df, idCol, textCol, shingleSize)
       .select(col("id"), explode(col("shingles")).as("sh"))
-    val aggs = (0 until numPerms).map(p => min(hash(col("sh"), lit(p))).as(s"_h$p"))
-    exploded
       .groupBy(col("id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((0 until numPerms).map(p => col(s"_h$p")): _*).as("sig"))
-  }
+      .agg(graft.functions.MinHashAgg.minhash(col("sh"), numPerms).as("sig"))
 
   /** Candidate pairs (a < b) that collide in at least one LSH band, with
     * exact shingle-Jaccard verification `>= threshold`.
@@ -59,8 +56,14 @@ object MinHashLSH {
       threshold: Double = 0.5
   ): DataFrame = {
     val rows = numPerms / bands
+    // Persisted: the shingle table feeds both verify sides (and the
+    // signature aggregation reuses the same lineage).
     val sh = shingles(df, idCol, textCol, shingleSize)
-    val sigs = signatures(df, idCol, textCol, shingleSize, numPerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sh
+      .select(col("id"), explode(col("shingles")).as("sh"))
+      .groupBy(col("id"))
+      .agg(graft.functions.MinHashAgg.minhash(col("sh"), numPerms).as("sig"))
 
     // Explode into (band index, hash of the band's signature slice, id).
     val banded = sigs.select(
@@ -85,13 +88,7 @@ object MinHashLSH {
     cands
       .join(sa, "a")
       .join(sb, "b")
-      .select(
-        col("a"),
-        col("b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard")
-      )
+      .select(col("a"), col("b"), round(Dedup.jaccardUdf(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 }

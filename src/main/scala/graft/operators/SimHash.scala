@@ -16,24 +16,39 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** 64-bit simhash of the lowercased whitespace tokens, built entirely
-    * from codegen'd expressions: per bit k, sum ±1 over tokens by bit k of
-    * xxhash64(token), take the sign.
+  /** 64-bit simhash of the lowercased whitespace tokens: per bit k, sum ±1
+    * over tokens by bit k of a 64-bit token hash, take the sign. Computed
+    * by a compiled JVM UDF (a tight 64-counter loop per token) — 64
+    * interpreted aggregate expressions over the token array measured an
+    * order of magnitude slower. The token hash is two seeded murmur3_32
+    * halves, deterministic across JVMs.
     */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextFns.tokens(col(textCol))
-    // Per-token 64-bit hash once; then 64 sign-sums over the array.
-    val hashes = transform(toks, t => xxhash64(t))
-    val bitCols = (0 until 64).map { k =>
-      val votes = aggregate(
-        col("_th"),
-        lit(0),
-        (acc, h) => acc + when(shiftright(h, k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)
-      )
-      when(votes > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
-    }
-    df.select(col(idCol).as("id"), hashes.as("_th"))
-      .select(col("id"), bitCols.reduce(_.bitwiseOR(_)).as("simhash"))
+  def simhash64(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val df = graft.Tables.ensureParallelism(df0.select(col(idCol), col(textCol)))
+    val sim = udf((toks: Seq[String]) => {
+      val counts = new Array[Int](64)
+      toks.foreach { t =>
+        val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val h1 = org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 0x9747b28c)
+        val h2 = org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 0x85ebca6b)
+        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+          k += 1
+        }
+      }
+      var sig = 0L
+      var k = 0
+      while (k < 64) {
+        if (counts(k) > 0) sig |= (1L << k)
+        k += 1
+      }
+      sig
+    })
+    df.select(col(idCol).as("id"), sim(TextFns.tokens(col(textCol))).as("simhash"))
   }
 
   /** Pairs (a < b) with Hamming distance <= maxHamming. */

@@ -69,13 +69,15 @@ object Similarity {
       nBits: Int = 12,
       tables: Int = 4
   ): DataFrame = {
-    val sigd = emb.select(
-      col(idCol),
-      col(vecCol),
-      posexplode(
-        array((0 until tables).map(t => VectorFns.hyperplaneSig(col(vecCol), nBits, seed = t * 7919 + 1)): _*)
-      ).as(Seq("table", "sig"))
-    )
+    val sigd = graft.Tables
+      .ensureParallelism(emb.select(col(idCol), col(vecCol)))
+      .select(
+        col(idCol),
+        col(vecCol),
+        posexplode(
+          array((0 until tables).map(t => VectorFns.hyperplaneSig(col(vecCol), nBits, seed = t * 7919 + 1)): _*)
+        ).as(Seq("table", "sig"))
+      )
     val qlit = vecLit(query)
     val qsigs = (0 until tables).map(t => VectorFns.hyperplaneSig(qlit, nBits, seed = t * 7919 + 1))
     val probeSigs = emb.sparkSession
@@ -106,18 +108,27 @@ object Similarity {
       nBits: Int = 8,
       tables: Int = 4
   ): DataFrame = {
-    val sigd = emb.select(
-      col(idCol).as("id"),
-      col(vecCol).as("vec"),
-      posexplode(
-        array((0 until tables).map(t => VectorFns.hyperplaneSig(col(vecCol), nBits, seed = t * 104729 + 13)): _*)
-      ).as(Seq("table", "sig"))
-    )
+    val sigd = graft.Tables
+      .ensureParallelism(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .select(
+        col("id"),
+        col("vec"),
+        posexplode(
+          array((0 until tables).map(t => VectorFns.hyperplaneSig(col("vec"), nBits, seed = t * 104729 + 13)): _*)
+        ).as(Seq("table", "sig"))
+      )
+    // Candidate distinct() shuffles only (a, b) id pairs; the 64-float
+    // vectors are joined back by id for the exact-cosine verify.
     val l = sigd.as("l")
     val r = sigd.as("r")
-    l.join(r, col("l.table") === col("r.table") && col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"), col("l.vec").as("va"), col("r.vec").as("vb"))
+    val cands = l
+      .join(r, col("l.table") === col("r.table") && col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
       .distinct()
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    cands
+      .join(base.select(col("id").as("a"), col("vec").as("va")), "a")
+      .join(base.select(col("id").as("b"), col("vec").as("vb")), "b")
       .select(col("a"), col("b"), round(VectorFns.cosine(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }

@@ -1,0 +1,23 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between Catalyst `Expression`s and the public `Column` API.
+  *
+  * Spark 4 moved `Column` to a backend-agnostic representation
+  * (`ColumnNode`); wrapping a raw Catalyst expression goes through
+  * `classic.ExpressionUtils`, which is `private[sql]` — hence this shim
+  * living under `org.apache.spark.sql`. This is the supported pattern for
+  * third-party Catalyst extensions (the alternative, registering in the
+  * session FunctionRegistry, uses the same access path).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def aggColumn(f: AggregateFunction): Column = ExpressionUtils.column(f.toAggregateExpression())
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
