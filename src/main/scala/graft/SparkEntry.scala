@@ -169,6 +169,75 @@ object SparkEntry {
       SearchDsl.multiIndex(Seq(li, o)).orderBy("idx")
     }),
 
+    "search_match_phrase" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .filter(SearchDsl.matchPhrase(col("text"), "the fast"))
+        .select("doc_id")
+        .orderBy("doc_id")),
+    "search_prefix" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .filter(SearchDsl.prefixQuery(col("text"), "str"))
+        .select("doc_id")
+        .orderBy("doc_id")),
+    "search_min_should_match" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .filter(
+          SearchDsl.minimumShouldMatch(
+            Seq(col("o_orderstatus") === "O", col("o_orderpriority") === "1-URGENT", col("o_totalprice") > 200000),
+            2
+          )
+        )
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")),
+    "search_json_field" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .select(col("event_type"), SearchDsl.jsonField(col("props"), "k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg("k"), 6).as("avg_k"))
+        .orderBy("event_type")),
+    "search_histogram_agg" -> ((s, dir) =>
+      Aggs.histogram(Tables.orders(s, dir), col("o_totalprice"), 50000.0)),
+    "search_range_agg" -> ((s, dir) =>
+      Aggs.rangeAgg(
+        Tables.events(s, dir),
+        col("value"),
+        Seq(("a_low", None, Some(50.0)), ("b_mid", Some(50.0), Some(150.0)), ("c_high", Some(150.0), None))
+      )),
+    "search_top_hits" -> ((s, dir) =>
+      Aggs
+        .topHits(
+          Tables.orders(s, dir).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          col("o_orderpriority"),
+          3,
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+        )
+        .orderBy("o_orderpriority", "rank")),
+    "search_significant_terms" -> ((s, dir) =>
+      Aggs.significantTerms(Tables.events(s, dir), col("event_type"), col("value") > 150)),
+    "search_composite_after" -> ((s, dir) =>
+      Aggs.compositePage(
+        Tables.orders(s, dir),
+        Seq(col("o_orderpriority"), col("o_orderstatus")),
+        after = Some(Seq("2-HIGH", "F")),
+        size = 5
+      )),
+    "search_scripted_field" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          SearchDsl
+            .scriptedField(
+              round(col("o_totalprice") * when(col("o_orderpriority") === "1-URGENT", 1.1).otherwise(1.0), 4)
+            )
+            .as("charge")
+        )
+        .orderBy("o_orderkey")),
+
     // ── Analytics / joins ───────────────────────────────────────────────
     "q1_pricing_summary" -> ((s, dir) =>
       Tables
@@ -428,6 +497,57 @@ object SparkEntry {
         |  SELECT 'lineitem' AS idx, count(*) AS n, round(sum(l_extendedprice), 2) AS amount FROM lineitem
         |  UNION ALL SELECT 'orders', count(*), round(sum(o_totalprice), 2) FROM orders) t
         |ORDER BY idx""".stripMargin,
+    "search_match_phrase" ->
+      """SELECT doc_id FROM documents
+        |WHERE contains(' ' || lower(text) || ' ', ' the fast ') ORDER BY doc_id""".stripMargin,
+    "search_prefix" ->
+      """SELECT doc_id FROM documents
+        |WHERE len(list_filter(string_split(lower(text), ' '), t -> t LIKE 'str%')) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_min_should_match" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |WHERE (CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END
+        |     + CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+        |     + CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) >= 2
+        |ORDER BY o_orderkey""".stripMargin,
+    "search_json_field" ->
+      """SELECT event_type, count(*) AS n, round(avg(CAST(props->>'k' AS INTEGER)), 6) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "search_histogram_agg" ->
+      """SELECT floor(o_totalprice / 50000) * 50000 AS bucket, count(*) AS doc_count
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "search_range_agg" ->
+      """SELECT bucket, count(*) AS doc_count FROM (
+        |  SELECT CASE WHEN value < 50 THEN 'a_low'
+        |              WHEN value >= 50 AND value < 150 THEN 'b_mid'
+        |              WHEN value >= 150 THEN 'c_high' END AS bucket
+        |  FROM events) t
+        |WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "search_top_hits" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+        |  FROM orders) t
+        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+    "search_significant_terms" ->
+      """SELECT term, fg_count, bg_count,
+        |       round(CAST(fg_count AS DOUBLE) / fg_total - CAST(bg_count AS DOUBLE) / bg_total, 6) AS score
+        |FROM (SELECT event_type AS term,
+        |             count(*) FILTER (WHERE value > 150) AS fg_count,
+        |             count(*) AS bg_count
+        |      FROM events GROUP BY 1) a
+        |CROSS JOIN (SELECT count(*) FILTER (WHERE value > 150) AS fg_total, count(*) AS bg_total FROM events) b
+        |ORDER BY score DESC, term""".stripMargin,
+    "search_composite_after" ->
+      """SELECT o_orderpriority AS k0, o_orderstatus AS k1, count(*) AS doc_count
+        |FROM orders GROUP BY 1, 2
+        |HAVING o_orderpriority > '2-HIGH' OR (o_orderpriority = '2-HIGH' AND o_orderstatus > 'F')
+        |ORDER BY k0, k1 LIMIT 5""".stripMargin,
+    "search_scripted_field" ->
+      """SELECT o_orderkey,
+        |       round(o_totalprice * CASE WHEN o_orderpriority = '1-URGENT' THEN 1.1 ELSE 1.0 END, 4) AS charge
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

@@ -86,4 +86,91 @@ object Aggs {
     */
   def topN(df: DataFrame, n: Int, ordering: Seq[Column]): DataFrame =
     df.orderBy(ordering: _*).limit(n)
+
+  /** `histogram` aggregation: fixed-width numeric buckets. */
+  def histogram(df: DataFrame, field: Column, width: Double): DataFrame =
+    df.groupBy((floor(field / width) * width).as("bucket"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy("bucket")
+
+  /** `range` aggregation: explicit [from, to) buckets keyed by label. */
+  def rangeAgg(df: DataFrame, field: Column, ranges: Seq[(String, Option[Double], Option[Double])]): DataFrame = {
+    val bucket = ranges.foldLeft(when(lit(false), "")) { case (acc, (label, from, to)) =>
+      val cond = Seq(from.map(field >= _), to.map(field < _)).flatten.reduceOption(_ && _).getOrElse(lit(true))
+      acc.when(cond, label)
+    }
+    df.select(bucket.as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy("bucket")
+  }
+
+  /** `top_hits` sub-aggregation: the top `k` documents per bucket by
+    * `ordering` — a window rank bounded per group (per-group heap state,
+    * never a global sort of the fact table).
+    */
+  def topHits(df: DataFrame, bucket: Column, k: Int, ordering: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(bucket).orderBy(ordering: _*)
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** `significant_terms`: terms whose foreground frequency exceeds their
+    * background frequency (simple percentage-difference scoring, the same
+    * shape as OpenSearch's JLH/percentage heuristics). One pass per side +
+    * a broadcast of the two scalar totals.
+    */
+  def significantTerms(df: DataFrame, term: Column, foreground: Column): DataFrame = {
+    val agg = df
+      .groupBy(term.as("term"))
+      .agg(
+        sum(when(foreground, 1L).otherwise(0L)).as("fg_count"),
+        count(lit(1)).as("bg_count")
+      )
+    val totals = agg.agg(sum("fg_count").as("fg_total"), sum("bg_count").as("bg_total"))
+    agg
+      .crossJoin(broadcast(totals))
+      .select(
+        col("term"),
+        col("fg_count"),
+        col("bg_count"),
+        round(
+          col("fg_count").cast("double") / col("fg_total") - col("bg_count").cast("double") / col("bg_total"),
+          6
+        ).as("score")
+      )
+      .orderBy(col("score").desc, col("term"))
+  }
+
+  /** `composite` aggregation page: multi-key buckets in key order, resuming
+    * strictly after the `after` cursor — the scalable "paginate all
+    * buckets" pattern (each page is one bounded aggregation, no global
+    * materialization of the bucket space).
+    */
+  def compositePage(
+      df: DataFrame,
+      keys: Seq[Column],
+      after: Option[Seq[String]],
+      size: Int
+  ): DataFrame = {
+    val named = keys.zipWithIndex.map { case (k, i) => k.as(s"k$i") }
+    val grouped = df
+      .groupBy(named: _*)
+      .agg(count(lit(1)).as("doc_count"))
+    val paged = after match {
+      case Some(cursor) =>
+        // lexicographic strictly-greater on the key tuple
+        val cmp = cursor.zipWithIndex
+          .map { case (v, i) =>
+            val eqPrefix = (0 until i)
+              .map(j => col(s"k$j") === lit(cursor(j)))
+              .foldLeft(lit(true))(_ && _)
+            eqPrefix && col(s"k$i") > lit(v)
+          }
+          .reduce(_ || _)
+        grouped.filter(cmp)
+      case None => grouped
+    }
+    paged.orderBy(keys.indices.map(i => col(s"k$i")): _*).limit(size)
+  }
 }

@@ -59,4 +59,30 @@ object SearchDsl {
     * were projected to a common (idx, doc) shape by the caller.
     */
   def multiIndex(frames: Seq[DataFrame]): DataFrame = frames.reduce(_ unionByName _)
+
+  /** `match_phrase`: the analyzed terms occur adjacently in order.
+    * Token-boundary containment on the space-joined token stream.
+    */
+  def matchPhrase(text: Column, phrase: String): Column =
+    concat(lit(" "), lower(text), lit(" ")).contains(" " + phrase.toLowerCase + " ")
+
+  /** `prefix` query over analyzed tokens: some token starts with `p`. */
+  def prefixQuery(text: Column, p: String): Column =
+    exists(analyze(text), t => t.startsWith(p.toLowerCase))
+
+  /** `bool.should` with `minimum_should_match`. */
+  def minimumShouldMatch(should: Seq[Column], minimum: Int): Column =
+    shouldScore(should) >= minimum
+
+  /** Runtime ("scripted") field: OpenSearch computes these per query from a
+    * painless script; in Spark it is just a Column expression, codegen'd
+    * into the scan.
+    */
+  def scriptedField(expr: Column): Column = expr
+
+  /** Object/nested field access on a JSON document column (the Debezium
+    * payloads and OpenSearch documents are JSON objects; `props.k` becomes
+    * a JSON-path extraction that stays inside the scan projection).
+    */
+  def jsonField(doc: Column, path: String): Column = get_json_object(doc, "$." + path)
 }

@@ -59,6 +59,57 @@ class SearchSpec extends SparkSpec {
     assert(q.select("id").as[Long].collect().toSeq == Seq(4L, 2L))
   }
 
+  test("matchPhrase requires adjacency, prefixQuery matches token starts") {
+    assert(docs.filter(SearchDsl.matchPhrase($"text", "quick brown")).count() == 1)
+    assert(docs.filter(SearchDsl.matchPhrase($"text", "brown quick")).count() == 0)
+    assert(docs.filter(SearchDsl.prefixQuery($"text", "sle")).count() == 1)
+  }
+
+  test("histogram buckets by fixed width") {
+    val out = Aggs.histogram(docs, $"amount", 100.0).as[(Double, Long)].collect()
+    assert(out.toSeq == Seq((0.0, 2L), (100.0, 1L), (200.0, 1L)))
+  }
+
+  test("rangeAgg labels [from, to) buckets") {
+    val out = Aggs
+      .rangeAgg(docs, $"amount", Seq(("lo", None, Some(100.0)), ("hi", Some(100.0), None)))
+      .as[(String, Long)]
+      .collect()
+    assert(out.toSeq == Seq(("hi", 2L), ("lo", 2L)))
+  }
+
+  test("topHits bounds ranks per bucket") {
+    val out = Aggs
+      .topHits(docs, $"status", 1, Seq($"amount".desc))
+      .select("id", "rank")
+      .as[(Long, Int)]
+      .collect()
+      .toSet
+    assert(out == Set((2L, 1), (3L, 1), (4L, 1))) // max-amount doc per status
+  }
+
+  test("significantTerms scores foreground lift") {
+    val out = Aggs
+      .significantTerms(docs, $"status", $"amount" > 100)
+      .select("term", "fg_count", "bg_count")
+      .as[(String, Long, Long)]
+      .collect()
+    // foreground docs: id2 (ACTIVE), id4 (INACTIVE)
+    assert(out.find(_._1 == "INACTIVE").get._2 == 1L)
+    assert(out.find(_._1 == "BLOCKED").get._2 == 0L)
+  }
+
+  test("compositePage resumes strictly after the cursor") {
+    val out = Aggs
+      .compositePage(docs, Seq($"status", $"text"), after = Some(Seq("ACTIVE", "lazy dog sleeps")), size = 10)
+      .select("k0")
+      .as[String]
+      .collect()
+    // "the quick brown fox" (ACTIVE) sorts after the cursor text, so one
+    // ACTIVE bucket remains on this page.
+    assert(out.toSeq == Seq("ACTIVE", "BLOCKED", "INACTIVE"))
+  }
+
   test("predicates push down to the parquet scan") {
     val q = Tables.lineitem(spark, Sf).filter($"l_quantity" > 10).select("l_orderkey", "l_quantity")
     val scan = q.queryExecution.executedPlan.toString
