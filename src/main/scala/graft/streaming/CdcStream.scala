@@ -19,10 +19,10 @@ object CdcStream {
   /** Debezium-style envelope (reference consumer.py:55-70: `op`,
     * `before`/`after` payloads, source ts for ordering).
     */
-  case class Envelope(key: Long, seq: Long, op: String, payload: String)
+  case class Envelope(key: String, seq: Long, op: String, payload: String)
 
   /** Output changelog row: current state or tombstone. */
-  case class StateChange(key: Long, op: String, payload: String, seq: Long)
+  case class StateChange(key: String, op: String, payload: String, seq: Long)
 
   // Must be public: the state-store encoder's generated code references the
   // class directly and Janino rejects members of a non-public class.
@@ -39,7 +39,7 @@ object CdcStream {
     envelopes
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, it: Iterator[Envelope], state: GroupState[KeyState]) =>
+        (key: String, it: Iterator[Envelope], state: GroupState[KeyState]) =>
           val sorted = it.toSeq.sortBy(e => (e.seq))
           var cur = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[StateChange]

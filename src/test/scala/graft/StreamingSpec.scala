@@ -20,17 +20,17 @@ class StreamingSpec extends SparkSpec {
       .outputMode(OutputMode.Append)
       .start()
     try {
-      input.addData(Envelope(1L, 1L, "c", "v1"), Envelope(1L, 2L, "u", "v2"), Envelope(2L, 1L, "c", "w1"))
+      input.addData(Envelope("1", 1L, "c", "v1"), Envelope("1", 2L, "u", "v2"), Envelope("2", 1L, "c", "w1"))
       q.processAllAvailable()
-      input.addData(Envelope(1L, 1L, "u", "stale"), Envelope(2L, 2L, "d", "w1"))
+      input.addData(Envelope("1", 1L, "u", "stale"), Envelope("2", 2L, "d", "w1"))
       q.processAllAvailable()
       val out = spark.table("cdc_out").as[StateChange].collect()
       // batch 1: key1 advances twice, key2 once
-      assert(out.count(_.key == 1L) == 2)
-      assert(out.filter(_.key == 1L).map(_.payload).toSet == Set("v1", "v2"))
+      assert(out.count(_.key == "1") == 2)
+      assert(out.filter(_.key == "1").map(_.payload).toSet == Set("v1", "v2"))
       // batch 2: stale seq=1 for key1 dropped; key2 tombstoned
       assert(!out.map(_.payload).contains("stale"))
-      assert(out.filter(_.key == 2L).map(_.op).toSeq.sorted == Seq("d", "u"))
+      assert(out.filter(_.key == "2").map(_.op).toSeq.sorted == Seq("d", "u"))
     } finally q.stop()
   }
 
