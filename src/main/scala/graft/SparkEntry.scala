@@ -149,6 +149,13 @@ object SparkEntry {
         Tables.lineitem(s, dir),
         Seq("n_parts" -> col("l_partkey"), "n_supps" -> col("l_suppkey"), "n_orders" -> col("l_orderkey"))
       )),
+    // HLL++ sketch variant (what OpenSearch cardinality actually runs):
+    // approximate -> rows-only check, no oracle.
+    "search_cardinality_approx" -> ((s, dir) =>
+      Aggs.approxCardinality(
+        Tables.lineitem(s, dir),
+        Seq("n_parts" -> col("l_partkey"), "n_supps" -> col("l_suppkey"), "n_orders" -> col("l_orderkey"))
+      )),
     "search_percentiles" -> ((s, dir) =>
       Aggs.percentiles(Tables.orders(s, dir), col("o_totalprice"), Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))),
     "search_top_n" -> ((s, dir) =>
@@ -304,6 +311,15 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("ts"), round(sum("value").over(w), 2).as("balance"))
         .orderBy("user_id", "event_id")
     }),
+    // Batch twin of the streaming event-rate dashboard: tumbling windows
+    // via window(), start-aligned to the epoch like Structured Streaming.
+    "agg_event_windows" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(col("w.start").as("win_start"), col("n_events"), col("sum_value"))
+        .orderBy("win_start")),
     "agg_sessionize" -> ((s, dir) => {
       val ordW = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val cumW = ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -581,6 +597,10 @@ object SparkEntry {
         |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS balance
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "agg_event_windows" ->
+      """SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 * 1000000 AS BIGINT)) AS win_start,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY win_start""".stripMargin,
     "agg_sessionize" ->
       """SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
         |FROM (SELECT user_id, ts,

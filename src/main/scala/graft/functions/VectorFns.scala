@@ -60,6 +60,15 @@ object VectorFns {
   /** Squared L2 distance (monotone in L2 — fine for ranking, cheaper). */
   def l2sq(a: Column, b: Column): Column = l2sqUdf(asDouble(a), asDouble(b))
 
+  /** Register the scalar vector kernels for SQL use:
+    * cosine_sim(a, b), dot_product(a, b), l2_sq(a, b).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("cosine_sim", cosineUdf)
+    spark.udf.register("dot_product", dotUdf)
+    spark.udf.register("l2_sq", l2sqUdf)
+  }
+
   /** Random-hyperplane LSH signature: `nBits` sign bits of dot products
     * with deterministic pseudo-random planes, packed into a long. Plane
     * component d of plane p derives from chained murmur3_32 of

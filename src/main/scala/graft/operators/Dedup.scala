@@ -34,6 +34,10 @@ object Dedup {
     * interpreted array_intersect/array_union measured ~5x slower on the
     * candidate-verification hot path.
     */
+  /** Register dedup kernels for SQL use: jaccard_sim(a, b). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.udf.register("jaccard_sim", jaccardUdf)
+
   val jaccardUdf = udf((a: Seq[String], b: Seq[String]) => {
     val sa = a.toSet
     var inter = 0

@@ -21,3 +21,18 @@ object ColumnBridge {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Installs graft's native Catalyst functions into an existing session's
+  * function registry (the runtime twin of the `spark.sql.extensions`
+  * path, which only applies at session construction).
+  */
+object FunctionInstaller {
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "minhash_agg",
+      exprs => graft.GraftFunctions.buildMinhashAgg(exprs),
+      "scala_udf"
+    )
+  }
+}

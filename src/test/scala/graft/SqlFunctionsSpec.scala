@@ -1,0 +1,45 @@
+package graft
+
+class SqlFunctionsSpec extends SparkSpec {
+
+  test("registerAll exposes native aggregate and kernels to SQL") {
+    GraftFunctions.registerAll(spark)
+    val sig = spark
+      .sql("SELECT minhash_agg(s, 8) AS sig FROM VALUES ('aa'), ('bb'), ('cc') AS t(s)")
+      .head()
+      .getSeq[Int](0)
+    assert(sig.length == 8)
+    // deterministic
+    val sig2 = spark
+      .sql("SELECT minhash_agg(s, 8) AS sig FROM VALUES ('aa'), ('bb'), ('cc') AS t(s)")
+      .head()
+      .getSeq[Int](0)
+    assert(sig == sig2)
+
+    val cos = spark
+      .sql("SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .head()
+      .getDouble(0)
+    assert(cos == 1.0)
+
+    val jac = spark
+      .sql("SELECT jaccard_sim(array('a','b'), array('b','c')) AS j")
+      .head()
+      .getDouble(0)
+    assert(math.abs(jac - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("minhash_agg signature sketches set overlap") {
+    GraftFunctions.registerAll(spark)
+    val df = spark.sql(
+      """SELECT id, minhash_agg(s, 64) AS sig FROM VALUES
+        | (1, 'x'), (1, 'y'), (1, 'z'),
+        | (2, 'x'), (2, 'y'), (2, 'z'),
+        | (3, 'p'), (3, 'q'), (3, 'r')
+        |AS t(id, s) GROUP BY id""".stripMargin
+    )
+    val sigs = df.collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    assert(sigs(1) == sigs(2)) // identical sets -> identical signatures
+    assert(sigs(1) != sigs(3))
+  }
+}
