@@ -374,6 +374,12 @@ object SparkEntry {
       Similarity
         .lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nBits = 4, tables = 8)),
 
+    // IVF ANN: coarse-quantizer cells + nProbe nearest cells scanned.
+    // Approximate -> rows-only.
+    "ann_ivf_topk" -> ((s, dir) =>
+      Similarity
+        .ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nLists = 16, nProbe = 6)),
+
     // ── Text analysis ───────────────────────────────────────────────────
     "text_token_count" -> ((s, dir) =>
       Tables

@@ -95,6 +95,70 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions vectors into
+    * `nLists` cells; queries scan only the `nProbe` nearest cells.
+    *
+    * The centroids are a deterministic sample of the corpus (rows whose
+    * id-hash lands in [0, nLists)) — at 100 TB you'd k-means them, but the
+    * index structure and query path are identical: one broadcast of
+    * `nLists` centroids, one scan to assign cells (this is the "build"),
+    * then per-query a scan restricted to the probed cells. Cell
+    * assignments would be persisted/bucketed in a real deployment so the
+    * build cost amortizes across queries.
+    */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, nLists: Int): (DataFrame, DataFrame) = {
+    // Deterministic pseudo-random sample: the nLists rows with the
+    // smallest id-hash (a single TakeOrdered pass, no count, no RNG state).
+    val centroids = emb
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+      .orderBy(pmod(hash(col("centroid_id")), lit(1 << 30)).asc, col("centroid_id"))
+      .limit(nLists)
+    val assigned = graft.Tables
+      .ensureParallelism(emb.select(col(idCol), col(vecCol)))
+      .join(broadcast(centroids))
+      .select(
+        col(idCol),
+        col(vecCol),
+        col("centroid_id"),
+        VectorFns.l2sq(col(vecCol), col("centroid_vec")).as("_d")
+      )
+      .withColumn(
+        "_rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)).orderBy(col("_d").asc, col("centroid_id"))
+        )
+      )
+      .filter(col("_rk") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id").as("cell"))
+    (centroids, assigned)
+  }
+
+  /** Top-k via IVF: rank cells by centroid distance to the query, scan the
+    * nearest `nProbe` cells, exact cosine within them.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val (centroids, assigned) = ivfIndex(emb, idCol, vecCol, nLists)
+    val qlit = vecLit(query)
+    val probed = centroids
+      .select(col("centroid_id"), VectorFns.l2sq(col("centroid_vec"), qlit).as("_d"))
+      .orderBy(col("_d").asc, col("centroid_id"))
+      .limit(nProbe)
+      .select(col("centroid_id").as("cell"))
+    assigned
+      .join(broadcast(probed), "cell")
+      .select(col(idCol), round(VectorFns.cosine(col(vecCol), qlit), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket by one hyperplane
     * signature, pair within buckets (a < b), verify exact cosine >=
     * threshold. Same banding shape as MinHash — quadratic work confined to

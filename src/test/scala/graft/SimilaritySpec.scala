@@ -74,6 +74,40 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("IVF topk recall matches brute force on the real corpus") {
+    val emb = Tables.embeddings(spark, Sf)
+    val q = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity
+      .ivfTopK(emb, "vec_id", "embedding", q, 10, nLists = 16, nProbe = 8)
+      .select("vec_id")
+      .as[Long]
+      .collect()
+    assert(ivf.length == 10)
+    val recall = bf.intersect(ivf.toSet).size.toDouble / bf.size
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
+  test("saltedJoin equals plain join, spreading hot keys") {
+    import graft.operators.Skew
+    val fact = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d")).toDF("k", "v")
+    val dim = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "w")
+    val salted = Skew.saltedJoin(fact, dim, "k", factor = 4).select("k", "v", "w")
+    val plain = fact.join(dim, "k").select("k", "v", "w")
+    assert(salted.collect().map(_.toString).sorted.toSeq == plain.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("saltedAgg computes exact distinct counts per key") {
+    import graft.operators.Skew
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    val out = Skew
+      .saltedAgg(df, $"k", 4, c => countDistinct(c), c => sum(c), $"v")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("brute-force plan broadcasts probes — no shuffle of the candidate side") {
     val plan = Similarity
       .knnJoin(vecs.limit(1), vecs, "vec_id", "embedding", 2)
