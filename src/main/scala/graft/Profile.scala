@@ -31,19 +31,26 @@ object Profile {
     if (section == "all" || section == "ngram") {
       val docs = Tables.documents(spark, sfDir)
       import graft.functions.TextFns
+      val threshold = 0.4
       val base = Tables
         .ensureParallelism(docs.select(col("doc_id").as("id"), col("text").as("_text")))
         .select(col("id"), TextFns.tokens(col("_text")).as("_toks"))
         .select(col("id"), array_distinct(TextFns.ngramsFromTokens(col("_toks"), 3)).as("sh"))
         .filter(size(col("sh")) > 0)
-        .select(col("id"), array_sort(transform(col("sh"), s => struct(hash(s).as("h"), s.as("s")))).as("sorted"))
-        .select(col("id"), transform(col("sorted"), x => x.getField("s")).as("sh"), size(col("sorted")).as("sz"))
+        .select(col("id"), col("sh"), size(col("sh")).as("sz"))
+        .persist()
       time("base")(println("base rows " + base.count()))
-      val prefix = base.select(
-        col("id"),
-        col("sz"),
-        explode(slice(col("sh"), lit(1), (floor(size(col("sh")) * 0.6) + 1).cast("int"))).as("p")
-      )
+      val exploded = base.select(col("id"), col("sz"), explode(col("sh")).as("p"))
+      val docFreq = exploded.groupBy(col("p")).agg(count(lit(1)).as("_df"))
+      val rankW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+        .orderBy(col("_df").asc, col("p").asc)
+      val prefix = exploded
+        .join(docFreq, "p")
+        .withColumn("_rk", row_number().over(rankW))
+        .filter(col("_rk") <= floor(col("sz") * (1 - threshold)) + 1)
+        .select(col("id"), col("sz"), col("p"))
+        .persist()
       time("prefix")(println("prefix rows " + prefix.count()))
       val l = prefix.as("l")
       val r = prefix.as("r")
@@ -51,10 +58,9 @@ object Profile {
         .join(
           r,
           col("l.p") === col("r.p") && col("l.id") < col("r.id") &&
-            col("l.sz") >= col("r.sz") * 0.4 && col("r.sz") >= col("l.sz") * 0.4
+            col("l.sz") >= col("r.sz") * threshold && col("r.sz") >= col("l.sz") * threshold
         )
         .select(col("l.id").as("a"), col("r.id").as("b"))
-      time("cands_raw")(println("raw cands " + cands.count()))
       time("cands_distinct")(println("distinct cands " + cands.distinct().count()))
       time("full_op")(println("pairs " + operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.4).count()))
     }

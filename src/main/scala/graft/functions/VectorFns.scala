@@ -55,7 +55,16 @@ object VectorFns {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = cosineUdf(asDouble(a), asDouble(b))
+  /** Cosine similarity via the native codegen'd [[CosineSim]] expression
+    * (the UDF kernel remains registered for SQL as `cosine_sim`).
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      CosineSim(
+        org.apache.spark.sql.graft.ColumnBridge.expression(asDouble(a)),
+        org.apache.spark.sql.graft.ColumnBridge.expression(asDouble(b))
+      )
+    )
 
   /** Squared L2 distance (monotone in L2 — fine for ranking, cheaper). */
   def l2sq(a: Column, b: Column): Column = l2sqUdf(asDouble(a), asDouble(b))
