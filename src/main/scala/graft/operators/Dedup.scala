@@ -40,9 +40,10 @@ object Dedup {
 
   val jaccardUdf = udf((a: Seq[String], b: Seq[String]) => {
     val sa = a.toSet
+    val sb = b.toSet
     var inter = 0
-    b.foreach(x => if (sa.contains(x)) inter += 1)
-    val union = sa.size + b.toSet.size - inter
+    sb.foreach(x => if (sa.contains(x)) inter += 1)
+    val union = sa.size + sb.size - inter
     if (union == 0) 0.0 else inter.toDouble / union
   })
 

@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source-side of the CDC pipeline: the reference ingests from PostgreSQL
+  * (Debezium snapshot + logical-replication stream, setup.sh:40-90). In
+  * Spark terms:
+  *
+  *  - snapshot  = a partitioned JDBC read (the initial `op=r` load),
+  *  - increment = a watermark-bounded JDBC read (poll-based CDC for stores
+  *    without a changelog),
+  *  - envelopeStream = the streaming changelog transport. The file-based
+  *    form is used in tests and on object storage (Debezium → S3/GCS
+  *    landing zone is a standard deployment); a Kafka transport drops in
+  *    by swapping the reader format when the connector jar ships with the
+  *    cluster.
+  */
+object CdcSource {
+
+  /** Partitioned snapshot read: numPartitions range-splits on
+    * `partitionColumn` so a 100 TB table loads across the cluster instead
+    * of through one JDBC cursor. Bounds are min/max of the split column
+    * (two cheap pushdown queries).
+    */
+  def snapshot(
+      spark: SparkSession,
+      jdbcUrl: String,
+      table: String,
+      partitionColumn: String,
+      numPartitions: Int,
+      props: java.util.Properties = new java.util.Properties()
+  ): DataFrame = {
+    val bounds = spark.read
+      .jdbc(jdbcUrl, s"(SELECT min($partitionColumn) lo, max($partitionColumn) hi FROM $table) b", props)
+      .head()
+    spark.read.jdbc(
+      jdbcUrl,
+      table,
+      partitionColumn,
+      bounds.getAs[Number]("lo").longValue(),
+      bounds.getAs[Number]("hi").longValue(),
+      numPartitions,
+      props
+    )
+  }
+
+  /** Incremental poll: rows with `watermarkCol` strictly beyond the last
+    * high-water mark. The predicate pushes down to the source database.
+    */
+  def incremental(
+      spark: SparkSession,
+      jdbcUrl: String,
+      table: String,
+      watermarkCol: String,
+      lastSeen: java.sql.Timestamp,
+      props: java.util.Properties = new java.util.Properties()
+  ): DataFrame =
+    spark.read
+      .jdbc(jdbcUrl, table, props)
+      .filter(col(watermarkCol) > lit(lastSeen))
+
+  /** Streaming Debezium-envelope transport from a landing directory
+    * (JSON-lines files). Pairs with [[graft.cdc.ChangeEvent.parse]] and
+    * [[graft.cdc.IndexPipeline.runStream]].
+    */
+  def envelopeStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema("value STRING").text(dir)
+}
