@@ -412,6 +412,25 @@ object SparkEntry {
         .select((col("doc_id") +: scoreCols) :+ TextFns.langPredict(col("text")).as("pred_lang"): _*)
         .orderBy("doc_id")
     }),
+    // BPE-ish regex tokenizer: letter runs, digit runs, single punctuation
+    // marks — the pre-tokenization shape byte-pair encoders start from.
+    "text_token_count_regex" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_subtokens")
+        )
+        .orderBy("doc_id")),
+    // Rolling-hash document shingle fingerprints (content-defined
+    // chunking / fuzzy-match keys). Spark murmur3 hashes -> rows-only.
+    "text_rolling_hash" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), TextFns.rollingHashesFromTokens(col("_toks"), 5).as("hashes"))
+        .select(col("doc_id"), size(col("hashes")).as("n_windows"), try_element_at(col("hashes"), lit(1)).as("first_hash"))
+        .orderBy("doc_id")),
     "text_ngram_freq" -> ((s, dir) =>
       Tables
         .ensureParallelism(Tables.documents(s, dir).select("text"))
@@ -663,6 +682,10 @@ object SparkEntry {
         |        CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains(['el','los','que','y'], t))) AS INTEGER) AS s_es
         |      FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+    "text_token_count_regex" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_subtokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_ngram_freq" ->
       """SELECT bigram, count(*) AS n FROM (
         |  SELECT t[i] || ' ' || t[i + 1] AS bigram

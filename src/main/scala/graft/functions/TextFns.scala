@@ -101,8 +101,7 @@ object TextFns {
     * fingerprint): hash each w-token window. Base/mod chosen to fit long
     * arithmetic; deterministic and portable.
     */
-  def rollingHashes(text: Column, window: Int): Column = {
-    val t = tokens(text)
+  def rollingHashesFromTokens(t: Column, window: Int): Column =
     when(size(t) < window, array().cast("array<int>"))
       .otherwise(
         transform(
@@ -110,5 +109,9 @@ object TextFns {
           i => abs(hash((0 until window).map(j => element_at(t, i + j)): _*))
         )
       )
-  }
+
+  /** Convenience form over raw text; for hot paths materialize [[tokens]]
+    * first (see [[ngramsFromTokens]] for why).
+    */
+  def rollingHashes(text: Column, window: Int): Column = rollingHashesFromTokens(tokens(text), window)
 }
