@@ -164,6 +164,38 @@ object SparkEntry {
         10,
         Seq(col("o_orderdate").desc, col("o_orderkey").desc)
       )),
+    // BM25 relevance — the scoring OpenSearch actually runs for match
+    // queries (k1=1.2, b=0.75).
+    "search_bm25" -> ((s, dir) =>
+      graft.search.Bm25.topK(Tables.documents(s, dir), "doc_id", "text", Seq("spark", "query"), 10)),
+    // Highlighting: snippet around the first occurrence of the match term.
+    "search_highlight" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), locate("spark", col("text")).as("pos"), col("text"))
+        .filter(col("pos") > 0)
+        .select(col("doc_id"), col("pos"), expr("substring(text, greatest(pos - 15, 1), 40)").as("snippet"))
+        .orderBy("doc_id")),
+    // Pipeline aggregations over the date_histogram: cumulative_sum,
+    // derivative, moving_avg (the Kibana time-series toolkit). The window
+    // runs over ~tens of buckets, not the fact table.
+    "search_pipeline_agg" -> ((s, dir) => {
+      val buckets = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      val w = Window.orderBy("bucket")
+      buckets
+        .select(
+          col("bucket"),
+          col("revenue"),
+          round(sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("cum_revenue"),
+          round(col("revenue") - lag("revenue", 1).over(w), 2).as("deriv"),
+          round(avg("revenue").over(w.rowsBetween(-2, Window.currentRow)), 6).as("mov_avg")
+        )
+        .orderBy("bucket")
+    }),
     "search_multi_index" -> ((s, dir) => {
       val li = Tables
         .lineitem(s, dir)
@@ -533,6 +565,32 @@ object SparkEntry {
     "search_top_n" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice, o_orderstatus
         |FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10""".stripMargin,
+    "search_bm25" ->
+      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
+        |                     len(string_split(lower(text), ' ')) AS dl
+        |              FROM documents),
+        |postings AS (SELECT id, dl, t.term, count(*) AS tf
+        |             FROM base, unnest(toks) AS t(term)
+        |             WHERE t.term IN ('spark', 'query') GROUP BY id, dl, t.term),
+        |docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base)
+        |SELECT id, round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |                     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
+        |GROUP BY id ORDER BY score DESC, id LIMIT 10""".stripMargin,
+    "search_highlight" ->
+      """SELECT doc_id, CAST(strpos(text, 'spark') AS INTEGER) AS pos,
+        |       substring(text, greatest(CAST(strpos(text, 'spark') AS INTEGER) - 15, 1), 40) AS snippet
+        |FROM documents WHERE strpos(text, 'spark') > 0 ORDER BY doc_id""".stripMargin,
+    "search_pipeline_agg" ->
+      """SELECT bucket, revenue,
+        |       round(sum(revenue) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue,
+        |       round(revenue - lag(revenue) OVER (ORDER BY bucket), 2) AS deriv,
+        |       round(avg(revenue) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |             round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t
+        |ORDER BY bucket""".stripMargin,
     "search_multi_index" ->
       """SELECT * FROM (
         |  SELECT 'lineitem' AS idx, count(*) AS n, round(sum(l_extendedprice), 2) AS amount FROM lineitem
