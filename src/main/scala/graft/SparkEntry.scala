@@ -164,6 +164,31 @@ object SparkEntry {
         10,
         Seq(col("o_orderdate").desc, col("o_orderkey").desc)
       )),
+    // search_after keyset pagination: the page strictly after a sort-key
+    // cursor — O(page) work per page, unlike from+size deep paging.
+    "search_search_after" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .filter(
+          col("o_orderdate") < lit("2000-06-15 00:00:00").cast("timestamp") ||
+            (col("o_orderdate") === lit("2000-06-15 00:00:00").cast("timestamp") && col("o_orderkey") < 900)
+        )
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(10)),
+    // Threshold alerting (the dashboards' "Alerts" feature): buckets whose
+    // aggregate breaches the trigger condition.
+    "monitor_threshold_alert" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("bucket"))
+        .agg(
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+          count(lit(1)).as("n_total")
+        )
+        .filter(col("n_errors") * 100 > col("n_total") * 21)
+        .select(col("bucket"), col("n_errors"), col("n_total"))
+        .orderBy("bucket")),
     // BM25 relevance — the scoring OpenSearch actually runs for match
     // queries (k1=1.2, b=0.75).
     "search_bm25" -> ((s, dir) =>
@@ -565,6 +590,18 @@ object SparkEntry {
     "search_top_n" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice, o_orderstatus
         |FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10""".stripMargin,
+    "search_search_after" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate < TIMESTAMP '2000-06-15 00:00:00'
+        |   OR (o_orderdate = TIMESTAMP '2000-06-15 00:00:00' AND o_orderkey < 900)
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10""".stripMargin,
+    "monitor_threshold_alert" ->
+      """SELECT bucket, n_errors, n_total FROM (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |         count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+        |         count(*) AS n_total
+        |  FROM events GROUP BY 1) t
+        |WHERE n_errors * 100 > n_total * 21 ORDER BY bucket""".stripMargin,
     "search_bm25" ->
       """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
         |                     len(string_split(lower(text), ' ')) AS dl

@@ -1,0 +1,61 @@
+package graft
+
+import graft.sinks.{IndexFileSink, IndexOps}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class IndexOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshIndex(): String = {
+    val root = Files.createTempDirectory("graft-ops").toString
+    val docs = Seq(
+      (1L, "ACTIVE", 10.0),
+      (2L, "ACTIVE", 150.0),
+      (3L, "BLOCKED", 75.0),
+      (4L, "INACTIVE", 200.0)
+    ).toDF("id", "status", "amount")
+    IndexFileSink.indexBatch(docs, root, "card", "id")
+    root
+  }
+
+  test("deleteByQuery removes matching docs and rewrites the index") {
+    val root = freshIndex()
+    val deleted = IndexOps.deleteByQuery(spark, root, "card", col("status") === "BLOCKED")
+    assert(deleted == 1L)
+    val back = IndexFileSink.readIndex(spark, root, "card")
+    assert(back.count() == 3)
+    assert(back.filter(col("status") === "BLOCKED").count() == 0)
+  }
+
+  test("updateByQuery rewrites matching docs in place") {
+    val root = freshIndex()
+    val matched =
+      IndexOps.updateByQuery(spark, root, "card", col("amount") > 100, Map("status" -> lit("HIGH_VALUE")))
+    assert(matched == 2L)
+    val back = IndexFileSink.readIndex(spark, root, "card")
+    assert(back.filter(col("status") === "HIGH_VALUE").count() == 2)
+    assert(back.filter(col("id") === 1).select("status").as[String].head() == "ACTIVE")
+  }
+
+  test("reindex copies with a transform; catIndices reports counts") {
+    val root = freshIndex()
+    val n = IndexOps.reindex(spark, root, "card", "card_active", _.filter(col("status") === "ACTIVE"))
+    assert(n == 2L)
+    val cat = IndexOps.catIndices(spark, root, Seq("card", "card_active")).as[(String, Long)].collect().toMap
+    assert(cat == Map("card" -> 4L, "card_active" -> 2L))
+  }
+
+  test("PartitionedStore: time filter prunes partitions at the scan") {
+    import graft.sinks.PartitionedStore
+    val path = Files.createTempDirectory("graft-part").toString + "/events"
+    PartitionedStore.writeByTime(Tables.events(spark, Sf), "ts", path, "yyyy-MM-dd")
+    val q = PartitionedStore.read(spark, path).filter(col("p_bucket") === "2024-01-05")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(p_bucket"), plan)
+    assert(q.count() > 0)
+    // partition pruning leaves non-matching day directories unread
+    val all = PartitionedStore.read(spark, path).count()
+    assert(q.count() < all)
+  }
+}
