@@ -41,6 +41,28 @@ object ChangeEvent {
         col("_env.after").as("after")
       )
 
+  /** Split parsed envelopes into (valid, dead-letter): the reference
+    * consumer wraps every message in try/except and keeps going
+    * (consumer.py:100); here malformed JSON or envelopes missing op/key
+    * route to a dead-letter frame carrying the raw payload for replay,
+    * instead of poisoning the pipeline.
+    */
+  def parseWithDlq(df: DataFrame, jsonCol: Column, keyField: String = "id"): (DataFrame, DataFrame) = {
+    val parsed = df.withColumn("_raw", jsonCol).withColumn("_env", from_json(jsonCol, Schema))
+    val shaped = parsed.select(
+      col("_raw"),
+      col("_env.op").as("op"),
+      col("_env.ts_ms").as("ts_ms"),
+      element_at(col("_env.source"), "table").as("table"),
+      coalesce(element_at(col("_env.after"), keyField), element_at(col("_env.before"), keyField)).as("key"),
+      col("_env.before").as("before"),
+      col("_env.after").as("after")
+    )
+    val ok = shaped.filter(col("op").isNotNull && col("key").isNotNull).drop("_raw")
+    val dlq = shaped.filter(col("op").isNull || col("key").isNull).select(col("_raw").as("raw"))
+    (ok, dlq)
+  }
+
   /** Batch-apply parsed envelopes: the materialized index state per
     * (table, key) — upserts win by (ts_ms), deletes drop the key. This is
     * the batch twin of [[graft.streaming.CdcStream.applyChanges]].

@@ -68,4 +68,22 @@ object CdcStream {
   /** Streaming dedup by content key within a watermark horizon. */
   def streamingDedup(df: DataFrame, keyCols: Seq[String], tsCol: String, watermark: String): DataFrame =
     df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
+
+  /** Native session windows: per-key activity sessions closed after `gap`
+    * of silence (the streaming twin of the batch sessionize query —
+    * incremental state per open session, emitted on watermark close).
+    */
+  def sessionWindows(df: DataFrame, tsCol: String, keyCol: String, gap: String, watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("w.start").as("session_start"), col("w.end").as("session_end"), col("n_events"))
+
+  /** Stream-static enrichment: join the changelog stream against a
+    * dimension table (the "join the CDC stream with reference data" step
+    * of every indexing pipeline). The static side is broadcast per
+    * micro-batch; no stream-side state.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
 }

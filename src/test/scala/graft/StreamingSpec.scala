@@ -57,6 +57,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindows closes sessions after the gap") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val q = CdcStream
+      .sessionWindows(df, "ts", "user_id", gap = "10 minutes", watermark = "1 minute")
+      .writeStream
+      .format("memory")
+      .queryName("sess_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // two bursts for user 1 separated by > gap, then advance watermark
+      input.addData((ts(10, 0), 1L), (ts(10, 5), 1L), (ts(10, 30), 1L))
+      q.processAllAvailable()
+      input.addData((ts(12, 0), 9L))
+      q.processAllAvailable()
+      val out = spark
+        .table("sess_out")
+        .filter($"user_id" === 1L)
+        .orderBy("session_start")
+        .select("n_events")
+        .as[Long]
+        .collect()
+      assert(out.toSeq == Seq(2L, 1L)) // burst of 2, then singleton session
+    } finally q.stop()
+  }
+
+  test("enrich joins the stream against a broadcast dimension") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("nation_id", "payload")
+    val dim = Seq((0L, "ALGERIA"), (1L, "ARGENTINA")).toDF("nation_id", "n_name")
+    val q = CdcStream
+      .enrich(stream, dim, Seq("nation_id"))
+      .writeStream
+      .format("memory")
+      .queryName("enrich_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .start()
+    try {
+      input.addData((1L, "doc-a"), (5L, "doc-b"))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out").orderBy("nation_id").collect()
+      assert(out(0).getAs[String]("n_name") == "ARGENTINA")
+      assert(out(1).isNullAt(out(1).fieldIndex("n_name"))) // left join keeps unmatched
+    } finally q.stop()
+  }
+
+  test("parseWithDlq routes malformed envelopes to the dead-letter frame") {
+    import graft.cdc.ChangeEvent
+    val rows = Seq(
+      """{"before":null,"after":{"id":1,"s":"x"},"op":"c","ts_ms":1,"source":{"table":"t"}}""",
+      """this is not json at all""",
+      """{"after":{"no_id_field":2},"op":"c","ts_ms":2,"source":{"table":"t"}}"""
+    ).toDF("value")
+    val (ok, dlq) = ChangeEvent.parseWithDlq(rows, org.apache.spark.sql.functions.col("value"))
+    assert(ok.count() == 1)
+    assert(dlq.count() == 2)
+    assert(dlq.as[String].collect().exists(_.contains("not json")))
+  }
+
   test("streamingDedup drops duplicate keys within the watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
