@@ -358,6 +358,50 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+    // TPC-H Q7 shape: shipping volume between customer and supplier
+    // nations per year — two dimension broadcasts + fact-fact join.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val l = Tables
+        .lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(
+          (col("supp_nation") === "NATION_9" && col("cust_nation") === "NATION_10") ||
+            (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_9")
+        )
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    // TPC-H Q10 shape: revenue lost to returned items per customer.
+    "q10_returned_items" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      val o = Tables
+        .orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R").select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
     "agg_running_balance" -> ((s, dir) => {
       val w = Window
         .partitionBy("user_id")
@@ -712,6 +756,25 @@ object SparkEntry {
         |  AND r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem, orders, supplier, customer, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND o_custkey = c_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+        |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem, orders, customer, nation
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |  AND l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "agg_running_balance" ->
       """SELECT user_id, event_id, ts,
         |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
