@@ -22,6 +22,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("cdc_latest_state")(spark, "/root/testdata/sf0.001")
 
+  /** Exact decimal money arithmetic for sum-of-product aggregates: the
+    * truth of sum(price*(1-discount)) has 4 exact decimals, so rounding a
+    * double at 2dp ties at .xx5 and Spark/DuckDB tie-break differently;
+    * decimal keeps the sum exact on both sides (then HALF_UP rounding
+    * agrees) regardless of partition count or scale.
+    */
+  private def decMoney(c: Column): Column = c.cast("decimal(12,2)")
+
   // Shared query-vector fetch (O(1) driver fetch of one 64-dim row).
   private def queryVec(s: SparkSession, dir: String, vecId: Long): Seq[Float] =
     Tables
@@ -311,9 +319,12 @@ object SparkEntry {
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
-            .as("sum_charge"),
+          round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2)
+            .cast("double").as("sum_disc_price"),
+          round(
+            sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount"))) *
+              (lit(1) + decMoney(col("l_tax")))), 2)
+            .cast("double").as("sum_charge"),
           round(avg("l_quantity"), 2).as("avg_qty"),
           round(avg("l_extendedprice"), 2).as("avg_price"),
           round(avg("l_discount"), 2).as("avg_disc"),
@@ -334,7 +345,7 @@ object SparkEntry {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -355,7 +366,7 @@ object SparkEntry {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
     // TPC-H Q7 shape: shipping volume between customer and supplier
@@ -376,12 +387,9 @@ object SparkEntry {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
-        .filter(
-          (col("supp_nation") === "NATION_9" && col("cust_nation") === "NATION_10") ||
-            (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_9")
-        )
+        .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2).cast("double").as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
     // TPC-H Q10 shape: revenue lost to returned items per customer.
@@ -398,7 +406,7 @@ object SparkEntry {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
@@ -732,8 +740,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
         |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_charge,
         |       round(avg(l_quantity), 2) AS avg_qty,
         |       round(avg(l_extendedprice), 2) AS avg_price,
         |       round(avg(l_discount), 2) AS avg_disc,
@@ -742,14 +750,14 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
         |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
@@ -759,17 +767,16 @@ object SparkEntry {
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
         |FROM lineitem, orders, supplier, customer, nation n1, nation n2
         |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND o_custkey = c_custkey
         |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-        |  AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
-        |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+        |  AND n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
         |FROM lineitem, orders, customer, nation
         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND c_nationkey = n_nationkey
         |  AND l_returnflag = 'R'
