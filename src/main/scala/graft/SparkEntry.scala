@@ -100,6 +100,17 @@ object SparkEntry {
       parts.reduce(_ unionByName _).orderBy("entity")
     }),
 
+    // As-of (temporal) join: each purchase enriched with the user's latest
+    // strictly-prior event — the point-in-time lookup CDC analytics needs.
+    "cdc_asof_enrich" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+      val probe = events.filter(col("event_type") === "purchase").select("user_id", "event_id", "ts")
+      operators.AsOfJoin
+        .asOf(probe, events, "user_id", "ts", "ts", "event_id", Seq("event_id", "value"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("prior_event_id"), col("prior_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ── Search / query DSL ──────────────────────────────────────────────
     "search_match" -> ((s, dir) =>
       Tables
@@ -593,6 +604,22 @@ object SparkEntry {
         |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
         |  UNION ALL SELECT 'orders', count(*) FROM orders) t
         |ORDER BY entity""".stripMargin,
+    "cdc_asof_enrich" ->
+      """WITH probe AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT 0 AS side, ts AS uts, CAST(-9223372036854775807 AS BIGINT) AS seq,
+        |         user_id, event_id, ts, CAST(NULL AS BIGINT) AS b_event_id, CAST(NULL AS DOUBLE) AS b_value
+        |  FROM probe
+        |  UNION ALL
+        |  SELECT 1, ts, event_id, user_id, NULL, NULL, event_id, value FROM events)
+        |SELECT user_id, event_id, ts, prior_event_id, prior_value FROM (
+        |  SELECT side, user_id, event_id, ts,
+        |         last_value(b_event_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY uts, side, seq
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_event_id,
+        |         last_value(b_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY uts, side, seq
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_value
+        |  FROM u) t
+        |WHERE side = 0 ORDER BY user_id, event_id""".stripMargin,
     "search_match" ->
       """SELECT doc_id, score FROM (
         |  SELECT doc_id,

@@ -38,6 +38,36 @@ class CdcBatchSpec extends SparkSpec {
     assert(out.toSeq == Seq(("c", 3L), ("d", 1L), ("u", 2L)))
   }
 
+  test("asOf join picks the latest strictly-prior build row per key") {
+    import graft.operators.AsOfJoin
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val build = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "v1"),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "v2"),
+      (2L, ts("2024-01-01 09:00:00"), 3L, "w1")
+    ).toDF("k", "bts", "bseq", "state")
+    val probe = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 100L), // between v1 and v2
+      (1L, ts("2024-01-01 11:00:00"), 101L), // equal ts -> strictly prior = v1
+      (1L, ts("2024-01-01 12:00:00"), 102L), // after v2
+      (2L, ts("2024-01-01 08:00:00"), 103L), // before any state -> null
+      (3L, ts("2024-01-01 10:00:00"), 104L) // unknown key -> null
+    ).toDF("k", "pts", "pid")
+    val out = AsOfJoin
+      .asOf(probe, build, "k", "pts", "bts", "bseq", Seq("state"))
+      .orderBy("pid")
+      .select("pid", "prior_state")
+      .as[(Long, Option[String])]
+      .collect()
+    assert(out.toSeq == Seq(
+      (100L, Some("v1")),
+      (101L, Some("v1")),
+      (102L, Some("v2")),
+      (103L, None),
+      (104L, None)
+    ))
+  }
+
   test("latestState is a partial-aggregate plan, not a window sort") {
     val plan = CdcBatch
       .latestState(changelog, "key", struct(col("seq")), col("payload"))
