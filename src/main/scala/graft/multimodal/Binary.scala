@@ -81,4 +81,24 @@ object Binary {
     val h = java.util.Arrays.hashCode(bytes)
     Array.tabulate(8)(i => ((h >>> (i * 4)) & 0xff) / 255.0f)
   }
+
+  /** "Resize" for opaque media payloads: updates the typed metadata and
+    * produces a deterministic downsampled byte sketch (every `factor`-th
+    * byte). The relational shape — metadata columns driving partition
+    * pruning, payload column rewritten — is exactly a real resizer's; the
+    * pixel resampling itself is where a codec plugs in (STUB).
+    */
+  def resizeStub(payloads: DataFrame, factor: Int): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val f = factor
+    payloads
+      .select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val out = bytes.indices.collect { case i if i % f == 0 => bytes(i) }.toArray
+        (id, out, bytes.length, out.length)
+      }
+      .toDF("id", "payload", "orig_bytes", "resized_bytes")
+  }
 }

@@ -37,6 +37,20 @@ class BinarySinkSpec extends SparkSpec {
     assert(out(0).getSeq[Float](1) == again(0).getSeq[Float](1))
   }
 
+  test("resizeStub downsamples payload bytes deterministically") {
+    val out = Binary.resizeStub(Binary.asPayload(docs, $"doc_id", $"text"), factor = 4).orderBy("id").collect()
+    assert(out(1).getAs[Int]("orig_bytes") == 300)
+    assert(out(1).getAs[Int]("resized_bytes") == 75)
+    val again = Binary.resizeStub(Binary.asPayload(docs, $"doc_id", $"text"), 4).orderBy("id").collect()
+    assert(out(1).getAs[Array[Byte]]("payload").toSeq == again(1).getAs[Array[Byte]]("payload").toSeq)
+  }
+
+  test("Dashboard renders all six reference panels non-empty") {
+    val counts = graft.search.Dashboard.render(spark, Sf)
+    assert(counts.size == 6)
+    assert(counts.values.forall(_ > 0), counts.toString)
+  }
+
   test("IndexFileSink batch roundtrip is idempotent") {
     val root = Files.createTempDirectory("graft-sink").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
