@@ -299,6 +299,18 @@ object SparkEntry {
           Seq(col("o_totalprice").desc, col("o_orderkey").asc)
         )
         .orderBy("o_orderpriority", "rank")),
+    // Same semantics as search_top_hits but executed by the custom
+    // TopKPerKey physical operator (bounded per-key heaps, no sort) —
+    // oracle-checked against the identical SQL.
+    "search_top_hits_native" -> ((s, dir) =>
+      graft.plans.TopKPerKey
+        .perKey(
+          Tables.orders(s, dir).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          Seq("o_orderpriority"),
+          Seq("o_totalprice" -> false, "o_orderkey" -> true),
+          3
+        )
+        .orderBy("o_orderpriority", "rank")),
     "search_significant_terms" -> ((s, dir) =>
       Aggs.significantTerms(Tables.events(s, dir), col("event_type"), col("value") > 150)),
     "search_composite_after" -> ((s, dir) =>
@@ -739,6 +751,13 @@ object SparkEntry {
         |  FROM events) t
         |WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket""".stripMargin,
     "search_top_hits" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+        |  FROM orders) t
+        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+    "search_top_hits_native" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |         CAST(row_number() OVER (PARTITION BY o_orderpriority
