@@ -847,6 +847,22 @@ object SparkEntry {
         |                        THEN 1 ELSE 0 END AS is_new
         |            FROM events) a) b
         |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // The prefix filter is lossless (PPJoin exactness), so the operator's
+    // output equals the naive all-pairs Jaccard — which the oracle can
+    // brute-force at verification scale.
+    "dedup_ngram_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                        for i in generate_series(1, len(t) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3)
+        |SELECT a, b, jaccard FROM (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |               / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+        |  FROM s x, s y WHERE x.doc_id < y.doc_id) t
+        |WHERE jaccard >= 0.4 ORDER BY a, b""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
