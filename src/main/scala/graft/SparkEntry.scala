@@ -581,8 +581,8 @@ object SparkEntry {
         .orderBy("id")),
     "mm_frame_sample" -> ((s, dir) =>
       Binary
-        .frameSample(Binary.asPayload(Tables.documents(s, dir), col("doc_id"), col("text")), 64, 4)
-        .orderBy("id"))
+        .frameSampleRows(Binary.asPayload(Tables.documents(s, dir), col("doc_id"), col("text")), 64, 4)
+        .orderBy("id", "frame_idx"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -923,6 +923,17 @@ object SparkEntry {
       """SELECT doc_id AS id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
         |       sha256(text) AS sha256,
         |       CASE WHEN text LIKE 'th%' THEN 'th-container' ELSE 'raw' END AS format
-        |FROM documents ORDER BY id""".stripMargin
+        |FROM documents ORDER BY id""".stripMargin,
+    // The corpus is pure ASCII (checked per scale factor), so DuckDB's
+    // character substring equals Spark's byte slicing of the payload.
+    "mm_frame_sample" ->
+      """SELECT doc_id AS id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |       nf AS n_frames, CAST(i AS INTEGER) AS frame_idx,
+        |       md5(substring(text, CAST(i AS INTEGER) * 64 + 1, 64)) AS frame_md5
+        |FROM (SELECT doc_id, text,
+        |             CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS INTEGER) AS nf
+        |      FROM documents) d
+        |CROSS JOIN unnest(generate_series(0, nf - 1, 4)) AS u(i)
+        |ORDER BY id, frame_idx""".stripMargin
   )
 }

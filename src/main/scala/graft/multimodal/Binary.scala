@@ -42,13 +42,29 @@ object Binary {
       .withColumn("n_frames", nFrames)
       .withColumn(
         "frames",
-        transform(
-          sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(stride)),
-          i => struct(i.as("frame_idx"), md5(col("payload").substr(i * frameBytes + 1, lit(frameBytes))).as("frame_md5"))
-        )
+        // Empty payload => no frames (sequence(0, 0) would emit a phantom
+        // frame 0 digesting an empty slice).
+        when(col("n_frames") === 0, array().cast("array<struct<frame_idx:int,frame_md5:string>>"))
+          .otherwise(
+            transform(
+              sequence(lit(0), col("n_frames") - 1, lit(stride)),
+              i =>
+                struct(i.as("frame_idx"), md5(col("payload").substr(i * frameBytes + 1, lit(frameBytes))).as("frame_md5"))
+            )
+          )
       )
       .select(col("id"), col("n_bytes"), col("n_frames"), col("frames"))
   }
+
+  /** [[frameSample]] in exploded row form — one row per sampled frame
+    * (id, n_bytes, n_frames, frame_idx, frame_md5). Scalar columns only, so
+    * results are directly comparable/joinable (and hash-verifiable) without
+    * array handling downstream.
+    */
+  def frameSampleRows(payloads: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    frameSample(payloads, frameBytes, stride)
+      .select(col("id"), col("n_bytes"), col("n_frames"), explode(col("frames")).as("f"))
+      .select(col("id"), col("n_bytes"), col("n_frames"), col("f.frame_idx").as("frame_idx"), col("f.frame_md5").as("frame_md5"))
 
   /** The decoder seam: a per-partition iterator transform with the batch
     * shape a native decoder needs. `decode` gets (id, payload) and returns

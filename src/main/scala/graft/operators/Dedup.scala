@@ -93,18 +93,37 @@ object Dedup {
       .join(docFreq, "p")
       .withColumn("_rk", row_number().over(rankW))
       .filter(col("_rk") <= floor(col("sz") * (1 - threshold)) + 1)
-      .select(col("id"), col("sz"), col("p"))
+      .select(col("id"), col("sz"), col("p"), col("_rk"))
 
     val l = prefix.as("l")
     val r = prefix.as("r")
+    // PPJoin+ positional filter (Xiao et al. WWW'08 §4): prefix positions
+    // rank shingles in ONE global (df, shingle) order, so the earliest
+    // common prefix shingle of a pair attains min(l._rk) and min(r._rk)
+    // simultaneously, and every other common shingle sits strictly after it
+    // in BOTH docs. Hence overlap <= 1 + min(|x|-i, |y|-j) — and Jaccard
+    // >= t forces overlap >= t/(1+t)·(|x|+|y|). Grouping collision rows per
+    // pair (the same shuffle the old distinct() did) makes the bound
+    // computable and prunes candidates before the expensive verify join;
+    // the 1e-7 slack only protects against float rounding of the exact
+    // rational threshold (slack admits candidates, never drops them —
+    // lossless).
+    val overlapMin = lit(threshold / (1 + threshold)) * (col("sza") + col("szb")) - lit(1e-7)
     val cands = l
       .join(
         r,
         col("l.p") === col("r.p") && col("l.id") < col("r.id") &&
           col("l.sz") >= col("r.sz") * threshold && col("r.sz") >= col("l.sz") * threshold
       )
-      .select(col("l.id").as("a"), col("r.id").as("b"))
-      .distinct()
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(
+        first(col("l.sz")).as("sza"),
+        first(col("r.sz")).as("szb"),
+        min(col("l._rk")).as("li"),
+        min(col("r._rk")).as("rj")
+      )
+      .filter(lit(1) + least(col("sza") - col("li"), col("szb") - col("rj")) >= overlapMin)
+      .select(col("a"), col("b"))
 
     val sa = base.select(col("id").as("a"), col("sh").as("sh_a"))
     val sb = base.select(col("id").as("b"), col("sh").as("sh_b"))

@@ -27,8 +27,12 @@ object Similarity {
       .limit(k)
 
   /** Batch k-NN join: for every probe row, its top-k neighbors from the
-    * candidate set. Probes are broadcast (small side); ranking is a window
-    * partitioned by probe — each partition's state is one probe's heap.
+    * candidate set. Probes are broadcast (small side); ranking runs through
+    * [[graft.plans.TopKPerKey]] — partial bounded heaps per partition, so
+    * the shuffle carries at most k rows per probe per partition. A window
+    * partitioned by probe_id would instead hash the ENTIRE scored set into
+    * #probes partitions and sort it: a straggler machine whenever the probe
+    * batch is small.
     */
   def knnJoin(
       probes: DataFrame,
@@ -46,12 +50,8 @@ object Similarity {
         col("cand_id"),
         round(VectorFns.cosine(col("probe_vec"), col("cand_vec")), 6).as("cos")
       )
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.plans.TopKPerKey
+      .perKey(scored, Seq("probe_id"), Seq("cos" -> false, "cand_id" -> true), k)
       .select(col("probe_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
@@ -113,23 +113,19 @@ object Similarity {
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
       .orderBy(pmod(hash(col("centroid_id")), lit(1 << 30)).asc, col("centroid_id"))
       .limit(nLists)
+    // Nearest centroid per vector via min_by (hash aggregate with map-side
+    // partials) — a window partitioned by id would sort nLists×N rows.
     val assigned = graft.Tables
       .ensureParallelism(emb.select(col(idCol), col(vecCol)))
       .join(broadcast(centroids))
-      .select(
-        col(idCol),
-        col(vecCol),
-        col("centroid_id"),
-        VectorFns.l2sq(col(vecCol), col("centroid_vec")).as("_d")
+      .groupBy(col(idCol))
+      .agg(
+        min_by(
+          struct(col(vecCol).as("v"), col("centroid_id").as("cell")),
+          struct(VectorFns.l2sq(col(vecCol), col("centroid_vec")).as("d"), col("centroid_id").as("c"))
+        ).as("m")
       )
-      .withColumn(
-        "_rk",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)).orderBy(col("_d").asc, col("centroid_id"))
-        )
-      )
-      .filter(col("_rk") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id").as("cell"))
+      .select(col(idCol), col("m.v").as(vecCol), col("m.cell").as("cell"))
     (centroids, assigned)
   }
 

@@ -53,27 +53,39 @@ case class TopKPerKeyPlan(
     copy(child = newChild)
 }
 
+/** Bounded per-key top-k heaps. Runs in two phases like a hash aggregate:
+  * a `partial` instance on the un-shuffled input cuts every partition to at
+  * most k rows per key (no required distribution, no rank output), then the
+  * final instance — fed by the single hash exchange its ClusteredDistribution
+  * requires — merges the survivors and emits ranks. The shuffle therefore
+  * carries O(keys · k · partitions) rows instead of the full input, so a
+  * small key domain (e.g. a handful of probe vectors in a k-NN join) no
+  * longer funnels the whole scored set through #keys straggler tasks.
+  */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
+    partial: Boolean,
     child: SparkPlan
 ) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def output: Seq[Attribute] = if (partial) child.output else child.output :+ rankAttr
 
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+    if (partial) org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
+    else org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val keyExprs = keys
     val sortOrder = order
     val childOutput = child.output
+    val isPartial = partial
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = new LazilyGeneratedOrdering(sortOrder, childOutput)
@@ -91,11 +103,16 @@ case class TopKPerKeyExec(
           heap.enqueue(row.copy())
         }
       }
-      val joiner = new JoinedRow
-      val outProj = UnsafeProjection.create((childOutput :+ rankAttr).map(_.dataType).toArray)
-      heaps.iterator.flatMap { kv =>
-        val ranked: Seq[InternalRow] = kv._2.dequeueAll.reverse
-        ranked.iterator.zipWithIndex.map(t => outProj(joiner(t._1, InternalRow(t._2 + 1))))
+      if (isPartial) {
+        val passProj = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
+        heaps.iterator.flatMap(_._2.iterator.map(passProj))
+      } else {
+        val joiner = new JoinedRow
+        val outProj = UnsafeProjection.create((childOutput :+ rankAttr).map(_.dataType).toArray)
+        heaps.iterator.flatMap { kv =>
+          val ranked: Seq[InternalRow] = kv._2.dequeueAll.reverse
+          ranked.iterator.zipWithIndex.map(t => outProj(joiner(t._1, InternalRow(t._2 + 1))))
+        }
       }
     }, preservesPartitioning = true)
   }
@@ -109,7 +126,14 @@ object TopKPerKey {
   object TopKStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case p: TopKPerKeyPlan =>
-        TopKPerKeyExec(p.keys, p.order, p.k, p.rankAttr, planLater(p.child)) :: Nil
+        TopKPerKeyExec(
+          p.keys,
+          p.order,
+          p.k,
+          p.rankAttr,
+          partial = false,
+          TopKPerKeyExec(p.keys, p.order, p.k, p.rankAttr, partial = true, planLater(p.child))
+        ) :: Nil
       case _ => Nil
     }
   }

@@ -108,6 +108,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("knnJoin plan uses the bounded-heap exec, not a window sort") {
+    val plan = Similarity
+      .knnJoin(vecs.limit(1), vecs, "vec_id", "embedding", 2)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("Window"), s"per-probe window sort is a straggler at scale:\n$plan")
+    assert(plan.contains("TopKPerKey"), plan)
+  }
+
+  test("ivfIndex assigns cells with a hash aggregate, not a per-id window") {
+    val (_, assigned) = Similarity.ivfIndex(Tables.embeddings(spark, Sf), "vec_id", "embedding", 8)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"per-id window sort:\n$plan")
+    assert(assigned.count() == Tables.embeddings(spark, Sf).count())
+  }
+
   test("brute-force plan broadcasts probes — no shuffle of the candidate side") {
     val plan = Similarity
       .knnJoin(vecs.limit(1), vecs, "vec_id", "embedding", 2)
