@@ -480,9 +480,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.4).orderBy("a", "b")),
     // Threshold calibrated to the synthetic corpus (max pairwise cosine
     // ~0.46): "near-dup" here = the far tail of the similarity histogram.
+    // 32 tables because the threshold IS the far tail: hyperplane collision
+    // at cos=0.35 is p=0.614/bit, so 6-bit sigs need ~32 OR-ed tables for
+    // ~0.83 worst-case recall right at the boundary (ReplicaSpec measures
+    // it against all-pairs truth).
     "dedup_embedding" -> ((s, dir) =>
       Similarity
-        .embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.35, nBits = 6, tables = 8)
+        .embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.35, nBits = 6, tables = 32)
         .orderBy("a", "b")),
 
     // ── Similarity search ───────────────────────────────────────────────

@@ -34,6 +34,16 @@ case class MinHashAgg(
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "minhash_agg"
 
+  // Analysis-time type check: without it a SQL call like
+  // minhash_agg(int_col, 128) passes analysis and dies at runtime on the
+  // UTF8String cast.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string shingle column, got ${child.dataType.catalogString}"
+      )
+
   override def createAggregationBuffer(): Array[Int] = Array.fill(numPerms)(Int.MaxValue)
 
   override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {

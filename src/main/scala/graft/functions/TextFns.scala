@@ -97,18 +97,35 @@ object TextFns {
   /** Convenience form over raw text. */
   def wordNgrams(text: Column, n: Int): Column = ngramsFromTokens(tokens(text), n)
 
-  /** Rolling polynomial hash over the token stream (document shingling
-    * fingerprint): hash each w-token window. Base/mod chosen to fit long
-    * arithmetic; deterministic and portable.
+  /** Rolling hash over the token stream (document shingling fingerprint):
+    * hash each w-token window with the same chained murmur3 Spark's
+    * `hash(c1..cw)` computes (seed 42, each token's UTF-8 bytes hashed with
+    * the running value as seed), so values are row-identical to the
+    * previous `abs(hash(element_at...))` HOF form — but compiled: the HOF
+    * version is interpreted (no codegen) and re-evaluates the token-array
+    * subtree per element, measured ~50x slower (see [[ngramsFromTokens]]).
     */
-  def rollingHashesFromTokens(t: Column, window: Int): Column =
-    when(size(t) < window, array().cast("array<int>"))
-      .otherwise(
-        transform(
-          sequence(lit(1), size(t) - (window - 1)),
-          i => abs(hash((0 until window).map(j => element_at(t, i + j)): _*))
-        )
-      )
+  def rollingHashesFromTokens(t: Column, window: Int): Column = {
+    val w = window
+    val f = udf((toks: Seq[String]) =>
+      if (toks == null || toks.length < w) Seq.empty[Int]
+      else {
+        val bytes = toks.iterator.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+        Seq.tabulate(toks.length - w + 1) { i =>
+          var h = 42
+          var j = 0
+          while (j < w) {
+            val b = bytes(i + j)
+            h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+              .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, h)
+            j += 1
+          }
+          math.abs(h)
+        }
+      }
+    )
+    f(t)
+  }
 
   /** Convenience form over raw text; for hot paths materialize [[tokens]]
     * first (see [[ngramsFromTokens]] for why).

@@ -23,6 +23,9 @@ object CdcSource {
     * of through one JDBC cursor. Bounds are min/max of the split column
     * (two cheap pushdown queries).
     */
+  private def requireIdentifier(s: String, what: String): Unit =
+    require(s.matches("""[A-Za-z_][A-Za-z0-9_.$]*"""), s"$what is not a plain SQL identifier: $s")
+
   def snapshot(
       spark: SparkSession,
       jdbcUrl: String,
@@ -31,18 +34,26 @@ object CdcSource {
       numPartitions: Int,
       props: java.util.Properties = new java.util.Properties()
   ): DataFrame = {
+    // The names are interpolated into the bounds query — accept only plain
+    // identifiers (schema-qualified ok), never expressions.
+    requireIdentifier(table, "table")
+    requireIdentifier(partitionColumn, "partitionColumn")
     val bounds = spark.read
       .jdbc(jdbcUrl, s"(SELECT min($partitionColumn) lo, max($partitionColumn) hi FROM $table) b", props)
       .head()
-    spark.read.jdbc(
-      jdbcUrl,
-      table,
-      partitionColumn,
-      bounds.getAs[Number]("lo").longValue(),
-      bounds.getAs[Number]("hi").longValue(),
-      numPartitions,
-      props
-    )
+    // Empty source table: min/max are NULL — fall back to a plain
+    // (unpartitioned) read of the empty relation instead of NPE-ing.
+    if (bounds.isNullAt(0) || bounds.isNullAt(1)) spark.read.jdbc(jdbcUrl, table, props)
+    else
+      spark.read.jdbc(
+        jdbcUrl,
+        table,
+        partitionColumn,
+        bounds.getAs[Number]("lo").longValue(),
+        bounds.getAs[Number]("hi").longValue(),
+        numPartitions,
+        props
+      )
   }
 
   /** Incremental poll: rows with `watermarkCol` strictly beyond the last

@@ -63,4 +63,32 @@ class TextFnsSpec extends SparkSpec {
     assert(h1.toSeq == h2.toSeq)
     assert(h1.head.length == 3) // 5 tokens, window 3
   }
+
+  test("rollingHashes compiled kernel is row-identical to Spark's chained hash()") {
+    // The kernel replicates hash(t[i], ..., t[i+w-1]) (murmur3 seed 42,
+    // chained); assert bitwise equality with the interpreted HOF form it
+    // replaced, over the real corpus.
+    val w = 5
+    val real = Tables.documents(spark, Sf).select($"doc_id", TextFns.tokens($"text").as("_toks"))
+    val hof = when(size($"_toks") < w, array().cast("array<int>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size($"_toks") - (w - 1)),
+          i => abs(hash((0 until w).map(j => element_at($"_toks", i + j)): _*))
+        )
+      )
+    val diff = real
+      .select($"doc_id", TextFns.rollingHashesFromTokens($"_toks", w).as("kernel"), hof.as("hof"))
+      .filter($"kernel" =!= $"hof")
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("minhash_agg rejects non-string input at analysis time") {
+    GraftFunctions.registerAll(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_agg(i, 8) FROM VALUES (1), (2) AS t(i)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"), e.getMessage)
+  }
 }
