@@ -66,16 +66,28 @@ object SparkEntry {
           col("value")
         )
         .orderBy("user_id")),
+    // Snapshot load through the generic TDD §4.3 rule-driven mapper
+    // (cdc.TypeMapper): INTEGER→long by rule, plus per-table overrides for
+    // normalization (lowercase keyword fields, 2dp money) and one derived
+    // field — the same mapper handles any table (TypeMapperSpec runs a
+    // second one through it).
     "cdc_snapshot_sync" -> ((s, dir) =>
-      Tables
-        .customer(s, dir)
-        .select(
-          col("c_custkey").as("id"),
-          lower(col("c_name")).as("name"),
-          col("c_nationkey").cast("long").as("nation_id"),
-          round(col("c_acctbal"), 2).as("balance"),
-          (col("c_acctbal") > 0).as("in_good_standing"),
-          lower(col("c_mktsegment")).as("segment")
+      cdc.TypeMapper
+        .mapTable(
+          Tables.customer(s, dir),
+          fields = Seq(
+            "c_custkey" -> "id",
+            "c_name" -> "name",
+            "c_nationkey" -> "nation_id",
+            "c_acctbal" -> "balance",
+            "c_mktsegment" -> "segment"
+          ),
+          overrides = Map(
+            "name" -> lower(col("c_name")),
+            "balance" -> round(col("c_acctbal"), 2),
+            "segment" -> lower(col("c_mktsegment"))
+          ),
+          extras = Seq("in_good_standing" -> (col("c_acctbal") > 0))
         )
         .orderBy("id")),
     "cdc_op_stats" -> ((s, dir) =>
@@ -239,6 +251,21 @@ object SparkEntry {
           round(avg("revenue").over(w.rowsBetween(-2, Window.currentRow)), 6).as("mov_avg")
         )
         .orderBy("bucket")
+    }),
+    // Discover's typed search box — the reference's #1 day-to-day
+    // interaction (DASHBOARD_GUIDE.md:89,124): a query STRING parsed to
+    // the same predicates the structured DSL builds, exercising field
+    // terms, OR, comparison, wildcard, NOT and an inclusive range.
+    "search_query_string" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.filter(
+        SearchDsl.parseQueryString(
+          o,
+          "(o_orderstatus:O OR o_orderstatus:F) AND o_totalprice > 150000 " +
+            "AND o_orderpriority:2* AND NOT o_orderkey:[0 TO 500]"
+        )
+      ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
     }),
     "search_multi_index" -> ((s, dir) => {
       val li = Tables
@@ -603,7 +630,8 @@ object SparkEntry {
         |      FROM events) t
         |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
     "cdc_snapshot_sync" ->
-      """SELECT c_custkey AS id, lower(c_name) AS name, CAST(c_nationkey AS BIGINT) AS nation_id,
+      """SELECT CAST(c_custkey AS BIGINT) AS id, lower(c_name) AS name,
+        |       CAST(c_nationkey AS BIGINT) AS nation_id,
         |       round(c_acctbal, 2) AS balance, c_acctbal > 0 AS in_good_standing,
         |       lower(c_mktsegment) AS segment
         |FROM customer ORDER BY id""".stripMargin,
@@ -723,6 +751,12 @@ object SparkEntry {
         |             round(sum(o_totalprice), 2) AS revenue
         |      FROM orders GROUP BY 1) t
         |ORDER BY bucket""".stripMargin,
+    "search_query_string" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |FROM orders
+        |WHERE (o_orderstatus = 'O' OR o_orderstatus = 'F') AND o_totalprice > 150000
+        |  AND o_orderpriority LIKE '2%' AND NOT (o_orderkey >= 0 AND o_orderkey <= 500)
+        |ORDER BY o_orderkey""".stripMargin,
     "search_multi_index" ->
       """SELECT * FROM (
         |  SELECT 'lineitem' AS idx, count(*) AS n, round(sum(l_extendedprice), 2) AS amount FROM lineitem

@@ -20,35 +20,60 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  /** Top-k docs for `queryTerms` by BM25. Emits (doc id, score). */
-  def topK(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
+  /** The inverted index: the (id, dl, term, tf) posting table plus the
+    * (n_docs, avgdl) corpus scalars. At 100 TB this is the one-shuffle
+    * index BUILD — computed once, persisted/bucketed by term — and every
+    * query then touches only its own terms' posting rows. `persist()` pins
+    * both frames; the caller owns the cache lifecycle.
+    */
+  final case class Bm25Index(postings: DataFrame, corpus: DataFrame) {
+    def persist(): Bm25Index = {
+      postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      this
+    }
+    def unpersist(): Unit = {
+      postings.unpersist()
+      corpus.unpersist()
+    }
+  }
+
+  /** Build the inverted index for a corpus (tokenize → explode →
+    * (id, term) count). Document frequency is not pre-aggregated: scoring
+    * derives the df of exactly its query terms from the filtered postings
+    * (bit-identical, and a groupBy over two terms instead of the whole
+    * vocabulary).
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val base = graft.Tables
+      .ensureParallelism(docs.select(col(idCol).as("id"), col(textCol).as("_text")))
+      .select(col("id"), TextFns.tokens(col("_text")).as("_toks"))
+      .select(col("id"), col("_toks"), size(col("_toks")).as("dl"))
+    val postings = base
+      .select(col("id"), col("dl"), explode(col("_toks")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val corpus = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    Bm25Index(postings, corpus)
+  }
+
+  /** Score `queryTerms` against a prebuilt index: filter the postings to
+    * the query terms (tiny IN, prunes a bucketed/persisted posting table),
+    * df per term from those rows, then the k1/b-parameterized BM25 sum.
+    */
+  def scoreAgainstIndex(
+      index: Bm25Index,
       queryTerms: Seq[String],
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75
   ): DataFrame = {
-    val base = graft.Tables
-      .ensureParallelism(docs.select(col(idCol).as("id"), col(textCol).as("_text")))
-      .select(col("id"), TextFns.tokens(col("_text")).as("_toks"))
-      .select(col("id"), col("_toks"), size(col("_toks")).as("dl"))
-
-    val postings = base
-      .select(col("id"), col("dl"), explode(col("_toks")).as("term"))
-      .groupBy(col("id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-
-    // Corpus stats: doc frequency per query term; N and avgdl as scalars.
     val terms = queryTerms.map(_.toLowerCase)
-    val qPostings = postings.filter(col("term").isin(terms: _*))
+    val qPostings = index.postings.filter(col("term").isin(terms: _*))
     val docFreq = qPostings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val corpus = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-
     qPostings
       .join(broadcast(docFreq), "term")
-      .crossJoin(broadcast(corpus))
+      .crossJoin(broadcast(index.corpus))
       .select(
         col("id"),
         (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
@@ -60,4 +85,19 @@ object Bm25 {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  /** One-shot top-k: build + score. Same plan as the fused form — the
+    * split exists so repeated queries amortize the build
+    * (see Bm25IndexSpec).
+    */
+  def topK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame =
+    scoreAgainstIndex(buildIndex(docs, idCol, textCol), queryTerms, k, k1, b)
 }

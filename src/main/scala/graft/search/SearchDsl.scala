@@ -85,4 +85,11 @@ object SearchDsl {
     * a JSON-path extraction that stays inside the scan projection).
     */
   def jsonField(doc: Column, path: String): Column = get_json_object(doc, "$." + path)
+
+  /** Discover search-box syntax (`status:ACTIVE AND card_type:DEBIT`,
+    * `amount > 1000`) compiled to a filter predicate — see
+    * [[QueryString]] for the grammar.
+    */
+  def parseQueryString(df: DataFrame, q: String, defaultField: Option[String] = None): Column =
+    QueryString.parse(df, q, defaultField)
 }

@@ -32,16 +32,30 @@ object IndexOps {
     IndexFileSink.readIndex(spark, root, dst).count()
   }
 
+  /** Rewrite an index via write-to-temp + atomic directory swap. The new
+    * contents stream straight from the old files to the temp dir — nothing
+    * is pinned in executor memory (the previous localCheckpoint pivot
+    * materialized the whole index, a non-starter at 100 TB) and the path
+    * being read is never the path being written. The swap is two cheap
+    * filesystem metadata ops.
+    */
+  private def rewrite(spark: SparkSession, root: String, index: String, docs: DataFrame): Unit = {
+    val tmpName = s"$index.__rewrite"
+    IndexFileSink.indexBatch(docs, root, tmpName, "_id")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = new org.apache.hadoop.fs.Path(root, index)
+    val tmp = new org.apache.hadoop.fs.Path(root, tmpName)
+    fs.delete(cur, true)
+    require(fs.rename(tmp, cur), s"swap failed: $tmp -> $cur")
+  }
+
   /** `_delete_by_query`: drop matching docs, rewrite the index. Returns
     * the number deleted.
     */
   def deleteByQuery(spark: SparkSession, root: String, index: String, predicate: Column): Long = {
-    // localCheckpoint (eager) cuts the lineage back to the index files, so
-    // the overwrite below is not "writing a path being read".
-    val docs = IndexFileSink.readIndex(spark, root, index).localCheckpoint()
-    val keep = docs.filter(!coalesce(predicate, lit(false)))
-    val deleted = docs.count() - keep.count()
-    IndexFileSink.indexBatch(keep, root, index, "_id")
+    val docs = IndexFileSink.readIndex(spark, root, index)
+    val deleted = docs.filter(coalesce(predicate, lit(false))).count()
+    rewrite(spark, root, index, docs.filter(!coalesce(predicate, lit(false))))
     deleted
   }
 
@@ -55,13 +69,39 @@ object IndexOps {
       predicate: Column,
       updates: Map[String, Column]
   ): Long = {
-    val docs = IndexFileSink.readIndex(spark, root, index).localCheckpoint()
+    val docs = IndexFileSink.readIndex(spark, root, index)
     val updated = updates.foldLeft(docs) { case (d, (name, value)) =>
       d.withColumn(name, when(predicate, value).otherwise(col(name)))
     }
     val matched = docs.filter(predicate).count()
-    IndexFileSink.indexBatch(updated, root, index, "_id")
+    rewrite(spark, root, index, updated)
     matched
+  }
+
+  /** Age-based retention (TDD §3.5.3 lifecycle "delete" state) over a
+    * [[PartitionedStore]] calendar layout: drop partition directories whose
+    * `p_bucket` value sorts strictly before `cutoffBucket` (same pattern as
+    * the writer, e.g. "2024-03"). Deleting whole partitions is the
+    * scale-safe retirement idiom — directory metadata ops, zero data
+    * rewrite, and readers prune the dropped range the same way the query
+    * path does. Returns the retired bucket values.
+    */
+  def retire(spark: SparkSession, path: String, cutoffBucket: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val expired = fs
+        .listStatus(root)
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filter { p =>
+          p.getName.startsWith("p_bucket=") &&
+          p.getName.stripPrefix("p_bucket=") < cutoffBucket
+        }
+      expired.foreach(fs.delete(_, true))
+      expired.map(_.getName.stripPrefix("p_bucket=")).toSeq.sorted
+    }
   }
 
   /** `_cat/indices`-style stats: per-index doc counts. */

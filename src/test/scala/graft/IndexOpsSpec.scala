@@ -46,6 +46,31 @@ class IndexOpsSpec extends SparkSpec {
     assert(cat == Map("card" -> 4L, "card_active" -> 2L))
   }
 
+  test("retire drops partition directories older than the cutoff bucket") {
+    import graft.sinks.PartitionedStore
+    val path = Files.createTempDirectory("graft-retire").toString + "/events"
+    PartitionedStore.writeByTime(Tables.events(spark, Sf), "ts", path, "yyyy-MM-dd")
+    val before = PartitionedStore.read(spark, path).select("p_bucket").distinct().as[String].collect().sorted
+    assert(before.length > 2)
+    val cutoff = before(2) // keep the two oldest days out
+    val retired = IndexOps.retire(spark, path, cutoff)
+    assert(retired == before.take(2).toSeq)
+    val after = PartitionedStore.read(spark, path).select("p_bucket").distinct().as[String].collect().sorted
+    assert(after.toSeq == before.drop(2).toSeq)
+    // the directories are gone from disk, not just filtered
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(!dirs.exists(d => before.take(2).exists(b => d.endsWith(b))))
+  }
+
+  test("rewrite ops leave no temp directory behind") {
+    val root = freshIndex()
+    IndexOps.deleteByQuery(spark, root, "card", col("id") === 1)
+    IndexOps.updateByQuery(spark, root, "card", col("id") === 2, Map("status" -> lit("X")))
+    val names = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(names == Set("card"), names.toString)
+    assert(IndexFileSink.readIndex(spark, root, "card").count() == 3)
+  }
+
   test("PartitionedStore: time filter prunes partitions at the scan") {
     import graft.sinks.PartitionedStore
     val path = Files.createTempDirectory("graft-part").toString + "/events"

@@ -1,0 +1,68 @@
+package graft
+
+import graft.cdc.TypeMapper
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The TDD §4.3 rule-driven mapper: generic per-type conversion applied to
+  * any table, with per-table renames/overrides on top.
+  */
+class TypeMapperSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rule table: integrals widen to long, decimals/floats to double, timestamps to ISO 8601") {
+    val df = Seq((1, 2.5f, "x"))
+      .toDF("i", "f", "s")
+      .withColumn("ts", lit("2024-03-05 10:30:00").cast("timestamp"))
+      .withColumn("d", lit("2024-03-05").cast("date"))
+      .withColumn("dec", lit(BigDecimal("12.34")).cast(DecimalType(10, 2)))
+    val out = TypeMapper.mapAll(df)
+    val types = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("i") == LongType)
+    assert(types("f") == DoubleType)
+    assert(types("dec") == DoubleType)
+    assert(types("s") == StringType)
+    assert(types("ts") == StringType)
+    val row = out.select("ts", "d", "dec").head()
+    assert(row.getString(0) == "2024-03-05T10:30:00.000Z")
+    assert(row.getString(1) == "2024-03-05")
+    assert(row.getDouble(2) == 12.34)
+  }
+
+  test("a second table goes through the same mapper (orders -> order docs)") {
+    val o = Tables.orders(spark, Sf)
+    val docs = TypeMapper.mapTable(
+      o,
+      fields = Seq(
+        "o_orderkey" -> "id",
+        "o_orderdate" -> "order_date",
+        "o_totalprice" -> "total",
+        "o_orderstatus" -> "status"
+      ),
+      overrides = Map("status" -> lower(col("o_orderstatus")))
+    )
+    assert(docs.columns.toSeq == Seq("id", "order_date", "total", "status"))
+    assert(docs.schema("id").dataType == LongType)
+    assert(docs.schema("order_date").dataType == StringType)
+    val r = docs.orderBy("id").head()
+    assert(r.getAs[String]("order_date").matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z"""))
+    assert(docs.count() == o.count())
+  }
+
+  test("JSONB-style columns map to objects via a from_json override") {
+    val e = Tables.events(spark, Sf)
+    val docs = TypeMapper.mapTable(
+      e,
+      fields = Seq("event_id" -> "id", "props" -> "props"),
+      overrides = Map("props" -> from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))))
+    )
+    assert(docs.schema("props").dataType.isInstanceOf[StructType])
+    assert(docs.filter(col("props.k").isNotNull).count() > 0)
+  }
+
+  test("unknown source columns fail fast") {
+    intercept[IllegalArgumentException] {
+      TypeMapper.mapTable(Tables.orders(spark, Sf), fields = Seq("nope" -> "x"))
+    }
+  }
+}
