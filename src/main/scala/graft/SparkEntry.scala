@@ -516,6 +516,18 @@ object SparkEntry {
         .embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.35, nBits = 6, tables = 32)
         .orderBy("a", "b")),
 
+    // Pairs → clusters: connected components over the exact near-dup pair
+    // graph (min-label propagation), the step that turns pairwise dedup
+    // output into per-cluster survivors. Exact input + deterministic
+    // algorithm → oracle-checkable via a recursive CTE.
+    "dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.4)
+      operators.Components
+        .connectedComponents(pairs, "a", "b")
+        .withColumnRenamed("node", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ── Similarity search ───────────────────────────────────────────────
     "ann_bruteforce_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(
@@ -603,6 +615,75 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)),
+
+    // Benchmark decontamination: training docs (id >= 10) sharing any
+    // 4-gram with the "benchmark" docs (id < 10) — the pre-training leak
+    // check every LLM pipeline runs.
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Contamination
+        .sharedNgrams(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10), "doc_id", "text", 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    // PII scrubbing: match counts + redacted text for the email/digit-run
+    // patterns (training-data hygiene pass) — customer names carry the
+    // corpus's only long digit runs.
+    "text_pii_redact" -> ((s, dir) =>
+      Tables
+        .customer(s, dir)
+        .select(
+          col("c_custkey").as("id"),
+          TextFns.piiCount(col("c_name"), TextFns.PiiPatterns(0)._2).as("n_email"),
+          TextFns.piiCount(col("c_name"), TextFns.PiiPatterns(1)._2).as("n_digit_runs"),
+          TextFns.piiRedact(col("c_name")).as("redacted")
+        )
+        .orderBy("id")),
+    // Deterministic md5-bucket train/val/test assignment: membership is a
+    // pure function of the id — stable across runs, engines, and corpus
+    // growth.
+    "sample_split" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .groupBy(operators.Sampling.split(col("doc_id")).as("split"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"))
+        .orderBy("split")),
+    // Deterministic ~25% sample within every language stratum.
+    "sample_stratified" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(operators.Sampling.stratifiedKeep(col("doc_id"), 0.25).cast("long")).as("n_sampled")
+        )
+        .orderBy("lang")),
+    // OpenSearch `fuzzy` query: docs containing a token within edit
+    // distance 1 of "spark", via vocabulary-level levenshtein (see Fuzzy).
+    "search_fuzzy" -> ((s, dir) =>
+      search.Fuzzy
+        .fuzzyMatch(Tables.documents(s, dir), "doc_id", "text", "spark", 1)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    // `collapse`: one top order per priority (max_by hash agg, no window).
+    "search_collapse" -> ((s, dir) =>
+      Aggs
+        .collapse(
+          Tables.orders(s, dir),
+          "o_orderpriority",
+          Seq("o_orderkey", "o_totalprice"),
+          struct(col("o_totalprice"), (lit(-1L) * col("o_orderkey")).as("negkey"))
+        )
+        .orderBy("o_orderpriority")),
+    // date_histogram with min_doc_count=0: empty days surface as zero
+    // buckets (rare high-value orders leave ~half the days empty).
+    "search_date_histogram_filled" -> ((s, dir) =>
+      Aggs.dateHistogramFilled(
+        Tables.orders(s, dir).filter(col("o_totalprice") > 450000),
+        col("o_orderdate"),
+        "day",
+        round(sum("o_totalprice"), 2).as("revenue")
+      )),
 
     // ── Multimodal ──────────────────────────────────────────────────────
     "mm_binary_meta" -> ((s, dir) =>
@@ -904,6 +985,80 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    // Connected components over the same (exact) pair derivation as the
+    // dedup_ngram_jaccard oracle, closed transitively with min-label
+    // propagation in a recursive CTE.
+    "dedup_components" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                        for i in generate_series(1, len(t) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |prs AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+        |    FROM s x, s y WHERE x.doc_id < y.doc_id) t
+        |  WHERE jaccard >= 0.4),
+        |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
+        |SELECT node AS doc_id, min(lbl) AS component FROM reach
+        |GROUP BY node ORDER BY doc_id""".stripMargin,
+    "text_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |             unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |                                   for i in generate_series(1, len(t) - 3)])) AS gram
+        |      FROM toks WHERE len(t) >= 4),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
+        |SELECT g.doc_id, count(*) AS n_shared
+        |FROM g JOIN bench USING (gram) WHERE g.doc_id >= 10
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "text_pii_redact" ->
+      """SELECT c_custkey AS id,
+        |       CAST(len(regexp_extract_all(c_name, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_email,
+        |       CAST(len(regexp_extract_all(c_name, '[0-9]{4,}')) AS INTEGER) AS n_digit_runs,
+        |       regexp_replace(regexp_replace(c_name,
+        |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[PII]', 'g'),
+        |           '[0-9]{4,}', '[PII]', 'g') AS redacted
+        |FROM customer ORDER BY id""".stripMargin,
+    "sample_split" ->
+      """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0' THEN 'train'
+        |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e0' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    "sample_stratified" ->
+      """SELECT lang, count(*) AS n_total,
+        |       CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+    "search_fuzzy" ->
+      """SELECT doc_id FROM documents
+        |WHERE len(list_filter(list_distinct(string_split(lower(text), ' ')),
+        |                      t -> levenshtein(t, 'spark') <= 1)) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_collapse" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
+    "search_date_histogram_filled" ->
+      """WITH b AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS bucket,
+        |                  count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
+        |           FROM orders WHERE o_totalprice > 450000 GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series((SELECT min(bucket) FROM b),
+        |                                        (SELECT max(bucket) FROM b),
+        |                                        INTERVAL 1 DAY)) AS bucket)
+        |SELECT spine.bucket, coalesce(cnt, 0) AS doc_count, coalesce(rev, 0.0) AS revenue
+        |FROM spine LEFT JOIN b USING (bucket) ORDER BY bucket""".stripMargin,
     "dedup_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
         |       count(*) AS n_dups, min(doc_id) AS keep_id

@@ -131,4 +131,21 @@ object TextFns {
     * first (see [[ngramsFromTokens]] for why).
     */
   def rollingHashes(text: Column, window: Int): Column = rollingHashesFromTokens(tokens(text), window)
+
+  /** PII scrubbing patterns (training-data hygiene): conservative
+    * regexes for emails and long digit runs (account/phone shapes). Pure
+    * regexp_replace — codegen'd, no shuffle; extend the list per corpus.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "digits" -> "[0-9]{4,}"
+  )
+
+  /** Count of matches of one PII pattern. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** `text` with every PII pattern replaced by `[PII]`. */
+  def piiRedact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, p)) => regexp_replace(c, p, "[PII]") }
 }

@@ -28,6 +28,41 @@ object Aggs {
       .agg(count(lit(1)).as("doc_count"), metrics: _*)
       .orderBy("bucket")
 
+  /** `date_histogram` with `min_doc_count: 0` + `extended_bounds`
+    * semantics: empty calendar buckets appear with zero counts. The bucket
+    * spine is generated from the filtered data's own min/max month — a
+    * two-row scalar aggregate exploded into one row per month (months are
+    * O(years), so the spine is driver-scale even when the data is not) —
+    * then left-joined by the real buckets.
+    */
+  def dateHistogramFilled(df: DataFrame, ts: Column, interval: String, metric: Column): DataFrame = {
+    val buckets = df
+      .groupBy(date_trunc(interval, ts).as("bucket"))
+      .agg(count(lit(1)).as("doc_count"), metric)
+    val metricName = buckets.columns.last
+    val spine = df
+      .agg(date_trunc(interval, min(ts)).as("lo"), date_trunc(interval, max(ts)).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr(s"interval 1 $interval"))).as("bucket"))
+    spine
+      .join(buckets, Seq("bucket"), "left")
+      .select(
+        col("bucket"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"),
+        coalesce(col(metricName), lit(0.0)).as(metricName)
+      )
+      .orderBy("bucket")
+  }
+
+  /** `collapse`: one top document per key (the search-result field
+    * collapse). A single max_by hash aggregation — map-side partials, no
+    * window, no sort; `ordering` is a column (typically a struct) whose
+    * natural ordering picks the winner.
+    */
+  def collapse(df: DataFrame, key: String, docCols: Seq[String], ordering: Column): DataFrame =
+    df.groupBy(col(key))
+      .agg(max_by(struct(docCols.map(col): _*), ordering).as("_doc"))
+      .select(col(key) +: docCols.map(n => col(s"_doc.$n").as(n)): _*)
+
   /** `stats` aggregation: count/min/max/avg/sum of a numeric field. */
   def stats(df: DataFrame, field: Column): DataFrame =
     df.agg(

@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators.{Components, Contamination, Sampling}
+import graft.search.{Aggs, Fuzzy}
+import org.apache.spark.sql.functions._
+
+/** Crafted-fixture semantics for the training-pipeline and search-surface
+  * operators added in round 2.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: min-label per component, chains converge") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Components
+      .connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+
+    // a 6-node chain needs multiple propagation rounds
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Components.connectedComponents(chain, "a", "b").as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(1L))
+    assert(labels.keySet == (1L to 6L).toSet)
+  }
+
+  test("hash split is deterministic, exhaustive, and roughly proportioned") {
+    val ids = spark.range(10000).select(col("id"))
+    val counts = ids
+      .groupBy(Sampling.split(col("id")).as("split"))
+      .count()
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 10000)
+    assert(math.abs(counts("train") - 7500) < 300, counts.toString)
+    // determinism: re-evaluation assigns identically
+    val twice = ids
+      .select(Sampling.split(col("id")).as("s1"), Sampling.split(col("id")).as("s2"))
+      .filter(col("s1") =!= col("s2"))
+      .count()
+    assert(twice == 0)
+  }
+
+  test("stratifiedKeep samples ~fraction inside every stratum") {
+    val df = spark.range(8000).select(col("id"), (col("id") % 4).as("stratum"))
+    val rates = df
+      .groupBy("stratum")
+      .agg(avg(Sampling.stratifiedKeep(col("id"), 0.25).cast("double")).as("rate"))
+      .as[(Long, Double)]
+      .collect()
+    rates.foreach { case (s, r) => assert(math.abs(r - 0.25) < 0.05, s"stratum $s rate $r") }
+  }
+
+  test("sharedNgrams flags only docs overlapping the benchmark") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon y"), // shares 2 distinct 4-grams
+      (11L, "completely different words here"),
+      (12L, "x alpha beta gamma delta") // shares 1
+    ).toDF("doc_id", "text")
+    val got = Contamination
+      .sharedNgrams(train, bench, "doc_id", "text", 4)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(got == Map(10L -> 2L, 12L -> 1L))
+  }
+
+  test("fuzzyMatch finds tokens within the edit distance, via the vocab") {
+    val docs = Seq(
+      (1L, "the spark engine"),
+      (2L, "a spork is cutlery"),
+      (3L, "sparks fly upward"),
+      (4L, "nothing relevant"),
+      (5L, "sprak typo here")
+    ).toDF("doc_id", "text")
+    val got = Fuzzy.fuzzyMatch(docs, "doc_id", "text", "spark", 1).as[Long].collect().toSet
+    // spark (0), spork (1 sub), sparks (1 ins) — sprak is 2 edits away
+    assert(got == Set(1L, 2L, 3L))
+    val loose = Fuzzy.fuzzyMatch(docs, "doc_id", "text", "spark", 2).as[Long].collect().toSet
+    assert(loose == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("collapse keeps exactly the top doc per key with a deterministic tie-break") {
+    val df = Seq(
+      ("A", 1L, 10.0),
+      ("A", 2L, 30.0),
+      ("A", 3L, 30.0), // tie on value -> lower key wins
+      ("B", 4L, 5.0)
+    ).toDF("k", "id", "v")
+    val got = Aggs
+      .collapse(df, "k", Seq("id", "v"), struct(col("v"), (lit(-1L) * col("id")).as("neg")))
+      .as[(String, Long, Double)]
+      .collect()
+      .toSet
+    assert(got == Set(("A", 2L, 30.0), ("B", 4L, 5.0)))
+  }
+
+  test("dateHistogramFilled surfaces empty buckets as zeros") {
+    val df = Seq(
+      ("2024-01-03 10:00:00", 5.0),
+      ("2024-01-06 11:00:00", 7.0) // Jan 4 and 5 have no rows
+    ).toDF("ts", "v").select(col("ts").cast("timestamp").as("ts"), col("v"))
+    val got = Aggs
+      .dateHistogramFilled(df, col("ts"), "day", round(sum("v"), 2).as("total"))
+      .as[(java.sql.Timestamp, Long, Double)]
+      .collect()
+    assert(got.length == 4)
+    assert(got.map(_._2).toSeq == Seq(1L, 0L, 0L, 1L))
+    assert(got.map(_._3).toSeq == Seq(5.0, 0.0, 0.0, 7.0))
+  }
+
+  test("piiRedact scrubs digit runs and emails") {
+    val got = Seq(("call 12345 or mail bob.smith@example.com now", 1L))
+      .toDF("t", "id")
+      .select(graft.functions.TextFns.piiRedact(col("t")))
+      .as[String]
+      .head()
+    assert(got == "call [PII] or mail [PII] now", got)
+  }
+}
