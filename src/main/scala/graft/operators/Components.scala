@@ -22,49 +22,52 @@ object Components {
   /** (node, component) for every node appearing in `pairs`, where
     * component = the minimum node id reachable through the pair graph.
     * Deterministic; survivors are the rows with node == component.
+    *
+    * Two things keep the per-round cost flat: every round's label table is
+    * localCheckpoint'ed EAGERLY (truncating both lineage and the logical
+    * plan — without it each round re-optimizes a strictly larger plan and
+    * iteration time balloons), and convergence is detected from the exact
+    * decimal SUM of labels (labels only ever decrease, so an unchanged sum
+    * over the fixed node set ⟺ fixpoint) — one single-stage aggregate per
+    * round instead of a join against the previous labels.
     */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 25,
-      checkpointEvery: Int = 5
+      maxIter: Int = 25
   ): DataFrame = {
+    // Checkpoint the edge list too: it cuts the (potentially expensive)
+    // upstream candidate-generation plan out of every round.
     val edges = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     var labels = edges
       .select(col("src").as("node"))
       .distinct()
       .withColumn("lbl", col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
-    var converged = false
+    var prevSum: java.math.BigDecimal = null
+    var converged = labels.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
       // Each node adopts min(own label, neighbors' labels).
-      val proposed = edges
+      val next = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("lbl"))
         .union(labels)
         .groupBy("node")
         .agg(min("lbl").as("lbl"))
-      val next =
-        (if ((iter + 1) % checkpointEvery == 0) proposed.localCheckpoint() else proposed)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next
-        .withColumnRenamed("lbl", "new_lbl")
-        .join(labels, "node")
-        .filter(col("new_lbl") =!= col("lbl"))
-        .count()
-      labels.unpersist()
+        .localCheckpoint()
+      val s = next.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      converged = s == prevSum
+      prevSum = s
       labels = next
-      converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels.select(col("node"), col("lbl").as("component"))
   }
 }
