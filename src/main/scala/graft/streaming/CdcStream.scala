@@ -1,8 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{
+  GroupState,
+  GroupStateTimeout,
+  OutputMode,
+  StatefulProcessor,
+  TimeMode,
+  TimerValues,
+  TTLConfig,
+  ValueState
+}
 
 /** Structured Streaming CDC: the reference pipeline's streaming half
   * (Debezium envelope stream → keyed latest-state store → sink), as
@@ -53,6 +62,51 @@ object CdcStream {
           cur.foreach(state.update)
           out.iterator
       }
+  }
+
+  /** The same keyed latest-state store on Spark 4's `transformWithState`
+    * API (the successor to flatMapGroupsWithState): explicit named state
+    * via a StatefulProcessor handle, TTL-capable, RocksDB-backed — the
+    * migration path for long-lived 100 TB state stores (changelog
+    * checkpointing, no full-state snapshots per batch). Same semantics as
+    * [[applyChanges]]; StreamingSpec asserts both paths emit identical
+    * changelogs.
+    */
+  class LatestStateProcessor extends StatefulProcessor[String, Envelope, StateChange] {
+    @transient private var state: ValueState[KeyState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KeyState]("cdcLatestState", Encoders.product[KeyState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[Envelope],
+        timerValues: TimerValues
+    ): Iterator[StateChange] = {
+      val sorted = rows.toSeq.sortBy(_.seq)
+      var cur = if (state.exists()) Option(state.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[StateChange]
+      sorted.foreach { e =>
+        if (cur.forall(_.lastSeq < e.seq)) {
+          val deleted = e.op == "d"
+          cur = Some(KeyState(e.seq, e.payload, deleted))
+          out += StateChange(key, if (deleted) "d" else "u", e.payload, e.seq)
+        }
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+  }
+
+  /** [[applyChanges]] via transformWithState (requires the RocksDB state
+    * store provider, which the TWS operator mandates).
+    */
+  def applyChangesTws(envelopes: Dataset[Envelope]): Dataset[StateChange] = {
+    val spark = envelopes.sparkSession
+    import spark.implicits._
+    envelopes
+      .groupByKey(_.key)
+      .transformWithState(new LatestStateProcessor, TimeMode.None(), OutputMode.Append(), Encoders.product[StateChange])
   }
 
   /** Event-rate dashboard: windowed counts with a watermark (the Kibana

@@ -34,6 +34,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState path emits the same changelog as flatMapGroupsWithState") {
+    implicit val sq = spark.sqlContext
+    // transformWithState mandates the RocksDB state store provider.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val input = MemoryStream[Envelope]
+    val q = CdcStream
+      .applyChangesTws(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("cdc_tws_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData(Envelope("1", 1L, "c", "v1"), Envelope("1", 2L, "u", "v2"), Envelope("2", 1L, "c", "w1"))
+      q.processAllAvailable()
+      input.addData(Envelope("1", 1L, "u", "stale"), Envelope("2", 2L, "d", "w1"))
+      q.processAllAvailable()
+      val out = spark.table("cdc_tws_out").as[StateChange].collect()
+      assert(out.count(_.key == "1") == 2)
+      assert(out.filter(_.key == "1").map(_.payload).toSet == Set("v1", "v2"))
+      assert(!out.map(_.payload).contains("stale"))
+      assert(out.filter(_.key == "2").map(_.op).toSeq.sorted == Seq("d", "u"))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("eventRate: windowed counts with watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
