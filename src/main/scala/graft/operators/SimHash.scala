@@ -65,13 +65,13 @@ object SimHash {
     )
     val l = banded.as("l")
     val r = banded.as("r")
+    // groupBy rather than distinct: multi-band collisions collapse in the
+    // map-side partial aggregation instead of shuffling one row per
+    // colliding band (hamming is identical across a pair's collision rows,
+    // so first() is deterministic).
     l.join(r, col("l.band") === col("r.band") && col("l.bits") === col("r.bits") && col("l.id") < col("r.id"))
-      .select(
-        col("l.id").as("a"),
-        col("r.id").as("b"),
-        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming")
-      )
-      .distinct()
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(first(bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -104,7 +104,40 @@ object IndexOps {
     }
   }
 
-  /** `_cat/indices`-style stats: per-index doc counts. */
+  /** Resolve an OpenSearch-style index pattern (`*transaction*`, `card*`)
+    * against the indices that exist under `root` — directory-listing
+    * metadata only, no data I/O. Returns matching index names sorted.
+    */
+  def resolvePattern(spark: SparkSession, root: String, pattern: String): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) Seq.empty
+    else {
+      val regex = ("^" + java.util.regex.Pattern.quote(pattern).replace("*", "\\E.*\\Q") + "$").r
+      fs.listStatus(rootPath)
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(n => regex.findFirstIn(n).isDefined)
+        .toSeq
+        .sorted
+    }
+  }
+
+  /** An alias: a queryable view over one or more indices with an optional
+    * filter (OpenSearch filtered aliases — the standard multi-tenant /
+    * time-slice access path). Purely logical: the filter lands in the scan
+    * of each member index like any pushed predicate.
+    */
+  def aliasView(
+      spark: SparkSession,
+      root: String,
+      indices: Seq[String],
+      filter: Option[Column] = None
+  ): DataFrame = {
+    require(indices.nonEmpty, "alias needs at least one index")
+    val unioned = indices.map(IndexFileSink.readIndex(spark, root, _)).reduce(_ unionByName _)
+    filter.fold(unioned)(unioned.filter)
+  }
   def catIndices(spark: SparkSession, root: String, indices: Seq[String]): DataFrame = {
     val frames = indices.map { ix =>
       IndexFileSink

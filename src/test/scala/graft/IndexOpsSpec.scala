@@ -71,6 +71,18 @@ class IndexOpsSpec extends SparkSpec {
     assert(IndexFileSink.readIndex(spark, root, "card").count() == 3)
   }
 
+  test("resolvePattern globs index names; aliasView unions with a filter") {
+    val root = freshIndex()
+    IndexOps.reindex(spark, root, "card", "card_archive")
+    IndexOps.reindex(spark, root, "card", "transaction_2024", _.filter(col("amount") > 50))
+    assert(IndexOps.resolvePattern(spark, root, "card*") == Seq("card", "card_archive"))
+    assert(IndexOps.resolvePattern(spark, root, "*transaction*") == Seq("transaction_2024"))
+    assert(IndexOps.resolvePattern(spark, root, "*") == Seq("card", "card_archive", "transaction_2024"))
+    val active = IndexOps.aliasView(spark, root, Seq("card", "card_archive"), Some(col("status") === "ACTIVE"))
+    assert(active.count() == 4) // 2 ACTIVE docs in each copy
+    assert(active.filter(col("status") =!= "ACTIVE").count() == 0)
+  }
+
   test("PartitionedStore: time filter prunes partitions at the scan") {
     import graft.sinks.PartitionedStore
     val path = Files.createTempDirectory("graft-part").toString + "/events"
