@@ -47,58 +47,6 @@ object Dedup {
     if (union == 0) 0.0 else inter.toDouble / union
   })
 
-  /** 64-bit shingle fingerprint: two seeded murmur3_32 halves (the SimHash
-    * token-hash construction), deterministic across JVMs.
-    */
-  private def hash64(s: String): Long = {
-    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val h1 = org.apache.spark.unsafe.hash.Murmur3_x86_32
-      .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 0x1b873593)
-    val h2 = org.apache.spark.unsafe.hash.Murmur3_x86_32
-      .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 0xcc9e2d51)
-    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-  }
-
-  /** tokens → distinct n-gram shingles → SORTED array of 64-bit shingle
-    * hashes, in one compiled pass. The whole PPJoin pipeline then runs on
-    * longs: docFreq/prefix joins shuffle 8-byte keys instead of shingle
-    * strings, and verification is a merge-intersection of sorted arrays
-    * instead of string-set building. Collision risk at 64 bits is ~1e-9
-    * for a 100M-shingle vocabulary — the same accepted class of risk as
-    * md5-keyed exact dedup.
-    */
-  private def shingleHashes(n: Int) = udf((toks: Seq[String]) =>
-    if (toks == null || toks.length < n) Array.empty[Long]
-    else {
-      val raw = toks.iterator.sliding(n).map(w => hash64(w.mkString(" "))).toArray
-      java.util.Arrays.sort(raw)
-      // in-place dedup of the sorted array (distinct shingles)
-      var w = 0
-      var i = 0
-      while (i < raw.length) {
-        if (w == 0 || raw(i) != raw(w - 1)) { raw(w) = raw(i); w += 1 }
-        i += 1
-      }
-      java.util.Arrays.copyOf(raw, w)
-    }
-  )
-
-  /** Exact Jaccard of two SORTED long arrays by merge-intersection. */
-  val jaccardSortedUdf = udf((a: Seq[Long], b: Seq[Long]) => {
-    var i = 0
-    var j = 0
-    var inter = 0
-    while (i < a.length && j < b.length) {
-      val x = a(i)
-      val y = b(j)
-      if (x == y) { inter += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
-    }
-    val union = a.length + b.length - inter
-    if (union == 0) 0.0 else inter.toDouble / union
-  })
-
   /** Exact n-gram (token shingle) Jaccard pairs above `threshold`, via
     * frequency-ordered prefix filtering (the PPJoin family, Xiao et al.
     * WWW'08):
@@ -127,13 +75,11 @@ object Dedup {
   ): DataFrame = {
     // Persisted: referenced by the prefix path and both verify sides; at
     // scale this is the standard "materialize the shingle table once"
-    // step of a dedup job (spills to disk if it outgrows memory). Shingles
-    // are 64-bit hashes throughout — strings never leave the first
-    // projection.
+    // step of a dedup job (spills to disk if it outgrows memory).
     val base = graft.Tables
       .ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("_text")))
       .select(col("id"), TextFns.tokens(col("_text")).as("_toks"))
-      .select(col("id"), shingleHashes(n)(col("_toks")).as("sh"))
+      .select(col("id"), array_distinct(TextFns.ngramsFromTokens(col("_toks"), n)).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), col("sh"), size(col("sh")).as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -184,7 +130,7 @@ object Dedup {
     cands
       .join(sa, "a")
       .join(sb, "b")
-      .select(col("a"), col("b"), round(jaccardSortedUdf(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .select(col("a"), col("b"), round(jaccardUdf(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }
