@@ -665,6 +665,19 @@ object SparkEntry {
         .fuzzyMatch(Tables.documents(s, dir), "doc_id", "text", "spark", 1)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // Term suggester ("did you mean"): corrections for the misspelling
+    // "sparc", ranked by edit distance then corpus frequency.
+    "search_suggest" -> ((s, dir) =>
+      search.Fuzzy.suggest(Tables.documents(s, dir), "text", "sparc", 2, 5)),
+    // percentile_ranks: the inverse of the percentiles agg — the fraction
+    // of orders at or below each given value.
+    "search_percentile_ranks" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .agg(
+          round(avg((col("o_totalprice") <= 100000).cast("double")), 6).as("pr_100k"),
+          round(avg((col("o_totalprice") <= 300000).cast("double")), 6).as("pr_300k")
+        )),
     // `collapse`: one top order per priority (max_by hash agg, no window).
     "search_collapse" -> ((s, dir) =>
       Aggs
@@ -1043,6 +1056,18 @@ object SparkEntry {
         |WHERE len(list_filter(list_distinct(string_split(lower(text), ' ')),
         |                      t -> levenshtein(t, 'spark') <= 1)) > 0
         |ORDER BY doc_id""".stripMargin,
+    "search_suggest" ->
+      """SELECT suggestion, freq, dist FROM (
+        |  SELECT t.tok AS suggestion, count(*) AS freq,
+        |         CAST(levenshtein(t.tok, 'sparc') AS INTEGER) AS dist
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+        |  GROUP BY 1) v
+        |WHERE dist <= 2 AND dist > 0
+        |ORDER BY dist, freq DESC, suggestion LIMIT 5""".stripMargin,
+    "search_percentile_ranks" ->
+      """SELECT round(avg(CASE WHEN o_totalprice <= 100000 THEN 1.0 ELSE 0.0 END), 6) AS pr_100k,
+        |       round(avg(CASE WHEN o_totalprice <= 300000 THEN 1.0 ELSE 0.0 END), 6) AS pr_300k
+        |FROM orders""".stripMargin,
     "search_collapse" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

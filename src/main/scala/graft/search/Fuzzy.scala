@@ -36,4 +36,30 @@ object Fuzzy {
       .filter(levenshtein(col("tok"), lit(term.toLowerCase)) <= maxDist)
     toks.join(broadcast(variants), "tok").select("id").distinct()
   }
+
+  /** OpenSearch term suggester ("did you mean"): correction candidates for
+    * a (possibly misspelled) term, ranked by edit distance then corpus
+    * frequency — the same vocabulary-level plan as [[fuzzyMatch]]: one
+    * token-frequency aggregation (the suggester's index), then levenshtein
+    * over the distinct vocabulary only.
+    */
+  def suggest(
+      docs: DataFrame,
+      textCol: String,
+      term: String,
+      maxDist: Int,
+      k: Int
+  ): DataFrame = {
+    val vocab = graft.Tables
+      .ensureParallelism(docs.select(col(textCol).as("_text")))
+      .select(explode(TextFns.tokens(col("_text"))).as("suggestion"))
+      .groupBy("suggestion")
+      .agg(count(lit(1)).as("freq"))
+    vocab
+      .filter(abs(length(col("suggestion")) - lit(term.length)) <= maxDist)
+      .withColumn("dist", levenshtein(col("suggestion"), lit(term.toLowerCase)))
+      .filter(col("dist") <= maxDist && col("dist") > 0)
+      .orderBy(col("dist").asc, col("freq").desc, col("suggestion"))
+      .limit(k)
+  }
 }
