@@ -665,6 +665,38 @@ object SparkEntry {
         .fuzzyMatch(Tables.documents(s, dir), "doc_id", "text", "spark", 1)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // rare_terms: the vocabulary long tail (the synthetic corpus's dense
+    // vocab bottoms out at ~26 occurrences, so "rare" = at most 40) — the
+    // terms agg's complement.
+    "search_rare_terms" -> ((s, dir) =>
+      Aggs.rareTerms(
+        Tables
+          .ensureParallelism(Tables.documents(s, dir).select("text"))
+          .select(explode(TextFns.tokens(col("text"))).as("tok")),
+        col("tok"),
+        40
+      )),
+    // multi_terms: top composite buckets ranked by doc count (unlike
+    // composite_after, which pages in key order).
+    "search_multi_terms" -> ((s, dir) =>
+      Aggs.multiTerms(Tables.orders(s, dir), Seq(col("o_orderpriority"), col("o_orderstatus")), 5)),
+    // weighted_avg: quantity-weighted mean unit price over lineitem.
+    "search_weighted_avg" -> ((s, dir) =>
+      Aggs.weightedAvg(
+        Tables.lineitem(s, dir),
+        decMoney(col("l_extendedprice")),
+        decMoney(col("l_quantity"))
+      )),
+    // Sibling pipeline aggs (avg_bucket/min_bucket/max_bucket/sum_bucket)
+    // over the monthly-revenue buckets — bucket-table-sized work.
+    "search_avg_bucket" -> ((s, dir) =>
+      Aggs.bucketStats(
+        Tables
+          .orders(s, dir)
+          .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+          .agg(round(sum("o_totalprice"), 2).as("revenue")),
+        col("revenue")
+      )),
     // Term suggester ("did you mean"): corrections for the misspelling
     // "sparc", ranked by edit distance then corpus frequency.
     "search_suggest" -> ((s, dir) =>
@@ -1056,6 +1088,22 @@ object SparkEntry {
         |WHERE len(list_filter(list_distinct(string_split(lower(text), ' ')),
         |                      t -> levenshtein(t, 'spark') <= 1)) > 0
         |ORDER BY doc_id""".stripMargin,
+    "search_rare_terms" ->
+      """SELECT tok AS "key", count(*) AS doc_count
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+        |GROUP BY 1 HAVING count(*) <= 40 ORDER BY doc_count, "key"""".stripMargin,
+    "search_multi_terms" ->
+      """SELECT o_orderpriority AS k0, o_orderstatus AS k1, count(*) AS doc_count
+        |FROM orders GROUP BY 1, 2 ORDER BY doc_count DESC, k0, k1 LIMIT 5""".stripMargin,
+    "search_weighted_avg" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |           / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6) AS weighted_avg
+        |FROM lineitem""".stripMargin,
+    "search_avg_bucket" ->
+      """SELECT round(avg(revenue), 6) AS avg_bucket, round(min(revenue), 2) AS min_bucket,
+        |       round(max(revenue), 2) AS max_bucket, round(sum(revenue), 2) AS sum_bucket
+        |FROM (SELECT date_trunc('month', o_orderdate) AS bucket, round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t""".stripMargin,
     "search_suggest" ->
       """SELECT suggestion, freq, dist FROM (
         |  SELECT t.tok AS suggestion, count(*) AS freq,

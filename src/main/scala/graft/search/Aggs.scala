@@ -63,6 +63,48 @@ object Aggs {
       .agg(max_by(struct(docCols.map(col): _*), ordering).as("_doc"))
       .select(col(key) +: docCols.map(n => col(s"_doc.$n").as(n)): _*)
 
+  /** `rare_terms` aggregation: the long-tail complement of `terms` —
+    * buckets whose doc count is at most `maxCount`, rarest first.
+    */
+  def rareTerms(df: DataFrame, field: Column, maxCount: Long): DataFrame =
+    df.groupBy(field.as("key"))
+      .agg(count(lit(1)).as("doc_count"))
+      .filter(col("doc_count") <= maxCount)
+      .orderBy(col("doc_count").asc, col("key").asc)
+
+  /** `multi_terms` aggregation: top-`size` buckets over a composite key,
+    * by doc count desc (keys asc as the tie-break).
+    */
+  def multiTerms(df: DataFrame, fields: Seq[Column], size: Int): DataFrame = {
+    val keyed = fields.zipWithIndex.map { case (f, i) => f.as(s"k$i") }
+    df.groupBy(keyed: _*)
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc +: keyed.indices.map(i => col(s"k$i").asc): _*)
+      .limit(size)
+  }
+
+  /** `weighted_avg` aggregation: sum(value·weight)/sum(weight). Sums are
+    * cast to double AFTER aggregation so decimal operands stay exact
+    * through the sum (partition-order-independent) and the quotient is
+    * bit-identical on any engine.
+    */
+  def weightedAvg(df: DataFrame, value: Column, weight: Column): DataFrame =
+    df.agg(
+      round(sum(value * weight).cast("double") / sum(weight).cast("double"), 6).as("weighted_avg")
+    )
+
+  /** Sibling pipeline aggregations over a bucketed frame: avg/max/min/sum
+    * of a per-bucket metric (`avg_bucket` & co. — one row of bucket-level
+    * stats computed from the tiny bucket table, not the fact table).
+    */
+  def bucketStats(buckets: DataFrame, metric: Column): DataFrame =
+    buckets.agg(
+      round(avg(metric), 6).as("avg_bucket"),
+      round(min(metric), 2).as("min_bucket"),
+      round(max(metric), 2).as("max_bucket"),
+      round(sum(metric), 2).as("sum_bucket")
+    )
+
   /** `stats` aggregation: count/min/max/avg/sum of a numeric field. */
   def stats(df: DataFrame, field: Column): DataFrame =
     df.agg(
