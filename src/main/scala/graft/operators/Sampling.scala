@@ -34,7 +34,9 @@ object Sampling {
     */
   def stratifiedKeep(id: Column, fraction: Double): Column = {
     require(fraction > 0 && fraction <= 1, s"fraction out of range: $fraction")
-    val cutoff = f"${math.round(fraction * 256).min(256)}%02x"
-    hashBucket(id) < cutoff
+    val buckets = math.round(fraction * 256).min(256)
+    // 256 buckets would format as 3-char "100", which sorts BELOW 2-char
+    // hex buckets — a full sample must short-circuit to true.
+    if (buckets >= 256) lit(true) else hashBucket(id) < f"$buckets%02x"
   }
 }

@@ -53,6 +53,11 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Double)]
       .collect()
     rates.foreach { case (s, r) => assert(math.abs(r - 0.25) < 0.05, s"stratum $s rate $r") }
+    // boundary fractions: 1.0 keeps everything, tiny fractions keep some
+    val n = spark.range(1000).filter(Sampling.stratifiedKeep(col("id"), 1.0)).count()
+    assert(n == 1000)
+    val tiny = spark.range(1000).filter(Sampling.stratifiedKeep(col("id"), 0.999)).count()
+    assert(tiny == 1000) // rounds to 256 buckets
   }
 
   test("sharedNgrams flags only docs overlapping the benchmark") {
