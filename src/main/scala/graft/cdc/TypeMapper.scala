@@ -24,11 +24,19 @@ object TypeMapper {
   /** ISO 8601 with millis, UTC — the `date` rendering OpenSearch stores. */
   val Iso8601: String = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
 
+  /** Render an instant in true UTC regardless of the session timezone —
+    * date_format alone renders session-local wall clock, which would stamp
+    * a non-UTC time with the literal 'Z'.
+    */
+  private def isoUtc(c: Column): Column =
+    date_format(to_utc_timestamp(c, current_timezone()), Iso8601)
+
   /** The §4.3 rule for one source column, keyed by its Spark type. */
   def rule(dt: DataType): Column => Column = dt match {
     case ByteType | ShortType | IntegerType | LongType => _.cast(LongType)
     case FloatType | DoubleType | _: DecimalType       => _.cast(DoubleType)
-    case TimestampType | TimestampNTZType              => c => date_format(c, Iso8601)
+    case TimestampType                                 => isoUtc
+    case TimestampNTZType                              => c => date_format(c, Iso8601)
     case DateType                                      => c => date_format(c, "yyyy-MM-dd")
     case _                                             => identity // string/bool/array/struct pass through
   }
@@ -52,6 +60,9 @@ object TypeMapper {
       extras: Seq[(String, Column)] = Nil
   ): DataFrame = {
     val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val targets = (fields.map(_._2) ++ extras.map(_._1)).toSet
+    val unknown = overrides.keySet.diff(targets)
+    require(unknown.isEmpty, s"overrides for unknown target columns: ${unknown.mkString(", ")}")
     val mapped = fields.map { case (src, target) =>
       val dt = byName.getOrElse(src, throw new IllegalArgumentException(s"no source column '$src'"))
       overrides.getOrElse(target, rule(dt)(col(src))).as(target)

@@ -37,6 +37,14 @@ object Components {
       bCol: String,
       maxIter: Int = 25
   ): DataFrame = {
+    // The sum-of-labels convergence test needs numeric labels (a string
+    // id casts to null and null==null would read as instant convergence).
+    // Hash string ids to longs first (xxhash64) — the standard move at
+    // scale anyway.
+    require(
+      pairs.schema(aCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"connectedComponents requires numeric node ids; got ${pairs.schema(aCol).dataType.catalogString} — hash string ids first"
+    )
     // Checkpoint the edge list too: it cuts the (potentially expensive)
     // upstream candidate-generation plan out of every round.
     val edges = pairs
@@ -68,6 +76,12 @@ object Components {
       labels = next
       iter += 1
     }
+    // Partially-propagated labels are silently WRONG clusters — refuse
+    // them. Diameter > maxIter means the caller must raise the budget.
+    require(
+      converged,
+      s"connectedComponents did not converge in $maxIter rounds (component diameter exceeds maxIter) — raise maxIter"
+    )
     labels.select(col("node"), col("lbl").as("component"))
   }
 }

@@ -34,7 +34,9 @@ object Sampling {
     */
   def stratifiedKeep(id: Column, fraction: Double): Column = {
     require(fraction > 0 && fraction <= 1, s"fraction out of range: $fraction")
-    val buckets = math.round(fraction * 256).min(256)
+    // max(1): sub-1/512 fractions would round to zero buckets and
+    // silently keep nothing; the floor grain of this sampler is 1/256.
+    val buckets = math.round(fraction * 256).min(256).max(1)
     // 256 buckets would format as 3-char "100", which sorts BELOW 2-char
     // hex buckets — a full sample must short-circuit to true.
     if (buckets >= 256) lit(true) else hashBucket(id) < f"$buckets%02x"

@@ -40,8 +40,10 @@ object Aggs {
       .groupBy(date_trunc(interval, ts).as("bucket"))
       .agg(count(lit(1)).as("doc_count"), metric)
     val metricName = buckets.columns.last
-    val spine = df
-      .agg(date_trunc(interval, min(ts)).as("lo"), date_trunc(interval, max(ts)).as("hi"))
+    // Spine bounds come from the (tiny) bucket table, not a second scan of
+    // the fact table.
+    val spine = buckets
+      .agg(min("bucket").as("lo"), max("bucket").as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), expr(s"interval 1 $interval"))).as("bucket"))
     spine
       .join(buckets, Seq("bucket"), "left")

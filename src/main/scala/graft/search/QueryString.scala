@@ -157,7 +157,7 @@ object QueryString {
         case LBrace     => range(name, c, incl = false)
         case Word("*")  => c.isNotNull
         case Word(v) if v.contains("*") || v.contains("?") =>
-          c.like(v.replace("*", "%").replace("?", "_"))
+          c.like(toLikePattern(v))
         case Word(v)   => c === literal(name, v)
         case Quoted(v) => c === lit(v)
         case t         => throw new IllegalArgumentException(s"unexpected value token $t for field $name")
@@ -218,8 +218,19 @@ object QueryString {
       fieldType(f)
       if (phrase) SearchDsl.matchPhrase(col(f), term)
       else if (term.contains("*") || term.contains("?"))
-        exists(SearchDsl.analyze(col(f)), t => t.like(term.toLowerCase.replace("*", "%").replace("?", "_")))
+        exists(SearchDsl.analyze(col(f)), t => t.like(toLikePattern(term.toLowerCase)))
       else SearchDsl.matchScore(col(f), Seq(term)) > 0
     }
+
+    /** Query wildcards → LIKE, with LIKE's own metacharacters escaped
+      * first so a literal `_` or `%` in the value stays literal
+      * (OpenSearch wildcard semantics).
+      */
+    private def toLikePattern(v: String): String =
+      v.replace("\\", "\\\\")
+        .replace("%", "\\%")
+        .replace("_", "\\_")
+        .replace("*", "%")
+        .replace("?", "_")
   }
 }

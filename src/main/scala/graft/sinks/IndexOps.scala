@@ -45,8 +45,14 @@ object IndexOps {
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(spark.sessionState.newHadoopConf())
     val cur = new org.apache.hadoop.fs.Path(root, index)
     val tmp = new org.apache.hadoop.fs.Path(root, tmpName)
-    fs.delete(cur, true)
-    require(fs.rename(tmp, cur), s"swap failed: $tmp -> $cur")
+    val old = new org.apache.hadoop.fs.Path(root, s"$index.__old")
+    // Swap order matters: move the live index ASIDE first so a crash
+    // between the metadata ops never leaves zero copies — worst case the
+    // data survives under .__old and the swap is replayable.
+    fs.delete(old, true)
+    require(fs.rename(cur, old), s"swap failed moving live index aside: $cur -> $old")
+    require(fs.rename(tmp, cur), s"swap failed: $tmp -> $cur (previous contents preserved at $old)")
+    fs.delete(old, true)
   }
 
   /** `_delete_by_query`: drop matching docs, rewrite the index. Returns

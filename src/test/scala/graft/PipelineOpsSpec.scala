@@ -24,6 +24,15 @@ class PipelineOpsSpec extends SparkSpec {
     val labels = Components.connectedComponents(chain, "a", "b").as[(Long, Long)].collect().toMap
     assert(labels.values.toSet == Set(1L))
     assert(labels.keySet == (1L to 6L).toSet)
+
+    // string ids would break the sum-based convergence test -> fail fast
+    intercept[IllegalArgumentException] {
+      Components.connectedComponents(Seq(("x", "y")).toDF("a", "b"), "a", "b")
+    }
+    // a diameter beyond maxIter must refuse (partial labels are wrong)
+    intercept[IllegalArgumentException] {
+      Components.connectedComponents((1L to 10L).map(i => (i, i + 1)).toDF("a", "b"), "a", "b", maxIter = 3)
+    }
   }
 
   test("hash split is deterministic, exhaustive, and roughly proportioned") {

@@ -50,6 +50,12 @@ class QueryStringSpec extends SparkSpec {
     assert(ids(rows, "fast NOT jumps", Some("text")) == Set(1L))
   }
 
+  test("literal underscores in wildcard values stay literal") {
+    val df = Seq((1L, "card_type"), (2L, "cardXtype"), (3L, "card_")).toDF("id", "status")
+    assert(ids(df, "status:card_*") == Set(1L, 3L)) // '_' must not match 'X'
+    assert(ids(df, "status:card?type") == Set(1L, 2L)) // '?' matches any one char
+  }
+
   test("unknown fields and malformed input fail fast") {
     intercept[IllegalArgumentException](ids(rows, "nope:1"))
     intercept[IllegalArgumentException](ids(rows, "bare-term-no-default"))

@@ -65,4 +65,14 @@ class TypeMapperSpec extends SparkSpec {
       TypeMapper.mapTable(Tables.orders(spark, Sf), fields = Seq("nope" -> "x"))
     }
   }
+
+  test("typo'd override keys fail fast instead of silently dropping the normalization") {
+    intercept[IllegalArgumentException] {
+      TypeMapper.mapTable(
+        Tables.orders(spark, Sf),
+        fields = Seq("o_orderkey" -> "id"),
+        overrides = Map("Id" -> lower(col("o_orderkey")))
+      )
+    }
+  }
 }
