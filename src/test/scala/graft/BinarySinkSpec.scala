@@ -28,6 +28,14 @@ class BinarySinkSpec extends SparkSpec {
     assert(frames2.map(_.getInt(0)) == Seq(0, 2, 4)) // every 2nd frame
   }
 
+  test("frameSample: empty payload yields zero frames, not a phantom frame 0") {
+    val empty = Seq((9L, "")).toDF("doc_id", "text")
+    val meta = Binary.frameSample(Binary.asPayload(empty, $"doc_id", $"text"), 64, 4).head()
+    assert(meta.getAs[Int]("n_frames") == 0)
+    assert(meta.getSeq[org.apache.spark.sql.Row](3).isEmpty)
+    assert(Binary.frameSampleRows(Binary.asPayload(empty, $"doc_id", $"text"), 64, 4).count() == 0)
+  }
+
   test("decodeFeatures: mapPartitions plumbing with the stub decoder") {
     val out = Binary.decodeFeatures(Binary.asPayload(docs, $"doc_id", $"text"), featureDim = 8).orderBy("id").collect()
     assert(out.length == 2)
