@@ -2,6 +2,7 @@ package graft
 
 import graft.search.QueryString
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
 
 /** The Discover query-string parser vs hand-built predicates: each query
   * string must select exactly the rows its structured-DSL equivalent does.
@@ -60,6 +61,16 @@ class QueryStringSpec extends SparkSpec {
     intercept[IllegalArgumentException](ids(rows, "nope:1"))
     intercept[IllegalArgumentException](ids(rows, "bare-term-no-default"))
     intercept[IllegalArgumentException](ids(rows, "status:ACTIVE AND (card_type:DEBIT"))
+  }
+
+  test("date comparisons coerce string literals against timestamp columns") {
+    val o = Tables.orders(spark, Sf)
+    val got = o.filter(QueryString.parse(o, "o_orderdate >= 2000-01-01 AND o_orderdate < 2000-02-01")).count()
+    val want = o
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("2000-02-01").cast("timestamp"))
+      .count()
+    assert(got == want && want > 0)
   }
 
   test("compiles to the same rows as the structured DSL on the real corpus") {
