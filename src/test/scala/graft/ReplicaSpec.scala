@@ -94,6 +94,19 @@ class ReplicaSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall truth=${truth.size} got=${got.size}")
   }
 
+  test("approx cardinality tracks exact distinct counts within HLL++ error bounds") {
+    import graft.search.Aggs
+    val li = Tables.lineitem(spark, Sf)
+    val fields = Seq("n_parts" -> col("l_partkey"), "n_supps" -> col("l_suppkey"), "n_orders" -> col("l_orderkey"))
+    val exact = Aggs.cardinality(li, fields).head()
+    val approx = Aggs.approxCardinality(li, fields).head()
+    fields.indices.foreach { i =>
+      val (e, a) = (exact.getLong(i).toDouble, approx.getLong(i).toDouble)
+      // default rsd 0.05 -> 3-sigma bound 15%; deterministic given fixed data
+      assert(math.abs(a - e) / e <= 0.15, s"${fields(i)._1}: exact=$e approx=$a")
+    }
+  }
+
   test("LSH/IVF top-k emit exact cosine scores — approximation lives only in candidate recall") {
     val q = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
     val all = Similarity
