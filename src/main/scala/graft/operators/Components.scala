@@ -47,10 +47,22 @@ object Components {
     )
     // Checkpoint the edge list too: it cuts the (potentially expensive)
     // upstream candidate-generation plan out of every round.
-    val edges = pairs
+    val edges0 = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
+
+    // Size the iteration's parallelism to the MATERIALIZED graph, not the
+    // upstream fact table: near-dup pair graphs are orders of magnitude
+    // smaller than their corpus, and every propagation round schedules a
+    // task per partition — 32-way rounds over a few hundred edges are pure
+    // scheduling overhead. One partition per ~500k edges, capped at the
+    // inherited width (so a genuinely huge graph keeps full parallelism).
+    val nEdges = edges0.count()
+    val parts = math.max(1, math.min(edges0.rdd.getNumPartitions, (nEdges / 500000L).toInt + 1))
+    val edges =
+      if (parts < edges0.rdd.getNumPartitions) edges0.repartition(parts, col("dst")).localCheckpoint()
+      else edges0
 
     var labels = edges
       .select(col("src").as("node"))
