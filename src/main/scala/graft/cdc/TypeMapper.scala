@@ -26,10 +26,21 @@ object TypeMapper {
 
   /** Render an instant in true UTC regardless of the session timezone —
     * date_format alone renders session-local wall clock, which would stamp
-    * a non-UTC time with the literal 'Z'.
+    * a non-UTC time with the literal 'Z'. A zone-pinned java.time
+    * formatter over the raw instant sidesteps session-timezone DST gaps
+    * entirely (a to_utc_timestamp round-trip shifts instants whose UTC
+    * wall clock falls in the session zone's spring-forward hole).
     */
-  private def isoUtc(c: Column): Column =
-    date_format(to_utc_timestamp(c, current_timezone()), Iso8601)
+  private val isoUtcUdf = udf((ts: java.sql.Timestamp) =>
+    if (ts == null) null
+    else
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(ts.toInstant)
+  )
+
+  private def isoUtc(c: Column): Column = isoUtcUdf(c)
 
   /** The §4.3 rule for one source column, keyed by its Spark type. */
   def rule(dt: DataType): Column => Column = dt match {
@@ -60,9 +71,11 @@ object TypeMapper {
       extras: Seq[(String, Column)] = Nil
   ): DataFrame = {
     val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val targets = (fields.map(_._2) ++ extras.map(_._1)).toSet
+    // Overrides apply to mapped fields only — extras already ARE explicit
+    // expressions, so an override keyed on one is a mistake, not a layer.
+    val targets = fields.map(_._2).toSet
     val unknown = overrides.keySet.diff(targets)
-    require(unknown.isEmpty, s"overrides for unknown target columns: ${unknown.mkString(", ")}")
+    require(unknown.isEmpty, s"overrides must name mapped field targets; unknown: ${unknown.mkString(", ")}")
     val mapped = fields.map { case (src, target) =>
       val dt = byName.getOrElse(src, throw new IllegalArgumentException(s"no source column '$src'"))
       overrides.getOrElse(target, rule(dt)(col(src))).as(target)

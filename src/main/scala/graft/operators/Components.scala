@@ -41,10 +41,12 @@ object Components {
     // id casts to null and null==null would read as instant convergence).
     // Hash string ids to longs first (xxhash64) — the standard move at
     // scale anyway.
-    require(
-      pairs.schema(aCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"connectedComponents requires numeric node ids; got ${pairs.schema(aCol).dataType.catalogString} — hash string ids first"
-    )
+    Seq(aCol, bCol).foreach { c =>
+      require(
+        pairs.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"connectedComponents requires numeric node ids; '$c' is ${pairs.schema(c).dataType.catalogString} — hash string ids first"
+      )
+    }
     // Checkpoint the edge list too: it cuts the (potentially expensive)
     // upstream candidate-generation plan out of every round.
     val edges0 = pairs
@@ -60,8 +62,11 @@ object Components {
     // inherited width (so a genuinely huge graph keeps full parallelism).
     val nEdges = edges0.count()
     val parts = math.max(1, math.min(edges0.rdd.getNumPartitions, (nEdges / 500000L).toInt + 1))
+    // No second checkpoint: re-running the (tiny) repartition shuffle from
+    // the checkpointed RDD each round is cheaper than holding a second
+    // materialized copy of the edge list alive.
     val edges =
-      if (parts < edges0.rdd.getNumPartitions) edges0.repartition(parts, col("dst")).localCheckpoint()
+      if (parts < edges0.rdd.getNumPartitions) edges0.repartition(parts, col("dst"))
       else edges0
 
     var labels = edges

@@ -39,16 +39,35 @@ object IndexOps {
     * being read is never the path being written. The swap is two cheap
     * filesystem metadata ops.
     */
+  private def indexFs(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Restore an index stranded mid-swap by a crash: if the live directory
+    * is missing but the moved-aside copy exists, rename it back. Called by
+    * every rewrite op before reading, so an interrupted swap heals on the
+    * next invocation instead of requiring a hand-rename.
+    */
+  def recoverSwap(spark: SparkSession, root: String, index: String): Boolean = {
+    val fs = indexFs(spark, root)
+    val cur = new org.apache.hadoop.fs.Path(root, index)
+    val old = new org.apache.hadoop.fs.Path(root, s"$index.__old")
+    if (!fs.exists(cur) && fs.exists(old)) {
+      require(fs.rename(old, cur), s"swap recovery failed: $old -> $cur")
+      true
+    } else false
+  }
+
   private def rewrite(spark: SparkSession, root: String, index: String, docs: DataFrame): Unit = {
     val tmpName = s"$index.__rewrite"
     IndexFileSink.indexBatch(docs, root, tmpName, "_id")
-    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = indexFs(spark, root)
     val cur = new org.apache.hadoop.fs.Path(root, index)
     val tmp = new org.apache.hadoop.fs.Path(root, tmpName)
     val old = new org.apache.hadoop.fs.Path(root, s"$index.__old")
     // Swap order matters: move the live index ASIDE first so a crash
-    // between the metadata ops never leaves zero copies — worst case the
-    // data survives under .__old and the swap is replayable.
+    // between the metadata ops never leaves zero copies — the data
+    // survives under .__old and [[recoverSwap]] restores it on the next
+    // op against this index.
     fs.delete(old, true)
     require(fs.rename(cur, old), s"swap failed moving live index aside: $cur -> $old")
     require(fs.rename(tmp, cur), s"swap failed: $tmp -> $cur (previous contents preserved at $old)")
@@ -59,6 +78,7 @@ object IndexOps {
     * the number deleted.
     */
   def deleteByQuery(spark: SparkSession, root: String, index: String, predicate: Column): Long = {
+    recoverSwap(spark, root, index)
     val docs = IndexFileSink.readIndex(spark, root, index)
     val deleted = docs.filter(coalesce(predicate, lit(false))).count()
     rewrite(spark, root, index, docs.filter(!coalesce(predicate, lit(false))))
@@ -75,6 +95,7 @@ object IndexOps {
       predicate: Column,
       updates: Map[String, Column]
   ): Long = {
+    recoverSwap(spark, root, index)
     val docs = IndexFileSink.readIndex(spark, root, index)
     val updated = updates.foldLeft(docs) { case (d, (name, value)) =>
       d.withColumn(name, when(predicate, value).otherwise(col(name)))

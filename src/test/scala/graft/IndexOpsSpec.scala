@@ -62,6 +62,20 @@ class IndexOpsSpec extends SparkSpec {
     assert(!dirs.exists(d => before.take(2).exists(b => d.endsWith(b))))
   }
 
+  test("recoverSwap restores an index stranded mid-swap") {
+    val root = freshIndex()
+    // simulate a crash between the two renames: live dir moved aside
+    val f = new java.io.File(root)
+    assert(new java.io.File(f, "card").renameTo(new java.io.File(f, "card.__old")))
+    assert(IndexOps.recoverSwap(spark, root, "card"))
+    assert(IndexFileSink.readIndex(spark, root, "card").count() == 4)
+    // the next rewrite op also self-heals without an explicit recover call
+    assert(new java.io.File(f, "card").renameTo(new java.io.File(f, "card.__old")))
+    val deleted = IndexOps.deleteByQuery(spark, root, "card", col("id") === 1)
+    assert(deleted == 1L)
+    assert(IndexFileSink.readIndex(spark, root, "card").count() == 3)
+  }
+
   test("rewrite ops leave no temp directory behind") {
     val root = freshIndex()
     IndexOps.deleteByQuery(spark, root, "card", col("id") === 1)

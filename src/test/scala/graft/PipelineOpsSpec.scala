@@ -29,6 +29,10 @@ class PipelineOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Components.connectedComponents(Seq(("x", "y")).toDF("a", "b"), "a", "b")
     }
+    // ...including a string id on only ONE side (union would widen both)
+    intercept[IllegalArgumentException] {
+      Components.connectedComponents(Seq((1L, "y")).toDF("a", "b"), "a", "b")
+    }
     // a diameter beyond maxIter must refuse (partial labels are wrong)
     intercept[IllegalArgumentException] {
       Components.connectedComponents((1L to 10L).map(i => (i, i + 1)).toDF("a", "b"), "a", "b", maxIter = 3)

@@ -74,5 +74,28 @@ class TypeMapperSpec extends SparkSpec {
         overrides = Map("Id" -> lower(col("o_orderkey")))
       )
     }
+    // an override keyed on an extras column would be silently ignored -> reject
+    intercept[IllegalArgumentException] {
+      TypeMapper.mapTable(
+        Tables.orders(spark, Sf),
+        fields = Seq("o_orderkey" -> "id"),
+        overrides = Map("flag" -> lit(true)),
+        extras = Seq("flag" -> (col("o_totalprice") > 0))
+      )
+    }
+  }
+
+  test("UTC rendering is immune to the session zone and its DST gaps") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // 2026-03-08T02:30:00Z falls inside New York's spring-forward hole;
+      // a to_utc_timestamp round-trip would shift it to 03:30Z.
+      val df = Seq("x").toDF("dummy").select(
+        lit(java.sql.Timestamp.from(java.time.Instant.parse("2026-03-08T02:30:00Z"))).as("ts")
+      )
+      val out = TypeMapper.mapAll(df).select("ts").as[String].head()
+      assert(out == "2026-03-08T02:30:00.000Z", out)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 }
