@@ -73,6 +73,17 @@ class QueryStringSpec extends SparkSpec {
     assert(got == want && want > 0)
   }
 
+  test("parsed predicates push down to the parquet scan") {
+    val o = Tables.orders(spark, Sf)
+    val q = o
+      .filter(QueryString.parse(o, "o_orderstatus:O AND o_totalprice > 150000"))
+      .select("o_orderkey")
+    // toString elides long filter lists, so assert the untruncated prefix.
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus), IsNotNull(o_totalprice), " +
+      "EqualTo(o_orderstatus,O), GreaterThan(o_total"), plan)
+  }
+
   test("compiles to the same rows as the structured DSL on the real corpus") {
     val o = Tables.orders(spark, Sf)
     val viaString = o.filter(
