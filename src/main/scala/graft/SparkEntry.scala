@@ -730,6 +730,23 @@ object SparkEntry {
         round(sum("o_totalprice"), 2).as("revenue")
       )),
 
+    // Gopher-style repetition signals (Rae et al. 2021 quality filters):
+    // the share of tokens claimed by the most common bigram and the
+    // duplicate-token fraction — per-row expressions, no shuffle.
+    "text_repetition" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          size(col("_toks")).as("n_tokens"),
+          round(TextFns.maxBigramCount(col("_toks")) * lit(2.0) / size(col("_toks")), 6)
+            .as("top_bigram_frac"),
+          round(lit(1) - size(array_distinct(col("_toks"))).cast("double") / size(col("_toks")), 6)
+            .as("dup_token_frac")
+        )
+        .orderBy("doc_id")),
+
     // ── Multimodal ──────────────────────────────────────────────────────
     "mm_binary_meta" -> ((s, dir) =>
       Binary
@@ -1185,6 +1202,17 @@ object SparkEntry {
         |  FROM (SELECT string_split(lower(text), ' ') AS t FROM documents) d
         |  CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(i)) b
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |big AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+        |        FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |        WHERE len(t) >= 2),
+        |mx AS (SELECT doc_id, max(c) AS mc
+        |       FROM (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2) GROUP BY 1)
+        |SELECT toks.doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+        |       round(CAST(coalesce(mc, 0) * 2 AS DOUBLE) / len(t), 6) AS top_bigram_frac,
+        |       round(1 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS dup_token_frac
+        |FROM toks LEFT JOIN mx USING (doc_id) ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
         |       sha256(text) AS sha256,

@@ -132,6 +132,32 @@ object TextFns {
     */
   def rollingHashes(text: Column, window: Int): Column = rollingHashesFromTokens(tokens(text), window)
 
+  /** Highest multiplicity of any word bigram in the token stream — the
+    * numerator of the Gopher-style "fraction of characters in the most
+    * common 2-gram" repetition filter (Rae et al. 2021 §A1.1). Compiled
+    * one-pass count (a HOF/aggregate form would be interpreted and
+    * re-evaluate the array per element).
+    */
+  def maxBigramCount(toks: Column): Column = {
+    val f = udf((t: Seq[String]) =>
+      if (t == null || t.length < 2) 0
+      else {
+        val counts = scala.collection.mutable.HashMap.empty[String, Int]
+        var best = 0
+        var i = 0
+        while (i < t.length - 1) {
+          val bg = t(i) + " " + t(i + 1)
+          val c = counts.getOrElse(bg, 0) + 1
+          counts(bg) = c
+          if (c > best) best = c
+          i += 1
+        }
+        best
+      }
+    )
+    f(toks)
+  }
+
   /** PII scrubbing patterns (training-data hygiene): conservative
     * regexes for emails and long digit runs (account/phone shapes). Pure
     * regexp_replace — codegen'd, no shuffle; extend the list per corpus.

@@ -84,6 +84,19 @@ class TextFnsSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("maxBigramCount finds the most repeated bigram; short docs yield 0") {
+    val got = Seq(
+      (1L, "a b a b a b c"), // "a b" x3
+      (2L, "x y z"), // all distinct bigrams -> 1
+      (3L, "solo")
+    ).toDF("id", "text")
+      .select($"id", TextFns.maxBigramCount(TextFns.tokens($"text")))
+      .as[(Long, Int)]
+      .collect()
+      .toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 0))
+  }
+
   test("minhash_agg rejects non-string input at analysis time") {
     GraftFunctions.registerAll(spark)
     val e = intercept[Exception] {
