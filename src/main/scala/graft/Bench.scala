@@ -33,13 +33,19 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -dt)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the whole line under the driver's stdout
+    // tail capture (full-precision doubles pushed r2's line past it and the
+    // per-query map was truncated); the identical JSON also lands in
+    // bench_full.json so rounds can diff without scraping stdout.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
-    )
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), line + "\n")
+    println(line)
     spark.stop()
   }
 }

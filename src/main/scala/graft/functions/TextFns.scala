@@ -101,14 +101,16 @@ object TextFns {
     * hash each w-token window with the same chained murmur3 Spark's
     * `hash(c1..cw)` computes (seed 42, each token's UTF-8 bytes hashed with
     * the running value as seed), so values are row-identical to the
-    * previous `abs(hash(element_at...))` HOF form — but compiled: the HOF
-    * version is interpreted (no codegen) and re-evaluates the token-array
-    * subtree per element, measured ~50x slower (see [[ngramsFromTokens]]).
+    * previous `abs(hash(element_at...))` HOF form — including null-in →
+    * null-out — but compiled: the HOF version is interpreted (no codegen)
+    * and re-evaluates the token-array subtree per element, measured ~50x
+    * slower (see [[ngramsFromTokens]]).
     */
   def rollingHashesFromTokens(t: Column, window: Int): Column = {
     val w = window
     val f = udf((toks: Seq[String]) =>
-      if (toks == null || toks.length < w) Seq.empty[Int]
+      if (toks == null) null
+      else if (toks.length < w) Seq.empty[Int]
       else {
         val bytes = toks.iterator.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
         Seq.tabulate(toks.length - w + 1) { i =>

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanBridge
 
 /** Connected components over a pair graph — the step that turns near-dup
   * PAIRS (MinHash/SimHash/PPJoin output) into dedup CLUSTERS with one
@@ -14,8 +15,20 @@ import org.apache.spark.sql.functions._
   * hash-aggregate — both shuffle on node id — and the round count is the
   * cluster diameter, which for near-dup graphs is tiny (duplicates of one
   * document form near-cliques). The driver loop carries only the converged
-  * flag, never data; at 100 TB you add a checkpoint every few rounds to
-  * truncate lineage, which `checkpointEvery` does via localCheckpoint.
+  * flag, never data.
+  *
+  * Checkpointing: each round's label table is materialized eagerly to
+  * truncate lineage (without it Catalyst re-optimizes a strictly larger
+  * plan every round and iteration time balloons). Two modes:
+  *
+  *  - default: in-memory/local-disk blocks (localCheckpoint semantics, via
+  *    [[PlanBridge.materialize]] so round N−1's blocks are released the
+  *    moment round N exists — bounded memory at any round count). Blocks
+  *    live on executors only: an executor loss kills the job.
+  *  - `checkpointDir = Some(dir)`: every round spills to parquet under
+  *    `dir` and reads back — durable, fault-tolerant lineage truncation
+  *    for real-cluster deployments (the job survives executor loss;
+  *    earlier-round files are deleted as soon as the next round lands).
   */
 object Components {
 
@@ -23,19 +36,17 @@ object Components {
     * component = the minimum node id reachable through the pair graph.
     * Deterministic; survivors are the rows with node == component.
     *
-    * Two things keep the per-round cost flat: every round's label table is
-    * localCheckpoint'ed EAGERLY (truncating both lineage and the logical
-    * plan — without it each round re-optimizes a strictly larger plan and
-    * iteration time balloons), and convergence is detected from the exact
-    * decimal SUM of labels (labels only ever decrease, so an unchanged sum
-    * over the fixed node set ⟺ fixpoint) — one single-stage aggregate per
-    * round instead of a join against the previous labels.
+    * Convergence is detected from the exact decimal SUM of labels (labels
+    * only ever decrease, so an unchanged sum over the fixed node set ⟺
+    * fixpoint) — one single-stage aggregate per round instead of a join
+    * against the previous labels.
     */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 25
+      maxIter: Int = 25,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
     // The sum-of-labels convergence test needs numeric labels (a string
     // id casts to null and null==null would read as instant convergence).
@@ -47,12 +58,31 @@ object Components {
         s"connectedComponents requires numeric node ids; '$c' is ${pairs.schema(c).dataType.catalogString} — hash string ids first"
       )
     }
+    val spark = pairs.sparkSession
+    val fs: Option[(org.apache.hadoop.fs.FileSystem, String)] = checkpointDir.map { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
+    }
+    // One checkpoint step: (materialized frame, release handle for the
+    // PREVIOUS round's storage — blocks or parquet files).
+    def step(df: DataFrame, round: Int): (DataFrame, () => Unit) = fs match {
+      case Some((hfs, dir)) =>
+        val path = s"$dir/round_$round"
+        df.write.mode("overwrite").parquet(path)
+        (spark.read.parquet(path), () => { hfs.delete(new org.apache.hadoop.fs.Path(path), true); () })
+      case None =>
+        val m = PlanBridge.materialize(df)
+        (m.df, () => m.unpersist())
+    }
+
     // Checkpoint the edge list too: it cuts the (potentially expensive)
     // upstream candidate-generation plan out of every round.
-    val edges0 = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint()
+    val (edges0, releaseEdges) = step(
+      pairs
+        .select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))),
+      round = -1
+    )
 
     // Size the iteration's parallelism to the MATERIALIZED graph, not the
     // upstream fact table: near-dup pair graphs are orders of magnitude
@@ -63,36 +93,45 @@ object Components {
     val nEdges = edges0.count()
     val parts = math.max(1, math.min(edges0.rdd.getNumPartitions, (nEdges / 500000L).toInt + 1))
     // No second checkpoint: re-running the (tiny) repartition shuffle from
-    // the checkpointed RDD each round is cheaper than holding a second
+    // the checkpointed edges each round is cheaper than holding a second
     // materialized copy of the edge list alive.
     val edges =
       if (parts < edges0.rdd.getNumPartitions) edges0.repartition(parts, col("dst"))
       else edges0
 
-    var labels = edges
-      .select(col("src").as("node"))
-      .distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
+    var (labels, releaseLabels) = step(
+      edges
+        .select(col("src").as("node"))
+        .distinct()
+        .withColumn("lbl", col("node")),
+      round = 0
+    )
 
     var prevSum: java.math.BigDecimal = null
     var converged = labels.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
       // Each node adopts min(own label, neighbors' labels).
-      val next = edges
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src").as("node"), col("lbl"))
-        .union(labels)
-        .groupBy("node")
-        .agg(min("lbl").as("lbl"))
-        .localCheckpoint()
+      val (next, releaseNext) = step(
+        edges
+          .join(labels.withColumnRenamed("node", "dst"), "dst")
+          .select(col("src").as("node"), col("lbl"))
+          .union(labels)
+          .groupBy("node")
+          .agg(min("lbl").as("lbl")),
+        round = iter + 1
+      )
       val s = next.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
       converged = s == prevSum
       prevSum = s
+      // Round N is materialized — release round N−1's blocks/files now, so
+      // storage stays at two rounds' worth regardless of iteration count.
+      releaseLabels()
       labels = next
+      releaseLabels = releaseNext
       iter += 1
     }
+    releaseEdges()
     // Partially-propagated labels are silently WRONG clusters — refuse
     // them. Diameter > maxIter means the caller must raise the budget.
     require(

@@ -36,10 +36,21 @@ object Aggs {
     * then left-joined by the real buckets.
     */
   def dateHistogramFilled(df: DataFrame, ts: Column, interval: String, metric: Column): DataFrame = {
+    // The metric's name comes from ITS OWN alias (not positional column
+    // lookup, which breaks the moment a second metric is added).
+    val metricName = org.apache.spark.sql.graft.ColumnBridge
+      .aliasName(metric)
+      .getOrElse(
+        throw new IllegalArgumentException(
+          s"""dateHistogramFilled needs an aliased metric (metric.as("name")), got: $metric"""
+        )
+      )
     val buckets = df
       .groupBy(date_trunc(interval, ts).as("bucket"))
       .agg(count(lit(1)).as("doc_count"), metric)
-    val metricName = buckets.columns.last
+    // Zero-fill in the metric's OWN type: a bigint sum stays bigint, a
+    // decimal stays decimal — no silent widening to double.
+    val metricType = buckets.schema(metricName).dataType
     // Spine bounds come from the (tiny) bucket table, not a second scan of
     // the fact table.
     val spine = buckets
@@ -50,7 +61,7 @@ object Aggs {
       .select(
         col("bucket"),
         coalesce(col("doc_count"), lit(0L)).as("doc_count"),
-        coalesce(col(metricName), lit(0.0)).as(metricName)
+        coalesce(col(metricName), lit(0).cast(metricType)).as(metricName)
       )
       .orderBy("bucket")
   }

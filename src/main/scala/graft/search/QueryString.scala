@@ -174,8 +174,13 @@ object QueryString {
         (incl && close == RBrack) || (!incl && close == RBrace),
         s"range bracket mismatch for $name"
       )
-      val (gl, gh) = (literal(name, lo), literal(name, hi))
-      if (incl) c >= gl && c <= gh else c > gl && c < gh
+      // Lucene's `*` endpoint is "unbounded": drop that side of the
+      // conjunct. Both sides open ([* TO *]) degenerates to existence.
+      val conds = Seq(
+        Option(lo).filter(_ != "*").map(v => if (incl) c >= literal(name, v) else c > literal(name, v)),
+        Option(hi).filter(_ != "*").map(v => if (incl) c <= literal(name, v) else c < literal(name, v))
+      ).flatten
+      conds.reduceOption(_ && _).getOrElse(c.isNotNull)
     }
 
     private def nextLiteral(): String = next() match {
@@ -200,15 +205,29 @@ object QueryString {
     private def field(name: String): Column = { fieldType(name); col(name) }
 
     /** Type the literal by the column: numeric columns get numeric
-      * literals ("*" wildcards excepted), boolean true/false parsed,
+      * literals — an unparseable value FAILS FAST (the silent alternative,
+      * a string literal against a numeric column, compiles to a null
+      * predicate that drops every row); boolean true/false parsed;
       * everything else compared as the raw string (Spark coerces
       * date/timestamp strings in comparisons).
       */
     private def literal(name: String, raw: String): Column = fieldType(name) match {
       case StringType => lit(raw)
-      case _ if raw.equalsIgnoreCase("true") || raw.equalsIgnoreCase("false") => lit(raw.toBoolean)
-      case _ =>
-        scala.util.Try(lit(raw.toLong)).orElse(scala.util.Try(lit(raw.toDouble))).getOrElse(lit(raw))
+      case _: org.apache.spark.sql.types.NumericType =>
+        scala.util.Try(lit(raw.toLong))
+          .orElse(scala.util.Try(lit(raw.toDouble)))
+          .getOrElse(
+            throw new IllegalArgumentException(
+              s"value '$raw' is not numeric for numeric field '$name' (use * for an unbounded range endpoint)"
+            )
+          )
+      case org.apache.spark.sql.types.BooleanType =>
+        require(
+          raw.equalsIgnoreCase("true") || raw.equalsIgnoreCase("false"),
+          s"value '$raw' is not a boolean for boolean field '$name'"
+        )
+        lit(raw.toBoolean)
+      case _ => lit(raw)
     }
 
     private def defaultMatch(term: String, phrase: Boolean): Column = {

@@ -57,6 +57,17 @@ object IndexOps {
     } else false
   }
 
+  /** CONCURRENCY CONTRACT (applies to every rewrite op — `_reindex`,
+    * `deleteByQuery`, `updateByQuery`): single writer, no concurrent
+    * readers during the swap. The two-rename swap has a window where the
+    * live path does not exist; [[recoverSwap]] heals a crash inside it, but
+    * a reader (or a second rewrite) racing the window fails on a missing
+    * path. This mirrors the reference's posture — OpenSearch `_reindex`
+    * into a live alias is likewise an external-coordination problem — and
+    * on a real deployment the swap is guarded by the orchestrator (one
+    * writer per index) exactly as Debezium guarantees one consumer per
+    * topic-partition.
+    */
   private def rewrite(spark: SparkSession, root: String, index: String, docs: DataFrame): Unit = {
     val tmpName = s"$index.__rewrite"
     IndexFileSink.indexBatch(docs, root, tmpName, "_id")

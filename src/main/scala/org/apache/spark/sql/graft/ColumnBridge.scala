@@ -20,6 +20,15 @@ object ColumnBridge {
   def aggColumn(f: AggregateFunction): Column = ExpressionUtils.column(f.toAggregateExpression())
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The alias a caller put on a Column (`c.as("name")`), if any. Spark 4
+    * Columns wrap a backend-agnostic `ColumnNode`, so the alias lives on
+    * `internal.Alias`, not on a Catalyst `Alias`.
+    */
+  def aliasName(c: Column): Option[String] = c.node match {
+    case a: org.apache.spark.sql.internal.Alias => a.name.headOption
+    case _                                      => None
+  }
 }
 
 /** Installs graft's native Catalyst functions into an existing session's

@@ -39,6 +39,39 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents durable-checkpoint path matches the in-memory path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    // Two components + a chain: exercises several propagation rounds so
+    // superseded-round cleanup actually runs in both modes.
+    val pairs = (1L to 5L).map(i => (i, i + 1)) ++ Seq((10L, 11L), (11L, 12L))
+    val df = pairs.toDF("a", "b")
+    val local = Components.connectedComponents(df, "a", "b").as[(Long, Long)].collect().toMap
+    val durable = Components
+      .connectedComponents(df, "a", "b", checkpointDir = Some(dir))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(durable == local)
+    // Superseded rounds are deleted — only the final round's parquet (and
+    // nothing from the edge materialization) remains under the dir.
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(left.size == 1 && left.head.startsWith("round_"), left.toString)
+  }
+
+  test("dateHistogramFilled zero-fills in the metric's own type and needs an alias") {
+    val df = Seq(
+      ("2024-01-01 10:00:00", 3L),
+      ("2024-01-03 11:00:00", 4L) // Jan 2 empty
+    ).toDF("ts", "v").select(col("ts").cast("timestamp").as("ts"), col("v"))
+    val got = Aggs.dateHistogramFilled(df, col("ts"), "day", sum("v").as("total"))
+    // a bigint sum stays bigint (no silent widening to double)
+    assert(got.schema("total").dataType == org.apache.spark.sql.types.LongType)
+    assert(got.as[(java.sql.Timestamp, Long, Long)].collect().map(_._3).toSeq == Seq(3L, 0L, 4L))
+    intercept[IllegalArgumentException] {
+      Aggs.dateHistogramFilled(df, col("ts"), "day", sum("v")) // no alias
+    }
+  }
+
   test("hash split is deterministic, exhaustive, and roughly proportioned") {
     val ids = spark.range(10000).select(col("id"))
     val counts = ids

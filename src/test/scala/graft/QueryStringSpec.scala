@@ -63,6 +63,20 @@ class QueryStringSpec extends SparkSpec {
     intercept[IllegalArgumentException](ids(rows, "status:ACTIVE AND (card_type:DEBIT"))
   }
 
+  test("open-ended range endpoints (`*`) are unbounded, not string literals") {
+    assert(ids(rows, "amount:[900 TO *]") == Set(2L, 3L, 5L))
+    assert(ids(rows, "amount:[* TO 120]") == Set(1L, 4L))
+    assert(ids(rows, "amount:{900 TO *}") == Set(2L, 5L))
+    assert(ids(rows, "amount:[* TO *]") == Set(1L, 2L, 3L, 4L, 5L)) // existence
+  }
+
+  test("non-numeric literals against numeric/boolean fields fail fast, not null-filter") {
+    intercept[IllegalArgumentException](ids(rows, "amount:[abc TO 100]"))
+    intercept[IllegalArgumentException](ids(rows, "amount > abc"))
+    intercept[IllegalArgumentException](ids(rows, "amount:oops"))
+    intercept[IllegalArgumentException](ids(rows, "is_active:maybe"))
+  }
+
   test("date comparisons coerce string literals against timestamp columns") {
     val o = Tables.orders(spark, Sf)
     val got = o.filter(QueryString.parse(o, "o_orderdate >= 2000-01-01 AND o_orderdate < 2000-02-01")).count()
