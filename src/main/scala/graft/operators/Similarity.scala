@@ -69,11 +69,12 @@ object Similarity {
       nBits: Int = 12,
       tables: Int = 4
   ): DataFrame = {
+    // The exploded signature table carries (id, table, sig) ONLY — the
+    // vector stays behind and is joined back for the exact rescore.
     val sigd = graft.Tables
       .ensureParallelism(emb.select(col(idCol), col(vecCol)))
       .select(
         col(idCol),
-        col(vecCol),
         posexplode(
           array((0 until tables).map(t => VectorFns.hyperplaneSig(col(vecCol), nBits, seed = t * 7919 + 1)): _*)
         ).as(Seq("table", "sig"))
@@ -86,51 +87,127 @@ object Similarity {
         col("id").cast("int").as("table"),
         element_at(array(qsigs: _*), col("id").cast("int") + 1).as("sig")
       )
-    sigd
+    // Dedup candidates on the ID ONLY (a row can collide in several
+    // tables): distinct() over (id, vector) would shuffle and hash-compare
+    // 64-float arrays as grouping keys. The candidate-id set is
+    // query-scale, so it broadcasts back onto the corpus for the exact
+    // rescore — the vectors themselves never shuffle.
+    val candIds = sigd
       .join(broadcast(probeSigs), Seq("table", "sig"))
-      .select(col(idCol), col(vecCol))
+      .select(col(idCol))
       .distinct()
+    emb
+      .select(col(idCol), col(vecCol))
+      .join(broadcast(candIds), Seq(idCol))
       .select(col(idCol), round(VectorFns.cosine(col(vecCol), qlit), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
 
-  /** IVF (inverted-file) ANN: a coarse quantizer partitions vectors into
-    * `nLists` cells; queries scan only the `nProbe` nearest cells.
+  /** IVF (inverted-file) ANN index: a coarse quantizer partitions vectors
+    * into cells; queries scan only the `nProbe` nearest cells.
     *
-    * The centroids are a deterministic sample of the corpus (rows whose
-    * id-hash lands in [0, nLists)) — at 100 TB you'd k-means them, but the
-    * index structure and query path are identical: one broadcast of
-    * `nLists` centroids, one scan to assign cells (this is the "build"),
-    * then per-query a scan restricted to the probed cells. Cell
-    * assignments would be persisted/bucketed in a real deployment so the
-    * build cost amortizes across queries.
+    * `centroids` is driver-resident index METADATA — O(nLists) vectors,
+    * the same order of magnitude as a probe batch, shipped to executors as
+    * a broadcast closure. `assigned` is the corpus with its cell id: at
+    * 100 TB this is the artifact you persist/bucket by cell once and score
+    * thousands of queries against (see the Bm25 buildIndex/score split —
+    * same amortization contract; `persist()` pins it for a
+    * multi-query session, a real deployment writes it out).
     */
-  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, nLists: Int): (DataFrame, DataFrame) = {
-    // Deterministic pseudo-random sample: the nLists rows with the
-    // smallest id-hash (a single TakeOrdered pass, no count, no RNG state).
-    val centroids = emb
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
-      .orderBy(pmod(hash(col("centroid_id")), lit(1 << 30)).asc, col("centroid_id"))
-      .limit(nLists)
-    // Nearest centroid per vector via min_by (hash aggregate with map-side
-    // partials) — a window partitioned by id would sort nLists×N rows.
-    val assigned = graft.Tables
-      .ensureParallelism(emb.select(col(idCol), col(vecCol)))
-      .join(broadcast(centroids))
-      .groupBy(col(idCol))
-      .agg(
-        min_by(
-          struct(col(vecCol).as("v"), col("centroid_id").as("cell")),
-          struct(VectorFns.l2sq(col(vecCol), col("centroid_vec")).as("d"), col("centroid_id").as("c"))
-        ).as("m")
-      )
-      .select(col(idCol), col("m.v").as(vecCol), col("m.cell").as("cell"))
-    (centroids, assigned)
+  final case class IvfIndex(centroids: Array[Array[Float]], assigned: DataFrame) {
+    def persist(): IvfIndex = {
+      assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      this
+    }
+    def unpersist(): Unit = { assigned.unpersist(); () }
   }
 
-  /** Top-k via IVF: rank cells by centroid distance to the query, scan the
-    * nearest `nProbe` cells, exact cosine within them.
+  /** Build the IVF index. Centroids are a deterministic pseudo-random
+    * sample of the corpus (the `nLists` rows with the smallest id-hash —
+    * one TakeOrdered pass, no RNG state; at 100 TB you'd k-means them, the
+    * index structure is identical). Cell assignment is a PURE PROJECTION:
+    * a compiled argmin over the closure-broadcast centroid array — one
+    * scan, zero shuffle. The r2 form (broadcast join against the centroid
+    * frame + min_by hash aggregate) expanded the corpus ×nLists and paid a
+    * full aggregation; it also evaluated the centroid TakeOrdered twice
+    * per query. Measured 4.2 s → well under 1 s at sf0.1.
+    */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, nLists: Int): IvfIndex = {
+    // O(nLists) driver fetch: index metadata, same class as a probe-vector
+    // fetch. Order (id-hash asc, id asc) is deterministic; the position in
+    // this array IS the cell id.
+    val centroids: Array[Array[Float]] = emb
+      .select(col(idCol), col(vecCol))
+      .orderBy(pmod(hash(col(idCol)), lit(1 << 30)).asc, col(idCol))
+      .limit(nLists)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    val assign = udf { (v: Seq[Float]) =>
+      if (v == null) -1
+      else {
+        var best = 0
+        var bestD = Double.MaxValue
+        var i = 0
+        while (i < centroids.length) {
+          val c = centroids(i)
+          var d = 0.0
+          var j = 0
+          val n = math.min(c.length, v.length)
+          while (j < n) { val t = v(j).toDouble - c(j).toDouble; d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        best
+      }
+    }
+    val assigned = graft.Tables
+      .ensureParallelism(emb.select(col(idCol), col(vecCol)))
+      .withColumn("cell", assign(col(vecCol)))
+    IvfIndex(centroids, assigned)
+  }
+
+  /** The `nProbe` cells nearest to `query` — driver-side math over the
+    * O(nLists) centroid array (distance asc, cell id asc on ties).
+    */
+  def probeCells(index: IvfIndex, query: Seq[Float], nProbe: Int): Seq[Int] =
+    index.centroids.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        val n = math.min(c.length, query.length)
+        while (j < n) { val t = query(j).toDouble - c(j).toDouble; d += t * t; j += 1 }
+        (d, i)
+      }
+      .sortBy(identity)
+      .take(nProbe)
+      .map(_._2)
+      .toSeq
+
+  /** Score a query against a prebuilt index: filter to the probed cells
+    * (a partition-prunable predicate when `assigned` is stored
+    * partitioned/bucketed by cell), exact cosine within them, bounded
+    * top-k — no join, no aggregation, no shuffle.
+    */
+  def scoreAgainstIvf(
+      index: IvfIndex,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    val qlit = vecLit(query)
+    val cells = probeCells(index, query, nProbe)
+    index.assigned
+      .filter(col("cell").isin(cells: _*))
+      .select(col(idCol), round(VectorFns.cosine(col(vecCol), qlit), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** One-shot top-k via IVF: build + score. The split exists so repeated
+    * queries amortize the build (see SimilaritySpec).
     */
   def ivfTopK(
       emb: DataFrame,
@@ -140,20 +217,8 @@ object Similarity {
       k: Int,
       nLists: Int = 16,
       nProbe: Int = 4
-  ): DataFrame = {
-    val (centroids, assigned) = ivfIndex(emb, idCol, vecCol, nLists)
-    val qlit = vecLit(query)
-    val probed = centroids
-      .select(col("centroid_id"), VectorFns.l2sq(col("centroid_vec"), qlit).as("_d"))
-      .orderBy(col("_d").asc, col("centroid_id"))
-      .limit(nProbe)
-      .select(col("centroid_id").as("cell"))
-    assigned
-      .join(broadcast(probed), "cell")
-      .select(col(idCol), round(VectorFns.cosine(col(vecCol), qlit), 6).as("cos"))
-      .orderBy(col("cos").desc, col(idCol).asc)
-      .limit(k)
-  }
+  ): DataFrame =
+    scoreAgainstIvf(ivfIndex(emb, idCol, vecCol, nLists), idCol, vecCol, query, k, nProbe)
 
   /** Embedding-cosine near-duplicate pairs: bucket by one hyperplane
     * signature, pair within buckets (a < b), verify exact cosine >=

@@ -118,11 +118,26 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), plan)
   }
 
-  test("ivfIndex assigns cells with a hash aggregate, not a per-id window") {
-    val (_, assigned) = Similarity.ivfIndex(Tables.embeddings(spark, Sf), "vec_id", "embedding", 8)
-    val plan = assigned.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"per-id window sort:\n$plan")
-    assert(assigned.count() == Tables.embeddings(spark, Sf).count())
+  test("ivfIndex assignment is a pure projection — no window, join, or aggregation") {
+    val idx = Similarity.ivfIndex(Tables.embeddings(spark, Sf), "vec_id", "embedding", 8)
+    val plan = idx.assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join") && !plan.contains("HashAggregate"), plan)
+    assert(idx.assigned.count() == Tables.embeddings(spark, Sf).count())
+    assert(idx.centroids.length == 8)
+    val cells = idx.assigned.select("cell").distinct().as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 8), cells.mkString(","))
+  }
+
+  test("IVF build/score split equals the one-shot path; score plan is filter + bounded top-k only") {
+    val emb = Tables.embeddings(spark, Sf)
+    val q = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", 16)
+    val score = Similarity.scoreAgainstIvf(idx, "vec_id", "embedding", q, 10, nProbe = 8)
+    val oneShot = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10, nLists = 16, nProbe = 8)
+    assert(score.collect().toSeq == oneShot.collect().toSeq)
+    val plan = score.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
   test("brute-force plan broadcasts probes — no shuffle of the candidate side") {
