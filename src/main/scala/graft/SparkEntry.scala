@@ -4,7 +4,7 @@ import graft.cdc.CdcBatch
 import graft.functions.{TextFns, VectorFns}
 import graft.multimodal.Binary
 import graft.operators.{Dedup, MinHashLSH, SimHash, Similarity}
-import graft.search.{Aggs, SearchDsl}
+import graft.search.{Aggs, IndexMapping, JsonDsl, SearchDsl}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -84,6 +84,21 @@ object SparkEntry {
     Memo.parquet(s, s"ngram-pairs:$dir")(
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.4)
     )
+
+  /** The `documents` index mapping, declared in the reference's
+    * `_mapping` JSON format (TDD §4: keyword vs text vs date per field)
+    * and consulted by the JSON-DSL entries for analyzed-vs-exact
+    * semantics.
+    */
+  private val docsMapping: IndexMapping = IndexMapping.fromJson(
+    """{"mappings": {"properties": {
+      |  "doc_id":  {"type": "long"},
+      |  "text":    {"type": "text"},
+      |  "lang":    {"type": "keyword"},
+      |  "source":  {"type": "keyword"},
+      |  "n_chars": {"type": "long"}
+      |}}}""".stripMargin
+  )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── CDC core ────────────────────────────────────────────────────────
@@ -176,6 +191,44 @@ object SparkEntry {
         .select(col("doc_id"), SearchDsl.matchScore(col("text"), Seq("spark", "stream")).as("score"))
         .filter(col("score") > 0)
         .orderBy(col("score").desc, col("doc_id"))),
+    // ── JSON request-body executor: the reference's actual wire format
+    // (DASHBOARD_GUIDE.md Dev Tools bodies) compiled onto SearchDsl/Aggs.
+    // docsMapping mirrors the TDD §4 index definition for `documents`.
+    "search_dsl_json" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"bool": {
+          |   "must":     [{"match": {"text": "spark stream"}}],
+          |   "filter":   [{"range": {"n_chars": {"gte": 200}}}],
+          |   "must_not": [{"term":  {"lang": "de"}}]
+          | }},
+          | "sort": [{"doc_id": {"order": "asc"}}],
+          | "_source": ["doc_id", "lang", "n_chars"]}""".stripMargin,
+        docsMapping
+      )),
+    "search_dsl_json_agg" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.events(s, dir),
+        """{"query": {"range": {"value": {"gte": 100}}},
+          | "aggs": {"by_month": {
+          |   "date_histogram": {"field": "ts", "calendar_interval": "month"},
+          |   "aggs": {"n_users": {"value_count": {"field": "user_id"}}}
+          | }}}""".stripMargin
+      )),
+    // Mapping-driven semantics: the SAME `match` clause is exact equality
+    // on the keyword-mapped `lang` and an analyzed term test on the
+    // text-mapped `text` — the mapping artifact decides.
+    "search_mapped_query" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"bool": {"must": [
+          |   {"match": {"lang": "en"}},
+          |   {"match": {"text": "data quality"}}
+          | ]}},
+          | "sort": ["doc_id"],
+          | "_source": ["doc_id", "lang", "n_chars"]}""".stripMargin,
+        docsMapping
+      )),
     "search_bool_term" -> ((s, dir) =>
       Tables
         .orders(s, dir)
@@ -876,6 +929,22 @@ object SparkEntry {
         |        + CASE WHEN list_contains(string_split(lower(text), ' '), 'stream') THEN 1 ELSE 0 END) AS score
         |  FROM documents) t
         |WHERE score > 0 ORDER BY score DESC, doc_id""".stripMargin,
+    "search_dsl_json" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE (list_contains(string_split(lower(text), ' '), 'spark')
+        |    OR list_contains(string_split(lower(text), ' '), 'stream'))
+        |  AND n_chars >= 200 AND NOT (lang = 'de')
+        |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_agg" ->
+      """SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket, count(*) AS doc_count,
+        |       count(user_id) AS n_users
+        |FROM events WHERE value >= 100 GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "search_mapped_query" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en'
+        |  AND (list_contains(string_split(lower(text), ' '), 'data')
+        |    OR list_contains(string_split(lower(text), ' '), 'quality'))
+        |ORDER BY doc_id""".stripMargin,
     "search_bool_term" ->
       """SELECT o_orderkey,
         |       (CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END

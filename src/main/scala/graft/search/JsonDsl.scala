@@ -1,0 +1,230 @@
+package graft.search
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** The reference's actual wire format: OpenSearch JSON request bodies
+  * (DASHBOARD_GUIDE.md:96-112 Dev Tools queries, e.g.
+  * `{"query": {"match": {"status": "ACTIVE"}}, "size": 10}` and
+  * `{"query": {"range": {"amount": {"gte": 100}}}}`), compiled onto the
+  * [[SearchDsl]]/[[Aggs]] combinators — so a JSON body and the equivalent
+  * structured query produce the IDENTICAL Catalyst plan (asserted in
+  * JsonDslSpec), and everything participates in pushdown.
+  *
+  * Query clauses: match, match_phrase, term, terms, range
+  * (gt/gte/lt/lte), bool (must/filter/must_not/should +
+  * minimum_should_match), wildcard, prefix, exists, match_all,
+  * query_string. Aggregations: terms, date_histogram (+ metric
+  * sub-aggregations sum/avg/min/max/value_count), stats, cardinality,
+  * histogram, range. Hits shaping: sort, size, _source.
+  *
+  * The [[IndexMapping]] decides analyzed-vs-exact per field (a `match` on
+  * a `text` field tests analyzed terms; on a `keyword` field it is exact
+  * equality) — OpenSearch's own mapping-driven behavior.
+  */
+object JsonDsl {
+
+  private val mapper = new ObjectMapper()
+
+  /** Execute a JSON request body against a frame: filter by `query`, then
+    * either the (single) `aggs` aggregation or the sort/size/_source hits
+    * shaping.
+    */
+  def parse(df: DataFrame, body: String, mapping: IndexMapping = IndexMapping.empty): DataFrame = {
+    val root = mapper.readTree(body)
+    require(root != null && root.isObject, s"request body must be a JSON object: $body")
+    val known = Set("query", "aggs", "aggregations", "sort", "size", "_source")
+    root.fieldNames().asScala.foreach(n => require(known(n), s"unsupported request element '$n'"))
+    val filtered = Option(root.get("query")) match {
+      case Some(q) => df.filter(compileQuery(df, q, mapping))
+      case None    => df
+    }
+    Option(root.get("aggs")).orElse(Option(root.get("aggregations"))) match {
+      case Some(aggs) => compileAggs(filtered, aggs)
+      case None =>
+        val sorted = Option(root.get("sort")) match {
+          case Some(s) => filtered.orderBy(compileSort(s): _*)
+          case None    => filtered
+        }
+        val sized = Option(root.get("size")).map(n => sorted.limit(n.asInt)).getOrElse(sorted)
+        Option(root.get("_source")) match {
+          case Some(src) => sized.select(src.elements().asScala.map(e => col(e.asText)).toSeq: _*)
+          case None      => sized
+        }
+    }
+  }
+
+  /** Compile just the `query` clause to a predicate (the `_count` /
+    * filter-context path).
+    */
+  def compileQuery(df: DataFrame, node: JsonNode, mapping: IndexMapping): Column = {
+    require(node.isObject && node.size == 1, s"a query clause must have exactly one key, got: $node")
+    val name = node.fieldNames().next()
+    val body = node.get(name)
+    name match {
+      case "match_all" => lit(true)
+      case "match" =>
+        val (f, v) = fieldAndValue(body, "query")
+        if (mapping.isText(f))
+          SearchDsl.matchScore(col(f), v.asText.toLowerCase.split("\\s+").toSeq) > 0
+        else col(f) === lit(scalarValue(v))
+      case "match_phrase" =>
+        val (f, v) = fieldAndValue(body, "query")
+        if (mapping.isText(f)) SearchDsl.matchPhrase(col(f), v.asText)
+        else col(f) === lit(scalarValue(v))
+      case "term" =>
+        val (f, v) = fieldAndValue(body, "value")
+        SearchDsl.term(col(f), scalarValue(v))
+      case "terms" =>
+        val f = singleField(body)
+        SearchDsl.terms(col(f), body.get(f).elements().asScala.map(scalarValue).toSeq)
+      case "range" =>
+        val f = singleField(body)
+        val b = body.get(f)
+        val ops: Seq[(String, Column => Column)] = Seq(
+          "gte" -> (v => col(f) >= v),
+          "gt" -> (v => col(f) > v),
+          "lte" -> (v => col(f) <= v),
+          "lt" -> (v => col(f) < v)
+        )
+        val conds = ops.flatMap { case (k, op) => Option(b.get(k)).map(v => op(lit(scalarValue(v)))) }
+        require(conds.nonEmpty, s"range on '$f' needs at least one of gte/gt/lte/lt")
+        conds.reduce(_ && _)
+      case "exists" => col(body.get("field").asText).isNotNull
+      case "wildcard" =>
+        val (f, v) = fieldAndValue(body, "value")
+        SearchDsl.wildcard(col(f), v.asText)
+      case "prefix" =>
+        val (f, v) = fieldAndValue(body, "value")
+        if (mapping.isText(f)) SearchDsl.prefixQuery(col(f), v.asText)
+        else col(f).startsWith(v.asText)
+      case "bool" =>
+        val must = clauseList(body, "must").map(compileQuery(df, _, mapping))
+        val filter = clauseList(body, "filter").map(compileQuery(df, _, mapping))
+        val mustNot = clauseList(body, "must_not").map(compileQuery(df, _, mapping))
+        val should = clauseList(body, "should").map(compileQuery(df, _, mapping))
+        // OpenSearch default: should becomes REQUIRED (msm=1) only when
+        // there is no must/filter context.
+        val msm = Option(body.get("minimum_should_match"))
+          .map(_.asInt)
+          .getOrElse(if (must.isEmpty && filter.isEmpty && should.nonEmpty) 1 else 0)
+        val base = SearchDsl.bool(must, mustNot, filter)
+        if (should.nonEmpty && msm > 0) base && SearchDsl.minimumShouldMatch(should, msm)
+        else base
+      case "query_string" =>
+        QueryString.compile(
+          body.get("query").asText,
+          df.schema,
+          Option(body.get("default_field")).map(_.asText)
+        )
+      case other => throw new IllegalArgumentException(s"unsupported query clause '$other'")
+    }
+  }
+
+  // ── Aggregations ──────────────────────────────────────────────────────
+
+  private def compileAggs(df: DataFrame, aggs: JsonNode): DataFrame = {
+    require(
+      aggs.isObject && aggs.size == 1,
+      s"exactly one top-level aggregation is supported per request, got: $aggs"
+    )
+    val aggName = aggs.fieldNames().next()
+    val spec = aggs.get(aggName)
+    val subAggs = Option(spec.get("aggs")).orElse(Option(spec.get("aggregations")))
+    val typeName = spec
+      .fieldNames()
+      .asScala
+      .filterNot(n => n == "aggs" || n == "aggregations")
+      .next()
+    val body = spec.get(typeName)
+    def field = col(body.get("field").asText)
+    typeName match {
+      case "terms" =>
+        Aggs.termsAgg(df, field, Option(body.get("size")).map(_.asInt).getOrElse(10))
+      case "date_histogram" =>
+        val interval =
+          Option(body.get("calendar_interval")).orElse(Option(body.get("interval"))).map(_.asText)
+        require(interval.isDefined, "date_histogram needs calendar_interval")
+        Aggs.dateHistogram(df, field, interval.get, subAggs.map(metricColumns).getOrElse(Nil))
+      case "stats"       => Aggs.stats(df, field)
+      case "cardinality" => Aggs.cardinality(df, Seq(aggName -> field))
+      case "histogram"   => Aggs.histogram(df, field, body.get("interval").asDouble)
+      case "range" =>
+        val ranges = body.get("ranges").elements().asScala.toSeq.map { r =>
+          val from = Option(r.get("from")).map(_.asDouble)
+          val to = Option(r.get("to")).map(_.asDouble)
+          val key = Option(r.get("key"))
+            .map(_.asText)
+            .getOrElse(s"${from.map(_.toString).getOrElse("*")}-${to.map(_.toString).getOrElse("*")}")
+          (key, from, to)
+        }
+        Aggs.rangeAgg(df, field, ranges)
+      case other => throw new IllegalArgumentException(s"unsupported aggregation '$other'")
+    }
+  }
+
+  /** Metric sub-aggregations nested under a bucketing agg: each compiles
+    * to an aliased aggregate column fed to the bucket builder.
+    */
+  private def metricColumns(aggs: JsonNode): Seq[Column] =
+    aggs.fields().asScala.toSeq.map { e =>
+      val name = e.getKey
+      require(e.getValue.isObject && e.getValue.size == 1, s"metric '$name' must have exactly one type")
+      val mType = e.getValue.fieldNames().next()
+      val f = col(e.getValue.get(mType).get("field").asText)
+      val c = mType match {
+        case "sum"         => sum(f)
+        case "avg"         => avg(f)
+        case "min"         => min(f)
+        case "max"         => max(f)
+        case "value_count" => count(f)
+        case other         => throw new IllegalArgumentException(s"unsupported metric aggregation '$other'")
+      }
+      c.as(name)
+    }
+
+  // ── Hits shaping ──────────────────────────────────────────────────────
+
+  private def compileSort(sort: JsonNode): Seq[Column] = {
+    val entries = if (sort.isArray) sort.elements().asScala.toSeq else Seq(sort)
+    entries.map {
+      case s if s.isTextual => col(s.asText).asc
+      case s if s.isObject && s.size == 1 =>
+        val f = s.fieldNames().next()
+        val spec = s.get(f)
+        val order =
+          if (spec.isTextual) spec.asText
+          else Option(spec.get("order")).map(_.asText).getOrElse("asc")
+        if (order == "desc") col(f).desc else col(f).asc
+      case s => throw new IllegalArgumentException(s"unsupported sort entry: $s")
+    }
+  }
+
+  // ── JSON helpers ──────────────────────────────────────────────────────
+
+  private def singleField(body: JsonNode): String = {
+    require(body.isObject && body.size == 1, s"clause body must have exactly one field, got: $body")
+    body.fieldNames().next()
+  }
+
+  /** `{field: value}` or the long form `{field: {<valueKey>: value}}`. */
+  private def fieldAndValue(body: JsonNode, valueKey: String): (String, JsonNode) = {
+    val f = singleField(body)
+    val v = body.get(f)
+    if (v.isObject) (f, v.get(valueKey)) else (f, v)
+  }
+
+  private def scalarValue(v: JsonNode): Any =
+    if (v.isIntegralNumber) v.asLong
+    else if (v.isNumber) v.asDouble
+    else if (v.isBoolean) v.asBoolean
+    else v.asText
+
+  /** Accept both OpenSearch forms: a single clause object or an array. */
+  private def clauseList(body: JsonNode, key: String): Seq[JsonNode] =
+    Option(body.get(key)).toSeq.flatMap { n =>
+      if (n.isArray) n.elements().asScala.toSeq else Seq(n)
+    }
+}

@@ -1,0 +1,185 @@
+package graft
+
+import graft.search.{Aggs, IndexMapping, JsonDsl, SearchDsl}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The JSON request-body executor vs the structured DSL: every body must
+  * compile to the IDENTICAL Catalyst plan (canonicalized optimizedPlan
+  * equality — not just equal rows), because JsonDsl is a parser in front
+  * of the same combinators, not a second engine.
+  */
+class JsonDslSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapping = IndexMapping(Map("text" -> "text", "status" -> "keyword", "amount" -> "double"))
+
+  private def cards = Seq(
+    (1L, "ACTIVE", 50.0, "the fast cat runs"),
+    (2L, "ACTIVE", 1500.0, "a slow dog sleeps"),
+    (3L, "BLOCKED", 900.0, "the fast dog jumps"),
+    (4L, "CLOSED", 120.0, "streaming spark jobs"),
+    (5L, "ACTIVE", 2000.0, "spark query engine")
+  ).toDF("id", "status", "amount", "text")
+
+  private def samePlan(got: DataFrame, want: DataFrame): Unit = {
+    val g = got.queryExecution.optimizedPlan.canonicalized
+    val w = want.queryExecution.optimizedPlan.canonicalized
+    assert(g == w, s"plans differ:\n--- json ---\n$g\n--- structured ---\n$w")
+  }
+
+  test("reference Dev Tools body: match + size compiles to the structured plan") {
+    val df = cards
+    val got = JsonDsl.parse(df, """{"query": {"match": {"status": "ACTIVE"}}, "size": 10}""", mapping)
+    samePlan(got, df.filter(col("status") === lit("ACTIVE")).limit(10))
+    assert(got.count() == 3)
+  }
+
+  test("reference Dev Tools body: range gte") {
+    val df = cards
+    val got = JsonDsl.parse(df, """{"query": {"range": {"amount": {"gte": 100}}}}""", mapping)
+    samePlan(got, df.filter(col("amount") >= lit(100L)))
+    assert(got.count() == 4)
+  }
+
+  test("match on a text-mapped field is analyzed; on keyword it is exact") {
+    val df = cards
+    val analyzed = JsonDsl.parse(df, """{"query": {"match": {"text": "spark dog"}}}""", mapping)
+    samePlan(analyzed, df.filter(SearchDsl.matchScore(col("text"), Seq("spark", "dog")) > 0))
+    assert(analyzed.select("id").as[Long].collect().toSet == Set(2L, 3L, 4L, 5L))
+    // exact: the multi-word value matches nothing as a keyword
+    val exact = JsonDsl.parse(df, """{"query": {"match": {"status": "ACTIVE BLOCKED"}}}""", mapping)
+    assert(exact.count() == 0)
+  }
+
+  test("bool with must/filter/must_not/should + minimum_should_match") {
+    val df = cards
+    val body =
+      """{"query": {"bool": {
+        |  "must":     {"range": {"amount": {"gt": 100}}},
+        |  "must_not": [{"term": {"status": "CLOSED"}}],
+        |  "should":   [{"term": {"status": "ACTIVE"}}, {"range": {"amount": {"gte": 1900}}}],
+        |  "minimum_should_match": 1
+        |}}}""".stripMargin
+    val got = JsonDsl.parse(df, body, mapping)
+    val want = df.filter(
+      SearchDsl.bool(
+        must = Seq(col("amount") > lit(100L)),
+        mustNot = Seq(col("status") === lit("CLOSED"))
+      ) && SearchDsl.minimumShouldMatch(
+        Seq(col("status") === lit("ACTIVE"), col("amount") >= lit(1900L)),
+        1
+      )
+    )
+    samePlan(got, want)
+    assert(got.select("id").as[Long].collect().toSet == Set(2L, 5L))
+  }
+
+  test("bare should defaults to minimum_should_match=1; with must it is optional") {
+    val df = cards
+    val bare = JsonDsl.parse(
+      df,
+      """{"query": {"bool": {"should": [{"term": {"status": "CLOSED"}}, {"term": {"status": "BLOCKED"}}]}}}""",
+      mapping
+    )
+    assert(bare.select("id").as[Long].collect().toSet == Set(3L, 4L))
+    val withMust = JsonDsl.parse(
+      df,
+      """{"query": {"bool": {"must": [{"range": {"amount": {"lt": 1000}}}], "should": [{"term": {"status": "CLOSED"}}]}}}""",
+      mapping
+    )
+    assert(withMust.select("id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+  }
+
+  test("terms, exists, wildcard, prefix, match_phrase, query_string clauses") {
+    val df = cards
+    assert(
+      JsonDsl
+        .parse(df, """{"query": {"terms": {"status": ["CLOSED", "BLOCKED"]}}}""", mapping)
+        .select("id").as[Long].collect().toSet == Set(3L, 4L)
+    )
+    assert(JsonDsl.parse(df, """{"query": {"exists": {"field": "status"}}}""", mapping).count() == 5)
+    assert(
+      JsonDsl
+        .parse(df, """{"query": {"wildcard": {"status": {"value": "*LO*"}}}}""", mapping)
+        .select("id").as[Long].collect().toSet == Set(3L, 4L)
+    )
+    assert(
+      JsonDsl
+        .parse(df, """{"query": {"prefix": {"text": "spar"}}}""", mapping)
+        .select("id").as[Long].collect().toSet == Set(4L, 5L)
+    )
+    assert(
+      JsonDsl
+        .parse(df, """{"query": {"match_phrase": {"text": "fast dog"}}}""", mapping)
+        .select("id").as[Long].collect().toSet == Set(3L)
+    )
+    val qs = JsonDsl.parse(
+      df,
+      """{"query": {"query_string": {"query": "status:ACTIVE AND amount:[1000 TO *]"}}}""",
+      mapping
+    )
+    assert(qs.select("id").as[Long].collect().toSet == Set(2L, 5L))
+  }
+
+  test("terms aggregation compiles to the Aggs.termsAgg plan") {
+    val df = cards
+    val got = JsonDsl.parse(
+      df,
+      """{"query": {"range": {"amount": {"gte": 100}}},
+        | "aggs": {"by_status": {"terms": {"field": "status", "size": 3}}}}""".stripMargin,
+      mapping
+    )
+    samePlan(got, Aggs.termsAgg(df.filter(col("amount") >= lit(100L)), col("status"), 3))
+    assert(got.as[(String, Long)].collect().toSeq == Seq(("ACTIVE", 2L), ("BLOCKED", 1L), ("CLOSED", 1L)))
+  }
+
+  test("date_histogram + metric sub-aggregations compile to the Aggs.dateHistogram plan") {
+    val df = Seq(
+      ("2024-01-03 10:00:00", 5.0),
+      ("2024-01-20 11:00:00", 7.0),
+      ("2024-03-06 11:00:00", 9.0)
+    ).toDF("ts", "v").select(col("ts").cast("timestamp").as("ts"), col("v"))
+    val got = JsonDsl.parse(
+      df,
+      """{"aggs": {"monthly": {
+        |  "date_histogram": {"field": "ts", "calendar_interval": "month"},
+        |  "aggs": {"total": {"sum": {"field": "v"}}, "peak": {"max": {"field": "v"}}}
+        |}}}""".stripMargin
+    )
+    samePlan(
+      got,
+      Aggs.dateHistogram(df, col("ts"), "month", Seq(sum(col("v")).as("total"), max(col("v")).as("peak")))
+    )
+    assert(got.columns.toSeq == Seq("bucket", "doc_count", "total", "peak"))
+    assert(got.as[(java.sql.Timestamp, Long, Double, Double)].collect().map(_._3).toSeq == Seq(12.0, 9.0))
+  }
+
+  test("sort, size, _source shape the hits; unsupported elements fail fast") {
+    val df = cards
+    val got = JsonDsl
+      .parse(
+        df,
+        """{"query": {"match_all": {}},
+          | "sort": [{"amount": {"order": "desc"}}], "size": 2, "_source": ["id", "amount"]}""".stripMargin,
+        mapping
+      )
+    assert(got.columns.toSeq == Seq("id", "amount"))
+    assert(got.as[(Long, Double)].collect().toSeq == Seq((5L, 2000.0), (2L, 1500.0)))
+    intercept[IllegalArgumentException](JsonDsl.parse(df, """{"query": {"fuzzy_like_this": {}}}""", mapping))
+    intercept[IllegalArgumentException](JsonDsl.parse(df, """{"highlight": {}}""", mapping))
+    intercept[IllegalArgumentException](JsonDsl.parse(df, """{"query": {"range": {"amount": {}}}}""", mapping))
+  }
+
+  test("mapping artifact parses the reference _mapping format") {
+    val m = IndexMapping.fromJson(
+      """{"mappings": {"properties": {"a": {"type": "text"}, "b": {"type": "keyword"}, "c": {"type": "date"}}}}"""
+    )
+    assert(m.isText("a") && !m.isText("b"))
+    assert(m.fieldType("c") == "date")
+    assert(m.fieldType("undeclared") == "keyword") // dynamic-mapping default: exact
+    val bare = IndexMapping.fromJson("""{"properties": {"x": {"type": "text"}}}""")
+    assert(bare.isText("x"))
+    intercept[IllegalArgumentException](IndexMapping.fromJson("""{"nope": 1}"""))
+  }
+}
