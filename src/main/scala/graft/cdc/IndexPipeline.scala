@@ -33,9 +33,8 @@ object IndexPipeline {
     state.unpersist()
   }
 
-  /** Streaming: tail a growing envelope directory, maintain keyed state
-    * with [[graft.streaming.CdcStream]] semantics, apply idempotent
-    * per-document upserts/deletes via [[IndexFileSink.DocWriter]].
+  /** Streaming from a file landing zone — see the transport-parameterized
+    * overload; this keeps the original signature.
     */
   def runStream(
       spark: SparkSession,
@@ -43,10 +42,35 @@ object IndexPipeline {
       indexRoot: String,
       indexName: String,
       checkpoint: String,
-      keyField: String = "id"
+      keyField: String
+  ): StreamingQuery =
+    runStream(spark, graft.sources.FileEnvelopeTransport(envelopeDir), indexRoot, indexName, checkpoint, keyField)
+
+  def runStream(
+      spark: SparkSession,
+      envelopeDir: String,
+      indexRoot: String,
+      indexName: String,
+      checkpoint: String
+  ): StreamingQuery =
+    runStream(spark, envelopeDir, indexRoot, indexName, checkpoint, "id")
+
+  /** Streaming: consume the envelope changelog from ANY transport (file
+    * landing zone, Kafka topics, memory stream — the
+    * [[graft.sources.EnvelopeTransport]] seam), maintain keyed state with
+    * [[graft.streaming.CdcStream]] semantics, apply idempotent
+    * per-document upserts/deletes via [[IndexFileSink.DocWriter]].
+    */
+  def runStream(
+      spark: SparkSession,
+      transport: graft.sources.EnvelopeTransport,
+      indexRoot: String,
+      indexName: String,
+      checkpoint: String,
+      keyField: String
   ): StreamingQuery = {
     import spark.implicits._
-    val raw = spark.readStream.schema("value STRING").text(envelopeDir)
+    val raw = transport.stream(spark)
     val parsed = ChangeEvent.parse(raw, col("value"), keyField)
     // Route through the keyed state store: per-key events are applied in
     // seq order and stale/out-of-order versions dropped, so the DocWriter

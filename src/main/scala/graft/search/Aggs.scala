@@ -197,12 +197,18 @@ object Aggs {
   }
 
   /** `top_hits` sub-aggregation: the top `k` documents per bucket by
-    * `ordering` — a window rank bounded per group (per-group heap state,
-    * never a global sort of the fact table).
+    * `ordering`, executed by the [[graft.plans.TopKPerKey]] operator —
+    * bounded per-key heaps with a map-side partial phase (the shuffle
+    * carries at most k rows per key per partition). A window
+    * `row_number` would instead hash the ENTIRE table into #buckets
+    * partitions and sort each — the classic straggler at scale. Output =
+    * the input columns plus an int `rank` (1-based within the bucket).
+    * `bucket` and `ordering` must be plain columns (optionally
+    * `.asc`/`.desc`); project expressions first.
     */
   def topHits(df: DataFrame, bucket: Column, k: Int, ordering: Seq[Column]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(bucket).orderBy(ordering: _*)
-    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    import org.apache.spark.sql.graft.ColumnBridge.sortSpec
+    graft.plans.TopKPerKey.perKey(df, Seq(sortSpec(bucket)._1), ordering.map(sortSpec), k)
   }
 
   /** `significant_terms`: terms whose foreground frequency exceeds their

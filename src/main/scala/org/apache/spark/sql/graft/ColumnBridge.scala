@@ -29,6 +29,23 @@ object ColumnBridge {
     case a: org.apache.spark.sql.internal.Alias => a.name.headOption
     case _                                      => None
   }
+
+  /** Decompose a sort Column (`col("x").desc` / `col("x").asc` / bare
+    * `col("x")`) into (column name, ascending) — the form name-addressed
+    * operators like TopKPerKey take.
+    */
+  def sortSpec(c: Column): (String, Boolean) = {
+    import org.apache.spark.sql.internal.{ColumnNode, SortOrder, UnresolvedAttribute}
+    def name(n: ColumnNode): String = n match {
+      case a: UnresolvedAttribute => a.nameParts.mkString(".")
+      case other =>
+        throw new IllegalArgumentException(s"sort expression must be a plain column, got: $other")
+    }
+    c.node match {
+      case s: SortOrder => (name(s.child), s.sortDirection == SortOrder.Ascending)
+      case other        => (name(other), true)
+    }
+  }
 }
 
 /** Installs graft's native Catalyst functions into an existing session's

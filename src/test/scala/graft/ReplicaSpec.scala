@@ -107,6 +107,35 @@ class ReplicaSpec extends SparkSpec {
     }
   }
 
+  test("approx percentiles land within the sketch's rank-error bound of exact") {
+    import graft.search.Aggs
+    val li = Tables.lineitem(spark, Sf)
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val approx = Aggs.approxPercentiles(li, col("l_extendedprice"), ps).head()
+    // approx_percentile(accuracy=10000) guarantees rank error <= N/10000
+    // (0.01% of rows). Verify each sketch value sits between the exact
+    // interpolated percentiles at p ± 0.005 — 50x the theoretical rank
+    // slack, still a tight band — making this a deterministic bound, not
+    // a tolerance guess.
+    ps.zipWithIndex.foreach { case ((name, p), i) =>
+      val lo = math.max(0.0, p - 0.005)
+      val hi = math.min(1.0, p + 0.005)
+      val bounds = li
+        .agg(
+          percentile(col("l_extendedprice"), lit(lo)).as("lo"),
+          percentile(col("l_extendedprice"), lit(hi)).as("hi")
+        )
+        .head()
+      val v = approx.getDouble(i)
+      // the sketch returns an actual element; exact interpolates — allow
+      // the 2dp rounding the library applies on top
+      assert(
+        v >= bounds.getDouble(0) - 0.01 && v <= bounds.getDouble(1) + 0.01,
+        s"$name: approx=$v outside exact band [${bounds.getDouble(0)}, ${bounds.getDouble(1)}]"
+      )
+    }
+  }
+
   test("LSH/IVF top-k emit exact cosine scores — approximation lives only in candidate recall") {
     val q = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
     val all = Similarity

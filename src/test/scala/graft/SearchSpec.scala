@@ -78,14 +78,33 @@ class SearchSpec extends SparkSpec {
     assert(out.toSeq == Seq(("hi", 2L), ("lo", 2L)))
   }
 
-  test("topHits bounds ranks per bucket") {
-    val out = Aggs
-      .topHits(docs, $"status", 1, Seq($"amount".desc))
+  test("topHits bounds ranks per bucket — via the heap exec, no window sort") {
+    val q = Aggs.topHits(docs, $"status", 1, Seq($"amount".desc))
+    val out = q
       .select("id", "rank")
       .as[(Long, Int)]
       .collect()
       .toSet
     assert(out == Set((2L, 1), (3L, 1), (4L, 1))) // max-amount doc per status
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sort of the whole table:\n$plan")
+    assert(plan.contains("TopKPerKey"), plan)
+    // ties + multi-column ordering keep window-form semantics
+    val multi = Aggs
+      .topHits(docs, $"status", 2, Seq($"amount".desc, $"id".asc))
+      .select("id", "rank")
+      .as[(Long, Int)]
+      .collect()
+      .toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"status").orderBy($"amount".desc, $"id".asc)
+    val windowForm = docs
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 2)
+      .select("id", "rank")
+      .as[(Long, Int)]
+      .collect()
+      .toSet
+    assert(multi == windowForm)
   }
 
   test("significantTerms scores foreground lift") {
