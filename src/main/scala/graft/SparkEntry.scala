@@ -76,6 +76,15 @@ object SparkEntry {
       }
     )
 
+  /** The LSH signature index for `dir` (4-bit sigs × 8 tables — see the
+    * ann_lsh_topk entry note), signature table spilled to parquet once
+    * per JVM; the (id, vector) base is the embeddings parquet itself.
+    */
+  private def cachedLsh(s: SparkSession, dir: String): Similarity.LshIndex = {
+    val fresh = Similarity.lshIndex(Tables.embeddings(s, dir), "vec_id", "embedding", nBits = 4, tables = 8)
+    fresh.copy(sigs = Memo.parquet(s, s"lsh:$dir")(fresh.sigs))
+  }
+
   /** The exact n-gram-Jaccard near-dup pair table for `dir`, computed once
     * per JVM — dedup_ngram_jaccard reports it, dedup_components clusters
     * it; candidate generation runs once, not once per consumer.
@@ -649,10 +658,20 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
     // 4-bit sigs x 8 tables: ~16 buckets over a 500-vector corpus keeps
-    // per-bucket candidate lists ~30 and multi-table union recall high.
+    // per-bucket candidate lists ~30 and multi-table union recall high
+    // (ReplicaSpec pins recall >= 0.5 vs brute force with exact scores).
+    // Split Bm25/IVF-style: ann_lsh_build reports the honest signature
+    // build (fresh every call); ann_lsh_topk probes the amortized index.
+    "ann_lsh_build" -> ((s, dir) =>
+      Similarity
+        .lshIndex(Tables.embeddings(s, dir), "vec_id", "embedding", nBits = 4, tables = 8)
+        .sigs
+        .groupBy("table")
+        .agg(countDistinct(col("sig")).as("n_buckets"), count(lit(1)).as("n_rows"))
+        .orderBy("table")),
     "ann_lsh_topk" -> ((s, dir) =>
       Similarity
-        .lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nBits = 4, tables = 8)),
+        .scoreAgainstLsh(cachedLsh(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10)),
 
     // IVF ANN, split Bm25-style: ann_ivf_build reports the honest index
     // build cost (fresh every call — per-cell occupancy result);

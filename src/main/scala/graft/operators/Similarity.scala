@@ -55,10 +55,68 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
-  /** LSH-bucketed ANN: candidates whose hyperplane signature matches the
-    * probe's in at least one of `tables` independent signatures, ranked by
-    * exact cosine within the candidate set. Recall is tunable via
-    * (nBits, tables); cost is a key-equality join, never a cross join.
+  /** The per-table hyperplane seed — one constant shared by index build
+    * and probe so their signatures are bit-identical.
+    */
+  private def lshSeed(table: Int): Int = table * 7919 + 1
+
+  /** LSH ANN index: the exploded (id, table, sig) signature table — the
+    * artifact a deployment persists/buckets by (table, sig) once and
+    * probes many times — plus the (id, vector) base for the exact
+    * rescore. Signatures carry NO vectors: ids only.
+    */
+  final case class LshIndex(nBits: Int, tables: Int, sigs: DataFrame, base: DataFrame) {
+    def persist(): LshIndex = {
+      sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      this
+    }
+    def unpersist(): Unit = { sigs.unpersist(); () }
+  }
+
+  def lshIndex(emb: DataFrame, idCol: String, vecCol: String, nBits: Int, tables: Int): LshIndex = {
+    val base = emb.select(col(idCol), col(vecCol))
+    val sigs = graft.Tables
+      .ensureParallelism(base)
+      .select(
+        col(idCol),
+        posexplode(
+          array((0 until tables).map(t => VectorFns.hyperplaneSig(col(vecCol), nBits, seed = lshSeed(t))): _*)
+        ).as(Seq("table", "sig"))
+      )
+    LshIndex(nBits, tables, sigs, base)
+  }
+
+  /** Score a query against a prebuilt LSH index: candidates are rows whose
+    * signature matches the probe's in at least one table, ranked by exact
+    * cosine. Candidate dedup is on the ID ONLY (a row can collide in
+    * several tables) — distinct() over (id, vector) would shuffle and
+    * hash-compare 64-float arrays as grouping keys; the candidate-id set
+    * is query-scale, so it broadcasts back onto the base for the exact
+    * rescore and the vectors themselves never shuffle.
+    */
+  def scoreAgainstLsh(index: LshIndex, idCol: String, vecCol: String, query: Seq[Float], k: Int): DataFrame = {
+    val qlit = vecLit(query)
+    val qsigs = (0 until index.tables).map(t => VectorFns.hyperplaneSig(qlit, index.nBits, seed = lshSeed(t)))
+    val probeSigs = index.sigs.sparkSession
+      .range(index.tables)
+      .select(
+        col("id").cast("int").as("table"),
+        element_at(array(qsigs: _*), col("id").cast("int") + 1).as("sig")
+      )
+    val candIds = index.sigs
+      .join(broadcast(probeSigs), Seq("table", "sig"))
+      .select(col(idCol))
+      .distinct()
+    index.base
+      .join(broadcast(candIds), Seq(idCol))
+      .select(col(idCol), round(VectorFns.cosine(col(vecCol), qlit), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** One-shot LSH ANN: build + score. Recall is tunable via (nBits,
+    * tables); cost is a key-equality join, never a cross join. The split
+    * exists so repeated queries amortize the signature build.
     */
   def lshTopK(
       emb: DataFrame,
@@ -68,41 +126,8 @@ object Similarity {
       k: Int,
       nBits: Int = 12,
       tables: Int = 4
-  ): DataFrame = {
-    // The exploded signature table carries (id, table, sig) ONLY — the
-    // vector stays behind and is joined back for the exact rescore.
-    val sigd = graft.Tables
-      .ensureParallelism(emb.select(col(idCol), col(vecCol)))
-      .select(
-        col(idCol),
-        posexplode(
-          array((0 until tables).map(t => VectorFns.hyperplaneSig(col(vecCol), nBits, seed = t * 7919 + 1)): _*)
-        ).as(Seq("table", "sig"))
-      )
-    val qlit = vecLit(query)
-    val qsigs = (0 until tables).map(t => VectorFns.hyperplaneSig(qlit, nBits, seed = t * 7919 + 1))
-    val probeSigs = emb.sparkSession
-      .range(tables)
-      .select(
-        col("id").cast("int").as("table"),
-        element_at(array(qsigs: _*), col("id").cast("int") + 1).as("sig")
-      )
-    // Dedup candidates on the ID ONLY (a row can collide in several
-    // tables): distinct() over (id, vector) would shuffle and hash-compare
-    // 64-float arrays as grouping keys. The candidate-id set is
-    // query-scale, so it broadcasts back onto the corpus for the exact
-    // rescore — the vectors themselves never shuffle.
-    val candIds = sigd
-      .join(broadcast(probeSigs), Seq("table", "sig"))
-      .select(col(idCol))
-      .distinct()
-    emb
-      .select(col(idCol), col(vecCol))
-      .join(broadcast(candIds), Seq(idCol))
-      .select(col(idCol), round(VectorFns.cosine(col(vecCol), qlit), 6).as("cos"))
-      .orderBy(col("cos").desc, col(idCol).asc)
-      .limit(k)
-  }
+  ): DataFrame =
+    scoreAgainstLsh(lshIndex(emb, idCol, vecCol, nBits, tables), idCol, vecCol, query, k)
 
   /** IVF (inverted-file) ANN index: a coarse quantizer partitions vectors
     * into cells; queries scan only the `nProbe` nearest cells.

@@ -128,6 +128,17 @@ class SimilaritySpec extends SparkSpec {
     assert(cells.forall(c => c >= 0 && c < 8), cells.mkString(","))
   }
 
+  test("LSH build/score split equals the one-shot path") {
+    val emb = Tables.embeddings(spark, Sf)
+    val q = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val idx = Similarity.lshIndex(emb, "vec_id", "embedding", nBits = 4, tables = 8)
+    val split = Similarity.scoreAgainstLsh(idx, "vec_id", "embedding", q, 10)
+    val oneShot = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, nBits = 4, tables = 8)
+    assert(split.collect().toSeq == oneShot.collect().toSeq)
+    // the signature table carries ids only — never the vectors
+    assert(idx.sigs.columns.toSeq == Seq("vec_id", "table", "sig"))
+  }
+
   test("IVF build/score split equals the one-shot path; score plan is filter + bounded top-k only") {
     val emb = Tables.embeddings(spark, Sf)
     val q = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
