@@ -103,12 +103,17 @@ object Similarity {
         col("id").cast("int").as("table"),
         element_at(array(qsigs: _*), col("id").cast("int") + 1).as("sig")
       )
+    // candIds is NOT hint-broadcast: with hot buckets (skewed corpora,
+    // small nBits) the candidate set can approach corpus size, and a
+    // forced broadcast would OOM the driver. AQE converts the join to
+    // broadcast-hash at runtime when the measured candidate set is small
+    // (the common case) and keeps a shuffle join when it is not.
     val candIds = index.sigs
       .join(broadcast(probeSigs), Seq("table", "sig"))
       .select(col(idCol))
       .distinct()
     index.base
-      .join(broadcast(candIds), Seq(idCol))
+      .join(candIds, Seq(idCol))
       .select(col(idCol), round(VectorFns.cosine(col(vecCol), qlit), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
@@ -162,8 +167,11 @@ object Similarity {
     // O(nLists) driver fetch: index metadata, same class as a probe-vector
     // fetch. Order (id-hash asc, id asc) is deterministic; the position in
     // this array IS the cell id.
+    // NULL embeddings are excluded from the sample (getSeq would NPE) and
+    // land in cell -1 at assignment — never probed.
     val centroids: Array[Array[Float]] = emb
       .select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull)
       .orderBy(pmod(hash(col(idCol)), lit(1 << 30)).asc, col(idCol))
       .limit(nLists)
       .collect()

@@ -33,7 +33,12 @@ object JsonDsl {
     * shaping.
     */
   def parse(df: DataFrame, body: String, mapping: IndexMapping = IndexMapping.empty): DataFrame = {
-    val root = mapper.readTree(body)
+    val root =
+      try mapper.readTree(body)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(s"request body is not valid JSON: ${e.getMessage}")
+      }
     require(root != null && root.isObject, s"request body must be a JSON object: $body")
     val known = Set("query", "aggs", "aggregations", "sort", "size", "_source")
     root.fieldNames().asScala.foreach(n => require(known(n), s"unsupported request element '$n'"))
@@ -92,7 +97,7 @@ object JsonDsl {
         val conds = ops.flatMap { case (k, op) => Option(b.get(k)).map(v => op(lit(scalarValue(v)))) }
         require(conds.nonEmpty, s"range on '$f' needs at least one of gte/gt/lte/lt")
         conds.reduce(_ && _)
-      case "exists" => col(body.get("field").asText).isNotNull
+      case "exists" => col(req(body, "field", "exists").asText).isNotNull
       case "wildcard" =>
         val (f, v) = fieldAndValue(body, "value")
         SearchDsl.wildcard(col(f), v.asText)
@@ -115,7 +120,7 @@ object JsonDsl {
         else base
       case "query_string" =>
         QueryString.compile(
-          body.get("query").asText,
+          req(body, "query", "query_string").asText,
           df.schema,
           Option(body.get("default_field")).map(_.asText)
         )
@@ -137,9 +142,10 @@ object JsonDsl {
       .fieldNames()
       .asScala
       .filterNot(n => n == "aggs" || n == "aggregations")
-      .next()
+      .nextOption()
+      .getOrElse(throw new IllegalArgumentException(s"aggregation '$aggName' has no type key: $spec"))
     val body = spec.get(typeName)
-    def field = col(body.get("field").asText)
+    def field = col(req(body, "field", s"aggregation '$typeName'").asText)
     typeName match {
       case "terms" =>
         Aggs.termsAgg(df, field, Option(body.get("size")).map(_.asInt).getOrElse(10))
@@ -150,9 +156,9 @@ object JsonDsl {
         Aggs.dateHistogram(df, field, interval.get, subAggs.map(metricColumns).getOrElse(Nil))
       case "stats"       => Aggs.stats(df, field)
       case "cardinality" => Aggs.cardinality(df, Seq(aggName -> field))
-      case "histogram"   => Aggs.histogram(df, field, body.get("interval").asDouble)
+      case "histogram"   => Aggs.histogram(df, field, req(body, "interval", "histogram").asDouble)
       case "range" =>
-        val ranges = body.get("ranges").elements().asScala.toSeq.map { r =>
+        val ranges = req(body, "ranges", "range aggregation").elements().asScala.toSeq.map { r =>
           val from = Option(r.get("from")).map(_.asDouble)
           val to = Option(r.get("to")).map(_.asDouble)
           val key = Option(r.get("key"))
@@ -173,7 +179,7 @@ object JsonDsl {
       val name = e.getKey
       require(e.getValue.isObject && e.getValue.size == 1, s"metric '$name' must have exactly one type")
       val mType = e.getValue.fieldNames().next()
-      val f = col(e.getValue.get(mType).get("field").asText)
+      val f = col(req(e.getValue.get(mType), "field", s"metric '$name' ($mType)").asText)
       val c = mType match {
         case "sum"         => sum(f)
         case "avg"         => avg(f)
@@ -213,7 +219,16 @@ object JsonDsl {
   private def fieldAndValue(body: JsonNode, valueKey: String): (String, JsonNode) = {
     val f = singleField(body)
     val v = body.get(f)
-    if (v.isObject) (f, v.get(valueKey)) else (f, v)
+    if (v.isObject) (f, req(v, valueKey, s"clause on '$f'")) else (f, v)
+  }
+
+  /** Required-key access: a malformed body is an IllegalArgumentException
+    * naming the offending JSON, never a raw NPE.
+    */
+  private def req(node: JsonNode, key: String, ctx: String): JsonNode = {
+    val v = if (node == null) null else node.get(key)
+    if (v == null) throw new IllegalArgumentException(s"$ctx requires '$key': $node")
+    v
   }
 
   private def scalarValue(v: JsonNode): Any =

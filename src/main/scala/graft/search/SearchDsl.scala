@@ -45,13 +45,23 @@ object SearchDsl {
       .map(t => array_contains(analyze(text), t.toLowerCase).cast("int"))
       .reduce(_ + _)
 
-  /** `bool` query: must (AND), must_not (NOT), filter (AND, no score). */
+  /** `bool` query: must (AND), must_not (NOT), filter (AND, no score).
+    *
+    * must_not wraps each clause as `NOT coalesce(clause, false)`: under SQL
+    * three-valued logic a NULL field makes the bare negation NULL and drops
+    * the row, whereas OpenSearch must_not KEEPS documents where the clause
+    * does not match (missing field). must/filter need no coalesce — NULL
+    * means "did not match" and AND-drops the row on both engines.
+    */
   def bool(must: Seq[Column] = Nil, mustNot: Seq[Column] = Nil, filter: Seq[Column] = Nil): Column =
-    ((must ++ filter).map(c => c) ++ mustNot.map(c => !c))
+    ((must ++ filter).map(c => c) ++ mustNot.map(c => !coalesce(c, lit(false))))
       .reduceOption(_ && _)
       .getOrElse(lit(true))
 
-  /** `should` clauses contribute to the score (minimum_should_match=0). */
+  /** `should` clauses contribute to the score (minimum_should_match=0).
+    * `when(c,1).otherwise(0)` already counts a NULL clause (missing field)
+    * as 0 = "not matched", matching OpenSearch.
+    */
   def shouldScore(should: Seq[Column]): Column =
     should.map(c => when(c, 1).otherwise(0)).reduceOption(_ + _).getOrElse(lit(0))
 

@@ -27,7 +27,15 @@ object PlanBridge {
     // toRdd reuses unsafe-row buffers per partition — copy before caching.
     val rdd = df.queryExecution.toRdd.map(_.copy())
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rdd.count() // eager: one materialization, failures surface here
+    // Truncate the RDD lineage too, not just the logical plan: without
+    // this each round's RDD chains to the previous (soon-unpersisted)
+    // round's, so lineage depth grows with iterations and a lost block
+    // cascades recomputes back to the source. After truncation a lost
+    // block fails loudly instead — local blocks are not fault-tolerant;
+    // cluster deployments wanting durability use the parquet
+    // checkpointDir mode (see operators.Components).
+    rdd.localCheckpoint()
+    rdd.count() // eager: one materialization + lineage cut, failures surface here
     val out = df.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, df.schema)

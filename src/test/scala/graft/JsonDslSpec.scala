@@ -171,6 +171,37 @@ class JsonDslSpec extends SparkSpec {
     intercept[IllegalArgumentException](JsonDsl.parse(df, """{"query": {"range": {"amount": {}}}}""", mapping))
   }
 
+  test("must_not keeps docs where the field is NULL (missing field ≠ drop)") {
+    val df = Seq((1L, Option("ACTIVE")), (2L, Option.empty[String]), (3L, Option("CLOSED")))
+      .toDF("id", "status")
+    val got = JsonDsl.parse(df, """{"query": {"bool": {"must_not": {"term": {"status": "CLOSED"}}}}}""", mapping)
+    // OpenSearch must_not matches docs where the clause does NOT match —
+    // including docs missing the field. Bare NOT under three-valued logic
+    // would drop row 2.
+    assert(got.select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("malformed bodies raise IllegalArgumentException, never raw NPE") {
+    val df = cards
+    // long-form clause missing its value key
+    intercept[IllegalArgumentException](
+      JsonDsl.parse(df, """{"query": {"match": {"text": {"operator": "and"}}}}""", mapping)
+    )
+    // aggregation spec with no type key
+    intercept[IllegalArgumentException](
+      JsonDsl.parse(df, """{"aggs": {"x": {"aggs": {"y": {"sum": {"field": "amount"}}}}}}""", mapping)
+    )
+    intercept[IllegalArgumentException](JsonDsl.parse(df, """{"query": {"exists": {}}}""", mapping))
+    intercept[IllegalArgumentException](JsonDsl.parse(df, """{"query": {"query_string": {}}}""", mapping))
+    intercept[IllegalArgumentException](
+      JsonDsl.parse(df, """{"aggs": {"h": {"histogram": {"field": "amount"}}}}""", mapping)
+    )
+    intercept[IllegalArgumentException](
+      JsonDsl.parse(df, """{"aggs": {"m": {"date_histogram": {"calendar_interval": "month"}}}}""", mapping)
+    )
+    intercept[IllegalArgumentException](JsonDsl.parse(df, """not json at all""", mapping))
+  }
+
   test("mapping artifact parses the reference _mapping format") {
     val m = IndexMapping.fromJson(
       """{"mappings": {"properties": {"a": {"type": "text"}, "b": {"type": "keyword"}, "c": {"type": "date"}}}}"""

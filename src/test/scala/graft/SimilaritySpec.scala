@@ -38,6 +38,19 @@ class SimilaritySpec extends SparkSpec {
     assert(top.toSeq == Seq(1L, 4L, 2L))
   }
 
+  test("ivfIndex tolerates NULL embeddings: excluded from centroids and results") {
+    val withNull = vecs
+      .unionByName(Seq((9L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val idx = Similarity.ivfIndex(withNull, "vec_id", "embedding", nLists = 3)
+    assert(idx.centroids.length == 3) // null row never sampled as a centroid
+    val top = Similarity
+      .scoreAgainstIvf(idx, "vec_id", "embedding", Seq(1.0f, 0.0f, 0.0f, 0.0f), k = 10, nProbe = 3)
+      .select("vec_id")
+      .as[Long]
+      .collect()
+    assert(!top.contains(9L)) // cell -1 is never probed
+  }
+
   test("knnJoin returns k ranked neighbors per probe") {
     val out = Similarity
       .knnJoin(vecs.filter($"vec_id" < 2), vecs.filter($"vec_id" >= 2), "vec_id", "embedding", 2)
