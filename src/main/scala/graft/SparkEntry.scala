@@ -568,6 +568,114 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
+    // TPC-H Q4 shape (the synthetic schema has no commit/receipt dates:
+    // "late" = some line shipped >30 days after the order date). LEFT
+    // SEMI join — the probe side is never duplicated, so no distinct.
+    "q4_order_priority" -> ((s, dir) => {
+      val o = Tables
+        .orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      o.join(
+        l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi"
+      ).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    // TPC-H Q6: single-scan forecast revenue — every predicate is
+    // scan-pushable, the whole query is one parquet pass + partial sums.
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Tables
+        .lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          round(sum(decMoney(col("l_extendedprice")) * decMoney(col("l_discount"))), 2)
+            .cast("double")
+            .as("revenue")
+        )),
+    // TPC-H Q14: promo revenue share for one month — broadcast the part
+    // dim; exact decimal sums, engine-identical double quotient (the
+    // weighted_avg convention).
+    "q14_promo_revenue" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select("p_partkey", "p_type")
+      val l = Tables
+        .lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-09-01 00:00:00").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1996-10-01 00:00:00").cast("timestamp"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val disc = decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(
+            lit(100.0) * sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0))).cast("double")
+              / sum(disc).cast("double"),
+            6
+          ).as("promo_revenue")
+        )
+    }),
+    // TPC-H Q16 shape (no partsupp table: lineitem's (partkey, suppkey)
+    // plays the part-supplier relation): distinct supplier count per part
+    // attribute triple, filtered part dim broadcast.
+    "q16_parts_suppliers" -> ((s, dir) => {
+      val p = Tables
+        .part(s, dir)
+        .filter(col("p_brand") =!= "Brand#5" && col("p_size").isin(1, 5, 9, 14, 23, 36, 45))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val l = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+    // TPC-H Q18: large orders. The classic form re-joins lineitem and
+    // re-aggregates; joining the HAVING-filtered aggregate directly does
+    // the quantity work once, and the survivor set is tiny so AQE
+    // broadcasts it onto orders.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables
+        .lineitem(s, dir)
+        .select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 2).as("qty"))
+        .filter(col("qty") > 300)
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"), col("qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+    // TPC-H Q19 shape: OR-of-ANDs brand/size/quantity triples. The part
+    // side is pre-filtered to the three brands BEFORE the broadcast (the
+    // disjunction implies it), so the build side ships only relevant rows.
+    "q19_discounted_revenue" -> ((s, dir) => {
+      val p = Tables
+        .part(s, dir)
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+        .select("p_partkey", "p_brand", "p_size")
+      val l = Tables
+        .lineitem(s, dir)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val cond =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) && col("l_quantity").between(20, 30))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(
+          round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2)
+            .cast("double")
+            .as("revenue")
+        )
+    }),
     "agg_running_balance" -> ((s, dir) => {
       val w = Window
         .partitionBy("user_id")
@@ -1159,6 +1267,46 @@ object SparkEntry {
         |  AND l_returnflag = 'R'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                                   THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |                                   ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6) AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+    "q16_parts_suppliers" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND p_brand <> 'Brand#5' AND p_size IN (1, 5, 9, 14, 23, 36, 45)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, round(qty, 2) AS qty
+        |FROM orders, customer,
+        |     (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 300) t
+        |WHERE o_orderkey = t.l_orderkey AND c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q19_discounted_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND
+        |  ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
     "agg_running_balance" ->
       """SELECT user_id, event_id, ts,
         |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
