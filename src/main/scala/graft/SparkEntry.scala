@@ -238,6 +238,55 @@ object SparkEntry {
           | "_source": ["doc_id", "lang", "n_chars"]}""".stripMargin,
         docsMapping
       )),
+    // best_fields multi_match: analyzed on the text-mapped field, exact on
+    // the keyword-mapped one — one OR predicate, one scan.
+    "search_dsl_json_multi_match" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"multi_match": {"query": "spark", "fields": ["text", "source"]}},
+          | "sort": ["doc_id"], "_source": ["doc_id", "source", "n_chars"]}""".stripMargin,
+        docsMapping
+      )),
+    // The reference PUTs /{index}/_doc/{id}: `_id` is the indexed key, so
+    // the frame exposes its key column under that name.
+    "search_dsl_json_ids" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir).withColumnRenamed("doc_id", "_id"),
+        """{"query": {"ids": {"values": [3, 11, 42]}}, "sort": ["_id"], "_source": ["_id", "lang", "n_chars"]}""",
+        docsMapping
+      )),
+    "search_dsl_json_fuzzy" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"fuzzy": {"text": {"value": "sparc", "fuzziness": 1}}},
+          | "sort": ["doc_id"], "_source": ["doc_id", "n_chars"]}""".stripMargin,
+        docsMapping
+      )),
+    // filters agg: named buckets in ONE conditional-count pass, not one
+    // scan per filter.
+    "search_dsl_json_filters" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.events(s, dir),
+        """{"aggs": {"event_buckets": {"filters": {"filters": {
+          |   "errors":     {"term":  {"event_type": "error"}},
+          |   "high_value": {"range": {"value": {"gte": 150}}}
+          | }}}}}""".stripMargin
+      )),
+    "search_dsl_json_terms_metrics" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"by_priority": {
+          |   "terms": {"field": "o_orderpriority", "size": 5},
+          |   "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}},
+          |            "total":     {"sum": {"field": "o_totalprice"}}}
+          | }}}""".stripMargin
+      )),
+    "search_dsl_json_percentiles" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.lineitem(s, dir),
+        """{"query": {"range": {"l_shipdate": {"gte": "1996-01-01 00:00:00"}}},
+          | "aggs": {"qty": {"percentiles": {"field": "l_quantity", "percents": [50, 90, 99]}}}}""".stripMargin
+      )),
     "search_bool_term" -> ((s, dir) =>
       Tables
         .orders(s, dir)
@@ -1072,6 +1121,31 @@ object SparkEntry {
         |  AND (list_contains(string_split(lower(text), ' '), 'data')
         |    OR list_contains(string_split(lower(text), ' '), 'quality'))
         |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_multi_match" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark') OR source = 'spark'
+        |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_ids" ->
+      """SELECT doc_id AS "_id", lang, n_chars FROM documents
+        |WHERE doc_id IN (3, 11, 42) ORDER BY 1""".stripMargin,
+    "search_dsl_json_fuzzy" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE len(list_filter(string_split(lower(text), ' '), t -> levenshtein(t, 'sparc') <= 1)) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_filters" ->
+      """SELECT count(*) AS n_total,
+        |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+        |       sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS high_value
+        |FROM events""".stripMargin,
+    "search_dsl_json_terms_metrics" ->
+      """SELECT o_orderpriority AS "key", count(*) AS doc_count,
+        |       round(avg(o_totalprice), 6) AS avg_price, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY doc_count DESC, "key" LIMIT 5""".stripMargin,
+    "search_dsl_json_percentiles" ->
+      """SELECT round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |       round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        |       round(quantile_cont(l_quantity, 0.99), 6) AS p99
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
     "search_bool_term" ->
       """SELECT o_orderkey,
         |       (CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END

@@ -22,6 +22,15 @@ object Aggs {
       .orderBy(col("doc_count").desc, col("key").asc)
       .limit(size)
 
+  /** `terms` aggregation with metric sub-aggregations: same bucketing and
+    * ordering as [[termsAgg]], plus aliased per-bucket metrics.
+    */
+  def termsAggWith(df: DataFrame, field: Column, size: Int, metrics: Seq[Column]): DataFrame =
+    df.groupBy(field.as("key"))
+      .agg(count(lit(1)).as("doc_count"), metrics: _*)
+      .orderBy(col("doc_count").desc, col("key").asc)
+      .limit(size)
+
   /** `date_histogram` with calendar interval + metric sub-aggregations. */
   def dateHistogram(df: DataFrame, ts: Column, interval: String, metrics: Seq[Column]): DataFrame =
     df.groupBy(date_trunc(interval, ts).as("bucket"))

@@ -16,9 +16,12 @@ import scala.jdk.CollectionConverters._
   * Query clauses: match, match_phrase, term, terms, range
   * (gt/gte/lt/lte), bool (must/filter/must_not/should +
   * minimum_should_match), wildcard, prefix, exists, match_all,
-  * query_string. Aggregations: terms, date_histogram (+ metric
-  * sub-aggregations sum/avg/min/max/value_count), stats, cardinality,
-  * histogram, range. Hits shaping: sort, size, _source.
+  * query_string, multi_match, ids (on an `_id` column), fuzzy.
+  * Aggregations: terms (+ metric sub-aggregations), date_histogram
+  * (+ metric sub-aggregations sum/avg/min/max/value_count), stats,
+  * cardinality, histogram, range, filters, percentiles, and top-level
+  * single metrics (avg/sum/min/max/value_count). Hits shaping: sort,
+  * size, _source.
   *
   * The [[IndexMapping]] decides analyzed-vs-exact per field (a `match` on
   * a `text` field tests analyzed terms; on a `keyword` field it is exact
@@ -47,7 +50,7 @@ object JsonDsl {
       case None    => df
     }
     Option(root.get("aggs")).orElse(Option(root.get("aggregations"))) match {
-      case Some(aggs) => compileAggs(filtered, aggs)
+      case Some(aggs) => compileAggs(filtered, aggs, mapping)
       case None =>
         val sorted = Option(root.get("sort")) match {
           case Some(s) => filtered.orderBy(compileSort(s): _*)
@@ -98,6 +101,39 @@ object JsonDsl {
         require(conds.nonEmpty, s"range on '$f' needs at least one of gte/gt/lte/lt")
         conds.reduce(_ && _)
       case "exists" => col(req(body, "field", "exists").asText).isNotNull
+      case "multi_match" =>
+        // best_fields in filter context: the clause matches if ANY listed
+        // field matches — analyzed on text fields, exact on keyword.
+        val q = req(body, "query", "multi_match").asText
+        val fields = req(body, "fields", "multi_match").elements().asScala.toSeq.map(_.asText)
+        require(fields.nonEmpty, s"multi_match needs at least one field: $body")
+        fields
+          .map { f =>
+            if (mapping.isText(f))
+              SearchDsl.matchScore(col(f), q.toLowerCase.split("\\s+").toSeq) > 0
+            else col(f) === lit(q)
+          }
+          .reduce(_ || _)
+      case "ids" =>
+        // The consumer indexes documents under `_id` (the reference PUTs
+        // /{index}/_doc/{id}); callers expose their key column as `_id`.
+        val vals = req(body, "values", "ids").elements().asScala.toSeq.map(scalarValue)
+        require(vals.nonEmpty, s"ids needs at least one value: $body")
+        col("_id").isin(vals: _*)
+      case "fuzzy" =>
+        val (f, v) = fieldAndValue(body, "value")
+        val fuzz = Option(body.get(f))
+          .filter(_.isObject)
+          .flatMap(o => Option(o.get("fuzziness")))
+          .map(_.asInt)
+          .getOrElse(2)
+        // Predicate form: per-token edit distance inside the scan. The
+        // sublinear scale path (levenshtein over the distinct VOCABULARY,
+        // then a semi-join) is search.Fuzzy — use it when the query is a
+        // whole-frame operator rather than one bool clause.
+        if (mapping.isText(f))
+          exists(SearchDsl.analyze(col(f)), t => levenshtein(t, lit(v.asText.toLowerCase)) <= fuzz)
+        else levenshtein(col(f), lit(v.asText)) <= fuzz
       case "wildcard" =>
         val (f, v) = fieldAndValue(body, "value")
         SearchDsl.wildcard(col(f), v.asText)
@@ -130,7 +166,7 @@ object JsonDsl {
 
   // ── Aggregations ──────────────────────────────────────────────────────
 
-  private def compileAggs(df: DataFrame, aggs: JsonNode): DataFrame = {
+  private def compileAggs(df: DataFrame, aggs: JsonNode, mapping: IndexMapping): DataFrame = {
     require(
       aggs.isObject && aggs.size == 1,
       s"exactly one top-level aggregation is supported per request, got: $aggs"
@@ -148,7 +184,11 @@ object JsonDsl {
     def field = col(req(body, "field", s"aggregation '$typeName'").asText)
     typeName match {
       case "terms" =>
-        Aggs.termsAgg(df, field, Option(body.get("size")).map(_.asInt).getOrElse(10))
+        val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
+        subAggs match {
+          case Some(sa) => Aggs.termsAggWith(df, field, size, sa.fields().asScala.toSeq.map(roundedMetric))
+          case None     => Aggs.termsAgg(df, field, size)
+        }
       case "date_histogram" =>
         val interval =
           Option(body.get("calendar_interval")).orElse(Option(body.get("interval"))).map(_.asText)
@@ -167,8 +207,48 @@ object JsonDsl {
           (key, from, to)
         }
         Aggs.rangeAgg(df, field, ranges)
+      case "filters" =>
+        // Named filter buckets in ONE pass (conditional counts), not one
+        // scan per filter.
+        val specs = req(body, "filters", "filters aggregation")
+        val conds = specs.fields().asScala.toSeq.map(e => e.getKey -> compileQuery(df, e.getValue, mapping))
+        require(conds.nonEmpty, s"filters aggregation needs at least one named filter: $body")
+        Aggs.filteredCounts(df, conds)
+      case "percentiles" =>
+        val ps = Option(body.get("percents"))
+          .map(_.elements().asScala.toSeq.map(_.asDouble))
+          .getOrElse(Seq(50.0, 90.0, 99.0))
+        Aggs.percentiles(df, field, ps.map(p => percentileName(p) -> p / 100.0))
+      case "avg" | "sum" | "min" | "max" | "value_count" =>
+        // Top-level single-metric aggregation: one row named after the agg.
+        df.agg(roundedMetricOf(typeName, field).as(aggName))
       case other => throw new IllegalArgumentException(s"unsupported aggregation '$other'")
     }
+  }
+
+  private def percentileName(p: Double): String =
+    if (p == p.floor) s"p${p.toInt}" else s"p${p.toString.replace('.', '_')}"
+
+  /** Rounded metric conventions (match the DuckDB oracle hashing): money
+    * sums/extrema → 2 dp; ratios (avg) → 6 dp; counts exact. The
+    * date_histogram sub-metric path keeps raw metrics for plan parity with
+    * direct [[Aggs.dateHistogram]] callers.
+    */
+  private def roundedMetricOf(mType: String, f: Column): Column = mType match {
+    case "sum"         => round(sum(f), 2)
+    case "avg"         => round(avg(f), 6)
+    case "min"         => round(min(f), 2)
+    case "max"         => round(max(f), 2)
+    case "value_count" => count(f)
+    case other         => throw new IllegalArgumentException(s"unsupported metric aggregation '$other'")
+  }
+
+  private def roundedMetric(e: java.util.Map.Entry[String, JsonNode]): Column = {
+    val name = e.getKey
+    require(e.getValue.isObject && e.getValue.size == 1, s"metric '$name' must have exactly one type")
+    val mType = e.getValue.fieldNames().next()
+    val f = col(req(e.getValue.get(mType), "field", s"metric '$name' ($mType)").asText)
+    roundedMetricOf(mType, f).as(name)
   }
 
   /** Metric sub-aggregations nested under a bucketing agg: each compiles

@@ -171,6 +171,69 @@ class JsonDslSpec extends SparkSpec {
     intercept[IllegalArgumentException](JsonDsl.parse(df, """{"query": {"range": {"amount": {}}}}""", mapping))
   }
 
+  test("multi_match ORs analyzed text fields with exact keyword fields") {
+    val df = cards
+    val got = JsonDsl.parse(
+      df,
+      """{"query": {"multi_match": {"query": "spark", "fields": ["text", "status"]}}}""",
+      mapping
+    )
+    samePlan(
+      got,
+      df.filter(
+        (SearchDsl.matchScore(col("text"), Seq("spark")) > 0) || (col("status") === lit("spark"))
+      )
+    )
+    assert(got.select("id").as[Long].collect().toSet == Set(4L, 5L))
+  }
+
+  test("ids selects by the _id column; fuzzy matches within edit distance") {
+    val df = cards.withColumnRenamed("id", "_id")
+    val byId = JsonDsl.parse(df, """{"query": {"ids": {"values": [2, 4]}}}""", mapping)
+    assert(byId.select("_id").as[Long].collect().toSet == Set(2L, 4L))
+    val fz = JsonDsl.parse(
+      cards,
+      """{"query": {"fuzzy": {"text": {"value": "sprk", "fuzziness": 1}}}}""",
+      mapping
+    )
+    // 'sprk' is distance 1 from 'spark' only
+    assert(fz.select("id").as[Long].collect().toSet == Set(4L, 5L))
+    // keyword field: whole-value edit distance
+    val kw = JsonDsl.parse(
+      cards,
+      """{"query": {"fuzzy": {"status": {"value": "ACTIVO", "fuzziness": 1}}}}""",
+      mapping
+    )
+    assert(kw.select("id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+  }
+
+  test("filters agg, terms sub-metrics, and top-level metric aggregations") {
+    val df = cards
+    val filters = JsonDsl.parse(
+      df,
+      """{"aggs": {"b": {"filters": {"filters": {
+        |  "active": {"term": {"status": "ACTIVE"}},
+        |  "big":    {"range": {"amount": {"gte": 1000}}}
+        |}}}}}""".stripMargin,
+      mapping
+    )
+    assert(filters.columns.toSeq == Seq("n_total", "active", "big"))
+    assert(filters.as[(Long, Long, Long)].head() == ((5L, 3L, 2L)))
+    val terms = JsonDsl.parse(
+      df,
+      """{"aggs": {"by_status": {"terms": {"field": "status", "size": 5},
+        |  "aggs": {"avg_amt": {"avg": {"field": "amount"}}}}}}""".stripMargin,
+      mapping
+    )
+    samePlan(
+      terms,
+      Aggs.termsAggWith(df, col("status"), 5, Seq(round(avg(col("amount")), 6).as("avg_amt")))
+    )
+    val single = JsonDsl.parse(df, """{"aggs": {"total": {"sum": {"field": "amount"}}}}""", mapping)
+    assert(single.columns.toSeq == Seq("total"))
+    assert(single.as[Double].head() == 4570.0)
+  }
+
   test("must_not keeps docs where the field is NULL (missing field ≠ drop)") {
     val df = Seq((1L, Option("ACTIVE")), (2L, Option.empty[String]), (3L, Option("CLOSED")))
       .toDF("id", "status")
