@@ -94,15 +94,39 @@ object Similarity {
     * is query-scale, so it broadcasts back onto the base for the exact
     * rescore and the vectors themselves never shuffle.
     */
-  def scoreAgainstLsh(index: LshIndex, idCol: String, vecCol: String, query: Seq[Float], k: Int): DataFrame = {
+  def scoreAgainstLsh(
+      index: LshIndex,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      probeRadius: Int = 0
+  ): DataFrame = {
     val qlit = vecLit(query)
     val qsigs = (0 until index.tables).map(t => VectorFns.hyperplaneSig(qlit, index.nBits, seed = lshSeed(t)))
-    val probeSigs = index.sigs.sparkSession
+    val exact = index.sigs.sparkSession
       .range(index.tables)
       .select(
         col("id").cast("int").as("table"),
         element_at(array(qsigs: _*), col("id").cast("int") + 1).as("sig")
       )
+    // Multi-probe LSH (Lv et al., VLDB'07): also probe the buckets whose
+    // signature differs from the query's in one bit — a near-miss on one
+    // hyperplane is the most likely place for a lost neighbor. Radius 1
+    // multiplies probed buckets by (1 + nBits) per table, which buys the
+    // recall of ~nBits× more tables WITHOUT growing the stored index —
+    // probe cost is still O(tables · nBits) broadcast rows, the index
+    // stays one row per (vector, table).
+    val probeSigs =
+      if (probeRadius <= 0) exact
+      else
+        exact
+          .select(
+            col("table"),
+            explode(array(lit(0L) +: (0 until index.nBits).map(b => lit(1L << b)): _*)).as("mask"),
+            col("sig")
+          )
+          .select(col("table"), col("sig").bitwiseXOR(col("mask")).as("sig"))
     // candIds is NOT hint-broadcast: with hot buckets (skewed corpora,
     // small nBits) the candidate set can approach corpus size, and a
     // forced broadcast would OOM the driver. AQE converts the join to
@@ -163,6 +187,29 @@ object Similarity {
     * full aggregation; it also evaluated the centroid TakeOrdered twice
     * per query. Measured 4.2 s → well under 1 s at sf0.1.
     */
+  /** Compiled argmin over the closure-broadcast centroid array — the cell
+    * assignment is a pure projection (one scan, zero shuffle). NULL
+    * vectors go to cell -1, which is never probed.
+    */
+  private def assignUdf(centroids: Array[Array[Float]]) = udf { (v: Seq[Float]) =>
+    if (v == null) -1
+    else {
+      var best = 0
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < centroids.length) {
+        val c = centroids(i)
+        var d = 0.0
+        var j = 0
+        val n = math.min(c.length, v.length)
+        while (j < n) { val t = v(j).toDouble - c(j).toDouble; d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+  }
+
   def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, nLists: Int): IvfIndex = {
     // O(nLists) driver fetch: index metadata, same class as a probe-vector
     // fetch. Order (id-hash asc, id asc) is deterministic; the position in
@@ -176,29 +223,45 @@ object Similarity {
       .limit(nLists)
       .collect()
       .map(_.getSeq[Float](1).toArray)
-    val assign = udf { (v: Seq[Float]) =>
-      if (v == null) -1
-      else {
-        var best = 0
-        var bestD = Double.MaxValue
-        var i = 0
-        while (i < centroids.length) {
-          val c = centroids(i)
-          var d = 0.0
-          var j = 0
-          val n = math.min(c.length, v.length)
-          while (j < n) { val t = v(j).toDouble - c(j).toDouble; d += t * t; j += 1 }
-          if (d < bestD) { bestD = d; best = i }
-          i += 1
-        }
-        best
-      }
-    }
     val assigned = graft.Tables
       .ensureParallelism(emb.select(col(idCol), col(vecCol)))
-      .withColumn("cell", assign(col(vecCol)))
+      .withColumn("cell", assignUdf(centroids)(col(vecCol)))
     IvfIndex(centroids, assigned)
   }
+
+  /** Lloyd (k-means) refinement of the IVF coarse quantizer: each round
+    * re-assigns every vector to its nearest centroid (pure projection)
+    * and moves each centroid to its cell's per-dimension mean — one
+    * explode + hash-aggregate per round, shuffling (cell, dim, partial
+    * mean) triples, never vectors. Refined cells are tighter and more
+    * even, so the same nProbe recovers more true neighbors (standard IVF
+    * practice; the index structure and score path are unchanged). Empty
+    * cells keep their previous centroid. The per-round cost is one corpus
+    * scan — an index-build-time cost, amortized exactly like the build
+    * itself.
+    */
+  def ivfRefine(emb: DataFrame, idCol: String, vecCol: String, index: IvfIndex, iters: Int): IvfIndex = {
+    val base = emb.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull)
+    var cents = index.centroids
+    for (_ <- 0 until iters) {
+      // (cell, dim) means: nLists × dim result rows — driver-scale index
+      // metadata, same class as the centroid array itself.
+      val means = graft.Tables
+        .ensureParallelism(base)
+        .select(assignUdf(cents)(col(vecCol)).as("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(avg("x").as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+      cents = next
+    }
+    IvfIndex(cents, base.withColumn("cell", assignUdf(cents)(col(vecCol))))
+  }
+
+  /** Build + refine in one call: the deterministic sample seeds Lloyd. */
+  def ivfIndexKMeans(emb: DataFrame, idCol: String, vecCol: String, nLists: Int, iters: Int): IvfIndex =
+    ivfRefine(emb, idCol, vecCol, ivfIndex(emb, idCol, vecCol, nLists), iters)
 
   /** The `nProbe` cells nearest to `query` — driver-side math over the
     * O(nLists) centroid array (distance asc, cell id asc on ties).

@@ -136,6 +136,82 @@ class ReplicaSpec extends SparkSpec {
     }
   }
 
+  test("k-means refinement never increases IVF inertia and keeps the recall bound") {
+    val base = Similarity.ivfIndex(emb, "vec_id", "embedding", nLists = 16)
+    val refined = Similarity.ivfRefine(emb, "vec_id", "embedding", base, iters = 3)
+    def inertia(idx: Similarity.IvfIndex): Double = {
+      val cents = idx.centroids
+      val sq = udf { (v: Seq[Float], cell: Int) =>
+        val c = cents(cell)
+        var d = 0.0
+        var j = 0
+        val n = math.min(c.length, v.length)
+        while (j < n) { val t = v(j).toDouble - c(j).toDouble; d += t * t; j += 1 }
+        d
+      }
+      idx.assigned.filter($"cell" >= 0).agg(sum(sq($"embedding", $"cell"))).head().getDouble(0)
+    }
+    val i0 = inertia(base)
+    val i1 = inertia(refined)
+    // Lloyd's guarantee: assignment and update steps each only decrease
+    // the objective (float tolerance for the mean computed in double and
+    // stored as float).
+    assert(i1 <= i0 * (1 + 1e-6), s"inertia increased: $i0 -> $i1")
+    assert(refined.centroids.map(_.toSeq) != base.centroids.map(_.toSeq), "refinement moved no centroid")
+    // Same probe budget, refined cells: recall vs brute force per probe.
+    val probes = Seq(0L, 7L, 21L, 100L, 499L)
+    val recalls = probes.map { pid =>
+      val q = emb.filter($"vec_id" === pid).select("embedding").head().getSeq[Float](0)
+      val truth =
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).select("vec_id").as[Long].collect().toSet
+      val got = Similarity
+        .scoreAgainstIvf(refined, "vec_id", "embedding", q, 10, nProbe = 6)
+        .select("vec_id")
+        .as[Long]
+        .collect()
+        .toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    info(s"refined-IVF recall@10 (nLists=16, nProbe=6, 3 Lloyd iters): inertia $i0 -> $i1; " +
+      s"per-probe ${recalls.mkString(", ")} (mean ${recalls.sum / recalls.size})")
+    assert(recalls.forall(_ >= 0.3), s"refined recall below the documented bound: $recalls")
+  }
+
+  test("multi-probe LSH candidates are a superset of single-probe; recall measured") {
+    val idx = Similarity.lshIndex(emb, "vec_id", "embedding", nBits = 4, tables = 4)
+    val probes = Seq(0L, 7L, 21L, 100L, 499L)
+    val corpus = emb.count().toInt
+    val recallPairs = probes.map { pid =>
+      val q = emb.filter($"vec_id" === pid).select("embedding").head().getSeq[Float](0)
+      // k = corpus size → the full candidate set with exact scores.
+      val c0 =
+        Similarity.scoreAgainstLsh(idx, "vec_id", "embedding", q, corpus).select("vec_id").as[Long].collect().toSet
+      val c1 = Similarity
+        .scoreAgainstLsh(idx, "vec_id", "embedding", q, corpus, probeRadius = 1)
+        .select("vec_id")
+        .as[Long]
+        .collect()
+        .toSet
+      assert(c0.subsetOf(c1), s"probe $pid: radius-1 candidates are not a superset")
+      val truth =
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).select("vec_id").as[Long].collect().toSet
+      def recall(c: Set[Long]) = {
+        val top = Similarity
+          .scoreAgainstLsh(idx, "vec_id", "embedding", q, 10, probeRadius = if (c eq c1) 1 else 0)
+        truth.intersect(top.select("vec_id").as[Long].collect().toSet).size.toDouble / truth.size
+      }
+      (recall(c0), recall(c1))
+    }
+    val (r0s, r1s) = recallPairs.unzip
+    info(s"LSH recall@10 (4 bits × 4 tables): single-probe ${r0s.mkString(", ")} (mean ${r0s.sum / r0s.size}); " +
+      s"multi-probe r=1 ${r1s.mkString(", ")} (mean ${r1s.sum / r1s.size})")
+    // Half the tables of the shipped 8-table config: multi-probe must make
+    // up the recall (the superset makes per-probe regressions tie-breaks
+    // only).
+    assert(r1s.sum / r1s.size >= r0s.sum / r0s.size, "multi-probe lowered mean recall")
+    assert(r1s.forall(_ >= 0.5), s"multi-probe recall floor: $r1s")
+  }
+
   test("LSH/IVF top-k emit exact cosine scores — approximation lives only in candidate recall") {
     val q = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
     val all = Similarity
