@@ -980,6 +980,44 @@ object SparkEntry {
           sum(operators.Sampling.stratifiedKeep(col("doc_id"), 0.25).cast("long")).as("n_sampled")
         )
         .orderBy("lang")),
+    // Per-group quota sampling: at most k docs per source, picked in
+    // deterministic md5-of-id order (stable under corpus growth) — the
+    // "cap any one domain's share of the training mix" op, executed by
+    // the bounded-heap TopKPerKey operator, not a window sort.
+    "sample_cap_per_source" -> ((s, dir) => {
+      val ranked = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"), md5(col("doc_id").cast("string")).as("h"))
+      graft.plans.TopKPerKey
+        .perKey(ranked, Seq("source"), Seq("h" -> true, "doc_id" -> true), 10)
+        .select(col("source"), col("doc_id"), col("n_chars"), col("rank"))
+        .orderBy("source", "rank")
+    }),
+    // Shannon entropy of the token distribution — low-entropy docs are
+    // boilerplate/spam candidates.
+    "text_token_entropy" -> ((s, dir) =>
+      TextFns
+        .tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    // Composite quality gate: first failing rule (in a fixed order) or
+    // 'keep' — the decision + audit-reason column a filtering pipeline
+    // writes. All rules are per-row codegen'd expressions; one scan.
+    "text_filter_chain" -> ((s, dir) => {
+      val nTok = TextFns.tokenCount(col("text"))
+      val avgLen = TextFns.avgTokenLen(col("text"))
+      val stopR = TextFns.stopwordRatio(col("text"))
+      val digitR = TextFns.charRatio(col("text"), "0-9")
+      val firstFail = when(nTok < 50, "too_short")
+        .when(nTok > 2000, "too_long")
+        .when(avgLen < 3 || avgLen > 10, "odd_token_len")
+        .when(stopR < 0.03, "low_stopword")
+        .when(digitR > 0.2, "digit_heavy")
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), coalesce(firstFail, lit("keep")).as("verdict"))
+        .orderBy("doc_id")
+    }),
     // OpenSearch `fuzzy` query: docs containing a token within edit
     // distance 1 of "spark", via vocabulary-level levenshtein (see Fuzzy).
     "search_fuzzy" -> ((s, dir) =>
@@ -1492,6 +1530,32 @@ object SparkEntry {
         |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[PII]', 'g'),
         |           '[0-9]{4,}', '[PII]', 'g') AS redacted
         |FROM customer ORDER BY id""".stripMargin,
+    "sample_cap_per_source" ->
+      """SELECT source, doc_id, n_chars, rank FROM (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents) t
+        |WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
+    "text_token_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS s FROM cnt GROUP BY 1)
+        |SELECT doc_id, round(log2(n) - s / n, 6) AS entropy FROM agg ORDER BY doc_id""".stripMargin,
+    "text_filter_chain" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(string_split(lower(text), ' ')) < 50 THEN 'too_short'
+        |       WHEN len(string_split(lower(text), ' ')) > 2000 THEN 'too_long'
+        |       WHEN (CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(lower(text), ' '))) < 3
+        |         OR (CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(lower(text), ' '))) > 10
+        |         THEN 'odd_token_len'
+        |       WHEN (CAST(len(list_filter(string_split(lower(text), ' '),
+        |                     t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+        |             / len(string_split(lower(text), ' '))) < 0.03 THEN 'low_stopword'
+        |       WHEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) > 0.2
+        |         THEN 'digit_heavy'
+        |       ELSE 'keep' END AS verdict
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "sample_split" ->
       """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0' THEN 'train'
         |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e0' THEN 'val'

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column builders for the training-data pipeline: token
@@ -16,6 +16,35 @@ object TextFns {
   def tokens(text: Column): Column = split(lower(text), " ")
 
   def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Shannon entropy (bits) of each document's token distribution — the
+    * classic repetitiveness/diversity quality signal (low entropy = a few
+    * tokens dominate; boilerplate and generated spam score low).
+    *
+    * H = log2(n) − Σ c·log2(c) / n over per-document token counts.
+    * Two hash aggregations (doc+token counts, then per-doc sums), both with
+    * map-side partials; the shuffle carries (id, token, count) triples,
+    * never text. An in-array HOF version would avoid the shuffle but
+    * recounts tokens O(|doc|²) per row — the exploded aggregate is the plan
+    * that survives long documents.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cnt = graft.Tables
+      .ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("_text")))
+      .select(col("id"), explode(tokens(col("_text"))).as("t"))
+      .groupBy("id", "t")
+      .agg(count(lit(1)).as("c"))
+    cnt
+      .groupBy("id")
+      .agg(
+        sum("c").as("n"),
+        sum(col("c").cast("double") * log2(col("c").cast("double"))).as("s")
+      )
+      .select(
+        col("id"),
+        round(log2(col("n").cast("double")) - col("s") / col("n").cast("double"), 6).as("entropy")
+      )
+  }
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
