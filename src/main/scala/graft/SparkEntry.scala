@@ -110,6 +110,36 @@ object SparkEntry {
     fresh.copy(sigs = Memo.parquet(s, s"lsh4:$dir")(fresh.sigs))
   }
 
+  private val bucketedMemo = scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** lineitem+orders written once per JVM as same-bucket-count tables on
+    * their join keys (sinks.BucketedStore): the co-located layout a
+    * deployment pays for once so every subsequent fact-fact join runs
+    * with ZERO shuffle exchange of either fact table (plan-asserted in
+    * BucketedStoreSpec). 8 buckets locally; a cluster uses cluster-width.
+    */
+  private def bucketedFacts(s: SparkSession, dir: String): (String, String) =
+    bucketedMemo.getOrElseUpdate(
+      dir, {
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val lt = s"graft_bk_lineitem_$tag"
+        val ot = s"graft_bk_orders_$tag"
+        sinks.BucketedStore.writeBucketed(
+          Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"),
+          lt,
+          "l_orderkey",
+          8
+        )
+        sinks.BucketedStore.writeBucketed(
+          Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+          ot,
+          "o_orderkey",
+          8
+        )
+        (lt, ot)
+      }
+    )
+
   /** The exact n-gram-Jaccard near-dup pair table for `dir`, computed once
     * per JVM — dedup_ngram_jaccard reports it, dedup_components clusters
     * it; candidate generation runs once, not once per consumer.
@@ -600,6 +630,24 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    // The same Q3 answer off the co-located bucketed layout: both fact
+    // sides pre-bucketed on the join key, so the join (and the groupBy,
+    // whose keys include the bucket key) needs no exchange of either
+    // fact table — the shuffle was paid once at layout time. Same
+    // oracle as q3_shipping_priority: identical answer, better plan.
+    "q3_shipping_colocated" -> ((s, dir) => {
+      val (lt, ot) = bucketedFacts(s, dir)
+      val cutoff = lit("1998-01-01 00:00:00").cast("timestamp")
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val l = sinks.BucketedStore.read(s, lt).filter(col("l_shipdate") > cutoff)
+      val o = sinks.BucketedStore.read(s, ot).filter(col("o_orderdate") < cutoff)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
     }),
     // TPC-H Q7 shape: shipping volume between customer and supplier
     // nations per year — two dimension broadcasts + fact-fact join.
@@ -1377,6 +1425,14 @@ object SparkEntry {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q3_shipping_colocated" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem
