@@ -342,6 +342,29 @@ object SparkEntry {
         """{"query": {"range": {"l_shipdate": {"gte": "1996-01-01 00:00:00"}}},
           | "aggs": {"qty": {"percentiles": {"field": "l_quantity", "percents": [50, 90, 99]}}}}""".stripMargin
       )),
+    // The OpenSearch vector-search clause from the wire format, routed to
+    // the brute-force ANN plan (one scan + TakeOrderedAndProject). The
+    // vector is serialized at double precision so the literal in the body
+    // is bit-identical to the stored float upcast.
+    "search_dsl_json_knn" -> ((s, dir) => {
+      val qv = queryVec(s, dir, 0).map(_.toDouble).mkString("[", ",", "]")
+      JsonDsl.parse(
+        Tables.embeddings(s, dir).withColumnRenamed("vec_id", "_id").select("_id", "embedding"),
+        s"""{"query": {"knn": {"embedding": {"vector": $qv, "k": 10}}},
+           | "sort": ["_id"], "_source": ["_id", "_score"]}""".stripMargin
+      )
+    }),
+    // top_hits sub-aggregation from the wire format, executed by the
+    // bounded-heap TopKPerKey operator.
+    "search_dsl_json_top_hits" -> ((s, dir) =>
+      JsonDsl
+        .parse(
+          Tables.orders(s, dir).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          """{"aggs": {"by_priority": {"terms": {"field": "o_orderpriority"},
+            |  "aggs": {"top": {"top_hits": {"size": 3,
+            |    "sort": [{"o_totalprice": "desc"}, {"o_orderkey": "asc"}]}}}}}}""".stripMargin
+        )
+        .orderBy("o_orderpriority", "rank")),
     "search_bool_term" -> ((s, dir) =>
       Tables
         .orders(s, dir)
@@ -1263,6 +1286,18 @@ object SparkEntry {
         |       round(quantile_cont(l_quantity, 0.9), 6) AS p90,
         |       round(quantile_cont(l_quantity, 0.99), 6) AS p99
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
+    "search_dsl_json_knn" ->
+      """SELECT vec_id AS "_id",
+        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS "_score"
+        |FROM embeddings ORDER BY "_score" DESC, "_id" LIMIT 10""".stripMargin,
+    "search_dsl_json_top_hits" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+        |  FROM orders) t
+        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
     "search_bool_term" ->
       """SELECT o_orderkey,
         |       (CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END

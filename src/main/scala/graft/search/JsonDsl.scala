@@ -45,6 +45,30 @@ object JsonDsl {
     require(root != null && root.isObject, s"request body must be a JSON object: $body")
     val known = Set("query", "aggs", "aggregations", "sort", "size", "_source")
     root.fieldNames().asScala.foreach(n => require(known(n), s"unsupported request element '$n'"))
+    // The knn query (the OpenSearch vector-search plugin's clause) is a
+    // top-k ranking, not a predicate: score the frame, order by _score
+    // (the body's sort entries break ties), keep k. One scan +
+    // TakeOrderedAndProject — the brute-force ANN plan.
+    Option(root.get("query")).filter(q => q.isObject && q.size == 1 && q.fieldNames().next() == "knn") match {
+      case Some(q) =>
+        require(root.get("aggs") == null && root.get("aggregations") == null, "knn with aggs is unsupported")
+        val body = q.get("knn")
+        val f = singleField(body)
+        val spec = body.get(f)
+        val vec = req(spec, "vector", "knn").elements().asScala.toSeq.map(_.asDouble)
+        val k = req(spec, "k", "knn").asInt
+        val scored = df.withColumn(
+          "_score",
+          round(graft.functions.VectorFns.cosine(col(f), array(vec.map(lit): _*)), 6)
+        )
+        val order = col("_score").desc +: Option(root.get("sort")).map(compileSort).getOrElse(Nil)
+        val top = scored.orderBy(order: _*).limit(k)
+        return Option(root.get("_source")) match {
+          case Some(src) => top.select(src.elements().asScala.map(e => col(e.asText)).toSeq: _*)
+          case None      => top
+        }
+      case None => ()
+    }
     val filtered = Option(root.get("query")) match {
       case Some(q) => df.filter(compileQuery(df, q, mapping))
       case None    => df
@@ -186,6 +210,17 @@ object JsonDsl {
       case "terms" =>
         val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
         subAggs match {
+          // top_hits sub-aggregation: top-k DOCUMENTS per bucket, executed
+          // by the bounded-heap TopKPerKey operator (rank column, no
+          // window sort). Covers every bucket; the terms size is a
+          // bucket-count cap and must be left default here.
+          case Some(sa)
+              if sa.size == 1 && sa.elements().asScala.toSeq.headOption.exists(_.has("top_hits")) =>
+            require(body.get("size") == null, "terms size with a top_hits sub-aggregation is unsupported")
+            val th = sa.elements().asScala.next().get("top_hits")
+            val k = req(th, "size", "top_hits").asInt
+            val ordering = compileSort(req(th, "sort", "top_hits"))
+            Aggs.topHits(df, field, k, ordering)
           case Some(sa) => Aggs.termsAggWith(df, field, size, sa.fields().asScala.toSeq.map(roundedMetric))
           case None     => Aggs.termsAgg(df, field, size)
         }

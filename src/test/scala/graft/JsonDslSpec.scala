@@ -234,6 +234,37 @@ class JsonDslSpec extends SparkSpec {
     assert(single.as[Double].head() == 4570.0)
   }
 
+  test("knn query ranks by cosine; top_hits sub-agg uses the bounded-heap operator") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))
+    ).toDF("_id", "embedding")
+    val knn = JsonDsl.parse(
+      emb,
+      """{"query": {"knn": {"embedding": {"vector": [1.0, 0.0], "k": 2}}},
+        | "sort": ["_id"], "_source": ["_id", "_score"]}""".stripMargin,
+      mapping
+    )
+    assert(knn.select("_id").as[Long].collect().toSeq == Seq(1L, 2L))
+    val th = JsonDsl.parse(
+      cards,
+      """{"aggs": {"by_status": {"terms": {"field": "status"},
+        |  "aggs": {"top": {"top_hits": {"size": 1, "sort": [{"amount": "desc"}]}}}}}}""".stripMargin,
+      mapping
+    )
+    // one top row per status, ranked by amount; executed by TopKPerKeyExec
+    assert(
+      th.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      s"expected TopKPerKeyExec in:\n${th.queryExecution.executedPlan}"
+    )
+    assert(
+      th.orderBy("status").select("status", "id").as[(String, Long)].collect().toSeq ==
+        Seq(("ACTIVE", 5L), ("BLOCKED", 3L), ("CLOSED", 4L))
+    )
+  }
+
   test("must_not keeps docs where the field is NULL (missing field ≠ drop)") {
     val df = Seq((1L, Option("ACTIVE")), (2L, Option.empty[String]), (3L, Option("CLOSED")))
       .toDF("id", "status")
