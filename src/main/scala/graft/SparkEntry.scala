@@ -1187,7 +1187,37 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, dir) =>
       Binary
         .frameSampleRows(Binary.asPayload(Tables.documents(s, dir), col("doc_id"), col("text")), 64, 4)
-        .orderBy("id", "frame_idx"))
+        .orderBy("id", "frame_idx")),
+    // Exact dedup over OPAQUE binary payloads: hash-aggregate on the
+    // content digest — the digest shuffles, the payload bytes never do
+    // (the multimodal twin of dedup_exact).
+    "mm_payload_dedup" -> ((s, dir) =>
+      Binary
+        .asPayload(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .groupBy(col("sha256"))
+        .agg(count(lit(1)).as("n_copies"), min("id").as("keep_id"))
+        .orderBy("keep_id")),
+    // TPC-H Q15: top supplier by quarterly revenue — the max is a 1-row
+    // broadcast scalar joined back, not a window over the aggregate.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables
+        .lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+        .groupBy(col("l_suppkey"))
+        .agg(
+          round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2)
+            .cast("double")
+            .as("total_revenue")
+        )
+      val mx = rev.agg(max("total_revenue").as("mx"))
+      rev
+        .join(broadcast(mx), col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1786,6 +1816,20 @@ object SparkEntry {
         |             CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS INTEGER) AS nf
         |      FROM documents) d
         |CROSS JOIN unnest(generate_series(0, nf - 1, 4)) AS u(i)
-        |ORDER BY id, frame_idx""".stripMargin
+        |ORDER BY id, frame_idx""".stripMargin,
+    "mm_payload_dedup" ->
+      """SELECT sha256(text) AS sha256, count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier, rev
+        |WHERE s_suppkey = l_suppkey AND total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin
   )
 }

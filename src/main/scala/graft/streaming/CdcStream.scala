@@ -140,4 +140,33 @@ object CdcStream {
     */
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
+
+  /** Stream-stream interval join: attribute each `follow` event to the
+    * `lead` events of the same key that happened within `within` BEFORE it
+    * (click→purchase attribution, request→response pairing). Watermarks on
+    * BOTH sides plus the time-bound condition are what make the state
+    * bounded: each side buffers only rows younger than watermark + within,
+    * so state size tracks the event rate, not the stream's lifetime — the
+    * only stream-stream join shape that survives an unbounded stream. The
+    * follow-side key is renamed internally so callers can pass two frames
+    * with the same key column name.
+    */
+  def intervalJoin(
+      lead: DataFrame,
+      follow: DataFrame,
+      keyCol: String,
+      leadTs: String,
+      followTs: String,
+      watermark: String,
+      within: String
+  ): DataFrame = {
+    val l = lead.withWatermark(leadTs, watermark)
+    val f = follow.withColumnRenamed(keyCol, s"_f_$keyCol").withWatermark(followTs, watermark)
+    l.join(
+      f,
+      col(keyCol) === col(s"_f_$keyCol") &&
+        col(followTs) >= col(leadTs) &&
+        col(followTs) <= col(leadTs) + expr(s"interval $within")
+    ).drop(s"_f_$keyCol")
+  }
 }

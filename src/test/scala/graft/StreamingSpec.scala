@@ -142,6 +142,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin attributes follow events to lead events within the window") {
+    implicit val sq = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = CdcStream.intervalJoin(
+      clicks.toDF().toDF("user_id", "click_ts"),
+      buys.toDF().toDF("user_id", "buy_ts", "amount"),
+      "user_id",
+      "click_ts",
+      "buy_ts",
+      watermark = "10 seconds",
+      within = "30 seconds"
+    )
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("attr_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .start()
+    try {
+      clicks.addData((1L, ts(100)), (2L, ts(100)), (1L, ts(200)))
+      // u1 buys 20s after the first click (in-window), u2 buys 60s after
+      // (out of window), u3 buys with no click at all.
+      buys.addData((1L, ts(120), 9.99), (2L, ts(160), 5.0), (3L, ts(130), 1.0))
+      q.processAllAvailable()
+      val out = spark
+        .table("attr_out")
+        .select("user_id", "click_ts", "buy_ts", "amount")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Double)]
+        .collect()
+        .toSet
+      assert(out == Set((1L, ts(100), ts(120), 9.99)))
+    } finally q.stop()
+  }
+
   test("parseWithDlq routes malformed envelopes to the dead-letter frame") {
     import graft.cdc.ChangeEvent
     val rows = Seq(
