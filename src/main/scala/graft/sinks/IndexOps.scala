@@ -91,9 +91,17 @@ object IndexOps {
   def deleteByQuery(spark: SparkSession, root: String, index: String, predicate: Column): Long = {
     recoverSwap(spark, root, index)
     val docs = IndexFileSink.readIndex(spark, root, index)
-    val deleted = docs.filter(coalesce(predicate, lit(false))).count()
-    rewrite(spark, root, index, docs.filter(!coalesce(predicate, lit(false))))
-    deleted
+    // One pass: the deleted-count rides the rewrite scan as an observed
+    // metric (the observe node sits before the filter, so it sees every
+    // row) instead of a second full read of the index.
+    val observed = docs
+      .observe("graft_dbq", sum(when(coalesce(predicate, lit(false)), 1L).otherwise(0L)).as("n"))
+      .filter(!coalesce(predicate, lit(false)))
+    val (_, metric) = org.apache.spark.sql.graft.PlanBridge
+      .withObservedMetric(spark, "graft_dbq")(rewrite(spark, root, index, observed))
+    metric
+      .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+      .getOrElse(throw new IllegalStateException("delete_by_query metric was not delivered"))
   }
 
   /** `_update_by_query`: apply column updates to matching docs. Returns
@@ -108,12 +116,17 @@ object IndexOps {
   ): Long = {
     recoverSwap(spark, root, index)
     val docs = IndexFileSink.readIndex(spark, root, index)
-    val updated = updates.foldLeft(docs) { case (d, (name, value)) =>
+    // Same single-pass shape as deleteByQuery: matched-count observed
+    // during the rewrite, not via a separate count() read.
+    val base = docs.observe("graft_ubq", sum(when(predicate, 1L).otherwise(0L)).as("matched"))
+    val updated = updates.foldLeft(base) { case (d, (name, value)) =>
       d.withColumn(name, when(predicate, value).otherwise(col(name)))
     }
-    val matched = docs.filter(predicate).count()
-    rewrite(spark, root, index, updated)
-    matched
+    val (_, metric) = org.apache.spark.sql.graft.PlanBridge
+      .withObservedMetric(spark, "graft_ubq")(rewrite(spark, root, index, updated))
+    metric
+      .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+      .getOrElse(throw new IllegalStateException("update_by_query metric was not delivered"))
   }
 
   /** Age-based retention (TDD §3.5.3 lifecycle "delete" state) over a

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Bridge to construct a DataFrame from a custom LogicalPlan (Dataset.ofRows
@@ -21,6 +21,38 @@ object PlanBridge {
     */
   final class Materialized(val df: DataFrame, rdd: org.apache.spark.rdd.RDD[_]) {
     def unpersist(): Unit = rdd.unpersist(blocking = false)
+  }
+
+  /** Run `action` and capture the `Dataset.observe(metricName, ...)` row
+    * from whichever query execution inside it carried the metric — the
+    * mechanism that lets a side statistic (rows matched, rows dropped)
+    * ride the SAME job as a write instead of costing a second scan.
+    * Retry-safe by construction: observed metrics come from completed
+    * query executions, not raw task-side accumulators. The listener bus
+    * is flushed before reading (accessible here because this object lives
+    * under org.apache.spark).
+    */
+  def withObservedMetric[T](spark: SparkSession, metricName: String)(action: => T): (T, Option[Row]) = {
+    val captured = new java.util.concurrent.atomic.AtomicReference[Option[Row]](None)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long
+      ): Unit =
+        qe.observedMetrics.get(metricName).foreach(r => captured.set(Some(r)))
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception
+      ): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val res = action
+      spark.sparkContext.listenerBus.waitUntilEmpty()
+      (res, captured.get())
+    } finally spark.listenerManager.unregister(listener)
   }
 
   def materialize(df: DataFrame): Materialized = {
