@@ -365,6 +365,27 @@ object SparkEntry {
             |    "sort": [{"o_totalprice": "desc"}, {"o_orderkey": "asc"}]}}}}}}""".stripMargin
         )
         .orderBy("o_orderpriority", "rank")),
+    // significant_terms from the wire format: the body's query is the
+    // foreground, the index the background — one unfiltered pass.
+    "search_dsl_json_significant" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.events(s, dir),
+        """{"query": {"range": {"value": {"gt": 150}}},
+          | "aggs": {"sig": {"significant_terms": {"field": "event_type"}}}}""".stripMargin
+      )),
+    "search_dsl_json_rare_terms" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"aggs": {"rare_langs": {"rare_terms": {"field": "lang", "max_doc_count": 100}}}}"""
+      )),
+    "search_dsl_json_composite" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"page": {"composite": {"size": 5,
+          |  "sources": [{"k0": {"terms": {"field": "o_orderpriority"}}},
+          |              {"k1": {"terms": {"field": "o_orderstatus"}}}],
+          |  "after": {"k0": "2-HIGH", "k1": "F"}}}}}""".stripMargin
+      )),
     "search_bool_term" -> ((s, dir) =>
       Tables
         .orders(s, dir)
@@ -1316,6 +1337,23 @@ object SparkEntry {
         |       round(quantile_cont(l_quantity, 0.9), 6) AS p90,
         |       round(quantile_cont(l_quantity, 0.99), 6) AS p99
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
+    "search_dsl_json_significant" ->
+      """SELECT term, fg_count, bg_count,
+        |       round(CAST(fg_count AS DOUBLE) / fg_total - CAST(bg_count AS DOUBLE) / bg_total, 6) AS score
+        |FROM (SELECT event_type AS term,
+        |             count(*) FILTER (WHERE value > 150) AS fg_count,
+        |             count(*) AS bg_count
+        |      FROM events GROUP BY 1) a
+        |CROSS JOIN (SELECT count(*) FILTER (WHERE value > 150) AS fg_total, count(*) AS bg_total FROM events) b
+        |ORDER BY score DESC, term""".stripMargin,
+    "search_dsl_json_rare_terms" ->
+      """SELECT lang AS "key", count(*) AS doc_count FROM documents
+        |GROUP BY 1 HAVING count(*) <= 100 ORDER BY doc_count, "key"""".stripMargin,
+    "search_dsl_json_composite" ->
+      """SELECT o_orderpriority AS k0, o_orderstatus AS k1, count(*) AS doc_count
+        |FROM orders GROUP BY 1, 2
+        |HAVING o_orderpriority > '2-HIGH' OR (o_orderpriority = '2-HIGH' AND o_orderstatus > 'F')
+        |ORDER BY k0, k1 LIMIT 5""".stripMargin,
     "search_dsl_json_knn" ->
       """SELECT vec_id AS "_id",
         |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

@@ -69,6 +69,23 @@ object JsonDsl {
         }
       case None => ()
     }
+    // significant_terms: the query is the FOREGROUND set, the whole index
+    // the background — the frame must reach the aggregation UNFILTERED,
+    // with the query as a condition column (one pass computes both sides'
+    // counts; filtering first would lose the background).
+    Option(root.get("aggs"))
+      .orElse(Option(root.get("aggregations")))
+      .filter(a =>
+        a.isObject && a.size == 1 &&
+          a.elements().asScala.toSeq.headOption.exists(_.has("significant_terms"))
+      ) match {
+      case Some(a) =>
+        val spec = a.elements().asScala.next().get("significant_terms")
+        val f = col(req(spec, "field", "significant_terms").asText)
+        val fg = Option(root.get("query")).map(q => compileQuery(df, q, mapping)).getOrElse(lit(true))
+        return Aggs.significantTerms(df, f, fg)
+      case None => ()
+    }
     val filtered = Option(root.get("query")) match {
       case Some(q) => df.filter(compileQuery(df, q, mapping))
       case None    => df
@@ -242,6 +259,23 @@ object JsonDsl {
           (key, from, to)
         }
         Aggs.rangeAgg(df, field, ranges)
+      case "rare_terms" =>
+        Aggs.rareTerms(df, field, Option(body.get("max_doc_count")).map(_.asLong).getOrElse(1L))
+      case "composite" =>
+        val sources = req(body, "sources", "composite").elements().asScala.toSeq.map { s =>
+          val n = singleField(s)
+          val t = s.get(n)
+          val terms = req(t, "terms", s"composite source '$n'")
+          (n, col(req(terms, "field", s"composite source '$n'").asText))
+        }
+        val after = Option(body.get("after"))
+          .map(a => sources.map { case (n, _) => req(a, n, "composite after").asText })
+        Aggs.compositePage(
+          df,
+          sources.map(_._2),
+          after,
+          Option(body.get("size")).map(_.asInt).getOrElse(10)
+        )
       case "filters" =>
         // Named filter buckets in ONE pass (conditional counts), not one
         // scan per filter.
