@@ -842,6 +842,141 @@ object SparkEntry {
             .as("revenue")
         )
     }),
+    // TPC-H Q8 shape: a nation's market share inside one region's market
+    // per year. One fact scan; every dimension (part/customer/supplier/
+    // nation/region) broadcasts at TPC-H ratios. Exact-decimal sums,
+    // double quotient at the end (the q14 convention).
+    "q8_market_share" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_type") === "PROMO").select("p_partkey")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA").select("r_regionkey")
+      val o = Tables
+        .orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val vol = decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(r), col("c_rk") === col("r_regionkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          round(
+            sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0))).cast("double")
+              / sum(vol).cast("double"),
+            6
+          ).as("mkt_share")
+        )
+        .orderBy("o_year")
+    }),
+    // TPC-H Q9 shape (no partsupp: supply cost adapted as half the part's
+    // retail price per unit — a double product both engines compute
+    // bit-identically, then cast to exact decimal). Profit per supplier
+    // nation per year; part filter broadcast-prunes the fact scan.
+    "q9_product_profit" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_name").like("%widget%")).select("p_partkey", "p_retailprice")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+      val l = Tables
+        .lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount")
+      val amount = decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount"))) -
+        decMoney(col("p_retailprice") * col("l_quantity") * lit(0.5))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(amount), 2).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    // TPC-H Q11 shape (no partsupp: lineitem revenue plays stock value):
+    // per-part value for one nation's suppliers, kept only above a
+    // fraction of the TOTAL value — the total is a 1-row aggregate
+    // broadcast onto the per-part frame, never a second scan pass
+    // per row. Both sides compare as double (identical literals both
+    // engines).
+    "q11_important_parts" -> ((s, dir) => {
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_regionkey")
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA").select("r_regionkey")
+      val asiaSup = sup
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey")
+      val l = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val vol = decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))
+      val filtered = l.join(broadcast(asiaSup), col("l_suppkey") === col("s_suppkey"))
+      val perPart = filtered.groupBy("l_partkey").agg(sum(vol).as("value_dec"))
+      val total = perPart.agg(sum(col("value_dec")).cast("double").as("total_value"))
+      perPart
+        .crossJoin(broadcast(total))
+        .filter(col("value_dec").cast("double") > col("total_value") * lit(0.002))
+        .select(col("l_partkey"), round(col("value_dec"), 2).cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+    // TPC-H Q13: customer order-count distribution. LEFT OUTER join so
+    // zero-order customers land in the c_count=0 bucket; two hash aggs
+    // (per-customer, then histogram) — the second input is at most
+    // |customer| rows.
+    "q13_customer_distribution" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey")
+      val o = Tables
+        .orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    // TPC-H Q17 shape (no container column: brand filter only): revenue
+    // from small-quantity lines, threshold 20% of the per-part average.
+    // The per-part average is computed once on the brand-pruned join
+    // (not a correlated per-row subquery) and AQE broadcasts it back.
+    // l_quantity is integral-valued, so double avg is order-independent.
+    "q17_small_quantity" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#23").select("p_partkey")
+      val l = Tables.lineitem(s, dir).select("l_partkey", "l_quantity", "l_extendedprice")
+      val branded = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val perPartAvg = branded.groupBy(col("p_partkey").as("avg_pk")).agg(avg("l_quantity").as("avg_qty"))
+      branded
+        .join(perPartAvg, col("p_partkey") === col("avg_pk"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sum(decMoney(col("l_extendedprice"))).cast("double") / lit(7.0), 6).as("avg_yearly"))
+    }),
+    // TPC-H Q22 shape (no phone column: grouped by nation key): customers
+    // richer than the positive-balance average with no RECENT orders —
+    // the average is an exact-decimal 1-row broadcast, the "no orders"
+    // test a LEFT ANTI join (never a per-row subquery). The anti-join
+    // side is date-pruned at the scan, so it shrinks with the window.
+    "q22_idle_customers" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey", "c_acctbal")
+      val o = Tables
+        .orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-07-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+      val avgBal = c
+        .filter(col("c_acctbal") > 0)
+        .agg((sum(decMoney(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), round(sum(decMoney(col("c_acctbal"))), 2).cast("double").as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
     "agg_running_balance" -> ((s, dir) => {
       val w = Window
         .partitionBy("user_id")
@@ -1609,6 +1744,59 @@ object SparkEntry {
         |  ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+        |                           THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |                           ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem, part, orders, customer, supplier, nation n1, nation n2, region
+        |WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey
+        |  AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA' AND p_type = 'PROMO'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |                      - CAST(p_retailprice * l_quantity * 0.5 AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_profit
+        |FROM lineitem, part, supplier, nation, orders
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND l_orderkey = o_orderkey AND p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_parts" ->
+      """SELECT l_partkey,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS value
+        |FROM lineitem, supplier, nation, region
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY l_partkey
+        |HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) >
+        |       (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) * 0.002
+        |        FROM lineitem, supplier, nation, region
+        |        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA')
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q13_customer_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q17_small_quantity" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+        |  AND l_quantity < 0.2 * (SELECT avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |       CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        |                   FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "agg_running_balance" ->
       """SELECT user_id, event_id, ts,
         |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

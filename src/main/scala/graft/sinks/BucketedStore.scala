@@ -18,14 +18,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketedStore {
 
-  /** Write `df` as a bucketed, per-bucket-sorted parquet table. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  /** Write `df` as a bucketed, per-bucket-sorted parquet table.
+    *
+    * A fresh session's catalog does not know tables a previous JVM left
+    * in the warehouse directory, and `saveAsTable` refuses to create a
+    * managed table over an existing location — so an orphaned directory
+    * (catalog-unknown) is cleared before the write. Catalog-known tables
+    * are handled by mode("overwrite") as usual.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val orphan = new java.io.File(warehouse, table)
+      if (orphan.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(orphan)
+      }
+    }
     df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
