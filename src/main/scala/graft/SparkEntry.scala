@@ -237,6 +237,20 @@ object SparkEntry {
       parts.reduce(_ unionByName _).orderBy("entity")
     }),
 
+    // SCD type-2 history off the same changelog the upsert index consumes:
+    // versioned validity intervals per key, open-ended on the current row.
+    "cdc_scd2_history" -> ((s, dir) =>
+      CdcBatch
+        .scd2(
+          Tables.events(s, dir).filter(col("event_type") =!= "click"),
+          "user_id",
+          struct(col("ts"), col("event_id")),
+          col("ts"),
+          col("event_type"),
+          col("value")
+        )
+        .orderBy("user_id", "version")),
+
     // As-of (temporal) join: each purchase enriched with the user's latest
     // strictly-prior event — the point-in-time lookup CDC analytics needs.
     "cdc_asof_enrich" -> ((s, dir) => {
@@ -1051,6 +1065,25 @@ object SparkEntry {
         .withColumnRenamed("node", "doc_id")
         .orderBy("doc_id")),
 
+    // Clusters → kept corpus: one canonical representative per dup
+    // cluster (longest doc, ties to the smallest id), singletons their
+    // own cluster. The pick is a single max_by hash agg over the
+    // LEFT-OUTER-labeled corpus — no window, no second pass; shares the
+    // memoized pair table with the two entries above.
+    "dedup_representatives" -> ((s, dir) => {
+      val comps = operators.Components.connectedComponents(cachedNgramPairs(s, dir), "a", "b")
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+      docs
+        .join(comps, docs("doc_id") === comps("node"), "left_outer")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster"), col("n_chars"))
+        .groupBy("cluster")
+        .agg(
+          max_by(col("doc_id"), struct(col("n_chars"), negate(col("doc_id")))).as("rep_doc_id"),
+          count(lit(1)).as("members")
+        )
+        .orderBy("cluster")
+    }),
+
     // ── Similarity search ───────────────────────────────────────────────
     "ann_bruteforce_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(
@@ -1408,6 +1441,16 @@ object SparkEntry {
         |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
         |  UNION ALL SELECT 'orders', count(*) FROM orders) t
         |ORDER BY entity""".stripMargin,
+    "cdc_scd2_history" ->
+      """SELECT user_id,
+        |       CAST(row_number() OVER w AS INTEGER) AS version,
+        |       ts AS valid_from,
+        |       lead(ts) OVER w AS valid_to,
+        |       lead(ts) OVER w IS NULL AS is_current,
+        |       event_type, value
+        |FROM events WHERE event_type <> 'click'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "cdc_asof_enrich" ->
       """WITH probe AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
         |u AS (
@@ -1859,6 +1902,37 @@ object SparkEntry {
         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
         |SELECT node AS doc_id, min(lbl) AS component FROM reach
         |GROUP BY node ORDER BY doc_id""".stripMargin,
+    // Same recursive-CTE component derivation, then one representative
+    // per cluster: longest doc, ties to the smallest id.
+    "dedup_representatives" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                        for i in generate_series(1, len(t) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |prs AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+        |    FROM s x, s y WHERE x.doc_id < y.doc_id) t
+        |  WHERE jaccard >= 0.4),
+        |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+        |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster, d.n_chars
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+        |SELECT cluster, rep_doc_id, members FROM (
+        |  SELECT cluster, doc_id AS rep_doc_id,
+        |         CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS members,
+        |         row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM lab) t
+        |WHERE rn = 1 ORDER BY cluster""".stripMargin,
     "text_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         |g AS (SELECT doc_id,

@@ -44,4 +44,29 @@ object CdcBatch {
     */
   def opStats(changelog: DataFrame, op: Column): DataFrame =
     changelog.groupBy(op.as("op")).agg(count(lit(1)).as("cnt"))
+
+  /** SCD type-2 history: every change event becomes a versioned validity
+    * interval — `valid_from` = its own timestamp, `valid_to` = the next
+    * version's (open/NULL on the current row). The upsert-only reference
+    * index keeps just the last write; the history table is what a
+    * warehouse materializes from the same changelog when point-in-time
+    * queries matter.
+    *
+    * Scale: one keyed shuffle + per-key sort — the minimum for interval
+    * construction, which is inherently an ordered-adjacency computation
+    * per key. `lead`/`row_number` stream each key partition once with
+    * O(1) state; nothing is global.
+    */
+  def scd2(changelog: DataFrame, key: String, seq: Column, validFrom: Column, payload: Column*): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key)).orderBy(seq)
+    changelog.select(
+      (Seq(
+        col(key),
+        row_number().over(w).as("version"),
+        validFrom.as("valid_from"),
+        lead(validFrom, 1).over(w).as("valid_to"),
+        lead(validFrom, 1).over(w).isNull.as("is_current")
+      ) ++ payload): _*
+    )
+  }
 }

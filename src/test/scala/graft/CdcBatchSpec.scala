@@ -68,6 +68,28 @@ class CdcBatchSpec extends SparkSpec {
     ))
   }
 
+  test("scd2 emits chained validity intervals, open-ended on the current row") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "v1"),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "v2"),
+      (1L, ts("2024-01-01 12:00:00"), 3L, "v3"),
+      (2L, ts("2024-01-01 09:00:00"), 4L, "w1")
+    ).toDF("key", "ts", "id", "payload")
+    val out = CdcBatch
+      .scd2(log, "key", struct(col("ts"), col("id")), col("ts"), col("payload"))
+      .orderBy("key", "version")
+      .collect()
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    // each version's valid_to is the next version's valid_from
+    assert(k1.init.map(_.getTimestamp(3)).toSeq == k1.tail.map(_.getTimestamp(2)).toSeq)
+    // exactly one current row per key, the last one, with an open interval
+    assert(out.filter(_.getBoolean(4)).map(r => (r.getLong(0), r.getString(5))).toSeq.sorted ==
+      Seq((1L, "v3"), (2L, "w1")))
+    assert(out.filter(_.getBoolean(4)).forall(_.isNullAt(3)))
+  }
+
   test("latestState is a partial-aggregate plan, not a window sort") {
     val plan = CdcBatch
       .latestState(changelog, "key", struct(col("seq")), col("payload"))
