@@ -125,13 +125,13 @@ object SparkEntry {
         val lt = s"graft_bk_lineitem_$tag"
         val ot = s"graft_bk_orders_$tag"
         sinks.BucketedStore.writeBucketed(
-          Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"),
+          Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice", "l_discount"),
           lt,
           "l_orderkey",
           8
         )
         sinks.BucketedStore.writeBucketed(
-          Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+          Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice"),
           ot,
           "o_orderkey",
           8
@@ -292,6 +292,26 @@ object SparkEntry {
           |   "date_histogram": {"field": "ts", "calendar_interval": "month"},
           |   "aggs": {"n_users": {"value_count": {"field": "user_id"}}}
           | }}}""".stripMargin
+      )),
+    // _msearch: four searches over two indices in ONE batch — same-index
+    // searches fold into a single conditional-count scan (2 scans total,
+    // not 4), one (ordinal, hits) row per search in request order.
+    "search_dsl_json_msearch" -> ((s, dir) =>
+      JsonDsl.msearchCounts(
+        Map(
+          "documents" -> Tables.documents(s, dir),
+          "events" -> Tables.events(s, dir)
+        ),
+        """{}
+          |{"query": {"term": {"lang": "en"}}}
+          |{"index": "documents"}
+          |{"query": {"bool": {"must": [{"range": {"n_chars": {"gte": 500}}}], "must_not": [{"term": {"source": "src3"}}]}}}
+          |{"index": "events"}
+          |{"query": {"range": {"value": {"gte": 250}}}}
+          |{"index": "documents"}
+          |{"query": {"prefix": {"source": {"value": "src1"}}}}""".stripMargin,
+        defaultIndex = "documents",
+        docsMapping
       )),
     // Mapping-driven semantics: the SAME `match` clause is exact equality
     // on the keyword-mapped `lang` and an analyzed term test on the
@@ -826,6 +846,27 @@ object SparkEntry {
         .agg(round(sum("l_quantity"), 2).as("qty"))
         .filter(col("qty") > 300)
       val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"), col("qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+    // Q18 off the co-located layout: the big per-order quantity aggregate
+    // — the query's dominant cost — reuses the bucket partitioning, so
+    // the WHOLE fact table aggregates with zero exchange; the tiny
+    // HAVING-survivor set then broadcasts onto the (also bucketed)
+    // orders side. Same oracle as q18_large_orders: identical answer.
+    "q18_large_orders_colocated" -> ((s, dir) => {
+      val (lt, ot) = bucketedFacts(s, dir)
+      val big = sinks.BucketedStore
+        .read(s, lt)
+        .select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 2).as("qty"))
+        .filter(col("qty") > 300)
+      val o = sinks.BucketedStore.read(s, ot)
       val c = Tables.customer(s, dir).select("c_custkey", "c_name")
       o.join(big, col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
@@ -1484,6 +1525,15 @@ object SparkEntry {
       """SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket, count(*) AS doc_count,
         |       count(user_id) AS n_users
         |FROM events WHERE value >= 100 GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "search_dsl_json_msearch" ->
+      """SELECT 0 AS search, count(*) AS hits FROM documents WHERE lang = 'en'
+        |UNION ALL
+        |SELECT 1, count(*) FROM documents WHERE n_chars >= 500 AND NOT coalesce(source = 'src3', false)
+        |UNION ALL
+        |SELECT 2, count(*) FROM events WHERE value >= 250
+        |UNION ALL
+        |SELECT 3, count(*) FROM documents WHERE source LIKE 'src1%'
+        |ORDER BY search""".stripMargin,
     "search_mapped_query" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en'
@@ -1774,6 +1824,13 @@ object SparkEntry {
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, round(qty, 2) AS qty
+        |FROM orders, customer,
+        |     (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 300) t
+        |WHERE o_orderkey = t.l_orderkey AND c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q18_large_orders_colocated" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, round(qty, 2) AS qty
         |FROM orders, customer,
         |     (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY l_orderkey

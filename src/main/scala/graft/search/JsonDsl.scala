@@ -105,6 +105,63 @@ object JsonDsl {
     }
   }
 
+  /** OpenSearch `_msearch`: an ndjson stream of alternating header and
+    * body lines, executed as ONE batch. Every search that targets the
+    * same index compiles into a single conditional-count pass over that
+    * index — N searches cost one scan per DISTINCT index, never N scans.
+    * (Hit counting is the dashboard's msearch workload; a full-hits
+    * msearch is just [[parse]] per body.) Returns one row per search:
+    * (search ordinal, hit count), in request order.
+    */
+  def msearchCounts(
+      resolve: String => DataFrame,
+      ndjson: String,
+      defaultIndex: String,
+      mapping: IndexMapping = IndexMapping.empty
+  ): DataFrame = {
+    val lines = ndjson.split("\n").map(_.trim).filter(_.nonEmpty)
+    require(
+      lines.length >= 2 && lines.length % 2 == 0,
+      s"_msearch needs alternating header/body lines, got ${lines.length} non-empty lines"
+    )
+    def parseLine(s: String): JsonNode =
+      try mapper.readTree(s)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(s"_msearch line is not valid JSON: $s (${e.getMessage})")
+      }
+    val searches = lines
+      .grouped(2)
+      .zipWithIndex
+      .map { case (Array(h, b), i) =>
+        val header = parseLine(h)
+        require(header.isObject, s"_msearch header must be a JSON object: $h")
+        val idx = Option(header.get("index")).map(_.asText).getOrElse(defaultIndex)
+        val body = parseLine(b)
+        require(body.isObject, s"_msearch body must be a JSON object: $b")
+        (i, idx, req(body, "query", s"_msearch body ${i}"))
+      }
+      .toSeq
+    searches
+      .groupBy(_._2)
+      .toSeq
+      .sortBy(_._1)
+      .map { case (idx, ss) =>
+        val df = resolve(idx)
+        val counts = ss.map { case (i, _, q) =>
+          sum(when(compileQuery(df, q, mapping), 1L).otherwise(0L)).as(s"_s$i")
+        }
+        val wide = df.agg(counts.head, counts.tail: _*)
+        wide.select(
+          explode(
+            array(ss.map { case (i, _, _) => struct(lit(i).as("search"), col(s"_s$i").as("hits")) }: _*)
+          ).as("r")
+        ).select("r.*")
+      }
+      .reduce(_ unionByName _)
+      .orderBy("search")
+  }
+
   /** Compile just the `query` clause to a predicate (the `_count` /
     * filter-context path).
     */

@@ -296,6 +296,36 @@ class JsonDslSpec extends SparkSpec {
     intercept[IllegalArgumentException](JsonDsl.parse(df, """not json at all""", mapping))
   }
 
+  test("msearch folds same-index searches into one conditional-count pass") {
+    val docs = cards
+    val other = Seq((1L, 10.0), (2L, 500.0)).toDF("id", "value")
+    val got = JsonDsl.msearchCounts(
+      Map("cards" -> docs, "other" -> other),
+      """{}
+        |{"query": {"term": {"status": "ACTIVE"}}}
+        |{"index": "cards"}
+        |{"query": {"range": {"amount": {"gte": 900}}}}
+        |{"index": "other"}
+        |{"query": {"range": {"value": {"gt": 100}}}}""".stripMargin,
+      defaultIndex = "cards",
+      mapping
+    )
+    assert(got.as[(Int, Long)].collect().toSeq == Seq((0, 3L), (1, 3L), (2, 1L)))
+    // two distinct indices → exactly two aggregate branches, NOT one scan
+    // per search: the three searches share two scans.
+    val unions = got.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(unions.size == 2, s"expected 2 aggregate branches, got ${unions.size}")
+    // malformed streams fail fast
+    intercept[IllegalArgumentException](
+      JsonDsl.msearchCounts(Map("cards" -> docs), "{}", "cards", mapping)
+    )
+    intercept[IllegalArgumentException](
+      JsonDsl.msearchCounts(Map("cards" -> docs), "{}\n{\"size\": 3}", "cards", mapping)
+    )
+  }
+
   test("mapping artifact parses the reference _mapping format") {
     val m = IndexMapping.fromJson(
       """{"mappings": {"properties": {"a": {"type": "text"}, "b": {"type": "keyword"}, "c": {"type": "date"}}}}"""
