@@ -149,6 +149,18 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.4)
     )
 
+  /** The connected-components label table over the memoized pair table,
+    * itself memoized: the iterative propagation (N join+agg rounds, the
+    * expensive part) runs once per JVM, and dedup_representatives then
+    * consumes labels instead of re-running the rounds dedup_components
+    * just paid for. At 100 TB the label table is exactly the artifact a
+    * dedup pipeline persists between the cluster and survivor stages.
+    */
+  private def cachedComponents(s: SparkSession, dir: String): DataFrame =
+    Memo.parquet(s, s"ngram-components:$dir")(
+      operators.Components.connectedComponents(cachedNgramPairs(s, dir), "a", "b")
+    )
+
   /** The `documents` index mapping, declared in the reference's
     * `_mapping` JSON format (TDD §4: keyword vs text vs date per field)
     * and consulted by the JSON-DSL entries for analyzed-vs-exact
@@ -683,7 +695,7 @@ object SparkEntry {
         .filter(col("l_shipdate") > cutoff)
         .select("l_orderkey", "l_extendedprice", "l_discount")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -701,7 +713,7 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey")
       val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -721,7 +733,7 @@ object SparkEntry {
       val l = sinks.BucketedStore.read(s, lt).filter(col("l_shipdate") > cutoff)
       val o = sinks.BucketedStore.read(s, ot).filter(col("o_orderdate") < cutoff)
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -742,7 +754,7 @@ object SparkEntry {
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .filter(col("supp_nation") =!= col("cust_nation"))
@@ -761,7 +773,7 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey")
       val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R").select("l_orderkey", "l_extendedprice", "l_discount")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
         .agg(round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2).cast("double").as("revenue"))
@@ -848,7 +860,7 @@ object SparkEntry {
       val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
       val c = Tables.customer(s, dir).select("c_custkey", "c_name")
       o.join(big, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"), col("qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(20)
@@ -869,7 +881,7 @@ object SparkEntry {
       val o = sinks.BucketedStore.read(s, ot)
       val c = Tables.customer(s, dir).select("c_custkey", "c_name")
       o.join(big, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"), col("qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(20)
@@ -917,7 +929,7 @@ object SparkEntry {
       val vol = decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))
       l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .join(broadcast(r), col("c_rk") === col("r_regionkey"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
@@ -955,11 +967,12 @@ object SparkEntry {
         .orderBy(col("nation"), col("o_year").desc)
     }),
     // TPC-H Q11 shape (no partsupp: lineitem revenue plays stock value):
-    // per-part value for one nation's suppliers, kept only above a
-    // fraction of the TOTAL value — the total is a 1-row aggregate
-    // broadcast onto the per-part frame, never a second scan pass
-    // per row. Both sides compare as double (identical literals both
-    // engines).
+    // per-part value for one nation's suppliers, kept only above 2x the
+    // MEAN per-part value — the threshold is a 1-row aggregate broadcast
+    // onto the per-part frame, never a second scan pass per row. A
+    // relative (mean-based) threshold stays non-vacuous at every SF:
+    // a fixed fraction of the total goes to zero rows as #parts grows
+    // (TPC-H scales its Q11 fraction by 1/SF for the same reason).
     "q11_important_parts" -> ((s, dir) => {
       val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
       val n = Tables.nation(s, dir).select("n_nationkey", "n_regionkey")
@@ -972,10 +985,10 @@ object SparkEntry {
       val vol = decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))
       val filtered = l.join(broadcast(asiaSup), col("l_suppkey") === col("s_suppkey"))
       val perPart = filtered.groupBy("l_partkey").agg(sum(vol).as("value_dec"))
-      val total = perPart.agg(sum(col("value_dec")).cast("double").as("total_value"))
+      val threshold = perPart.agg((sum(col("value_dec")).cast("double") * lit(2.0) / count(lit(1))).as("threshold"))
       perPart
-        .crossJoin(broadcast(total))
-        .filter(col("value_dec").cast("double") > col("total_value") * lit(0.002))
+        .crossJoin(broadcast(threshold))
+        .filter(col("value_dec").cast("double") > col("threshold"))
         .select(col("l_partkey"), round(col("value_dec"), 2).cast("double").as("value"))
         .orderBy(col("value").desc, col("l_partkey"))
     }),
@@ -1100,19 +1113,20 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       // Consumes the memoized pair table (built once per JVM, shared with
       // dedup_ngram_jaccard) — clustering no longer pays for candidate
-      // generation a second time.
-      operators.Components
-        .connectedComponents(cachedNgramPairs(s, dir), "a", "b")
+      // generation a second time. The resulting label table is itself
+      // memoized (cachedComponents) for downstream consumers.
+      cachedComponents(s, dir)
         .withColumnRenamed("node", "doc_id")
         .orderBy("doc_id")),
 
     // Clusters → kept corpus: one canonical representative per dup
     // cluster (longest doc, ties to the smallest id), singletons their
     // own cluster. The pick is a single max_by hash agg over the
-    // LEFT-OUTER-labeled corpus — no window, no second pass; shares the
-    // memoized pair table with the two entries above.
+    // LEFT-OUTER-labeled corpus — no window, no second pass; consumes
+    // the memoized LABEL table (not just the pair table), so the
+    // propagation rounds dedup_components already ran are not repeated.
     "dedup_representatives" -> ((s, dir) => {
-      val comps = operators.Components.connectedComponents(cachedNgramPairs(s, dir), "a", "b")
+      val comps = cachedComponents(s, dir)
       val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
       docs
         .join(comps, docs("doc_id") === comps("node"), "left_outer")
@@ -1553,8 +1567,8 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "search_dsl_json_filters" ->
       """SELECT count(*) AS n_total,
-        |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
-        |       sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS high_value
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        |       CAST(sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS high_value
         |FROM events""".stripMargin,
     "search_dsl_json_terms_metrics" ->
       """SELECT o_orderpriority AS "key", count(*) AS doc_count,
@@ -1866,15 +1880,15 @@ object SparkEntry {
         |  AND l_orderkey = o_orderkey AND p_name LIKE '%widget%'
         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
     "q11_important_parts" ->
-      """SELECT l_partkey,
-        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS value
-        |FROM lineitem, supplier, nation, region
-        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA'
-        |GROUP BY l_partkey
-        |HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) >
-        |       (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) * 0.002
-        |        FROM lineitem, supplier, nation, region
-        |        WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA')
+      """WITH per AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS v
+        |  FROM lineitem, supplier, nation, region
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(round(v, 2) AS DOUBLE) AS value
+        |FROM per
+        |WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) * 2.0 / count(*) FROM per)
         |ORDER BY value DESC, l_partkey""".stripMargin,
     "q13_customer_distribution" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

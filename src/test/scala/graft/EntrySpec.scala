@@ -14,6 +14,26 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("customer join carries no broadcast hint (scaling table — AQE decides)") {
+    // customer grows with SF (150k x SF; ~15B rows at the 100 TB design
+    // point) — a forced broadcast hint there overrides AQE's size check
+    // and guarantees an OOM at scale. Dimension hints (nation/region/
+    // filtered part) are fine; this asserts the HINT's absence on any
+    // frame carrying c_custkey, not the physical join choice (AQE may
+    // still pick broadcast at small SF, which is correct).
+    val qs = Seq(
+      "q3_shipping_priority", "q5_local_supplier", "q3_shipping_colocated", "q7_volume_shipping",
+      "q10_returned_items", "q18_large_orders", "q18_large_orders_colocated", "q8_market_share")
+    for (q <- qs) {
+      val plan = SparkEntry.queries(q)(spark, Sf).queryExecution.analyzed
+      val bad = plan.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+            if h.child.output.exists(_.name == "c_custkey") => h
+      }
+      assert(bad.isEmpty, s"$q still broadcast-hints the customer table")
+    }
+  }
+
   test("all queries execute and are non-empty at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
