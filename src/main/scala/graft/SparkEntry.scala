@@ -125,7 +125,7 @@ object SparkEntry {
         val lt = s"graft_bk_lineitem_$tag"
         val ot = s"graft_bk_orders_$tag"
         sinks.BucketedStore.writeBucketed(
-          Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice", "l_discount"),
+          Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate", "l_quantity", "l_extendedprice", "l_discount"),
           lt,
           "l_orderkey",
           8
@@ -749,6 +749,34 @@ object SparkEntry {
       val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
       val l = Tables
         .lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    // Q7 off the co-located bucketed layout: the fact-fact join
+    // (lineitem⋈orders on the bucket key) runs with zero exchange of
+    // either fact; only the small dimension joins and the final
+    // (post-partial-agg, tiny) groupBy shuffle remain. Same oracle as
+    // q7_volume_shipping — identical answer, the layout pays the
+    // fact shuffle once at write time instead of per query.
+    "q7_volume_colocated" -> ((s, dir) => {
+      val (lt, ot) = bucketedFacts(s, dir)
+      val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val o = sinks.BucketedStore.read(s, ot).select("o_orderkey", "o_custkey")
+      val l = sinks.BucketedStore
+        .read(s, lt)
         .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
         .filter(col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
@@ -1794,6 +1822,16 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, supplier, customer, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND o_custkey = c_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q7_volume_colocated" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
         |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
