@@ -4,6 +4,28 @@ import graft.sinks.{IndexFileSink, IndexOps}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
+/** Cross-attempt bookkeeping for the DLQ specs. Local-mode executors share
+  * the JVM, so static state observes what the injected writers did.
+  */
+object FlakyWriter {
+  val attempts = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  val written: java.util.Set[String] = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def reset(): Unit = { attempts.clear(); written.clear() }
+  private def bump(id: String): Int = attempts.merge(id, 1, _ + _)
+
+  def failFirstAttempt(badId: String): (String, String) => Unit = { (id, _) =>
+    val n = bump(id)
+    if (id == badId && n == 1) throw new RuntimeException(s"transient fault on $id")
+    written.add(id): Unit
+  }
+
+  def alwaysFail(badId: String): (String, String) => Unit = { (id, _) =>
+    bump(id): Unit
+    if (id == badId) throw new RuntimeException(s"broken doc $id")
+    written.add(id): Unit
+  }
+}
+
 class IndexOpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -95,6 +117,42 @@ class IndexOpsSpec extends SparkSpec {
     val active = IndexOps.aliasView(spark, root, Seq("card", "card_archive"), Some(col("status") === "ACTIVE"))
     assert(active.count() == 4) // 2 ACTIVE docs in each copy
     assert(active.filter(col("status") =!= "ACTIVE").count() == 0)
+  }
+
+  test("bulkIndexWithRetry: transient failures drain through the retry pass") {
+    FlakyWriter.reset()
+    val root = Files.createTempDirectory("graft-dlq").toString
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    // id 2 fails on its first attempt only — the bounded retry must drain it
+    val dlq = IndexFileSink.bulkIndexWithRetry(
+      docs, root, "idx", "id", maxRetries = 2, writeDoc = FlakyWriter.failFirstAttempt("2"))
+    assert(dlq.isEmpty, dlq.collect().mkString(", "))
+    assert(FlakyWriter.written.size() == 4, s"expected all docs written, got ${FlakyWriter.written}")
+  }
+
+  test("bulkIndexWithRetry: persistent failures land in the DLQ, remainder succeeds") {
+    FlakyWriter.reset()
+    val root = Files.createTempDirectory("graft-dlq").toString
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val dlq = IndexFileSink.bulkIndexWithRetry(
+      docs, root, "idx", "id", maxRetries = 2, writeDoc = FlakyWriter.alwaysFail("3")).collect()
+    assert(dlq.length == 1, dlq.mkString(", "))
+    assert(dlq.head.id == "3")
+    assert(dlq.head.attempts == 3, s"1 initial + 2 retries, got ${dlq.head.attempts}")
+    assert(dlq.head.error.contains("broken doc"))
+    assert(dlq.head.doc.contains("\"v\":\"c\""), "DLQ row must carry the serialized doc for replay")
+    assert(FlakyWriter.written.size() == 3, s"the other docs must still be written: ${FlakyWriter.written}")
+    // the failing doc was attempted exactly 3 times, not per-evaluation re-run
+    assert(FlakyWriter.attempts.get("3") == 3, s"got ${FlakyWriter.attempts.get("3")} attempts")
+  }
+
+  test("bulkIndexWithRetry default writer produces the id-named-file index contract") {
+    val root = Files.createTempDirectory("graft-dlq").toString
+    val docs = Seq((7L, "x"), (8L, "y")).toDF("id", "v")
+    val dlq = IndexFileSink.bulkIndexWithRetry(docs, root, "idx", "id")
+    assert(dlq.isEmpty)
+    val names = new java.io.File(root, "idx").listFiles().map(_.getName).toSet
+    assert(names == Set("7.json", "8.json"), names.toString)
   }
 
   test("PartitionedStore: time filter prunes partitions at the scan") {
