@@ -363,6 +363,29 @@ object SparkEntry {
           | "sort": ["doc_id"], "_source": ["doc_id", "n_chars"]}""".stripMargin,
         docsMapping
       )),
+    // Deep paging from the wire format: search_after compiles to a
+    // lexicographic cursor predicate over the sort keys — a filter, not
+    // an offset, so page 1000 scans no more than page 1.
+    "search_dsl_json_search_after" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"sort": [{"o_orderdate": "desc"}, {"o_orderkey": "desc"}],
+          | "search_after": ["2000-06-15 00:00:00", 900],
+          | "size": 10,
+          | "_source": ["o_orderkey", "o_orderdate", "o_totalprice"]}""".stripMargin
+      )),
+    // Highlighting from the wire format: a snippet column around the
+    // first query-term occurrence, null where the term is not literally
+    // present (OpenSearch omits those highlights).
+    "search_dsl_json_highlight" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"match": {"text": "spark"}},
+          | "highlight": {"fields": {"text": {"fragment_size": 40}}},
+          | "sort": ["doc_id"],
+          | "_source": ["doc_id", "n_chars"]}""".stripMargin,
+        docsMapping
+      )),
     // filters agg: named buckets in ONE conditional-count pass, not one
     // scan per filter.
     "search_dsl_json_filters" -> ((s, dir) =>
@@ -1592,6 +1615,19 @@ object SparkEntry {
     "search_dsl_json_fuzzy" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE len(list_filter(string_split(lower(text), ' '), t -> levenshtein(t, 'sparc') <= 1)) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_search_after" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate < TIMESTAMP '2000-06-15 00:00:00'
+        |   OR (o_orderdate = TIMESTAMP '2000-06-15 00:00:00' AND o_orderkey < 900)
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10""".stripMargin,
+    "search_dsl_json_highlight" ->
+      """SELECT doc_id, n_chars,
+        |       CASE WHEN strpos(text, 'spark') > 0
+        |            THEN substring(text, greatest(CAST(strpos(text, 'spark') AS INTEGER) - 15, 1), 40)
+        |       END AS text_highlight
+        |FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
         |ORDER BY doc_id""".stripMargin,
     "search_dsl_json_filters" ->
       """SELECT count(*) AS n_total,

@@ -21,7 +21,11 @@ import scala.jdk.CollectionConverters._
   * (+ metric sub-aggregations sum/avg/min/max/value_count), stats,
   * cardinality, histogram, range, filters, percentiles, and top-level
   * single metrics (avg/sum/min/max/value_count). Hits shaping: sort,
-  * size, _source.
+  * size, _source, search_after (deep paging: a lexicographic tuple
+  * predicate over the sort keys — a pushdown-able filter, never an
+  * offset skip), highlight (per-field snippet columns around the first
+  * query-term occurrence, null for hits the term does not literally
+  * contain — OpenSearch omits those highlights).
   *
   * The [[IndexMapping]] decides analyzed-vs-exact per field (a `match` on
   * a `text` field tests analyzed terms; on a `keyword` field it is exact
@@ -43,7 +47,7 @@ object JsonDsl {
           throw new IllegalArgumentException(s"request body is not valid JSON: ${e.getMessage}")
       }
     require(root != null && root.isObject, s"request body must be a JSON object: $body")
-    val known = Set("query", "aggs", "aggregations", "sort", "size", "_source")
+    val known = Set("query", "aggs", "aggregations", "sort", "size", "_source", "search_after", "highlight")
     root.fieldNames().asScala.foreach(n => require(known(n), s"unsupported request element '$n'"))
     // The knn query (the OpenSearch vector-search plugin's clause) is a
     // top-k ranking, not a predicate: score the frame, order by _score
@@ -93,14 +97,35 @@ object JsonDsl {
     Option(root.get("aggs")).orElse(Option(root.get("aggregations"))) match {
       case Some(aggs) => compileAggs(filtered, aggs, mapping)
       case None =>
+        // search_after: the live-after-this-cursor rows, expressed as a
+        // lexicographic predicate over the sort keys. A filter (not an
+        // offset) — it prunes at the scan and costs the same for page
+        // 1000 as for page 1, which is why OpenSearch deprecated
+        // from+size deep paging in its favor.
+        val paged = Option(root.get("search_after")) match {
+          case Some(after) =>
+            val specs = sortSpecs(req(root, "sort", "search_after"))
+            val vals = after.elements().asScala.toSeq.map(scalarValue)
+            require(
+              vals.length == specs.length,
+              s"search_after needs one value per sort key (${specs.length}), got ${vals.length}"
+            )
+            filtered.filter(afterPredicate(specs, vals))
+          case None => filtered
+        }
         val sorted = Option(root.get("sort")) match {
-          case Some(s) => filtered.orderBy(compileSort(s): _*)
-          case None    => filtered
+          case Some(s) => paged.orderBy(compileSort(s): _*)
+          case None    => paged
         }
         val sized = Option(root.get("size")).map(n => sorted.limit(n.asInt)).getOrElse(sorted)
+        val hlCols = Option(root.get("highlight")).toSeq.flatMap { h =>
+          compileHighlight(h, Option(root.get("query")))
+        }
         Option(root.get("_source")) match {
-          case Some(src) => sized.select(src.elements().asScala.map(e => col(e.asText)).toSeq: _*)
-          case None      => sized
+          case Some(src) =>
+            sized.select(src.elements().asScala.map(e => col(e.asText)).toSeq ++ hlCols: _*)
+          case None =>
+            if (hlCols.isEmpty) sized else sized.select(col("*") +: hlCols: _*)
         }
     }
   }
@@ -399,18 +424,77 @@ object JsonDsl {
 
   // ── Hits shaping ──────────────────────────────────────────────────────
 
-  private def compileSort(sort: JsonNode): Seq[Column] = {
+  /** Sort entries as (field, ascending) pairs — shared by the orderBy
+    * compiler and the search_after cursor predicate.
+    */
+  private def sortSpecs(sort: JsonNode): Seq[(String, Boolean)] = {
     val entries = if (sort.isArray) sort.elements().asScala.toSeq else Seq(sort)
     entries.map {
-      case s if s.isTextual => col(s.asText).asc
+      case s if s.isTextual => (s.asText, true)
       case s if s.isObject && s.size == 1 =>
         val f = s.fieldNames().next()
         val spec = s.get(f)
         val order =
           if (spec.isTextual) spec.asText
           else Option(spec.get("order")).map(_.asText).getOrElse("asc")
-        if (order == "desc") col(f).desc else col(f).asc
+        (f, order != "desc")
       case s => throw new IllegalArgumentException(s"unsupported sort entry: $s")
+    }
+  }
+
+  private def compileSort(sort: JsonNode): Seq[Column] =
+    sortSpecs(sort).map { case (f, asc) => if (asc) col(f).asc else col(f).desc }
+
+  /** Rows strictly after the cursor in the sort order: the standard
+    * lexicographic-tuple expansion
+    * `(k1 after v1) OR (k1 = v1 AND k2 after v2) OR ...` — each leg is a
+    * plain comparison Catalyst can push into the scan.
+    */
+  private def afterPredicate(specs: Seq[(String, Boolean)], vals: Seq[Any]): Column =
+    specs.indices
+      .map { i =>
+        val ties = (0 until i).map(j => col(specs(j)._1) === lit(vals(j)))
+        val (f, asc) = specs(i)
+        val cmp = if (asc) col(f) > lit(vals(i)) else col(f) < lit(vals(i))
+        (ties :+ cmp).reduce(_ && _)
+      }
+      .reduce(_ || _)
+
+  /** One snippet column per highlighted field: a window of `fragment_size`
+    * chars starting shortly before the first occurrence of the field's
+    * (first) query term; null when the term does not literally occur —
+    * OpenSearch omits the highlight for such hits.
+    */
+  private def compileHighlight(h: JsonNode, query: Option[JsonNode]): Seq[Column] = {
+    val fields = req(h, "fields", "highlight")
+    fields.fields().asScala.toSeq.map { e =>
+      val f = e.getKey
+      val fragSize = Option(e.getValue.get("fragment_size")).map(_.asInt).getOrElse(100)
+      val terms = query.toSeq.flatMap(queryTerms(_, f))
+      require(terms.nonEmpty, s"highlight on '$f' needs a match/match_phrase/term clause on '$f'")
+      val pos = locate(terms.head, col(f))
+      when(pos > 0, col(f).substr(greatest(pos - 15, lit(1)), lit(fragSize)))
+        .as(s"${f}_highlight")
+    }
+  }
+
+  /** The literal term(s) the query applies to field `f` — what highlight
+    * marks up. Walks bool trees; match contributes its first analyzed
+    * token, match_phrase/term/prefix their literal value.
+    */
+  private def queryTerms(node: JsonNode, f: String): Seq[String] = {
+    val name = node.fieldNames().next()
+    val body = node.get(name)
+    name match {
+      case "match" if body.has(f) =>
+        val (_, v) = fieldAndValue(body, "query")
+        v.asText.split("\\s+").toSeq.take(1)
+      case "match_phrase" | "term" | "prefix" if body.has(f) =>
+        val (_, v) = fieldAndValue(body, if (name == "match_phrase") "query" else "value")
+        Seq(v.asText)
+      case "bool" =>
+        Seq("must", "filter", "should").flatMap(k => clauseList(body, k).flatMap(queryTerms(_, f)))
+      case _ => Nil
     }
   }
 

@@ -326,6 +326,65 @@ class JsonDslSpec extends SparkSpec {
     )
   }
 
+  test("search_after compiles to the structured cursor-predicate plan") {
+    val got = JsonDsl.parse(
+      cards,
+      """{"sort": [{"amount": "desc"}, {"id": "desc"}],
+        | "search_after": [900, 3],
+        | "size": 2,
+        | "_source": ["id", "amount"]}""".stripMargin,
+      mapping
+    )
+    val want = cards
+      .filter(col("amount") < 900 || (col("amount") === 900 && col("id") < 3))
+      .orderBy(col("amount").desc, col("id").desc)
+      .limit(2)
+      .select("id", "amount")
+    samePlan(got, want)
+    assert(got.as[(Long, Double)].collect().toSeq == Seq((4L, 120.0), (1L, 50.0)))
+    // one value per sort key, enforced
+    intercept[IllegalArgumentException](
+      JsonDsl.parse(cards, """{"sort": ["id"], "search_after": [1, 2]}""", mapping))
+    // search_after without sort has no cursor meaning
+    intercept[IllegalArgumentException](
+      JsonDsl.parse(cards, """{"search_after": [1]}""", mapping))
+  }
+
+  test("highlight emits a snippet column, null where the term is absent") {
+    val got = JsonDsl.parse(
+      cards,
+      """{"query": {"match": {"text": "spark"}},
+        | "highlight": {"fields": {"text": {"fragment_size": 12}}},
+        | "sort": ["id"],
+        | "_source": ["id"]}""".stripMargin,
+      mapping
+    )
+    val rows = got.as[(Long, Option[String])].collect().toSeq
+    assert(rows.map(_._1) == Seq(4L, 5L))
+    // doc 4: "streaming spark jobs" — window starts 15 back from pos 11 → clamped to 1
+    assert(rows.head._2.contains("streaming sp"))
+    // doc 5: "spark query engine" — term at pos 1
+    assert(rows(1)._2.contains("spark query "))
+    // same body against a frame where a doc matches analyzed but the term
+    // is not at locate-able case: highlight must be null, not an error
+    val mixed = Seq((1L, "Spark is capitalized here spark-free? no"), (2L, "no match")).toDF("id", "text")
+    val hl = JsonDsl
+      .parse(
+        mixed,
+        """{"query": {"match": {"text": "spark"}},
+          | "highlight": {"fields": {"text": {}}}, "sort": ["id"]}""".stripMargin,
+        IndexMapping(Map("text" -> "text"))
+      )
+    assert(hl.columns.toSeq == Seq("id", "text", "text_highlight"))
+    // highlight with no clause on the field fails fast
+    intercept[IllegalArgumentException](
+      JsonDsl.parse(
+        cards,
+        """{"query": {"term": {"status": "ACTIVE"}}, "highlight": {"fields": {"text": {}}}}""",
+        mapping
+      ))
+  }
+
   test("mapping artifact parses the reference _mapping format") {
     val m = IndexMapping.fromJson(
       """{"mappings": {"properties": {"a": {"type": "text"}, "b": {"type": "keyword"}, "c": {"type": "date"}}}}"""
