@@ -47,6 +47,35 @@ object Dedup {
     if (union == 0) 0.0 else inter.toDouble / union
   })
 
+  /** Threshold-aware verify kernel: exact Jaccard with early abandon.
+    * Jaccard >= t requires overlap >= t/(1+t)·(|a|+|b|); while probing b's
+    * elements against a's hash set, once the best still-reachable overlap
+    * (found so far + elements left to probe) drops below that, no later
+    * probe can save the pair — bail with -1 (any value < t works: callers
+    * filter `>= threshold`, so the abandoned value never surfaces).
+    * Lossless: pairs at/above t always run to completion and return the
+    * exact score.
+    */
+  val jaccardAtLeastUdf = udf((a: Seq[String], b: Seq[String], t: Double) => {
+    val sa = a.toSet
+    val nb = b.size
+    val minInter = t / (1 + t) * (sa.size + nb) - 1e-7
+    var inter = 0
+    var probed = 0
+    var abandoned = false
+    val it = b.iterator
+    while (!abandoned && it.hasNext) {
+      if (sa.contains(it.next())) inter += 1
+      probed += 1
+      if (inter + (nb - probed) < minInter) abandoned = true
+    }
+    if (abandoned) -1.0
+    else {
+      val union = sa.size + nb - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+  })
+
   /** Exact n-gram (token shingle) Jaccard pairs above `threshold`, via
     * frequency-ordered prefix filtering (the PPJoin family, Xiao et al.
     * WWW'08):
@@ -66,12 +95,23 @@ object Dedup {
     * count, prefix ranking window (partitioned by doc id), prefix-key join,
     * and the verify joins. No cross join, no within-bucket quadratic.
     */
+  /** @param suffixFilter
+    *   enable the two suffix-side prunes (both lossless, flag kept so the
+    *   spec can assert set-equality of the two paths): (a) the
+    *   all-shared-prefix positional bound `overlap <= c + min(|x|-i_last,
+    *   |y|-j_last)` — the c shared prefix shingles are counted, anything
+    *   else in common sits strictly after BOTH last shared positions —
+    *   which tightens the classic first-position bound whenever a pair
+    *   shares more than one prefix shingle; (b) early-abandoning
+    *   verification (jaccardAtLeastUdf).
+    */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.4
+      threshold: Double = 0.4,
+      suffixFilter: Boolean = true
   ): DataFrame = {
     // Persisted: referenced by the prefix path and both verify sides; at
     // scale this is the standard "materialize the shingle table once"
@@ -109,7 +149,7 @@ object Dedup {
     // rational threshold (slack admits candidates, never drops them —
     // lossless).
     val overlapMin = lit(threshold / (1 + threshold)) * (col("sza") + col("szb")) - lit(1e-7)
-    val cands = l
+    val grouped = l
       .join(
         r,
         col("l.p") === col("r.p") && col("l.id") < col("r.id") &&
@@ -120,17 +160,35 @@ object Dedup {
         first(col("l.sz")).as("sza"),
         first(col("r.sz")).as("szb"),
         min(col("l._rk")).as("li"),
-        min(col("r._rk")).as("rj")
+        min(col("r._rk")).as("rj"),
+        count(lit(1)).as("c"),
+        max(col("l._rk")).as("li_max"),
+        max(col("r._rk")).as("rj_max")
       )
       .filter(lit(1) + least(col("sza") - col("li"), col("szb") - col("rj")) >= overlapMin)
-      .select(col("a"), col("b"))
+    val cands = (
+      if (suffixFilter)
+        // Suffix-side positional bound over ALL shared prefix shingles:
+        // the c shared ones are in hand; every other common shingle sits
+        // strictly after position li_max in x AND rj_max in y (same
+        // global (df, shingle) order), so overlap <= c + min(sza-li_max,
+        // szb-rj_max). Equal to the classic bound at c=1, strictly
+        // tighter when a pair shares several prefix shingles — exactly
+        // the pairs the first-position filter cannot reject.
+        grouped.filter(col("c") + least(col("sza") - col("li_max"), col("szb") - col("rj_max")) >= overlapMin)
+      else grouped
+    ).select(col("a"), col("b"))
 
     val sa = base.select(col("id").as("a"), col("sh").as("sh_a"))
     val sb = base.select(col("id").as("b"), col("sh").as("sh_b"))
-    cands
+    val verified = cands
       .join(sa, "a")
       .join(sb, "b")
-      .select(col("a"), col("b"), round(jaccardUdf(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+    val score =
+      if (suffixFilter) jaccardAtLeastUdf(col("sh_a"), col("sh_b"), lit(threshold))
+      else jaccardUdf(col("sh_a"), col("sh_b"))
+    verified
+      .select(col("a"), col("b"), round(score, 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

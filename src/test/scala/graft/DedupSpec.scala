@@ -68,4 +68,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L))) // 1-token change keeps most 3-shingles
     assert(!pairs.contains((1L, 4L))) // reversal destroys shingle order
   }
+
+  test("suffix filtering is lossless: identical pairs AND scores with it off") {
+    // Run on the real corpus (sf0.001 documents), not the toy frame —
+    // the suffix bound only engages when pairs share several prefix
+    // shingles, which needs realistic doc lengths.
+    val corpus = Tables.documents(spark, Sf)
+    def run(sf: Boolean) = Dedup
+      .ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.4, suffixFilter = sf)
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSet
+    val withFilter = run(true)
+    val without = run(false)
+    assert(withFilter == without, s"suffix filter changed results: ${withFilter diff without} / ${without diff withFilter}")
+    assert(withFilter.nonEmpty || Sf.contains("0.001"), "expected some pairs on real data")
+  }
 }
