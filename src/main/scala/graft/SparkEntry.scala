@@ -110,6 +110,20 @@ object SparkEntry {
     fresh.copy(sigs = Memo.parquet(s, s"lsh4:$dir")(fresh.sigs))
   }
 
+  private val pqMemo = scala.collection.concurrent.TrieMap[String, Similarity.PqIndex]()
+
+  /** Product-quantized IVF index for `dir`, built once per JVM: the
+    * (id, cell, code) table spilled to parquet — m bytes of payload per
+    * vector instead of dim floats — codebooks/centroids driver-resident.
+    */
+  private def cachedPq(s: SparkSession, dir: String): Similarity.PqIndex =
+    pqMemo.getOrElseUpdate(
+      dir, {
+        val idx = Similarity.pqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
+        idx.copy(codes = Memo.parquet(s, s"pq:$dir")(idx.codes))
+      }
+    )
+
   private val bucketedMemo = scala.collection.concurrent.TrieMap[String, (String, String)]()
 
   /** lineitem+orders written once per JVM as same-bucket-count tables on
@@ -1239,6 +1253,23 @@ object SparkEntry {
     "ann_ivf_kmeans_topk" -> ((s, dir) =>
       Similarity
         .scoreAgainstIvf(cachedIvfKMeans(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6)),
+    // Honest PQ build cost: the full encode (coarse assign + residual
+    // codebook training + per-vector codes) runs on every call.
+    "ann_ivf_pq_build" -> ((s, dir) =>
+      Similarity
+        .pqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .codes
+        .filter(col("cell") >= 0)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("cell")),
+    // ADC scan over the probed cells' 8-byte codes (no vectors read for
+    // ranking), exact-cosine rescore of the short rerank list — replica
+    // bounds in ReplicaSpec (recall vs brute force, exact scores,
+    // compression vs the raw-vector IVF table).
+    "ann_ivf_pq_topk" -> ((s, dir) =>
+      Similarity
+        .scoreAgainstPq(cachedPq(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6)),
     "ann_lsh_multiprobe_topk" -> ((s, dir) =>
       Similarity
         .scoreAgainstLsh(cachedLsh4(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, probeRadius = 1)),

@@ -4,6 +4,12 @@ import graft.functions.VectorFns
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** One PQ-encoded vector: its coarse IVF cell and the per-subspace
+  * codebook indices. Top-level public case class — encoder + Janino
+  * requirements for use as a UDF return type.
+  */
+final case class PqCode(cell: Int, code: Seq[Int])
+
 /** Similarity search over an `array<float>` embedding column.
   *
   * Brute-force top-k is the correctness baseline: one scan, per-row cosine
@@ -315,6 +321,199 @@ object Similarity {
       nProbe: Int = 4
   ): DataFrame =
     scoreAgainstIvf(ivfIndex(emb, idCol, vecCol, nLists), idCol, vecCol, query, k, nProbe)
+
+  /** Product-quantized IVF index (Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): each
+    * vector's RESIDUAL against its coarse IVF centroid is split into `m`
+    * subvectors, and each subvector stored as the index of its nearest
+    * entry in a per-subspace codebook of `ksub` entries. A stored row is
+    * (id, cell, m small ints) — m bytes of payload instead of dim floats
+    * (8 vs 256 here): the index that still fits when the corpus doesn't.
+    *
+    * `centroids` and `codebooks` (m × ksub × dim/m floats) are
+    * driver-resident metadata, same class as the IVF centroid array.
+    * `codes` is the corpus-scale artifact a deployment persists; `base`
+    * is the raw (id, vector) frame used only for the exact top rescore.
+    */
+  final case class PqIndex(
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      codes: DataFrame,
+      base: DataFrame
+  ) {
+    def m: Int = codebooks.length
+  }
+
+  private def sqDist(a: Array[Float], b: Seq[Float], from: Int, until: Int): Double = {
+    var d = 0.0
+    var j = from
+    while (j < until && j < b.length) { val t = b(j).toDouble - a(j - from).toDouble; d += t * t; j += 1 }
+    d
+  }
+
+  private def nearestCell(centroids: Array[Array[Float]], v: Seq[Float]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < centroids.length) {
+      val d = sqDist(centroids(i), v, 0, centroids(i).length)
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Compiled (cell, code) encoder: coarse argmin, then per-subspace
+    * argmin over the residual — a pure projection, one scan, no shuffle.
+    * NULL vectors encode as cell -1 (never probed) with an empty code.
+    */
+  private def encodeUdf(centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]]) =
+    udf { (v: Seq[Float]) =>
+      if (v == null) PqCode(-1, Seq.empty)
+      else {
+        val cell = nearestCell(centroids, v)
+        val c = centroids(cell)
+        val res = Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
+        val dsub = v.length / codebooks.length
+        val code = Array.tabulate(codebooks.length) { mi =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var k = 0
+          val book = codebooks(mi)
+          while (k < book.length) {
+            var d = 0.0
+            var j = 0
+            while (j < dsub) { val t = res(mi * dsub + j).toDouble - book(k)(j).toDouble; d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = k }
+            k += 1
+          }
+          best
+        }
+        PqCode(cell, code.toSeq)
+      }
+    }
+
+  /** Build the PQ index over an IVF coarse quantizer. Codebooks are
+    * seeded from a deterministic id-hash sample of residuals (same
+    * no-RNG trick as the IVF centroids) and tightened with `iters`
+    * Lloyd rounds per subspace — each round is ONE corpus scan whose
+    * aggregate output is (m × ksub × dim/m) means: driver-scale.
+    */
+  def pqIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 1
+  ): PqIndex = {
+    val ivf = ivfIndex(emb, idCol, vecCol, nLists)
+    val cents = ivf.centroids
+    val dim = cents(0).length
+    require(dim % m == 0, s"embedding dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    // ksub sample residuals, deterministic order — the seed codebooks.
+    val sample = emb
+      .select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull)
+      .orderBy(pmod(hash(col(idCol), lit(17)), lit(1 << 30)).asc, col(idCol))
+      .limit(ksub)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        val c = cents(nearestCell(cents, v))
+        Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
+      }
+    var books = Array.tabulate(m)(mi => sample.map(_.slice(mi * dsub, (mi + 1) * dsub)))
+    val base = emb.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull)
+    for (_ <- 0 until iters) {
+      // One scan: encode, explode residual dims, mean per (subspace,
+      // assigned code, dim-within-subspace). Empty codes keep their entry.
+      val enc = encodeUdf(cents, books)
+      val cb = books
+      val residUdf = udf { (v: Seq[Float]) =>
+        val c = cents(nearestCell(cents, v))
+        Seq.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
+      }
+      val means = graft.Tables
+        .ensureParallelism(base)
+        .select(enc(col(vecCol)).as("pq"), posexplode(residUdf(col(vecCol))).as(Seq("dim", "x")))
+        .select(
+          (col("dim") / dsub).cast("int").as("sub"),
+          element_at(col("pq.code"), (col("dim") / dsub).cast("int") + 1).as("codeId"),
+          (col("dim") % dsub).as("within"),
+          col("x")
+        )
+        .groupBy("sub", "codeId", "within")
+        .agg(avg("x").as("mean"))
+        .collect()
+      val next = cb.map(_.map(_.clone()))
+      means.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getAs[Int]("within")) = r.getDouble(3).toFloat)
+      books = next
+    }
+    val codes = graft.Tables
+      .ensureParallelism(emb.select(col(idCol), col(vecCol)))
+      .select(col(idCol), encodeUdf(cents, books)(col(vecCol)).as("pq"))
+      .select(col(idCol), col("pq.cell").as("cell"), col("pq.code").as("code"))
+    PqIndex(cents, books, codes, base)
+  }
+
+  /** Score a query against the PQ index by asymmetric distance (ADC):
+    * per probed cell, a (m × ksub) lookup table of squared distances
+    * between the query's residual subvectors and the codebook entries is
+    * computed on the driver (tiny) and shipped in the scoring closure;
+    * a stored code's approximate distance is then m table lookups — no
+    * vectors are read for candidate ranking. The best `rerank` ids by
+    * ADC are joined back to the base for exact cosine, so emitted scores
+    * are exact and the approximation lives only in recall (the same
+    * contract as the LSH/IVF paths).
+    */
+  def scoreAgainstPq(
+      index: PqIndex,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      nProbe: Int,
+      rerank: Int = 50
+  ): DataFrame = {
+    val cents = index.centroids
+    val books = index.codebooks
+    val dsub = cents(0).length / books.length
+    val cells = index.centroids.zipWithIndex
+      .map { case (c, i) => (sqDist(c, query, 0, c.length), i) }
+      .sortBy(identity)
+      .take(nProbe)
+      .map(_._2)
+    // LUT per probed cell: [m][ksub] squared distances of the query
+    // residual to each codebook entry — nProbe × m × ksub doubles.
+    val luts: Map[Int, Array[Array[Double]]] = cells.map { cell =>
+      val c = cents(cell)
+      val res = Array.tabulate(query.length)(j => query(j) - (if (j < c.length) c(j) else 0f))
+      cell -> Array.tabulate(books.length) { mi =>
+        books(mi).map(entry => sqDist(entry, res.toSeq, mi * dsub, (mi + 1) * dsub))
+      }
+    }.toMap
+    val adcUdf = udf { (cell: Int, code: Seq[Int]) =>
+      val lut = luts(cell)
+      var d = 0.0
+      var mi = 0
+      while (mi < code.length) { d += lut(mi)(code(mi)); mi += 1 }
+      d
+    }
+    val cand = index.codes
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .select(col(idCol), adcUdf(col("cell"), col("code")).as("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(math.max(rerank, k))
+      .select(col(idCol))
+    index.base
+      .join(cand, Seq(idCol))
+      .select(col(idCol), round(VectorFns.cosine(col(vecCol), vecLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
 
   /** Embedding-cosine near-duplicate pairs: bucket by one hyperplane
     * signature, pair within buckets (a < b), verify exact cosine >=

@@ -212,6 +212,50 @@ class ReplicaSpec extends SparkSpec {
     assert(r1s.forall(_ >= 0.5), s"multi-probe recall floor: $r1s")
   }
 
+  test("PQ-IVF: recall vs brute force, exact emitted scores, real compression") {
+    val idx = Similarity.pqIndex(emb, "vec_id", "embedding", nLists = 16, m = 8, ksub = 16)
+    // 8-byte codes instead of 64 floats — assert the logical payload AND
+    // the physical one: the codes table written as parquet must be
+    // several times smaller than the raw-vector IVF assignment table.
+    assert(idx.codes.select(size($"code")).distinct().as[Int].collect().toSeq == Seq(8))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    idx.codes.write.parquet(s"$tmp/codes")
+    Similarity.ivfIndex(emb, "vec_id", "embedding", 16).assigned.write.parquet(s"$tmp/assigned")
+    def bytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L) else f.length()
+      walk(new java.io.File(p))
+    }
+    val (cb, ab) = (bytes(s"$tmp/codes"), bytes(s"$tmp/assigned"))
+    info(s"PQ index $cb bytes vs raw-vector IVF table $ab bytes (${ab.toDouble / cb}%x)")
+    assert(cb * 3 < ab, s"PQ index not meaningfully smaller: $cb vs $ab")
+    // Recall@10 vs brute force across probes; ADC ranks, exact rescore.
+    val probes = Seq(0L, 7L, 21L, 100L, 499L)
+    val recalls = probes.map { pid =>
+      val q = emb.filter($"vec_id" === pid).select("embedding").head().getSeq[Float](0)
+      val truth =
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).select("vec_id").as[Long].collect().toSet
+      val got = Similarity
+        .scoreAgainstPq(idx, "vec_id", "embedding", q, 10, nProbe = 6)
+        .select("vec_id")
+        .as[Long]
+        .collect()
+        .toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    info(s"PQ-IVF recall@10 (nLists=16, m=8, ksub=16, nProbe=6, rerank=50): " +
+      s"per-probe ${recalls.mkString(", ")} (mean ${recalls.sum / recalls.size})")
+    assert(recalls.forall(_ >= 0.3), s"PQ recall below the documented bound: $recalls")
+    // Exact-score contract: every emitted cosine equals the brute-force one.
+    val q0 = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val all = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q0, 500).as[(Long, Double)].collect().toMap
+    Similarity
+      .scoreAgainstPq(idx, "vec_id", "embedding", q0, 10, nProbe = 6)
+      .as[(Long, Double)]
+      .collect()
+      .foreach { case (id, cos) => assert(all(id) == cos, s"stale PQ score for vec $id") }
+  }
+
   test("LSH/IVF top-k emit exact cosine scores — approximation lives only in candidate recall") {
     val q = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
     val all = Similarity
