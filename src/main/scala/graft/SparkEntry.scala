@@ -139,7 +139,7 @@ object SparkEntry {
         val lt = s"graft_bk_lineitem_$tag"
         val ot = s"graft_bk_orders_$tag"
         sinks.BucketedStore.writeBucketed(
-          Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate", "l_quantity", "l_extendedprice", "l_discount"),
+          Tables.lineitem(s, dir).select("l_orderkey", "l_partkey", "l_suppkey", "l_shipdate", "l_quantity", "l_extendedprice", "l_discount"),
           lt,
           "l_orderkey",
           8
@@ -398,6 +398,24 @@ object SparkEntry {
           | "highlight": {"fields": {"text": {"fragment_size": 40}}},
           | "sort": ["doc_id"],
           | "_source": ["doc_id", "n_chars"]}""".stripMargin,
+        docsMapping
+      )),
+    // scroll emulation: page 2 (0-based) of the sorted stream — each page
+    // an independent search_after cursor query, O(page) not O(offset).
+    "search_dsl_json_scroll" -> ((s, dir) =>
+      JsonDsl.scroll(
+        Tables.orders(s, dir),
+        """{"sort": [{"o_orderdate": "desc"}, {"o_orderkey": "desc"}],
+          | "size": 10,
+          | "_source": ["o_orderkey", "o_orderdate", "o_totalprice"]}""".stripMargin,
+        page = 2
+      )),
+    // regexp query: anchored whole-value match on a keyword field.
+    "search_dsl_json_regexp" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"regexp": {"lang": {"value": "e[ns]"}}},
+          | "sort": ["doc_id"], "_source": ["doc_id", "lang"]}""".stripMargin,
         docsMapping
       )),
     // filters agg: named buckets in ONE conditional-count pass, not one
@@ -1031,6 +1049,29 @@ object SparkEntry {
         .agg(round(sum(amount), 2).cast("double").as("sum_profit"))
         .orderBy(col("nation"), col("o_year").desc)
     }),
+    // Q9 off the co-located bucketed layout: the one fact-fact join
+    // (lineitem⋈orders on the bucket key) runs with zero fact-side
+    // exchange; part/supplier/nation stay broadcast dims. Same oracle as
+    // q9_product_profit.
+    "q9_product_colocated" -> ((s, dir) => {
+      val (lt, ot) = bucketedFacts(s, dir)
+      val p = Tables.part(s, dir).filter(col("p_name").like("%widget%")).select("p_partkey", "p_retailprice")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      val o = sinks.BucketedStore.read(s, ot).select("o_orderkey", "o_orderdate")
+      val l = sinks.BucketedStore
+        .read(s, lt)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount")
+      val amount = decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount"))) -
+        decMoney(col("p_retailprice") * col("l_quantity") * lit(0.5))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(amount), 2).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
     // TPC-H Q11 shape (no partsupp: lineitem revenue plays stock value):
     // per-part value for one nation's suppliers, kept only above 2x the
     // MEAN per-part value — the threshold is a 1-row aggregate broadcast
@@ -1334,6 +1375,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)),
+
+    // Duplicated-span statistics (Lee et al. ACL'22 substring dedup at
+    // 8-token shingle granularity): per doc, how many of its distinct
+    // spans also occur in ANOTHER document — the span-level contamination
+    // signal document-level dedup cannot see.
+    "text_dup_spans" -> ((s, dir) =>
+      Dedup
+        .dupSpanStats(Tables.documents(s, dir), "doc_id", "text", n = 8)
+        .orderBy("doc_id")),
 
     // Benchmark decontamination: training docs (id >= 10) sharing any
     // 4-gram with the "benchmark" docs (id < 10) — the pre-training leak
@@ -1660,6 +1710,12 @@ object SparkEntry {
         |FROM documents
         |WHERE list_contains(string_split(lower(text), ' '), 'spark')
         |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_scroll" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10 OFFSET 20""".stripMargin,
+    "search_dsl_json_regexp" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE regexp_full_match(lang, 'e[ns]') ORDER BY doc_id""".stripMargin,
     "search_dsl_json_filters" ->
       """SELECT count(*) AS n_total,
         |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
@@ -1984,6 +2040,14 @@ object SparkEntry {
         |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         |  AND l_orderkey = o_orderkey AND p_name LIKE '%widget%'
         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q9_product_colocated" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |                      - CAST(p_retailprice * l_quantity * 0.5 AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_profit
+        |FROM lineitem, part, supplier, nation, orders
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND l_orderkey = o_orderkey AND p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
     "q11_important_parts" ->
       """WITH per AS (
         |  SELECT l_partkey,
@@ -2109,6 +2173,19 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM lab) t
         |WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    "text_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS g
+        |  FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+        |),
+        |freq AS (SELECT g, count(*) AS nd FROM grams GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+        |       round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
+        |FROM grams JOIN freq USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         |g AS (SELECT doc_id,

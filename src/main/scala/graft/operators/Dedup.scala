@@ -95,6 +95,43 @@ object Dedup {
     * count, prefix ranking window (partitioned by doc id), prefix-key join,
     * and the verify joins. No cross join, no within-bucket quadratic.
     */
+  /** Cross-document duplicated-span statistics (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL'22 —
+    * substring-level dedup, here approximated at n-token shingle
+    * granularity): per document, how many of its distinct n-gram spans
+    * also occur in at least one OTHER document, and the fraction. The
+    * curation signal for span-level contamination that document-level
+    * dedup (exact/MinHash) cannot see — two distinct documents sharing a
+    * boilerplate paragraph score high here and identical nowhere else.
+    *
+    * Two hash aggregations with map-side partials; grams are distinct per
+    * doc, so the corpus frequency is a plain count. The shuffle carries
+    * (span, id) pairs — at 100 TB you would xxhash64 the span so 8 bytes
+    * travel instead of the text (collision-safe at any realistic corpus);
+    * kept as text here so the DuckDB oracle can replay it verbatim.
+    * Documents shorter than n tokens have no spans and are absent, as in
+    * the paper's pipeline.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val grams = graft.Tables
+      .ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(col("id"), explode(array_distinct(TextFns.ngramsFromTokens(TextFns.tokens(col("_t")), n))).as("g"))
+    val freq = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+    grams
+      .join(freq, "g")
+      .groupBy(col("id").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("dup_spans")
+      )
+      .select(
+        col("doc_id"),
+        col("n_spans"),
+        col("dup_spans"),
+        round(col("dup_spans") / col("n_spans"), 6).as("dup_frac")
+      )
+  }
+
   /** @param suffixFilter
     *   enable the two suffix-side prunes (both lossless, flag kept so the
     *   spec can assert set-equality of the two paths): (a) the

@@ -16,7 +16,10 @@ import scala.jdk.CollectionConverters._
   * Query clauses: match, match_phrase, term, terms, range
   * (gt/gte/lt/lte), bool (must/filter/must_not/should +
   * minimum_should_match), wildcard, prefix, exists, match_all,
-  * query_string, multi_match, ids (on an `_id` column), fuzzy.
+  * query_string, multi_match, ids (on an `_id` column), fuzzy, regexp
+  * (anchored, per OpenSearch). Deep paging: `search_after` in the body,
+  * or [[scroll]] for the scroll-API shape (cursor pages emulated over
+  * search_after).
   * Aggregations: terms (+ metric sub-aggregations), date_histogram
   * (+ metric sub-aggregations sum/avg/min/max/value_count), stats,
   * cardinality, histogram, range, filters, percentiles, and top-level
@@ -187,6 +190,56 @@ object JsonDsl {
       .orderBy("search")
   }
 
+  /** OpenSearch `scroll` emulation for a batch engine: the cursor a
+    * scroll client holds as `scroll_id` is here the previous page's last
+    * sort-key tuple, re-injected as `search_after` — so every page is an
+    * independent cursor-predicate query costing O(page) scan output, not
+    * O(offset), and pages stay consistent because the underlying frame is
+    * immutable (what the scroll context's point-in-time snapshot buys on
+    * a live cluster, for free). Returns page `page` (0-based). The body
+    * must carry `sort` (with unique tie-breakers) and `size`; `_source`
+    * is applied only to the returned page — intermediate pages need the
+    * sort columns for the cursor.
+    */
+  def scroll(df: DataFrame, body: String, mapping: IndexMapping = IndexMapping.empty, page: Int = 0): DataFrame = {
+    require(page >= 0, s"page must be >= 0, got $page")
+    val root =
+      try mapper.readTree(body)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(s"request body is not valid JSON: ${e.getMessage}")
+      }
+    require(root != null && root.isObject, s"request body must be a JSON object: $body")
+    val specs = sortSpecs(req(root, "sort", "scroll"))
+    req(root, "size", "scroll")
+    var cursor: Option[Seq[Any]] = None
+    def bodyFor(cur: Option[Seq[Any]], keepSource: Boolean): String = {
+      val b = root.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+      if (!keepSource) b.remove("_source")
+      cur.foreach { vals =>
+        val arr = b.putArray("search_after")
+        vals.foreach {
+          case null                       => arr.addNull()
+          case v: java.lang.Long          => arr.add(v.longValue())
+          case v: java.lang.Integer       => arr.add(v.intValue())
+          case v: java.lang.Double        => arr.add(v.doubleValue())
+          case v: java.math.BigDecimal    => arr.add(v)
+          case v: java.lang.Boolean       => arr.add(v.booleanValue())
+          case v                          => arr.add(String.valueOf(v))
+        }
+        ()
+      }
+      mapper.writeValueAsString(b)
+    }
+    for (p <- 0 until page) {
+      val rows = parse(df, bodyFor(cursor, keepSource = false), mapping).collect()
+      require(rows.nonEmpty, s"scroll exhausted at page $p")
+      val last = rows.last
+      cursor = Some(specs.map { case (f, _) => last.getAs[Any](f) })
+    }
+    parse(df, bodyFor(cursor, keepSource = true), mapping)
+  }
+
   /** Compile just the `query` clause to a predicate (the `_count` /
     * filter-context path).
     */
@@ -260,6 +313,14 @@ object JsonDsl {
       case "wildcard" =>
         val (f, v) = fieldAndValue(body, "value")
         SearchDsl.wildcard(col(f), v.asText)
+      case "regexp" =>
+        // OpenSearch regexp is ANCHORED (the pattern must match the whole
+        // value / whole analyzed term) — wrap before compiling to rlike,
+        // whose contract is substring search.
+        val (f, v) = fieldAndValue(body, "value")
+        val anchored = "^(?:" + v.asText + ")$"
+        if (mapping.isText(f)) exists(SearchDsl.analyze(col(f)), t => t.rlike(anchored))
+        else col(f).rlike(anchored)
       case "prefix" =>
         val (f, v) = fieldAndValue(body, "value")
         if (mapping.isText(f)) SearchDsl.prefixQuery(col(f), v.asText)

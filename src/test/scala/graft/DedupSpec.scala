@@ -69,6 +69,31 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L))) // reversal destroys shingle order
   }
 
+  test("dupSpanStats counts cross-document spans, not within-document repeats") {
+    val corpus = Seq(
+      // docs 1 and 2 share the 8-token span "a b c d e f g h"; their tails differ
+      (1L, "a b c d e f g h x1 y1 z1 w1 v1 u1 t1"),
+      (2L, "a b c d e f g h x2 y2 z2 w2 v2 u2 t2"),
+      // doc 3 repeats ITS OWN span twice but shares nothing: dup_frac 0
+      (3L, "p q r s t u v w p q r s t u v w"),
+      // doc 4: too short for an 8-gram — absent from the output
+      (4L, "only three tokens")
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .dupSpanStats(corpus, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    val byId = got.map(r => r._1 -> r).toMap
+    // docs 1/2: 8 distinct spans each, exactly 1 shared
+    assert(byId(1L)._2 == 8 && byId(1L)._3 == 1 && byId(1L)._4 == 0.125)
+    assert(byId(2L)._3 == 1)
+    // doc 3: all spans self-repeats only → zero cross-document dups
+    assert(byId(3L)._3 == 0 && byId(3L)._4 == 0.0)
+  }
+
   test("suffix filtering is lossless: identical pairs AND scores with it off") {
     // Run on the real corpus (sf0.001 documents), not the toy frame —
     // the suffix bound only engages when pairs share several prefix

@@ -34,15 +34,17 @@ class EntrySpec extends SparkSpec {
     }
   }
 
-  test("q7_volume_colocated joins the facts with zero fact-side exchange") {
+  test("colocated Q7/Q9 join the facts with zero fact-side exchange") {
     // The bucketed layout means the lineitem⋈orders join needs no
     // shuffle of either fact; the only hash exchanges allowed are the
     // post-partial-agg groupBy and any AQE-chosen dimension shuffle —
     // neither may repartition on the fact join keys.
-    val plan = SparkEntry.queries("q7_volume_colocated")(spark, Sf).queryExecution.executedPlan.toString
-    for (key <- Seq("l_orderkey", "o_orderkey"))
-      assert(!plan.contains(s"Exchange hashpartitioning($key"),
-        s"fact side still shuffles on $key:\n$plan")
+    for (q <- Seq("q7_volume_colocated", "q9_product_colocated")) {
+      val plan = SparkEntry.queries(q)(spark, Sf).queryExecution.executedPlan.toString
+      for (key <- Seq("l_orderkey", "o_orderkey"))
+        assert(!plan.contains(s"Exchange hashpartitioning($key"),
+          s"$q fact side still shuffles on $key:\n$plan")
+    }
   }
 
   test("all queries execute and are non-empty at sf0.001") {

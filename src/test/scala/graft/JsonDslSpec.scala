@@ -385,6 +385,31 @@ class JsonDslSpec extends SparkSpec {
       ))
   }
 
+  test("scroll pages equal sorted offset slices; exhaustion fails fast") {
+    val body = """{"sort": [{"amount": "desc"}, {"id": "desc"}], "size": 2, "_source": ["id"]}"""
+    val sortedIds = cards.orderBy(col("amount").desc, col("id").desc).select("id").as[Long].collect().toSeq
+    for (p <- 0 to 2) {
+      val got = JsonDsl.scroll(cards, body, mapping, page = p).as[Long].collect().toSeq
+      assert(got == sortedIds.slice(2 * p, 2 * p + 2), s"page $p mismatch: $got")
+    }
+    // page past the end of a drained stream: the empty intermediate page
+    // cannot yield a cursor
+    intercept[IllegalArgumentException](JsonDsl.scroll(cards, body, mapping, page = 5))
+    // scroll requires sort and size
+    intercept[IllegalArgumentException](JsonDsl.scroll(cards, """{"size": 2}""", mapping, page = 1))
+    intercept[IllegalArgumentException](JsonDsl.scroll(cards, """{"sort": ["id"]}""", mapping, page = 1))
+  }
+
+  test("regexp matches the whole keyword value, not a substring") {
+    val full = JsonDsl.parse(
+      cards, """{"query": {"regexp": {"status": {"value": "ACT.*"}}}, "sort": ["id"], "_source": ["id"]}""", mapping)
+    assert(full.as[Long].collect().toSeq == Seq(1L, 2L, 5L))
+    // unanchored substring would match ACTIVE; OpenSearch regexp must not
+    val sub = JsonDsl.parse(
+      cards, """{"query": {"regexp": {"status": {"value": "CTIV"}}}, "sort": ["id"], "_source": ["id"]}""", mapping)
+    assert(sub.isEmpty)
+  }
+
   test("mapping artifact parses the reference _mapping format") {
     val m = IndexMapping.fromJson(
       """{"mappings": {"properties": {"a": {"type": "text"}, "b": {"type": "keyword"}, "c": {"type": "date"}}}}"""
