@@ -400,6 +400,35 @@ object SparkEntry {
           | "_source": ["doc_id", "n_chars"]}""".stripMargin,
         docsMapping
       )),
+    // terms buckets ordered by a metric sub-aggregation (Kibana's "order
+    // by metric") — one bucketing pass, only the bucket-table sort changes.
+    "search_dsl_json_terms_order" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"by_priority": {
+          |   "terms": {"field": "o_orderpriority", "size": 5, "order": {"avg_price": "desc"}},
+          |   "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}}
+          | }}}""".stripMargin
+      )),
+    // date_range agg: explicit calendar buckets over the event stream.
+    "search_dsl_json_date_range" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.events(s, dir),
+        """{"aggs": {"periods": {"date_range": {"field": "ts", "ranges": [
+          |   {"key": "early",  "to": "2024-01-10 00:00:00"},
+          |   {"key": "middle", "from": "2024-01-10 00:00:00", "to": "2024-01-20 00:00:00"},
+          |   {"key": "late",   "from": "2024-01-20 00:00:00"}
+          | ]}}}}""".stripMargin
+      )),
+    // top_metrics agg: the metric carried by the top-sorted row — one
+    // max_by hash aggregate, no global sort, no window.
+    "search_dsl_json_top_metrics" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.events(s, dir),
+        """{"aggs": {"latest": {"top_metrics": {
+          |   "metrics": {"field": "value"}, "sort": {"event_id": "desc"}
+          | }}}}""".stripMargin
+      )),
     // scroll emulation: page 2 (0-based) of the sorted stream — each page
     // an independent search_after cursor query, O(page) not O(offset).
     "search_dsl_json_scroll" -> ((s, dir) =>
@@ -1713,6 +1742,21 @@ object SparkEntry {
     "search_dsl_json_scroll" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
         |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10 OFFSET 20""".stripMargin,
+    "search_dsl_json_terms_order" ->
+      """SELECT o_orderpriority AS "key", CAST(count(*) AS BIGINT) AS doc_count,
+        |       round(avg(o_totalprice), 6) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY avg_price DESC, "key" LIMIT 5""".stripMargin,
+    "search_dsl_json_date_range" ->
+      """SELECT bucket, CAST(count(*) AS BIGINT) AS doc_count FROM (
+        |  SELECT CASE WHEN ts < TIMESTAMP '2024-01-10 00:00:00' THEN 'early'
+        |              WHEN ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'middle'
+        |              WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' THEN 'late'
+        |         END AS bucket
+        |  FROM events) t
+        |WHERE bucket IS NOT NULL GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "search_dsl_json_top_metrics" ->
+      """SELECT max_by(value, event_id) AS value, max(event_id) AS sort_value
+        |FROM events""".stripMargin,
     "search_dsl_json_regexp" ->
       """SELECT doc_id, lang FROM documents
         |WHERE regexp_full_match(lang, 'e[ns]') ORDER BY doc_id""".stripMargin,

@@ -31,6 +31,59 @@ object Aggs {
       .orderBy(col("doc_count").desc, col("key").asc)
       .limit(size)
 
+  /** `terms` aggregation ordered by something other than the default
+    * doc_count-desc: a named metric sub-aggregation, `_key`, or `_count`
+    * (Kibana's "order by metric"). Same one-pass bucketing — only the
+    * final (bucket-table-sized) sort differs.
+    */
+  def termsAggOrdered(
+      df: DataFrame,
+      field: Column,
+      size: Int,
+      metrics: Seq[Column],
+      orderKey: String,
+      asc: Boolean
+  ): DataFrame = {
+    val agged = df.groupBy(field.as("key")).agg(count(lit(1)).as("doc_count"), metrics: _*)
+    val oc = orderKey match {
+      case "_key"   => col("key")
+      case "_count" => col("doc_count")
+      case named    => col(named)
+    }
+    agged.orderBy(if (asc) oc.asc else oc.desc, col("key").asc).limit(size)
+  }
+
+  /** `date_range` aggregation: explicit [from, to) buckets over a
+    * timestamp field, keyed by label — the calendar cousin of [[rangeAgg]].
+    */
+  def dateRangeAgg(df: DataFrame, field: Column, ranges: Seq[(String, Option[String], Option[String])]): DataFrame = {
+    val bucket = ranges.foldLeft(when(lit(false), "")) { case (acc, (label, from, to)) =>
+      val conds = Seq(
+        from.map(f => field >= lit(f).cast("timestamp")),
+        to.map(t => field < lit(t).cast("timestamp"))
+      ).flatten
+      acc.when(conds.reduceOption(_ && _).getOrElse(lit(true)), label)
+    }
+    df.select(bucket.as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy("bucket")
+  }
+
+  /** `top_metrics` aggregation: the metric values carried by the row
+    * ranked FIRST by the sort field — a single max_by/min_by hash
+    * aggregate (one row out, map-side partials), never a global sort or
+    * window.
+    */
+  def topMetrics(df: DataFrame, metrics: Seq[(String, Column)], sort: Column, descending: Boolean): DataFrame = {
+    val picked = metrics.map { case (name, m) =>
+      (if (descending) max_by(m, sort) else min_by(m, sort)).as(name)
+    }
+    val sortOut = (if (descending) max(sort) else min(sort)).as("sort_value")
+    df.agg(picked.head, picked.tail :+ sortOut: _*)
+  }
+
   /** `date_histogram` with calendar interval + metric sub-aggregations. */
   def dateHistogram(df: DataFrame, ts: Column, interval: String, metrics: Seq[Column]): DataFrame =
     df.groupBy(date_trunc(interval, ts).as("bucket"))

@@ -367,6 +367,20 @@ object JsonDsl {
     val body = spec.get(typeName)
     def field = col(req(body, "field", s"aggregation '$typeName'").asText)
     typeName match {
+      case "terms" if body.has("order") =>
+        // Explicit bucket order: {"order": {"<sub-metric>|_key|_count": "asc|desc"}}
+        val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
+        val o = body.get("order")
+        require(o.isObject && o.size == 1, s"terms order must have exactly one key: $o")
+        val key = o.fieldNames().next()
+        val asc = o.get(key).asText != "desc"
+        val metrics = subAggs.map(sa => sa.fields().asScala.toSeq.map(roundedMetric)).getOrElse(Nil)
+        val metricNames = subAggs.map(sa => sa.fieldNames().asScala.toSeq).getOrElse(Nil)
+        require(
+          key == "_key" || key == "_count" || metricNames.contains(key),
+          s"terms order by '$key' needs a matching metric sub-aggregation, have: $metricNames"
+        )
+        Aggs.termsAggOrdered(df, field, size, metrics, key, asc)
       case "terms" =>
         val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
         subAggs match {
@@ -402,6 +416,26 @@ object JsonDsl {
           (key, from, to)
         }
         Aggs.rangeAgg(df, field, ranges)
+      case "date_range" =>
+        val ranges = req(body, "ranges", "date_range aggregation").elements().asScala.toSeq.map { r =>
+          val from = Option(r.get("from")).map(_.asText)
+          val to = Option(r.get("to")).map(_.asText)
+          val key = Option(r.get("key"))
+            .map(_.asText)
+            .getOrElse(s"${from.getOrElse("*")}-${to.getOrElse("*")}")
+          (key, from, to)
+        }
+        Aggs.dateRangeAgg(df, field, ranges)
+      case "top_metrics" =>
+        val ms = req(body, "metrics", "top_metrics")
+        val metricList = (if (ms.isArray) ms.elements().asScala.toSeq else Seq(ms)).map { m =>
+          val f = req(m, "field", "top_metrics metric").asText
+          f -> col(f)
+        }
+        val sortSpec = req(body, "sort", "top_metrics")
+        require(sortSpec.isObject && sortSpec.size == 1, s"top_metrics sort must have exactly one key: $sortSpec")
+        val sortField = sortSpec.fieldNames().next()
+        Aggs.topMetrics(df, metricList, col(sortField), sortSpec.get(sortField).asText == "desc")
       case "rare_terms" =>
         Aggs.rareTerms(df, field, Option(body.get("max_doc_count")).map(_.asLong).getOrElse(1L))
       case "composite" =>

@@ -410,6 +410,26 @@ class JsonDslSpec extends SparkSpec {
     assert(sub.isEmpty)
   }
 
+  test("terms order, date_range, and top_metrics aggregations") {
+    val t = JsonDsl.parse(
+      cards,
+      """{"aggs": {"by_status": {"terms": {"field": "status", "order": {"mx": "desc"}},
+        |          "aggs": {"mx": {"max": {"field": "amount"}}}}}}""".stripMargin,
+      mapping
+    )
+    assert(t.columns.toSeq == Seq("key", "doc_count", "mx"))
+    assert(t.as[(String, Long, Double)].collect().map(_._1).toSeq == Seq("ACTIVE", "BLOCKED", "CLOSED"))
+    val tm = JsonDsl.parse(
+      cards,
+      """{"aggs": {"top": {"top_metrics": {"metrics": {"field": "amount"}, "sort": {"id": "desc"}}}}}""",
+      mapping
+    )
+    assert(tm.as[(Double, Long)].collect().toSeq == Seq((2000.0, 5L)))
+    // ordering by an undeclared metric fails fast
+    intercept[IllegalArgumentException](
+      JsonDsl.parse(cards, """{"aggs": {"b": {"terms": {"field": "status", "order": {"nope": "desc"}}}}}""", mapping))
+  }
+
   test("mapping artifact parses the reference _mapping format") {
     val m = IndexMapping.fromJson(
       """{"mappings": {"properties": {"a": {"type": "text"}, "b": {"type": "keyword"}, "c": {"type": "date"}}}}"""
