@@ -561,6 +561,19 @@ object SparkEntry {
         Seq("n_high_value" -> (col("value") > 100), "n_purchase" -> (col("event_type") === "purchase"))
       )),
     "search_stats_agg" -> ((s, dir) => Aggs.stats(Tables.lineitem(s, dir), col("l_extendedprice"))),
+    // extended_stats: every moment derived from exact decimal sums cast
+    // to double, so both engines run the identical IEEE expression tree
+    // (var_samp's engine-specific accumulation order would not hash-match
+    // at sum-of-squares magnitudes).
+    "search_extended_stats" -> ((s, dir) =>
+      Aggs.extendedStats(Tables.orders(s, dir), col("o_totalprice"))),
+    // more_like_this: idf-weighted overlap with the target doc's distinct
+    // terms — target term set broadcast, shuffle carries matching
+    // (term, doc_id) pairs only.
+    "search_more_like_this" -> ((s, dir) =>
+      graft.search.Bm25
+        .moreLikeThis(Tables.documents(s, dir), "doc_id", "text", 7L, 10)
+        .withColumnRenamed("id", "doc_id")),
     "search_cardinality" -> ((s, dir) =>
       Aggs.cardinality(
         Tables.lineitem(s, dir),
@@ -1833,6 +1846,30 @@ object SparkEntry {
         |       round(max(l_extendedprice), 2) AS max_v, round(avg(l_extendedprice), 2) AS avg_v,
         |       round(sum(l_extendedprice), 2) AS sum_v
         |FROM lineitem""".stripMargin,
+    "search_extended_stats" ->
+      """WITH a AS (SELECT count(o_totalprice) AS cnt,
+        |                  round(min(o_totalprice), 2) AS mn, round(max(o_totalprice), 2) AS mx,
+        |                  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
+        |                  sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS sq
+        |           FROM orders)
+        |SELECT CAST(cnt AS BIGINT) AS cnt, mn AS min_v, mx AS max_v,
+        |       round(CAST(s AS DOUBLE) / cnt, 6) AS avg_v,
+        |       round(CAST(s AS DOUBLE), 2) AS sum_v,
+        |       round(CAST(sq AS DOUBLE), 2) AS sum_sq,
+        |       round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1), 6) AS variance,
+        |       round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1)), 6) AS std_dev
+        |FROM a""".stripMargin,
+    "search_more_like_this" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term FROM documents),
+        |tgt AS (SELECT term FROM toks WHERE doc_id = 7),
+        |shared AS (SELECT toks.doc_id, toks.term FROM toks JOIN tgt USING (term)),
+        |dfq AS (SELECT term, count(*) AS df FROM shared GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared,
+        |       round(sum(ln(CAST(n_docs AS DOUBLE) / df)), 6) AS score
+        |FROM shared JOIN dfq USING (term) CROSS JOIN n
+        |WHERE doc_id <> 7
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "search_cardinality" ->
       """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
         |       count(DISTINCT l_orderkey) AS n_orders

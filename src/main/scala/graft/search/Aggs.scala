@@ -190,6 +190,40 @@ object Aggs {
       round(sum(field), 2).as("sum_v")
     )
 
+  /** `extended_stats` aggregation: stats plus sum-of-squares, variance and
+    * standard deviation (sample semantics, OpenSearch's default).
+    *
+    * Float determinism: `var_samp`/`stddev_samp` accumulate in
+    * engine-specific orders, and at sum-of-squares magnitudes the noise
+    * crosses any rounding quantum — so every moment here is DERIVED from
+    * exact decimal sums (2dp-exact money → squares 4dp-exact, decimal
+    * sums exact) cast to double: both engines then execute the identical
+    * correctly-rounded IEEE expression tree and agree bitwise before the
+    * final round.
+    */
+  def extendedStats(df: DataFrame, field: Column): DataFrame = {
+    val d = field.cast("decimal(12,2)")
+    val n = col("cnt")
+    val s = col("_s").cast("double")
+    val sq = col("_sq").cast("double")
+    df.agg(
+      count(field).as("cnt"),
+      round(min(field), 2).as("min_v"),
+      round(max(field), 2).as("max_v"),
+      sum(d).as("_s"),
+      sum(d * d).as("_sq")
+    ).select(
+      n,
+      col("min_v"),
+      col("max_v"),
+      round(s / n, 6).as("avg_v"),
+      round(s, 2).as("sum_v"),
+      round(sq, 2).as("sum_sq"),
+      round((sq - s * s / n) / (n - lit(1)), 6).as("variance"),
+      round(sqrt((sq - s * s / n) / (n - lit(1))), 6).as("std_dev")
+    )
+  }
+
   /** `cardinality` aggregation. Exact variant (count distinct) for the
     * oracle; `approxCardinality` is the HLL++ scale path OpenSearch actually
     * uses (one pass, constant memory, no exact-distinct shuffle).

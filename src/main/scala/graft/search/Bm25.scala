@@ -100,4 +100,39 @@ object Bm25 {
       b: Double = 0.75
   ): DataFrame =
     scoreAgainstIndex(buildIndex(docs, idCol, textCol), queryTerms, k, k1, b)
+
+  /** `more_like_this`: documents ranked by idf-weighted overlap with the
+    * target document's distinct analyzed terms — the degenerate (tf=1)
+    * form of Lucene's MLT, whose interesting part is exactly the idf
+    * weighting (shared RARE terms say "alike", shared stopwords say
+    * nothing).
+    *
+    * Plan: the target's term set is corpus-independent and tiny (one
+    * document) → broadcast semi-join onto the exploded distinct-term
+    * table; df per term from a groupBy of that restricted table only; one
+    * final per-doc aggregation. The shuffle carries (term, doc_id) pairs
+    * for matching terms only, never text. Score = Σ ln(N/df) over shared
+    * terms plus the exact shared-term count as a deterministic integer
+    * column (`n_shared`).
+    */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String, targetId: Any, k: Int): DataFrame = {
+    val terms = graft.Tables
+      .ensureParallelism(docs.select(col(idCol).as("id"), col(textCol).as("_text")))
+      .select(col("id"), explode(array_distinct(TextFns.tokens(col("_text")))).as("term"))
+    val target = terms.filter(col("id") === lit(targetId)).select(col("term"))
+    val shared = terms.join(broadcast(target), "term")
+    val docFreq = shared.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    shared
+      .filter(col("id") =!= lit(targetId))
+      .join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(n))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_shared"),
+        round(sum(log(col("n_docs").cast("double") / col("df"))), 6).as("score")
+      )
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
 }

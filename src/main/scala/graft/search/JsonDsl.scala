@@ -403,7 +403,8 @@ object JsonDsl {
           Option(body.get("calendar_interval")).orElse(Option(body.get("interval"))).map(_.asText)
         require(interval.isDefined, "date_histogram needs calendar_interval")
         Aggs.dateHistogram(df, field, interval.get, subAggs.map(metricColumns).getOrElse(Nil))
-      case "stats"       => Aggs.stats(df, field)
+      case "stats"          => Aggs.stats(df, field)
+      case "extended_stats" => Aggs.extendedStats(df, field)
       case "cardinality" => Aggs.cardinality(df, Seq(aggName -> field))
       case "histogram"   => Aggs.histogram(df, field, req(body, "interval", "histogram").asDouble)
       case "range" =>
