@@ -122,7 +122,9 @@ object Bm25 {
     val target = terms.filter(col("id") === lit(targetId)).select(col("term"))
     val shared = terms.join(broadcast(target), "term")
     val docFreq = shared.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // Count over the narrow id column only — an unprojected count(*)
+    // makes the scan read a string column it never uses.
+    val n = docs.select(col(idCol)).agg(count(lit(1)).as("n_docs"))
     shared
       .filter(col("id") =!= lit(targetId))
       .join(broadcast(docFreq), "term")
