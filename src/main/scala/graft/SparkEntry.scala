@@ -400,6 +400,32 @@ object SparkEntry {
           | "_source": ["doc_id", "n_chars"]}""".stripMargin,
         docsMapping
       )),
+    // significant_text: which WORDS are over-represented in the query's
+    // foreground set vs the whole index — the frame reaches the
+    // aggregation unfiltered (filtering first would lose the background).
+    "search_dsl_json_significant_text" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"term": {"lang": "de"}},
+          | "aggs": {"keywords": {"significant_text": {"field": "text", "size": 5}}}}""".stripMargin,
+        docsMapping
+      )),
+    // Weighted corpus mixing: per-language keep rates as a pure function
+    // of md5(id) at 16-bit grain — the data-recipe knob (down-weight one
+    // source, up-weight another), stable under growth and repartitioning.
+    "sample_weighted" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .filter(
+          operators.Sampling.weightedKeep(
+            col("doc_id"),
+            col("lang"),
+            Map("en" -> 0.9, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.25, "zh" -> 0.1)
+          )
+        )
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")),
     // terms buckets ordered by a metric sub-aggregation (Kibana's "order
     // by metric") — one bucketing pass, only the bucket-table sort changes.
     "search_dsl_json_terms_order" -> ((s, dir) =>
@@ -1755,6 +1781,30 @@ object SparkEntry {
     "search_dsl_json_scroll" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
         |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10 OFFSET 20""".stripMargin,
+    "search_dsl_json_significant_text" ->
+      """WITH toks AS (SELECT doc_id, lang = 'de' AS fg,
+        |                     unnest(list_distinct(string_split(lower(text), ' '))) AS term
+        |              FROM documents),
+        |counts AS (SELECT term,
+        |                  CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_count,
+        |                  CAST(count(*) AS BIGINT) AS bg_count
+        |           FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS fg_total,
+        |               CAST(count(*) AS BIGINT) AS bg_total
+        |        FROM documents)
+        |SELECT term, fg_count, bg_count,
+        |       round(CAST(fg_count AS DOUBLE) / fg_total - CAST(bg_count AS DOUBLE) / bg_total, 6) AS score
+        |FROM counts CROSS JOIN tot ORDER BY score DESC, term LIMIT 5""".stripMargin,
+    "sample_weighted" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_kept FROM documents
+        |WHERE CASE lang
+        |  WHEN 'en' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |  WHEN 'de' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |  WHEN 'es' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |  WHEN 'fr' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |  WHEN 'zh' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+        |  ELSE TRUE END
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
     "search_dsl_json_terms_order" ->
       """SELECT o_orderpriority AS "key", CAST(count(*) AS BIGINT) AS doc_count,
         |       round(avg(o_totalprice), 6) AS avg_price

@@ -41,4 +41,30 @@ object Sampling {
     // hex buckets — a full sample must short-circuit to true.
     if (buckets >= 256) lit(true) else hashBucket(id) < f"$buckets%02x"
   }
+
+  /** Per-group keep rates — the corpus-MIXING primitive (down-weight one
+    * source/language, up-weight another, the knob every pre-training data
+    * recipe turns). Same deterministic md5 machinery at a finer 16-bit
+    * grain (65536 buckets): a document's membership is a pure function of
+    * its id and its group's rate — stable under corpus growth,
+    * repartitioning, and engine — and rates compose with [[split]]
+    * because both read disjoint functions of the same hash.
+    *
+    * Groups absent from `rates` are kept in full (rate 1.0).
+    */
+  def weightedKeep(id: Column, group: Column, rates: Map[String, Double]): Column = {
+    require(rates.values.forall(r => r >= 0 && r <= 1), s"rates out of range: $rates")
+    val prefix = substring(md5(id.cast("string")), 1, 4)
+    rates.toSeq.sortBy(_._1).foldLeft(lit(true)) { case (acc, (g, rate)) =>
+      val cond =
+        if (rate >= 1.0) lit(true)
+        else if (rate <= 0.0) lit(false)
+        // 16-bit grain: keep the ids whose 4-hex-char prefix sorts below
+        // round(rate·65536) rendered in hex — the string comparison is
+        // exactly the numeric one because both sides are 4 lowercase hex
+        // chars.
+        else prefix < f"${math.round(rate * 65536).toInt.min(65535)}%04x"
+      when(group === g, cond).otherwise(acc)
+    }
+  }
 }

@@ -334,6 +334,43 @@ object Aggs {
       .orderBy(col("score").desc, col("term"))
   }
 
+  /** `significant_text`: [[significantTerms]] over the ANALYZED tokens of
+    * a text field — which words are over-represented in the foreground
+    * set relative to the whole index. Terms are distinct per document
+    * (OpenSearch counts documents, not occurrences), so fg/bg counts are
+    * doc counts and the totals are doc totals, not token totals — the
+    * totals come from a separate narrow count, not from summing the term
+    * table. One exploded aggregation; the shuffle carries (term, flag)
+    * pairs.
+    */
+  def significantText(df: DataFrame, text: Column, foreground: Column, size: Int): DataFrame = {
+    val toks = df.select(
+      foreground.as("_fg"),
+      explode(array_distinct(graft.functions.TextFns.tokens(text))).as("term")
+    )
+    val counts = toks
+      .groupBy("term")
+      .agg(
+        sum(when(col("_fg"), 1L).otherwise(0L)).as("fg_count"),
+        count(lit(1)).as("bg_count")
+      )
+    val totals = df.select(foreground.as("_fg"))
+      .agg(sum(when(col("_fg"), 1L).otherwise(0L)).as("fg_total"), count(lit(1)).as("bg_total"))
+    counts
+      .crossJoin(broadcast(totals))
+      .select(
+        col("term"),
+        col("fg_count"),
+        col("bg_count"),
+        round(
+          col("fg_count").cast("double") / col("fg_total") - col("bg_count").cast("double") / col("bg_total"),
+          6
+        ).as("score")
+      )
+      .orderBy(col("score").desc, col("term"))
+      .limit(size)
+  }
+
   /** `composite` aggregation page: multi-key buckets in key order, resuming
     * strictly after the `after` cursor — the scalable "paginate all
     * buckets" pattern (each page is one bounded aggregation, no global

@@ -84,12 +84,18 @@ object JsonDsl {
       .orElse(Option(root.get("aggregations")))
       .filter(a =>
         a.isObject && a.size == 1 &&
-          a.elements().asScala.toSeq.headOption.exists(_.has("significant_terms"))
+          a.elements().asScala.toSeq.headOption.exists(s => s.has("significant_terms") || s.has("significant_text"))
       ) match {
       case Some(a) =>
-        val spec = a.elements().asScala.next().get("significant_terms")
-        val f = col(req(spec, "field", "significant_terms").asText)
+        val spec0 = a.elements().asScala.next()
         val fg = Option(root.get("query")).map(q => compileQuery(df, q, mapping)).getOrElse(lit(true))
+        if (spec0.has("significant_text")) {
+          val spec = spec0.get("significant_text")
+          val f = col(req(spec, "field", "significant_text").asText)
+          return Aggs.significantText(df, f, fg, Option(spec.get("size")).map(_.asInt).getOrElse(10))
+        }
+        val spec = spec0.get("significant_terms")
+        val f = col(req(spec, "field", "significant_terms").asText)
         return Aggs.significantTerms(df, f, fg)
       case None => ()
     }

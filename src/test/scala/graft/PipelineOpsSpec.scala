@@ -91,6 +91,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(twice == 0)
   }
 
+  test("weightedKeep: per-group rates hold, absent groups kept in full") {
+    val rows = spark.range(6000).select(
+      col("id"),
+      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b").otherwise("c").as("g")
+    )
+    val kept = rows
+      .filter(Sampling.weightedKeep(col("id"), col("g"), Map("a" -> 0.8, "b" -> 0.2)))
+      .groupBy("g")
+      .count()
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    // 2000 per group; md5 is uniform, so ±200 is a generous band
+    assert(math.abs(kept("a") - 1600) < 200, kept.toString)
+    assert(math.abs(kept("b") - 400) < 200, kept.toString)
+    assert(kept("c") == 2000, "group without a rate must be kept in full")
+    // membership composes with split: a kept id keeps its split bucket
+    assert(rows.filter(Sampling.weightedKeep(col("id"), col("g"), Map("a" -> 0.0))).filter(col("g") === "a").count() == 0)
+    intercept[IllegalArgumentException](Sampling.weightedKeep(col("id"), col("g"), Map("a" -> 1.5)))
+  }
+
   test("stratifiedKeep samples ~fraction inside every stratum") {
     val df = spark.range(8000).select(col("id"), (col("id") % 4).as("stratum"))
     val rates = df
