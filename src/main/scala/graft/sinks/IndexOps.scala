@@ -189,6 +189,34 @@ object IndexOps {
     val unioned = indices.map(IndexFileSink.readIndex(spark, root, _)).reduce(_ unionByName _)
     filter.fold(unioned)(unioned.filter)
   }
+  /** `_rollover`: when the alias's current write index holds at least
+    * `maxDocs` documents, the NEXT numbered index (`<alias>-000002`, ...)
+    * becomes the write target — OpenSearch's size-capped index rolling,
+    * the write side of an ILM policy (the read side stays a pattern/alias
+    * over every generation, and [[retire]] ages the old ones out).
+    *
+    * Returns (current write index, rolled: whether a new one was cut).
+    * The count is one narrow aggregate over the current index only —
+    * never the whole alias family.
+    */
+  def rollover(spark: SparkSession, root: String, alias: String, maxDocs: Long): (String, Boolean) = {
+    val gens = resolvePattern(spark, root, s"$alias-*")
+    require(gens.nonEmpty, s"no write index for alias '$alias' — create '${alias}-000001' first")
+    val current = gens.max // zero-padded names sort chronologically
+    // A freshly rolled index has no documents yet — schema inference over
+    // an empty JSON dir is an AnalysisException, which here just means 0.
+    val docs =
+      try IndexFileSink.readIndex(spark, root, current).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    if (docs < maxDocs) (current, false)
+    else {
+      val gen = current.stripPrefix(s"$alias-").toInt + 1
+      val next = f"$alias-$gen%06d"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, next))
+      (next, true)
+    }
+  }
+
   def catIndices(spark: SparkSession, root: String, indices: Seq[String]): DataFrame = {
     val frames = indices.map { ix =>
       IndexFileSink

@@ -119,6 +119,21 @@ class IndexOpsSpec extends SparkSpec {
     assert(active.filter(col("status") =!= "ACTIVE").count() == 0)
   }
 
+  test("rollover cuts the next generation at maxDocs, not before") {
+    val root = Files.createTempDirectory("graft-roll").toString
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    IndexFileSink.indexBatch(docs, root, "logs-000001", "id")
+    // below the cap: no roll
+    assert(IndexOps.rollover(spark, root, "logs", maxDocs = 10) == ("logs-000001", false))
+    // at/over the cap: generation 2 becomes the write index
+    assert(IndexOps.rollover(spark, root, "logs", maxDocs = 3) == ("logs-000002", true))
+    // the new empty generation is the write index and does not re-roll
+    assert(IndexOps.rollover(spark, root, "logs", maxDocs = 3) == ("logs-000002", false))
+    // the read side still sees every generation via the pattern
+    assert(IndexOps.resolvePattern(spark, root, "logs-*") == Seq("logs-000001", "logs-000002"))
+    intercept[IllegalArgumentException](IndexOps.rollover(spark, root, "nope", 1))
+  }
+
   test("bulkIndexWithRetry: transient failures drain through the retry pass") {
     FlakyWriter.reset()
     val root = Files.createTempDirectory("graft-dlq").toString
