@@ -1661,6 +1661,160 @@ object SparkEntry {
         .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
         .orderBy("s_suppkey")
+    }),
+
+    // ── R6: wider OpenSearch agg/query surface ──────────────────────────
+    // adjacency_matrix: named filters + pairwise intersections, ONE
+    // conditional-count pass (never a scan per matrix cell).
+    "search_adjacency_matrix" -> ((s, dir) =>
+      Aggs.adjacencyMatrix(
+        Tables.documents(s, dir),
+        Seq(
+          "en" -> (col("lang") === "en"),
+          "long" -> (col("n_chars") > 300),
+          "src1" -> (col("source") === "src1")
+        )
+      )),
+    // auto_date_histogram: interval chosen from the ladder by a 1-row
+    // span probe so the bucket count stays under the target.
+    "search_auto_date_histogram" -> ((s, dir) =>
+      Aggs.autoDateHistogram(Tables.events(s, dir), col("ts"), targetBuckets = 40)),
+    "search_string_stats" -> ((s, dir) => Aggs.stringStats(Tables.documents(s, dir), col("text"))),
+    "search_mad" -> ((s, dir) =>
+      Aggs.medianAbsoluteDeviation(Tables.orders(s, dir), col("o_totalprice"))),
+    "search_boxplot" -> ((s, dir) => Aggs.boxplot(Tables.lineitem(s, dir), col("l_extendedprice"))),
+    // rate agg: monthly revenue normalized per-day by each bucket's own
+    // calendar length; exact decimal sum → identical double both engines.
+    "search_rate" -> ((s, dir) =>
+      Aggs.dateHistogramRate(Tables.orders(s, dir), col("o_orderdate"), decMoney(col("o_totalprice")))),
+    // bucket_script + bucket_selector + bucket_sort over a date_histogram:
+    // per-bucket computed metric, bucket filter, metric-ordered truncation
+    // — all bucket-table math after one fact-table aggregation.
+    "search_bucket_script" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("bucket"))
+        .agg(
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+          count(lit(1)).as("n_total")
+        )
+        .select(
+          col("bucket"),
+          col("n_errors"),
+          col("n_total"),
+          round(col("n_errors").cast("double") / col("n_total"), 6).as("error_rate")
+        )
+        .filter(col("error_rate") > 0.2)
+        .orderBy(col("error_rate").desc, col("bucket"))
+        .limit(5)),
+    "search_cumulative_cardinality" -> ((s, dir) =>
+      Aggs.cumulativeCardinality(Tables.events(s, dir), col("ts"), col("user_id"), "day")),
+    // moving_fn (max/min/sum over a 3-bucket window) + serial_diff lag-2,
+    // the remaining Kibana time-series pipeline kit; windows run over the
+    // ~tens-of-rows bucket table only.
+    "search_moving_fn" -> ((s, dir) => {
+      val buckets = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      val w = Window.orderBy("bucket")
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      buckets
+        .select(
+          col("bucket"),
+          col("revenue"),
+          round(max("revenue").over(w3), 2).as("mov_max"),
+          round(min("revenue").over(w3), 2).as("mov_min"),
+          round(sum("revenue").over(w3), 2).as("mov_sum"),
+          round(col("revenue") - lag("revenue", 2).over(w), 2).as("serial_diff2")
+        )
+        .orderBy("bucket")
+    }),
+    // dis_max over two constant_score clauses: score = best clause +
+    // tie_breaker × the rest (deterministic, scoring-model-free).
+    "search_dis_max" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), SearchDsl.analyze(col("text")).as("_t"))
+        .select(
+          col("doc_id"),
+          when(array_contains(col("_t"), "spark"), 2.0).otherwise(0.0).as("_s1"),
+          when(array_contains(col("_t"), "query"), 1.5).otherwise(0.0).as("_s2")
+        )
+        .filter(col("_s1") + col("_s2") > 0)
+        .select(
+          col("doc_id"),
+          round(
+            greatest(col("_s1"), col("_s2")) +
+              lit(0.3) * (col("_s1") + col("_s2") - greatest(col("_s1"), col("_s2"))),
+            6
+          ).as("score")
+        )
+        .orderBy(col("score").desc, col("doc_id"))),
+    // function_score field_value_factor: ln1p modifier × factor, boost
+    // replace — a pure projection over the match filter.
+    "search_function_score" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .filter(array_contains(SearchDsl.analyze(col("text")), "spark"))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          round(lit(1.5) * log(lit(1.0) + col("n_chars")), 6).as("score")
+        )
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)),
+    // boosting query: positive matches kept, negative matches demoted by
+    // negative_boost (0.5) rather than excluded.
+    "search_boosting" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), SearchDsl.analyze(col("text")).as("_t"))
+        .filter(array_contains(col("_t"), "spark"))
+        .select(col("doc_id"), when(array_contains(col("_t"), "slow"), 0.5).otherwise(1.0).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))),
+    // terms_set: docs matching at least `minimum_should_match` of the
+    // given terms — one array_intersect per row, no explode.
+    "search_terms_set" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          array_intersect(
+            array_distinct(SearchDsl.analyze(col("text"))),
+            array(lit("spark"), lit("query"), lit("merge"))
+          ).as("_m")
+        )
+        .filter(size(col("_m")) >= 2)
+        .select(col("doc_id"), size(col("_m")).cast("long").as("n_matched"))
+        .orderBy("doc_id")),
+    // span_near: 'big' strictly before 'table' within slop 2 (position
+    // gap ≤ 3). Token positions via HOFs over the materialized token
+    // array — per-row work, no self-join, no explode-shuffle.
+    "search_span_near" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'big', i, -1)), x -> x >= 0)").as("_pa"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'table', i, -1)), x -> x >= 0)").as("_pb")
+        )
+        .filter(expr("exists(_pa, a -> exists(_pb, b -> b > a AND b - a <= 3))"))
+        .select("doc_id")
+        .orderBy("doc_id")),
+    // diversified_sampler: deterministic md5-ordered sample capped at 20
+    // docs per lang (TopKPerKey bounded heaps — the same quota-sampling
+    // exec as sample_cap_per_source), feeding a terms agg on source.
+    "search_sampler_diversified" -> ((s, dir) => {
+      val d = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), md5(col("doc_id").cast("string")).as("_h"))
+      Aggs
+        .topHits(d, col("lang"), 20, Seq(col("_h").asc, col("doc_id").asc))
+        .groupBy(col("source").as("key"))
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy(col("doc_count").desc, col("key"))
     })
   )
 
@@ -2514,6 +2668,132 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, total_revenue
         |FROM supplier, rev
         |WHERE s_suppkey = l_suppkey AND total_revenue = (SELECT max(total_revenue) FROM rev)
-        |ORDER BY s_suppkey""".stripMargin
+        |ORDER BY s_suppkey""".stripMargin,
+    "search_adjacency_matrix" ->
+      """WITH a AS (SELECT
+        |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_en,
+        |  CAST(count(*) FILTER (WHERE n_chars > 300) AS BIGINT) AS c_long,
+        |  CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS c_src1,
+        |  CAST(count(*) FILTER (WHERE lang = 'en' AND n_chars > 300) AS BIGINT) AS c_en_long,
+        |  CAST(count(*) FILTER (WHERE lang = 'en' AND source = 'src1') AS BIGINT) AS c_en_src1,
+        |  CAST(count(*) FILTER (WHERE n_chars > 300 AND source = 'src1') AS BIGINT) AS c_long_src1
+        |FROM documents)
+        |SELECT key, doc_count FROM (
+        |  SELECT 'en' AS key, c_en AS doc_count FROM a
+        |  UNION ALL SELECT 'long', c_long FROM a
+        |  UNION ALL SELECT 'src1', c_src1 FROM a
+        |  UNION ALL SELECT 'en&long', c_en_long FROM a
+        |  UNION ALL SELECT 'en&src1', c_en_src1 FROM a
+        |  UNION ALL SELECT 'long&src1', c_long_src1 FROM a) t
+        |WHERE doc_count > 0 ORDER BY key""".stripMargin,
+    "search_auto_date_histogram" ->
+      """WITH span AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
+        |iv AS (SELECT CASE
+        |    WHEN date_diff('hour', lo, hi) + 1 <= 40 THEN 'hour'
+        |    WHEN date_diff('day', lo, hi) + 1 <= 40 THEN 'day'
+        |    WHEN date_diff('month', lo, hi) + 1 <= 40 THEN 'month'
+        |    ELSE 'year' END AS interval FROM span)
+        |SELECT interval, CAST(date_trunc(interval, ts) AS TIMESTAMP) AS bucket, count(*) AS doc_count
+        |FROM events, iv GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+    "search_string_stats" ->
+      """WITH chars AS (SELECT unnest(range(1, length(text) + 1)) AS i, text FROM documents),
+        |cc AS (SELECT substr(text, CAST(i AS INTEGER), 1) AS ch, count(*) AS n FROM chars GROUP BY 1),
+        |e AS (SELECT round((ln(sum(n)) - sum(n * ln(n)) / sum(n)) / ln(2.0), 6) AS entropy FROM cc)
+        |SELECT count(text) AS cnt,
+        |       CAST(min(length(text)) AS BIGINT) AS min_length,
+        |       CAST(max(length(text)) AS BIGINT) AS max_length,
+        |       round(avg(length(text)), 6) AS avg_length,
+        |       (SELECT entropy FROM e) AS entropy
+        |FROM documents""".stripMargin,
+    "search_mad" ->
+      """WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS md FROM orders)
+        |SELECT round(quantile_cont(abs(o_totalprice - md), 0.5), 6) AS mad FROM orders, m""".stripMargin,
+    "search_boxplot" ->
+      """SELECT round(min(l_extendedprice), 2) AS min_v,
+        |       round(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS q2,
+        |       round(quantile_cont(l_extendedprice, 0.75), 6) AS q3,
+        |       round(max(l_extendedprice), 2) AS max_v
+        |FROM lineitem""".stripMargin,
+    "search_rate" ->
+      """SELECT bucket, doc_count,
+        |       round(CAST(s AS DOUBLE), 2) AS month_sum,
+        |       round(CAST(s AS DOUBLE) / date_diff('day', bucket, bucket + INTERVAL 1 MONTH), 6) AS per_day_rate
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |             count(*) AS doc_count, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s
+        |      FROM orders GROUP BY 1) t ORDER BY bucket""".stripMargin,
+    "search_bucket_script" ->
+      """SELECT bucket, n_errors, n_total, error_rate FROM (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |         CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors,
+        |         count(*) AS n_total,
+        |         round(CAST(count(*) FILTER (WHERE event_type = 'error') AS DOUBLE) / count(*), 6) AS error_rate
+        |  FROM events GROUP BY 1) t
+        |WHERE error_rate > 0.2
+        |ORDER BY error_rate DESC, bucket LIMIT 5""".stripMargin,
+    "search_cumulative_cardinality" ->
+      """WITH fs AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS bucket
+        |            FROM events GROUP BY 1),
+        |nk AS (SELECT bucket, count(*) AS new_keys FROM fs GROUP BY 1),
+        |spine AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket FROM events)
+        |SELECT bucket, CAST(coalesce(new_keys, 0) AS BIGINT) AS new_keys,
+        |       CAST(sum(coalesce(new_keys, 0))
+        |            OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_cardinality
+        |FROM spine LEFT JOIN nk USING (bucket) ORDER BY bucket""".stripMargin,
+    "search_moving_fn" ->
+      """SELECT bucket, revenue,
+        |       round(max(revenue) OVER w3, 2) AS mov_max,
+        |       round(min(revenue) OVER w3, 2) AS mov_min,
+        |       round(sum(revenue) OVER w3, 2) AS mov_sum,
+        |       round(revenue - lag(revenue, 2) OVER (ORDER BY bucket), 2) AS serial_diff2
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |             round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t
+        |WINDOW w3 AS (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket""".stripMargin,
+    "search_dis_max" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN list_contains(string_split(lower(text), ' '), 'spark')
+        |       THEN CAST(2.0 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS s1,
+        |  CASE WHEN list_contains(string_split(lower(text), ' '), 'query')
+        |       THEN CAST(1.5 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS s2
+        |FROM documents)
+        |SELECT doc_id, round(greatest(s1, s2) + 0.3 * (s1 + s2 - greatest(s1, s2)), 6) AS score
+        |FROM t WHERE s1 + s2 > 0 ORDER BY score DESC, doc_id""".stripMargin,
+    "search_function_score" ->
+      """SELECT doc_id, n_chars, round(1.5 * ln(1.0 + n_chars), 6) AS score
+        |FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "search_boosting" ->
+      """SELECT doc_id,
+        |       CASE WHEN list_contains(string_split(lower(text), ' '), 'slow')
+        |            THEN CAST(0.5 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS score
+        |FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |ORDER BY score DESC, doc_id""".stripMargin,
+    "search_terms_set" ->
+      """SELECT doc_id,
+        |       CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+        |                               ['spark', 'query', 'merge'])) AS BIGINT) AS n_matched
+        |FROM documents
+        |WHERE len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+        |                         ['spark', 'query', 'merge'])) >= 2
+        |ORDER BY doc_id""".stripMargin,
+    "search_span_near" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'big') AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table') AS pb
+        |      FROM t)
+        |SELECT doc_id FROM p
+        |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b > a AND b - a <= 3)) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_sampler_diversified" ->
+      """WITH s AS (SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+        |           QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= 20)
+        |SELECT source AS key, count(*) AS doc_count FROM s
+        |GROUP BY 1 ORDER BY doc_count DESC, key""".stripMargin
   )
 }

@@ -371,6 +371,145 @@ object Aggs {
       .limit(size)
   }
 
+  /** `adjacency_matrix` aggregation: named filters plus their pairwise
+    * intersections as buckets, all counted in ONE conditional-sum pass
+    * over the data (never one scan per matrix cell), then unpivoted to
+    * (key, doc_count) rows. Empty buckets are dropped, as OpenSearch does.
+    */
+  def adjacencyMatrix(df: DataFrame, filters: Seq[(String, Column)]): DataFrame = {
+    val cells: Seq[(String, Column)] =
+      filters ++ (for {
+        i <- filters.indices
+        j <- (i + 1) until filters.size
+      } yield (s"${filters(i)._1}&${filters(j)._1}", filters(i)._2 && filters(j)._2))
+    val agged = df.agg(
+      sum(when(cells.head._2, 1L).otherwise(0L)).as(cells.head._1),
+      cells.tail.map { case (n, c) => sum(when(c, 1L).otherwise(0L)).as(n) }: _*
+    )
+    val stacked = cells.map { case (n, _) => s"'$n', `$n`" }.mkString(", ")
+    agged
+      .selectExpr(s"stack(${cells.size}, $stacked) as (key, doc_count)")
+      .filter(col("doc_count") > 0)
+      .orderBy("key")
+  }
+
+  /** `median_absolute_deviation` aggregation: median(|x − median(x)|), the
+    * robust dispersion metric. Two percentile aggregations; the 1-row
+    * median broadcasts back onto the scan — no per-row subquery.
+    */
+  def medianAbsoluteDeviation(df: DataFrame, field: Column): DataFrame = {
+    val med = df.agg(percentile(field, lit(0.5)).as("_med"))
+    df.select(field.as("_x"))
+      .crossJoin(broadcast(med))
+      .agg(round(percentile(abs(col("_x") - col("_med")), lit(0.5)), 6).as("mad"))
+  }
+
+  /** `boxplot` aggregation: min / q1 / median / q3 / max (linear
+    * interpolation, same convention as [[percentiles]]).
+    */
+  def boxplot(df: DataFrame, field: Column): DataFrame =
+    df.agg(
+      round(min(field), 2).as("min_v"),
+      round(percentile(field, lit(0.25)), 6).as("q1"),
+      round(percentile(field, lit(0.5)), 6).as("q2"),
+      round(percentile(field, lit(0.75)), 6).as("q3"),
+      round(max(field), 2).as("max_v")
+    )
+
+  /** `rate` aggregation under a monthly date_histogram: the bucket's sum
+    * normalized to a per-day rate by the bucket's own calendar length (a
+    * 31-day month divides by 31) — the normalization is bucket-table
+    * math, not fact-table work.
+    */
+  def dateHistogramRate(df: DataFrame, ts: Column, value: Column): DataFrame =
+    df.groupBy(date_trunc("month", ts).as("bucket"))
+      .agg(count(lit(1)).as("doc_count"), sum(value).as("_sum"))
+      .select(
+        col("bucket"),
+        col("doc_count"),
+        round(col("_sum").cast("double"), 2).as("month_sum"),
+        round(
+          col("_sum").cast("double") / datediff(add_months(col("bucket"), 1), col("bucket")),
+          6
+        ).as("per_day_rate")
+      )
+      .orderBy("bucket")
+
+  /** `cumulative_cardinality` pipeline aggregation: distinct-keys-so-far
+    * per calendar bucket. The scalable form: one aggregation finds each
+    * key's FIRST bucket, a second counts first-appearances per bucket,
+    * and a running sum over the (tiny) bucket table is the cumulative
+    * cardinality — never a distinct-over-window of the fact table.
+    */
+  def cumulativeCardinality(df: DataFrame, ts: Column, key: Column, interval: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = df
+      .select(date_trunc(interval, ts).as("bucket"), key.as("_k"))
+      .groupBy("_k")
+      .agg(min("bucket").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("new_keys"))
+    val spine = df.select(date_trunc(interval, ts).as("bucket")).distinct()
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(firstSeen, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("new_keys"), lit(0L)).as("new_keys"))
+      .withColumn("cum_cardinality", sum("new_keys").over(w))
+      .orderBy("bucket")
+  }
+
+  /** `auto_date_histogram`: the smallest calendar interval from the
+    * hour → day → month → year ladder that keeps the bucket count at or
+    * under `targetBuckets`. The span probe is a 1-row min/max aggregate
+    * over a single column; the chosen interval (also emitted, as
+    * OpenSearch reports it) then drives a plain date_histogram. Bucket
+    * count = boundary crossings between the truncated endpoints + 1,
+    * matching SQL date_diff semantics.
+    */
+  def autoDateHistogram(df: DataFrame, ts: Column, targetBuckets: Int): DataFrame = {
+    val row = df.agg(min(ts).cast("timestamp"), max(ts).cast("timestamp")).head()
+    val (lo, hi) = (row.getTimestamp(0).toLocalDateTime, row.getTimestamp(1).toLocalDateTime)
+    import java.time.temporal.ChronoUnit
+    def crossings(unit: String): Long = unit match {
+      case "hour"  => ChronoUnit.HOURS.between(lo.truncatedTo(ChronoUnit.HOURS), hi.truncatedTo(ChronoUnit.HOURS))
+      case "day"   => ChronoUnit.DAYS.between(lo.toLocalDate, hi.toLocalDate)
+      case "month" => ChronoUnit.MONTHS.between(lo.toLocalDate.withDayOfMonth(1), hi.toLocalDate.withDayOfMonth(1))
+      case _       => (hi.getYear - lo.getYear).toLong
+    }
+    val interval = Seq("hour", "day", "month")
+      .find(iv => crossings(iv) + 1 <= targetBuckets)
+      .getOrElse("year")
+    df.groupBy(date_trunc(interval, ts).as("bucket"))
+      .agg(count(lit(1)).as("doc_count"))
+      .select(lit(interval).as("interval"), col("bucket"), col("doc_count"))
+      .orderBy("bucket")
+  }
+
+  /** `string_stats` aggregation: value count, min/max/avg length, and the
+    * Shannon entropy of the corpus character distribution. Lengths are
+    * one hash aggregation; entropy explodes characters and aggregates
+    * (char, count) partials — the shuffle never carries text. Entropy is
+    * derived as ln(N) − Σ n·ln(n)/N (one pass over the ~charset-sized
+    * count table), in bits.
+    */
+  def stringStats(df: DataFrame, field: Column): DataFrame = {
+    val lens = df.agg(
+      count(field).as("cnt"),
+      min(length(field)).cast("long").as("min_length"),
+      max(length(field)).cast("long").as("max_length"),
+      round(avg(length(field)), 6).as("avg_length")
+    )
+    val charCounts = df
+      .select(explode(split(field, "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("ch")
+      .agg(count(lit(1)).as("n"))
+    val entropy = charCounts
+      .agg(((log(sum("n")) - sum(col("n") * log(col("n"))) / sum("n")) / log(lit(2.0))).as("_e"))
+      .select(round(col("_e"), 6).as("entropy"))
+    lens.crossJoin(broadcast(entropy))
+  }
+
   /** `composite` aggregation page: multi-key buckets in key order, resuming
     * strictly after the `after` cursor — the scalable "paginate all
     * buckets" pattern (each page is one bounded aggregation, no global

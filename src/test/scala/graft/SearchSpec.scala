@@ -129,6 +129,67 @@ class SearchSpec extends SparkSpec {
     assert(out.toSeq == Seq("ACTIVE", "BLOCKED", "INACTIVE"))
   }
 
+  test("adjacencyMatrix counts pairwise intersections in one pass, drops empty cells") {
+    val out = Aggs
+      .adjacencyMatrix(
+        docs,
+        Seq("act" -> ($"status" === "ACTIVE"), "rich" -> ($"amount" > 100), "q" -> $"text".contains("quick"))
+      )
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(out == Map("act" -> 2L, "rich" -> 2L, "q" -> 2L, "act&rich" -> 1L, "act&q" -> 1L))
+    // "rich&q" is empty (no quick doc above 100) and must be dropped.
+    assert(!out.contains("rich&q"))
+  }
+
+  test("autoDateHistogram picks the smallest interval fitting the target") {
+    val ts = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-03 10:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-02-10 23:00:00"))
+    ).toDF("id", "ts")
+    // span ≈ 41 days: hour (985 buckets) and day (41) overflow 12 → month.
+    val m = Aggs.autoDateHistogram(ts, $"ts", targetBuckets = 12)
+    assert(m.select("interval").distinct().as[String].collect().toSeq == Seq("month"))
+    assert(m.count() == 2)
+    // day fits a target of 50.
+    val d = Aggs.autoDateHistogram(ts, $"ts", targetBuckets = 50)
+    assert(d.select("interval").distinct().as[String].collect().toSeq == Seq("day"))
+  }
+
+  test("cumulativeCardinality counts each key once, at its first bucket") {
+    val ev = Seq(
+      ("u1", "2024-01-01 01:00:00"),
+      ("u2", "2024-01-01 02:00:00"),
+      ("u1", "2024-01-02 01:00:00"), // repeat: not re-counted
+      ("u3", "2024-01-03 01:00:00")
+    ).map { case (u, t) => (u, java.sql.Timestamp.valueOf(t)) }.toDF("user", "ts")
+    val out = Aggs
+      .cumulativeCardinality(ev, $"ts", $"user", "day")
+      .select("new_keys", "cum_cardinality")
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+    assert(out == Seq((2L, 2L), (0L, 2L), (1L, 3L)))
+  }
+
+  test("stringStats entropy matches a hand-computed distribution") {
+    // "aab" + "b": 2×a, 2×b → uniform over 2 symbols → exactly 1 bit.
+    val df = Seq("aab", "b").toDF("t")
+    val row = Aggs.stringStats(df, $"t").head()
+    assert(row.getAs[Long]("cnt") == 2L)
+    assert(row.getAs[Long]("min_length") == 1L)
+    assert(row.getAs[Long]("max_length") == 3L)
+    assert(row.getAs[Double]("entropy") == 1.0)
+  }
+
+  test("medianAbsoluteDeviation on a known set") {
+    // values 1..5: median 3, |x-3| = {2,1,0,1,2} → MAD 1.
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("v")
+    assert(Aggs.medianAbsoluteDeviation(df, $"v").head().getAs[Double]("mad") == 1.0)
+  }
+
   test("predicates push down to the parquet scan") {
     val q = Tables.lineitem(spark, Sf).filter($"l_quantity" > 10).select("l_orderkey", "l_quantity")
     val scan = q.queryExecution.executedPlan.toString
