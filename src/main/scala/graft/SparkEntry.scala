@@ -1803,6 +1803,32 @@ object SparkEntry {
         .filter(expr("exists(_pa, a -> exists(_pb, b -> b > a AND b - a <= 3))"))
         .select("doc_id")
         .orderBy("doc_id")),
+    // JSON-body twins of the new agg/query types — same parameters as the
+    // structured entries, so they share the oracle SQL and (plan-asserted
+    // in JsonDslSpec) the Catalyst plan.
+    "search_dsl_json_adjacency" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"aggs": {"interactions": {"adjacency_matrix": {"filters": {
+          |  "en":   {"term": {"lang": "en"}},
+          |  "long": {"range": {"n_chars": {"gt": 300}}},
+          |  "src1": {"term": {"source": "src1"}}
+          |}}}}}""".stripMargin,
+        docsMapping
+      )),
+    "search_dsl_json_boxplot" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.lineitem(s, dir),
+        """{"aggs": {"price_box": {"boxplot": {"field": "l_extendedprice"}}}}"""
+      )),
+    "search_dsl_json_terms_set" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"terms_set": {"text": {
+          |   "terms": ["spark", "query", "merge"], "minimum_should_match": 2}}},
+          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id", "lang"]}""".stripMargin,
+        docsMapping
+      )),
     // diversified_sampler: deterministic md5-ordered sample capped at 20
     // docs per lang (TopKPerKey bounded heaps — the same quota-sampling
     // exec as sample_cap_per_source), feeding a terms agg on source.
@@ -1817,6 +1843,34 @@ object SparkEntry {
         .orderBy(col("doc_count").desc, col("key"))
     })
   )
+
+  // Shared by the structured entry and its JSON-body twin (same
+  // parameters → same oracle).
+  private val adjacencyMatrixSql: String =
+    """WITH a AS (SELECT
+      |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_en,
+      |  CAST(count(*) FILTER (WHERE n_chars > 300) AS BIGINT) AS c_long,
+      |  CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS c_src1,
+      |  CAST(count(*) FILTER (WHERE lang = 'en' AND n_chars > 300) AS BIGINT) AS c_en_long,
+      |  CAST(count(*) FILTER (WHERE lang = 'en' AND source = 'src1') AS BIGINT) AS c_en_src1,
+      |  CAST(count(*) FILTER (WHERE n_chars > 300 AND source = 'src1') AS BIGINT) AS c_long_src1
+      |FROM documents)
+      |SELECT key, doc_count FROM (
+      |  SELECT 'en' AS key, c_en AS doc_count FROM a
+      |  UNION ALL SELECT 'long', c_long FROM a
+      |  UNION ALL SELECT 'src1', c_src1 FROM a
+      |  UNION ALL SELECT 'en&long', c_en_long FROM a
+      |  UNION ALL SELECT 'en&src1', c_en_src1 FROM a
+      |  UNION ALL SELECT 'long&src1', c_long_src1 FROM a) t
+      |WHERE doc_count > 0 ORDER BY key""".stripMargin
+
+  private val boxplotSql: String =
+    """SELECT round(min(l_extendedprice), 2) AS min_v,
+      |       round(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
+      |       round(quantile_cont(l_extendedprice, 0.5), 6) AS q2,
+      |       round(quantile_cont(l_extendedprice, 0.75), 6) AS q3,
+      |       round(max(l_extendedprice), 2) AS max_v
+      |FROM lineitem""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "cdc_latest_state" ->
@@ -2669,23 +2723,14 @@ object SparkEntry {
         |FROM supplier, rev
         |WHERE s_suppkey = l_suppkey AND total_revenue = (SELECT max(total_revenue) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
-    "search_adjacency_matrix" ->
-      """WITH a AS (SELECT
-        |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_en,
-        |  CAST(count(*) FILTER (WHERE n_chars > 300) AS BIGINT) AS c_long,
-        |  CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS c_src1,
-        |  CAST(count(*) FILTER (WHERE lang = 'en' AND n_chars > 300) AS BIGINT) AS c_en_long,
-        |  CAST(count(*) FILTER (WHERE lang = 'en' AND source = 'src1') AS BIGINT) AS c_en_src1,
-        |  CAST(count(*) FILTER (WHERE n_chars > 300 AND source = 'src1') AS BIGINT) AS c_long_src1
-        |FROM documents)
-        |SELECT key, doc_count FROM (
-        |  SELECT 'en' AS key, c_en AS doc_count FROM a
-        |  UNION ALL SELECT 'long', c_long FROM a
-        |  UNION ALL SELECT 'src1', c_src1 FROM a
-        |  UNION ALL SELECT 'en&long', c_en_long FROM a
-        |  UNION ALL SELECT 'en&src1', c_en_src1 FROM a
-        |  UNION ALL SELECT 'long&src1', c_long_src1 FROM a) t
-        |WHERE doc_count > 0 ORDER BY key""".stripMargin,
+    "search_dsl_json_adjacency" -> adjacencyMatrixSql,
+    "search_dsl_json_boxplot" -> boxplotSql,
+    "search_dsl_json_terms_set" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+        |                         ['spark', 'query', 'merge'])) >= 2
+        |ORDER BY doc_id""".stripMargin,
+    "search_adjacency_matrix" -> adjacencyMatrixSql,
     "search_auto_date_histogram" ->
       """WITH span AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
         |iv AS (SELECT CASE
@@ -2708,13 +2753,7 @@ object SparkEntry {
     "search_mad" ->
       """WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS md FROM orders)
         |SELECT round(quantile_cont(abs(o_totalprice - md), 0.5), 6) AS mad FROM orders, m""".stripMargin,
-    "search_boxplot" ->
-      """SELECT round(min(l_extendedprice), 2) AS min_v,
-        |       round(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
-        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS q2,
-        |       round(quantile_cont(l_extendedprice, 0.75), 6) AS q3,
-        |       round(max(l_extendedprice), 2) AS max_v
-        |FROM lineitem""".stripMargin,
+    "search_boxplot" -> boxplotSql,
     "search_rate" ->
       """SELECT bucket, doc_count,
         |       round(CAST(s AS DOUBLE), 2) AS month_sum,

@@ -17,13 +17,15 @@ import scala.jdk.CollectionConverters._
   * (gt/gte/lt/lte), bool (must/filter/must_not/should +
   * minimum_should_match), wildcard, prefix, exists, match_all,
   * query_string, multi_match, ids (on an `_id` column), fuzzy, regexp
-  * (anchored, per OpenSearch). Deep paging: `search_after` in the body,
-  * or [[scroll]] for the scroll-API shape (cursor pages emulated over
-  * search_after).
+  * (anchored, per OpenSearch), terms_set. Deep paging: `search_after`
+  * in the body, or [[scroll]] for the scroll-API shape (cursor pages
+  * emulated over search_after).
   * Aggregations: terms (+ metric sub-aggregations), date_histogram
   * (+ metric sub-aggregations sum/avg/min/max/value_count), stats,
-  * cardinality, histogram, range, filters, percentiles, and top-level
-  * single metrics (avg/sum/min/max/value_count). Hits shaping: sort,
+  * cardinality, histogram, range, filters, adjacency_matrix,
+  * auto_date_histogram, boxplot, median_absolute_deviation,
+  * string_stats, percentiles, and top-level single metrics
+  * (avg/sum/min/max/value_count). Hits shaping: sort,
   * size, _source, search_after (deep paging: a lexicographic tuple
   * predicate over the sort keys — a pushdown-able filter, never an
   * offset skip), highlight (per-field snippet columns around the first
@@ -350,6 +352,21 @@ object JsonDsl {
           df.schema,
           Option(body.get("default_field")).map(_.asText)
         )
+      case "terms_set" =>
+        // At least minimum_should_match of the terms present — ONE
+        // array_intersect per row (no explode); analyzed on text-mapped
+        // fields, whole-value membership on keyword.
+        val f = singleField(body)
+        val spec = body.get(f)
+        val termVals =
+          req(spec, "terms", s"terms_set on '$f'").elements().asScala.toSeq.map(_.asText)
+        require(termVals.nonEmpty, s"terms_set on '$f' needs at least one term")
+        val msm = Option(spec.get("minimum_should_match")).map(_.asInt).getOrElse(1)
+        if (mapping.isText(f)) {
+          val arr = array(termVals.map(t => lit(t.toLowerCase)): _*)
+          size(array_intersect(array_distinct(SearchDsl.analyze(col(f))), arr)) >= msm
+        } else
+          size(array_intersect(array(col(f)), array(termVals.map(lit): _*))) >= msm
       case other => throw new IllegalArgumentException(s"unsupported query clause '$other'")
     }
   }
@@ -460,6 +477,16 @@ object JsonDsl {
           after,
           Option(body.get("size")).map(_.asInt).getOrElse(10)
         )
+      case "adjacency_matrix" =>
+        val specs = req(body, "filters", "adjacency_matrix aggregation")
+        val conds = specs.fields().asScala.toSeq.map(e => e.getKey -> compileQuery(df, e.getValue, mapping))
+        require(conds.nonEmpty, s"adjacency_matrix needs at least one named filter: $body")
+        Aggs.adjacencyMatrix(df, conds)
+      case "auto_date_histogram" =>
+        Aggs.autoDateHistogram(df, field, Option(body.get("buckets")).map(_.asInt).getOrElse(10))
+      case "boxplot"                   => Aggs.boxplot(df, field)
+      case "median_absolute_deviation" => Aggs.medianAbsoluteDeviation(df, field)
+      case "string_stats"              => Aggs.stringStats(df, field)
       case "filters" =>
         // Named filter buckets in ONE pass (conditional counts), not one
         // scan per filter.

@@ -430,6 +430,51 @@ class JsonDslSpec extends SparkSpec {
       JsonDsl.parse(cards, """{"aggs": {"b": {"terms": {"field": "status", "order": {"nope": "desc"}}}}}""", mapping))
   }
 
+  test("adjacency_matrix, boxplot, MAD, string_stats aggs from the body") {
+    val adj = JsonDsl.parse(
+      cards,
+      """{"aggs": {"x": {"adjacency_matrix": {"filters": {
+        |  "act":  {"term": {"status": "ACTIVE"}},
+        |  "rich": {"range": {"amount": {"gt": 1000}}}
+        |}}}}}""".stripMargin,
+      mapping
+    )
+    samePlan(
+      adj,
+      Aggs.adjacencyMatrix(cards, Seq("act" -> (col("status") === "ACTIVE"), "rich" -> (col("amount") > 1000)))
+    )
+    assert(adj.as[(String, Long)].collect().toMap == Map("act" -> 3L, "rich" -> 2L, "act&rich" -> 2L))
+    val box = JsonDsl.parse(cards, """{"aggs": {"b": {"boxplot": {"field": "amount"}}}}""", mapping)
+    assert(box.columns.toSeq == Seq("min_v", "q1", "q2", "q3", "max_v"))
+    assert(box.head().getAs[Double]("q2") == 900.0)
+    val mad = JsonDsl.parse(
+      cards, """{"aggs": {"m": {"median_absolute_deviation": {"field": "amount"}}}}""", mapping)
+    // |x−900| = {850, 600, 0, 780, 1100} → median 780
+    assert(mad.head().getAs[Double]("mad") == 780.0)
+    val ss = JsonDsl.parse(cards, """{"aggs": {"s": {"string_stats": {"field": "status"}}}}""", mapping)
+    assert(ss.head().getAs[Long]("min_length") == 6L)
+  }
+
+  test("terms_set clause: analyzed minimum_should_match membership") {
+    val got = JsonDsl.parse(
+      cards,
+      """{"query": {"terms_set": {"text": {
+        |   "terms": ["spark", "query", "fast"], "minimum_should_match": 2}}},
+        | "sort": ["id"], "_source": ["id"]}""".stripMargin,
+      mapping
+    )
+    // id5 matches spark+query; id1/id3 match fast only; id4 spark only.
+    assert(got.as[Long].collect().toSeq == Seq(5L))
+    // keyword path: whole-value membership, msm defaults to 1
+    val kw = JsonDsl.parse(
+      cards,
+      """{"query": {"terms_set": {"status": {"terms": ["CLOSED", "BLOCKED"]}}},
+        | "sort": ["id"], "_source": ["id"]}""".stripMargin,
+      mapping
+    )
+    assert(kw.as[Long].collect().toSeq == Seq(3L, 4L))
+  }
+
   test("mapping artifact parses the reference _mapping format") {
     val m = IndexMapping.fromJson(
       """{"mappings": {"properties": {"a": {"type": "text"}, "b": {"type": "keyword"}, "c": {"type": "date"}}}}"""
