@@ -124,6 +124,19 @@ object SparkEntry {
       }
     )
 
+  private val opqMemo = scala.collection.concurrent.TrieMap[String, Similarity.PqIndex]()
+
+  /** OPQ-rotated PQ index for `dir`, built once per JVM (same contract as
+    * [[cachedPq]]); rotation + codebooks stay driver-resident metadata.
+    */
+  private def cachedOpq(s: SparkSession, dir: String): Similarity.PqIndex =
+    opqMemo.getOrElseUpdate(
+      dir, {
+        val idx = Similarity.opqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
+        idx.copy(codes = Memo.parquet(s, s"opq:$dir")(idx.codes))
+      }
+    )
+
   private val bucketedMemo = scala.collection.concurrent.TrieMap[String, (String, String)]()
 
   /** lineitem+orders written once per JVM as same-bucket-count tables on
@@ -1379,6 +1392,32 @@ object SparkEntry {
     "ann_ivf_pq_topk" -> ((s, dir) =>
       Similarity
         .scoreAgainstPq(cachedPq(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6)),
+    // OPQ (Ge CVPR'13): learned orthonormal residual rotation before the
+    // subspace split — sample-trained on the driver (best-of-iterations,
+    // never worse than identity = plain PQ), corpus encode still one
+    // projection scan. Honest fresh build; topk probes the amortized
+    // index through the same ADC + exact-rescore path.
+    "ann_ivf_opq_build" -> ((s, dir) =>
+      Similarity
+        .opqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .codes
+        .filter(col("cell") >= 0)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("cell")),
+    "ann_ivf_opq_topk" -> ((s, dir) =>
+      Similarity
+        .scoreAgainstPq(cachedOpq(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6, rerank = 100)),
+    // Vectorized multi-probe batch ANN: every probe's (radius-1) buckets
+    // generated as one small frame, ONE pass over the signature table for
+    // the whole batch, TopKPerKey bounded-heap ranking — per-probe result
+    // sets identical to scoreAgainstLsh at the same radius (ReplicaSpec).
+    "ann_lsh_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity
+        .knnJoinLsh(cachedLsh4(s, dir), emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5, probeRadius = 1)
+        .orderBy("probe_id", "rank")
+    }),
     "ann_lsh_multiprobe_topk" -> ((s, dir) =>
       Similarity
         .scoreAgainstLsh(cachedLsh4(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, probeRadius = 1)),

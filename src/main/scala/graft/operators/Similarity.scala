@@ -149,6 +149,66 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN against a prebuilt LSH index — the vectorized multi-probe
+    * path: EVERY probe's buckets (exact signature + optional radius-1 bit
+    * flips) are generated as one small frame and joined against the
+    * signature table in a SINGLE pass, so a 10 000-probe batch costs one
+    * scan of the index, not 10 000 probe queries. Candidates shuffle
+    * (probe_id, id) pairs only; vectors are joined back by id for the
+    * exact rescore, and ranking runs through the bounded-heap TopKPerKey
+    * exec (≤ k rows per probe per partition shuffle) — identical result
+    * set to running [[scoreAgainstLsh]] per probe at the same radius
+    * (asserted in ReplicaSpec), at a fraction of the job count.
+    */
+  def knnJoinLsh(
+      index: LshIndex,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      probeRadius: Int = 1
+  ): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val exact = p.select(
+      col("probe_id"),
+      col("probe_vec"),
+      posexplode(
+        array((0 until index.tables).map(t => VectorFns.hyperplaneSig(col("probe_vec"), index.nBits, seed = lshSeed(t))): _*)
+      ).as(Seq("table", "sig"))
+    )
+    val probeSigs =
+      if (probeRadius <= 0) exact.select(col("probe_id"), col("table"), col("sig"))
+      else
+        exact
+          .select(
+            col("probe_id"),
+            col("table"),
+            explode(array(lit(0L) +: (0 until index.nBits).map(b => lit(1L << b)): _*)).as("mask"),
+            col("sig")
+          )
+          .select(col("probe_id"), col("table"), col("sig").bitwiseXOR(col("mask")).as("sig"))
+    // One pass over the signature table for the whole batch. The probe
+    // bucket list is batch × tables × (1 + nBits) rows — no forced
+    // broadcast hint: AQE converts to broadcast-hash when the measured
+    // batch is small and keeps a shuffle join when a million-probe batch
+    // is not (the same reasoning that removed the customer-table hints).
+    val candPairs = index.sigs
+      .join(probeSigs.select(col("probe_id"), col("table"), col("sig")), Seq("table", "sig"))
+      .select(col("probe_id"), col(idCol))
+      .distinct()
+    val scored = candPairs
+      .join(index.base, Seq(idCol))
+      .join(p.select(col("probe_id"), col("probe_vec")), Seq("probe_id"))
+      .select(
+        col("probe_id"),
+        col(idCol).as("cand_id"),
+        round(VectorFns.cosine(col(vecCol), col("probe_vec")), 6).as("cos")
+      )
+    graft.plans.TopKPerKey
+      .perKey(scored, Seq("probe_id"), Seq("cos" -> false, "cand_id" -> true), k)
+      .select(col("probe_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+
   /** One-shot LSH ANN: build + score. Recall is tunable via (nBits,
     * tables); cost is a key-equality join, never a cross join. The split
     * exists so repeated queries amortize the signature build.
@@ -339,7 +399,16 @@ object Similarity {
       centroids: Array[Array[Float]],
       codebooks: Array[Array[Array[Float]]],
       codes: DataFrame,
-      base: DataFrame
+      base: DataFrame,
+      /** OPQ rotation (orthonormal dim×dim), applied to residuals before
+        * the subspace split; None = plain PQ (identity).
+        */
+      rotation: Option[Array[Array[Float]]] = None,
+      /** OPQ training evidence: (identity-rotation MSE, trained-rotation
+        * MSE) of the sample quantization error — the trained value can
+        * never exceed the identity value (best-of-iterations).
+        */
+      trainMse: Option[(Double, Double)] = None
   ) {
     def m: Int = codebooks.length
   }
@@ -363,17 +432,38 @@ object Similarity {
     best
   }
 
+  /** Apply an orthonormal rotation to a residual: out[a] = Σ R[a][b]·in[b]. */
+  private def rotateVec(r: Array[Array[Float]], in: Array[Float]): Array[Float] = {
+    val out = new Array[Float](in.length)
+    var a = 0
+    while (a < r.length && a < in.length) {
+      var acc = 0.0
+      var b = 0
+      val row = r(a)
+      while (b < row.length && b < in.length) { acc += row(b).toDouble * in(b).toDouble; b += 1 }
+      out(a) = acc.toFloat
+      a += 1
+    }
+    out
+  }
+
   /** Compiled (cell, code) encoder: coarse argmin, then per-subspace
-    * argmin over the residual — a pure projection, one scan, no shuffle.
-    * NULL vectors encode as cell -1 (never probed) with an empty code.
+    * argmin over the (optionally OPQ-rotated) residual — a pure
+    * projection, one scan, no shuffle. NULL vectors encode as cell -1
+    * (never probed) with an empty code.
     */
-  private def encodeUdf(centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]]) =
+  private def encodeUdf(
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      rotation: Option[Array[Array[Float]]] = None
+  ) =
     udf { (v: Seq[Float]) =>
       if (v == null) PqCode(-1, Seq.empty)
       else {
         val cell = nearestCell(centroids, v)
         val c = centroids(cell)
-        val res = Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
+        val res0 = Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
+        val res = rotation.map(rotateVec(_, res0)).getOrElse(res0)
         val dsub = v.length / codebooks.length
         val code = Array.tabulate(codebooks.length) { mi =>
           var best = 0
@@ -459,6 +549,220 @@ object Similarity {
     PqIndex(cents, books, codes, base)
   }
 
+  // ── OPQ: optimized product quantization (Ge/He/Ke/Sun, CVPR 2013) ────
+  // Learns an orthonormal rotation R of the residual space so the m
+  // subspaces share the variance evenly before PQ coding — the
+  // non-parametric alternation: fix R → refit codebooks; fix codes →
+  // refit R by orthogonal Procrustes (SVD). All training runs on a
+  // deterministic driver-side SAMPLE (bounded, like the centroid fetch);
+  // the corpus-scale work stays a pure encode projection.
+
+  /** Driver-side Lloyd on the sample: one codebook per subspace. Seeds =
+    * first `k` sample rows (deterministic); empty clusters keep their
+    * previous entry.
+    */
+  private def fitBooks(xr: Array[Array[Double]], m: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val dsub = xr(0).length / m
+    Array.tabulate(m) { mi =>
+      val pts = xr.map(_.slice(mi * dsub, (mi + 1) * dsub))
+      var cents = Array.tabulate(math.min(ksub, pts.length))(i => pts(i).clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val ns = new Array[Int](cents.length)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var k = 0
+          while (k < cents.length) {
+            var d = 0.0; var j = 0
+            while (j < dsub) { val t = p(j) - cents(k)(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = k }
+            k += 1
+          }
+          var j = 0
+          while (j < dsub) { sums(best)(j) += p(j); j += 1 }
+          ns(best) += 1
+        }
+        cents = Array.tabulate(cents.length) { k =>
+          if (ns(k) == 0) cents(k) else Array.tabulate(dsub)(j => sums(k)(j) / ns(k))
+        }
+      }
+      cents
+    }
+  }
+
+  /** Per-sample quantization: nearest codebook entry per subspace;
+    * returns (reconstruction, squared error).
+    */
+  private def quantize(xr: Array[Double], books: Array[Array[Array[Double]]]): (Array[Double], Double) = {
+    val m = books.length
+    val dsub = xr.length / m
+    val y = new Array[Double](xr.length)
+    var err = 0.0
+    var mi = 0
+    while (mi < m) {
+      val book = books(mi)
+      var best = 0; var bestD = Double.MaxValue
+      var k = 0
+      while (k < book.length) {
+        var d = 0.0; var j = 0
+        while (j < dsub) { val t = xr(mi * dsub + j) - book(k)(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      var j = 0
+      while (j < dsub) { y(mi * dsub + j) = book(best)(j); j += 1 }
+      err += bestD
+      mi += 1
+    }
+    (y, err)
+  }
+
+  private def rotateAll(x: Array[Array[Double]], r: Array[Array[Double]]): Array[Array[Double]] =
+    x.map { v =>
+      Array.tabulate(v.length) { a =>
+        var acc = 0.0; var b = 0
+        while (b < v.length) { acc += r(a)(b) * v(b); b += 1 }
+        acc
+      }
+    }
+
+  private def meanSqErr(xr: Array[Array[Double]], books: Array[Array[Array[Double]]]): Double =
+    xr.map(quantize(_, books)._2).sum / xr.length
+
+  /** Orthogonal Procrustes step: the R maximizing tr(R·M) with
+    * M = Σᵢ xᵢ yᵢᵀ, via one-sided Jacobi SVD of M (dim×dim, driver
+    * math). Returns None on numerical degeneracy (near-zero singular
+    * value) — the caller then keeps its previous rotation.
+    */
+  private def procrustes(x: Array[Array[Double]], y: Array[Array[Double]]): Option[Array[Array[Double]]] = {
+    val dim = x(0).length
+    // M = X·Yᵀ: M[a][b] = Σ_i x_i[a]·y_i[b]
+    val mMat = Array.fill(dim)(new Array[Double](dim))
+    var i = 0
+    while (i < x.length) {
+      val xi = x(i); val yi = y(i)
+      var a = 0
+      while (a < dim) {
+        val xa = xi(a); var b = 0
+        while (b < dim) { mMat(a)(b) += xa * yi(b); b += 1 }
+        a += 1
+      }
+      i += 1
+    }
+    // One-sided Jacobi: right-rotate columns of B until orthogonal,
+    // accumulating V; then U = column-normalized B, and R = V·Uᵀ.
+    val bMat = mMat.map(_.clone())
+    val vMat = Array.tabulate(dim, dim)((a, b) => if (a == b) 1.0 else 0.0)
+    def colDot(m: Array[Array[Double]], p: Int, q: Int): Double = {
+      var s = 0.0; var r = 0
+      while (r < dim) { s += m(r)(p) * m(r)(q); r += 1 }
+      s
+    }
+    var sweep = 0
+    var rotated = true
+    while (rotated && sweep < 30) {
+      rotated = false
+      var p = 0
+      while (p < dim - 1) {
+        var q = p + 1
+        while (q < dim) {
+          val alpha = colDot(bMat, p, p); val beta = colDot(bMat, q, q); val gamma = colDot(bMat, p, q)
+          if (math.abs(gamma) > 1e-12 * math.sqrt(alpha * beta)) {
+            rotated = true
+            val zeta = (beta - alpha) / (2.0 * gamma)
+            val t = math.signum(zeta) / (math.abs(zeta) + math.sqrt(1.0 + zeta * zeta))
+            val c = 1.0 / math.sqrt(1.0 + t * t)
+            val s = c * t
+            var r = 0
+            while (r < dim) {
+              val bp = bMat(r)(p); val bq = bMat(r)(q)
+              bMat(r)(p) = c * bp - s * bq; bMat(r)(q) = s * bp + c * bq
+              val vp = vMat(r)(p); val vq = vMat(r)(q)
+              vMat(r)(p) = c * vp - s * vq; vMat(r)(q) = s * vp + c * vq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val norms = Array.tabulate(dim)(c => math.sqrt(colDot(bMat, c, c)))
+    if (norms.exists(_ < 1e-9)) None
+    else {
+      // R = V·Uᵀ with U's columns = B's normalized: R[a][b] = Σ_c V[a][c]·B[b][c]/σ_c
+      Some(Array.tabulate(dim, dim) { (a, b) =>
+        var acc = 0.0; var c = 0
+        while (c < dim) { acc += vMat(a)(c) * bMat(b)(c) / norms(c); c += 1 }
+        acc
+      })
+    }
+  }
+
+  /** Build an OPQ index: PQ over an IVF coarse quantizer with a learned
+    * residual-space rotation. Training alternates codebook refit and a
+    * Procrustes rotation update on a deterministic `sampleN`-row sample
+    * (driver-resident — same class as the centroid fetch), keeping the
+    * best (rotation, codebooks) by sample MSE, so the trained rotation
+    * NEVER quantizes worse than identity (the plain-PQ baseline —
+    * `trainMse` carries both numbers as evidence). The corpus-scale
+    * encode is one rotated-projection scan, identical shape to
+    * [[pqIndex]]'s; scoring reuses the ADC path with the query residual
+    * rotated through the same R.
+    */
+  def opqIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      sampleN: Int = 256,
+      opqIters: Int = 4
+  ): PqIndex = {
+    val ivf = ivfIndex(emb, idCol, vecCol, nLists)
+    val cents = ivf.centroids
+    val dim = cents(0).length
+    require(dim % m == 0, s"embedding dim $dim must divide into $m subspaces")
+    // Deterministic sample of residuals, driver-resident (sampleN × dim).
+    val sample: Array[Array[Double]] = emb
+      .select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull)
+      .orderBy(pmod(hash(col(idCol), lit(29)), lit(1 << 30)).asc, col(idCol))
+      .limit(sampleN)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        val c = cents(nearestCell(cents, v))
+        Array.tabulate(v.length)(j => v(j).toDouble - (if (j < c.length) c(j).toDouble else 0.0))
+      }
+    val identity = Array.tabulate(dim, dim)((a, b) => if (a == b) 1.0 else 0.0)
+    val lloydIters = 4
+    var rot = identity
+    var books = fitBooks(sample, m, ksub, lloydIters)
+    val mse0 = meanSqErr(sample, books)
+    var best = (rot, books, mse0)
+    for (_ <- 0 until opqIters) {
+      val xr = rotateAll(sample, rot)
+      val ys = xr.map(quantize(_, books)._1)
+      rot = procrustes(sample, ys).getOrElse(rot)
+      books = fitBooks(rotateAll(sample, rot), m, ksub, lloydIters)
+      val mse = meanSqErr(rotateAll(sample, rot), books)
+      if (mse < best._3) best = (rot, books, mse)
+    }
+    val (bestRot, bestBooks, bestMse) = best
+    val rotF = bestRot.map(_.map(_.toFloat))
+    val booksF = bestBooks.map(_.map(_.map(_.toFloat)))
+    val useRot = if (bestMse < mse0) Some(rotF) else None
+    val codes = graft.Tables
+      .ensureParallelism(emb.select(col(idCol), col(vecCol)))
+      .select(col(idCol), encodeUdf(cents, booksF, useRot)(col(vecCol)).as("pq"))
+      .select(col(idCol), col("pq.cell").as("cell"), col("pq.code").as("code"))
+    val base = emb.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull)
+    PqIndex(cents, booksF, codes, base, useRot, Some((mse0, bestMse)))
+  }
+
   /** Score a query against the PQ index by asymmetric distance (ADC):
     * per probed cell, a (m × ksub) lookup table of squared distances
     * between the query's residual subvectors and the codebook entries is
@@ -490,7 +794,10 @@ object Similarity {
     // residual to each codebook entry — nProbe × m × ksub doubles.
     val luts: Map[Int, Array[Array[Double]]] = cells.map { cell =>
       val c = cents(cell)
-      val res = Array.tabulate(query.length)(j => query(j) - (if (j < c.length) c(j) else 0f))
+      val res0 = Array.tabulate(query.length)(j => query(j) - (if (j < c.length) c(j) else 0f))
+      // The stored codes quantize ROTATED residuals (OPQ), so the query
+      // residual rotates through the same R before the LUT is built.
+      val res = index.rotation.map(rotateVec(_, res0)).getOrElse(res0)
       cell -> Array.tabulate(books.length) { mi =>
         books(mi).map(entry => sqDist(entry, res.toSeq, mi * dsub, (mi + 1) * dsub))
       }

@@ -256,6 +256,68 @@ class ReplicaSpec extends SparkSpec {
       .foreach { case (id, cos) => assert(all(id) == cos, s"stale PQ score for vec $id") }
   }
 
+  test("OPQ: trained rotation never quantizes worse than identity; orthonormal; recall + exact scores") {
+    val idx = Similarity.opqIndex(emb, "vec_id", "embedding", nLists = 16, m = 8, ksub = 16)
+    val (mse0, mseT) = idx.trainMse.get
+    info(s"OPQ sample quantization MSE: identity $mse0 → trained $mseT (×${mse0 / mseT} tighter)")
+    // Best-of-iterations contract: the rotation ships only if it beats
+    // the identity (= plain PQ) baseline on the sample objective.
+    assert(mseT <= mse0, s"OPQ trained MSE $mseT worse than identity $mse0")
+    // The rotation must actually be orthonormal (R·Rᵀ = I), or ADC
+    // distances in the rotated space are meaningless.
+    idx.rotation.foreach { r =>
+      val dim = r.length
+      for (a <- 0 until dim; b <- a until dim) {
+        val dot = (0 until dim).map(c => r(a)(c).toDouble * r(b)(c).toDouble).sum
+        assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-3, s"RRᵀ[$a][$b] = $dot")
+      }
+    }
+    // Same recall + exact-score contract as the PQ path.
+    val probes = Seq(0L, 7L, 21L, 100L, 499L)
+    val recalls = probes.map { pid =>
+      val q = emb.filter($"vec_id" === pid).select("embedding").head().getSeq[Float](0)
+      val truth =
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).select("vec_id").as[Long].collect().toSet
+      val got = Similarity
+        .scoreAgainstPq(idx, "vec_id", "embedding", q, 10, nProbe = 6, rerank = 100)
+        .select("vec_id")
+        .as[Long]
+        .collect()
+        .toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    info(s"OPQ-IVF recall@10 (nProbe=6): per-probe ${recalls.mkString(", ")} (mean ${recalls.sum / recalls.size})")
+    assert(recalls.forall(_ >= 0.3), s"OPQ recall below the documented bound: $recalls")
+    val q0 = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val all = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q0, 500).as[(Long, Double)].collect().toMap
+    Similarity
+      .scoreAgainstPq(idx, "vec_id", "embedding", q0, 10, nProbe = 6, rerank = 100)
+      .as[(Long, Double)]
+      .collect()
+      .foreach { case (id, cos) => assert(all(id) == cos, s"stale OPQ score for vec $id") }
+  }
+
+  test("batch LSH knn join returns exactly the per-probe multi-probe results") {
+    val idx = Similarity.lshIndex(emb, "vec_id", "embedding", nBits = 4, tables = 4)
+    val batch = Similarity
+      .knnJoinLsh(idx, emb.filter($"vec_id" < 3), "vec_id", "embedding", 5, probeRadius = 1)
+      .select("probe_id", "cand_id", "cos")
+      .as[(Long, Long, Double)]
+      .collect()
+      .groupBy(_._1)
+    assert(batch.keySet == Set(0L, 1L, 2L))
+    for (pid <- Seq(0L, 1L, 2L)) {
+      val q = emb.filter($"vec_id" === pid).select("embedding").head().getSeq[Float](0)
+      val single = Similarity
+        .scoreAgainstLsh(idx, "vec_id", "embedding", q, 5, probeRadius = 1)
+        .as[(Long, Double)]
+        .collect()
+        .toSet
+      val got = batch(pid).map(t => (t._2, t._3)).toSet
+      assert(got == single, s"probe $pid: batch $got vs per-probe $single")
+    }
+  }
+
   test("LSH/IVF top-k emit exact cosine scores — approximation lives only in candidate recall") {
     val q = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
     val all = Similarity
