@@ -1292,6 +1292,13 @@ object SparkEntry {
       Similarity
         .embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.35, nBits = 6, tables = 32)
         .orderBy("a", "b")),
+    // SemDeDup (Abbas '23): the same near-dup pairs blocked by k-means
+    // CLUSTER instead of LSH tables — precision 1.0 (exact verify),
+    // recall = the cross-cluster boundary loss (measured in ReplicaSpec).
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity
+        .semanticNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.35)
+        .orderBy("a", "b")),
 
     // Pairs → clusters: connected components over the exact near-dup pair
     // graph (min-label propagation), the step that turns pairwise dedup

@@ -822,6 +822,63 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): block by k-means cluster (the Lloyd-refined IVF
+    * coarse quantizer), pair WITHIN each cluster (a < b), verify exact
+    * cosine ≥ threshold. Precision is 1.0 by construction (every emitted
+    * pair re-verified on raw vectors); recall loss is exactly the
+    * cross-cluster boundary pairs, measured in ReplicaSpec. The pairing
+    * shuffles (cell, id) rows and id pairs only — vectors join back by
+    * id for the verify, mirroring [[embeddingNearDupPairs]]. At 100 TB
+    * this is the standard semantic-dedup shape: cluster count scales with
+    * corpus so per-cell work stays bounded, and the quadratic step never
+    * leaves a cell.
+    */
+  def semanticNearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nLists: Int = 16,
+      iters: Int = 2,
+      nAssign: Int = 2
+  ): DataFrame = {
+    val idx = ivfIndexKMeans(emb, idCol, vecCol, nLists, iters)
+    // Multi-assignment: index each vector under its nAssign nearest
+    // cells — a boundary pair split by the Voronoi edge still meets in
+    // the runner-up cell. Storage grows ×nAssign (ids only, not
+    // vectors); candidate dedup collapses the double-finds.
+    val cents = idx.centroids
+    val topCells = udf { (v: Seq[Float]) =>
+      if (v == null) Seq.empty[Int]
+      else
+        cents.indices
+          .map { i =>
+            var d = 0.0
+            var j = 0
+            val c = cents(i)
+            val n = math.min(c.length, v.length)
+            while (j < n) { val t = v(j).toDouble - c(j).toDouble; d += t * t; j += 1 }
+            (d, i)
+          }
+          .sorted
+          .take(nAssign)
+          .map(_._2)
+    }
+    val cells = emb
+      .select(col(idCol).as("id"), explode(topCells(col(vecCol))).as("cell"))
+    val l = cells.select(col("id").as("a"), col("cell"))
+    val r = cells.select(col("id").as("b"), col("cell"))
+    val cands = l.join(r, Seq("cell")).filter(col("a") < col("b")).select("a", "b").distinct()
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    cands
+      .join(base.select(col("id").as("a"), col("vec").as("va")), "a")
+      .join(base.select(col("id").as("b"), col("vec").as("vb")), "b")
+      .select(col("a"), col("b"), round(VectorFns.cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket by one hyperplane
     * signature, pair within buckets (a < b), verify exact cosine >=
     * threshold. Same banding shape as MinHash — quadratic work confined to

@@ -94,6 +94,36 @@ class ReplicaSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall truth=${truth.size} got=${got.size}")
   }
 
+  test("semantic (cluster-blocked) near-dups: precision 1.0, recall vs all-pairs cosine") {
+    val t = 0.35
+    val got = Similarity
+      .semanticNearDupPairs(emb, "vec_id", "embedding", threshold = t)
+      .select("a", "b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val l = emb.select($"vec_id".as("a"), $"embedding".as("va"))
+    val r = emb.select($"vec_id".as("b"), $"embedding".as("vb"))
+    val truth = l
+      .crossJoin(r)
+      .filter($"a" < $"b")
+      .filter(round(VectorFns.cosine($"va", $"vb"), 6) >= t)
+      .select("a", "b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(truth.nonEmpty, "vacuous ground truth")
+    // Precision 1.0 by construction: every pair re-verified on raw vectors.
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth)}")
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(s"SemDeDup recall at t=$t (16 k-means cells, 2-assignment): $recall (truth ${truth.size}, got ${got.size})")
+    // Recall loss is exactly the boundary pairs both of whose runner-up
+    // cells still miss; 2-assignment measured 0.62 vs 0.29 single here.
+    // LSH table OR-ing (dedup_embedding, 32 tables) is the high-recall
+    // path; this is the cheaper cluster-pass SemDeDup trade.
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("approx cardinality tracks exact distinct counts within HLL++ error bounds") {
     import graft.search.Aggs
     val li = Tables.lineitem(spark, Sf)
