@@ -1265,6 +1265,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"), max("ts").as("session_end"))
         .orderBy("user_id", "session_id")
     }),
+    // Funnel conversion off the changelog: first signup per user, then
+    // whether ANY later purchase exists — two keyed aggregations (the
+    // purchase side pre-filtered before the join), one summary row. No
+    // window over the event stream.
+    "agg_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val firstSignup =
+        e.filter(col("event_type") === "signup").groupBy("user_id").agg(min("ts").as("t_signup"))
+      val purchases = e.filter(col("event_type") === "purchase").select(col("user_id"), col("ts"))
+      firstSignup
+        .join(purchases, Seq("user_id"), "left")
+        .groupBy("user_id")
+        .agg(max(when(col("ts") > col("t_signup"), 1L).otherwise(0L)).as("converted"))
+        .agg(
+          count(lit(1)).as("n_signup_users"),
+          sum("converted").as("n_converted"),
+          round(sum("converted").cast("double") / count(lit(1)), 6).as("conversion_rate")
+        )
+    }),
 
     // ── Dedup ───────────────────────────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
@@ -1561,6 +1580,30 @@ object SparkEntry {
         .tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // Unigram-LM self-perplexity (the CCNet/quality-filter signal, with
+    // the corpus itself as the LM): token frequencies in one aggregation,
+    // per-doc cross-entropy −avg ln p(token) in a second. The shuffle
+    // carries (term, count) partials and (doc_id, term) pairs — never
+    // text; the vocab join is AQE-sized (broadcast when the vocab is
+    // small, shuffle when web-scale).
+    "text_perplexity_unigram" -> ((s, dir) => {
+      val toks = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      val logp = log(col("cnt").cast("double") / col("n"))
+      toks
+        .join(tf, "term")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          round(-avg(logp), 6).as("cross_entropy"),
+          round(exp(-avg(logp)), 6).as("perplexity")
+        )
+        .orderBy("doc_id")
+    }),
     // Composite quality gate: first failing rule (in a fixed order) or
     // 'keep' — the decision + audit-reason column a filtering pipeline
     // writes. All rules are per-row codegen'd expressions; one scan.
@@ -1875,6 +1918,49 @@ object SparkEntry {
           | "sort": [{"doc_id": "asc"}], "_source": ["doc_id", "lang"]}""".stripMargin,
         docsMapping
       )),
+    // percolate: reverse search — stored queries evaluated against a doc
+    // stream. The (tiny) registered-query table broadcasts; one scan of
+    // the docs evaluates every query via a generic (field, op, value)
+    // interpreter — never one pass per stored query.
+    "search_percolate" -> ((s, dir) => {
+      import s.implicits._
+      val stored = Seq(
+        (1L, "o_orderstatus", "term", "O"),
+        (2L, "o_totalprice", "gt", "200000"),
+        (3L, "o_orderpriority", "prefix", "1"),
+        (4L, "o_orderstatus", "term", "F")
+      ).toDF("query_id", "field", "op", "value")
+      Tables
+        .orders(s, dir)
+        .filter(col("o_orderkey") < 100)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .crossJoin(broadcast(stored))
+        .filter(
+          (col("op") === "term" && (
+            (col("field") === "o_orderstatus" && col("o_orderstatus") === col("value")) ||
+              (col("field") === "o_orderpriority" && col("o_orderpriority") === col("value"))
+          )) ||
+            (col("op") === "gt" && col("field") === "o_totalprice" &&
+              col("o_totalprice") > col("value").cast("double")) ||
+            (col("op") === "prefix" && col("field") === "o_orderpriority" &&
+              expr("startswith(o_orderpriority, value)"))
+        )
+        .select(col("o_orderkey"), col("query_id"))
+        .orderBy("o_orderkey", "query_id")
+    }),
+    // rank_feature query: score = boost · x/(x + pivot) — the saturating
+    // feature-ranking curve, a pure projection over the match filter.
+    "search_rank_feature" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .filter(array_contains(SearchDsl.analyze(col("text")), "spark"))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          round(lit(2.0) * col("n_chars") / (col("n_chars") + lit(250.0)), 6).as("score")
+        )
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)),
     // diversified_sampler: deterministic md5-ordered sample capped at 20
     // docs per lang (TopKPerKey bounded heaps — the same quota-sampling
     // exec as sample_cap_per_source), feeding a terms agg on source.
@@ -2879,6 +2965,47 @@ object SparkEntry {
       """WITH s AS (SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         |           QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= 20)
         |SELECT source AS key, count(*) AS doc_count FROM s
-        |GROUP BY 1 ORDER BY doc_count DESC, key""".stripMargin
+        |GROUP BY 1 ORDER BY doc_count DESC, key""".stripMargin,
+    "search_percolate" ->
+      """WITH stored(query_id, field, op, value) AS (VALUES
+        |  (1, 'o_orderstatus', 'term', 'O'),
+        |  (2, 'o_totalprice', 'gt', '200000'),
+        |  (3, 'o_orderpriority', 'prefix', '1'),
+        |  (4, 'o_orderstatus', 'term', 'F')),
+        |docs AS (SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |         FROM orders WHERE o_orderkey < 100)
+        |SELECT o_orderkey, CAST(query_id AS BIGINT) AS query_id
+        |FROM docs, stored
+        |WHERE (op = 'term' AND ((field = 'o_orderstatus' AND o_orderstatus = value)
+        |                     OR (field = 'o_orderpriority' AND o_orderpriority = value)))
+        |   OR (op = 'gt' AND field = 'o_totalprice' AND o_totalprice > CAST(value AS DOUBLE))
+        |   OR (op = 'prefix' AND field = 'o_orderpriority' AND starts_with(o_orderpriority, value))
+        |ORDER BY o_orderkey, query_id""".stripMargin,
+    "search_rank_feature" ->
+      """SELECT doc_id, n_chars, round(2.0 * n_chars / (n_chars + 250.0), 6) AS score
+        |FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "text_perplexity_unigram" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(-avg(ln(CAST(cnt AS DOUBLE) / n)), 6) AS cross_entropy,
+        |       round(exp(-avg(ln(CAST(cnt AS DOUBLE) / n))), 6) AS perplexity
+        |FROM toks JOIN tf USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "agg_funnel" ->
+      """WITH fs AS (SELECT user_id, min(ts) AS t_signup FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |conv AS (SELECT fs.user_id,
+        |                max(CASE WHEN e.ts > fs.t_signup THEN 1 ELSE 0 END) AS converted
+        |         FROM fs LEFT JOIN events e
+        |           ON e.user_id = fs.user_id AND e.event_type = 'purchase'
+        |         GROUP BY 1)
+        |SELECT count(*) AS n_signup_users,
+        |       CAST(sum(converted) AS BIGINT) AS n_converted,
+        |       round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS conversion_rate
+        |FROM conv""".stripMargin
   )
 }
