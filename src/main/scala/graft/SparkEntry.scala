@@ -1265,6 +1265,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"), max("ts").as("session_end"))
         .orderBy("user_id", "session_id")
     }),
+    // Session windows via Spark's NATIVE session_window aggregation (the
+    // same operator the streaming path uses — StreamingSpec drives it
+    // with a watermark): gap-merged sessions in one hash aggregation, no
+    // window-function sort. session_end = last event + gap, per the
+    // session_window contract.
+    "agg_session_window_native" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          col("w.start").as("session_start"),
+          col("w.end").as("session_end"),
+          col("n_events")
+        )
+        .orderBy("user_id", "session_start")),
     // Funnel conversion off the changelog: first signup per user, then
     // whether ANY later purchase exists — two keyed aggregations (the
     // purchase side pre-filtered before the join), one summary row. No
@@ -1418,6 +1435,17 @@ object SparkEntry {
     "ann_ivf_pq_topk" -> ((s, dir) =>
       Similarity
         .scoreAgainstPq(cachedPq(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6)),
+    // Range (radius) search: fixed cosine threshold instead of top-k —
+    // the dedup-query shape (the query itself excluded, as bruteforce).
+    "ann_range_search" -> ((s, dir) =>
+      Similarity
+        .rangeSearch(
+          Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+          "vec_id",
+          "embedding",
+          queryVec(s, dir, 0),
+          minCos = 0.3
+        )),
     // OPQ (Ge CVPR'13): learned orthonormal residual rotation before the
     // subspace split — sample-trained on the driver (best-of-iterations,
     // never worse than identity = plain PQ), corpus encode still one
@@ -2995,6 +3023,26 @@ object SparkEntry {
         |       round(exp(-avg(ln(CAST(cnt AS DOUBLE) / n))), 6) AS perplexity
         |FROM toks JOIN tf USING (term) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ann_range_search" ->
+      """SELECT vec_id, cos FROM (
+        |  SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |  FROM embeddings WHERE vec_id <> 0) t
+        |WHERE cos >= 0.3 ORDER BY cos DESC, vec_id""".stripMargin,
+    // session_window closes a session when the NEXT event lands at or
+    // past start+gap (exclusive window end) — hence >= 1800, where the
+    // lag-based sessionize entry's convention is > 1800.
+    "agg_session_window_native" ->
+      """SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+        |FROM (SELECT user_id, ts,
+        |             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |      FROM (SELECT user_id, ts, event_id,
+        |                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
+        |                        THEN 1 ELSE 0 END AS is_new
+        |            FROM events) a) b
+        |GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
     "agg_funnel" ->
       """WITH fs AS (SELECT user_id, min(ts) AS t_signup FROM events
         |            WHERE event_type = 'signup' GROUP BY 1),

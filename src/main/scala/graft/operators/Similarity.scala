@@ -32,6 +32,16 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
 
+  /** Range (radius) search: every vector with cosine ≥ `minCos` of the
+    * query — the fixed-threshold cousin of top-k. One scan, pushdown-
+    * friendly projection, no sort beyond the result set.
+    */
+  def rangeSearch(emb: DataFrame, idCol: String, vecCol: String, query: Seq[Float], minCos: Double): DataFrame =
+    emb
+      .select(col(idCol), round(VectorFns.cosine(col(vecCol), vecLit(query)), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy(col("cos").desc, col(idCol).asc)
+
   /** Batch k-NN join: for every probe row, its top-k neighbors from the
     * candidate set. Probes are broadcast (small side); ranking runs through
     * [[graft.plans.TopKPerKey]] — partial bounded heaps per partition, so
