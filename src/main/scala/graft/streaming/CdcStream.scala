@@ -98,6 +98,53 @@ object CdcStream {
     }
   }
 
+  /** One live-leaderboard row: the member's current rank within its key. */
+  case class TopKEntry(key: String, id: Long, score: Double, rank: Int)
+
+  /** A scored event feeding [[topKStream]] (score upserts by (key, id)). */
+  case class ScoreEvent(key: String, id: Long, score: Double)
+
+  // Public for Janino (state-store codegen); holds at most k entries.
+  case class HeapState(entries: Seq[(Long, Double)])
+
+  /** Streaming top-k leaderboard — the streaming twin of the batch
+    * TopKPerKey exec: per key, a BOUNDED k-entry heap in the state store
+    * (state size is k·#keys forever, independent of stream length — the
+    * property that keeps a 100 TB-scale leaderboard viable), refreshed on
+    * each batch that touches the key and re-emitted with ranks. Scores
+    * upsert by (key, id): a member's improved score replaces its old one
+    * rather than duplicating it.
+    */
+  class TopKProcessor(k: Int) extends StatefulProcessor[String, ScoreEvent, TopKEntry] {
+    @transient private var state: ValueState[HeapState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[HeapState]("topkHeap", Encoders.product[HeapState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[ScoreEvent],
+        timerValues: TimerValues
+    ): Iterator[TopKEntry] = {
+      val cur = if (state.exists()) state.get().entries else Seq.empty
+      val merged = (cur ++ rows.map(e => (e.id, e.score)))
+        .groupBy(_._1)
+        .map { case (id, xs) => (id, xs.map(_._2).max) }
+      val top = merged.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+      state.update(HeapState(top))
+      top.zipWithIndex.map { case ((id, s), i) => TopKEntry(key, id, s, i + 1) }.iterator
+    }
+  }
+
+  /** The streaming leaderboard over a typed score stream. */
+  def topKStream(scores: Dataset[ScoreEvent], k: Int): Dataset[TopKEntry] = {
+    val spark = scores.sparkSession
+    import spark.implicits._
+    scores
+      .groupByKey(_.key)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Append(), Encoders.product[TopKEntry])
+  }
+
   /** [[applyChanges]] via transformWithState (requires the RocksDB state
     * store provider, which the TWS operator mandates).
     */

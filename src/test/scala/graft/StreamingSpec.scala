@@ -69,6 +69,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("topKStream keeps a bounded per-key leaderboard across batches") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val input = MemoryStream[CdcStream.ScoreEvent]
+    val q = CdcStream
+      .topKStream(input.toDS(), k = 3)
+      .writeStream
+      .format("memory")
+      .queryName("topk_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      import CdcStream.ScoreEvent
+      input.addData(
+        ScoreEvent("g", 1L, 10.0),
+        ScoreEvent("g", 2L, 30.0),
+        ScoreEvent("g", 3L, 20.0),
+        ScoreEvent("g", 4L, 5.0)
+      )
+      q.processAllAvailable()
+      val b1 = spark
+        .table("topk_out")
+        .as[CdcStream.TopKEntry]
+        .collect()
+      // k=3 bound: member 4 (score 5) never enters the board.
+      assert(b1.map(e => (e.rank, e.id)).sorted.toSeq == Seq((1, 2L), (2, 3L), (3, 1L)))
+      // Batch 2: member 4 improves past everyone; member 1 upserts (no dup).
+      input.addData(ScoreEvent("g", 4L, 50.0), ScoreEvent("g", 1L, 15.0))
+      q.processAllAvailable()
+      val b2 = spark
+        .table("topk_out")
+        .as[CdcStream.TopKEntry]
+        .collect()
+        .drop(b1.length)
+      assert(b2.map(e => (e.rank, e.id, e.score)).sorted.toSeq ==
+        Seq((1, 4L, 50.0), (2, 2L, 30.0), (3, 3L, 20.0)))
+      // Bounded state: the emitted board never exceeds k rows per batch.
+      assert(b2.length == 3)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("eventRate: windowed counts with watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
