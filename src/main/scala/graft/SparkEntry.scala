@@ -1232,6 +1232,131 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), round(sum(decMoney(col("c_acctbal"))), 2).cast("double").as("totacctbal"))
         .orderBy("c_nationkey")
     }),
+    // TPC-H Q2 shape (no partsupp: per-(part,supplier) supply cost is the
+    // min unit price ever shipped): min-cost EUROPE supplier per STANDARD
+    // part. The per-part min is a second hash agg over the already-reduced
+    // (part, supplier) frame — never a correlated per-row subquery — and
+    // joins back on key + cost equality (min SELECTS a double both engines
+    // computed identically, so equality is bit-exact). Bounded dims
+    // broadcast; the region-filtered supplier side and the tiny per-part
+    // min table go through AQE (supplier scales with SF — no forced hint).
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val ps = Tables
+        .lineitem(s, dir)
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
+      val p = Tables.part(s, dir).filter(col("p_type") === "STANDARD").select("p_partkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_regionkey", "n_name")
+      val r = Tables.region(s, dir).filter(col("r_name") === "EUROPE").select("r_regionkey")
+      val eur = Tables
+        .supplier(s, dir)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val cand = ps
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(eur, col("l_suppkey") === col("s_suppkey"))
+        .select("p_partkey", "s_name", "s_acctbal", "n_name", "supply_cost")
+      val minPer = cand.groupBy(col("p_partkey").as("m_pk")).agg(min("supply_cost").as("min_cost"))
+      cand
+        .join(minPer, col("p_partkey") === col("m_pk") && col("supply_cost") === col("min_cost"))
+        .select(
+          col("s_acctbal"),
+          col("s_name"),
+          col("n_name"),
+          col("p_partkey"),
+          round(col("supply_cost"), 2).as("supply_cost")
+        )
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+    // TPC-H Q12 shape (no l_shipmode/l_commitdate: linestatus plays the
+    // ship-mode dimension, "late" = shipped >60 days after the order
+    // date): one fact-fact join + conditional priority counts. The ship
+    // year pushes to the lineitem scan; the lateness predicate rides the
+    // equi-join as a post-join filter.
+    "q12_ship_priority" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = Tables
+        .lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(
+        o,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      ).groupBy("l_linestatus")
+        .agg(
+          sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count")
+        )
+        .orderBy("l_linestatus")
+    }),
+    // TPC-H Q20 shape (no partsupp availqty: a supplier "holds excess
+    // stock" of a part when it shipped >30% of that part's 1996 volume):
+    // two stacked hash aggs over the joined facts — the second runs on
+    // the already-reduced (part, supplier) frame — then a LEFT SEMI chain
+    // so supplier rows are filtered by membership, never multiplied.
+    // l_quantity is integral-valued, so the double sums are exact and
+    // order-independent.
+    "q20_excess_suppliers" -> ((s, dir) => {
+      val o = Tables
+        .orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey")
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      val shipped = l
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("ps_qty"))
+      val tot = shipped.groupBy(col("l_partkey").as("t_pk")).agg(sum("ps_qty").as("part_qty"))
+      val widgets = Tables.part(s, dir).filter(col("p_name").like("%widget%")).select("p_partkey")
+      val excess = shipped
+        .join(broadcast(widgets), col("l_partkey") === col("p_partkey"))
+        .join(tot, col("l_partkey") === col("t_pk"))
+        .filter(col("ps_qty") > lit(0.3) * col("part_qty"))
+        .select("l_suppkey")
+      val eurNation = Tables.nation(s, dir).filter(col("n_regionkey") === 3).select("n_nationkey")
+      Tables
+        .supplier(s, dir)
+        .join(broadcast(eurNation), col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+        .orderBy("s_name")
+    }),
+    // TPC-H Q21 shape (no receipt/commit dates: "late" = shipped >90 days
+    // after the order date): suppliers who were the ONLY late supplier on
+    // a multi-supplier finalized order. The classic 4-way EXISTS /
+    // NOT-EXISTS self-join collapses into ONE pass over the joined facts:
+    // per-order distinct-supplier and distinct-late-supplier counts;
+    // n_late = 1 pins a unique culprit and max() retrieves it. The oracle
+    // stays in the classic correlated-EXISTS form, so the two engines
+    // agree via different plans.
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderdate")
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+      val perOrder = l
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(late, col("l_suppkey"))).as("n_late"),
+          max(when(late, col("l_suppkey"))).as("late_supp")
+        )
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name")
+      perOrder
+        .join(sup, col("late_supp") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
     "agg_running_balance" -> ((s, dir) => {
       val w = Window
         .partitionBy("user_id")
@@ -2579,6 +2704,59 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS supply_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eur AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier, nation, region
+        |  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |cand AS (
+        |  SELECT p_partkey, s_name, s_acctbal, n_name, supply_cost
+        |  FROM ps, part, eur
+        |  WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey AND p_type = 'STANDARD')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, round(supply_cost, 2) AS supply_cost
+        |FROM cand
+        |WHERE supply_cost = (SELECT min(supply_cost) FROM cand c2 WHERE c2.p_partkey = cand.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    "q12_ship_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_excess_suppliers" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS ps_qty
+        |  FROM lineitem, orders
+        |  WHERE l_orderkey = o_orderkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey AS t_pk, sum(ps_qty) AS part_qty FROM shipped GROUP BY 1)
+        |SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        |FROM supplier, nation
+        |WHERE s_nationkey = n_nationkey AND n_regionkey = 3
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM shipped, tot, part
+        |    WHERE l_partkey = t_pk AND l_partkey = p_partkey
+        |      AND p_name LIKE '%widget%' AND ps_qty > 0.3 * part_qty)
+        |ORDER BY s_name""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND o3.o_orderkey = l3.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "agg_running_balance" ->
       """SELECT user_id, event_id, ts,
         |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
