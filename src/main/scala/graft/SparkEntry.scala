@@ -1494,6 +1494,29 @@ object SparkEntry {
         .orderBy("cluster")
     }),
 
+    // Survivor policy #2 — quality-weighted: the kept doc per dup
+    // cluster maximizes a QUALITY signal (stopword ratio — the classic
+    // "is this prose" proxy), ties to the smallest id, instead of
+    // longest-doc. Same single max_by hash agg over the label-joined
+    // corpus; the quality column rides the same codegen'd scan, so the
+    // policy swap costs nothing at 100 TB.
+    "dedup_survivors_quality" -> ((s, dir) => {
+      val comps = cachedComponents(s, dir)
+      val docs = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), round(TextFns.stopwordRatio(col("text")), 6).as("quality"))
+      docs
+        .join(comps, docs("doc_id") === comps("node"), "left_outer")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster"), col("quality"))
+        .groupBy("cluster")
+        .agg(
+          max_by(col("doc_id"), struct(col("quality"), negate(col("doc_id")))).as("rep_doc_id"),
+          round(max(col("quality")), 6).as("rep_quality"),
+          count(lit(1)).as("members")
+        )
+        .orderBy("cluster")
+    }),
+
     // ── Similarity search ───────────────────────────────────────────────
     "ann_bruteforce_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(
@@ -2097,6 +2120,30 @@ object SparkEntry {
               col("o_totalprice") > col("value").cast("double")) ||
             (col("op") === "prefix" && col("field") === "o_orderpriority" &&
               expr("startswith(o_orderpriority, value)"))
+        )
+        .select(col("o_orderkey"), col("query_id"))
+        .orderBy("o_orderkey", "query_id")
+    }),
+    // percolate from the JSON wire format: the registry rows are
+    // OpenSearch request bodies; JsonDsl compiles each ONCE into the
+    // same predicate the forward search would apply, and a single doc
+    // scan emits every (doc, stored-query) match — the same one-pass
+    // plan shape as the structured search_percolate above.
+    "search_dsl_json_percolate" -> ((s, dir) => {
+      val registry = Seq(
+        1L -> """{"query": {"term": {"o_orderstatus": "O"}}}""",
+        2L -> """{"query": {"range": {"o_totalprice": {"gt": 200000}}}}""",
+        3L -> """{"query": {"prefix": {"o_orderpriority": "1"}}}""",
+        4L -> """{"query": {"bool": {"must": [{"term": {"o_orderstatus": "F"}},
+                 {"range": {"o_totalprice": {"lte": 100000}}}]}}}"""
+      )
+      JsonDsl
+        .percolate(
+          Tables
+            .orders(s, dir)
+            .filter(col("o_orderkey") < 100)
+            .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"),
+          registry
         )
         .select(col("o_orderkey"), col("query_id"))
         .orderBy("o_orderkey", "query_id")
@@ -2850,6 +2897,40 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM lab) t
         |WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    // Same component derivation; the survivor maximizes stopword ratio
+    // (ties to smallest id) instead of document length.
+    "dedup_survivors_quality" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                        for i in generate_series(1, len(t) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |prs AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+        |    FROM s x, s y WHERE x.doc_id < y.doc_id) t
+        |  WHERE jaccard >= 0.4),
+        |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+        |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
+        |         round(CAST(len(list_filter(string_split(lower(d.text), ' '),
+        |                      t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+        |               / len(string_split(lower(d.text), ' ')), 6) AS q
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+        |SELECT cluster, rep_doc_id, rep_quality, members FROM (
+        |  SELECT cluster, doc_id AS rep_doc_id, q AS rep_quality,
+        |         CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS members,
+        |         row_number() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id) AS rn
+        |  FROM lab) t
+        |WHERE rn = 1 ORDER BY cluster""".stripMargin,
     "text_dup_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         |grams AS (
@@ -3186,6 +3267,19 @@ object SparkEntry {
         |                     OR (field = 'o_orderpriority' AND o_orderpriority = value)))
         |   OR (op = 'gt' AND field = 'o_totalprice' AND o_totalprice > CAST(value AS DOUBLE))
         |   OR (op = 'prefix' AND field = 'o_orderpriority' AND starts_with(o_orderpriority, value))
+        |ORDER BY o_orderkey, query_id""".stripMargin,
+    "search_dsl_json_percolate" ->
+      """WITH docs AS (SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |              FROM orders WHERE o_orderkey < 100)
+        |SELECT o_orderkey, query_id FROM (
+        |  SELECT o_orderkey, CAST(1 AS BIGINT) AS query_id FROM docs WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(2 AS BIGINT) FROM docs WHERE o_totalprice > 200000
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(3 AS BIGINT) FROM docs WHERE o_orderpriority LIKE '1%'
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(4 AS BIGINT) FROM docs
+        |  WHERE o_orderstatus = 'F' AND o_totalprice <= 100000) t
         |ORDER BY o_orderkey, query_id""".stripMargin,
     "search_rank_feature" ->
       """SELECT doc_id, n_chars, round(2.0 * n_chars / (n_chars + 250.0), 6) AS score

@@ -248,6 +248,30 @@ object JsonDsl {
     parse(df, bodyFor(cursor, keepSource = true), mapping)
   }
 
+  /** Percolate registry over JSON request bodies: each stored query's
+    * `query` clause compiles once (driver-side, O(#stored)) into the same
+    * codegen'd predicate [[parse]] would apply forward, and ONE scan of
+    * the document stream evaluates all of them — `when(pred, id)` per
+    * stored query, `array_compact` + `explode` emitting a (doc, query_id)
+    * row per match. The registry is bounded plan metadata, never a join
+    * input, so the doc side streams at any scale — the OpenSearch
+    * percolator model (queries live compiled in memory, docs flow past).
+    */
+  def percolate(df: DataFrame, stored: Seq[(Long, String)], mapping: IndexMapping = IndexMapping.empty): DataFrame = {
+    require(stored.nonEmpty, "percolate registry is empty")
+    val preds = stored.map { case (id, body) =>
+      val root =
+        try mapper.readTree(body)
+        catch {
+          case e: com.fasterxml.jackson.core.JacksonException =>
+            throw new IllegalArgumentException(s"stored query $id is not valid JSON: ${e.getMessage}")
+        }
+      require(root != null && root.isObject, s"stored query $id must be a JSON object: $body")
+      when(compileQuery(df, req(root, "query", s"stored query $id"), mapping), lit(id))
+    }
+    df.withColumn("query_id", explode(array_compact(array(preds: _*))))
+  }
+
   /** Compile just the `query` clause to a predicate (the `_count` /
     * filter-context path).
     */

@@ -475,6 +475,38 @@ class JsonDslSpec extends SparkSpec {
     assert(kw.as[Long].collect().toSeq == Seq(3L, 4L))
   }
 
+  test("percolate registry: one doc scan matches every stored body's forward parse") {
+    val registry = Seq(
+      10L -> """{"query": {"term": {"status": "ACTIVE"}}}""",
+      20L -> """{"query": {"range": {"amount": {"gte": 1000}}}}""",
+      30L -> """{"query": {"bool": {"must": [{"match": {"text": "spark"}}, {"term": {"status": "ACTIVE"}}]}}}"""
+    )
+    val got = JsonDsl
+      .percolate(cards, registry, mapping)
+      .select("id", "query_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val want = registry.flatMap { case (qid, body) =>
+      JsonDsl
+        .parse(cards, body, mapping)
+        .select("id")
+        .as[Long]
+        .collect()
+        .map(_ -> qid)
+    }.toSet
+    assert(got == want && got.contains((5L, 30L)))
+    // the registry compiles into the plan — a single scan of the doc frame
+    val scans = JsonDsl
+      .percolate(cards, registry, mapping)
+      .queryExecution
+      .optimizedPlan
+      .collect { case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l }
+    assert(scans.size == 1, s"expected exactly one doc relation, got ${scans.size}")
+    intercept[IllegalArgumentException](JsonDsl.percolate(cards, Seq(1L -> "{nope"), mapping))
+    intercept[IllegalArgumentException](JsonDsl.percolate(cards, Seq.empty, mapping))
+  }
+
   test("mapping artifact parses the reference _mapping format") {
     val m = IndexMapping.fromJson(
       """{"mappings": {"properties": {"a": {"type": "text"}, "b": {"type": "keyword"}, "c": {"type": "date"}}}}"""
