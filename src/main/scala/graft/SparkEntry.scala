@@ -137,6 +137,19 @@ object SparkEntry {
       }
     )
 
+  private val opqFullMemo = scala.collection.concurrent.TrieMap[String, Similarity.PqIndex]()
+
+  /** Corpus-trained (distributed-Procrustes) OPQ index for `dir`, built
+    * once per JVM (same contract as [[cachedOpq]]).
+    */
+  private def cachedOpqFull(s: SparkSession, dir: String): Similarity.PqIndex =
+    opqFullMemo.getOrElseUpdate(
+      dir, {
+        val idx = Similarity.opqIndexFull(Tables.embeddings(s, dir), "vec_id", "embedding")
+        idx.copy(codes = Memo.parquet(s, s"opq-full:$dir")(idx.codes))
+      }
+    )
+
   private val bucketedMemo = scala.collection.concurrent.TrieMap[String, (String, String)]()
 
   /** lineitem+orders written once per JVM as same-bucket-count tables on
@@ -1610,6 +1623,23 @@ object SparkEntry {
     "ann_ivf_opq_topk" -> ((s, dir) =>
       Similarity
         .scoreAgainstPq(cachedOpq(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6, rerank = 100)),
+    // Distributed OPQ (the R7 candidate landed): rotation trained on the
+    // FULL corpus — Procrustes cross-covariance Σ x·yᵀ accumulated by a
+    // native TypedImperativeAggregate (dim² doubles per partition on the
+    // shuffle, never vectors), codebooks refit by corpus-wide means, only
+    // the dim×dim SVD driver-side. Honest fresh build; topk probes the
+    // amortized index through the shared ADC + exact-rescore path.
+    "ann_ivf_opq_full_build" -> ((s, dir) =>
+      Similarity
+        .opqIndexFull(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .codes
+        .filter(col("cell") >= 0)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("cell")),
+    "ann_ivf_opq_full_topk" -> ((s, dir) =>
+      Similarity
+        .scoreAgainstPq(cachedOpqFull(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6, rerank = 100)),
     // Vectorized multi-probe batch ANN: every probe's (radius-1) buckets
     // generated as one small frame, ONE pass over the signature table for
     // the whole batch, TopKPerKey bounded-heap ranking — per-probe result

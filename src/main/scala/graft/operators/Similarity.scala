@@ -659,6 +659,17 @@ object Similarity {
       }
       i += 1
     }
+    rotationFromM(mMat)
+  }
+
+  /** The R maximizing tr(R·M) for a given cross-covariance M (dim×dim,
+    * driver math) — the Procrustes solve shared by the sample-trained
+    * path (which builds M on the driver) and the distributed path
+    * (which accumulates M with the native outer-product aggregate).
+    * Returns None on numerical degeneracy (near-zero singular value).
+    */
+  private def rotationFromM(mMat: Array[Array[Double]]): Option[Array[Array[Double]]] = {
+    val dim = mMat.length
     // One-sided Jacobi: right-rotate columns of B until orthogonal,
     // accumulating V; then U = column-normalized B, and R = V·Uᵀ.
     val bMat = mMat.map(_.clone())
@@ -771,6 +782,138 @@ object Similarity {
       .select(col(idCol), col("pq.cell").as("cell"), col("pq.code").as("code"))
     val base = emb.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull)
     PqIndex(cents, booksF, codes, base, useRot, Some((mse0, bestMse)))
+  }
+
+  /** Distributed OPQ: the Ge'13 alternation of [[opqIndex]] trained on
+    * the FULL corpus instead of a driver-side sample. Each iteration is
+    * two corpus scans: (1) the Procrustes cross-covariance M = Σ x·yᵀ
+    * accumulated by the native outer-product aggregate
+    * (functions.OuterProductSumAgg — the shuffle carries dim² doubles
+    * per partition, never vectors), with only the dim×dim SVD on the
+    * driver; (2) the per-(subspace, code, dim) codebook-mean refit
+    * [[pqIndex]] already uses, over rotated residuals. Keeps the best
+    * (R, codebooks) by CORPUS quantization MSE against the identity /
+    * plain-PQ start, so the shipped rotation never quantizes worse than
+    * plain PQ — `trainMse` carries (identity, trained) corpus MSE as
+    * evidence.
+    */
+  def opqIndexFull(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      opqIters: Int = 2
+  ): PqIndex = {
+    val ivf = ivfIndex(emb, idCol, vecCol, nLists)
+    val cents = ivf.centroids
+    val dim = cents(0).length
+    require(dim % m == 0, s"embedding dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val base = graft.Tables.ensureParallelism(emb.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull))
+    val residUdfD = udf { (v: Seq[Float]) =>
+      val c = cents(nearestCell(cents, v))
+      Seq.tabulate(v.length)(j => v(j).toDouble - (if (j < c.length) c(j).toDouble else 0.0))
+    }
+    // Seed codebooks: ksub deterministic id-hash-ordered residuals (the
+    // pqIndex seed), then every refinement below is corpus-scale.
+    val seed = emb
+      .select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull)
+      .orderBy(pmod(hash(col(idCol), lit(17)), lit(1 << 30)).asc, col(idCol))
+      .limit(ksub)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        val c = cents(nearestCell(cents, v))
+        Array.tabulate(v.length)(j => v(j).toDouble - (if (j < c.length) c(j).toDouble else 0.0))
+      }
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(mi => seed.map(_.slice(mi * dsub, (mi + 1) * dsub)))
+    val identity = Array.tabulate(dim, dim)((a, b) => if (a == b) 1.0 else 0.0)
+    var rot = identity
+
+    // One corpus scan: per-(sub, code, within) means of the ROTATED
+    // residuals under the current assignment (the Lloyd M-step at scale;
+    // aggregate output is m × ksub × dsub rows — driver-scale).
+    def refit(rotD: Array[Array[Double]], cur: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
+      val rotF = rotD.map(_.map(_.toFloat))
+      val booksF = cur.map(_.map(_.map(_.toFloat)))
+      val enc = encodeUdf(cents, booksF, Some(rotF))
+      val rotResid = udf { (v: Seq[Float]) =>
+        val c = cents(nearestCell(cents, v))
+        val res0 = Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
+        rotateVec(rotF, res0).toSeq.map(_.toDouble)
+      }
+      val means = base
+        .select(enc(col(vecCol)).as("pq"), posexplode(rotResid(col(vecCol))).as(Seq("dim", "x")))
+        .select(
+          (col("dim") / dsub).cast("int").as("sub"),
+          element_at(col("pq.code"), (col("dim") / dsub).cast("int") + 1).as("codeId"),
+          (col("dim") % dsub).as("within"),
+          col("x")
+        )
+        .groupBy("sub", "codeId", "within")
+        .agg(avg("x").as("mean"))
+        .collect()
+      val next = cur.map(_.map(_.clone()))
+      means.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getAs[Int]("within")) = r.getDouble(3))
+      next
+    }
+
+    // One corpus scan: mean squared quantization error under (R, books).
+    def corpusMse(rotD: Array[Array[Double]], cur: Array[Array[Array[Double]]]): Double = {
+      val rotF = rotD.map(_.map(_.toFloat))
+      val errUdf = udf { (v: Seq[Float]) =>
+        val c = cents(nearestCell(cents, v))
+        val res0 = Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
+        quantize(rotateVec(rotF, res0).map(_.toDouble), cur)._2
+      }
+      base.select(avg(errUdf(col(vecCol))).as("mse")).head().getDouble(0)
+    }
+
+    // Identity start = plain PQ trained at corpus scale (the baseline).
+    books = refit(identity, books)
+    val mse0 = corpusMse(identity, books)
+    var best = (identity, books, mse0)
+    for (_ <- 0 until opqIters) {
+      val rotF = rot.map(_.map(_.toFloat))
+      val booksD = books
+      val yUdf = udf { (v: Seq[Float]) =>
+        val c = cents(nearestCell(cents, v))
+        val res0 = Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
+        quantize(rotateVec(rotF, res0).map(_.toDouble), booksD)._1.toSeq
+      }
+      val mFlat = base
+        .select(
+          graft.functions.OuterProductSumAgg
+            .outerProductSum(residUdfD(col(vecCol)), yUdf(col(vecCol)), dim)
+            .as("m")
+        )
+        .head()
+        .getSeq[Double](0)
+      val mMat = Array.tabulate(dim, dim)((a, b) => mFlat(a * dim + b))
+      rot = rotationFromM(mMat).getOrElse(rot)
+      books = refit(rot, books)
+      val mse = corpusMse(rot, books)
+      if (mse < best._3) best = (rot, books, mse)
+    }
+    val (bestRot, bestBooks, bestMse) = best
+    val rotF = bestRot.map(_.map(_.toFloat))
+    val booksF = bestBooks.map(_.map(_.map(_.toFloat)))
+    val useRot = if (bestMse < mse0) Some(rotF) else None
+    val codes = graft.Tables
+      .ensureParallelism(emb.select(col(idCol), col(vecCol)))
+      .select(col(idCol), encodeUdf(cents, booksF, useRot)(col(vecCol)).as("pq"))
+      .select(col(idCol), col("pq.cell").as("cell"), col("pq.code").as("code"))
+    PqIndex(
+      cents,
+      booksF,
+      codes,
+      emb.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull),
+      useRot,
+      Some((mse0, bestMse))
+    )
   }
 
   /** Score a query against the PQ index by asymmetric distance (ADC):

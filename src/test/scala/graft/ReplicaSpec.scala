@@ -286,6 +286,44 @@ class ReplicaSpec extends SparkSpec {
       .foreach { case (id, cos) => assert(all(id) == cos, s"stale PQ score for vec $id") }
   }
 
+  test("distributed OPQ: corpus-trained rotation beats-or-ties plain PQ; orthonormal; recall + exact scores") {
+    val idx = Similarity.opqIndexFull(emb, "vec_id", "embedding", nLists = 16, m = 8, ksub = 16)
+    val (mse0, mseT) = idx.trainMse.get
+    info(s"distributed-OPQ CORPUS quantization MSE: identity $mse0 → trained $mseT (×${mse0 / mseT} tighter)")
+    // Best-of-iterations against the corpus objective: the rotation ships
+    // only if it beats corpus-trained plain PQ.
+    assert(mseT <= mse0, s"corpus-OPQ trained MSE $mseT worse than identity $mse0")
+    idx.rotation.foreach { r =>
+      val dim = r.length
+      for (a <- 0 until dim; b <- a until dim) {
+        val dot = (0 until dim).map(c => r(a)(c).toDouble * r(b)(c).toDouble).sum
+        assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-3, s"RRᵀ[$a][$b] = $dot")
+      }
+    }
+    val probes = Seq(0L, 7L, 21L, 100L, 499L)
+    val recalls = probes.map { pid =>
+      val q = emb.filter($"vec_id" === pid).select("embedding").head().getSeq[Float](0)
+      val truth =
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).select("vec_id").as[Long].collect().toSet
+      val got = Similarity
+        .scoreAgainstPq(idx, "vec_id", "embedding", q, 10, nProbe = 6, rerank = 100)
+        .select("vec_id")
+        .as[Long]
+        .collect()
+        .toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    info(s"distributed-OPQ recall@10 (nProbe=6): per-probe ${recalls.mkString(", ")} (mean ${recalls.sum / recalls.size})")
+    assert(recalls.forall(_ >= 0.3), s"corpus-OPQ recall below the documented bound: $recalls")
+    val q0 = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val all = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q0, 500).as[(Long, Double)].collect().toMap
+    Similarity
+      .scoreAgainstPq(idx, "vec_id", "embedding", q0, 10, nProbe = 6, rerank = 100)
+      .as[(Long, Double)]
+      .collect()
+      .foreach { case (id, cos) => assert(all(id) == cos, s"stale corpus-OPQ score for vec $id") }
+  }
+
   test("OPQ: trained rotation never quantizes worse than identity; orthonormal; recall + exact scores") {
     val idx = Similarity.opqIndex(emb, "vec_id", "embedding", nLists = 16, m = 8, ksub = 16)
     val (mse0, mseT) = idx.trainMse.get

@@ -42,4 +42,31 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(sigs(1) == sigs(2)) // identical sets -> identical signatures
     assert(sigs(1) != sigs(3))
   }
+
+  test("outer_product_sum accumulates sum of x·yT across rows and partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (Seq(1.0, 2.0), Seq(3.0, 4.0)),
+      (Seq(0.5, -1.0), Seq(2.0, 0.0)),
+      (Seq(2.0, 2.0), Seq(-1.0, 1.0))
+    )
+    // truth[a][b] = sum_i x_i[a] * y_i[b]
+    val truth = Array.tabulate(2, 2)((a, b) => rows.map { case (x, y) => x(a) * y(b) }.sum)
+    val got = rows
+      .toDF("x", "y")
+      .repartition(3) // force partial buffers + a merge
+      .agg(graft.functions.OuterProductSumAgg.outerProductSum(col("x"), col("y"), 2).as("m"))
+      .head()
+      .getSeq[Double](0)
+    for (a <- 0 until 2; b <- 0 until 2)
+      assert(got(a * 2 + b) == truth(a)(b), s"M[$a][$b]: ${got(a * 2 + b)} != ${truth(a)(b)}")
+    // analysis-time type check: non-array children are rejected
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1.0, 2.0))
+        .toDF("x", "y")
+        .agg(graft.functions.OuterProductSumAgg.outerProductSum(col("x"), col("y"), 2))
+        .head()
+    }
+  }
 }
