@@ -150,6 +150,21 @@ object SparkEntry {
       }
     )
 
+  /** Deterministic synthetic coordinates for the events stream (the
+    * testdata has no geo columns): lat/lon derived with INTEGER
+    * arithmetic then one exact division, so both engines materialize
+    * bit-identical doubles. lat ∈ [−90, 90), lon ∈ [−180, 180), 2dp.
+    */
+  private def geoEvents(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        (pmod(col("user_id") * 1237, lit(18000)) / 100.0 - 90.0).as("lat"),
+        (pmod(col("event_id") * 91, lit(36000)) / 100.0 - 180.0).as("lon")
+      )
+
   private val bucketedMemo = scala.collection.concurrent.TrieMap[String, (String, String)]()
 
   /** lineitem+orders written once per JVM as same-bucket-count tables on
@@ -2098,6 +2113,241 @@ object SparkEntry {
         .filter(expr("exists(_pa, a -> exists(_pb, b -> b > a AND b - a <= 3))"))
         .select("doc_id")
         .orderBy("doc_id")),
+    // match_phrase_prefix: the phrase's last term is a PREFIX — 'big'
+    // followed immediately by a 'dat…' token. Same token-position HOF
+    // shape as span_near: per-row array work, no self-join.
+    "search_match_phrase_prefix" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .filter(
+          expr(
+            "size(filter(transform(_toks, (t, i) -> t = 'big' AND i + 2 <= size(_toks)" +
+              " AND startswith(element_at(_toks, i + 2), 'dat')), x -> x)) > 0"
+          )
+        )
+        .select("doc_id")
+        .orderBy("doc_id")),
+    // match_bool_prefix: every term a term-match except the last, which
+    // is a prefix; default OR semantics (minimum_should_match = 1).
+    "search_match_bool_prefix" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .filter(array_contains(col("_toks"), "spark") || expr("exists(_toks, t -> startswith(t, 'quer'))"))
+        .select("doc_id")
+        .orderBy("doc_id")),
+    // intervals query, ordered mode: 'stream' before 'merge' at ANY gap
+    // (the unbounded-slop complement of span_near's bounded window).
+    "search_intervals_ordered" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'stream', i, -1)), x -> x >= 0)").as("_pa"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'merge', i, -1)), x -> x >= 0)").as("_pb")
+        )
+        .filter(expr("exists(_pa, a -> exists(_pb, b -> b > a))"))
+        .select("doc_id")
+        .orderBy("doc_id")),
+    // constant_score: filter context with a fixed boost as _score — no
+    // relevance computation at all, the cheapest scored query there is.
+    "search_constant_score" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .filter(array_contains(SearchDsl.analyze(col("text")), "vector"))
+        .select(col("doc_id"), lit(1.2).as("_score"))
+        .orderBy("doc_id")),
+    // global agg: bucket scoped to ALL documents alongside the query's
+    // own hits — both aggregates come out of ONE scan (conditional +
+    // unconditional sums), then meet in a 1-row broadcast cross join.
+    "search_global_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), decMoney(col("value")).as("v"))
+      val hits = ev
+        .filter(col("event_type") === "purchase")
+        .agg(
+          count(lit(1)).as("n_hits"),
+          round(sum(col("v")).cast("double") / count(lit(1)), 6).as("hits_avg_value")
+        )
+      val all = ev.agg(
+        count(lit(1)).as("n_total"),
+        round(sum(col("v")).cast("double") / count(lit(1)), 6).as("total_avg_value")
+      )
+      hits.crossJoin(broadcast(all))
+    }),
+    // terms agg with a terms SUB-agg (the nested bucket tree): per-lang
+    // top-3 sources by doc count — counted by one hash agg, ranked by
+    // the bounded-heap TopKPerKey exec (no window sort).
+    "search_terms_sub_terms" -> ((s, dir) => {
+      val counted = Tables
+        .documents(s, dir)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("doc_count"))
+      graft.plans.TopKPerKey
+        .perKey(counted, Seq("lang"), Seq("doc_count" -> false, "source" -> true), 3)
+        .orderBy("lang", "rank")
+    }),
+    // t_test agg (Welch's unpaired): purchase-vs-view event values. The
+    // moments are EXACT decimal sums from one conditional-agg scan; the
+    // statistic is then a fixed double expression tree (+,*,/,sqrt are
+    // all IEEE correctly-rounded, so both engines agree bit-for-bit —
+    // var_samp's partition-order accumulation would not).
+    "search_t_test" -> ((s, dir) => {
+      val e = Tables
+        .events(s, dir)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_type"), decMoney(col("value")).as("v"))
+      val isA = col("event_type") === "purchase"
+      val agg = e.agg(
+        sum(when(isA, 1L).otherwise(0L)).as("n1"),
+        sum(when(isA, col("v"))).cast("double").as("s1"),
+        sum(when(isA, col("v") * col("v"))).cast("double").as("ss1"),
+        sum(when(!isA, 1L).otherwise(0L)).as("n2"),
+        sum(when(!isA, col("v"))).cast("double").as("s2"),
+        sum(when(!isA, col("v") * col("v"))).cast("double").as("ss2")
+      )
+      val (n1, s1, ss1) = (col("n1"), col("s1"), col("ss1"))
+      val (n2, s2, ss2) = (col("n2"), col("s2"), col("ss2"))
+      agg.select(
+        round(
+          (s1 / n1 - s2 / n2) /
+            sqrt(((ss1 - s1 * s1 / n1) / (n1 - lit(1))) / n1 + ((ss2 - s2 * s2 / n2) / (n2 - lit(1))) / n2),
+          6
+        ).as("t_stat"),
+        round(s1 / n1, 6).as("mean_a"),
+        round(s2 / n2, 6).as("mean_b")
+      )
+    }),
+    // matrix_stats agg: pairwise covariance/correlation of three numeric
+    // fields from ONE scan of exact decimal moments (n, Σx, Σx², Σxy per
+    // pair), the statistics derived in a fixed double tree and unpivoted
+    // with stack() — never three covar_samp/corr aggs (partition-order
+    // double accumulation) nor three scans.
+    "search_matrix_stats" -> ((s, dir) => {
+      val l = Tables
+        .lineitem(s, dir)
+        .select(
+          decMoney(col("l_quantity")).as("q"),
+          decMoney(col("l_extendedprice")).as("p"),
+          decMoney(col("l_discount")).as("d")
+        )
+      val agg = l.agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).cast("double").as("sq"),
+        sum(col("p")).cast("double").as("sp"),
+        sum(col("d")).cast("double").as("sd"),
+        sum(col("q") * col("q")).cast("double").as("sqq"),
+        sum(col("p") * col("p")).cast("double").as("spp"),
+        sum(col("d") * col("d")).cast("double").as("sdd"),
+        sum(col("q") * col("p")).cast("double").as("sqp"),
+        sum(col("q") * col("d")).cast("double").as("sqd"),
+        sum(col("p") * col("d")).cast("double").as("spd")
+      )
+      def cov(sxy: Column, sx: Column, sy: Column) =
+        round((sxy - sx * sy / col("n")) / (col("n") - lit(1)), 6)
+      def corr(sxy: Column, sx: Column, sy: Column, sxx: Column, syy: Column) =
+        round(
+          (col("n") * sxy - sx * sy) /
+            (sqrt(col("n") * sxx - sx * sx) * sqrt(col("n") * syy - sy * sy)),
+          6
+        )
+      agg
+        .select(
+          cov(col("sqp"), col("sq"), col("sp")).as("c1"),
+          corr(col("sqp"), col("sq"), col("sp"), col("sqq"), col("spp")).as("r1"),
+          cov(col("sqd"), col("sq"), col("sd")).as("c2"),
+          corr(col("sqd"), col("sq"), col("sd"), col("sqq"), col("sdd")).as("r2"),
+          cov(col("spd"), col("sp"), col("sd")).as("c3"),
+          corr(col("spd"), col("sp"), col("sd"), col("spp"), col("sdd")).as("r3")
+        )
+        .select(
+          expr(
+            "stack(3, 'l_quantity', 'l_extendedprice', c1, r1," +
+              " 'l_quantity', 'l_discount', c2, r2," +
+              " 'l_extendedprice', 'l_discount', c3, r3) AS (field_x, field_y, covariance, correlation)"
+          )
+        )
+        .orderBy("field_x", "field_y")
+    }),
+    // Zipf slope of the token-frequency distribution: OLS of ln(count)
+    // on ln(rank) — the corpus-health fingerprint (natural prose ≈ −1).
+    // The vocabulary table is the only windowed input (|V| rows, tiny);
+    // the corpus-scale work is the one explode + hash count.
+    "text_zipf_slope" -> ((s, dir) => {
+      val tf = Tables
+        .documents(s, dir)
+        .select(explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("cnt"))
+      val ranked = tf
+        .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+        .select(log(col("rank").cast("double")).as("x"), log(col("cnt").cast("double")).as("y"))
+      ranked
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy")
+        )
+        .select(
+          round(
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")),
+            6
+          ).as("zipf_slope"),
+          col("n").as("vocab_size")
+        )
+    }),
+
+    // ── Geo queries (derived coordinates — see geoEvents) ───────────────
+    // geo_distance: events within 1000 km of (10, 20), equirectangular
+    // distance with a FIXED mid-latitude scale literal — only *, +, sqrt
+    // (all IEEE correctly-rounded) so both engines agree bit-for-bit;
+    // haversine's sin/cos/atan2 are NOT correctly-rounded and could flip
+    // boundary rows between engines. The distance predicate is
+    // scan-pushable via the lat/lon bounding comparisons a real layout
+    // would partition on.
+    "search_geo_distance" -> ((s, dir) => {
+      val dlat = col("lat") - lit(10.0)
+      val dlon = (col("lon") - lit(20.0)) * lit(0.7071067811865476)
+      geoEvents(s, dir)
+        .withColumn("dist_km", sqrt(dlat * dlat + dlon * dlon) * lit(111.195))
+        .filter(col("dist_km") <= 1000.0)
+        .select(col("event_id"), round(col("dist_km"), 6).as("dist_km"))
+        .orderBy("event_id")
+    }),
+    // geo_bounding_box: pure range comparisons — fully pushdown-able.
+    "search_geo_bbox" -> ((s, dir) =>
+      geoEvents(s, dir)
+        .filter(col("lat") >= 0.0 && col("lat") < 45.0 && col("lon") >= -90.0 && col("lon") < 0.0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy("event_type")),
+    // geotile_grid agg: 15°×15° cells, top 20 by density — floor-binned
+    // integer cell keys, one hash agg.
+    "search_geotile_grid" -> ((s, dir) =>
+      geoEvents(s, dir)
+        .groupBy(
+          floor(col("lat") / 15.0).cast("long").as("cell_y"),
+          floor(col("lon") / 15.0).cast("long").as("cell_x")
+        )
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy(col("doc_count").desc, col("cell_y"), col("cell_x"))
+        .limit(20)),
+    // geo_centroid agg: per-type centroid via EXACT decimal coordinate
+    // sums (the coordinates are 2dp by construction), double-divided at
+    // the end — partition-order-proof, like every money aggregate here.
+    "search_geo_centroid" -> ((s, dir) =>
+      geoEvents(s, dir)
+        .groupBy("event_type")
+        .agg(
+          round(sum(col("lat").cast("decimal(9,2)")).cast("double") / count(lit(1)), 6).as("centroid_lat"),
+          round(sum(col("lon").cast("decimal(9,2)")).cast("double") / count(lit(1)), 6).as("centroid_lon"),
+          count(lit(1)).as("doc_count")
+        )
+        .orderBy("event_type")),
     // JSON-body twins of the new agg/query types — same parameters as the
     // structured entries, so they share the oracle SQL and (plan-asserted
     // in JsonDslSpec) the Catalyst plan.
@@ -3283,6 +3533,127 @@ object SparkEntry {
         |           QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= 20)
         |SELECT source AS key, count(*) AS doc_count FROM s
         |GROUP BY 1 ORDER BY doc_count DESC, key""".stripMargin,
+    "search_match_phrase_prefix" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+        |SELECT doc_id FROM t
+        |WHERE len(list_filter(range(1, len(toks)), i -> toks[i] = 'big' AND starts_with(toks[i+1], 'dat'))) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_match_bool_prefix" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+        |SELECT doc_id FROM t
+        |WHERE list_contains(toks, 'spark') OR len(list_filter(toks, x -> starts_with(x, 'quer'))) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_intervals_ordered" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'stream') AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'merge') AS pb
+        |      FROM t)
+        |SELECT doc_id FROM p
+        |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b > a)) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_constant_score" ->
+      """SELECT doc_id, 1.2 AS _score FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'vector')
+        |ORDER BY doc_id""".stripMargin,
+    "search_global_agg" ->
+      """SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |       round(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+        |             / sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 6) AS hits_avg_value,
+        |       count(*) AS n_total,
+        |       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS total_avg_value
+        |FROM events""".stripMargin,
+    "search_terms_sub_terms" ->
+      """SELECT lang, source, doc_count, CAST(rn AS INTEGER) AS rank FROM (
+        |  SELECT lang, source, count(*) AS doc_count,
+        |         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, source) AS rn
+        |  FROM documents GROUP BY lang, source) t
+        |WHERE rn <= 3 ORDER BY lang, rank""".stripMargin,
+    "search_t_test" ->
+      """WITH a AS (
+        |  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS s1,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS ss1,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS s2,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS ss2
+        |  FROM events WHERE event_type IN ('purchase', 'view'))
+        |SELECT round((s1 / n1 - s2 / n2)
+        |             / sqrt(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1 + ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2), 6) AS t_stat,
+        |       round(s1 / n1, 6) AS mean_a,
+        |       round(s2 / n2, 6) AS mean_b
+        |FROM a""".stripMargin,
+    "search_matrix_stats" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
+        |         CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sd,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sqq,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spp,
+        |         CAST(sum(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sdd,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sqd,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS spd
+        |  FROM lineitem)
+        |SELECT field_x, field_y,
+        |       round((sxy - sx * sy / n) / (n - 1), 6) AS covariance,
+        |       round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS correlation
+        |FROM (
+        |  SELECT 'l_quantity' AS field_x, 'l_extendedprice' AS field_y, n, sqp AS sxy, sq AS sx, sp AS sy, sqq AS sxx, spp AS syy FROM m
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount', n, sqd, sq, sd, sqq, sdd FROM m
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount', n, spd, sp, sd, spp, sdd FROM m) t
+        |ORDER BY field_x, field_y""".stripMargin,
+    "text_zipf_slope" ->
+      """WITH tf AS (
+        |  SELECT tok, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |ranked AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS DOUBLE)) AS x,
+        |         ln(CAST(cnt AS DOUBLE)) AS y
+        |  FROM tf)
+        |SELECT round((count(*) * sum(x * y) - sum(x) * sum(y))
+        |             / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS zipf_slope,
+        |       count(*) AS vocab_size
+        |FROM ranked""".stripMargin,
+    "search_geo_distance" ->
+      """WITH g AS (
+        |  SELECT event_id,
+        |         ((user_id * 1237) % 18000) / 100.0 - 90.0 AS lat,
+        |         ((event_id * 91) % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events)
+        |SELECT event_id,
+        |       round(sqrt((lat - 10.0) * (lat - 10.0)
+        |                  + ((lon - 20.0) * 0.7071067811865476) * ((lon - 20.0) * 0.7071067811865476))
+        |             * 111.195, 6) AS dist_km
+        |FROM g
+        |WHERE sqrt((lat - 10.0) * (lat - 10.0)
+        |           + ((lon - 20.0) * 0.7071067811865476) * ((lon - 20.0) * 0.7071067811865476)) * 111.195 <= 1000.0
+        |ORDER BY event_id""".stripMargin,
+    "search_geo_bbox" ->
+      """SELECT event_type, count(*) AS doc_count
+        |FROM (SELECT event_type,
+        |             ((user_id * 1237) % 18000) / 100.0 - 90.0 AS lat,
+        |             ((event_id * 91) % 36000) / 100.0 - 180.0 AS lon
+        |      FROM events) g
+        |WHERE lat >= 0.0 AND lat < 45.0 AND lon >= -90.0 AND lon < 0.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "search_geotile_grid" ->
+      """SELECT CAST(floor((((user_id * 1237) % 18000) / 100.0 - 90.0) / 15.0) AS BIGINT) AS cell_y,
+        |       CAST(floor((((event_id * 91) % 36000) / 100.0 - 180.0) / 15.0) AS BIGINT) AS cell_x,
+        |       count(*) AS doc_count
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY doc_count DESC, cell_y, cell_x LIMIT 20""".stripMargin,
+    "search_geo_centroid" ->
+      """SELECT event_type,
+        |       round(CAST(sum(CAST(((user_id * 1237) % 18000) / 100.0 - 90.0 AS DECIMAL(9,2))) AS DOUBLE) / count(*), 6) AS centroid_lat,
+        |       round(CAST(sum(CAST(((event_id * 91) % 36000) / 100.0 - 180.0 AS DECIMAL(9,2))) AS DOUBLE) / count(*), 6) AS centroid_lon,
+        |       count(*) AS doc_count
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "search_percolate" ->
       """WITH stored(query_id, field, op, value) AS (VALUES
         |  (1, 'o_orderstatus', 'term', 'O'),
