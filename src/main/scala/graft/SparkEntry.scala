@@ -1749,6 +1749,18 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // The Bloom-pruned decontamination path: identical answer (bloom has
+    // no false negatives; the exact confirm join removes its false
+    // positives) through a ~1.2-byte-per-gram broadcast instead of the
+    // raw gram strings — the shape for eval suites too big to broadcast.
+    // Shares text_decontaminate's oracle: hash-equal, not approximate.
+    "text_decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Contamination
+        .sharedNgramsBloom(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10), "doc_id", "text", 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // PII scrubbing: match counts + redacted text for the email/digit-run
     // patterns (training-data hygiene pass) — customer names carry the
     // corpus's only long digit runs.
@@ -3225,6 +3237,18 @@ object SparkEntry {
         |FROM grams JOIN freq USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |             unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |                                   for i in generate_series(1, len(t) - 3)])) AS gram
+        |      FROM toks WHERE len(t) >= 4),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
+        |SELECT g.doc_id, count(*) AS n_shared
+        |FROM g JOIN bench USING (gram) WHERE g.doc_id >= 10
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // The bloom path is exact end-to-end (prune + confirm), so it shares
+    // the same oracle as text_decontaminate.
+    "text_decontaminate_bloom" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         |g AS (SELECT doc_id,
         |             unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]

@@ -39,4 +39,40 @@ object Contamination {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** The same check with the benchmark side compressed to a BLOOM FILTER
+    * — the shape for when the eval gram table outgrows a comfortable raw
+    * broadcast (a 1%-FPR bloom is ~1.2 bytes/gram vs the gram strings).
+    * Two phases: (1) the broadcast bloom prunes the exploded training
+    * grams map-side — no false negatives, so nothing real is dropped;
+    * (2) the few survivors exact-join the true gram table (no broadcast
+    * hint — both sides are small post-prune, AQE picks), which removes
+    * the bloom's false positives. Output is therefore IDENTICAL to
+    * [[sharedNgrams]]: the bloom buys shuffle reduction, not
+    * approximation — it shares the exact oracle.
+    */
+  def sharedNgramsBloom(
+      training: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    def grams(df: DataFrame) =
+      graft.Tables
+        .ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("_text")))
+        .select(col("id"), TextFns.tokens(col("_text")).as("_toks"))
+        .select(col("id"), explode(array_distinct(TextFns.ngramsFromTokens(col("_toks"), n))).as("gram"))
+    val benchGrams = grams(benchmark).select("gram").distinct()
+    val expected = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.stat.bloomFilter("gram", expected, fpp)
+    val bloomBc = training.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bloomBc.value.mightContain(g))
+    grams(training)
+      .filter(mightContain(col("gram")))
+      .join(benchGrams, "gram")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

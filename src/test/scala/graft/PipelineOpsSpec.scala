@@ -142,6 +142,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Map(10L -> 2L, 12L -> 1L))
   }
 
+  test("sharedNgramsBloom is answer-identical to the exact path") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon y"),
+      (11L, "completely different words here"),
+      (12L, "x alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val exact = Contamination.sharedNgrams(train, bench, "doc_id", "text", 4).as[(Long, Long)].collect().toMap
+    val bloom =
+      Contamination.sharedNgramsBloom(train, bench, "doc_id", "text", 4).as[(Long, Long)].collect().toMap
+    // lossless contract: the bloom prunes, the confirm join restores exactness
+    assert(bloom == exact, s"bloom path diverged: $bloom vs $exact")
+  }
+
   test("fuzzyMatch finds tokens within the edit distance, via the vocab") {
     val docs = Seq(
       (1L, "the spark engine"),
