@@ -2205,32 +2205,13 @@ object SparkEntry {
     // statistic is then a fixed double expression tree (+,*,/,sqrt are
     // all IEEE correctly-rounded, so both engines agree bit-for-bit —
     // var_samp's partition-order accumulation would not).
-    "search_t_test" -> ((s, dir) => {
-      val e = Tables
-        .events(s, dir)
-        .filter(col("event_type").isin("purchase", "view"))
-        .select(col("event_type"), decMoney(col("value")).as("v"))
-      val isA = col("event_type") === "purchase"
-      val agg = e.agg(
-        sum(when(isA, 1L).otherwise(0L)).as("n1"),
-        sum(when(isA, col("v"))).cast("double").as("s1"),
-        sum(when(isA, col("v") * col("v"))).cast("double").as("ss1"),
-        sum(when(!isA, 1L).otherwise(0L)).as("n2"),
-        sum(when(!isA, col("v"))).cast("double").as("s2"),
-        sum(when(!isA, col("v") * col("v"))).cast("double").as("ss2")
-      )
-      val (n1, s1, ss1) = (col("n1"), col("s1"), col("ss1"))
-      val (n2, s2, ss2) = (col("n2"), col("s2"), col("ss2"))
-      agg.select(
-        round(
-          (s1 / n1 - s2 / n2) /
-            sqrt(((ss1 - s1 * s1 / n1) / (n1 - lit(1))) / n1 + ((ss2 - s2 * s2 / n2) / (n2 - lit(1))) / n2),
-          6
-        ).as("t_stat"),
-        round(s1 / n1, 6).as("mean_a"),
-        round(s2 / n2, 6).as("mean_b")
-      )
-    }),
+    "search_t_test" -> ((s, dir) =>
+      Aggs.tTest(
+        Tables.events(s, dir).filter(col("event_type").isin("purchase", "view")),
+        col("value"),
+        col("event_type") === "purchase",
+        col("event_type") === "view"
+      )),
     // matrix_stats agg: pairwise covariance/correlation of three numeric
     // fields from ONE scan of exact decimal moments (n, Σx, Σx², Σxy per
     // pair), the statistics derived in a fixed double tree and unpivoted
@@ -2372,6 +2353,22 @@ object SparkEntry {
           |  "src1": {"term": {"source": "src1"}}
           |}}}}}""".stripMargin,
         docsMapping
+      )),
+    // JSON-body geo_distance over a struct geo field — same predicate as
+    // the flat-column search_geo_distance (ids-only projection).
+    "search_dsl_json_geo" -> ((s, dir) =>
+      JsonDsl.parse(
+        geoEvents(s, dir).select(col("event_id"), struct(col("lat"), col("lon")).as("location")),
+        """{"query": {"geo_distance": {"distance": "1000km", "location": {"lat": 10.0, "lon": 20.0}}},
+          | "sort": [{"event_id": "asc"}], "_source": ["event_id"]}""".stripMargin
+      )),
+    "search_dsl_json_t_test" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.events(s, dir),
+        """{"aggs": {"vals": {"t_test": {
+          |  "a": {"field": "value", "filter": {"term": {"event_type": "purchase"}}},
+          |  "b": {"field": "value", "filter": {"term": {"event_type": "view"}}},
+          |  "type": "heteroscedastic"}}}}""".stripMargin
       )),
     "search_dsl_json_boxplot" -> ((s, dir) =>
       JsonDsl.parse(
@@ -3671,6 +3668,30 @@ object SparkEntry {
         |       count(*) AS doc_count
         |FROM events
         |GROUP BY 1, 2 ORDER BY doc_count DESC, cell_y, cell_x LIMIT 20""".stripMargin,
+    "search_dsl_json_geo" ->
+      """WITH g AS (
+        |  SELECT event_id,
+        |         ((user_id * 1237) % 18000) / 100.0 - 90.0 AS lat,
+        |         ((event_id * 91) % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events)
+        |SELECT event_id FROM g
+        |WHERE sqrt((lat - 10.0) * (lat - 10.0)
+        |           + ((lon - 20.0) * 0.7071067811865476) * ((lon - 20.0) * 0.7071067811865476)) * 111.195 <= 1000.0
+        |ORDER BY event_id""".stripMargin,
+    "search_dsl_json_t_test" ->
+      """WITH a AS (
+        |  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS s1,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS ss1,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS s2,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS ss2
+        |  FROM events)
+        |SELECT round((s1 / n1 - s2 / n2)
+        |             / sqrt(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1 + ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2), 6) AS t_stat,
+        |       round(s1 / n1, 6) AS mean_a,
+        |       round(s2 / n2, 6) AS mean_b
+        |FROM a""".stripMargin,
     "search_geo_centroid" ->
       """SELECT event_type,
         |       round(CAST(sum(CAST(((user_id * 1237) % 18000) / 100.0 - 90.0 AS DECIMAL(9,2))) AS DOUBLE) / count(*), 6) AS centroid_lat,

@@ -260,6 +260,35 @@ object Aggs {
   /** Filter-context conditional counts (the "Active vs Pending" metric
     * visualization): one pass, no join of separate filtered scans.
     */
+  /** Welch's unpaired t_test between two filter-defined populations of
+    * `value`, from EXACT decimal moments in ONE conditional-agg scan;
+    * the statistic derives in a fixed double expression tree (+,*,/,sqrt
+    * are IEEE correctly-rounded, so engines agree bit-for-bit —
+    * var_samp's partition-order double accumulation would not).
+    */
+  def tTest(df: DataFrame, value: Column, condA: Column, condB: Column): DataFrame = {
+    val v = value.cast("decimal(12,2)")
+    val agg = df.agg(
+      sum(when(condA, 1L).otherwise(0L)).as("n1"),
+      sum(when(condA, v)).cast("double").as("s1"),
+      sum(when(condA, v * v)).cast("double").as("ss1"),
+      sum(when(condB, 1L).otherwise(0L)).as("n2"),
+      sum(when(condB, v)).cast("double").as("s2"),
+      sum(when(condB, v * v)).cast("double").as("ss2")
+    )
+    val (n1, s1, ss1) = (col("n1"), col("s1"), col("ss1"))
+    val (n2, s2, ss2) = (col("n2"), col("s2"), col("ss2"))
+    agg.select(
+      round(
+        (s1 / n1 - s2 / n2) /
+          sqrt(((ss1 - s1 * s1 / n1) / (n1 - lit(1))) / n1 + ((ss2 - s2 * s2 / n2) / (n2 - lit(1))) / n2),
+        6
+      ).as("t_stat"),
+      round(s1 / n1, 6).as("mean_a"),
+      round(s2 / n2, 6).as("mean_b")
+    )
+  }
+
   def filteredCounts(df: DataFrame, conds: Seq[(String, Column)]): DataFrame =
     df.agg(
       count(lit(1)).as("n_total"),

@@ -376,6 +376,34 @@ object JsonDsl {
           df.schema,
           Option(body.get("default_field")).map(_.asText)
         )
+      case "geo_distance" =>
+        // geo_distance against a struct geo field (lat/lon subfields):
+        // equirectangular distance with a fixed mid-latitude scale — only
+        // IEEE correctly-rounded ops (*, +, sqrt), so engines agree
+        // bit-for-bit; haversine's sin/cos/atan2 are not correctly-rounded
+        // and could flip boundary rows.
+        val distText = req(body, "distance", "geo_distance").asText
+        require(distText.endsWith("km"), s"geo_distance supports 'NNNkm' distances, got '$distText'")
+        val radius = distText.stripSuffix("km").toDouble
+        val f = body
+          .fieldNames()
+          .asScala
+          .filterNot(_ == "distance")
+          .nextOption()
+          .getOrElse(throw new IllegalArgumentException(s"geo_distance needs a location field: $body"))
+        val c = body.get(f)
+        val dlat = col(f).getField("lat") - lit(req(c, "lat", "geo_distance").asDouble)
+        val dlon = (col(f).getField("lon") - lit(req(c, "lon", "geo_distance").asDouble)) * lit(0.7071067811865476)
+        sqrt(dlat * dlat + dlon * dlon) * lit(111.195) <= lit(radius)
+      case "geo_bounding_box" =>
+        val f = singleField(body)
+        val b = body.get(f)
+        val tl = req(b, "top_left", "geo_bounding_box")
+        val br = req(b, "bottom_right", "geo_bounding_box")
+        col(f).getField("lat") <= lit(req(tl, "lat", "geo_bounding_box").asDouble) &&
+        col(f).getField("lat") >= lit(req(br, "lat", "geo_bounding_box").asDouble) &&
+        col(f).getField("lon") >= lit(req(tl, "lon", "geo_bounding_box").asDouble) &&
+        col(f).getField("lon") <= lit(req(br, "lon", "geo_bounding_box").asDouble)
       case "terms_set" =>
         // At least minimum_should_match of the terms present — ONE
         // array_intersect per row (no explode); analyzed on text-mapped
@@ -523,6 +551,20 @@ object JsonDsl {
           .map(_.elements().asScala.toSeq.map(_.asDouble))
           .getOrElse(Seq(50.0, 90.0, 99.0))
         Aggs.percentiles(df, field, ps.map(p => percentileName(p) -> p / 100.0))
+      case "t_test" =>
+        // Welch's unpaired t_test: two filter-defined populations of one
+        // field, exact-decimal moments in one conditional scan (Aggs.tTest).
+        def side(key: String): (Column, Column) = {
+          val s = req(body, key, "t_test")
+          (col(req(s, "field", s"t_test '$key'").asText), compileQuery(df, req(s, "filter", s"t_test '$key'"), mapping))
+        }
+        val (fa, condA) = side("a")
+        val (fb, condB) = side("b")
+        require(
+          fa.toString == fb.toString,
+          s"t_test sides must aggregate the same field, got $fa / $fb"
+        )
+        Aggs.tTest(df, fa, condA, condB)
       case "avg" | "sum" | "min" | "max" | "value_count" =>
         // Top-level single-metric aggregation: one row named after the agg.
         df.agg(roundedMetricOf(typeName, field).as(aggName))

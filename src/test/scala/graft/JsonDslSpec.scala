@@ -475,6 +475,42 @@ class JsonDslSpec extends SparkSpec {
     assert(kw.as[Long].collect().toSeq == Seq(3L, 4L))
   }
 
+  test("geo_distance / geo_bounding_box clauses filter a struct geo field") {
+    val pts = Seq(
+      (1L, 10.0, 20.0), // center
+      (2L, 12.0, 22.0), // ~320 km away
+      (3L, 80.0, 170.0) // antipodes-ish
+    ).toDF("id", "lat", "lon").select(col("id"), struct(col("lat"), col("lon")).as("location"))
+    val near = JsonDsl.parse(
+      pts,
+      """{"query": {"geo_distance": {"distance": "1000km", "location": {"lat": 10.0, "lon": 20.0}}},
+        | "_source": ["id"]}""".stripMargin
+    )
+    assert(near.as[Long].collect().toSet == Set(1L, 2L))
+    val boxed = JsonDsl.parse(
+      pts,
+      """{"query": {"geo_bounding_box": {"location": {
+        |  "top_left": {"lat": 15.0, "lon": 18.0}, "bottom_right": {"lat": 5.0, "lon": 25.0}}}},
+        | "_source": ["id"]}""".stripMargin
+    )
+    assert(boxed.as[Long].collect().toSet == Set(1L, 2L))
+    intercept[IllegalArgumentException](
+      JsonDsl.parse(pts, """{"query": {"geo_distance": {"distance": "500mi", "location": {"lat": 0, "lon": 0}}}}""")
+    )
+  }
+
+  test("t_test aggregation compiles to the structured Aggs.tTest plan") {
+    val got = JsonDsl.parse(
+      cards,
+      """{"aggs": {"cmp": {"t_test": {
+        |  "a": {"field": "amount", "filter": {"term": {"status": "ACTIVE"}}},
+        |  "b": {"field": "amount", "filter": {"term": {"status": "BLOCKED"}}}}}}}""".stripMargin,
+      mapping
+    )
+    samePlan(got, Aggs.tTest(cards, col("amount"), col("status") === lit("ACTIVE"), col("status") === lit("BLOCKED")))
+    assert(got.columns.toSeq == Seq("t_stat", "mean_a", "mean_b") && got.count() == 1)
+  }
+
   test("percolate registry: one doc scan matches every stored body's forward parse") {
     val registry = Seq(
       10L -> """{"query": {"term": {"status": "ACTIVE"}}}""",
