@@ -2354,6 +2354,18 @@ object SparkEntry {
           |}}}}}""".stripMargin,
         docsMapping
       )),
+    // scripted_metric: the "script" is a Catalyst SQL expression compiled
+    // into the scan (codegen'd, pushdown-friendly) — the Spark-first
+    // answer to painless, with sum/avg/min/max/count reduce phases.
+    "search_scripted_metric" -> ((s, dir) =>
+      Aggs.scriptedMetric(Tables.lineitem(s, dir), "l_extendedprice * (1 - l_discount)", "sum")),
+    "search_dsl_json_scripted_metric" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.lineitem(s, dir),
+        """{"aggs": {"revenue": {"scripted_metric": {
+          |  "map_script": "l_extendedprice * (1 - l_discount)",
+          |  "reduce_script": "sum"}}}}""".stripMargin
+      )),
     // JSON-body geo_distance over a struct geo field — same predicate as
     // the flat-column search_geo_distance (ids-only projection).
     "search_dsl_json_geo" -> ((s, dir) =>
@@ -3668,6 +3680,12 @@ object SparkEntry {
         |       count(*) AS doc_count
         |FROM events
         |GROUP BY 1, 2 ORDER BY doc_count DESC, cell_y, cell_x LIMIT 20""".stripMargin,
+    "search_scripted_metric" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS value
+        |FROM lineitem""".stripMargin,
+    "search_dsl_json_scripted_metric" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS value
+        |FROM lineitem""".stripMargin,
     "search_dsl_json_geo" ->
       """WITH g AS (
         |  SELECT event_id,

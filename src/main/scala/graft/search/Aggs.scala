@@ -260,6 +260,28 @@ object Aggs {
   /** Filter-context conditional counts (the "Active vs Pending" metric
     * visualization): one pass, no join of separate filtered scans.
     */
+  /** scripted_metric, Spark-first: the map script is a Catalyst SQL
+    * expression over the document's fields (the engine's native
+    * "painless") and the combine/reduce phase one of sum/avg/min/max/
+    * count — exactly what Spark's map-side partial + final aggregation
+    * already is, so the "script" runs codegen'd inside the scan instead
+    * of interpreted per document. Sums ride an exact 4dp decimal (map
+    * outputs here are money expressions), extrema are selections — both
+    * engine-stable.
+    */
+  def scriptedMetric(df: DataFrame, mapScript: String, reduceScript: String): DataFrame = {
+    val m = expr(mapScript)
+    reduceScript match {
+      case "sum"   => df.agg(round(sum(m.cast("decimal(18,4)")).cast("double"), 2).as("value"))
+      case "avg"   => df.agg(round(sum(m.cast("decimal(18,4)")).cast("double") / count(m), 6).as("value"))
+      case "min"   => df.agg(round(min(m), 6).as("value"))
+      case "max"   => df.agg(round(max(m), 6).as("value"))
+      case "count" => df.agg(count(m).as("value"))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported reduce_script '$other' (sum/avg/min/max/count)")
+    }
+  }
+
   /** Welch's unpaired t_test between two filter-defined populations of
     * `value`, from EXACT decimal moments in ONE conditional-agg scan;
     * the statistic derives in a fixed double expression tree (+,*,/,sqrt

@@ -551,6 +551,12 @@ object JsonDsl {
           .map(_.elements().asScala.toSeq.map(_.asDouble))
           .getOrElse(Seq(50.0, 90.0, 99.0))
         Aggs.percentiles(df, field, ps.map(p => percentileName(p) -> p / 100.0))
+      case "scripted_metric" =>
+        Aggs.scriptedMetric(
+          df,
+          req(body, "map_script", "scripted_metric").asText,
+          req(body, "reduce_script", "scripted_metric").asText
+        )
       case "t_test" =>
         // Welch's unpaired t_test: two filter-defined populations of one
         // field, exact-decimal moments in one conditional scan (Aggs.tTest).

@@ -33,6 +33,26 @@ class DebeziumSpec extends SparkSpec {
     assert(card1.getAs[Map[String, String]]("doc")("status") == "INACTIVE")
   }
 
+  test("schema evolution: new payload fields flow through parse + materialize untouched") {
+    // The generic map<string,string> payload IS the evolution strategy
+    // (the reference consumer indexes whatever fields arrive): a column
+    // added upstream mid-stream appears in evolved docs and simply stays
+    // absent from older ones — no migration, no schema registry restart.
+    val evolving = Seq(
+      """{"before":null,"after":{"id":1,"name":"a"},"op":"c","ts_ms":1,"source":{"table":"t"}}""",
+      """{"before":null,"after":{"id":1,"name":"a2","tier":"gold"},"op":"u","ts_ms":2,"source":{"table":"t"}}""",
+      """{"before":null,"after":{"id":2,"name":"b"},"op":"c","ts_ms":1,"source":{"table":"t"}}"""
+    ).toDF("value")
+    val out = ChangeEvent
+      .materialize(ChangeEvent.parse(evolving, col("value")))
+      .select("key", "doc")
+      .as[(String, Map[String, String])]
+      .collect()
+      .toMap
+    assert(out("1") == Map("id" -> "1", "name" -> "a2", "tier" -> "gold"))
+    assert(out("2") == Map("id" -> "2", "name" -> "b")) // pre-evolution rows untouched
+  }
+
   test("runBatch writes one index per table with final state") {
     val in = Files.createTempDirectory("graft-env").toString
     val out = Files.createTempDirectory("graft-idx").toString
