@@ -180,13 +180,26 @@ object SparkEntry {
         val lt = s"graft_bk_lineitem_$tag"
         val ot = s"graft_bk_orders_$tag"
         sinks.BucketedStore.writeBucketed(
-          Tables.lineitem(s, dir).select("l_orderkey", "l_partkey", "l_suppkey", "l_shipdate", "l_quantity", "l_extendedprice", "l_discount"),
+          Tables
+            .lineitem(s, dir)
+            .select(
+              "l_orderkey",
+              "l_partkey",
+              "l_suppkey",
+              "l_shipdate",
+              "l_quantity",
+              "l_extendedprice",
+              "l_discount",
+              "l_linestatus"
+            ),
           lt,
           "l_orderkey",
           8
         )
         sinks.BucketedStore.writeBucketed(
-          Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice"),
+          Tables
+            .orders(s, dir)
+            .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice", "o_orderstatus"),
           ot,
           "o_orderkey",
           8
@@ -1323,6 +1336,29 @@ object SparkEntry {
         )
         .orderBy("l_linestatus")
     }),
+    // Q12 off the co-located layout: the fact-fact join IS the bucket
+    // key, so neither side exchanges — the whole query is a zero-shuffle
+    // join + one tiny conditional agg. Same oracle as q12_ship_priority.
+    "q12_ship_colocated" -> ((s, dir) => {
+      val (lt, ot) = bucketedFacts(s, dir)
+      val o = sinks.BucketedStore.read(s, ot).select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = sinks.BucketedStore
+        .read(s, lt)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(
+        o,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      ).groupBy("l_linestatus")
+        .agg(
+          sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count")
+        )
+        .orderBy("l_linestatus")
+    }),
     // TPC-H Q20 shape (no partsupp availqty: a supplier "holds excess
     // stock" of a part when it shipped >30% of that part's 1996 volume):
     // two stacked hash aggs over the joined facts — the second runs on
@@ -1384,6 +1420,85 @@ object SparkEntry {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)
+    }),
+    // Q21 off the co-located layout. countDistinct would plan an Expand
+    // whose output partitioning is unknown → two fact-size exchanges; the
+    // SAME distinct semantics as two STACKED aggs — per-(order, supplier)
+    // lateness flag, then per-order counts — keeps every stage's required
+    // clustering satisfied by the bucket partitioning (a subset
+    // partitioning satisfies a superset clustering), so the facts never
+    // exchange. Same oracle as q21_waiting_suppliers.
+    "q21_waiting_colocated" -> ((s, dir) => {
+      val (lt, ot) = bucketedFacts(s, dir)
+      val o = sinks.BucketedStore
+        .read(s, ot)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val l = sinks.BucketedStore.read(s, lt).select("l_orderkey", "l_suppkey", "l_shipdate")
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+      val perSupp = l
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(late, 1L).otherwise(0L)).as("supp_late"))
+      val perOrder = perSupp
+        .groupBy("l_orderkey")
+        .agg(
+          count(lit(1)).as("n_supp"),
+          sum(col("supp_late")).as("n_late"),
+          max(when(col("supp_late") === 1L, col("l_suppkey"))).as("late_supp")
+        )
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name")
+      perOrder
+        .join(sup, col("late_supp") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+    // ROLLUP: the (year, priority) revenue lattice with subtotal and
+    // grand-total rows — one Expand + one hash agg, not N queries. NULL
+    // ordering pinned explicitly (Spark defaults nulls-first, DuckDB
+    // nulls-last — the classic cross-engine rollup trap).
+    "agg_rollup" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .rollup(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+        .agg(round(sum(decMoney(col("o_totalprice"))), 2).cast("double").as("revenue"))
+        .orderBy(col("o_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+    // CUBE over (status, priority): all four grouping sets in one pass.
+    "agg_cube" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+    // PIVOT: hour-of-day × event-type count matrix. Pivot values are
+    // declared literally, so there is NO extra distinct-scan to discover
+    // them and the whole pivot is one conditional-agg pass.
+    "agg_pivot" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(hour(col("ts")).as("hour_of_day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .orderBy("hour_of_day")),
+    // ntile quartiles per event type: keyed windows (one shuffle by
+    // type), then per-(type, quartile) bounds — never a global single-
+    // partition window.
+    "agg_ntile_quartiles" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      Tables
+        .events(s, dir)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("value")), 2).as("lo"),
+          round(max(col("value")), 2).as("hi")
+        )
+        .orderBy("event_type", "quartile")
     }),
     "agg_running_balance" -> ((s, dir) => {
       val w = Window
@@ -3105,6 +3220,53 @@ object SparkEntry {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q12_ship_colocated" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_waiting_colocated" ->
+      """SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND o3.o_orderkey = l3.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "agg_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP (1, 2)
+        |ORDER BY o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |GROUP BY CUBE (1, 2)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_pivot" ->
+      """SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_ntile_quartiles" ->
+      """SELECT event_type, CAST(quartile AS INTEGER) AS quartile, count(*) AS n,
+        |       round(min(value), 2) AS lo, round(max(value), 2) AS hi
+        |FROM (SELECT event_type, value,
+        |             ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+        |      FROM events) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "agg_running_balance" ->
       """SELECT user_id, event_id, ts,
         |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

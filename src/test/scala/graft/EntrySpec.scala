@@ -39,7 +39,7 @@ class EntrySpec extends SparkSpec {
     // shuffle of either fact; the only hash exchanges allowed are the
     // post-partial-agg groupBy and any AQE-chosen dimension shuffle —
     // neither may repartition on the fact join keys.
-    for (q <- Seq("q7_volume_colocated", "q9_product_colocated")) {
+    for (q <- Seq("q7_volume_colocated", "q9_product_colocated", "q12_ship_colocated", "q21_waiting_colocated")) {
       val plan = SparkEntry.queries(q)(spark, Sf).queryExecution.executedPlan.toString
       for (key <- Seq("l_orderkey", "o_orderkey"))
         assert(!plan.contains(s"Exchange hashpartitioning($key"),
