@@ -1669,6 +1669,60 @@ object SparkEntry {
         queryVec(s, dir, 0),
         10
       )),
+    // Filtered vector search (the OpenSearch knn `filter` clause): the
+    // metadata predicate applies BEFORE scoring — pre-filtering, the
+    // exact-recall strategy — so the scan prunes on label and only
+    // surviving vectors pay the cosine.
+    "ann_filtered_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0 && col("label") === 2),
+        "vec_id",
+        "embedding",
+        queryVec(s, dir, 0),
+        10
+      )),
+    // _rank_eval: precision@10, MRR, NDCG@10 of the cosine ranking, with
+    // relevance = label agreement with the query vector. The heavy part
+    // is one TakeOrderedAndProject top-10; the rank window and the IDCG
+    // fold both run on ≤10 rows. log2 spelled ln(x)/ln(2) in BOTH
+    // engines so the expression trees match.
+    "search_rank_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVec(s, dir, 0)
+      val qLabel = emb.filter(col("vec_id") === 0).select("label").head().getInt(0)
+      val scored = emb
+        .filter(col("vec_id") =!= 0)
+        .select(
+          col("vec_id"),
+          col("label"),
+          round(VectorFns.cosine(col("embedding"), array(q.map(x => lit(x.toDouble)): _*)), 6).as("cos")
+        )
+      val top = scored
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+        .withColumn("rank", row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+      val rel = col("label") === lit(qLabel)
+      val m = top.agg(
+        round(sum(when(rel, 1).otherwise(0)) / 10.0, 6).as("precision_at_10"),
+        round(coalesce(max(when(rel, lit(1.0) / col("rank"))), lit(0.0)), 6).as("mrr"),
+        sum(when(rel, lit(1.0) / (log(col("rank") + 1) / log(lit(2.0))))).as("_dcg")
+      )
+      val idcg = scored
+        .filter(rel)
+        .agg(count(lit(1)).as("rel_total"))
+        .select(
+          expr(
+            "aggregate(sequence(1, int(least(rel_total, 10))), cast(0.0 as double)," +
+              " (acc, i) -> acc + 1.0 / (ln(i + 1) / ln(2.0)))"
+          ).as("_idcg")
+        )
+      m.crossJoin(broadcast(idcg))
+        .select(
+          col("precision_at_10"),
+          col("mrr"),
+          round(coalesce(col("_dcg") / col("_idcg"), lit(0.0)), 6).as("ndcg_at_10")
+        )
+    }),
     "ann_knn_join" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity
@@ -1889,6 +1943,19 @@ object SparkEntry {
           TextFns.piiRedact(col("c_name")).as("redacted")
         )
         .orderBy("id")),
+    // Quality-weighted deterministic sampling: keep probability ∝ the
+    // doc's stopword ratio (prose-ness), decided by a pure integer hash
+    // u(doc_id) = (id·2654435761 mod 2¹⁶)/2¹⁶ — exact binary fraction,
+    // replayable across runs/engines/partitionings, no rand().
+    "sample_weighted" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .filter(
+          pmod(col("doc_id") * lit(2654435761L), lit(65536L)) / 65536.0 <
+            least(lit(1.0), round(TextFns.stopwordRatio(col("text")), 6) * 3.0)
+        )
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
     // Deterministic md5-bucket train/val/test assignment: membership is a
     // pure function of the id — stable across runs, engines, and corpus
     // growth.
@@ -3531,6 +3598,37 @@ object SparkEntry {
       """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
         |FROM embeddings WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_filtered_topk" ->
+      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings WHERE vec_id <> 0 AND label = 2 ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "search_rank_eval" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe, label AS ql FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id, e.label, q.ql,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> 0),
+        |top AS (
+        |  SELECT vec_id, label, ql, cos,
+        |         CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored QUALIFY rank <= 10),
+        |r AS (SELECT count(*) AS rel_total FROM scored WHERE label = ql),
+        |idcg AS (SELECT sum(1.0 / (ln(i + 1) / ln(2.0))) AS v
+        |         FROM generate_series(1, 10) AS t(i), r WHERE i <= least(rel_total, 10)),
+        |m AS (SELECT round(sum(CASE WHEN label = ql THEN 1 ELSE 0 END) / 10.0, 6) AS precision_at_10,
+        |             round(coalesce(max(CASE WHEN label = ql THEN 1.0 / rank END), 0.0), 6) AS mrr,
+        |             sum(CASE WHEN label = ql THEN 1.0 / (ln(rank + 1) / ln(2.0)) END) AS dcg
+        |      FROM top)
+        |SELECT precision_at_10, mrr,
+        |       round(coalesce(dcg / (SELECT v FROM idcg), 0.0), 6) AS ndcg_at_10
+        |FROM m""".stripMargin,
+    "sample_weighted" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ((doc_id * 2654435761) % 65536) / 65536.0 <
+        |      least(1.0, round(CAST(len(list_filter(string_split(lower(text), ' '),
+        |                   t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+        |            / len(string_split(lower(text), ' ')), 6) * 3.0)
+        |ORDER BY doc_id""".stripMargin,
     "ann_knn_join" ->
       """SELECT probe_id, cand_id, cos, rank FROM (
         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
