@@ -1947,7 +1947,7 @@ object SparkEntry {
     // doc's stopword ratio (prose-ness), decided by a pure integer hash
     // u(doc_id) = (id·2654435761 mod 2¹⁶)/2¹⁶ — exact binary fraction,
     // replayable across runs/engines/partitionings, no rand().
-    "sample_weighted" -> ((s, dir) =>
+    "sample_weighted_quality" -> ((s, dir) =>
       Tables
         .documents(s, dir)
         .filter(
@@ -3622,7 +3622,7 @@ object SparkEntry {
         |SELECT precision_at_10, mrr,
         |       round(coalesce(dcg / (SELECT v FROM idcg), 0.0), 6) AS ndcg_at_10
         |FROM m""".stripMargin,
-    "sample_weighted" ->
+    "sample_weighted_quality" ->
       """SELECT doc_id, source FROM documents
         |WHERE ((doc_id * 2654435761) % 65536) / 65536.0 <
         |      least(1.0, round(CAST(len(list_filter(string_split(lower(text), ' '),
