@@ -165,6 +165,19 @@ object SparkEntry {
         (pmod(col("event_id") * 91, lit(36000)) / 100.0 - 180.0).as("lon")
       )
 
+  private val sqMemo = scala.collection.concurrent.TrieMap[String, Similarity.SqIndex]()
+
+  /** SQ8 index for `dir`, built once per JVM (same contract as the other
+    * ANN index caches).
+    */
+  private def cachedSq(s: SparkSession, dir: String): Similarity.SqIndex =
+    sqMemo.getOrElseUpdate(
+      dir, {
+        val idx = Similarity.sqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
+        idx.copy(codes = Memo.parquet(s, s"sq:$dir")(idx.codes))
+      }
+    )
+
   private val bucketedMemo = scala.collection.concurrent.TrieMap[String, (String, String)]()
 
   /** lineitem+orders written once per JVM as same-bucket-count tables on
@@ -1828,6 +1841,19 @@ object SparkEntry {
     // generated as one small frame, ONE pass over the signature table for
     // the whole batch, TopKPerKey bounded-heap ranking — per-probe result
     // sets identical to scoreAgainstLsh at the same radius (ReplicaSpec).
+    // SQ8 scalar quantization (the per-dim grid complement to PQ's
+    // per-subspace codebooks): honest fresh build — min/max agg + encode
+    // scan; topk ranks on dequantized byte codes (no float vectors read)
+    // then exact-rescores, like every ANN path here.
+    "ann_sq8_build" -> ((s, dir) => {
+      val idx = Similarity.sqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
+      idx.codes.agg(
+        count(lit(1)).as("n_vectors"),
+        max(length(col("code"))).as("bytes_per_vector")
+      )
+    }),
+    "ann_sq8_topk" -> ((s, dir) =>
+      Similarity.scoreAgainstSq(cachedSq(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10)),
     "ann_lsh_batch_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity

@@ -916,6 +916,84 @@ object Similarity {
     )
   }
 
+  final case class SqIndex(lo: Array[Float], hi: Array[Float], codes: DataFrame, base: DataFrame)
+
+  /** Scalar quantization (SQ8): every dimension linearly coded to one
+    * unsigned byte against the corpus per-dim (min, max) — dim BYTES per
+    * vector (4× under float32), stored as a single binary column. The
+    * build is one posexplode min/max aggregate (2·dim driver values) +
+    * one encode scan; the complementary quantization family to PQ
+    * (per-dim grid vs per-subspace codebook — better when variance is
+    * spread evenly, no codebook training).
+    */
+  def sqIndex(emb: DataFrame, idCol: String, vecCol: String): SqIndex = {
+    val base = emb.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull)
+    val mm = base
+      .select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(min("x").as("lo"), max("x").as("hi"))
+      .collect()
+    val dim = mm.length
+    val lo = new Array[Float](dim)
+    val hi = new Array[Float](dim)
+    mm.foreach(r => { lo(r.getInt(0)) = r.getFloat(1); hi(r.getInt(0)) = r.getFloat(2) })
+    val encode = udf { (v: Seq[Float]) =>
+      val out = new Array[Byte](v.length)
+      var j = 0
+      while (j < v.length) {
+        val span = hi(j) - lo(j)
+        val q = if (span <= 0f) 0 else math.round(255f * (v(j) - lo(j)) / span)
+        out(j) = (math.max(0, math.min(255, q)) - 128).toByte // stored signed, +128 on decode
+        j += 1
+      }
+      out
+    }
+    val codes = graft.Tables
+      .ensureParallelism(base)
+      .select(col(idCol), encode(col(vecCol)).as("code"))
+    SqIndex(lo, hi, codes, base)
+  }
+
+  /** Score a query against the SQ8 index: approximate cosine against the
+    * DEQUANTIZED codes in one scan of the byte table (no float vectors
+    * read for ranking), then exact-cosine rescore of the top `rerank`
+    * ids — the same contract as the PQ/LSH/IVF paths: emitted scores are
+    * exact, the approximation lives only in recall.
+    */
+  def scoreAgainstSq(
+      index: SqIndex,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      rerank: Int = 50
+  ): DataFrame = {
+    val lo = index.lo
+    val hi = index.hi
+    val q = query.toArray
+    val approx = udf { (code: Array[Byte]) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < code.length) {
+        val span = hi(j) - lo(j)
+        val x = lo(j) + (code(j) + 128) * span / 255f
+        dot += x * q(j); na += x * x; nb += q(j) * q(j)
+        j += 1
+      }
+      if (na == 0 || nb == 0) -1.0 else dot / math.sqrt(na * nb)
+    }
+    val cand = index.codes
+      .select(col(idCol), approx(col("code")).as("acos"))
+      .orderBy(col("acos").desc, col(idCol).asc)
+      .limit(math.max(rerank, k))
+      .select(col(idCol))
+    index.base
+      .join(cand, Seq(idCol))
+      .select(col(idCol), round(VectorFns.cosine(col(vecCol), vecLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Score a query against the PQ index by asymmetric distance (ADC):
     * per probed cell, a (m × ksub) lookup table of squared distances
     * between the query's residual subvectors and the codebook entries is

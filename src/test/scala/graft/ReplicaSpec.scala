@@ -324,6 +324,50 @@ class ReplicaSpec extends SparkSpec {
       .foreach { case (id, cos) => assert(all(id) == cos, s"stale corpus-OPQ score for vec $id") }
   }
 
+  test("SQ8: dequantization error within half a grid step; recall + exact scores; 4x smaller codes") {
+    val idx = Similarity.sqIndex(emb, "vec_id", "embedding")
+    // Error bound: |x - dequant(encode(x))| <= step/2 per dim.
+    val rows = emb.filter($"vec_id" < 50).select("vec_id", "embedding").collect()
+    val codeMap = idx.codes.filter($"vec_id" < 50).collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val code = codeMap(r.getLong(0))
+      for (j <- v.indices) {
+        val span = idx.hi(j) - idx.lo(j)
+        val x = idx.lo(j) + (code(j) + 128) * span / 255f
+        assert(math.abs(x - v(j)) <= span / 255f * 0.5f + 1e-6, s"dim $j of vec ${r.getLong(0)}")
+      }
+    }
+    // Recall + exact-score contract, same probes as the PQ tests.
+    val probes = Seq(0L, 7L, 21L, 100L, 499L)
+    val recalls = probes.map { pid =>
+      val q = emb.filter($"vec_id" === pid).select("embedding").head().getSeq[Float](0)
+      val truth =
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).select("vec_id").as[Long].collect().toSet
+      val got = Similarity
+        .scoreAgainstSq(idx, "vec_id", "embedding", q, 10)
+        .select("vec_id")
+        .as[Long]
+        .collect()
+        .toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    info(s"SQ8 recall@10: per-probe ${recalls.mkString(", ")} (mean ${recalls.sum / recalls.size})")
+    // 8-bit-per-dim quantization barely moves cosine ranks — demand a
+    // floor well above the PQ bound.
+    assert(recalls.forall(_ >= 0.7), s"SQ8 recall below the documented bound: $recalls")
+    val q0 = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val all = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q0, 500).as[(Long, Double)].collect().toMap
+    Similarity
+      .scoreAgainstSq(idx, "vec_id", "embedding", q0, 10)
+      .as[(Long, Double)]
+      .collect()
+      .foreach { case (id, cos) => assert(all(id) == cos, s"stale SQ8 score for vec $id") }
+    // Stored codes are dim bytes (4x under float32).
+    val bytes = idx.codes.agg(org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.length($"code"))).head().getInt(0)
+    assert(bytes == 64, s"expected 64-byte codes, got $bytes")
+  }
+
   test("OPQ: trained rotation never quantizes worse than identity; orthonormal; recall + exact scores") {
     val idx = Similarity.opqIndex(emb, "vec_id", "embedding", nLists = 16, m = 8, ksub = 16)
     val (mse0, mseT) = idx.trainMse.get

@@ -34,6 +34,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("percolate registry applies per-batch to a document stream") {
+    // The percolate compile is a pure projection (when(pred, id) +
+    // explode), so the SAME JsonDsl.percolate drives batch and
+    // streaming — stored queries match documents as they flow past.
+    implicit val sq = spark.sqlContext
+    val registry = Seq(
+      1L -> """{"query": {"term": {"status": "ACTIVE"}}}""",
+      2L -> """{"query": {"range": {"amount": {"gte": 1000}}}}"""
+    )
+    val input = MemoryStream[(Long, String, Double)]
+    val docs = input.toDF().toDF("id", "status", "amount")
+    val q = graft.search.JsonDsl
+      .percolate(docs, registry)
+      .select("id", "query_id")
+      .writeStream
+      .format("memory")
+      .queryName("percolate_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData((1L, "ACTIVE", 50.0), (2L, "BLOCKED", 1500.0))
+      q.processAllAvailable()
+      input.addData((3L, "ACTIVE", 2000.0))
+      q.processAllAvailable()
+      val out = spark.table("percolate_out").as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 1L), (2L, 2L), (3L, 1L), (3L, 2L)))
+    } finally q.stop()
+  }
+
   test("transformWithState path emits the same changelog as flatMapGroupsWithState") {
     implicit val sq = spark.sqlContext
     // transformWithState mandates the RocksDB state store provider.
