@@ -1650,6 +1650,22 @@ object SparkEntry {
         .orderBy("cluster")
     }),
 
+    // The dedup report every pipeline run prints: cluster-size histogram
+    // (singletons included) off the memoized label table — two tiny hash
+    // aggs; propagation is never re-run.
+    "dedup_cluster_stats" -> ((s, dir) => {
+      val comps = cachedComponents(s, dir)
+      val docs = Tables.documents(s, dir).select("doc_id")
+      docs
+        .join(comps, docs("doc_id") === comps("node"), "left_outer")
+        .select(coalesce(col("component"), col("doc_id")).as("cluster"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("size"))
+        .groupBy("size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("size")
+    }),
+
     // Survivor policy #2 — quality-weighted: the kept doc per dup
     // cluster maximizes a QUALITY signal (stopword ratio — the classic
     // "is this prose" proxy), ties to the smallest id, instead of
@@ -1969,6 +1985,23 @@ object SparkEntry {
           TextFns.piiRedact(col("c_name")).as("redacted")
         )
         .orderBy("id")),
+    // Sequence-packing planner input: docs and token mass per power-of-2
+    // length bucket (a fixed CASE ladder — engine-stable, no log2
+    // boundary ambiguity), one codegen'd scan.
+    "text_length_buckets" -> ((s, dir) => {
+      val n = TextFns.tokenCount(col("text"))
+      val bucket = when(n <= 16, 16)
+        .when(n <= 32, 32)
+        .when(n <= 64, 64)
+        .when(n <= 128, 128)
+        .otherwise(256)
+      Tables
+        .documents(s, dir)
+        .select(bucket.as("len_bucket"), n.as("n_tokens"))
+        .groupBy("len_bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("len_bucket")
+    }),
     // Quality-weighted deterministic sampling: keep probability ∝ the
     // doc's stopword ratio (prose-ness), decided by a pure integer hash
     // u(doc_id) = (id·2654435761 mod 2¹⁶)/2¹⁶ — exact binary fraction,
@@ -2106,6 +2139,47 @@ object SparkEntry {
     // "sparc", ranked by edit distance then corpus frequency.
     "search_suggest" -> ((s, dir) =>
       search.Fuzzy.suggest(Tables.documents(s, dir), "text", "sparc", 2, 5)),
+    // Completion suggester: prefix-ranked completions from the corpus
+    // vocabulary (most frequent first) — the vocab table is the tiny
+    // side, the corpus-scale work is the one token-count agg.
+    "search_suggest_completion" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(explode(SearchDsl.analyze(col("text"))).as("tok"))
+        .filter(col("tok").startsWith("s"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok"))
+        .limit(5)
+        .select(col("tok").as("suggestion"), col("freq"))),
+    // has_child (parent-join surface): parent docs (orders) with ≥1 child
+    // (lineitem) matching the child query — a LEFT SEMI join, never a
+    // fan-out + distinct repair.
+    "search_has_child" -> ((s, dir) => {
+      val l = Tables
+        .lineitem(s, dir)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 45)
+        .select("l_orderkey")
+      Tables
+        .orders(s, dir)
+        .join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(100)
+    }),
+    // has_parent: child docs (lineitems) whose parent order matches the
+    // parent query — the parent side is filter-pruned BEFORE the join.
+    "search_has_parent" -> ((s, dir) => {
+      val o = Tables
+        .orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 400000)
+        .select("o_orderkey")
+      Tables
+        .lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // percentile_ranks: the inverse of the percentiles agg — the fraction
     // of orders at or below each given value.
     "search_percentile_ranks" -> ((s, dir) =>
@@ -3600,6 +3674,53 @@ object SparkEntry {
       """SELECT round(avg(CASE WHEN o_totalprice <= 100000 THEN 1.0 ELSE 0.0 END), 6) AS pr_100k,
         |       round(avg(CASE WHEN o_totalprice <= 300000 THEN 1.0 ELSE 0.0 END), 6) AS pr_300k
         |FROM orders""".stripMargin,
+    "search_suggest_completion" ->
+      """SELECT tok AS suggestion, count(*) AS freq
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+        |WHERE starts_with(tok, 's')
+        |GROUP BY tok ORDER BY freq DESC, tok LIMIT 5""".stripMargin,
+    "search_has_child" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R' AND l_quantity >= 45)
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "search_has_parent" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT'
+        |                AND o_totalprice > 400000)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "text_length_buckets" ->
+      """SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+        |            WHEN n <= 128 THEN 128 ELSE 256 END AS len_bucket,
+        |       count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+        |FROM (SELECT CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n FROM documents) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_cluster_stats" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                        for i in generate_series(1, len(t) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |prs AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b,
+        |           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+        |    FROM s x, s y WHERE x.doc_id < y.doc_id) t
+        |  WHERE jaccard >= 0.4),
+        |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+        |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+        |sizes AS (
+        |  SELECT coalesce(c.component, d.doc_id) AS cluster, count(*) AS size
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        |  GROUP BY 1)
+        |SELECT size, count(*) AS n_clusters FROM sizes GROUP BY size ORDER BY size""".stripMargin,
     "search_collapse" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
