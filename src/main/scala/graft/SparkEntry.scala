@@ -2648,6 +2648,16 @@ object SparkEntry {
           |  "map_script": "l_extendedprice * (1 - l_discount)",
           |  "reduce_script": "sum"}}}}""".stripMargin
       )),
+    // JSON-body more_like_this (free-text `like` form): analyzed like-
+    // terms as an msm-gated match.
+    "search_dsl_json_mlt" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"more_like_this": {"fields": ["text"], "like": "big data table scan",
+          |  "minimum_should_match": 3}},
+          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin,
+        docsMapping
+      )),
     // JSON-body geo_distance over a struct geo field — same predicate as
     // the flat-column search_geo_distance (ids-only projection).
     "search_dsl_json_geo" -> ((s, dir) =>
@@ -4093,6 +4103,11 @@ object SparkEntry {
     "search_dsl_json_scripted_metric" ->
       """SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS value
         |FROM lineitem""".stripMargin,
+    "search_dsl_json_mlt" ->
+      """SELECT doc_id FROM documents
+        |WHERE len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+        |                         ['big', 'data', 'table', 'scan'])) >= 3
+        |ORDER BY doc_id""".stripMargin,
     "search_dsl_json_geo" ->
       """WITH g AS (
         |  SELECT event_id,

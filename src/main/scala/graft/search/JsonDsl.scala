@@ -376,6 +376,21 @@ object JsonDsl {
           df.schema,
           Option(body.get("default_field")).map(_.asText)
         )
+      case "more_like_this" =>
+        // The free-text `like` form: its analyzed terms become an
+        // msm-gated match over the listed fields. The doc-id form (top
+        // discriminative terms of a stored doc) is the whole-frame
+        // operator Bm25.moreLikeThis, not a bool clause.
+        val fields = req(body, "fields", "more_like_this").elements().asScala.toSeq.map(_.asText)
+        require(fields.nonEmpty, s"more_like_this needs at least one field: $body")
+        val likeTerms =
+          req(body, "like", "more_like_this").asText.toLowerCase.split("\\s+").toSeq.distinct
+        val msm = Option(body.get("minimum_should_match")).map(_.asInt).getOrElse(1)
+        fields
+          .map { f =>
+            size(array_intersect(array_distinct(SearchDsl.analyze(col(f))), array(likeTerms.map(lit): _*))) >= msm
+          }
+          .reduce(_ || _)
       case "geo_distance" =>
         // geo_distance against a struct geo field (lat/lon subfields):
         // equirectangular distance with a fixed mid-latitude scale — only

@@ -29,6 +29,44 @@ object IndexMapping {
 
   val empty: IndexMapping = IndexMapping(Map.empty)
 
+  /** Infer a mapping from the data itself — OpenSearch's dynamic mapping,
+    * done honestly: string fields whose sampled values average more than
+    * `textThreshold` tokens are `text` (prose — analyze it), shorter ones
+    * `keyword` (codes/enums — exact match); timestamps/dates map to
+    * `date`, numerics to their own type. ONE aggregate pass over a
+    * bounded sample computes every string column's average token count —
+    * never a pass per field.
+    */
+  def infer(
+      df: org.apache.spark.sql.DataFrame,
+      sampleN: Int = 1000,
+      textThreshold: Double = 3.0
+  ): IndexMapping = {
+    import org.apache.spark.sql.functions.{avg, col, size, split}
+    import org.apache.spark.sql.types._
+    val stringCols = df.schema.fields.collect { case f if f.dataType == StringType => f.name }
+    val avgToks: Map[String, Double] =
+      if (stringCols.isEmpty) Map.empty
+      else {
+        val row = df
+          .limit(sampleN)
+          .agg(
+            avg(size(split(col(stringCols.head), "\\s+"))).as(stringCols.head),
+            stringCols.tail.map(c => avg(size(split(col(c), "\\s+"))).as(c)): _*
+          )
+          .head()
+        stringCols.map(c => c -> Option(row.getAs[Any](c)).fold(0.0)(_.asInstanceOf[Double])).toMap
+      }
+    IndexMapping(df.schema.fields.map { f =>
+      f.name -> (f.dataType match {
+        case StringType                   => if (avgToks(f.name) > textThreshold) "text" else "keyword"
+        case TimestampType | DateType     => "date"
+        case dt: NumericType              => dt.simpleString
+        case _                            => "keyword"
+      })
+    }.toMap)
+  }
+
   /** Parse the OpenSearch `_mapping` body format the reference's TDD uses:
     * `{"properties": {"field": {"type": "text"}, ...}}` (a top-level
     * `{"mappings": {...}}` wrapper is accepted too).

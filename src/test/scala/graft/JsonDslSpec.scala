@@ -543,6 +543,22 @@ class JsonDslSpec extends SparkSpec {
     intercept[IllegalArgumentException](JsonDsl.percolate(cards, Seq.empty, mapping))
   }
 
+  test("mapping inference: prose becomes text, codes keyword, temporals date, numerics typed") {
+    import java.sql.Timestamp
+    val df = Seq(
+      (1L, "ACTIVE", "the quick brown fox jumps over lazy dogs daily", 5.0, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "BLOCKED", "a stream of prose words goes here as well", 7.5, Timestamp.valueOf("2024-01-02 00:00:00"))
+    ).toDF("id", "status", "body", "amount", "ts")
+    val m = IndexMapping.infer(df)
+    assert(m.isText("body") && !m.isText("status"))
+    assert(m.fieldType("status") == "keyword")
+    assert(m.fieldType("ts") == "date")
+    assert(m.fieldType("amount") == "double" && m.fieldType("id") == "bigint")
+    // the inferred mapping drives the same analyzed-vs-exact compile
+    val got = JsonDsl.parse(df, """{"query": {"match": {"body": "prose fox"}}, "_source": ["id"]}""", m)
+    assert(got.as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("mapping artifact parses the reference _mapping format") {
     val m = IndexMapping.fromJson(
       """{"mappings": {"properties": {"a": {"type": "text"}, "b": {"type": "keyword"}, "c": {"type": "date"}}}}"""

@@ -63,6 +63,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental aggregate maintenance: the streamed running view converges to the batch answer") {
+    // CDC-aware materialized-aggregate view: upserts add, deletes
+    // subtract, the native streaming agg in Update mode maintains per-key
+    // totals incrementally — the stream's LAST update per key must equal
+    // a one-shot batch aggregate of the same changelog.
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, String, Double)]
+    val delta = when(col("op") === "d", -col("amount")).otherwise(col("amount"))
+    val q = input
+      .toDF()
+      .toDF("key", "op", "amount")
+      .withColumn("delta", delta)
+      .groupBy("key")
+      .agg(sum("delta").as("total"))
+      .writeStream
+      .format("memory")
+      .queryName("ivm_out")
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      input.addData(("a", "c", 10.0), ("b", "c", 5.0), ("a", "u", 2.0))
+      q.processAllAvailable()
+      input.addData(("a", "d", 4.0), ("b", "u", 1.0))
+      q.processAllAvailable()
+      val updates = spark.table("ivm_out").as[(String, Double)].collect()
+      // last update per key (the view's current state)
+      val view = updates.zipWithIndex.groupBy(_._1._1).map { case (k, vs) => k -> vs.maxBy(_._2)._1._2 }
+      val batch = Seq(("a", "c", 10.0), ("b", "c", 5.0), ("a", "u", 2.0), ("a", "d", 4.0), ("b", "u", 1.0))
+        .toDF("key", "op", "amount")
+        .withColumn("delta", delta)
+        .groupBy("key")
+        .agg(sum("delta").as("total"))
+        .as[(String, Double)]
+        .collect()
+        .toMap
+      assert(view == batch, s"incremental view $view diverged from batch $batch")
+      assert(view == Map("a" -> 8.0, "b" -> 6.0))
+    } finally q.stop()
+  }
+
   test("transformWithState path emits the same changelog as flatMapGroupsWithState") {
     implicit val sq = spark.sqlContext
     // transformWithState mandates the RocksDB state store provider.
