@@ -873,9 +873,13 @@ object Similarity {
     }
 
     // Identity start = plain PQ trained at corpus scale (the baseline).
+    // Each iteration's cross-covariance scan ALSO evaluates the current
+    // (R, books) corpus MSE — one pass does Procrustes statistics and
+    // candidate scoring together, so the whole train is
+    // opqIters·2 + 2 corpus scans instead of opqIters·3 + 2.
     books = refit(identity, books)
-    val mse0 = corpusMse(identity, books)
-    var best = (identity, books, mse0)
+    var mse0 = Double.NaN
+    var best: (Array[Array[Double]], Array[Array[Array[Double]]], Double) = null
     for (_ <- 0 until opqIters) {
       val rotF = rot.map(_.map(_.toFloat))
       val booksD = books
@@ -884,20 +888,29 @@ object Similarity {
         val res0 = Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
         quantize(rotateVec(rotF, res0).map(_.toDouble), booksD)._1.toSeq
       }
-      val mFlat = base
+      val errUdf = udf { (v: Seq[Float]) =>
+        val c = cents(nearestCell(cents, v))
+        val res0 = Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
+        quantize(rotateVec(rotF, res0).map(_.toDouble), booksD)._2
+      }
+      val row = base
         .select(
           graft.functions.OuterProductSumAgg
             .outerProductSum(residUdfD(col(vecCol)), yUdf(col(vecCol)), dim)
-            .as("m")
+            .as("m"),
+          avg(errUdf(col(vecCol))).as("mse")
         )
         .head()
-        .getSeq[Double](0)
+      val mFlat = row.getSeq[Double](0)
+      val mse = row.getDouble(1)
+      if (mse0.isNaN) mse0 = mse
+      if (best == null || mse < best._3) best = (rot, books, mse)
       val mMat = Array.tabulate(dim, dim)((a, b) => mFlat(a * dim + b))
       rot = rotationFromM(mMat).getOrElse(rot)
       books = refit(rot, books)
-      val mse = corpusMse(rot, books)
-      if (mse < best._3) best = (rot, books, mse)
     }
+    val lastMse = corpusMse(rot, books)
+    if (best == null || lastMse < best._3) best = (rot, books, lastMse)
     val (bestRot, bestBooks, bestMse) = best
     val rotF = bestRot.map(_.map(_.toFloat))
     val booksF = bestBooks.map(_.map(_.map(_.toFloat)))
