@@ -1857,6 +1857,32 @@ object SparkEntry {
     // generated as one small frame, ONE pass over the signature table for
     // the whole batch, TopKPerKey bounded-heap ranking — per-probe result
     // sets identical to scoreAgainstLsh at the same radius (ReplicaSpec).
+    // Late-interaction (ColBERT-style) maxsim: a multi-vector query
+    // scored against multi-vector documents (labels play the document
+    // grouping) — per (doc, query-token) MAX cosine, summed over query
+    // tokens. The probe set broadcasts (a query is a handful of token
+    // vectors); corpus-side work is one scan + one hash agg, and the
+    // final sum is a FIXED b0+b1+b2 tree (not a 3-row float sum), so
+    // both engines add in the same order.
+    "ann_maxsim" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb
+        .filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cos = VectorFns.cosine(col("embedding"), col("q_emb"))
+      emb
+        .filter(col("vec_id") >= 3)
+        .crossJoin(broadcast(probes))
+        .select(col("label"), col("q_id"), cos.as("cos"))
+        .groupBy("label")
+        .agg(
+          max(when(col("q_id") === 0, col("cos"))).as("b0"),
+          max(when(col("q_id") === 1, col("cos"))).as("b1"),
+          max(when(col("q_id") === 2, col("cos"))).as("b2")
+        )
+        .select(col("label"), round(col("b0") + col("b1") + col("b2"), 6).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("label"))
+    }),
     // SQ8 scalar quantization (the per-dim grid complement to PQ's
     // per-subspace codebooks): honest fresh build — min/max agg + encode
     // scan; topk ranks on dequantized byte codes (no float vectors read)
@@ -2139,6 +2165,25 @@ object SparkEntry {
     // "sparc", ranked by edit distance then corpus frequency.
     "search_suggest" -> ((s, dir) =>
       search.Fuzzy.suggest(Tables.documents(s, dir), "text", "sparc", 2, 5)),
+    // rescore API: a cheap first phase ranks the corpus (n_chars), the
+    // expensive scorer runs ONLY on the top window — the OpenSearch
+    // two-phase cost model (TakeOrderedAndProject bounds phase one).
+    "search_rescore" -> ((s, dir) => {
+      val first = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), SearchDsl.analyze(col("text")).as("_toks"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .limit(50)
+      first
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(array_intersect(array_distinct(col("_toks")), array(lit("spark"), lit("query"), lit("table"))))
+            .as("matched")
+        )
+        .orderBy(col("matched").desc, col("n_chars").desc, col("doc_id"))
+        .limit(10)
+    }),
     // Completion suggester: prefix-ranked completions from the corpus
     // vocabulary (most frequent first) — the vocab table is the tiny
     // side, the corpus-scale work is the one token-count agg.
@@ -3755,6 +3800,22 @@ object SparkEntry {
       """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
         |FROM embeddings WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_maxsim" ->
+      """WITH probes AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |                FROM embeddings WHERE vec_id < 3),
+        |pm AS (SELECT label,
+        |         max(CASE WHEN q_id = 0 THEN list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) END) AS b0,
+        |         max(CASE WHEN q_id = 1 THEN list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) END) AS b1,
+        |         max(CASE WHEN q_id = 2 THEN list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) END) AS b2
+        |       FROM embeddings, probes WHERE vec_id >= 3 GROUP BY label)
+        |SELECT label, round(b0 + b1 + b2, 6) AS maxsim FROM pm
+        |ORDER BY maxsim DESC, label""".stripMargin,
+    "search_rescore" ->
+      """WITH first AS (SELECT doc_id, n_chars, list_distinct(string_split(lower(text), ' ')) AS toks
+        |               FROM documents ORDER BY n_chars DESC, doc_id LIMIT 50)
+        |SELECT doc_id, n_chars,
+        |       CAST(len(list_intersect(toks, ['spark', 'query', 'table'])) AS INTEGER) AS matched
+        |FROM first ORDER BY matched DESC, n_chars DESC, doc_id LIMIT 10""".stripMargin,
     "ann_filtered_topk" ->
       """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
