@@ -2703,6 +2703,18 @@ object SparkEntry {
           | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin,
         docsMapping
       )),
+    // JSON-body geo aggs over the struct geo field; the grid twin shares
+    // search_geotile_grid's oracle, the centroid is the ungrouped form.
+    "search_dsl_json_geotile" -> ((s, dir) =>
+      JsonDsl.parse(
+        geoEvents(s, dir).select(struct(col("lat"), col("lon")).as("location")),
+        """{"aggs": {"grid": {"geotile_grid": {"field": "location", "precision": 15, "size": 20}}}}"""
+      )),
+    "search_dsl_json_geo_centroid" -> ((s, dir) =>
+      JsonDsl.parse(
+        geoEvents(s, dir).select(struct(col("lat"), col("lon")).as("location")),
+        """{"aggs": {"c": {"geo_centroid": {"field": "location"}}}}"""
+      )),
     // JSON-body geo_distance over a struct geo field — same predicate as
     // the flat-column search_geo_distance (ids-only projection).
     "search_dsl_json_geo" -> ((s, dir) =>
@@ -4169,6 +4181,17 @@ object SparkEntry {
         |WHERE len(list_intersect(list_distinct(string_split(lower(text), ' ')),
         |                         ['big', 'data', 'table', 'scan'])) >= 3
         |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_geotile" ->
+      """SELECT CAST(floor((((user_id * 1237) % 18000) / 100.0 - 90.0) / 15.0) AS BIGINT) AS cell_y,
+        |       CAST(floor((((event_id * 91) % 36000) / 100.0 - 180.0) / 15.0) AS BIGINT) AS cell_x,
+        |       count(*) AS doc_count
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY doc_count DESC, cell_y, cell_x LIMIT 20""".stripMargin,
+    "search_dsl_json_geo_centroid" ->
+      """SELECT round(CAST(sum(CAST(((user_id * 1237) % 18000) / 100.0 - 90.0 AS DECIMAL(9,2))) AS DOUBLE) / count(*), 6) AS centroid_lat,
+        |       round(CAST(sum(CAST(((event_id * 91) % 36000) / 100.0 - 180.0 AS DECIMAL(9,2))) AS DOUBLE) / count(*), 6) AS centroid_lon,
+        |       count(*) AS doc_count
+        |FROM events""".stripMargin,
     "search_dsl_json_geo" ->
       """WITH g AS (
         |  SELECT event_id,

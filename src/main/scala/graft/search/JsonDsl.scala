@@ -566,6 +566,27 @@ object JsonDsl {
           .map(_.elements().asScala.toSeq.map(_.asDouble))
           .getOrElse(Seq(50.0, 90.0, 99.0))
         Aggs.percentiles(df, field, ps.map(p => percentileName(p) -> p / 100.0))
+      case "geotile_grid" =>
+        // Degree-grid density cells over a struct geo field (precision =
+        // cell size in degrees here; OpenSearch's zoom levels are a
+        // power-of-two reparameterization of the same floor-binning).
+        val f = req(body, "field", "geotile_grid").asText
+        val cell = Option(body.get("precision")).map(_.asDouble).getOrElse(15.0)
+        df.groupBy(
+          floor(col(f).getField("lat") / cell).cast("long").as("cell_y"),
+          floor(col(f).getField("lon") / cell).cast("long").as("cell_x")
+        ).agg(count(lit(1)).as("doc_count"))
+          .orderBy(col("doc_count").desc, col("cell_y"), col("cell_x"))
+          .limit(Option(body.get("size")).map(_.asInt).getOrElse(10))
+      case "geo_centroid" =>
+        val f = req(body, "field", "geo_centroid").asText
+        df.agg(
+          round(sum(col(f).getField("lat").cast("decimal(9,2)")).cast("double") / count(lit(1)), 6)
+            .as("centroid_lat"),
+          round(sum(col(f).getField("lon").cast("decimal(9,2)")).cast("double") / count(lit(1)), 6)
+            .as("centroid_lon"),
+          count(lit(1)).as("doc_count")
+        )
       case "scripted_metric" =>
         Aggs.scriptedMetric(
           df,
