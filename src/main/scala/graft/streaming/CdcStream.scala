@@ -156,6 +156,56 @@ object CdcStream {
       .transformWithState(new LatestStateProcessor, TimeMode.None(), OutputMode.Append(), Encoders.product[StateChange])
   }
 
+  /** [[LatestStateProcessor]] with a per-key state TTL (processing-time):
+    * keys idle longer than the TTL are EVICTED from the store.
+    */
+  class LatestStateTtlProcessor(ttl: java.time.Duration) extends StatefulProcessor[String, Envelope, StateChange] {
+    @transient private var state: ValueState[KeyState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KeyState]("cdcLatestState", Encoders.product[KeyState], TTLConfig(ttl))
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[Envelope],
+        timerValues: TimerValues
+    ): Iterator[StateChange] = {
+      val sorted = rows.toSeq.sortBy(_.seq)
+      var cur = if (state.exists()) Option(state.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[StateChange]
+      sorted.foreach { e =>
+        if (cur.forall(_.lastSeq < e.seq)) {
+          val deleted = e.op == "d"
+          cur = Some(KeyState(e.seq, e.payload, deleted))
+          out += StateChange(key, if (deleted) "d" else "u", e.payload, e.seq)
+        }
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+  }
+
+  /** [[applyChangesTws]] with state eviction: keys idle longer than `ttl`
+    * leave the store, so state is bounded by the ACTIVE key set instead
+    * of the all-time key set — the knob that keeps a 100 TB keyed store
+    * viable when the key universe grows without bound (session ids,
+    * request ids). The semantic trade at the margin: an update arriving
+    * after its key's eviction is treated as new — its out-of-order fence
+    * restarts, exactly like any retention-bounded store.
+    */
+  def applyChangesTtl(envelopes: Dataset[Envelope], ttl: java.time.Duration): Dataset[StateChange] = {
+    val spark = envelopes.sparkSession
+    import spark.implicits._
+    envelopes
+      .groupByKey(_.key)
+      .transformWithState(
+        new LatestStateTtlProcessor(ttl),
+        TimeMode.ProcessingTime(),
+        OutputMode.Append(),
+        Encoders.product[StateChange]
+      )
+  }
+
   /** Event-rate dashboard: windowed counts with a watermark (the Kibana
     * date-histogram, incrementally maintained).
     */

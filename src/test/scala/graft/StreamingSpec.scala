@@ -63,6 +63,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL state eviction: an idle key leaves the store and its seq fence restarts") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    // Processing-time TimeMode keeps scheduling clock-advancing batches,
+    // so processAllAvailable never quiesces — pace with a real trigger
+    // and poll the sink instead. Two scenarios because exact short-TTL
+    // expiry timing is clock-sensitive: (a) a LONG TTL behaves exactly
+    // like the unbounded store (stale seq fenced), (b) a SHORT TTL
+    // eventually evicts — the resurrected key accepts a seq the fence
+    // would have dropped.
+    def run(name: String, ttl: java.time.Duration)(body: (MemoryStream[Envelope], () => Seq[String]) => Unit): Unit = {
+      val input = MemoryStream[Envelope]
+      val q = CdcStream
+        .applyChangesTtl(input.toDS(), ttl)
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+        .start()
+      try body(input, () => spark.table(name).as[StateChange].collect().map(_.payload).toSeq)
+      finally q.stop()
+    }
+    def waitFor(payloads: () => Seq[String], p: String): Unit = {
+      val deadline = System.currentTimeMillis + 90000
+      while (!payloads().contains(p)) {
+        assert(System.currentTimeMillis < deadline, s"timed out waiting for '$p' in ${payloads()}")
+        Thread.sleep(200)
+      }
+    }
+    try {
+      run("cdc_ttl_long", java.time.Duration.ofMinutes(10)) { (input, payloads) =>
+        input.addData(Envelope("1", 5L, "c", "v5"))
+        waitFor(payloads, "v5")
+        input.addData(Envelope("1", 1L, "u", "fenced"))
+        Thread.sleep(1500) // several triggers — inside the 10 min TTL
+        assert(!payloads().contains("fenced"), payloads().mkString(","))
+      }
+      run("cdc_ttl_short", java.time.Duration.ofSeconds(1)) { (input, payloads) =>
+        input.addData(Envelope("1", 5L, "c", "v5"))
+        waitFor(payloads, "v5")
+        Thread.sleep(3000) // let the 1 s TTL lapse
+        input.addData(Envelope("1", 1L, "u", "reborn")) // fence restarted
+        waitFor(payloads, "reborn")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("incremental aggregate maintenance: the streamed running view converges to the batch answer") {
     // CDC-aware materialized-aggregate view: upserts add, deletes
     // subtract, the native streaming agg in Update mode maintains per-key
