@@ -1496,15 +1496,29 @@ object SparkEntry {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .orderBy("hour_of_day")),
-    // ntile quartiles per event type: keyed windows (one shuffle by
-    // type), then per-(type, quartile) bounds — never a global single-
-    // partition window.
-    "agg_ntile_quartiles" -> ((s, dir) => {
-      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
-      Tables
-        .events(s, dir)
-        .select(col("event_type"), col("value"), col("event_id"))
-        .withColumn("quartile", ntile(4).over(w))
+    // Value quartiles per event type, WINDOW-FREE: ntile over a keyed
+    // window would funnel each type's whole volume through ONE task's
+    // sort (event_type has ~5 values — a guaranteed straggler at 100 TB);
+    // instead the three quartile thresholds come from one percentile agg
+    // (tiny output, AQE-broadcast back) and rows bucket by comparison in
+    // a second scan. Thresholds rounded to 6dp on BOTH engines so the
+    // boundary comparisons agree bit-for-bit.
+    "agg_value_quartiles" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val th = e
+        .groupBy(col("event_type").as("th_type"))
+        .agg(
+          round(expr("percentile(value, 0.25)"), 6).as("q1"),
+          round(expr("percentile(value, 0.5)"), 6).as("q2"),
+          round(expr("percentile(value, 0.75)"), 6).as("q3")
+        )
+      e.join(th, col("event_type") === col("th_type"))
+        .select(
+          col("event_type"),
+          col("value"),
+          (lit(1) + (col("value") > col("q1")).cast("int") + (col("value") > col("q2")).cast("int")
+            + (col("value") > col("q3")).cast("int")).as("quartile")
+        )
         .groupBy("event_type", "quartile")
         .agg(
           count(lit(1)).as("n"),
@@ -3494,12 +3508,18 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
         |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    "agg_ntile_quartiles" ->
-      """SELECT event_type, CAST(quartile AS INTEGER) AS quartile, count(*) AS n,
-        |       round(min(value), 2) AS lo, round(max(value), 2) AS hi
-        |FROM (SELECT event_type, value,
-        |             ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
-        |      FROM events) t
+    "agg_value_quartiles" ->
+      """WITH th AS (
+        |  SELECT event_type AS th_type,
+        |         round(quantile_cont(value, 0.25), 6) AS q1,
+        |         round(quantile_cont(value, 0.5), 6) AS q2,
+        |         round(quantile_cont(value, 0.75), 6) AS q3
+        |  FROM events GROUP BY 1)
+        |SELECT event_type,
+        |       CAST(1 + CAST(value > q1 AS INTEGER) + CAST(value > q2 AS INTEGER)
+        |                + CAST(value > q3 AS INTEGER) AS INTEGER) AS quartile,
+        |       count(*) AS n, round(min(value), 2) AS lo, round(max(value), 2) AS hi
+        |FROM events JOIN th ON event_type = th_type
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "agg_running_balance" ->
       """SELECT user_id, event_id, ts,
