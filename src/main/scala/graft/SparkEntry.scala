@@ -1496,6 +1496,53 @@ object SparkEntry {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .orderBy("hour_of_day")),
+    // Retention cohort matrix: signup-week cohort × weeks-since-signup
+    // active-user counts — the product-analytics staple. Three hash aggs
+    // on (user, week) grain; the cohort table joins back on user_id (AQE
+    // sizes it), never a window.
+    "agg_retention_cohorts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val cohort = ev
+        .filter(col("event_type") === "signup")
+        .groupBy(col("user_id").as("c_uid"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("act_week")).distinct()
+      active
+        .join(cohort, col("user_id") === col("c_uid"))
+        .filter(col("act_week") >= col("cohort_week"))
+        .select(
+          col("cohort_week"),
+          floor((col("act_week").cast("long") - col("cohort_week").cast("long")) / lit(604800L)).as("week_offset"),
+          col("user_id")
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+    // Rolling 7-day active users per day, WITHOUT distinct-over-window
+    // (the classic anti-pattern): dedupe to (user, day) FIRST, explode
+    // each pair onto the 7 target days it supports (a pure projection
+    // fan-out of the deduped table — a range join would plan a nested
+    // loop), EQUI-semi-join the observed-day spine to drop phantom
+    // trailing days, then one distinct count per day.
+    "agg_rolling_wau" -> ((s, dir) => {
+      val pairs = Tables
+        .events(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val spine = pairs.select(col("day").as("target_day")).distinct()
+      pairs
+        .select(
+          col("user_id"),
+          explode(
+            expr("sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)")
+          ).as("target_day")
+        )
+        .join(spine, Seq("target_day"), "left_semi")
+        .groupBy("target_day")
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy("target_day")
+    }),
     // Value quartiles per event type, WINDOW-FREE: ntile over a keyed
     // window would funnel each type's whole volume through ONE task's
     // sort (event_type has ~5 values — a guaranteed straggler at 100 TB);
@@ -3508,6 +3555,26 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
         |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_retention_cohorts" ->
+      """WITH cohort AS (
+        |  SELECT user_id AS c_uid, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |active AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week FROM events)
+        |SELECT cohort_week,
+        |       CAST(floor((epoch(act_week) - epoch(cohort_week)) / 604800) AS BIGINT) AS week_offset,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM active JOIN cohort ON user_id = c_uid
+        |WHERE act_week >= cohort_week
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "agg_rolling_wau" ->
+      """WITH pairs AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |spine AS (SELECT DISTINCT day AS target_day FROM pairs),
+        |fan AS (SELECT user_id,
+        |               unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS target_day
+        |        FROM pairs)
+        |SELECT target_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM fan WHERE target_day IN (SELECT target_day FROM spine)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_value_quartiles" ->
       """WITH th AS (
         |  SELECT event_type AS th_type,

@@ -47,6 +47,26 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("scale-shape assertions: no keyed-window sorts, bounded top-k, broadcast probes") {
+    // agg_value_quartiles must stay window-free (a 5-value partition key
+    // would funnel each type through one task's sort at scale).
+    val quart = SparkEntry.queries("agg_value_quartiles")(spark, Sf).queryExecution.executedPlan.toString
+    assert(!quart.contains("Window"), s"quartiles regressed to a window plan:\n$quart")
+    // rescore's first phase must be a bounded TakeOrderedAndProject, not
+    // a full sort.
+    val resc = SparkEntry.queries("search_rescore")(spark, Sf).queryExecution.executedPlan.toString
+    assert(resc.contains("TakeOrderedAndProject"), s"rescore phase one is not bounded:\n$resc")
+    // maxsim's probe side must broadcast (the corpus side never shuffles
+    // for the join).
+    val ms = SparkEntry.queries("ann_maxsim")(spark, Sf).queryExecution.executedPlan.toString
+    assert(ms.contains("BroadcastNestedLoopJoin") || ms.contains("BroadcastExchange"),
+      s"maxsim probes are not broadcast:\n$ms")
+    // rolling WAU must fan out via explode (generate/sequence), not a
+    // range nested-loop join of pairs x spine.
+    val wau = SparkEntry.queries("agg_rolling_wau")(spark, Sf).queryExecution.executedPlan.toString
+    assert(wau.contains("Generate"), s"rolling WAU lost its explode fan-out:\n$wau")
+  }
+
   test("all queries execute and are non-empty at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
