@@ -838,18 +838,33 @@ object Similarity {
     // aggregate output is m × ksub × dsub rows — driver-scale).
     def refit(rotD: Array[Array[Double]], cur: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
       val rotF = rotD.map(_.map(_.toFloat))
-      val booksF = cur.map(_.map(_.map(_.toFloat)))
-      val enc = encodeUdf(cents, booksF, Some(rotF))
-      val rotResid = udf { (v: Seq[Float]) =>
+      val booksD = cur
+      // One evaluation per row: assign + rotate + code once, emitting
+      // (per-subspace code, rotated residual) for the mean refit.
+      val assignUdf = udf { (v: Seq[Float]) =>
         val c = cents(nearestCell(cents, v))
         val res0 = Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
-        rotateVec(rotF, res0).toSeq.map(_.toDouble)
+        val res = rotateVec(rotF, res0).map(_.toDouble)
+        val code = Array.tabulate(m) { mi =>
+          val book = booksD(mi)
+          var best = 0; var bestD = Double.MaxValue
+          var k = 0
+          while (k < book.length) {
+            var d = 0.0; var j = 0
+            while (j < dsub) { val t = res(mi * dsub + j) - book(k)(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = k }
+            k += 1
+          }
+          best
+        }
+        (code.toSeq, res.toSeq)
       }
       val means = base
-        .select(enc(col(vecCol)).as("pq"), posexplode(rotResid(col(vecCol))).as(Seq("dim", "x")))
+        .select(assignUdf(col(vecCol)).as("t"))
+        .select(col("t._1").as("code"), posexplode(col("t._2")).as(Seq("dim", "x")))
         .select(
           (col("dim") / dsub).cast("int").as("sub"),
-          element_at(col("pq.code"), (col("dim") / dsub).cast("int") + 1).as("codeId"),
+          element_at(col("code"), (col("dim") / dsub).cast("int") + 1).as("codeId"),
           (col("dim") % dsub).as("within"),
           col("x")
         )
@@ -883,22 +898,22 @@ object Similarity {
     for (_ <- 0 until opqIters) {
       val rotF = rot.map(_.map(_.toFloat))
       val booksD = books
-      val yUdf = udf { (v: Seq[Float]) =>
+      // ONE evaluation per row: coarse assign + rotate + quantize once,
+      // emitting (unrotated residual, reconstruction, squared error) —
+      // three separate UDFs would redo the argmin work three times.
+      val trainUdf = udf { (v: Seq[Float]) =>
         val c = cents(nearestCell(cents, v))
         val res0 = Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
-        quantize(rotateVec(rotF, res0).map(_.toDouble), booksD)._1.toSeq
-      }
-      val errUdf = udf { (v: Seq[Float]) =>
-        val c = cents(nearestCell(cents, v))
-        val res0 = Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
-        quantize(rotateVec(rotF, res0).map(_.toDouble), booksD)._2
+        val (y, err) = quantize(rotateVec(rotF, res0).map(_.toDouble), booksD)
+        (res0.map(_.toDouble).toSeq, y.toSeq, err)
       }
       val row = base
+        .select(trainUdf(col(vecCol)).as("t"))
         .select(
           graft.functions.OuterProductSumAgg
-            .outerProductSum(residUdfD(col(vecCol)), yUdf(col(vecCol)), dim)
+            .outerProductSum(col("t._1"), col("t._2"), dim)
             .as("m"),
-          avg(errUdf(col(vecCol))).as("mse")
+          avg(col("t._3")).as("mse")
         )
         .head()
       val mFlat = row.getSeq[Double](0)
