@@ -98,6 +98,52 @@ object CdcStream {
     }
   }
 
+  /** A partial-document envelope: `fields` carries ONLY the changed
+    * fields (the OpenSearch `_update` wire shape).
+    */
+  case class PartialEnvelope(key: String, seq: Long, op: String, fields: Map[String, String])
+
+  /** The merged-document changelog row. */
+  case class DocChange(key: String, op: String, doc: Map[String, String], seq: Long)
+
+  // Public for Janino (state-store codegen).
+  case class DocState(lastSeq: Long, doc: Map[String, String], deleted: Boolean)
+
+  /** OpenSearch `_update`-style PARTIAL upserts on the keyed store: each
+    * envelope merges its changed fields over the stored document (fields
+    * accumulate across updates), deletes clear the document, and a
+    * post-delete update starts a fresh doc — with the same out-of-order
+    * seq fence as [[applyChanges]]. Emits the full merged doc per
+    * accepted change (what the sink indexes).
+    */
+  def applyPartialChanges(envelopes: Dataset[PartialEnvelope]): Dataset[DocChange] = {
+    val spark = envelopes.sparkSession
+    import spark.implicits._
+    envelopes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[PartialEnvelope], state: GroupState[DocState]) =>
+          val sorted = it.toSeq.sortBy(_.seq)
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[DocChange]
+          sorted.foreach { e =>
+            if (cur.forall(_.lastSeq < e.seq)) {
+              if (e.op == "d") {
+                cur = Some(DocState(e.seq, Map.empty, deleted = true))
+                out += DocChange(key, "d", Map.empty, e.seq)
+              } else {
+                val basis = cur.filterNot(_.deleted).map(_.doc).getOrElse(Map.empty)
+                val merged = basis ++ e.fields
+                cur = Some(DocState(e.seq, merged, deleted = false))
+                out += DocChange(key, "u", merged, e.seq)
+              }
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** One live-leaderboard row: the member's current rank within its key. */
   case class TopKEntry(key: String, id: Long, score: Double, rank: Int)
 

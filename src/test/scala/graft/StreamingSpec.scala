@@ -63,6 +63,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("partial updates merge fields over the stored doc; delete clears; resurrection starts fresh") {
+    implicit val sq = spark.sqlContext
+    import CdcStream.{DocChange, PartialEnvelope}
+    val input = MemoryStream[PartialEnvelope]
+    val q = CdcStream
+      .applyPartialChanges(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("partial_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData(
+        PartialEnvelope("1", 1L, "u", Map("name" -> "a", "tier" -> "basic")),
+        PartialEnvelope("1", 2L, "u", Map("tier" -> "gold")) // merges over seq 1
+      )
+      q.processAllAvailable()
+      input.addData(PartialEnvelope("1", 1L, "u", Map("tier" -> "stale"))) // fenced
+      input.addData(PartialEnvelope("2", 1L, "u", Map("x" -> "1")), PartialEnvelope("2", 2L, "d", Map.empty))
+      q.processAllAvailable()
+      input.addData(PartialEnvelope("2", 3L, "u", Map("y" -> "2"))) // post-delete: fresh doc
+      q.processAllAvailable()
+      val out = spark.table("partial_out").as[DocChange].collect()
+      val k1 = out.filter(_.key == "1").sortBy(_.seq).map(_.doc)
+      assert(k1.toSeq == Seq(Map("name" -> "a", "tier" -> "basic"), Map("name" -> "a", "tier" -> "gold")))
+      assert(!out.exists(_.doc.get("tier").contains("stale")))
+      val k2 = out.filter(_.key == "2").sortBy(_.seq)
+      assert(k2.map(_.op).toSeq == Seq("u", "d", "u"))
+      assert(k2.last.doc == Map("y" -> "2")) // no resurrected 'x'
+    } finally q.stop()
+  }
+
+  test("geofence alerts: geo_distance stored queries percolate a position stream") {
+    // Composition: the percolate registry accepts ANY supported clause,
+    // so geofencing is just geo_distance stored queries over a stream of
+    // struct geo positions — matches emit as (id, fence) rows per batch.
+    implicit val sq = spark.sqlContext
+    val fences = Seq(
+      1L -> """{"query": {"geo_distance": {"distance": "200km", "location": {"lat": 10.0, "lon": 20.0}}}}""",
+      2L -> """{"query": {"geo_bounding_box": {"location": {
+               "top_left": {"lat": 60.0, "lon": -10.0}, "bottom_right": {"lat": 40.0, "lon": 10.0}}}}}"""
+    )
+    val input = MemoryStream[(Long, Double, Double)]
+    val positions = input
+      .toDF()
+      .toDF("id", "lat", "lon")
+      .select(col("id"), struct(col("lat"), col("lon")).as("location"))
+    val q = graft.search.JsonDsl
+      .percolate(positions, fences)
+      .select("id", "query_id")
+      .writeStream
+      .format("memory")
+      .queryName("geofence_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData((100L, 10.5, 20.5), (101L, 50.0, 0.0), (102L, -30.0, 100.0))
+      q.processAllAvailable()
+      val out = spark.table("geofence_out").as[(Long, Long)].collect().toSet
+      assert(out == Set((100L, 1L), (101L, 2L)))
+    } finally q.stop()
+  }
+
   test("TTL state eviction: an idle key leaves the store and its seq fence restarts") {
     implicit val sq = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
