@@ -712,6 +712,35 @@ object SparkEntry {
         .filter(col("n_errors") * 100 > col("n_total") * 21)
         .select(col("bucket"), col("n_errors"), col("n_total"))
         .orderBy("bucket")),
+    // Anomaly monitor: daily buckets whose value z-score breaks ±2σ.
+    // Mean/std derive from EXACT decimal sums over the bucket table
+    // (engine-identical fixed tree — stddev_samp's accumulation order is
+    // not); the 1-row stats broadcast back onto the buckets.
+    "monitor_anomaly_zscore" -> ((s, dir) => {
+      val daily = Tables
+        .events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("bucket"))
+        .agg(sum(decMoney(col("value"))).as("v_dec"))
+        .select(col("bucket"), col("v_dec").cast("double").as("v"))
+      val stats = daily.agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ss")
+      )
+      daily
+        .crossJoin(broadcast(stats))
+        .select(
+          col("bucket"),
+          round(col("v"), 2).as("day_value"),
+          round(
+            (col("v") - col("s") / col("n")) /
+              sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - lit(1))),
+            6
+          ).as("z_score")
+        )
+        .filter(abs(col("z_score")) > 2.0)
+        .orderBy("bucket")
+    }),
     // BM25 relevance — the scoring OpenSearch actually runs for match
     // queries (k1=1.2, b=0.75).
     "search_bm25" -> ((s, dir) =>
@@ -1642,6 +1671,35 @@ object SparkEntry {
           sum("converted").as("n_converted"),
           round(sum("converted").cast("double") / count(lit(1)), 6).as("conversion_rate")
         )
+    }),
+
+    // Ordered 3-step funnel (signup → view → purchase, each step strictly
+    // after the previous): per-user conditional min/max timestamps in
+    // three stacked keyed aggs — no window, no per-user sort; one summary
+    // row.
+    "agg_funnel_3step" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select("user_id", "event_type", "ts")
+      val s1 = e.filter(col("event_type") === "signup").groupBy("user_id").agg(min("ts").as("t1"))
+      val views = e.filter(col("event_type") === "view").select(col("user_id"), col("ts").as("tv"))
+      val s2 = s1
+        .join(views, Seq("user_id"), "left")
+        .groupBy("user_id")
+        .agg(min(col("t1")).as("t1"), min(when(col("tv") > col("t1"), col("tv"))).as("t2"))
+      val purch = e.filter(col("event_type") === "purchase").select(col("user_id"), col("ts").as("tp"))
+      val perUser = s2
+        .join(purch, Seq("user_id"), "left")
+        .groupBy("user_id")
+        .agg(
+          max(col("t2").isNotNull.cast("long")).as("viewed"),
+          max(when(col("tp") > col("t2"), 1L).otherwise(0L)).as("purchased")
+        )
+      perUser.agg(
+        count(lit(1)).as("n_signup_users"),
+        sum(col("viewed")).as("n_viewed"),
+        sum(col("purchased")).as("n_purchased"),
+        round(sum(col("viewed")).cast("double") / count(lit(1)), 6).as("view_rate"),
+        round(sum(col("purchased")).cast("double") / count(lit(1)), 6).as("purchase_rate")
+      )
     }),
 
     // ── Dedup ───────────────────────────────────────────────────────────
@@ -3555,6 +3613,33 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
         |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "monitor_anomaly_zscore" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT count(*) AS n, sum(v) AS s, sum(v * v) AS ss FROM daily)
+        |SELECT bucket, round(v, 2) AS day_value,
+        |       round((v - s / n) / sqrt((ss - s * s / n) / (n - 1)), 6) AS z_score
+        |FROM daily, st
+        |WHERE abs(round((v - s / n) / sqrt((ss - s * s / n) / (n - 1)), 6)) > 2.0
+        |ORDER BY bucket""".stripMargin,
+    "agg_funnel_3step" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, min(t1) AS t1, min(CASE WHEN e.ts > t1 THEN e.ts END) AS t2
+        |       FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id AND e.event_type = 'view'
+        |       GROUP BY 1),
+        |s3 AS (SELECT s2.user_id,
+        |              CAST(max(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+        |              CAST(max(CASE WHEN e.ts > t2 THEN 1 ELSE 0 END) AS BIGINT) AS purchased
+        |       FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |       GROUP BY 1)
+        |SELECT count(*) AS n_signup_users,
+        |       CAST(sum(viewed) AS BIGINT) AS n_viewed,
+        |       CAST(sum(purchased) AS BIGINT) AS n_purchased,
+        |       round(sum(viewed) / CAST(count(*) AS DOUBLE), 6) AS view_rate,
+        |       round(sum(purchased) / CAST(count(*) AS DOUBLE), 6) AS purchase_rate
+        |FROM s3""".stripMargin,
     "agg_retention_cohorts" ->
       """WITH cohort AS (
         |  SELECT user_id AS c_uid, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
