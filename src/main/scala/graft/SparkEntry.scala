@@ -2130,6 +2130,20 @@ object SparkEntry {
           TextFns.piiRedact(col("c_name")).as("redacted")
         )
         .orderBy("id")),
+    // Tokenizer-economics facet: bytes per token per source (the
+    // data-recipe dashboard number) — exact integer sums, one double
+    // division at the end.
+    "text_bytes_per_token" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("source"), length(col("text")).cast("long").as("n_bytes"), TextFns.tokenCount(col("text")).as("n_tokens"))
+        .groupBy("source")
+        .agg(
+          sum(col("n_bytes")).as("total_bytes"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(sum(col("n_bytes")).cast("double") / sum(col("n_tokens")), 6).as("bytes_per_token")
+        )
+        .orderBy("source")),
     // Sequence-packing planner input: docs and token mass per power-of-2
     // length bucket (a fixed CASE ladder — engine-stable, no log2
     // boundary ambiguity), one codegen'd scan.
@@ -3929,6 +3943,12 @@ object SparkEntry {
         |              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT'
         |                AND o_totalprice > 400000)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "text_bytes_per_token" ->
+      """SELECT source,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+        |       CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
+        |       round(CAST(sum(length(text)) AS DOUBLE) / sum(len(string_split(lower(text), ' '))), 6) AS bytes_per_token
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "text_length_buckets" ->
       """SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
         |            WHEN n <= 128 THEN 128 ELSE 256 END AS len_bucket,
