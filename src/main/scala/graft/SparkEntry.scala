@@ -712,6 +712,46 @@ object SparkEntry {
         .filter(col("n_errors") * 100 > col("n_total") * 21)
         .select(col("bucket"), col("n_errors"), col("n_total"))
         .orderBy("bucket")),
+    // moving_fn ewma (the forecasting smoother): EWMA is a RECURSION, so
+    // no window frame expresses it — instead the (small by construction)
+    // bucket table collapses to ordered arrays and each bucket's value
+    // folds its prefix sequentially (aggregate HOF seeded with the first
+    // element; DuckDB's list_reduce seeds identically, so both engines
+    // run the same fold in the same order → bit-identical doubles).
+    "search_moving_ewma" -> ((s, dir) => {
+      val daily = Tables
+        .events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      daily
+        .agg(sort_array(collect_list(struct(col("bucket"), col("v")))).as("l"))
+        .select(expr("transform(l, e -> e.bucket)").as("bl"), expr("transform(l, e -> e.v)").as("vl"))
+        .select(
+          col("bl"),
+          col("vl"),
+          expr(
+            "transform(vl, (x, i) -> round(aggregate(slice(vl, 2, i)," +
+              " cast(element_at(vl, 1) as double)," +
+              " (acc, y) -> y * cast(0.3 as double) + acc * cast(0.7 as double)), 6))"
+          ).as("ew")
+        )
+        .select(explode(arrays_zip(col("bl"), col("vl"), col("ew"))).as("z"))
+        .select(col("z.bl").as("bucket"), col("z.vl").as("v"), col("z.ew").as("ewma"))
+        .orderBy("bucket")
+    }),
+    // filters agg with other_bucket: the named buckets AND the complement
+    // in the same one-pass conditional aggregation.
+    "search_filters_other" -> ((s, dir) => {
+      val isClick = col("event_type") === "click"
+      val isError = col("event_type") === "error"
+      Tables
+        .events(s, dir)
+        .agg(
+          sum(when(isClick, 1L).otherwise(0L)).as("clicks"),
+          sum(when(isError, 1L).otherwise(0L)).as("errors"),
+          sum(when(!isClick && !isError, 1L).otherwise(0L)).as("other_bucket")
+        )
+    }),
     // Anomaly monitor: daily buckets whose value z-score breaks ±2σ.
     // Mean/std derive from EXACT decimal sums over the bucket table
     // (engine-identical fixed tree — stddev_samp's accumulation order is
@@ -3627,6 +3667,20 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
         |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_moving_ewma" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, CAST(count(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT list(bucket ORDER BY bucket) AS bl, list(v ORDER BY bucket) AS vl FROM daily)
+        |SELECT unnest(bl) AS bucket, unnest(vl) AS v,
+        |       unnest(list_transform(vl, (x, i) ->
+        |         round(list_reduce(list_slice(vl, 1, i), (acc, y) -> y * 0.3 + acc * 0.7), 6))) AS ewma
+        |FROM a ORDER BY bucket""".stripMargin,
+    "search_filters_other" ->
+      """SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        |       CAST(sum(CASE WHEN event_type NOT IN ('click', 'error') THEN 1 ELSE 0 END) AS BIGINT) AS other_bucket
+        |FROM events""".stripMargin,
     "monitor_anomaly_zscore" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
