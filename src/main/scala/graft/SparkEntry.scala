@@ -712,6 +712,14 @@ object SparkEntry {
         .filter(col("n_errors") * 100 > col("n_total") * 21)
         .select(col("bucket"), col("n_errors"), col("n_total"))
         .orderBy("bucket")),
+    // Heatmap (the Kibana heat matrix): hour-of-day × value-band density
+    // in one hash agg — floor-binned band keys, no histogram UDAF.
+    "search_heatmap" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(hour(col("ts")).as("hour_of_day"), floor(col("value") / 50.0).cast("long").as("value_band"))
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy("hour_of_day", "value_band")),
     // moving_fn ewma (the forecasting smoother): EWMA is a RECURSION, so
     // no window frame expresses it — instead the (small by construction)
     // bucket table collapses to ordered arrays and each bucket's value
@@ -2016,6 +2024,32 @@ object SparkEntry {
     // generated as one small frame, ONE pass over the signature table for
     // the whole batch, TopKPerKey bounded-heap ranking — per-probe result
     // sets identical to scoreAgainstLsh at the same radius (ReplicaSpec).
+    // Matryoshka (MRL) truncation: rank by the cosine of the first 16
+    // dims (4× less arithmetic and memory traffic per candidate — the
+    // nested-embedding accelerator), exact-rescore the top rerank window
+    // on full vectors. Both phases deterministic, so the whole two-phase
+    // pipeline is oracle-checkable — no recall bound needed.
+    "ann_matryoshka_topk" -> ((s, dir) => {
+      val q = queryVec(s, dir, 0)
+      val q16 = q.take(16)
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val cand = emb
+        .select(
+          col("vec_id"),
+          VectorFns.cosine(slice(col("embedding"), 1, 16), array(q16.map(x => lit(x.toDouble)): _*)).as("tcos")
+        )
+        .orderBy(col("tcos").desc, col("vec_id"))
+        .limit(50)
+        .select("vec_id")
+      emb
+        .join(cand, Seq("vec_id"))
+        .select(
+          col("vec_id"),
+          round(VectorFns.cosine(col("embedding"), array(q.map(x => lit(x.toDouble)): _*)), 6).as("cos")
+        )
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
     // Late-interaction (ColBERT-style) maxsim: a multi-vector query
     // scored against multi-vector documents (labels play the document
     // grouping) — per (doc, query-token) MAX cosine, summed over query
@@ -4058,6 +4092,23 @@ object SparkEntry {
       """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
         |FROM embeddings WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_matryoshka_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT vec_id,
+        |         list_cosine_similarity(CAST(list_slice(embedding, 1, 16) AS DOUBLE[]),
+        |                                (SELECT CAST(list_slice(qe, 1, 16) AS DOUBLE[]) FROM q)) AS tcos
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY tcos DESC, vec_id LIMIT 50)
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS cos
+        |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
+        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+    "search_heatmap" ->
+      """SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+        |       CAST(floor(value / 50.0) AS BIGINT) AS value_band,
+        |       count(*) AS doc_count
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ann_maxsim" ->
       """WITH probes AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
         |                FROM embeddings WHERE vec_id < 3),
