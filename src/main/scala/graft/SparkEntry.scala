@@ -712,6 +712,17 @@ object SparkEntry {
         .filter(col("n_errors") * 100 > col("n_total") * 21)
         .select(col("bucket"), col("n_errors"), col("n_total"))
         .orderBy("bucket")),
+    // categorize_text (log-pattern grouping, the deterministic core):
+    // messages bucket by their leading-trigram signature — one analyzed
+    // projection + one hash agg, top patterns first.
+    "search_categorize_text" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(concat_ws(" ", slice(SearchDsl.analyze(col("text")), 1, 3)).as("pattern"))
+        .groupBy("pattern")
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy(col("doc_count").desc, col("pattern"))
+        .limit(10)),
     // Heatmap (the Kibana heat matrix): hour-of-day × value-band density
     // in one hash agg — floor-binned band keys, no histogram UDAF.
     "search_heatmap" -> ((s, dir) =>
@@ -1619,6 +1630,26 @@ object SparkEntry {
         .groupBy("target_day")
         .agg(countDistinct(col("user_id")).as("wau"))
         .orderBy("target_day")
+    }),
+    // Weekly churn: users active in week w with NO activity in week w+1 —
+    // the deduped (user, week) pair table anti-joined against its own
+    // one-week shift; both sides shuffle on (user, week) pairs only.
+    "agg_churn" -> ((s, dir) => {
+      val pairs = Tables
+        .events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      val next = pairs.select(col("user_id").as("n_uid"), col("week").as("n_week"))
+      pairs
+        .join(
+          next,
+          col("user_id") === col("n_uid") &&
+            col("n_week") === col("week") + expr("INTERVAL 7 DAYS"),
+          "left_anti"
+        )
+        .groupBy("week")
+        .agg(countDistinct(col("user_id")).as("churned"))
+        .orderBy("week")
     }),
     // Value quartiles per event type, WINDOW-FREE: ntile over a keyed
     // window would funnel each type's whole volume through ONE task's
@@ -3742,6 +3773,17 @@ object SparkEntry {
         |       round(sum(viewed) / CAST(count(*) AS DOUBLE), 6) AS view_rate,
         |       round(sum(purchased) / CAST(count(*) AS DOUBLE), 6) AS purchase_rate
         |FROM s3""".stripMargin,
+    "agg_churn" ->
+      """WITH pairs AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events)
+        |SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS churned
+        |FROM pairs p
+        |WHERE NOT EXISTS (SELECT 1 FROM pairs n
+        |                  WHERE n.user_id = p.user_id AND n.week = p.week + INTERVAL 7 DAY)
+        |GROUP BY week ORDER BY week""".stripMargin,
+    "search_categorize_text" ->
+      """SELECT array_to_string(list_slice(string_split(lower(text), ' '), 1, 3), ' ') AS pattern,
+        |       count(*) AS doc_count
+        |FROM documents GROUP BY 1 ORDER BY doc_count DESC, pattern LIMIT 10""".stripMargin,
     "agg_retention_cohorts" ->
       """WITH cohort AS (
         |  SELECT user_id AS c_uid, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
