@@ -804,6 +804,42 @@ object SparkEntry {
     // queries (k1=1.2, b=0.75).
     "search_bm25" -> ((s, dir) =>
       graft.search.Bm25.topK(Tables.documents(s, dir), "doc_id", "text", Seq("spark", "query"), 10)),
+    // Hybrid search with reciprocal-rank fusion: the BM25 top-10 and the
+    // vector top-10 fuse by Σ 1/(60 + rank) — rank-space fusion needs no
+    // score normalization across incomparable scales (the OpenSearch
+    // hybrid-query processor's standard mode). Each leg is its own
+    // bounded top-k; the rank windows see 10 rows; the fusion join is
+    // 10×10-bounded.
+    "search_hybrid_rrf" -> ((s, dir) => {
+      val lex = graft.search.Bm25
+        .topK(Tables.documents(s, dir), "doc_id", "text", Seq("spark", "query"), 10)
+        .withColumn("lex_rank", row_number().over(Window.orderBy(col("score").desc, col("id"))))
+        .select(col("id"), col("lex_rank"))
+      val q = queryVec(s, dir, 0)
+      val vec = Tables
+        .embeddings(s, dir)
+        .filter(col("vec_id") =!= 0)
+        .select(
+          col("vec_id").as("id"),
+          round(VectorFns.cosine(col("embedding"), array(q.map(x => lit(x.toDouble)): _*)), 6).as("cos")
+        )
+        .orderBy(col("cos").desc, col("id"))
+        .limit(10)
+        .withColumn("vec_rank", row_number().over(Window.orderBy(col("cos").desc, col("id"))))
+        .select(col("id"), col("vec_rank"))
+      lex
+        .join(vec, Seq("id"), "full_outer")
+        .select(
+          col("id"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)),
+            6
+          ).as("rrf_score")
+        )
+        .orderBy(col("rrf_score").desc, col("id"))
+        .limit(10)
+    }),
     // Highlighting: snippet around the first occurrence of the match term.
     "search_highlight" -> ((s, dir) =>
       Tables
@@ -3372,6 +3408,30 @@ object SparkEntry {
         |         count(*) AS n_total
         |  FROM events GROUP BY 1) t
         |WHERE n_errors * 100 > n_total * 21 ORDER BY bucket""".stripMargin,
+    "search_hybrid_rrf" ->
+      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
+        |                     len(string_split(lower(text), ' ')) AS dl
+        |              FROM documents),
+        |postings AS (SELECT id, dl, t.term, count(*) AS tf
+        |             FROM base, unnest(toks) AS t(term)
+        |             WHERE t.term IN ('spark', 'query') GROUP BY id, dl, t.term),
+        |docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+        |lex AS (SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER) AS lex_rank FROM (
+        |  SELECT id, round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |                       * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |  FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
+        |  GROUP BY id ORDER BY score DESC, id LIMIT 10) t),
+        |vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |vec AS (SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id) AS INTEGER) AS vec_rank FROM (
+        |  SELECT vec_id AS id,
+        |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM vq)), 6) AS cos
+        |  FROM embeddings WHERE vec_id <> 0 ORDER BY cos DESC, id LIMIT 10) t)
+        |SELECT coalesce(lex.id, vec.id) AS id,
+        |       round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0.0)
+        |             + coalesce(CAST(1 AS DOUBLE) / (60 + vec_rank), 0.0), 6) AS rrf_score
+        |FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+        |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin,
     "search_bm25" ->
       """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
         |                     len(string_split(lower(text), ' ')) AS dl
