@@ -165,6 +165,26 @@ object SparkEntry {
         (pmod(col("event_id") * 91, lit(36000)) / 100.0 - 180.0).as("lon")
       )
 
+  private val bm25Memo = scala.collection.concurrent.TrieMap[String, graft.search.Bm25.Bm25Index]()
+
+  /** The BM25 inverted index over `dir`'s documents, built once per JVM:
+    * posting table + 1-row corpus stats spilled to parquet — the
+    * persisted, term-keyed artifact a 100 TB deployment scores against
+    * (SURVEY §5: a per-query posting rebuild is a scale-killer). The
+    * honest build cost is the search_bm25_build entry, which runs the
+    * real tokenize+aggregate every call (the IVF/LSH/PQ split).
+    */
+  private def cachedBm25(s: SparkSession, dir: String): graft.search.Bm25.Bm25Index =
+    bm25Memo.getOrElseUpdate(
+      dir, {
+        val idx = graft.search.Bm25.buildIndex(Tables.documents(s, dir), "doc_id", "text")
+        graft.search.Bm25.Bm25Index(
+          postings = Memo.parquet(s, s"bm25-postings:$dir")(idx.postings),
+          corpus = Memo.parquet(s, s"bm25-corpus:$dir")(idx.corpus)
+        )
+      }
+    )
+
   private val sqMemo = scala.collection.concurrent.TrieMap[String, Similarity.SqIndex]()
 
   /** SQ8 index for `dir`, built once per JVM (same contract as the other
@@ -665,7 +685,7 @@ object SparkEntry {
     // (term, doc_id) pairs only.
     "search_more_like_this" -> ((s, dir) =>
       graft.search.Bm25
-        .moreLikeThis(Tables.documents(s, dir), "doc_id", "text", 7L, 10)
+        .moreLikeThisAgainstIndex(cachedBm25(s, dir), 7L, 10)
         .withColumnRenamed("id", "doc_id")),
     "search_cardinality" -> ((s, dir) =>
       Aggs.cardinality(
@@ -801,9 +821,22 @@ object SparkEntry {
         .orderBy("bucket")
     }),
     // BM25 relevance — the scoring OpenSearch actually runs for match
-    // queries (k1=1.2, b=0.75).
+    // queries (k1=1.2, b=0.75). Scores against the per-JVM posting
+    // artifact; search_bm25_build below reports the honest build cost.
     "search_bm25" -> ((s, dir) =>
-      graft.search.Bm25.topK(Tables.documents(s, dir), "doc_id", "text", Seq("spark", "query"), 10)),
+      graft.search.Bm25.scoreAgainstIndex(cachedBm25(s, dir), Seq("spark", "query"), 10)),
+    // The honest BM25 index build (fresh every call — tokenize, explode,
+    // (doc, term) aggregate): summarized to deterministic corpus-level
+    // posting stats so the oracle can hash-check the artifact's content.
+    "search_bm25_build" -> ((s, dir) => {
+      val idx = graft.search.Bm25.buildIndex(Tables.documents(s, dir), "doc_id", "text")
+      idx.postings.agg(
+        count(lit(1)).as("n_postings"),
+        countDistinct(col("term")).as("n_terms"),
+        sum(col("tf")).as("total_tf"),
+        countDistinct(col("id")).as("n_docs")
+      )
+    }),
     // Hybrid search with reciprocal-rank fusion: the BM25 top-10 and the
     // vector top-10 fuse by Σ 1/(60 + rank) — rank-space fusion needs no
     // score normalization across incomparable scales (the OpenSearch
@@ -812,7 +845,7 @@ object SparkEntry {
     // 10×10-bounded.
     "search_hybrid_rrf" -> ((s, dir) => {
       val lex = graft.search.Bm25
-        .topK(Tables.documents(s, dir), "doc_id", "text", Seq("spark", "query"), 10)
+        .scoreAgainstIndex(cachedBm25(s, dir), Seq("spark", "query"), 10)
         .withColumn("lex_rank", row_number().over(Window.orderBy(col("score").desc, col("id"))))
         .select(col("id"), col("lex_rank"))
       val q = queryVec(s, dir, 0)
@@ -1028,7 +1061,7 @@ object SparkEntry {
       val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
@@ -1054,7 +1087,8 @@ object SparkEntry {
         .limit(10)
     }),
     // TPC-H Q7 shape: shipping volume between customer and supplier
-    // nations per year — two dimension broadcasts + fact-fact join.
+    // nations per year — nation broadcasts + fact-fact join; supplier
+    // and customer scale with SF, so AQE sizes those joins (no hints).
     "q7_volume_shipping" -> ((s, dir) => {
       val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
       val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
@@ -1067,7 +1101,7 @@ object SparkEntry {
         .filter(col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
@@ -1095,7 +1129,7 @@ object SparkEntry {
         .filter(col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
@@ -1154,8 +1188,10 @@ object SparkEntry {
             .cast("double")
             .as("revenue")
         )),
-    // TPC-H Q14: promo revenue share for one month — broadcast the part
-    // dim; exact decimal sums, engine-identical double quotient (the
+    // TPC-H Q14: promo revenue share for one month — the part dim scales
+    // with SF (~20B rows at the 100 TB design point), so AQE sizes the
+    // join (broadcast at small SF, shuffle at scale; no forced hint).
+    // Exact decimal sums, engine-identical double quotient (the
     // weighted_avg convention).
     "q14_promo_revenue" -> ((s, dir) => {
       val p = Tables.part(s, dir).select("p_partkey", "p_type")
@@ -1165,7 +1201,7 @@ object SparkEntry {
         .filter(col("l_shipdate") < lit("1996-10-01 00:00:00").cast("timestamp"))
         .select("l_partkey", "l_extendedprice", "l_discount")
       val disc = decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
         .agg(
           round(
             lit(100.0) * sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0))).cast("double")
@@ -1176,14 +1212,15 @@ object SparkEntry {
     }),
     // TPC-H Q16 shape (no partsupp table: lineitem's (partkey, suppkey)
     // plays the part-supplier relation): distinct supplier count per part
-    // attribute triple, filtered part dim broadcast.
+    // attribute triple; the filtered part side still scales with SF, so
+    // AQE decides the join strategy (no forced hint).
     "q16_parts_suppliers" -> ((s, dir) => {
       val p = Tables
         .part(s, dir)
         .filter(col("p_brand") =!= "Brand#5" && col("p_size").isin(1, 5, 9, 14, 23, 36, 45))
         .select("p_partkey", "p_brand", "p_type", "p_size")
       val l = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -1229,8 +1266,9 @@ object SparkEntry {
         .limit(20)
     }),
     // TPC-H Q19 shape: OR-of-ANDs brand/size/quantity triples. The part
-    // side is pre-filtered to the three brands BEFORE the broadcast (the
-    // disjunction implies it), so the build side ships only relevant rows.
+    // side is pre-filtered to the three brands BEFORE the join (the
+    // disjunction implies it) so only relevant rows ship; AQE picks
+    // broadcast vs shuffle by measured size (part scales with SF).
     "q19_discounted_revenue" -> ((s, dir) => {
       val p = Tables
         .part(s, dir)
@@ -1243,7 +1281,7 @@ object SparkEntry {
         (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
           (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
           (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) && col("l_quantity").between(20, 30))
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
         .filter(cond)
         .agg(
           round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2)
@@ -1252,9 +1290,10 @@ object SparkEntry {
         )
     }),
     // TPC-H Q8 shape: a nation's market share inside one region's market
-    // per year. One fact scan; every dimension (part/customer/supplier/
-    // nation/region) broadcasts at TPC-H ratios. Exact-decimal sums,
-    // double quotient at the end (the q14 convention).
+    // per year. One fact scan; nation/region are fixed-size broadcasts,
+    // while part/customer/supplier scale with SF and go through AQE
+    // (no forced hints). Exact-decimal sums, double quotient at the end
+    // (the q14 convention).
     "q8_market_share" -> ((s, dir) => {
       val p = Tables.part(s, dir).filter(col("p_type") === "PROMO").select("p_partkey")
       val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
@@ -1269,12 +1308,12 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderdate")
       val l = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
       val vol = decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .join(broadcast(r), col("c_rk") === col("r_regionkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg(
@@ -1289,7 +1328,8 @@ object SparkEntry {
     // TPC-H Q9 shape (no partsupp: supply cost adapted as half the part's
     // retail price per unit — a double product both engines compute
     // bit-identically, then cast to exact decimal). Profit per supplier
-    // nation per year; part filter broadcast-prunes the fact scan.
+    // nation per year; the %widget% part filter prunes the fact join —
+    // AQE sizes it (part and supplier scale with SF; no forced hints).
     "q9_product_profit" -> ((s, dir) => {
       val p = Tables.part(s, dir).filter(col("p_name").like("%widget%")).select("p_partkey", "p_retailprice")
       val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
@@ -1300,8 +1340,8 @@ object SparkEntry {
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount")
       val amount = decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount"))) -
         decMoney(col("p_retailprice") * col("l_quantity") * lit(0.5))
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
@@ -1310,8 +1350,8 @@ object SparkEntry {
     }),
     // Q9 off the co-located bucketed layout: the one fact-fact join
     // (lineitem⋈orders on the bucket key) runs with zero fact-side
-    // exchange; part/supplier/nation stay broadcast dims. Same oracle as
-    // q9_product_profit.
+    // exchange; nation broadcasts, part/supplier go through AQE (they
+    // scale with SF — no forced hints). Same oracle as q9_product_profit.
     "q9_product_colocated" -> ((s, dir) => {
       val (lt, ot) = bucketedFacts(s, dir)
       val p = Tables.part(s, dir).filter(col("p_name").like("%widget%")).select("p_partkey", "p_retailprice")
@@ -1323,8 +1363,8 @@ object SparkEntry {
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount")
       val amount = decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount"))) -
         decMoney(col("p_retailprice") * col("l_quantity") * lit(0.5))
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
@@ -1348,7 +1388,7 @@ object SparkEntry {
         .select("s_suppkey")
       val l = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
       val vol = decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))
-      val filtered = l.join(broadcast(asiaSup), col("l_suppkey") === col("s_suppkey"))
+      val filtered = l.join(asiaSup, col("l_suppkey") === col("s_suppkey"))
       val perPart = filtered.groupBy("l_partkey").agg(sum(vol).as("value_dec"))
       val threshold = perPart.agg((sum(col("value_dec")).cast("double") * lit(2.0) / count(lit(1))).as("threshold"))
       perPart
@@ -1382,7 +1422,7 @@ object SparkEntry {
     "q17_small_quantity" -> ((s, dir) => {
       val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#23").select("p_partkey")
       val l = Tables.lineitem(s, dir).select("l_partkey", "l_quantity", "l_extendedprice")
-      val branded = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val branded = l.join(p, col("l_partkey") === col("p_partkey"))
       val perPartAvg = branded.groupBy(col("p_partkey").as("avg_pk")).agg(avg("l_quantity").as("avg_qty"))
       branded
         .join(perPartAvg, col("p_partkey") === col("avg_pk"))
@@ -1433,7 +1473,7 @@ object SparkEntry {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
       val cand = ps
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
         .join(eur, col("l_suppkey") === col("s_suppkey"))
         .select("p_partkey", "s_name", "s_acctbal", "n_name", "supply_cost")
       val minPer = cand.groupBy(col("p_partkey").as("m_pk")).agg(min("supply_cost").as("min_cost"))
@@ -1517,7 +1557,7 @@ object SparkEntry {
       val tot = shipped.groupBy(col("l_partkey").as("t_pk")).agg(sum("ps_qty").as("part_qty"))
       val widgets = Tables.part(s, dir).filter(col("p_name").like("%widget%")).select("p_partkey")
       val excess = shipped
-        .join(broadcast(widgets), col("l_partkey") === col("p_partkey"))
+        .join(widgets, col("l_partkey") === col("p_partkey"))
         .join(tot, col("l_partkey") === col("t_pk"))
         .filter(col("ps_qty") > lit(0.3) * col("part_qty"))
         .select("l_suppkey")
@@ -2581,7 +2621,7 @@ object SparkEntry {
       val mx = rev.agg(max("total_revenue").as("mx"))
       rev
         .join(broadcast(mx), col("total_revenue") === col("mx"))
-        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
         .orderBy("s_suppkey")
     }),
@@ -3445,6 +3485,15 @@ object SparkEntry {
         |                     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
         |FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
         |GROUP BY id ORDER BY score DESC, id LIMIT 10""".stripMargin,
+    "search_bm25_build" ->
+      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents),
+        |postings AS (SELECT id, t.term, count(*) AS tf
+        |             FROM base, unnest(toks) AS t(term) GROUP BY id, t.term)
+        |SELECT CAST(count(*) AS BIGINT) AS n_postings,
+        |       CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+        |       CAST(sum(tf) AS BIGINT) AS total_tf,
+        |       CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+        |FROM postings""".stripMargin,
     "search_highlight" ->
       """SELECT doc_id, CAST(strpos(text, 'spark') AS INTEGER) AS pos,
         |       substring(text, greatest(CAST(strpos(text, 'spark') AS INTEGER) - 15, 1), 40) AS snippet

@@ -101,6 +101,31 @@ object Bm25 {
   ): DataFrame =
     scoreAgainstIndex(buildIndex(docs, idCol, textCol), queryTerms, k, k1, b)
 
+  /** `more_like_this` against a prebuilt index: the posting table already
+    * holds one row per (doc, distinct term), so the target's term set is
+    * a tiny filtered fetch, the shared-term restriction is a broadcast
+    * semi-join on the postings, and n_docs comes from the corpus scalars
+    * — no re-tokenization of the corpus. Scores are identical to
+    * [[moreLikeThis]] (Bm25IndexSpec asserts it).
+    */
+  def moreLikeThisAgainstIndex(index: Bm25Index, targetId: Any, k: Int): DataFrame = {
+    val terms = index.postings.select(col("id"), col("term"))
+    val target = terms.filter(col("id") === lit(targetId)).select(col("term"))
+    val shared = terms.join(broadcast(target), "term")
+    val docFreq = shared.groupBy("term").agg(count(lit(1)).as("df"))
+    shared
+      .filter(col("id") =!= lit(targetId))
+      .join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(index.corpus.select(col("n_docs"))))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_shared"),
+        round(sum(log(col("n_docs").cast("double") / col("df"))), 6).as("score")
+      )
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** `more_like_this`: documents ranked by idf-weighted overlap with the
     * target document's distinct analyzed terms — the degenerate (tf=1)
     * form of Lucene's MLT, whose interesting part is exactly the idf

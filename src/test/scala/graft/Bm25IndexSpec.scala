@@ -24,4 +24,17 @@ class Bm25IndexSpec extends SparkSpec {
       assert(plan.contains("InMemoryTableScan"), plan)
     } finally index.unpersist()
   }
+
+  test("more_like_this against the index equals the from-scratch path") {
+    val docs = Tables.documents(spark, Sf)
+    val index = Bm25.buildIndex(docs, "doc_id", "text").persist()
+    try {
+      val viaIndex =
+        Bm25.moreLikeThisAgainstIndex(index, 7L, 10).as[(Long, Long, Double)].collect().toSeq
+      val scratch =
+        Bm25.moreLikeThis(docs, "doc_id", "text", 7L, 10).as[(Long, Long, Double)].collect().toSeq
+      assert(viaIndex == scratch)
+      assert(viaIndex.nonEmpty)
+    } finally index.unpersist()
+  }
 }

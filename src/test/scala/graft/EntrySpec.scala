@@ -14,23 +14,31 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("customer join carries no broadcast hint (scaling table — AQE decides)") {
-    // customer grows with SF (150k x SF; ~15B rows at the 100 TB design
-    // point) — a forced broadcast hint there overrides AQE's size check
-    // and guarantees an OOM at scale. Dimension hints (nation/region/
-    // filtered part) are fine; this asserts the HINT's absence on any
-    // frame carrying c_custkey, not the physical join choice (AQE may
-    // still pick broadcast at small SF, which is correct).
+  test("no SF-scaling table carries a broadcast hint (customer/supplier/part — AQE decides)") {
+    // customer (150k×SF), supplier (10k×SF) and part (200k×SF) all grow
+    // with SF — billions of rows at the 100 TB design point — so a
+    // forced broadcast hint on any of them overrides AQE's size check
+    // and guarantees an OOM at scale. Fixed-size dimension hints
+    // (nation=25, region=5, 1-row aggregates) are fine; this asserts the
+    // HINT's absence on any frame carrying a scaling table's key, not
+    // the physical join choice (AQE may still pick broadcast at small
+    // SF, which is correct). Filtered-but-scaling frames (ASIA
+    // suppliers, %widget% parts) count too: a fixed fraction of a
+    // scaling table still scales.
+    val scalingKeys = Set("c_custkey", "s_suppkey", "p_partkey")
     val qs = Seq(
-      "q3_shipping_priority", "q5_local_supplier", "q3_shipping_colocated", "q7_volume_shipping",
-      "q10_returned_items", "q18_large_orders", "q18_large_orders_colocated", "q8_market_share")
+      "q2_min_cost_supplier", "q3_shipping_priority", "q3_shipping_colocated", "q5_local_supplier",
+      "q7_volume_shipping", "q7_volume_colocated", "q8_market_share", "q9_product_profit",
+      "q9_product_colocated", "q10_returned_items", "q11_important_parts", "q14_promo_revenue",
+      "q15_top_supplier", "q16_parts_suppliers", "q17_small_quantity", "q18_large_orders",
+      "q18_large_orders_colocated", "q19_discounted_revenue", "q20_excess_suppliers")
     for (q <- qs) {
       val plan = SparkEntry.queries(q)(spark, Sf).queryExecution.analyzed
       val bad = plan.collect {
         case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-            if h.child.output.exists(_.name == "c_custkey") => h
+            if h.child.output.exists(a => scalingKeys(a.name)) => h
       }
-      assert(bad.isEmpty, s"$q still broadcast-hints the customer table")
+      assert(bad.isEmpty, s"$q still broadcast-hints an SF-scaling table (customer/supplier/part)")
     }
   }
 
