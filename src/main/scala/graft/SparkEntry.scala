@@ -597,6 +597,43 @@ object SparkEntry {
            | "sort": ["_id"], "_source": ["_id", "_score"]}""".stripMargin
       )
     }),
+    // Filtered vector search from the wire format: knn.filter applies
+    // BEFORE scoring (OpenSearch's knn.filter semantics — the top k come
+    // from the filtered subset with exact recall, never a post-filter
+    // that could return fewer than k). Same pre-filter plan as
+    // ann_filtered_topk (JsonDslSpec asserts plan equality).
+    "search_dsl_json_knn_filtered" -> ((s, dir) => {
+      val qv = queryVec(s, dir, 0).map(_.toDouble).mkString("[", ",", "]")
+      JsonDsl.parse(
+        Tables.embeddings(s, dir).withColumnRenamed("vec_id", "_id").select("_id", "embedding", "label"),
+        s"""{"query": {"knn": {"embedding": {"vector": $qv, "k": 10,
+           |  "filter": {"bool": {"must_not": [{"ids": {"values": [0]}}],
+           |             "filter": [{"term": {"label": 2}}]}}}}},
+           | "sort": ["_id"], "_source": ["_id", "_score"]}""".stripMargin
+      )
+    }),
+    // _rank_eval from the wire format: per-request knn ranking (one with
+    // a knn.filter) judged against the body's explicit graded ratings,
+    // scored with OpenSearch's normalized-dcg metric (NDCG@10). Each
+    // request is the knn top-k + a broadcast ratings join + a 1-row
+    // aggregate; the ideal DCG folds from the request's own ratings
+    // driver-side (a pure function of the body, like the query vector).
+    "search_dsl_json_rank_eval" -> ((s, dir) => {
+      val qv = queryVec(s, dir, 0).map(_.toDouble).mkString("[", ",", "]")
+      JsonDsl.rankEval(
+        Tables.embeddings(s, dir).withColumnRenamed("vec_id", "_id").select("_id", "embedding", "label"),
+        "_id",
+        s"""{"requests": [
+           |  {"id": "q_all", "request": {"query": {"knn": {"embedding": {"vector": $qv, "k": 10}}}},
+           |   "ratings": [{"_id": 1, "rating": 2}, {"_id": 2, "rating": 1}, {"_id": 3, "rating": 0},
+           |               {"_id": 5, "rating": 3}, {"_id": 8, "rating": 1}, {"_id": 13, "rating": 2}]},
+           |  {"id": "q_label2", "request": {"query": {"knn": {"embedding": {"vector": $qv, "k": 10,
+           |      "filter": {"term": {"label": 2}}}}}},
+           |   "ratings": [{"_id": 1, "rating": 1}, {"_id": 4, "rating": 2}, {"_id": 9, "rating": 1},
+           |               {"_id": 16, "rating": 2}, {"_id": 25, "rating": 1}]}],
+           | "metric": {"dcg": {"k": 10, "normalize": true}}}""".stripMargin
+      )
+    }),
     // top_hits sub-aggregation from the wire format, executed by the
     // bounded-heap TopKPerKey operator.
     "search_dsl_json_top_hits" -> ((s, dir) =>
@@ -1992,7 +2029,9 @@ object SparkEntry {
     "search_rank_eval" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = queryVec(s, dir, 0)
-      val qLabel = emb.filter(col("vec_id") === 0).select("label").head().getInt(0)
+      // The query's label stays in-plan (1-row broadcast cross join, the
+      // idcg/stats-frame pattern) — no eager action during construction.
+      val qLabelRow = emb.filter(col("vec_id") === 0).select(col("label").as("_qlabel"))
       val scored = emb
         .filter(col("vec_id") =!= 0)
         .select(
@@ -2000,11 +2039,12 @@ object SparkEntry {
           col("label"),
           round(VectorFns.cosine(col("embedding"), array(q.map(x => lit(x.toDouble)): _*)), 6).as("cos")
         )
+        .crossJoin(broadcast(qLabelRow))
       val top = scored
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
         .withColumn("rank", row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
-      val rel = col("label") === lit(qLabel)
+      val rel = col("label") === col("_qlabel")
       val m = top.agg(
         round(sum(when(rel, 1).otherwise(0)) / 10.0, 6).as("precision_at_10"),
         round(coalesce(max(when(rel, lit(1.0) / col("rank"))), lit(0.0)), 6).as("mrr"),
@@ -3363,6 +3403,40 @@ object SparkEntry {
         |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS "_score"
         |FROM embeddings ORDER BY "_score" DESC, "_id" LIMIT 10""".stripMargin,
+    "search_dsl_json_knn_filtered" ->
+      """SELECT vec_id AS "_id",
+        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS "_score"
+        |FROM embeddings WHERE vec_id <> 0 AND label = 2
+        |ORDER BY "_score" DESC, "_id" LIMIT 10""".stripMargin,
+    "search_dsl_json_rank_eval" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |top1 AS (SELECT vec_id,
+        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS s
+        |       FROM embeddings ORDER BY s DESC, vec_id LIMIT 10),
+        |j1 AS (SELECT CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS INTEGER) AS rank,
+        |              coalesce(r.rating, 0) AS rating
+        |       FROM top1 LEFT JOIN (VALUES (1, 2), (2, 1), (3, 0), (5, 3), (8, 1), (13, 2)) AS r(id, rating)
+        |         ON top1.vec_id = r.id),
+        |d1 AS (SELECT coalesce(sum((pow(2.0, rating) - 1.0) / (ln(rank + 1) / ln(2.0))), 0.0) AS dcg FROM j1),
+        |i1 AS (SELECT sum((pow(2.0, rating) - 1.0) / (ln(rn + 1) / ln(2.0))) AS ideal
+        |       FROM (SELECT rating, row_number() OVER (ORDER BY rating DESC) AS rn
+        |             FROM (VALUES (2), (1), (3), (1), (2)) AS t(rating)) s WHERE rn <= 10),
+        |top2 AS (SELECT vec_id,
+        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS s
+        |       FROM embeddings WHERE label = 2 ORDER BY s DESC, vec_id LIMIT 10),
+        |j2 AS (SELECT CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS INTEGER) AS rank,
+        |              coalesce(r.rating, 0) AS rating
+        |       FROM top2 LEFT JOIN (VALUES (1, 1), (4, 2), (9, 1), (16, 2), (25, 1)) AS r(id, rating)
+        |         ON top2.vec_id = r.id),
+        |d2 AS (SELECT coalesce(sum((pow(2.0, rating) - 1.0) / (ln(rank + 1) / ln(2.0))), 0.0) AS dcg FROM j2),
+        |i2 AS (SELECT sum((pow(2.0, rating) - 1.0) / (ln(rn + 1) / ln(2.0))) AS ideal
+        |       FROM (SELECT rating, row_number() OVER (ORDER BY rating DESC) AS rn
+        |             FROM (VALUES (1), (2), (1), (2), (1)) AS t(rating)) s WHERE rn <= 10)
+        |SELECT 'q_all' AS request_id, round(d1.dcg / i1.ideal, 6) AS metric_score FROM d1, i1
+        |UNION ALL
+        |SELECT 'q_label2' AS request_id, round(d2.dcg / i2.ideal, 6) AS metric_score FROM d2, i2
+        |ORDER BY request_id""".stripMargin,
     "search_dsl_json_top_hits" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

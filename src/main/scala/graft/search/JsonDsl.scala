@@ -66,7 +66,14 @@ object JsonDsl {
         val spec = body.get(f)
         val vec = req(spec, "vector", "knn").elements().asScala.toSeq.map(_.asDouble)
         val k = req(spec, "k", "knn").asInt
-        val scored = df.withColumn(
+        // knn.filter — OpenSearch's filtered vector search: the filter
+        // applies BEFORE scoring (an efficient pre-filter with exact
+        // recall over the surviving subset), never a post-filter of the
+        // top k that could return < k or miss qualifying neighbors.
+        val base = Option(spec.get("filter"))
+          .map(fn => df.filter(compileQuery(df, fn, mapping)))
+          .getOrElse(df)
+        val scored = base.withColumn(
           "_score",
           round(graft.functions.VectorFns.cosine(col(f), array(vec.map(lit): _*)), 6)
         )
@@ -270,6 +277,104 @@ object JsonDsl {
       when(compileQuery(df, req(root, "query", s"stored query $id"), mapping), lit(id))
     }
     df.withColumn("query_id", explode(array_compact(array(preds: _*))))
+  }
+
+  /** OpenSearch `_rank_eval`: ranking evaluation of search requests
+    * against explicit graded ratings. Each request carries the knn body
+    * shape (the engine's ranking story under evaluation — vector
+    * search, including a `filter` sub-clause); `ratings` is the judged
+    * (_id, rating) list; `metric` is one of OpenSearch's three
+    * (`precision` / `mean_reciprocal_rank` / `dcg`, with `k`,
+    * `relevant_rating_threshold`, `normalize`). One row per request:
+    * (request_id, metric_score), request-id ordered.
+    *
+    * Plan per request: the same scan + TakeOrderedAndProject top-k the
+    * knn clause compiles to, left-joined to the tiny broadcast ratings
+    * table, then a 1-row aggregate; the cross-request union is
+    * O(#requests) rows. The ideal DCG is a pure function of the
+    * request's own ratings list, so it folds driver-side into a literal
+    * (OpenSearch derives it from the ratings the same way) — no second
+    * pass over the data. log2 spelled ln(x)/ln(2) (the
+    * search_rank_eval convention) so oracle expression trees match.
+    */
+  def rankEval(df: DataFrame, idCol: String, body: String, mapping: IndexMapping = IndexMapping.empty): DataFrame = {
+    val root =
+      try mapper.readTree(body)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(s"request body is not valid JSON: ${e.getMessage}")
+      }
+    require(root != null && root.isObject, s"request body must be a JSON object: $body")
+    val metric = req(root, "metric", "_rank_eval")
+    require(metric.isObject && metric.size == 1, s"metric must have exactly one key: $metric")
+    val mName = metric.fieldNames().next()
+    require(
+      Set("precision", "mean_reciprocal_rank", "dcg")(mName),
+      s"unsupported _rank_eval metric '$mName'"
+    )
+    val mSpec = metric.get(mName)
+    val k = Option(mSpec.get("k")).map(_.asInt).getOrElse(10)
+    val threshold = Option(mSpec.get("relevant_rating_threshold")).map(_.asInt).getOrElse(1)
+    val normalize = Option(mSpec.get("normalize")).exists(_.asBoolean)
+    val requests = req(root, "requests", "_rank_eval").elements().asScala.toSeq
+    require(requests.nonEmpty, "_rank_eval needs at least one request")
+    val perRequest = requests.map { r =>
+      val reqId = req(r, "id", "_rank_eval request").asText
+      val ratings = req(r, "ratings", s"request $reqId")
+        .elements()
+        .asScala
+        .toSeq
+        .map(e => (req(e, "_id", "rating").asLong, req(e, "rating", "rating").asInt))
+      val q = req(req(r, "request", s"request $reqId"), "query", s"request $reqId")
+      require(
+        q.isObject && q.size == 1 && q.fieldNames().next() == "knn",
+        s"_rank_eval request '$reqId' must be a knn query (the ranking under evaluation)"
+      )
+      val knnBody = q.get("knn")
+      val f = singleField(knnBody)
+      val spec = knnBody.get(f)
+      val vec = req(spec, "vector", "knn").elements().asScala.toSeq.map(_.asDouble)
+      val base = Option(spec.get("filter"))
+        .map(fn => df.filter(compileQuery(df, fn, mapping)))
+        .getOrElse(df)
+      val top = base
+        .withColumn("_score", round(graft.functions.VectorFns.cosine(col(f), array(vec.map(lit): _*)), 6))
+        .orderBy(col("_score").desc, col(idCol))
+        .limit(k)
+        .withColumn(
+          "rank",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("_score").desc, col(idCol))
+          )
+        )
+      val ratingDf = df.sparkSession.createDataFrame(ratings).toDF(idCol, "_rating")
+      val judged = top
+        .join(broadcast(ratingDf), Seq(idCol), "left")
+        .select(col("rank"), coalesce(col("_rating"), lit(0)).as("_rating"))
+      val rel = col("_rating") >= threshold
+      val score = mName match {
+        case "precision" =>
+          round(sum(when(rel, 1).otherwise(0)) / lit(k.toDouble), 6)
+        case "mean_reciprocal_rank" =>
+          round(coalesce(max(when(rel, lit(1.0) / col("rank"))), lit(0.0)), 6)
+        case "dcg" =>
+          val dcg = coalesce(sum((pow(lit(2.0), col("_rating")) - 1.0) / (log(col("rank") + 1) / log(lit(2.0)))), lit(0.0))
+          if (!normalize) round(dcg, 6)
+          else {
+            val ideal = ratings
+              .map(_._2)
+              .filter(_ >= threshold)
+              .sorted(Ordering[Int].reverse)
+              .take(k)
+              .zipWithIndex
+              .map { case (g, i) => (math.pow(2.0, g) - 1.0) / (math.log(i + 2.0) / math.log(2.0)) }
+              .sum
+            if (ideal == 0.0) lit(0.0) else round(dcg / lit(ideal), 6)
+          }
+      }
+      judged.agg(score.as("metric_score")).select(lit(reqId).as("request_id"), col("metric_score"))
+    }
+    perRequest.reduce(_.union(_)).orderBy("request_id")
   }
 
   /** Compile just the `query` clause to a predicate (the `_count` /

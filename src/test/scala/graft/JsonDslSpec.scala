@@ -559,6 +559,91 @@ class JsonDslSpec extends SparkSpec {
     assert(got.as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("knn.filter applies before scoring: plan-equal to the structured pre-filter top-k") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 2),
+      (1L, Array(0.9f, 0.1f), 2),
+      (2L, Array(0.95f, 0.05f), 1),
+      (3L, Array(-1.0f, 0.0f), 2)
+    ).toDF("_id", "embedding", "label")
+    val got = JsonDsl.parse(
+      emb,
+      """{"query": {"knn": {"embedding": {"vector": [1.0, 0.0], "k": 2,
+        |  "filter": {"term": {"label": 2}}}}},
+        | "sort": ["_id"], "_source": ["_id", "_score"]}""".stripMargin,
+      IndexMapping.empty
+    )
+    val want = emb
+      .filter(col("label") === lit(2))
+      .withColumn(
+        "_score",
+        round(graft.functions.VectorFns.cosine(col("embedding"), array(lit(1.0), lit(0.0))), 6)
+      )
+      .orderBy(col("_score").desc, col("_id"))
+      .limit(2)
+      .select("_id", "_score")
+    samePlan(got, want)
+    // pre-filter semantics: the label=1 vector outscores the label=2
+    // runner-up but must not appear — and the top k still fills to k
+    // from the filtered subset (a post-filter would return it short).
+    assert(got.select("_id").as[Long].collect().toSeq == Seq(0L, 1L))
+  }
+
+  test("_rank_eval: normalized dcg against explicit graded ratings (hand-computed)") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("_id", "embedding")
+    val got = JsonDsl
+      .rankEval(
+        emb,
+        "_id",
+        """{"requests": [
+          |  {"id": "q1", "request": {"query": {"knn": {"embedding": {"vector": [1.0, 0.0], "k": 2}}}},
+          |   "ratings": [{"_id": 2, "rating": 2}, {"_id": 3, "rating": 1}]}],
+          | "metric": {"dcg": {"k": 2, "normalize": true}}}""".stripMargin
+      )
+    // heavy phase is the bounded knn top-k, never a full sort
+    assert(
+      got.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      got.queryExecution.executedPlan.toString
+    )
+    // top-2 = [_id 1 (unrated, gain 0), _id 2 (rating 2)];
+    // dcg = (2^2-1)/log2(3); ideal = (2^2-1)/log2(2) + (2^1-1)/log2(3)
+    val dcg = 3.0 / (math.log(3.0) / math.log(2.0))
+    val ideal = 3.0 + 1.0 / (math.log(3.0) / math.log(2.0))
+    val expect = BigDecimal(dcg / ideal).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.as[(String, Double)].collect().toSeq == Seq(("q1", expect)))
+  }
+
+  test("_rank_eval: precision and mean_reciprocal_rank metrics") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("_id", "embedding")
+    def eval(metric: String): Seq[(String, Double)] =
+      JsonDsl
+        .rankEval(
+          emb,
+          "_id",
+          s"""{"requests": [
+             |  {"id": "q1", "request": {"query": {"knn": {"embedding": {"vector": [1.0, 0.0], "k": 2}}}},
+             |   "ratings": [{"_id": 2, "rating": 2}, {"_id": 3, "rating": 1}]}],
+             | "metric": $metric}""".stripMargin
+        )
+        .as[(String, Double)]
+        .collect()
+        .toSeq
+    // top-2 = [1 (unrated), 2 (rating 2 >= threshold)]
+    assert(eval("""{"precision": {"k": 2}}""") == Seq(("q1", 0.5)))
+    assert(eval("""{"mean_reciprocal_rank": {"k": 2}}""") == Seq(("q1", 0.5)))
+    // raising the threshold above every rating zeroes both metrics
+    assert(eval("""{"precision": {"k": 2, "relevant_rating_threshold": 3}}""") == Seq(("q1", 0.0)))
+    assert(eval("""{"mean_reciprocal_rank": {"k": 2, "relevant_rating_threshold": 3}}""") == Seq(("q1", 0.0)))
+  }
+
   test("mapping artifact parses the reference _mapping format") {
     val m = IndexMapping.fromJson(
       """{"mappings": {"properties": {"a": {"type": "text"}, "b": {"type": "keyword"}, "c": {"type": "date"}}}}"""
