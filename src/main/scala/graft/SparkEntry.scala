@@ -165,6 +165,20 @@ object SparkEntry {
         (pmod(col("event_id") * 91, lit(36000)) / 100.0 - 180.0).as("lon")
       )
 
+  private val graphMemo = scala.collection.concurrent.TrieMap[String, Similarity.GraphIndex]()
+
+  /** The NSW-style neighbor graph for `dir`, built once per JVM:
+    * adjacency table spilled to parquet, entry-point ids held on the
+    * driver (O(nLists) metadata — the other index caches' contract).
+    */
+  private def cachedGraph(s: SparkSession, dir: String): Similarity.GraphIndex =
+    graphMemo.getOrElseUpdate(
+      dir, {
+        val idx = Similarity.graphIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
+        idx.copy(neighbors = Memo.parquet(s, s"graph:$dir")(idx.neighbors))
+      }
+    )
+
   private val bm25Memo = scala.collection.concurrent.TrieMap[String, graft.search.Bm25.Bm25Index]()
 
   /** The BM25 inverted index over `dir`'s documents, built once per JVM:
@@ -2106,6 +2120,24 @@ object SparkEntry {
     "ann_ivf_kmeans_topk" -> ((s, dir) =>
       Similarity
         .scoreAgainstIvf(cachedIvfKMeans(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6)),
+    // Graph ANN (the NSW/HNSW family — OpenSearch's default knn engine).
+    // Honest build: k-means blocking + in-cell exact top-m adjacency,
+    // fresh every call, summarized per node-degree (approximate-by-design
+    // -> rows-only; structure proven in ReplicaSpec).
+    "ann_graph_build" -> ((s, dir) =>
+      Similarity
+        .graphIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .neighbors
+        .groupBy("id")
+        .agg(count(lit(1)).as("degree"))
+        .groupBy("degree")
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")),
+    // Beam search over the amortized graph: fixed expand/score/prune
+    // rounds, exact emitted cosines, recall floor in ReplicaSpec.
+    "ann_graph_topk" -> ((s, dir) =>
+      Similarity
+        .graphSearch(cachedGraph(s, dir), Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10)),
     // Honest PQ build cost: the full encode (coarse assign + residual
     // codebook training + per-vector codes) runs on every call.
     "ann_ivf_pq_build" -> ((s, dir) =>

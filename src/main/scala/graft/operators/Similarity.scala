@@ -1081,6 +1081,143 @@ object Similarity {
       .limit(k)
   }
 
+  // ── Graph ANN: NSW-style neighbor graph + bounded beam search ─────────
+
+  /** An NSW-class neighbor graph (the index family OpenSearch's default
+    * knn engine builds): `neighbors` is the (id, nbr, cos) top-m
+    * adjacency table; `entryPoints` are one vector id per coarse cell —
+    * bounded index metadata, the same class as the IVF centroid array.
+    */
+  final case class GraphIndex(neighbors: DataFrame, entryPoints: Seq[Long]) {
+    def persist(): GraphIndex = {
+      neighbors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      this
+    }
+    def unpersist(): Unit = { neighbors.unpersist(); () }
+  }
+
+  /** Build the neighbor graph (Malkov/Yashunin NSW's flat layer): each
+    * vector keeps its top-`m` in-cell neighbors by exact cosine, with
+    * SemDeDup-style multi-assignment cell blocking (Lloyd-refined k-means
+    * cells; a Voronoi-boundary neighbor pair still meets in the runner-up
+    * cell) — the quadratic candidate step stays confined to cells, never
+    * corpus all-pairs, and cell count scales with the corpus so per-cell
+    * work is bounded at any SF. Per-vector truncation runs through the
+    * bounded-heap TopKPerKey operator; every shuffle carries (id, nbr,
+    * cos) triples, never vectors. Entry points are the min-id vector of
+    * each cell — nLists seeds spread across the space, one O(nLists)
+    * driver fetch.
+    */
+  def graphIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      nLists: Int = 16,
+      nAssign: Int = 2
+  ): GraphIndex = {
+    val idx = ivfIndexKMeans(emb, idCol, vecCol, nLists, iters = 2)
+    val cents = idx.centroids
+    val topCells = udf { (v: Seq[Float]) =>
+      if (v == null) Seq.empty[Int]
+      else
+        cents.indices
+          .map { i =>
+            var d = 0.0
+            var j = 0
+            val c = cents(i)
+            val n = math.min(c.length, v.length)
+            while (j < n) { val t = v(j).toDouble - c(j).toDouble; d += t * t; j += 1 }
+            (d, i)
+          }
+          .sorted
+          .take(nAssign)
+          .map(_._2)
+    }
+    val cells = graft.Tables
+      .ensureParallelism(emb.select(col(idCol).as("id"), col(vecCol).as("vec")).filter(col("vec").isNotNull))
+      .select(col("id"), col("vec"), explode(topCells(col("vec"))).as("cell"))
+    val l = cells.select(col("cell"), col("id"), col("vec").as("va"))
+    val r = cells.select(col("cell"), col("id").as("nbr"), col("vec").as("vb"))
+    val scored = l
+      .join(r, Seq("cell"))
+      .filter(col("id") =!= col("nbr"))
+      .select(col("id"), col("nbr"), round(VectorFns.cosine(col("va"), col("vb")), 6).as("cos"))
+      .distinct() // a pair sharing both assigned cells is found twice
+    val neighbors = graft.plans.TopKPerKey
+      .perKey(scored, Seq("id"), Seq("cos" -> false, "nbr" -> true), m)
+      .select("id", "nbr", "cos")
+    val entry = idx.assigned
+      .filter(col("cell") >= 0)
+      .groupBy("cell")
+      .agg(min(col(idCol)).as("seed"))
+      .select("seed")
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+      .sorted
+    GraphIndex(neighbors, entry)
+  }
+
+  /** Beam search over the neighbor graph — HNSW's greedy descent
+    * expressed as a FIXED number of expand/score/prune rounds (the
+    * bounded-iteration Spark shape: no data-dependent convergence loop,
+    * so the job count is known before the query runs). Driver state is
+    * only the beam's (id, score) list — O(beam·m·rounds), corpus-size
+    * independent, the bounded-metadata class of the centroid fetches.
+    * Each round is two pruned scans: the frontier's adjacency rows (an
+    * IN filter — pushed down; at deployment scale the neighbor table is
+    * bucketed by id so a probe touches only its buckets) and the exact
+    * re-score of the newly discovered candidates. Emitted scores are
+    * exact cosines; recall vs brute force is pinned in ReplicaSpec.
+    */
+  def graphSearch(
+      index: GraphIndex,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      beam: Int = 16,
+      rounds: Int = 3
+  ): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec")).filter(col("vec").isNotNull)
+    def scoreIds(ids: Seq[Long]): Array[(Long, Double)] =
+      base
+        .filter(col("id").isin(ids: _*))
+        .select(col("id"), round(VectorFns.cosine(col("vec"), vecLit(query)), 6).as("cos"))
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+    val scored = scala.collection.mutable.Map.empty[Long, Double]
+    scoreIds(index.entryPoints).foreach { case (i, c) => scored(i) = c }
+    var expanded = Set.empty[Long]
+    var exhausted = false
+    for (_ <- 0 until rounds if !exhausted) {
+      val frontier = scored.toSeq
+        .filterNot { case (i, _) => expanded(i) }
+        .sortBy { case (i, c) => (-c, i) }
+        .take(beam)
+        .map(_._1)
+      if (frontier.isEmpty) exhausted = true
+      else {
+        expanded ++= frontier
+        val fresh = index.neighbors
+          .filter(col("id").isin(frontier: _*))
+          .select(col("nbr"))
+          .distinct()
+          .collect()
+          .map(_.getLong(0))
+          .filterNot(scored.contains)
+        if (fresh.nonEmpty) scoreIds(fresh.toSeq).foreach { case (i, c) => scored(i) = c }
+      }
+    }
+    val topIds = scored.toSeq.sortBy { case (i, c) => (-c, i) }.take(k).map(_._1)
+    base
+      .filter(col("id").isin(topIds: _*))
+      .select(col("id"), round(VectorFns.cosine(col("vec"), vecLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): block by k-means cluster (the Lloyd-refined IVF

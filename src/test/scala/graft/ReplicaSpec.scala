@@ -409,6 +409,39 @@ class ReplicaSpec extends SparkSpec {
       .foreach { case (id, cos) => assert(all(id) == cos, s"stale OPQ score for vec $id") }
   }
 
+  test("graph ANN: bounded beam search recall vs brute force; exact emitted scores") {
+    val idx = Similarity.graphIndex(emb, "vec_id", "embedding")
+    // every node keeps at most m=8 neighbors (the bounded-heap truncation)
+    val maxDeg = idx.neighbors.groupBy("id").count().agg(max("count")).as[Long].head()
+    assert(maxDeg <= 8, s"node degree exceeds m: $maxDeg")
+    // entry points: one per non-empty cell, bounded index metadata
+    assert(idx.entryPoints.nonEmpty && idx.entryPoints.size <= 16, idx.entryPoints.toString)
+    val probes = Seq(0L, 7L, 21L, 100L, 499L)
+    val recalls = probes.map { pid =>
+      val q = emb.filter($"vec_id" === pid).select("embedding").head().getSeq[Float](0)
+      val truth =
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).select("vec_id").as[Long].collect().toSet
+      val got = Similarity
+        .graphSearch(idx, emb, "vec_id", "embedding", q, 10)
+        .select("id")
+        .as[Long]
+        .collect()
+        .toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    info(s"graph ANN recall@10 (m=8, nLists=16, beam=16, rounds=3): " +
+      s"per-probe ${recalls.mkString(", ")} (mean ${recalls.sum / recalls.size})")
+    assert(recalls.forall(_ >= 0.5), s"graph recall below the documented bound: $recalls")
+    // Exact-score contract: every emitted cosine equals the brute-force one.
+    val q0 = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val all = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q0, 500).as[(Long, Double)].collect().toMap
+    Similarity
+      .graphSearch(idx, emb, "vec_id", "embedding", q0, 10)
+      .as[(Long, Double)]
+      .collect()
+      .foreach { case (id, cos) => assert(all(id) == cos, s"stale graph score for vec $id") }
+  }
+
   test("batch LSH knn join returns exactly the per-probe multi-probe results") {
     val idx = Similarity.lshIndex(emb, "vec_id", "embedding", nBits = 4, tables = 4)
     val batch = Similarity
