@@ -165,6 +165,26 @@ object SparkEntry {
         (pmod(col("event_id") * 91, lit(36000)) / 100.0 - 180.0).as("lon")
       )
 
+  private val minhashIdxMemo = scala.collection.concurrent.TrieMap[String, MinHashLSH.MinHashIndex]()
+
+  /** The MinHash/LSH artifact over the CORPUS side (doc_id % 7 != 3 —
+    * the complement of the incremental entry's delta), built once per
+    * JVM and spilled to parquet: banded signatures + shingle sets, the
+    * two tables an append-mostly deployment maintains durably. The
+    * honest full-computation cost is dedup_minhash_lsh, which runs the
+    * whole pipeline every call.
+    */
+  private def cachedMinhashIndex(s: SparkSession, dir: String): MinHashLSH.MinHashIndex =
+    minhashIdxMemo.getOrElseUpdate(
+      dir, {
+        val idx = MinHashLSH.index(Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 3), "doc_id", "text")
+        MinHashLSH.MinHashIndex(
+          banded = Memo.parquet(s, s"minhash-banded:$dir")(idx.banded),
+          shingles = Memo.parquet(s, s"minhash-shingles:$dir")(idx.shingles)
+        )
+      }
+    )
+
   private val graphMemo = scala.collection.concurrent.TrieMap[String, Similarity.GraphIndex]()
 
   /** The NSW-style neighbor graph for `dir`, built once per JVM:
@@ -1915,6 +1935,17 @@ object SparkEntry {
       Dedup.fingerprintGroups(Tables.documents(s, dir), col("text"), col("doc_id")).orderBy("fp")),
     "dedup_minhash_lsh" -> ((s, dir) =>
       MinHashLSH.nearDupPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5).orderBy("a", "b")),
+    // Incremental dedup for an append-mostly corpus — the operation a
+    // 100 TB pipeline runs daily: probe TODAY'S docs (doc_id % 7 == 3
+    // plays the delta) against the memoized corpus artifact instead of
+    // recomputing the corpus. DedupSpec proves incremental ∪ full(corpus)
+    // ≡ full(corpus ∪ delta) pair-for-pair.
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      val idx = cachedMinhashIndex(s, dir)
+      MinHashLSH
+        .incrementalPairs(idx, Tables.documents(s, dir).filter(col("doc_id") % 7 === 3), "doc_id", "text", threshold = 0.5)
+        .orderBy("a", "b")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       SimHash.nearDupPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3).orderBy("a", "b")),
     "dedup_ngram_jaccard" -> ((s, dir) => {

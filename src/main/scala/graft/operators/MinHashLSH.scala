@@ -43,6 +43,93 @@ object MinHashLSH {
       .groupBy(col("id"))
       .agg(graft.functions.MinHashAgg.minhash(col("sh"), numPerms).as("sig"))
 
+  /** The persisted LSH artifact an append-mostly corpus maintains: the
+    * banded signature table (candidate side) and the shingle sets
+    * (verify side). Both are pure per-document functions with fixed
+    * seeds, so appending a delta is a plain union — no global recompute,
+    * and rows written yesterday stay valid forever.
+    */
+  final case class MinHashIndex(banded: DataFrame, shingles: DataFrame)
+
+  private def bandedOf(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(
+      col("id"),
+      posexplode(
+        array((0 until bands).map(b => hash(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)
+      ).as(Seq("band", "bandHash"))
+    )
+
+  /** Build the [[MinHashIndex]] artifact for a corpus (the signature and
+    * banding pipeline of [[nearDupPairs]], stopping at the stored
+    * tables).
+    */
+  def index(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numPerms: Int = 128,
+      bands: Int = 16
+  ): MinHashIndex = {
+    val sh = shingles(df, idCol, textCol, shingleSize)
+    val sigs = sh
+      .select(col("id"), explode(col("shingles")).as("sh"))
+      .groupBy(col("id"))
+      .agg(graft.functions.MinHashAgg.minhash(col("sh"), numPerms).as("sig"))
+    MinHashIndex(bandedOf(sigs, bands, numPerms / bands), sh)
+  }
+
+  /** Incremental near-dup detection for an append-mostly corpus — the
+    * operation a 100 TB training pipeline actually runs daily: dedup
+    * only the DELTA against the existing artifact instead of
+    * recomputing the corpus. Signature/banding compute is O(|delta|);
+    * the band join probes the stored banded table (bucketed by band
+    * hash at deployment scale, so only colliding buckets are touched);
+    * the exact-Jaccard verify reads the stored shingle sets of just the
+    * candidate ids. Emits exactly the pairs a full recompute over
+    * corpus ∪ delta would emit that involve at least one delta doc —
+    * so full(corpus) ∪ incremental(index, delta) ≡ full(corpus ∪ delta)
+    * pair-for-pair (DedupSpec proves the equivalence; band hashes are
+    * pure seeded functions of the text, which is what makes old and new
+    * rows directly comparable).
+    */
+  def incrementalPairs(
+      idx: MinHashIndex,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numPerms: Int = 128,
+      bands: Int = 16,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val dIdx = index(delta, idCol, textCol, shingleSize, numPerms, bands)
+    val all = idx.banded.select("id", "band", "bandHash").unionByName(dIdx.banded.select("id", "band", "bandHash"))
+    val l = dIdx.banded.as("l") // every pair keeps >= 1 delta side
+    val r = all.as("r")
+    val cands = l
+      .join(r, col("l.band") === col("r.band") && col("l.bandHash") === col("r.bandHash") && col("l.id") =!= col("r.id"))
+      .select(least(col("l.id"), col("r.id")).as("a"), greatest(col("l.id"), col("r.id")).as("b"))
+      .distinct()
+    val allSh = idx.shingles.unionByName(dIdx.shingles)
+    val sa = allSh.select(col("id").as("a"), col("shingles").as("sh_a"))
+    val sb = allSh.select(col("id").as("b"), col("shingles").as("sh_b"))
+    cands
+      .join(sa, "a")
+      .join(sb, "b")
+      .select(col("a"), col("b"), round(Dedup.jaccardUdf(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Fold a delta's artifact into the stored one (the post-ingest index
+    * maintenance step): a pure union on both tables.
+    */
+  def appendIndex(idx: MinHashIndex, dIdx: MinHashIndex): MinHashIndex =
+    MinHashIndex(
+      idx.banded.unionByName(dIdx.banded),
+      idx.shingles.unionByName(dIdx.shingles)
+    )
+
   /** Candidate pairs (a < b) that collide in at least one LSH band, with
     * exact shingle-Jaccard verification `>= threshold`.
     */
@@ -65,13 +152,10 @@ object MinHashLSH {
       .groupBy(col("id"))
       .agg(graft.functions.MinHashAgg.minhash(col("sh"), numPerms).as("sig"))
 
-    // Explode into (band index, hash of the band's signature slice, id).
-    val banded = sigs.select(
-      col("id"),
-      posexplode(
-        array((0 until bands).map(b => hash(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)
-      ).as(Seq("band", "bandHash"))
-    )
+    // Explode into (band index, hash of the band's signature slice, id)
+    // — the same bandedOf the incremental artifact stores, so batch and
+    // incremental candidates are bit-comparable.
+    val banded = bandedOf(sigs, bands, rows)
 
     // Same-bucket pairs via self-join on the band key; a < b dedupes the
     // symmetric pair, distinct collapses multi-band collisions.

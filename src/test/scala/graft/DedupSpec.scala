@@ -44,6 +44,45 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), s"unrelated doc matched: $pairs")
   }
 
+  test("incremental(corpus, delta) ∪ full(corpus) equals full(corpus ∪ delta) pair-for-pair") {
+    // The append-mostly contract on real data: yesterday's artifact +
+    // today's delta must reproduce exactly what a full recompute over
+    // the union finds — same pairs, same exact-Jaccard scores.
+    val all = Tables.documents(spark, Sf)
+    val corpus = all.filter($"doc_id" % 7 =!= 3)
+    val delta = all.filter($"doc_id" % 7 === 3)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val fullAll = pairSet(MinHashLSH.nearDupPairs(all, "doc_id", "text", threshold = 0.5))
+    val fullCorpus = pairSet(MinHashLSH.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5))
+    val idx = MinHashLSH.index(corpus, "doc_id", "text")
+    val incr = pairSet(MinHashLSH.incrementalPairs(idx, delta, "doc_id", "text", threshold = 0.5))
+    assert(fullCorpus ++ incr == fullAll, {
+      val missing = fullAll -- (fullCorpus ++ incr)
+      val extra = (fullCorpus ++ incr) -- fullAll
+      s"missing=$missing extra=$extra"
+    })
+    // the delta actually contributed pairs (non-vacuous equivalence)
+    assert(incr.nonEmpty, "delta produced no pairs — pick a different split")
+    // incremental never re-emits corpus-internal pairs
+    assert(incr.forall { case (a, b, _) => a % 7 == 3 || b % 7 == 3 }, incr.toString)
+  }
+
+  test("appendIndex folds the delta so the next increment sees it") {
+    val all = Tables.documents(spark, Sf)
+    val corpus = all.filter($"doc_id" % 7 =!= 3)
+    val delta = all.filter($"doc_id" % 7 === 3)
+    val folded = MinHashLSH.appendIndex(
+      MinHashLSH.index(corpus, "doc_id", "text"),
+      MinHashLSH.index(delta, "doc_id", "text")
+    )
+    val fromScratch = MinHashLSH.index(all, "doc_id", "text")
+    assert(
+      folded.banded.select("id", "band", "bandHash").as[(Long, Int, Int)].collect().toSet ==
+        fromScratch.banded.select("id", "band", "bandHash").as[(Long, Int, Int)].collect().toSet
+    )
+  }
+
   test("MinHash signature sketches Jaccard: identical docs share all minhashes") {
     val sigs = MinHashLSH.signatures(docs, "doc_id", "text", 3, 32).orderBy("id").collect()
     assert(sigs(0).getSeq[Int](1) == sigs(1).getSeq[Int](1))
