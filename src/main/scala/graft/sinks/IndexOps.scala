@@ -155,6 +155,21 @@ object IndexOps {
     }
   }
 
+  /** ILM "delete" phase for rolled generations: drop whole aged-out index
+    * directories (the [[rollover]] read side stays a pattern over the
+    * survivors). Directory metadata ops only — zero data rewrite, the
+    * same scale-safe idiom as [[retire]]'s partition drops. Returns the
+    * indices actually removed.
+    */
+  def retireIndices(spark: SparkSession, root: String, indices: Seq[String]): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    indices.filter { ix =>
+      val p = new org.apache.hadoop.fs.Path(rootPath, ix)
+      fs.exists(p) && fs.delete(p, true)
+    }
+  }
+
   /** Resolve an OpenSearch-style index pattern (`*transaction*`, `card*`)
     * against the indices that exist under `root` — directory-listing
     * metadata only, no data I/O. Returns matching index names sorted.

@@ -134,6 +134,60 @@ class IndexOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](IndexOps.rollover(spark, root, "nope", 1))
   }
 
+  test("ILM loop end-to-end: generations roll while the stream writes; pattern read + retire stay correct") {
+    // TDD §3.5.3's lifecycle as one drill: a MemoryStream drives the
+    // write side; every micro-batch asks _rollover for the current write
+    // index (cutting the next generation at the doc cap) and bulk-writes
+    // into it; the read side is the alias pattern across generations the
+    // whole time; the delete phase retires the oldest generation without
+    // touching the survivors.
+    implicit val sq = spark.sqlContext
+    val root = Files.createTempDirectory("graft-ilm").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "logs-000001"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val q = input
+      .toDF()
+      .toDF("_id", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (writeIx, _) = IndexOps.rollover(spark, root, "logs", maxDocs = 3)
+        // per-doc id-named files (the streaming sink contract): batches
+        // APPEND into the current generation — indexBatch's whole-index
+        // overwrite would erase earlier micro-batches of the same gen
+        val dlq = IndexFileSink.bulkIndexWithRetry(batch, root, writeIx, "_id")
+        assert(dlq.isEmpty)
+        ()
+      }
+      .start()
+    try {
+      input.addData(("1", "a"), ("2", "b"), ("3", "c"))
+      q.processAllAvailable()
+      input.addData(("4", "d"), ("5", "e"))
+      q.processAllAvailable()
+      input.addData(("6", "f"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the cap cut a second generation mid-stream
+    val gens = IndexOps.resolvePattern(spark, root, "logs-*")
+    assert(gens == Seq("logs-000001", "logs-000002"), gens.toString)
+    // the pattern read sees every doc exactly once across the roll
+    def patternIds(): Seq[String] =
+      IndexOps
+        .aliasView(spark, root, IndexOps.resolvePattern(spark, root, "logs-*"))
+        .select("_id")
+        .as[String]
+        .collect()
+        .toSeq
+        .sorted
+    assert(patternIds() == Seq("1", "2", "3", "4", "5", "6"))
+    // delete phase: the oldest generation ages out; survivors unharmed
+    assert(IndexOps.retireIndices(spark, root, Seq("logs-000001")) == Seq("logs-000001"))
+    assert(IndexOps.resolvePattern(spark, root, "logs-*") == Seq("logs-000002"))
+    assert(patternIds() == Seq("4", "5", "6"))
+    // a retired index retires idempotently (second call is a no-op)
+    assert(IndexOps.retireIndices(spark, root, Seq("logs-000001")).isEmpty)
+  }
+
   test("bulkIndexWithRetry: transient failures drain through the retry pass") {
     FlakyWriter.reset()
     val root = Files.createTempDirectory("graft-dlq").toString
