@@ -68,6 +68,21 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), line + "\n")
     println(line)
+    // The full line outgrew the driver's stdout-tail capture (the record
+    // keeps the LAST ~4 KB, so a >4 KB line survives only as a
+    // front-truncated, unparseable fragment — BENCH_r06's `parsed: null`).
+    // Emit a compact, always-parseable summary LAST: same schema, the
+    // per-query map restricted to the slowest 15; the complete map is
+    // committed in bench_full.json for per-query diffs across rounds.
+    val slow = results.toSeq
+      .filter(_._2 >= 0)
+      .sortBy { case (name, dt) => (-dt, name) }
+      .take(15)
+      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"errors":$errors,"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

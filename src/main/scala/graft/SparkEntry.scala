@@ -2417,10 +2417,12 @@ object SparkEntry {
     // Tokenizer-economics facet: bytes per token per source (the
     // data-recipe dashboard number) — exact integer sums, one double
     // division at the end.
+    // octet_length, not length: the column names promise BYTES, and the
+    // two diverge on any non-ASCII corpus (length counts characters).
     "text_bytes_per_token" -> ((s, dir) =>
       Tables
         .documents(s, dir)
-        .select(col("source"), length(col("text")).cast("long").as("n_bytes"), TextFns.tokenCount(col("text")).as("n_tokens"))
+        .select(col("source"), octet_length(col("text")).cast("long").as("n_bytes"), TextFns.tokenCount(col("text")).as("n_tokens"))
         .groupBy("source")
         .agg(
           sum(col("n_bytes")).as("total_bytes"),
@@ -4321,9 +4323,9 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "text_bytes_per_token" ->
       """SELECT source,
-        |       CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+        |       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         |       CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
-        |       round(CAST(sum(length(text)) AS DOUBLE) / sum(len(string_split(lower(text), ' '))), 6) AS bytes_per_token
+        |       round(CAST(sum(strlen(text)) AS DOUBLE) / sum(len(string_split(lower(text), ' '))), 6) AS bytes_per_token
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "text_length_buckets" ->
       """SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64

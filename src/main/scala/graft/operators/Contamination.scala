@@ -64,7 +64,15 @@ object Contamination {
         .ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("_text")))
         .select(col("id"), TextFns.tokens(col("_text")).as("_toks"))
         .select(col("id"), explode(array_distinct(TextFns.ngramsFromTokens(col("_toks"), n))).as("gram"))
-    val benchGrams = grams(benchmark).select("gram").distinct()
+    // The benchmark gram table feeds three consumers (the sizing count,
+    // the bloom build, the exact confirm join) — persist it once instead
+    // of re-running tokenize+explode+distinct per consumer. The caller
+    // owns the cache lifecycle (the nearDupPairs convention; the suite
+    // clears cached blocks between queries).
+    val benchGrams = grams(benchmark)
+      .select("gram")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expected = math.max(benchGrams.count(), 1L)
     val bloom = benchGrams.stat.bloomFilter("gram", expected, fpp)
     val bloomBc = training.sparkSession.sparkContext.broadcast(bloom)

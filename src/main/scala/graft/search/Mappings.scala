@@ -42,13 +42,19 @@ object IndexMapping {
       sampleN: Int = 1000,
       textThreshold: Double = 3.0
   ): IndexMapping = {
-    import org.apache.spark.sql.functions.{avg, col, size, split}
+    import org.apache.spark.sql.functions.{avg, col, hash, size, split}
     import org.apache.spark.sql.types._
     val stringCols = df.schema.fields.collect { case f if f.dataType == StringType => f.name }
     val avgToks: Map[String, Double] =
       if (stringCols.isEmpty) Map.empty
       else {
         val row = df
+          // Deterministic sample: the sampleN smallest whole-row hashes
+          // (one TakeOrdered pass). A bare limit() takes whichever rows
+          // arrive first, so a field sitting near textThreshold could
+          // flip text/keyword across partition layouts — at odds with
+          // the determinism-everywhere contract.
+          .orderBy(hash(df.columns.map(col): _*))
           .limit(sampleN)
           .agg(
             avg(size(split(col(stringCols.head), "\\s+"))).as(stringCols.head),
