@@ -944,6 +944,23 @@ object SparkEntry {
         .orderBy(col("rrf_score").desc, col("id"))
         .limit(10)
     }),
+    // The hybrid query from the wire format: the match leg BM25-scores
+    // against the Memo'd posting artifact, the knn leg carries the
+    // must_not self-exclusion filter, RRF fuses in rank space — same
+    // answer as the structured search_hybrid_rrf (shared oracle shape).
+    "search_dsl_json_hybrid" -> ((s, dir) => {
+      val qv = queryVec(s, dir, 0).map(_.toDouble).mkString("[", ",", "]")
+      JsonDsl.hybrid(
+        cachedBm25(s, dir),
+        Tables.embeddings(s, dir).select(col("vec_id").as("_id"), col("embedding")),
+        "_id",
+        s"""{"query": {"hybrid": {"queries": [
+           |  {"match": {"text": "spark query"}},
+           |  {"knn": {"embedding": {"vector": $qv, "k": 10,
+           |     "filter": {"bool": {"must_not": [{"ids": {"values": [0]}}]}}}}}]}},
+           | "size": 10}""".stripMargin
+      )
+    }),
     // Highlighting: snippet around the first occurrence of the match term.
     "search_highlight" -> ((s, dir) =>
       Tables
@@ -2451,6 +2468,23 @@ object SparkEntry {
     // doc's stopword ratio (prose-ness), decided by a pure integer hash
     // u(doc_id) = (id·2654435761 mod 2¹⁶)/2¹⁶ — exact binary fraction,
     // replayable across runs/engines/partitionings, no rand().
+    // Temperature-flattened source mixing (α=0.5): per-source keep rate
+    // (min_mass/mass)^(1−α) derived in-plan from the n_chars mass — the
+    // smallest source keeps all docs, heavier ones downsample toward the
+    // flattened share; membership is the deterministic Knuth-hash draw.
+    "sample_temperature_mix" -> ((s, dir) =>
+      operators.Sampling
+        .temperatureMix(Tables.documents(s, dir), "doc_id", "source", col("n_chars"), alpha = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+    // Concat-and-chunk sequence packing at a 256-token budget, sharded
+    // by source: each doc's pack id, in-pack offset, and whether it
+    // straddles a boundary (the attention/loss-masking signal). The
+    // prefix sum never leaves a shard — no global sort.
+    "sample_pack_sequences" -> ((s, dir) =>
+      operators.Sampling
+        .packSequences(Tables.documents(s, dir), "doc_id", TextFns.tokenCount(col("text")), Seq("source"), budget = 256)
+        .orderBy("source", "doc_id")),
     "sample_weighted_quality" -> ((s, dir) =>
       Tables
         .documents(s, dir)
@@ -3611,6 +3645,30 @@ object SparkEntry {
         |             + coalesce(CAST(1 AS DOUBLE) / (60 + vec_rank), 0.0), 6) AS rrf_score
         |FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
         |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin,
+    "search_dsl_json_hybrid" ->
+      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
+        |                     len(string_split(lower(text), ' ')) AS dl
+        |              FROM documents),
+        |postings AS (SELECT id, dl, t.term, count(*) AS tf
+        |             FROM base, unnest(toks) AS t(term)
+        |             WHERE t.term IN ('spark', 'query') GROUP BY id, dl, t.term),
+        |docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+        |lex AS (SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER) AS lex_rank FROM (
+        |  SELECT id, round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |                       * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |  FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
+        |  GROUP BY id ORDER BY score DESC, id LIMIT 10) t),
+        |vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |vec AS (SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id) AS INTEGER) AS vec_rank FROM (
+        |  SELECT vec_id AS id,
+        |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM vq)), 6) AS cos
+        |  FROM embeddings WHERE vec_id <> 0 ORDER BY cos DESC, id LIMIT 10) t)
+        |SELECT coalesce(lex.id, vec.id) AS id,
+        |       round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0.0)
+        |             + coalesce(CAST(1 AS DOUBLE) / (60 + vec_rank), 0.0), 6) AS rrf_score
+        |FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+        |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin,
     "search_bm25" ->
       """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
         |                     len(string_split(lower(text), ' ')) AS dl
@@ -4439,6 +4497,25 @@ object SparkEntry {
         |SELECT precision_at_10, mrr,
         |       round(coalesce(dcg / (SELECT v FROM idcg), 0.0), 6) AS ndcg_at_10
         |FROM m""".stripMargin,
+    "sample_temperature_mix" ->
+      """WITH mass AS (SELECT source, sum(n_chars) AS m FROM documents GROUP BY source),
+        |r AS (SELECT source, pow(CAST((SELECT min(m) FROM mass) AS DOUBLE) / m, 0.5) AS rate FROM mass)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r USING (source)
+        |WHERE ((d.doc_id * 2654435761) % 65536) / 65536.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
+    "sample_pack_sequences" ->
+      """SELECT source, doc_id, n_tokens,
+        |       CAST(floor((cum_end - n_tokens) / 256.0) AS BIGINT) AS pack_id,
+        |       (cum_end - n_tokens) % 256 AS pack_offset,
+        |       (CAST(floor((cum_end - 1) / 256.0) AS BIGINT)
+        |          > CAST(floor((cum_end - n_tokens) / 256.0) AS BIGINT)) AS spans_boundary
+        |FROM (SELECT source, doc_id,
+        |             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        |             sum(len(string_split(lower(text), ' ')))
+        |               OVER (PARTITION BY source ORDER BY doc_id) AS cum_end
+        |      FROM documents) t
+        |ORDER BY source, doc_id""".stripMargin,
     "sample_weighted_quality" ->
       """SELECT doc_id, source FROM documents
         |WHERE ((doc_id * 2654435761) % 65536) / 65536.0 <

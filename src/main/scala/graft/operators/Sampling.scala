@@ -42,6 +42,78 @@ object Sampling {
     if (buckets >= 256) lit(true) else hashBucket(id) < f"$buckets%02x"
   }
 
+  /** The 16-bit Knuth multiplicative-hash fraction of an integer id —
+    * the cross-engine-exact uniform draw (pure integer arithmetic, then
+    * one exact /65536 division), for when the keep rate is a
+    * data-derived COLUMN rather than a literal ([[weightedKeep]]'s
+    * hex-prefix trick needs a literal to render).
+    */
+  def hashFrac(id: Column): Column =
+    pmod(id * lit(2654435761L), lit(65536L)) / 65536.0
+
+  /** Temperature-flattened source mixing — the multilingual/multi-source
+    * pretraining recipe (sample source s ∝ mass_s^α; α < 1 flattens the
+    * head so rare sources punch above their byte share). Realized as
+    * per-source keep rates (min_mass / mass_s)^(1−α): the smallest
+    * source keeps everything, heavier sources downsample toward the
+    * flattened proportions. Rates derive in-plan — one narrow per-group
+    * aggregate plus a 1-row broadcast, AQE sizes the join back — and
+    * membership is the deterministic [[hashFrac]] draw, stable under
+    * corpus growth and repartitioning.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      mass: Column,
+      alpha: Double
+  ): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha out of range: $alpha")
+    val masses = df.groupBy(col(groupCol)).agg(sum(mass).as("_mass"))
+    val minMass = masses.agg(min(col("_mass")).as("_min_mass"))
+    val rates = masses
+      .crossJoin(broadcast(minMass))
+      .select(col(groupCol), pow(col("_min_mass") / col("_mass"), 1.0 - alpha).as("_rate"))
+    df.join(rates, groupCol)
+      .filter(hashFrac(col(idCol)) < col("_rate"))
+      .select(df.columns.map(col): _*)
+  }
+
+  /** Concat-and-chunk sequence packing — the GPT-style pretraining
+    * layout: within each shard, documents concatenate in id order and
+    * chunk at `budget`-token boundaries. Emits where each document
+    * lands: the pack it starts in, its token offset there, and whether
+    * it straddles a pack boundary (the cross-document attention-mask /
+    * loss-masking signal). The prefix sum is per-shard BY DESIGN —
+    * packing is order-defined within a shard and embarrassingly
+    * parallel across shards, so a deployment keys shards to stay
+    * bounded (source × day/file) and the window never sees more than
+    * one shard's rows; there is no global sort anywhere.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokens: Column,
+      shardCols: Seq[String],
+      budget: Int
+  ): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(shardCols.nonEmpty, "packing needs at least one shard column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCols.map(col): _*)
+      .orderBy(col(idCol))
+    val packOf = (boundary: Column) => floor(boundary / lit(budget.toDouble)).cast("long")
+    df.select(shardCols.map(col) :+ col(idCol) :+ tokens.cast("long").as("n_tokens"): _*)
+      .withColumn("_cum_end", sum(col("n_tokens")).over(w))
+      .select(
+        shardCols.map(col) :+ col(idCol) :+ col("n_tokens") :+
+          packOf(col("_cum_end") - col("n_tokens")).as("pack_id") :+
+          ((col("_cum_end") - col("n_tokens")) % budget).as("pack_offset") :+
+          (packOf(col("_cum_end") - lit(1)) > packOf(col("_cum_end") - col("n_tokens")))
+            .as("spans_boundary"): _*
+      )
+  }
+
   /** Per-group keep rates — the corpus-MIXING primitive (down-weight one
     * source/language, up-weight another, the knob every pre-training data
     * recipe turns). Same deterministic md5 machinery at a finer 16-bit

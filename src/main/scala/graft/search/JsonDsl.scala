@@ -279,6 +279,77 @@ object JsonDsl {
     df.withColumn("query_id", explode(array_compact(array(preds: _*))))
   }
 
+  /** OpenSearch `hybrid` query — the wire format of rank-space hybrid
+    * search: one lexical sub-query (a `match` clause, scored BM25
+    * against the posting artifact) and one `knn` sub-query (exact
+    * cosine, honoring `knn.filter`), fused by reciprocal-rank fusion
+    * Σ 1/(60 + rank) — the rrf processor's default constant; rank-space
+    * fusion needs no normalization across incomparable score scales.
+    * Each leg is its own bounded top-k (the rank windows see ≤ k rows),
+    * and the fusion join is k×k-bounded.
+    */
+  def hybrid(
+      index: Bm25.Bm25Index,
+      vecs: DataFrame,
+      idCol: String,
+      body: String,
+      mapping: IndexMapping = IndexMapping.empty
+  ): DataFrame = {
+    val root =
+      try mapper.readTree(body)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(s"request body is not valid JSON: ${e.getMessage}")
+      }
+    require(root != null && root.isObject, s"request body must be a JSON object: $body")
+    val q = req(root, "query", "hybrid")
+    require(q.isObject && q.size == 1 && q.fieldNames().next() == "hybrid", s"expected a hybrid query: $q")
+    val subs = req(q.get("hybrid"), "queries", "hybrid").elements().asScala.toSeq
+    val k = Option(root.get("size")).map(_.asInt).getOrElse(10)
+    val (knnSubs, lexSubs) = subs.partition(s => s.fieldNames().next() == "knn")
+    require(
+      knnSubs.size == 1 && lexSubs.size == 1,
+      s"hybrid needs exactly one lexical and one knn sub-query, got ${subs.map(_.fieldNames().next())}"
+    )
+    require(lexSubs.head.fieldNames().next() == "match", "the lexical leg must be a match clause")
+    val (_, v) = fieldAndValue(lexSubs.head.get("match"), "query")
+    val terms = v.asText.toLowerCase.split("\\s+").toSeq
+    val w = org.apache.spark.sql.expressions.Window
+    val lex = Bm25
+      .scoreAgainstIndex(index, terms, k)
+      .withColumn("lex_rank", row_number().over(w.orderBy(col("score").desc, col("id"))))
+      .select(col("id"), col("lex_rank"))
+    val knnBody = knnSubs.head.get("knn")
+    val vf = singleField(knnBody)
+    val spec = knnBody.get(vf)
+    val vec = req(spec, "vector", "knn").elements().asScala.toSeq.map(_.asDouble)
+    val kk = req(spec, "k", "knn").asInt
+    val base = Option(spec.get("filter"))
+      .map(fn => vecs.filter(compileQuery(vecs, fn, mapping)))
+      .getOrElse(vecs)
+    val vecLeg = base
+      .select(
+        col(idCol).as("id"),
+        round(graft.functions.VectorFns.cosine(col(vf), array(vec.map(lit): _*)), 6).as("cos")
+      )
+      .orderBy(col("cos").desc, col("id"))
+      .limit(kk)
+      .withColumn("vec_rank", row_number().over(w.orderBy(col("cos").desc, col("id"))))
+      .select(col("id"), col("vec_rank"))
+    lex
+      .join(vecLeg, Seq("id"), "full_outer")
+      .select(
+        col("id"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)),
+          6
+        ).as("rrf_score")
+      )
+      .orderBy(col("rrf_score").desc, col("id"))
+      .limit(k)
+  }
+
   /** OpenSearch `_rank_eval`: ranking evaluation of search requests
     * against explicit graded ratings. Each request carries the knn body
     * shape (the engine's ranking story under evaluation — vector

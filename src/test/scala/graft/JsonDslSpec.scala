@@ -589,6 +589,43 @@ class JsonDslSpec extends SparkSpec {
     assert(got.select("_id").as[Long].collect().toSeq == Seq(0L, 1L))
   }
 
+  test("hybrid query fuses the BM25 and knn legs in rank space (hand-computed RRF)") {
+    val docs = Seq(
+      (1L, "spark query engine"),
+      (2L, "the fast cat runs"),
+      (3L, "spark streaming jobs"),
+      (4L, "a slow dog sleeps")
+    ).toDF("doc_id", "text")
+    val vecs = Seq(
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f)),
+      (4L, Array(-1.0f, 0.0f))
+    ).toDF("_id", "embedding")
+    val idx = graft.search.Bm25.buildIndex(docs, "doc_id", "text")
+    val got = JsonDsl
+      .hybrid(
+        idx,
+        vecs,
+        "_id",
+        """{"query": {"hybrid": {"queries": [
+          |  {"match": {"text": "spark query"}},
+          |  {"knn": {"embedding": {"vector": [1.0, 0.0], "k": 2}}}]}},
+          | "size": 3}""".stripMargin
+      )
+      .as[(Long, Double)]
+      .collect()
+      .toSeq
+    // lexical ranks: doc 1 (both terms) then doc 3 (spark only);
+    // knn ranks: doc 2 (cos 1.0) then doc 3 (0.993). Only doc 3 appears
+    // in both legs → 1/62 + 1/62 tops; docs 1 and 2 tie at 1/61 and
+    // break by id.
+    assert(got.map(_._1) == Seq(3L, 1L, 2L), got.toString)
+    val top = BigDecimal(1.0 / 62 + 1.0 / 62).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tie = BigDecimal(1.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._2) == Seq(top, tie, tie), got.toString)
+  }
+
   test("_rank_eval: normalized dcg against explicit graded ratings (hand-computed)") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)),

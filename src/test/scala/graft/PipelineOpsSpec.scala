@@ -91,6 +91,52 @@ class PipelineOpsSpec extends SparkSpec {
     assert(twice == 0)
   }
 
+  test("packSequences: concat-and-chunk pack ids, offsets, and boundary spans per shard") {
+    val docs = Seq(
+      ("s1", 1L, 100L),
+      ("s1", 2L, 100L),
+      ("s1", 3L, 100L), // starts at 200, ends at 299 → straddles the 256 boundary
+      ("s2", 4L, 300L) // own shard: starts pack 0, longer than a whole pack
+    ).toDF("source", "doc_id", "n")
+    val out = Sampling
+      .packSequences(docs, "doc_id", col("n"), Seq("source"), budget = 256)
+      .orderBy("doc_id")
+      .select("doc_id", "pack_id", "pack_offset", "spans_boundary")
+      .as[(Long, Long, Long, Boolean)]
+      .collect()
+      .toSeq
+    assert(
+      out == Seq(
+        (1L, 0L, 0L, false),
+        (2L, 0L, 100L, false),
+        (3L, 0L, 200L, true),
+        (4L, 0L, 0L, true) // shards pack independently: doc 4 restarts at offset 0
+      ),
+      out.toString
+    )
+  }
+
+  test("temperatureMix: smallest source keeps everything; heavier sources thin by (min/mass)^(1-a)") {
+    val docs = (0 until 16).map(i => (100L + i, "big", 4L)) ++ (0 until 4).map(i => (200L + i, "small", 4L))
+    val df = docs.toDF("doc_id", "source", "n_chars")
+    val kept = Sampling
+      .temperatureMix(df, "doc_id", "source", col("n_chars"), alpha = 0.5)
+      .select("doc_id")
+      .as[Long]
+      .collect()
+      .toSet
+    // rate(small) = 1 (the smallest source), rate(big) = (16/64)^0.5 = 0.5
+    def frac(id: Long): Double = (id * 2654435761L % 65536L).toDouble / 65536.0
+    val expected =
+      (200L until 204L).toSet ++ (100L until 116L).filter(frac(_) < 0.5).toSet
+    assert(kept == expected, s"kept=$kept expected=$expected")
+    assert((200L until 204L).forall(kept), "the smallest source must keep every doc")
+    // alpha = 1 is the natural distribution: nothing is dropped
+    assert(
+      Sampling.temperatureMix(df, "doc_id", "source", col("n_chars"), alpha = 1.0).count() == df.count()
+    )
+  }
+
   test("weightedKeep: per-group rates hold, absent groups kept in full") {
     val rows = spark.range(6000).select(
       col("id"),

@@ -448,4 +448,60 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("dedup_out").count() == 2)
     } finally q.stop()
   }
+
+  test("streaming incremental near-dup: each batch probes then folds the artifact; equals full recompute") {
+    // The daily append-mostly loop as a stream: every micro-batch of new
+    // docs probes the accumulated MinHash artifact (incrementalPairs),
+    // then folds its own signatures in (appendIndex) so the NEXT batch
+    // sees it. Across all batches the discovered pair set must equal a
+    // full from-scratch recompute over everything — on real data.
+    import graft.operators.MinHashLSH
+    implicit val sq = spark.sqlContext
+    val all = Tables.documents(spark, Sf).select($"doc_id", $"text")
+    val input = MemoryStream[(Long, String)]
+    var idx: Option[MinHashLSH.MinHashIndex] = None
+    val found = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val q = input
+      .toDF()
+      .toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // materialize the micro-batch: the artifact outlives the batch,
+        // so its lineage must not reference the streaming source
+        val batch = b.localCheckpoint(true)
+        idx match {
+          case None =>
+            found ++= MinHashLSH
+              .nearDupPairs(batch, "doc_id", "text", threshold = 0.5)
+              .as[(Long, Long, Double)]
+              .collect()
+            idx = Some(MinHashLSH.index(batch, "doc_id", "text"))
+          case Some(i) =>
+            found ++= MinHashLSH
+              .incrementalPairs(i, batch, "doc_id", "text", threshold = 0.5)
+              .as[(Long, Long, Double)]
+              .collect()
+            idx = Some(MinHashLSH.appendIndex(i, MinHashLSH.index(batch, "doc_id", "text")))
+        }
+        ()
+      }
+      .start()
+    try {
+      for (r <- 0L until 3L) {
+        input.addData(all.filter($"doc_id" % 3 === r).as[(Long, String)].collect().toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val full = MinHashLSH
+      .nearDupPairs(all, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSet
+    assert(found.toSet == full, {
+      val missing = full -- found
+      val extra = found.toSet -- full
+      s"missing=$missing extra=$extra"
+    })
+    assert(full.nonEmpty, "vacuous: the corpus has no near-dup pairs at this threshold")
+  }
 }
