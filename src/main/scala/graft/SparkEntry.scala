@@ -944,6 +944,17 @@ object SparkEntry {
         .orderBy(col("rrf_score").desc, col("id"))
         .limit(10)
     }),
+    // Pipeline aggregations from the wire format (cumulative_sum /
+    // derivative / moving_avg with buckets_path, the Kibana time-series
+    // body): windows run over the month-bucket table, never the facts.
+    "search_dsl_json_pipeline" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir).select("o_orderdate", "o_totalprice"),
+        """{"aggs": {"by_month": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |  "aggs": {"cum_docs": {"cumulative_sum": {"buckets_path": "_count"}},
+          |           "deriv_docs": {"derivative": {"buckets_path": "_count"}},
+          |           "mov_docs": {"moving_avg": {"buckets_path": "_count", "window": 3}}}}}}""".stripMargin
+      )),
     // The hybrid query from the wire format: the match leg BM25-scores
     // against the Memo'd posting artifact, the knn leg carries the
     // must_not self-exclusion filter, RRF fuses in rank space — same
@@ -2477,14 +2488,21 @@ object SparkEntry {
         .temperatureMix(Tables.documents(s, dir), "doc_id", "source", col("n_chars"), alpha = 0.5)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
-    // Concat-and-chunk sequence packing at a 256-token budget, sharded
-    // by source: each doc's pack id, in-pack offset, and whether it
-    // straddles a boundary (the attention/loss-masking signal). The
-    // prefix sum never leaves a shard — no global sort.
+    // Concat-and-chunk sequence packing at a 256-token budget. Shards
+    // are (source, 128-doc id block) — the file-level granularity real
+    // pipelines pack at — so the window's partition count SCALES with
+    // the corpus (a source-only key would funnel each source's entire
+    // history through one task's sort, the quartiles-class scale bug).
     "sample_pack_sequences" -> ((s, dir) =>
       operators.Sampling
-        .packSequences(Tables.documents(s, dir), "doc_id", TextFns.tokenCount(col("text")), Seq("source"), budget = 256)
-        .orderBy("source", "doc_id")),
+        .packSequences(
+          Tables.documents(s, dir).withColumn("shard", floor(col("doc_id") / 128).cast("long")),
+          "doc_id",
+          TextFns.tokenCount(col("text")),
+          Seq("source", "shard"),
+          budget = 256
+        )
+        .orderBy("source", "shard", "doc_id")),
     "sample_weighted_quality" -> ((s, dir) =>
       Tables
         .documents(s, dir)
@@ -3645,6 +3663,15 @@ object SparkEntry {
         |             + coalesce(CAST(1 AS DOUBLE) / (60 + vec_rank), 0.0), 6) AS rrf_score
         |FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
         |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin,
+    "search_dsl_json_pipeline" ->
+      """SELECT bucket, doc_count,
+        |       CAST(sum(doc_count) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+        |       CAST(doc_count - lag(doc_count) OVER (ORDER BY bucket) AS BIGINT) AS deriv_docs,
+        |       round(avg(doc_count) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_docs
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |             CAST(count(*) AS BIGINT) AS doc_count
+        |      FROM orders GROUP BY 1) t
+        |ORDER BY bucket""".stripMargin,
     "search_dsl_json_hybrid" ->
       """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
         |                     len(string_split(lower(text), ' ')) AS dl
@@ -4505,17 +4532,17 @@ object SparkEntry {
         |WHERE ((d.doc_id * 2654435761) % 65536) / 65536.0 < r.rate
         |ORDER BY d.doc_id""".stripMargin,
     "sample_pack_sequences" ->
-      """SELECT source, doc_id, n_tokens,
+      """SELECT source, shard, doc_id, n_tokens,
         |       CAST(floor((cum_end - n_tokens) / 256.0) AS BIGINT) AS pack_id,
         |       (cum_end - n_tokens) % 256 AS pack_offset,
         |       (CAST(floor((cum_end - 1) / 256.0) AS BIGINT)
         |          > CAST(floor((cum_end - n_tokens) / 256.0) AS BIGINT)) AS spans_boundary
-        |FROM (SELECT source, doc_id,
+        |FROM (SELECT source, CAST(floor(doc_id / 128.0) AS BIGINT) AS shard, doc_id,
         |             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
         |             sum(len(string_split(lower(text), ' ')))
-        |               OVER (PARTITION BY source ORDER BY doc_id) AS cum_end
+        |               OVER (PARTITION BY source, CAST(floor(doc_id / 128.0) AS BIGINT) ORDER BY doc_id) AS cum_end
         |      FROM documents) t
-        |ORDER BY source, doc_id""".stripMargin,
+        |ORDER BY source, shard, doc_id""".stripMargin,
     "sample_weighted_quality" ->
       """SELECT doc_id, source FROM documents
         |WHERE ((doc_id * 2654435761) % 65536) / 65536.0 <

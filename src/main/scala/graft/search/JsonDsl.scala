@@ -668,7 +668,49 @@ object JsonDsl {
         val interval =
           Option(body.get("calendar_interval")).orElse(Option(body.get("interval"))).map(_.asText)
         require(interval.isDefined, "date_histogram needs calendar_interval")
-        Aggs.dateHistogram(df, field, interval.get, subAggs.map(metricColumns).getOrElse(Nil))
+        // Pipeline sub-aggregations (the Kibana time-series toolkit:
+        // cumulative_sum / derivative / moving_avg over a sibling metric
+        // or _count) run over the BUCKET table — tens of rows — so the
+        // unpartitioned window is bounded, never the fact table.
+        val pipelineTypes = Set("cumulative_sum", "derivative", "moving_avg")
+        val entries = subAggs.map(_.fields().asScala.toSeq).getOrElse(Nil)
+        val (pipeEntries, metricEntries) =
+          entries.partition(e => e.getValue.isObject && pipelineTypes(e.getValue.fieldNames().next()))
+        val metricsCols = subAggs.toSeq.flatMap { a =>
+          val pruned = a.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+          pipeEntries.foreach(e => pruned.remove(e.getKey))
+          if (pruned.size == 0) Nil else metricColumns(pruned)
+        }
+        val base = Aggs.dateHistogram(df, field, interval.get, metricsCols)
+        if (pipeEntries.isEmpty) base
+        else {
+          val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+          val unbounded = w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow
+          )
+          val pipeCols = pipeEntries.map { e =>
+            val name = e.getKey
+            val pType = e.getValue.fieldNames().next()
+            val spec = e.getValue.get(pType)
+            val pathName = req(spec, "buckets_path", s"pipeline '$name' ($pType)").asText
+            require(
+              pathName == "_count" || metricEntries.exists(_.getKey == pathName),
+              s"pipeline '$name' buckets_path '$pathName' does not name a sibling metric or _count"
+            )
+            val src = if (pathName == "_count") col("doc_count") else col(pathName)
+            pType match {
+              case "cumulative_sum" => round(sum(src).over(unbounded), 2).as(name)
+              case "derivative"     => round(src - lag(src, 1).over(w), 2).as(name)
+              case "moving_avg" =>
+                val win = Option(spec.get("window")).map(_.asInt).getOrElse(5)
+                require(win > 0, s"moving_avg window must be positive: $win")
+                round(avg(src).over(w.rowsBetween(-(win - 1), org.apache.spark.sql.expressions.Window.currentRow)), 6)
+                  .as(name)
+            }
+          }
+          base.select(col("*") +: pipeCols: _*).orderBy("bucket")
+        }
       case "stats"          => Aggs.stats(df, field)
       case "extended_stats" => Aggs.extendedStats(df, field)
       case "cardinality" => Aggs.cardinality(df, Seq(aggName -> field))

@@ -589,6 +589,47 @@ class JsonDslSpec extends SparkSpec {
     assert(got.select("_id").as[Long].collect().toSeq == Seq(0L, 1L))
   }
 
+  test("date_histogram pipeline sub-aggs: cumulative_sum, derivative, moving_avg over a sibling metric") {
+    import java.sql.Timestamp
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-05 00:00:00"), 10.0),
+      (Timestamp.valueOf("2024-01-20 00:00:00"), 20.0),
+      (Timestamp.valueOf("2024-02-10 00:00:00"), 40.0),
+      (Timestamp.valueOf("2024-03-15 00:00:00"), 10.0)
+    ).toDF("ts", "amount")
+    val got = JsonDsl
+      .parse(
+        rows,
+        """{"aggs": {"by_month": {"date_histogram": {"field": "ts", "calendar_interval": "month"},
+          |  "aggs": {"rev": {"sum": {"field": "amount"}},
+          |           "cum": {"cumulative_sum": {"buckets_path": "rev"}},
+          |           "deriv": {"derivative": {"buckets_path": "rev"}},
+          |           "mov": {"moving_avg": {"buckets_path": "rev", "window": 2}}}}}}""".stripMargin,
+        mapping
+      )
+      .select("doc_count", "rev", "cum", "deriv", "mov")
+      .as[(Long, Double, Double, Option[Double], Double)]
+      .collect()
+      .toSeq
+    assert(
+      got == Seq(
+        (2L, 30.0, 30.0, None, 30.0),
+        (1L, 40.0, 70.0, Some(10.0), 35.0),
+        (1L, 10.0, 80.0, Some(-30.0), 25.0)
+      ),
+      got.toString
+    )
+    // buckets_path must name a sibling metric or _count
+    intercept[IllegalArgumentException](
+      JsonDsl.parse(
+        rows,
+        """{"aggs": {"m": {"date_histogram": {"field": "ts", "calendar_interval": "month"},
+          |  "aggs": {"cum": {"cumulative_sum": {"buckets_path": "nope"}}}}}}""".stripMargin,
+        mapping
+      )
+    )
+  }
+
   test("hybrid query fuses the BM25 and knn legs in rank space (hand-computed RRF)") {
     val docs = Seq(
       (1L, "spark query engine"),
