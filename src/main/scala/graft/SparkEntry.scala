@@ -944,6 +944,28 @@ object SparkEntry {
         .orderBy(col("rrf_score").desc, col("id"))
         .limit(10)
     }),
+    // span_near from the wire format: 'big' before 'table' within 3
+    // token positions — same token-position HOF plan as the structured
+    // search_span_near (shared oracle shape).
+    "search_dsl_json_span_near" -> ((s, dir) =>
+      JsonDsl
+        .parse(
+          Tables.documents(s, dir).select("doc_id", "text"),
+          """{"query": {"span_near": {"clauses": [
+            |   {"span_term": {"text": "big"}}, {"span_term": {"text": "table"}}],
+            |   "slop": 3, "in_order": true}},
+            | "sort": ["doc_id"], "_source": ["doc_id"]}""".stripMargin
+        )),
+    // collapse from the wire format: one top order per priority under
+    // the body's sort, executed by the bounded-heap TopKPerKey operator
+    // (JsonDslSpec asserts the operator appears in the plan).
+    "search_dsl_json_collapse" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        """{"collapse": {"field": "o_orderpriority"},
+          | "sort": [{"o_totalprice": "desc"}, {"o_orderkey": "asc"}],
+          | "_source": ["o_orderpriority", "o_orderkey", "o_totalprice"]}""".stripMargin
+      )),
     // Pipeline aggregations from the wire format (cumulative_sum /
     // derivative / moving_avg with buckets_path, the Kibana time-series
     // body): windows run over the month-bucket table, never the facts.
@@ -2632,6 +2654,42 @@ object SparkEntry {
           .agg(round(sum("o_totalprice"), 2).as("revenue")),
         col("revenue")
       )),
+    // serial_diff pipeline agg at lag 12: year-over-year differencing of
+    // the monthly revenue buckets — the window sees ~tens of bucket
+    // rows, never the fact table.
+    "search_serial_diff" -> ((s, dir) => {
+      val buckets = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      buckets
+        .select(
+          col("bucket"),
+          col("revenue"),
+          round(col("revenue") - lag("revenue", 12).over(Window.orderBy("bucket")), 2).as("yoy_diff")
+        )
+        .orderBy("bucket")
+    }),
+    // percentiles_bucket pipeline agg: the exact percentile ladder over
+    // the bucket METRIC values (~tens of rows) — sibling to avg_bucket.
+    "search_percentiles_bucket" -> ((s, dir) =>
+      Aggs.percentiles(
+        Tables
+          .orders(s, dir)
+          .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+          .agg(round(sum("o_totalprice"), 2).as("revenue")),
+        col("revenue"),
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
+      )),
+    // bucket_sort pipeline agg: re-rank + truncate the buckets by their
+    // metric (top revenue months) — a bounded TakeOrdered over buckets.
+    "search_bucket_sort" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("bucket"))
+        .limit(5)),
     // Term suggester ("did you mean"): corrections for the misspelling
     // "sparc", ranked by edit distance then corpus frequency.
     "search_suggest" -> ((s, dir) =>
@@ -3663,6 +3721,22 @@ object SparkEntry {
         |             + coalesce(CAST(1 AS DOUBLE) / (60 + vec_rank), 0.0), 6) AS rrf_score
         |FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
         |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin,
+    "search_dsl_json_span_near" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'big') AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table') AS pb
+        |      FROM t)
+        |SELECT doc_id FROM p
+        |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b > a AND b - a <= 3)) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_collapse" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
     "search_dsl_json_pipeline" ->
       """SELECT bucket, doc_count,
         |       CAST(sum(doc_count) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
@@ -4378,6 +4452,24 @@ object SparkEntry {
         |       round(max(revenue), 2) AS max_bucket, round(sum(revenue), 2) AS sum_bucket
         |FROM (SELECT date_trunc('month', o_orderdate) AS bucket, round(sum(o_totalprice), 2) AS revenue
         |      FROM orders GROUP BY 1) t""".stripMargin,
+    "search_serial_diff" ->
+      """SELECT bucket, revenue,
+        |       round(revenue - lag(revenue, 12) OVER (ORDER BY bucket), 2) AS yoy_diff
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |             round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t
+        |ORDER BY bucket""".stripMargin,
+    "search_percentiles_bucket" ->
+      """SELECT round(quantile_cont(revenue, 0.25), 6) AS p25,
+        |       round(quantile_cont(revenue, 0.5), 6) AS p50,
+        |       round(quantile_cont(revenue, 0.75), 6) AS p75
+        |FROM (SELECT date_trunc('month', o_orderdate) AS bucket, round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t""".stripMargin,
+    "search_bucket_sort" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1
+        |ORDER BY revenue DESC, bucket LIMIT 5""".stripMargin,
     "search_suggest" ->
       """SELECT suggestion, freq, dist FROM (
         |  SELECT t.tok AS suggestion, count(*) AS freq,

@@ -17,9 +17,13 @@ import scala.jdk.CollectionConverters._
   * (gt/gte/lt/lte), bool (must/filter/must_not/should +
   * minimum_should_match), wildcard, prefix, exists, match_all,
   * query_string, multi_match, ids (on an `_id` column), fuzzy, regexp
-  * (anchored, per OpenSearch), terms_set. Deep paging: `search_after`
-  * in the body, or [[scroll]] for the scroll-API shape (cursor pages
-  * emulated over search_after).
+  * (anchored, per OpenSearch), terms_set, span_near (two span_terms,
+  * slop + in_order), knn (with a `filter` pre-filter sub-clause).
+  * `f.keyword` resolves to the base column with exact semantics (the
+  * dynamic multi-field convention). `collapse` keeps the top hit per
+  * group under the body's sort via the bounded-heap operator. Deep
+  * paging: `search_after` in the body, or [[scroll]] for the
+  * scroll-API shape (cursor pages emulated over search_after).
   * Aggregations: terms (+ metric sub-aggregations), date_histogram
   * (+ metric sub-aggregations sum/avg/min/max/value_count), stats,
   * cardinality, histogram, range, filters, adjacency_matrix,
@@ -52,7 +56,8 @@ object JsonDsl {
           throw new IllegalArgumentException(s"request body is not valid JSON: ${e.getMessage}")
       }
     require(root != null && root.isObject, s"request body must be a JSON object: $body")
-    val known = Set("query", "aggs", "aggregations", "sort", "size", "_source", "search_after", "highlight")
+    val known =
+      Set("query", "aggs", "aggregations", "sort", "size", "_source", "search_after", "highlight", "collapse")
     root.fieldNames().asScala.foreach(n => require(known(n), s"unsupported request element '$n'"))
     // The knn query (the OpenSearch vector-search plugin's clause) is a
     // top-k ranking, not a predicate: score the frame, order by _score
@@ -131,9 +136,20 @@ object JsonDsl {
             filtered.filter(afterPredicate(specs, vals))
           case None => filtered
         }
+        // collapse: one top hit per group under the body's sort, via the
+        // bounded-heap TopKPerKey operator (k=1 per key — at most one row
+        // per group per partition reaches the shuffle, never a window
+        // sort of the whole hit set).
+        val collapsed = Option(root.get("collapse")) match {
+          case Some(c) =>
+            val f = req(c, "field", "collapse").asText
+            val specs = sortSpecs(req(root, "sort", "collapse (requires sort)"))
+            graft.plans.TopKPerKey.perKey(paged, Seq(f), specs, 1).drop("rank")
+          case None => paged
+        }
         val sorted = Option(root.get("sort")) match {
-          case Some(s) => paged.orderBy(compileSort(s): _*)
-          case None    => paged
+          case Some(s) => collapsed.orderBy(compileSort(s): _*)
+          case None    => collapsed
         }
         val sized = Option(root.get("size")).map(n => sorted.limit(n.asInt)).getOrElse(sorted)
         val hlCols = Option(root.get("highlight")).toSeq.flatMap { h =>
@@ -461,14 +477,14 @@ object JsonDsl {
         val (f, v) = fieldAndValue(body, "query")
         if (mapping.isText(f))
           SearchDsl.matchScore(col(f), v.asText.toLowerCase.split("\\s+").toSeq) > 0
-        else col(f) === lit(scalarValue(v))
+        else col(keywordField(df, f)) === lit(scalarValue(v))
       case "match_phrase" =>
         val (f, v) = fieldAndValue(body, "query")
         if (mapping.isText(f)) SearchDsl.matchPhrase(col(f), v.asText)
-        else col(f) === lit(scalarValue(v))
+        else col(keywordField(df, f)) === lit(scalarValue(v))
       case "term" =>
         val (f, v) = fieldAndValue(body, "value")
-        SearchDsl.term(col(f), scalarValue(v))
+        SearchDsl.term(col(keywordField(df, f)), scalarValue(v))
       case "terms" =>
         val f = singleField(body)
         SearchDsl.terms(col(f), body.get(f).elements().asScala.map(scalarValue).toSeq)
@@ -610,6 +626,34 @@ object JsonDsl {
           size(array_intersect(array_distinct(SearchDsl.analyze(col(f))), arr)) >= msm
         } else
           size(array_intersect(array(col(f)), array(termVals.map(lit): _*))) >= msm
+      case "span_near" =>
+        // Two span_term clauses within `slop` token positions — the
+        // token-position HOF shape (per-row array work, no self-join).
+        // in_order=true requires the second term after the first;
+        // in_order=false accepts either direction.
+        val clauses = clauseList(body, "clauses")
+        require(clauses.size == 2, s"span_near supports exactly two span_term clauses, got ${clauses.size}")
+        val terms = clauses.map { c =>
+          require(
+            c.isObject && c.size == 1 && c.fieldNames().next() == "span_term",
+            s"span_near clauses must be span_term: $c"
+          )
+          fieldAndValue(c.get("span_term"), "value")
+        }
+        val f = terms.head._1
+        require(terms.forall(_._1 == f), s"span_near clauses must share one field: ${terms.map(_._1)}")
+        val slop = Option(body.get("slop")).map(_.asInt).getOrElse(0)
+        val inOrder = Option(body.get("in_order")).exists(_.asBoolean)
+        val toks = graft.functions.TextFns.tokens(col(f))
+        def positions(term: String) =
+          filter(
+            transform(toks, (t, i) => when(t === lit(term.toLowerCase), i).otherwise(lit(-1))),
+            x => x >= 0
+          )
+        val pa = positions(terms(0)._2.asText)
+        val pb = positions(terms(1)._2.asText)
+        if (inOrder) exists(pa, a => exists(pb, b => b > a && b - a <= slop))
+        else exists(pa, a => exists(pb, b => b =!= a && abs(b - a) <= slop))
       case other => throw new IllegalArgumentException(s"unsupported query clause '$other'")
     }
   }
@@ -954,6 +998,20 @@ object JsonDsl {
   }
 
   // ── JSON helpers ──────────────────────────────────────────────────────
+
+  /** OpenSearch's dynamic multi-field convention: `f.keyword` is the
+    * exact (un-analyzed) sub-field a text field grows automatically.
+    * When the frame has no literal `f.keyword` column but does carry
+    * `f`, resolve to the base column — the mapping already yields
+    * keyword (exact) semantics for the suffixed name, so only the
+    * column reference needs rewriting.
+    */
+  private def keywordField(df: DataFrame, f: String): String =
+    if (
+      f.endsWith(".keyword") && !df.columns.contains(f) &&
+      df.columns.contains(f.stripSuffix(".keyword"))
+    ) f.stripSuffix(".keyword")
+    else f
 
   private def singleField(body: JsonNode): String = {
     require(body.isObject && body.size == 1, s"clause body must have exactly one field, got: $body")

@@ -589,6 +589,74 @@ class JsonDslSpec extends SparkSpec {
     assert(got.select("_id").as[Long].collect().toSeq == Seq(0L, 1L))
   }
 
+  test("collapse keeps one top hit per group via the bounded-heap operator") {
+    val got = JsonDsl.parse(
+      cards,
+      """{"collapse": {"field": "status"},
+        | "sort": [{"amount": "desc"}, {"id": "asc"}],
+        | "_source": ["status", "id", "amount"]}""".stripMargin,
+      mapping
+    )
+    assert(
+      got.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      s"collapse must run through the bounded heap:\n${got.queryExecution.executedPlan}"
+    )
+    assert(
+      got.as[(String, Long, Double)].collect().toSeq ==
+        Seq(("ACTIVE", 5L, 2000.0), ("BLOCKED", 3L, 900.0), ("CLOSED", 4L, 120.0))
+    )
+    // collapse without a sort is an error (OpenSearch requires one here)
+    intercept[IllegalArgumentException](
+      JsonDsl.parse(cards, """{"collapse": {"field": "status"}}""", mapping)
+    )
+  }
+
+  test("span_near: two span_terms within slop, ordered and unordered") {
+    val docs = Seq(
+      (1L, "big data table scan"), // big..table distance 2, in order
+      (2L, "table of big numbers"), // reversed order, distance 2
+      (3L, "big giant wide extra table"), // distance 4 > slop
+      (4L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    def run(inOrder: Boolean): Seq[Long] =
+      JsonDsl
+        .parse(
+          docs,
+          s"""{"query": {"span_near": {"clauses": [
+             |   {"span_term": {"text": "big"}}, {"span_term": {"text": "table"}}],
+             |   "slop": 3, "in_order": $inOrder}},
+             | "sort": ["doc_id"], "_source": ["doc_id"]}""".stripMargin,
+          mapping
+        )
+        .as[Long]
+        .collect()
+        .toSeq
+    assert(run(inOrder = true) == Seq(1L))
+    assert(run(inOrder = false) == Seq(1L, 2L))
+  }
+
+  test("f.keyword resolves to the base column with exact semantics") {
+    // 'text' is text-mapped: match analyzes; term on text.keyword is the
+    // exact un-analyzed sub-field — whole-value equality on the base col.
+    val whole = "spark query engine"
+    val viaKeyword = JsonDsl.parse(
+      cards,
+      s"""{"query": {"term": {"text.keyword": {"value": "$whole"}}}}""",
+      mapping
+    )
+    assert(viaKeyword.select("id").as[Long].collect().toSeq == Seq(5L))
+    // a single analyzed token does NOT match the keyword sub-field
+    assert(
+      JsonDsl
+        .parse(cards, """{"query": {"term": {"text.keyword": {"value": "spark"}}}}""", mapping)
+        .count() == 0
+    )
+    // but the analyzed match on the text field still finds it
+    assert(
+      JsonDsl.parse(cards, """{"query": {"match": {"text": "spark"}}}""", mapping).count() == 2
+    )
+  }
+
   test("date_histogram pipeline sub-aggs: cumulative_sum, derivative, moving_avg over a sibling metric") {
     import java.sql.Timestamp
     val rows = Seq(
