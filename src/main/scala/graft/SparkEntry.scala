@@ -646,6 +646,18 @@ object SparkEntry {
            | "sort": ["_id"], "_source": ["_id", "_score"]}""".stripMargin
       )
     }),
+    // knn.min_score from the wire format: radius vector search (every
+    // vector with cosine >= 0.3 of the query) — the wire twin of
+    // ann_range_search, sharing its filter + bounded-sort shape.
+    "search_dsl_json_knn_min_score" -> ((s, dir) => {
+      val qv = queryVec(s, dir, 0).map(_.toDouble).mkString("[", ",", "]")
+      JsonDsl.parse(
+        Tables.embeddings(s, dir).withColumnRenamed("vec_id", "_id").select("_id", "embedding"),
+        s"""{"query": {"knn": {"embedding": {"vector": $qv, "min_score": 0.3,
+           |  "filter": {"bool": {"must_not": [{"ids": {"values": [0]}}]}}}}},
+           | "sort": ["_id"], "_source": ["_id", "_score"]}""".stripMargin
+      )
+    }),
     // _rank_eval from the wire format: per-request knn ranking (one with
     // a knn.filter) judged against the body's explicit graded ratings,
     // scored with OpenSearch's normalized-dcg metric (NDCG@10). Each
@@ -2810,6 +2822,12 @@ object SparkEntry {
       Binary
         .frameSampleRows(Binary.asPayload(Tables.documents(s, dir), col("doc_id"), col("text")), 64, 4)
         .orderBy("id", "frame_idx")),
+    // ViT-style patch grid over the payload raster (32-byte rows, 16x4
+    // tiles): strided slice + fold per tile, digests hash-checked.
+    "mm_tile_grid" -> ((s, dir) =>
+      Binary
+        .tileGrid(Binary.asPayload(Tables.documents(s, dir), col("doc_id"), col("text")), rowBytes = 32, tileW = 16, tileH = 4)
+        .orderBy("id", "tile_row", "tile_col")),
     // Exact dedup over OPAQUE binary payloads: hash-aggregate on the
     // content digest — the digest shuffles, the payload bytes never do
     // (the multimodal twin of dedup_exact).
@@ -3197,6 +3215,19 @@ object SparkEntry {
           count(lit(1)).as("doc_count")
         )
         .orderBy("event_type")),
+    // geo_bounds aggregation: the tightest lat/lon envelope per bucket —
+    // pure min/max selections (2dp-exact doubles), one hash agg.
+    "search_geo_bounds" -> ((s, dir) =>
+      geoEvents(s, dir)
+        .groupBy("event_type")
+        .agg(
+          max("lat").as("top"),
+          min("lat").as("bottom"),
+          min("lon").as("left"),
+          max("lon").as("right"),
+          count(lit(1)).as("doc_count")
+        )
+        .orderBy("event_type")),
     // JSON-body twins of the new agg/query types — same parameters as the
     // structured entries, so they share the oracle SQL and (plan-asserted
     // in JsonDslSpec) the Catalyst plan.
@@ -3578,6 +3609,14 @@ object SparkEntry {
         |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS "_score"
         |FROM embeddings ORDER BY "_score" DESC, "_id" LIMIT 10""".stripMargin,
+    "search_dsl_json_knn_min_score" ->
+      """SELECT * FROM (
+        |  SELECT vec_id AS "_id",
+        |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS "_score"
+        |  FROM embeddings WHERE vec_id <> 0) t
+        |WHERE "_score" >= 0.3
+        |ORDER BY "_score" DESC, "_id"""".stripMargin,
     "search_dsl_json_knn_filtered" ->
       """SELECT vec_id AS "_id",
         |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
@@ -4714,6 +4753,22 @@ object SparkEntry {
         |      FROM documents) d
         |CROSS JOIN unnest(generate_series(0, nf - 1, 4)) AS u(i)
         |ORDER BY id, frame_idx""".stripMargin,
+    "mm_tile_grid" ->
+      """WITH d AS (SELECT doc_id, text, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
+        |           FROM documents),
+        |dims AS (SELECT *, CAST(ceil(ceil(n_bytes / 32.0) / 4.0) AS INTEGER) AS tile_rows FROM d),
+        |tiles AS (
+        |  SELECT doc_id, text, n_bytes,
+        |         CAST(t.i // 2 AS INTEGER) AS tile_row, CAST(t.i % 2 AS INTEGER) AS tile_col
+        |  FROM dims CROSS JOIN unnest(generate_series(0, tile_rows * 2 - 1)) AS t(i)),
+        |parts AS (
+        |  SELECT doc_id, n_bytes, tile_row, tile_col, k.i AS k,
+        |         substring(text, (tile_row * 4 + k.i) * 32 + tile_col * 16 + 1, 16) AS part
+        |  FROM tiles CROSS JOIN unnest(generate_series(0, 3)) AS k(i))
+        |SELECT doc_id AS id, n_bytes, tile_row, tile_col,
+        |       md5(string_agg(part, '' ORDER BY k)) AS tile_md5
+        |FROM parts GROUP BY 1, 2, 3, 4
+        |ORDER BY id, tile_row, tile_col""".stripMargin,
     "mm_payload_dedup" ->
       """SELECT sha256(text) AS sha256, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
@@ -5003,6 +5058,15 @@ object SparkEntry {
       """SELECT event_type,
         |       round(CAST(sum(CAST(((user_id * 1237) % 18000) / 100.0 - 90.0 AS DECIMAL(9,2))) AS DOUBLE) / count(*), 6) AS centroid_lat,
         |       round(CAST(sum(CAST(((event_id * 91) % 36000) / 100.0 - 180.0 AS DECIMAL(9,2))) AS DOUBLE) / count(*), 6) AS centroid_lon,
+        |       count(*) AS doc_count
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "search_geo_bounds" ->
+      """SELECT event_type,
+        |       max(((user_id * 1237) % 18000) / 100.0 - 90.0) AS top,
+        |       min(((user_id * 1237) % 18000) / 100.0 - 90.0) AS bottom,
+        |       min(((event_id * 91) % 36000) / 100.0 - 180.0) AS "left",
+        |       max(((event_id * 91) % 36000) / 100.0 - 180.0) AS "right",
         |       count(*) AS doc_count
         |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -56,6 +56,48 @@ object Binary {
       .select(col("id"), col("n_bytes"), col("n_frames"), col("frames"))
   }
 
+  /** 2-D tile grid over an opaque payload raster — the ViT patch-grid
+    * shape: interpret the payload as `rowBytes`-wide raster rows and cut
+    * `tileH`×`tileW`-byte tiles, emitting per-tile digests in row-major
+    * (tile_row, tile_col) order. Tile extraction is pure strided byte
+    * arithmetic (one `aggregate` fold over the tile's row slices — real,
+    * tested, engine-agnostic); decoding pixels out of a tile is where
+    * the codec stub plugs in. Ragged edges truncate exactly like a real
+    * image whose dimensions don't divide the patch size.
+    */
+  def tileGrid(payloads: DataFrame, rowBytes: Int, tileW: Int, tileH: Int): DataFrame = {
+    require(rowBytes > 0 && tileW > 0 && tileH > 0, s"bad tile geometry: $rowBytes/$tileW/$tileH")
+    val tilesPerRow = (rowBytes + tileW - 1) / tileW
+    payloads
+      .withColumn("n_rows", ceil(col("n_bytes").cast("double") / rowBytes).cast("int"))
+      .withColumn("tile_rows", ceil(col("n_rows").cast("double") / tileH).cast("int"))
+      .withColumn(
+        "tile_idx",
+        explode(
+          when(col("tile_rows") === 0, array().cast("array<int>"))
+            .otherwise(sequence(lit(0), col("tile_rows") * tilesPerRow - 1))
+        )
+      )
+      .withColumn("tile_row", (col("tile_idx") / tilesPerRow).cast("int"))
+      .withColumn("tile_col", pmod(col("tile_idx"), lit(tilesPerRow)).cast("int"))
+      .withColumn(
+        "tile_md5",
+        md5(
+          aggregate(
+            sequence(lit(0), lit(tileH - 1)),
+            lit(Array.emptyByteArray),
+            (acc, k) =>
+              concat(
+                acc,
+                col("payload")
+                  .substr((col("tile_row") * tileH + k) * rowBytes + col("tile_col") * tileW + 1, lit(tileW))
+              )
+          )
+        )
+      )
+      .select("id", "n_bytes", "tile_row", "tile_col", "tile_md5")
+  }
+
   /** [[frameSample]] in exploded row form — one row per sampled frame
     * (id, n_bytes, n_frames, frame_idx, frame_md5). Scalar columns only, so
     * results are directly comparable/joinable (and hash-verifiable) without

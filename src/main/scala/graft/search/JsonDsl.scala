@@ -70,7 +70,9 @@ object JsonDsl {
         val f = singleField(body)
         val spec = body.get(f)
         val vec = req(spec, "vector", "knn").elements().asScala.toSeq.map(_.asDouble)
-        val k = req(spec, "k", "knn").asInt
+        val kOpt = Option(spec.get("k")).map(_.asInt)
+        val minScore = Option(spec.get("min_score")).map(_.asDouble)
+        require(kOpt.isDefined || minScore.isDefined, "knn needs k or min_score")
         // knn.filter — OpenSearch's filtered vector search: the filter
         // applies BEFORE scoring (an efficient pre-filter with exact
         // recall over the surviving subset), never a post-filter of the
@@ -83,7 +85,12 @@ object JsonDsl {
           round(graft.functions.VectorFns.cosine(col(f), array(vec.map(lit): _*)), 6)
         )
         val order = col("_score").desc +: Option(root.get("sort")).map(compileSort).getOrElse(Nil)
-        val top = scored.orderBy(order: _*).limit(k)
+        // min_score = radius search (every vector at least that close —
+        // a filter + bounded result sort, no arbitrary k cutoff); with k
+        // it additionally truncates, per the OpenSearch contract.
+        val inRange = minScore.fold(scored)(ms => scored.filter(col("_score") >= ms))
+        val ranked = inRange.orderBy(order: _*)
+        val top = kOpt.fold(ranked)(k => ranked.limit(k))
         return Option(root.get("_source")) match {
           case Some(src) => top.select(src.elements().asScala.map(e => col(e.asText)).toSeq: _*)
           case None      => top
