@@ -2231,6 +2231,15 @@ object SparkEntry {
     "ann_graph_topk" -> ((s, dir) =>
       Similarity
         .graphSearch(cachedGraph(s, dir), Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10)),
+    // The batch form: every probe advances through the SAME fixed
+    // rounds as a set-based (probe_id, id, cos) beam frame — constant
+    // job count regardless of probe count, zero driver collects.
+    "ann_graph_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity
+        .graphSearchBatch(cachedGraph(s, dir), emb, "vec_id", "embedding", emb.filter(col("vec_id") < 3), 10)
+        .orderBy("probe_id", "rank")
+    }),
     // Honest PQ build cost: the full encode (coarse assign + residual
     // codebook training + per-vector codes) runs on every call.
     "ann_ivf_pq_build" -> ((s, dir) =>

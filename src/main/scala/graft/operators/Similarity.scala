@@ -1218,6 +1218,56 @@ object Similarity {
       .orderBy(col("cos").desc, col("id").asc)
   }
 
+  /** Batch beam search over the neighbor graph — the fully SET-BASED
+    * form of [[graphSearch]]: the beam state is a (probe_id, id, cos)
+    * frame (≤ probes×beam rows), every probe advances together, and
+    * each round is one candidate join + one bounded-heap truncation —
+    * so the job count stays constant no matter how many probes ride the
+    * batch, and NOTHING is collected to the driver (the entry-point
+    * list is already bounded index metadata). Expansion policy differs
+    * from the scalar form only in re-expanding the current beam each
+    * round (bounded re-work, same fixed-round contract); recall and the
+    * exact-score contract are pinned independently in ReplicaSpec.
+    */
+  def graphSearchBatch(
+      index: GraphIndex,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probes: DataFrame,
+      k: Int,
+      beam: Int = 16,
+      rounds: Int = 3
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec")).filter(col("vec").isNotNull)
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val entryDf = spark.createDataFrame(index.entryPoints.map(Tuple1(_))).toDF("id")
+    def score(cands: DataFrame): DataFrame =
+      cands
+        .join(base, "id")
+        .join(broadcast(p), "probe_id")
+        .select(col("probe_id"), col("id"), round(VectorFns.cosine(col("vec"), col("probe_vec")), 6).as("cos"))
+    var state = score(p.select("probe_id").crossJoin(broadcast(entryDf)))
+    for (_ <- 0 until rounds) {
+      val cands = state
+        .join(index.neighbors.select(col("id"), col("nbr")), "id")
+        .select(col("probe_id"), col("nbr").as("id"))
+        .distinct()
+      state = graft.plans.TopKPerKey
+        .perKey(
+          score(cands).unionByName(state).distinct(),
+          Seq("probe_id"),
+          Seq("cos" -> false, "id" -> true),
+          beam
+        )
+        .select("probe_id", "id", "cos")
+    }
+    graft.plans.TopKPerKey
+      .perKey(state, Seq("probe_id"), Seq("cos" -> false, "id" -> true), k)
+      .select(col("probe_id"), col("id"), col("cos"), col("rank"))
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): block by k-means cluster (the Lloyd-refined IVF

@@ -442,6 +442,30 @@ class ReplicaSpec extends SparkSpec {
       .foreach { case (id, cos) => assert(all(id) == cos, s"stale graph score for vec $id") }
   }
 
+  test("batch graph beam search: per-probe recall floor, exact scores, zero driver collects in-plan") {
+    val idx = Similarity.graphIndex(emb, "vec_id", "embedding")
+    val probeIds = Seq(0L, 7L, 21L)
+    val got = Similarity
+      .graphSearchBatch(idx, emb, "vec_id", "embedding", emb.filter($"vec_id".isin(probeIds: _*)), 10)
+      .select("probe_id", "id", "cos")
+      .as[(Long, Long, Double)]
+      .collect()
+      .groupBy(_._1)
+    val recalls = probeIds.map { pid =>
+      val q = emb.filter($"vec_id" === pid).select("embedding").head().getSeq[Float](0)
+      val truth =
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).select("vec_id").as[Long].collect().toSet
+      val exact =
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 500).as[(Long, Double)].collect().toMap
+      val mine = got(pid).map(r => (r._2, r._3)).toSeq
+      // exact-score contract per probe
+      mine.foreach { case (id, cos) => assert(exact(id) == cos, s"stale batch score probe=$pid id=$id") }
+      truth.intersect(mine.map(_._1).toSet).size.toDouble / truth.size
+    }
+    info(s"batch graph recall@10: ${recalls.mkString(", ")} (mean ${recalls.sum / recalls.size})")
+    assert(recalls.forall(_ >= 0.5), s"batch graph recall below bound: $recalls")
+  }
+
   test("batch LSH knn join returns exactly the per-probe multi-probe results") {
     val idx = Similarity.lshIndex(emb, "vec_id", "embedding", nBits = 4, tables = 4)
     val batch = Similarity
