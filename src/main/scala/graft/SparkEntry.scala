@@ -2008,6 +2008,11 @@ object SparkEntry {
         .incrementalPairs(idx, Tables.documents(s, dir).filter(col("doc_id") % 7 === 3), "doc_id", "text", threshold = 0.5)
         .orderBy("a", "b")
     }),
+    // Asymmetric containment dedup over rare 3-grams (df <= 50): quote
+    // inclusion / partial copies that symmetric Jaccard dilutes — both
+    // directions emitted, threshold on the max.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, dfCap = 50, threshold = 0.5)),
     "dedup_simhash" -> ((s, dir) =>
       SimHash.nearDupPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3).orderBy("a", "b")),
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -4294,6 +4299,26 @@ object SparkEntry {
     // The prefix filter is lossless (PPJoin exactness), so the operator's
     // output equals the naive all-pairs Jaccard — which the oracle can
     // brute-force at verification scale.
+    "dedup_containment" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id AS id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+        |  CROSS JOIN unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+        |rare AS (SELECT id, g FROM grams
+        |         JOIN (SELECT g, count(*) AS df FROM grams GROUP BY 1) f USING (g)
+        |         WHERE df <= 50),
+        |sizes AS (SELECT id, count(*) AS n_rare FROM rare GROUP BY 1),
+        |shared AS (
+        |  SELECT x.id AS a, y.id AS b, count(*) AS shared
+        |  FROM rare x JOIN rare y USING (g) WHERE x.id < y.id GROUP BY 1, 2)
+        |SELECT a, b,
+        |       round(shared * 1.0 / sa.n_rare, 4) AS containment_ab,
+        |       round(shared * 1.0 / sb.n_rare, 4) AS containment_ba
+        |FROM shared
+        |JOIN sizes sa ON sa.id = a
+        |JOIN sizes sb ON sb.id = b
+        |WHERE greatest(round(shared * 1.0 / sa.n_rare, 4), round(shared * 1.0 / sb.n_rare, 4)) >= 0.5
+        |ORDER BY a, b""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH s AS (
         |  SELECT doc_id,

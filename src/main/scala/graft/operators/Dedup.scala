@@ -132,6 +132,56 @@ object Dedup {
       )
   }
 
+  /** Rare-n-gram containment pairs — the ASYMMETRIC near-dup signal
+    * C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| that catches quote
+    * inclusion and partial copies, which symmetric Jaccard dilutes (a
+    * short doc fully contained in a long one scores low Jaccard but
+    * containment 1.0 from the short side).
+    *
+    * Candidate evidence is restricted to grams with document frequency
+    * ≤ `dfCap` (rare-gram blocking): stop-grams never generate
+    * candidate pairs, so the per-gram pair fan-out is bounded by dfCap²
+    * and the gram self-join stays near-linear at corpus scale — the
+    * standard trick, here made DETERMINISTIC and oracle-shared by
+    * computing the metric over the same rare-gram universe on both
+    * sides (pairs overlapping ONLY in stop-grams are out of scope by
+    * definition, not silently dropped). Shuffles carry (gram, id) pairs
+    * and id pairs — never text.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      dfCap: Int = 50,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val grams = graft.Tables
+      .ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(col("id"), explode(array_distinct(TextFns.ngramsFromTokens(TextFns.tokens(col("_t")), n))).as("g"))
+    val rare = grams
+      .join(grams.groupBy("g").agg(count(lit(1)).as("_df")).filter(col("_df") <= dfCap), "g")
+      .select("id", "g")
+    val sizes = rare.groupBy(col("id")).agg(count(lit(1)).as("n_rare"))
+    val shared = rare
+      .select(col("id").as("a"), col("g"))
+      .join(rare.select(col("id").as("b"), col("g")), "g")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("a"), col("n_rare").as("n_a")), "a")
+      .join(sizes.select(col("id").as("b"), col("n_rare").as("n_b")), "b")
+      .select(
+        col("a"),
+        col("b"),
+        round(col("shared") / col("n_a"), 4).as("containment_ab"),
+        round(col("shared") / col("n_b"), 4).as("containment_ba")
+      )
+      .filter(greatest(col("containment_ab"), col("containment_ba")) >= threshold)
+      .orderBy("a", "b")
+  }
+
   /** @param suffixFilter
     *   enable the two suffix-side prunes (both lossless, flag kept so the
     *   spec can assert set-equality of the two paths): (a) the

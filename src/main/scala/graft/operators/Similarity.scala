@@ -1139,11 +1139,15 @@ object Similarity {
       .select(col("id"), col("vec"), explode(topCells(col("vec"))).as("cell"))
     val l = cells.select(col("cell"), col("id"), col("vec").as("va"))
     val r = cells.select(col("cell"), col("id").as("nbr"), col("vec").as("vb"))
-    val scored = l
+    // Score each unordered pair ONCE (a < b), dedupe the double-find
+    // from two shared cells, then mirror — cosine is symmetric and is
+    // the expensive part of the build, so this halves the kernel work.
+    val half = l
       .join(r, Seq("cell"))
-      .filter(col("id") =!= col("nbr"))
+      .filter(col("id") < col("nbr"))
       .select(col("id"), col("nbr"), round(VectorFns.cosine(col("va"), col("vb")), 6).as("cos"))
       .distinct() // a pair sharing both assigned cells is found twice
+    val scored = half.unionByName(half.select(col("nbr").as("id"), col("id").as("nbr"), col("cos")))
     val neighbors = graft.plans.TopKPerKey
       .perKey(scored, Seq("id"), Seq("cos" -> false, "nbr" -> true), m)
       .select("id", "nbr", "cos")

@@ -44,6 +44,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), s"unrelated doc matched: $pairs")
   }
 
+  test("containmentPairs catches quote inclusion that symmetric Jaccard misses") {
+    val quote = "alpha beta gamma delta epsilon zeta eta theta" // a prefix of `base`
+    val cdocs = Seq((1L, base), (2L, quote), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup
+      .containmentPairs(cdocs, "doc_id", "text", n = 3, dfCap = 50, threshold = 0.9)
+      .as[(Long, Long, Double, Double)]
+      .collect()
+      .toSeq
+    // the quote's every 3-gram lives in the host → containment 1.0 from
+    // the quote side, even though Jaccard is only 6/18
+    assert(pairs == Seq((1L, 2L, 0.3333, 1.0)), pairs.toString)
+    val jac = Dedup
+      .ngramJaccardPairs(cdocs, "doc_id", "text", n = 3, threshold = 0.9)
+      .count()
+    assert(jac == 0, "Jaccard at the same bar should NOT catch the inclusion")
+  }
+
   test("incremental(corpus, delta) ∪ full(corpus) equals full(corpus ∪ delta) pair-for-pair") {
     // The append-mostly contract on real data: yesterday's artifact +
     // today's delta must reproduce exactly what a full recompute over
