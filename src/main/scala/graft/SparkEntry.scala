@@ -1910,6 +1910,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
         .select(col("w.start").as("win_start"), col("n_events"), col("sum_value"))
         .orderBy("win_start")),
+    // Event-path transition matrix (Markov first-order): per-user
+    // chronological event bigrams, counted corpus-wide. The window is
+    // partitioned by user_id — per-key ordered state, never a global
+    // sort — and the transition table is |event_types|² rows, so the
+    // output aggregation is driver-scale at any corpus size.
+    "agg_path_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables
+        .events(s, dir)
+        .select(col("user_id"), col("event_type"), lead("event_type", 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n_transitions"))
+        .orderBy(col("n_transitions").desc, col("event_type"), col("next_type"))
+    }),
     "agg_sessionize" -> ((s, dir) => {
       val ordW = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val cumW = ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2716,6 +2731,28 @@ object SparkEntry {
         .agg(round(sum("o_totalprice"), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("bucket"))
         .limit(5)),
+    // bucket_selector pipeline agg: the HAVING of the bucket world — keep
+    // months whose average order price clears the threshold. The
+    // predicate runs over the ~80-row bucket table, never the fact table,
+    // so the selector costs nothing more than the aggregation itself.
+    "search_bucket_selector" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(count(lit(1)).as("doc_count"), max("o_totalprice").as("max_price"))
+        .filter(col("max_price") > 450000.0)
+        .orderBy("bucket")),
+    // bucket_selector from the wire format: buckets_path maps the script
+    // variable onto the sibling avg metric; same bucket-table HAVING plan
+    // as the structured twin (JsonDslSpec asserts plan equality).
+    "search_dsl_json_bucket_selector" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir).select("o_orderdate", "o_totalprice"),
+        """{"aggs": {"monthly": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |  "aggs": {"max_price": {"max": {"field": "o_totalprice"}},
+          |           "rich_months": {"bucket_selector": {"buckets_path": {"top": "max_price"},
+          |                                               "script": "params.top > 450000"}}}}}}""".stripMargin
+      )),
     // Term suggester ("did you mean"): corrections for the misspelling
     // "sparc", ranked by edit distance then corpus frequency.
     "search_suggest" -> ((s, dir) =>
@@ -2974,6 +3011,22 @@ object SparkEntry {
         )
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)),
+    // function_score from the wire format (field_value_factor body):
+    // the inner match filters, boost × ln1p(factor × n_chars) ranks —
+    // the same filter-then-project-then-top-k plan as the structured
+    // twin (JsonDslSpec asserts the shape), emitted as _score per the
+    // wire convention.
+    "search_dsl_json_function_score" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir).select("doc_id", "text", "n_chars"),
+        """{"query": {"function_score": {
+          |   "query": {"match": {"text": "spark"}},
+          |   "field_value_factor": {"field": "n_chars", "modifier": "ln1p", "factor": 1.0},
+          |   "boost": 1.5}},
+          | "sort": [{"doc_id": "asc"}], "size": 20,
+          | "_source": ["doc_id", "n_chars", "_score"]}""".stripMargin,
+        docsMapping
+      )),
     // boosting query: positive matches kept, negative matches demoted by
     // negative_boost (0.5) rather than excluded.
     "search_boosting" -> ((s, dir) =>
@@ -4286,6 +4339,14 @@ object SparkEntry {
       """SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 * 1000000 AS BIGINT)) AS win_start,
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY win_start""".stripMargin,
+    "agg_path_transitions" ->
+      """SELECT event_type, next_type, count(*) AS n_transitions
+        |FROM (SELECT user_id, event_type,
+        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |      FROM events) a
+        |WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY n_transitions DESC, event_type, next_type""".stripMargin,
     "agg_sessionize" ->
       """SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
         |FROM (SELECT user_id, ts,
@@ -4543,6 +4604,18 @@ object SparkEntry {
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY 1
         |ORDER BY revenue DESC, bucket LIMIT 5""".stripMargin,
+    "search_bucket_selector" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |       count(*) AS doc_count, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1
+        |HAVING max(o_totalprice) > 450000
+        |ORDER BY bucket""".stripMargin,
+    "search_dsl_json_bucket_selector" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |       count(*) AS doc_count, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1
+        |HAVING max(o_totalprice) > 450000
+        |ORDER BY bucket""".stripMargin,
     "search_suggest" ->
       """SELECT suggestion, freq, dist FROM (
         |  SELECT t.tok AS suggestion, count(*) AS freq,
@@ -4899,6 +4972,11 @@ object SparkEntry {
         |FROM documents
         |WHERE list_contains(string_split(lower(text), ' '), 'spark')
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "search_dsl_json_function_score" ->
+      """SELECT doc_id, n_chars, round(1.5 * ln(1.0 + n_chars), 6) AS "_score"
+        |FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |ORDER BY "_score" DESC, doc_id LIMIT 20""".stripMargin,
     "search_boosting" ->
       """SELECT doc_id,
         |       CASE WHEN list_contains(string_split(lower(text), ' '), 'slow')

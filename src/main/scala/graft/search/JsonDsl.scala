@@ -18,7 +18,9 @@ import scala.jdk.CollectionConverters._
   * minimum_should_match), wildcard, prefix, exists, match_all,
   * query_string, multi_match, ids (on an `_id` column), fuzzy, regexp
   * (anchored, per OpenSearch), terms_set, span_near (two span_terms,
-  * slop + in_order), knn (with a `filter` pre-filter sub-clause).
+  * slop + in_order), knn (with a `filter` pre-filter sub-clause),
+  * function_score (field_value_factor form: the inner query filters,
+  * boost × modifier(factor × field) ranks — ln1p/log1p/sqrt/square).
   * `f.keyword` resolves to the base column with exact semantics (the
   * dynamic multi-field convention). `collapse` keeps the top hit per
   * group under the body's sort via the bounded-heap operator. Deep
@@ -29,7 +31,11 @@ import scala.jdk.CollectionConverters._
   * cardinality, histogram, range, filters, adjacency_matrix,
   * auto_date_histogram, boxplot, median_absolute_deviation,
   * string_stats, percentiles, and top-level single metrics
-  * (avg/sum/min/max/value_count). Hits shaping: sort,
+  * (avg/sum/min/max/value_count). Pipeline sub-aggregations under
+  * date_histogram: cumulative_sum / derivative / moving_avg (window
+  * over the bucket table) and bucket_selector (the HAVING of the
+  * bucket world — filters buckets by a `params.<var> <op> <number>`
+  * script over sibling metrics). Hits shaping: sort,
   * size, _source, search_after (deep paging: a lexicographic tuple
   * predicate over the sort keys — a pushdown-able filter, never an
   * offset skip), highlight (per-field snippet columns around the first
@@ -91,6 +97,45 @@ object JsonDsl {
         val inRange = minScore.fold(scored)(ms => scored.filter(col("_score") >= ms))
         val ranked = inRange.orderBy(order: _*)
         val top = kOpt.fold(ranked)(k => ranked.limit(k))
+        return Option(root.get("_source")) match {
+          case Some(src) => top.select(src.elements().asScala.map(e => col(e.asText)).toSeq: _*)
+          case None      => top
+        }
+      case None => ()
+    }
+    // function_score (field_value_factor form): the inner query filters,
+    // the score is a pure projection over a numeric field —
+    // boost × modifier(factor × field) — then rank by _score. Score-time
+    // work never touches non-matching rows (filter first), and the whole
+    // thing is one codegen'd scan + TakeOrderedAndProject when sized.
+    Option(root.get("query")).filter(q =>
+      q.isObject && q.size == 1 && q.fieldNames().next() == "function_score"
+    ) match {
+      case Some(q) =>
+        require(root.get("aggs") == null && root.get("aggregations") == null, "function_score with aggs is unsupported")
+        val body = q.get("function_score")
+        val fvf = req(body, "field_value_factor", "function_score")
+        val field = col(req(fvf, "field", "field_value_factor").asText)
+        val factor = Option(fvf.get("factor")).map(_.asDouble).getOrElse(1.0)
+        val raw = lit(factor) * field
+        // Lucene's field_value_factor modifiers (the ln* family is the
+        // natural log, log* is base 10 — both are in the public contract).
+        val modified = Option(fvf.get("modifier")).map(_.asText).getOrElse("none") match {
+          case "none"   => raw
+          case "ln1p"   => log(lit(1.0) + raw)
+          case "log1p"  => log10(lit(1.0) + raw)
+          case "sqrt"   => sqrt(raw)
+          case "square" => raw * raw
+          case m        => throw new IllegalArgumentException(s"unsupported field_value_factor modifier '$m'")
+        }
+        val boost = Option(body.get("boost")).map(_.asDouble).getOrElse(1.0)
+        val base = Option(body.get("query"))
+          .map(fn => df.filter(compileQuery(df, fn, mapping)))
+          .getOrElse(df)
+        val scored = base.withColumn("_score", round(lit(boost) * modified, 6))
+        val order = col("_score").desc +: Option(root.get("sort")).map(compileSort).getOrElse(Nil)
+        val ranked = scored.orderBy(order: _*)
+        val top = Option(root.get("size")).map(_.asInt).fold(ranked)(k => ranked.limit(k))
         return Option(root.get("_source")) match {
           case Some(src) => top.select(src.elements().asScala.map(e => col(e.asText)).toSeq: _*)
           case None      => top
@@ -725,14 +770,23 @@ object JsonDsl {
         // unpartitioned window is bounded, never the fact table.
         val pipelineTypes = Set("cumulative_sum", "derivative", "moving_avg")
         val entries = subAggs.map(_.fields().asScala.toSeq).getOrElse(Nil)
+        // bucket_selector is the HAVING of the bucket world: it filters
+        // the (tiny) bucket table by a script over sibling metrics and
+        // emits no column of its own, per OpenSearch.
+        val (selectorEntries, nonSelector) =
+          entries.partition(e => e.getValue.isObject && e.getValue.fieldNames().next() == "bucket_selector")
         val (pipeEntries, metricEntries) =
-          entries.partition(e => e.getValue.isObject && pipelineTypes(e.getValue.fieldNames().next()))
+          nonSelector.partition(e => e.getValue.isObject && pipelineTypes(e.getValue.fieldNames().next()))
         val metricsCols = subAggs.toSeq.flatMap { a =>
           val pruned = a.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
-          pipeEntries.foreach(e => pruned.remove(e.getKey))
+          (pipeEntries ++ selectorEntries).foreach(e => pruned.remove(e.getKey))
           if (pruned.size == 0) Nil else metricColumns(pruned)
         }
-        val base = Aggs.dateHistogram(df, field, interval.get, metricsCols)
+        val base0 = Aggs.dateHistogram(df, field, interval.get, metricsCols)
+        val metricNames = metricEntries.map(_.getKey).toSet
+        val base = selectorEntries.foldLeft(base0) { (acc, e) =>
+          acc.filter(bucketSelector(e.getValue.get("bucket_selector"), metricNames))
+        }
         if (pipeEntries.isEmpty) base
         else {
           val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
@@ -950,6 +1004,44 @@ object JsonDsl {
 
   private def compileSort(sort: JsonNode): Seq[Column] =
     sortSpecs(sort).map { case (f, asc) => if (asc) col(f).asc else col(f).desc }
+
+  /** Compile a `bucket_selector` script into a bucket-table predicate.
+    * The script grammar is constrained to `params.<var> <op> <number>`
+    * (the overwhelmingly common form); `buckets_path` maps each script
+    * variable onto a sibling metric name or `_count`.
+    */
+  private def bucketSelector(spec: JsonNode, metricNames: Set[String]): Column = {
+    val paths = req(spec, "buckets_path", "bucket_selector")
+    require(paths.isObject, s"bucket_selector buckets_path must be an object: $paths")
+    val vars = paths.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    val script = req(spec, "script", "bucket_selector").asText
+    val pattern = """^\s*params\.(\w+)\s*(>=|<=|==|!=|>|<)\s*(-?\d+(?:\.\d+)?)\s*$""".r
+    script match {
+      case pattern(v, op, num) =>
+        val path = vars.getOrElse(
+          v,
+          throw new IllegalArgumentException(s"bucket_selector script variable '$v' is not in buckets_path")
+        )
+        require(
+          path == "_count" || metricNames(path),
+          s"bucket_selector buckets_path '$path' does not name a sibling metric or _count"
+        )
+        val c = if (path == "_count") col("doc_count") else col(path)
+        val n = lit(num.toDouble)
+        op match {
+          case ">"  => c > n
+          case ">=" => c >= n
+          case "<"  => c < n
+          case "<=" => c <= n
+          case "==" => c === n
+          case "!=" => c =!= n
+        }
+      case _ =>
+        throw new IllegalArgumentException(
+          s"unsupported bucket_selector script '$script' (want: params.<var> <op> <number>)"
+        )
+    }
+  }
 
   /** Rows strictly after the cursor in the sort order: the standard
     * lexicographic-tuple expansion

@@ -698,6 +698,97 @@ class JsonDslSpec extends SparkSpec {
     )
   }
 
+  test("bucket_selector filters the bucket table like HAVING; selector emits no column") {
+    import java.sql.Timestamp
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-05 00:00:00"), 10.0),
+      (Timestamp.valueOf("2024-01-20 00:00:00"), 20.0),
+      (Timestamp.valueOf("2024-02-10 00:00:00"), 40.0),
+      (Timestamp.valueOf("2024-03-15 00:00:00"), 10.0)
+    ).toDF("ts", "amount")
+    val got = JsonDsl.parse(
+      rows,
+      """{"aggs": {"by_month": {"date_histogram": {"field": "ts", "calendar_interval": "month"},
+        |  "aggs": {"rev": {"sum": {"field": "amount"}},
+        |           "keep": {"bucket_selector": {"buckets_path": {"r": "rev"},
+        |                                        "script": "params.r >= 30"}}}}}}""".stripMargin,
+      mapping
+    )
+    // plan-equal to the structured HAVING over the bucket table
+    samePlan(
+      got,
+      Aggs
+        .dateHistogram(rows, col("ts"), "month", Seq(sum(col("amount")).as("rev")))
+        .filter(col("rev") >= 30.0)
+    )
+    assert(got.columns.toSeq == Seq("bucket", "doc_count", "rev"))
+    assert(got.select("rev").as[Double].collect().toSeq == Seq(30.0, 40.0))
+    // _count works as a buckets_path; an unknown path or script shape fails fast
+    val byCount = JsonDsl.parse(
+      rows,
+      """{"aggs": {"m": {"date_histogram": {"field": "ts", "calendar_interval": "month"},
+        |  "aggs": {"busy": {"bucket_selector": {"buckets_path": {"c": "_count"},
+        |                                        "script": "params.c > 1"}}}}}}""".stripMargin,
+      mapping
+    )
+    assert(byCount.select("doc_count").as[Long].collect().toSeq == Seq(2L))
+    intercept[IllegalArgumentException](
+      JsonDsl.parse(
+        rows,
+        """{"aggs": {"m": {"date_histogram": {"field": "ts", "calendar_interval": "month"},
+          |  "aggs": {"bad": {"bucket_selector": {"buckets_path": {"x": "nope"},
+          |                                       "script": "params.x > 1"}}}}}}""".stripMargin,
+        mapping
+      )
+    )
+    intercept[IllegalArgumentException](
+      JsonDsl.parse(
+        rows,
+        """{"aggs": {"m": {"date_histogram": {"field": "ts", "calendar_interval": "month"},
+          |  "aggs": {"bad": {"bucket_selector": {"buckets_path": {"c": "_count"},
+          |                                       "script": "params.c + 1"}}}}}}""".stripMargin,
+        mapping
+      )
+    )
+  }
+
+  test("function_score field_value_factor: filter-then-project plan, ranked by _score") {
+    val df = cards
+    val got = JsonDsl.parse(
+      df,
+      """{"query": {"function_score": {
+        |   "query": {"match": {"text": "spark"}},
+        |   "field_value_factor": {"field": "amount", "modifier": "ln1p", "factor": 1.0},
+        |   "boost": 1.5}},
+        | "sort": [{"id": "asc"}], "size": 2,
+        | "_source": ["id", "_score"]}""".stripMargin,
+      mapping
+    )
+    samePlan(
+      got,
+      df.filter(SearchDsl.matchScore(col("text"), Seq("spark")) > 0)
+        .withColumn("_score", round(lit(1.5) * log(lit(1.0) + lit(1.0) * col("amount")), 6))
+        .orderBy(col("_score").desc, col("id").asc)
+        .limit(2)
+        .select(col("id"), col("_score"))
+    )
+    // docs 4 (120.0) and 5 (2000.0) match "spark"; higher amount wins
+    assert(
+      got.as[(Long, Double)].collect().toSeq == Seq(
+        (5L, BigDecimal(1.5 * math.log(2001.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+        (4L, BigDecimal(1.5 * math.log(121.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      )
+    )
+    intercept[IllegalArgumentException](
+      JsonDsl.parse(
+        df,
+        """{"query": {"function_score": {
+          |   "field_value_factor": {"field": "amount", "modifier": "cube"}}}}""".stripMargin,
+        mapping
+      )
+    )
+  }
+
   test("hybrid query fuses the BM25 and knn legs in rank space (hand-computed RRF)") {
     val docs = Seq(
       (1L, "spark query engine"),
