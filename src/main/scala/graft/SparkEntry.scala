@@ -2620,6 +2620,47 @@ object SparkEntry {
     // carries (term, count) partials and (doc_id, term) pairs — never
     // text; the vocab join is AQE-sized (broadcast when the vocab is
     // small, shuffle when web-scale).
+    // Bigram-LM perplexity (interpolated: λ·p(w2|w1) + (1-λ)·p(w2), the
+    // Jelinek-Mercer smoothing KenLM-style filters approximate): a
+    // sharper fluency signal than the unigram model — word-salad text
+    // with common words scores badly here but fine there. All model
+    // tables (bigram counts, left-context counts, unigram counts) are
+    // vocabulary-scale aggregates; joins shuffle (term, count) pairs,
+    // never document text.
+    "text_perplexity_bigram" -> ((s, dir) => {
+      val docs = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      val uni = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      val tf = uni.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val tot = uni.agg(count(lit(1)).as("n"))
+      val bi = docs
+        .filter(size(col("toks")) >= 2)
+        .select(
+          col("doc_id"),
+          explode(
+            expr("transform(slice(toks, 1, size(toks) - 1), (t, i) -> struct(t AS w1, toks[i + 1] AS w2))")
+          ).as("b")
+        )
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val bigramCnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val leftCnt = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val logp = log(
+        lit(0.75) * col("c12").cast("double") / col("c1")
+          + lit(0.25) * col("cnt").cast("double") / col("n")
+      )
+      bi.join(bigramCnt, Seq("w1", "w2"))
+        .join(leftCnt, Seq("w1"))
+        .join(tf.withColumnRenamed("term", "w2"), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          round(-avg(logp), 6).as("cross_entropy"),
+          round(exp(-avg(logp)), 6).as("perplexity")
+        )
+        .orderBy("doc_id")
+    }),
     "text_perplexity_unigram" -> ((s, dir) => {
       val toks = Tables
         .documents(s, dir)
@@ -3251,6 +3292,27 @@ object SparkEntry {
         .filter(col("dist_km") <= 1000.0)
         .select(col("event_id"), round(col("dist_km"), 6).as("dist_km"))
         .orderBy("event_id")
+    }),
+    // geo_distance AGGREGATION (rings around an origin): each doc lands
+    // in one distance band, one hash-agg over ≤4 ring keys — the
+    // bucketing is a per-row projection, so this is a plain codegen'd
+    // scan + tiny aggregate at any corpus size. Ring keys follow the
+    // OpenSearch "*-1000.0" / "1000.0-3000.0" naming.
+    "search_geo_distance_rings" -> ((s, dir) => {
+      val dlat = col("lat") - lit(10.0)
+      val dlon = (col("lon") - lit(20.0)) * lit(0.7071067811865476)
+      geoEvents(s, dir)
+        .withColumn("dist_km", sqrt(dlat * dlat + dlon * dlon) * lit(111.195))
+        .withColumn(
+          "ring",
+          when(col("dist_km") < 1000.0, "*-1000.0")
+            .when(col("dist_km") < 3000.0, "1000.0-3000.0")
+            .when(col("dist_km") < 8000.0, "3000.0-8000.0")
+            .otherwise("8000.0-*")
+        )
+        .groupBy("ring")
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy("ring")
     }),
     // geo_bounding_box: pure range comparisons — fully pushdown-able.
     "search_geo_bbox" -> ((s, dir) =>
@@ -5106,6 +5168,22 @@ object SparkEntry {
         |WHERE sqrt((lat - 10.0) * (lat - 10.0)
         |           + ((lon - 20.0) * 0.7071067811865476) * ((lon - 20.0) * 0.7071067811865476)) * 111.195 <= 1000.0
         |ORDER BY event_id""".stripMargin,
+    "search_geo_distance_rings" ->
+      """WITH g AS (
+        |  SELECT ((user_id * 1237) % 18000) / 100.0 - 90.0 AS lat,
+        |         ((event_id * 91) % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events),
+        |d AS (
+        |  SELECT sqrt((lat - 10.0) * (lat - 10.0)
+        |              + ((lon - 20.0) * 0.7071067811865476) * ((lon - 20.0) * 0.7071067811865476))
+        |         * 111.195 AS dist_km
+        |  FROM g)
+        |SELECT CASE WHEN dist_km < 1000.0 THEN '*-1000.0'
+        |            WHEN dist_km < 3000.0 THEN '1000.0-3000.0'
+        |            WHEN dist_km < 8000.0 THEN '3000.0-8000.0'
+        |            ELSE '8000.0-*' END AS ring,
+        |       count(*) AS doc_count
+        |FROM d GROUP BY 1 ORDER BY ring""".stripMargin,
     "search_geo_bbox" ->
       """SELECT event_type, count(*) AS doc_count
         |FROM (SELECT event_type,
@@ -5215,6 +5293,21 @@ object SparkEntry {
         |FROM documents
         |WHERE list_contains(string_split(lower(text), ' '), 'spark')
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "text_perplexity_bigram" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |uni AS (SELECT doc_id, unnest(ts) AS term FROM d),
+        |tf AS (SELECT term, count(*) AS cnt FROM uni GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM uni),
+        |bi AS (SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+        |       FROM d WHERE len(ts) >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |lc AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(-avg(ln(0.75 * CAST(c12 AS DOUBLE) / c1 + 0.25 * CAST(cnt AS DOUBLE) / n)), 6) AS cross_entropy,
+        |       round(exp(-avg(ln(0.75 * CAST(c12 AS DOUBLE) / c1 + 0.25 * CAST(cnt AS DOUBLE) / n))), 6) AS perplexity
+        |FROM bi JOIN bc USING (w1, w2) JOIN lc USING (w1)
+        |     JOIN tf ON bi.w2 = tf.term CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_perplexity_unigram" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
         |tf AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
