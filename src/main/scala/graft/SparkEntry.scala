@@ -1910,6 +1910,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
         .select(col("w.start").as("win_start"), col("n_events"), col("sum_value"))
         .orderBy("win_start")),
+    // RFM segmentation (recency / frequency / monetary): per-customer
+    // order stats bucketed by fixed cutoffs into 3-axis segment codes,
+    // then one tiny count per segment. Two hash-aggs: the first shuffles
+    // (custkey, date, count, decimal sum) — never order rows — and the
+    // second runs over ≤18 segment keys. Decimal money keeps the cutoff
+    // comparisons exact (no float-sum boundary flips across engines).
+    "agg_rfm_segments" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(
+          max("o_orderdate").as("last_order"),
+          count(lit(1)).as("n_orders"),
+          sum(decMoney(col("o_totalprice"))).as("monetary")
+        )
+        .select(
+          when(col("last_order") >= lit("1998-03-01").cast("timestamp"), "R1").otherwise("R0").as("r"),
+          when(col("n_orders") >= 13, "F2").when(col("n_orders") >= 8, "F1").otherwise("F0").as("f"),
+          when(col("monetary") >= 3300000, "M2").when(col("monetary") >= 1700000, "M1").otherwise("M0").as("m")
+        )
+        .groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("r", "f", "m")),
     // Event-path transition matrix (Markov first-order): per-user
     // chronological event bigrams, counted corpus-wide. The window is
     // partitioned by user_id — per-key ordered state, never a global
@@ -3153,6 +3176,27 @@ object SparkEntry {
         .filter(array_contains(SearchDsl.analyze(col("text")), "vector"))
         .select(col("doc_id"), lit(1.2).as("_score"))
         .orderBy("doc_id")),
+    // constant_score from the wire format: same filter-plus-fixed-boost
+    // plan as the structured twin (JsonDslSpec asserts plan equality).
+    "search_dsl_json_constant_score" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        """{"query": {"constant_score": {"filter": {"match": {"text": "vector"}}, "boost": 1.2}},
+          | "sort": ["doc_id"], "_source": ["doc_id", "_score"]}""".stripMargin,
+        docsMapping
+      )),
+    // dis_max from the wire format: both constant_score clauses evaluate
+    // in ONE pass over each row, fused as best + tie_breaker × rest —
+    // same single-scan shape as the structured search_dis_max.
+    "search_dsl_json_dis_max" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        """{"query": {"dis_max": {"tie_breaker": 0.3, "queries": [
+          |   {"constant_score": {"filter": {"match": {"text": "spark"}}, "boost": 2.0}},
+          |   {"constant_score": {"filter": {"match": {"text": "query"}}, "boost": 1.5}}]}},
+          | "sort": ["doc_id"], "_source": ["doc_id", "_score"]}""".stripMargin,
+        docsMapping
+      )),
     // global agg: bucket scoped to ALL documents alongside the query's
     // own hits — both aggregates come out of ONE scan (conditional +
     // unconditional sums), then meet in a 1-row broadcast cross join.
@@ -4401,6 +4445,15 @@ object SparkEntry {
       """SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 * 1000000 AS BIGINT)) AS win_start,
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY win_start""".stripMargin,
+    "agg_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_o, count(*) AS n,
+        |                    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS m
+        |             FROM orders GROUP BY 1)
+        |SELECT CASE WHEN last_o >= TIMESTAMP '1998-03-01' THEN 'R1' ELSE 'R0' END AS r,
+        |       CASE WHEN n >= 13 THEN 'F2' WHEN n >= 8 THEN 'F1' ELSE 'F0' END AS f,
+        |       CASE WHEN m >= 3300000 THEN 'M2' WHEN m >= 1700000 THEN 'M1' ELSE 'M0' END AS m,
+        |       count(*) AS n_customers
+        |FROM per GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin,
     "agg_path_transitions" ->
       """SELECT event_type, next_type, count(*) AS n_transitions
         |FROM (SELECT user_id, event_type,
@@ -5029,6 +5082,15 @@ object SparkEntry {
         |FROM documents)
         |SELECT doc_id, round(greatest(s1, s2) + 0.3 * (s1 + s2 - greatest(s1, s2)), 6) AS score
         |FROM t WHERE s1 + s2 > 0 ORDER BY score DESC, doc_id""".stripMargin,
+    "search_dsl_json_dis_max" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN list_contains(string_split(lower(text), ' '), 'spark')
+        |       THEN CAST(2.0 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS s1,
+        |  CASE WHEN list_contains(string_split(lower(text), ' '), 'query')
+        |       THEN CAST(1.5 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS s2
+        |FROM documents)
+        |SELECT doc_id, round(greatest(s1, s2) + 0.3 * (s1 + s2 - greatest(s1, s2)), 6) AS "_score"
+        |FROM t WHERE s1 + s2 > 0 ORDER BY "_score" DESC, doc_id""".stripMargin,
     "search_function_score" ->
       """SELECT doc_id, n_chars, round(1.5 * ln(1.0 + n_chars), 6) AS score
         |FROM documents
@@ -5088,6 +5150,10 @@ object SparkEntry {
         |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b > a)) > 0)) > 0
         |ORDER BY doc_id""".stripMargin,
     "search_constant_score" ->
+      """SELECT doc_id, 1.2 AS _score FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'vector')
+        |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_constant_score" ->
       """SELECT doc_id, 1.2 AS _score FROM documents
         |WHERE list_contains(string_split(lower(text), ' '), 'vector')
         |ORDER BY doc_id""".stripMargin,

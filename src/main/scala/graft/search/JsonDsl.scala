@@ -20,7 +20,10 @@ import scala.jdk.CollectionConverters._
   * (anchored, per OpenSearch), terms_set, span_near (two span_terms,
   * slop + in_order), knn (with a `filter` pre-filter sub-clause),
   * function_score (field_value_factor form: the inner query filters,
-  * boost × modifier(factor × field) ranks — ln1p/log1p/sqrt/square).
+  * boost × modifier(factor × field) ranks — ln1p/log1p/sqrt/square),
+  * constant_score (filter context + fixed boost as _score), dis_max
+  * (constant_score sub-queries fused as best + tie_breaker × rest in
+  * one pass per row).
   * `f.keyword` resolves to the base column with exact semantics (the
   * dynamic multi-field convention). `collapse` keeps the top hit per
   * group under the body's sort via the bounded-heap operator. Deep
@@ -133,6 +136,64 @@ object JsonDsl {
           .map(fn => df.filter(compileQuery(df, fn, mapping)))
           .getOrElse(df)
         val scored = base.withColumn("_score", round(lit(boost) * modified, 6))
+        val order = col("_score").desc +: Option(root.get("sort")).map(compileSort).getOrElse(Nil)
+        val ranked = scored.orderBy(order: _*)
+        val top = Option(root.get("size")).map(_.asInt).fold(ranked)(k => ranked.limit(k))
+        return Option(root.get("_source")) match {
+          case Some(src) => top.select(src.elements().asScala.map(e => col(e.asText)).toSeq: _*)
+          case None      => top
+        }
+      case None => ()
+    }
+    // constant_score at the top level: filter context plus a fixed boost
+    // as _score — zero relevance computation, the cheapest scored query.
+    Option(root.get("query")).filter(q =>
+      q.isObject && q.size == 1 && q.fieldNames().next() == "constant_score"
+    ) match {
+      case Some(q) =>
+        require(root.get("aggs") == null && root.get("aggregations") == null, "constant_score with aggs is unsupported")
+        val body = q.get("constant_score")
+        val boost = Option(body.get("boost")).map(_.asDouble).getOrElse(1.0)
+        val scored = df
+          .filter(compileQuery(df, req(body, "filter", "constant_score"), mapping))
+          .withColumn("_score", lit(boost))
+        // the score is constant, so the body's sort (not _score) orders
+        val ranked = Option(root.get("sort")).map(s => scored.orderBy(compileSort(s): _*)).getOrElse(scored)
+        val top = Option(root.get("size")).map(_.asInt).fold(ranked)(k => ranked.limit(k))
+        return Option(root.get("_source")) match {
+          case Some(src) => top.select(src.elements().asScala.map(e => col(e.asText)).toSeq: _*)
+          case None      => top
+        }
+      case None => ()
+    }
+    // dis_max at the top level: per-clause scores (constant_score
+    // sub-queries: a predicate + boost each), fused as best + tie_breaker
+    // × (sum of the rest) — all clauses evaluate in ONE pass over each
+    // row (no per-clause scans, no self-joins), then rank by _score.
+    Option(root.get("query")).filter(q =>
+      q.isObject && q.size == 1 && q.fieldNames().next() == "dis_max"
+    ) match {
+      case Some(q) =>
+        require(root.get("aggs") == null && root.get("aggregations") == null, "dis_max with aggs is unsupported")
+        val body = q.get("dis_max")
+        val tie = Option(body.get("tie_breaker")).map(_.asDouble).getOrElse(0.0)
+        val clauses = req(body, "queries", "dis_max").elements().asScala.toSeq.map { c =>
+          require(
+            c.isObject && c.size == 1 && c.fieldNames().next() == "constant_score",
+            s"dis_max supports constant_score sub-queries, got: $c"
+          )
+          val cs = c.get("constant_score")
+          val boost = Option(cs.get("boost")).map(_.asDouble).getOrElse(1.0)
+          when(compileQuery(df, req(cs, "filter", "constant_score"), mapping), boost).otherwise(0.0)
+        }
+        require(clauses.nonEmpty, "dis_max needs at least one clause")
+        val withS = clauses.zipWithIndex.foldLeft(df) { case (acc, (c, i)) => acc.withColumn(s"_s$i", c) }
+        val sCols = clauses.indices.map(i => col(s"_s$i"))
+        val total = sCols.reduce(_ + _)
+        val best = if (sCols.size == 1) sCols.head else greatest(sCols: _*)
+        val scored = withS
+          .filter(total > 0)
+          .withColumn("_score", round(best + lit(tie) * (total - best), 6))
         val order = col("_score").desc +: Option(root.get("sort")).map(compileSort).getOrElse(Nil)
         val ranked = scored.orderBy(order: _*)
         val top = Option(root.get("size")).map(_.asInt).fold(ranked)(k => ranked.limit(k))

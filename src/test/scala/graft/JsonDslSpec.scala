@@ -789,6 +789,49 @@ class JsonDslSpec extends SparkSpec {
     )
   }
 
+  test("constant_score: filter context plus a fixed boost as _score") {
+    val df = cards
+    val got = JsonDsl.parse(
+      df,
+      """{"query": {"constant_score": {"filter": {"term": {"status": "ACTIVE"}}, "boost": 1.2}},
+        | "sort": ["id"], "_source": ["id", "_score"]}""".stripMargin,
+      mapping
+    )
+    samePlan(
+      got,
+      df.filter(col("status") === lit("ACTIVE"))
+        .withColumn("_score", lit(1.2))
+        .orderBy(col("id").asc)
+        .select(col("id"), col("_score"))
+    )
+    assert(got.as[(Long, Double)].collect().toSeq == Seq((1L, 1.2), (2L, 1.2), (5L, 1.2)))
+  }
+
+  test("dis_max: clause scores fuse as best + tie_breaker × rest in one pass") {
+    val df = cards
+    val got = JsonDsl.parse(
+      df,
+      """{"query": {"dis_max": {"tie_breaker": 0.5, "queries": [
+        |   {"constant_score": {"filter": {"match": {"text": "spark"}}, "boost": 2.0}},
+        |   {"constant_score": {"filter": {"match": {"text": "dog"}}, "boost": 1.0}}]}},
+        | "sort": ["id"], "_source": ["id", "_score"]}""".stripMargin,
+      mapping
+    )
+    // doc 4 "streaming spark jobs" and 5 "spark query engine" match only
+    // spark (2.0); docs 2/3 match only dog (1.0); no doc matches both.
+    assert(
+      got.as[(Long, Double)].collect().toSeq == Seq((4L, 2.0), (5L, 2.0), (2L, 1.0), (3L, 1.0))
+    )
+    // a non-constant_score clause fails fast
+    intercept[IllegalArgumentException](
+      JsonDsl.parse(
+        df,
+        """{"query": {"dis_max": {"queries": [{"match": {"text": "spark"}}]}}}""".stripMargin,
+        mapping
+      )
+    )
+  }
+
   test("hybrid query fuses the BM25 and knn legs in rank space (hand-computed RRF)") {
     val docs = Seq(
       (1L, "spark query engine"),
