@@ -3556,6 +3556,117 @@ object SparkEntry {
         .groupBy(col("source").as("key"))
         .agg(count(lit(1)).as("doc_count"))
         .orderBy(col("doc_count").desc, col("key"))
+    }),
+    // ── Remaining query-DSL surface (r7) ────────────────────────────────
+    // pinned query: curated ids surface first IN LIST ORDER, organic hits
+    // follow ranked by score. One scan — the rank is array_position into
+    // the pinned list (0/absent = organic tier), not per-id union
+    // branches, so the plan is a bounded top-k over a single pass.
+    "search_pinned" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          coalesce(array_position(array(lit(7L), lit(3L), lit(11L)), col("doc_id")), lit(0L)).as("_pin"),
+          SearchDsl.matchScore(col("text"), Seq("spark")).as("score")
+        )
+        .filter(col("_pin") > 0 || col("score") > 0)
+        .select(
+          col("doc_id"),
+          (col("_pin") > 0).as("pinned"),
+          col("score"),
+          when(col("_pin") > 0, col("_pin")).otherwise(lit(Long.MaxValue)).as("_tier")
+        )
+        .orderBy(col("_tier").asc, col("score").desc, col("doc_id"))
+        .select("doc_id", "pinned", "score")
+        .limit(10)),
+    // terms lookup: the term list comes from ANOTHER document (the
+    // OpenSearch index/id/path form), not the request body. The lookup
+    // row's indexed tokens become a broadcast semi-join onto the corpus
+    // token table — one scan, no driver round-trip, no O(terms) OR-chain.
+    "search_terms_lookup" -> ((s, dir) => {
+      val lookupTerms = Tables
+        .documents(s, dir)
+        .filter(col("doc_id") === 0L)
+        .select(explode(array_distinct(SearchDsl.analyze(col("text")))).as("term"))
+        .filter(length(col("term")) >= 5)
+      Tables
+        .documents(s, dir)
+        .filter(col("doc_id") =!= 0L)
+        .select(col("doc_id"), col("lang"), explode(array_distinct(SearchDsl.analyze(col("text")))).as("term"))
+        .join(broadcast(lookupTerms), "term")
+        .select("doc_id", "lang")
+        .distinct()
+        .orderBy("doc_id")
+    }),
+    // span_first: the match must begin within the first N token
+    // positions — see SearchDsl.spanFirstPos (whole-row, no explode).
+    "search_span_first" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), SearchDsl.spanFirstPos(col("text"), "spark").as("pos"))
+        .filter(col("pos").between(1, 5))
+        .orderBy("doc_id")),
+    // distance_feature: relevance decays with distance from an origin
+    // timestamp as boost·pivot/(pivot+dist) — projection math over the
+    // filtered scan, bounded top-k. origin = 2024-02-01T00:00Z, pivot =
+    // 7 days.
+    "search_distance_feature" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id"),
+          round(
+            SearchDsl.distanceFeature(
+              abs(unix_timestamp(col("ts")) - lit(1706745600L)).cast("double"),
+              pivot = 604800.0,
+              boost = 2.0
+            ),
+            6
+          ).as("score")
+        )
+        .orderBy(col("score").desc, col("event_id"))
+        .limit(10)),
+    // function_score gauss decay on a numeric field: 1.0 within `offset`
+    // of the origin, `decay` at offset+scale — see SearchDsl.gaussDecay.
+    "search_decay_gauss" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .filter(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          round(SearchDsl.gaussDecay(col("o_totalprice"), 150000.0, 50000.0, 10000.0, 0.5), 6).as("score")
+        )
+        .orderBy(col("score").desc, col("o_orderkey"))
+        .limit(20)),
+    // random_score(seed): deterministic uniform jitter from md5(seed:id)
+    // — reproducible across runs, partition layouts, and engines (the
+    // property OpenSearch's seeded variant promises).
+    "search_random_score" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), round(SearchDsl.randomScore(col("doc_id"), 42), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)),
+    // exists / missing: field presence after enrichment — customers
+    // left-joined to their distinct order keys (TPC-H's genuinely sparse
+    // relationship: a third of customers never ordered). The probe side
+    // is reduced to distinct keys BEFORE the join, so the shuffle
+    // carries one row per buyer, not per order; no broadcast hint — the
+    // buyer set scales with SF, AQE decides.
+    "search_exists" -> ((s, dir) => {
+      val buyers = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+      Tables
+        .customer(s, dir)
+        .join(buyers, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          count(col("o_custkey")).as("n_with_orders"),
+          (count(lit(1)) - count(col("o_custkey"))).as("n_missing")
+        )
+        .orderBy("segment")
     })
   )
 
@@ -5414,6 +5525,55 @@ object SparkEntry {
         |SELECT count(*) AS n_signup_users,
         |       CAST(sum(converted) AS BIGINT) AS n_converted,
         |       round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS conversion_rate
-        |FROM conv""".stripMargin
+        |FROM conv""".stripMargin,
+    "search_pinned" ->
+      """SELECT doc_id, pinned, score FROM (
+        |  SELECT doc_id,
+        |         coalesce(list_position([7, 3, 11], doc_id), 0) AS pin,
+        |         coalesce(list_position([7, 3, 11], doc_id), 0) > 0 AS pinned,
+        |         CASE WHEN list_contains(string_split(lower(text), ' '), 'spark')
+        |              THEN 1 ELSE 0 END AS score
+        |  FROM documents) t
+        |WHERE pin > 0 OR score > 0
+        |ORDER BY CASE WHEN pin > 0 THEN pin ELSE 9223372036854775807 END, score DESC, doc_id
+        |LIMIT 10""".stripMargin,
+    "search_terms_lookup" ->
+      """WITH lk AS (SELECT DISTINCT tok FROM (
+        |              SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |              FROM documents WHERE doc_id = 0) t
+        |            WHERE len(tok) >= 5),
+        |toks AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+        |         FROM documents WHERE doc_id <> 0)
+        |SELECT DISTINCT doc_id, lang FROM toks JOIN lk USING (tok) ORDER BY doc_id""".stripMargin,
+    "search_span_first" ->
+      """SELECT doc_id,
+        |       CAST(list_position(string_split(lower(text), ' '), 'spark') AS BIGINT) AS pos
+        |FROM documents
+        |WHERE list_position(string_split(lower(text), ' '), 'spark') BETWEEN 1 AND 5
+        |ORDER BY doc_id""".stripMargin,
+    "search_distance_feature" ->
+      """SELECT event_id,
+        |       round(2.0 * 604800.0 / (604800.0 + abs(floor(epoch(ts)) - 1706745600)), 6) AS score
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY score DESC, event_id LIMIT 10""".stripMargin,
+    "search_decay_gauss" ->
+      """SELECT o_orderkey,
+        |       round(exp((-0.6931471805599453 / (50000.0 * 50000.0))
+        |                 * greatest(abs(o_totalprice - 150000.0) - 10000.0, 0.0)
+        |                 * greatest(abs(o_totalprice - 150000.0) - 10000.0, 0.0)), 6) AS score
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY score DESC, o_orderkey LIMIT 20""".stripMargin,
+    "search_random_score" ->
+      """SELECT doc_id,
+        |       round(CAST(concat('0x', substring(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+        |             / 4294967296.0, 6) AS score
+        |FROM documents ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "search_exists" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_customers,
+        |       count(o_custkey) AS n_with_orders,
+        |       count(*) - count(o_custkey) AS n_missing
+        |FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin
   )
 }

@@ -102,4 +102,40 @@ object SearchDsl {
     */
   def parseQueryString(df: DataFrame, q: String, defaultField: Option[String] = None): Column =
     QueryString.parse(df, q, defaultField)
+
+  /** `span_first`: position (1-based) of the term's first occurrence in
+    * the analyzed token stream, 0 when absent — filter on
+    * `between 1 and end` for span_first semantics. array_position is a
+    * codegen'd whole-row expression: the position check never explodes
+    * the token stream.
+    */
+  def spanFirstPos(text: Column, term: String): Column =
+    coalesce(array_position(analyze(text), term.toLowerCase), lit(0L))
+
+  /** `distance_feature` query: score decays with distance from an origin
+    * as boost·pivot/(pivot+dist) — the OpenSearch hyperbola, shared by
+    * the date and numeric forms (caller supplies `dist` in the field's
+    * native units, e.g. seconds for dates).
+    */
+  def distanceFeature(dist: Column, pivot: Double, boost: Double): Column =
+    lit(boost) * lit(pivot) / (lit(pivot) + dist)
+
+  /** function_score `gauss` decay:
+    * exp(ln(decay)/scale² · max(0, |x−origin|−offset)²) — 1.0 within
+    * `offset` of the origin, exactly `decay` at offset+scale. Pure
+    * codegen'd double math; no UDF.
+    */
+  def gaussDecay(x: Column, origin: Double, scale: Double, offset: Double, decay: Double): Column = {
+    val d = greatest(abs(x - lit(origin)) - lit(offset), lit(0.0))
+    exp(lit(math.log(decay) / (scale * scale)) * d * d)
+  }
+
+  /** `random_score` with seed + field: OpenSearch hashes (seed, field) so
+    * the jitter is deterministic and reproducible. Same md5-prefix
+    * uniform as the sampling operators — stable across runs, partition
+    * layouts, and engines; uniform in [0, 1).
+    */
+  def randomScore(id: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString + ":"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
 }
