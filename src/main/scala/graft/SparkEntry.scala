@@ -161,6 +161,7 @@ object SparkEntry {
       .select(
         col("event_id"),
         col("event_type"),
+        col("ts"),
         (pmod(col("user_id") * 1237, lit(18000)) / 100.0 - 90.0).as("lat"),
         (pmod(col("event_id") * 91, lit(36000)) / 100.0 - 180.0).as("lon")
       )
@@ -3667,6 +3668,133 @@ object SparkEntry {
           (count(lit(1)) - count(col("o_custkey"))).as("n_missing")
         )
         .orderBy("segment")
+    }),
+    // max_bucket pipeline agg: the bucket KEY(s) holding the maximum
+    // metric — argmax via a 1-row broadcast of the max back onto the
+    // (tiny, ~84-row) bucket table, never a global sort of buckets.
+    "search_max_bucket" -> ((s, dir) => {
+      val buckets = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      buckets
+        .crossJoin(broadcast(buckets.agg(max("revenue").as("_mx"))))
+        .filter(col("revenue") === col("_mx"))
+        .select("bucket", "revenue")
+        .orderBy("bucket")
+    }),
+    // normalize pipeline agg (percent_of_sum): each bucket's share of
+    // the grand total — 1-row broadcast of the total, codegen'd division
+    // over the bucket table.
+    "search_normalize" -> ((s, dir) => {
+      val buckets = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      buckets
+        .crossJoin(broadcast(buckets.agg(round(sum("revenue"), 2).as("_tot"))))
+        .select(
+          col("bucket"),
+          col("revenue"),
+          round(col("revenue") / col("_tot") * 100.0, 6).as("pct_of_sum")
+        )
+        .orderBy("bucket")
+    }),
+    // moving_percentiles pipeline agg: exact interpolated p50/p90 over a
+    // trailing 6-bucket window — the window runs over the bucket table
+    // (~84 rows), never the fact scan.
+    "search_moving_percentiles" -> ((s, dir) => {
+      val buckets = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      val w = Window.orderBy("bucket").rowsBetween(-5, Window.currentRow)
+      buckets
+        .select(
+          col("bucket"),
+          col("revenue"),
+          round(expr("percentile(revenue, 0.5)").over(w), 6).as("p50_6m"),
+          round(expr("percentile(revenue, 0.9)").over(w), 6).as("p90_6m")
+        )
+        .orderBy("bucket")
+    }),
+    // geo_line agg: per group, the track of points ordered by timestamp,
+    // capped at 10 — TopKPerKey bounds per-group state to the cap
+    // (bounded heaps, no full collect-then-slice), then one tiny
+    // hash agg assembles the line string. Coordinates print through
+    // decimal(6,2) so both engines render identical fixed-point text.
+    "search_geo_line" -> ((s, dir) => {
+      val pts = geoEvents(s, dir).select(
+        col("event_type"),
+        col("ts"),
+        col("event_id"),
+        concat(
+          col("lat").cast("decimal(6,2)").cast("string"),
+          lit(","),
+          col("lon").cast("decimal(6,2)").cast("string")
+        ).as("pt")
+      )
+      graft.plans.TopKPerKey
+        .perKey(pts, Seq("event_type"), Seq("ts" -> true, "event_id" -> true), 10)
+        .groupBy("event_type")
+        .agg(concat_ws(" ", expr("transform(array_sort(collect_list(struct(rank, pt))), x -> x.pt)")).as("line"))
+        .orderBy("event_type")
+    }),
+    // frequent_item_sets agg (pair tier): market-basket pairs over
+    // (user, day) baskets of DISTINCT event types. The self-join fans
+    // out C(|basket|, 2) ≤ C(|vocab|, 2) pairs per basket — bounded by
+    // the item vocabulary, not the event count — and support is one
+    // hash agg against the broadcast basket total.
+    "search_frequent_pairs" -> ((s, dir) => {
+      val baskets = Tables
+        .events(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .distinct()
+      val nBaskets = baskets.select("user_id", "day").distinct().agg(count(lit(1)).as("_n"))
+      baskets
+        .as("a")
+        .join(baskets.as("b"), Seq("user_id", "day"))
+        .filter(col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("item1"), col("b.event_type").as("item2"))
+        .agg(count(lit(1)).as("pair_count"))
+        .crossJoin(broadcast(nBaskets))
+        .select(
+          col("item1"),
+          col("item2"),
+          col("pair_count"),
+          round(col("pair_count") / col("_n"), 6).as("support")
+        )
+        .orderBy(col("pair_count").desc, col("item1"), col("item2"))
+        .limit(10)
+    }),
+    // change_point agg: the split of the monthly-revenue series that
+    // maximizes |mean(left) − mean(right)| — prefix sums via one window
+    // over the bucket table plus a 1-row broadcast total; emitted row =
+    // the last bucket of the left segment. Means divide as doubles of
+    // 2dp-exact sums so both engines run identical IEEE ops.
+    "search_change_point" -> ((s, dir) => {
+      val buckets = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dec = col("revenue").cast("decimal(18,2)")
+      buckets
+        .select(
+          col("bucket"),
+          sum(dec).over(w).as("_cum"),
+          count(lit(1)).over(w).as("_k")
+        )
+        .crossJoin(broadcast(buckets.agg(sum(dec).as("_tot"), count(lit(1)).as("_n"))))
+        .filter(col("_k") < col("_n"))
+        .select(
+          col("bucket"),
+          round(col("_cum").cast("double") / col("_k"), 6).as("left_mean"),
+          round((col("_tot") - col("_cum")).cast("double") / (col("_n") - col("_k")), 6).as("right_mean")
+        )
+        .withColumn("delta", round(abs(col("left_mean") - col("right_mean")), 6))
+        .orderBy(col("delta").desc, col("bucket"))
+        .limit(1)
     })
   )
 
@@ -5574,6 +5702,64 @@ object SparkEntry {
         |       count(*) - count(o_custkey) AS n_missing
         |FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
         |  ON c_custkey = o_custkey
-        |GROUP BY 1 ORDER BY segment""".stripMargin
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
+    "search_max_bucket" ->
+      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |                  round(sum(o_totalprice), 2) AS revenue
+        |           FROM orders GROUP BY 1)
+        |SELECT bucket, revenue FROM b
+        |WHERE revenue = (SELECT max(revenue) FROM b)
+        |ORDER BY bucket""".stripMargin,
+    "search_normalize" ->
+      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |                  round(sum(o_totalprice), 2) AS revenue
+        |           FROM orders GROUP BY 1)
+        |SELECT bucket, revenue,
+        |       round(revenue / (SELECT round(sum(revenue), 2) FROM b) * 100.0, 6) AS pct_of_sum
+        |FROM b ORDER BY bucket""".stripMargin,
+    "search_moving_percentiles" ->
+      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |                  round(sum(o_totalprice), 2) AS revenue
+        |           FROM orders GROUP BY 1)
+        |SELECT bucket, revenue,
+        |       round(quantile_cont(revenue, 0.5) OVER (ORDER BY bucket
+        |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS p50_6m,
+        |       round(quantile_cont(revenue, 0.9) OVER (ORDER BY bucket
+        |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS p90_6m
+        |FROM b ORDER BY bucket""".stripMargin,
+    "search_geo_line" ->
+      """WITH g AS (SELECT event_type, ts, event_id,
+        |             CAST(CAST(((user_id * 1237) % 18000) / 100.0 - 90.0 AS DECIMAL(6,2)) AS VARCHAR) AS slat,
+        |             CAST(CAST(((event_id * 91) % 36000) / 100.0 - 180.0 AS DECIMAL(6,2)) AS VARCHAR) AS slon
+        |           FROM events)
+        |SELECT event_type,
+        |       array_to_string(list(concat(slat, ',', slon) ORDER BY ts, event_id)[1:10], ' ') AS line
+        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "search_frequent_pairs" ->
+      """WITH baskets AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type FROM events),
+        |n AS (SELECT count(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM baskets) t)
+        |SELECT a.event_type AS item1, b.event_type AS item2,
+        |       count(*) AS pair_count,
+        |       round(count(*) / (SELECT n_baskets FROM n), 6) AS support
+        |FROM baskets a JOIN baskets b USING (user_id, day)
+        |WHERE a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY pair_count DESC, item1, item2 LIMIT 10""".stripMargin,
+    "search_change_point" ->
+      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |                  round(sum(o_totalprice), 2) AS revenue
+        |           FROM orders GROUP BY 1),
+        |c AS (SELECT bucket,
+        |             sum(CAST(revenue AS DECIMAL(18,2))) OVER (ORDER BY bucket
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |             CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS k
+        |      FROM b),
+        |t AS (SELECT sum(CAST(revenue AS DECIMAL(18,2))) AS tot, count(*) AS n FROM b)
+        |SELECT bucket, left_mean, right_mean,
+        |       round(abs(left_mean - right_mean), 6) AS delta
+        |FROM (SELECT bucket,
+        |             round(CAST(cum AS DOUBLE) / k, 6) AS left_mean,
+        |             round(CAST(tot - cum AS DOUBLE) / (n - k), 6) AS right_mean
+        |      FROM c CROSS JOIN t WHERE k < n) s
+        |ORDER BY delta DESC, bucket LIMIT 1""".stripMargin
   )
 }
