@@ -3651,13 +3651,16 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)),
     // exists / missing: field presence after enrichment — customers
-    // left-joined to their distinct order keys (TPC-H's genuinely sparse
-    // relationship: a third of customers never ordered). The probe side
-    // is reduced to distinct keys BEFORE the join, so the shuffle
-    // carries one row per buyer, not per order; no broadcast hint — the
-    // buyer set scales with SF, AQE decides.
+    // left-joined to the distinct keys of their HIGH-VALUE orders
+    // (>450k), a genuinely sparse field (most-but-not-all customers
+    // qualify; the generator gives every customer *some* order, so the
+    // unfiltered key set would be exists-everywhere and vacuous). The
+    // probe side is reduced to distinct keys BEFORE the join, so the
+    // shuffle carries one row per qualifying buyer, not per order; no
+    // broadcast hint — the buyer set scales with SF, AQE decides.
     "search_exists" -> ((s, dir) => {
-      val buyers = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+      val buyers =
+        Tables.orders(s, dir).filter(col("o_totalprice") > 450000).select(col("o_custkey")).distinct()
       Tables
         .customer(s, dir)
         .join(buyers, col("c_custkey") === col("o_custkey"), "left")
@@ -3795,6 +3798,142 @@ object SparkEntry {
         .withColumn("delta", round(abs(col("left_mean") - col("right_mean")), 6))
         .orderBy(col("delta").desc, col("bucket"))
         .limit(1)
+    }),
+    // simple_query_string: the fault-tolerant end-user syntax (+ AND,
+    // | OR, - negate, "..." phrase, grouping) compiled by SimpleQuery
+    // into ONE codegen'd predicate in the scan.
+    "search_simple_query_string" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .filter(search.SimpleQuery.parse(col("text"), "spark + (merge | \"hash join\") -slow"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+    // combined_fields: term-centric BM25F-style scoring across p_name
+    // (weight 1.0) and p_type (weight 0.5) — see Bm25.combinedFields
+    // (whole-row weighted tf, 1-row broadcast stats, fixed-order sum).
+    "search_combined_fields" -> ((s, dir) =>
+      search.Bm25.combinedFields(
+        Tables.part(s, dir).select("p_partkey", "p_name", "p_type"),
+        "p_partkey",
+        Seq("p_name" -> 1.0, "p_type" -> 0.5),
+        Seq("small", "large"),
+        20
+      )),
+    // phrase suggester: "fast qery" → per-position vocabulary
+    // corrections composed into phrases, ranked by corpus bigram
+    // frequency with unigram backoff — see Fuzzy.suggestPhrase.
+    "search_phrase_suggest" -> ((s, dir) =>
+      search.Fuzzy.suggestPhrase(Tables.documents(s, dir), "text", Seq("fast", "qery"), 2, 5)),
+    // function_score gauss decay from the wire format — same scorer as
+    // the structured search_decay_gauss (JsonDslSpec asserts the plan),
+    // emitted as _score per the wire convention.
+    "search_dsl_json_decay" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+        """{"query": {"function_score": {
+          |   "query": {"range": {"o_orderkey": {"lt": 500}}},
+          |   "gauss": {"o_totalprice": {
+          |     "origin": 150000.0, "scale": 50000.0, "offset": 10000.0, "decay": 0.5}}}},
+          | "sort": [{"o_orderkey": "asc"}], "size": 20,
+          | "_source": ["o_orderkey", "_score"]}""".stripMargin
+      )),
+    // exists from the wire format, in must_not position: customers whose
+    // enriched order-key field is missing (the sparse left-join field
+    // search_exists buckets) — the executor's exists → isNotNull plus
+    // the bool must_not NULL-keeping coalesce.
+    "search_dsl_json_exists" -> ((s, dir) => {
+      val buyers =
+        Tables.orders(s, dir).filter(col("o_totalprice") > 450000).select(col("o_custkey")).distinct()
+      val enriched = Tables
+        .customer(s, dir)
+        .join(buyers, col("c_custkey") === col("o_custkey"), "left")
+        .select("c_custkey", "c_mktsegment", "o_custkey")
+      JsonDsl.parse(
+        enriched,
+        """{"query": {"bool": {"must_not": [{"exists": {"field": "o_custkey"}}]}},
+          | "sort": [{"c_custkey": "asc"}], "size": 50,
+          | "_source": ["c_custkey", "c_mktsegment"]}""".stripMargin
+      )
+    }),
+    // ── Corpus analysis / curation (r7) ─────────────────────────────────
+    // fasttext-style linear quality classifier: interpretable features
+    // (token count, stopword ratio, type-token ratio, average word
+    // length) through a fixed-weight logistic — the cheap quality gate a
+    // curation pipeline runs before any model-based scorer. Whole-row
+    // codegen'd expressions; avg word length derives from n_chars
+    // arithmetic (single-space tokenization), no second pass.
+    "text_quality_logistic" -> ((s, dir) => {
+      val toks = TextFns.tokens(col("text"))
+      val stops = Seq("the", "a", "to", "of", "and")
+      val n = size(toks).cast("double")
+      val stopRatio = size(filter(toks, t => t.isInCollection(stops))) / n
+      val ttr = size(array_distinct(toks)) / n
+      val avgLen = (col("n_chars") - n + lit(1.0)) / n
+      val z = lit(-2.0) + lit(0.35) * log(n) + lit(2.5) * stopRatio - lit(1.2) * ttr + lit(0.08) * avgLen
+      val q = lit(1.0) / (lit(1.0) + exp(-z))
+      Tables
+        .documents(s, dir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), round(q, 6).as("quality_prob"), (q >= 0.5).as("keep"))
+        .orderBy("doc_id")
+    }),
+    // TF-IDF keyword extraction: top-3 terms per document — tf over the
+    // target docs, df over the FULL corpus (one vocab-keyed agg), ranked
+    // inside bounded per-doc windows.
+    "text_idf_keywords" -> ((s, dir) => {
+      val toks = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      val docFreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("_n"))
+      val tf = toks.filter(col("doc_id") < 50).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      tf.join(docFreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .select(
+          col("doc_id"),
+          col("term"),
+          col("tf"),
+          round(col("tf") * log(col("_n").cast("double") / col("df")), 6).as("tfidf")
+        )
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy("doc_id", "rank")
+    }),
+    // PMI collocations: adjacent-bigram pointwise mutual information
+    // ln(c12·N / (c1·c2)) with a min-count floor — marginals and joint
+    // from one bigram table, counts cast to double BEFORE multiplying so
+    // the products cannot overflow long at corpus scale.
+    "text_cooccurrence_pmi" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(TextFns.tokens(col("text")).as("toks"))
+      val bi = base
+        .filter(size(col("toks")) >= 2)
+        .select(
+          explode(
+            expr("transform(slice(toks, 1, size(toks) - 1), (t, i) -> struct(t AS w1, toks[i + 1] AS w2))")
+          ).as("b")
+        )
+        .select(col("b.w1"), col("b.w2"))
+      val joint = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val leftM = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val rightM = bi.groupBy("w2").agg(count(lit(1)).as("c2"))
+      val tot = bi.agg(count(lit(1)).as("_n2"))
+      joint
+        .filter(col("c12") >= 20)
+        .join(leftM, "w1")
+        .join(rightM, "w2")
+        .crossJoin(broadcast(tot))
+        .select(
+          col("w1"),
+          col("w2"),
+          col("c12"),
+          round(
+            log(col("c12").cast("double") * col("_n2") / (col("c1").cast("double") * col("c2"))),
+            6
+          ).as("pmi")
+        )
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
     })
   )
 
@@ -5700,7 +5839,8 @@ object SparkEntry {
       """SELECT c_mktsegment AS segment, count(*) AS n_customers,
         |       count(o_custkey) AS n_with_orders,
         |       count(*) - count(o_custkey) AS n_missing
-        |FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+        |                         WHERE o_totalprice > 450000) o
         |  ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin,
     "search_max_bucket" ->
@@ -5760,6 +5900,110 @@ object SparkEntry {
         |             round(CAST(cum AS DOUBLE) / k, 6) AS left_mean,
         |             round(CAST(tot - cum AS DOUBLE) / (n - k), 6) AS right_mean
         |      FROM c CROSS JOIN t WHERE k < n) s
-        |ORDER BY delta DESC, bucket LIMIT 1""".stripMargin
+        |ORDER BY delta DESC, bucket LIMIT 1""".stripMargin,
+    "search_simple_query_string" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |  AND (list_contains(string_split(lower(text), ' '), 'merge')
+        |       OR contains(concat(' ', lower(text), ' '), ' hash join '))
+        |  AND NOT list_contains(string_split(lower(text), ' '), 'slow')
+        |ORDER BY doc_id""".stripMargin,
+    "search_combined_fields" ->
+      """WITH f AS (SELECT p_partkey,
+        |             1.0 * len(list_filter(string_split(lower(p_name), ' '), x -> x = 'small'))
+        |               + 0.5 * len(list_filter(string_split(lower(p_type), ' '), x -> x = 'small')) AS ctf_small,
+        |             1.0 * len(list_filter(string_split(lower(p_name), ' '), x -> x = 'large'))
+        |               + 0.5 * len(list_filter(string_split(lower(p_type), ' '), x -> x = 'large')) AS ctf_large
+        |           FROM part),
+        |s AS (SELECT count(*) AS n,
+        |             sum(CASE WHEN ctf_small > 0 THEN 1 ELSE 0 END) AS df_small,
+        |             sum(CASE WHEN ctf_large > 0 THEN 1 ELSE 0 END) AS df_large
+        |      FROM f)
+        |SELECT p_partkey, score FROM (
+        |  SELECT p_partkey,
+        |         round(ln(1.0 + (n - df_small + 0.5) / (df_small + 0.5)) * (ctf_small / (ctf_small + 1.2))
+        |               + ln(1.0 + (n - df_large + 0.5) / (df_large + 0.5)) * (ctf_large / (ctf_large + 1.2)),
+        |               6) AS score
+        |  FROM f CROSS JOIN s) t
+        |WHERE score > 0 ORDER BY score DESC, p_partkey LIMIT 20""".stripMargin,
+    "search_phrase_suggest" ->
+      """WITH toks AS (SELECT doc_id, tok, p FROM (
+        |       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+        |              generate_subscripts(string_split(lower(text), ' '), 1) AS p
+        |       FROM documents) t),
+        |vocab AS (SELECT tok AS term, count(*) AS freq FROM toks GROUP BY 1),
+        |c1 AS (SELECT term AS w1, freq AS f1, CAST(levenshtein(term, 'fast') AS INTEGER) AS d1
+        |       FROM vocab WHERE abs(len(term) - 4) <= 2 AND levenshtein(term, 'fast') <= 2),
+        |c2 AS (SELECT term AS w2, freq AS f2, CAST(levenshtein(term, 'qery') AS INTEGER) AS d2
+        |       FROM vocab WHERE abs(len(term) - 4) <= 2 AND levenshtein(term, 'qery') <= 2),
+        |bi AS (SELECT w1, w2, count(*) AS c12 FROM (
+        |         SELECT doc_id, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+        |         FROM toks) b
+        |       WHERE w2 IS NOT NULL GROUP BY 1, 2)
+        |SELECT concat(w1, ' ', w2) AS suggestion,
+        |       d1 + d2 AS dist,
+        |       coalesce(c12, 0) AS bigram_count,
+        |       f1 + f2 AS cand_freq
+        |FROM c1 CROSS JOIN c2 LEFT JOIN bi USING (w1, w2)
+        |ORDER BY bigram_count DESC, dist, cand_freq DESC, suggestion LIMIT 5""".stripMargin,
+    "search_dsl_json_decay" ->
+      """SELECT o_orderkey,
+        |       round(1.0 * exp((-0.6931471805599453 / (50000.0 * 50000.0))
+        |                 * greatest(abs(o_totalprice - 150000.0) - 10000.0, 0.0)
+        |                 * greatest(abs(o_totalprice - 150000.0) - 10000.0, 0.0)), 6) AS "_score"
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY "_score" DESC, o_orderkey LIMIT 20""".stripMargin,
+    "search_dsl_json_exists" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+        |                         WHERE o_totalprice > 450000) o
+        |  ON c_custkey = o_custkey
+        |WHERE o_custkey IS NULL
+        |ORDER BY c_custkey LIMIT 50""".stripMargin,
+    "text_quality_logistic" ->
+      """SELECT doc_id, round(q, 6) AS quality_prob, q >= 0.5 AS keep FROM (
+        |  SELECT doc_id,
+        |         1.0 / (1.0 + exp(-(-2.0 + 0.35 * ln(n) + 2.5 * stop_ratio - 1.2 * ttr + 0.08 * avg_len))) AS q
+        |  FROM (SELECT doc_id,
+        |               CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n,
+        |               len(list_filter(string_split(lower(text), ' '),
+        |                               t -> t IN ('the', 'a', 'to', 'of', 'and')))
+        |                 / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stop_ratio,
+        |               len(list_distinct(string_split(lower(text), ' ')))
+        |                 / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS ttr,
+        |               (n_chars - CAST(len(string_split(lower(text), ' ')) AS DOUBLE) + 1.0)
+        |                 / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS avg_len
+        |        FROM documents WHERE doc_id < 100) f) t
+        |ORDER BY doc_id""".stripMargin,
+    "text_idf_keywords" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE doc_id < 50 GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, term, tf,
+        |              round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+        |       FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM sc) t
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_cooccurrence_pmi" ->
+      """WITH toks AS (SELECT doc_id, tok, p FROM (
+        |       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+        |              generate_subscripts(string_split(lower(text), ' '), 1) AS p
+        |       FROM documents) t),
+        |bi AS (SELECT w1, w2 FROM (
+        |         SELECT doc_id, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+        |         FROM toks) b
+        |       WHERE w2 IS NOT NULL),
+        |joint AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |lm AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |rm AS (SELECT w2, count(*) AS c2 FROM bi GROUP BY 1),
+        |tot AS (SELECT count(*) AS n2 FROM bi)
+        |SELECT w1, w2, c12,
+        |       round(ln(CAST(c12 AS DOUBLE) * n2 / (CAST(c1 AS DOUBLE) * c2)), 6) AS pmi
+        |FROM joint JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
+        |WHERE c12 >= 20
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
   )
 }

@@ -86,6 +86,50 @@ object Bm25 {
       .limit(k)
   }
 
+  /** `combined_fields` query: term-centric scoring across several short
+    * text fields as if their tokens formed one combined field — the
+    * BM25F-style weighted term frequencies of the OpenSearch
+    * combined_fields query (field weights from `fields`; saturation
+    * tf/(tf+k1); no length normalization, the short-field case).
+    *
+    * Plan: the weighted tf of each term is a codegen'd whole-row
+    * expression (short fields — no token explode), the per-term document
+    * frequencies come from ONE scalar aggregation broadcast back, and the
+    * final score sums in fixed expression order so both engines run
+    * identical IEEE double math. Two scans total; no shuffle keyed by
+    * term.
+    */
+  def combinedFields(
+      docs: DataFrame,
+      idCol: String,
+      fields: Seq[(String, Double)],
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2
+  ): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase)
+    def ctf(t: String): Column =
+      fields
+        .map { case (f, w) => lit(w) * size(filter(SearchDsl.analyze(col(f)), x => x === lit(t))) }
+        .reduce(_ + _)
+    val stats = docs.agg(
+      count(lit(1)).as("_n"),
+      terms.map(t => sum(when(ctf(t) > 0, 1).otherwise(0)).as(s"_df_$t")): _*
+    )
+    val score = terms
+      .map { t =>
+        val df = col(s"_df_$t")
+        log(lit(1.0) + (col("_n") - df + lit(0.5)) / (df + lit(0.5))) * (ctf(t) / (ctf(t) + lit(k1)))
+      }
+      .reduce(_ + _)
+    docs
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), round(score, 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** One-shot top-k: build + score. Same plan as the fused form — the
     * split exists so repeated queries amortize the build
     * (see Bm25IndexSpec).

@@ -62,4 +62,63 @@ object Fuzzy {
       .orderBy(col("dist").asc, col("freq").desc, col("suggestion"))
       .limit(k)
   }
+
+  /** OpenSearch phrase suggester ("did you mean" over whole phrases):
+    * per-position correction candidates from the vocabulary (edit
+    * distance ≤ maxDist — the [[suggest]] plan per term), composed into
+    * candidate phrases and ranked by observed corpus bigram frequency
+    * with the candidates' unigram frequencies as backoff (the
+    * stupid-backoff shape, Brants et al. '07).
+    *
+    * Scale: candidates are levenshtein-filtered VOCABULARY rows (tiny —
+    * Heaps-sublinear vocab, then a distance filter), so the phrase cross
+    * product is bounded; the corpus bigram table is semi-joined down to
+    * the candidate pairs BEFORE the scoring join, so corpus-sized frames
+    * never meet a cross product and the final join broadcasts.
+    */
+  def suggestPhrase(
+      docs: DataFrame,
+      textCol: String,
+      phrase: Seq[String],
+      maxDist: Int,
+      k: Int
+  ): DataFrame = {
+    require(phrase.length == 2, "phrase suggester: two-term phrases")
+    val base = graft.Tables
+      .ensureParallelism(docs.select(col(textCol).as("_text")))
+      .select(TextFns.tokens(col("_text")).as("toks"))
+    val vocab = base
+      .select(explode(col("toks")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("freq"))
+    def cand(t: String, i: Int): DataFrame = {
+      val q = t.toLowerCase
+      vocab
+        .filter(abs(length(col("term")) - lit(q.length)) <= maxDist)
+        .filter(levenshtein(col("term"), lit(q)) <= maxDist)
+        .select(col("term").as(s"w$i"), col("freq").as(s"f$i"), levenshtein(col("term"), lit(q)).as(s"d$i"))
+    }
+    val pairs = cand(phrase(0), 1).crossJoin(cand(phrase(1), 2))
+    val bigrams = base
+      .filter(size(col("toks")) >= 2)
+      .select(
+        explode(
+          expr("transform(slice(toks, 1, size(toks) - 1), (t, i) -> struct(t AS w1, toks[i + 1] AS w2))")
+        ).as("b")
+      )
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+    val matched = bigrams.join(broadcast(pairs.select("w1", "w2")), Seq("w1", "w2"))
+    pairs
+      .join(broadcast(matched), Seq("w1", "w2"), "left")
+      .select(
+        concat_ws(" ", col("w1"), col("w2")).as("suggestion"),
+        (col("d1") + col("d2")).as("dist"),
+        coalesce(col("c12"), lit(0L)).as("bigram_count"),
+        (col("f1") + col("f2")).as("cand_freq")
+      )
+      .orderBy(col("bigram_count").desc, col("dist").asc, col("cand_freq").desc, col("suggestion"))
+      .limit(k)
+  }
 }

@@ -117,20 +117,36 @@ object JsonDsl {
       case Some(q) =>
         require(root.get("aggs") == null && root.get("aggregations") == null, "function_score with aggs is unsupported")
         val body = q.get("function_score")
-        val fvf = req(body, "field_value_factor", "function_score")
-        val field = col(req(fvf, "field", "field_value_factor").asText)
-        val factor = Option(fvf.get("factor")).map(_.asDouble).getOrElse(1.0)
-        val raw = lit(factor) * field
-        // Lucene's field_value_factor modifiers (the ln* family is the
-        // natural log, log* is base 10 — both are in the public contract).
-        val modified = Option(fvf.get("modifier")).map(_.asText).getOrElse("none") match {
-          case "none"   => raw
-          case "ln1p"   => log(lit(1.0) + raw)
-          case "log1p"  => log10(lit(1.0) + raw)
-          case "sqrt"   => sqrt(raw)
-          case "square" => raw * raw
-          case m        => throw new IllegalArgumentException(s"unsupported field_value_factor modifier '$m'")
-        }
+        // Two scoring forms: field_value_factor (Lucene's modifier
+        // family — ln* natural log, log* base 10) and the gauss decay
+        // function ({"gauss": {field: {origin, scale, offset, decay}}}),
+        // both pure codegen'd projections — see SearchDsl.gaussDecay.
+        val modified =
+          if (body.has("gauss")) {
+            val g = body.get("gauss")
+            val fname = g.fieldNames().next()
+            val spec = g.get(fname)
+            SearchDsl.gaussDecay(
+              col(fname),
+              req(spec, "origin", "gauss").asDouble,
+              req(spec, "scale", "gauss").asDouble,
+              Option(spec.get("offset")).map(_.asDouble).getOrElse(0.0),
+              Option(spec.get("decay")).map(_.asDouble).getOrElse(0.5)
+            )
+          } else {
+            val fvf = req(body, "field_value_factor", "function_score")
+            val field = col(req(fvf, "field", "field_value_factor").asText)
+            val factor = Option(fvf.get("factor")).map(_.asDouble).getOrElse(1.0)
+            val raw = lit(factor) * field
+            Option(fvf.get("modifier")).map(_.asText).getOrElse("none") match {
+              case "none"   => raw
+              case "ln1p"   => log(lit(1.0) + raw)
+              case "log1p"  => log10(lit(1.0) + raw)
+              case "sqrt"   => sqrt(raw)
+              case "square" => raw * raw
+              case m        => throw new IllegalArgumentException(s"unsupported field_value_factor modifier '$m'")
+            }
+          }
         val boost = Option(body.get("boost")).map(_.asDouble).getOrElse(1.0)
         val base = Option(body.get("query"))
           .map(fn => df.filter(compileQuery(df, fn, mapping)))

@@ -789,6 +789,32 @@ class JsonDslSpec extends SparkSpec {
     )
   }
 
+  test("function_score gauss decay: plan-equal to the SearchDsl.gaussDecay projection") {
+    val df = cards
+    val got = JsonDsl.parse(
+      df,
+      """{"query": {"function_score": {
+        |   "query": {"range": {"amount": {"lt": 1800}}},
+        |   "gauss": {"amount": {"origin": 900.0, "scale": 500.0, "offset": 100.0, "decay": 0.5}}}},
+        | "sort": [{"id": "asc"}], "size": 3,
+        | "_source": ["id", "_score"]}""".stripMargin,
+      mapping
+    )
+    samePlan(
+      got,
+      df.filter(col("amount") < 1800)
+        .withColumn("_score", round(lit(1.0) * SearchDsl.gaussDecay(col("amount"), 900.0, 500.0, 100.0, 0.5), 6))
+        .orderBy(col("_score").desc, col("id").asc)
+        .limit(3)
+        .select(col("id"), col("_score"))
+    )
+    // doc 3 (900) sits inside the offset → exactly 1.0; decay=0.5 at
+    // origin±(offset+scale) means doc 2 (1500) scores 2^(-1) = 0.5.
+    val scores = got.as[(Long, Double)].collect().toMap
+    assert(scores(3L) == 1.0)
+    assert(scores(2L) == 0.5)
+  }
+
   test("constant_score: filter context plus a fixed boost as _score") {
     val df = cards
     val got = JsonDsl.parse(
