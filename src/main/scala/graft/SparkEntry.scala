@@ -3855,6 +3855,37 @@ object SparkEntry {
           | "_source": ["c_custkey", "c_mktsegment"]}""".stripMargin
       )
     }),
+    // simple_query_string from the wire format — same parser, reached
+    // through the JSON clause compiler (fields list + default_operator).
+    "search_dsl_json_simple_query_string" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"simple_query_string": {
+          |   "query": "spark + (merge | \"hash join\") -slow",
+          |   "fields": ["text"], "default_operator": "and"}},
+          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id", "lang"]}""".stripMargin,
+        docsMapping
+      )),
+    // pinned from the wire format: curated _ids first in list order,
+    // organic matches follow — the structured search_pinned tier plan.
+    "search_dsl_json_pinned" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir).withColumnRenamed("doc_id", "_id"),
+        """{"query": {"pinned": {
+          |   "ids": [7, 3, 11],
+          |   "organic": {"match": {"text": "spark"}}}},
+          | "sort": [{"_id": "asc"}], "size": 10, "_source": ["_id", "lang"]}""".stripMargin,
+        docsMapping
+      )),
+    // _search/template: mustache-lite {{param}} substitution, then the
+    // ordinary wire executor — the plan is identical to the direct body.
+    "search_dsl_json_template" -> ((s, dir) =>
+      JsonDsl.parseTemplate(
+        Tables.documents(s, dir),
+        """{"source": "{\"query\": {\"bool\": {\"must\": [{\"match\": {\"text\": \"{{term}}\"}}, {\"range\": {\"n_chars\": {\"gte\": {{min_chars}}}}}]}}, \"sort\": [{\"doc_id\": \"asc\"}], \"_source\": [\"doc_id\", \"n_chars\"]}",
+          | "params": {"term": "spark", "min_chars": 200}}""".stripMargin,
+        docsMapping
+      )),
     // ── Corpus analysis / curation (r7) ─────────────────────────────────
     // fasttext-style linear quality classifier: interpretable features
     // (token count, stopword ratio, type-token ratio, average word
@@ -5960,6 +5991,26 @@ object SparkEntry {
         |  ON c_custkey = o_custkey
         |WHERE o_custkey IS NULL
         |ORDER BY c_custkey LIMIT 50""".stripMargin,
+    "search_dsl_json_simple_query_string" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |  AND (list_contains(string_split(lower(text), ' '), 'merge')
+        |       OR contains(concat(' ', lower(text), ' '), ' hash join '))
+        |  AND NOT list_contains(string_split(lower(text), ' '), 'slow')
+        |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_pinned" ->
+      """SELECT "_id", lang FROM (
+        |  SELECT doc_id AS "_id", lang,
+        |         coalesce(list_position([7, 3, 11], doc_id), 0) AS pin,
+        |         list_contains(string_split(lower(text), ' '), 'spark') AS organic
+        |  FROM documents) t
+        |WHERE pin > 0 OR organic
+        |ORDER BY CASE WHEN pin > 0 THEN pin ELSE 9223372036854775807 END, "_id"
+        |LIMIT 10""".stripMargin,
+    "search_dsl_json_template" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark') AND n_chars >= 200
+        |ORDER BY doc_id""".stripMargin,
     "text_quality_logistic" ->
       """SELECT doc_id, round(q, 6) AS quality_prob, q >= 0.5 AS keep FROM (
         |  SELECT doc_id,

@@ -182,6 +182,33 @@ object JsonDsl {
         }
       case None => ()
     }
+    // pinned at the top level: curated _ids surface first IN LIST ORDER,
+    // organic matches follow under the body's sort — one scan, the tier
+    // is array_position into the pinned list (the structured
+    // search_pinned plan), never per-id union branches.
+    Option(root.get("query")).filter(q =>
+      q.isObject && q.size == 1 && q.fieldNames().next() == "pinned"
+    ) match {
+      case Some(q) =>
+        require(root.get("aggs") == null && root.get("aggregations") == null, "pinned with aggs is unsupported")
+        val body = q.get("pinned")
+        val ids = req(body, "ids", "pinned").elements().asScala.toSeq.map(_.asLong)
+        require(ids.nonEmpty, "pinned needs at least one id")
+        val organic = compileQuery(df, req(body, "organic", "pinned"), mapping)
+        val pin = coalesce(array_position(array(ids.map(lit): _*), col("_id")), lit(0L))
+        val matched = df
+          .withColumn("_pin", pin)
+          .filter(col("_pin") > 0 || coalesce(organic, lit(false)))
+          .withColumn("_tier", when(col("_pin") > 0, col("_pin")).otherwise(lit(Long.MaxValue)))
+        val order = col("_tier").asc +: Option(root.get("sort")).map(compileSort).getOrElse(Seq(col("_id").asc))
+        val ranked = matched.orderBy(order: _*)
+        val top = Option(root.get("size")).map(_.asInt).fold(ranked)(k => ranked.limit(k))
+        return Option(root.get("_source")) match {
+          case Some(src) => top.select(src.elements().asScala.map(e => col(e.asText)).toSeq: _*)
+          case None      => top.drop("_pin", "_tier")
+        }
+      case None => ()
+    }
     // dis_max at the top level: per-clause scores (constant_score
     // sub-queries: a predicate + boost each), fused as best + tie_breaker
     // × (sum of the rest) — all clauses evaluate in ONE pass over each
@@ -593,6 +620,28 @@ object JsonDsl {
     perRequest.reduce(_.union(_)).orderBy("request_id")
   }
 
+  /** `_search/template`: mustache-lite rendering — `{{param}}`
+    * placeholders in the `source` (a string body, the portable template
+    * form) substituted from `params`, then delegated to [[parse]]. The
+    * substitution is driver-side string work on a request-sized payload;
+    * nothing about the compiled plan differs from the direct body.
+    */
+  def parseTemplate(df: DataFrame, body: String, mapping: IndexMapping = IndexMapping.empty): DataFrame = {
+    val root =
+      try mapper.readTree(body)
+      catch { case e: Exception => throw new IllegalArgumentException(s"malformed template: ${e.getMessage}") }
+    val src = req(root, "source", "search_template")
+    val raw = if (src.isTextual) src.asText else src.toString
+    val rendered = Option(root.get("params")).fold(raw) { p =>
+      p.fields().asScala.foldLeft(raw) { case (acc, e) =>
+        val v = if (e.getValue.isTextual) e.getValue.asText else e.getValue.toString
+        acc.replace("{{" + e.getKey + "}}", v)
+      }
+    }
+    require(!rendered.contains("{{"), s"unbound template parameter in: $rendered")
+    parse(df, rendered, mapping)
+  }
+
   /** Compile just the `query` clause to a predicate (the `_count` /
     * filter-context path).
     */
@@ -630,6 +679,15 @@ object JsonDsl {
         require(conds.nonEmpty, s"range on '$f' needs at least one of gte/gt/lte/lt")
         conds.reduce(_ && _)
       case "exists" => col(req(body, "field", "exists").asText).isNotNull
+      case "simple_query_string" =>
+        // the fault-tolerant syntax, compiled by SimpleQuery; matches if
+        // ANY listed field satisfies the parsed expression.
+        val q = req(body, "query", "simple_query_string").asText
+        val fields = req(body, "fields", "simple_query_string").elements().asScala.toSeq.map(_.asText)
+        require(fields.nonEmpty, s"simple_query_string needs at least one field: $body")
+        val andDefault =
+          Option(body.get("default_operator")).exists(_.asText.equalsIgnoreCase("and"))
+        fields.map(f => SimpleQuery.parse(col(f), q, andDefault)).reduce(_ || _)
       case "multi_match" =>
         // best_fields in filter context: the clause matches if ANY listed
         // field matches — analyzed on text fields, exact on keyword.

@@ -815,6 +815,56 @@ class JsonDslSpec extends SparkSpec {
     assert(scores(2L) == 0.5)
   }
 
+  test("simple_query_string clause: SimpleQuery predicate, OR across fields") {
+    val got = JsonDsl.parse(
+      cards,
+      """{"query": {"simple_query_string": {
+        |   "query": "spark + engine | \"fast cat\"",
+        |   "fields": ["text"], "default_operator": "and"}},
+        | "sort": [{"id": "asc"}], "_source": ["id"]}""".stripMargin,
+      mapping
+    )
+    samePlan(
+      got,
+      cards
+        .filter(graft.search.SimpleQuery.parse(col("text"), "spark + engine | \"fast cat\""))
+        .orderBy(col("id").asc)
+        .select("id")
+    )
+    assert(got.as[Long].collect().toSeq == Seq(1L, 5L))
+  }
+
+  test("pinned query: curated ids first in list order, organic follow sorted") {
+    val df = cards.withColumnRenamed("id", "_id")
+    val got = JsonDsl.parse(
+      df,
+      """{"query": {"pinned": {
+        |   "ids": [3, 2],
+        |   "organic": {"match": {"text": "spark"}}}},
+        | "sort": [{"_id": "asc"}], "_source": ["_id"]}""".stripMargin,
+      mapping
+    )
+    // pinned 3 then 2 (list order), then organic spark matches 4, 5
+    assert(got.as[Long].collect().toSeq == Seq(3L, 2L, 4L, 5L))
+  }
+
+  test("search template renders {{params}} then compiles to the direct-body plan") {
+    val body =
+      """{"source": "{\"query\": {\"match\": {\"text\": \"{{term}}\"}}, \"sort\": [{\"id\": \"asc\"}], \"_source\": [\"id\"]}",
+        | "params": {"term": "spark"}}""".stripMargin
+    val got = JsonDsl.parseTemplate(cards, body, mapping)
+    val direct = JsonDsl.parse(
+      cards,
+      """{"query": {"match": {"text": "spark"}}, "sort": [{"id": "asc"}], "_source": ["id"]}""",
+      mapping
+    )
+    samePlan(got, direct)
+    // unbound parameters fail fast, never compile a literal "{{x}}"
+    intercept[IllegalArgumentException](
+      JsonDsl.parseTemplate(cards, """{"source": "{\"query\": {\"match\": {\"text\": \"{{x}}\"}}}"}""", mapping)
+    )
+  }
+
   test("constant_score: filter context plus a fixed boost as _score") {
     val df = cards
     val got = JsonDsl.parse(
