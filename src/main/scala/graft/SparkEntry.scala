@@ -166,6 +166,29 @@ object SparkEntry {
         (pmod(col("event_id") * 91, lit(36000)) / 100.0 - 180.0).as("lon")
       )
 
+  /** Deterministic synthetic IPv4 addresses for the events stream (the
+    * testdata has no IP column — the geoEvents convention): octets from
+    * integer arithmetic, the dotted string rendered canonically, plus the
+    * 32-bit numeric value for range math. Both engines materialize
+    * identical strings and longs.
+    */
+  private def ipEvents(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        pmod(col("user_id"), lit(200)).as("_o2"),
+        pmod(col("user_id") * 7, lit(250)).as("_o3"),
+        (pmod(col("event_id"), lit(254)) + 1).as("_o4")
+      )
+      .withColumn("ip", concat(lit("10."), col("_o2"), lit("."), col("_o3"), lit("."), col("_o4")))
+      .withColumn(
+        "ipnum",
+        lit(10L * 16777216L) + col("_o2") * 65536L + col("_o3") * 256L + col("_o4")
+      )
+
   private val minhashIdxMemo = scala.collection.concurrent.TrieMap[String, MinHashLSH.MinHashIndex]()
 
   /** The MinHash/LSH artifact over the CORPUS side (doc_id % 7 != 3 —
@@ -3886,6 +3909,55 @@ object SparkEntry {
           | "params": {"term": "spark", "min_chars": 200}}""".stripMargin,
         docsMapping
       )),
+    // variable_width_histogram: OpenSearch computes this agg
+    // approximately (streaming 1-D clustering); here the cluster seeds
+    // are EXACT interpolated quantiles at (2i+1)/2k and each value joins
+    // its nearest seed (ties to the lower seed — array_position finds
+    // the first minimum). Deterministic, engine-portable, and
+    // oracle-checkable — a strictly stronger contract than the
+    // reference's best-effort buckets. One stats pass (seed quantiles,
+    // 1-row broadcast) + one assignment scan into a k-row hash agg.
+    "search_variable_width_histogram" -> ((s, dir) => {
+      val k = 8
+      val ps = (0 until k).map(i => (2 * i + 1).toDouble / (2 * k))
+      val seeds = Tables
+        .orders(s, dir)
+        .agg(expr(s"percentile(o_totalprice, array(${ps.mkString(", ")}))").as("_seeds"))
+      Tables
+        .orders(s, dir)
+        .crossJoin(broadcast(seeds))
+        .withColumn("_d", expr("transform(_seeds, s -> abs(o_totalprice - s))"))
+        .withColumn("bucket", array_position(col("_d"), array_min(col("_d"))))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("doc_count"),
+          round(min("o_totalprice"), 2).as("min_v"),
+          round(max("o_totalprice"), 2).as("max_v"),
+          round(sum(decMoney(col("o_totalprice"))).cast("double") / count(lit(1)), 6).as("centroid")
+        )
+        .orderBy("bucket")
+    }),
+    // ip_prefix agg (/16): network-prefix buckets over the derived IP
+    // space — integer-arithmetic octets (see ipEvents), one hash agg
+    // with an exact per-prefix user cardinality.
+    "search_ip_prefix" -> ((s, dir) =>
+      ipEvents(s, dir)
+        .groupBy(concat(lit("10."), col("_o2"), lit(".0.0/16")).as("prefix"))
+        .agg(count(lit(1)).as("doc_count"), countDistinct(col("user_id")).as("unique_users"))
+        .orderBy(col("doc_count").desc, col("prefix"))
+        .limit(20)),
+    // ip_range agg: labeled ranges over the 32-bit address value — the
+    // standard rangeAgg plan (one CASE projection, k-row hash agg).
+    "search_ip_range" -> ((s, dir) =>
+      Aggs.rangeAgg(
+        ipEvents(s, dir),
+        col("ipnum").cast("double"),
+        Seq(
+          ("a_low", None, Some(168099840.0)),
+          ("b_mid", Some(168099840.0), Some(168427520.0)),
+          ("c_high", Some(168427520.0), None)
+        )
+      )),
     // ── Corpus analysis / curation (r7) ─────────────────────────────────
     // fasttext-style linear quality classifier: interpretable features
     // (token count, stopword ratio, type-token ratio, average word
@@ -6011,6 +6083,34 @@ object SparkEntry {
       """SELECT doc_id, n_chars FROM documents
         |WHERE list_contains(string_split(lower(text), ' '), 'spark') AND n_chars >= 200
         |ORDER BY doc_id""".stripMargin,
+    "search_variable_width_histogram" ->
+      """WITH s AS (SELECT quantile_cont(o_totalprice,
+        |             [0.0625, 0.1875, 0.3125, 0.4375, 0.5625, 0.6875, 0.8125, 0.9375]) AS seeds
+        |           FROM orders),
+        |a AS (SELECT o_totalprice,
+        |        CAST(list_position(list_transform(seeds, x -> abs(o_totalprice - x)),
+        |               list_aggregate(list_transform(seeds, x -> abs(o_totalprice - x)), 'min'))
+        |             AS BIGINT) AS bucket
+        |      FROM orders CROSS JOIN s)
+        |SELECT bucket, count(*) AS doc_count,
+        |       round(min(o_totalprice), 2) AS min_v,
+        |       round(max(o_totalprice), 2) AS max_v,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS centroid
+        |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "search_ip_prefix" ->
+      """SELECT concat('10.', user_id % 200, '.0.0/16') AS prefix,
+        |       count(*) AS doc_count,
+        |       count(DISTINCT user_id) AS unique_users
+        |FROM events GROUP BY 1 ORDER BY doc_count DESC, prefix LIMIT 20""".stripMargin,
+    "search_ip_range" ->
+      """SELECT bucket, count(*) AS doc_count FROM (
+        |  SELECT CASE WHEN ipnum < 168099840.0 THEN 'a_low'
+        |              WHEN ipnum >= 168099840.0 AND ipnum < 168427520.0 THEN 'b_mid'
+        |              WHEN ipnum >= 168427520.0 THEN 'c_high' END AS bucket
+        |  FROM (SELECT CAST(10 * 16777216 + (user_id % 200) * 65536
+        |                    + ((user_id * 7) % 250) * 256 + (event_id % 254 + 1) AS DOUBLE) AS ipnum
+        |        FROM events) i) t
+        |WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket""".stripMargin,
     "text_quality_logistic" ->
       """SELECT doc_id, round(q, 6) AS quality_prob, q >= 0.5 AS keep FROM (
         |  SELECT doc_id,

@@ -73,6 +73,10 @@ class EntrySpec extends SparkSpec {
     // range nested-loop join of pairs x spine.
     val wau = SparkEntry.queries("agg_rolling_wau")(spark, Sf).queryExecution.executedPlan.toString
     assert(wau.contains("Generate"), s"rolling WAU lost its explode fan-out:\n$wau")
+    // geo_line must bound per-group state through the TopKPerKey
+    // operator (bounded heaps), never collect-every-point-then-slice.
+    val gl = SparkEntry.queries("search_geo_line")(spark, Sf).queryExecution.executedPlan.toString
+    assert(gl.contains("TopKPerKey"), s"geo_line lost its bounded-heap cap:\n$gl")
   }
 
   test("all queries execute and are non-empty at sf0.001") {
