@@ -243,6 +243,23 @@ object SparkEntry {
       }
     )
 
+  /** The BM25 artifact over yesterday's corpus (doc_id % 5 != 0 — the
+    * complement of the incremental entry's insert set), built once per
+    * JVM: the durable posting table a live tier maintains with
+    * [[graft.search.Bm25.applyDelta]] instead of rebuilding.
+    */
+  private def cachedBm25Base(s: SparkSession, dir: String): graft.search.Bm25.Bm25Index =
+    bm25Memo.getOrElseUpdate(
+      s"base:$dir", {
+        val idx = graft.search.Bm25
+          .buildIndex(Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+        graft.search.Bm25.Bm25Index(
+          postings = Memo.parquet(s, s"bm25-base-postings:$dir")(idx.postings),
+          corpus = Memo.parquet(s, s"bm25-base-corpus:$dir")(idx.corpus)
+        )
+      }
+    )
+
   private val sqMemo = scala.collection.concurrent.TrieMap[String, Similarity.SqIndex]()
 
   /** SQ8 index for `dir`, built once per JVM (same contract as the other
@@ -253,6 +270,20 @@ object SparkEntry {
       dir, {
         val idx = Similarity.sqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
         idx.copy(codes = Memo.parquet(s, s"sq:$dir")(idx.codes))
+      }
+    )
+
+  private val bqMemo = scala.collection.concurrent.TrieMap[String, Similarity.BqIndex]()
+
+  /** Binary-quantization index for `dir`, built once per JVM (same
+    * contract as the other ANN index caches: codes parquet-spilled,
+    * per-dim means driver-resident).
+    */
+  private def cachedBqIdx(s: SparkSession, dir: String): Similarity.BqIndex =
+    bqMemo.getOrElseUpdate(
+      dir, {
+        val idx = Similarity.bqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
+        idx.copy(codes = Memo.parquet(s, s"bq:$dir")(idx.codes))
       }
     )
 
@@ -443,6 +474,37 @@ object SparkEntry {
     // ── JSON request-body executor: the reference's actual wire format
     // (DASHBOARD_GUIDE.md Dev Tools bodies) compiled onto SearchDsl/Aggs.
     // docsMapping mirrors the TDD §4 index definition for `documents`.
+    // The _count API: a query body evaluated for its hit count only — no
+    // fetch phase, no sort; one filtered count(*) whose predicate pushes
+    // into the scan.
+    "search_dsl_json_count" -> ((s, dir) =>
+      JsonDsl.countOnly(
+        Tables.documents(s, dir),
+        """{"query": {"bool": {
+          |  "must": [{"match": {"text": "spark"}}],
+          |  "filter": [{"range": {"n_chars": {"gte": 150}}}]
+          |}}}""".stripMargin,
+        docsMapping
+      )),
+    // wrapper + match_none from the wire format: the term query rides
+    // base64-encoded inside a wrapper clause (the raw-query escape hatch),
+    // OR-ed with a match_none that must contribute nothing. Oracle = the
+    // decoded term query alone.
+    "search_dsl_json_wrapper" -> ((s, dir) => {
+      val encoded = java.util.Base64.getEncoder.encodeToString(
+        """{"term": {"lang": {"value": "de"}}}""".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      )
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        s"""{"query": {"bool": {"should": [
+           |   {"wrapper": {"query": "$encoded"}},
+           |   {"match_none": {}}
+           | ], "minimum_should_match": 1}},
+           | "sort": [{"doc_id": {"order": "asc"}}],
+           | "_source": ["doc_id", "lang"]}""".stripMargin,
+        docsMapping
+      )
+    }),
     "search_dsl_json" -> ((s, dir) =>
       JsonDsl.parse(
         Tables.documents(s, dir),
@@ -943,6 +1005,21 @@ object SparkEntry {
         sum(col("tf")).as("total_tf"),
         countDistinct(col("id")).as("n_docs")
       )
+    }),
+    // Incremental index maintenance — the CDC loop's index half: today's
+    // inserts (doc_id % 5 == 0) and deletes (% 11 == 2 of the base) fold
+    // into the memoized posting artifact via applyDelta (delta-sized
+    // work, exact integer corpus-stat adjustment), then the SAME query
+    // scores against it. Oracle = BM25 over the post-delta corpus;
+    // Bm25IndexSpec proves applyDelta ≡ full rebuild posting-for-posting.
+    "search_bm25_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val upserts = docs.filter(col("doc_id") % 5 === 0)
+      val deletes = docs
+        .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 11 === 2)
+        .select("doc_id")
+      val idx = graft.search.Bm25.applyDelta(cachedBm25Base(s, dir), upserts, deletes, "doc_id", "text")
+      graft.search.Bm25.scoreAgainstIndex(idx, Seq("spark", "query"), 10)
     }),
     // Hybrid search with reciprocal-rank fusion: the BM25 top-10 and the
     // vector top-10 fuse by Σ 1/(60 + rank) — rank-space fusion needs no
@@ -2437,6 +2514,26 @@ object SparkEntry {
     }),
     "ann_sq8_topk" -> ((s, dir) =>
       Similarity.scoreAgainstSq(cachedSq(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10)),
+    // Binary quantization: 1 bit per dim (sign vs the per-dim corpus
+    // mean), so a 64-dim vector is ONE 64-bit word — 32× under float32,
+    // the rung below SQ8. The sign test runs in double, the candidate
+    // ranking is bit_count(xor) Hamming with id tie-break, and the top-50
+    // rescore is exact — every step deterministic, so unlike the
+    // replica-bounded rungs this ENTIRE path is oracle-checked (DuckDB
+    // reproduces the bits, the candidate set, and the exact scores).
+    "ann_bq_build" -> ((s, dir) => {
+      val idx = Similarity.bqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
+      idx.codes
+        .select(expr("aggregate(transform(code, w -> bit_count(w)), 0, (a, x) -> a + x)").as("_ones"))
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          sum(col("_ones")).as("total_ones"),
+          min(col("_ones")).as("min_ones"),
+          max(col("_ones")).as("max_ones")
+        )
+    }),
+    "ann_bq_topk" -> ((s, dir) =>
+      Similarity.scoreAgainstBq(cachedBqIdx(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10)),
     "ann_lsh_batch_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity
@@ -3192,6 +3289,97 @@ object SparkEntry {
         .filter(expr("exists(_pa, a -> exists(_pb, b -> b > a))"))
         .select("doc_id")
         .orderBy("doc_id")),
+    // span_or: match if ANY sub-span matches — a rare term OR an ordered
+    // near-pair. Same per-row HOF shape as span_near; the disjunction is
+    // a boolean OR of the two whole-row span predicates.
+    "search_span_or" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          col("_toks"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'big', i, -1)), x -> x >= 0)").as("_pa"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'data', i, -1)), x -> x >= 0)").as("_pb")
+        )
+        .filter(
+          array_contains(col("_toks"), "dup") ||
+            expr("exists(_pa, a -> exists(_pb, b -> b > a AND b - a <= 2))")
+        )
+        .select("doc_id")
+        .orderBy("doc_id")),
+    // span_not: include spans ('data') minus those overlapping an exclude
+    // span (the phrase "big data") — emitted with the count of surviving
+    // positions so the hash checks span arithmetic, not just membership.
+    "search_span_not" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          // transform's index is 0-based while element_at is 1-based, so
+          // element_at(_toks, i) IS the previous token; i = 0 guards the
+          // first position (element_at(…, 0) throws under ANSI).
+          expr(
+            "size(filter(transform(_toks, (t, i) -> t = 'data' AND IF(i = 0, true, element_at(_toks, i) != 'big')), x -> x))"
+          ).as("n_spans")
+        )
+        .filter(col("n_spans") > 0)
+        .orderBy("doc_id")),
+    // span_within: 'fast' occurrences enclosed by a stream…merge ordered
+    // span (gap ≤ 6) — n_spans counts the enclosed LITTLE spans.
+    "search_span_within" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'stream', i, -1)), x -> x >= 0)").as("_pa"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'merge', i, -1)), x -> x >= 0)").as("_pb"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'fast', i, -1)), x -> x >= 0)").as("_pp")
+        )
+        .select(
+          col("doc_id"),
+          expr(
+            "size(filter(_pp, p -> exists(_pa, a -> exists(_pb, b -> b > a AND b - a <= 6 AND p > a AND p < b))))"
+          ).as("n_spans")
+        )
+        .filter(col("n_spans") > 0)
+        .orderBy("doc_id")),
+    // span_containing: sort…scan ordered spans (gap ≤ 5) that CONTAIN a
+    // 'key' occurrence — n_spans counts the containing BIG spans (the
+    // dual of span_within's little-span count).
+    "search_span_containing" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'sort', i, -1)), x -> x >= 0)").as("_pa"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'scan', i, -1)), x -> x >= 0)").as("_pb"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'key', i, -1)), x -> x >= 0)").as("_pp")
+        )
+        .select(
+          col("doc_id"),
+          expr(
+            "aggregate(_pa, 0, (acc, a) -> acc + size(filter(_pb, " +
+              "b -> b > a AND b - a <= 5 AND exists(_pp, p -> p > a AND p < b))))"
+          ).as("n_spans")
+        )
+        .filter(col("n_spans") > 0)
+        .orderBy("doc_id")),
+    // script_score: replace relevance with a deterministic script over
+    // doc fields — one codegen'd expression per row, top-k bounded.
+    "search_script_score" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .filter(col("text").contains("spark"))
+        .select(
+          col("doc_id"),
+          round(log(lit(1.0) + col("n_chars")) * 1.5 + (col("doc_id") % 7).cast("double"), 4).as("score")
+        )
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)),
     // constant_score: filter context with a fixed boost as _score — no
     // relevance computation at all, the cheapest scored query there is.
     "search_constant_score" -> ((s, dir) =>
@@ -4485,6 +4673,20 @@ object SparkEntry {
         |       CAST(sum(tf) AS BIGINT) AS total_tf,
         |       CAST(count(DISTINCT id) AS BIGINT) AS n_docs
         |FROM postings""".stripMargin,
+    "search_bm25_incremental" ->
+      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
+        |                     len(string_split(lower(text), ' ')) AS dl
+        |              FROM documents
+        |              WHERE NOT (doc_id % 5 <> 0 AND doc_id % 11 = 2)),
+        |postings AS (SELECT id, dl, t.term, count(*) AS tf
+        |             FROM base, unnest(toks) AS t(term)
+        |             WHERE t.term IN ('spark', 'query') GROUP BY id, dl, t.term),
+        |docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base)
+        |SELECT id, round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |                     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
+        |GROUP BY id ORDER BY score DESC, id LIMIT 10""".stripMargin,
     "search_highlight" ->
       """SELECT doc_id, CAST(strpos(text, 'spark') AS INTEGER) AS pos,
         |       substring(text, greatest(CAST(strpos(text, 'spark') AS INTEGER) - 15, 1), 40) AS snippet
@@ -5313,6 +5515,33 @@ object SparkEntry {
         |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS cos
         |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+    "ann_bq_build" ->
+      """WITH m AS (SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS mean
+        |           FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+        |           GROUP BY i),
+        |bits AS (SELECT e.vec_id,
+        |                sum(CASE WHEN CAST(e.embedding[m.i] AS DOUBLE) > m.mean THEN 1 ELSE 0 END) AS ones
+        |         FROM embeddings e CROSS JOIN m
+        |         GROUP BY e.vec_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vectors, CAST(sum(ones) AS BIGINT) AS total_ones,
+        |       CAST(min(ones) AS INTEGER) AS min_ones, CAST(max(ones) AS INTEGER) AS max_ones
+        |FROM bits""".stripMargin,
+    "ann_bq_topk" ->
+      """WITH m AS (SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS mean
+        |           FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+        |           GROUP BY i),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |h AS (SELECT e.vec_id,
+        |             sum(CASE WHEN (CAST(e.embedding[m.i] AS DOUBLE) > m.mean)
+        |                       <> (CAST(q.qe[m.i] AS DOUBLE) > m.mean) THEN 1 ELSE 0 END) AS ham
+        |      FROM embeddings e CROSS JOIN m CROSS JOIN q
+        |      GROUP BY e.vec_id),
+        |cand AS (SELECT vec_id FROM h ORDER BY ham, vec_id LIMIT 50)
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                    (SELECT CAST(qe AS DOUBLE[]) FROM q)), 6) AS cos
+        |FROM embeddings e JOIN cand USING (vec_id)
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "search_heatmap" ->
       """SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
         |       CAST(floor(value / 50.0) AS BIGINT) AS value_band,
@@ -5606,6 +5835,56 @@ object SparkEntry {
         |SELECT doc_id FROM p
         |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b > a AND b - a <= 3)) > 0)) > 0
         |ORDER BY doc_id""".stripMargin,
+    "search_span_or" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, toks,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'big') AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'data') AS pb
+        |      FROM t)
+        |SELECT doc_id FROM p
+        |WHERE list_contains(toks, 'dup')
+        |   OR len(list_filter(pa, a -> len(list_filter(pb, b -> b > a AND b - a <= 2)) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_span_not" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        len(list_filter(range(1, len(toks) + 1),
+        |                        i -> toks[i] = 'data' AND (i = 1 OR toks[i - 1] <> 'big'))) AS n_spans
+        |      FROM t)
+        |SELECT doc_id, n_spans FROM p WHERE n_spans > 0 ORDER BY doc_id""".stripMargin,
+    "search_span_within" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'stream') AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'merge') AS pb,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'fast') AS pp
+        |      FROM t),
+        |n AS (SELECT doc_id,
+        |        len(list_filter(pp, p -> len(list_filter(pa, a -> len(list_filter(pb,
+        |            b -> b > a AND b - a <= 6 AND p > a AND p < b)) > 0)) > 0)) AS n_spans
+        |      FROM p)
+        |SELECT doc_id, n_spans FROM n WHERE n_spans > 0 ORDER BY doc_id""".stripMargin,
+    "search_span_containing" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'sort') AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'scan') AS pb,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'key') AS pp
+        |      FROM t),
+        |n AS (SELECT doc_id,
+        |        coalesce(list_sum(list_transform(pa, a -> len(list_filter(pb,
+        |            b -> b > a AND b - a <= 5 AND len(list_filter(pp, p -> p > a AND p < b)) > 0)))), 0) AS n_spans
+        |      FROM p)
+        |SELECT doc_id, n_spans FROM n WHERE n_spans > 0 ORDER BY doc_id""".stripMargin,
+    "search_script_score" ->
+      """SELECT doc_id, round(ln(1 + n_chars) * 1.5 + CAST(doc_id % 7 AS DOUBLE), 4) AS score
+        |FROM documents WHERE text LIKE '%spark%'
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    "search_dsl_json_wrapper" ->
+      """SELECT doc_id, lang FROM documents WHERE lang = 'de' ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_count" ->
+      """SELECT count(*) AS count FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark') AND n_chars >= 150""".stripMargin,
     "search_sampler_diversified" ->
       """WITH s AS (SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         |           QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= 20)

@@ -1022,6 +1022,79 @@ object Similarity {
       .limit(k)
   }
 
+  final case class BqIndex(means: Array[Double], codes: DataFrame, base: DataFrame)
+
+  /** Binary quantization (BQ): every dimension → ONE BIT (above/below the
+    * corpus per-dim mean), so a 64-dim float vector packs into a single
+    * 64-bit word — 32× under float32, the quantization OpenSearch's
+    * binary-vector mode (and faiss's IndexBinaryFlat) runs when even SQ8
+    * is too big. Build = one posexplode mean aggregate (dim driver
+    * doubles) + one encode scan; the sign test runs in DOUBLE so an
+    * independent reimplementation (the DuckDB oracle) lands on identical
+    * bits.
+    */
+  def bqIndex(emb: DataFrame, idCol: String, vecCol: String): BqIndex = {
+    val base = emb.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull)
+    val mm = base
+      .select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(avg("x").as("m"))
+      .collect()
+    val means = new Array[Double](mm.length)
+    mm.foreach(r => means(r.getInt(0)) = r.getDouble(1))
+    val encode = udf { (v: Seq[Float]) =>
+      val words = new Array[Long]((v.length + 63) / 64)
+      var j = 0
+      while (j < v.length) {
+        if (v(j).toDouble > means(j)) words(j >> 6) |= 1L << (j & 63)
+        j += 1
+      }
+      words
+    }
+    val codes = graft.Tables
+      .ensureParallelism(base)
+      .select(col(idCol), encode(col(vecCol)).as("code"))
+    BqIndex(means, codes, base)
+  }
+
+  /** Score a query against the BQ index: Hamming distance via
+    * bit_count(xor) over the packed words — pure integer expression work,
+    * one scan of the 8-bytes-per-vector code table, no floats read for
+    * ranking — then exact-cosine rescore of the best `rerank` ids (ties
+    * broken by id, so the candidate set is deterministic and the DuckDB
+    * oracle reproduces it bit-for-bit). Emitted scores are exact; the
+    * approximation lives only in recall — the family contract.
+    */
+  def scoreAgainstBq(
+      index: BqIndex,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      rerank: Int = 50
+  ): DataFrame = {
+    val qWords = new Array[Long]((query.length + 63) / 64)
+    query.indices.foreach { j =>
+      if (query(j).toDouble > index.means(j)) qWords(j >> 6) |= 1L << (j & 63)
+    }
+    val qLit = array(qWords.map(w => lit(w)): _*)
+    val ham = aggregate(
+      zip_with(col("code"), qLit, (a, b) => bit_count(a.bitwiseXOR(b))),
+      lit(0),
+      (acc, x) => acc + x
+    )
+    val cand = index.codes
+      .select(col(idCol), ham.as("_ham"))
+      .orderBy(col("_ham").asc, col(idCol).asc)
+      .limit(math.max(rerank, k))
+      .select(col(idCol))
+    index.base
+      .join(cand, Seq(idCol))
+      .select(col(idCol), round(VectorFns.cosine(col(vecCol), vecLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Score a query against the PQ index by asymmetric distance (ADC):
     * per probed cell, a (m × ksub) lookup table of squared distances
     * between the query's residual subvectors and the codebook entries is

@@ -53,8 +53,71 @@ object Bm25 {
       .select(col("id"), col("dl"), explode(col("_toks")).as("term"))
       .groupBy(col("id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val corpus = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // sum_dl rides along so incremental maintenance (applyDelta) can
+    // adjust the average with exact integer arithmetic; avgdl itself is
+    // avg(dl) = sum.toDouble / count, the same IEEE division applyDelta
+    // re-derives — bit-identical either way.
+    val corpus = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"), avg(col("dl")).as("avgdl"))
     Bm25Index(postings, corpus)
+  }
+
+  /** Incrementally maintain a prebuilt index from a CDC batch — the daily
+    * operation of a live search tier (the reference applies Debezium
+    * c/u/d envelopes to its index one bulk call at a time; this is that
+    * loop's index-maintenance half on the posting artifact). The touched
+    * ids are anti-joined out of the posting table, the upserted docs are
+    * tokenized ALONE, and the 1-row corpus stats adjust by the removed
+    * and added (count, Σdl) in exact integer arithmetic — work scales
+    * with |delta|, not |corpus|. Bm25IndexSpec proves
+    * applyDelta(index, upserts, deletes) ≡ buildIndex(final corpus)
+    * posting-for-posting (updates and deletes included).
+    *
+    * `upserts` carries the post-image (id, text) of created/updated docs,
+    * one row per id (collapse a raw changelog upstream — CdcBatch);
+    * `deletes` carries deleted ids. Zero-token documents are out of
+    * contract: they leave no posting rows to subtract on removal (the
+    * corpus parquet has none; the spec pins equivalence on real data).
+    */
+  def applyDelta(
+      index: Bm25Index,
+      upserts: DataFrame,
+      deletes: DataFrame,
+      idCol: String,
+      textCol: String
+  ): Bm25Index = {
+    val up = upserts.select(col(idCol).as("id"), col(textCol).as("_text"))
+    val touched = up.select(col("id")).unionByName(deletes.select(col(idCol).as("id"))).distinct()
+    // No forced broadcast: the delta is the small side by construction and
+    // AQE sizes it; at 100 TB the posting table is bucketed by term for
+    // scoring, so the id-keyed anti join is the one shuffle this pays.
+    val kept = index.postings.join(touched, Seq("id"), "left_anti")
+    val fresh = buildIndex(up, "id", "_text")
+    // Removed docs' (count, Σdl) from the old postings: dl repeats on
+    // every posting row of a doc, so distinct (id, dl) recovers one row
+    // per touched existing doc (an upsert of an existing id removes its
+    // old rows too — touched covers both).
+    val removed = index.postings
+      .join(touched, Seq("id"), "left_semi")
+      .select(col("id"), col("dl"))
+      .distinct()
+      .agg(count(lit(1)).as("_rm_n"), coalesce(sum(col("dl")), lit(0L)).as("_rm_sum"))
+    val added = fresh.corpus.select(
+      col("n_docs").as("_add_n"),
+      coalesce(col("sum_dl"), lit(0L)).as("_add_sum")
+    )
+    val corpus = index.corpus
+      .crossJoin(broadcast(removed))
+      .crossJoin(broadcast(added))
+      .select(
+        (col("n_docs") - col("_rm_n") + col("_add_n")).as("n_docs"),
+        (col("sum_dl") - col("_rm_sum") + col("_add_sum")).as("sum_dl")
+      )
+      .select(
+        col("n_docs"),
+        col("sum_dl"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl")
+      )
+    Bm25Index(kept.unionByName(fresh.postings), corpus)
   }
 
   /** Score `queryTerms` against a prebuilt index: filter the postings to

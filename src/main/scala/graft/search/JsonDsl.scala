@@ -328,6 +328,18 @@ object JsonDsl {
     * msearch is just [[parse]] per body.) Returns one row per search:
     * (search ordinal, hit count), in request order.
     */
+  /** The `_count` API: a query body evaluated for its hit count only —
+    * no fetch phase, no sort, no source filtering; one filtered
+    * count(*) aggregate whose predicate pushes into the scan.
+    */
+  def countOnly(df: DataFrame, body: String, mapping: IndexMapping = IndexMapping.empty): DataFrame = {
+    val root =
+      try mapper.readTree(body)
+      catch { case e: Exception => throw new IllegalArgumentException(s"malformed _count body: ${e.getMessage}") }
+    val pred = Option(root.get("query")).map(q => compileQuery(df, q, mapping)).getOrElse(lit(true))
+    df.filter(pred).agg(count(lit(1)).as("count"))
+  }
+
   def msearchCounts(
       resolve: String => DataFrame,
       ndjson: String,
@@ -650,7 +662,18 @@ object JsonDsl {
     val name = node.fieldNames().next()
     val body = node.get(name)
     name match {
-      case "match_all" => lit(true)
+      case "match_all"  => lit(true)
+      case "match_none" => lit(false)
+      // wrapper: a base64-encoded query body, decoded and compiled
+      // recursively — the escape hatch clients use to smuggle a raw query
+      // through request builders that only accept strings.
+      case "wrapper" =>
+        val encoded = (if (body.isObject) body.get("query") else body).asText
+        val decoded = new String(
+          java.util.Base64.getDecoder.decode(encoded),
+          java.nio.charset.StandardCharsets.UTF_8
+        )
+        compileQuery(df, mapper.readTree(decoded), mapping)
       case "match" =>
         val (f, v) = fieldAndValue(body, "query")
         if (mapping.isText(f))

@@ -252,6 +252,73 @@ object CdcStream {
       )
   }
 
+  /** A keyed metric sample (seq orders samples within a key). */
+  case class MetricPoint(key: String, seq: Long, value: Double)
+
+  /** An anomaly alert: the offending sample plus the baseline it broke
+    * (mean/std over the key's PRIOR samples) and its z-score.
+    */
+  case class Alert(key: String, seq: Long, value: Double, mean: Double, std: Double, z: Double)
+
+  // Welford running moments: n, mean, and M2 (Σ(x−mean)²) — the
+  // numerically stable online form; std = sqrt(M2/(n−1)).
+  case class RunningStats(n: Long, mean: Double, m2: Double)
+
+  /** Streaming z-score anomaly detection — the monitor_anomaly_zscore
+    * batch query as a live alerting loop (the reference dashboards' "alert
+    * when a metric spikes" monitor, evaluated per event instead of per
+    * report). Per-key state is THREE doubles (Welford's n/mean/M2), so
+    * state size tracks the key universe, never the stream; each sample
+    * scores against the history BEFORE it (causal — no peeking at the
+    * batch's own spike) and then folds in, so a genuine level shift
+    * re-baselines after enough samples instead of alarming forever.
+    * Alerts fire once ≥ `minN` samples exist and |z| > `zThreshold`.
+    * StreamingSpec proves the emitted baseline equals the exact batch
+    * prefix moments regardless of micro-batch slicing.
+    */
+  class AnomalyProcessor(zThreshold: Double, minN: Long) extends StatefulProcessor[String, MetricPoint, Alert] {
+    @transient private var state: ValueState[RunningStats] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RunningStats]("anomalyStats", Encoders.product[RunningStats], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[MetricPoint],
+        timerValues: TimerValues
+    ): Iterator[Alert] = {
+      var st = if (state.exists()) state.get() else RunningStats(0L, 0.0, 0.0)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Alert]
+      rows.toSeq.sortBy(_.seq).foreach { p =>
+        if (st.n >= minN) {
+          val std = math.sqrt(st.m2 / (st.n - 1))
+          if (std > 0 && math.abs(p.value - st.mean) / std > zThreshold)
+            out += Alert(key, p.seq, p.value, st.mean, std, (p.value - st.mean) / std)
+        }
+        val n1 = st.n + 1
+        val d = p.value - st.mean
+        val mean1 = st.mean + d / n1
+        st = RunningStats(n1, mean1, st.m2 + d * (p.value - mean1))
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  /** Run [[AnomalyProcessor]] over a keyed metric stream. */
+  def anomalyAlerts(points: Dataset[MetricPoint], zThreshold: Double = 3.0, minN: Long = 5L): Dataset[Alert] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .groupByKey(_.key)
+      .transformWithState(
+        new AnomalyProcessor(zThreshold, minN),
+        TimeMode.None(),
+        OutputMode.Append(),
+        Encoders.product[Alert]
+      )
+  }
+
   /** Event-rate dashboard: windowed counts with a watermark (the Kibana
     * date-histogram, incrementally maintained).
     */

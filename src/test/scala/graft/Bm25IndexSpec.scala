@@ -25,6 +25,38 @@ class Bm25IndexSpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  test("applyDelta ≡ full rebuild, posting-for-posting: inserts, updates, and deletes") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf)
+    // Carve the corpus into: base (indexed first), inserts (new ids),
+    // updates (base ids whose text changes), deletes (base ids removed).
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val inserts = docs.filter(col("doc_id") % 5 === 0)
+    val updates = docs
+      .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 11 === 1)
+      .withColumn("text", concat(col("text"), lit(" updated revision")))
+    val deleteIds = docs
+      .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 11 === 2)
+      .select("doc_id")
+    val upserts = inserts.unionByName(updates)
+    val incr = Bm25.applyDelta(Bm25.buildIndex(base, "doc_id", "text"), upserts, deleteIds, "doc_id", "text")
+    val finalCorpus = docs
+      .filter(!(col("doc_id") % 5 =!= 0 && col("doc_id") % 11 === 2))
+      .join(updates.select(col("doc_id").as("_u")), col("doc_id") === col("_u"), "left_anti")
+      .unionByName(updates)
+    val full = Bm25.buildIndex(finalCorpus, "doc_id", "text")
+    def postingSet(ix: Bm25.Bm25Index) =
+      ix.postings.as[(Long, Int, String, Long)].collect().toSet
+    assert(postingSet(incr) == postingSet(full))
+    val Seq(ic) = incr.corpus.as[(Long, Long, Double)].collect().toSeq
+    val Seq(fc) = full.corpus.as[(Long, Long, Double)].collect().toSeq
+    assert(ic == fc, s"incremental corpus $ic != full $fc")
+    // and the artifact scores identically
+    val a = Bm25.scoreAgainstIndex(incr, Seq("spark", "query"), 10).as[(Long, Double)].collect().toSeq
+    val b = Bm25.scoreAgainstIndex(full, Seq("spark", "query"), 10).as[(Long, Double)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("more_like_this against the index equals the from-scratch path") {
     val docs = Tables.documents(spark, Sf)
     val index = Bm25.buildIndex(docs, "doc_id", "text").persist()

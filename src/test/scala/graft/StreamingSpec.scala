@@ -309,6 +309,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming anomaly alerts: causal z-score vs exact batch prefix moments, any micro-batch slicing") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    import CdcStream.{Alert, MetricPoint}
+    // Two keys: "cpu" carries a planted spike at seq 9 and a later shift
+    // that re-baselines; "mem" stays quiet and must never alert.
+    val cpu = Seq(10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 10.1, 80.0, 10.3, 9.9, 10.4)
+      .zipWithIndex
+      .map { case (v, i) => MetricPoint("cpu", i + 1L, v) }
+    val mem = (1 to 12).map(i => MetricPoint("mem", i.toLong, 50.0 + (i % 3)))
+    val input = MemoryStream[MetricPoint]
+    val q = CdcStream
+      .anomalyAlerts(input.toDS(), zThreshold = 3.0, minN = 5L)
+      .writeStream
+      .format("memory")
+      .queryName("anomaly_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // deliberately uneven micro-batches: the spike's batch also carries
+      // its neighbors, so causality (baseline excludes the spike itself)
+      // is what's under test, not batch boundaries
+      val all = (cpu ++ mem).sortBy(p => (p.seq, p.key))
+      input.addData(all.take(5): _*)
+      q.processAllAvailable()
+      input.addData(all.slice(5, 19): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(19): _*)
+      q.processAllAvailable()
+      val alerts = spark.table("anomaly_out").as[Alert].collect().toSeq
+      assert(alerts.map(_.key).toSet == Set("cpu"))
+      assert(alerts.map(_.seq).toSet == Set(9L), s"expected only the planted spike, got $alerts")
+      // the emitted baseline equals the exact batch moments over the
+      // PREFIX (seq 1-8) — streaming state is slicing-invariant
+      val prefix = cpu.take(8).map(_.value)
+      val mean = prefix.sum / prefix.size
+      val std = math.sqrt(prefix.map(v => (v - mean) * (v - mean)).sum / (prefix.size - 1))
+      val a = alerts.head
+      assert(math.abs(a.mean - mean) < 1e-9 && math.abs(a.std - std) < 1e-9)
+      assert(math.abs(a.z - (80.0 - mean) / std) < 1e-9)
+      // the spike folded into the baseline afterwards (re-baselining):
+      // post-spike normal samples did not alert even though they deviate
+      // from the pre-spike mean less than the spike did
+      assert(!alerts.exists(_.seq > 9L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("eventRate: windowed counts with watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
