@@ -273,6 +273,22 @@ object SparkEntry {
       }
     )
 
+  private val ivfBaseMemo = scala.collection.concurrent.TrieMap[String, Similarity.IvfIndex]()
+
+  /** The IVF index over yesterday's vectors (vec_id % 5 != 0 — the
+    * complement of the incremental entry's delta), built once per JVM:
+    * the durable artifact a live vector tier maintains with
+    * [[Similarity.addToIvf]] instead of rebuilding.
+    */
+  private def cachedIvfBase(s: SparkSession, dir: String): Similarity.IvfIndex =
+    ivfBaseMemo.getOrElseUpdate(
+      dir, {
+        val idx = Similarity
+          .ivfIndex(Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", nLists = 16)
+        idx.copy(assigned = Memo.parquet(s, s"ivf-base:$dir")(idx.assigned))
+      }
+    )
+
   private val bqMemo = scala.collection.concurrent.TrieMap[String, Similarity.BqIndex]()
 
   /** Binary-quantization index for `dir`, built once per JVM (same
@@ -2354,6 +2370,18 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) =>
       Similarity
         .scoreAgainstIvf(cachedIvf(s, dir, nLists = 16), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6)),
+    // IVF incremental maintenance — the faiss add() contract: today's
+    // vectors (vec_id % 5 == 0) assign to the EXISTING centroids in one
+    // delta-sized scan and union into the memoized base assignment
+    // table; the same query then searches the grown index. Centroid
+    // drift is the documented trade (cells reflect train-time data;
+    // periodic retrain is the remedy). SimilaritySpec checks the folded
+    // cells against first-principles nearest-centroid math.
+    "ann_ivf_incremental" -> ((s, dir) => {
+      val delta = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+      val idx = Similarity.addToIvf(cachedIvfBase(s, dir), delta, "vec_id", "embedding")
+      Similarity.scoreAgainstIvf(idx, "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6)
+    }),
     "ann_ivf_kmeans_topk" -> ((s, dir) =>
       Similarity
         .scoreAgainstIvf(cachedIvfKMeans(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6)),
@@ -2719,6 +2747,39 @@ object SparkEntry {
         )
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
+    // DSIR-style importance weighting (Xie et al., NeurIPS'23 "Data
+    // Selection for Language Models via Importance Resampling"): score
+    // every raw doc by log p_target(x) − log p_raw(x) under add-1
+    // unigram LMs (target = the English slice), keep the most
+    // target-like top 100 (the resampling step made deterministic).
+    // Plan: ONE term-keyed shuffle builds both LMs (conditional sums in
+    // the same aggregate), totals are a 1-row broadcast, and the weight
+    // is a per-doc hash agg — the two-pass shape of every LM entry here;
+    // shuffles carry (term, count) pairs, never text.
+    "sample_dsir_weights" -> ((s, dir) => {
+      val toks = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), col("lang"), explode(TextFns.tokens(col("text"))).as("term"))
+      val isTgt = when(col("lang") === "en", 1L).otherwise(0L)
+      val tf = toks.groupBy("term").agg(count(lit(1)).as("cr"), sum(isTgt).as("ct"))
+      val tot = toks.agg(count(lit(1)).as("nr"), sum(isTgt).as("nt"), countDistinct("term").as("v"))
+      toks
+        .join(tf, "term")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          round(
+            sum(
+              log((col("ct") + 1).cast("double") / (col("cr") + 1)) -
+                log((col("nt") + col("v")).cast("double") / (col("nr") + col("v")))
+            ),
+            6
+          ).as("log_ratio")
+        )
+        .orderBy(col("log_ratio").desc, col("doc_id"))
+        .limit(100)
+    }),
     // Deterministic md5-bucket train/val/test assignment: membership is a
     // pure function of the id — stable across runs, engines, and corpus
     // growth.
@@ -5613,6 +5674,18 @@ object SparkEntry {
         |                   t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
         |            / len(string_split(lower(text), ' ')), 6) * 3.0)
         |ORDER BY doc_id""".stripMargin,
+    "sample_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT term, count(*) AS cr, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        |       FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS nr, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+        |               count(DISTINCT term) AS v
+        |        FROM toks)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(sum(ln(CAST(ct + 1 AS DOUBLE) / (cr + 1))
+        |                 - ln(CAST(nt + v AS DOUBLE) / (nr + v))), 6) AS log_ratio
+        |FROM toks JOIN tf USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY log_ratio DESC, doc_id LIMIT 100""".stripMargin,
     "ann_knn_join" ->
       """SELECT probe_id, cand_id, cos, rank FROM (
         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,

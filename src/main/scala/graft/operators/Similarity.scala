@@ -305,6 +305,25 @@ object Similarity {
     IvfIndex(centroids, assigned)
   }
 
+  /** Fold new vectors into an existing IVF index WITHOUT retraining:
+    * assign them to the CURRENT centroids (one delta-sized scan — the
+    * faiss `add()` contract) and union the assignment table. This is the
+    * daily operation of a live vector tier: work scales with |delta|,
+    * the corpus-sized assignment table is never touched. The documented
+    * trade is centroid drift — cells reflect the corpus at train time,
+    * so recall for the new vectors degrades only as the data
+    * distribution shifts (periodic re-train is the remedy, exactly as
+    * in production IVF deployments). SimilaritySpec verifies the folded
+    * assignments against first-principles nearest-centroid math and the
+    * search contract over the unioned corpus.
+    */
+  def addToIvf(index: IvfIndex, delta: DataFrame, idCol: String, vecCol: String): IvfIndex = {
+    val newAssigned = graft.Tables
+      .ensureParallelism(delta.select(col(idCol), col(vecCol)))
+      .withColumn("cell", assignUdf(index.centroids)(col(vecCol)))
+    index.copy(assigned = index.assigned.unionByName(newAssigned))
+  }
+
   /** Lloyd (k-means) refinement of the IVF coarse quantizer: each round
     * re-assigns every vector to its nearest centroid (pure projection)
     * and moves each centroid to its cell's per-dimension mean — one

@@ -101,6 +101,44 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("addToIvf folds a delta without retraining: cells verified first-principles, search covers the union") {
+    val emb = Tables.embeddings(spark, Sf)
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val delta = emb.filter($"vec_id" % 5 === 0)
+    val idx = Similarity.ivfIndex(base, "vec_id", "embedding", nLists = 16)
+    val folded = Similarity.addToIvf(idx, delta, "vec_id", "embedding")
+    // centroids untouched; assignment table = base ∪ delta, nothing dropped
+    assert(folded.centroids.map(_.toSeq).toSeq == idx.centroids.map(_.toSeq).toSeq)
+    assert(folded.assigned.count() == emb.count())
+    // every delta cell is the true argmin-distance centroid (the same
+    // math recomputed from scratch here, not via the production code)
+    val cents = idx.centroids
+    val deltaCells = folded.assigned
+      .join(delta.select($"vec_id"), "vec_id")
+      .select($"vec_id", $"embedding", $"cell")
+      .as[(Long, Seq[Float], Int)]
+      .collect()
+    assert(deltaCells.nonEmpty)
+    deltaCells.foreach { case (id, v, cell) =>
+      val dists = cents.map { c =>
+        var d = 0.0; var j = 0
+        while (j < c.length) { val t = v(j).toDouble - c(j).toDouble; d += t * t; j += 1 }
+        d
+      }
+      val best = dists.indices.minBy(i => (dists(i), i))
+      assert(cell == best, s"vec $id assigned to cell $cell, nearest is $best")
+    }
+    // the grown index serves delta vectors too: searching a delta probe
+    // finds it (cos 1.0 with itself) plus base neighbors, exact scores
+    val q = emb.filter($"vec_id" === 5).select("embedding").head().getSeq[Float](0)
+    val got = Similarity
+      .scoreAgainstIvf(folded, "vec_id", "embedding", q, 10, nProbe = 8)
+      .select("vec_id")
+      .as[Long]
+      .collect()
+    assert(got.contains(5L), s"delta vector not searchable after fold: ${got.toSeq}")
+  }
+
   test("saltedJoin equals plain join, spreading hot keys") {
     import graft.operators.Skew
     val fact = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d")).toDF("k", "v")
