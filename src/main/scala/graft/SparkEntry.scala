@@ -3649,6 +3649,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("doc_count"))
         .orderBy(col("doc_count").desc, col("cell_y"), col("cell_x"))
         .limit(20)),
+    // geohash_grid agg: precision-5 geohash cells, top 20 by density.
+    // The cell key is pure integer arithmetic from the synthetic
+    // hundredth-degree coordinates (quantize → interleave → base32), so
+    // the DuckDB oracle reproduces identical strings — no geo library on
+    // either side. One hash agg; GeohashSpec pins the encoding against
+    // the textbook bisection encoder.
+    "search_geohash_grid" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .select(
+          graft.search.Aggs
+            .geohash5(pmod(col("user_id") * 1237, lit(18000)), pmod(col("event_id") * 91, lit(36000)))
+            .as("geohash")
+        )
+        .groupBy("geohash")
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy(col("doc_count").desc, col("geohash"))
+        .limit(20)),
+    // stats_bucket pipeline agg: count/min/max/avg/sum over a sibling
+    // date_histogram's per-bucket revenue — stats of the bucket table
+    // (months, driver-scale), order-proof via exact decimal sums.
+    "search_stats_bucket" -> ((s, dir) => {
+      val buckets = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      buckets.agg(
+        count(lit(1)).as("n_buckets"),
+        round(min("revenue"), 2).as("min_rev"),
+        round(max("revenue"), 2).as("max_rev"),
+        round(sum(col("revenue").cast("decimal(18,2)")).cast("double") / count(lit(1)), 6).as("avg_rev"),
+        sum(col("revenue").cast("decimal(18,2)")).cast("double").as("sum_rev")
+      )
+    }),
     // geo_centroid agg: per-type centroid via EXACT decimal coordinate
     // sums (the coordinates are 2dp by construction), double-divided at
     // the end — partition-order-proof, like every money aggregate here.
@@ -6100,6 +6134,30 @@ object SparkEntry {
     "search_scripted_metric" ->
       """SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS value
         |FROM lineitem""".stripMargin,
+    "search_geohash_grid" -> {
+      // Same integer pipeline as Aggs.geohash5, re-derived in DuckDB SQL:
+      // quantize hundredth-degree ints to 12/13 bits, interleave
+      // (lon bit k → weight 4^k, lat bit k → weight 2·4^k), base32.
+      def spread(c: String, bits: Int, mult: Long) =
+        (0 until bits).map(k => s"((($c // ${1L << k}) % 2) * ${mult * (1L << (2 * k))})").mkString(" + ")
+      val chars = (0 until 5)
+        .map(i => s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((n // ${1L << (5 * (4 - i))}) % 32) + 1 AS INT), 1)")
+        .mkString(" || ")
+      s"""WITH b AS (SELECT ((user_id * 1237) % 18000) AS la100, ((event_id * 91) % 36000) AS lo100 FROM events),
+         |c AS (SELECT ((la100 * 4096) // 18000) AS latb, ((lo100 * 8192) // 36000) AS lonb FROM b),
+         |nn AS (SELECT (${spread("lonb", 13, 1L)}) + (${spread("latb", 12, 2L)}) AS n FROM c),
+         |g AS (SELECT $chars AS geohash FROM nn)
+         |SELECT geohash, count(*) AS doc_count FROM g
+         |GROUP BY 1 ORDER BY doc_count DESC, geohash LIMIT 20""".stripMargin
+    },
+    "search_stats_bucket" ->
+      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |                  round(sum(o_totalprice), 2) AS revenue
+        |           FROM orders GROUP BY 1)
+        |SELECT count(*) AS n_buckets, round(min(revenue), 2) AS min_rev, round(max(revenue), 2) AS max_rev,
+        |       round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_rev,
+        |       CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS sum_rev
+        |FROM b""".stripMargin,
     "search_dsl_json_scripted_metric" ->
       """SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS value
         |FROM lineitem""".stripMargin,

@@ -13,6 +13,32 @@ import org.apache.spark.sql.functions._
   */
 object Aggs {
 
+  /** Geohash cell key at precision 5 from INTEGER hundredth-degree
+    * coordinates (la100 = (lat+90)·100 ∈ [0,18000), lo100 = (lon+180)·100
+    * ∈ [0,36000)) — the geohash_grid aggregation's bucket key. The whole
+    * computation is integer arithmetic (quantize to 12 lat / 13 lon bits,
+    * interleave lon-first, base32 the 25-bit word), so an independent SQL
+    * reimplementation lands on identical strings: bit k of lon carries
+    * weight 4^k and bit k of lat weight 2·4^k in the interleaved word.
+    * GeohashSpec checks it against the textbook bisection encoder.
+    */
+  def geohash5(la100: Column, lo100: Column): Column = {
+    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    // exact for operands < 2^53: the quotient's floor is the integer div
+    def idiv(c: Column, d: Long): Column = floor(c / d).cast("long")
+    val lat = idiv(la100 * 4096, 18000L)
+    val lon = idiv(lo100 * 8192, 36000L)
+    def spread(c: Column, bits: Int, mult: Long): Column =
+      (0 until bits)
+        .map(k => (idiv(c, 1L << k) % 2) * lit(mult * (1L << (2 * k))))
+        .reduce(_ + _)
+    val n = spread(lon, 13, 1L) + spread(lat, 12, 2L)
+    concat((0 until 5).map { i =>
+      val idx = (idiv(n, 1L << (5 * (4 - i))) % 32).cast("int")
+      lit(alpha).substr(idx + 1, lit(1))
+    }: _*)
+  }
+
   /** `terms` aggregation: top-`size` buckets by doc count (desc), key asc as
     * the deterministic tie-break (OpenSearch's own tie-break).
     */
