@@ -506,6 +506,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming search-index maintenance: CDC batches fold into the posting artifact; live query equals rebuild") {
+    // The reference's consumer loop end-to-end on Spark: a CDC stream of
+    // document upserts/deletes maintains the BM25 posting artifact via
+    // applyDelta per micro-batch, and the LIVE index answers queries
+    // identically to a from-scratch rebuild over the final corpus state.
+    // localCheckpoint stands in for the durable artifact store: it
+    // detaches lineage from the streaming source and keeps it bounded
+    // across batches (production writes parquet, the Memo shape).
+    import graft.search.Bm25
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, Sf).select($"doc_id", $"text")
+    val upd = docs
+      .filter($"doc_id" % 3 === 0 && $"doc_id" % 7 === 0)
+      .select($"doc_id", concat($"text", lit(" updated revision")).as("text"))
+    val delIds = docs.filter($"doc_id" % 3 === 1 && $"doc_id" % 5 === 0).select($"doc_id")
+    val input = MemoryStream[(Long, String, Boolean)] // (id, post-image text, deleted)
+    var idx: Option[Bm25.Bm25Index] = None
+    val q = input
+      .toDF()
+      .toDF("doc_id", "text", "deleted")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val batch = b.localCheckpoint(true)
+        val upserts = batch.filter(!$"deleted").select($"doc_id", $"text")
+        val deletes = batch.filter($"deleted").select($"doc_id")
+        val next = idx match {
+          case None    => Bm25.buildIndex(upserts, "doc_id", "text")
+          case Some(i) => Bm25.applyDelta(i, upserts, deletes, "doc_id", "text")
+        }
+        idx = Some(Bm25.Bm25Index(next.postings.localCheckpoint(true), next.corpus.localCheckpoint(true)))
+        ()
+      }
+      .start()
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame, deleted: Boolean) =
+        df.as[(Long, String)].collect().toIndexedSeq.map { case (id, t) => (id, t, deleted) }
+      // batch 0: initial corpus slice
+      input.addData(rows(docs.filter($"doc_id" % 3 === 0), deleted = false): _*)
+      q.processAllAvailable()
+      // batch 1: new docs + in-place updates of existing ones
+      input.addData(rows(docs.filter($"doc_id" % 3 === 1).unionByName(upd), deleted = false): _*)
+      q.processAllAvailable()
+      // batch 2: the rest, plus deletes
+      input.addData(
+        rows(docs.filter($"doc_id" % 3 === 2), deleted = false) ++
+          delIds.as[Long].collect().toIndexedSeq.map(id => (id, "", true)): _*
+      )
+      q.processAllAvailable()
+    } finally q.stop()
+    val finalCorpus = docs
+      .join(upd.select($"doc_id".as("_u")), $"doc_id" === $"_u", "left_anti")
+      .unionByName(upd)
+      .join(delIds.select($"doc_id".as("_d")), $"doc_id" === $"_d", "left_anti")
+    val live = Bm25.scoreAgainstIndex(idx.get, Seq("spark", "query"), 10).as[(Long, Double)].collect().toSeq
+    val rebuilt = Bm25.topK(finalCorpus, "doc_id", "text", Seq("spark", "query"), 10).as[(Long, Double)].collect().toSeq
+    assert(live == rebuilt && live.nonEmpty, s"live=$live rebuilt=$rebuilt")
+    // the maintained corpus scalars equal the rebuild's exactly
+    val a = idx.get.corpus.as[(Long, Long, Double)].collect().toSeq
+    val b = Bm25.buildIndex(finalCorpus, "doc_id", "text").corpus.as[(Long, Long, Double)].collect().toSeq
+    assert(a == b, s"maintained corpus $a != rebuilt $b")
+  }
+
   test("streaming incremental near-dup: each batch probes then folds the artifact; equals full recompute") {
     // The daily append-mostly loop as a stream: every micro-batch of new
     // docs probes the accumulated MinHash artifact (incrementalPairs),
