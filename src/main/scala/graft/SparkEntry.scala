@@ -3441,6 +3441,22 @@ object SparkEntry {
         )
         .orderBy(col("score").desc, col("doc_id"))
         .limit(15)),
+    // intervals query, all_of(ordered, max_gaps=3) over [any_of(big,
+    // fast), table]: an any_of alternative feeding an ordered bounded-gap
+    // composition — max_gaps counts positions BETWEEN matches, so the
+    // position test is b − a − 1 ≤ 3. Same per-row HOF plan as span_near.
+    "search_intervals_any" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'big' OR t = 'fast', i, -1)), x -> x >= 0)").as("_pa"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'table', i, -1)), x -> x >= 0)").as("_pb")
+        )
+        .filter(expr("exists(_pa, a -> exists(_pb, b -> b > a AND b - a - 1 <= 3))"))
+        .select("doc_id")
+        .orderBy("doc_id")),
     // constant_score: filter context with a fixed boost as _score — no
     // relevance computation at all, the cheapest scored query there is.
     "search_constant_score" -> ((s, dir) =>
@@ -5983,6 +5999,15 @@ object SparkEntry {
         |            b -> b > a AND b - a <= 5 AND len(list_filter(pp, p -> p > a AND p < b)) > 0)))), 0) AS n_spans
         |      FROM p)
         |SELECT doc_id, n_spans FROM n WHERE n_spans > 0 ORDER BY doc_id""".stripMargin,
+    "search_intervals_any" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'big' OR toks[i] = 'fast') AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table') AS pb
+        |      FROM t)
+        |SELECT doc_id FROM p
+        |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b > a AND b - a - 1 <= 3)) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
     "search_script_score" ->
       """SELECT doc_id, round(ln(1 + n_chars) * 1.5 + CAST(doc_id % 7 AS DOUBLE), 4) AS score
         |FROM documents WHERE text LIKE '%spark%'

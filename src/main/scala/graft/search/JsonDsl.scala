@@ -328,6 +328,26 @@ object JsonDsl {
     * msearch is just [[parse]] per body.) Returns one row per search:
     * (search ordinal, hit count), in request order.
     */
+  /** The `_validate/query?explain=true` API: compile-check a query body
+    * without executing it. Returns (valid, explanation-or-error): a valid
+    * query yields the compiled Catalyst predicate's description (the
+    * "rewritten query" of the real API), an invalid one the compile
+    * error. Nothing touches the data — validation is pure plan work.
+    */
+  def validate(
+      df: DataFrame,
+      body: String,
+      mapping: IndexMapping = IndexMapping.empty
+  ): (Boolean, String) =
+    try {
+      val root = mapper.readTree(body)
+      require(root != null && root.isObject, s"body must be a JSON object: $body")
+      val pred = Option(root.get("query")).map(q => compileQuery(df, q, mapping)).getOrElse(lit(true))
+      (true, pred.toString)
+    } catch {
+      case e: Exception => (false, String.valueOf(e.getMessage))
+    }
+
   /** The `_count` API: a query body evaluated for its hit count only —
     * no fetch phase, no sort, no source filtering; one filtered
     * count(*) aggregate whose predicate pushes into the scan.

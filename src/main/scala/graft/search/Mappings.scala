@@ -73,6 +73,35 @@ object IndexMapping {
     }.toMap)
   }
 
+  /** The `_field_caps` API: per-field capabilities derived from the
+    * frame's schema plus the declared mapping — (field, es_type,
+    * searchable, aggregatable). Undeclared fields take the dynamic
+    * default (string→keyword, timestamp/date→date, numerics→their own
+    * type); `text` fields are searchable but NOT aggregatable (no
+    * fielddata), everything else is both — OpenSearch's rule. The output
+    * is schema-sized (driver-scale), not data-sized.
+    */
+  def fieldCaps(df: org.apache.spark.sql.DataFrame, mapping: IndexMapping): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.schema.fields.toSeq
+      .map { f =>
+        val es = mapping.fields.getOrElse(
+          f.name,
+          f.dataType match {
+            case StringType               => "keyword"
+            case TimestampType | DateType => "date"
+            case dt: NumericType          => dt.simpleString
+            case _                        => "keyword"
+          }
+        )
+        (f.name, es, true, es != "text")
+      }
+      .sortBy(_._1)
+      .toDF("field", "es_type", "searchable", "aggregatable")
+  }
+
   /** Parse the OpenSearch `_mapping` body format the reference's TDD uses:
     * `{"properties": {"field": {"type": "text"}, ...}}` (a top-level
     * `{"mappings": {...}}` wrapper is accepted too).

@@ -77,6 +77,15 @@ class EntrySpec extends SparkSpec {
     // operator (bounded heaps), never collect-every-point-then-slice.
     val gl = SparkEntry.queries("search_geo_line")(spark, Sf).queryExecution.executedPlan.toString
     assert(gl.contains("TopKPerKey"), s"geo_line lost its bounded-heap cap:\n$gl")
+    // geohash_grid is one hash agg + bounded top-k: no window, no sort of
+    // the fact table (the base32 key is per-row expression work).
+    val gh = SparkEntry.queries("search_geohash_grid")(spark, Sf).queryExecution.executedPlan.toString
+    assert(gh.contains("TakeOrderedAndProject") && !gh.contains("Window"),
+      s"geohash_grid lost its agg+bounded-top-k shape:\n$gh")
+    // BQ candidate ranking is a bounded top-k over the code scan, and the
+    // final exact rescore joins only the candidate set.
+    val bq = SparkEntry.queries("ann_bq_topk")(spark, Sf).queryExecution.executedPlan.toString
+    assert(bq.contains("TakeOrderedAndProject"), s"BQ ranking is not bounded:\n$bq")
   }
 
   test("all queries execute and are non-empty at sf0.001") {

@@ -1011,4 +1011,32 @@ class JsonDslSpec extends SparkSpec {
     assert(bare.isText("x"))
     intercept[IllegalArgumentException](IndexMapping.fromJson("""{"nope": 1}"""))
   }
+
+  test("_validate compile-checks a body without touching data; _field_caps reports capabilities") {
+    // valid: returns the compiled predicate description (the API's
+    // "rewritten query"), and compiling ran zero Spark jobs
+    val (ok, explanation) = JsonDsl.validate(
+      cards,
+      """{"query": {"bool": {"must": [{"term": {"status": {"value": "ACTIVE"}}}],
+        |           "filter": [{"range": {"amount": {"gte": 100}}}]}}}""".stripMargin,
+      mapping
+    )
+    assert(ok, explanation)
+    assert(explanation.toLowerCase.contains("status"))
+    // malformed JSON and unknown clauses are invalid with a real message
+    assert(!JsonDsl.validate(cards, """{"query": {"bool": """)._1)
+    val (bad, err) = JsonDsl.validate(cards, """{"query": {"no_such_clause": {}}}""")
+    assert(!bad && err.nonEmpty)
+    // an empty body is match_all — valid
+    assert(JsonDsl.validate(cards, """{}""")._1)
+    // field_caps: text searchable but not aggregatable; keyword/numeric both
+    val capRows = IndexMapping.fieldCaps(cards, mapping)
+    assert(capRows.columns.toSeq == Seq("field", "es_type", "searchable", "aggregatable"))
+    val byField = capRows.as[(String, String, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(byField("text")._2 == "text" && byField("text")._3 && !byField("text")._4)
+    assert(byField("status")._2 == "keyword" && byField("status")._4)
+    assert(byField("amount")._2 == "double" && byField("amount")._4)
+    // undeclared numeric falls back to the schema-derived type
+    assert(byField("id")._2 == "bigint" && byField("id")._4)
+  }
 }
