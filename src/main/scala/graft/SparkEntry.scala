@@ -273,6 +273,19 @@ object SparkEntry {
       }
     )
 
+  /** The neighbor graph over yesterday's vectors (vec_id % 5 != 0 — the
+    * incremental entry's complement), built once per JVM: the durable
+    * adjacency a live tier grows with [[Similarity.addToGraph]].
+    */
+  private def cachedGraphBase(s: SparkSession, dir: String): Similarity.GraphIndex =
+    graphMemo.getOrElseUpdate(
+      s"base:$dir", {
+        val idx =
+          Similarity.graphIndex(Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding")
+        idx.copy(neighbors = Memo.parquet(s, s"graph-base:$dir")(idx.neighbors))
+      }
+    )
+
   private val ivfBaseMemo = scala.collection.concurrent.TrieMap[String, Similarity.IvfIndex]()
 
   /** The IVF index over yesterday's vectors (vec_id % 5 != 0 — the
@@ -2411,6 +2424,19 @@ object SparkEntry {
       Similarity
         .graphSearchBatch(cachedGraph(s, dir), emb, "vec_id", "embedding", emb.filter(col("vec_id") < 3), 10)
         .orderBy("probe_id", "rank")
+    }),
+    // NSW insert — graph maintenance without a rebuild: today's vectors
+    // (vec_id % 5 == 0) beam-search the memoized base graph for their m
+    // neighbors, link both directions, and only touched adjacency lists
+    // re-prune; the standard query (vec 0 IS a delta vector) then runs
+    // over the grown graph, proving new nodes are searchable. Entry-point
+    // and batch-internal-edge trades documented at Similarity.addToGraph;
+    // ReplicaSpec measures post-insert recall.
+    "ann_graph_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      val grown = Similarity.addToGraph(cachedGraphBase(s, dir), emb, "vec_id", "embedding", delta)
+      Similarity.graphSearch(grown, emb, "vec_id", "embedding", queryVec(s, dir, 0), 10)
     }),
     // Honest PQ build cost: the full encode (coarse assign + residual
     // codebook training + per-vector codes) runs on every call.

@@ -1314,6 +1314,46 @@ object Similarity {
       .orderBy(col("cos").desc, col("id").asc)
   }
 
+  /** Fold new vectors into the neighbor graph WITHOUT a rebuild — the
+    * NSW insert: each new node beam-searches the EXISTING graph for its
+    * m nearest neighbors ([[graphSearchBatch]] — delta-sized probe
+    * work), links forward AND reverse, and only the TOUCHED adjacency
+    * lists re-prune to their best m (untouched rows pass through an
+    * anti join; at deployment scale the neighbor table is bucketed by
+    * id, so probe reads and the touched-row rewrite stay bucket-local).
+    * Two documented trades, both standard for online graph indexes:
+    * entry points stay train-time (the IVF centroid-drift class), and
+    * batch-internal edges are not formed (new↔new links appear only via
+    * later re-pruning rounds or periodic rebuild) — ReplicaSpec measures
+    * the post-insert recall these trades actually cost.
+    */
+  def addToGraph(
+      index: GraphIndex,
+      existing: DataFrame,
+      idCol: String,
+      vecCol: String,
+      delta: DataFrame,
+      m: Int = 8,
+      beam: Int = 16,
+      rounds: Int = 3
+  ): GraphIndex = {
+    val found = graphSearchBatch(index, existing, idCol, vecCol, delta, k = m, beam, rounds)
+    val fwd = found.select(col("probe_id").as("id"), col("id").as("nbr"), col("cos"))
+    val rev = found.select(col("id"), col("probe_id").as("nbr"), col("cos"))
+    val newEdges = fwd.unionByName(rev)
+    val touched = newEdges.select("id").distinct()
+    val untouched = index.neighbors.join(touched, Seq("id"), "left_anti")
+    val pruned = graft.plans.TopKPerKey
+      .perKey(
+        index.neighbors.join(touched, Seq("id"), "left_semi").unionByName(newEdges),
+        Seq("id"),
+        Seq("cos" -> false, "nbr" -> true),
+        m
+      )
+      .select("id", "nbr", "cos")
+    index.copy(neighbors = untouched.unionByName(pruned))
+  }
+
   /** Batch beam search over the neighbor graph — the fully SET-BASED
     * form of [[graphSearch]]: the beam state is a (probe_id, id, cos)
     * frame (≤ probes×beam rows), every probe advances together, and

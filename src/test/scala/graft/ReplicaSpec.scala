@@ -468,6 +468,40 @@ class ReplicaSpec extends SparkSpec {
       .foreach { case (id, cos) => assert(all(id) == cos, s"stale graph score for vec $id") }
   }
 
+  test("graph insert: new nodes link both ways, degree cap holds, post-insert recall measured") {
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val delta = emb.filter($"vec_id" % 5 === 0)
+    val g0 = Similarity.graphIndex(base, "vec_id", "embedding")
+    val g1 = Similarity.addToGraph(g0, emb, "vec_id", "embedding", delta)
+    // every delta node has a forward adjacency list, appears as someone's
+    // neighbor (reverse links landed), and the m-cap survives re-pruning
+    val deltaIds = delta.select($"vec_id").as[Long].collect().toSet
+    val fwdIds = g1.neighbors.select("id").distinct().as[Long].collect().toSet
+    assert(deltaIds.subsetOf(fwdIds), s"missing forward lists: ${(deltaIds -- fwdIds).take(5)}")
+    val revTargets = g1.neighbors.select("nbr").distinct().as[Long].collect().toSet
+    assert(deltaIds.subsetOf(revTargets), s"missing reverse links: ${(deltaIds -- revTargets).take(5)}")
+    val maxDeg = g1.neighbors.groupBy("id").count().agg(max("count")).as[Long].head()
+    assert(maxDeg <= 8, s"insert broke the degree cap: $maxDeg")
+    // searching DELTA probes over the grown graph reaches their true
+    // neighborhood (vs brute force over the full union corpus)
+    val probes = Seq(0L, 5L, 100L, 495L)
+    val recalls = probes.map { pid =>
+      val q = emb.filter($"vec_id" === pid).select("embedding").head().getSeq[Float](0)
+      val truth =
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).select("vec_id").as[Long].collect().toSet
+      val got = Similarity
+        .graphSearch(g1, emb, "vec_id", "embedding", q, 10)
+        .select("id")
+        .as[Long]
+        .collect()
+        .toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    info(s"post-insert graph recall@10 (delta probes, no batch-internal edges): " +
+      s"per-probe ${recalls.mkString(", ")} (mean ${recalls.sum / recalls.size})")
+    assert(recalls.forall(_ >= 0.4), s"post-insert recall below the documented floor: $recalls")
+  }
+
   test("batch graph beam search: per-probe recall floor, exact scores, zero driver collects in-plan") {
     val idx = Similarity.graphIndex(emb, "vec_id", "embedding")
     val probeIds = Seq(0L, 7L, 21L)
