@@ -1035,6 +1035,35 @@ object SparkEntry {
         countDistinct(col("id")).as("n_docs")
       )
     }),
+    // The _explain API: per-hit score breakdown — each query term's BM25
+    // contribution as its own column next to the total, against the same
+    // posting artifact (OpenSearch's explain=true "description" tree,
+    // flattened to columns). Same plan family as search_bm25 plus one
+    // conditional-sum pivot.
+    "search_bm25_explain" -> ((s, dir) => {
+      val idx = cachedBm25(s, dir)
+      val qp = idx.postings.filter(col("term").isin("spark", "query"))
+      val dfreq = qp.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val contrib = qp
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(idx.corpus))
+        .select(
+          col("id"),
+          col("term"),
+          (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))).as("ts")
+        )
+      contrib
+        .groupBy(col("id"))
+        .agg(
+          round(sum(when(col("term") === "spark", col("ts")).otherwise(0.0)), 4).as("spark_score"),
+          round(sum(when(col("term") === "query", col("ts")).otherwise(0.0)), 4).as("query_score"),
+          round(sum(col("ts")), 4).as("score")
+        )
+        .orderBy(col("score").desc, col("id"))
+        .limit(10)
+    }),
     // Incremental index maintenance — the CDC loop's index half: today's
     // inserts (doc_id % 5 == 0) and deletes (% 11 == 2 of the base) fold
     // into the memoized posting artifact via applyDelta (delta-sized
@@ -4810,6 +4839,23 @@ object SparkEntry {
         |       CAST(sum(tf) AS BIGINT) AS total_tf,
         |       CAST(count(DISTINCT id) AS BIGINT) AS n_docs
         |FROM postings""".stripMargin,
+    "search_bm25_explain" ->
+      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
+        |                     len(string_split(lower(text), ' ')) AS dl
+        |              FROM documents),
+        |postings AS (SELECT id, dl, t.term, count(*) AS tf
+        |             FROM base, unnest(toks) AS t(term)
+        |             WHERE t.term IN ('spark', 'query') GROUP BY id, dl, t.term),
+        |docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+        |contrib AS (SELECT id, term,
+        |                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |                     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS ts
+        |            FROM postings JOIN docfreq USING (term) CROSS JOIN corpus)
+        |SELECT id, round(sum(CASE WHEN term = 'spark' THEN ts ELSE 0 END), 4) AS spark_score,
+        |       round(sum(CASE WHEN term = 'query' THEN ts ELSE 0 END), 4) AS query_score,
+        |       round(sum(ts), 4) AS score
+        |FROM contrib GROUP BY id ORDER BY score DESC, id LIMIT 10""".stripMargin,
     "search_bm25_incremental" ->
       """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
         |                     len(string_split(lower(text), ' ')) AS dl
