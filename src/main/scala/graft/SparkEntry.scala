@@ -302,6 +302,25 @@ object SparkEntry {
       }
     )
 
+  /** The geohash_grid oracle, shared by the structured and wire entries —
+    * the same integer pipeline as Aggs.geohash5 re-derived in DuckDB SQL:
+    * quantize hundredth-degree ints to 12/13 bits, interleave (lon bit k
+    * → weight 4^k, lat bit k → weight 2·4^k), base32.
+    */
+  private lazy val geohashGridOracleSql: String = {
+    def spread(c: String, bits: Int, mult: Long) =
+      (0 until bits).map(k => s"((($c // ${1L << k}) % 2) * ${mult * (1L << (2 * k))})").mkString(" + ")
+    val chars = (0 until 5)
+      .map(i => s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((n // ${1L << (5 * (4 - i))}) % 32) + 1 AS INT), 1)")
+      .mkString(" || ")
+    s"""WITH b AS (SELECT ((user_id * 1237) % 18000) AS la100, ((event_id * 91) % 36000) AS lo100 FROM events),
+       |c AS (SELECT ((la100 * 4096) // 18000) AS latb, ((lo100 * 8192) // 36000) AS lonb FROM b),
+       |nn AS (SELECT (${spread("lonb", 13, 1L)}) + (${spread("latb", 12, 2L)}) AS n FROM c),
+       |g AS (SELECT $chars AS geohash FROM nn)
+       |SELECT geohash, count(*) AS doc_count FROM g
+       |GROUP BY 1 ORDER BY doc_count DESC, geohash LIMIT 20""".stripMargin
+  }
+
   private val bqMemo = scala.collection.concurrent.TrieMap[String, Similarity.BqIndex]()
 
   /** Binary-quantization index for `dir`, built once per JVM (same
@@ -3821,6 +3840,49 @@ object SparkEntry {
         geoEvents(s, dir).select(struct(col("lat"), col("lon")).as("location")),
         """{"aggs": {"grid": {"geotile_grid": {"field": "location", "precision": 15, "size": 20}}}}"""
       )),
+    // geohash_grid from the wire format: same precision-5 integer
+    // encoder (Aggs.geohash5), struct field carrying the hundredth-
+    // degree grid — oracle shared with search_geohash_grid's shape.
+    "search_dsl_json_geohash" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables
+          .events(s, dir)
+          .select(
+            struct(
+              pmod(col("user_id") * 1237, lit(18000)).as("la100"),
+              pmod(col("event_id") * 91, lit(36000)).as("lo100")
+            ).as("position")
+          ),
+        """{"aggs": {"cells": {"geohash_grid": {"field": "position", "precision": 5, "size": 20}}}}"""
+      )),
+    // Sibling pipeline from the wire format: a date_histogram with a sum
+    // sub-agg feeding a stats_bucket sibling via buckets_path — the
+    // two-top-level-agg request shape OpenSearch uses for bucket stats.
+    "search_dsl_json_stats_bucket" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {
+          |  "monthly": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |              "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}}},
+          |  "rev_stats": {"stats_bucket": {"buckets_path": "monthly>revenue"}}
+          |}}""".stripMargin
+      )),
+    // span_or from the wire format: span_term OR span_near, compiled to
+    // one per-row predicate pass — oracle identical to search_span_or.
+    "search_dsl_json_span_or" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"span_or": {"clauses": [
+          |   {"span_term": {"text": {"value": "dup"}}},
+          |   {"span_near": {"clauses": [
+          |      {"span_term": {"text": {"value": "big"}}},
+          |      {"span_term": {"text": {"value": "data"}}}
+          |    ], "slop": 2, "in_order": true}}
+          | ]}},
+          | "sort": [{"doc_id": {"order": "asc"}}],
+          | "_source": ["doc_id"]}""".stripMargin,
+        docsMapping
+      )),
     "search_dsl_json_geo_centroid" -> ((s, dir) =>
       JsonDsl.parse(
         geoEvents(s, dir).select(struct(col("lat"), col("lon")).as("location")),
@@ -6231,22 +6293,26 @@ object SparkEntry {
     "search_scripted_metric" ->
       """SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS value
         |FROM lineitem""".stripMargin,
-    "search_geohash_grid" -> {
-      // Same integer pipeline as Aggs.geohash5, re-derived in DuckDB SQL:
-      // quantize hundredth-degree ints to 12/13 bits, interleave
-      // (lon bit k → weight 4^k, lat bit k → weight 2·4^k), base32.
-      def spread(c: String, bits: Int, mult: Long) =
-        (0 until bits).map(k => s"((($c // ${1L << k}) % 2) * ${mult * (1L << (2 * k))})").mkString(" + ")
-      val chars = (0 until 5)
-        .map(i => s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((n // ${1L << (5 * (4 - i))}) % 32) + 1 AS INT), 1)")
-        .mkString(" || ")
-      s"""WITH b AS (SELECT ((user_id * 1237) % 18000) AS la100, ((event_id * 91) % 36000) AS lo100 FROM events),
-         |c AS (SELECT ((la100 * 4096) // 18000) AS latb, ((lo100 * 8192) // 36000) AS lonb FROM b),
-         |nn AS (SELECT (${spread("lonb", 13, 1L)}) + (${spread("latb", 12, 2L)}) AS n FROM c),
-         |g AS (SELECT $chars AS geohash FROM nn)
-         |SELECT geohash, count(*) AS doc_count FROM g
-         |GROUP BY 1 ORDER BY doc_count DESC, geohash LIMIT 20""".stripMargin
-    },
+    "search_geohash_grid" -> geohashGridOracleSql,
+    "search_dsl_json_geohash" -> geohashGridOracleSql,
+    "search_dsl_json_stats_bucket" ->
+      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |                  round(sum(o_totalprice), 2) AS revenue
+        |           FROM orders GROUP BY 1)
+        |SELECT count(*) AS "count", round(min(revenue), 2) AS "min", round(max(revenue), 2) AS "max",
+        |       round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS "avg",
+        |       CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS "sum"
+        |FROM b""".stripMargin,
+    "search_dsl_json_span_or" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, toks,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'big') AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'data') AS pb
+        |      FROM t)
+        |SELECT doc_id FROM p
+        |WHERE list_contains(toks, 'dup')
+        |   OR len(list_filter(pa, a -> len(list_filter(pb, b -> b > a AND b - a <= 2)) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
     "search_stats_bucket" ->
       """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
         |                  round(sum(o_totalprice), 2) AS revenue

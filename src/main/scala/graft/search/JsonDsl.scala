@@ -884,13 +884,71 @@ object JsonDsl {
         val pb = positions(terms(1)._2.asText)
         if (inOrder) exists(pa, a => exists(pb, b => b > a && b - a <= slop))
         else exists(pa, a => exists(pb, b => b =!= a && abs(b - a) <= slop))
+      // span_term standalone: the term occurs as an analyzed token — the
+      // degenerate one-position span, composable under span_or.
+      case "span_term" =>
+        val (f, v) = fieldAndValue(body, "value")
+        array_contains(graft.functions.TextFns.tokens(col(f)), v.asText.toLowerCase)
+      // span_or: any sub-span matches — compile each clause (span_term /
+      // span_near / nested span_or) and OR the predicates; still one
+      // per-row pass, no per-clause scans.
+      case "span_or" =>
+        val cs = clauseList(body, "clauses")
+        require(cs.nonEmpty, "span_or needs at least one clause")
+        cs.map(c => compileQuery(df, c, mapping)).reduce(_ || _)
       case other => throw new IllegalArgumentException(s"unsupported query clause '$other'")
     }
   }
 
   // ── Aggregations ──────────────────────────────────────────────────────
 
+  private val siblingPipelineTypes = Set("stats_bucket", "avg_bucket", "min_bucket", "max_bucket", "sum_bucket")
+
   private def compileAggs(df: DataFrame, aggs: JsonNode, mapping: IndexMapping): DataFrame = {
+    // Sibling pipeline form: two top-level aggs where the second reads
+    // the first's buckets via buckets_path "<base>><metric>" — the
+    // stats_bucket/avg_bucket family. The bucket frame is the (tiny)
+    // intermediate; the sibling's one-row stats are the response.
+    if (aggs.isObject && aggs.size == 2) {
+      val names = aggs.fieldNames().asScala.toSeq
+      names.find { n =>
+        val v = aggs.get(n)
+        v.isObject && v.size >= 1 && siblingPipelineTypes(v.fieldNames().next())
+      } match {
+        case Some(sib) =>
+          val baseName = names.filterNot(_ == sib).head
+          val sibType = aggs.get(sib).fieldNames().next()
+          val spec = aggs.get(sib).get(sibType)
+          val path = req(spec, "buckets_path", s"sibling '$sib' ($sibType)").asText
+          val parts = path.split(">")
+          require(
+            parts.length == 2 && parts(0) == baseName,
+            s"sibling buckets_path must be '$baseName><metric>': $path"
+          )
+          val single = mapper.createObjectNode()
+          single.set[JsonNode](baseName, aggs.get(baseName))
+          val buckets = compileAggs(df, single, mapping)
+          val metric = if (parts(1) == "_count") col("doc_count") else col(parts(1))
+          require(
+            parts(1) == "_count" || buckets.columns.contains(parts(1)),
+            s"buckets_path metric '${parts(1)}' is not produced by '$baseName'"
+          )
+          return sibType match {
+            case "stats_bucket" =>
+              // order-proof: exact decimal sum, avg = sum/count (the
+              // bucket metrics are already 2dp-rounded)
+              buckets.agg(
+                count(lit(1)).as("count"),
+                round(min(metric), 2).as("min"),
+                round(max(metric), 2).as("max"),
+                round(sum(metric.cast("decimal(18,2)")).cast("double") / count(lit(1)), 6).as("avg"),
+                sum(metric.cast("decimal(18,2)")).cast("double").as("sum")
+              )
+            case _ => Aggs.bucketStats(buckets, metric)
+          }
+        case None => ()
+      }
+    }
     require(
       aggs.isObject && aggs.size == 1,
       s"exactly one top-level aggregation is supported per request, got: $aggs"
@@ -1067,6 +1125,17 @@ object JsonDsl {
           .map(_.elements().asScala.toSeq.map(_.asDouble))
           .getOrElse(Seq(50.0, 90.0, 99.0))
         Aggs.percentiles(df, field, ps.map(p => percentileName(p) -> p / 100.0))
+      case "geohash_grid" =>
+        // Precision-5 geohash density cells over a struct field carrying
+        // the integer hundredth-degree grid (la100/lo100) every geo
+        // entry derives; Aggs.geohash5 is the shared encoder.
+        val f = req(body, "field", "geohash_grid").asText
+        val size = Option(body.get("size")).map(_.asInt).getOrElse(20)
+        df.groupBy(
+          Aggs.geohash5(col(f).getField("la100"), col(f).getField("lo100")).as("geohash")
+        ).agg(count(lit(1)).as("doc_count"))
+          .orderBy(col("doc_count").desc, col("geohash"))
+          .limit(size)
       case "geotile_grid" =>
         // Degree-grid density cells over a struct geo field (precision =
         // cell size in degrees here; OpenSearch's zoom levels are a
