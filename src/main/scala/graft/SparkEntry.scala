@@ -720,6 +720,31 @@ object SparkEntry {
           | "_source": ["o_orderkey", "o_orderdate", "o_totalprice"]}""".stripMargin,
         page = 2
       )),
+    // Sliced scroll: slice 1-of-4 partitions the scroll into independent
+    // parallel streams (id-modulo on the primary sort key — OpenSearch's
+    // _id-hash slicing with integer ids); page 1 proves the cursor walks
+    // WITHIN the slice.
+    "search_dsl_json_scroll_sliced" -> ((s, dir) =>
+      JsonDsl.scroll(
+        Tables.documents(s, dir),
+        """{"sort": [{"doc_id": "asc"}],
+          | "size": 20,
+          | "slice": {"id": 1, "max": 4},
+          | "_source": ["doc_id", "lang", "n_chars"]}""".stripMargin,
+        page = 1
+      )),
+    // Query-time synonym expansion (the synonym_graph filter's query-time
+    // form): 'join' expands to {join, merge} via the mapping's declared
+    // dictionary — the match clause compiles the expanded term set in the
+    // same single pass.
+    "search_dsl_json_synonyms" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"match": {"text": "join"}},
+          | "sort": [{"doc_id": {"order": "asc"}}],
+          | "_source": ["doc_id"]}""".stripMargin,
+        docsMapping.withSynonyms(Map("join" -> Seq("merge")))
+      )),
     // regexp query: anchored whole-value match on a keyword field.
     "search_dsl_json_regexp" -> ((s, dir) =>
       JsonDsl.parse(
@@ -3424,6 +3449,18 @@ object SparkEntry {
         .filter(expr("exists(_pa, a -> exists(_pb, b -> b > a))"))
         .select("doc_id")
         .orderBy("doc_id")),
+    // children aggregation: parent buckets with child-doc metrics — the
+    // has_child query family's aggregation face (orders parent lineitem
+    // via the order key, the reference's one real parent/child pair).
+    // Join + hash agg with map-side partials; the colocated q-entries
+    // show the zero-exchange layout for this exact join at scale.
+    "search_children_agg" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority").as("key"))
+        .agg(count(lit(1)).as("child_count"), sum(col("l_quantity")).as("total_qty"))
+        .orderBy("key")),
     // span_or: match if ANY sub-span matches — a rare term OR an ordered
     // near-pair. Same per-row HOF shape as span_near; the disjunction is
     // a boolean OR of the two whole-row span predicates.
@@ -6303,6 +6340,18 @@ object SparkEntry {
         |       round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS "avg",
         |       CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS "sum"
         |FROM b""".stripMargin,
+    "search_dsl_json_scroll_sliced" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 4 = 1 ORDER BY doc_id LIMIT 20 OFFSET 20""".stripMargin,
+    "search_dsl_json_synonyms" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'join')
+        |   OR list_contains(string_split(lower(text), ' '), 'merge')
+        |ORDER BY doc_id""".stripMargin,
+    "search_children_agg" ->
+      """SELECT o_orderpriority AS key, count(*) AS child_count, sum(l_quantity) AS total_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "search_dsl_json_span_or" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         |p AS (SELECT doc_id, toks,

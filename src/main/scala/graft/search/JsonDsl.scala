@@ -431,9 +431,21 @@ object JsonDsl {
     require(root != null && root.isObject, s"request body must be a JSON object: $body")
     val specs = sortSpecs(req(root, "sort", "scroll"))
     req(root, "size", "scroll")
+    // Sliced scroll: {"slice": {"id": i, "max": n}} partitions the scroll
+    // into n independent streams readable in parallel. OpenSearch slices
+    // on the _id hash; with integer ids the transparent equivalent is
+    // id-modulo on the primary sort field — deterministic, disjoint,
+    // exhaustive, and reproducible by the SQL oracle.
+    val sliced = Option(root.get("slice")).fold(df) { sl =>
+      val sid = req(sl, "id", "slice").asInt
+      val smax = req(sl, "max", "slice").asInt
+      require(smax > 0 && sid >= 0 && sid < smax, s"slice needs 0 <= id < max: $sl")
+      df.filter(pmod(col(specs.head._1), lit(smax)) === lit(sid))
+    }
     var cursor: Option[Seq[Any]] = None
     def bodyFor(cur: Option[Seq[Any]], keepSource: Boolean): String = {
       val b = root.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+      b.remove("slice")
       if (!keepSource) b.remove("_source")
       cur.foreach { vals =>
         val arr = b.putArray("search_after")
@@ -451,12 +463,12 @@ object JsonDsl {
       mapper.writeValueAsString(b)
     }
     for (p <- 0 until page) {
-      val rows = parse(df, bodyFor(cursor, keepSource = false), mapping).collect()
+      val rows = parse(sliced, bodyFor(cursor, keepSource = false), mapping).collect()
       require(rows.nonEmpty, s"scroll exhausted at page $p")
       val last = rows.last
       cursor = Some(specs.map { case (f, _) => last.getAs[Any](f) })
     }
-    parse(df, bodyFor(cursor, keepSource = true), mapping)
+    parse(sliced, bodyFor(cursor, keepSource = true), mapping)
   }
 
   /** Percolate registry over JSON request bodies: each stored query's
@@ -697,7 +709,10 @@ object JsonDsl {
       case "match" =>
         val (f, v) = fieldAndValue(body, "query")
         if (mapping.isText(f))
-          SearchDsl.matchScore(col(f), v.asText.toLowerCase.split("\\s+").toSeq) > 0
+          SearchDsl.matchScore(
+            col(f),
+            v.asText.toLowerCase.split("\\s+").toSeq.flatMap(mapping.expand).distinct
+          ) > 0
         else col(keywordField(df, f)) === lit(scalarValue(v))
       case "match_phrase" =>
         val (f, v) = fieldAndValue(body, "query")

@@ -15,7 +15,7 @@ import scala.jdk.CollectionConverters._
   * [[JsonDsl]]; everything stays a declarative Catalyst predicate either
   * way, so pushdown is unaffected.
   */
-final case class IndexMapping(fields: Map[String, String]) {
+final case class IndexMapping(fields: Map[String, String], synonyms: Map[String, Seq[String]] = Map.empty) {
 
   /** OpenSearch's dynamic-mapping default for strings is keyword-with-
     * text-subfield; exact is the safe default for undeclared fields.
@@ -23,6 +23,18 @@ final case class IndexMapping(fields: Map[String, String]) {
   def fieldType(name: String): String = fields.getOrElse(name, "keyword")
 
   def isText(name: String): Boolean = fieldType(name) == "text"
+
+  /** Declare query-time synonym expansion (the synonym_graph token
+    * filter in its query-time form — the recommended OpenSearch setup,
+    * since index-time synonyms bake the dictionary into the postings).
+    * A query term expands to itself plus its declared synonyms; the
+    * dictionary is one-directional, matching the `term => syn1, syn2`
+    * rule format.
+    */
+  def withSynonyms(dict: Map[String, Seq[String]]): IndexMapping = copy(synonyms = dict)
+
+  /** A query term plus its declared synonyms (identity if undeclared). */
+  def expand(term: String): Seq[String] = term +: synonyms.getOrElse(term, Nil)
 }
 
 object IndexMapping {
