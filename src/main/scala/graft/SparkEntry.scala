@@ -124,6 +124,18 @@ object SparkEntry {
       }
     )
 
+  /** The PQ index over yesterday's vectors (vec_id % 5 != 0), built once
+    * per JVM: the durable codes+codebooks artifact a live tier grows with
+    * [[Similarity.addToPq]] instead of retraining.
+    */
+  private def cachedPqBase(s: SparkSession, dir: String): Similarity.PqIndex =
+    pqMemo.getOrElseUpdate(
+      s"base:$dir", {
+        val idx = Similarity.pqIndex(Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding")
+        idx.copy(codes = Memo.parquet(s, s"pq-base:$dir")(idx.codes))
+      }
+    )
+
   private val opqMemo = scala.collection.concurrent.TrieMap[String, Similarity.PqIndex]()
 
   /** OPQ-rotated PQ index for `dir`, built once per JVM (same contract as
@@ -2497,6 +2509,17 @@ object SparkEntry {
       Similarity
         .graphSearchBatch(cachedGraph(s, dir), emb, "vec_id", "embedding", emb.filter(col("vec_id") < 3), 10)
         .orderBy("probe_id", "rank")
+    }),
+    // PQ maintenance without retrain — the quantized-index add(): the
+    // delta encodes against the FROZEN centroids+codebooks in one
+    // delta-sized scan and unions into the memoized code table; the
+    // standard query then runs the ADC path over the grown index.
+    // Codebook drift documented at Similarity.addToPq; SimilaritySpec
+    // re-derives every delta code first-principles.
+    "ann_pq_incremental" -> ((s, dir) => {
+      val delta = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+      val grown = Similarity.addToPq(cachedPqBase(s, dir), delta, "vec_id", "embedding")
+      Similarity.scoreAgainstPq(grown, "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 4)
     }),
     // NSW insert — graph maintenance without a rebuild: today's vectors
     // (vec_id % 5 == 0) beam-search the memoized base graph for their m

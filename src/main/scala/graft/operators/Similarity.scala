@@ -1114,6 +1114,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** Fold new vectors into a PQ index WITHOUT retraining: encode the
+    * delta against the FROZEN coarse centroids + codebooks (+ OPQ
+    * rotation if present) in one delta-sized scan and union the code
+    * table — the faiss add() contract for quantized indexes, completing
+    * the add() family (BM25 / MinHash / IVF / graph / PQ). Documented
+    * trade: codebooks reflect train-time residual statistics, so
+    * quantization error for the delta grows only as the distribution
+    * shifts (periodic retrain is the remedy). SimilaritySpec asserts the
+    * folded codes equal a from-scratch re-encode and that ADC search
+    * finds delta vectors.
+    */
+  def addToPq(index: PqIndex, delta: DataFrame, idCol: String, vecCol: String): PqIndex = {
+    val enc = encodeUdf(index.centroids, index.codebooks, index.rotation)
+    val newCodes = graft.Tables
+      .ensureParallelism(delta.select(col(idCol), col(vecCol)))
+      .select(col(idCol), enc(col(vecCol)).as("pq"))
+      .select(col(idCol), col("pq.cell").as("cell"), col("pq.code").as("code"))
+    val newBase = delta.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull)
+    index.copy(codes = index.codes.unionByName(newCodes), base = index.base.unionByName(newBase))
+  }
+
   /** Score a query against the PQ index by asymmetric distance (ADC):
     * per probed cell, a (m × ksub) lookup table of squared distances
     * between the query's residual subvectors and the codebook entries is

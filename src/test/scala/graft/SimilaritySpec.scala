@@ -139,6 +139,55 @@ class SimilaritySpec extends SparkSpec {
     assert(got.contains(5L), s"delta vector not searchable after fold: ${got.toSeq}")
   }
 
+  test("addToPq folds a delta with frozen codebooks: codes verified first-principles, ADC search reaches delta") {
+    val emb = Tables.embeddings(spark, Sf)
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val delta = emb.filter($"vec_id" % 5 === 0)
+    val idx = Similarity.pqIndex(base, "vec_id", "embedding")
+    val folded = Similarity.addToPq(idx, delta, "vec_id", "embedding")
+    assert(folded.codes.count() == emb.count())
+    assert((folded.centroids eq idx.centroids) && (folded.codebooks eq idx.codebooks))
+    // every delta code re-derived from scratch here: nearest coarse cell,
+    // then per-subspace argmin against the frozen codebooks
+    val deltaCodes = folded.codes
+      .join(delta.select($"vec_id"), "vec_id")
+      .join(delta.select($"vec_id", $"embedding"), "vec_id")
+      .select($"vec_id", $"embedding", $"cell", $"code")
+      .as[(Long, Seq[Float], Int, Seq[Int])]
+      .collect()
+    assert(deltaCodes.nonEmpty)
+    val m = idx.codebooks.length
+    deltaCodes.foreach { case (id, v, cell, code) =>
+      val dists = idx.centroids.map { c =>
+        var d = 0.0; var j = 0
+        while (j < c.length) { val t = v(j).toDouble - c(j).toDouble; d += t * t; j += 1 }
+        d
+      }
+      val bestCell = dists.indices.minBy(i => (dists(i), i))
+      assert(cell == bestCell, s"vec $id coarse cell $cell != nearest $bestCell")
+      val cvec = idx.centroids(cell)
+      val res = Array.tabulate(v.length)(j => v(j) - (if (j < cvec.length) cvec(j) else 0f))
+      val dsub = v.length / m
+      (0 until m).foreach { mi =>
+        val book = idx.codebooks(mi)
+        val best = book.indices.minBy { k =>
+          var d = 0.0; var j = 0
+          while (j < dsub) { val t = res(mi * dsub + j).toDouble - book(k)(j).toDouble; d += t * t; j += 1 }
+          (d, k)
+        }
+        assert(code(mi) == best, s"vec $id subspace $mi code ${code(mi)} != argmin $best")
+      }
+    }
+    // the grown index serves delta probes through the ADC path
+    val q = emb.filter($"vec_id" === 5).select("embedding").head().getSeq[Float](0)
+    val got = Similarity
+      .scoreAgainstPq(folded, "vec_id", "embedding", q, 10, nProbe = 4)
+      .select("vec_id")
+      .as[Long]
+      .collect()
+    assert(got.contains(5L), s"delta vector not searchable after fold: ${got.toSeq}")
+  }
+
   test("saltedJoin equals plain join, spreading hot keys") {
     import graft.operators.Skew
     val fact = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d")).toDF("k", "v")
