@@ -285,6 +285,22 @@ object SparkEntry {
       }
     )
 
+  private val graph2Memo = scala.collection.concurrent.TrieMap[String, Similarity.Graph2Index]()
+
+  /** The two-layer graph for `dir`, built once per JVM: both layers'
+    * adjacency tables parquet-spilled, entry points driver metadata.
+    */
+  private def cachedGraph2(s: SparkSession, dir: String): Similarity.Graph2Index =
+    graph2Memo.getOrElseUpdate(
+      dir, {
+        val idx = Similarity.graphIndex2(Tables.embeddings(s, dir), "vec_id", "embedding")
+        Similarity.Graph2Index(
+          top = idx.top.copy(neighbors = Memo.parquet(s, s"graph2-top:$dir")(idx.top.neighbors)),
+          bottom = idx.bottom.copy(neighbors = Memo.parquet(s, s"graph2-bot:$dir")(idx.bottom.neighbors))
+        )
+      }
+    )
+
   /** The neighbor graph over yesterday's vectors (vec_id % 5 != 0 — the
     * incremental entry's complement), built once per JVM: the durable
     * adjacency a live tier grows with [[Similarity.addToGraph]].
@@ -2510,6 +2526,29 @@ object SparkEntry {
         .graphSearchBatch(cachedGraph(s, dir), emb, "vec_id", "embedding", emb.filter(col("vec_id") < 3), 10)
         .orderBy("probe_id", "rank")
     }),
+    // Two-layer graph descent (HNSW's hierarchy, Spark-shaped): honest
+    // top-layer build cost — the ~1/8 id-hash sample's own neighbor
+    // table — reported like every *_build row (the bottom layer's cost
+    // is ann_graph_build).
+    "ann_graph_hier_build" -> ((s, dir) =>
+      Similarity
+        .graphIndex(
+          Tables.embeddings(s, dir).filter(pmod(hash(col("vec_id")), lit(8)) === 0),
+          "vec_id",
+          "embedding"
+        )
+        .neighbors
+        .groupBy("id")
+        .agg(count(lit(1)).as("degree"))
+        .groupBy("degree")
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")),
+    // Descend: brief top-layer beam picks warm entry points, bottom runs
+    // the standard fixed-round search from them — fewer bottom rounds
+    // (2 vs 3) at equal-or-better recall (ReplicaSpec measures the A/B).
+    "ann_graph_hier_topk" -> ((s, dir) =>
+      Similarity
+        .graphSearch2(cachedGraph2(s, dir), Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10)),
     // PQ maintenance without retrain — the quantized-index add(): the
     // delta encodes against the FROZEN centroids+codebooks in one
     // delta-sized scan and unions into the memoized code table; the

@@ -1335,6 +1335,56 @@ object Similarity {
       .orderBy(col("cos").desc, col("id").asc)
   }
 
+  /** A two-layer neighbor graph — HNSW's hierarchy cut to its Spark-
+    * shaped essence: a deterministic ~1/`topFraction` id-hash sample
+    * forms the TOP layer with its own (small) neighbor table; the bottom
+    * layer is the full corpus graph. Search descends: a short beam pass
+    * over the top layer picks entry points CLOSE to the query, so the
+    * bottom pass starts warm instead of from fixed train-time seeds —
+    * the same recall at fewer bottom rounds, or more recall at the same
+    * rounds (measured in ReplicaSpec). Both layers are the existing
+    * bounded-iteration [[GraphIndex]] machinery; no new execution shape.
+    */
+  final case class Graph2Index(top: GraphIndex, bottom: GraphIndex)
+
+  def graphIndex2(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      nLists: Int = 16,
+      topFraction: Int = 8
+  ): Graph2Index = {
+    val topNodes = emb.filter(pmod(hash(col(idCol)), lit(topFraction)) === 0)
+    Graph2Index(graphIndex(topNodes, idCol, vecCol, m, nLists), graphIndex(emb, idCol, vecCol, m, nLists))
+  }
+
+  /** Descend the two-layer graph: beam the top layer briefly, hand its
+    * beam (a bounded O(beam) id list — the entry-point metadata class)
+    * to the bottom layer as entry points, then run the standard bounded
+    * beam search. Emitted scores exact, rounds fixed — the whole-query
+    * job count is still known before it runs.
+    */
+  def graphSearch2(
+      index: Graph2Index,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      beam: Int = 16,
+      topRounds: Int = 2,
+      rounds: Int = 2
+  ): DataFrame = {
+    val seeds = graphSearch(index.top, emb, idCol, vecCol, query, k = beam, beam, topRounds)
+      .select(col("id"))
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+    val entry = if (seeds.nonEmpty) seeds else index.bottom.entryPoints
+    graphSearch(index.bottom.copy(entryPoints = entry), emb, idCol, vecCol, query, k, beam, rounds)
+  }
+
   /** Fold new vectors into the neighbor graph WITHOUT a rebuild — the
     * NSW insert: each new node beam-searches the EXISTING graph for its
     * m nearest neighbors ([[graphSearchBatch]] — delta-sized probe

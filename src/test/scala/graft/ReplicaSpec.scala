@@ -468,6 +468,38 @@ class ReplicaSpec extends SparkSpec {
       .foreach { case (id, cos) => assert(all(id) == cos, s"stale graph score for vec $id") }
   }
 
+  test("two-layer graph descent: warm entry points, recall at 2 bottom rounds vs single-layer A/B") {
+    val idx2 = Similarity.graphIndex2(emb, "vec_id", "embedding")
+    // the top layer is a strict deterministic subset of the corpus
+    val topIds = idx2.top.neighbors.select("id").distinct().as[Long].collect().toSet
+    val allIds = emb.select($"vec_id").as[Long].collect().toSet
+    assert(topIds.subsetOf(allIds) && topIds.size < allIds.size / 4, s"top layer not a sparse subset: ${topIds.size}")
+    val probes = Seq(0L, 7L, 21L, 100L, 499L)
+    def recallOf(search: Seq[Float] => Set[Long]): Seq[Double] = probes.map { pid =>
+      val q = emb.filter($"vec_id" === pid).select("embedding").head().getSeq[Float](0)
+      val truth =
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).select("vec_id").as[Long].collect().toSet
+      truth.intersect(search(q)).size.toDouble / truth.size
+    }
+    val hier = recallOf(q =>
+      Similarity.graphSearch2(idx2, emb, "vec_id", "embedding", q, 10).select("id").as[Long].collect().toSet
+    )
+    // A/B: single layer at the SAME bottom budget (2 rounds, train-time
+    // entry points) — the hierarchy's warm start is what's under test
+    val flat = recallOf(q =>
+      Similarity
+        .graphSearch(idx2.bottom, emb, "vec_id", "embedding", q, 10, rounds = 2)
+        .select("id")
+        .as[Long]
+        .collect()
+        .toSet
+    )
+    info(s"two-layer recall@10 (2 top + 2 bottom rounds): ${hier.mkString(", ")} (mean ${hier.sum / hier.size}); " +
+      s"single-layer at 2 rounds: ${flat.mkString(", ")} (mean ${flat.sum / flat.size})")
+    assert(hier.forall(_ >= 0.5), s"two-layer recall below the single-layer floor: $hier")
+    assert(hier.sum >= flat.sum - 0.101, s"hierarchy made recall meaningfully worse: hier=$hier flat=$flat")
+  }
+
   test("graph insert: new nodes link both ways, degree cap holds, post-insert recall measured") {
     val base = emb.filter($"vec_id" % 5 =!= 0)
     val delta = emb.filter($"vec_id" % 5 === 0)
