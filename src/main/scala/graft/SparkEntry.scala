@@ -773,6 +773,22 @@ object SparkEntry {
           | "_source": ["doc_id"]}""".stripMargin,
         docsMapping.withSynonyms(Map("join" -> Seq("merge")))
       )),
+    // INDEX-time synonyms — the other synonym_graph mode: every 'merge'
+    // token also indexes a 'join' token (keyword_repeat-style injection
+    // at analysis time), so a plain 'join' query matches both. Same
+    // answer as the query-time entry via the opposite mechanism — the
+    // two entries share one oracle, cross-validating the modes.
+    "search_match_synonyms_index" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          expr("concat(_toks, transform(filter(_toks, t -> t = 'merge'), t -> 'join'))").as("_indexed")
+        )
+        .filter(array_contains(col("_indexed"), "join"))
+        .select("doc_id")
+        .orderBy("doc_id")),
     // regexp query: anchored whole-value match on a keyword field.
     "search_dsl_json_regexp" -> ((s, dir) =>
       JsonDsl.parse(
@@ -6406,6 +6422,12 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 4 = 1 ORDER BY doc_id LIMIT 20 OFFSET 20""".stripMargin,
     "search_dsl_json_synonyms" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'join')
+        |   OR list_contains(string_split(lower(text), ' '), 'merge')
+        |ORDER BY doc_id""".stripMargin,
+    // index-time mode, same answer by the opposite mechanism
+    "search_match_synonyms_index" ->
       """SELECT doc_id FROM documents
         |WHERE list_contains(string_split(lower(text), ' '), 'join')
         |   OR list_contains(string_split(lower(text), ' '), 'merge')

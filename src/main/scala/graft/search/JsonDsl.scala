@@ -57,7 +57,21 @@ object JsonDsl {
     * either the (single) `aggs` aggregation or the sort/size/_source hits
     * shaping.
     */
-  def parse(df: DataFrame, body: String, mapping: IndexMapping = IndexMapping.empty): DataFrame = {
+  /** Execute a search request body. Every request-shaped failure —
+    * malformed JSON, unknown clauses, wrong value shapes, AND fields
+    * that don't exist in the frame's schema (Spark's analysis error,
+    * translated) — surfaces as IllegalArgumentException: the single
+    * error class the `_validate` path and callers rely on, the 400
+    * response of the wire protocol.
+    */
+  def parse(df: DataFrame, body: String, mapping: IndexMapping = IndexMapping.empty): DataFrame =
+    try parseImpl(df, body, mapping)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(s"request references unknown schema elements: ${e.getMessage}", e)
+    }
+
+  private def parseImpl(df: DataFrame, body: String, mapping: IndexMapping): DataFrame = {
     val root =
       try mapper.readTree(body)
       catch {
