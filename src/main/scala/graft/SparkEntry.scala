@@ -301,15 +301,16 @@ object SparkEntry {
       }
     )
 
-  /** The neighbor graph over yesterday's vectors (vec_id % 5 != 0 — the
-    * incremental entry's complement), built once per JVM: the durable
+  /** The neighbor graph over yesterday's vectors (vec_id % 50 != 0 — the
+    * incremental entry's complement; the delta is 2% of the corpus, the
+    * realistic daily-insert fraction), built once per JVM: the durable
     * adjacency a live tier grows with [[Similarity.addToGraph]].
     */
   private def cachedGraphBase(s: SparkSession, dir: String): Similarity.GraphIndex =
     graphMemo.getOrElseUpdate(
       s"base:$dir", {
         val idx =
-          Similarity.graphIndex(Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding")
+          Similarity.graphIndex(Tables.embeddings(s, dir).filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding")
         idx.copy(neighbors = Memo.parquet(s, s"graph-base:$dir")(idx.neighbors))
       }
     )
@@ -772,6 +773,20 @@ object SparkEntry {
           | "sort": [{"doc_id": {"order": "asc"}}],
           | "_source": ["doc_id"]}""".stripMargin,
         docsMapping.withSynonyms(Map("join" -> Seq("merge")))
+      )),
+    // runtime_mappings: a computed field declared in the request body,
+    // used by the range filter like a stored field — the script's
+    // arithmetic compiles to a codegen'd expression (ScriptExpr), so the
+    // runtime field costs one projection, not per-hit interpretation.
+    "search_dsl_json_runtime_field" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"runtime_mappings": {"verbosity": {"type": "double",
+          |                                    "script": "ln(doc.n_chars) * 2 + n_chars / 100"}},
+          | "query": {"range": {"verbosity": {"gte": 14}}},
+          | "sort": [{"doc_id": {"order": "asc"}}],
+          | "_source": ["doc_id", "n_chars"]}""".stripMargin,
+        docsMapping
       )),
     // INDEX-time synonyms — the other synonym_graph mode: every 'merge'
     // token also indexes a 'join' token (keyword_repeat-style injection
@@ -2577,7 +2592,7 @@ object SparkEntry {
       Similarity.scoreAgainstPq(grown, "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 4)
     }),
     // NSW insert — graph maintenance without a rebuild: today's vectors
-    // (vec_id % 5 == 0) beam-search the memoized base graph for their m
+    // (vec_id % 50 == 0 — a 2% daily delta) beam-search the base graph for their m
     // neighbors, link both directions, and only touched adjacency lists
     // re-prune; the standard query (vec 0 IS a delta vector) then runs
     // over the grown graph, proving new nodes are searchable. Entry-point
@@ -2585,7 +2600,7 @@ object SparkEntry {
     // ReplicaSpec measures post-insert recall.
     "ann_graph_incremental" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val delta = emb.filter(col("vec_id") % 5 === 0)
+      val delta = emb.filter(col("vec_id") % 50 === 0)
       val grown = Similarity.addToGraph(cachedGraphBase(s, dir), emb, "vec_id", "embedding", delta)
       Similarity.graphSearch(grown, emb, "vec_id", "embedding", queryVec(s, dir, 0), 10)
     }),
@@ -2939,7 +2954,10 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), explode(TextFns.tokens(col("text"))).as("term"))
       val isTgt = when(col("lang") === "en", 1L).otherwise(0L)
       val tf = toks.groupBy("term").agg(count(lit(1)).as("cr"), sum(isTgt).as("ct"))
-      val tot = toks.agg(count(lit(1)).as("nr"), sum(isTgt).as("nt"), countDistinct("term").as("v"))
+      // Totals derive from the term table (Σcr, Σct, row count) — the
+      // corpus is scanned once for tf and once for the per-doc join, not
+      // a third time for totals.
+      val tot = tf.agg(sum("cr").as("nr"), sum("ct").as("nt"), count(lit(1)).as("v"))
       toks
         .join(tf, "term")
         .crossJoin(broadcast(tot))
@@ -6425,6 +6443,10 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE list_contains(string_split(lower(text), ' '), 'join')
         |   OR list_contains(string_split(lower(text), ' '), 'merge')
+        |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_runtime_field" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE ln(n_chars) * 2 + n_chars / 100 >= 14
         |ORDER BY doc_id""".stripMargin,
     // index-time mode, same answer by the opposite mechanism
     "search_match_synonyms_index" ->

@@ -65,11 +65,30 @@ object JsonDsl {
     * response of the wire protocol.
     */
   def parse(df: DataFrame, body: String, mapping: IndexMapping = IndexMapping.empty): DataFrame =
-    try parseImpl(df, body, mapping)
+    try parseImpl(withRuntimeFields(df, body), body, mapping)
     catch {
       case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalArgumentException(s"request references unknown schema elements: ${e.getMessage}", e)
     }
+
+  /** `runtime_mappings`: computed fields declared in the request and
+    * usable anywhere a stored field is (query, sort, _source). The
+    * script's arithmetic subset compiles to a codegen'd expression
+    * ([[ScriptExpr]]), so a runtime field costs one projection — no
+    * per-hit interpretation. Malformed JSON falls through untouched:
+    * parseImpl owns that diagnosis.
+    */
+  private def withRuntimeFields(df: DataFrame, body: String): DataFrame = {
+    val root = try mapper.readTree(body) catch { case _: Exception => return df }
+    if (root == null || !root.isObject) return df
+    Option(root.get("runtime_mappings")).fold(df) { rm =>
+      require(rm.isObject, s"runtime_mappings must be an object: $rm")
+      rm.fields().asScala.foldLeft(df) { (acc, e) =>
+        val script = req(e.getValue, "script", s"runtime field '${e.getKey}'").asText
+        acc.withColumn(e.getKey, ScriptExpr.compile(script))
+      }
+    }
+  }
 
   private def parseImpl(df: DataFrame, body: String, mapping: IndexMapping): DataFrame = {
     val root =
@@ -80,7 +99,18 @@ object JsonDsl {
       }
     require(root != null && root.isObject, s"request body must be a JSON object: $body")
     val known =
-      Set("query", "aggs", "aggregations", "sort", "size", "_source", "search_after", "highlight", "collapse")
+      Set(
+        "query",
+        "aggs",
+        "aggregations",
+        "sort",
+        "size",
+        "_source",
+        "search_after",
+        "highlight",
+        "collapse",
+        "runtime_mappings"
+      )
     root.fieldNames().asScala.foreach(n => require(known(n), s"unsupported request element '$n'"))
     // The knn query (the OpenSearch vector-search plugin's clause) is a
     // top-k ranking, not a predicate: score the frame, order by _score

@@ -1012,6 +1012,36 @@ class JsonDslSpec extends SparkSpec {
     intercept[IllegalArgumentException](IndexMapping.fromJson("""{"nope": 1}"""))
   }
 
+  test("runtime-field scripts: precedence, parens, unary minus, doc. refs, error contract") {
+    import graft.search.ScriptExpr
+    val df = Seq((4.0, 2.0)).toDF("a", "b")
+    def eval(src: String): Double =
+      df.select(ScriptExpr.compile(src).cast("double").as("v")).as[Double].head()
+    assert(eval("a + b * 3") == 10.0) // precedence: * binds tighter
+    assert(eval("(a + b) * 3") == 18.0)
+    assert(eval("doc.a - -b") == 6.0) // doc. prefix + unary minus
+    assert(eval("a / b / 2") == 1.0) // left-assoc
+    assert(eval("abs(b - a) * 2 + 1") == 5.0)
+    assert(math.abs(eval("ln(a)") - math.log(4.0)) < 1e-12)
+    assert(eval("-2.5 * b") == -5.0)
+    for (bad <- Seq("a +", "ln a", "(a", "a ** b", "2..5", "@a", ""))
+      intercept[IllegalArgumentException](ScriptExpr.compile(bad) :: Nil)
+    // wired through the request body: the runtime field filters and sorts
+    val out = JsonDsl
+      .parse(
+        cards,
+        """{"runtime_mappings": {"pct": {"type": "double", "script": "amount / 100"}},
+          | "query": {"range": {"pct": {"gte": 9}}},
+          | "sort": [{"pct": {"order": "desc"}}],
+          | "_source": ["id", "pct"]}""".stripMargin,
+        mapping
+      )
+      .as[(Long, Double)]
+      .collect()
+      .toSeq
+    assert(out == Seq((5L, 20.0), (2L, 15.0), (3L, 9.0)))
+  }
+
   test("_validate compile-checks a body without touching data; _field_caps reports capabilities") {
     // valid: returns the compiled predicate description (the API's
     // "rewritten query"), and compiling ran zero Spark jobs
