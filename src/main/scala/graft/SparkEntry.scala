@@ -331,6 +331,20 @@ object SparkEntry {
       }
     )
 
+  /** The geo_polygon crossing predicate in DuckDB SQL, generated from the
+    * same vertex list term-for-term with [[graft.search.Aggs.pointInPolygon]]
+    * so both engines run identical IEEE arithmetic.
+    */
+  private lazy val geoPolygonPredSql: String = {
+    val pts = Seq((0.0, -90.0), (45.0, 0.0), (0.0, 90.0), (-45.0, 0.0))
+    val terms = pts.indices.map { i =>
+      val (lat1, lon1) = pts(i)
+      val (lat2, lon2) = pts((i + 1) % pts.size)
+      s"CASE WHEN (($lat1 > lat) <> ($lat2 > lat)) AND lon < ${lon2 - lon1} * (lat - $lat1) / ${lat2 - lat1} + $lon1 THEN 1 ELSE 0 END"
+    }
+    s"(${terms.mkString(" + ")}) % 2 = 1"
+  }
+
   /** The geohash_grid oracle, shared by the structured and wire entries —
     * the same integer pipeline as Aggs.geohash5 re-derived in DuckDB SQL:
     * quantize hundredth-degree ints to 12/13 bits, interleave (lon bit k
@@ -3872,6 +3886,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("doc_count"))
         .orderBy(col("doc_count").desc, col("cell_y"), col("cell_x"))
         .limit(20)),
+    // geo_polygon query: pnpoly ray casting against a diamond around the
+    // origin — edges unroll into one codegen'd per-row expression (the
+    // polygon is request metadata); count per event type. Exact-binary
+    // vertices keep the oracle's IEEE arithmetic term-identical.
+    "search_geo_polygon" -> ((s, dir) =>
+      geoEvents(s, dir)
+        .filter(
+          graft.search.Aggs
+            .pointInPolygon(col("lat"), col("lon"), Seq((0.0, -90.0), (45.0, 0.0), (0.0, 90.0), (-45.0, 0.0)))
+        )
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy("event_type")),
     // geohash_grid agg: precision-5 geohash cells, top 20 by density.
     // The cell key is pure integer arithmetic from the synthetic
     // hundredth-degree coordinates (quantize → interleave → base32), so
@@ -3973,6 +4000,17 @@ object SparkEntry {
         geoEvents(s, dir).select(struct(col("lat"), col("lon")).as("location")),
         """{"aggs": {"grid": {"geotile_grid": {"field": "location", "precision": 15, "size": 20}}}}"""
       )),
+    // geo_polygon from the wire format: the points list rides the body,
+    // same pnpoly predicate over a struct geo field — shared oracle.
+    "search_dsl_json_geo_polygon" -> ((s, dir) =>
+      JsonDsl.parse(
+        geoEvents(s, dir).select(col("event_type"), struct(col("lat"), col("lon")).as("location")),
+        """{"query": {"geo_polygon": {"location": {"points": [
+          |   {"lat": 0.0, "lon": -90.0}, {"lat": 45.0, "lon": 0.0},
+          |   {"lat": 0.0, "lon": 90.0}, {"lat": -45.0, "lon": 0.0}
+          | ]}}},
+          | "aggs": {"types": {"terms": {"field": "event_type", "size": 100}}}}""".stripMargin
+      ).orderBy("key")),
     // geohash_grid from the wire format: same precision-5 integer
     // encoder (Aggs.geohash5), struct field carrying the hundredth-
     // degree grid — oracle shared with search_geohash_grid's shape.
@@ -6426,6 +6464,20 @@ object SparkEntry {
     "search_scripted_metric" ->
       """SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS value
         |FROM lineitem""".stripMargin,
+    "search_geo_polygon" ->
+      s"""SELECT event_type, count(*) AS doc_count
+         |FROM (SELECT event_type, ((user_id * 1237) % 18000) / 100.0 - 90.0 AS lat,
+         |             ((event_id * 91) % 36000) / 100.0 - 180.0 AS lon
+         |      FROM events) g
+         |WHERE $geoPolygonPredSql
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "search_dsl_json_geo_polygon" ->
+      s"""SELECT event_type AS key, count(*) AS doc_count
+         |FROM (SELECT event_type, ((user_id * 1237) % 18000) / 100.0 - 90.0 AS lat,
+         |             ((event_id * 91) % 36000) / 100.0 - 180.0 AS lon
+         |      FROM events) g
+         |WHERE $geoPolygonPredSql
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "search_geohash_grid" -> geohashGridOracleSql,
     "search_dsl_json_geohash" -> geohashGridOracleSql,
     "search_dsl_json_stats_bucket" ->

@@ -39,6 +39,31 @@ object Aggs {
     }: _*)
   }
 
+  /** Point-in-polygon by ray casting (the pnpoly crossing test) — the
+    * geo_polygon query's predicate. Edges unroll at compile time into
+    * one codegen'd expression (the polygon is request metadata, never
+    * data), so membership is a per-row arithmetic test with no join.
+    * Horizontal edges contribute no crossing (the strict/non-strict `>`
+    * pair makes their condition false before the division can matter),
+    * and the evaluation order matches the SQL oracle's term-for-term so
+    * both engines run identical IEEE arithmetic.
+    */
+  def pointInPolygon(lat: Column, lon: Column, pts: Seq[(Double, Double)]): Column = {
+    require(pts.size >= 3, s"a polygon needs at least 3 vertices, got ${pts.size}")
+    val crossings = pts.indices
+      .map { i =>
+        val (lat1, lon1) = pts(i)
+        val (lat2, lon2) = pts((i + 1) % pts.size)
+        when(
+          (lit(lat1) > lat) =!= (lit(lat2) > lat) &&
+            lon < lit(lon2 - lon1) * (lat - lit(lat1)) / lit(lat2 - lat1) + lit(lon1),
+          1
+        ).otherwise(0)
+      }
+      .reduce(_ + _)
+    crossings % 2 === 1
+  }
+
   /** `terms` aggregation: top-`size` buckets by doc count (desc), key asc as
     * the deterministic tie-break (OpenSearch's own tie-break).
     */

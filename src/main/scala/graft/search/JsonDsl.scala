@@ -891,6 +891,13 @@ object JsonDsl {
         val dlat = col(f).getField("lat") - lit(req(c, "lat", "geo_distance").asDouble)
         val dlon = (col(f).getField("lon") - lit(req(c, "lon", "geo_distance").asDouble)) * lit(0.7071067811865476)
         sqrt(dlat * dlat + dlon * dlon) * lit(111.195) <= lit(radius)
+      case "geo_polygon" =>
+        val f = singleField(body)
+        val spec = body.get(f)
+        val pts = req(spec, "points", "geo_polygon").elements().asScala.toSeq.map { p =>
+          (req(p, "lat", "geo_polygon point").asDouble, req(p, "lon", "geo_polygon point").asDouble)
+        }
+        Aggs.pointInPolygon(col(f).getField("lat"), col(f).getField("lon"), pts)
       case "geo_bounding_box" =>
         val f = singleField(body)
         val b = body.get(f)
