@@ -4000,6 +4000,31 @@ object SparkEntry {
         geoEvents(s, dir).select(struct(col("lat"), col("lon")).as("location")),
         """{"aggs": {"grid": {"geotile_grid": {"field": "location", "precision": 15, "size": 20}}}}"""
       )),
+    // intervals from the wire format: all_of(ordered, max_gaps=3) with an
+    // any_of alternative — oracle identical to search_intervals_any.
+    "search_dsl_json_intervals" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"intervals": {"text": {"all_of": {
+          |   "ordered": true, "max_gaps": 3,
+          |   "intervals": [
+          |     {"any_of": {"intervals": [{"match": {"query": "big"}}, {"match": {"query": "fast"}}]}},
+          |     {"match": {"query": "table"}}
+          |   ]}}}},
+          | "sort": [{"doc_id": {"order": "asc"}}],
+          | "_source": ["doc_id"]}""".stripMargin,
+        docsMapping
+      )),
+    // match_phrase_prefix from the wire format: 'big dat…' — oracle
+    // identical to the structured entry.
+    "search_dsl_json_match_phrase_prefix" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"match_phrase_prefix": {"text": "big dat"}},
+          | "sort": [{"doc_id": {"order": "asc"}}],
+          | "_source": ["doc_id"]}""".stripMargin,
+        docsMapping
+      )),
     // geo_polygon from the wire format: the points list rides the body,
     // same pnpoly predicate over a struct geo field — shared oracle.
     "search_dsl_json_geo_polygon" -> ((s, dir) =>
@@ -6328,6 +6353,20 @@ object SparkEntry {
         |SELECT source AS key, count(*) AS doc_count FROM s
         |GROUP BY 1 ORDER BY doc_count DESC, key""".stripMargin,
     "search_match_phrase_prefix" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+        |SELECT doc_id FROM t
+        |WHERE len(list_filter(range(1, len(toks)), i -> toks[i] = 'big' AND starts_with(toks[i+1], 'dat'))) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_intervals" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'big' OR toks[i] = 'fast') AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table') AS pb
+        |      FROM t)
+        |SELECT doc_id FROM p
+        |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b > a AND b - a - 1 <= 3)) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_match_phrase_prefix" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
         |SELECT doc_id FROM t
         |WHERE len(list_filter(range(1, len(toks)), i -> toks[i] = 'big' AND starts_with(toks[i+1], 'dat'))) > 0

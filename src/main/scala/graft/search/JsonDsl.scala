@@ -922,6 +922,58 @@ object JsonDsl {
           size(array_intersect(array_distinct(SearchDsl.analyze(col(f))), arr)) >= msm
         } else
           size(array_intersect(array(col(f)), array(termVals.map(lit): _*))) >= msm
+      // match_phrase_prefix: the phrase's last term is a PREFIX; compiled
+      // as one pass over starting positions (transform's index is
+      // 0-based, element_at 1-based, so i + k + 1 is the k-th term slot).
+      case "match_phrase_prefix" =>
+        val (f, v) = fieldAndValue(body, "query")
+        val terms = v.asText.toLowerCase.split("\\s+").toSeq
+        require(terms.nonEmpty, "match_phrase_prefix needs at least one term")
+        val toks = graft.functions.TextFns.tokens(col(f))
+        exists(
+          transform(
+            toks,
+            (_, i) => {
+              val inBounds = (i + lit(terms.size)) <= size(toks)
+              val headOk = terms.init.zipWithIndex
+                .map { case (h, k) => element_at(toks, i + lit(k + 1)) === lit(h) }
+                .reduceOption(_ && _)
+                .getOrElse(lit(true))
+              val lastOk = element_at(toks, i + lit(terms.size)).startsWith(lit(terms.last))
+              inBounds && headOk && lastOk
+            }
+          ),
+          x => x
+        )
+      // intervals, all_of(ordered) over two interval sources — each a
+      // match (single term) or an any_of of matches; max_gaps counts
+      // positions BETWEEN matches (absent = unbounded).
+      case "intervals" =>
+        val f = singleField(body)
+        val spec = body.get(f).get("all_of")
+        require(spec != null && spec.isObject, s"intervals supports the all_of form, got: ${body.get(f)}")
+        require(Option(spec.get("ordered")).exists(_.asBoolean), "intervals all_of needs ordered: true")
+        val parts = req(spec, "intervals", "intervals all_of").elements().asScala.toSeq
+        require(parts.size == 2, s"intervals all_of supports exactly two sources, got ${parts.size}")
+        val maxGaps = Option(spec.get("max_gaps")).map(_.asInt)
+        def termsOf(n: JsonNode): Seq[String] = {
+          val kind = n.fieldNames().next()
+          kind match {
+            case "match" => Seq(req(n.get("match"), "query", "intervals match").asText.toLowerCase)
+            case "any_of" =>
+              req(n.get("any_of"), "intervals", "intervals any_of").elements().asScala.toSeq.flatMap(termsOf)
+            case other => throw new IllegalArgumentException(s"unsupported intervals source '$other'")
+          }
+        }
+        val toks = graft.functions.TextFns.tokens(col(f))
+        def positions(ts: Seq[String]) =
+          filter(
+            transform(toks, (t, i) => when(ts.map(x => t === lit(x)).reduce(_ || _), i).otherwise(lit(-1))),
+            x => x >= 0
+          )
+        val pa = positions(termsOf(parts(0)))
+        val pb = positions(termsOf(parts(1)))
+        exists(pa, a => exists(pb, b => b > a && maxGaps.fold(lit(true))(g => (b - a - 1) <= g)))
       case "span_near" =>
         // Two span_term clauses within `slop` token positions — the
         // token-position HOF shape (per-row array work, no self-join).
