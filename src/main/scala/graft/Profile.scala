@@ -28,6 +28,19 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // `query:<name>` — time one SparkEntry query (warm, like Bench: the
+    // first run pays JIT/codegen/memo build, the second is steady-state).
+    if (section.startsWith("query:")) {
+      val name = section.stripPrefix("query:")
+      val fn = SparkEntry.queries(name)
+      time(s"$name (cold)")(fn(spark, sfDir).count())
+      spark.catalog.clearCache()
+      time(s"$name (warm)")(fn(spark, sfDir).count())
+      spark.catalog.clearCache()
+      spark.stop()
+      return
+    }
+
     if (section == "all" || section == "ngram") {
       val docs = Tables.documents(spark, sfDir)
       import graft.functions.TextFns

@@ -2615,7 +2615,19 @@ object SparkEntry {
     "ann_graph_incremental" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val delta = emb.filter(col("vec_id") % 50 === 0)
-      val grown = Similarity.addToGraph(cachedGraphBase(s, dir), emb, "vec_id", "embedding", delta)
+      // Insert budget below the query budget (beam 12 / 2 rounds): the
+      // insert only needs m=8 good neighbors, not a full search —
+      // ReplicaSpec measures post-insert recall at exactly these params.
+      val grown0 =
+        Similarity.addToGraph(cachedGraphBase(s, dir), emb, "vec_id", "embedding", delta, beam = 12, rounds = 2)
+      // Materialize the folded adjacency ONCE (a live tier writes it
+      // durably after the insert — this is that write): the scalar beam
+      // search issues several driver actions, and without this each one
+      // would re-run the whole insert DAG. The suite owns the cache
+      // lifecycle (clearCache between queries).
+      val grown = grown0.copy(
+        neighbors = grown0.neighbors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      )
       Similarity.graphSearch(grown, emb, "vec_id", "embedding", queryVec(s, dir, 0), 10)
     }),
     // Honest PQ build cost: the full encode (coarse assign + residual

@@ -95,7 +95,12 @@ object QueryString {
   private final class Parser(tokens: Vector[Tok], schema: StructType, defaultField: Option[String]) {
     private var pos = 0
     private def peek: Option[Tok] = if (pos < tokens.length) Some(tokens(pos)) else None
-    private def next(): Tok = { val t = tokens(pos); pos += 1; t }
+    // A query ending mid-clause ("a AND", "x OR") must be a syntax error,
+    // not an index error from reading past the token stream.
+    private def next(): Tok = {
+      require(pos < tokens.length, s"unexpected end of query after ${tokens.lastOption.getOrElse("")}")
+      val t = tokens(pos); pos += 1; t
+    }
     private def isKeyword(t: Tok, kw: String): Boolean = t match {
       case Word(w) => w.equalsIgnoreCase(kw)
       case _       => false

@@ -504,7 +504,9 @@ class ReplicaSpec extends SparkSpec {
     val base = emb.filter($"vec_id" % 5 =!= 0)
     val delta = emb.filter($"vec_id" % 5 === 0)
     val g0 = Similarity.graphIndex(base, "vec_id", "embedding")
-    val g1 = Similarity.addToGraph(g0, emb, "vec_id", "embedding", delta)
+    // the suite entry's insert budget (beam 12 / 2 rounds — lighter than
+    // the query budget; the insert only needs m good neighbors)
+    val g1 = Similarity.addToGraph(g0, emb, "vec_id", "embedding", delta, beam = 12, rounds = 2)
     // every delta node has a forward adjacency list, appears as someone's
     // neighbor (reverse links landed), and the m-cap survives re-pruning
     val deltaIds = delta.select($"vec_id").as[Long].collect().toSet
