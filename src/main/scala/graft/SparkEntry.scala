@@ -3656,7 +3656,7 @@ object SparkEntry {
         .select(
           col("doc_id"),
           expr(
-            "aggregate(_pa, 0, (acc, a) -> acc + size(filter(_pb, " +
+            "aggregate(_pa, 0L, (acc, a) -> acc + size(filter(_pb, " +
               "b -> b > a AND b - a <= 5 AND exists(_pp, p -> p > a AND p < b))))"
           ).as("n_spans")
         )
@@ -6050,7 +6050,7 @@ object SparkEntry {
     "sample_pack_sequences" ->
       """SELECT source, shard, doc_id, n_tokens,
         |       CAST(floor((cum_end - n_tokens) / 256.0) AS BIGINT) AS pack_id,
-        |       (cum_end - n_tokens) % 256 AS pack_offset,
+        |       CAST((cum_end - n_tokens) % 256 AS BIGINT) AS pack_offset,
         |       (CAST(floor((cum_end - 1) / 256.0) AS BIGINT)
         |          > CAST(floor((cum_end - n_tokens) / 256.0) AS BIGINT)) AS spans_boundary
         |FROM (SELECT source, CAST(floor(doc_id / 128.0) AS BIGINT) AS shard, doc_id,
@@ -6337,8 +6337,8 @@ object SparkEntry {
         |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'key') AS pp
         |      FROM t),
         |n AS (SELECT doc_id,
-        |        coalesce(list_sum(list_transform(pa, a -> len(list_filter(pb,
-        |            b -> b > a AND b - a <= 5 AND len(list_filter(pp, p -> p > a AND p < b)) > 0)))), 0) AS n_spans
+        |        CAST(coalesce(list_sum(list_transform(pa, a -> len(list_filter(pb,
+        |            b -> b > a AND b - a <= 5 AND len(list_filter(pp, p -> p > a AND p < b)) > 0)))), 0) AS BIGINT) AS n_spans
         |      FROM p)
         |SELECT doc_id, n_spans FROM n WHERE n_spans > 0 ORDER BY doc_id""".stripMargin,
     "search_intervals_any" ->

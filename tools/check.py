@@ -16,6 +16,15 @@ import os
 import duckdb
 
 
+# Dtypes whose pandas conversion diverges from fetchall(): DuckDB renders
+# HUGEINT/UHUGEINT (int128) as float64 in .df(), so a driver that
+# canonicalizes through pandas prints "6.0" where fetchall() prints "6".
+# Round 7 shipped two oracle queries emitting HUGEINT (list_sum, windowed
+# sum over integers) that passed this replica but failed the driver — the
+# guard below makes that class of red reproduce locally.
+PANDAS_DIVERGENT_TYPES = {"HUGEINT", "UHUGEINT"}
+
+
 def norm_cell(v):
     if v is None:
         return "NULL"
@@ -46,7 +55,63 @@ def table_digest(cols, rows, sort_rows):
     return h.hexdigest()
 
 
+def selftest():
+    """Round-trip each dtype class the suite emits through both the
+    fetchall() path (this replica) and the pandas .df() path (the shape a
+    pandas-based driver sees), and report which classes diverge.  A class
+    listed as DIVERGES must never appear in an oracle query's output
+    schema — the gate above enforces that for the known offenders.
+
+    DATE also diverges (pandas renders midnight timestamps) but is
+    SYMMETRIC: a pandas driver reads both the Spark parquet and the
+    DuckDB result the same way, so it cancels.  HUGEINT is ASYMMETRIC —
+    parquet has no int128, so it can only ever appear on the oracle side,
+    where a pandas driver floats it while the Spark side stays integral.
+    Hence only HUGEINT/UHUGEINT hard-fail the gate."""
+    con = duckdb.connect()
+    cases = {
+        "BOOLEAN": "SELECT true AS v UNION ALL SELECT false",
+        "INTEGER": "SELECT 42::INTEGER AS v",
+        "BIGINT": "SELECT 42::BIGINT AS v",
+        "HUGEINT": "SELECT list_sum([1,2,3]) AS v",
+        "DECIMAL": "SELECT 1.25::DECIMAL(12,2) AS v",
+        "DOUBLE": "SELECT 1.5::DOUBLE AS v UNION ALL SELECT 'nan'::DOUBLE",
+        "VARCHAR": "SELECT 'x' AS v",
+        "TIMESTAMP": "SELECT TIMESTAMP '2024-01-02 03:04:05' AS v",
+        "DATE": "SELECT DATE '2024-01-02' AS v",
+        "LIST": "SELECT [1,2,3] AS v",
+        "NULL": "SELECT NULL::BIGINT AS v",
+    }
+    any_diverge = False
+    for label, q in cases.items():
+        fa = [norm_cell(r[0]) for r in con.sql(q).fetchall()]
+        df = con.sql(q).df()
+        pd_cells = []
+        for x in df["v"]:
+            # pandas scalars: unwrap numpy types the way a driver would
+            if hasattr(x, "tolist"):
+                x = x.tolist()
+            if x is None or (isinstance(x, float) and x != x and label != "DOUBLE"):
+                x = None
+            if hasattr(x, "to_pydatetime"):
+                x = x.to_pydatetime()
+            pd_cells.append(norm_cell(x))
+        status = "ok      " if fa == pd_cells else "DIVERGES"
+        if fa != pd_cells:
+            any_diverge = True
+        print(f"{status} {label:10s} fetchall={fa} pandas={pd_cells}")
+    print(
+        "\nDivergent classes must be CAST away in oracle SQL "
+        "(the main gate fails HUGEINT/UHUGEINT outputs)."
+        if any_diverge
+        else "\nAll dtype classes canonicalize identically on both paths."
+    )
+
+
 def main():
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
+        return
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for p in glob.glob(f"{sfdir}/*.parquet"):
@@ -64,9 +129,21 @@ def main():
         try:
             orc = con.sql(sql)
             o_cols = [c.lower() for c in orc.columns]
+            o_types = [str(t) for t in orc.types]
             o_rows = orc.fetchall()
         except Exception as e:
             print(f"ORA_ERR  {name}: {e}")
+            n_fail += 1
+            continue
+        divergent = [
+            f"{c}:{t}" for c, t in zip(o_cols, o_types) if t in PANDAS_DIVERGENT_TYPES
+        ]
+        if divergent:
+            print(
+                f"FAIL     {name}: oracle emits pandas-divergent dtype(s) "
+                f"[{', '.join(divergent)}] — CAST to BIGINT in the oracle SQL "
+                f"(driver canonicalization renders int128 as float)"
+            )
             n_fail += 1
             continue
         sp = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
