@@ -4452,7 +4452,10 @@ object SparkEntry {
     "search_simple_query_string" -> ((s, dir) =>
       Tables
         .documents(s, dir)
-        .filter(search.SimpleQuery.parse(col("text"), "spark + (merge | \"hash join\") -slow"))
+        .filter(
+          // default_operator=and: the bare-adjacent -slow must AND in
+          search.SimpleQuery.parse(col("text"), "spark + (merge | \"hash join\") -slow", defaultAnd = true)
+        )
         .select("doc_id", "lang")
         .orderBy("doc_id")),
     // combined_fields: term-centric BM25F-style scoring across p_name

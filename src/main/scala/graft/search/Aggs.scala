@@ -22,19 +22,36 @@ object Aggs {
     * weight 4^k and bit k of lat weight 2·4^k in the interleaved word.
     * GeohashSpec checks it against the textbook bisection encoder.
     */
-  def geohash5(la100: Column, lo100: Column): Column = {
+  def geohash5(la100: Column, lo100: Column): Column = geohash(la100, lo100, 5)
+
+  /** Geohash cell key at arbitrary `precision` (1–9 characters). Same
+    * integer derivation as [[geohash5]]: the 5p-bit word interleaves
+    * lon-first from the MSB, so for odd totals lon bit k carries weight
+    * 4^k (lat 2·4^k) and for even totals the weights swap — position
+    * 5p−1 is always lon's top bit. All operands stay < 2^53, so the
+    * double-floor division is the exact integer division throughout.
+    * Precisions above ~7 subdivide finer than the hundredth-degree grid
+    * (cells become singletons), which stays well-defined: the quantizer
+    * is still exact, buckets just stop merging points.
+    */
+  def geohash(la100: Column, lo100: Column, precision: Int): Column = {
+    require(precision >= 1 && precision <= 9, s"geohash precision out of range [1,9]: $precision")
     val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
     // exact for operands < 2^53: the quotient's floor is the integer div
     def idiv(c: Column, d: Long): Column = floor(c / d).cast("long")
-    val lat = idiv(la100 * 4096, 18000L)
-    val lon = idiv(lo100 * 8192, 36000L)
+    val total = 5 * precision
+    val lonBits = (total + 1) / 2 // lon leads the interleave
+    val latBits = total / 2
+    val lat = idiv(la100 * (1L << latBits), 18000L)
+    val lon = idiv(lo100 * (1L << lonBits), 36000L)
     def spread(c: Column, bits: Int, mult: Long): Column =
       (0 until bits)
         .map(k => (idiv(c, 1L << k) % 2) * lit(mult * (1L << (2 * k))))
         .reduce(_ + _)
-    val n = spread(lon, 13, 1L) + spread(lat, 12, 2L)
-    concat((0 until 5).map { i =>
-      val idx = (idiv(n, 1L << (5 * (4 - i))) % 32).cast("int")
+    val (lonW, latW) = if (total % 2 == 1) (1L, 2L) else (2L, 1L)
+    val n = spread(lon, lonBits, lonW) + spread(lat, latBits, latW)
+    concat((0 until precision).map { i =>
+      val idx = (idiv(n, 1L << (5 * (precision - 1 - i))) % 32).cast("int")
       lit(alpha).substr(idx + 1, lit(1))
     }: _*)
   }

@@ -387,6 +387,11 @@ object JsonDsl {
       val root = mapper.readTree(body)
       require(root != null && root.isObject, s"body must be a JSON object: $body")
       val pred = Option(root.get("query")).map(q => compileQuery(df, q, mapping)).getOrElse(lit(true))
+      // Resolve the predicate against the frame's schema (analysis only,
+      // no execution) so a query on a nonexistent field is invalid here
+      // exactly as it would throw from parse() — the two paths must agree
+      // on what a 400-class body is.
+      df.filter(pred).queryExecution.analyzed
       (true, pred.toString)
     } catch {
       case e: Exception => (false, String.valueOf(e.getMessage))
@@ -1232,13 +1237,15 @@ object JsonDsl {
           .getOrElse(Seq(50.0, 90.0, 99.0))
         Aggs.percentiles(df, field, ps.map(p => percentileName(p) -> p / 100.0))
       case "geohash_grid" =>
-        // Precision-5 geohash density cells over a struct field carrying
-        // the integer hundredth-degree grid (la100/lo100) every geo
-        // entry derives; Aggs.geohash5 is the shared encoder.
+        // Geohash density cells over a struct field carrying the integer
+        // hundredth-degree grid (la100/lo100) every geo entry derives;
+        // Aggs.geohash is the shared encoder and honors the request's
+        // "precision" (default 5, the OpenSearch default).
         val f = req(body, "field", "geohash_grid").asText
         val size = Option(body.get("size")).map(_.asInt).getOrElse(20)
+        val precision = Option(body.get("precision")).map(_.asInt).getOrElse(5)
         df.groupBy(
-          Aggs.geohash5(col(f).getField("la100"), col(f).getField("lo100")).as("geohash")
+          Aggs.geohash(col(f).getField("la100"), col(f).getField("lo100"), precision).as("geohash")
         ).agg(count(lit(1)).as("doc_count"))
           .orderBy(col("doc_count").desc, col("geohash"))
           .limit(size)

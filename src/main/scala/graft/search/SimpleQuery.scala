@@ -10,14 +10,31 @@ import org.apache.spark.sql.functions._
   * same shape as the `query_string` compiler in [[QueryString]].
   *
   * Operator precedence follows Lucene's SimpleQueryParser: `+` binds
-  * tighter than `|`; bare adjacency takes the `defaultAnd` operator.
+  * tighter than `|`; bare adjacency takes the `defaultAnd` operator
+  * (default false = OR, OpenSearch's `default_operator`). Stray `)` with
+  * no open group is dropped before parsing — Lucene's fault tolerance —
+  * so `a) b` parses as `a b` instead of silently truncating at the `)`.
   * Reference surface: the `simple_query_string` body of the search DSL
   * (DASHBOARD_GUIDE.md query catalogue).
   */
 object SimpleQuery {
 
-  def parse(text: Column, q: String, defaultAnd: Boolean = true): Column =
-    new Parser(lex(q), text, defaultAnd).parseOr()
+  def parse(text: Column, q: String, defaultAnd: Boolean = false): Column = {
+    // drop RParens with no matching open LParen (fault tolerance); with
+    // the remainder balanced, one top-level Or chain consumes every token
+    val toks = {
+      var depth = 0
+      lex(q).filter {
+        case LParen => depth += 1; true
+        case RParen => if (depth > 0) { depth -= 1; true } else false
+        case _      => true
+      }
+    }
+    val p = new Parser(toks, text, defaultAnd)
+    val c = p.parseOr()
+    require(p.done, s"unconsumed tokens in simple query: $q")
+    c
+  }
 
   private sealed trait Tok
   private case object LParen extends Tok
@@ -59,6 +76,7 @@ object SimpleQuery {
     private var pos = 0
     private def peek: Option[Tok] = if (pos < tokens.length) Some(tokens(pos)) else None
     private def next(): Tok = { val t = tokens(pos); pos += 1; t }
+    def done: Boolean = pos == tokens.length
 
     def parseOr(): Column = {
       var acc = parseAnd()

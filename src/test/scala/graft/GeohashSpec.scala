@@ -55,4 +55,23 @@ class GeohashSpec extends SparkSpec {
       assert(gh == expect, s"la100=$la lo100=$lo: got $gh want $expect")
     }
   }
+
+  test("generalized geohash equals the bisection encoder at precisions 3 through 7") {
+    // even totals flip the interleave weights (lon must still lead from
+    // the MSB) — precisions 4 and 6 exercise that branch; 3/5/7 the odd one
+    val sweep =
+      Seq((14765L, 19041L), (0L, 0L), (17999L, 35999L), (1125L, 1125L), (9000L, 18000L)) ++
+        (0 until 40).map(i => ((i * 661L) % 18000, (i * 7919L) % 36000))
+    for (p <- 3 to 7) {
+      val got = sweep
+        .toDF("la100", "lo100")
+        .select($"la100", $"lo100", Aggs.geohash($"la100", $"lo100", p).as("gh"))
+        .as[(Long, Long, String)]
+        .collect()
+      got.foreach { case (la, lo, gh) =>
+        val expect = reference(la / 100.0 - 90.0, lo / 100.0 - 180.0, p)
+        assert(gh == expect, s"p=$p la100=$la lo100=$lo: got $gh want $expect")
+      }
+    }
+  }
 }

@@ -1059,6 +1059,10 @@ class JsonDslSpec extends SparkSpec {
     assert(!bad && err.nonEmpty)
     // an empty body is match_all — valid
     assert(JsonDsl.validate(cards, """{}""")._1)
+    // a query on a nonexistent field is invalid here exactly as parse()
+    // would throw — validate resolves the predicate against the schema
+    val (ghost, ghostErr) = JsonDsl.validate(cards, """{"query": {"term": {"no_such_field": {"value": 1}}}}""")
+    assert(!ghost && ghostErr.nonEmpty)
     // field_caps: text searchable but not aggregatable; keyword/numeric both
     val capRows = IndexMapping.fieldCaps(cards, mapping)
     assert(capRows.columns.toSeq == Seq("field", "es_type", "searchable", "aggregatable"))

@@ -51,4 +51,23 @@ class SimpleQuerySpec extends SparkSpec {
     intercept[IllegalArgumentException](ids("\"unterminated"))
     intercept[IllegalArgumentException](ids("bad&char"))
   }
+
+  test("stray ) is dropped (Lucene fault tolerance), not a silent truncation") {
+    // before the fix, "spark) + query" parsed as just "spark" — the
+    // unmatched ) ended parseOr early and the rest of the query vanished
+    assert(ids("spark) + query") == ids("spark + query"))
+    assert(ids(") spark") == ids("spark"))
+    // matched groups still close correctly after a stray ) is dropped
+    assert(ids("spark) + (merge | \"hash join\") -slow") == Set(6L))
+    // an unterminated group is still an error (same contract as phrases)
+    intercept[IllegalArgumentException](ids("(spark + query"))
+  }
+
+  test("default operator is OR, matching simple_query_string default_operator") {
+    // bare adjacency with no explicit defaultAnd: OR semantics
+    assert(ids2("fast dog") == Set(1L, 2L, 3L))
+  }
+
+  private def ids2(q: String): Set[Long] =
+    rows.filter(SimpleQuery.parse(col("text"), q)).select("id").as[Long].collect().toSet
 }
