@@ -3284,6 +3284,76 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    // nested query: the array-of-struct field type where the WHOLE inner
+    // clause must hold on ONE element (an order with a qty-48 'N' item
+    // and a qty-10 'R' item does NOT match flag='R' AND qty>=48 — the
+    // object-vs-nested distinction). The index shape is built once
+    // (Nested.nestedIndex: one child shuffle keyed by parent id); the
+    // query itself is an `exists` HOF — no join, no explode at search
+    // time. n_inner_hits counts the matching elements per hit.
+    "search_nested" -> ((s, dir) => {
+      val nested = search.Nested.nestedIndex(
+        Tables.orders(s, dir),
+        Tables.lineitem(s, dir),
+        "o_orderkey",
+        "l_orderkey",
+        "items",
+        Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+      )
+      val pred = (x: Column) => x.getField("l_returnflag") === "R" && x.getField("l_quantity") >= 48
+      nested
+        .filter(search.Nested.query(col("items"), pred))
+        .select(
+          col("o_orderkey"),
+          col("o_totalprice"),
+          size(search.Nested.innerHits(col("items"), pred)).cast("long").as("n_inner_hits")
+        )
+        .orderBy("o_orderkey")
+    }),
+    // nested from the wire format: same clause through the JSON compiler
+    // (path-prefixed fields resolving against the lambda element).
+    "search_dsl_json_nested" -> ((s, dir) => {
+      val nested = search.Nested.nestedIndex(
+        Tables.orders(s, dir),
+        Tables.lineitem(s, dir),
+        "o_orderkey",
+        "l_orderkey",
+        "items",
+        Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+      )
+      JsonDsl.parse(
+        nested,
+        """{"query": {"nested": {"path": "items",
+          |   "query": {"bool": {"must": [
+          |     {"term": {"items.l_returnflag": {"value": "R"}}},
+          |     {"range": {"items.l_quantity": {"gte": 48}}}]}}}},
+          | "sort": [{"o_orderkey": "asc"}],
+          | "_source": ["o_orderkey", "o_orderstatus", "o_totalprice"]}""".stripMargin
+      )
+    }),
+    // inner_hits from the wire format: one row per MATCHING element of
+    // each matching parent — filter HOF then explode, multiplying only
+    // matched rows by their matched-element count.
+    "search_dsl_json_nested_inner_hits" -> ((s, dir) => {
+      val nested = search.Nested.nestedIndex(
+        Tables.orders(s, dir),
+        Tables.lineitem(s, dir),
+        "o_orderkey",
+        "l_orderkey",
+        "items",
+        Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+      )
+      JsonDsl.innerHits(
+        nested,
+        """{"query": {"nested": {"path": "items", "inner_hits": {},
+          |   "query": {"bool": {"must": [
+          |     {"term": {"items.l_returnflag": {"value": "R"}}},
+          |     {"range": {"items.l_quantity": {"gte": 48}}}]}}}},
+          | "sort": [{"o_orderkey": "asc"}, {"l_linenumber": "asc"},
+          |          {"l_quantity": "asc"}, {"l_extendedprice": "asc"}],
+          | "_source": ["o_orderkey"]}""".stripMargin
+      )
+    }),
     // percentile_ranks: the inverse of the percentiles agg — the fraction
     // of orders at or below each given value.
     "search_percentile_ranks" -> ((s, dir) =>
@@ -4515,6 +4585,135 @@ object SparkEntry {
           |   "fields": ["text"], "default_operator": "and"}},
           | "sort": [{"doc_id": "asc"}], "_source": ["doc_id", "lang"]}""".stripMargin,
         docsMapping
+      )),
+    // ── Wire-format completeness sweep (r8): JSON twins for the last
+    //    structured-only query-DSL families ─────────────────────────────
+    // boosting from the wire format: positive kept, negative demoted.
+    "search_dsl_json_boosting" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"boosting": {
+          |   "positive": {"match": {"text": "spark"}},
+          |   "negative": {"match": {"text": "slow"}},
+          |   "negative_boost": 0.5}},
+          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id", "_score"]}""".stripMargin,
+        docsMapping
+      )),
+    // rank_feature as a bool should scoring clause (saturation form).
+    "search_dsl_json_rank_feature" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"bool": {
+          |   "must": [{"match": {"text": "spark"}}],
+          |   "should": [{"rank_feature": {"field": "n_chars",
+          |                "saturation": {"pivot": 250}, "boost": 2.0}}]}},
+          | "sort": [{"doc_id": "asc"}], "size": 20,
+          | "_source": ["doc_id", "n_chars", "_score"]}""".stripMargin,
+        docsMapping
+      )),
+    // distance_feature as a bool should scoring clause (ISO origin +
+    // duration pivot over the event timestamp).
+    "search_dsl_json_distance_feature" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.events(s, dir),
+        """{"query": {"bool": {
+          |   "must": [{"term": {"event_type": {"value": "purchase"}}}],
+          |   "should": [{"distance_feature": {"field": "ts",
+          |                "origin": "2024-02-01T00:00:00Z", "pivot": "7d", "boost": 2.0}}]}},
+          | "sort": [{"event_id": "asc"}], "size": 10,
+          | "_source": ["event_id", "_score"]}""".stripMargin
+      )),
+    // rescore from the wire format: windowed second phase over the
+    // first-phase sort.
+    "search_dsl_json_rescore" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"match_all": {}},
+          | "sort": [{"n_chars": "desc"}, {"doc_id": "asc"}],
+          | "rescore": {"window_size": 50,
+          |   "query": {"rescore_query": {"match": {"text": "spark query table"}}}},
+          | "size": 10, "_source": ["doc_id", "n_chars", "_score"]}""".stripMargin,
+        docsMapping
+      )),
+    // has_child from the wire format: the child side arrives via
+    // `relations`, the join keys via the clause's `join` object (the
+    // wire stand-in for OpenSearch's join-field mapping).
+    "search_dsl_json_has_child" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"query": {"has_child": {"type": "lineitem",
+          |   "join": {"parent": "o_orderkey", "child": "l_orderkey"},
+          |   "query": {"bool": {"must": [
+          |     {"term": {"l_returnflag": {"value": "R"}}},
+          |     {"range": {"l_quantity": {"gte": 45}}}]}}}},
+          | "sort": [{"o_orderkey": "asc"}], "size": 100,
+          | "_source": ["o_orderkey", "o_orderstatus", "o_totalprice"]}""".stripMargin,
+        relations = Map("lineitem" -> Tables.lineitem(s, dir))
+      )),
+    "search_dsl_json_has_parent" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.lineitem(s, dir),
+        """{"query": {"has_parent": {"parent_type": "orders",
+          |   "join": {"parent": "o_orderkey", "child": "l_orderkey"},
+          |   "query": {"bool": {"must": [
+          |     {"term": {"o_orderpriority": {"value": "1-URGENT"}}},
+          |     {"range": {"o_totalprice": {"gt": 400000}}}]}}}},
+          | "sort": [{"l_orderkey": "asc"}, {"l_linenumber": "asc"}],
+          | "_source": ["l_orderkey", "l_linenumber", "l_quantity"]}""".stripMargin,
+        relations = Map("orders" -> Tables.orders(s, dir))
+      )),
+    // terms lookup from the wire format (index/id/path form): the term
+    // list is a row of the lookup relation, broadcast onto the corpus.
+    "search_dsl_json_terms_lookup" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir).filter(col("doc_id") =!= 0L),
+        """{"query": {"terms": {"text": {"index": "documents", "id": 0,
+          |   "path": "text", "min_term_length": 5}}},
+          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id", "lang"]}""".stripMargin,
+        relations = Map("documents" -> Tables.documents(s, dir).withColumnRenamed("doc_id", "_id"))
+      )),
+    // span family from the wire format — filter-context predicates over
+    // token positions, one per-row HOF pass each.
+    "search_dsl_json_span_first" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"span_first": {
+          |   "match": {"span_term": {"text": {"value": "spark"}}}, "end": 5}},
+          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin
+      )),
+    "search_dsl_json_span_not" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"span_not": {
+          |   "include": {"span_term": {"text": {"value": "data"}}},
+          |   "exclude": {"span_term": {"text": {"value": "big"}}}, "pre": 1}},
+          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin
+      )),
+    "search_dsl_json_span_within" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"span_within": {
+          |   "little": {"span_term": {"text": {"value": "fast"}}},
+          |   "big": {"span_near": {"clauses": [
+          |     {"span_term": {"text": {"value": "stream"}}},
+          |     {"span_term": {"text": {"value": "merge"}}}], "slop": 6, "in_order": true}}}},
+          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin
+      )),
+    "search_dsl_json_span_containing" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"span_containing": {
+          |   "big": {"span_near": {"clauses": [
+          |     {"span_term": {"text": {"value": "sort"}}},
+          |     {"span_term": {"text": {"value": "scan"}}}], "slop": 5, "in_order": true}},
+          |   "little": {"span_term": {"text": {"value": "key"}}}}},
+          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin
+      )),
+    "search_dsl_json_match_bool_prefix" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"match_bool_prefix": {"text": {"query": "spark quer"}}},
+          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin
       )),
     // pinned from the wire format: curated _ids first in list order,
     // organic matches follow — the structured search_pinned tier plan.
@@ -5898,6 +6097,26 @@ object SparkEntry {
         |              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT'
         |                AND o_totalprice > 400000)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // the per-element conjunction (flag AND qty on the SAME lineitem) is
+    // exactly an EXISTS with both predicates inside — nested semantics
+    "search_nested" ->
+      """SELECT o.o_orderkey, o.o_totalprice, CAST(count(*) AS BIGINT) AS n_inner_hits
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_returnflag = 'R' AND l.l_quantity >= 48
+        |GROUP BY o.o_orderkey, o.o_totalprice
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "search_dsl_json_nested" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R' AND l_quantity >= 48)
+        |ORDER BY o_orderkey""".stripMargin,
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem,
+    // so the sort adds qty + price to stay total on both engines
+    "search_dsl_json_nested_inner_hits" ->
+      """SELECT o_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R' AND l_quantity >= 48
+        |ORDER BY o_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
     "text_bytes_per_token" ->
       """SELECT source,
         |       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
@@ -6286,6 +6505,85 @@ object SparkEntry {
         |FROM documents
         |WHERE list_contains(string_split(lower(text), ' '), 'spark')
         |ORDER BY score DESC, doc_id""".stripMargin,
+    "search_dsl_json_boosting" ->
+      """SELECT doc_id,
+        |       CASE WHEN list_contains(string_split(lower(text), ' '), 'slow')
+        |            THEN CAST(0.5 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS _score
+        |FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |ORDER BY _score DESC, doc_id""".stripMargin,
+    "search_dsl_json_rank_feature" ->
+      """SELECT doc_id, n_chars, round(2.0 * n_chars / (n_chars + 250.0), 6) AS _score
+        |FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |ORDER BY _score DESC, doc_id LIMIT 20""".stripMargin,
+    "search_dsl_json_distance_feature" ->
+      """SELECT event_id,
+        |       round(2.0 * 604800.0 / (604800.0 + abs(floor(epoch(ts)) - 1706745600)), 6) AS _score
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY _score DESC, event_id LIMIT 10""".stripMargin,
+    "search_dsl_json_rescore" ->
+      """WITH first AS (SELECT doc_id, n_chars, list_distinct(string_split(lower(text), ' ')) AS toks
+        |               FROM documents ORDER BY n_chars DESC, doc_id LIMIT 50)
+        |SELECT doc_id, n_chars,
+        |       CAST(len(list_intersect(toks, ['spark', 'query', 'table'])) AS INTEGER) AS _score
+        |FROM first ORDER BY _score DESC, n_chars DESC, doc_id LIMIT 10""".stripMargin,
+    "search_dsl_json_has_child" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R' AND l_quantity >= 45)
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "search_dsl_json_has_parent" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT'
+        |                AND o_totalprice > 400000)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "search_dsl_json_terms_lookup" ->
+      """WITH lk AS (SELECT DISTINCT tok FROM (
+        |              SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |              FROM documents WHERE doc_id = 0) t
+        |            WHERE len(tok) >= 5),
+        |toks AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+        |         FROM documents WHERE doc_id <> 0)
+        |SELECT DISTINCT doc_id, lang FROM toks JOIN lk USING (tok) ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_span_first" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_position(string_split(lower(text), ' '), 'spark') BETWEEN 1 AND 5
+        |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_span_not" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+        |SELECT doc_id FROM t
+        |WHERE len(list_filter(range(1, len(toks) + 1),
+        |                      i -> toks[i] = 'data' AND (i = 1 OR toks[i - 1] <> 'big'))) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_span_within" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'stream') AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'merge') AS pb,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'fast') AS pp
+        |      FROM t)
+        |SELECT doc_id FROM p
+        |WHERE len(list_filter(pp, p -> len(list_filter(pa, a -> len(list_filter(pb,
+        |          b -> b > a AND b - a <= 6 AND p > a AND p < b)) > 0)) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_span_containing" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'sort') AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'scan') AS pb,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'key') AS pp
+        |      FROM t)
+        |SELECT doc_id FROM p
+        |WHERE len(list_filter(pa, a -> len(list_filter(pb,
+        |          b -> b > a AND b - a <= 5 AND len(list_filter(pp, x -> x > a AND x < b)) > 0)) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_match_bool_prefix" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+        |SELECT doc_id FROM t
+        |WHERE list_contains(toks, 'spark') OR len(list_filter(toks, x -> starts_with(x, 'quer'))) > 0
+        |ORDER BY doc_id""".stripMargin,
     "search_terms_set" ->
       """SELECT doc_id,
         |       CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')),

@@ -64,8 +64,18 @@ object JsonDsl {
     * error class the `_validate` path and callers rely on, the 400
     * response of the wire protocol.
     */
-  def parse(df: DataFrame, body: String, mapping: IndexMapping = IndexMapping.empty): DataFrame =
-    try parseImpl(withRuntimeFields(df, body), body, mapping)
+  /** `relations` names the OTHER frames a body may reference: the child/
+    * parent side of has_child/has_parent (where the `join` object in the
+    * clause carries the key pair the join-field mapping would hold in
+    * OpenSearch) and the lookup index of the terms-lookup form.
+    */
+  def parse(
+      df: DataFrame,
+      body: String,
+      mapping: IndexMapping = IndexMapping.empty,
+      relations: Map[String, DataFrame] = Map.empty
+  ): DataFrame =
+    try parseImpl(withRuntimeFields(df, body), body, mapping, relations)
     catch {
       case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalArgumentException(s"request references unknown schema elements: ${e.getMessage}", e)
@@ -90,7 +100,12 @@ object JsonDsl {
     }
   }
 
-  private def parseImpl(df: DataFrame, body: String, mapping: IndexMapping): DataFrame = {
+  private def parseImpl(
+      df: DataFrame,
+      body: String,
+      mapping: IndexMapping,
+      relations: Map[String, DataFrame] = Map.empty
+  ): DataFrame = {
     val root =
       try mapper.readTree(body)
       catch {
@@ -109,7 +124,8 @@ object JsonDsl {
         "search_after",
         "highlight",
         "collapse",
-        "runtime_mappings"
+        "runtime_mappings",
+        "rescore"
       )
     root.fieldNames().asScala.foreach(n => require(known(n), s"unsupported request element '$n'"))
     // The knn query (the OpenSearch vector-search plugin's clause) is a
@@ -289,6 +305,166 @@ object JsonDsl {
           case None      => top
         }
       case None => ()
+    }
+    // boosting at the top level: positive matches kept, negative matches
+    // DEMOTED by negative_boost rather than excluded — one scan, the
+    // score is a conditional projection (the structured search_boosting
+    // plan).
+    Option(root.get("query")).filter(q =>
+      q.isObject && q.size == 1 && q.fieldNames().next() == "boosting"
+    ) match {
+      case Some(q) =>
+        require(root.get("aggs") == null && root.get("aggregations") == null, "boosting with aggs is unsupported")
+        val body = q.get("boosting")
+        val pos = compileQuery(df, req(body, "positive", "boosting"), mapping)
+        val neg = compileQuery(df, req(body, "negative", "boosting"), mapping)
+        val nb = Option(body.get("negative_boost")).map(_.asDouble).getOrElse(0.5)
+        val scored = df
+          .filter(pos)
+          .withColumn("_score", when(coalesce(neg, lit(false)), lit(nb)).otherwise(lit(1.0)))
+        val order = col("_score").desc +: Option(root.get("sort")).map(compileSort).getOrElse(Nil)
+        val ranked = scored.orderBy(order: _*)
+        val top = Option(root.get("size")).map(_.asInt).fold(ranked)(k => ranked.limit(k))
+        return Option(root.get("_source")) match {
+          case Some(src) => top.select(src.elements().asScala.map(e => col(e.asText)).toSeq: _*)
+          case None      => top
+        }
+      case None => ()
+    }
+    // bool whose should-clauses are ALL scoring clauses (rank_feature /
+    // distance_feature): must/filter/must_not gate the hit set, _score is
+    // the SUM of the should scores (OpenSearch's additive should
+    // contribution) — one scan, every score a pure projection.
+    Option(root.get("query")).filter { q =>
+      q.isObject && q.size == 1 && q.fieldNames().next() == "bool" && {
+        val sh = clauseList(q.get("bool"), "should")
+        sh.nonEmpty && sh.forall(c =>
+          c.isObject && c.size == 1 &&
+            Set("rank_feature", "distance_feature")(c.fieldNames().next())
+        )
+      }
+    } match {
+      case Some(q) =>
+        require(
+          root.get("aggs") == null && root.get("aggregations") == null,
+          "scoring bool with aggs is unsupported"
+        )
+        val b = q.get("bool")
+        val must = (clauseList(b, "must") ++ clauseList(b, "filter")).map(compileQuery(df, _, mapping))
+        val mustNot = clauseList(b, "must_not").map(compileQuery(df, _, mapping))
+        val scores = clauseList(b, "should").map(compileScoringClause)
+        val scored = df
+          .filter(SearchDsl.bool(must, mustNot, Nil))
+          .withColumn("_score", round(scores.reduce(_ + _), 6))
+        val order = col("_score").desc +: Option(root.get("sort")).map(compileSort).getOrElse(Nil)
+        val ranked = scored.orderBy(order: _*)
+        val top = Option(root.get("size")).map(_.asInt).fold(ranked)(k => ranked.limit(k))
+        return Option(root.get("_source")) match {
+          case Some(src) => top.select(src.elements().asScala.map(e => col(e.asText)).toSeq: _*)
+          case None      => top
+        }
+      case None => ()
+    }
+    // has_child / has_parent at the top level: the other side of the
+    // relation comes from `relations`; the clause's `join` object names
+    // the key pair (standing in for OpenSearch's join-field mapping).
+    // Both compile to a LEFT SEMI join — never fan-out + distinct repair.
+    Option(root.get("query")).filter(q =>
+      q.isObject && q.size == 1 &&
+        Set("has_child", "has_parent")(q.fieldNames().next())
+    ) match {
+      case Some(q) =>
+        val kind = q.fieldNames().next()
+        require(root.get("aggs") == null && root.get("aggregations") == null, s"$kind with aggs is unsupported")
+        val body = q.get(kind)
+        val relName = req(body, if (kind == "has_child") "type" else "parent_type", kind).asText
+        val other = relations.getOrElse(
+          relName,
+          throw new IllegalArgumentException(s"$kind references unknown relation '$relName' — pass it in `relations`")
+        )
+        val join = req(body, "join", kind)
+        val parentKey = req(join, "parent", s"$kind.join").asText
+        val childKey = req(join, "child", s"$kind.join").asText
+        val otherMatches = other.filter(compileQuery(other, req(body, "query", kind), mapping))
+        val (dfKey, otherKey) =
+          if (kind == "has_child") (parentKey, childKey) else (childKey, parentKey)
+        val hits = df.join(otherMatches.select(col(otherKey)), col(dfKey) === col(otherKey), "left_semi")
+        val ranked = Option(root.get("sort")).map(s => hits.orderBy(compileSort(s): _*)).getOrElse(hits)
+        val top = Option(root.get("size")).map(_.asInt).fold(ranked)(k => ranked.limit(k))
+        return Option(root.get("_source")) match {
+          case Some(src) => top.select(src.elements().asScala.map(e => col(e.asText)).toSeq: _*)
+          case None      => top
+        }
+      case None => ()
+    }
+    // terms lookup (the index/id/path form): the term list comes from a
+    // row of ANOTHER frame, not the request body. The lookup row's
+    // analyzed tokens become a broadcast join onto the corpus token
+    // stream — one scan, no driver round-trip, no O(terms) OR-chain.
+    Option(root.get("query")).filter { q =>
+      q.isObject && q.size == 1 && q.fieldNames().next() == "terms" && {
+        val b = q.get("terms")
+        b.isObject && b.size == 1 && b.get(b.fieldNames().next()).isObject
+      }
+    } match {
+      case Some(q) =>
+        require(root.get("aggs") == null && root.get("aggregations") == null, "terms lookup with aggs is unsupported")
+        val body = q.get("terms")
+        val f = singleField(body)
+        val spec = body.get(f)
+        val idx = req(spec, "index", "terms lookup").asText
+        val id = req(spec, "id", "terms lookup").asLong
+        val path = req(spec, "path", "terms lookup").asText
+        val minLen = Option(spec.get("min_term_length")).map(_.asInt).getOrElse(1)
+        val lookup = relations.getOrElse(
+          idx,
+          throw new IllegalArgumentException(s"terms lookup references unknown index '$idx' — pass it in `relations`")
+        )
+        val lookupTerms = lookup
+          .filter(col("_id") === id)
+          .select(explode(array_distinct(SearchDsl.analyze(col(path)))).as("_term"))
+          .filter(length(col("_term")) >= minLen)
+        val src = Option(root.get("_source")).map(_.elements().asScala.toSeq.map(_.asText)).getOrElse {
+          throw new IllegalArgumentException("terms lookup requires _source (the hit columns to return)")
+        }
+        val hits = df
+          .withColumn("_term", explode(array_distinct(SearchDsl.analyze(col(f)))))
+          .join(broadcast(lookupTerms), "_term")
+          .select(src.map(col): _*)
+          .distinct()
+        return Option(root.get("sort")).map(s => hits.orderBy(compileSort(s): _*)).getOrElse(hits)
+      case None => ()
+    }
+    // rescore: cheap first phase ranks the corpus under the body's sort
+    // and keeps window_size rows; the rescore_query (match form: score =
+    // number of its distinct analyzed terms present) touches ONLY that
+    // window, then hits re-rank by (_score desc, first-phase sort) — the
+    // OpenSearch two-phase cost model.
+    if (root.get("rescore") != null) {
+      val rs = root.get("rescore")
+      val window = Option(rs.get("window_size")).map(_.asInt).getOrElse(10)
+      val rq = req(req(rs, "query", "rescore"), "rescore_query", "rescore")
+      require(
+        rq.isObject && rq.size == 1 && rq.fieldNames().next() == "match",
+        s"rescore supports a match rescore_query, got: $rq"
+      )
+      val (f, v) = fieldAndValue(rq.get("match"), "query")
+      val terms = v.asText.toLowerCase.split("\\s+").toSeq.distinct
+      val pred = Option(root.get("query")).map(compileQuery(df, _, mapping)).getOrElse(lit(true))
+      val sortCols = Option(root.get("sort")).map(compileSort).getOrElse {
+        throw new IllegalArgumentException("rescore requires a deterministic first-phase sort")
+      }
+      val first = df.filter(pred).orderBy(sortCols: _*).limit(window)
+      val scored = first.withColumn(
+        "_score",
+        size(array_intersect(array_distinct(SearchDsl.analyze(col(f))), array(terms.map(lit): _*)))
+      )
+      val ranked = scored.orderBy(col("_score").desc +: sortCols: _*)
+      val top = Option(root.get("size")).map(_.asInt).fold(ranked)(k => ranked.limit(k))
+      return Option(root.get("_source")) match {
+        case Some(src) => top.select(src.elements().asScala.map(e => col(e.asText)).toSeq: _*)
+        case None      => top
+      }
     }
     // significant_terms: the query is the FOREGROUND set, the whole index
     // the background — the frame must reach the aggregation UNFILTERED,
@@ -786,6 +962,15 @@ object JsonDsl {
         require(conds.nonEmpty, s"range on '$f' needs at least one of gte/gt/lte/lt")
         conds.reduce(_ && _)
       case "exists" => col(req(body, "field", "exists").asText).isNotNull
+      case "nested" =>
+        // nested field semantics: ONE element must satisfy the whole
+        // inner clause — `exists` over the array-of-struct column, a
+        // codegen'd per-row loop with no join or explode. `inner_hits`
+        // is accepted here (it shapes the response, not the hit set);
+        // the inner-hit rows themselves come from [[innerHits]].
+        val path = req(body, "path", "nested").asText
+        val pred = compileNestedPred(path, req(body, "query", "nested"))
+        exists(col(path), pred)
       case "simple_query_string" =>
         // the fault-tolerant syntax, compiled by SimpleQuery; matches if
         // ANY listed field satisfies the parsed expression.
@@ -1007,6 +1192,54 @@ object JsonDsl {
         val cs = clauseList(body, "clauses")
         require(cs.nonEmpty, "span_or needs at least one clause")
         cs.map(c => compileQuery(df, c, mapping)).reduce(_ || _)
+      // span_first: the match must begin within the first `end` token
+      // positions — whole-row position probe, no explode.
+      case "span_first" =>
+        val (f, term) = spanTermOf(req(body, "match", "span_first"), "span_first.match")
+        val end = req(body, "end", "span_first").asInt
+        SearchDsl.spanFirstPos(col(f), term).between(1, end)
+      // span_not: an include-term occurrence with NO exclude-term within
+      // pre positions before / post after it.
+      case "span_not" =>
+        val (fi, ti) = spanTermOf(req(body, "include", "span_not"), "span_not.include")
+        val (fe, te) = spanTermOf(req(body, "exclude", "span_not"), "span_not.exclude")
+        require(fi == fe, s"span_not include/exclude must share one field: $fi vs $fe")
+        val pre = Option(body.get("pre")).map(_.asInt).getOrElse(0)
+        val post = Option(body.get("post")).map(_.asInt).getOrElse(0)
+        val pi = tokenPositions(fi, ti)
+        val pe = tokenPositions(fe, te)
+        exists(pi, i => !exists(pe, e => e >= i - lit(pre) && e <= i + lit(post)))
+      // span_within: a little span strictly enclosed by a big ordered
+      // span_near span; span_containing is its dual (big spans that
+      // enclose a little occurrence). Both are the token-position HOF
+      // shape — per-row array work, no self-join.
+      case "span_within" | "span_containing" =>
+        val (fl, tl) = spanTermOf(req(body, "little", name), s"$name.little")
+        val bigNode = req(body, "big", name)
+        require(
+          bigNode.isObject && bigNode.size == 1 && bigNode.fieldNames().next() == "span_near",
+          s"$name big clause must be span_near: $bigNode"
+        )
+        val (fb, ta, tb, slop) = spanNearParts(bigNode.get("span_near"))
+        require(fl == fb, s"$name little/big must share one field: $fl vs $fb")
+        val pp = tokenPositions(fl, tl)
+        val pa = tokenPositions(fb, ta)
+        val pb = tokenPositions(fb, tb)
+        if (name == "span_within")
+          exists(pp, p => exists(pa, a => exists(pb, b => b > a && b - a <= lit(slop) && p > a && p < b)))
+        else
+          exists(pa, a => exists(pb, b => b > a && b - a <= lit(slop) && exists(pp, p => p > a && p < b)))
+      // match_bool_prefix: every term a full analyzed token except the
+      // LAST, which matches as a prefix; terms join under OR (the
+      // default operator), all in one per-row pass.
+      case "match_bool_prefix" =>
+        val (f, v) = fieldAndValue(body, "query")
+        val terms = v.asText.toLowerCase.split("\\s+").toSeq
+        require(terms.nonEmpty, "match_bool_prefix needs at least one term")
+        val toks = graft.functions.TextFns.tokens(col(f))
+        val full = terms.init.map(t => array_contains(toks, t))
+        val pre = exists(toks, t => t.startsWith(terms.last))
+        (full :+ pre).reduce(_ || _)
       case other => throw new IllegalArgumentException(s"unsupported query clause '$other'")
     }
   }
@@ -1499,9 +1732,163 @@ object JsonDsl {
     else if (v.isBoolean) v.asBoolean
     else v.asText
 
+  /** `{"span_term": {field: value}}` → (field, lowercased term). */
+  private def spanTermOf(node: JsonNode, ctx: String): (String, String) = {
+    require(
+      node.isObject && node.size == 1 && node.fieldNames().next() == "span_term",
+      s"$ctx must be a span_term clause: $node"
+    )
+    val (f, v) = fieldAndValue(node.get("span_term"), "value")
+    (f, v.asText.toLowerCase)
+  }
+
+  /** A two-span_term span_near body → (field, termA, termB, slop). */
+  private def spanNearParts(body: JsonNode): (String, String, String, Int) = {
+    val clauses = clauseList(body, "clauses")
+    require(clauses.size == 2, s"span_near supports exactly two span_term clauses, got ${clauses.size}")
+    val terms = clauses.map(spanTermOf(_, "span_near clause"))
+    val f = terms.head._1
+    require(terms.forall(_._1 == f), s"span_near clauses must share one field: ${terms.map(_._1)}")
+    (f, terms(0)._2, terms(1)._2, Option(body.get("slop")).map(_.asInt).getOrElse(0))
+  }
+
+  /** 0-based positions of `term` among the field's analyzed tokens. */
+  private def tokenPositions(f: String, term: String): Column =
+    filter(
+      transform(
+        graft.functions.TextFns.tokens(col(f)),
+        (t, i) => when(t === lit(term), i).otherwise(lit(-1))
+      ),
+      x => x >= 0
+    )
+
+  /** Scoring clauses usable in a bool `should` (additive _score):
+    * rank_feature (saturation form: boost·f/(f+pivot)) and
+    * distance_feature (boost·pivot/(pivot+|field−origin|), ISO-8601
+    * origin + `Nd`/`Nh`/`Ns` pivot over a timestamp field). Both are
+    * pure projections — score-time work is one codegen'd expression.
+    */
+  private def compileScoringClause(node: JsonNode): Column = {
+    require(node.isObject && node.size == 1, s"a scoring clause must have exactly one key, got: $node")
+    val name = node.fieldNames().next()
+    val body = node.get(name)
+    name match {
+      case "rank_feature" =>
+        val f = col(req(body, "field", "rank_feature").asText)
+        val pivot = req(req(body, "saturation", "rank_feature"), "pivot", "rank_feature.saturation").asDouble
+        val boost = Option(body.get("boost")).map(_.asDouble).getOrElse(1.0)
+        lit(boost) * f / (f + lit(pivot))
+      case "distance_feature" =>
+        val f = col(req(body, "field", "distance_feature").asText)
+        val origin = java.time.Instant.parse(req(body, "origin", "distance_feature").asText).getEpochSecond
+        val pivotText = req(body, "pivot", "distance_feature").asText
+        val pivotSecs = pivotText.last match {
+          case 'd' => pivotText.dropRight(1).toDouble * 86400
+          case 'h' => pivotText.dropRight(1).toDouble * 3600
+          case 's' => pivotText.dropRight(1).toDouble
+          case u   => throw new IllegalArgumentException(s"unsupported distance_feature pivot unit '$u' (use d/h/s)")
+        }
+        val boost = Option(body.get("boost")).map(_.asDouble).getOrElse(1.0)
+        SearchDsl.distanceFeature(abs(unix_timestamp(f) - lit(origin)).cast("double"), pivotSecs, boost)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported scoring clause '$other' (supported: rank_feature, distance_feature)")
+    }
+  }
+
   /** Accept both OpenSearch forms: a single clause object or an array. */
   private def clauseList(body: JsonNode, key: String): Seq[JsonNode] =
     Option(body.get(key)).toSeq.flatMap { n =>
       if (n.isArray) n.elements().asScala.toSeq else Seq(n)
     }
+
+  /** Compile a query clause into a per-ELEMENT predicate for a `nested`
+    * context: fields are `path.`-prefixed in the request (OpenSearch's
+    * convention) and resolve against the lambda element, so the whole
+    * clause holds on one element at a time — the nested-vs-object
+    * distinction. The supported subset (bool/term/terms/range/exists/
+    * match_all) is the filter-context surface; scoring clauses inside
+    * nested are rejected loudly.
+    */
+  private def compileNestedPred(path: String, node: JsonNode): Column => Column = {
+    require(node.isObject && node.size == 1, s"a query clause must have exactly one key, got: $node")
+    val name = node.fieldNames().next()
+    val body = node.get(name)
+    def fieldOf(x: Column, f: String): Column = {
+      require(
+        f == path || f.startsWith(path + "."),
+        s"nested query field '$f' must be under path '$path'"
+      )
+      f.stripPrefix(path).stripPrefix(".").split('.').filter(_.nonEmpty).foldLeft(x)(_.getField(_))
+    }
+    name match {
+      case "match_all" => _ => lit(true)
+      case "term" =>
+        val (f, v) = fieldAndValue(body, "value")
+        x => fieldOf(x, f) === lit(scalarValue(v))
+      case "terms" =>
+        val f = singleField(body)
+        val vs = body.get(f).elements().asScala.map(scalarValue).toSeq
+        require(vs.nonEmpty, s"terms on '$f' needs at least one value")
+        x => vs.map(v => fieldOf(x, f) === lit(v)).reduce(_ || _)
+      case "range" =>
+        val f = singleField(body)
+        val b = body.get(f)
+        val ops: Seq[(String, (Column, Column) => Column)] = Seq(
+          "gte" -> (_ >= _),
+          "gt" -> (_ > _),
+          "lte" -> (_ <= _),
+          "lt" -> (_ < _)
+        )
+        val conds = ops.flatMap { case (k, op) => Option(b.get(k)).map(v => (c: Column) => op(c, lit(scalarValue(v)))) }
+        require(conds.nonEmpty, s"range on '$f' needs at least one of gte/gt/lte/lt")
+        x => conds.map(_(fieldOf(x, f))).reduce(_ && _)
+      case "exists" =>
+        val f = req(body, "field", "exists").asText
+        x => fieldOf(x, f).isNotNull
+      case "bool" =>
+        val must = (clauseList(body, "must") ++ clauseList(body, "filter")).map(compileNestedPred(path, _))
+        val mustNot = clauseList(body, "must_not").map(compileNestedPred(path, _))
+        val should = clauseList(body, "should").map(compileNestedPred(path, _))
+        x => {
+          val m = must.map(_(x))
+          val mn = mustNot.map(p => !coalesce(p(x), lit(false)))
+          val sh =
+            if (should.nonEmpty && must.isEmpty) Seq(should.map(_(x)).reduce(_ || _))
+            else Nil
+          (m ++ mn ++ sh).reduceOption(_ && _).getOrElse(lit(true))
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported clause '$other' inside nested (supported: bool, term, terms, range, exists, match_all)"
+        )
+    }
+  }
+
+  /** The `inner_hits` section of a nested search, relationally: one row
+    * per MATCHING element of each matching document — the parent's
+    * `_source` columns followed by the element's fields, flattened. The
+    * plan is filter (the nested predicate) → per-row `filter` HOF (the
+    * surviving elements) → explode — element extraction never shuffles,
+    * and the explode multiplies only matched rows by their matched-element
+    * count, exactly the response payload OpenSearch would build.
+    */
+  def innerHits(df: DataFrame, body: String, mapping: IndexMapping = IndexMapping.empty): DataFrame = {
+    val root = mapper.readTree(body)
+    require(root != null && root.isObject, s"request body must be a JSON object: $body")
+    val qnode = req(root, "query", "inner_hits request")
+    require(
+      qnode.isObject && qnode.size == 1 && qnode.fieldNames().next() == "nested",
+      s"innerHits requires a top-level nested query, got: $qnode"
+    )
+    val nbody = qnode.get("nested")
+    require(nbody.get("inner_hits") != null, "innerHits requires the nested clause to request inner_hits")
+    val path = req(nbody, "path", "nested").asText
+    val pred = compileNestedPred(path, req(nbody, "query", "nested"))
+    val src = Option(root.get("_source")).toSeq.flatMap(_.elements().asScala.toSeq.map(_.asText))
+    val exploded = df
+      .filter(exists(col(path), pred))
+      .withColumn("_inner_hit", explode(filter(col(path), pred)))
+    val out = exploded.select(src.map(col) :+ col("_inner_hit.*"): _*)
+    Option(root.get("sort")).map(s => out.orderBy(compileSort(s): _*)).getOrElse(out)
+  }
 }

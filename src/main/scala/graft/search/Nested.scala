@@ -1,0 +1,61 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The `nested` field type: array-of-struct columns where a query clause
+  * must hold on ONE element as a whole, not distributed across elements
+  * (the object-vs-nested distinction — `{a:1,b:2},{a:2,b:1}` does NOT
+  * match `a=1 AND b=1` when nested). Reference surface: the TDD's JSONB
+  * mapping (aurora-postgresql-cdc-opensearch — tdd.md §4.3) emits
+  * exactly such fields for document arrays.
+  *
+  * Spark-native shape: the nested document layout is ONE array-of-struct
+  * column, so per-element matching is the `exists`/`filter` HOF pair over
+  * it — a codegen'd per-row loop with no join, no explode, no shuffle at
+  * query time. The layout itself is built once ([[nestedIndex]]) by a
+  * (childKey) hash aggregation co-shuffled with the parent join — the
+  * same one-time cost OpenSearch pays at indexing time, amortized over
+  * every query. At 100 TB the build shuffles each child row exactly once
+  * keyed by the parent id (no skew beyond the parent's natural fan-out),
+  * and queries scan parent-sized data only.
+  */
+object Nested {
+
+  /** Build the nested index shape: `parent` gains an array-of-struct
+    * column `path` holding, per row, its `child` rows (the selected
+    * `fields`). Element order is deterministic — sort_array orders by
+    * the struct's fields in declaration order, so put the natural order
+    * key (e.g. a line number) first in `fields`. Parents with no
+    * children get an EMPTY array — the nested clause then correctly
+    * never matches them (OpenSearch: absent nested docs match nothing),
+    * while `exists(path)`-style presence checks stay well-defined.
+    */
+  def nestedIndex(
+      parent: DataFrame,
+      child: DataFrame,
+      parentKey: String,
+      childKey: String,
+      path: String,
+      fields: Seq[String]
+  ): DataFrame = {
+    require(fields.nonEmpty, "nested index needs at least one child field")
+    val items = child
+      .groupBy(col(childKey).as(parentKey))
+      .agg(sort_array(collect_list(struct(fields.map(col): _*)), asc = true).as(path))
+    val emptyItems = array().cast(items.schema(path).dataType)
+    parent
+      .join(items, Seq(parentKey), "left")
+      .withColumn(path, coalesce(col(path), emptyItems))
+  }
+
+  /** The `nested` query predicate: SOME element satisfies the whole
+    * inner clause. One codegen'd loop per row.
+    */
+  def query(items: Column, pred: Column => Column): Column = exists(items, pred)
+
+  /** The `inner_hits` payload for a matched document: the elements that
+    * satisfied the clause, in stored order.
+    */
+  def innerHits(items: Column, pred: Column => Column): Column = filter(items, pred)
+}

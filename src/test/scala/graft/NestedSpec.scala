@@ -1,0 +1,110 @@
+package graft
+
+import graft.search.{JsonDsl, Nested}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The `nested` field type: per-ELEMENT clause matching over
+  * array-of-struct columns, plus the inner_hits payload. The load-bearing
+  * test is the object-vs-nested distinction: a clause must hold on ONE
+  * element as a whole, never assembled across elements.
+  */
+class NestedSpec extends SparkSpec {
+  import spark.implicits._
+
+  // parent 1: one item satisfies BOTH predicates (matches)
+  // parent 2: predicates hold only ACROSS elements (object semantics
+  //           would match; nested must not)
+  // parent 3: no children at all
+  // parent 4: children, none matching
+  private lazy val parents = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("pid", "tag")
+  private lazy val children = Seq(
+    (1L, 1, "R", 50.0),
+    (1L, 2, "N", 10.0),
+    (2L, 1, "R", 10.0), // flag matches, qty does not
+    (2L, 2, "N", 50.0), // qty matches, flag does not
+    (4L, 1, "N", 5.0)
+  ).toDF("cid", "line", "flag", "qty")
+
+  private lazy val nested =
+    Nested.nestedIndex(parents, children, "pid", "cid", "items", Seq("line", "qty", "flag"))
+
+  private val pred: Column => Column =
+    x => x.getField("flag") === "R" && x.getField("qty") >= 48
+
+  test("nested matches per element, not across elements (the object-vs-nested distinction)") {
+    val hits = nested.filter(Nested.query(col("items"), pred)).select("pid").as[Long].collect().toSet
+    assert(hits == Set(1L), "parent 2 satisfies the clause only across two elements and must not match")
+    // the childless parent has an EMPTY array (not null): presence is
+    // well-defined and the clause correctly never matches it
+    val empt = nested.filter(col("pid") === 3L).select(size(col("items"))).as[Int].head()
+    assert(empt == 0)
+  }
+
+  test("inner_hits returns exactly the matching elements in stored order") {
+    val ih = nested
+      .filter(Nested.query(col("items"), pred))
+      .select(col("pid"), Nested.innerHits(col("items"), pred).as("ih"))
+      .select(col("pid"), size(col("ih")).as("n"), col("ih").getItem(0).getField("line").as("line"))
+      .as[(Long, Int, Int)]
+      .collect()
+      .toSeq
+    assert(ih == Seq((1L, 1, 1)))
+  }
+
+  test("wire nested compiles to the structured plan and agrees row-for-row") {
+    val wire = JsonDsl.parse(
+      nested,
+      """{"query": {"nested": {"path": "items",
+        |   "query": {"bool": {"must": [
+        |     {"term": {"items.flag": {"value": "R"}}},
+        |     {"range": {"items.qty": {"gte": 48}}}]}}}},
+        | "sort": [{"pid": "asc"}], "_source": ["pid", "tag"]}""".stripMargin
+    )
+    val structured = nested
+      .filter(Nested.query(col("items"), pred))
+      .select("pid", "tag")
+      .orderBy("pid")
+    assert(wire.collect().toSeq == structured.collect().toSeq)
+  }
+
+  test("wire inner_hits explodes matching elements with parent _source columns") {
+    val out = JsonDsl.innerHits(
+      nested,
+      """{"query": {"nested": {"path": "items", "inner_hits": {},
+        |   "query": {"bool": {"must": [{"term": {"items.flag": {"value": "R"}}}]}}}},
+        | "sort": [{"pid": "asc"}, {"line": "asc"}], "_source": ["pid"]}""".stripMargin
+    )
+    assert(out.columns.toSeq == Seq("pid", "line", "qty", "flag"))
+    val rows = out.select("pid", "line").as[(Long, Int)].collect().toSeq
+    assert(rows == Seq((1L, 1), (2L, 1)))
+  }
+
+  test("error contract: fields outside the path, scoring clauses, missing inner_hits") {
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(nested, """{"query": {"nested": {"path": "items", "query": {"term": {"tag": {"value": "a"}}}}}}""")
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(
+        nested,
+        """{"query": {"nested": {"path": "items", "query": {"match_phrase": {"items.flag": "R"}}}}}"""
+      ).collect()
+    }
+    intercept[IllegalArgumentException] {
+      JsonDsl.innerHits(nested, """{"query": {"nested": {"path": "items", "query": {"match_all": {}}}}}""")
+    }
+  }
+
+  test("nested composes inside bool at the top level") {
+    val wire = JsonDsl.parse(
+      nested,
+      """{"query": {"bool": {
+        |   "must": [{"nested": {"path": "items",
+        |              "query": {"range": {"items.qty": {"gte": 48}}}}}],
+        |   "must_not": [{"term": {"tag": {"value": "b"}}}]}},
+        | "sort": [{"pid": "asc"}], "_source": ["pid"]}""".stripMargin
+    )
+    assert(wire.as[Long].collect().toSeq == Seq(1L))
+  }
+}
