@@ -1219,7 +1219,9 @@ object Similarity {
     * bounded-heap TopKPerKey operator; every shuffle carries (id, nbr,
     * cos) triples, never vectors. Entry points are the min-id vector of
     * each cell — nLists seeds spread across the space, one O(nLists)
-    * driver fetch.
+    * driver fetch. A skewed cell larger than `maxCell` is hash-split so
+    * its candidate work stays ~s·maxCell, never s² — see
+    * [[graphCandidatePairs]].
     */
   def graphIndex(
       emb: DataFrame,
@@ -1227,7 +1229,8 @@ object Similarity {
       vecCol: String,
       m: Int = 8,
       nLists: Int = 16,
-      nAssign: Int = 2
+      nAssign: Int = 2,
+      maxCell: Int = 4096
   ): GraphIndex = {
     val idx = ivfIndexKMeans(emb, idCol, vecCol, nLists, iters = 2)
     val cents = idx.centroids
@@ -1250,16 +1253,7 @@ object Similarity {
     val cells = graft.Tables
       .ensureParallelism(emb.select(col(idCol).as("id"), col(vecCol).as("vec")).filter(col("vec").isNotNull))
       .select(col("id"), col("vec"), explode(topCells(col("vec"))).as("cell"))
-    val l = cells.select(col("cell"), col("id"), col("vec").as("va"))
-    val r = cells.select(col("cell"), col("id").as("nbr"), col("vec").as("vb"))
-    // Score each unordered pair ONCE (a < b), dedupe the double-find
-    // from two shared cells, then mirror — cosine is symmetric and is
-    // the expensive part of the build, so this halves the kernel work.
-    val half = l
-      .join(r, Seq("cell"))
-      .filter(col("id") < col("nbr"))
-      .select(col("id"), col("nbr"), round(VectorFns.cosine(col("va"), col("vb")), 6).as("cos"))
-      .distinct() // a pair sharing both assigned cells is found twice
+    val half = graphCandidatePairs(cells, maxCell)
     val scored = half.unionByName(half.select(col("nbr").as("id"), col("id").as("nbr"), col("cos")))
     val neighbors = graft.plans.TopKPerKey
       .perKey(scored, Seq("id"), Seq("cos" -> false, "nbr" -> true), m)
@@ -1274,6 +1268,34 @@ object Similarity {
       .toSeq
       .sorted
     GraphIndex(neighbors, entry)
+  }
+
+  /** In-cell candidate pairs for the graph build, with the per-cell
+    * quadratic CAPPED at `maxCell`: a cell of size s > maxCell splits
+    * into ceil(s/maxCell) hash sub-buckets — candidate enumeration and
+    * cosine work drop from s² to ~s·maxCell, the skewed-cell straggler
+    * bound. The sub-bucket hash is keyed on (cell, id), so a pair split
+    * apart in one shared cell gets an independent second chance in its
+    * runner-up cell (the nAssign=2 multi-assignment); the measured
+    * recall floor under deliberate skew lives in SimilaritySpec. Cells
+    * at or under maxCell keep nsub = 1 — bit-identical to the uncapped
+    * build. Each unordered pair scores ONCE (a < b), deduped across
+    * shared cells, then mirrors — cosine is symmetric and is the
+    * expensive part of the build, so this halves the kernel work.
+    */
+  private[graft] def graphCandidatePairs(cells: DataFrame, maxCell: Int): DataFrame = {
+    require(maxCell > 0, s"maxCell must be positive: $maxCell")
+    val sizes = cells.groupBy("cell").agg(count(lit(1)).as("_csz"))
+    val sub = cells
+      .join(sizes, Seq("cell"))
+      .withColumn("_nsub", greatest(lit(1L), ceil(col("_csz").cast("double") / maxCell).cast("long")))
+      .withColumn("_g", pmod(xxhash64(col("cell"), col("id")), col("_nsub")))
+    val l = sub.select(col("cell"), col("_g"), col("id"), col("vec").as("va"))
+    val r = sub.select(col("cell"), col("_g"), col("id").as("nbr"), col("vec").as("vb"))
+    l.join(r, Seq("cell", "_g"))
+      .filter(col("id") < col("nbr"))
+      .select(col("id"), col("nbr"), round(VectorFns.cosine(col("va"), col("vb")), 6).as("cos"))
+      .distinct() // a pair sharing both assigned cells is found twice
   }
 
   /** Beam search over the neighbor graph — HNSW's greedy descent

@@ -468,6 +468,50 @@ class ReplicaSpec extends SparkSpec {
       .foreach { case (id, cos) => assert(all(id) == cos, s"stale graph score for vec $id") }
   }
 
+  test("graph build caps in-cell candidate work under deliberate skew (maxCell)") {
+    // one pathological cell: 400 vectors all blocked together — the
+    // skewed-100×-corpus straggler the uncapped build is quadratic on
+    val rnd = new scala.util.Random(7)
+    val skewed = (0 until 400)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat), 0))
+      .toDF("id", "vec", "cell")
+    val s = 400
+    val capped = Similarity.graphCandidatePairs(skewed, maxCell = 50)
+    val nCapped = capped.count()
+    val nUncapped = s.toLong * (s - 1) / 2
+    // sub-bucketing bounds enumeration + kernel work at ~s·maxCell/2
+    assert(
+      nCapped <= s.toLong * 50,
+      s"capped candidate count $nCapped exceeds s·maxCell = ${s.toLong * 50}"
+    )
+    assert(
+      nCapped < nUncapped / 4,
+      s"cap had no effect: $nCapped vs uncapped $nUncapped"
+    )
+    // at or under the cap the build is BIT-IDENTICAL to the uncapped one
+    val under = Similarity.graphCandidatePairs(skewed, maxCell = s)
+    assert(under.count() == nUncapped)
+    // recall floor survives capping: the capped graph on the real
+    // fixture (maxCell forces splits at these cell sizes) still finds
+    // at least half the true top-10 per probe
+    val idxCapped = Similarity.graphIndex(emb, "vec_id", "embedding", maxCell = 48)
+    val probes = Seq(0L, 21L, 100L)
+    val recalls = probes.map { pid =>
+      val q = emb.filter($"vec_id" === pid).select("embedding").head().getSeq[Float](0)
+      val truth =
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).select("vec_id").as[Long].collect().toSet
+      val got = Similarity
+        .graphSearch(idxCapped, emb, "vec_id", "embedding", q, 10)
+        .select("id")
+        .as[Long]
+        .collect()
+        .toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    info(s"capped-graph recall@10 (maxCell=48): ${recalls.mkString(", ")}")
+    assert(recalls.forall(_ >= 0.5), s"capped-graph recall below the floor: $recalls")
+  }
+
   test("two-layer graph descent: warm entry points, recall at 2 bottom rounds vs single-layer A/B") {
     val idx2 = Similarity.graphIndex2(emb, "vec_id", "embedding")
     // the top layer is a strict deterministic subset of the corpus
