@@ -12,7 +12,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional subset run (scale experiments): comma-separated key
+    // substrings. A filtered run records to bench_filtered.json so the
+    // full-suite record in bench_full.json (the box-load guard baseline
+    // and the round diff source) is never overwritten by a subset.
+    val filterPats = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.split(",").toSeq)
+    val recordPath = if (filterPats.isDefined) "bench_filtered.json" else "bench_full.json"
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => filterPats.forall(_.exists(name.contains)) }
+      .sortBy(_._1)
     // Warm-up pass: JIT + codegen compilation + parquet footer caches, so
     // the timed pass measures steady-state query cost.
     ordered.foreach { case (_, fn) =>
@@ -66,7 +74,7 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(recordPath), line + "\n")
     println(line)
     // The full line outgrew the driver's stdout-tail capture (the record
     // keeps the LAST ~4 KB, so a >4 KB line survives only as a

@@ -4715,6 +4715,29 @@ object SparkEntry {
         """{"query": {"match_bool_prefix": {"text": {"query": "spark quer"}}},
           | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin
       )),
+    // agg twins: weighted_avg / multi_terms / percentile_ranks from the
+    // wire format — each one hash agg, shared plan with the structured
+    // entry.
+    "search_dsl_json_weighted_avg" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.lineitem(s, dir),
+        """{"aggs": {"w": {"weighted_avg": {
+          |   "value": {"field": "l_extendedprice"},
+          |   "weight": {"field": "l_quantity"}}}}}""".stripMargin
+      )),
+    "search_dsl_json_multi_terms" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"m": {"multi_terms": {
+          |   "terms": [{"field": "o_orderpriority"}, {"field": "o_orderstatus"}],
+          |   "size": 5}}}}""".stripMargin
+      )),
+    "search_dsl_json_percentile_ranks" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"p": {"percentile_ranks": {
+          |   "field": "o_totalprice", "values": [100000, 300000]}}}}""".stripMargin
+      )),
     // pinned from the wire format: curated _ids first in list order,
     // organic matches follow — the structured search_pinned tier plan.
     "search_dsl_json_pinned" -> ((s, dir) =>
@@ -6584,6 +6607,17 @@ object SparkEntry {
         |SELECT doc_id FROM t
         |WHERE list_contains(toks, 'spark') OR len(list_filter(toks, x -> starts_with(x, 'quer'))) > 0
         |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_weighted_avg" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |           / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6) AS weighted_avg
+        |FROM lineitem""".stripMargin,
+    "search_dsl_json_multi_terms" ->
+      """SELECT o_orderpriority AS k0, o_orderstatus AS k1, count(*) AS doc_count
+        |FROM orders GROUP BY 1, 2 ORDER BY doc_count DESC, k0, k1 LIMIT 5""".stripMargin,
+    "search_dsl_json_percentile_ranks" ->
+      """SELECT round(avg(CASE WHEN o_totalprice <= 100000 THEN 1.0 ELSE 0.0 END), 6) AS pr_100000,
+        |       round(avg(CASE WHEN o_totalprice <= 300000 THEN 1.0 ELSE 0.0 END), 6) AS pr_300000
+        |FROM orders""".stripMargin,
     "search_terms_set" ->
       """SELECT doc_id,
         |       CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')),

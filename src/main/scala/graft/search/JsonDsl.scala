@@ -1469,6 +1469,31 @@ object JsonDsl {
           .map(_.elements().asScala.toSeq.map(_.asDouble))
           .getOrElse(Seq(50.0, 90.0, 99.0))
         Aggs.percentiles(df, field, ps.map(p => percentileName(p) -> p / 100.0))
+      // percentile_ranks: the inverse of percentiles — the fraction of
+      // docs at or below each given value; columns named pr_<value>.
+      case "percentile_ranks" =>
+        val vs = req(body, "values", "percentile_ranks").elements().asScala.toSeq.map(_.asDouble)
+        require(vs.nonEmpty, "percentile_ranks needs at least one value")
+        val cols = vs.map { v =>
+          val nm = if (v == math.rint(v)) s"pr_${v.toLong}" else s"pr_$v".replace('.', '_')
+          round(avg((field <= lit(v)).cast("double")), 6).as(nm)
+        }
+        df.agg(cols.head, cols.tail: _*)
+      // multi_terms: compound bucket key (k0..kn), top-size by count.
+      case "multi_terms" =>
+        val fs = req(body, "terms", "multi_terms")
+          .elements()
+          .asScala
+          .toSeq
+          .map(t => col(req(t, "field", "multi_terms term").asText))
+        require(fs.size >= 2, s"multi_terms needs at least two fields")
+        Aggs.multiTerms(df, fs, Option(body.get("size")).map(_.asInt).getOrElse(10))
+      // weighted_avg: sum(value·weight)/sum(weight), both sums exact
+      // decimal (the house money convention) so engines agree.
+      case "weighted_avg" =>
+        val vf = col(req(req(body, "value", "weighted_avg"), "field", "weighted_avg.value").asText)
+        val wf = col(req(req(body, "weight", "weighted_avg"), "field", "weighted_avg.weight").asText)
+        Aggs.weightedAvg(df, vf.cast("decimal(12,2)"), wf.cast("decimal(12,2)"))
       case "geohash_grid" =>
         // Geohash density cells over a struct field carrying the integer
         // hundredth-degree grid (la100/lo100) every geo entry derives;
