@@ -4738,6 +4738,70 @@ object SparkEntry {
         """{"aggs": {"p": {"percentile_ranks": {
           |   "field": "o_totalprice", "values": [100000, 300000]}}}}""".stripMargin
       )),
+    // remaining metric-agg twins: the wire compiler already had these
+    // cases; the entries close the name-level gap with shared oracles.
+    "search_dsl_json_auto_date_histogram" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.events(s, dir),
+        """{"aggs": {"a": {"auto_date_histogram": {"field": "ts", "buckets": 40}}}}"""
+      )),
+    "search_dsl_json_string_stats" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"aggs": {"s": {"string_stats": {"field": "text"}}}}"""
+      )),
+    "search_dsl_json_mad" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"m": {"median_absolute_deviation": {"field": "o_totalprice"}}}}"""
+      )),
+    "search_dsl_json_extended_stats" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"e": {"extended_stats": {"field": "o_totalprice"}}}}"""
+      )),
+    "search_dsl_json_histogram" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"h": {"histogram": {"field": "o_totalprice", "interval": 50000}}}}"""
+      )),
+    "search_dsl_json_cardinality" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.lineitem(s, dir),
+        """{"aggs": {"n_parts": {"cardinality": {"field": "l_partkey"}}}}"""
+      )),
+    // pipeline-agg twins over the monthly bucket table: serial_diff /
+    // moving_fn / normalize ride the date_histogram sub-agg compiler —
+    // bounded windows over tens of buckets, never the fact table.
+    "search_dsl_json_serial_diff" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"monthly": {
+          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |   "aggs": {
+          |     "revenue": {"sum": {"field": "o_totalprice"}},
+          |     "yoy_diff": {"serial_diff": {"buckets_path": "revenue", "lag": 12}}}}}}""".stripMargin
+      )),
+    "search_dsl_json_moving_fn" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"monthly": {
+          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |   "aggs": {
+          |     "revenue": {"sum": {"field": "o_totalprice"}},
+          |     "mov_max": {"moving_fn": {"buckets_path": "revenue", "window": 3,
+          |                 "script": "MovingFunctions.max(values)"}}}}}}""".stripMargin
+      )),
+    "search_dsl_json_normalize" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"monthly": {
+          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |   "aggs": {
+          |     "revenue": {"sum": {"field": "o_totalprice"}},
+          |     "pct_of_sum": {"normalize": {"buckets_path": "revenue",
+          |                    "method": "percent_of_sum"}}}}}}""".stripMargin
+      )),
     // pinned from the wire format: curated _ids first in list order,
     // organic matches follow — the structured search_pinned tier plan.
     "search_dsl_json_pinned" -> ((s, dir) =>
@@ -6618,6 +6682,67 @@ object SparkEntry {
       """SELECT round(avg(CASE WHEN o_totalprice <= 100000 THEN 1.0 ELSE 0.0 END), 6) AS pr_100000,
         |       round(avg(CASE WHEN o_totalprice <= 300000 THEN 1.0 ELSE 0.0 END), 6) AS pr_300000
         |FROM orders""".stripMargin,
+    "search_dsl_json_auto_date_histogram" ->
+      """WITH span AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
+        |iv AS (SELECT CASE
+        |    WHEN date_diff('hour', lo, hi) + 1 <= 40 THEN 'hour'
+        |    WHEN date_diff('day', lo, hi) + 1 <= 40 THEN 'day'
+        |    WHEN date_diff('month', lo, hi) + 1 <= 40 THEN 'month'
+        |    ELSE 'year' END AS interval FROM span)
+        |SELECT interval, CAST(date_trunc(interval, ts) AS TIMESTAMP) AS bucket, count(*) AS doc_count
+        |FROM events, iv GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+    "search_dsl_json_string_stats" ->
+      """WITH chars AS (SELECT unnest(range(1, length(text) + 1)) AS i, text FROM documents),
+        |cc AS (SELECT substr(text, CAST(i AS INTEGER), 1) AS ch, count(*) AS n FROM chars GROUP BY 1),
+        |e AS (SELECT round((ln(sum(n)) - sum(n * ln(n)) / sum(n)) / ln(2.0), 6) AS entropy FROM cc)
+        |SELECT count(text) AS cnt,
+        |       CAST(min(length(text)) AS BIGINT) AS min_length,
+        |       CAST(max(length(text)) AS BIGINT) AS max_length,
+        |       round(avg(length(text)), 6) AS avg_length,
+        |       (SELECT entropy FROM e) AS entropy
+        |FROM documents""".stripMargin,
+    "search_dsl_json_mad" ->
+      """WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS md FROM orders)
+        |SELECT round(quantile_cont(abs(o_totalprice - md), 0.5), 6) AS mad FROM orders, m""".stripMargin,
+    "search_dsl_json_extended_stats" ->
+      """WITH a AS (SELECT count(o_totalprice) AS cnt,
+        |                  round(min(o_totalprice), 2) AS mn, round(max(o_totalprice), 2) AS mx,
+        |                  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
+        |                  sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS sq
+        |           FROM orders)
+        |SELECT CAST(cnt AS BIGINT) AS cnt, mn AS min_v, mx AS max_v,
+        |       round(CAST(s AS DOUBLE) / cnt, 6) AS avg_v,
+        |       round(CAST(s AS DOUBLE), 2) AS sum_v,
+        |       round(CAST(sq AS DOUBLE), 2) AS sum_sq,
+        |       round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1), 6) AS variance,
+        |       round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1)), 6) AS std_dev
+        |FROM a""".stripMargin,
+    "search_dsl_json_histogram" ->
+      """SELECT floor(o_totalprice / 50000) * 50000 AS bucket, count(*) AS doc_count
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "search_dsl_json_cardinality" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem""".stripMargin,
+    "search_dsl_json_serial_diff" ->
+      """SELECT bucket, doc_count, revenue,
+        |       round(revenue - lag(revenue, 12) OVER (ORDER BY bucket), 2) AS yoy_diff
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |             count(*) AS doc_count, round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t
+        |ORDER BY bucket""".stripMargin,
+    "search_dsl_json_moving_fn" ->
+      """SELECT bucket, doc_count, revenue,
+        |       round(max(revenue) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_max
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |             count(*) AS doc_count, round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t
+        |ORDER BY bucket""".stripMargin,
+    "search_dsl_json_normalize" ->
+      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |                  count(*) AS doc_count, round(sum(o_totalprice), 2) AS revenue
+        |           FROM orders GROUP BY 1)
+        |SELECT bucket, doc_count, revenue,
+        |       round(revenue / (SELECT sum(revenue) FROM b) * 100.0, 6) AS pct_of_sum
+        |FROM b ORDER BY bucket""".stripMargin,
     "search_terms_set" ->
       """SELECT doc_id,
         |       CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')),

@@ -1348,7 +1348,8 @@ object JsonDsl {
         // cumulative_sum / derivative / moving_avg over a sibling metric
         // or _count) run over the BUCKET table — tens of rows — so the
         // unpartitioned window is bounded, never the fact table.
-        val pipelineTypes = Set("cumulative_sum", "derivative", "moving_avg")
+        val pipelineTypes =
+          Set("cumulative_sum", "derivative", "moving_avg", "serial_diff", "moving_fn", "normalize")
         val entries = subAggs.map(_.fields().asScala.toSeq).getOrElse(Nil)
         // bucket_selector is the HAVING of the bucket world: it filters
         // the (tiny) bucket table by a script over sibling metrics and
@@ -1357,10 +1358,27 @@ object JsonDsl {
           entries.partition(e => e.getValue.isObject && e.getValue.fieldNames().next() == "bucket_selector")
         val (pipeEntries, metricEntries) =
           nonSelector.partition(e => e.getValue.isObject && pipelineTypes(e.getValue.fieldNames().next()))
+        // Metric sub-aggs here follow the house money convention: `sum`
+        // accumulates in exact DECIMAL (partition-order-proof — a double
+        // sum's last-ulp wobble vs the oracle's is a hash mismatch) and
+        // every metric rounds to the oracle's precision (sum/min/max 2,
+        // avg 6), because pipeline columns derive from these values.
         val metricsCols = subAggs.toSeq.flatMap { a =>
           val pruned = a.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
           (pipeEntries ++ selectorEntries).foreach(e => pruned.remove(e.getKey))
-          if (pruned.size == 0) Nil else metricColumns(pruned)
+          if (pruned.size == 0) Nil
+          else
+            pruned.fields().asScala.toSeq.map { e =>
+              val name = e.getKey
+              require(e.getValue.isObject && e.getValue.size == 1, s"metric '$name' must have exactly one type")
+              val mType = e.getValue.fieldNames().next()
+              val f = col(req(e.getValue.get(mType), "field", s"metric '$name' ($mType)").asText)
+              val c = mType match {
+                case "sum" => round(sum(f.cast("decimal(12,2)")).cast("double"), 2)
+                case _     => roundedMetricOf(mType, f)
+              }
+              c.as(name)
+            }
         }
         val base0 = Aggs.dateHistogram(df, field, interval.get, metricsCols)
         val metricNames = metricEntries.map(_.getKey).toSet
@@ -1392,6 +1410,39 @@ object JsonDsl {
                 require(win > 0, s"moving_avg window must be positive: $win")
                 round(avg(src).over(w.rowsBetween(-(win - 1), org.apache.spark.sql.expressions.Window.currentRow)), 6)
                   .as(name)
+              // serial_diff at `lag`: the seasonal differencing pipeline.
+              case "serial_diff" =>
+                val l = Option(spec.get("lag")).map(_.asInt).getOrElse(1)
+                require(l > 0, s"serial_diff lag must be positive: $l")
+                round(src - lag(src, l).over(w), 2).as(name)
+              // moving_fn, MovingFunctions.{max,min,sum} script forms —
+              // the windowed reduction over trailing `window` buckets.
+              case "moving_fn" =>
+                val win = Option(spec.get("window")).map(_.asInt).getOrElse(5)
+                require(win > 0, s"moving_fn window must be positive: $win")
+                val script = req(spec, "script", "moving_fn").asText
+                val w3 = w.rowsBetween(-(win - 1), org.apache.spark.sql.expressions.Window.currentRow)
+                val fn: Column => Column = script match {
+                  case s if s.contains("MovingFunctions.max") => max
+                  case s if s.contains("MovingFunctions.min") => min
+                  case s if s.contains("MovingFunctions.sum") => sum
+                  case s =>
+                    throw new IllegalArgumentException(
+                      s"unsupported moving_fn script '$s' (supported: MovingFunctions.max/min/sum)"
+                    )
+                }
+                round(fn(src).over(w3), 2).as(name)
+              // normalize, percent_of_sum: each bucket's share of the
+              // metric total — the total is a full-frame window over the
+              // tiny bucket table, never the fact scan.
+              case "normalize" =>
+                val method = req(spec, "method", "normalize").asText
+                require(method == "percent_of_sum", s"unsupported normalize method '$method'")
+                val full = w.rowsBetween(
+                  org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                  org.apache.spark.sql.expressions.Window.unboundedFollowing
+                )
+                round(src / sum(src).over(full) * 100.0, 6).as(name)
             }
           }
           base.select(col("*") +: pipeCols: _*).orderBy("bucket")

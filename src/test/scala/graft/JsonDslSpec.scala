@@ -147,9 +147,20 @@ class JsonDslSpec extends SparkSpec {
         |  "aggs": {"total": {"sum": {"field": "v"}}, "peak": {"max": {"field": "v"}}}
         |}}}""".stripMargin
     )
+    // r8: wire metrics follow the house money convention — sum is an
+    // exact-DECIMAL accumulation rounded to 2 (partition-order-proof vs
+    // the oracle), other metrics round to their oracle precision.
     samePlan(
       got,
-      Aggs.dateHistogram(df, col("ts"), "month", Seq(sum(col("v")).as("total"), max(col("v")).as("peak")))
+      Aggs.dateHistogram(
+        df,
+        col("ts"),
+        "month",
+        Seq(
+          round(sum(col("v").cast("decimal(12,2)")).cast("double"), 2).as("total"),
+          round(max(col("v")), 2).as("peak")
+        )
+      )
     )
     assert(got.columns.toSeq == Seq("bucket", "doc_count", "total", "peak"))
     assert(got.as[(java.sql.Timestamp, Long, Double, Double)].collect().map(_._3).toSeq == Seq(12.0, 9.0))
@@ -714,11 +725,17 @@ class JsonDslSpec extends SparkSpec {
         |                                        "script": "params.r >= 30"}}}}}}""".stripMargin,
       mapping
     )
-    // plan-equal to the structured HAVING over the bucket table
+    // plan-equal to the structured HAVING over the bucket table (sum is
+    // the exact-decimal rounded form per the house money convention)
     samePlan(
       got,
       Aggs
-        .dateHistogram(rows, col("ts"), "month", Seq(sum(col("amount")).as("rev")))
+        .dateHistogram(
+          rows,
+          col("ts"),
+          "month",
+          Seq(round(sum(col("amount").cast("decimal(12,2)")).cast("double"), 2).as("rev"))
+        )
         .filter(col("rev") >= 30.0)
     )
     assert(got.columns.toSeq == Seq("bucket", "doc_count", "rev"))
