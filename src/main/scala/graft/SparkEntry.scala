@@ -2227,11 +2227,16 @@ object SparkEntry {
     "agg_sessionize" -> ((s, dir) => {
       val ordW = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val cumW = ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // Epoch seconds via unix_micros over an LTZ cast: valid for both
+      // TIMESTAMP and TIMESTAMP_NTZ source columns (NTZ -> DOUBLE is not a
+      // legal cast), and deterministic because every session pins
+      // spark.sql.session.timeZone=UTC.
+      def epochSec(c: Column): Column = unix_micros(c.cast("timestamp_ltz")).cast("double") / 1e6
       Tables
         .events(s, dir)
         .withColumn(
           "is_new",
-          when(col("ts").cast("double") - lag(col("ts"), 1).over(ordW).cast("double") > 1800, 1).otherwise(0)
+          when(epochSec(col("ts")) - epochSec(lag(col("ts"), 1).over(ordW)) > 1800, 1).otherwise(0)
         )
         .withColumn("session_id", sum("is_new").over(cumW))
         .groupBy("user_id", "session_id")

@@ -41,9 +41,17 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    val micros =
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    // Canonicalize ts to TIMESTAMP_NTZ regardless of the writer's physical
+    // type (int64-nanos -> LTZ micros above; plain timestamp[us] arrives as
+    // NTZ already; an LTZ writer casts over losslessly under the pinned UTC
+    // session TZ). Downstream plans must never depend on which writer
+    // produced events.parquet — an NTZ-vs-LTZ analysis difference took out
+    // agg_sessionize in round 8.
+    micros.withColumn("ts", expr("cast(ts as timestamp_ntz)"))
   }
 
   /** Session configs every entry point needs (Verify/Bench/tests). */

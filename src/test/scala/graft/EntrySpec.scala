@@ -88,6 +88,48 @@ class EntrySpec extends SparkSpec {
     assert(bq.contains("TakeOrderedAndProject"), s"BQ ranking is not bounded:\n$bq")
   }
 
+  test("events.ts physical-type matrix: LTZ / NTZ / int64-nanos writers all work") {
+    // Round 8 broke agg_sessionize when a testdata re-generation switched
+    // events.ts from int64-nanos to timestamp[us] (NTZ) and an NTZ->DOUBLE
+    // cast stopped analyzing. Guard: write the same events rows under all
+    // three physical types, assert Tables.events canonicalizes every one to
+    // TIMESTAMP_NTZ, and that the ts-arithmetic queries run and agree
+    // byte-for-byte across writers.
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.TimestampNTZType
+    val base = Tables.events(spark, Sf)
+    val root = java.nio.file.Files.createTempDirectory("graft-ts-matrix")
+    val variants = Seq(
+      "ltz"   -> base.withColumn("ts", col("ts").cast("timestamp_ltz")),
+      "ntz"   -> base.withColumn("ts", col("ts").cast("timestamp_ntz")),
+      "nanos" -> base.withColumn("ts", expr("unix_micros(cast(ts as timestamp_ltz)) * 1000L"))
+    )
+    val others = new java.io.File(Sf).listFiles.map(_.getName).filter(n => n.endsWith(".parquet") && n != "events.parquet")
+    val dirs = variants.map { case (name, df) =>
+      val dir = root.resolve(name)
+      java.nio.file.Files.createDirectories(dir)
+      df.write.mode("overwrite").parquet(dir.resolve("events.parquet").toString)
+      // the ts-arithmetic queries also read the other tables from the same dir
+      others.foreach(n => java.nio.file.Files.createSymbolicLink(dir.resolve(n), java.nio.file.Paths.get(Sf, n)))
+      name -> dir.toString
+    }
+    val tsQueries = Seq(
+      "agg_sessionize", "agg_session_window_native", "agg_event_windows", "agg_path_transitions",
+      "agg_retention_cohorts", "monitor_anomaly_zscore", "search_date_histogram",
+      "search_decay_gauss", "search_distance_feature", "cdc_asof_enrich")
+    for ((name, dir) <- dirs) {
+      assert(Tables.events(spark, dir).schema("ts").dataType == TimestampNTZType,
+        s"ts=$name not canonicalized to TIMESTAMP_NTZ")
+      for (q <- tsQueries)
+        assert(SparkEntry.queries(q)(spark, dir).count() > 0, s"$q on ts=$name writer returned no rows")
+    }
+    // same rows in, same sessions out — independent of the writer
+    val perVariant = dirs.map { case (_, dir) =>
+      SparkEntry.queries("agg_sessionize")(spark, dir).collect().map(_.toString).sorted.toSeq
+    }
+    assert(perVariant.distinct.size == 1, "agg_sessionize output differs across ts writers")
+  }
+
   test("all queries execute and are non-empty at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
