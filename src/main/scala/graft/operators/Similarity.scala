@@ -1252,7 +1252,8 @@ object Similarity {
     }
     val cells = graft.Tables
       .ensureParallelism(emb.select(col(idCol).as("id"), col(vecCol).as("vec")).filter(col("vec").isNotNull))
-      .select(col("id"), col("vec"), explode(topCells(col("vec"))).as("cell"))
+      .withColumn("cells", topCells(col("vec"))) // full assignment rides along for row-local pair dedup
+      .select(col("id"), col("vec"), col("cells"), explode(col("cells")).as("cell"))
     val half = graphCandidatePairs(cells, maxCell)
     val scored = half.unionByName(half.select(col("nbr").as("id"), col("id").as("nbr"), col("cos")))
     val neighbors = graft.plans.TopKPerKey
@@ -1279,23 +1280,46 @@ object Similarity {
     * runner-up cell (the nAssign=2 multi-assignment); the measured
     * recall floor under deliberate skew lives in SimilaritySpec. Cells
     * at or under maxCell keep nsub = 1 — bit-identical to the uncapped
-    * build. Each unordered pair scores ONCE (a < b), deduped across
-    * shared cells, then mirrors — cosine is symmetric and is the
-    * expensive part of the build, so this halves the kernel work.
+    * build. Each unordered pair scores ONCE (a < b): of the cells both
+    * endpoints share AND meet in (same sub-bucket), only the smallest
+    * cell emits the pair — a row-local ownership test replacing the old
+    * global `.distinct()` over every (id, nbr, cos) triple, which was a
+    * full extra shuffle of the candidate set (the round-8 10×-scale
+    * outlier). The duplicate cosine kernel work disappears with the
+    * duplicate rows, since ownership is decided BEFORE the kernel runs.
     */
   private[graft] def graphCandidatePairs(cells: DataFrame, maxCell: Int): DataFrame = {
     require(maxCell > 0, s"maxCell must be positive: $maxCell")
-    val sizes = cells.groupBy("cell").agg(count(lit(1)).as("_csz"))
-    val sub = cells
-      .join(sizes, Seq("cell"))
-      .withColumn("_nsub", greatest(lit(1L), ceil(col("_csz").cast("double") / maxCell).cast("long")))
-      .withColumn("_g", pmod(xxhash64(col("cell"), col("id")), col("_nsub")))
-    val l = sub.select(col("cell"), col("_g"), col("id"), col("vec").as("va"))
-    val r = sub.select(col("cell"), col("_g"), col("id").as("nbr"), col("vec").as("vb"))
+    // Callers without multi-assignment (spec fixtures) omit the `cells`
+    // array; a single-cell assignment makes the ownership test trivial.
+    val assigned =
+      if (cells.columns.contains("cells")) cells
+      else cells.withColumn("cells", array(col("cell")))
+    // Cell census: ≤ nLists rows — bounded index metadata, driver-safe —
+    // turned into a closure map so the sub-bucket of ANY (cell, id) pair
+    // is computable row-locally on both sides of the ownership test.
+    val nsub: Map[Int, Int] = assigned
+      .groupBy("cell")
+      .agg(count(lit(1)).as("_csz"))
+      .collect()
+      .map(r => r.getInt(0) -> math.max(1L, math.ceil(r.getLong(1).toDouble / maxCell).toLong).toInt)
+      .toMap
+    def bucket(cell: Int, id: Long): Int = {
+      val h = scala.util.hashing.MurmurHash3.mix(scala.util.hashing.MurmurHash3.mix(0x9747b28c, cell), (id ^ (id >>> 32)).toInt)
+      Math.floorMod(h, nsub.getOrElse(cell, 1))
+    }
+    val bucketUdf = udf((cell: Int, id: Long) => bucket(cell, id))
+    val ownerUdf = udf { (cell: Int, ca: Seq[Int], cb: Seq[Int], id: Long, nbr: Long) =>
+      val meet = ca.intersect(cb).filter(c => bucket(c, id) == bucket(c, nbr))
+      meet.nonEmpty && cell == meet.min
+    }
+    val sub = assigned.withColumn("_g", bucketUdf(col("cell"), col("id")))
+    val l = sub.select(col("cell"), col("_g"), col("id"), col("vec").as("va"), col("cells").as("ca"))
+    val r = sub.select(col("cell"), col("_g"), col("id").as("nbr"), col("vec").as("vb"), col("cells").as("cb"))
     l.join(r, Seq("cell", "_g"))
       .filter(col("id") < col("nbr"))
+      .filter(ownerUdf(col("cell"), col("ca"), col("cb"), col("id"), col("nbr")))
       .select(col("id"), col("nbr"), round(VectorFns.cosine(col("va"), col("vb")), 6).as("cos"))
-      .distinct() // a pair sharing both assigned cells is found twice
   }
 
   /** Beam search over the neighbor graph — HNSW's greedy descent

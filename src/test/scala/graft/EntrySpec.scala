@@ -88,6 +88,30 @@ class EntrySpec extends SparkSpec {
     assert(bq.contains("TakeOrderedAndProject"), s"BQ ranking is not bounded:\n$bq")
   }
 
+  test("join-back family pays each fact scan once (cache or window restructure)") {
+    // q11/q15 branch on a shared aggregate: both consumers must read the
+    // persisted frame (2 InMemoryTableScans; the fact scan runs once, at
+    // cache population). q17/q20 were restructured to a single declarative
+    // pass: exactly one FileScan per distinct table, no cache needed.
+    // collect() does not descend into InMemoryRelation's cached plan, so
+    // fileScans counts only scans the main plan would re-run.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val expected = Map(
+      "q11_important_parts" -> (0, 2), // lineitem+sup+nation+region all behind the cache
+      "q15_top_supplier"    -> (1, 2), // supplier + cached revenue agg twice
+      "q17_small_quantity"  -> (2, 0), // lineitem + part, once each
+      "q20_excess_suppliers" -> (5, 0) // one scan per distinct table
+    )
+    for ((q, (maxFiles, wantMem)) <- expected) {
+      val plan = SparkEntry.queries(q)(spark, Sf).queryExecution.sparkPlan
+      val files = plan.collect { case x: FileSourceScanExec => x }.length
+      val mem   = plan.collect { case x: InMemoryTableScanExec => x }.length
+      assert(files <= maxFiles && mem == wantMem,
+        s"$q re-scans its facts: files=$files (max $maxFiles), memScans=$mem (want $wantMem)\n$plan")
+    }
+  }
+
   test("events.ts physical-type matrix: LTZ / NTZ / int64-nanos writers all work") {
     // Round 8 broke agg_sessionize when a testdata re-generation switched
     // events.ts from int64-nanos to timestamp[us] (NTZ) and an NTZ->DOUBLE
