@@ -72,9 +72,21 @@ object Bench {
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
+    // Whole-run load detection: the per-query retry can't fix a run where
+    // the box was loaded THROUGHOUT — round 8 recorded ~44 phantom
+    // 1.5-2.5x "regressions" in one such run, inflating both the round
+    // diff and this guard's own baseline. If >20% of comparable queries
+    // still exceed 1.5x their recorded time after retries, that is box
+    // load (dozens of simultaneous real regressions don't happen): keep
+    // the previous record as the diff base and park the suspect run in
+    // bench_loaded.json for inspection.
+    val comparable = results.toSeq.filter { case (k, v) => v > 0 && prev.get(k).exists(_ > 0) }
+    val inflated = comparable.count { case (k, v) => v > 1.5 * prev(k) }
+    val loadPoisoned = comparable.nonEmpty && inflated * 5 > comparable.size
+    val outPath = if (loadPoisoned && filterPats.isEmpty) "bench_loaded.json" else recordPath
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(recordPath), line + "\n")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errors,"load_poisoned":$loadPoisoned,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     println(line)
     // The full line outgrew the driver's stdout-tail capture (the record
     // keeps the LAST ~4 KB, so a >4 KB line survives only as a

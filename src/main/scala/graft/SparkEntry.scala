@@ -4850,34 +4850,126 @@ object SparkEntry {
           | "params": {"term": "spark", "min_chars": 200}}""".stripMargin,
         docsMapping
       )),
-    // variable_width_histogram: OpenSearch computes this agg
-    // approximately (streaming 1-D clustering); here the cluster seeds
-    // are EXACT interpolated quantiles at (2i+1)/2k and each value joins
-    // its nearest seed (ties to the lower seed — array_position finds
-    // the first minimum). Deterministic, engine-portable, and
-    // oracle-checkable — a strictly stronger contract than the
-    // reference's best-effort buckets. One stats pass (seed quantiles,
-    // 1-row broadcast) + one assignment scan into a k-row hash agg.
-    "search_variable_width_histogram" -> ((s, dir) => {
-      val k = 8
-      val ps = (0 until k).map(i => (2 * i + 1).toDouble / (2 * k))
-      val seeds = Tables
-        .orders(s, dir)
-        .agg(expr(s"percentile(o_totalprice, array(${ps.mkString(", ")}))").as("_seeds"))
-      Tables
-        .orders(s, dir)
-        .crossJoin(broadcast(seeds))
-        .withColumn("_d", expr("transform(_seeds, s -> abs(o_totalprice - s))"))
-        .withColumn("bucket", array_position(col("_d"), array_min(col("_d"))))
-        .groupBy("bucket")
-        .agg(
-          count(lit(1)).as("doc_count"),
-          round(min("o_totalprice"), 2).as("min_v"),
-          round(max("o_totalprice"), 2).as("max_v"),
-          round(sum(decMoney(col("o_totalprice"))).cast("double") / count(lit(1)), 6).as("centroid")
-        )
-        .orderBy("bucket")
-    }),
+    // ── R9: wire twins for the remaining agg families ──────────────────
+    // Sibling pipelines (avg/max/percentiles_bucket, change_point) ride
+    // the two-agg sibling detector; bucket_script / moving_ewma /
+    // moving_percentiles / cumulative_cardinality the date_histogram
+    // sub-agg compiler; ip_prefix / ip_range / categorize_text /
+    // variable_width_histogram / geo_line are first-class agg cases.
+    "search_dsl_json_avg_bucket" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {
+          |  "monthly": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |              "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}}},
+          |  "rev_avg": {"avg_bucket": {"buckets_path": "monthly>revenue"}}
+          |}}""".stripMargin
+      )),
+    "search_dsl_json_max_bucket" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {
+          |  "monthly": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |              "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}}},
+          |  "best": {"max_bucket": {"buckets_path": "monthly>revenue"}}
+          |}}""".stripMargin
+      )),
+    "search_dsl_json_percentiles_bucket" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {
+          |  "monthly": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |              "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}}},
+          |  "ladder": {"percentiles_bucket": {"buckets_path": "monthly>revenue", "percents": [25, 50, 75]}}
+          |}}""".stripMargin
+      )),
+    "search_dsl_json_change_point" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {
+          |  "monthly": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |              "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}}},
+          |  "shift": {"change_point": {"buckets_path": "monthly>revenue"}}
+          |}}""".stripMargin
+      )),
+    "search_dsl_json_bucket_script" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"monthly": {
+          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |   "aggs": {
+          |     "revenue": {"sum": {"field": "o_totalprice"}},
+          |     "aov": {"bucket_script": {"buckets_path": {"r": "revenue", "c": "_count"},
+          |             "script": "params.r / params.c"}}}}}}""".stripMargin
+      )),
+    "search_dsl_json_cumulative_cardinality" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.events(s, dir),
+        """{"aggs": {"daily": {
+          |   "date_histogram": {"field": "ts", "calendar_interval": "day"},
+          |   "aggs": {
+          |     "u": {"cardinality": {"field": "user_id"}},
+          |     "cum_users": {"cumulative_cardinality": {"buckets_path": "u"}}}}}}""".stripMargin
+      )),
+    "search_dsl_json_moving_ewma" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.events(s, dir),
+        """{"aggs": {"daily": {
+          |   "date_histogram": {"field": "ts", "calendar_interval": "day"},
+          |   "aggs": {
+          |     "ewma": {"moving_fn": {"buckets_path": "_count", "window": 10000,
+          |              "script": "MovingFunctions.ewma(values, 0.3)"}}}}}}""".stripMargin
+      )),
+    "search_dsl_json_moving_percentiles" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"monthly": {
+          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |   "aggs": {
+          |     "revenue": {"sum": {"field": "o_totalprice"}},
+          |     "p50_6m": {"moving_percentiles": {"buckets_path": "revenue", "window": 6, "percent": 50}},
+          |     "p90_6m": {"moving_percentiles": {"buckets_path": "revenue", "window": 6, "percent": 90}}}}}}""".stripMargin
+      )),
+    "search_dsl_json_categorize_text" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"aggs": {"patterns": {"categorize_text": {"field": "text", "size": 10}}}}"""
+      )),
+    "search_dsl_json_variable_width_histogram" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"price_clusters": {"variable_width_histogram": {"field": "o_totalprice", "buckets": 8}}}}"""
+      )),
+    "search_dsl_json_ip_prefix" -> ((s, dir) =>
+      JsonDsl.parse(
+        ipEvents(s, dir),
+        """{"aggs": {"nets": {
+          |   "ip_prefix": {"field": "ip", "prefix_length": 16, "size": 20},
+          |   "aggs": {"unique_users": {"cardinality": {"field": "user_id"}}}}}}""".stripMargin
+      )),
+    "search_dsl_json_ip_range" -> ((s, dir) =>
+      JsonDsl.parse(
+        ipEvents(s, dir),
+        """{"aggs": {"tiers": {"ip_range": {"field": "ip", "ranges": [
+          |   {"key": "a_low", "to": "10.5.0.0"},
+          |   {"key": "b_mid", "from": "10.5.0.0", "to": "10.10.0.0"},
+          |   {"key": "c_high", "from": "10.10.0.0"}]}}}}""".stripMargin
+      )),
+    "search_dsl_json_geo_line" -> ((s, dir) =>
+      JsonDsl.parse(
+        geoEvents(s, dir)
+          .select(col("event_type"), col("ts"), col("event_id"), struct(col("lat"), col("lon")).as("location")),
+        """{"aggs": {"tracks": {
+          |   "terms": {"field": "event_type"},
+          |   "aggs": {"line": {"geo_line": {
+          |     "point": {"field": "location"}, "sort": {"field": "ts"},
+          |     "tie_breaker": "event_id", "size": 10}}}}}}""".stripMargin
+      )),
+    // variable_width_histogram: exact-quantile seeds + nearest-seed
+    // assignment — the shared Aggs implementation (the wire twin compiles
+    // to the same call; see Aggs.variableWidthHistogram for the contract).
+    "search_variable_width_histogram" -> ((s, dir) =>
+      Aggs.variableWidthHistogram(Tables.orders(s, dir), col("o_totalprice"), 8)),
     // ip_prefix agg (/16): network-prefix buckets over the derived IP
     // space — integer-arithmetic octets (see ipEvents), one hash agg
     // with an exact per-prefix user cardinality.
@@ -7402,6 +7494,119 @@ object SparkEntry {
       """SELECT doc_id, n_chars FROM documents
         |WHERE list_contains(string_split(lower(text), ' '), 'spark') AND n_chars >= 200
         |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_avg_bucket" ->
+      """SELECT round(avg(revenue), 6) AS avg_bucket, round(min(revenue), 2) AS min_bucket,
+        |       round(max(revenue), 2) AS max_bucket, round(sum(revenue), 2) AS sum_bucket
+        |FROM (SELECT date_trunc('month', o_orderdate) AS bucket, round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t""".stripMargin,
+    "search_dsl_json_max_bucket" ->
+      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |                  round(sum(o_totalprice), 2) AS revenue
+        |           FROM orders GROUP BY 1)
+        |SELECT bucket, revenue FROM b
+        |WHERE revenue = (SELECT max(revenue) FROM b)
+        |ORDER BY bucket""".stripMargin,
+    "search_dsl_json_percentiles_bucket" ->
+      """SELECT round(quantile_cont(revenue, 0.25), 6) AS p25,
+        |       round(quantile_cont(revenue, 0.5), 6) AS p50,
+        |       round(quantile_cont(revenue, 0.75), 6) AS p75
+        |FROM (SELECT date_trunc('month', o_orderdate) AS bucket, round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t""".stripMargin,
+    "search_dsl_json_change_point" ->
+      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |                  round(sum(o_totalprice), 2) AS revenue
+        |           FROM orders GROUP BY 1),
+        |c AS (SELECT bucket,
+        |             sum(CAST(revenue AS DECIMAL(18,2))) OVER (ORDER BY bucket
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |             CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS k
+        |      FROM b),
+        |t AS (SELECT sum(CAST(revenue AS DECIMAL(18,2))) AS tot, count(*) AS n FROM b)
+        |SELECT bucket, left_mean, right_mean,
+        |       round(abs(left_mean - right_mean), 6) AS delta
+        |FROM (SELECT bucket,
+        |             round(CAST(cum AS DOUBLE) / k, 6) AS left_mean,
+        |             round(CAST(tot - cum AS DOUBLE) / (n - k), 6) AS right_mean
+        |      FROM c CROSS JOIN t WHERE k < n) s
+        |ORDER BY delta DESC, bucket LIMIT 1""".stripMargin,
+    "search_dsl_json_bucket_script" ->
+      """SELECT bucket, doc_count, revenue,
+        |       round(revenue / doc_count, 6) AS aov
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |             count(*) AS doc_count, round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t
+        |ORDER BY bucket""".stripMargin,
+    "search_dsl_json_cumulative_cardinality" ->
+      """WITH fs AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS bucket
+        |            FROM events GROUP BY 1),
+        |nk AS (SELECT bucket, count(*) AS new_keys FROM fs GROUP BY 1),
+        |spine AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket FROM events)
+        |SELECT bucket, CAST(coalesce(new_keys, 0) AS BIGINT) AS new_keys,
+        |       CAST(sum(coalesce(new_keys, 0))
+        |            OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_cardinality
+        |FROM spine LEFT JOIN nk USING (bucket) ORDER BY bucket""".stripMargin,
+    "search_dsl_json_moving_ewma" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, count(*) AS doc_count
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT list(bucket ORDER BY bucket) AS bl,
+        |             list(doc_count ORDER BY bucket) AS cl,
+        |             list(CAST(doc_count AS DOUBLE) ORDER BY bucket) AS vl FROM daily)
+        |SELECT unnest(bl) AS bucket, unnest(cl) AS doc_count,
+        |       unnest(list_transform(vl, (x, i) ->
+        |         round(list_reduce(list_slice(vl, 1, i), (acc, y) -> y * 0.3 + acc * 0.7), 6))) AS ewma
+        |FROM a ORDER BY bucket""".stripMargin,
+    "search_dsl_json_moving_percentiles" ->
+      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |                  count(*) AS doc_count, round(sum(o_totalprice), 2) AS revenue
+        |           FROM orders GROUP BY 1)
+        |SELECT bucket, doc_count, revenue,
+        |       round(quantile_cont(revenue, 0.5) OVER (ORDER BY bucket
+        |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS p50_6m,
+        |       round(quantile_cont(revenue, 0.9) OVER (ORDER BY bucket
+        |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS p90_6m
+        |FROM b ORDER BY bucket""".stripMargin,
+    "search_dsl_json_categorize_text" ->
+      """SELECT array_to_string(list_slice(string_split(lower(text), ' '), 1, 3), ' ') AS pattern,
+        |       count(*) AS doc_count
+        |FROM documents GROUP BY 1 ORDER BY doc_count DESC, pattern LIMIT 10""".stripMargin,
+    "search_dsl_json_variable_width_histogram" ->
+      """WITH s AS (SELECT quantile_cont(o_totalprice,
+        |             [0.0625, 0.1875, 0.3125, 0.4375, 0.5625, 0.6875, 0.8125, 0.9375]) AS seeds
+        |           FROM orders),
+        |a AS (SELECT o_totalprice,
+        |        CAST(list_position(list_transform(seeds, x -> abs(o_totalprice - x)),
+        |               list_aggregate(list_transform(seeds, x -> abs(o_totalprice - x)), 'min'))
+        |             AS BIGINT) AS bucket
+        |      FROM orders CROSS JOIN s)
+        |SELECT bucket, count(*) AS doc_count,
+        |       round(min(o_totalprice), 2) AS min_v,
+        |       round(max(o_totalprice), 2) AS max_v,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS centroid
+        |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "search_dsl_json_ip_prefix" ->
+      """SELECT concat('10.', user_id % 200, '.0.0/16') AS prefix,
+        |       count(*) AS doc_count,
+        |       count(DISTINCT user_id) AS unique_users
+        |FROM events GROUP BY 1 ORDER BY doc_count DESC, prefix LIMIT 20""".stripMargin,
+    "search_dsl_json_ip_range" ->
+      """SELECT bucket, count(*) AS doc_count FROM (
+        |  SELECT CASE WHEN ipnum < 168099840.0 THEN 'a_low'
+        |              WHEN ipnum >= 168099840.0 AND ipnum < 168427520.0 THEN 'b_mid'
+        |              WHEN ipnum >= 168427520.0 THEN 'c_high' END AS bucket
+        |  FROM (SELECT CAST(10 * 16777216 + (user_id % 200) * 65536
+        |                    + ((user_id * 7) % 250) * 256 + (event_id % 254 + 1) AS DOUBLE) AS ipnum
+        |        FROM events) i) t
+        |WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "search_dsl_json_geo_line" ->
+      """WITH g AS (SELECT event_type, ts, event_id,
+        |             CAST(CAST(((user_id * 1237) % 18000) / 100.0 - 90.0 AS DECIMAL(6,2)) AS VARCHAR) AS slat,
+        |             CAST(CAST(((event_id * 91) % 36000) / 100.0 - 180.0 AS DECIMAL(6,2)) AS VARCHAR) AS slon
+        |           FROM events)
+        |SELECT event_type,
+        |       array_to_string(list(concat(slat, ',', slon) ORDER BY ts, event_id)[1:10], ' ') AS line
+        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin,
     "search_variable_width_histogram" ->
       """WITH s AS (SELECT quantile_cont(o_totalprice,
         |             [0.0625, 0.1875, 0.3125, 0.4375, 0.5625, 0.6875, 0.8125, 0.9375]) AS seeds

@@ -248,6 +248,31 @@ object Aggs {
       round(sum(metric), 2).as("sum_bucket")
     )
 
+  /** `variable_width_histogram`: OpenSearch computes this agg
+    * approximately (streaming 1-D clustering); here the cluster seeds are
+    * EXACT interpolated quantiles at (2i+1)/2k and each value joins its
+    * nearest seed (ties to the lower seed — array_position finds the first
+    * minimum). Deterministic, engine-portable, and oracle-checkable — a
+    * strictly stronger contract than the reference's best-effort buckets.
+    * One stats pass (seed quantiles, 1-row broadcast) + one assignment
+    * scan into a k-row hash agg.
+    */
+  def variableWidthHistogram(df: DataFrame, field: Column, k: Int): DataFrame = {
+    val ps = (0 until k).map(i => (2 * i + 1).toDouble / (2 * k))
+    val seeds = df.agg(array(ps.map(p => percentile(field, lit(p))): _*).as("_seeds"))
+    df.crossJoin(broadcast(seeds))
+      .withColumn("_d", transform(col("_seeds"), s => abs(field - s)))
+      .withColumn("bucket", array_position(col("_d"), array_min(col("_d"))))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("doc_count"),
+        round(min(field), 2).as("min_v"),
+        round(max(field), 2).as("max_v"),
+        round(sum(field.cast("decimal(12,2)")).cast("double") / count(lit(1)), 6).as("centroid")
+      )
+      .orderBy("bucket")
+  }
+
   /** `stats` aggregation: count/min/max/avg/sum of a numeric field. */
   def stats(df: DataFrame, field: Column): DataFrame =
     df.agg(

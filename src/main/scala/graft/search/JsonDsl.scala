@@ -1246,7 +1246,8 @@ object JsonDsl {
 
   // ── Aggregations ──────────────────────────────────────────────────────
 
-  private val siblingPipelineTypes = Set("stats_bucket", "avg_bucket", "min_bucket", "max_bucket", "sum_bucket")
+  private val siblingPipelineTypes =
+    Set("stats_bucket", "avg_bucket", "min_bucket", "max_bucket", "sum_bucket", "percentiles_bucket", "change_point")
 
   private def compileAggs(df: DataFrame, aggs: JsonNode, mapping: IndexMapping): DataFrame = {
     // Sibling pipeline form: two top-level aggs where the second reads
@@ -1288,6 +1289,44 @@ object JsonDsl {
                 round(sum(metric.cast("decimal(18,2)")).cast("double") / count(lit(1)), 6).as("avg"),
                 sum(metric.cast("decimal(18,2)")).cast("double").as("sum")
               )
+            // max_bucket reports WHICH bucket holds the max (keys + value
+            // in OpenSearch's response): argmax via a 1-row broadcast max
+            // joined back on equality, never a sort of the bucket table.
+            case "max_bucket" =>
+              buckets
+                .crossJoin(broadcast(buckets.agg(max(metric).as("_mx"))))
+                .filter(metric === col("_mx"))
+                .select(col("bucket"), metric)
+                .orderBy("bucket")
+            // percentiles_bucket: the exact interpolated ladder over the
+            // bucket METRIC values (~tens of rows).
+            case "percentiles_bucket" =>
+              val ps = Option(spec.get("percents"))
+                .map(_.elements().asScala.toSeq.map(_.asDouble))
+                .getOrElse(Seq(25.0, 50.0, 75.0))
+              Aggs.percentiles(buckets, metric, ps.map(p => percentileName(p) -> p / 100.0))
+            // change_point: the split of the bucket series maximizing
+            // |mean(left) − mean(right)| — prefix decimal sums via one
+            // window over the bucket table + a 1-row broadcast total;
+            // emitted row = last bucket of the left segment.
+            case "change_point" =>
+              val w = org.apache.spark.sql.expressions.Window
+                .orderBy("bucket")
+                .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                  org.apache.spark.sql.expressions.Window.currentRow)
+              val dec = metric.cast("decimal(18,2)")
+              buckets
+                .select(col("bucket"), sum(dec).over(w).as("_cum"), count(lit(1)).over(w).as("_k"))
+                .crossJoin(broadcast(buckets.agg(sum(dec).as("_tot"), count(lit(1)).as("_n"))))
+                .filter(col("_k") < col("_n"))
+                .select(
+                  col("bucket"),
+                  round(col("_cum").cast("double") / col("_k"), 6).as("left_mean"),
+                  round((col("_tot") - col("_cum")).cast("double") / (col("_n") - col("_k")), 6).as("right_mean")
+                )
+                .withColumn("delta", round(abs(col("left_mean") - col("right_mean")), 6))
+                .orderBy(col("delta").desc, col("bucket"))
+                .limit(1)
             case _ => Aggs.bucketStats(buckets, metric)
           }
         case None => ()
@@ -1337,6 +1376,31 @@ object JsonDsl {
             val k = req(th, "size", "top_hits").asInt
             val ordering = compileSort(req(th, "sort", "top_hits"))
             Aggs.topHits(df, field, k, ordering)
+          // geo_line sub-aggregation: per bucket, the track of points
+          // ordered by the sort field, capped at `size` — per-group state
+          // bounded by the TopKPerKey heaps, never collect-then-slice.
+          // Coordinates print through decimal(6,2) for fixed-point text.
+          case Some(sa)
+              if sa.size == 1 && sa.elements().asScala.toSeq.headOption.exists(_.has("geo_line")) =>
+            val gl = sa.elements().asScala.next().get("geo_line")
+            val pf = req(req(gl, "point", "geo_line"), "field", "geo_line point").asText
+            val sortF = req(req(gl, "sort", "geo_line"), "field", "geo_line sort").asText
+            val tiebreak = Option(gl.get("tie_breaker")).map(_.asText)
+            val k = Option(gl.get("size")).map(_.asInt).getOrElse(10)
+            val groupName = req(body, "field", "terms").asText
+            val pt = concat(
+              col(pf).getField("lat").cast("decimal(6,2)").cast("string"),
+              lit(","),
+              col(pf).getField("lon").cast("decimal(6,2)").cast("string")
+            ).as("pt")
+            val sortCols = (Seq(sortF) ++ tiebreak.toSeq).map(_ -> true)
+            val pts = df.select(col(groupName) +: ((Seq(sortF) ++ tiebreak.toSeq).map(col) :+ pt): _*)
+            graft.plans.TopKPerKey
+              .perKey(pts, Seq(groupName), sortCols, k)
+              .groupBy(groupName)
+              .agg(concat_ws(" ", expr("transform(array_sort(collect_list(struct(rank, pt))), x -> x.pt)"))
+                .as("line"))
+              .orderBy(groupName)
           case Some(sa) => Aggs.termsAggWith(df, field, size, sa.fields().asScala.toSeq.map(roundedMetric))
           case None     => Aggs.termsAgg(df, field, size)
         }
@@ -1349,8 +1413,27 @@ object JsonDsl {
         // or _count) run over the BUCKET table — tens of rows — so the
         // unpartitioned window is bounded, never the fact table.
         val pipelineTypes =
-          Set("cumulative_sum", "derivative", "moving_avg", "serial_diff", "moving_fn", "normalize")
+          Set("cumulative_sum", "derivative", "moving_avg", "serial_diff", "moving_fn", "normalize",
+            "bucket_script", "moving_percentiles")
         val entries = subAggs.map(_.fields().asScala.toSeq).getOrElse(Nil)
+        // cumulative_cardinality is NOT a cumsum of per-bucket
+        // cardinalities (buckets share keys): delegate the whole request
+        // to the scalable first-appearance plan — each key's first bucket,
+        // first-appearances per bucket, running sum over the tiny bucket
+        // table. Never a distinct-over-window of the fact scan.
+        entries.find(e => e.getValue.isObject && e.getValue.fieldNames().next() == "cumulative_cardinality") match {
+          case Some(cum) =>
+            val path = req(cum.getValue.get("cumulative_cardinality"), "buckets_path", "cumulative_cardinality").asText
+            val card = entries.find(e => e.getKey == path)
+            require(
+              card.exists(e => e.getValue.isObject && e.getValue.fieldNames().next() == "cardinality"),
+              s"cumulative_cardinality buckets_path '$path' must name a sibling cardinality sub-aggregation"
+            )
+            require(entries.size == 2, "cumulative_cardinality supports exactly the cardinality sibling + itself")
+            val keyField = col(req(card.get.getValue.get("cardinality"), "field", "cardinality").asText)
+            return Aggs.cumulativeCardinality(df, field, keyField, interval.get)
+          case None => ()
+        }
         // bucket_selector is the HAVING of the bucket world: it filters
         // the (tiny) bucket table by a script over sibling metrics and
         // emits no column of its own, per OpenSearch.
@@ -1396,7 +1479,11 @@ object JsonDsl {
             val name = e.getKey
             val pType = e.getValue.fieldNames().next()
             val spec = e.getValue.get(pType)
-            val pathName = req(spec, "buckets_path", s"pipeline '$name' ($pType)").asText
+            // bucket_script's buckets_path is an OBJECT (var -> metric);
+            // every other pipeline names a single sibling metric.
+            val pathName =
+              if (pType == "bucket_script") "_count"
+              else req(spec, "buckets_path", s"pipeline '$name' ($pType)").asText
             require(
               pathName == "_count" || metricEntries.exists(_.getKey == pathName),
               s"pipeline '$name' buckets_path '$pathName' does not name a sibling metric or _count"
@@ -1415,23 +1502,89 @@ object JsonDsl {
                 val l = Option(spec.get("lag")).map(_.asInt).getOrElse(1)
                 require(l > 0, s"serial_diff lag must be positive: $l")
                 round(src - lag(src, l).over(w), 2).as(name)
-              // moving_fn, MovingFunctions.{max,min,sum} script forms —
+              // moving_fn, MovingFunctions.{max,min,sum,ewma} script forms —
               // the windowed reduction over trailing `window` buckets.
               case "moving_fn" =>
                 val win = Option(spec.get("window")).map(_.asInt).getOrElse(5)
                 require(win > 0, s"moving_fn window must be positive: $win")
                 val script = req(spec, "script", "moving_fn").asText
                 val w3 = w.rowsBetween(-(win - 1), org.apache.spark.sql.expressions.Window.currentRow)
-                val fn: Column => Column = script match {
-                  case s if s.contains("MovingFunctions.max") => max
-                  case s if s.contains("MovingFunctions.min") => min
-                  case s if s.contains("MovingFunctions.sum") => sum
+                script match {
+                  case s if s.contains("MovingFunctions.max") => round(max(src).over(w3), 2).as(name)
+                  case s if s.contains("MovingFunctions.min") => round(min(src).over(w3), 2).as(name)
+                  case s if s.contains("MovingFunctions.sum") => round(sum(src).over(w3), 2).as(name)
+                  case s if s.contains("MovingFunctions.ewma") =>
+                    // EWMA is a RECURSION — no window frame expresses it.
+                    // Collect the trailing values per row (the bucket table
+                    // is tens of rows) and left-fold: seed = first element,
+                    // acc·(1−α) + y·α — the same fold DuckDB's list_reduce
+                    // runs, so both engines produce bit-identical doubles.
+                    val alpha = """ewma\(values,\s*([0-9.]+)\)""".r
+                      .findFirstMatchIn(s)
+                      .map(_.group(1).toDouble)
+                      .getOrElse(throw new IllegalArgumentException(
+                        s"ewma script must be MovingFunctions.ewma(values, <alpha>): $s"))
+                    val arr = collect_list(src.cast("double")).over(w3)
+                    round(
+                      aggregate(
+                        slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+                        element_at(arr, 1),
+                        (acc, y) => y * lit(alpha) + acc * lit(1 - alpha)
+                      ),
+                      6
+                    ).as(name)
                   case s =>
                     throw new IllegalArgumentException(
-                      s"unsupported moving_fn script '$s' (supported: MovingFunctions.max/min/sum)"
+                      s"unsupported moving_fn script '$s' (supported: MovingFunctions.max/min/sum/ewma)"
                     )
                 }
-                round(fn(src).over(w3), 2).as(name)
+              // moving_percentiles: exact interpolated percentile of the
+              // sibling metric over the trailing window (one pipeline
+              // entry per percent — each emits one column).
+              case "moving_percentiles" =>
+                val win = Option(spec.get("window")).map(_.asInt).getOrElse(5)
+                require(win > 0, s"moving_percentiles window must be positive: $win")
+                val p = Option(spec.get("percent"))
+                  .map(_.asDouble)
+                  .orElse(Option(spec.get("percents")).flatMap { ps =>
+                    val l = ps.elements().asScala.toSeq
+                    if (l.size == 1) Some(l.head.asDouble) else None
+                  })
+                  .getOrElse(throw new IllegalArgumentException(
+                    "moving_percentiles needs a single 'percent' (one pipeline entry per column)"))
+                val srcName = if (pathName == "_count") "doc_count" else pathName
+                val wp = w.rowsBetween(-(win - 1), org.apache.spark.sql.expressions.Window.currentRow)
+                round(expr(s"percentile($srcName, ${p / 100.0})").over(wp), 6).as(name)
+              // bucket_script: per-bucket arithmetic over sibling metrics
+              // (params.<a> <op> params.<b>) — runs over the bucket table.
+              case "bucket_script" =>
+                val paths = req(spec, "buckets_path", "bucket_script")
+                require(paths.isObject, s"bucket_script buckets_path must be an object: $paths")
+                val vars = paths.fields().asScala.map(en => en.getKey -> en.getValue.asText).toMap
+                def ref(v: String): Column = {
+                  val p = vars.getOrElse(v, throw new IllegalArgumentException(
+                    s"bucket_script script variable '$v' is not in buckets_path"))
+                  require(
+                    p == "_count" || metricEntries.exists(_.getKey == p),
+                    s"bucket_script buckets_path '$p' does not name a sibling metric or _count"
+                  )
+                  (if (p == "_count") col("doc_count") else col(p)).cast("double")
+                }
+                val script = req(spec, "script", "bucket_script").asText
+                val pat = """^\s*params\.(\w+)\s*([*/+-])\s*params\.(\w+)\s*$""".r
+                script match {
+                  case pat(a, op, b) =>
+                    val e = op match {
+                      case "/" => ref(a) / ref(b)
+                      case "*" => ref(a) * ref(b)
+                      case "+" => ref(a) + ref(b)
+                      case "-" => ref(a) - ref(b)
+                    }
+                    round(e, 6).as(name)
+                  case _ =>
+                    throw new IllegalArgumentException(
+                      s"unsupported bucket_script '$script' (want: params.<a> <op> params.<b>)")
+                }
               // normalize, percent_of_sum: each bucket's share of the
               // metric total — the total is a full-frame window over the
               // tiny bucket table, never the fact scan.
@@ -1602,8 +1755,63 @@ object JsonDsl {
       case "avg" | "sum" | "min" | "max" | "value_count" =>
         // Top-level single-metric aggregation: one row named after the agg.
         df.agg(roundedMetricOf(typeName, field).as(aggName))
+      // categorize_text (log-pattern grouping, the deterministic core):
+      // bucket by the leading-trigram signature of the analyzed text.
+      case "categorize_text" =>
+        val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
+        df.select(concat_ws(" ", slice(SearchDsl.analyze(field), 1, 3)).as("pattern"))
+          .groupBy("pattern")
+          .agg(count(lit(1)).as("doc_count"))
+          .orderBy(col("doc_count").desc, col("pattern"))
+          .limit(size)
+      case "variable_width_histogram" =>
+        Aggs.variableWidthHistogram(df, field, Option(body.get("buckets")).map(_.asInt).getOrElse(10))
+      // ip_prefix: dotted-quad string → 32-bit value with integer
+      // arithmetic, mask to the prefix, re-render the network — one
+      // projection + one hash agg. An optional cardinality sub-agg adds
+      // an exact distinct count per prefix.
+      case "ip_prefix" =>
+        val len = Option(body.get("prefix_length")).map(_.asInt).getOrElse(16)
+        require(len >= 0 && len <= 32, s"ip_prefix prefix_length out of range: $len")
+        val size = Option(body.get("size")).map(_.asInt).getOrElse(20)
+        val net = ipNum(field).bitwiseAND(lit(if (len == 0) 0L else (0xffffffffL << (32 - len)) & 0xffffffffL))
+        def octet(sh: Int) = pmod(shiftright(net, sh), lit(256L))
+        val prefix =
+          concat(concat_ws(".", octet(24), octet(16), octet(8), pmod(net, lit(256L))), lit(s"/$len")).as("prefix")
+        val extra = subAggs.toSeq.flatMap(_.fields().asScala.toSeq).map { e =>
+          val t = e.getValue.fieldNames().next()
+          require(t == "cardinality", s"ip_prefix sub-aggregation must be cardinality, got '$t'")
+          countDistinct(col(req(e.getValue.get("cardinality"), "field", "cardinality").asText)).as(e.getKey)
+        }
+        df.groupBy(prefix)
+          .agg(count(lit(1)).as("doc_count"), extra: _*)
+          .orderBy(col("doc_count").desc, col("prefix"))
+          .limit(size)
+      // ip_range: labeled ranges over the 32-bit address value — the
+      // standard rangeAgg plan (one CASE projection, k-row hash agg).
+      case "ip_range" =>
+        def ipToNum(s: String): Double =
+          s.split("\\.").foldLeft(0L)((a, o) => a * 256 + o.toLong).toDouble
+        val ranges = req(body, "ranges", "ip_range").elements().asScala.toSeq.map { r =>
+          val from = Option(r.get("from")).map(n => ipToNum(n.asText))
+          val to = Option(r.get("to")).map(n => ipToNum(n.asText))
+          val key = Option(r.get("key"))
+            .map(_.asText)
+            .getOrElse(s"${from.map(_.toString).getOrElse("*")}-${to.map(_.toString).getOrElse("*")}")
+          (key, from, to)
+        }
+        Aggs.rangeAgg(df, ipNum(field).cast("double"), ranges)
       case other => throw new IllegalArgumentException(s"unsupported aggregation '$other'")
     }
+  }
+
+  /** 32-bit numeric value of a dotted-quad IPv4 string column — integer
+    * arithmetic only, so every engine materializes the identical long.
+    */
+  private def ipNum(ip: Column): Column = {
+    val o = split(ip, "\\.")
+    o.getItem(0).cast("long") * 16777216L + o.getItem(1).cast("long") * 65536L +
+      o.getItem(2).cast("long") * 256L + o.getItem(3).cast("long")
   }
 
   private def percentileName(p: Double): String =
