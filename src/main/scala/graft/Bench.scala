@@ -82,7 +82,13 @@ object Bench {
     // bench_loaded.json for inspection.
     val comparable = results.toSeq.filter { case (k, v) => v > 0 && prev.get(k).exists(_ > 0) }
     val inflated = comparable.count { case (k, v) => v > 1.5 * prev(k) }
-    val loadPoisoned = comparable.nonEmpty && inflated * 5 > comparable.size
+    // Two trips: >20% of queries individually inflated, OR the comparable
+    // total up >25% (a run where the heavy tail uniformly doubled can stay
+    // under the per-query count while the total plainly shows the load).
+    val totNew = comparable.map(_._2).sum
+    val totPrev = comparable.map { case (k, _) => prev(k) }.sum
+    val loadPoisoned = comparable.nonEmpty &&
+      (inflated * 5 > comparable.size || (totPrev > 0 && totNew > 1.25 * totPrev))
     val outPath = if (loadPoisoned && filterPats.isEmpty) "bench_loaded.json" else recordPath
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errors,"load_poisoned":$loadPoisoned,"sf":"$sfDir"}"""

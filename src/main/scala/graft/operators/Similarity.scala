@@ -1250,10 +1250,14 @@ object Similarity {
           .take(nAssign)
           .map(_._2)
     }
+    // Persisted: the frame feeds the cell census AND both sides of the
+    // candidate self-join — without the cache each consumer re-runs the
+    // nLists-distance assignment UDF over the whole corpus (3 passes).
     val cells = graft.Tables
       .ensureParallelism(emb.select(col(idCol).as("id"), col(vecCol).as("vec")).filter(col("vec").isNotNull))
       .withColumn("cells", topCells(col("vec"))) // full assignment rides along for row-local pair dedup
       .select(col("id"), col("vec"), col("cells"), explode(col("cells")).as("cell"))
+      .persist()
     val half = graphCandidatePairs(cells, maxCell)
     val scored = half.unionByName(half.select(col("nbr").as("id"), col("id").as("nbr"), col("cos")))
     val neighbors = graft.plans.TopKPerKey

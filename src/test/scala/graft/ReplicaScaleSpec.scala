@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.{Dedup, MinHashLSH, SimHash, Similarity}
+import org.apache.spark.sql.functions._
+
+/** The replica family's DETERMINISTIC sub-assertions re-run at a larger
+  * scale factor: exact emitted scores, superset claims, degree caps, and
+  * precision-by-construction re-verification — every claim that is a hard
+  * contract rather than a statistical recall bound. (Recall floors stay in
+  * ReplicaSpec at sf0.001, where the all-pairs ground truth is computable;
+  * precision/exactness claims are re-checkable at ANY scale because they
+  * only touch the emitted rows.)
+  *
+  * Gated on GRAFT_SCALE_SF so the driver's per-round `sbt test` keeps its
+  * sf0.001 cost; run explicitly with
+  *   GRAFT_SCALE_SF=/root/testdata/sf0.1 sbt 'testOnly graft.ReplicaScaleSpec'
+  */
+class ReplicaScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val scaleDir = sys.env.get("GRAFT_SCALE_SF")
+  private def dir = scaleDir.get
+  private def docs = Tables.documents(spark, dir)
+  private def emb = Tables.embeddings(spark, dir)
+
+  test("scale MinHash-LSH: every emitted pair re-verifies at exact Jaccard >= t") {
+    assume(scaleDir.isDefined, "GRAFT_SCALE_SF not set")
+    val t = 0.5
+    val got = MinHashLSH.nearDupPairs(docs, "doc_id", "text", threshold = t).select("a", "b")
+    val sh = MinHashLSH.shingles(docs, "doc_id", "text", 3)
+    val bad = got
+      .join(sh.select($"id".as("a"), $"shingles".as("sa")), Seq("a"))
+      .join(sh.select($"id".as("b"), $"shingles".as("sb")), Seq("b"))
+      .filter(round(Dedup.jaccardUdf($"sa", $"sb"), 4) < t)
+      .count()
+    assert(got.count() > 0, "vacuous: no near-dup pairs at scale")
+    assert(bad == 0, s"$bad emitted pairs fail exact Jaccard re-verification")
+  }
+
+  test("scale SimHash: every banded pair is within maxHamming of its partner") {
+    assume(scaleDir.isDefined, "GRAFT_SCALE_SF not set")
+    val maxH = 3
+    val got = SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = maxH).select("a", "b")
+    val sigs = SimHash.simhash64(docs, "doc_id", "text")
+    val bad = got
+      .join(sigs.select($"id".as("a"), $"simhash".as("ha")), Seq("a"))
+      .join(sigs.select($"id".as("b"), $"simhash".as("hb")), Seq("b"))
+      .filter(bit_count($"ha".bitwiseXOR($"hb")) > maxH)
+      .count()
+    assert(got.count() > 0, "vacuous: no near-dup pairs at scale")
+    assert(bad == 0, s"$bad banded pairs exceed maxHamming=$maxH")
+  }
+
+  test("scale graph ANN: degree cap, bounded entry points, exact emitted scores") {
+    assume(scaleDir.isDefined, "GRAFT_SCALE_SF not set")
+    val idx = Similarity.graphIndex(emb, "vec_id", "embedding")
+    val maxDeg = idx.neighbors.groupBy("id").count().agg(max("count")).as[Long].head()
+    assert(maxDeg <= 8, s"node degree exceeds m at scale: $maxDeg")
+    assert(idx.entryPoints.nonEmpty && idx.entryPoints.size <= 16, idx.entryPoints.toString)
+    val corpus = emb.count().toInt
+    val q = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val all = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, corpus).as[(Long, Double)].collect().toMap
+    val hits = Similarity.graphSearch(idx, emb, "vec_id", "embedding", q, 10).as[(Long, Double)].collect()
+    assert(hits.length == 10)
+    hits.foreach { case (id, cos) => assert(all(id) == cos, s"stale graph score for vec $id") }
+  }
+
+  test("scale multi-probe LSH: radius-1 candidates are a superset; top-k scores exact") {
+    assume(scaleDir.isDefined, "GRAFT_SCALE_SF not set")
+    val idx = Similarity.lshIndex(emb, "vec_id", "embedding", nBits = 4, tables = 4)
+    val corpus = emb.count().toInt
+    val q = emb.filter($"vec_id" === 100).select("embedding").head().getSeq[Float](0)
+    val c0 =
+      Similarity.scoreAgainstLsh(idx, "vec_id", "embedding", q, corpus).select("vec_id").as[Long].collect().toSet
+    val c1 = Similarity
+      .scoreAgainstLsh(idx, "vec_id", "embedding", q, corpus, probeRadius = 1)
+      .select("vec_id")
+      .as[Long]
+      .collect()
+      .toSet
+    assert(c0.nonEmpty && c0.subsetOf(c1), "radius-1 candidates are not a superset at scale")
+    val all = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, corpus).as[(Long, Double)].collect().toMap
+    Similarity
+      .lshTopK(emb, "vec_id", "embedding", q, 10, nBits = 4, tables = 8)
+      .as[(Long, Double)]
+      .collect()
+      .foreach { case (id, cos) => assert(all(id) == cos, s"stale LSH score for vec $id") }
+  }
+
+  test("scale IVF: top-k scores exact; k-means top-k exact too") {
+    assume(scaleDir.isDefined, "GRAFT_SCALE_SF not set")
+    val corpus = emb.count().toInt
+    val q = emb.filter($"vec_id" === 21).select("embedding").head().getSeq[Float](0)
+    val all = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, corpus).as[(Long, Double)].collect().toMap
+    Similarity
+      .ivfTopK(emb, "vec_id", "embedding", q, 10, nLists = 16, nProbe = 6)
+      .as[(Long, Double)]
+      .collect()
+      .foreach { case (id, cos) => assert(all(id) == cos, s"stale IVF score for vec $id") }
+  }
+}

@@ -63,6 +63,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nested stored queries percolate a document stream (batch answers per micro-batch)") {
+    // The wire nested clause compiles to a pure exists() predicate (no
+    // join, no explode), so the JSON-DSL compile path is stream-safe:
+    // stored queries with nested paths match per ELEMENT as documents
+    // flow past. Fixture mirrors NestedSpec — parent 2 satisfies query 1
+    // only ACROSS elements and must not match (the object-vs-nested
+    // distinction), the childless parent 3 never matches.
+    implicit val sq = spark.sqlContext
+    val registry = Seq(
+      1L -> """{"query": {"nested": {"path": "items", "query": {"bool": {"must": [
+           {"term": {"items.flag": "R"}}, {"range": {"items.qty": {"gte": 48}}}]}}}}}""",
+      2L -> """{"query": {"nested": {"path": "items", "query": {"term": {"items.flag": "N"}}}}}"""
+    )
+    val input = MemoryStream[(Long, Seq[(Int, String, Double)])]
+    val docs = input
+      .toDF()
+      .toDF("pid", "raw")
+      .select(
+        col("pid"),
+        expr("transform(raw, x -> struct(x._1 AS line, x._2 AS flag, x._3 AS qty))").as("items")
+      )
+    val q = graft.search.JsonDsl
+      .percolate(docs, registry)
+      .select("pid", "query_id")
+      .writeStream
+      .format("memory")
+      .queryName("nested_percolate_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData(
+        (1L, Seq((1, "R", 50.0), (2, "N", 10.0))), // one element satisfies BOTH → q1 + q2
+        (2L, Seq((1, "R", 10.0), (2, "N", 50.0)))  // q1 only across elements → q2 only
+      )
+      q.processAllAvailable()
+      input.addData((3L, Seq.empty), (4L, Seq((1, "N", 5.0)))) // childless; q2-only
+      q.processAllAvailable()
+      val out = spark.table("nested_percolate_out").as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 1L), (1L, 2L), (2L, 2L), (4L, 2L)),
+        s"streaming nested percolate disagrees with the batch answers: $out")
+    } finally q.stop()
+  }
+
   test("partial updates merge fields over the stored doc; delete clears; resurrection starts fresh") {
     implicit val sq = spark.sqlContext
     import CdcStream.{DocChange, PartialEnvelope}

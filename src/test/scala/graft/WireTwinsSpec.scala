@@ -111,4 +111,48 @@ class WireTwinsSpec extends SparkSpec {
       ).collect()
     }
   }
+
+  test("r9 agg-family error contracts: bucket_script vars, moving_percentiles percent, ip_prefix length, cumulative_cardinality sibling") {
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 5L))
+      .toDF("event_id", "ts", "user_id")
+    // bucket_script: script variable not bound in buckets_path
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(
+        ev,
+        """{"aggs": {"d": {"date_histogram": {"field": "ts", "calendar_interval": "day"},
+          |  "aggs": {"r": {"bucket_script": {"buckets_path": {"a": "_count"},
+          |           "script": "params.a / params.MISSING"}}}}}}""".stripMargin
+      ).collect()
+    }
+    // moving_percentiles: needs a single percent per pipeline entry
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(
+        ev,
+        """{"aggs": {"d": {"date_histogram": {"field": "ts", "calendar_interval": "day"},
+          |  "aggs": {"p": {"moving_percentiles": {"buckets_path": "_count", "window": 3}}}}}}""".stripMargin
+      ).collect()
+    }
+    // ip_prefix: prefix_length outside [0, 32]
+    val ips = Seq((1L, "10.1.2.3")).toDF("event_id", "ip")
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(ips, """{"aggs": {"n": {"ip_prefix": {"field": "ip", "prefix_length": 40}}}}""").collect()
+    }
+    // cumulative_cardinality: buckets_path must name a cardinality sibling
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(
+        ev,
+        """{"aggs": {"d": {"date_histogram": {"field": "ts", "calendar_interval": "day"},
+          |  "aggs": {"c": {"cumulative_cardinality": {"buckets_path": "nope"}}}}}}""".stripMargin
+      ).collect()
+    }
+    // moving_fn ewma: malformed script (no alpha)
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(
+        ev,
+        """{"aggs": {"d": {"date_histogram": {"field": "ts", "calendar_interval": "day"},
+          |  "aggs": {"e": {"moving_fn": {"buckets_path": "_count", "window": 3,
+          |           "script": "MovingFunctions.ewma(values)"}}}}}}""".stripMargin
+      ).collect()
+    }
+  }
 }
