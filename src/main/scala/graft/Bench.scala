@@ -80,7 +80,11 @@ object Bench {
     // load (dozens of simultaneous real regressions don't happen): keep
     // the previous record as the diff base and park the suspect run in
     // bench_loaded.json for inspection.
-    val comparable = results.toSeq.filter { case (k, v) => v > 0 && prev.get(k).exists(_ > 0) }
+    // Subset runs compare against a different scale factor's record (the
+    // sf1ish experiments), so the guard only judges full-suite runs.
+    val comparable =
+      if (filterPats.isDefined) Nil
+      else results.toSeq.filter { case (k, v) => v > 0 && prev.get(k).exists(_ > 0) }
     val inflated = comparable.count { case (k, v) => v > 1.5 * prev(k) }
     // Two trips: >20% of queries individually inflated, OR the comparable
     // total up >25% (a run where the heavy tail uniformly doubled can stay

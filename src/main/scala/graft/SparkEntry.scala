@@ -4955,6 +4955,14 @@ object SparkEntry {
           |   {"key": "b_mid", "from": "10.5.0.0", "to": "10.10.0.0"},
           |   {"key": "c_high", "from": "10.10.0.0"}]}}}}""".stripMargin
       )),
+    "search_dsl_json_frequent_pairs" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.events(s, dir).select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("event_type")),
+        """{"aggs": {"pairs": {"frequent_item_sets": {
+          |   "fields": [{"field": "event_type"}],
+          |   "basket": {"fields": ["user_id", "day"]},
+          |   "minimum_set_size": 2, "size": 10}}}}""".stripMargin
+      )),
     "search_dsl_json_geo_line" -> ((s, dir) =>
       JsonDsl.parse(
         geoEvents(s, dir)
@@ -7599,6 +7607,15 @@ object SparkEntry {
         |                    + ((user_id * 7) % 250) * 256 + (event_id % 254 + 1) AS DOUBLE) AS ipnum
         |        FROM events) i) t
         |WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "search_dsl_json_frequent_pairs" ->
+      """WITH baskets AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type FROM events),
+        |n AS (SELECT count(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM baskets) t)
+        |SELECT a.event_type AS item1, b.event_type AS item2,
+        |       count(*) AS pair_count,
+        |       round(count(*) / (SELECT n_baskets FROM n), 6) AS support
+        |FROM baskets a JOIN baskets b USING (user_id, day)
+        |WHERE a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY pair_count DESC, item1, item2 LIMIT 10""".stripMargin,
     "search_dsl_json_geo_line" ->
       """WITH g AS (SELECT event_type, ts, event_id,
         |             CAST(CAST(((user_id * 1237) % 18000) / 100.0 - 90.0 AS DECIMAL(6,2)) AS VARCHAR) AS slat,

@@ -1801,6 +1801,39 @@ object JsonDsl {
           (key, from, to)
         }
         Aggs.rangeAgg(df, ipNum(field).cast("double"), ranges)
+      // frequent_item_sets (pair tier): market-basket pairs over
+      // `basket.fields`-keyed transactions of DISTINCT items. The
+      // self-join fans out C(|basket|,2) pairs per basket — bounded by
+      // the item vocabulary, not the event count.
+      case "frequent_item_sets" =>
+        val itemFields = req(body, "fields", "frequent_item_sets").elements().asScala.toSeq
+        require(itemFields.size == 1, "frequent_item_sets supports one item field (pair tier)")
+        val item = req(itemFields.head, "field", "frequent_item_sets field").asText
+        val basketCols = Option(body.get("basket"))
+          .map(b => req(b, "fields", "frequent_item_sets basket").elements().asScala.toSeq.map(_.asText))
+          .getOrElse(throw new IllegalArgumentException(
+            "frequent_item_sets needs basket.fields (the transaction key)"))
+        require(basketCols.nonEmpty, "frequent_item_sets basket.fields is empty")
+        val minSize = Option(body.get("minimum_set_size")).map(_.asInt).getOrElse(2)
+        require(minSize == 2, s"pair tier: minimum_set_size must be 2, got $minSize")
+        val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
+        val baskets = df.select(basketCols.map(col) :+ col(item): _*).distinct()
+        val nBaskets = baskets.select(basketCols.map(col): _*).distinct().agg(count(lit(1)).as("_n"))
+        baskets
+          .as("a")
+          .join(baskets.as("b"), basketCols)
+          .filter(col(s"a.$item") < col(s"b.$item"))
+          .groupBy(col(s"a.$item").as("item1"), col(s"b.$item").as("item2"))
+          .agg(count(lit(1)).as("pair_count"))
+          .crossJoin(broadcast(nBaskets))
+          .select(
+            col("item1"),
+            col("item2"),
+            col("pair_count"),
+            round(col("pair_count") / col("_n"), 6).as("support")
+          )
+          .orderBy(col("pair_count").desc, col("item1"), col("item2"))
+          .limit(size)
       case other => throw new IllegalArgumentException(s"unsupported aggregation '$other'")
     }
   }
