@@ -3307,7 +3307,10 @@ object SparkEntry {
         .lineitem(s, dir)
         .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
+        // (orderkey, linenumber) is NOT unique in this testdata — the
+        // quantity tiebreak totally orders the selected row, so the
+        // driver's unsorted row-order compare is deterministic at any SF.
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     }),
     // nested query: the array-of-struct field type where the WHOLE inner
     // clause must hold on ONE element (an order with a qty-48 'N' item
@@ -4686,7 +4689,7 @@ object SparkEntry {
           |   "query": {"bool": {"must": [
           |     {"term": {"o_orderpriority": {"value": "1-URGENT"}}},
           |     {"range": {"o_totalprice": {"gt": 400000}}}]}}}},
-          | "sort": [{"l_orderkey": "asc"}, {"l_linenumber": "asc"}],
+          | "sort": [{"l_orderkey": "asc"}, {"l_linenumber": "asc"}, {"l_quantity": "asc"}],
           | "_source": ["l_orderkey", "l_linenumber", "l_quantity"]}""".stripMargin,
         relations = Map("orders" -> Tables.orders(s, dir))
       )),
@@ -6311,7 +6314,7 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT'
         |                AND o_totalprice > 400000)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     // the per-element conjunction (flag AND qty on the SAME lineitem) is
     // exactly an EXISTS with both predicates inside — nested semantics
     "search_nested" ->
@@ -6753,7 +6756,7 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT'
         |                AND o_totalprice > 400000)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "search_dsl_json_terms_lookup" ->
       """WITH lk AS (SELECT DISTINCT tok FROM (
         |              SELECT unnest(string_split(lower(text), ' ')) AS tok

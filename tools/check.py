@@ -119,8 +119,21 @@ def main():
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # GRAFT_CHECK_SKIP: comma-separated key substrings to skip. Used for
+    # larger-SF gate runs where an ORACLE is all-pairs quadratic (the
+    # dedup family's ground-truth SQL) and DuckDB would run for hours —
+    # the Spark side is the scalable one; those keys' scale evidence
+    # comes from BENCH_r*_sf1.json instead.
+    skip = [s for s in os.environ.get("GRAFT_CHECK_SKIP", "").split(",") if s]
+    # GRAFT_CHECK_ONLY: restrict to matching keys (re-check after a fix).
+    only = [s for s in os.environ.get("GRAFT_CHECK_ONLY", "").split(",") if s]
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and not any(s in name for s in only):
+            continue
+        if any(s in name for s in skip):
+            print(f"skipped  {name} (GRAFT_CHECK_SKIP)")
+            continue
         spark_dir = f"{outdir}/{name}"
         if not os.path.isdir(spark_dir):
             print(f"MISSING  {name}: no spark output")
