@@ -4958,6 +4958,40 @@ object SparkEntry {
           |   {"key": "b_mid", "from": "10.5.0.0", "to": "10.10.0.0"},
           |   {"key": "c_high", "from": "10.10.0.0"}]}}}}""".stripMargin
       )),
+    "search_dsl_json_rate" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"monthly": {
+          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |   "aggs": {"r": {"rate": {"field": "o_totalprice", "unit": "day"}}}}}}""".stripMargin
+      )),
+    "search_dsl_json_bucket_sort" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"monthly": {
+          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |   "aggs": {
+          |     "revenue": {"sum": {"field": "o_totalprice"}},
+          |     "top_months": {"bucket_sort": {"sort": [{"revenue": {"order": "desc"}}, {"bucket": "asc"}],
+          |                    "size": 5}}}}}}""".stripMargin
+      )),
+    "search_dsl_json_filters_other" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.events(s, dir),
+        """{"aggs": {"kinds": {"filters": {
+          |   "filters": {
+          |     "clicks": {"term": {"event_type": "click"}},
+          |     "errors": {"term": {"event_type": "error"}}},
+          |   "other_bucket": true}}}}""".stripMargin
+      )),
+    "search_dsl_json_geo_bounds" -> ((s, dir) =>
+      JsonDsl.parse(
+        geoEvents(s, dir)
+          .select(col("event_type"), struct(col("lat"), col("lon")).as("location")),
+        """{"aggs": {"by_type": {
+          |   "terms": {"field": "event_type"},
+          |   "aggs": {"box": {"geo_bounds": {"field": "location"}}}}}}""".stripMargin
+      )),
     "search_dsl_json_frequent_pairs" -> ((s, dir) =>
       JsonDsl.parse(
         Tables.events(s, dir).select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("event_type")),
@@ -7610,6 +7644,33 @@ object SparkEntry {
         |                    + ((user_id * 7) % 250) * 256 + (event_id % 254 + 1) AS DOUBLE) AS ipnum
         |        FROM events) i) t
         |WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "search_dsl_json_rate" ->
+      """SELECT bucket, doc_count,
+        |       round(CAST(s AS DOUBLE), 2) AS month_sum,
+        |       round(CAST(s AS DOUBLE) / date_diff('day', bucket, bucket + INTERVAL 1 MONTH), 6) AS per_day_rate
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |             count(*) AS doc_count, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s
+        |      FROM orders GROUP BY 1) t ORDER BY bucket""".stripMargin,
+    "search_dsl_json_bucket_sort" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |       count(*) AS doc_count,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1
+        |ORDER BY revenue DESC, bucket LIMIT 5""".stripMargin,
+    "search_dsl_json_filters_other" ->
+      """SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        |       CAST(sum(CASE WHEN event_type NOT IN ('click', 'error') THEN 1 ELSE 0 END) AS BIGINT) AS other_bucket
+        |FROM events""".stripMargin,
+    "search_dsl_json_geo_bounds" ->
+      """SELECT event_type,
+        |       max(((user_id * 1237) % 18000) / 100.0 - 90.0) AS top,
+        |       min(((user_id * 1237) % 18000) / 100.0 - 90.0) AS bottom,
+        |       min(((event_id * 91) % 36000) / 100.0 - 180.0) AS "left",
+        |       max(((event_id * 91) % 36000) / 100.0 - 180.0) AS "right",
+        |       count(*) AS doc_count
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "search_dsl_json_frequent_pairs" ->
       """WITH baskets AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type FROM events),
         |n AS (SELECT count(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM baskets) t)

@@ -1401,6 +1401,22 @@ object JsonDsl {
               .agg(concat_ws(" ", expr("transform(array_sort(collect_list(struct(rank, pt))), x -> x.pt)"))
                 .as("line"))
               .orderBy(groupName)
+          // geo_bounds sub-aggregation: per-bucket bounding box over a
+          // struct geo field — four extrema + count in one hash agg.
+          case Some(sa)
+              if sa.size == 1 && sa.elements().asScala.toSeq.headOption.exists(_.has("geo_bounds")) =>
+            val gb = sa.elements().asScala.next().get("geo_bounds")
+            val pf = req(gb, "field", "geo_bounds").asText
+            val groupName = req(body, "field", "terms").asText
+            df.groupBy(groupName)
+              .agg(
+                max(col(pf).getField("lat")).as("top"),
+                min(col(pf).getField("lat")).as("bottom"),
+                min(col(pf).getField("lon")).as("left"),
+                max(col(pf).getField("lon")).as("right"),
+                count(lit(1)).as("doc_count")
+              )
+              .orderBy(groupName)
           case Some(sa) => Aggs.termsAggWith(df, field, size, sa.fields().asScala.toSeq.map(roundedMetric))
           case None     => Aggs.termsAgg(df, field, size)
         }
@@ -1434,13 +1450,28 @@ object JsonDsl {
             return Aggs.cumulativeCardinality(df, field, keyField, interval.get)
           case None => ()
         }
+        // rate sub-agg: per-day rate of a monthly decimal sum — delegates
+        // to the shared dateHistogramRate plan (month-granular; the unit
+        // division is calendar-aware day counting).
+        entries.find(e => e.getValue.isObject && e.getValue.fieldNames().next() == "rate") match {
+          case Some(r) =>
+            require(interval.get == "month", s"rate sub-agg requires calendar_interval=month, got ${interval.get}")
+            require(entries.size == 1, "rate must be the only sub-aggregation")
+            val vf = col(req(r.getValue.get("rate"), "field", "rate").asText)
+            return Aggs.dateHistogramRate(df, field, vf.cast("decimal(12,2)"))
+          case None => ()
+        }
         // bucket_selector is the HAVING of the bucket world: it filters
         // the (tiny) bucket table by a script over sibling metrics and
         // emits no column of its own, per OpenSearch.
         val (selectorEntries, nonSelector) =
           entries.partition(e => e.getValue.isObject && e.getValue.fieldNames().next() == "bucket_selector")
+        // bucket_sort re-ranks + truncates the bucket table by a metric —
+        // applied LAST (after pipelines), a bounded TakeOrdered.
+        val (sortEntries, nonSort) =
+          nonSelector.partition(e => e.getValue.isObject && e.getValue.fieldNames().next() == "bucket_sort")
         val (pipeEntries, metricEntries) =
-          nonSelector.partition(e => e.getValue.isObject && pipelineTypes(e.getValue.fieldNames().next()))
+          nonSort.partition(e => e.getValue.isObject && pipelineTypes(e.getValue.fieldNames().next()))
         // Metric sub-aggs here follow the house money convention: `sum`
         // accumulates in exact DECIMAL (partition-order-proof — a double
         // sum's last-ulp wobble vs the oracle's is a hash mismatch) and
@@ -1448,7 +1479,7 @@ object JsonDsl {
         // avg 6), because pipeline columns derive from these values.
         val metricsCols = subAggs.toSeq.flatMap { a =>
           val pruned = a.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
-          (pipeEntries ++ selectorEntries).foreach(e => pruned.remove(e.getKey))
+          (pipeEntries ++ selectorEntries ++ sortEntries).foreach(e => pruned.remove(e.getKey))
           if (pruned.size == 0) Nil
           else
             pruned.fields().asScala.toSeq.map { e =>
@@ -1468,7 +1499,21 @@ object JsonDsl {
         val base = selectorEntries.foldLeft(base0) { (acc, e) =>
           acc.filter(bucketSelector(e.getValue.get("bucket_selector"), metricNames))
         }
-        if (pipeEntries.isEmpty) base
+        def applyBucketSort(in: DataFrame): DataFrame = sortEntries.foldLeft(in) { (acc, e) =>
+          val spec = e.getValue.get("bucket_sort")
+          val sortCols = req(spec, "sort", "bucket_sort").elements().asScala.toSeq.map { s0 =>
+            require(s0.isObject && s0.size == 1, s"bucket_sort sort entries must have exactly one key: $s0")
+            val f = s0.fieldNames().next()
+            val v = s0.get(f)
+            val desc = (if (v.isObject) req(v, "order", "bucket_sort sort").asText else v.asText) == "desc"
+            require(f == "_key" || f == "bucket" || metricNames(f), s"bucket_sort sorts on unknown column '$f'")
+            val c = if (f == "_key") col("bucket") else col(f)
+            if (desc) c.desc else c.asc
+          }
+          val sorted0 = acc.orderBy(sortCols: _*)
+          Option(spec.get("size")).map(n => sorted0.limit(n.asInt)).getOrElse(sorted0)
+        }
+        if (pipeEntries.isEmpty) applyBucketSort(base)
         else {
           val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
           val unbounded = w.rowsBetween(
@@ -1598,7 +1643,7 @@ object JsonDsl {
                 round(src / sum(src).over(full) * 100.0, 6).as(name)
             }
           }
-          base.select(col("*") +: pipeCols: _*).orderBy("bucket")
+          applyBucketSort(base.select(col("*") +: pipeCols: _*).orderBy("bucket"))
         }
       case "stats"          => Aggs.stats(df, field)
       case "extended_stats" => Aggs.extendedStats(df, field)
@@ -1663,11 +1708,17 @@ object JsonDsl {
       case "string_stats"              => Aggs.stringStats(df, field)
       case "filters" =>
         // Named filter buckets in ONE pass (conditional counts), not one
-        // scan per filter.
+        // scan per filter. other_bucket adds the complement column in the
+        // same conditional aggregation.
         val specs = req(body, "filters", "filters aggregation")
         val conds = specs.fields().asScala.toSeq.map(e => e.getKey -> compileQuery(df, e.getValue, mapping))
         require(conds.nonEmpty, s"filters aggregation needs at least one named filter: $body")
-        Aggs.filteredCounts(df, conds)
+        if (Option(body.get("other_bucket")).exists(_.asBoolean)) {
+          val noneMatch = conds.map { case (_, c) => !c }.reduce(_ && _)
+          val cols = conds.map { case (n, c) => sum(when(c, 1L).otherwise(0L)).as(n) } :+
+            sum(when(noneMatch, 1L).otherwise(0L)).as("other_bucket")
+          df.agg(cols.head, cols.tail: _*)
+        } else Aggs.filteredCounts(df, conds)
       case "percentiles" =>
         val ps = Option(body.get("percents"))
           .map(_.elements().asScala.toSeq.map(_.asDouble))
