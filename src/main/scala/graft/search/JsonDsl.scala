@@ -1825,16 +1825,24 @@ object JsonDsl {
         val len = Option(body.get("prefix_length")).map(_.asInt).getOrElse(16)
         require(len >= 0 && len <= 32, s"ip_prefix prefix_length out of range: $len")
         val size = Option(body.get("size")).map(_.asInt).getOrElse(20)
-        val net = ipNum(field).bitwiseAND(lit(if (len == 0) 0L else (0xffffffffL << (32 - len)) & 0xffffffffL))
-        def octet(sh: Int) = pmod(shiftright(net, sh), lit(256L))
+        // Materialize the masked network value ONCE per row: the octet
+        // re-rendering references it four times, and without the explicit
+        // projection each reference re-splits the dotted string.
+        val masked = df.withColumn(
+          "_net",
+          ipNum(field).bitwiseAND(lit(if (len == 0) 0L else (0xffffffffL << (32 - len)) & 0xffffffffL))
+        )
+        def octet(sh: Int) = pmod(shiftright(col("_net"), sh), lit(256L))
         val prefix =
-          concat(concat_ws(".", octet(24), octet(16), octet(8), pmod(net, lit(256L))), lit(s"/$len")).as("prefix")
+          concat(concat_ws(".", octet(24), octet(16), octet(8), pmod(col("_net"), lit(256L))), lit(s"/$len"))
+            .as("prefix")
         val extra = subAggs.toSeq.flatMap(_.fields().asScala.toSeq).map { e =>
           val t = e.getValue.fieldNames().next()
           require(t == "cardinality", s"ip_prefix sub-aggregation must be cardinality, got '$t'")
           countDistinct(col(req(e.getValue.get("cardinality"), "field", "cardinality").asText)).as(e.getKey)
         }
-        df.groupBy(prefix)
+        masked
+          .groupBy(prefix)
           .agg(count(lit(1)).as("doc_count"), extra: _*)
           .orderBy(col("doc_count").desc, col("prefix"))
           .limit(size)
@@ -1851,7 +1859,10 @@ object JsonDsl {
             .getOrElse(s"${from.map(_.toString).getOrElse("*")}-${to.map(_.toString).getOrElse("*")}")
           (key, from, to)
         }
-        Aggs.rangeAgg(df, ipNum(field).cast("double"), ranges)
+        // One projection computes the address value; rangeAgg's CASE
+        // references the materialized column, not the 4-way split, per
+        // range bound.
+        Aggs.rangeAgg(df.withColumn("_ipnum", ipNum(field).cast("double")), col("_ipnum"), ranges)
       // frequent_item_sets (pair tier): market-basket pairs over
       // `basket.fields`-keyed transactions of DISTINCT items. The
       // self-join fans out C(|basket|,2) pairs per basket — bounded by
