@@ -4958,6 +4958,14 @@ object SparkEntry {
           |   {"key": "b_mid", "from": "10.5.0.0", "to": "10.10.0.0"},
           |   {"key": "c_high", "from": "10.10.0.0"}]}}}}""".stripMargin
       )),
+    "search_dsl_json_geo_distance_rings" -> ((s, dir) =>
+      JsonDsl.parse(
+        geoEvents(s, dir).select(struct(col("lat"), col("lon")).as("location")),
+        """{"aggs": {"rings": {"geo_distance": {
+          |   "field": "location", "origin": {"lat": 10.0, "lon": 20.0},
+          |   "ranges": [{"to": 1000.0}, {"from": 1000.0, "to": 3000.0},
+          |              {"from": 3000.0, "to": 8000.0}, {"from": 8000.0}]}}}}""".stripMargin
+      )),
     "search_dsl_json_rate" -> ((s, dir) =>
       JsonDsl.parse(
         Tables.orders(s, dir),
@@ -7644,6 +7652,22 @@ object SparkEntry {
         |                    + ((user_id * 7) % 250) * 256 + (event_id % 254 + 1) AS DOUBLE) AS ipnum
         |        FROM events) i) t
         |WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "search_dsl_json_geo_distance_rings" ->
+      """WITH g AS (
+        |  SELECT ((user_id * 1237) % 18000) / 100.0 - 90.0 AS lat,
+        |         ((event_id * 91) % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events),
+        |d AS (
+        |  SELECT sqrt((lat - 10.0) * (lat - 10.0)
+        |              + ((lon - 20.0) * 0.7071067811865476) * ((lon - 20.0) * 0.7071067811865476))
+        |         * 111.195 AS dist_km
+        |  FROM g)
+        |SELECT CASE WHEN dist_km < 1000.0 THEN '*-1000.0'
+        |            WHEN dist_km < 3000.0 THEN '1000.0-3000.0'
+        |            WHEN dist_km < 8000.0 THEN '3000.0-8000.0'
+        |            ELSE '8000.0-*' END AS ring,
+        |       count(*) AS doc_count
+        |FROM d GROUP BY 1 ORDER BY ring""".stripMargin,
     "search_dsl_json_rate" ->
       """SELECT bucket, doc_count,
         |       round(CAST(s AS DOUBLE), 2) AS month_sum,

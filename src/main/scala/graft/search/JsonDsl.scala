@@ -1863,6 +1863,34 @@ object JsonDsl {
         // references the materialized column, not the 4-way split, per
         // range bound.
         Aggs.rangeAgg(df.withColumn("_ipnum", ipNum(field).cast("double")), col("_ipnum"), ranges)
+      // geo_distance AGGREGATION (ring buckets around an origin) — the
+      // same fixed-factor equirectangular km metric as the structured
+      // rings entry; bucketing is a per-row when-chain projection into a
+      // ≤k-row hash agg. Ring keys follow OpenSearch "*-1000.0" naming.
+      case "geo_distance" =>
+        val f = req(body, "field", "geo_distance aggregation").asText
+        val origin = req(body, "origin", "geo_distance aggregation")
+        val olat = req(origin, "lat", "geo_distance origin").asDouble
+        val olon = req(origin, "lon", "geo_distance origin").asDouble
+        val ranges = req(body, "ranges", "geo_distance aggregation").elements().asScala.toSeq.map { r =>
+          (Option(r.get("from")).map(_.asDouble), Option(r.get("to")).map(_.asDouble))
+        }
+        require(ranges.nonEmpty, "geo_distance aggregation needs at least one range")
+        val dlat = col(f).getField("lat") - lit(olat)
+        val dlon = (col(f).getField("lon") - lit(olon)) * lit(0.7071067811865476)
+        val dist = sqrt(dlat * dlat + dlon * dlon) * lit(111.195)
+        val ringCol = ranges.foldRight(lit(null).cast("string")) { case ((from, to), acc) =>
+          val cond = (from.map(b => dist >= lit(b)) ++ to.map(b => dist < lit(b)))
+            .reduceOption(_ && _)
+            .getOrElse(lit(true))
+          val label = s"${from.map(_.toString).getOrElse("*")}-${to.map(_.toString).getOrElse("*")}"
+          when(cond, lit(label)).otherwise(acc)
+        }
+        df.withColumn("ring", ringCol)
+          .filter(col("ring").isNotNull)
+          .groupBy("ring")
+          .agg(count(lit(1)).as("doc_count"))
+          .orderBy("ring")
       // frequent_item_sets (pair tier): market-basket pairs over
       // `basket.fields`-keyed transactions of DISTINCT items. The
       // self-join fans out C(|basket|,2) pairs per basket — bounded by
