@@ -4958,6 +4958,18 @@ object SparkEntry {
           |   {"key": "b_mid", "from": "10.5.0.0", "to": "10.10.0.0"},
           |   {"key": "c_high", "from": "10.10.0.0"}]}}}}""".stripMargin
       )),
+    "search_dsl_json_suggest" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"suggest": {"spell": {"text": "sparc",
+          |   "term": {"field": "text", "max_edits": 2, "size": 5}}}}""".stripMargin
+      )),
+    "search_dsl_json_suggest_completion" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"suggest": {"c": {"prefix": "s",
+          |   "completion": {"field": "text", "size": 5}}}}""".stripMargin
+      )),
     "search_dsl_json_geo_distance_rings" -> ((s, dir) =>
       JsonDsl.parse(
         geoEvents(s, dir).select(struct(col("lat"), col("lon")).as("location")),
@@ -7652,6 +7664,19 @@ object SparkEntry {
         |                    + ((user_id * 7) % 250) * 256 + (event_id % 254 + 1) AS DOUBLE) AS ipnum
         |        FROM events) i) t
         |WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "search_dsl_json_suggest" ->
+      """SELECT suggestion, freq, dist FROM (
+        |  SELECT t.tok AS suggestion, count(*) AS freq,
+        |         CAST(levenshtein(t.tok, 'sparc') AS INTEGER) AS dist
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+        |  GROUP BY 1) v
+        |WHERE dist <= 2 AND dist > 0
+        |ORDER BY dist, freq DESC, suggestion LIMIT 5""".stripMargin,
+    "search_dsl_json_suggest_completion" ->
+      """SELECT tok AS suggestion, count(*) AS freq
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+        |WHERE starts_with(tok, 's')
+        |GROUP BY tok ORDER BY freq DESC, tok LIMIT 5""".stripMargin,
     "search_dsl_json_geo_distance_rings" ->
       """WITH g AS (
         |  SELECT ((user_id * 1237) % 18000) / 100.0 - 90.0 AS lat,

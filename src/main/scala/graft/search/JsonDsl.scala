@@ -125,9 +125,24 @@ object JsonDsl {
         "highlight",
         "collapse",
         "runtime_mappings",
-        "rescore"
+        "rescore",
+        "suggest"
       )
     root.fieldNames().asScala.foreach(n => require(known(n), s"unsupported request element '$n'"))
+    // _search suggest block: term (edit-distance spell correction over
+    // the corpus vocabulary) and completion (prefix leaders) suggesters —
+    // each compiles to the structured entries' vocabulary plans.
+    Option(root.get("suggest")) match {
+      case Some(sg) =>
+        require(
+          root.get("query") == null && root.get("aggs") == null && root.get("aggregations") == null,
+          "suggest with query/aggs is unsupported"
+        )
+        require(sg.isObject && sg.size == 1, s"exactly one named suggester is supported: $sg")
+        val spec = sg.elements().asScala.next()
+        return compileSuggest(df, spec)
+      case None => ()
+    }
     // The knn query (the OpenSearch vector-search plugin's clause) is a
     // top-k ranking, not a predicate: score the frame, order by _score
     // (the body's sort entries break ties), keep k. One scan +
@@ -1927,6 +1942,34 @@ object JsonDsl {
       case other => throw new IllegalArgumentException(s"unsupported aggregation '$other'")
     }
   }
+
+  /** One named suggester: `term` → [[Fuzzy.suggest]] (vocabulary +
+    * bounded edit distance, frequency-ranked), `completion` → prefix
+    * leaders over the analyzed tokens. Both are corpus-vocabulary plans:
+    * the suggestion table is |vocab|-scale, never per-document state.
+    */
+  private def compileSuggest(df: DataFrame, spec: JsonNode): DataFrame =
+    if (spec.has("term")) {
+      val t = spec.get("term")
+      val field = req(t, "field", "term suggester").asText
+      val text = req(spec, "text", "term suggester").asText
+      val maxEdits = Option(t.get("max_edits")).map(_.asInt).getOrElse(2)
+      val size = Option(t.get("size")).map(_.asInt).getOrElse(5)
+      Fuzzy.suggest(df, field, text, maxEdits, size)
+    } else if (spec.has("completion")) {
+      val c = spec.get("completion")
+      val field = req(c, "field", "completion suggester").asText
+      val prefix = req(spec, "prefix", "completion suggester").asText
+      val size = Option(c.get("size")).map(_.asInt).getOrElse(5)
+      df.select(explode(SearchDsl.analyze(col(field))).as("tok"))
+        .filter(col("tok").startsWith(prefix))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok"))
+        .limit(size)
+        .select(col("tok").as("suggestion"), col("freq"))
+    } else
+      throw new IllegalArgumentException(s"unsupported suggester (want term or completion): $spec")
 
   /** 32-bit numeric value of a dotted-quad IPv4 string column — integer
     * arithmetic only, so every engine materializes the identical long.
