@@ -3866,52 +3866,8 @@ object SparkEntry {
     // pair), the statistics derived in a fixed double tree and unpivoted
     // with stack() — never three covar_samp/corr aggs (partition-order
     // double accumulation) nor three scans.
-    "search_matrix_stats" -> ((s, dir) => {
-      val l = Tables
-        .lineitem(s, dir)
-        .select(
-          decMoney(col("l_quantity")).as("q"),
-          decMoney(col("l_extendedprice")).as("p"),
-          decMoney(col("l_discount")).as("d")
-        )
-      val agg = l.agg(
-        count(lit(1)).as("n"),
-        sum(col("q")).cast("double").as("sq"),
-        sum(col("p")).cast("double").as("sp"),
-        sum(col("d")).cast("double").as("sd"),
-        sum(col("q") * col("q")).cast("double").as("sqq"),
-        sum(col("p") * col("p")).cast("double").as("spp"),
-        sum(col("d") * col("d")).cast("double").as("sdd"),
-        sum(col("q") * col("p")).cast("double").as("sqp"),
-        sum(col("q") * col("d")).cast("double").as("sqd"),
-        sum(col("p") * col("d")).cast("double").as("spd")
-      )
-      def cov(sxy: Column, sx: Column, sy: Column) =
-        round((sxy - sx * sy / col("n")) / (col("n") - lit(1)), 6)
-      def corr(sxy: Column, sx: Column, sy: Column, sxx: Column, syy: Column) =
-        round(
-          (col("n") * sxy - sx * sy) /
-            (sqrt(col("n") * sxx - sx * sx) * sqrt(col("n") * syy - sy * sy)),
-          6
-        )
-      agg
-        .select(
-          cov(col("sqp"), col("sq"), col("sp")).as("c1"),
-          corr(col("sqp"), col("sq"), col("sp"), col("sqq"), col("spp")).as("r1"),
-          cov(col("sqd"), col("sq"), col("sd")).as("c2"),
-          corr(col("sqd"), col("sq"), col("sd"), col("sqq"), col("sdd")).as("r2"),
-          cov(col("spd"), col("sp"), col("sd")).as("c3"),
-          corr(col("spd"), col("sp"), col("sd"), col("spp"), col("sdd")).as("r3")
-        )
-        .select(
-          expr(
-            "stack(3, 'l_quantity', 'l_extendedprice', c1, r1," +
-              " 'l_quantity', 'l_discount', c2, r2," +
-              " 'l_extendedprice', 'l_discount', c3, r3) AS (field_x, field_y, covariance, correlation)"
-          )
-        )
-        .orderBy("field_x", "field_y")
-    }),
+    "search_matrix_stats" -> ((s, dir) =>
+      Aggs.matrixStats(Tables.lineitem(s, dir), Seq("l_quantity", "l_extendedprice", "l_discount"))),
     // Zipf slope of the token-frequency distribution: OLS of ln(count)
     // on ln(rank) — the corpus-health fingerprint (natural prose ≈ −1).
     // The vocabulary table is the only windowed input (|V| rows, tiny);
@@ -5029,6 +4985,84 @@ object SparkEntry {
           |   "aggs": {"line": {"geo_line": {
           |     "point": {"field": "location"}, "sort": {"field": "ts"},
           |     "tie_breaker": "event_id", "size": 10}}}}}}""".stripMargin
+      )),
+    // ── R9b: wire twins for the last structured-only families ──────────
+    // script_score / combined_fields / function_score random_score /
+    // script_fields ride the query compiler; matrix_stats / global /
+    // children / diversified_sampler / date_histogram min_doc_count=0
+    // the agg compiler. Each shares its structured twin's plan shape.
+    "search_dsl_json_script_score" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"script_score": {
+          |   "query": {"match": {"text": "spark"}},
+          |   "script": {"source": "ln(1 + n_chars) * 1.5 + mod(doc_id, 7)"}}},
+          | "sort": [{"doc_id": "asc"}], "size": 15, "_source": ["doc_id", "_score"]}""".stripMargin,
+        docsMapping
+      )),
+    "search_dsl_json_combined_fields" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.part(s, dir).select("p_partkey", "p_name", "p_type"),
+        """{"query": {"combined_fields": {
+          |   "query": "small large", "fields": ["p_name", "p_type^0.5"]}},
+          | "sort": [{"p_partkey": "asc"}], "size": 20, "_source": ["p_partkey", "_score"]}""".stripMargin
+      )),
+    "search_dsl_json_random_score" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"function_score": {
+          |   "random_score": {"seed": 42, "field": "doc_id"}}},
+          | "sort": [{"doc_id": "asc"}], "size": 10, "_source": ["doc_id", "_score"]}""".stripMargin
+      )),
+    "search_dsl_json_script_fields" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"query": {"term": {"o_orderpriority": "1-URGENT"}},
+          | "script_fields": {"charge": {"script": {"source": "o_totalprice * 1.1"}}},
+          | "sort": [{"o_orderkey": "asc"}], "_source": ["o_orderkey", "charge"]}""".stripMargin
+      )),
+    "search_dsl_json_matrix_stats" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.lineitem(s, dir),
+        """{"aggs": {"stats": {"matrix_stats": {
+          |   "fields": ["l_quantity", "l_extendedprice", "l_discount"]}}}}""".stripMargin
+      )),
+    "search_dsl_json_global" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.events(s, dir),
+        """{"query": {"term": {"event_type": "purchase"}},
+          | "aggs": {
+          |   "hits_avg_value": {"avg": {"field": "value"}},
+          |   "all_docs": {"global": {},
+          |     "aggs": {"total_avg_value": {"avg": {"field": "value"}}}}}}""".stripMargin
+      )),
+    "search_dsl_json_children" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"per_priority": {
+          |   "terms": {"field": "o_orderpriority"},
+          |   "aggs": {"to_line": {
+          |     "children": {"type": "lineitem",
+          |                  "join": {"parent": "o_orderkey", "child": "l_orderkey"}},
+          |     "aggs": {
+          |       "child_count": {"value_count": {"field": "l_orderkey"}},
+          |       "total_qty": {"sum": {"field": "l_quantity"}}}}}}}}""".stripMargin,
+        relations = Map("lineitem" -> Tables.lineitem(s, dir))
+      )),
+    "search_dsl_json_sampler" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"aggs": {"sample": {
+          |   "diversified_sampler": {"field": "lang", "max_docs_per_value": 20, "id_field": "doc_id"},
+          |   "aggs": {"sources": {"terms": {"field": "source"}}}}}}""".stripMargin
+      )),
+    "search_dsl_json_date_histogram_filled" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"query": {"range": {"o_totalprice": {"gt": 450000}}},
+          | "aggs": {"daily": {
+          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "day", "min_doc_count": 0},
+          |   "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}}}}}""".stripMargin
       )),
     // variable_width_histogram: exact-quantile seeds + nearest-seed
     // assignment — the shared Aggs implementation (the wire twin compiles
@@ -7737,6 +7771,85 @@ object SparkEntry {
         |SELECT event_type,
         |       array_to_string(list(concat(slat, ',', slon) ORDER BY ts, event_id)[1:10], ' ') AS line
         |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "search_dsl_json_script_score" ->
+      """SELECT doc_id, round(ln(1 + n_chars) * 1.5 + CAST(doc_id % 7 AS DOUBLE), 6) AS "_score"
+        |FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |ORDER BY "_score" DESC, doc_id LIMIT 15""".stripMargin,
+    "search_dsl_json_combined_fields" ->
+      """WITH f AS (SELECT p_partkey,
+        |             1.0 * len(list_filter(string_split(lower(p_name), ' '), x -> x = 'small'))
+        |               + 0.5 * len(list_filter(string_split(lower(p_type), ' '), x -> x = 'small')) AS ctf_small,
+        |             1.0 * len(list_filter(string_split(lower(p_name), ' '), x -> x = 'large'))
+        |               + 0.5 * len(list_filter(string_split(lower(p_type), ' '), x -> x = 'large')) AS ctf_large
+        |           FROM part),
+        |s AS (SELECT count(*) AS n,
+        |             sum(CASE WHEN ctf_small > 0 THEN 1 ELSE 0 END) AS df_small,
+        |             sum(CASE WHEN ctf_large > 0 THEN 1 ELSE 0 END) AS df_large
+        |      FROM f)
+        |SELECT p_partkey, "_score" FROM (
+        |  SELECT p_partkey,
+        |         round(ln(1.0 + (n - df_small + 0.5) / (df_small + 0.5)) * (ctf_small / (ctf_small + 1.2))
+        |               + ln(1.0 + (n - df_large + 0.5) / (df_large + 0.5)) * (ctf_large / (ctf_large + 1.2)),
+        |               6) AS "_score"
+        |  FROM f CROSS JOIN s) t
+        |WHERE "_score" > 0 ORDER BY "_score" DESC, p_partkey LIMIT 20""".stripMargin,
+    "search_dsl_json_random_score" ->
+      """SELECT doc_id,
+        |       round(CAST(concat('0x', substring(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+        |             / 4294967296.0, 6) AS "_score"
+        |FROM documents ORDER BY "_score" DESC, doc_id LIMIT 10""".stripMargin,
+    "search_dsl_json_script_fields" ->
+      """SELECT o_orderkey, o_totalprice * 1.1 AS charge
+        |FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey""".stripMargin,
+    "search_dsl_json_matrix_stats" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
+        |         CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sd,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sqq,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spp,
+        |         CAST(sum(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sdd,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sqd,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS spd
+        |  FROM lineitem)
+        |SELECT field_x, field_y,
+        |       round((sxy - sx * sy / n) / (n - 1), 6) AS covariance,
+        |       round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS correlation
+        |FROM (
+        |  SELECT 'l_quantity' AS field_x, 'l_extendedprice' AS field_y, n, sqp AS sxy, sq AS sx, sp AS sy, sqq AS sxx, spp AS syy FROM m
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount', n, sqd, sq, sd, sqq, sdd FROM m
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount', n, spd, sp, sd, spp, sdd FROM m) t
+        |ORDER BY field_x, field_y""".stripMargin,
+    "search_dsl_json_global" ->
+      """SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |       round(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+        |             / sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 6) AS hits_avg_value,
+        |       count(*) AS n_total,
+        |       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS total_avg_value
+        |FROM events""".stripMargin,
+    "search_dsl_json_children" ->
+      """SELECT o_orderpriority AS key, count(*) AS child_count, sum(l_quantity) AS total_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_dsl_json_sampler" ->
+      """WITH s AS (SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+        |           QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= 20)
+        |SELECT source AS key, count(*) AS doc_count FROM s
+        |GROUP BY 1 ORDER BY doc_count DESC, key""".stripMargin,
+    "search_dsl_json_date_histogram_filled" ->
+      """WITH b AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS bucket,
+        |                  count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
+        |           FROM orders WHERE o_totalprice > 450000 GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series((SELECT min(bucket) FROM b),
+        |                                        (SELECT max(bucket) FROM b),
+        |                                        INTERVAL 1 DAY)) AS bucket)
+        |SELECT spine.bucket, coalesce(cnt, 0) AS doc_count, coalesce(rev, 0.0) AS revenue
+        |FROM spine LEFT JOIN b USING (bucket) ORDER BY bucket""".stripMargin,
     "search_variable_width_histogram" ->
       """WITH s AS (SELECT quantile_cont(o_totalprice,
         |             [0.0625, 0.1875, 0.3125, 0.4375, 0.5625, 0.6875, 0.8125, 0.9375]) AS seeds

@@ -383,6 +383,43 @@ object Aggs {
     * are IEEE correctly-rounded, so engines agree bit-for-bit —
     * var_samp's partition-order double accumulation would not).
     */
+  /** matrix_stats: pairwise covariance/correlation of `fields` from ONE
+    * scan of exact decimal moments (n, Σx, Σx², Σxy per pair), the
+    * statistics derived in a fixed double expression tree and unpivoted
+    * into (field_x, field_y) rows — never per-pair covar_samp/corr aggs
+    * (partition-order double accumulation) nor per-pair scans. The moment
+    * row is a single tuple however many fields ride along, so the agg
+    * shuffles O(fields²) doubles, not data.
+    */
+  def matrixStats(df: DataFrame, fields: Seq[String]): DataFrame = {
+    require(fields.size >= 2, s"matrix_stats needs at least two fields, got: $fields")
+    val sel = df.select(fields.map(f => col(f).cast("decimal(12,2)").as(f)): _*)
+    val sums = fields.map(f => sum(col(f)).cast("double").as(s"_s_$f"))
+    val cross = for { i <- fields.indices; j <- i until fields.size }
+      yield sum(col(fields(i)) * col(fields(j))).cast("double").as(s"_x_${i}_$j")
+    val m = sel.agg(count(lit(1)).as("n"), (sums ++ cross): _*)
+    val pairs = for { i <- fields.indices; j <- (i + 1) until fields.size } yield {
+      val sx = col(s"_s_${fields(i)}")
+      val sy = col(s"_s_${fields(j)}")
+      val sxx = col(s"_x_${i}_$i")
+      val syy = col(s"_x_${j}_$j")
+      val sxy = col(s"_x_${i}_$j")
+      struct(
+        lit(fields(i)).as("field_x"),
+        lit(fields(j)).as("field_y"),
+        round((sxy - sx * sy / col("n")) / (col("n") - lit(1)), 6).as("covariance"),
+        round(
+          (col("n") * sxy - sx * sy) /
+            (sqrt(col("n") * sxx - sx * sx) * sqrt(col("n") * syy - sy * sy)),
+          6
+        ).as("correlation")
+      )
+    }
+    m.select(explode(array(pairs: _*)).as("_r"))
+      .select(col("_r.field_x"), col("_r.field_y"), col("_r.covariance"), col("_r.correlation"))
+      .orderBy("field_x", "field_y")
+  }
+
   def tTest(df: DataFrame, value: Column, condA: Column, condB: Column): DataFrame = {
     val v = value.cast("decimal(12,2)")
     val agg = df.agg(

@@ -169,6 +169,23 @@ object Bm25 {
       queryTerms: Seq[String],
       k: Int,
       k1: Double = 1.2
+  ): DataFrame =
+    combinedFieldsScored(docs, fields, queryTerms, k1)
+      .select(col(idCol), col("_score").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** The scored frame behind [[combinedFields]]: every matching doc with
+    * its BM25F `_score`, all source columns intact — the wire executor's
+    * shape (it owns sort/size/_source). Field stats are ONE aggregate
+    * over the corpus broadcast back as a 1-row join; scoring is a pure
+    * projection.
+    */
+  def combinedFieldsScored(
+      docs: DataFrame,
+      fields: Seq[(String, Double)],
+      queryTerms: Seq[String],
+      k1: Double = 1.2
   ): DataFrame = {
     val terms = queryTerms.map(_.toLowerCase)
     def ctf(t: String): Column =
@@ -187,10 +204,9 @@ object Bm25 {
       .reduce(_ + _)
     docs
       .crossJoin(broadcast(stats))
-      .select(col(idCol), round(score, 6).as("score"))
-      .filter(col("score") > 0)
-      .orderBy(col("score").desc, col(idCol))
-      .limit(k)
+      .withColumn("_score", round(score, 6))
+      .filter(col("_score") > 0)
+      .drop("_n" +: terms.map(t => s"_df_$t"): _*)
   }
 
   /** One-shot top-k: build + score. Same plan as the fused form — the

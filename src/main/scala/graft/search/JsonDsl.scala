@@ -126,7 +126,8 @@ object JsonDsl {
         "collapse",
         "runtime_mappings",
         "rescore",
-        "suggest"
+        "suggest",
+        "script_fields"
       )
     root.fieldNames().asScala.foreach(n => require(known(n), s"unsupported request element '$n'"))
     // _search suggest block: term (edit-distance spell correction over
@@ -197,7 +198,17 @@ object JsonDsl {
         // function ({"gauss": {field: {origin, scale, offset, decay}}}),
         // both pure codegen'd projections — see SearchDsl.gaussDecay.
         val modified =
-          if (body.has("gauss")) {
+          if (body.has("random_score")) {
+            // random_score(seed): deterministic uniform jitter from
+            // md5(seed:id) — reproducible across runs, partition layouts,
+            // and engines (the property OpenSearch's seeded variant
+            // promises). `field` names the id column (the _id stand-in,
+            // same convention as has_child's join object).
+            val rs = body.get("random_score")
+            val seed = req(rs, "seed", "random_score").asInt
+            val idField = req(rs, "field", "random_score").asText
+            SearchDsl.randomScore(col(idField), seed)
+          } else if (body.has("gauss")) {
             val g = body.get("gauss")
             val fname = g.fieldNames().next()
             val spec = g.get(fname)
@@ -250,6 +261,65 @@ object JsonDsl {
           .withColumn("_score", lit(boost))
         // the score is constant, so the body's sort (not _score) orders
         val ranked = Option(root.get("sort")).map(s => scored.orderBy(compileSort(s): _*)).getOrElse(scored)
+        val top = Option(root.get("size")).map(_.asInt).fold(ranked)(k => ranked.limit(k))
+        return Option(root.get("_source")) match {
+          case Some(src) => top.select(src.elements().asScala.map(e => col(e.asText)).toSeq: _*)
+          case None      => top
+        }
+      case None => ()
+    }
+    // script_score at the top level: the inner query filters, then the
+    // script (the runtime-field arithmetic subset — ScriptExpr) REPLACES
+    // relevance as _score. One codegen'd projection per surviving row;
+    // score-time work never touches non-matching rows.
+    Option(root.get("query")).filter(q =>
+      q.isObject && q.size == 1 && q.fieldNames().next() == "script_score"
+    ) match {
+      case Some(q) =>
+        require(root.get("aggs") == null && root.get("aggregations") == null, "script_score with aggs is unsupported")
+        val body = q.get("script_score")
+        val scriptNode = req(body, "script", "script_score")
+        val src = if (scriptNode.isTextual) scriptNode.asText else req(scriptNode, "source", "script_score").asText
+        val base = Option(body.get("query"))
+          .map(fn => df.filter(compileQuery(df, fn, mapping)))
+          .getOrElse(df)
+        val scored = base.withColumn("_score", round(ScriptExpr.compile(src).cast("double"), 6))
+        val order = col("_score").desc +: Option(root.get("sort")).map(compileSort).getOrElse(Nil)
+        val ranked = scored.orderBy(order: _*)
+        val top = Option(root.get("size")).map(_.asInt).fold(ranked)(k => ranked.limit(k))
+        return Option(root.get("_source")) match {
+          case Some(src2) => top.select(src2.elements().asScala.map(e => col(e.asText)).toSeq: _*)
+          case None       => top
+        }
+      case None => ()
+    }
+    // combined_fields at the top level: term-centric BM25F scoring — the
+    // query terms score against a single virtual field whose tf is the
+    // weighted sum over the listed fields (`f^w` boost syntax). Stats are
+    // ONE corpus aggregate broadcast back; scoring is a projection
+    // (Bm25.combinedFieldsScored).
+    Option(root.get("query")).filter(q =>
+      q.isObject && q.size == 1 && q.fieldNames().next() == "combined_fields"
+    ) match {
+      case Some(q) =>
+        require(
+          root.get("aggs") == null && root.get("aggregations") == null,
+          "combined_fields with aggs is unsupported"
+        )
+        val body = q.get("combined_fields")
+        val terms = req(body, "query", "combined_fields").asText.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+        require(terms.nonEmpty, "combined_fields needs at least one query term")
+        val fields = req(body, "fields", "combined_fields").elements().asScala.toSeq.map { fn =>
+          fn.asText.split("\\^") match {
+            case Array(f)    => f -> 1.0
+            case Array(f, w) => f -> w.toDouble
+            case _           => throw new IllegalArgumentException(s"bad combined_fields field spec: ${fn.asText}")
+          }
+        }
+        require(fields.nonEmpty, "combined_fields needs at least one field")
+        val scored = Bm25.combinedFieldsScored(df, fields, terms)
+        val order = col("_score").desc +: Option(root.get("sort")).map(compileSort).getOrElse(Nil)
+        val ranked = scored.orderBy(order: _*)
         val top = Option(root.get("size")).map(_.asInt).fold(ranked)(k => ranked.limit(k))
         return Option(root.get("_source")) match {
           case Some(src) => top.select(src.elements().asScala.map(e => col(e.asText)).toSeq: _*)
@@ -504,9 +574,102 @@ object JsonDsl {
         return Aggs.significantTerms(df, f, fg)
       case None => ()
     }
-    val filtered = Option(root.get("query")) match {
+    // global agg: a bucket scoped to ALL documents alongside the query's
+    // own hits — the frame must reach this point UNFILTERED (the global
+    // side escapes the query), so both aggregates are built here and meet
+    // in a 1-row broadcast cross join. Metrics use the exact-decimal avg
+    // (sum(decimal)/count) so the result is partition-order-proof.
+    Option(root.get("aggs"))
+      .orElse(Option(root.get("aggregations")))
+      .filter(a => a.isObject && a.elements().asScala.exists(_.has("global"))) match {
+      case Some(a) =>
+        require(
+          a.size == 2,
+          "global is supported as exactly one hit-scoped metric sibling + the global agg"
+        )
+        val entries = a.fields().asScala.toSeq
+        val (gEntries, hitEntries) = entries.partition(_.getValue.has("global"))
+        val gSub = Option(gEntries.head.getValue.get("aggs"))
+          .orElse(Option(gEntries.head.getValue.get("aggregations")))
+          .getOrElse(throw new IllegalArgumentException("global needs metric sub-aggregations"))
+        def decimalAvg(e: java.util.Map.Entry[String, JsonNode]): Column = {
+          require(
+            e.getValue.isObject && e.getValue.size == 1 && e.getValue.has("avg"),
+            s"global supports avg metrics, got: ${e.getValue}"
+          )
+          val f = col(req(e.getValue.get("avg"), "field", s"metric '${e.getKey}'").asText)
+          round(sum(f.cast("decimal(12,2)")).cast("double") / count(lit(1)), 6).as(e.getKey)
+        }
+        val hits = Option(root.get("query")).map(q => df.filter(compileQuery(df, q, mapping))).getOrElse(df)
+        val hitRow = hits.agg(count(lit(1)).as("n_hits"), hitEntries.map(decimalAvg): _*)
+        val allRow =
+          df.agg(count(lit(1)).as("n_total"), gSub.fields().asScala.toSeq.map(decimalAvg): _*)
+        return hitRow.crossJoin(broadcast(allRow))
+      case None => ()
+    }
+    // children agg under terms: parent buckets with child-doc metrics —
+    // the has_child query family's aggregation face. The child frame
+    // comes from `relations` by the clause's `type`; the `join` object
+    // names the key pair (standing in for the join-field mapping, the
+    // has_child precedent). Join + hash agg with map-side partials.
+    Option(root.get("aggs"))
+      .orElse(Option(root.get("aggregations")))
+      .filter { a =>
+        a.isObject && a.size == 1 && {
+          val spec = a.elements().asScala.next()
+          val sub = Option(spec.get("aggs")).orElse(Option(spec.get("aggregations")))
+          spec.has("terms") && sub.exists(sa =>
+            sa.isObject && sa.size == 1 && sa.elements().asScala.next().has("children")
+          )
+        }
+      } match {
+      case Some(a) =>
+        val spec = a.elements().asScala.next()
+        val termsField = req(spec.get("terms"), "field", "terms").asText
+        val childSpec = Option(spec.get("aggs")).orElse(Option(spec.get("aggregations"))).get
+          .elements().asScala.next()
+        val ch = childSpec.get("children")
+        val typ = req(ch, "type", "children").asText
+        val join = req(ch, "join", "children")
+        val pk = req(join, "parent", "children join").asText
+        val ck = req(join, "child", "children join").asText
+        val child = relations.getOrElse(
+          typ,
+          throw new IllegalArgumentException(s"children type '$typ' has no bound relation frame")
+        )
+        val metrics = Option(childSpec.get("aggs"))
+          .orElse(Option(childSpec.get("aggregations")))
+          .map(metricColumns)
+          .getOrElse(Seq(count(lit(1)).as("doc_count")))
+        val base = Option(root.get("query")).map(q => df.filter(compileQuery(df, q, mapping))).getOrElse(df)
+        return base
+          .join(child, col(pk) === col(ck))
+          .groupBy(col(termsField).as("key"))
+          .agg(metrics.head, metrics.tail: _*)
+          .orderBy("key")
+      case None => ()
+    }
+    val filtered0 = Option(root.get("query")) match {
       case Some(q) => df.filter(compileQuery(df, q, mapping))
       case None    => df
+    }
+    // script_fields: response-shaping computed fields over the hits — the
+    // same compiled arithmetic subset as runtime_mappings (ScriptExpr), a
+    // pure projection Catalyst places after the top-k when the sort does
+    // not reference it.
+    val filtered = Option(root.get("script_fields")).fold(filtered0) { sf =>
+      require(sf.isObject, s"script_fields must be an object: $sf")
+      require(
+        root.get("aggs") == null && root.get("aggregations") == null,
+        "script_fields with aggs is unsupported"
+      )
+      sf.fields().asScala.foldLeft(filtered0) { (acc, e) =>
+        val scriptNode = req(e.getValue, "script", s"script_field '${e.getKey}'")
+        val src =
+          if (scriptNode.isTextual) scriptNode.asText
+          else req(scriptNode, "source", s"script_field '${e.getKey}'").asText
+        acc.withColumn(e.getKey, ScriptExpr.compile(src))
+      }
     }
     Option(root.get("aggs")).orElse(Option(root.get("aggregations"))) match {
       case Some(aggs) => compileAggs(filtered, aggs, mapping)
@@ -1363,6 +1526,38 @@ object JsonDsl {
     val body = spec.get(typeName)
     def field = col(req(body, "field", s"aggregation '$typeName'").asText)
     typeName match {
+      // matrix_stats: pairwise covariance/correlation of the fields list
+      // from one exact-decimal moment scan (Aggs.matrixStats).
+      case "matrix_stats" =>
+        val fs = req(body, "fields", "matrix_stats").elements().asScala.toSeq.map(_.asText)
+        Aggs.matrixStats(df, fs)
+      // diversified_sampler: a deterministic md5-ordered sample capped at
+      // max_docs_per_value docs per diversity value (bounded TopKPerKey
+      // heaps, the quota-sampling exec), feeding its terms sub-agg.
+      // `id_field` names the id column — the _id stand-in, the has_child
+      // join-object precedent.
+      case "diversified_sampler" =>
+        val divField = req(body, "field", "diversified_sampler").asText
+        val idField = req(body, "id_field", "diversified_sampler").asText
+        val cap = Option(body.get("max_docs_per_value"))
+          .orElse(Option(body.get("shard_size")))
+          .map(_.asInt)
+          .getOrElse(100)
+        val sub = subAggs.getOrElse(
+          throw new IllegalArgumentException("diversified_sampler needs a terms sub-aggregation")
+        )
+        require(
+          sub.isObject && sub.size == 1 && sub.elements().asScala.next().has("terms"),
+          s"diversified_sampler supports exactly one terms sub-aggregation, got: $sub"
+        )
+        val termsField =
+          req(sub.elements().asScala.next().get("terms"), "field", "diversified_sampler terms").asText
+        val d = df.withColumn("_h", md5(col(idField).cast("string")))
+        Aggs
+          .topHits(d, col(divField), cap, Seq(col("_h").asc, col(idField).asc))
+          .groupBy(col(termsField).as("key"))
+          .agg(count(lit(1)).as("doc_count"))
+          .orderBy(col("doc_count").desc, col("key"))
       case "terms" if body.has("order") =>
         // Explicit bucket order: {"order": {"<sub-metric>|_key|_count": "asc|desc"}}
         val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
@@ -1475,6 +1670,16 @@ object JsonDsl {
             val vf = col(req(r.getValue.get("rate"), "field", "rate").asText)
             return Aggs.dateHistogramRate(df, field, vf.cast("decimal(12,2)"))
           case None => ()
+        }
+        // min_doc_count=0: empty buckets surface as zero rows — the spine
+        // comes from the (tiny) bucket table's own bounds, never a second
+        // fact scan (Aggs.dateHistogramFilled).
+        if (Option(body.get("min_doc_count")).exists(_.asInt == 0)) {
+          require(
+            entries.size == 1 && entries.head.getValue.isObject,
+            "min_doc_count=0 supports exactly one metric sub-aggregation"
+          )
+          return Aggs.dateHistogramFilled(df, field, interval.get, roundedMetric(entries.head))
         }
         // bucket_selector is the HAVING of the bucket world: it filters
         // the (tiny) bucket table by a script over sibling metrics and

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   *   expr   := term (('+' | '-') term)*
   *   term   := factor (('*' | '/') factor)*
   *   factor := number | ident | 'doc.'ident | 'ln(' expr ')' |
-  *             'abs(' expr ')' | '(' expr ')' | '-' factor
+  *             'abs(' expr ')' | 'mod(' expr ',' expr ')' |
+  *             '(' expr ')' | '-' factor
   *
   * `doc.field` and bare `field` both reference frame columns (the
   * script API's doc-values access, minus the ceremony). Hand-rolled
@@ -87,6 +88,14 @@ object ScriptExpr {
             val a = expr(); ws()
             require(peek == ')', s"unclosed $fn(...) in: $s"); i += 1
             if (fn == "ln") log(a) else abs(a)
+          case "mod" =>
+            ws()
+            require(peek == '(', s"mod needs parenthesized arguments in: $s"); i += 1
+            val a = expr(); ws()
+            require(peek == ',', s"mod needs two comma-separated arguments in: $s"); i += 1
+            val b = expr(); ws()
+            require(peek == ')', s"unclosed mod(...) in: $s"); i += 1
+            a % b
           case ref if ref.startsWith("doc.") => col(ref.stripPrefix("doc."))
           case ref                           => col(ref)
         }

@@ -155,4 +155,136 @@ class WireTwinsSpec extends SparkSpec {
       ).collect()
     }
   }
+
+  test("script_score: the script replaces relevance; malformed scripts fail the wire contract") {
+    val out = JsonDsl.parse(
+      docs,
+      """{"query": {"script_score": {
+        |   "query": {"match": {"text": "spark"}},
+        |   "script": {"source": "mod(doc_id, 2) + n_chars / 100"}}},
+        | "sort": [{"doc_id": "asc"}], "_source": ["doc_id", "_score"]}""".stripMargin,
+      graft.search.IndexMapping(Map("text" -> "text"))
+    ).as[(Long, Double)].collect().toSeq
+    // doc 1: 1%2 + 13/100 = 1.13; doc 2: 0 + 0.19; doc 3 filtered out
+    assert(out == Seq((1L, 1.13), (2L, 0.19)))
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(docs, """{"query": {"script_score": {"script": "mod(doc_id 2)"}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(docs, """{"query": {"script_score": {"query": {"match_all": {}}}}}""")
+    }
+  }
+
+  test("combined_fields parses f^w boosts and rejects empty terms") {
+    val parts = Seq((1L, "small brass rod", "small"), (2L, "large case", "anodized")).toDF("pk", "name", "typ")
+    val out = JsonDsl.parse(
+      parts,
+      """{"query": {"combined_fields": {"query": "small", "fields": ["name", "typ^0.5"]}},
+        | "sort": [{"pk": "asc"}], "_source": ["pk", "_score"]}""".stripMargin
+    ).as[(Long, Double)].collect().toSeq
+    // doc 1 has ctf 1.0 + 0.5 = 1.5, doc 2 zero -> filtered; score > 0
+    assert(out.map(_._1) == Seq(1L) && out.head._2 > 0)
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(parts, """{"query": {"combined_fields": {"query": "  ", "fields": ["name"]}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(parts, """{"query": {"combined_fields": {"query": "small", "fields": ["a^b^c"]}}}""")
+    }
+  }
+
+  test("random_score is a deterministic function of (seed, id)") {
+    val a = JsonDsl.parse(
+      docs,
+      """{"query": {"function_score": {"random_score": {"seed": 7, "field": "doc_id"}}},
+        | "sort": [{"doc_id": "asc"}], "_source": ["doc_id", "_score"]}""".stripMargin
+    ).as[(Long, Double)].collect().toSeq
+    val b = JsonDsl.parse(
+      docs.repartition(3),
+      """{"query": {"function_score": {"random_score": {"seed": 7, "field": "doc_id"}}},
+        | "sort": [{"doc_id": "asc"}], "_source": ["doc_id", "_score"]}""".stripMargin
+    ).as[(Long, Double)].collect().toSeq
+    assert(a == b && a.forall { case (_, s) => s >= 0.0 && s < 1.0 })
+  }
+
+  test("script_fields project computed columns and refuse aggs") {
+    val out = JsonDsl.parse(
+      docs,
+      """{"script_fields": {"half": {"script": {"source": "n_chars / 2"}}},
+        | "sort": [{"doc_id": "asc"}], "_source": ["doc_id", "half"]}""".stripMargin
+    ).as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 6.5), (2L, 9.5), (3L, 6.0)))
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(
+        docs,
+        """{"script_fields": {"half": {"script": "n_chars / 2"}},
+          | "aggs": {"n": {"value_count": {"field": "doc_id"}}}}""".stripMargin
+      )
+    }
+  }
+
+  test("global computes the all-docs bucket from the unfiltered frame") {
+    val ev = Seq(("buy", 10.0), ("buy", 20.0), ("view", 40.0)).toDF("event_type", "value")
+    val out = JsonDsl.parse(
+      ev,
+      """{"query": {"term": {"event_type": "buy"}},
+        | "aggs": {
+        |   "hits_avg": {"avg": {"field": "value"}},
+        |   "all": {"global": {}, "aggs": {"total_avg": {"avg": {"field": "value"}}}}}}""".stripMargin
+    ).as[(Long, Double, Long, Double)].collect().toSeq
+    // hits: 2 docs avg 15; global escapes the query: 3 docs avg 23.333333
+    assert(out == Seq((2L, 15.0, 3L, 23.333333)))
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(ev, """{"aggs": {"all": {"global": {}}}}""")
+    }
+  }
+
+  test("children agg joins the bound relation and fails loudly on an unbound type") {
+    val parents = Seq((1L, "HI"), (2L, "LO")).toDF("pk", "prio")
+    val children = Seq((1L, 3.0), (1L, 4.0), (2L, 5.0)).toDF("ck", "qty")
+    val body =
+      """{"aggs": {"per_prio": {"terms": {"field": "prio"},
+        |  "aggs": {"to_child": {
+        |    "children": {"type": "kids", "join": {"parent": "pk", "child": "ck"}},
+        |    "aggs": {"child_count": {"value_count": {"field": "ck"}},
+        |             "total_qty": {"sum": {"field": "qty"}}}}}}}}""".stripMargin
+    val out = JsonDsl.parse(parents, body, relations = Map("kids" -> children))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("HI", 2L, 7.0), ("LO", 1L, 5.0)))
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(parents, body).collect()
+    }
+  }
+
+  test("diversified_sampler caps docs per diversity value before the terms sub-agg") {
+    val d = Seq(
+      (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "book"), (4L, "de", "web")
+    ).toDF("doc_id", "lang", "source")
+    val out = JsonDsl.parse(
+      d,
+      """{"aggs": {"sample": {
+        |   "diversified_sampler": {"field": "lang", "max_docs_per_value": 2, "id_field": "doc_id"},
+        |   "aggs": {"src": {"terms": {"field": "source"}}}}}}""".stripMargin
+    ).as[(String, Long)].collect().toSeq
+    // en contributes exactly 2 of its 3 docs + de's 1: total 3 sampled
+    assert(out.map(_._2).sum == 3)
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(d, """{"aggs": {"s": {"diversified_sampler": {"field": "lang", "id_field": "doc_id"}}}}""")
+    }
+  }
+
+  test("date_histogram min_doc_count=0 zero-fills gap days in the metric's own type") {
+    val ev = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5.0),
+      (java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 7.0)
+    ).toDF("ts", "v")
+    val out = JsonDsl.parse(
+      ev,
+      """{"aggs": {"daily": {
+        |   "date_histogram": {"field": "ts", "calendar_interval": "day", "min_doc_count": 0},
+        |   "aggs": {"total": {"sum": {"field": "v"}}}}}}""".stripMargin
+    ).collect()
+    assert(out.length == 3)
+    val gap = out(1)
+    assert(gap.getLong(1) == 0L && gap.getDouble(2) == 0.0)
+  }
 }
