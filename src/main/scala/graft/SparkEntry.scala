@@ -5064,6 +5064,12 @@ object SparkEntry {
           |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "day", "min_doc_count": 0},
           |   "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}}}}}""".stripMargin
       )),
+    "search_dsl_json_phrase_suggest" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"suggest": {"fix": {"text": "fast qery",
+          |   "phrase": {"field": "text", "max_errors": 2, "size": 5}}}}""".stripMargin
+      )),
     // variable_width_histogram: exact-quantile seeds + nearest-seed
     // assignment — the shared Aggs implementation (the wire twin compiles
     // to the same call; see Aggs.variableWidthHistogram for the contract).
@@ -7850,6 +7856,26 @@ object SparkEntry {
         |                                        INTERVAL 1 DAY)) AS bucket)
         |SELECT spine.bucket, coalesce(cnt, 0) AS doc_count, coalesce(rev, 0.0) AS revenue
         |FROM spine LEFT JOIN b USING (bucket) ORDER BY bucket""".stripMargin,
+    "search_dsl_json_phrase_suggest" ->
+      """WITH toks AS (SELECT doc_id, tok, p FROM (
+        |       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+        |              generate_subscripts(string_split(lower(text), ' '), 1) AS p
+        |       FROM documents) t),
+        |vocab AS (SELECT tok AS term, count(*) AS freq FROM toks GROUP BY 1),
+        |c1 AS (SELECT term AS w1, freq AS f1, CAST(levenshtein(term, 'fast') AS INTEGER) AS d1
+        |       FROM vocab WHERE abs(len(term) - 4) <= 2 AND levenshtein(term, 'fast') <= 2),
+        |c2 AS (SELECT term AS w2, freq AS f2, CAST(levenshtein(term, 'qery') AS INTEGER) AS d2
+        |       FROM vocab WHERE abs(len(term) - 4) <= 2 AND levenshtein(term, 'qery') <= 2),
+        |bi AS (SELECT w1, w2, count(*) AS c12 FROM (
+        |         SELECT doc_id, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+        |         FROM toks) b
+        |       WHERE w2 IS NOT NULL GROUP BY 1, 2)
+        |SELECT concat(w1, ' ', w2) AS suggestion,
+        |       d1 + d2 AS dist,
+        |       coalesce(c12, 0) AS bigram_count,
+        |       f1 + f2 AS cand_freq
+        |FROM c1 CROSS JOIN c2 LEFT JOIN bi USING (w1, w2)
+        |ORDER BY bigram_count DESC, dist, cand_freq DESC, suggestion LIMIT 5""".stripMargin,
     "search_variable_width_histogram" ->
       """WITH s AS (SELECT quantile_cont(o_totalprice,
         |             [0.0625, 0.1875, 0.3125, 0.4375, 0.5625, 0.6875, 0.8125, 0.9375]) AS seeds

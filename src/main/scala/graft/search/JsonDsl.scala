@@ -2173,8 +2173,19 @@ object JsonDsl {
         .orderBy(col("freq").desc, col("tok"))
         .limit(size)
         .select(col("tok").as("suggestion"), col("freq"))
+    } else if (spec.has("phrase")) {
+      // phrase suggester: per-position vocabulary corrections composed
+      // into candidate phrases, ranked by corpus bigram frequency with
+      // unigram backoff (Fuzzy.suggestPhrase — two-term phrases).
+      val p = spec.get("phrase")
+      val field = req(p, "field", "phrase suggester").asText
+      val text = req(spec, "text", "phrase suggester").asText
+      val terms = text.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      val maxEdits = Option(p.get("max_errors")).map(_.asInt).getOrElse(2)
+      val size = Option(p.get("size")).map(_.asInt).getOrElse(5)
+      Fuzzy.suggestPhrase(df, field, terms, maxEdits, size)
     } else
-      throw new IllegalArgumentException(s"unsupported suggester (want term or completion): $spec")
+      throw new IllegalArgumentException(s"unsupported suggester (want term, phrase, or completion): $spec")
 
   /** 32-bit numeric value of a dotted-quad IPv4 string column — integer
     * arithmetic only, so every engine materializes the identical long.

@@ -272,6 +272,22 @@ class WireTwinsSpec extends SparkSpec {
     }
   }
 
+  test("phrase suggester composes per-position corrections; unknown suggester type fails") {
+    val d = Seq(
+      (1L, "fast query engine"), (2L, "fast query plans"), (3L, "slow scan")
+    ).toDF("doc_id", "text")
+    val out = JsonDsl.parse(
+      d,
+      """{"suggest": {"fix": {"text": "fast qery",
+        |   "phrase": {"field": "text", "max_errors": 2, "size": 3}}}}""".stripMargin
+    ).collect()
+    // the corpus-bigram-backed correction ranks first
+    assert(out.head.getString(0) == "fast query")
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(d, """{"suggest": {"fix": {"text": "x", "nope": {"field": "text"}}}}""")
+    }
+  }
+
   test("date_histogram min_doc_count=0 zero-fills gap days in the metric's own type") {
     val ev = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5.0),
