@@ -5070,6 +5070,134 @@ object SparkEntry {
         """{"suggest": {"fix": {"text": "fast qery",
           |   "phrase": {"field": "text", "max_errors": 2, "size": 5}}}}""".stripMargin
       )),
+    // ── R9c: the absent agg families — missing / filter / nested agg /
+    // reverse_nested / parent, structured + wire ───────────────────────
+    // missing agg: the docs whose (genuinely sparse, join-derived) field
+    // is NULL — customers with no high-value order. The probe side is
+    // distinct keys BEFORE the join (one row per qualifying buyer); the
+    // missing bucket is an IsNull filter + 1-row exact-decimal aggregate.
+    "search_missing_agg" -> ((s, dir) => {
+      val buyers =
+        Tables.orders(s, dir).filter(col("o_totalprice") > 450000).select(col("o_custkey")).distinct()
+      Tables
+        .customer(s, dir)
+        .join(buyers, col("c_custkey") === col("o_custkey"), "left")
+        .filter(col("o_custkey").isNull)
+        .agg(
+          count(lit(1)).as("doc_count"),
+          round(sum(decMoney(col("c_acctbal"))).cast("double") / count(lit(1)), 6).as("avg_acctbal")
+        )
+    }),
+    "search_dsl_json_missing" -> ((s, dir) => {
+      val buyers =
+        Tables.orders(s, dir).filter(col("o_totalprice") > 450000).select(col("o_custkey")).distinct()
+      JsonDsl.parse(
+        Tables.customer(s, dir).join(buyers, col("c_custkey") === col("o_custkey"), "left"),
+        """{"aggs": {"no_vip": {"missing": {"field": "o_custkey"},
+          |   "aggs": {"avg_acctbal": {"avg": {"field": "c_acctbal"}}}}}}""".stripMargin
+      )
+    }),
+    // filter agg: one named single-filter bucket with metric sub-aggs —
+    // the predicate pushes to the parquet scan, then a 1-row aggregate.
+    "search_filter_agg" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .agg(
+          count(lit(1)).as("doc_count"),
+          round(sum(decMoney(col("o_totalprice"))).cast("double") / count(lit(1)), 6).as("avg_price")
+        )),
+    "search_dsl_json_filter_agg" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"urgent": {"filter": {"term": {"o_orderpriority": "1-URGENT"}},
+          |   "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}}}}}""".stripMargin
+      )),
+    // nested agg (metrics form): element count + exact-decimal mean over
+    // ALL nested elements — per-row partial sums (size + decimal HOF
+    // fold), the element table is never exploded (Nested.nestedAgg).
+    "search_nested_agg" -> ((s, dir) =>
+      search.Nested.nestedAgg(
+        search.Nested.nestedIndex(
+          Tables.orders(s, dir),
+          Tables.lineitem(s, dir),
+          "o_orderkey",
+          "l_orderkey",
+          "items",
+          Seq("l_quantity")
+        ),
+        "items",
+        "l_quantity",
+        "avg_l_quantity"
+      )),
+    "search_dsl_json_nested_agg" -> ((s, dir) =>
+      JsonDsl.parse(
+        search.Nested.nestedIndex(
+          Tables.orders(s, dir),
+          Tables.lineitem(s, dir),
+          "o_orderkey",
+          "l_orderkey",
+          "items",
+          Seq("l_quantity")
+        ),
+        """{"aggs": {"line_items": {"nested": {"path": "items"},
+          |   "aggs": {"avg_l_quantity": {"avg": {"field": "items.l_quantity"}}}}}}""".stripMargin
+      )),
+    // reverse_nested: bucket the ELEMENTS, count DISTINCT parent docs per
+    // bucket — explode is per-element-once, the distinct is (key, parent)
+    // pairs, never a window.
+    "search_reverse_nested" -> ((s, dir) =>
+      search.Nested
+        .nestedIndex(
+          Tables.orders(s, dir),
+          Tables.lineitem(s, dir),
+          "o_orderkey",
+          "l_orderkey",
+          "items",
+          Seq("l_returnflag")
+        )
+        .select(col("o_orderkey"), explode(col("items")).as("_e"))
+        .groupBy(col("_e.l_returnflag").as("key"))
+        .agg(count(lit(1)).as("doc_count"), countDistinct(col("o_orderkey")).as("parent_count"))
+        .orderBy("key")),
+    "search_dsl_json_reverse_nested" -> ((s, dir) =>
+      JsonDsl.parse(
+        search.Nested.nestedIndex(
+          Tables.orders(s, dir),
+          Tables.lineitem(s, dir),
+          "o_orderkey",
+          "l_orderkey",
+          "items",
+          Seq("l_returnflag")
+        ),
+        """{"aggs": {"line_items": {"nested": {"path": "items"},
+          |   "aggs": {"by_flag": {"terms": {"field": "items.l_returnflag"},
+          |     "aggs": {"parents": {"reverse_nested": {"id_field": "o_orderkey"}}}}}}}}""".stripMargin
+      )),
+    // parent agg: from CHILD docs, buckets carry PARENT-side metrics with
+    // each parent counted once per bucket — distinct (bucket, key) pairs
+    // shrink the join input to one row per parent per bucket.
+    "search_parent_agg" -> ((s, dir) =>
+      Tables
+        .lineitem(s, dir)
+        .select(col("l_returnflag").as("key"), col("l_orderkey"))
+        .distinct()
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("key")
+        .agg(
+          count(lit(1)).as("parent_count"),
+          round(sum(decMoney(col("o_totalprice"))).cast("double") / count(lit(1)), 6).as("avg_order_value")
+        )
+        .orderBy("key")),
+    "search_dsl_json_parent" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.lineitem(s, dir),
+        """{"aggs": {"by_flag": {"terms": {"field": "l_returnflag"},
+          |   "aggs": {"to_order": {
+          |     "parent": {"type": "order", "join": {"parent": "o_orderkey", "child": "l_orderkey"}},
+          |     "aggs": {"avg_order_value": {"avg": {"field": "o_totalprice"}}}}}}}}""".stripMargin,
+        relations = Map("order" -> Tables.orders(s, dir))
+      )),
     // variable_width_histogram: exact-quantile seeds + nearest-seed
     // assignment — the shared Aggs implementation (the wire twin compiles
     // to the same call; see Aggs.variableWidthHistogram for the contract).
@@ -7876,6 +8004,54 @@ object SparkEntry {
         |       f1 + f2 AS cand_freq
         |FROM c1 CROSS JOIN c2 LEFT JOIN bi USING (w1, w2)
         |ORDER BY bigram_count DESC, dist, cand_freq DESC, suggestion LIMIT 5""".stripMargin,
+    "search_missing_agg" ->
+      """WITH buyers AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
+        |SELECT count(*) AS doc_count,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_acctbal
+        |FROM customer LEFT JOIN buyers ON c_custkey = o_custkey
+        |WHERE o_custkey IS NULL""".stripMargin,
+    "search_dsl_json_missing" ->
+      """WITH buyers AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
+        |SELECT count(*) AS doc_count,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_acctbal
+        |FROM customer LEFT JOIN buyers ON c_custkey = o_custkey
+        |WHERE o_custkey IS NULL""".stripMargin,
+    "search_filter_agg" ->
+      """SELECT count(*) AS doc_count,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "search_dsl_json_filter_agg" ->
+      """SELECT count(*) AS doc_count,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "search_nested_agg" ->
+      """SELECT count(*) AS doc_count,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_l_quantity
+        |FROM lineitem""".stripMargin,
+    "search_dsl_json_nested_agg" ->
+      """SELECT count(*) AS doc_count,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_l_quantity
+        |FROM lineitem""".stripMargin,
+    "search_reverse_nested" ->
+      """SELECT l_returnflag AS key, count(*) AS doc_count,
+        |       count(DISTINCT l_orderkey) AS parent_count
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_dsl_json_reverse_nested" ->
+      """SELECT l_returnflag AS key, count(*) AS doc_count,
+        |       count(DISTINCT l_orderkey) AS parent_count
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_parent_agg" ->
+      """WITH p AS (SELECT DISTINCT l_returnflag AS key, l_orderkey FROM lineitem)
+        |SELECT key, count(*) AS parent_count,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_order_value
+        |FROM p JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY key ORDER BY key""".stripMargin,
+    "search_dsl_json_parent" ->
+      """WITH p AS (SELECT DISTINCT l_returnflag AS key, l_orderkey FROM lineitem)
+        |SELECT key, count(*) AS parent_count,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_order_value
+        |FROM p JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY key ORDER BY key""".stripMargin,
     "search_variable_width_histogram" ->
       """WITH s AS (SELECT quantile_cont(o_totalprice,
         |             [0.0625, 0.1875, 0.3125, 0.4375, 0.5625, 0.6875, 0.8125, 0.9375]) AS seeds

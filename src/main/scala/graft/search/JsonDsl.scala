@@ -592,19 +592,55 @@ object JsonDsl {
         val gSub = Option(gEntries.head.getValue.get("aggs"))
           .orElse(Option(gEntries.head.getValue.get("aggregations")))
           .getOrElse(throw new IllegalArgumentException("global needs metric sub-aggregations"))
-        def decimalAvg(e: java.util.Map.Entry[String, JsonNode]): Column = {
-          require(
-            e.getValue.isObject && e.getValue.size == 1 && e.getValue.has("avg"),
-            s"global supports avg metrics, got: ${e.getValue}"
-          )
-          val f = col(req(e.getValue.get("avg"), "field", s"metric '${e.getKey}'").asText)
-          round(sum(f.cast("decimal(12,2)")).cast("double") / count(lit(1)), 6).as(e.getKey)
-        }
         val hits = Option(root.get("query")).map(q => df.filter(compileQuery(df, q, mapping))).getOrElse(df)
-        val hitRow = hits.agg(count(lit(1)).as("n_hits"), hitEntries.map(decimalAvg): _*)
+        val hitRow = hits.agg(count(lit(1)).as("n_hits"), hitEntries.map(decimalAvgMetric): _*)
         val allRow =
-          df.agg(count(lit(1)).as("n_total"), gSub.fields().asScala.toSeq.map(decimalAvg): _*)
+          df.agg(count(lit(1)).as("n_total"), gSub.fields().asScala.toSeq.map(decimalAvgMetric): _*)
         return hitRow.crossJoin(broadcast(allRow))
+      case None => ()
+    }
+    // parent agg under terms: from CHILD docs, buckets carry PARENT-side
+    // metrics with each parent counted once per bucket — distinct
+    // (bucket, child-key) pairs first, so the join input is one row per
+    // parent per bucket, then the keyed join + hash agg. The parent
+    // frame comes from `relations` by type; join keys from the clause's
+    // `join` object (the has_child precedent).
+    Option(root.get("aggs"))
+      .orElse(Option(root.get("aggregations")))
+      .filter { a =>
+        a.isObject && a.size == 1 && {
+          val spec = a.elements().asScala.next()
+          val sub = Option(spec.get("aggs")).orElse(Option(spec.get("aggregations")))
+          spec.has("terms") && sub.exists(sa =>
+            sa.isObject && sa.size == 1 && sa.elements().asScala.next().has("parent")
+          )
+        }
+      } match {
+      case Some(a) =>
+        val spec = a.elements().asScala.next()
+        val termsField = req(spec.get("terms"), "field", "terms").asText
+        val parentSpec = Option(spec.get("aggs")).orElse(Option(spec.get("aggregations"))).get
+          .elements().asScala.next()
+        val pr = parentSpec.get("parent")
+        val typ = req(pr, "type", "parent").asText
+        val join = req(pr, "join", "parent")
+        val pk = req(join, "parent", "parent join").asText
+        val ck = req(join, "child", "parent join").asText
+        val parentFrame = relations.getOrElse(
+          typ,
+          throw new IllegalArgumentException(s"parent type '$typ' has no bound relation frame")
+        )
+        val metrics = Option(parentSpec.get("aggs"))
+          .orElse(Option(parentSpec.get("aggregations")))
+          .map(_.fields().asScala.toSeq.map(decimalAvgMetric))
+          .getOrElse(Nil)
+        val base = Option(root.get("query")).map(q => df.filter(compileQuery(df, q, mapping))).getOrElse(df)
+        val pairs = base.select(col(termsField).as("key"), col(ck)).distinct()
+        return pairs
+          .join(parentFrame, col(ck) === col(pk))
+          .groupBy("key")
+          .agg(count(lit(1)).as("parent_count"), metrics: _*)
+          .orderBy("key")
       case None => ()
     }
     // children agg under terms: parent buckets with child-doc metrics —
@@ -1526,6 +1562,56 @@ object JsonDsl {
     val body = spec.get(typeName)
     def field = col(req(body, "field", s"aggregation '$typeName'").asText)
     typeName match {
+      // missing: the docs whose field is NULL, as one bucket with
+      // optional exact-decimal avg sub-metrics — an IsNull filter that
+      // reaches the scan, then a 1-row aggregate.
+      case "missing" =>
+        val metrics = subAggs.map(_.fields().asScala.toSeq.map(decimalAvgMetric)).getOrElse(Nil)
+        df.filter(field.isNull).agg(count(lit(1)).as("doc_count"), metrics: _*)
+      // filter agg: a named single-filter bucket with metric sub-aggs —
+      // the predicate pushes to the scan; one pass, one bucket row.
+      case "filter" =>
+        val metrics = subAggs.map(_.fields().asScala.toSeq.map(decimalAvgMetric)).getOrElse(Nil)
+        df.filter(compileQuery(df, body, mapping)).agg(count(lit(1)).as("doc_count"), metrics: _*)
+      // nested agg: metrics over ALL nested elements. The metrics form
+      // accumulates per-row partials (size + a decimal HOF fold) — the
+      // element table is never exploded. The terms+reverse_nested form
+      // buckets elements and counts DISTINCT parent docs per bucket;
+      // reverse_nested's `id_field` names the parent id column (the _id
+      // stand-in, the diversified_sampler precedent).
+      case "nested" =>
+        val path = req(body, "path", "nested aggregation").asText
+        val sub = subAggs.getOrElse(
+          throw new IllegalArgumentException("nested aggregation needs sub-aggregations")
+        )
+        val subEntries = sub.fields().asScala.toSeq
+        def elementField(full: String): String = {
+          require(
+            full.startsWith(path + "."),
+            s"nested sub-aggregation fields must be $path-prefixed, got: $full"
+          )
+          full.stripPrefix(path + ".")
+        }
+        subEntries match {
+          case Seq(t) if t.getValue.has("terms") =>
+            val termsField = elementField(req(t.getValue.get("terms"), "field", "nested terms").asText)
+            val rnSub = Option(t.getValue.get("aggs")).orElse(Option(t.getValue.get("aggregations")))
+              .getOrElse(throw new IllegalArgumentException("nested terms expects a reverse_nested sub-agg"))
+            val rnEntry = rnSub.elements().asScala.next()
+            require(rnEntry.has("reverse_nested"), s"nested terms supports a reverse_nested sub-agg, got: $rnEntry")
+            val idField = req(rnEntry.get("reverse_nested"), "id_field", "reverse_nested").asText
+            df.select(col(idField), explode(col(path)).as("_e"))
+              .groupBy(col(s"_e.$termsField").as("key"))
+              .agg(count(lit(1)).as("doc_count"), countDistinct(col(idField)).as("parent_count"))
+              .orderBy("key")
+          case Seq(m) if m.getValue.has("avg") =>
+            val f = elementField(req(m.getValue.get("avg"), "field", "nested avg").asText)
+            Nested.nestedAgg(df, path, f, m.getKey)
+          case other =>
+            throw new IllegalArgumentException(
+              s"nested aggregation supports one avg metric or terms+reverse_nested, got: $other"
+            )
+        }
       // matrix_stats: pairwise covariance/correlation of the fields list
       // from one exact-decimal moment scan (Aggs.matrixStats).
       case "matrix_stats" =>
@@ -2211,6 +2297,20 @@ object JsonDsl {
     case "max"         => round(max(f), 2)
     case "value_count" => count(f)
     case other         => throw new IllegalArgumentException(s"unsupported metric aggregation '$other'")
+  }
+
+  /** The exact-decimal avg metric (sum(decimal)/count, round 6) — the
+    * partition-order-proof form used wherever the oracle compares a
+    * money-field mean (global / missing / parent handlers). Only `avg`
+    * is accepted: the callers' contract is means over 2dp-exact fields.
+    */
+  private def decimalAvgMetric(e: java.util.Map.Entry[String, JsonNode]): Column = {
+    require(
+      e.getValue.isObject && e.getValue.size == 1 && e.getValue.has("avg"),
+      s"only avg metrics are supported here, got: ${e.getValue}"
+    )
+    val f = col(req(e.getValue.get("avg"), "field", s"metric '${e.getKey}'").asText)
+    round(sum(f.cast("decimal(12,2)")).cast("double") / count(lit(1)), 6).as(e.getKey)
   }
 
   private def roundedMetric(e: java.util.Map.Entry[String, JsonNode]): Column = {

@@ -58,4 +58,23 @@ object Nested {
     * satisfied the clause, in stored order.
     */
   def innerHits(items: Column, pred: Column => Column): Column = filter(items, pred)
+
+  /** The `nested` aggregation (metrics form): element count + the
+    * exact-decimal mean of one element field over ALL nested elements.
+    * Per-row partial aggregation — each parent row contributes its size
+    * and a decimal HOF fold, so the element table is never exploded and
+    * the shuffle carries two numbers per partition, not per element.
+    */
+  def nestedAgg(df: DataFrame, path: String, field: String, outName: String): DataFrame =
+    df.select(
+        size(col(path)).cast("long").as("_n"),
+        expr(
+          s"aggregate($path, CAST(0 AS DECIMAL(18,2)), " +
+            s"(a, x) -> CAST(a + CAST(x.$field AS DECIMAL(18,2)) AS DECIMAL(18,2)))"
+        ).as("_s")
+      )
+      .agg(
+        sum(col("_n")).as("doc_count"),
+        round(sum(col("_s")).cast("double") / sum(col("_n")), 6).as(outName)
+      )
 }

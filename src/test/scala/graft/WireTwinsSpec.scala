@@ -288,6 +288,66 @@ class WireTwinsSpec extends SparkSpec {
     }
   }
 
+  test("missing and filter aggs bucket one row; nested agg folds without exploding") {
+    val c = Seq((1L, Some(10L), 5.0), (2L, None, 7.0), (3L, None, 9.0)).toDF("id", "ref", "bal")
+    val miss = JsonDsl.parse(
+      c,
+      """{"aggs": {"no_ref": {"missing": {"field": "ref"},
+        |   "aggs": {"avg_bal": {"avg": {"field": "bal"}}}}}}""".stripMargin
+    ).as[(Long, Double)].collect().toSeq
+    assert(miss == Seq((2L, 8.0)))
+    val filt = JsonDsl.parse(
+      c,
+      """{"aggs": {"big": {"filter": {"range": {"bal": {"gte": 7}}},
+        |   "aggs": {"avg_bal": {"avg": {"field": "bal"}}}}}}""".stripMargin
+    ).as[(Long, Double)].collect().toSeq
+    assert(filt == Seq((2L, 8.0)))
+  }
+
+  test("nested agg metrics fold per row; reverse_nested counts distinct parents") {
+    val parents = Seq((10L, "a"), (20L, "b")).toDF("pk", "name")
+    val children = Seq((10L, 2.0, "R"), (10L, 4.0, "R"), (20L, 6.0, "N")).toDF("ck", "qty", "flag")
+    val nested = graft.search.Nested.nestedIndex(parents, children, "pk", "ck", "items", Seq("qty", "flag"))
+    val m = JsonDsl.parse(
+      nested,
+      """{"aggs": {"li": {"nested": {"path": "items"},
+        |   "aggs": {"avg_qty": {"avg": {"field": "items.qty"}}}}}}""".stripMargin
+    ).as[(Long, Double)].collect().toSeq
+    assert(m == Seq((3L, 4.0)))
+    val rn = JsonDsl.parse(
+      nested,
+      """{"aggs": {"li": {"nested": {"path": "items"},
+        |   "aggs": {"by_flag": {"terms": {"field": "items.flag"},
+        |     "aggs": {"parents": {"reverse_nested": {"id_field": "pk"}}}}}}}}""".stripMargin
+    ).as[(String, Long, Long)].collect().toSeq
+    assert(rn == Seq(("N", 1L, 1L), ("R", 2L, 1L)))
+    // a non-path-prefixed sub-field fails the wire contract
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(
+        nested,
+        """{"aggs": {"li": {"nested": {"path": "items"},
+          |   "aggs": {"avg_qty": {"avg": {"field": "qty"}}}}}}""".stripMargin
+      )
+    }
+  }
+
+  test("parent agg counts each parent once per bucket and needs its relation") {
+    val parents = Seq((10L, 100.0), (20L, 50.0)).toDF("pk", "total")
+    val children = Seq((10L, "R"), (10L, "R"), (20L, "N")).toDF("ck", "flag")
+    val body =
+      """{"aggs": {"by_flag": {"terms": {"field": "flag"},
+        |   "aggs": {"to_parent": {
+        |     "parent": {"type": "p", "join": {"parent": "pk", "child": "ck"}},
+        |     "aggs": {"avg_total": {"avg": {"field": "total"}}}}}}}}""".stripMargin
+    val out = JsonDsl.parse(children, body, relations = Map("p" -> parents))
+      .as[(String, Long, Double)].collect().toSeq
+    // flag R has TWO child rows but ONE parent: parent_count 1, avg 100
+    assert(out == Seq(("N", 1L, 50.0), ("R", 1L, 100.0)))
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(children, body).collect()
+    }
+  }
+
   test("date_histogram min_doc_count=0 zero-fills gap days in the metric's own type") {
     val ev = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5.0),
