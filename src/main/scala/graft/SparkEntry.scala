@@ -5198,6 +5198,16 @@ object SparkEntry {
           |     "aggs": {"avg_order_value": {"avg": {"field": "o_totalprice"}}}}}}}}""".stripMargin,
         relations = Map("order" -> Tables.orders(s, dir))
       )),
+    // _analyze: the analyzer's token stream for a request body — what
+    // this endpoint shows is exactly what the index matches on.
+    "search_analyze_api" -> ((s, dir) =>
+      JsonDsl.analyzeText(
+        s,
+        """{"analyzer": "standard", "text": "Fast Spark QUERIES shuffle Data"}"""
+      )),
+    // _field_caps: per-field capabilities from schema + mapping (text
+    // searchable-not-aggregatable, the OpenSearch defaults).
+    "search_field_caps" -> ((s, dir) => JsonDsl.fieldCaps(Tables.documents(s, dir), docsMapping)),
     // variable_width_histogram: exact-quantile seeds + nearest-seed
     // assignment — the shared Aggs implementation (the wire twin compiles
     // to the same call; see Aggs.variableWidthHistogram for the contract).
@@ -8052,6 +8062,22 @@ object SparkEntry {
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_order_value
         |FROM p JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY key ORDER BY key""".stripMargin,
+    "search_analyze_api" ->
+      """SELECT CAST(p - 1 AS BIGINT) AS position, tok AS token FROM (
+        |  SELECT unnest(string_split(lower('Fast Spark QUERIES shuffle Data'), ' ')) AS tok,
+        |         generate_subscripts(string_split(lower('Fast Spark QUERIES shuffle Data'), ' '), 1) AS p)
+        |ORDER BY position""".stripMargin,
+    "search_field_caps" ->
+      """SELECT column_name AS field,
+        |       CASE WHEN column_name = 'text' THEN 'text'
+        |            WHEN data_type = 'VARCHAR' THEN 'keyword'
+        |            WHEN data_type = 'BIGINT' THEN 'long'
+        |            WHEN data_type = 'DOUBLE' THEN 'double'
+        |            ELSE lower(data_type) END AS type,
+        |       true AS searchable,
+        |       column_name <> 'text' AS aggregatable
+        |FROM information_schema.columns WHERE table_name = 'documents'
+        |ORDER BY field""".stripMargin,
     "search_variable_width_histogram" ->
       """WITH s AS (SELECT quantile_cont(o_totalprice,
         |             [0.0625, 0.1875, 0.3125, 0.4375, 0.5625, 0.6875, 0.8125, 0.9375]) AS seeds

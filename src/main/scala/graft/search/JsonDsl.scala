@@ -762,6 +762,59 @@ object JsonDsl {
     * msearch is just [[parse]] per body.) Returns one row per search:
     * (search ordinal, hit count), in request order.
     */
+  /** The `_analyze` API: run the analyzer over the request's text and
+    * return the token stream as (position, token) rows — the same
+    * [[SearchDsl.analyze]] chain every text query compiles against, so
+    * what this endpoint shows is exactly what the index matches on.
+    * Pure expression work over a 1-row frame; no table is touched.
+    */
+  def analyzeText(spark: org.apache.spark.sql.SparkSession, body: String): DataFrame = {
+    val root =
+      try mapper.readTree(body)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(s"request body is not valid JSON: ${e.getMessage}")
+      }
+    require(root != null && root.isObject, s"_analyze body must be a JSON object: $body")
+    val analyzer = Option(root.get("analyzer")).map(_.asText).getOrElse("standard")
+    require(analyzer == "standard", s"unsupported analyzer '$analyzer'")
+    val text = req(root, "text", "_analyze").asText
+    spark
+      .range(1)
+      .select(posexplode(SearchDsl.analyze(lit(text))))
+      .select(col("pos").cast("long").as("position"), col("col").as("token"))
+      .orderBy("position")
+  }
+
+  /** The `_field_caps` API: per-field capabilities derived from the
+    * frame's schema + the index mapping — text fields are searchable but
+    * not aggregatable, everything else both (the OpenSearch defaults).
+    * Schema metadata only; no data is read.
+    */
+  def fieldCaps(df: DataFrame, mapping: IndexMapping = IndexMapping.empty): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.schema.fields
+      .map { f =>
+        val t = f.dataType match {
+          case org.apache.spark.sql.types.StringType => mapping.fieldType(f.name)
+          case org.apache.spark.sql.types.LongType => "long"
+          case org.apache.spark.sql.types.IntegerType => "integer"
+          case org.apache.spark.sql.types.DoubleType => "double"
+          case org.apache.spark.sql.types.FloatType => "float"
+          case org.apache.spark.sql.types.BooleanType => "boolean"
+          case org.apache.spark.sql.types.DateType => "date"
+          case _: org.apache.spark.sql.types.DecimalType => "double"
+          case dt if dt.typeName.startsWith("timestamp") => "date"
+          case dt => dt.typeName
+        }
+        (f.name, t, true, t != "text")
+      }
+      .toSeq
+      .sortBy(_._1)
+      .toDF("field", "type", "searchable", "aggregatable")
+  }
+
   /** The `_validate/query?explain=true` API: compile-check a query body
     * without executing it. Returns (valid, explanation-or-error): a valid
     * query yields the compiled Catalyst predicate's description (the

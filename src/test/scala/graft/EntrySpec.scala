@@ -86,6 +86,15 @@ class EntrySpec extends SparkSpec {
     // final exact rescore joins only the candidate set.
     val bq = SparkEntry.queries("ann_bq_topk")(spark, Sf).queryExecution.executedPlan.toString
     assert(bq.contains("TakeOrderedAndProject"), s"BQ ranking is not bounded:\n$bq")
+    // nested agg folds per parent row (size + decimal HOF) — the element
+    // table must never explode.
+    val na = SparkEntry.queries("search_nested_agg")(spark, Sf).queryExecution.executedPlan.toString
+    assert(!na.contains("Generate"), s"nested agg regressed to an explode plan:\n$na")
+    // parent agg shrinks the join input to distinct (bucket, key) pairs
+    // BEFORE the parent join — the aggregate below the join is that
+    // distinct (two-key grouping), not a post-join repair.
+    val pa = SparkEntry.queries("search_parent_agg")(spark, Sf).queryExecution.executedPlan.toString
+    assert(pa.contains("HashAggregate(keys=[key"), s"parent agg lost its pre-join distinct:\n$pa")
   }
 
   test("join-back family pays each fact scan once (cache or window restructure)") {

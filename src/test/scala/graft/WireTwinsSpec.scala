@@ -348,6 +348,23 @@ class WireTwinsSpec extends SparkSpec {
     }
   }
 
+  test("_analyze streams the analyzer's tokens; _field_caps reflects schema + mapping") {
+    val toks = JsonDsl.analyzeText(spark, """{"text": "Fast CAR"}""").as[(Long, String)].collect().toSeq
+    assert(toks == Seq((0L, "fast"), (1L, "car")))
+    intercept[IllegalArgumentException] {
+      JsonDsl.analyzeText(spark, """{"analyzer": "whitespace", "text": "x"}""")
+    }
+    intercept[IllegalArgumentException] { JsonDsl.analyzeText(spark, """{"analyzer": "standard"}""") }
+    val caps = JsonDsl
+      .fieldCaps(docs, graft.search.IndexMapping(Map("text" -> "text")))
+      .as[(String, String, Boolean, Boolean)].collect().toSeq
+    assert(caps == Seq(
+      ("doc_id", "long", true, true),
+      ("n_chars", "long", true, true),
+      ("text", "text", true, false)
+    ))
+  }
+
   test("date_histogram min_doc_count=0 zero-fills gap days in the metric's own type") {
     val ev = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5.0),
