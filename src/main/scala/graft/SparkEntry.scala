@@ -5208,6 +5208,25 @@ object SparkEntry {
     // _field_caps: per-field capabilities from schema + mapping (text
     // searchable-not-aggregatable, the OpenSearch defaults).
     "search_field_caps" -> ((s, dir) => JsonDsl.fieldCaps(Tables.documents(s, dir), docsMapping)),
+    // _plugins/_sql: read-only SQL over an index through Spark's own SQL
+    // compiler (full Catalyst path); the oracle runs the SAME statement.
+    "search_sql_api" -> ((s, dir) =>
+      JsonDsl.sqlQuery(
+        Tables.documents(s, dir),
+        "documents",
+        """{"query": "SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY lang ORDER BY lang"}"""
+      )),
+    // _script sort from the wire format: the compiled arithmetic subset
+    // as the ranking key — a projection under TakeOrderedAndProject.
+    "search_dsl_json_script_sort" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"match_all": {}},
+          | "sort": [{"_script": {"type": "number",
+          |    "script": {"source": "n_chars / (doc_id + 1)"}, "order": "desc"}},
+          |   {"doc_id": "asc"}],
+          | "size": 10, "_source": ["doc_id", "n_chars"]}""".stripMargin
+      )),
     // variable_width_histogram: exact-quantile seeds + nearest-seed
     // assignment — the shared Aggs implementation (the wire twin compiles
     // to the same call; see Aggs.variableWidthHistogram for the contract).
@@ -8078,6 +8097,12 @@ object SparkEntry {
         |       column_name <> 'text' AS aggregatable
         |FROM information_schema.columns WHERE table_name = 'documents'
         |ORDER BY field""".stripMargin,
+    "search_sql_api" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "search_dsl_json_script_sort" ->
+      """SELECT doc_id, n_chars FROM documents
+        |ORDER BY (CAST(n_chars AS DOUBLE) / (doc_id + 1)) DESC, doc_id LIMIT 10""".stripMargin,
     "search_variable_width_histogram" ->
       """WITH s AS (SELECT quantile_cont(o_totalprice,
         |             [0.0625, 0.1875, 0.3125, 0.4375, 0.5625, 0.6875, 0.8125, 0.9375]) AS seeds

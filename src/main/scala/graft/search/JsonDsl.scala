@@ -762,6 +762,27 @@ object JsonDsl {
     * msearch is just [[parse]] per body.) Returns one row per search:
     * (search ordinal, hit count), in request order.
     */
+  /** The SQL plugin's `_plugins/_sql` endpoint: a read-only SQL
+    * statement over one index, executed by Spark's own SQL compiler
+    * against a temp view of the frame — the full Catalyst path
+    * (pushdown, codegen, AQE), not an interpreter. Only SELECT
+    * statements are accepted; anything else is a 400-class error.
+    */
+  def sqlQuery(df: DataFrame, table: String, body: String): DataFrame = {
+    val root =
+      try mapper.readTree(body)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(s"request body is not valid JSON: ${e.getMessage}")
+      }
+    require(root != null && root.isObject, s"_sql body must be a JSON object: $body")
+    val stmt = req(root, "query", "_sql").asText.trim
+    require(stmt.toLowerCase.startsWith("select") || stmt.toLowerCase.startsWith("with"),
+      s"_sql accepts read-only SELECT statements, got: $stmt")
+    df.createOrReplaceTempView(table)
+    df.sparkSession.sql(stmt)
+  }
+
   /** The `_analyze` API: run the analyzer over the request's text and
     * return the token stream as (position, token) rows — the same
     * [[SearchDsl.analyze]] chain every text query compiles against, so
@@ -2414,8 +2435,27 @@ object JsonDsl {
     }
   }
 
-  private def compileSort(sort: JsonNode): Seq[Column] =
-    sortSpecs(sort).map { case (f, asc) => if (asc) col(f).asc else col(f).desc }
+  private def compileSort(sort: JsonNode): Seq[Column] = {
+    val entries = if (sort.isArray) sort.elements().asScala.toSeq else Seq(sort)
+    entries.map {
+      // _script sort: the compiled arithmetic subset as the sort key — a
+      // pure projection under TakeOrderedAndProject, never a UDF
+      // comparator. Not valid as a search_after/collapse cursor key
+      // (sortSpecs still rejects it there: a cursor needs a stored
+      // field to build the seek predicate from).
+      case s if s.isObject && s.size == 1 && s.fieldNames().next() == "_script" =>
+        val spec = s.get("_script")
+        val scriptNode = req(spec, "script", "_script sort")
+        val src =
+          if (scriptNode.isTextual) scriptNode.asText
+          else req(scriptNode, "source", "_script sort").asText
+        val c = ScriptExpr.compile(src)
+        if (Option(spec.get("order")).map(_.asText).contains("desc")) c.desc else c.asc
+      case s =>
+        val Seq((f, asc)) = sortSpecs(s)
+        if (asc) col(f).asc else col(f).desc
+    }
+  }
 
   /** Compile a `bucket_selector` script into a bucket-table predicate.
     * The script grammar is constrained to `params.<var> <op> <number>`

@@ -365,6 +365,23 @@ class WireTwinsSpec extends SparkSpec {
     ))
   }
 
+  test("_sql accepts only SELECT; _script sort ranks by the compiled expression") {
+    val out = JsonDsl.sqlQuery(docs, "d_sql", """{"query": "SELECT count(*) AS n FROM d_sql"}""")
+      .as[Long].collect().toSeq
+    assert(out == Seq(3L))
+    intercept[IllegalArgumentException] {
+      JsonDsl.sqlQuery(docs, "d_sql", """{"query": "DROP TABLE d_sql"}""")
+    }
+    val ranked = JsonDsl.parse(
+      docs,
+      """{"sort": [{"_script": {"type": "number",
+        |   "script": {"source": "n_chars - doc_id"}, "order": "desc"}}],
+        | "_source": ["doc_id"]}""".stripMargin
+    ).as[Long].collect().toSeq
+    // n_chars - doc_id: doc2 = 17, doc1 = 12, doc3 = 9
+    assert(ranked == Seq(2L, 1L, 3L))
+  }
+
   test("date_histogram min_doc_count=0 zero-fills gap days in the metric's own type") {
     val ev = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5.0),
