@@ -30,8 +30,27 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
-  def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
+  /** Date columns canonicalize to DATE whatever the writer's physical
+    * type (a timestamp[us/ns] writer would otherwise flip every
+    * date_trunc/date_histogram plan to timestamp semantics — the same
+    * writer-variance class that took out agg_sessionize in round 8; the
+    * cast is a no-op when the column already arrives as DATE).
+    */
+  private def withDate(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df) { (acc, c) =>
+      acc.schema(c).dataType match {
+        case org.apache.spark.sql.types.DateType => acc
+        // int64-nanos writer (read as long under nanosAsLong): epoch
+        // nanos -> micros (integral div) -> date.
+        case LongType => acc.withColumn(c, expr(s"cast(timestamp_micros($c div 1000) as date)"))
+        case _        => acc.withColumn(c, expr(s"cast($c as date)"))
+      }
+    }
+
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    withDate(read(spark, dir, "orders"), "o_orderdate")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    withDate(read(spark, dir, "lineitem"), "l_shipdate")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads only as a
     * nanosecond long (spark.sql.legacy.parquet.nanosAsLong — set by
     * [[sessionConfigs]]). Convert to a microsecond timestamp with integral

@@ -163,6 +163,41 @@ class EntrySpec extends SparkSpec {
     assert(perVariant.distinct.size == 1, "agg_sessionize output differs across ts writers")
   }
 
+  test("orders.o_orderdate physical-type matrix: DATE / timestamp / int64-nanos writers all work") {
+    // The same writer-variance class as the events.ts matrix above, for
+    // the date columns: a testdata re-generation that writes o_orderdate
+    // as timestamp[us] or int64-nanos must not flip the
+    // date_trunc/date_histogram plans to timestamp semantics.
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.DateType
+    val base = Tables.orders(spark, Sf)
+    val root = java.nio.file.Files.createTempDirectory("graft-date-matrix")
+    val variants = Seq(
+      "date"  -> base,
+      "ts"    -> base.withColumn("o_orderdate", col("o_orderdate").cast("timestamp")),
+      "nanos" -> base.withColumn("o_orderdate", expr("unix_micros(cast(cast(o_orderdate as timestamp) as timestamp_ltz)) * 1000L"))
+    )
+    val others = new java.io.File(Sf).listFiles.map(_.getName).filter(n => n.endsWith(".parquet") && n != "orders.parquet")
+    val dirs = variants.map { case (name, df) =>
+      val dir = root.resolve(name)
+      java.nio.file.Files.createDirectories(dir)
+      df.write.mode("overwrite").parquet(dir.resolve("orders.parquet").toString)
+      others.foreach(n => java.nio.file.Files.createSymbolicLink(dir.resolve(n), java.nio.file.Paths.get(Sf, n)))
+      name -> dir.toString
+    }
+    val dateQueries = Seq("search_date_histogram_filled", "search_change_point", "q4_order_priority")
+    for ((name, dir) <- dirs) {
+      assert(Tables.orders(spark, dir).schema("o_orderdate").dataType == DateType,
+        s"o_orderdate=$name not canonicalized to DATE")
+      for (q <- dateQueries)
+        assert(SparkEntry.queries(q)(spark, dir).count() > 0, s"$q on o_orderdate=$name writer returned no rows")
+    }
+    val perVariant = dirs.map { case (_, dir) =>
+      SparkEntry.queries("search_date_histogram_filled")(spark, dir).collect().map(_.toString).sorted.toSeq
+    }
+    assert(perVariant.distinct.size == 1, "date_histogram output differs across o_orderdate writers")
+  }
+
   test("all queries execute and are non-empty at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
