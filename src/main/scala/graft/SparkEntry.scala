@@ -5227,6 +5227,20 @@ object SparkEntry {
           |   {"doc_id": "asc"}],
           | "size": 10, "_source": ["doc_id", "n_chars"]}""".stripMargin
       )),
+    // knn with method=ivf from the wire format: the SCALE path — only
+    // the probed cells score (the in-band knn handler is the exact
+    // brute-force baseline). Approximate by design → rows-only; the spec
+    // pins equality with the structured ann_ivf_topk for the same body.
+    "search_dsl_json_knn_ivf" -> ((s, dir) => {
+      val v = queryVec(s, dir, 0).mkString("[", ",", "]")
+      JsonDsl.knnIvf(
+        cachedIvf(s, dir, nLists = 16),
+        "vec_id",
+        "embedding",
+        s"""{"query": {"knn": {"embedding": {"vector": $v, "k": 10,
+           |  "method": {"name": "ivf", "nprobe": 6}}}}}""".stripMargin
+      )
+    }),
     // variable_width_histogram: exact-quantile seeds + nearest-seed
     // assignment — the shared Aggs implementation (the wire twin compiles
     // to the same call; see Aggs.variableWidthHistogram for the contract).

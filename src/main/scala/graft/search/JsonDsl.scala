@@ -762,6 +762,42 @@ object JsonDsl {
     * msearch is just [[parse]] per body.) Returns one row per search:
     * (search ordinal, hit count), in request order.
     */
+  /** knn against a prebuilt IVF index — the wire face of the
+    * vector-search SCALE path. The in-band knn handler scores every row
+    * (exact recall; the right baseline, the wrong corpus-scale plan);
+    * with `"method": {"name": "ivf", "nprobe": N}` only the probed
+    * cells' vectors are scored. The index rides in as an argument (the
+    * `relations` precedent: a wire request names resources, the runtime
+    * binds them); the body's field must name the index's vector column.
+    */
+  def knnIvf(
+      index: graft.operators.Similarity.IvfIndex,
+      idCol: String,
+      vecCol: String,
+      body: String
+  ): DataFrame = {
+    val root =
+      try mapper.readTree(body)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(s"request body is not valid JSON: ${e.getMessage}")
+      }
+    require(root != null && root.isObject, s"knn body must be a JSON object: $body")
+    val q = req(root, "query", "knn")
+    require(q.isObject && q.size == 1 && q.fieldNames().next() == "knn", s"expected a knn query: $q")
+    val knn = q.get("knn")
+    val f = singleField(knn)
+    require(f == vecCol, s"knn field '$f' must name the index's vector column '$vecCol'")
+    val spec = knn.get(f)
+    val vec = req(spec, "vector", "knn").elements().asScala.toSeq.map(_.floatValue)
+    val k = req(spec, "k", "knn").asInt
+    val method = req(spec, "method", "indexed knn")
+    require(req(method, "name", "knn method").asText == "ivf", s"unsupported knn method: $method")
+    val nProbe = Option(method.get("nprobe")).map(_.asInt).getOrElse(4)
+    require(spec.get("filter") == null, "indexed knn does not support filter (use the exact knn handler)")
+    graft.operators.Similarity.scoreAgainstIvf(index, idCol, vecCol, vec, k, nProbe)
+  }
+
   /** The SQL plugin's `_plugins/_sql` endpoint: a read-only SQL
     * statement over one index, executed by Spark's own SQL compiler
     * against a temp view of the frame — the full Catalyst path

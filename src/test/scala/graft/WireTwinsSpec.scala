@@ -382,6 +382,26 @@ class WireTwinsSpec extends SparkSpec {
     assert(ranked == Seq(2L, 1L, 3L))
   }
 
+  test("indexed knn compiles onto the IVF scale path and pins its contract") {
+    import graft.operators.Similarity
+    val emb = (0L until 40L).map(i => (i, Array.tabulate(4)(d => (i % 7 + d).toFloat))).toDF("id", "v")
+    val idx = Similarity.ivfIndex(emb, "id", "v", nLists = 4)
+    val body =
+      """{"query": {"knn": {"v": {"vector": [1.0, 2.0, 3.0, 4.0], "k": 5,
+        |  "method": {"name": "ivf", "nprobe": 2}}}}}""".stripMargin
+    val wire = JsonDsl.knnIvf(idx, "id", "v", body).collect().toSeq
+    val structured = Similarity.scoreAgainstIvf(idx, "id", "v", Seq(1f, 2f, 3f, 4f), 5, 2).collect().toSeq
+    assert(wire == structured && wire.size == 5)
+    intercept[IllegalArgumentException] {
+      JsonDsl.knnIvf(idx, "id", "v",
+        """{"query": {"knn": {"v": {"vector": [1, 2, 3, 4], "k": 5, "method": {"name": "hnsw"}}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      JsonDsl.knnIvf(idx, "id", "wrong",
+        """{"query": {"knn": {"v": {"vector": [1, 2, 3, 4], "k": 5, "method": {"name": "ivf"}}}}}""")
+    }
+  }
+
   test("date_histogram min_doc_count=0 zero-fills gap days in the metric's own type") {
     val ev = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5.0),
