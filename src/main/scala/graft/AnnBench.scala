@@ -1,0 +1,76 @@
+package graft
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** ANN probe-set benchmark: per-query latency vs batched throughput for
+  * the LSH, IVF, and graph search paths (indexes built once, persisted,
+  * warmed). The question it answers for a 100 TB deployment: how much of
+  * a per-query driver round-trip is amortized when probes ride ONE job
+  * (the knnJoinLsh / graphSearchBatch broadcast-join shape) instead of N
+  * sequential searches — i.e. whether the batch path is the right online
+  * default. Prints one JSON line; the driver never runs this (it's the
+  * SURVEY §5 evidence generator for ANN_QPS artifacts).
+  */
+object AnnBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val nProbes = sys.env.getOrElse("SPARK_GRAFT_ANN_PROBES", "16").toInt
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val probesDf = emb.filter(col("vec_id") < nProbes)
+    val probes: Seq[(Long, Seq[Float])] =
+      probesDf.select("vec_id", "embedding").collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+
+    val lsh = Similarity.lshIndex(emb, "vec_id", "embedding", nBits = 4, tables = 4).persist()
+    lsh.sigs.count()
+    val ivf = Similarity.ivfIndex(emb, "vec_id", "embedding", nLists = 16).persist()
+    ivf.assigned.count()
+    val graph = Similarity.graphIndex(emb, "vec_id", "embedding").persist()
+    graph.neighbors.count()
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def seqLsh(): Unit =
+      probes.foreach { case (_, v) => Similarity.scoreAgainstLsh(lsh, "vec_id", "embedding", v, 10, probeRadius = 1).count() }
+    def batchLsh(): Unit = { Similarity.knnJoinLsh(lsh, probesDf, "vec_id", "embedding", 10, probeRadius = 1).count(); () }
+    def seqIvf(): Unit =
+      probes.foreach { case (_, v) => Similarity.scoreAgainstIvf(ivf, "vec_id", "embedding", v, 10, nProbe = 6).count() }
+    def seqGraph(): Unit =
+      probes.foreach { case (_, v) => Similarity.graphSearch(graph, emb, "vec_id", "embedding", v, 10).count() }
+    def batchGraph(): Unit = { Similarity.graphSearchBatch(graph, emb, "vec_id", "embedding", probesDf, 10).count(); () }
+
+    // Warm-up (JIT + codegen + parquet footers), then the timed pass.
+    Seq(seqLsh _, batchLsh _, seqIvf _, seqGraph _, batchGraph _).foreach(f => f())
+    val results = Seq(
+      "lsh_seq" -> time(seqLsh()),
+      "lsh_batch" -> time(batchLsh()),
+      "ivf_seq" -> time(seqIvf()),
+      "graph_seq" -> time(seqGraph()),
+      "graph_batch" -> time(batchGraph())
+    ).toMap
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def qps(sec: Double): String = f3(nProbes / sec)
+    val line =
+      s"""{"metric":"ann_qps","n_probes":$nProbes,"sf":"$sfDir",""" +
+        s""""seconds":{${results.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${f3(v)}""" }.mkString(",")}},""" +
+        s""""qps":{"lsh_seq":${qps(results("lsh_seq"))},"lsh_batch":${qps(results("lsh_batch"))},""" +
+        s""""ivf_seq":${qps(results("ivf_seq"))},"graph_seq":${qps(results("graph_seq"))},""" +
+        s""""graph_batch":${qps(results("graph_batch"))}},""" +
+        s""""batch_speedup":{"lsh":${f3(results("lsh_seq") / results("lsh_batch"))},""" +
+        s""""graph":${f3(results("graph_seq") / results("graph_batch"))}}}"""
+    println(line)
+    spark.stop()
+  }
+}
