@@ -5227,6 +5227,26 @@ object SparkEntry {
           |   {"doc_id": "asc"}],
           | "size": 10, "_source": ["doc_id", "n_chars"]}""".stripMargin
       )),
+    // extended_stats_bucket: moments of the monthly-revenue bucket
+    // metric from exact decimal sums in a fixed double tree.
+    "search_dsl_json_extended_stats_bucket" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {
+          |  "monthly": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |              "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}}},
+          |  "spread": {"extended_stats_bucket": {"buckets_path": "monthly>revenue"}}
+          |}}""".stripMargin
+      )),
+    // sampler (plain): md5-ordered first-100 docs feeding a terms
+    // sub-agg — a bounded TakeOrderedAndProject, never a full sort.
+    "search_dsl_json_sampler_plain" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"aggs": {"sample": {
+          |   "sampler": {"shard_size": 100, "id_field": "doc_id"},
+          |   "aggs": {"sources": {"terms": {"field": "source"}}}}}}""".stripMargin
+      )),
     // knn with method=ivf from the wire format: the SCALE path — only
     // the probed cells score (the in-band knn handler is the exact
     // brute-force baseline). Approximate by design → rows-only; the spec
@@ -8117,6 +8137,25 @@ object SparkEntry {
     "search_dsl_json_script_sort" ->
       """SELECT doc_id, n_chars FROM documents
         |ORDER BY (CAST(n_chars AS DOUBLE) / (doc_id + 1)) DESC, doc_id LIMIT 10""".stripMargin,
+    "search_dsl_json_extended_stats_bucket" ->
+      """WITH b AS (SELECT date_trunc('month', o_orderdate) AS bucket,
+        |                  round(sum(o_totalprice), 2) AS revenue
+        |           FROM orders GROUP BY 1),
+        |m AS (SELECT count(*) AS n,
+        |             CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |             CAST(sum(CAST(revenue AS DECIMAL(28,2)) * CAST(revenue AS DECIMAL(28,2))) AS DOUBLE) AS ss,
+        |             round(min(revenue), 2) AS mn, round(max(revenue), 2) AS mx
+        |      FROM b)
+        |SELECT n AS count, mn AS min, mx AS max, round(s / n, 6) AS avg, s AS sum,
+        |       ss AS sum_of_squares,
+        |       round((ss - s * s / n) / n, 6) AS variance,
+        |       round(sqrt((ss - s * s / n) / n), 6) AS std_deviation
+        |FROM m""".stripMargin,
+    "search_dsl_json_sampler_plain" ->
+      """WITH s AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+        |           ORDER BY h, doc_id LIMIT 100)
+        |SELECT source AS key, count(*) AS doc_count FROM s
+        |GROUP BY 1 ORDER BY doc_count DESC, key""".stripMargin,
     "search_variable_width_histogram" ->
       """WITH s AS (SELECT quantile_cont(o_totalprice,
         |             [0.0625, 0.1875, 0.3125, 0.4375, 0.5625, 0.6875, 0.8125, 0.9375]) AS seeds

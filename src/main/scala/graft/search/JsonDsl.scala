@@ -1571,7 +1571,8 @@ object JsonDsl {
   // ── Aggregations ──────────────────────────────────────────────────────
 
   private val siblingPipelineTypes =
-    Set("stats_bucket", "avg_bucket", "min_bucket", "max_bucket", "sum_bucket", "percentiles_bucket", "change_point")
+    Set("stats_bucket", "avg_bucket", "min_bucket", "max_bucket", "sum_bucket", "percentiles_bucket",
+      "extended_stats_bucket", "change_point")
 
   private def compileAggs(df: DataFrame, aggs: JsonNode, mapping: IndexMapping): DataFrame = {
     // Sibling pipeline form: two top-level aggs where the second reads
@@ -1622,6 +1623,26 @@ object JsonDsl {
                 .filter(metric === col("_mx"))
                 .select(col("bucket"), metric)
                 .orderBy("bucket")
+            // extended_stats_bucket: moments of the bucket metric from
+            // exact decimal sums in a fixed double tree (population
+            // variance E[x²]−E[x]², OpenSearch's convention) — var_pop's
+            // partition-order double accumulation would not be
+            // engine-stable.
+            case "extended_stats_bucket" =>
+              val dec = metric.cast("decimal(18,2)")
+              val n = count(lit(1))
+              val s = sum(dec).cast("double")
+              val ss = sum(dec * dec).cast("double")
+              buckets.agg(
+                n.as("count"),
+                round(min(metric), 2).as("min"),
+                round(max(metric), 2).as("max"),
+                round(s / n, 6).as("avg"),
+                s.as("sum"),
+                ss.as("sum_of_squares"),
+                round((ss - s * s / n) / n, 6).as("variance"),
+                round(sqrt((ss - s * s / n) / n), 6).as("std_deviation")
+              )
             // percentiles_bucket: the exact interpolated ladder over the
             // bucket METRIC values (~tens of rows).
             case "percentiles_bucket" =>
@@ -1732,6 +1753,24 @@ object JsonDsl {
       // heaps, the quota-sampling exec), feeding its terms sub-agg.
       // `id_field` names the id column — the _id stand-in, the has_child
       // join-object precedent.
+      // sampler (plain): the deterministic md5-ordered first shard_size
+      // docs feeding a terms sub-agg — a bounded TakeOrderedAndProject,
+      // never a full sort. `id_field` as in diversified_sampler.
+      case "sampler" =>
+        val idField = req(body, "id_field", "sampler").asText
+        val shardSize = Option(body.get("shard_size")).map(_.asInt).getOrElse(100)
+        val sub = subAggs.getOrElse(throw new IllegalArgumentException("sampler needs a terms sub-aggregation"))
+        require(
+          sub.isObject && sub.size == 1 && sub.elements().asScala.next().has("terms"),
+          s"sampler supports exactly one terms sub-aggregation, got: $sub"
+        )
+        val termsField = req(sub.elements().asScala.next().get("terms"), "field", "sampler terms").asText
+        df.withColumn("_h", md5(col(idField).cast("string")))
+          .orderBy(col("_h").asc, col(idField).asc)
+          .limit(shardSize)
+          .groupBy(col(termsField).as("key"))
+          .agg(count(lit(1)).as("doc_count"))
+          .orderBy(col("doc_count").desc, col("key"))
       case "diversified_sampler" =>
         val divField = req(body, "field", "diversified_sampler").asText
         val idField = req(body, "id_field", "diversified_sampler").asText
