@@ -5499,7 +5499,7 @@ object SparkEntry {
         |WHERE len(list_filter(string_split(lower(text), ' '), t -> levenshtein(t, 'sparc') <= 1)) > 0
         |ORDER BY doc_id""".stripMargin,
     "search_dsl_json_search_after" ->
-      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice FROM orders
         |WHERE o_orderdate < TIMESTAMP '2000-06-15 00:00:00'
         |   OR (o_orderdate = TIMESTAMP '2000-06-15 00:00:00' AND o_orderkey < 900)
         |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10""".stripMargin,
@@ -5512,7 +5512,7 @@ object SparkEntry {
         |WHERE list_contains(string_split(lower(text), ' '), 'spark')
         |ORDER BY doc_id""".stripMargin,
     "search_dsl_json_scroll" ->
-      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice FROM orders
         |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10 OFFSET 20""".stripMargin,
     "search_dsl_json_significant_text" ->
       """WITH toks AS (SELECT doc_id, lang = 'de' AS fg,
@@ -5705,10 +5705,10 @@ object SparkEntry {
         |       round(quantile_cont(o_totalprice, 0.99), 6) AS p99
         |FROM orders""".stripMargin,
     "search_top_n" ->
-      """SELECT o_orderkey, o_orderdate, o_totalprice, o_orderstatus
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, o_orderstatus
         |FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10""".stripMargin,
     "search_search_after" ->
-      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice FROM orders
         |WHERE o_orderdate < TIMESTAMP '2000-06-15 00:00:00'
         |   OR (o_orderdate = TIMESTAMP '2000-06-15 00:00:00' AND o_orderkey < 900)
         |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10""".stripMargin,
@@ -5940,7 +5940,7 @@ object SparkEntry {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
-      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
         |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -5948,7 +5948,7 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q3_shipping_colocated" ->
-      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
         |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -6018,14 +6018,14 @@ object SparkEntry {
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q18_large_orders" ->
-      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, round(qty, 2) AS qty
+      """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, round(qty, 2) AS qty
         |FROM orders, customer,
         |     (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY l_orderkey
         |      HAVING sum(l_quantity) > 300) t
         |WHERE o_orderkey = t.l_orderkey AND c_custkey = o_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
     "q18_large_orders_colocated" ->
-      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, round(qty, 2) AS qty
+      """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, round(qty, 2) AS qty
         |FROM orders, customer,
         |     (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY l_orderkey
         |      HAVING sum(l_quantity) > 300) t
