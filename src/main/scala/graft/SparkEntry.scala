@@ -8147,9 +8147,9 @@ object SparkEntry {
         |             round(min(revenue), 2) AS mn, round(max(revenue), 2) AS mx
         |      FROM b)
         |SELECT n AS count, mn AS min, mx AS max, round(s / n, 6) AS avg, s AS sum,
-        |       ss AS sum_of_squares,
-        |       round((ss - s * s / n) / n, 6) AS variance,
-        |       round(sqrt((ss - s * s / n) / n), 6) AS std_deviation
+        |       round(ss, -6) AS sum_of_squares,
+        |       round((ss - s * s / n) / n, -4) AS variance,
+        |       round(sqrt((ss - s * s / n) / n), 4) AS std_deviation
         |FROM m""".stripMargin,
     "search_dsl_json_sampler_plain" ->
       """WITH s AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents

@@ -1633,15 +1633,21 @@ object JsonDsl {
               val n = count(lit(1))
               val s = sum(dec).cast("double")
               val ss = sum(dec * dec).cast("double")
+              // ss sits near 1e19 — past double's exact-integer range, so
+              // the two engines' decimal→double conversions can differ by
+              // ulps and the variance cancellation amplifies that to ~1e1
+              // absolute. The big moments round at absolute precision far
+              // above ulp noise (relative ~1e-13) instead of the 6-dp
+              // convention; std (back at data magnitude) rounds normally.
               buckets.agg(
                 n.as("count"),
                 round(min(metric), 2).as("min"),
                 round(max(metric), 2).as("max"),
                 round(s / n, 6).as("avg"),
                 s.as("sum"),
-                ss.as("sum_of_squares"),
-                round((ss - s * s / n) / n, 6).as("variance"),
-                round(sqrt((ss - s * s / n) / n), 6).as("std_deviation")
+                round(ss, -6).as("sum_of_squares"),
+                round((ss - s * s / n) / n, -4).as("variance"),
+                round(sqrt((ss - s * s / n) / n), 4).as("std_deviation")
               )
             // percentiles_bucket: the exact interpolated ladder over the
             // bucket METRIC values (~tens of rows).
