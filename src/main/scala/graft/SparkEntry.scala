@@ -5247,6 +5247,32 @@ object SparkEntry {
           |   "sampler": {"shard_size": 100, "id_field": "doc_id"},
           |   "aggs": {"sources": {"terms": {"field": "source"}}}}}}""".stripMargin
       )),
+    // span_multi: a multi-term matcher (prefix) as a span, composed
+    // under span_near — prefix-matching token positions within slop of
+    // 'fast', either direction. Same per-row HOF pass as span_near.
+    "search_span_multi" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          expr("filter(transform(_toks, (t, i) -> IF(t LIKE 'spar%', i, -1)), x -> x >= 0)").as("_pa"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'fast', i, -1)), x -> x >= 0)").as("_pb")
+        )
+        .filter(expr("exists(_pa, a -> exists(_pb, b -> b != a AND abs(b - a) <= 5))"))
+        .select("doc_id")
+        .orderBy("doc_id")),
+    "search_dsl_json_span_multi" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"span_near": {
+          |   "clauses": [
+          |     {"span_multi": {"match": {"prefix": {"text": {"value": "spar"}}}}},
+          |     {"span_term": {"text": {"value": "fast"}}}],
+          |   "slop": 5, "in_order": false}},
+          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin,
+        docsMapping
+      )),
     // knn with method=ivf from the wire format: the SCALE path — only
     // the probed cells score (the in-band knn handler is the exact
     // brute-force baseline). Approximate by design → rows-only; the spec
@@ -8156,6 +8182,24 @@ object SparkEntry {
         |           ORDER BY h, doc_id LIMIT 100)
         |SELECT source AS key, count(*) AS doc_count FROM s
         |GROUP BY 1 ORDER BY doc_count DESC, key""".stripMargin,
+    "search_span_multi" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(range(1, len(toks) + 1), i -> starts_with(toks[i], 'spar')) AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'fast') AS pb
+        |      FROM t)
+        |SELECT doc_id FROM p
+        |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b <> a AND abs(b - a) <= 5)) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_dsl_json_span_multi" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(range(1, len(toks) + 1), i -> starts_with(toks[i], 'spar')) AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'fast') AS pb
+        |      FROM t)
+        |SELECT doc_id FROM p
+        |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b <> a AND abs(b - a) <= 5)) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
     "search_variable_width_histogram" ->
       """WITH s AS (SELECT quantile_cont(o_totalprice,
         |             [0.0625, 0.1875, 0.3125, 0.4375, 0.5625, 0.6875, 0.8125, 0.9375]) AS seeds

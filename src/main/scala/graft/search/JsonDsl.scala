@@ -1477,33 +1477,30 @@ object JsonDsl {
         val pb = positions(termsOf(parts(1)))
         exists(pa, a => exists(pb, b => b > a && maxGaps.fold(lit(true))(g => (b - a - 1) <= g)))
       case "span_near" =>
-        // Two span_term clauses within `slop` token positions — the
+        // Two span clauses within `slop` token positions — the
         // token-position HOF shape (per-row array work, no self-join).
-        // in_order=true requires the second term after the first;
-        // in_order=false accepts either direction.
+        // Clauses are span_term or span_multi (a multi-term matcher —
+        // prefix — as a span); in_order=true requires the second clause
+        // after the first, in_order=false accepts either direction.
         val clauses = clauseList(body, "clauses")
-        require(clauses.size == 2, s"span_near supports exactly two span_term clauses, got ${clauses.size}")
-        val terms = clauses.map { c =>
-          require(
-            c.isObject && c.size == 1 && c.fieldNames().next() == "span_term",
-            s"span_near clauses must be span_term: $c"
-          )
-          fieldAndValue(c.get("span_term"), "value")
-        }
-        val f = terms.head._1
-        require(terms.forall(_._1 == f), s"span_near clauses must share one field: ${terms.map(_._1)}")
+        require(clauses.size == 2, s"span_near supports exactly two span clauses, got ${clauses.size}")
+        val parts = clauses.map(spanClauseMatcher)
+        val f = parts.head._1
+        require(parts.forall(_._1 == f), s"span_near clauses must share one field: ${parts.map(_._1)}")
         val slop = Option(body.get("slop")).map(_.asInt).getOrElse(0)
         val inOrder = Option(body.get("in_order")).exists(_.asBoolean)
         val toks = graft.functions.TextFns.tokens(col(f))
-        def positions(term: String) =
-          filter(
-            transform(toks, (t, i) => when(t === lit(term.toLowerCase), i).otherwise(lit(-1))),
-            x => x >= 0
-          )
-        val pa = positions(terms(0)._2.asText)
-        val pb = positions(terms(1)._2.asText)
+        def positions(pred: Column => Column) =
+          filter(transform(toks, (t, i) => when(pred(t), i).otherwise(lit(-1))), x => x >= 0)
+        val pa = positions(parts(0)._2)
+        val pb = positions(parts(1)._2)
         if (inOrder) exists(pa, a => exists(pb, b => b > a && b - a <= slop))
         else exists(pa, a => exists(pb, b => b =!= a && abs(b - a) <= slop))
+      // span_multi standalone: a multi-term matcher (prefix) as a span —
+      // the degenerate any-position case is an exists over the tokens.
+      case "span_multi" =>
+        val (f, pred) = spanMultiMatcher(body)
+        exists(graft.functions.TextFns.tokens(col(f)), pred)
       // span_term standalone: the term occurs as an analyzed token — the
       // degenerate one-position span, composable under span_or.
       case "span_term" =>
@@ -2673,6 +2670,32 @@ object JsonDsl {
     else v.asText
 
   /** `{"span_term": {field: value}}` → (field, lowercased term). */
+  /** A span clause → (field, per-token predicate): span_term (equality)
+    * or span_multi (a multi-term matcher — prefix — as a span). The
+    * predicate drops into the token-position HOF, so a span_multi costs
+    * the same per-row pass as a span_term.
+    */
+  private def spanClauseMatcher(c: JsonNode): (String, Column => Column) = {
+    require(c != null && c.isObject && c.size == 1, s"span clause must have exactly one type: $c")
+    c.fieldNames().next() match {
+      case "span_term" =>
+        val (f, v) = fieldAndValue(c.get("span_term"), "value")
+        (f, (t: Column) => t === lit(v.asText.toLowerCase))
+      case "span_multi" => spanMultiMatcher(c.get("span_multi"))
+      case other => throw new IllegalArgumentException(s"unsupported span clause '$other': $c")
+    }
+  }
+
+  private def spanMultiMatcher(body: JsonNode): (String, Column => Column) = {
+    val m = req(body, "match", "span_multi")
+    require(
+      m.isObject && m.size == 1 && m.fieldNames().next() == "prefix",
+      s"span_multi supports a prefix matcher, got: $m"
+    )
+    val (f, v) = fieldAndValue(m.get("prefix"), "value")
+    (f, (t: Column) => t.startsWith(lit(v.asText.toLowerCase)))
+  }
+
   private def spanTermOf(node: JsonNode, ctx: String): (String, String) = {
     require(
       node.isObject && node.size == 1 && node.fieldNames().next() == "span_term",

@@ -402,6 +402,30 @@ class WireTwinsSpec extends SparkSpec {
     }
   }
 
+  test("span_multi wraps a prefix matcher as a span; non-prefix matchers fail") {
+    val d = Seq((1L, "sparse data fast"), (2L, "fast code"), (3L, "spartan text")).toDF("doc_id", "text")
+    val near = JsonDsl.parse(
+      d,
+      """{"query": {"span_near": {
+        |   "clauses": [
+        |     {"span_multi": {"match": {"prefix": {"text": {"value": "spar"}}}}},
+        |     {"span_term": {"text": {"value": "fast"}}}],
+        |   "slop": 2, "in_order": false}},
+        | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin,
+      graft.search.IndexMapping(Map("text" -> "text"))
+    ).as[Long].collect().toSeq
+    assert(near == Seq(1L))
+    val standalone = JsonDsl.parse(
+      d,
+      """{"query": {"span_multi": {"match": {"prefix": {"text": {"value": "spar"}}}}},
+        | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin
+    ).as[Long].collect().toSeq
+    assert(standalone == Seq(1L, 3L))
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(d, """{"query": {"span_multi": {"match": {"wildcard": {"text": {"value": "sp*"}}}}}}""")
+    }
+  }
+
   test("date_histogram min_doc_count=0 zero-fills gap days in the metric's own type") {
     val ev = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5.0),
