@@ -301,6 +301,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming IVF maintenance: micro-batch upserts grow the index; cells match first-principles assignment") {
+    import graft.operators.Similarity
+    implicit val sq = spark.sqlContext
+    // base corpus + train-time index
+    val base = (0L until 30L).map(i => (i, Array.tabulate(4)(d => ((i % 5) * 2 + d).toFloat))).toDF("id", "v")
+    val streamed = new graft.streaming.StreamingIvf(
+      Similarity.ivfIndex(base, "id", "v", nLists = 4), "id", "v")
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = streamed.attach(input.toDF().toDF("id", "v"))
+    try {
+      input.addData((100L, Array(1f, 2f, 3f, 4f)), (101L, Array(5f, 1f, 9f, 2f)))
+      q.processAllAvailable()
+      input.addData((102L, Array(0f, 1f, 2f, 3f)))
+      q.processAllAvailable()
+      val idx = streamed.index
+      assert(idx.assigned.count() == 33, "base 30 + 3 streamed upserts")
+      // every streamed vector sits in its first-principles nearest cell
+      val cells = idx.assigned.filter(col("id") >= 100L).select("id", "cell", "v")
+        .as[(Long, Int, Array[Float])].collect()
+      def nearest(v: Array[Float]): Int = idx.centroids.zipWithIndex.minBy { case (c, _) =>
+        math.sqrt(c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }._2
+      cells.foreach { case (id, cell, v) => assert(cell == nearest(v), s"vector $id landed in $cell") }
+      // self-recall: a streamed vector is its own top hit on the grown index
+      val top = Similarity.scoreAgainstIvf(idx, "id", "v", Seq(5f, 1f, 9f, 2f), 1, nProbe = 2)
+        .as[(Long, Double)].collect()
+      assert(top.head._1 == 101L && top.head._2 == 1.0)
+    } finally q.stop()
+  }
+
   test("topKStream keeps a bounded per-key leaderboard across batches") {
     implicit val sq = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
