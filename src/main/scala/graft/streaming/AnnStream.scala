@@ -36,3 +36,41 @@ final class StreamingIvf(initial: Similarity.IvfIndex, idCol: String, vecCol: St
   def attach(stream: DataFrame): StreamingQuery =
     stream.writeStream.outputMode("append").foreachBatch(fold _).start()
 }
+
+/** Streaming BM25 index maintenance: a CDC-shaped document stream
+  * (id, op, text — op `d` deletes, anything else upserts) folds into the
+  * posting index per micro-batch via [[graft.search.Bm25.applyDelta]] —
+  * O(delta) tokenize + one id-keyed anti join against the postings,
+  * never a corpus re-index (the streaming face of the batch
+  * search_bm25_incremental entry, same equivalence contract). Both index
+  * frames re-root per batch (localCheckpoint) so lineage stays O(1)
+  * across an unbounded stream.
+  */
+final class StreamingBm25(initial: graft.search.Bm25.Bm25Index, idCol: String, textCol: String) {
+  @volatile private var current: graft.search.Bm25.Bm25Index = initial
+
+  /** The index as of the last completed micro-batch. */
+  def index: graft.search.Bm25.Bm25Index = current
+
+  private def fold(batch: DataFrame, batchId: Long): Unit = synchronized {
+    if (!batch.isEmpty) {
+      import org.apache.spark.sql.functions.col
+      val cached = batch.localCheckpoint(true)
+      val grown = graft.search.Bm25.applyDelta(
+        current,
+        cached.filter(col("op") =!= "d"),
+        cached.filter(col("op") === "d"),
+        idCol,
+        textCol
+      )
+      current = grown.copy(
+        postings = grown.postings.localCheckpoint(eager = true),
+        corpus = grown.corpus.localCheckpoint(eager = true)
+      )
+    }
+  }
+
+  /** Attach to an (id, op, text) stream; every micro-batch folds in. */
+  def attach(stream: DataFrame): StreamingQuery =
+    stream.writeStream.outputMode("append").foreachBatch(fold _).start()
+}

@@ -331,6 +331,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BM25 maintenance: CDC doc stream folds into the posting index, equal to a fresh build") {
+    import graft.search.Bm25
+    implicit val sq = spark.sqlContext
+    val base = Seq((1L, "spark joins data"), (2L, "slow scan"), (3L, "spark shuffle")).toDF("id", "text")
+    val streamed = new graft.streaming.StreamingBm25(Bm25.buildIndex(base, "id", "text"), "id", "text")
+    val input = MemoryStream[(Long, String, String)]
+    val q = streamed.attach(input.toDF().toDF("id", "op", "text"))
+    try {
+      // batch 1: new doc + update of doc 2
+      input.addData((4L, "c", "spark query planner"), (2L, "u", "fast spark scan"))
+      q.processAllAvailable()
+      // batch 2: delete doc 1
+      input.addData((1L, "d", ""))
+      q.processAllAvailable()
+      val finalDocs = Seq((2L, "fast spark scan"), (3L, "spark shuffle"), (4L, "spark query planner"))
+        .toDF("id", "text")
+      val fresh = Bm25.buildIndex(finalDocs, "id", "text")
+      val got = Bm25.scoreAgainstIndex(streamed.index, Seq("spark", "scan"), 10)
+        .as[(Long, Double)].collect().toSeq
+      val want = Bm25.scoreAgainstIndex(fresh, Seq("spark", "scan"), 10)
+        .as[(Long, Double)].collect().toSeq
+      assert(got == want, s"streamed index scores $got diverged from fresh build $want")
+      assert(got.head._1 == 2L, "the updated doc matching both terms ranks first")
+    } finally q.stop()
+  }
+
   test("topKStream keeps a bounded per-key leaderboard across batches") {
     implicit val sq = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
