@@ -74,3 +74,50 @@ final class StreamingBm25(initial: graft.search.Bm25.Bm25Index, idCol: String, t
   def attach(stream: DataFrame): StreamingQuery =
     stream.writeStream.outputMode("append").foreachBatch(fold _).start()
 }
+
+/** Streaming near-dup detection: each micro-batch of (id, text) docs
+  * dedups against EVERYTHING ingested so far — per batch one O(delta)
+  * signature pass, a band join probing the accumulated banded table, and
+  * the exact-Jaccard verify on candidates only (the streaming face of
+  * MinHashLSH.incrementalPairs; the batch DedupSpec equivalence — full ∪
+  * incremental ≡ full-over-union — carries over batch by batch). Found
+  * pairs accumulate in [[pairs]]; the artifact re-roots per batch.
+  */
+final class StreamingMinHash(
+    initial: graft.operators.MinHashLSH.MinHashIndex,
+    idCol: String,
+    textCol: String,
+    threshold: Double = 0.5
+) {
+  import graft.operators.MinHashLSH
+  @volatile private var idx = initial
+  @volatile private var found: Option[DataFrame] = None
+
+  /** Near-dup pairs (a < b, exact Jaccard) found across all batches so far. */
+  def pairs: Option[DataFrame] = found
+
+  def index: MinHashLSH.MinHashIndex = idx
+
+  private def fold(batch: DataFrame, batchId: Long): Unit = synchronized {
+    if (!batch.isEmpty) {
+      val cached = batch.localCheckpoint(true)
+      // incrementalPairs re-derives the delta signatures internally; the
+      // double O(delta) pass buys reuse of the proven batch API over a
+      // hand-rolled join here.
+      val newPairs = MinHashLSH
+        .incrementalPairs(idx, cached, idCol, textCol, threshold = threshold)
+        .localCheckpoint(true)
+      found = Some(found.fold(newPairs)(p => p.unionByName(newPairs).localCheckpoint(true)))
+      val dIdx = MinHashLSH.index(cached, idCol, textCol)
+      val grown = MinHashLSH.appendIndex(idx, dIdx)
+      idx = grown.copy(
+        banded = grown.banded.localCheckpoint(true),
+        shingles = grown.shingles.localCheckpoint(true)
+      )
+    }
+  }
+
+  /** Attach to an (id, text) document stream. */
+  def attach(stream: DataFrame): StreamingQuery =
+    stream.writeStream.outputMode("append").foreachBatch(fold _).start()
+}

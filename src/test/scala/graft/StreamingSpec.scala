@@ -357,6 +357,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup detection: per-batch pairs union to the full-recompute answer") {
+    import graft.operators.MinHashLSH
+    implicit val sq = spark.sqlContext
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "an entirely different document about spark shuffle plans")
+    ).toDF("id", "text")
+    val streamed = new graft.streaming.StreamingMinHash(MinHashLSH.index(base, "id", "text"), "id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = streamed.attach(input.toDF().toDF("id", "text"))
+    try {
+      // batch 1: a near-dup of doc 1; batch 2: a near-dup of the batch-1 doc
+      input.addData((10L, "the quick brown fox jumps over the lazy dog tonight again"))
+      q.processAllAvailable()
+      input.addData((11L, "the quick brown fox jumps over the lazy dog tonight again ok"))
+      q.processAllAvailable()
+      val got = streamed.pairs.get.as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+      val all = base.unionByName(Seq(
+        (10L, "the quick brown fox jumps over the lazy dog tonight again"),
+        (11L, "the quick brown fox jumps over the lazy dog tonight again ok")
+      ).toDF("id", "text"))
+      val full = MinHashLSH.nearDupPairs(all, "id", "text").as[(Long, Long, Double)]
+        .collect().map(p => (p._1, p._2)).toSet
+      val basePairs = MinHashLSH.nearDupPairs(base, "id", "text").as[(Long, Long, Double)]
+        .collect().map(p => (p._1, p._2)).toSet
+      // streamed pairs + base-internal pairs == one-shot recompute over everything
+      assert((got ++ basePairs) == full, s"streamed $got + base $basePairs != full $full")
+      assert(got.contains((1L, 10L)) && got.contains((10L, 11L)))
+    } finally q.stop()
+  }
+
   test("topKStream keeps a bounded per-key leaderboard across batches") {
     implicit val sq = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
