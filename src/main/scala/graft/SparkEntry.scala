@@ -562,6 +562,34 @@ object SparkEntry {
         .select(col("doc_id"), SearchDsl.matchScore(col("text"), Seq("spark", "stream")).as("score"))
         .filter(col("score") > 0)
         .orderBy(col("score").desc, col("doc_id"))),
+    // match under a configured analyzer chain (stopwords + Harman
+    // S-stemmer): the plural query terms normalize to the corpus'
+    // singular vocabulary through the same chain the column analyzes
+    // with — symmetric index/query analysis, all codegen'd string
+    // expressions, and the DuckDB oracle runs the identical CASE rules.
+    "search_match_stemmed" -> ((s, dir) => {
+      val a = graft.search.Analyzer("light_english", stopwords = Seq("the", "a"), stem = true)
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          SearchDsl.matchScoreWith(col("text"), a, Seq("queries", "tables", "the")).as("score")
+        )
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+    // The wire twin: docsMapping declares the analyzer for `text`, the
+    // match clause compiles against it (no per-query analyzer plumbing).
+    "search_dsl_json_match_stemmed" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"match": {"text": "scans joins the"}},
+          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin,
+        docsMapping.withAnalyzer(
+          "text",
+          graft.search.Analyzer("light_english", stopwords = Seq("the", "a"), stem = true)
+        )
+      )),
     // ── JSON request-body executor: the reference's actual wire format
     // (DASHBOARD_GUIDE.md Dev Tools bodies) compiled onto SearchDsl/Aggs.
     // docsMapping mirrors the TDD §4 index definition for `documents`.
@@ -5205,6 +5233,16 @@ object SparkEntry {
         s,
         """{"analyzer": "standard", "text": "Fast Spark QUERIES shuffle Data"}"""
       )),
+    // _analyze with a custom filter chain (stop + s_stem): the endpoint
+    // reflects the full configurable analyzer — what it shows is what a
+    // stemmed-analyzer index matches on. The oracle replays the same
+    // stop/CASE-stem rules in SQL over the literal.
+    "search_analyze_stemmed" -> ((s, dir) =>
+      JsonDsl.analyzeText(
+        s,
+        """{"text": "The Queries against big Tables",
+          | "filter": ["lowercase", {"type": "stop", "stopwords": ["the", "a"]}, "s_stem"]}""".stripMargin
+      )),
     // _field_caps: per-field capabilities from schema + mapping (text
     // searchable-not-aggregatable, the OpenSearch defaults).
     "search_field_caps" -> ((s, dir) => JsonDsl.fieldCaps(Tables.documents(s, dir), docsMapping)),
@@ -5285,6 +5323,22 @@ object SparkEntry {
         "embedding",
         s"""{"query": {"knn": {"embedding": {"vector": $v, "k": 10,
            |  "method": {"name": "ivf", "nprobe": 6}}}}}""".stripMargin
+      )
+    }),
+    // knn with method=hnsw from the wire format: the graph-index engine
+    // behind the same wire face — beam search over the runtime-bound
+    // neighbor graph (ef_search = beam width). Approximate by design →
+    // rows-only; the spec pins equality with the structured graphSearch
+    // for the same body (JsonDslSpec).
+    "search_dsl_json_knn_hnsw" -> ((s, dir) => {
+      val v = queryVec(s, dir, 0).mkString("[", ",", "]")
+      JsonDsl.knnGraph(
+        cachedGraph(s, dir),
+        Tables.embeddings(s, dir),
+        "vec_id",
+        "embedding",
+        s"""{"query": {"knn": {"embedding": {"vector": $v, "k": 10,
+           |  "method": {"name": "hnsw", "ef_search": 16, "rounds": 3}}}}}""".stripMargin
       )
     }),
     // variable_width_histogram: exact-quantile seeds + nearest-seed
@@ -5488,6 +5542,44 @@ object SparkEntry {
         |        + CASE WHEN list_contains(string_split(lower(text), ' '), 'stream') THEN 1 ELSE 0 END) AS score
         |  FROM documents) t
         |WHERE score > 0 ORDER BY score DESC, doc_id""".stripMargin,
+    // The stemmed-analyzer oracles replay the IDENTICAL chain in SQL:
+    // stopword list_filter, then Harman's three S-stemmer rules as a
+    // CASE over each token — string ops only, so the hash compare is
+    // exact (the reason S-stem was chosen over Porter).
+    "search_match_stemmed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_transform(
+        |    list_filter(string_split(lower(text), ' '), t -> t NOT IN ('the', 'a')),
+        |    t -> CASE
+        |      WHEN length(t) > 3 AND t LIKE '%ies' AND t NOT LIKE '%eies' AND t NOT LIKE '%aies'
+        |        THEN regexp_replace(t, 'ies$', 'y')
+        |      WHEN length(t) > 3 AND t LIKE '%es' AND t NOT LIKE '%aes' AND t NOT LIKE '%ees' AND t NOT LIKE '%oes'
+        |        THEN regexp_replace(t, 'es$', 'e')
+        |      WHEN length(t) > 2 AND t LIKE '%s' AND t NOT LIKE '%us' AND t NOT LIKE '%ss'
+        |        THEN regexp_replace(t, 's$', '')
+        |      ELSE t END) AS tt
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(list_contains(tt, 'query') AS INT) + CAST(list_contains(tt, 'table') AS INT) AS score
+        |FROM toks
+        |WHERE list_contains(tt, 'query') OR list_contains(tt, 'table')
+        |ORDER BY score DESC, doc_id""".stripMargin,
+    "search_dsl_json_match_stemmed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_transform(
+        |    list_filter(string_split(lower(text), ' '), t -> t NOT IN ('the', 'a')),
+        |    t -> CASE
+        |      WHEN length(t) > 3 AND t LIKE '%ies' AND t NOT LIKE '%eies' AND t NOT LIKE '%aies'
+        |        THEN regexp_replace(t, 'ies$', 'y')
+        |      WHEN length(t) > 3 AND t LIKE '%es' AND t NOT LIKE '%aes' AND t NOT LIKE '%ees' AND t NOT LIKE '%oes'
+        |        THEN regexp_replace(t, 'es$', 'e')
+        |      WHEN length(t) > 2 AND t LIKE '%s' AND t NOT LIKE '%us' AND t NOT LIKE '%ss'
+        |        THEN regexp_replace(t, 's$', '')
+        |      ELSE t END) AS tt
+        |  FROM documents)
+        |SELECT doc_id FROM toks
+        |WHERE list_contains(tt, 'scan') OR list_contains(tt, 'join')
+        |ORDER BY doc_id""".stripMargin,
     "search_dsl_json" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE (list_contains(string_split(lower(text), ' '), 'spark')
@@ -5614,10 +5706,12 @@ object SparkEntry {
         |HAVING o_orderpriority > '2-HIGH' OR (o_orderpriority = '2-HIGH' AND o_orderstatus > 'F')
         |ORDER BY k0, k1 LIMIT 5""".stripMargin,
     "search_dsl_json_knn" ->
-      """SELECT vec_id AS "_id",
-        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS "_score"
-        |FROM embeddings ORDER BY "_score" DESC, "_id" LIMIT 10""".stripMargin,
+      """SELECT * FROM (
+        |  SELECT vec_id AS "_id",
+        |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS "_score"
+        |  FROM embeddings ORDER BY "_score" DESC, "_id" LIMIT 10) t
+        |ORDER BY "_id"""".stripMargin,
     "search_dsl_json_knn_min_score" ->
       """SELECT * FROM (
         |  SELECT vec_id AS "_id",
@@ -5625,13 +5719,15 @@ object SparkEntry {
         |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS "_score"
         |  FROM embeddings WHERE vec_id <> 0) t
         |WHERE "_score" >= 0.3
-        |ORDER BY "_score" DESC, "_id"""".stripMargin,
+        |ORDER BY "_id"""".stripMargin,
     "search_dsl_json_knn_filtered" ->
-      """SELECT vec_id AS "_id",
-        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS "_score"
-        |FROM embeddings WHERE vec_id <> 0 AND label = 2
-        |ORDER BY "_score" DESC, "_id" LIMIT 10""".stripMargin,
+      """SELECT * FROM (
+        |  SELECT vec_id AS "_id",
+        |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS "_score"
+        |  FROM embeddings WHERE vec_id <> 0 AND label = 2
+        |  ORDER BY "_score" DESC, "_id" LIMIT 10) t
+        |ORDER BY "_id"""".stripMargin,
     "search_dsl_json_rank_eval" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
         |top1 AS (SELECT vec_id,
@@ -7026,7 +7122,7 @@ object SparkEntry {
       """SELECT doc_id, n_chars, round(1.5 * ln(1.0 + n_chars), 6) AS "_score"
         |FROM documents
         |WHERE list_contains(string_split(lower(text), ' '), 'spark')
-        |ORDER BY "_score" DESC, doc_id LIMIT 20""".stripMargin,
+        |ORDER BY doc_id LIMIT 20""".stripMargin,
     "search_boosting" ->
       """SELECT doc_id,
         |       CASE WHEN list_contains(string_split(lower(text), ' '), 'slow')
@@ -7788,7 +7884,7 @@ object SparkEntry {
         |                 * greatest(abs(o_totalprice - 150000.0) - 10000.0, 0.0)
         |                 * greatest(abs(o_totalprice - 150000.0) - 10000.0, 0.0)), 6) AS "_score"
         |FROM orders WHERE o_orderkey < 500
-        |ORDER BY "_score" DESC, o_orderkey LIMIT 20""".stripMargin,
+        |ORDER BY o_orderkey LIMIT 20""".stripMargin,
     "search_dsl_json_exists" ->
       """SELECT c_custkey, c_mktsegment
         |FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
@@ -7998,7 +8094,7 @@ object SparkEntry {
       """SELECT doc_id, round(ln(1 + n_chars) * 1.5 + CAST(doc_id % 7 AS DOUBLE), 6) AS "_score"
         |FROM documents
         |WHERE list_contains(string_split(lower(text), ' '), 'spark')
-        |ORDER BY "_score" DESC, doc_id LIMIT 15""".stripMargin,
+        |ORDER BY doc_id LIMIT 15""".stripMargin,
     "search_dsl_json_combined_fields" ->
       """WITH f AS (SELECT p_partkey,
         |             1.0 * len(list_filter(string_split(lower(p_name), ' '), x -> x = 'small'))
@@ -8016,12 +8112,12 @@ object SparkEntry {
         |               + ln(1.0 + (n - df_large + 0.5) / (df_large + 0.5)) * (ctf_large / (ctf_large + 1.2)),
         |               6) AS "_score"
         |  FROM f CROSS JOIN s) t
-        |WHERE "_score" > 0 ORDER BY "_score" DESC, p_partkey LIMIT 20""".stripMargin,
+        |WHERE "_score" > 0 ORDER BY p_partkey LIMIT 20""".stripMargin,
     "search_dsl_json_random_score" ->
       """SELECT doc_id,
         |       round(CAST(concat('0x', substring(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
         |             / 4294967296.0, 6) AS "_score"
-        |FROM documents ORDER BY "_score" DESC, doc_id LIMIT 10""".stripMargin,
+        |FROM documents ORDER BY doc_id LIMIT 10""".stripMargin,
     "search_dsl_json_script_fields" ->
       """SELECT o_orderkey, o_totalprice * 1.1 AS charge
         |FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey""".stripMargin,
@@ -8145,6 +8241,21 @@ object SparkEntry {
       """SELECT CAST(p - 1 AS BIGINT) AS position, tok AS token FROM (
         |  SELECT unnest(string_split(lower('Fast Spark QUERIES shuffle Data'), ' ')) AS tok,
         |         generate_subscripts(string_split(lower('Fast Spark QUERIES shuffle Data'), ' '), 1) AS p)
+        |ORDER BY position""".stripMargin,
+    "search_analyze_stemmed" ->
+      """WITH f AS (
+        |  SELECT list_transform(
+        |    list_filter(string_split(lower('The Queries against big Tables'), ' '), t -> t NOT IN ('the', 'a')),
+        |    t -> CASE
+        |      WHEN length(t) > 3 AND t LIKE '%ies' AND t NOT LIKE '%eies' AND t NOT LIKE '%aies'
+        |        THEN regexp_replace(t, 'ies$', 'y')
+        |      WHEN length(t) > 3 AND t LIKE '%es' AND t NOT LIKE '%aes' AND t NOT LIKE '%ees' AND t NOT LIKE '%oes'
+        |        THEN regexp_replace(t, 'es$', 'e')
+        |      WHEN length(t) > 2 AND t LIKE '%s' AND t NOT LIKE '%us' AND t NOT LIKE '%ss'
+        |        THEN regexp_replace(t, 's$', '')
+        |      ELSE t END) AS tt)
+        |SELECT CAST(p - 1 AS BIGINT) AS position, tok AS token FROM (
+        |  SELECT unnest(tt) AS tok, generate_subscripts(tt, 1) AS p FROM f)
         |ORDER BY position""".stripMargin,
     "search_field_caps" ->
       """SELECT column_name AS field,

@@ -78,11 +78,65 @@ object VectorFns {
     spark.udf.register("l2_sq", l2sqUdf)
   }
 
+  /** Per-JVM cache of the deterministic hyperplane matrices: plane
+    * component (p, d) under a given seed never changes, so recomputing
+    * the 3-hash murmur3 chain per ROW (nBits × dim hashes per vector,
+    * per table) was pure CPU waste on every LSH signature build/probe —
+    * at 100 TB the dominant cost of candidate generation. The matrix is
+    * materialized lazily on the first row an executor sees (keyed by
+    * (nBits, seed), grown if a longer vector appears) and reused for the
+    * life of the JVM. Component VALUES and the per-plane accumulation
+    * order are exactly the old per-row chain, so signatures are
+    * bit-identical (SqlFunctionsSpec pins the kernel; the LSH replica
+    * contracts are the end-to-end gate).
+    */
+  private object HyperplaneCache {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(Int, Int), java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]]()
+
+    private def component(p: Int, d: Int, sd: Int): Double = {
+      var h = Murmur3_x86_32.hashInt(p, 42)
+      h = Murmur3_x86_32.hashInt(d, h)
+      h = Murmur3_x86_32.hashInt(sd, h)
+      val m = ((h % 100000) + 100000) % 100000
+      m / 100000.0 - 0.5
+    }
+
+    /** Planes for (bits, seed) covering at least `dim` components. */
+    def planes(bits: Int, sd: Int, dim: Int): Array[Array[Double]] = {
+      val ref = cache.computeIfAbsent(
+        (bits, sd),
+        _ => new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]](Array.fill(bits)(Array.emptyDoubleArray))
+      )
+      val cur = ref.get()
+      if (cur(0).length >= dim) cur
+      else
+        ref.synchronized {
+          val again = ref.get()
+          if (again(0).length >= dim) again
+          else {
+            val next = Array.tabulate(bits) { p =>
+              val old = again(p)
+              val ext = java.util.Arrays.copyOf(old, dim)
+              var d = old.length
+              while (d < dim) { ext(d) = component(p, d, sd); d += 1 }
+              ext
+            }
+            ref.set(next)
+            next
+          }
+        }
+    }
+  }
+
   /** Random-hyperplane LSH signature: `nBits` sign bits of dot products
     * with deterministic pseudo-random planes, packed into a long. Plane
     * component d of plane p derives from chained murmur3_32 of
     * (p, d, seed) scaled to [-0.5, 0.5) — reproducible across JVMs and
-    * executors, no driver-side RNG state or fitted model broadcast.
+    * executors, no driver-side RNG state or fitted model broadcast. The
+    * plane matrix is hoisted out of the row loop into a per-executor
+    * lazy cache ([[HyperplaneCache]]); the per-row work is the nBits
+    * dot products alone.
     *
     * At 100 TB the signature is the bucketing key: candidate generation
     * becomes a shuffle on (sig) instead of a cross join.
@@ -91,17 +145,15 @@ object VectorFns {
     val bits = nBits
     val sd = seed
     val f = udf((v: Seq[Double]) => {
+      val planes = HyperplaneCache.planes(bits, sd, v.length)
       var sig = 0L
       var p = 0
       while (p < bits) {
+        val pl = planes(p)
         var acc = 0.0
         var d = 0
         while (d < v.length) {
-          var h = Murmur3_x86_32.hashInt(p, 42)
-          h = Murmur3_x86_32.hashInt(d, h)
-          h = Murmur3_x86_32.hashInt(sd, h)
-          val m = ((h % 100000) + 100000) % 100000
-          acc += v(d) * (m / 100000.0 - 0.5)
+          acc += v(d) * pl(d)
           d += 1
         }
         if (acc > 0) sig |= (1L << p)

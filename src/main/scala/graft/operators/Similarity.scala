@@ -313,9 +313,12 @@ object Similarity {
     * trade is centroid drift — cells reflect the corpus at train time,
     * so recall for the new vectors degrades only as the data
     * distribution shifts (periodic re-train is the remedy, exactly as
-    * in production IVF deployments). SimilaritySpec verifies the folded
-    * assignments against first-principles nearest-centroid math and the
-    * search contract over the unioned corpus.
+    * in production IVF deployments). APPEND-ONLY contract: the delta's
+    * ids must be new — a re-sent id leaves both rows in the table (the
+    * streaming wrapper, [[graft.streaming.StreamingIvf]], owns upsert
+    * semantics by retiring re-sent ids first). SimilaritySpec verifies
+    * the folded assignments against first-principles nearest-centroid
+    * math and the search contract over the unioned corpus.
     */
   def addToIvf(index: IvfIndex, delta: DataFrame, idCol: String, vecCol: String): IvfIndex = {
     val newAssigned = graft.Tables
@@ -1329,14 +1332,15 @@ object Similarity {
   /** Beam search over the neighbor graph — HNSW's greedy descent
     * expressed as a FIXED number of expand/score/prune rounds (the
     * bounded-iteration Spark shape: no data-dependent convergence loop,
-    * so the job count is known before the query runs). Driver state is
-    * only the beam's (id, score) list — O(beam·m·rounds), corpus-size
-    * independent, the bounded-metadata class of the centroid fetches.
-    * Each round is two pruned scans: the frontier's adjacency rows (an
-    * IN filter — pushed down; at deployment scale the neighbor table is
-    * bucketed by id so a probe touches only its buckets) and the exact
-    * re-score of the newly discovered candidates. Emitted scores are
-    * exact cosines; recall vs brute force is pinned in ReplicaSpec.
+    * so the job count is known before the query runs). Since round 10
+    * this DELEGATES to the fully set-based [[graphSearchBatch]] with a
+    * one-probe frame: the per-round driver `.collect()`s of the old
+    * scalar loop (frontier adjacency fetch + fresh-candidate re-score —
+    * ~6 serialized tiny jobs per query, the measured 1.7-vs-7.3 QPS gap
+    * in ANN_QPS_r9.json) are gone; beam state lives in a ≤beam-row
+    * frame and each round is one candidate join + one bounded-heap
+    * truncation. Emitted scores are exact cosines; recall vs brute
+    * force is pinned in ReplicaSpec.
     */
   def graphSearch(
       index: GraphIndex,
@@ -1348,40 +1352,12 @@ object Similarity {
       beam: Int = 16,
       rounds: Int = 3
   ): DataFrame = {
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec")).filter(col("vec").isNotNull)
-    def scoreIds(ids: Seq[Long]): Array[(Long, Double)] =
-      base
-        .filter(col("id").isin(ids: _*))
-        .select(col("id"), round(VectorFns.cosine(col("vec"), vecLit(query)), 6).as("cos"))
-        .collect()
-        .map(r => (r.getLong(0), r.getDouble(1)))
-    val scored = scala.collection.mutable.Map.empty[Long, Double]
-    scoreIds(index.entryPoints).foreach { case (i, c) => scored(i) = c }
-    var expanded = Set.empty[Long]
-    var exhausted = false
-    for (_ <- 0 until rounds if !exhausted) {
-      val frontier = scored.toSeq
-        .filterNot { case (i, _) => expanded(i) }
-        .sortBy { case (i, c) => (-c, i) }
-        .take(beam)
-        .map(_._1)
-      if (frontier.isEmpty) exhausted = true
-      else {
-        expanded ++= frontier
-        val fresh = index.neighbors
-          .filter(col("id").isin(frontier: _*))
-          .select(col("nbr"))
-          .distinct()
-          .collect()
-          .map(_.getLong(0))
-          .filterNot(scored.contains)
-        if (fresh.nonEmpty) scoreIds(fresh.toSeq).foreach { case (i, c) => scored(i) = c }
-      }
-    }
-    val topIds = scored.toSeq.sortBy { case (i, c) => (-c, i) }.take(k).map(_._1)
-    base
-      .filter(col("id").isin(topIds: _*))
-      .select(col("id"), round(VectorFns.cosine(col("vec"), vecLit(query)), 6).as("cos"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val probe = Seq((-1L, query)).toDF("_probe_id", "_probe_v")
+      .select(col("_probe_id").as(idCol), col("_probe_v").cast("array<float>").as(vecCol))
+    graphSearchBatch(index, emb, idCol, vecCol, probe, k, beam, rounds)
+      .select(col("id"), col("cos"))
       .orderBy(col("cos").desc, col("id").asc)
   }
 
@@ -1476,15 +1452,22 @@ object Similarity {
   }
 
   /** Batch beam search over the neighbor graph — the fully SET-BASED
-    * form of [[graphSearch]]: the beam state is a (probe_id, id, cos)
-    * frame (≤ probes×beam rows), every probe advances together, and
-    * each round is one candidate join + one bounded-heap truncation —
-    * so the job count stays constant no matter how many probes ride the
-    * batch, and NOTHING is collected to the driver (the entry-point
-    * list is already bounded index metadata). Expansion policy differs
-    * from the scalar form only in re-expanding the current beam each
-    * round (bounded re-work, same fixed-round contract); recall and the
-    * exact-score contract are pinned independently in ReplicaSpec.
+    * form of the HNSW-style descent, and since round 10 the ONLY
+    * implementation (scalar [[graphSearch]] is a 1-probe delegation).
+    * The expansion policy is exactly the proven scalar one, expressed
+    * over frames: per round, the top-`beam` NOT-YET-EXPANDED nodes per
+    * probe form the frontier (a bounded-heap truncation), their
+    * adjacency rows join in (IN-filter class pushdown; at deployment
+    * scale the neighbor table is bucketed by id), only never-seen
+    * candidates score (an anti join replaces the scalar's driver-side
+    * seen-set), and EVERY scored node is retained for the final top-k
+    * — so recall is identical to the scalar loop, while the job count
+    * stays constant no matter how many probes ride the batch and
+    * NOTHING is collected to the driver (entry points are bounded index
+    * metadata). Per-probe state is bounded by entry + rounds·beam·m
+    * rows — the same O(beam·m·rounds) the scalar loop held in driver
+    * memory, now distributed. Recall floors and the exact-score
+    * contract are pinned in ReplicaSpec.
     */
   def graphSearchBatch(
       index: GraphIndex,
@@ -1500,28 +1483,45 @@ object Similarity {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec")).filter(col("vec").isNotNull)
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
     val entryDf = spark.createDataFrame(index.entryPoints.map(Tuple1(_))).toDF("id")
+    // No forced broadcast on the probe frame: a bounded probe batch gets
+    // broadcast by AQE anyway (runtime size stats), while an unbounded
+    // one (the knn-join use) must be free to shuffle instead of being
+    // driver-collected by the hint — the ann_lsh_batch_topk precedent.
+    // ReplicaSpec asserts the plan carries no ResolvedHint.
     def score(cands: DataFrame): DataFrame =
       cands
         .join(base, "id")
-        .join(broadcast(p), "probe_id")
+        .join(p, "probe_id")
         .select(col("probe_id"), col("id"), round(VectorFns.cosine(col("vec"), col("probe_vec")), 6).as("cos"))
-    var state = score(p.select("probe_id").crossJoin(broadcast(entryDf)))
+    // The beam state is referenced THREE times per round (frontier
+    // truncation, seen-set anti join, expanded-marker join), so it is
+    // re-rooted eagerly each round (localCheckpoint): without the
+    // truncation each reference would recompute every earlier round's
+    // lineage — 3^rounds work. The state is bounded (≤ probes ×
+    // (entries + rounds·beam·m) rows of (probe_id, id, cos, flag)),
+    // executor-resident, never driver-collected; one materialization
+    // job per round keeps the fixed-job-count contract.
+    var scored = score(p.select("probe_id").crossJoin(broadcast(entryDf)))
+      .withColumn("_exp", lit(false))
+      .localCheckpoint(true)
     for (_ <- 0 until rounds) {
-      val cands = state
+      val frontier = graft.plans.TopKPerKey
+        .perKey(scored.filter(!col("_exp")), Seq("probe_id"), Seq("cos" -> false, "id" -> true), beam)
+        .select("probe_id", "id")
+      val fresh = frontier
         .join(index.neighbors.select(col("id"), col("nbr")), "id")
         .select(col("probe_id"), col("nbr").as("id"))
         .distinct()
-      state = graft.plans.TopKPerKey
-        .perKey(
-          score(cands).unionByName(state).distinct(),
-          Seq("probe_id"),
-          Seq("cos" -> false, "id" -> true),
-          beam
-        )
-        .select("probe_id", "id", "cos")
+        .join(scored.select("probe_id", "id"), Seq("probe_id", "id"), "left_anti")
+      scored = scored
+        .join(frontier.withColumn("_f", lit(true)), Seq("probe_id", "id"), "left_outer")
+        .withColumn("_exp", col("_exp") || coalesce(col("_f"), lit(false)))
+        .drop("_f")
+        .unionByName(score(fresh).withColumn("_exp", lit(false)))
+        .localCheckpoint(true)
     }
     graft.plans.TopKPerKey
-      .perKey(state, Seq("probe_id"), Seq("cos" -> false, "id" -> true), k)
+      .perKey(scored.select("probe_id", "id", "cos"), Seq("probe_id"), Seq("cos" -> false, "id" -> true), k)
       .select(col("probe_id"), col("id"), col("cos"), col("rank"))
   }
 

@@ -187,7 +187,13 @@ object Bm25 {
       queryTerms: Seq[String],
       k1: Double = 1.2
   ): DataFrame = {
-    val terms = queryTerms.map(_.toLowerCase)
+    // Distinct AFTER lowercasing: per-term df columns are name-keyed
+    // (`_df_<term>`), so a legal wire body repeating a term ("small
+    // small") would otherwise mint two identically-named columns and
+    // blow up with an ambiguous-reference AnalysisException at score
+    // time. A repeated term carries no extra signal under the df/tf
+    // saturation model, so each distinct term scores once.
+    val terms = queryTerms.map(_.toLowerCase).distinct
     def ctf(t: String): Column =
       fields
         .map { case (f, w) => lit(w) * size(filter(SearchDsl.analyze(col(f)), x => x === lit(t))) }

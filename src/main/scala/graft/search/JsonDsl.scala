@@ -130,6 +130,14 @@ object JsonDsl {
         "script_fields"
       )
     root.fieldNames().asScala.foreach(n => require(known(n), s"unsupported request element '$n'"))
+    // Mutually-exclusive elements are rejected BEFORE any agg-family
+    // early return: a body combining script_fields with e.g. a global /
+    // parent / children agg used to slip past the later guard (those
+    // handlers return first) and silently drop the script_fields.
+    require(
+      root.get("script_fields") == null || (root.get("aggs") == null && root.get("aggregations") == null),
+      "script_fields with aggs is unsupported"
+    )
     // _search suggest block: term (edit-distance spell correction over
     // the corpus vocabulary) and completion (prefix leaders) suggesters —
     // each compiles to the structured entries' vocabulary plans.
@@ -169,16 +177,27 @@ object JsonDsl {
           "_score",
           round(graft.functions.VectorFns.cosine(col(f), array(vec.map(lit): _*)), 6)
         )
-        val order = col("_score").desc +: Option(root.get("sort")).map(compileSort).getOrElse(Nil)
+        val bodySort = Option(root.get("sort")).map(compileSort)
+        val order = col("_score").desc +: bodySort.getOrElse(Nil)
         // min_score = radius search (every vector at least that close —
         // a filter + bounded result sort, no arbitrary k cutoff); with k
         // it additionally truncates, per the OpenSearch contract.
         val inRange = minScore.fold(scored)(ms => scored.filter(col("_score") >= ms))
         val ranked = inRange.orderBy(order: _*)
         val top = kOpt.fold(ranked)(k => ranked.limit(k))
+        // knn is a top-k RETRIEVAL operator: selection is always
+        // score-driven; an explicit top-level sort re-orders the
+        // PRESENTATION of the k nearest (the wire API contract — sort
+        // replaces relevance ordering of the hit list, it never changes
+        // which k hits come back). _score desc stays as the
+        // deterministic trailing tiebreak.
+        val presented = bodySort match {
+          case Some(s) => top.orderBy((s :+ col("_score").desc): _*)
+          case None    => top
+        }
         return Option(root.get("_source")) match {
-          case Some(src) => top.select(src.elements().asScala.map(e => col(e.asText)).toSeq: _*)
-          case None      => top
+          case Some(src) => presented.select(src.elements().asScala.map(e => col(e.asText)).toSeq: _*)
+          case None      => presented
         }
       case None => ()
     }
@@ -238,7 +257,14 @@ object JsonDsl {
           .map(fn => df.filter(compileQuery(df, fn, mapping)))
           .getOrElse(df)
         val scored = base.withColumn("_score", round(lit(boost) * modified, 6))
-        val order = col("_score").desc +: Option(root.get("sort")).map(compileSort).getOrElse(Nil)
+        // An explicit top-level sort REPLACES relevance ordering (the
+        // wire API contract: size truncation follows the sort, not the
+        // score); _score desc applies only when no sort is given, and
+        // rides as the deterministic trailing tiebreak otherwise.
+        val order = Option(root.get("sort")).map(compileSort) match {
+          case Some(s) => s :+ col("_score").desc
+          case None    => Seq(col("_score").desc)
+        }
         val ranked = scored.orderBy(order: _*)
         val top = Option(root.get("size")).map(_.asInt).fold(ranked)(k => ranked.limit(k))
         return Option(root.get("_source")) match {
@@ -284,7 +310,11 @@ object JsonDsl {
           .map(fn => df.filter(compileQuery(df, fn, mapping)))
           .getOrElse(df)
         val scored = base.withColumn("_score", round(ScriptExpr.compile(src).cast("double"), 6))
-        val order = col("_score").desc +: Option(root.get("sort")).map(compileSort).getOrElse(Nil)
+        // Explicit sort replaces relevance ordering (see function_score).
+        val order = Option(root.get("sort")).map(compileSort) match {
+          case Some(s) => s :+ col("_score").desc
+          case None    => Seq(col("_score").desc)
+        }
         val ranked = scored.orderBy(order: _*)
         val top = Option(root.get("size")).map(_.asInt).fold(ranked)(k => ranked.limit(k))
         return Option(root.get("_source")) match {
@@ -318,7 +348,11 @@ object JsonDsl {
         }
         require(fields.nonEmpty, "combined_fields needs at least one field")
         val scored = Bm25.combinedFieldsScored(df, fields, terms)
-        val order = col("_score").desc +: Option(root.get("sort")).map(compileSort).getOrElse(Nil)
+        // Explicit sort replaces relevance ordering (see function_score).
+        val order = Option(root.get("sort")).map(compileSort) match {
+          case Some(s) => s :+ col("_score").desc
+          case None    => Seq(col("_score").desc)
+        }
         val ranked = scored.orderBy(order: _*)
         val top = Option(root.get("size")).map(_.asInt).fold(ranked)(k => ranked.limit(k))
         return Option(root.get("_source")) match {
@@ -798,11 +832,59 @@ object JsonDsl {
     graft.operators.Similarity.scoreAgainstIvf(index, idCol, vecCol, vec, k, nProbe)
   }
 
+  /** knn against a prebuilt neighbor graph — the wire face of the
+    * HNSW-style beam-search path (`"method": {"name": "hnsw"}`), the
+    * second indexed-knn engine next to [[knnIvf]]'s IVF. `ef_search`
+    * maps onto the beam width (the OpenSearch hnsw search parameter);
+    * `rounds` bounds the descent (the fixed-iteration Spark shape —
+    * job count known before the query runs). The index AND its base
+    * vectors ride in as arguments (the `relations` precedent: a wire
+    * request names resources, the runtime binds them); the body's field
+    * must name the index's vector column. Output is the same
+    * (id, cos) shape as the IVF wire path, scores exact.
+    */
+  def knnGraph(
+      index: graft.operators.Similarity.GraphIndex,
+      emb: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      vecCol: String,
+      body: String
+  ): DataFrame = {
+    val root =
+      try mapper.readTree(body)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(s"request body is not valid JSON: ${e.getMessage}")
+      }
+    require(root != null && root.isObject, s"knn body must be a JSON object: $body")
+    val q = req(root, "query", "knn")
+    require(q.isObject && q.size == 1 && q.fieldNames().next() == "knn", s"expected a knn query: $q")
+    val knn = q.get("knn")
+    val f = singleField(knn)
+    require(f == vecCol, s"knn field '$f' must name the index's vector column '$vecCol'")
+    val spec = knn.get(f)
+    val vec = req(spec, "vector", "knn").elements().asScala.toSeq.map(_.floatValue)
+    val k = req(spec, "k", "knn").asInt
+    val method = req(spec, "method", "indexed knn")
+    require(req(method, "name", "knn method").asText == "hnsw", s"unsupported knn method: $method")
+    val beam = Option(method.get("ef_search")).map(_.asInt).getOrElse(16)
+    val rounds = Option(method.get("rounds")).map(_.asInt).getOrElse(3)
+    require(spec.get("filter") == null, "indexed knn does not support filter (use the exact knn handler)")
+    graft.operators.Similarity
+      .graphSearch(index, emb, idCol, vecCol, vec, k, beam, rounds)
+      .select(col("id").as(idCol), col("cos"))
+  }
+
   /** The SQL plugin's `_plugins/_sql` endpoint: a read-only SQL
     * statement over one index, executed by Spark's own SQL compiler
     * against a temp view of the frame — the full Catalyst path
-    * (pushdown, codegen, AQE), not an interpreter. Only SELECT
-    * statements are accepted; anything else is a 400-class error.
+    * (pushdown, codegen, AQE), not an interpreter. Read-only is
+    * enforced STRUCTURALLY (the parsed plan must not contain a command
+    * or insert node — a prefix check alone would admit
+    * `WITH t AS (...) INSERT ...`), and the temp view registers in a
+    * fresh child session (`newSession()` — own temp-view registry), so
+    * concurrent requests with the same view name can't race and the
+    * endpoint can't read unrelated session temp views.
     */
   def sqlQuery(df: DataFrame, table: String, body: String): DataFrame = {
     val root =
@@ -815,8 +897,16 @@ object JsonDsl {
     val stmt = req(root, "query", "_sql").asText.trim
     require(stmt.toLowerCase.startsWith("select") || stmt.toLowerCase.startsWith("with"),
       s"_sql accepts read-only SELECT statements, got: $stmt")
-    df.createOrReplaceTempView(table)
-    df.sparkSession.sql(stmt)
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    val parsed = bridge.parsePlan(df.sparkSession, stmt)
+    val writeNode = parsed.collectFirst {
+      case c: org.apache.spark.sql.catalyst.plans.logical.Command              => c.nodeName
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement  => i.nodeName
+    }
+    require(writeNode.isEmpty, s"_sql accepts read-only SELECT statements; statement contains ${writeNode.get}")
+    val scoped = df.sparkSession.newSession()
+    bridge.ofRows(scoped, bridge.analyzedPlan(df)).createOrReplaceTempView(table)
+    scoped.sql(stmt)
   }
 
   /** The `_analyze` API: run the analyzer over the request's text and
@@ -835,10 +925,30 @@ object JsonDsl {
     require(root != null && root.isObject, s"_analyze body must be a JSON object: $body")
     val analyzer = Option(root.get("analyzer")).map(_.asText).getOrElse("standard")
     require(analyzer == "standard", s"unsupported analyzer '$analyzer'")
+    // Custom filter chain (the _analyze `filter` array): lowercase is
+    // the always-on base; `stop` (with its stopwords list) and `s_stem`
+    // compose in request order semantics onto the same [[Analyzer]]
+    // chain every text query compiles against — what this endpoint
+    // shows IS what the index matches on.
+    val filters = Option(root.get("filter")).map(_.elements().asScala.toSeq).getOrElse(Nil)
+    var stop = Seq.empty[String]
+    var stem = false
+    filters.foreach { fn =>
+      val ftype = if (fn.isTextual) fn.asText else req(fn, "type", "_analyze filter").asText
+      ftype match {
+        case "lowercase" => ()
+        case "s_stem"    => stem = true
+        case "stop" =>
+          require(fn.isObject && fn.get("stopwords") != null, "stop filter needs a stopwords list")
+          stop = fn.get("stopwords").elements().asScala.map(_.asText).toSeq
+        case other => throw new IllegalArgumentException(s"unsupported token filter '$other'")
+      }
+    }
+    val chain = Analyzer(if (filters.isEmpty) "standard" else "custom", stop, stem)
     val text = req(root, "text", "_analyze").asText
     spark
       .range(1)
-      .select(posexplode(SearchDsl.analyze(lit(text))))
+      .select(posexplode(SearchDsl.analyzeWith(lit(text), chain)))
       .select(col("pos").cast("long").as("position"), col("col").as("token"))
       .orderBy("position")
   }
@@ -1257,12 +1367,15 @@ object JsonDsl {
         compileQuery(df, mapper.readTree(decoded), mapping)
       case "match" =>
         val (f, v) = fieldAndValue(body, "query")
-        if (mapping.isText(f))
-          SearchDsl.matchScore(
-            col(f),
-            v.asText.toLowerCase.split("\\s+").toSeq.flatMap(mapping.expand).distinct
-          ) > 0
-        else col(keywordField(df, f)) === lit(scalarValue(v))
+        if (mapping.isText(f)) {
+          val raw = v.asText.toLowerCase.split("\\s+").toSeq.flatMap(mapping.expand).distinct
+          val a = mapping.analyzerFor(f)
+          // A declared per-field analyzer chain applies symmetrically:
+          // the column analyzes with the filters, the query terms pass
+          // through the JVM twin of the same chain.
+          if (a == Analyzer.standard) SearchDsl.matchScore(col(f), raw) > 0
+          else SearchDsl.matchScoreWith(col(f), a, raw) > 0
+        } else col(keywordField(df, f)) === lit(scalarValue(v))
       case "match_phrase" =>
         val (f, v) = fieldAndValue(body, "query")
         if (mapping.isText(f)) SearchDsl.matchPhrase(col(f), v.asText)

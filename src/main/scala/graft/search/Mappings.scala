@@ -15,7 +15,60 @@ import scala.jdk.CollectionConverters._
   * [[JsonDsl]]; everything stays a declarative Catalyst predicate either
   * way, so pushdown is unaffected.
   */
-final case class IndexMapping(fields: Map[String, String], synonyms: Map[String, Seq[String]] = Map.empty) {
+/** A configurable per-field token-filter chain — the index-settings
+  * `analyzer` block (OpenSearch's `analysis` section cut to the filters
+  * this engine supports as exact, oracle-reproducible expressions):
+  * whitespace tokenize → lowercase (always, the standard base) →
+  * optional stopword removal → optional light English S-stemmer
+  * (Harman 1991, "How effective is suffixing?" — the three plural
+  * rules: -ies→-y, -es→-e, -s→∅ with the published exception lists).
+  * The same chain applies at INDEX time (the analyzed column) and at
+  * QUERY time (the compiled query terms, [[normalizeTerm]]) — the
+  * symmetry OpenSearch guarantees when search_analyzer is unset. The
+  * S-stemmer is chosen over Porter because every rule is a suffix test
+  * + literal rewrite, so the DuckDB oracle can run the identical
+  * algorithm in SQL and hash-compare exactly.
+  */
+final case class Analyzer(
+    name: String = "standard",
+    stopwords: Seq[String] = Nil,
+    stem: Boolean = false
+) {
+
+  /** The query-time twin of the column chain: lowercase, drop
+    * stopwords, stem — MUST mirror [[SearchDsl.analyzeWith]]'s SQL
+    * rules token for token (AnalyzerSpec pins the equivalence).
+    */
+  def normalizeTerm(t: String): Option[String] = {
+    val lower = t.toLowerCase
+    if (stopwords.contains(lower)) None
+    else Some(if (stem) Analyzer.sStem(lower) else lower)
+  }
+
+  def normalizeTerms(ts: Seq[String]): Seq[String] = ts.flatMap(normalizeTerm)
+}
+
+object Analyzer {
+  val standard: Analyzer = Analyzer()
+
+  /** Harman's S-stemmer on one lowercase token (JVM twin of the SQL
+    * rules in [[SearchDsl.sStem]]; keep the two in lockstep).
+    */
+  def sStem(t: String): String =
+    if (t.length > 3 && t.endsWith("ies") && !t.endsWith("eies") && !t.endsWith("aies"))
+      t.dropRight(3) + "y"
+    else if (t.length > 3 && t.endsWith("es") && !t.endsWith("aes") && !t.endsWith("ees") && !t.endsWith("oes"))
+      t.dropRight(1)
+    else if (t.length > 2 && t.endsWith("s") && !t.endsWith("us") && !t.endsWith("ss"))
+      t.dropRight(1)
+    else t
+}
+
+final case class IndexMapping(
+    fields: Map[String, String],
+    synonyms: Map[String, Seq[String]] = Map.empty,
+    analyzers: Map[String, Analyzer] = Map.empty
+) {
 
   /** OpenSearch's dynamic-mapping default for strings is keyword-with-
     * text-subfield; exact is the safe default for undeclared fields.
@@ -23,6 +76,15 @@ final case class IndexMapping(fields: Map[String, String], synonyms: Map[String,
   def fieldType(name: String): String = fields.getOrElse(name, "keyword")
 
   def isText(name: String): Boolean = fieldType(name) == "text"
+
+  /** The analyzer declared for a field (standard when undeclared). */
+  def analyzerFor(name: String): Analyzer = analyzers.getOrElse(name, Analyzer.standard)
+
+  /** Declare a per-field analyzer chain (the index-settings `analysis`
+    * block): consulted by every text query compile against that field.
+    */
+  def withAnalyzer(field: String, a: Analyzer): IndexMapping =
+    copy(analyzers = analyzers + (field -> a))
 
   /** Declare query-time synonym expansion (the synonym_graph token
     * filter in its query-time form — the recommended OpenSearch setup,

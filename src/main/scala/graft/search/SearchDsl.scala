@@ -20,6 +20,48 @@ object SearchDsl {
     */
   def analyze(text: Column): Column = split(lower(text), " ")
 
+  /** Harman's S-stemmer over one lowercase token column — three suffix
+    * rules, each a literal test + literal rewrite, all codegen'd string
+    * expressions (no UDF). The DuckDB oracle runs the same CASE chain
+    * term for term, and [[Analyzer.sStem]] is the JVM twin applied to
+    * query terms; AnalyzerSpec pins all three in lockstep.
+    */
+  def sStem(t: Column): Column =
+    when(
+      length(t) > 3 && t.endsWith("ies") && !t.endsWith("eies") && !t.endsWith("aies"),
+      regexp_replace(t, "ies$", "y")
+    ).when(
+      length(t) > 3 && t.endsWith("es") && !t.endsWith("aes") && !t.endsWith("ees") && !t.endsWith("oes"),
+      regexp_replace(t, "es$", "e")
+    ).when(
+      length(t) > 2 && t.endsWith("s") && !t.endsWith("us") && !t.endsWith("ss"),
+      regexp_replace(t, "s$", "")
+    ).otherwise(t)
+
+  /** The configurable token-filter chain ([[Analyzer]]): whitespace
+    * tokenize + lowercase (the standard base), optional stopword
+    * removal, optional S-stemming — each stage a codegen'd higher-order
+    * array expression over the base tokens, so the analyzed column
+    * stays inside whole-stage codegen exactly like [[analyze]].
+    */
+  def analyzeWith(text: Column, a: Analyzer): Column = {
+    val toks = analyze(text)
+    val stopped =
+      if (a.stopwords.nonEmpty) filter(toks, t => !t.isInCollection(a.stopwords))
+      else toks
+    if (a.stem) transform(stopped, t => sStem(t)) else stopped
+  }
+
+  /** `match` under a configured analyzer: the query terms are already
+    * normalized through the same chain ([[Analyzer.normalizeTerms]]);
+    * the column side analyzes with the declared filters.
+    */
+  def matchScoreWith(text: Column, a: Analyzer, queryTerms: Seq[String]): Column = {
+    val terms = a.normalizeTerms(queryTerms)
+    require(terms.nonEmpty, "every query term was removed by the analyzer chain")
+    terms.map(t => array_contains(analyzeWith(text, a), t).cast("int")).reduce(_ + _)
+  }
+
   /** `term` query: exact filter-context match. */
   def term(field: Column, value: Any): Column = field === lit(value)
 

@@ -45,12 +45,16 @@ object CdcSource {
     // (unpartitioned) read of the empty relation instead of NPE-ing.
     if (bounds.isNullAt(0) || bounds.isNullAt(1)) spark.read.jdbc(jdbcUrl, table, props)
     else
+      // Bounds are read by POSITION, not alias: engines disagree on the
+      // case of unquoted aliases (Postgres folds lower, Derby/Oracle/DB2
+      // fold UPPER), and a name lookup breaks on the upper-folding ones
+      // — caught by the embedded-Derby integration spec.
       spark.read.jdbc(
         jdbcUrl,
         table,
         partitionColumn,
-        bounds.getAs[Number]("lo").longValue(),
-        bounds.getAs[Number]("hi").longValue(),
+        bounds.getAs[Number](0).longValue(),
+        bounds.getAs[Number](1).longValue(),
         numPartitions,
         props
       )

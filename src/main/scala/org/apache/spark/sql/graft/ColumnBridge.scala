@@ -17,6 +17,31 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Rebind a logical plan as a DataFrame in (possibly another) session
+    * — the `classic.Dataset.ofRows` path, `private[sql]` hence bridged
+    * here. Used to give each `_sql` endpoint request its own
+    * temp-view-registry scope (`SparkSession.newSession()`).
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  ): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The session's analyzed plan for a Dataset (classic-only API). */
+  def analyzedPlan(df: org.apache.spark.sql.Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  /** Parse a SQL statement to its UNRESOLVED logical plan without
+    * executing it — lets callers validate the statement CLASS (query vs
+    * command) structurally instead of by string prefix.
+    */
+  def parsePlan(
+      spark: org.apache.spark.sql.SparkSession,
+      stmt: String
+  ): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.sqlParser.parsePlan(stmt)
+
   def aggColumn(f: AggregateFunction): Column = ExpressionUtils.column(f.toAggregateExpression())
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)

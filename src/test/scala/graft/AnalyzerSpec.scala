@@ -1,0 +1,84 @@
+package graft
+
+import graft.search.{Analyzer, IndexMapping, JsonDsl, SearchDsl}
+import org.apache.spark.sql.functions._
+
+/** The configurable analyzer chain: the SQL column rules
+  * (SearchDsl.analyzeWith / sStem) and the JVM query-term twin
+  * (Analyzer.normalizeTerm / sStem) must agree token for token — the
+  * symmetry every stemmed match depends on.
+  */
+class AnalyzerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S-stemmer: SQL column rules equal the JVM twin over a rule-covering vocabulary") {
+    val words = Seq(
+      // rule 1: -ies → -y (with the eies/aies exceptions)
+      "queries", "cities", "flies", "ties", "movies", "eies_xeies", "aies_xaies",
+      // rule 2: -es → -e (with aes/ees/oes exceptions)
+      "tables", "caches", "phrases", "types", "goes", "trees", "aes", "shoes",
+      // rule 3: -s → ∅ (with us/ss exceptions)
+      "scans", "joins", "columns", "rows", "bus", "class", "is", "as",
+      // untouched
+      "spark", "fast", "query", "table", "s", "es", "ies", ""
+    )
+    val got = words.toDF("w").select(SearchDsl.sStem(col("w")).as("s")).as[String].collect().toSeq
+    val want = words.map(Analyzer.sStem)
+    assert(got == want, s"SQL and JVM stemmers diverged: ${words.zip(got).zip(want).filter(p => p._1._2 != p._2)}")
+  }
+
+  test("analyzeWith: stopwords drop, stems apply, standard chain is the base analyze") {
+    val a = Analyzer("light_english", stopwords = Seq("the", "a"), stem = true)
+    val toks = Seq("The queries run against big tables").toDF("t")
+      .select(SearchDsl.analyzeWith(col("t"), a).as("tt")).as[Seq[String]].collect().head
+    assert(toks == Seq("query", "run", "against", "big", "table"))
+    val std = Seq("The queries").toDF("t")
+      .select(SearchDsl.analyzeWith(col("t"), Analyzer.standard).as("tt")).as[Seq[String]].collect().head
+    assert(std == Seq("the", "queries"))
+  }
+
+  test("stemmed match is symmetric: plural query finds singular corpus and vice versa") {
+    val a = Analyzer("light_english", stopwords = Seq("the"), stem = true)
+    val docs = Seq(
+      (1L, "the query planner"),
+      (2L, "many queries arrive"),
+      (3L, "unrelated text")
+    ).toDF("id", "text")
+    def hits(q: String): Set[Long] =
+      docs.filter(SearchDsl.matchScoreWith(col("text"), a, q.split(" ").toSeq) > 0)
+        .select("id").as[Long].collect().toSet
+    assert(hits("queries") == Set(1L, 2L), "plural query must reach both forms")
+    assert(hits("query") == Set(1L, 2L), "singular query must reach both forms")
+    // a query of only stopwords is a 400-class error, not a silent match-none
+    intercept[IllegalArgumentException](hits("the"))
+  }
+
+  test("wire match consults the mapping's per-field analyzer; _analyze reflects the chain") {
+    val a = Analyzer("light_english", stopwords = Seq("the", "a"), stem = true)
+    val mapping = IndexMapping(Map("text" -> "text")).withAnalyzer("text", a)
+    val docs = Seq((1L, "fast scan engine"), (2L, "hash join plan"), (3L, "slow sort")).toDF("doc_id", "text")
+    val got = JsonDsl.parse(
+      docs,
+      """{"query": {"match": {"text": "scans joins"}}, "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""",
+      mapping
+    ).as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L))
+    // same body WITHOUT the analyzer: plurals match nothing
+    val plain = JsonDsl.parse(
+      docs,
+      """{"query": {"match": {"text": "scans joins"}}, "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""",
+      IndexMapping(Map("text" -> "text"))
+    ).as[Long].collect().toSeq
+    assert(plain.isEmpty)
+    // _analyze with the filter chain shows the post-chain token stream
+    val stream = JsonDsl.analyzeText(
+      spark,
+      """{"text": "The Queries against big Tables",
+        | "filter": ["lowercase", {"type": "stop", "stopwords": ["the", "a"]}, "s_stem"]}""".stripMargin
+    ).as[(Long, String)].collect().toSeq
+    assert(stream == Seq((0L, "query"), (1L, "against"), (2L, "big"), (3L, "table")))
+    intercept[IllegalArgumentException](
+      JsonDsl.analyzeText(spark, """{"text": "x", "filter": ["porter"]}""")
+    )
+  }
+}

@@ -584,6 +584,9 @@ class JsonDslSpec extends SparkSpec {
         | "sort": ["_id"], "_source": ["_id", "_score"]}""".stripMargin,
       IndexMapping.empty
     )
+    // selection is score-driven (top-k nearest from the filtered
+    // subset); the body's explicit sort re-orders the PRESENTATION of
+    // those k hits — hence the outer sort after the limit
     val want = emb
       .filter(col("label") === lit(2))
       .withColumn(
@@ -592,6 +595,7 @@ class JsonDslSpec extends SparkSpec {
       )
       .orderBy(col("_score").desc, col("_id"))
       .limit(2)
+      .orderBy(col("_id").asc, col("_score").desc)
       .select("_id", "_score")
     samePlan(got, want)
     // pre-filter semantics: the label=1 vector outscores the label=2
@@ -781,19 +785,22 @@ class JsonDslSpec extends SparkSpec {
         | "_source": ["id", "_score"]}""".stripMargin,
       mapping
     )
+    // explicit top-level sort REPLACES relevance ordering (the wire API
+    // contract): size truncation follows the sort, _score trails as the
+    // deterministic tiebreak
     samePlan(
       got,
       df.filter(SearchDsl.matchScore(col("text"), Seq("spark")) > 0)
         .withColumn("_score", round(lit(1.5) * log(lit(1.0) + lit(1.0) * col("amount")), 6))
-        .orderBy(col("_score").desc, col("id").asc)
+        .orderBy(col("id").asc, col("_score").desc)
         .limit(2)
         .select(col("id"), col("_score"))
     )
-    // docs 4 (120.0) and 5 (2000.0) match "spark"; higher amount wins
+    // docs 4 (120.0) and 5 (2000.0) match "spark"; the body sorts by id
     assert(
       got.as[(Long, Double)].collect().toSeq == Seq(
-        (5L, BigDecimal(1.5 * math.log(2001.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
-        (4L, BigDecimal(1.5 * math.log(121.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        (4L, BigDecimal(1.5 * math.log(121.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+        (5L, BigDecimal(1.5 * math.log(2001.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       )
     )
     intercept[IllegalArgumentException](
@@ -821,7 +828,7 @@ class JsonDslSpec extends SparkSpec {
       got,
       df.filter(col("amount") < 1800)
         .withColumn("_score", round(lit(1.0) * SearchDsl.gaussDecay(col("amount"), 900.0, 500.0, 100.0, 0.5), 6))
-        .orderBy(col("_score").desc, col("id").asc)
+        .orderBy(col("id").asc, col("_score").desc)
         .limit(3)
         .select(col("id"), col("_score"))
     )
@@ -1089,5 +1096,87 @@ class JsonDslSpec extends SparkSpec {
     assert(byField("amount")._2 == "double" && byField("amount")._4)
     // undeclared numeric falls back to the schema-derived type
     assert(byField("id")._2 == "bigint" && byField("id")._4)
+  }
+
+  test("knn method=hnsw wire body runs the graph engine: equal to the structured graphSearch") {
+    import graft.operators.Similarity
+    val emb = (0L until 40L).map(i => (i, Array.tabulate(4)(d => ((i % 8) * 3 + d).toFloat))).toDF("vec_id", "embedding")
+    val idx = Similarity.graphIndex(emb, "vec_id", "embedding", m = 4, nLists = 4)
+    val body =
+      """{"query": {"knn": {"embedding": {"vector": [3.0, 4.0, 5.0, 6.0], "k": 5,
+        |  "method": {"name": "hnsw", "ef_search": 8, "rounds": 3}}}}}""".stripMargin
+    val got = JsonDsl.knnGraph(idx, emb, "vec_id", "embedding", body).as[(Long, Double)].collect().toSeq
+    val want = Similarity
+      .graphSearch(idx, emb, "vec_id", "embedding", Seq(3f, 4f, 5f, 6f), 5, beam = 8, rounds = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want, s"wire hnsw diverged from structured graphSearch: $got vs $want")
+    assert(got.nonEmpty && got.map(_._2) == got.map(_._2).sorted.reverse)
+    // unsupported method name and mismatched field are 400-class errors
+    intercept[IllegalArgumentException](
+      JsonDsl.knnGraph(idx, emb, "vec_id", "embedding", body.replace("hnsw", "annoy")))
+    intercept[IllegalArgumentException](
+      JsonDsl.knnGraph(idx, emb, "vec_id", "other_col", body))
+  }
+
+  test("combined_fields: a repeated query term scores once (no ambiguous df-column blowup)") {
+    val df = cards
+    val dup = JsonDsl.parse(
+      df,
+      """{"query": {"combined_fields": {"query": "spark spark", "fields": ["text"]}},
+        | "_source": ["id", "_score"]}""".stripMargin,
+      mapping
+    )
+    val single = JsonDsl.parse(
+      df,
+      """{"query": {"combined_fields": {"query": "spark", "fields": ["text"]}},
+        | "_source": ["id", "_score"]}""".stripMargin,
+      mapping
+    )
+    assert(dup.as[(Long, Double)].collect().toSeq == single.as[(Long, Double)].collect().toSeq)
+  }
+
+  test("script_score with an explicit sort: the sort replaces relevance ordering for selection") {
+    val df = cards
+    val got = JsonDsl.parse(
+      df,
+      """{"query": {"script_score": {
+        |   "query": {"match": {"text": "dog"}},
+        |   "script": {"source": "amount * 2"}}},
+        | "sort": [{"id": "asc"}], "size": 1, "_source": ["id", "_score"]}""".stripMargin,
+      mapping
+    )
+    // docs 2 (1500→3000) and 3 (900→1800) match "dog"
+    assert(got.as[(Long, Double)].collect().toSeq == Seq((2L, 3000.0)))
+    val flipped = JsonDsl.parse(
+      df,
+      """{"query": {"script_score": {
+        |   "query": {"match": {"text": "dog"}},
+        |   "script": {"source": "amount * 2"}}},
+        | "sort": [{"id": "desc"}], "size": 1, "_source": ["id", "_score"]}""".stripMargin,
+      mapping
+    )
+    // id desc selects doc 3 (900 → 1800) even though doc 2 scores higher
+    assert(flipped.as[(Long, Double)].collect().toSeq == Seq((3L, 1800.0)))
+  }
+
+  test("_sql: CTE-smuggled write rejected structurally; temp view scope is per-request") {
+    val df = cards
+    // passes the select/with prefix check but parses to an insert node
+    intercept[IllegalArgumentException](
+      JsonDsl.sqlQuery(df, "c_sql", """{"query": "WITH x AS (SELECT 1 AS a) INSERT INTO c_sql SELECT * FROM x"}""")
+    )
+    // the request's view registers in a child session, not the caller's
+    val n = JsonDsl
+      .sqlQuery(df, "scoped_view_x", """{"query": "SELECT count(*) AS n FROM scoped_view_x"}""")
+      .as[Long].collect().head
+    assert(n == 5L)
+    assert(!spark.catalog.tableExists("scoped_view_x"), "endpoint leaked its temp view into the caller session")
+    // a caller-session temp view is NOT readable through the endpoint
+    spark.range(1).toDF("secret").createOrReplaceTempView("secret_view")
+    try
+      intercept[org.apache.spark.sql.AnalysisException](
+        JsonDsl.sqlQuery(df, "c_sql", """{"query": "SELECT * FROM secret_view"}""")
+      )
+    finally spark.catalog.dropTempView("secret_view")
   }
 }

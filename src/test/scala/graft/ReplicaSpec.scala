@@ -602,6 +602,19 @@ class ReplicaSpec extends SparkSpec {
     }
     info(s"batch graph recall@10: ${recalls.mkString(", ")} (mean ${recalls.sum / recalls.size})")
     assert(recalls.forall(_ >= 0.5), s"batch graph recall below bound: $recalls")
+    // No forced broadcast on the probe frame: an unbounded probe batch
+    // (the knn-join use) must be free to shuffle — AQE may still pick
+    // broadcast at small sizes from runtime stats, which is correct.
+    // The only allowed hint is the bounded entry-point frame (index
+    // metadata, O(nLists) rows, carries no probe_vec).
+    val plan = Similarity
+      .graphSearchBatch(idx, emb, "vec_id", "embedding", emb.limit(3), 10)
+      .queryExecution.analyzed
+    val hinted = plan.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.child.output.exists(a => a.name == "probe_vec" || a.name == "probe_id") => h
+    }
+    assert(hinted.isEmpty, "graphSearchBatch still broadcast-hints the probe frame")
   }
 
   test("batch LSH knn join returns exactly the per-probe multi-probe results") {

@@ -331,6 +331,77 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVF upsert: a re-sent id supersedes its old vector — one row, new embedding wins") {
+    import graft.operators.Similarity
+    implicit val sq = spark.sqlContext
+    val base = (0L until 30L).map(i => (i, Array.tabulate(4)(d => ((i % 5) * 2 + d).toFloat))).toDF("id", "v")
+    val streamed = new graft.streaming.StreamingIvf(
+      Similarity.ivfIndex(base, "id", "v", nLists = 4), "id", "v")
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = streamed.attach(input.toDF().toDF("id", "v"))
+    try {
+      input.addData((100L, Array(9f, 9f, 9f, 9f)))
+      q.processAllAvailable()
+      // batch 2 RE-SENDS id 100 with a new embedding AND updates a BASE id
+      input.addData((100L, Array(0f, 0f, 0f, 1f)), (7L, Array(5f, 1f, 9f, 2f)))
+      q.processAllAvailable()
+      val idx = streamed.index
+      assert(idx.assigned.count() == 31, "upsert: no row-count inflation (30 base + 1 new; 2 ids superseded in place)")
+      val v100 = idx.assigned.filter(col("id") === 100L).select("v").as[Array[Float]].collect()
+      assert(v100.length == 1, s"exactly one row for a re-sent id, got ${v100.length}")
+      assert(v100.head.toSeq == Seq(0f, 0f, 0f, 1f), "the LAST sent embedding wins")
+      // a search can never return the superseded embedding: probing with
+      // the OLD vector of id 7 no longer yields a 1.0 self-hit
+      val stale = Similarity.scoreAgainstIvf(idx, "id", "v", Seq(9f, 9f, 9f, 9f), 1, nProbe = 4)
+        .as[(Long, Double)].collect()
+      assert(!(stale.head._1 == 100L && stale.head._2 == 1.0), "superseded embedding leaked into search")
+      val fresh7 = Similarity.scoreAgainstIvf(idx, "id", "v", Seq(5f, 1f, 9f, 2f), 1, nProbe = 4)
+        .as[(Long, Double)].collect()
+      assert(fresh7.head._1 == 7L && fresh7.head._2 == 1.0, "updated base id searches at its new embedding")
+    } finally q.stop()
+  }
+
+  test("streaming graph maintenance: post-stream index equals the batch addToGraph fold over the same deltas") {
+    import graft.operators.Similarity
+    implicit val sq = spark.sqlContext
+    // Well-spread deterministic vectors (not clustered copies): an
+    // inserted node's reverse links must compete against DIVERSE
+    // adjacency cosines to survive the m-prune — the realistic shape;
+    // a corpus of identical copies would always prune the newcomer.
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(4)(d => (math.sin(i * 12.9898 + d * 78.233) * 10).toFloat)
+    val base = (0L until 40L).map(i => (i, vec(i))).toDF("id", "v")
+    val g0 = Similarity.graphIndex(base, "id", "v", m = 4, nLists = 4)
+    val d1 = Seq((100L, vec(100L)), (101L, vec(101L)))
+    val d2 = Seq((102L, vec(102L)))
+    val streamed = new graft.streaming.StreamingGraph(g0, base, "id", "v", m = 4)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = streamed.attach(input.toDF().toDF("id", "v"))
+    try {
+      input.addData(d1: _*)
+      q.processAllAvailable()
+      input.addData(d2: _*)
+      q.processAllAvailable()
+      // batch twin: the same deltas folded sequentially through addToGraph
+      val b1 = Similarity.addToGraph(g0, base, "id", "v", d1.toDF("id", "v"), m = 4)
+      val c1 = base.unionByName(d1.toDF("id", "v"))
+      val b2 = Similarity.addToGraph(b1, c1, "id", "v", d2.toDF("id", "v"), m = 4)
+      val want = b2.neighbors.select("id", "nbr", "cos").as[(Long, Long, Double)].collect().toSet
+      val got = streamed.index.neighbors.select("id", "nbr", "cos").as[(Long, Long, Double)].collect().toSet
+      assert(got == want, s"streamed graph diverged from the batch fold: ${got.diff(want)} / ${want.diff(got)}")
+      // the streamed corpus carries every insert; a streamed vector is
+      // REACHABLE via beam search on the grown graph (rounds sized to
+      // cover the 43-node graph's diameter from the fixed train-time
+      // seeds — reachability is the contract here; 3-round recall has
+      // its own floor in ReplicaSpec)
+      assert(streamed.corpus.count() == 43)
+      val hit = Similarity
+        .graphSearch(streamed.index, streamed.corpus, "id", "v", vec(101L).toSeq, k = 1, beam = 16, rounds = 6)
+        .as[(Long, Double)].collect().head
+      assert(hit._1 == 101L && hit._2 == 1.0, s"streamed insert not reachable: $hit")
+    } finally q.stop()
+  }
+
   test("streaming BM25 maintenance: CDC doc stream folds into the posting index, equal to a fresh build") {
     import graft.search.Bm25
     implicit val sq = spark.sqlContext
