@@ -9,10 +9,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+
 /** Driver contract: one `queries` entry per operator in SURVEY.md §2, with
   * a DuckDB-equivalent `oracleSql` wherever the semantics are
   * SQL-expressible. Column names and row ordering match the oracle exactly
   * (the driver hash-compares values under name-sorted columns).
+  *
+  * The registry itself lives in per-family objects under `graft/entry/`
+  * (CdcEntries, SearchEntries, SearchWireEntries, AnalyticsEntries,
+  * DedupEntries, AnnEntries, TextEntries, MultimodalEntries) with shared
+  * memoized artifacts in EntrySupport; this object aggregates them so the
+  * driver-facing surface is unchanged.
   */
 object SparkEntry {
 
@@ -22,8367 +29,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("cdc_latest_state")(spark, "/root/testdata/sf0.001")
 
-  /** Exact decimal money arithmetic for sum-of-product aggregates: the
-    * truth of sum(price*(1-discount)) has 4 exact decimals, so rounding a
-    * double at 2dp ties at .xx5 and Spark/DuckDB tie-break differently;
-    * decimal keeps the sum exact on both sides (then HALF_UP rounding
-    * agrees) regardless of partition count or scale.
-    */
-  private def decMoney(c: Column): Column = c.cast("decimal(12,2)")
-
-  // Shared query-vector fetch (O(1) driver fetch of one 64-dim row).
-  private def queryVec(s: SparkSession, dir: String, vecId: Long): Seq[Float] =
-    Tables
-      .embeddings(s, dir)
-      .filter(col("vec_id") === vecId)
-      .select("embedding")
-      .head()
-      .getSeq[Float](0)
-
-  // ── Cross-query index amortization ──────────────────────────────────────
-  // Index/candidate artifacts that several suite entries consume are built
-  // once per JVM and spilled to a private parquet dir (parquet, not
-  // `persist()`: the suite clears the block cache between queries, and at
-  // 100 TB these artifacts live in durable storage anyway — this IS the
-  // deployment shape, not a bench trick). Builders stay honest: the
-  // *_build entries and the candidate-generation entry still run the real
-  // computation every call, so bench reports true build cost separately
-  // from the amortized query path.
-  private object Memo {
-    private lazy val root = java.nio.file.Files.createTempDirectory("graft-memo").toString
-    private val built = scala.collection.concurrent.TrieMap[String, String]()
-    def parquet(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-      val path = built.getOrElseUpdate(
-        key, {
-          val p = s"$root/${java.lang.Integer.toHexString(key.hashCode)}"
-          build.write.mode("overwrite").parquet(p)
-          p
-        }
-      )
-      s.read.parquet(path)
-    }
-  }
-
-  private val ivfMemo = scala.collection.concurrent.TrieMap[String, Similarity.IvfIndex]()
-
-  /** The IVF index for `dir`, built once per JVM: cell assignment spilled
-    * to parquet, centroid array held on the driver (O(nLists)).
-    */
-  private def cachedIvf(s: SparkSession, dir: String, nLists: Int): Similarity.IvfIndex =
-    ivfMemo.getOrElseUpdate(
-      dir, {
-        val idx = Similarity.ivfIndex(Tables.embeddings(s, dir), "vec_id", "embedding", nLists)
-        idx.copy(assigned = Memo.parquet(s, s"ivf:$dir")(idx.assigned))
-      }
-    )
-
-  /** The LSH signature index for `dir` (4-bit sigs × 8 tables — see the
-    * ann_lsh_topk entry note), signature table spilled to parquet once
-    * per JVM; the (id, vector) base is the embeddings parquet itself.
-    */
-  private def cachedLsh(s: SparkSession, dir: String): Similarity.LshIndex = {
-    val fresh = Similarity.lshIndex(Tables.embeddings(s, dir), "vec_id", "embedding", nBits = 4, tables = 8)
-    fresh.copy(sigs = Memo.parquet(s, s"lsh:$dir")(fresh.sigs))
-  }
-
-  private val ivfKMeansMemo = scala.collection.concurrent.TrieMap[String, Similarity.IvfIndex]()
-
-  /** Lloyd-refined IVF index (2 rounds): tighter cells, same score path —
-    * ReplicaSpec measures the recall uplift (0.7 mean vs the 0.3 bound at
-    * the same nProbe). Refinement cost is build-time, amortized like the
-    * build.
-    */
-  private def cachedIvfKMeans(s: SparkSession, dir: String): Similarity.IvfIndex =
-    ivfKMeansMemo.getOrElseUpdate(
-      dir, {
-        val idx = Similarity.ivfIndexKMeans(Tables.embeddings(s, dir), "vec_id", "embedding", nLists = 16, iters = 2)
-        idx.copy(assigned = Memo.parquet(s, s"ivf-kmeans:$dir")(idx.assigned))
-      }
-    )
-
-  /** A HALF-size LSH index (4 tables, not 8) for the multi-probe path:
-    * radius-1 probing buys back more recall than the dropped tables cost
-    * (ReplicaSpec: mean 0.92 multi-probe on 4 tables vs 0.48 single-probe)
-    * while storing half the signatures — the better 100 TB trade.
-    */
-  private def cachedLsh4(s: SparkSession, dir: String): Similarity.LshIndex = {
-    val fresh = Similarity.lshIndex(Tables.embeddings(s, dir), "vec_id", "embedding", nBits = 4, tables = 4)
-    fresh.copy(sigs = Memo.parquet(s, s"lsh4:$dir")(fresh.sigs))
-  }
-
-  private val pqMemo = scala.collection.concurrent.TrieMap[String, Similarity.PqIndex]()
-
-  /** Product-quantized IVF index for `dir`, built once per JVM: the
-    * (id, cell, code) table spilled to parquet — m bytes of payload per
-    * vector instead of dim floats — codebooks/centroids driver-resident.
-    */
-  private def cachedPq(s: SparkSession, dir: String): Similarity.PqIndex =
-    pqMemo.getOrElseUpdate(
-      dir, {
-        val idx = Similarity.pqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
-        idx.copy(codes = Memo.parquet(s, s"pq:$dir")(idx.codes))
-      }
-    )
-
-  /** The PQ index over yesterday's vectors (vec_id % 5 != 0), built once
-    * per JVM: the durable codes+codebooks artifact a live tier grows with
-    * [[Similarity.addToPq]] instead of retraining.
-    */
-  private def cachedPqBase(s: SparkSession, dir: String): Similarity.PqIndex =
-    pqMemo.getOrElseUpdate(
-      s"base:$dir", {
-        val idx = Similarity.pqIndex(Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding")
-        idx.copy(codes = Memo.parquet(s, s"pq-base:$dir")(idx.codes))
-      }
-    )
-
-  private val opqMemo = scala.collection.concurrent.TrieMap[String, Similarity.PqIndex]()
-
-  /** OPQ-rotated PQ index for `dir`, built once per JVM (same contract as
-    * [[cachedPq]]); rotation + codebooks stay driver-resident metadata.
-    */
-  private def cachedOpq(s: SparkSession, dir: String): Similarity.PqIndex =
-    opqMemo.getOrElseUpdate(
-      dir, {
-        val idx = Similarity.opqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
-        idx.copy(codes = Memo.parquet(s, s"opq:$dir")(idx.codes))
-      }
-    )
-
-  private val opqFullMemo = scala.collection.concurrent.TrieMap[String, Similarity.PqIndex]()
-
-  /** Corpus-trained (distributed-Procrustes) OPQ index for `dir`, built
-    * once per JVM (same contract as [[cachedOpq]]).
-    */
-  private def cachedOpqFull(s: SparkSession, dir: String): Similarity.PqIndex =
-    opqFullMemo.getOrElseUpdate(
-      dir, {
-        val idx = Similarity.opqIndexFull(Tables.embeddings(s, dir), "vec_id", "embedding")
-        idx.copy(codes = Memo.parquet(s, s"opq-full:$dir")(idx.codes))
-      }
-    )
-
-  /** Deterministic synthetic coordinates for the events stream (the
-    * testdata has no geo columns): lat/lon derived with INTEGER
-    * arithmetic then one exact division, so both engines materialize
-    * bit-identical doubles. lat ∈ [−90, 90), lon ∈ [−180, 180), 2dp.
-    */
-  private def geoEvents(s: SparkSession, dir: String): DataFrame =
-    Tables
-      .events(s, dir)
-      .select(
-        col("event_id"),
-        col("event_type"),
-        col("ts"),
-        (pmod(col("user_id") * 1237, lit(18000)) / 100.0 - 90.0).as("lat"),
-        (pmod(col("event_id") * 91, lit(36000)) / 100.0 - 180.0).as("lon")
-      )
-
-  /** Deterministic synthetic IPv4 addresses for the events stream (the
-    * testdata has no IP column — the geoEvents convention): octets from
-    * integer arithmetic, the dotted string rendered canonically, plus the
-    * 32-bit numeric value for range math. Both engines materialize
-    * identical strings and longs.
-    */
-  private def ipEvents(s: SparkSession, dir: String): DataFrame =
-    Tables
-      .events(s, dir)
-      .select(
-        col("event_id"),
-        col("user_id"),
-        col("event_type"),
-        pmod(col("user_id"), lit(200)).as("_o2"),
-        pmod(col("user_id") * 7, lit(250)).as("_o3"),
-        (pmod(col("event_id"), lit(254)) + 1).as("_o4")
-      )
-      .withColumn("ip", concat(lit("10."), col("_o2"), lit("."), col("_o3"), lit("."), col("_o4")))
-      .withColumn(
-        "ipnum",
-        lit(10L * 16777216L) + col("_o2") * 65536L + col("_o3") * 256L + col("_o4")
-      )
-
-  private val minhashIdxMemo = scala.collection.concurrent.TrieMap[String, MinHashLSH.MinHashIndex]()
-
-  /** The MinHash/LSH artifact over the CORPUS side (doc_id % 7 != 3 —
-    * the complement of the incremental entry's delta), built once per
-    * JVM and spilled to parquet: banded signatures + shingle sets, the
-    * two tables an append-mostly deployment maintains durably. The
-    * honest full-computation cost is dedup_minhash_lsh, which runs the
-    * whole pipeline every call.
-    */
-  private def cachedMinhashIndex(s: SparkSession, dir: String): MinHashLSH.MinHashIndex =
-    minhashIdxMemo.getOrElseUpdate(
-      dir, {
-        val idx = MinHashLSH.index(Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 3), "doc_id", "text")
-        MinHashLSH.MinHashIndex(
-          banded = Memo.parquet(s, s"minhash-banded:$dir")(idx.banded),
-          shingles = Memo.parquet(s, s"minhash-shingles:$dir")(idx.shingles)
-        )
-      }
-    )
-
-  private val graphMemo = scala.collection.concurrent.TrieMap[String, Similarity.GraphIndex]()
-
-  /** The NSW-style neighbor graph for `dir`, built once per JVM:
-    * adjacency table spilled to parquet, entry-point ids held on the
-    * driver (O(nLists) metadata — the other index caches' contract).
-    */
-  private def cachedGraph(s: SparkSession, dir: String): Similarity.GraphIndex =
-    graphMemo.getOrElseUpdate(
-      dir, {
-        val idx = Similarity.graphIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
-        idx.copy(neighbors = Memo.parquet(s, s"graph:$dir")(idx.neighbors))
-      }
-    )
-
-  private val bm25Memo = scala.collection.concurrent.TrieMap[String, graft.search.Bm25.Bm25Index]()
-
-  /** The BM25 inverted index over `dir`'s documents, built once per JVM:
-    * posting table + 1-row corpus stats spilled to parquet — the
-    * persisted, term-keyed artifact a 100 TB deployment scores against
-    * (SURVEY §5: a per-query posting rebuild is a scale-killer). The
-    * honest build cost is the search_bm25_build entry, which runs the
-    * real tokenize+aggregate every call (the IVF/LSH/PQ split).
-    */
-  private def cachedBm25(s: SparkSession, dir: String): graft.search.Bm25.Bm25Index =
-    bm25Memo.getOrElseUpdate(
-      dir, {
-        val idx = graft.search.Bm25.buildIndex(Tables.documents(s, dir), "doc_id", "text")
-        graft.search.Bm25.Bm25Index(
-          postings = Memo.parquet(s, s"bm25-postings:$dir")(idx.postings),
-          corpus = Memo.parquet(s, s"bm25-corpus:$dir")(idx.corpus)
-        )
-      }
-    )
-
-  /** The BM25 artifact over yesterday's corpus (doc_id % 5 != 0 — the
-    * complement of the incremental entry's insert set), built once per
-    * JVM: the durable posting table a live tier maintains with
-    * [[graft.search.Bm25.applyDelta]] instead of rebuilding.
-    */
-  private def cachedBm25Base(s: SparkSession, dir: String): graft.search.Bm25.Bm25Index =
-    bm25Memo.getOrElseUpdate(
-      s"base:$dir", {
-        val idx = graft.search.Bm25
-          .buildIndex(Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
-        graft.search.Bm25.Bm25Index(
-          postings = Memo.parquet(s, s"bm25-base-postings:$dir")(idx.postings),
-          corpus = Memo.parquet(s, s"bm25-base-corpus:$dir")(idx.corpus)
-        )
-      }
-    )
-
-  private val sqMemo = scala.collection.concurrent.TrieMap[String, Similarity.SqIndex]()
-
-  /** SQ8 index for `dir`, built once per JVM (same contract as the other
-    * ANN index caches).
-    */
-  private def cachedSq(s: SparkSession, dir: String): Similarity.SqIndex =
-    sqMemo.getOrElseUpdate(
-      dir, {
-        val idx = Similarity.sqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
-        idx.copy(codes = Memo.parquet(s, s"sq:$dir")(idx.codes))
-      }
-    )
-
-  private val graph2Memo = scala.collection.concurrent.TrieMap[String, Similarity.Graph2Index]()
-
-  /** The two-layer graph for `dir`, built once per JVM: both layers'
-    * adjacency tables parquet-spilled, entry points driver metadata.
-    */
-  private def cachedGraph2(s: SparkSession, dir: String): Similarity.Graph2Index =
-    graph2Memo.getOrElseUpdate(
-      dir, {
-        val idx = Similarity.graphIndex2(Tables.embeddings(s, dir), "vec_id", "embedding")
-        Similarity.Graph2Index(
-          top = idx.top.copy(neighbors = Memo.parquet(s, s"graph2-top:$dir")(idx.top.neighbors)),
-          bottom = idx.bottom.copy(neighbors = Memo.parquet(s, s"graph2-bot:$dir")(idx.bottom.neighbors))
-        )
-      }
-    )
-
-  /** The neighbor graph over yesterday's vectors (vec_id % 50 != 0 — the
-    * incremental entry's complement; the delta is 2% of the corpus, the
-    * realistic daily-insert fraction), built once per JVM: the durable
-    * adjacency a live tier grows with [[Similarity.addToGraph]].
-    */
-  private def cachedGraphBase(s: SparkSession, dir: String): Similarity.GraphIndex =
-    graphMemo.getOrElseUpdate(
-      s"base:$dir", {
-        val idx =
-          Similarity.graphIndex(Tables.embeddings(s, dir).filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding")
-        idx.copy(neighbors = Memo.parquet(s, s"graph-base:$dir")(idx.neighbors))
-      }
-    )
-
-  private val ivfBaseMemo = scala.collection.concurrent.TrieMap[String, Similarity.IvfIndex]()
-
-  /** The IVF index over yesterday's vectors (vec_id % 5 != 0 — the
-    * complement of the incremental entry's delta), built once per JVM:
-    * the durable artifact a live vector tier maintains with
-    * [[Similarity.addToIvf]] instead of rebuilding.
-    */
-  private def cachedIvfBase(s: SparkSession, dir: String): Similarity.IvfIndex =
-    ivfBaseMemo.getOrElseUpdate(
-      dir, {
-        val idx = Similarity
-          .ivfIndex(Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", nLists = 16)
-        idx.copy(assigned = Memo.parquet(s, s"ivf-base:$dir")(idx.assigned))
-      }
-    )
-
-  /** The geo_polygon crossing predicate in DuckDB SQL, generated from the
-    * same vertex list term-for-term with [[graft.search.Aggs.pointInPolygon]]
-    * so both engines run identical IEEE arithmetic.
-    */
-  private lazy val geoPolygonPredSql: String = {
-    val pts = Seq((0.0, -90.0), (45.0, 0.0), (0.0, 90.0), (-45.0, 0.0))
-    val terms = pts.indices.map { i =>
-      val (lat1, lon1) = pts(i)
-      val (lat2, lon2) = pts((i + 1) % pts.size)
-      s"CASE WHEN (($lat1 > lat) <> ($lat2 > lat)) AND lon < ${lon2 - lon1} * (lat - $lat1) / ${lat2 - lat1} + $lon1 THEN 1 ELSE 0 END"
-    }
-    s"(${terms.mkString(" + ")}) % 2 = 1"
-  }
-
-  /** The geohash_grid oracle, shared by the structured and wire entries —
-    * the same integer pipeline as Aggs.geohash5 re-derived in DuckDB SQL:
-    * quantize hundredth-degree ints to 12/13 bits, interleave (lon bit k
-    * → weight 4^k, lat bit k → weight 2·4^k), base32.
-    */
-  private lazy val geohashGridOracleSql: String = {
-    def spread(c: String, bits: Int, mult: Long) =
-      (0 until bits).map(k => s"((($c // ${1L << k}) % 2) * ${mult * (1L << (2 * k))})").mkString(" + ")
-    val chars = (0 until 5)
-      .map(i => s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((n // ${1L << (5 * (4 - i))}) % 32) + 1 AS INT), 1)")
-      .mkString(" || ")
-    s"""WITH b AS (SELECT ((user_id * 1237) % 18000) AS la100, ((event_id * 91) % 36000) AS lo100 FROM events),
-       |c AS (SELECT ((la100 * 4096) // 18000) AS latb, ((lo100 * 8192) // 36000) AS lonb FROM b),
-       |nn AS (SELECT (${spread("lonb", 13, 1L)}) + (${spread("latb", 12, 2L)}) AS n FROM c),
-       |g AS (SELECT $chars AS geohash FROM nn)
-       |SELECT geohash, count(*) AS doc_count FROM g
-       |GROUP BY 1 ORDER BY doc_count DESC, geohash LIMIT 20""".stripMargin
-  }
-
-  private val bqMemo = scala.collection.concurrent.TrieMap[String, Similarity.BqIndex]()
-
-  /** Binary-quantization index for `dir`, built once per JVM (same
-    * contract as the other ANN index caches: codes parquet-spilled,
-    * per-dim means driver-resident).
-    */
-  private def cachedBqIdx(s: SparkSession, dir: String): Similarity.BqIndex =
-    bqMemo.getOrElseUpdate(
-      dir, {
-        val idx = Similarity.bqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
-        idx.copy(codes = Memo.parquet(s, s"bq:$dir")(idx.codes))
-      }
-    )
-
-  private val bucketedMemo = scala.collection.concurrent.TrieMap[String, (String, String)]()
-
-  /** lineitem+orders written once per JVM as same-bucket-count tables on
-    * their join keys (sinks.BucketedStore): the co-located layout a
-    * deployment pays for once so every subsequent fact-fact join runs
-    * with ZERO shuffle exchange of either fact table (plan-asserted in
-    * BucketedStoreSpec). 8 buckets locally; a cluster uses cluster-width.
-    */
-  private def bucketedFacts(s: SparkSession, dir: String): (String, String) =
-    bucketedMemo.getOrElseUpdate(
-      dir, {
-        val tag = java.lang.Integer.toHexString(dir.hashCode)
-        val lt = s"graft_bk_lineitem_$tag"
-        val ot = s"graft_bk_orders_$tag"
-        sinks.BucketedStore.writeBucketed(
-          Tables
-            .lineitem(s, dir)
-            .select(
-              "l_orderkey",
-              "l_partkey",
-              "l_suppkey",
-              "l_shipdate",
-              "l_quantity",
-              "l_extendedprice",
-              "l_discount",
-              "l_linestatus"
-            ),
-          lt,
-          "l_orderkey",
-          8
-        )
-        sinks.BucketedStore.writeBucketed(
-          Tables
-            .orders(s, dir)
-            .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice", "o_orderstatus"),
-          ot,
-          "o_orderkey",
-          8
-        )
-        (lt, ot)
-      }
-    )
-
-  /** The exact n-gram-Jaccard near-dup pair table for `dir`, computed once
-    * per JVM — dedup_ngram_jaccard reports it, dedup_components clusters
-    * it; candidate generation runs once, not once per consumer.
-    */
-  private def cachedNgramPairs(s: SparkSession, dir: String): DataFrame =
-    Memo.parquet(s, s"ngram-pairs:$dir")(
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.4)
-    )
-
-  /** The connected-components label table over the memoized pair table,
-    * itself memoized: the iterative propagation (N join+agg rounds, the
-    * expensive part) runs once per JVM, and dedup_representatives then
-    * consumes labels instead of re-running the rounds dedup_components
-    * just paid for. At 100 TB the label table is exactly the artifact a
-    * dedup pipeline persists between the cluster and survivor stages.
-    */
-  private def cachedComponents(s: SparkSession, dir: String): DataFrame =
-    Memo.parquet(s, s"ngram-components:$dir")(
-      operators.Components.connectedComponents(cachedNgramPairs(s, dir), "a", "b")
-    )
-
-  /** The `documents` index mapping, declared in the reference's
-    * `_mapping` JSON format (TDD §4: keyword vs text vs date per field)
-    * and consulted by the JSON-DSL entries for analyzed-vs-exact
-    * semantics.
-    */
-  private val docsMapping: IndexMapping = IndexMapping.fromJson(
-    """{"mappings": {"properties": {
-      |  "doc_id":  {"type": "long"},
-      |  "text":    {"type": "text"},
-      |  "lang":    {"type": "keyword"},
-      |  "source":  {"type": "keyword"},
-      |  "n_chars": {"type": "long"}
-      |}}}""".stripMargin
-  )
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ── CDC core ────────────────────────────────────────────────────────
-    "cdc_latest_state" -> ((s, dir) =>
-      CdcBatch
-        .latestState(
-          Tables.events(s, dir),
-          "user_id",
-          struct(col("ts"), col("event_id")),
-          col("event_id"),
-          col("ts"),
-          col("event_type"),
-          col("value")
-        )
-        .orderBy("user_id")),
-    "cdc_apply_ops" -> ((s, dir) =>
-      CdcBatch
-        .applyOps(
-          Tables.events(s, dir),
-          "user_id",
-          struct(col("ts"), col("event_id")),
-          col("event_type") === "error",
-          col("event_id"),
-          col("ts"),
-          col("event_type"),
-          col("value")
-        )
-        .orderBy("user_id")),
-    // Snapshot load through the generic TDD §4.3 rule-driven mapper
-    // (cdc.TypeMapper): INTEGER→long by rule, plus per-table overrides for
-    // normalization (lowercase keyword fields, 2dp money) and one derived
-    // field — the same mapper handles any table (TypeMapperSpec runs a
-    // second one through it).
-    "cdc_snapshot_sync" -> ((s, dir) =>
-      cdc.TypeMapper
-        .mapTable(
-          Tables.customer(s, dir),
-          fields = Seq(
-            "c_custkey" -> "id",
-            "c_name" -> "name",
-            "c_nationkey" -> "nation_id",
-            "c_acctbal" -> "balance",
-            "c_mktsegment" -> "segment"
-          ),
-          overrides = Map(
-            "name" -> lower(col("c_name")),
-            "balance" -> round(col("c_acctbal"), 2),
-            "segment" -> lower(col("c_mktsegment"))
-          ),
-          extras = Seq("in_good_standing" -> (col("c_acctbal") > 0))
-        )
-        .orderBy("id")),
-    "cdc_op_stats" -> ((s, dir) =>
-      CdcBatch
-        .opStats(
-          Tables.events(s, dir),
-          when(col("event_type") === "signup", "c").when(col("event_type") === "error", "d").otherwise("u")
-        )
-        .orderBy("op")),
-    "cdc_changelog_rate" -> ((s, dir) =>
-      Tables
-        .events(s, dir)
-        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
-        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
-        .orderBy("bucket")),
-    "cdc_count_parity" -> ((s, dir) => {
-      val parts = Seq(
-        "customer" -> Tables.customer(s, dir),
-        "lineitem" -> Tables.lineitem(s, dir),
-        "orders" -> Tables.orders(s, dir)
-      ).map { case (n, df) => df.agg(count(lit(1)).as("n")).select(lit(n).as("entity"), col("n")) }
-      parts.reduce(_ unionByName _).orderBy("entity")
-    }),
-
-    // SCD type-2 history off the same changelog the upsert index consumes:
-    // versioned validity intervals per key, open-ended on the current row.
-    "cdc_scd2_history" -> ((s, dir) =>
-      CdcBatch
-        .scd2(
-          Tables.events(s, dir).filter(col("event_type") =!= "click"),
-          "user_id",
-          struct(col("ts"), col("event_id")),
-          col("ts"),
-          col("event_type"),
-          col("value")
-        )
-        .orderBy("user_id", "version")),
-
-    // As-of (temporal) join: each purchase enriched with the user's latest
-    // strictly-prior event — the point-in-time lookup CDC analytics needs.
-    "cdc_asof_enrich" -> ((s, dir) => {
-      val events = Tables.events(s, dir)
-      val probe = events.filter(col("event_type") === "purchase").select("user_id", "event_id", "ts")
-      operators.AsOfJoin
-        .asOf(probe, events, "user_id", "ts", "ts", "event_id", Seq("event_id", "value"))
-        .select(col("user_id"), col("event_id"), col("ts"), col("prior_event_id"), col("prior_value"))
-        .orderBy("user_id", "event_id")
-    }),
-
-    // ── Search / query DSL ──────────────────────────────────────────────
-    "search_match" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), SearchDsl.matchScore(col("text"), Seq("spark", "stream")).as("score"))
-        .filter(col("score") > 0)
-        .orderBy(col("score").desc, col("doc_id"))),
-    // match under a configured analyzer chain (stopwords + Harman
-    // S-stemmer): the plural query terms normalize to the corpus'
-    // singular vocabulary through the same chain the column analyzes
-    // with — symmetric index/query analysis, all codegen'd string
-    // expressions, and the DuckDB oracle runs the identical CASE rules.
-    "search_match_stemmed" -> ((s, dir) => {
-      val a = graft.search.Analyzer("light_english", stopwords = Seq("the", "a"), stem = true)
-      Tables
-        .documents(s, dir)
-        .select(
-          col("doc_id"),
-          SearchDsl.matchScoreWith(col("text"), a, Seq("queries", "tables", "the")).as("score")
-        )
-        .filter(col("score") > 0)
-        .orderBy(col("score").desc, col("doc_id"))
-    }),
-    // The wire twin: docsMapping declares the analyzer for `text`, the
-    // match clause compiles against it (no per-query analyzer plumbing).
-    "search_dsl_json_match_stemmed" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"match": {"text": "scans joins the"}},
-          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin,
-        docsMapping.withAnalyzer(
-          "text",
-          graft.search.Analyzer("light_english", stopwords = Seq("the", "a"), stem = true)
-        )
-      )),
-    // ── JSON request-body executor: the reference's actual wire format
-    // (DASHBOARD_GUIDE.md Dev Tools bodies) compiled onto SearchDsl/Aggs.
-    // docsMapping mirrors the TDD §4 index definition for `documents`.
-    // The _count API: a query body evaluated for its hit count only — no
-    // fetch phase, no sort; one filtered count(*) whose predicate pushes
-    // into the scan.
-    "search_dsl_json_count" -> ((s, dir) =>
-      JsonDsl.countOnly(
-        Tables.documents(s, dir),
-        """{"query": {"bool": {
-          |  "must": [{"match": {"text": "spark"}}],
-          |  "filter": [{"range": {"n_chars": {"gte": 150}}}]
-          |}}}""".stripMargin,
-        docsMapping
-      )),
-    // wrapper + match_none from the wire format: the term query rides
-    // base64-encoded inside a wrapper clause (the raw-query escape hatch),
-    // OR-ed with a match_none that must contribute nothing. Oracle = the
-    // decoded term query alone.
-    "search_dsl_json_wrapper" -> ((s, dir) => {
-      val encoded = java.util.Base64.getEncoder.encodeToString(
-        """{"term": {"lang": {"value": "de"}}}""".getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      )
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        s"""{"query": {"bool": {"should": [
-           |   {"wrapper": {"query": "$encoded"}},
-           |   {"match_none": {}}
-           | ], "minimum_should_match": 1}},
-           | "sort": [{"doc_id": {"order": "asc"}}],
-           | "_source": ["doc_id", "lang"]}""".stripMargin,
-        docsMapping
-      )
-    }),
-    "search_dsl_json" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"bool": {
-          |   "must":     [{"match": {"text": "spark stream"}}],
-          |   "filter":   [{"range": {"n_chars": {"gte": 200}}}],
-          |   "must_not": [{"term":  {"lang": "de"}}]
-          | }},
-          | "sort": [{"doc_id": {"order": "asc"}}],
-          | "_source": ["doc_id", "lang", "n_chars"]}""".stripMargin,
-        docsMapping
-      )),
-    "search_dsl_json_agg" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.events(s, dir),
-        """{"query": {"range": {"value": {"gte": 100}}},
-          | "aggs": {"by_month": {
-          |   "date_histogram": {"field": "ts", "calendar_interval": "month"},
-          |   "aggs": {"n_users": {"value_count": {"field": "user_id"}}}
-          | }}}""".stripMargin
-      )),
-    // _msearch: four searches over two indices in ONE batch — same-index
-    // searches fold into a single conditional-count scan (2 scans total,
-    // not 4), one (ordinal, hits) row per search in request order.
-    "search_dsl_json_msearch" -> ((s, dir) =>
-      JsonDsl.msearchCounts(
-        Map(
-          "documents" -> Tables.documents(s, dir),
-          "events" -> Tables.events(s, dir)
-        ),
-        """{}
-          |{"query": {"term": {"lang": "en"}}}
-          |{"index": "documents"}
-          |{"query": {"bool": {"must": [{"range": {"n_chars": {"gte": 500}}}], "must_not": [{"term": {"source": "src3"}}]}}}
-          |{"index": "events"}
-          |{"query": {"range": {"value": {"gte": 250}}}}
-          |{"index": "documents"}
-          |{"query": {"prefix": {"source": {"value": "src1"}}}}""".stripMargin,
-        defaultIndex = "documents",
-        docsMapping
-      )),
-    // Mapping-driven semantics: the SAME `match` clause is exact equality
-    // on the keyword-mapped `lang` and an analyzed term test on the
-    // text-mapped `text` — the mapping artifact decides.
-    "search_mapped_query" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"bool": {"must": [
-          |   {"match": {"lang": "en"}},
-          |   {"match": {"text": "data quality"}}
-          | ]}},
-          | "sort": ["doc_id"],
-          | "_source": ["doc_id", "lang", "n_chars"]}""".stripMargin,
-        docsMapping
-      )),
-    // best_fields multi_match: analyzed on the text-mapped field, exact on
-    // the keyword-mapped one — one OR predicate, one scan.
-    "search_dsl_json_multi_match" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"multi_match": {"query": "spark", "fields": ["text", "source"]}},
-          | "sort": ["doc_id"], "_source": ["doc_id", "source", "n_chars"]}""".stripMargin,
-        docsMapping
-      )),
-    // The reference PUTs /{index}/_doc/{id}: `_id` is the indexed key, so
-    // the frame exposes its key column under that name.
-    "search_dsl_json_ids" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir).withColumnRenamed("doc_id", "_id"),
-        """{"query": {"ids": {"values": [3, 11, 42]}}, "sort": ["_id"], "_source": ["_id", "lang", "n_chars"]}""",
-        docsMapping
-      )),
-    "search_dsl_json_fuzzy" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"fuzzy": {"text": {"value": "sparc", "fuzziness": 1}}},
-          | "sort": ["doc_id"], "_source": ["doc_id", "n_chars"]}""".stripMargin,
-        docsMapping
-      )),
-    // Deep paging from the wire format: search_after compiles to a
-    // lexicographic cursor predicate over the sort keys — a filter, not
-    // an offset, so page 1000 scans no more than page 1.
-    "search_dsl_json_search_after" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"sort": [{"o_orderdate": "desc"}, {"o_orderkey": "desc"}],
-          | "search_after": ["2000-06-15 00:00:00", 900],
-          | "size": 10,
-          | "_source": ["o_orderkey", "o_orderdate", "o_totalprice"]}""".stripMargin
-      )),
-    // Highlighting from the wire format: a snippet column around the
-    // first query-term occurrence, null where the term is not literally
-    // present (OpenSearch omits those highlights).
-    "search_dsl_json_highlight" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"match": {"text": "spark"}},
-          | "highlight": {"fields": {"text": {"fragment_size": 40}}},
-          | "sort": ["doc_id"],
-          | "_source": ["doc_id", "n_chars"]}""".stripMargin,
-        docsMapping
-      )),
-    // significant_text: which WORDS are over-represented in the query's
-    // foreground set vs the whole index — the frame reaches the
-    // aggregation unfiltered (filtering first would lose the background).
-    "search_dsl_json_significant_text" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"term": {"lang": "de"}},
-          | "aggs": {"keywords": {"significant_text": {"field": "text", "size": 5}}}}""".stripMargin,
-        docsMapping
-      )),
-    // Weighted corpus mixing: per-language keep rates as a pure function
-    // of md5(id) at 16-bit grain — the data-recipe knob (down-weight one
-    // source, up-weight another), stable under growth and repartitioning.
-    "sample_weighted" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .filter(
-          operators.Sampling.weightedKeep(
-            col("doc_id"),
-            col("lang"),
-            Map("en" -> 0.9, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.25, "zh" -> 0.1)
-          )
-        )
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_kept"))
-        .orderBy("lang")),
-    // terms buckets ordered by a metric sub-aggregation (Kibana's "order
-    // by metric") — one bucketing pass, only the bucket-table sort changes.
-    "search_dsl_json_terms_order" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {"by_priority": {
-          |   "terms": {"field": "o_orderpriority", "size": 5, "order": {"avg_price": "desc"}},
-          |   "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}}
-          | }}}""".stripMargin
-      )),
-    // date_range agg: explicit calendar buckets over the event stream.
-    "search_dsl_json_date_range" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.events(s, dir),
-        """{"aggs": {"periods": {"date_range": {"field": "ts", "ranges": [
-          |   {"key": "early",  "to": "2024-01-10 00:00:00"},
-          |   {"key": "middle", "from": "2024-01-10 00:00:00", "to": "2024-01-20 00:00:00"},
-          |   {"key": "late",   "from": "2024-01-20 00:00:00"}
-          | ]}}}}""".stripMargin
-      )),
-    // top_metrics agg: the metric carried by the top-sorted row — one
-    // max_by hash aggregate, no global sort, no window.
-    "search_dsl_json_top_metrics" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.events(s, dir),
-        """{"aggs": {"latest": {"top_metrics": {
-          |   "metrics": {"field": "value"}, "sort": {"event_id": "desc"}
-          | }}}}""".stripMargin
-      )),
-    // scroll emulation: page 2 (0-based) of the sorted stream — each page
-    // an independent search_after cursor query, O(page) not O(offset).
-    "search_dsl_json_scroll" -> ((s, dir) =>
-      JsonDsl.scroll(
-        Tables.orders(s, dir),
-        """{"sort": [{"o_orderdate": "desc"}, {"o_orderkey": "desc"}],
-          | "size": 10,
-          | "_source": ["o_orderkey", "o_orderdate", "o_totalprice"]}""".stripMargin,
-        page = 2
-      )),
-    // Sliced scroll: slice 1-of-4 partitions the scroll into independent
-    // parallel streams (id-modulo on the primary sort key — OpenSearch's
-    // _id-hash slicing with integer ids); page 1 proves the cursor walks
-    // WITHIN the slice.
-    "search_dsl_json_scroll_sliced" -> ((s, dir) =>
-      JsonDsl.scroll(
-        Tables.documents(s, dir),
-        """{"sort": [{"doc_id": "asc"}],
-          | "size": 20,
-          | "slice": {"id": 1, "max": 4},
-          | "_source": ["doc_id", "lang", "n_chars"]}""".stripMargin,
-        page = 1
-      )),
-    // Query-time synonym expansion (the synonym_graph filter's query-time
-    // form): 'join' expands to {join, merge} via the mapping's declared
-    // dictionary — the match clause compiles the expanded term set in the
-    // same single pass.
-    "search_dsl_json_synonyms" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"match": {"text": "join"}},
-          | "sort": [{"doc_id": {"order": "asc"}}],
-          | "_source": ["doc_id"]}""".stripMargin,
-        docsMapping.withSynonyms(Map("join" -> Seq("merge")))
-      )),
-    // runtime_mappings: a computed field declared in the request body,
-    // used by the range filter like a stored field — the script's
-    // arithmetic compiles to a codegen'd expression (ScriptExpr), so the
-    // runtime field costs one projection, not per-hit interpretation.
-    "search_dsl_json_runtime_field" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"runtime_mappings": {"verbosity": {"type": "double",
-          |                                    "script": "ln(doc.n_chars) * 2 + n_chars / 100"}},
-          | "query": {"range": {"verbosity": {"gte": 14}}},
-          | "sort": [{"doc_id": {"order": "asc"}}],
-          | "_source": ["doc_id", "n_chars"]}""".stripMargin,
-        docsMapping
-      )),
-    // INDEX-time synonyms — the other synonym_graph mode: every 'merge'
-    // token also indexes a 'join' token (keyword_repeat-style injection
-    // at analysis time), so a plain 'join' query matches both. Same
-    // answer as the query-time entry via the opposite mechanism — the
-    // two entries share one oracle, cross-validating the modes.
-    "search_match_synonyms_index" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
-        .select(
-          col("doc_id"),
-          expr("concat(_toks, transform(filter(_toks, t -> t = 'merge'), t -> 'join'))").as("_indexed")
-        )
-        .filter(array_contains(col("_indexed"), "join"))
-        .select("doc_id")
-        .orderBy("doc_id")),
-    // regexp query: anchored whole-value match on a keyword field.
-    "search_dsl_json_regexp" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"regexp": {"lang": {"value": "e[ns]"}}},
-          | "sort": ["doc_id"], "_source": ["doc_id", "lang"]}""".stripMargin,
-        docsMapping
-      )),
-    // filters agg: named buckets in ONE conditional-count pass, not one
-    // scan per filter.
-    "search_dsl_json_filters" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.events(s, dir),
-        """{"aggs": {"event_buckets": {"filters": {"filters": {
-          |   "errors":     {"term":  {"event_type": "error"}},
-          |   "high_value": {"range": {"value": {"gte": 150}}}
-          | }}}}}""".stripMargin
-      )),
-    "search_dsl_json_terms_metrics" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {"by_priority": {
-          |   "terms": {"field": "o_orderpriority", "size": 5},
-          |   "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}},
-          |            "total":     {"sum": {"field": "o_totalprice"}}}
-          | }}}""".stripMargin
-      )),
-    "search_dsl_json_percentiles" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.lineitem(s, dir),
-        """{"query": {"range": {"l_shipdate": {"gte": "1996-01-01 00:00:00"}}},
-          | "aggs": {"qty": {"percentiles": {"field": "l_quantity", "percents": [50, 90, 99]}}}}""".stripMargin
-      )),
-    // The OpenSearch vector-search clause from the wire format, routed to
-    // the brute-force ANN plan (one scan + TakeOrderedAndProject). The
-    // vector is serialized at double precision so the literal in the body
-    // is bit-identical to the stored float upcast.
-    "search_dsl_json_knn" -> ((s, dir) => {
-      val qv = queryVec(s, dir, 0).map(_.toDouble).mkString("[", ",", "]")
-      JsonDsl.parse(
-        Tables.embeddings(s, dir).withColumnRenamed("vec_id", "_id").select("_id", "embedding"),
-        s"""{"query": {"knn": {"embedding": {"vector": $qv, "k": 10}}},
-           | "sort": ["_id"], "_source": ["_id", "_score"]}""".stripMargin
-      )
-    }),
-    // Filtered vector search from the wire format: knn.filter applies
-    // BEFORE scoring (OpenSearch's knn.filter semantics — the top k come
-    // from the filtered subset with exact recall, never a post-filter
-    // that could return fewer than k). Same pre-filter plan as
-    // ann_filtered_topk (JsonDslSpec asserts plan equality).
-    "search_dsl_json_knn_filtered" -> ((s, dir) => {
-      val qv = queryVec(s, dir, 0).map(_.toDouble).mkString("[", ",", "]")
-      JsonDsl.parse(
-        Tables.embeddings(s, dir).withColumnRenamed("vec_id", "_id").select("_id", "embedding", "label"),
-        s"""{"query": {"knn": {"embedding": {"vector": $qv, "k": 10,
-           |  "filter": {"bool": {"must_not": [{"ids": {"values": [0]}}],
-           |             "filter": [{"term": {"label": 2}}]}}}}},
-           | "sort": ["_id"], "_source": ["_id", "_score"]}""".stripMargin
-      )
-    }),
-    // knn.min_score from the wire format: radius vector search (every
-    // vector with cosine >= 0.3 of the query) — the wire twin of
-    // ann_range_search, sharing its filter + bounded-sort shape.
-    "search_dsl_json_knn_min_score" -> ((s, dir) => {
-      val qv = queryVec(s, dir, 0).map(_.toDouble).mkString("[", ",", "]")
-      JsonDsl.parse(
-        Tables.embeddings(s, dir).withColumnRenamed("vec_id", "_id").select("_id", "embedding"),
-        s"""{"query": {"knn": {"embedding": {"vector": $qv, "min_score": 0.3,
-           |  "filter": {"bool": {"must_not": [{"ids": {"values": [0]}}]}}}}},
-           | "sort": ["_id"], "_source": ["_id", "_score"]}""".stripMargin
-      )
-    }),
-    // _rank_eval from the wire format: per-request knn ranking (one with
-    // a knn.filter) judged against the body's explicit graded ratings,
-    // scored with OpenSearch's normalized-dcg metric (NDCG@10). Each
-    // request is the knn top-k + a broadcast ratings join + a 1-row
-    // aggregate; the ideal DCG folds from the request's own ratings
-    // driver-side (a pure function of the body, like the query vector).
-    "search_dsl_json_rank_eval" -> ((s, dir) => {
-      val qv = queryVec(s, dir, 0).map(_.toDouble).mkString("[", ",", "]")
-      JsonDsl.rankEval(
-        Tables.embeddings(s, dir).withColumnRenamed("vec_id", "_id").select("_id", "embedding", "label"),
-        "_id",
-        s"""{"requests": [
-           |  {"id": "q_all", "request": {"query": {"knn": {"embedding": {"vector": $qv, "k": 10}}}},
-           |   "ratings": [{"_id": 1, "rating": 2}, {"_id": 2, "rating": 1}, {"_id": 3, "rating": 0},
-           |               {"_id": 5, "rating": 3}, {"_id": 8, "rating": 1}, {"_id": 13, "rating": 2}]},
-           |  {"id": "q_label2", "request": {"query": {"knn": {"embedding": {"vector": $qv, "k": 10,
-           |      "filter": {"term": {"label": 2}}}}}},
-           |   "ratings": [{"_id": 1, "rating": 1}, {"_id": 4, "rating": 2}, {"_id": 9, "rating": 1},
-           |               {"_id": 16, "rating": 2}, {"_id": 25, "rating": 1}]}],
-           | "metric": {"dcg": {"k": 10, "normalize": true}}}""".stripMargin
-      )
-    }),
-    // top_hits sub-aggregation from the wire format, executed by the
-    // bounded-heap TopKPerKey operator.
-    "search_dsl_json_top_hits" -> ((s, dir) =>
-      JsonDsl
-        .parse(
-          Tables.orders(s, dir).select("o_orderpriority", "o_orderkey", "o_totalprice"),
-          """{"aggs": {"by_priority": {"terms": {"field": "o_orderpriority"},
-            |  "aggs": {"top": {"top_hits": {"size": 3,
-            |    "sort": [{"o_totalprice": "desc"}, {"o_orderkey": "asc"}]}}}}}}""".stripMargin
-        )
-        .orderBy("o_orderpriority", "rank")),
-    // significant_terms from the wire format: the body's query is the
-    // foreground, the index the background — one unfiltered pass.
-    "search_dsl_json_significant" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.events(s, dir),
-        """{"query": {"range": {"value": {"gt": 150}}},
-          | "aggs": {"sig": {"significant_terms": {"field": "event_type"}}}}""".stripMargin
-      )),
-    "search_dsl_json_rare_terms" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"aggs": {"rare_langs": {"rare_terms": {"field": "lang", "max_doc_count": 100}}}}"""
-      )),
-    "search_dsl_json_composite" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {"page": {"composite": {"size": 5,
-          |  "sources": [{"k0": {"terms": {"field": "o_orderpriority"}}},
-          |              {"k1": {"terms": {"field": "o_orderstatus"}}}],
-          |  "after": {"k0": "2-HIGH", "k1": "F"}}}}}""".stripMargin
-      )),
-    "search_bool_term" -> ((s, dir) =>
-      Tables
-        .orders(s, dir)
-        .filter(
-          SearchDsl.bool(
-            must = Seq(SearchDsl.term(col("o_orderstatus"), "O")),
-            mustNot = Seq(SearchDsl.term(col("o_orderpriority"), "5-LOW"))
-          )
-        )
-        .select(
-          col("o_orderkey"),
-          SearchDsl
-            .shouldScore(Seq(col("o_orderpriority") === "1-URGENT", col("o_orderpriority") === "2-HIGH"))
-            .as("score")
-        )
-        .orderBy(col("score").desc, col("o_orderkey"))),
-    "search_range" -> ((s, dir) =>
-      Tables
-        .lineitem(s, dir)
-        .filter(
-          SearchDsl.range(col("l_quantity"), gte = Some(10), lte = Some(20)) &&
-            SearchDsl.range(col("l_shipdate"), gte = Some("1999-01-01 00:00:00"))
-        )
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
-        .orderBy("l_orderkey", "l_linenumber")),
-    "search_wildcard" -> ((s, dir) =>
-      Tables
-        .part(s, dir)
-        .filter(SearchDsl.wildcard(col("p_name"), "*re*"))
-        .select(col("p_partkey"), col("p_name"))
-        .orderBy("p_partkey")),
-    "search_terms_agg" -> ((s, dir) => Aggs.termsAgg(Tables.orders(s, dir), col("o_orderpriority"), 5)),
-    "search_date_histogram" -> ((s, dir) =>
-      Aggs.dateHistogram(
-        Tables.orders(s, dir),
-        col("o_orderdate"),
-        "month",
-        Seq(round(sum("o_totalprice"), 2).as("revenue"))
-      )),
-    "search_filtered_count" -> ((s, dir) =>
-      Aggs.filteredCounts(
-        Tables.events(s, dir),
-        Seq("n_high_value" -> (col("value") > 100), "n_purchase" -> (col("event_type") === "purchase"))
-      )),
-    "search_stats_agg" -> ((s, dir) => Aggs.stats(Tables.lineitem(s, dir), col("l_extendedprice"))),
-    // extended_stats: every moment derived from exact decimal sums cast
-    // to double, so both engines run the identical IEEE expression tree
-    // (var_samp's engine-specific accumulation order would not hash-match
-    // at sum-of-squares magnitudes).
-    "search_extended_stats" -> ((s, dir) =>
-      Aggs.extendedStats(Tables.orders(s, dir), col("o_totalprice"))),
-    // more_like_this: idf-weighted overlap with the target doc's distinct
-    // terms — target term set broadcast, shuffle carries matching
-    // (term, doc_id) pairs only.
-    "search_more_like_this" -> ((s, dir) =>
-      graft.search.Bm25
-        .moreLikeThisAgainstIndex(cachedBm25(s, dir), 7L, 10)
-        .withColumnRenamed("id", "doc_id")),
-    "search_cardinality" -> ((s, dir) =>
-      Aggs.cardinality(
-        Tables.lineitem(s, dir),
-        Seq("n_parts" -> col("l_partkey"), "n_supps" -> col("l_suppkey"), "n_orders" -> col("l_orderkey"))
-      )),
-    // HLL++ sketch variant (what OpenSearch cardinality actually runs):
-    // approximate -> rows-only check, no oracle.
-    "search_cardinality_approx" -> ((s, dir) =>
-      Aggs.approxCardinality(
-        Tables.lineitem(s, dir),
-        Seq("n_parts" -> col("l_partkey"), "n_supps" -> col("l_suppkey"), "n_orders" -> col("l_orderkey"))
-      )),
-    "search_percentiles" -> ((s, dir) =>
-      Aggs.percentiles(Tables.orders(s, dir), col("o_totalprice"), Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))),
-    "search_top_n" -> ((s, dir) =>
-      Aggs.topN(
-        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"), col("o_orderstatus")),
-        10,
-        Seq(col("o_orderdate").desc, col("o_orderkey").desc)
-      )),
-    // search_after keyset pagination: the page strictly after a sort-key
-    // cursor — O(page) work per page, unlike from+size deep paging.
-    "search_search_after" -> ((s, dir) =>
-      Tables
-        .orders(s, dir)
-        .filter(
-          col("o_orderdate") < lit("2000-06-15 00:00:00").cast("timestamp") ||
-            (col("o_orderdate") === lit("2000-06-15 00:00:00").cast("timestamp") && col("o_orderkey") < 900)
-        )
-        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-        .limit(10)),
-    // Threshold alerting (the dashboards' "Alerts" feature): buckets whose
-    // aggregate breaches the trigger condition.
-    "monitor_threshold_alert" -> ((s, dir) =>
-      Tables
-        .events(s, dir)
-        .groupBy(date_trunc("day", col("ts")).as("bucket"))
-        .agg(
-          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
-          count(lit(1)).as("n_total")
-        )
-        .filter(col("n_errors") * 100 > col("n_total") * 21)
-        .select(col("bucket"), col("n_errors"), col("n_total"))
-        .orderBy("bucket")),
-    // categorize_text (log-pattern grouping, the deterministic core):
-    // messages bucket by their leading-trigram signature — one analyzed
-    // projection + one hash agg, top patterns first.
-    "search_categorize_text" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(concat_ws(" ", slice(SearchDsl.analyze(col("text")), 1, 3)).as("pattern"))
-        .groupBy("pattern")
-        .agg(count(lit(1)).as("doc_count"))
-        .orderBy(col("doc_count").desc, col("pattern"))
-        .limit(10)),
-    // Heatmap (the Kibana heat matrix): hour-of-day × value-band density
-    // in one hash agg — floor-binned band keys, no histogram UDAF.
-    "search_heatmap" -> ((s, dir) =>
-      Tables
-        .events(s, dir)
-        .groupBy(hour(col("ts")).as("hour_of_day"), floor(col("value") / 50.0).cast("long").as("value_band"))
-        .agg(count(lit(1)).as("doc_count"))
-        .orderBy("hour_of_day", "value_band")),
-    // moving_fn ewma (the forecasting smoother): EWMA is a RECURSION, so
-    // no window frame expresses it — instead the (small by construction)
-    // bucket table collapses to ordered arrays and each bucket's value
-    // folds its prefix sequentially (aggregate HOF seeded with the first
-    // element; DuckDB's list_reduce seeds identically, so both engines
-    // run the same fold in the same order → bit-identical doubles).
-    "search_moving_ewma" -> ((s, dir) => {
-      val daily = Tables
-        .events(s, dir)
-        .groupBy(date_trunc("day", col("ts")).as("bucket"))
-        .agg(count(lit(1)).cast("double").as("v"))
-      daily
-        .agg(sort_array(collect_list(struct(col("bucket"), col("v")))).as("l"))
-        .select(expr("transform(l, e -> e.bucket)").as("bl"), expr("transform(l, e -> e.v)").as("vl"))
-        .select(
-          col("bl"),
-          col("vl"),
-          expr(
-            "transform(vl, (x, i) -> round(aggregate(slice(vl, 2, i)," +
-              " cast(element_at(vl, 1) as double)," +
-              " (acc, y) -> y * cast(0.3 as double) + acc * cast(0.7 as double)), 6))"
-          ).as("ew")
-        )
-        .select(explode(arrays_zip(col("bl"), col("vl"), col("ew"))).as("z"))
-        .select(col("z.bl").as("bucket"), col("z.vl").as("v"), col("z.ew").as("ewma"))
-        .orderBy("bucket")
-    }),
-    // filters agg with other_bucket: the named buckets AND the complement
-    // in the same one-pass conditional aggregation.
-    "search_filters_other" -> ((s, dir) => {
-      val isClick = col("event_type") === "click"
-      val isError = col("event_type") === "error"
-      Tables
-        .events(s, dir)
-        .agg(
-          sum(when(isClick, 1L).otherwise(0L)).as("clicks"),
-          sum(when(isError, 1L).otherwise(0L)).as("errors"),
-          sum(when(!isClick && !isError, 1L).otherwise(0L)).as("other_bucket")
-        )
-    }),
-    // Anomaly monitor: daily buckets whose value z-score breaks ±2σ.
-    // Mean/std derive from EXACT decimal sums over the bucket table
-    // (engine-identical fixed tree — stddev_samp's accumulation order is
-    // not); the 1-row stats broadcast back onto the buckets.
-    "monitor_anomaly_zscore" -> ((s, dir) => {
-      val daily = Tables
-        .events(s, dir)
-        .groupBy(date_trunc("day", col("ts")).as("bucket"))
-        .agg(sum(decMoney(col("value"))).as("v_dec"))
-        .select(col("bucket"), col("v_dec").cast("double").as("v"))
-      val stats = daily.agg(
-        count(lit(1)).as("n"),
-        sum(col("v")).as("s"),
-        sum(col("v") * col("v")).as("ss")
-      )
-      daily
-        .crossJoin(broadcast(stats))
-        .select(
-          col("bucket"),
-          round(col("v"), 2).as("day_value"),
-          round(
-            (col("v") - col("s") / col("n")) /
-              sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - lit(1))),
-            6
-          ).as("z_score")
-        )
-        .filter(abs(col("z_score")) > 2.0)
-        .orderBy("bucket")
-    }),
-    // BM25 relevance — the scoring OpenSearch actually runs for match
-    // queries (k1=1.2, b=0.75). Scores against the per-JVM posting
-    // artifact; search_bm25_build below reports the honest build cost.
-    "search_bm25" -> ((s, dir) =>
-      graft.search.Bm25.scoreAgainstIndex(cachedBm25(s, dir), Seq("spark", "query"), 10)),
-    // The honest BM25 index build (fresh every call — tokenize, explode,
-    // (doc, term) aggregate): summarized to deterministic corpus-level
-    // posting stats so the oracle can hash-check the artifact's content.
-    "search_bm25_build" -> ((s, dir) => {
-      val idx = graft.search.Bm25.buildIndex(Tables.documents(s, dir), "doc_id", "text")
-      idx.postings.agg(
-        count(lit(1)).as("n_postings"),
-        countDistinct(col("term")).as("n_terms"),
-        sum(col("tf")).as("total_tf"),
-        countDistinct(col("id")).as("n_docs")
-      )
-    }),
-    // The _explain API: per-hit score breakdown — each query term's BM25
-    // contribution as its own column next to the total, against the same
-    // posting artifact (OpenSearch's explain=true "description" tree,
-    // flattened to columns). Same plan family as search_bm25 plus one
-    // conditional-sum pivot.
-    "search_bm25_explain" -> ((s, dir) => {
-      val idx = cachedBm25(s, dir)
-      val qp = idx.postings.filter(col("term").isin("spark", "query"))
-      val dfreq = qp.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val contrib = qp
-        .join(broadcast(dfreq), "term")
-        .crossJoin(broadcast(idx.corpus))
-        .select(
-          col("id"),
-          col("term"),
-          (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-            (col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))).as("ts")
-        )
-      contrib
-        .groupBy(col("id"))
-        .agg(
-          round(sum(when(col("term") === "spark", col("ts")).otherwise(0.0)), 4).as("spark_score"),
-          round(sum(when(col("term") === "query", col("ts")).otherwise(0.0)), 4).as("query_score"),
-          round(sum(col("ts")), 4).as("score")
-        )
-        .orderBy(col("score").desc, col("id"))
-        .limit(10)
-    }),
-    // Incremental index maintenance — the CDC loop's index half: today's
-    // inserts (doc_id % 5 == 0) and deletes (% 11 == 2 of the base) fold
-    // into the memoized posting artifact via applyDelta (delta-sized
-    // work, exact integer corpus-stat adjustment), then the SAME query
-    // scores against it. Oracle = BM25 over the post-delta corpus;
-    // Bm25IndexSpec proves applyDelta ≡ full rebuild posting-for-posting.
-    "search_bm25_incremental" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val upserts = docs.filter(col("doc_id") % 5 === 0)
-      val deletes = docs
-        .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 11 === 2)
-        .select("doc_id")
-      val idx = graft.search.Bm25.applyDelta(cachedBm25Base(s, dir), upserts, deletes, "doc_id", "text")
-      graft.search.Bm25.scoreAgainstIndex(idx, Seq("spark", "query"), 10)
-    }),
-    // Hybrid search with reciprocal-rank fusion: the BM25 top-10 and the
-    // vector top-10 fuse by Σ 1/(60 + rank) — rank-space fusion needs no
-    // score normalization across incomparable scales (the OpenSearch
-    // hybrid-query processor's standard mode). Each leg is its own
-    // bounded top-k; the rank windows see 10 rows; the fusion join is
-    // 10×10-bounded.
-    "search_hybrid_rrf" -> ((s, dir) => {
-      val lex = graft.search.Bm25
-        .scoreAgainstIndex(cachedBm25(s, dir), Seq("spark", "query"), 10)
-        .withColumn("lex_rank", row_number().over(Window.orderBy(col("score").desc, col("id"))))
-        .select(col("id"), col("lex_rank"))
-      val q = queryVec(s, dir, 0)
-      val vec = Tables
-        .embeddings(s, dir)
-        .filter(col("vec_id") =!= 0)
-        .select(
-          col("vec_id").as("id"),
-          round(VectorFns.cosine(col("embedding"), array(q.map(x => lit(x.toDouble)): _*)), 6).as("cos")
-        )
-        .orderBy(col("cos").desc, col("id"))
-        .limit(10)
-        .withColumn("vec_rank", row_number().over(Window.orderBy(col("cos").desc, col("id"))))
-        .select(col("id"), col("vec_rank"))
-      lex
-        .join(vec, Seq("id"), "full_outer")
-        .select(
-          col("id"),
-          round(
-            coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)),
-            6
-          ).as("rrf_score")
-        )
-        .orderBy(col("rrf_score").desc, col("id"))
-        .limit(10)
-    }),
-    // span_near from the wire format: 'big' before 'table' within 3
-    // token positions — same token-position HOF plan as the structured
-    // search_span_near (shared oracle shape).
-    "search_dsl_json_span_near" -> ((s, dir) =>
-      JsonDsl
-        .parse(
-          Tables.documents(s, dir).select("doc_id", "text"),
-          """{"query": {"span_near": {"clauses": [
-            |   {"span_term": {"text": "big"}}, {"span_term": {"text": "table"}}],
-            |   "slop": 3, "in_order": true}},
-            | "sort": ["doc_id"], "_source": ["doc_id"]}""".stripMargin
-        )),
-    // collapse from the wire format: one top order per priority under
-    // the body's sort, executed by the bounded-heap TopKPerKey operator
-    // (JsonDslSpec asserts the operator appears in the plan).
-    "search_dsl_json_collapse" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir).select("o_orderpriority", "o_orderkey", "o_totalprice"),
-        """{"collapse": {"field": "o_orderpriority"},
-          | "sort": [{"o_totalprice": "desc"}, {"o_orderkey": "asc"}],
-          | "_source": ["o_orderpriority", "o_orderkey", "o_totalprice"]}""".stripMargin
-      )),
-    // Pipeline aggregations from the wire format (cumulative_sum /
-    // derivative / moving_avg with buckets_path, the Kibana time-series
-    // body): windows run over the month-bucket table, never the facts.
-    "search_dsl_json_pipeline" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir).select("o_orderdate", "o_totalprice"),
-        """{"aggs": {"by_month": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
-          |  "aggs": {"cum_docs": {"cumulative_sum": {"buckets_path": "_count"}},
-          |           "deriv_docs": {"derivative": {"buckets_path": "_count"}},
-          |           "mov_docs": {"moving_avg": {"buckets_path": "_count", "window": 3}}}}}}""".stripMargin
-      )),
-    // The hybrid query from the wire format: the match leg BM25-scores
-    // against the Memo'd posting artifact, the knn leg carries the
-    // must_not self-exclusion filter, RRF fuses in rank space — same
-    // answer as the structured search_hybrid_rrf (shared oracle shape).
-    "search_dsl_json_hybrid" -> ((s, dir) => {
-      val qv = queryVec(s, dir, 0).map(_.toDouble).mkString("[", ",", "]")
-      JsonDsl.hybrid(
-        cachedBm25(s, dir),
-        Tables.embeddings(s, dir).select(col("vec_id").as("_id"), col("embedding")),
-        "_id",
-        s"""{"query": {"hybrid": {"queries": [
-           |  {"match": {"text": "spark query"}},
-           |  {"knn": {"embedding": {"vector": $qv, "k": 10,
-           |     "filter": {"bool": {"must_not": [{"ids": {"values": [0]}}]}}}}}]}},
-           | "size": 10}""".stripMargin
-      )
-    }),
-    // Highlighting: snippet around the first occurrence of the match term.
-    "search_highlight" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), locate("spark", col("text")).as("pos"), col("text"))
-        .filter(col("pos") > 0)
-        .select(col("doc_id"), col("pos"), expr("substring(text, greatest(pos - 15, 1), 40)").as("snippet"))
-        .orderBy("doc_id")),
-    // Pipeline aggregations over the date_histogram: cumulative_sum,
-    // derivative, moving_avg (the Kibana time-series toolkit). The window
-    // runs over ~tens of buckets, not the fact table.
-    "search_pipeline_agg" -> ((s, dir) => {
-      val buckets = Tables
-        .orders(s, dir)
-        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
-        .agg(round(sum("o_totalprice"), 2).as("revenue"))
-      val w = Window.orderBy("bucket")
-      buckets
-        .select(
-          col("bucket"),
-          col("revenue"),
-          round(sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
-            .as("cum_revenue"),
-          round(col("revenue") - lag("revenue", 1).over(w), 2).as("deriv"),
-          round(avg("revenue").over(w.rowsBetween(-2, Window.currentRow)), 6).as("mov_avg")
-        )
-        .orderBy("bucket")
-    }),
-    // Discover's typed search box — the reference's #1 day-to-day
-    // interaction (DASHBOARD_GUIDE.md:89,124): a query STRING parsed to
-    // the same predicates the structured DSL builds, exercising field
-    // terms, OR, comparison, wildcard, NOT and an inclusive range.
-    "search_query_string" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      o.filter(
-        SearchDsl.parseQueryString(
-          o,
-          "(o_orderstatus:O OR o_orderstatus:F) AND o_totalprice > 150000 " +
-            "AND o_orderpriority:2* AND NOT o_orderkey:[0 TO 500]"
-        )
-      ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
-        .orderBy("o_orderkey")
-    }),
-    "search_multi_index" -> ((s, dir) => {
-      val li = Tables
-        .lineitem(s, dir)
-        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("amount"))
-        .select(lit("lineitem").as("idx"), col("n"), col("amount"))
-      val o = Tables
-        .orders(s, dir)
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("amount"))
-        .select(lit("orders").as("idx"), col("n"), col("amount"))
-      SearchDsl.multiIndex(Seq(li, o)).orderBy("idx")
-    }),
-
-    "search_match_phrase" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .filter(SearchDsl.matchPhrase(col("text"), "the fast"))
-        .select("doc_id")
-        .orderBy("doc_id")),
-    "search_prefix" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .filter(SearchDsl.prefixQuery(col("text"), "str"))
-        .select("doc_id")
-        .orderBy("doc_id")),
-    "search_min_should_match" -> ((s, dir) =>
-      Tables
-        .orders(s, dir)
-        .filter(
-          SearchDsl.minimumShouldMatch(
-            Seq(col("o_orderstatus") === "O", col("o_orderpriority") === "1-URGENT", col("o_totalprice") > 200000),
-            2
-          )
-        )
-        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
-        .orderBy("o_orderkey")),
-    "search_json_field" -> ((s, dir) =>
-      Tables
-        .events(s, dir)
-        .select(col("event_type"), SearchDsl.jsonField(col("props"), "k").cast("int").as("k"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), round(avg("k"), 6).as("avg_k"))
-        .orderBy("event_type")),
-    "search_histogram_agg" -> ((s, dir) =>
-      Aggs.histogram(Tables.orders(s, dir), col("o_totalprice"), 50000.0)),
-    "search_range_agg" -> ((s, dir) =>
-      Aggs.rangeAgg(
-        Tables.events(s, dir),
-        col("value"),
-        Seq(("a_low", None, Some(50.0)), ("b_mid", Some(50.0), Some(150.0)), ("c_high", Some(150.0), None))
-      )),
-    "search_top_hits" -> ((s, dir) =>
-      Aggs
-        .topHits(
-          Tables.orders(s, dir).select("o_orderpriority", "o_orderkey", "o_totalprice"),
-          col("o_orderpriority"),
-          3,
-          Seq(col("o_totalprice").desc, col("o_orderkey").asc)
-        )
-        .orderBy("o_orderpriority", "rank")),
-    // Same semantics as search_top_hits but executed by the custom
-    // TopKPerKey physical operator (bounded per-key heaps, no sort) —
-    // oracle-checked against the identical SQL.
-    "search_top_hits_native" -> ((s, dir) =>
-      graft.plans.TopKPerKey
-        .perKey(
-          Tables.orders(s, dir).select("o_orderpriority", "o_orderkey", "o_totalprice"),
-          Seq("o_orderpriority"),
-          Seq("o_totalprice" -> false, "o_orderkey" -> true),
-          3
-        )
-        .orderBy("o_orderpriority", "rank")),
-    "search_significant_terms" -> ((s, dir) =>
-      Aggs.significantTerms(Tables.events(s, dir), col("event_type"), col("value") > 150)),
-    "search_composite_after" -> ((s, dir) =>
-      Aggs.compositePage(
-        Tables.orders(s, dir),
-        Seq(col("o_orderpriority"), col("o_orderstatus")),
-        after = Some(Seq("2-HIGH", "F")),
-        size = 5
-      )),
-    "search_scripted_field" -> ((s, dir) =>
-      Tables
-        .orders(s, dir)
-        .select(
-          col("o_orderkey"),
-          SearchDsl
-            .scriptedField(
-              round(col("o_totalprice") * when(col("o_orderpriority") === "1-URGENT", 1.1).otherwise(1.0), 4)
-            )
-            .as("charge")
-        )
-        .orderBy("o_orderkey")),
-
-    // ── Analytics / joins ───────────────────────────────────────────────
-    "q1_pricing_summary" -> ((s, dir) =>
-      Tables
-        .lineitem(s, dir)
-        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2)
-            .cast("double").as("sum_disc_price"),
-          round(
-            sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount"))) *
-              (lit(1) + decMoney(col("l_tax")))), 2)
-            .cast("double").as("sum_charge"),
-          round(avg("l_quantity"), 2).as("avg_qty"),
-          round(avg("l_extendedprice"), 2).as("avg_price"),
-          round(avg("l_discount"), 2).as("avg_disc"),
-          count(lit(1)).as("count_order")
-        )
-        .orderBy("l_returnflag", "l_linestatus")),
-    "q3_shipping_priority" -> ((s, dir) => {
-      val cutoff = lit("1998-01-01 00:00:00").cast("timestamp")
-      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
-      val o = Tables
-        .orders(s, dir)
-        .filter(col("o_orderdate") < cutoff)
-        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
-      val l = Tables
-        .lineitem(s, dir)
-        .filter(col("l_shipdate") > cutoff)
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2).cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
-        .limit(10)
-    }),
-    "q5_local_supplier" -> ((s, dir) => {
-      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
-      val n = Tables.nation(s, dir)
-      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
-      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
-      val o = Tables
-        .orders(s, dir)
-        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
-        .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
-        .select("o_orderkey", "o_custkey")
-      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("n_name"))
-        .agg(round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2).cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
-    }),
-    // The same Q3 answer off the co-located bucketed layout: both fact
-    // sides pre-bucketed on the join key, so the join (and the groupBy,
-    // whose keys include the bucket key) needs no exchange of either
-    // fact table — the shuffle was paid once at layout time. Same
-    // oracle as q3_shipping_priority: identical answer, better plan.
-    "q3_shipping_colocated" -> ((s, dir) => {
-      val (lt, ot) = bucketedFacts(s, dir)
-      val cutoff = lit("1998-01-01 00:00:00").cast("timestamp")
-      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
-      val l = sinks.BucketedStore.read(s, lt).filter(col("l_shipdate") > cutoff)
-      val o = sinks.BucketedStore.read(s, ot).filter(col("o_orderdate") < cutoff)
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2).cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
-        .limit(10)
-    }),
-    // TPC-H Q7 shape: shipping volume between customer and supplier
-    // nations per year — nation broadcasts + fact-fact join; supplier
-    // and customer scale with SF, so AQE sizes those joins (no hints).
-    "q7_volume_shipping" -> ((s, dir) => {
-      val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-      val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
-      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
-      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
-      val l = Tables
-        .lineitem(s, dir)
-        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
-        .filter(col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
-        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
-        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
-        .filter(col("supp_nation") =!= col("cust_nation"))
-        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
-        .agg(round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2).cast("double").as("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
-    }),
-    // Q7 off the co-located bucketed layout: the fact-fact join
-    // (lineitem⋈orders on the bucket key) runs with zero exchange of
-    // either fact; only the small dimension joins and the final
-    // (post-partial-agg, tiny) groupBy shuffle remain. Same oracle as
-    // q7_volume_shipping — identical answer, the layout pays the
-    // fact shuffle once at write time instead of per query.
-    "q7_volume_colocated" -> ((s, dir) => {
-      val (lt, ot) = bucketedFacts(s, dir)
-      val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-      val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
-      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
-      val o = sinks.BucketedStore.read(s, ot).select("o_orderkey", "o_custkey")
-      val l = sinks.BucketedStore
-        .read(s, lt)
-        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
-        .filter(col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
-        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
-        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
-        .filter(col("supp_nation") =!= col("cust_nation"))
-        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
-        .agg(round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2).cast("double").as("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
-    }),
-    // TPC-H Q10 shape: revenue lost to returned items per customer.
-    "q10_returned_items" -> ((s, dir) => {
-      val c = Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
-      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
-      val o = Tables
-        .orders(s, dir)
-        .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp"))
-        .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
-        .select("o_orderkey", "o_custkey")
-      val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R").select("l_orderkey", "l_extendedprice", "l_discount")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2).cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
-        .limit(20)
-    }),
-    // TPC-H Q4 shape (the synthetic schema has no commit/receipt dates:
-    // "late" = some line shipped >30 days after the order date). LEFT
-    // SEMI join — the probe side is never duplicated, so no distinct.
-    "q4_order_priority" -> ((s, dir) => {
-      val o = Tables
-        .orders(s, dir)
-        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
-        .filter(col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
-        .select("o_orderkey", "o_orderdate", "o_orderpriority")
-      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
-      o.join(
-        l,
-        col("l_orderkey") === col("o_orderkey") &&
-          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
-        "left_semi"
-      ).groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("order_count"))
-        .orderBy("o_orderpriority")
-    }),
-    // TPC-H Q6: single-scan forecast revenue — every predicate is
-    // scan-pushable, the whole query is one parquet pass + partial sums.
-    "q6_forecast_revenue" -> ((s, dir) =>
-      Tables
-        .lineitem(s, dir)
-        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
-        .filter(col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
-        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(
-          round(sum(decMoney(col("l_extendedprice")) * decMoney(col("l_discount"))), 2)
-            .cast("double")
-            .as("revenue")
-        )),
-    // TPC-H Q14: promo revenue share for one month — the part dim scales
-    // with SF (~20B rows at the 100 TB design point), so AQE sizes the
-    // join (broadcast at small SF, shuffle at scale; no forced hint).
-    // Exact decimal sums, engine-identical double quotient (the
-    // weighted_avg convention).
-    "q14_promo_revenue" -> ((s, dir) => {
-      val p = Tables.part(s, dir).select("p_partkey", "p_type")
-      val l = Tables
-        .lineitem(s, dir)
-        .filter(col("l_shipdate") >= lit("1996-09-01 00:00:00").cast("timestamp"))
-        .filter(col("l_shipdate") < lit("1996-10-01 00:00:00").cast("timestamp"))
-        .select("l_partkey", "l_extendedprice", "l_discount")
-      val disc = decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))
-      l.join(p, col("l_partkey") === col("p_partkey"))
-        .agg(
-          round(
-            lit(100.0) * sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0))).cast("double")
-              / sum(disc).cast("double"),
-            6
-          ).as("promo_revenue")
-        )
-    }),
-    // TPC-H Q16 shape (no partsupp table: lineitem's (partkey, suppkey)
-    // plays the part-supplier relation): distinct supplier count per part
-    // attribute triple; the filtered part side still scales with SF, so
-    // AQE decides the join strategy (no forced hint).
-    "q16_parts_suppliers" -> ((s, dir) => {
-      val p = Tables
-        .part(s, dir)
-        .filter(col("p_brand") =!= "Brand#5" && col("p_size").isin(1, 5, 9, 14, 23, 36, 45))
-        .select("p_partkey", "p_brand", "p_type", "p_size")
-      val l = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
-      l.join(p, col("l_partkey") === col("p_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
-    }),
-    // TPC-H Q18: large orders. The classic form re-joins lineitem and
-    // re-aggregates; joining the HAVING-filtered aggregate directly does
-    // the quantity work once, and the survivor set is tiny so AQE
-    // broadcasts it onto orders.
-    "q18_large_orders" -> ((s, dir) => {
-      val big = Tables
-        .lineitem(s, dir)
-        .select("l_orderkey", "l_quantity")
-        .groupBy("l_orderkey")
-        .agg(round(sum("l_quantity"), 2).as("qty"))
-        .filter(col("qty") > 300)
-      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
-      val c = Tables.customer(s, dir).select("c_custkey", "c_name")
-      o.join(big, col("o_orderkey") === col("l_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"), col("qty"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        .limit(20)
-    }),
-    // Q18 off the co-located layout: the big per-order quantity aggregate
-    // — the query's dominant cost — reuses the bucket partitioning, so
-    // the WHOLE fact table aggregates with zero exchange; the tiny
-    // HAVING-survivor set then broadcasts onto the (also bucketed)
-    // orders side. Same oracle as q18_large_orders: identical answer.
-    "q18_large_orders_colocated" -> ((s, dir) => {
-      val (lt, ot) = bucketedFacts(s, dir)
-      val big = sinks.BucketedStore
-        .read(s, lt)
-        .select("l_orderkey", "l_quantity")
-        .groupBy("l_orderkey")
-        .agg(round(sum("l_quantity"), 2).as("qty"))
-        .filter(col("qty") > 300)
-      val o = sinks.BucketedStore.read(s, ot)
-      val c = Tables.customer(s, dir).select("c_custkey", "c_name")
-      o.join(big, col("o_orderkey") === col("l_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"), col("qty"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        .limit(20)
-    }),
-    // TPC-H Q19 shape: OR-of-ANDs brand/size/quantity triples. The part
-    // side is pre-filtered to the three brands BEFORE the join (the
-    // disjunction implies it) so only relevant rows ship; AQE picks
-    // broadcast vs shuffle by measured size (part scales with SF).
-    "q19_discounted_revenue" -> ((s, dir) => {
-      val p = Tables
-        .part(s, dir)
-        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
-        .select("p_partkey", "p_brand", "p_size")
-      val l = Tables
-        .lineitem(s, dir)
-        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
-      val cond =
-        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
-          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
-          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) && col("l_quantity").between(20, 30))
-      l.join(p, col("l_partkey") === col("p_partkey"))
-        .filter(cond)
-        .agg(
-          round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2)
-            .cast("double")
-            .as("revenue")
-        )
-    }),
-    // TPC-H Q8 shape: a nation's market share inside one region's market
-    // per year. One fact scan; nation/region are fixed-size broadcasts,
-    // while part/customer/supplier scale with SF and go through AQE
-    // (no forced hints). Exact-decimal sums, double quotient at the end
-    // (the q14 convention).
-    "q8_market_share" -> ((s, dir) => {
-      val p = Tables.part(s, dir).filter(col("p_type") === "PROMO").select("p_partkey")
-      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
-      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
-      val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-      val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
-      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA").select("r_regionkey")
-      val o = Tables
-        .orders(s, dir)
-        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
-        .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
-        .select("o_orderkey", "o_custkey", "o_orderdate")
-      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-      val vol = decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))
-      l.join(p, col("l_partkey") === col("p_partkey"))
-        .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
-        .join(broadcast(r), col("c_rk") === col("r_regionkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
-        .groupBy(year(col("o_orderdate")).as("o_year"))
-        .agg(
-          round(
-            sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0))).cast("double")
-              / sum(vol).cast("double"),
-            6
-          ).as("mkt_share")
-        )
-        .orderBy("o_year")
-    }),
-    // TPC-H Q9 shape (no partsupp: supply cost adapted as half the part's
-    // retail price per unit — a double product both engines compute
-    // bit-identically, then cast to exact decimal). Profit per supplier
-    // nation per year; the %widget% part filter prunes the fact join —
-    // AQE sizes it (part and supplier scale with SF; no forced hints).
-    "q9_product_profit" -> ((s, dir) => {
-      val p = Tables.part(s, dir).filter(col("p_name").like("%widget%")).select("p_partkey", "p_retailprice")
-      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
-      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
-      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
-      val l = Tables
-        .lineitem(s, dir)
-        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount")
-      val amount = decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount"))) -
-        decMoney(col("p_retailprice") * col("l_quantity") * lit(0.5))
-      l.join(p, col("l_partkey") === col("p_partkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-        .agg(round(sum(amount), 2).cast("double").as("sum_profit"))
-        .orderBy(col("nation"), col("o_year").desc)
-    }),
-    // Q9 off the co-located bucketed layout: the one fact-fact join
-    // (lineitem⋈orders on the bucket key) runs with zero fact-side
-    // exchange; nation broadcasts, part/supplier go through AQE (they
-    // scale with SF — no forced hints). Same oracle as q9_product_profit.
-    "q9_product_colocated" -> ((s, dir) => {
-      val (lt, ot) = bucketedFacts(s, dir)
-      val p = Tables.part(s, dir).filter(col("p_name").like("%widget%")).select("p_partkey", "p_retailprice")
-      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
-      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
-      val o = sinks.BucketedStore.read(s, ot).select("o_orderkey", "o_orderdate")
-      val l = sinks.BucketedStore
-        .read(s, lt)
-        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount")
-      val amount = decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount"))) -
-        decMoney(col("p_retailprice") * col("l_quantity") * lit(0.5))
-      l.join(p, col("l_partkey") === col("p_partkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-        .agg(round(sum(amount), 2).cast("double").as("sum_profit"))
-        .orderBy(col("nation"), col("o_year").desc)
-    }),
-    // TPC-H Q11 shape (no partsupp: lineitem revenue plays stock value):
-    // per-part value for one nation's suppliers, kept only above 2x the
-    // MEAN per-part value — the threshold is a 1-row aggregate broadcast
-    // onto the per-part frame, never a second scan pass per row. A
-    // relative (mean-based) threshold stays non-vacuous at every SF:
-    // a fixed fraction of the total goes to zero rows as #parts grows
-    // (TPC-H scales its Q11 fraction by 1/SF for the same reason).
-    "q11_important_parts" -> ((s, dir) => {
-      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
-      val n = Tables.nation(s, dir).select("n_nationkey", "n_regionkey")
-      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA").select("r_regionkey")
-      val asiaSup = sup
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .select("s_suppkey")
-      val l = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-      val vol = decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))
-      val filtered = l.join(asiaSup, col("l_suppkey") === col("s_suppkey"))
-      // The per-part aggregate feeds BOTH the global threshold and the main
-      // branch; without a cache each consumer re-runs the fact scan + join
-      // (8 parquet scans for a 4-table query). Persisting the |parts|-scale
-      // frame makes the second consumer an InMemoryTableScan — the dominant
-      // 100 TB cost (lineitem scan + shuffle) is paid once. CacheManager
-      // dedups by canonical plan, so repeated invocations share one entry.
-      val perPart = filtered.groupBy("l_partkey").agg(sum(vol).as("value_dec")).persist()
-      val threshold = perPart.agg((sum(col("value_dec")).cast("double") * lit(2.0) / count(lit(1))).as("threshold"))
-      perPart
-        .crossJoin(broadcast(threshold))
-        .filter(col("value_dec").cast("double") > col("threshold"))
-        .select(col("l_partkey"), round(col("value_dec"), 2).cast("double").as("value"))
-        .orderBy(col("value").desc, col("l_partkey"))
-    }),
-    // TPC-H Q13: customer order-count distribution. LEFT OUTER join so
-    // zero-order customers land in the c_count=0 bucket; two hash aggs
-    // (per-customer, then histogram) — the second input is at most
-    // |customer| rows.
-    "q13_customer_distribution" -> ((s, dir) => {
-      val c = Tables.customer(s, dir).select("c_custkey")
-      val o = Tables
-        .orders(s, dir)
-        .filter(col("o_orderpriority") =!= "1-URGENT")
-        .select("o_orderkey", "o_custkey")
-      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
-        .groupBy("c_custkey")
-        .agg(count(col("o_orderkey")).as("c_count"))
-        .groupBy("c_count")
-        .agg(count(lit(1)).as("custdist"))
-        .orderBy(col("custdist").desc, col("c_count").desc)
-    }),
-    // TPC-H Q17 shape (no container column: brand filter only): revenue
-    // from small-quantity lines, threshold 20% of the per-part average.
-    // The per-part average is computed once on the brand-pruned join
-    // (not a correlated per-row subquery) and AQE broadcasts it back.
-    // l_quantity is integral-valued, so double avg is order-independent.
-    "q17_small_quantity" -> ((s, dir) => {
-      val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#23").select("p_partkey")
-      val l = Tables.lineitem(s, dir).select("l_partkey", "l_quantity", "l_extendedprice")
-      // ONE fact scan: quantities are integral (1..50), so the brand-pruned
-      // join compresses losslessly into a (part, quantity) frame carrying a
-      // row count and an exact-decimal price sum. The per-part average is
-      // recovered on that |parts|x50 frame (sum(qty*cnt)/sum(cnt) == avg
-      // over rows — both exact on integral values) with a window, replacing
-      // the classic join-back that re-scanned and re-joined lineitem.
-      val grouped = l
-        .join(p, col("l_partkey") === col("p_partkey"))
-        .groupBy("p_partkey", "l_quantity")
-        .agg(count(lit(1)).as("cnt"), sum(decMoney(col("l_extendedprice"))).as("price_dec"))
-      val w = Window.partitionBy("p_partkey")
-      grouped
-        .withColumn("avg_qty", sum(col("l_quantity") * col("cnt")).over(w).cast("double") / sum("cnt").over(w))
-        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
-        .agg(round(sum(col("price_dec")).cast("double") / lit(7.0), 6).as("avg_yearly"))
-    }),
-    // TPC-H Q22 shape (no phone column: grouped by nation key): customers
-    // richer than the positive-balance average with no RECENT orders —
-    // the average is an exact-decimal 1-row broadcast, the "no orders"
-    // test a LEFT ANTI join (never a per-row subquery). The anti-join
-    // side is date-pruned at the scan, so it shrinks with the window.
-    "q22_idle_customers" -> ((s, dir) => {
-      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey", "c_acctbal")
-      val o = Tables
-        .orders(s, dir)
-        .filter(col("o_orderdate") >= lit("2000-07-01 00:00:00").cast("timestamp"))
-        .select("o_custkey")
-      val avgBal = c
-        .filter(col("c_acctbal") > 0)
-        .agg((sum(decMoney(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
-      c.crossJoin(broadcast(avgBal))
-        .filter(col("c_acctbal") > col("avg_bal"))
-        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy(col("c_nationkey"))
-        .agg(count(lit(1)).as("numcust"), round(sum(decMoney(col("c_acctbal"))), 2).cast("double").as("totacctbal"))
-        .orderBy("c_nationkey")
-    }),
-    // TPC-H Q2 shape (no partsupp: per-(part,supplier) supply cost is the
-    // min unit price ever shipped): min-cost EUROPE supplier per STANDARD
-    // part. The per-part min is a second hash agg over the already-reduced
-    // (part, supplier) frame — never a correlated per-row subquery — and
-    // joins back on key + cost equality (min SELECTS a double both engines
-    // computed identically, so equality is bit-exact). Bounded dims
-    // broadcast; the region-filtered supplier side and the tiny per-part
-    // min table go through AQE (supplier scales with SF — no forced hint).
-    "q2_min_cost_supplier" -> ((s, dir) => {
-      val ps = Tables
-        .lineitem(s, dir)
-        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
-      val p = Tables.part(s, dir).filter(col("p_type") === "STANDARD").select("p_partkey")
-      val n = Tables.nation(s, dir).select("n_nationkey", "n_regionkey", "n_name")
-      val r = Tables.region(s, dir).filter(col("r_name") === "EUROPE").select("r_regionkey")
-      val eur = Tables
-        .supplier(s, dir)
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-      val cand = ps
-        .join(p, col("l_partkey") === col("p_partkey"))
-        .join(eur, col("l_suppkey") === col("s_suppkey"))
-        .select("p_partkey", "s_name", "s_acctbal", "n_name", "supply_cost")
-      val minPer = cand.groupBy(col("p_partkey").as("m_pk")).agg(min("supply_cost").as("min_cost"))
-      cand
-        .join(minPer, col("p_partkey") === col("m_pk") && col("supply_cost") === col("min_cost"))
-        .select(
-          col("s_acctbal"),
-          col("s_name"),
-          col("n_name"),
-          col("p_partkey"),
-          round(col("supply_cost"), 2).as("supply_cost")
-        )
-        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
-        .limit(100)
-    }),
-    // TPC-H Q12 shape (no l_shipmode/l_commitdate: linestatus plays the
-    // ship-mode dimension, "late" = shipped >60 days after the order
-    // date): one fact-fact join + conditional priority counts. The ship
-    // year pushes to the lineitem scan; the lateness predicate rides the
-    // equi-join as a post-join filter.
-    "q12_ship_priority" -> ((s, dir) => {
-      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
-      val l = Tables
-        .lineitem(s, dir)
-        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
-        .filter(col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
-        .select("l_orderkey", "l_shipdate", "l_linestatus")
-      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-      l.join(
-        o,
-        col("l_orderkey") === col("o_orderkey") &&
-          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
-      ).groupBy("l_linestatus")
-        .agg(
-          sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
-          sum(when(high, 0L).otherwise(1L)).as("low_line_count")
-        )
-        .orderBy("l_linestatus")
-    }),
-    // Q12 off the co-located layout: the fact-fact join IS the bucket
-    // key, so neither side exchanges — the whole query is a zero-shuffle
-    // join + one tiny conditional agg. Same oracle as q12_ship_priority.
-    "q12_ship_colocated" -> ((s, dir) => {
-      val (lt, ot) = bucketedFacts(s, dir)
-      val o = sinks.BucketedStore.read(s, ot).select("o_orderkey", "o_orderdate", "o_orderpriority")
-      val l = sinks.BucketedStore
-        .read(s, lt)
-        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
-        .filter(col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
-        .select("l_orderkey", "l_shipdate", "l_linestatus")
-      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-      l.join(
-        o,
-        col("l_orderkey") === col("o_orderkey") &&
-          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
-      ).groupBy("l_linestatus")
-        .agg(
-          sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
-          sum(when(high, 0L).otherwise(1L)).as("low_line_count")
-        )
-        .orderBy("l_linestatus")
-    }),
-    // TPC-H Q20 shape (no partsupp availqty: a supplier "holds excess
-    // stock" of a part when it shipped >30% of that part's 1996 volume):
-    // two stacked hash aggs over the joined facts — the second runs on
-    // the already-reduced (part, supplier) frame — then a LEFT SEMI chain
-    // so supplier rows are filtered by membership, never multiplied.
-    // l_quantity is integral-valued, so the double sums are exact and
-    // order-independent.
-    "q20_excess_suppliers" -> ((s, dir) => {
-      val o = Tables
-        .orders(s, dir)
-        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
-        .filter(col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
-        .select("o_orderkey")
-      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
-      val shipped = l
-        .join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(sum("l_quantity").as("ps_qty"))
-      // part_qty via a per-part window over the already-reduced
-      // (part, supplier) frame instead of a second aggregate joined back —
-      // the join-back form re-ran the lineitem⋈orders join (7 scans for a
-      // 5-table query). The widget semi-join prunes whole parts, so it
-      // commutes with the per-part total and runs first to shrink the
-      // window input.
-      val widgets = Tables.part(s, dir).filter(col("p_name").like("%widget%")).select("p_partkey")
-      val excess = shipped
-        .join(widgets, col("l_partkey") === col("p_partkey"), "left_semi")
-        .withColumn("part_qty", sum("ps_qty").over(Window.partitionBy("l_partkey")))
-        .filter(col("ps_qty") > lit(0.3) * col("part_qty"))
-        .select("l_suppkey")
-      val eurNation = Tables.nation(s, dir).filter(col("n_regionkey") === 3).select("n_nationkey")
-      Tables
-        .supplier(s, dir)
-        .join(broadcast(eurNation), col("s_nationkey") === col("n_nationkey"), "left_semi")
-        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
-        .select(col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
-        .orderBy("s_name")
-    }),
-    // TPC-H Q21 shape (no receipt/commit dates: "late" = shipped >90 days
-    // after the order date): suppliers who were the ONLY late supplier on
-    // a multi-supplier finalized order. The classic 4-way EXISTS /
-    // NOT-EXISTS self-join collapses into ONE pass over the joined facts:
-    // per-order distinct-supplier and distinct-late-supplier counts;
-    // n_late = 1 pins a unique culprit and max() retrieves it. The oracle
-    // stays in the classic correlated-EXISTS form, so the two engines
-    // agree via different plans.
-    "q21_waiting_suppliers" -> ((s, dir) => {
-      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderdate")
-      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
-      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
-      val perOrder = l
-        .join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_orderkey")
-        .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(late, col("l_suppkey"))).as("n_late"),
-          max(when(late, col("l_suppkey"))).as("late_supp")
-        )
-        .filter(col("n_supp") >= 2 && col("n_late") === 1)
-      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name")
-      perOrder
-        .join(sup, col("late_supp") === col("s_suppkey"))
-        .groupBy("s_name")
-        .agg(count(lit(1)).as("numwait"))
-        .orderBy(col("numwait").desc, col("s_name"))
-        .limit(20)
-    }),
-    // Q21 off the co-located layout. countDistinct would plan an Expand
-    // whose output partitioning is unknown → two fact-size exchanges; the
-    // SAME distinct semantics as two STACKED aggs — per-(order, supplier)
-    // lateness flag, then per-order counts — keeps every stage's required
-    // clustering satisfied by the bucket partitioning (a subset
-    // partitioning satisfies a superset clustering), so the facts never
-    // exchange. Same oracle as q21_waiting_suppliers.
-    "q21_waiting_colocated" -> ((s, dir) => {
-      val (lt, ot) = bucketedFacts(s, dir)
-      val o = sinks.BucketedStore
-        .read(s, ot)
-        .filter(col("o_orderstatus") === "F")
-        .select("o_orderkey", "o_orderdate")
-      val l = sinks.BucketedStore.read(s, lt).select("l_orderkey", "l_suppkey", "l_shipdate")
-      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
-      val perSupp = l
-        .join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(max(when(late, 1L).otherwise(0L)).as("supp_late"))
-      val perOrder = perSupp
-        .groupBy("l_orderkey")
-        .agg(
-          count(lit(1)).as("n_supp"),
-          sum(col("supp_late")).as("n_late"),
-          max(when(col("supp_late") === 1L, col("l_suppkey"))).as("late_supp")
-        )
-        .filter(col("n_supp") >= 2 && col("n_late") === 1)
-      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name")
-      perOrder
-        .join(sup, col("late_supp") === col("s_suppkey"))
-        .groupBy("s_name")
-        .agg(count(lit(1)).as("numwait"))
-        .orderBy(col("numwait").desc, col("s_name"))
-        .limit(20)
-    }),
-    // ROLLUP: the (year, priority) revenue lattice with subtotal and
-    // grand-total rows — one Expand + one hash agg, not N queries. NULL
-    // ordering pinned explicitly (Spark defaults nulls-first, DuckDB
-    // nulls-last — the classic cross-engine rollup trap).
-    "agg_rollup" -> ((s, dir) =>
-      Tables
-        .orders(s, dir)
-        .rollup(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
-        .agg(round(sum(decMoney(col("o_totalprice"))), 2).cast("double").as("revenue"))
-        .orderBy(col("o_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
-    // CUBE over (status, priority): all four grouping sets in one pass.
-    "agg_cube" -> ((s, dir) =>
-      Tables
-        .orders(s, dir)
-        .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_orders"))
-        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
-    // PIVOT: hour-of-day × event-type count matrix. Pivot values are
-    // declared literally, so there is NO extra distinct-scan to discover
-    // them and the whole pivot is one conditional-agg pass.
-    "agg_pivot" -> ((s, dir) =>
-      Tables
-        .events(s, dir)
-        .groupBy(hour(col("ts")).as("hour_of_day"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(count(lit(1)))
-        .orderBy("hour_of_day")),
-    // Retention cohort matrix: signup-week cohort × weeks-since-signup
-    // active-user counts — the product-analytics staple. Three hash aggs
-    // on (user, week) grain; the cohort table joins back on user_id (AQE
-    // sizes it), never a window.
-    "agg_retention_cohorts" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
-      val cohort = ev
-        .filter(col("event_type") === "signup")
-        .groupBy(col("user_id").as("c_uid"))
-        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
-      val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("act_week")).distinct()
-      active
-        .join(cohort, col("user_id") === col("c_uid"))
-        .filter(col("act_week") >= col("cohort_week"))
-        .select(
-          col("cohort_week"),
-          floor((col("act_week").cast("long") - col("cohort_week").cast("long")) / lit(604800L)).as("week_offset"),
-          col("user_id")
-        )
-        .groupBy("cohort_week", "week_offset")
-        .agg(countDistinct(col("user_id")).as("n_active"))
-        .orderBy("cohort_week", "week_offset")
-    }),
-    // Rolling 7-day active users per day, WITHOUT distinct-over-window
-    // (the classic anti-pattern): dedupe to (user, day) FIRST, explode
-    // each pair onto the 7 target days it supports (a pure projection
-    // fan-out of the deduped table — a range join would plan a nested
-    // loop), EQUI-semi-join the observed-day spine to drop phantom
-    // trailing days, then one distinct count per day.
-    "agg_rolling_wau" -> ((s, dir) => {
-      val pairs = Tables
-        .events(s, dir)
-        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
-        .distinct()
-      val spine = pairs.select(col("day").as("target_day")).distinct()
-      pairs
-        .select(
-          col("user_id"),
-          explode(
-            expr("sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)")
-          ).as("target_day")
-        )
-        .join(spine, Seq("target_day"), "left_semi")
-        .groupBy("target_day")
-        .agg(countDistinct(col("user_id")).as("wau"))
-        .orderBy("target_day")
-    }),
-    // Weekly churn: users active in week w with NO activity in week w+1 —
-    // the deduped (user, week) pair table anti-joined against its own
-    // one-week shift; both sides shuffle on (user, week) pairs only.
-    "agg_churn" -> ((s, dir) => {
-      val pairs = Tables
-        .events(s, dir)
-        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
-        .distinct()
-      val next = pairs.select(col("user_id").as("n_uid"), col("week").as("n_week"))
-      pairs
-        .join(
-          next,
-          col("user_id") === col("n_uid") &&
-            col("n_week") === col("week") + expr("INTERVAL 7 DAYS"),
-          "left_anti"
-        )
-        .groupBy("week")
-        .agg(countDistinct(col("user_id")).as("churned"))
-        .orderBy("week")
-    }),
-    // Value quartiles per event type, WINDOW-FREE: ntile over a keyed
-    // window would funnel each type's whole volume through ONE task's
-    // sort (event_type has ~5 values — a guaranteed straggler at 100 TB);
-    // instead the three quartile thresholds come from one percentile agg
-    // (tiny output, AQE-broadcast back) and rows bucket by comparison in
-    // a second scan. Thresholds rounded to 6dp on BOTH engines so the
-    // boundary comparisons agree bit-for-bit.
-    "agg_value_quartiles" -> ((s, dir) => {
-      val e = Tables.events(s, dir).select(col("event_type"), col("value"))
-      val th = e
-        .groupBy(col("event_type").as("th_type"))
-        .agg(
-          round(expr("percentile(value, 0.25)"), 6).as("q1"),
-          round(expr("percentile(value, 0.5)"), 6).as("q2"),
-          round(expr("percentile(value, 0.75)"), 6).as("q3")
-        )
-      e.join(th, col("event_type") === col("th_type"))
-        .select(
-          col("event_type"),
-          col("value"),
-          (lit(1) + (col("value") > col("q1")).cast("int") + (col("value") > col("q2")).cast("int")
-            + (col("value") > col("q3")).cast("int")).as("quartile")
-        )
-        .groupBy("event_type", "quartile")
-        .agg(
-          count(lit(1)).as("n"),
-          round(min(col("value")), 2).as("lo"),
-          round(max(col("value")), 2).as("hi")
-        )
-        .orderBy("event_type", "quartile")
-    }),
-    "agg_running_balance" -> ((s, dir) => {
-      val w = Window
-        .partitionBy("user_id")
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables
-        .events(s, dir)
-        .select(col("user_id"), col("event_id"), col("ts"), round(sum("value").over(w), 2).as("balance"))
-        .orderBy("user_id", "event_id")
-    }),
-    // Batch twin of the streaming event-rate dashboard: tumbling windows
-    // via window(), start-aligned to the epoch like Structured Streaming.
-    "agg_event_windows" -> ((s, dir) =>
-      Tables
-        .events(s, dir)
-        .groupBy(window(col("ts"), "10 minutes").as("w"))
-        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
-        .select(col("w.start").as("win_start"), col("n_events"), col("sum_value"))
-        .orderBy("win_start")),
-    // RFM segmentation (recency / frequency / monetary): per-customer
-    // order stats bucketed by fixed cutoffs into 3-axis segment codes,
-    // then one tiny count per segment. Two hash-aggs: the first shuffles
-    // (custkey, date, count, decimal sum) — never order rows — and the
-    // second runs over ≤18 segment keys. Decimal money keeps the cutoff
-    // comparisons exact (no float-sum boundary flips across engines).
-    "agg_rfm_segments" -> ((s, dir) =>
-      Tables
-        .orders(s, dir)
-        .groupBy("o_custkey")
-        .agg(
-          max("o_orderdate").as("last_order"),
-          count(lit(1)).as("n_orders"),
-          sum(decMoney(col("o_totalprice"))).as("monetary")
-        )
-        .select(
-          when(col("last_order") >= lit("1998-03-01").cast("timestamp"), "R1").otherwise("R0").as("r"),
-          when(col("n_orders") >= 13, "F2").when(col("n_orders") >= 8, "F1").otherwise("F0").as("f"),
-          when(col("monetary") >= 3300000, "M2").when(col("monetary") >= 1700000, "M1").otherwise("M0").as("m")
-        )
-        .groupBy("r", "f", "m")
-        .agg(count(lit(1)).as("n_customers"))
-        .orderBy("r", "f", "m")),
-    // Event-path transition matrix (Markov first-order): per-user
-    // chronological event bigrams, counted corpus-wide. The window is
-    // partitioned by user_id — per-key ordered state, never a global
-    // sort — and the transition table is |event_types|² rows, so the
-    // output aggregation is driver-scale at any corpus size.
-    "agg_path_transitions" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      Tables
-        .events(s, dir)
-        .select(col("user_id"), col("event_type"), lead("event_type", 1).over(w).as("next_type"))
-        .filter(col("next_type").isNotNull)
-        .groupBy("event_type", "next_type")
-        .agg(count(lit(1)).as("n_transitions"))
-        .orderBy(col("n_transitions").desc, col("event_type"), col("next_type"))
-    }),
-    "agg_sessionize" -> ((s, dir) => {
-      val ordW = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val cumW = ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // Epoch seconds via unix_micros over an LTZ cast: valid for both
-      // TIMESTAMP and TIMESTAMP_NTZ source columns (NTZ -> DOUBLE is not a
-      // legal cast), and deterministic because every session pins
-      // spark.sql.session.timeZone=UTC.
-      def epochSec(c: Column): Column = unix_micros(c.cast("timestamp_ltz")).cast("double") / 1e6
-      Tables
-        .events(s, dir)
-        .withColumn(
-          "is_new",
-          when(epochSec(col("ts")) - epochSec(lag(col("ts"), 1).over(ordW)) > 1800, 1).otherwise(0)
-        )
-        .withColumn("session_id", sum("is_new").over(cumW))
-        .groupBy("user_id", "session_id")
-        .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"), max("ts").as("session_end"))
-        .orderBy("user_id", "session_id")
-    }),
-    // Session windows via Spark's NATIVE session_window aggregation (the
-    // same operator the streaming path uses — StreamingSpec drives it
-    // with a watermark): gap-merged sessions in one hash aggregation, no
-    // window-function sort. session_end = last event + gap, per the
-    // session_window contract.
-    "agg_session_window_native" -> ((s, dir) =>
-      Tables
-        .events(s, dir)
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(
-          col("user_id"),
-          col("w.start").as("session_start"),
-          col("w.end").as("session_end"),
-          col("n_events")
-        )
-        .orderBy("user_id", "session_start")),
-    // Funnel conversion off the changelog: first signup per user, then
-    // whether ANY later purchase exists — two keyed aggregations (the
-    // purchase side pre-filtered before the join), one summary row. No
-    // window over the event stream.
-    "agg_funnel" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-      val firstSignup =
-        e.filter(col("event_type") === "signup").groupBy("user_id").agg(min("ts").as("t_signup"))
-      val purchases = e.filter(col("event_type") === "purchase").select(col("user_id"), col("ts"))
-      firstSignup
-        .join(purchases, Seq("user_id"), "left")
-        .groupBy("user_id")
-        .agg(max(when(col("ts") > col("t_signup"), 1L).otherwise(0L)).as("converted"))
-        .agg(
-          count(lit(1)).as("n_signup_users"),
-          sum("converted").as("n_converted"),
-          round(sum("converted").cast("double") / count(lit(1)), 6).as("conversion_rate")
-        )
-    }),
-
-    // Ordered 3-step funnel (signup → view → purchase, each step strictly
-    // after the previous): per-user conditional min/max timestamps in
-    // three stacked keyed aggs — no window, no per-user sort; one summary
-    // row.
-    "agg_funnel_3step" -> ((s, dir) => {
-      val e = Tables.events(s, dir).select("user_id", "event_type", "ts")
-      val s1 = e.filter(col("event_type") === "signup").groupBy("user_id").agg(min("ts").as("t1"))
-      val views = e.filter(col("event_type") === "view").select(col("user_id"), col("ts").as("tv"))
-      val s2 = s1
-        .join(views, Seq("user_id"), "left")
-        .groupBy("user_id")
-        .agg(min(col("t1")).as("t1"), min(when(col("tv") > col("t1"), col("tv"))).as("t2"))
-      val purch = e.filter(col("event_type") === "purchase").select(col("user_id"), col("ts").as("tp"))
-      val perUser = s2
-        .join(purch, Seq("user_id"), "left")
-        .groupBy("user_id")
-        .agg(
-          max(col("t2").isNotNull.cast("long")).as("viewed"),
-          max(when(col("tp") > col("t2"), 1L).otherwise(0L)).as("purchased")
-        )
-      perUser.agg(
-        count(lit(1)).as("n_signup_users"),
-        sum(col("viewed")).as("n_viewed"),
-        sum(col("purchased")).as("n_purchased"),
-        round(sum(col("viewed")).cast("double") / count(lit(1)), 6).as("view_rate"),
-        round(sum(col("purchased")).cast("double") / count(lit(1)), 6).as("purchase_rate")
-      )
-    }),
-
-    // ── Dedup ───────────────────────────────────────────────────────────
-    "dedup_exact" -> ((s, dir) =>
-      Dedup.exactGroups(Tables.documents(s, dir), col("text"), col("doc_id")).orderBy("h")),
-    "dedup_fingerprint" -> ((s, dir) =>
-      Dedup.fingerprintGroups(Tables.documents(s, dir), col("text"), col("doc_id")).orderBy("fp")),
-    "dedup_minhash_lsh" -> ((s, dir) =>
-      MinHashLSH.nearDupPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5).orderBy("a", "b")),
-    // Incremental dedup for an append-mostly corpus — the operation a
-    // 100 TB pipeline runs daily: probe TODAY'S docs (doc_id % 7 == 3
-    // plays the delta) against the memoized corpus artifact instead of
-    // recomputing the corpus. DedupSpec proves incremental ∪ full(corpus)
-    // ≡ full(corpus ∪ delta) pair-for-pair.
-    "dedup_minhash_incremental" -> ((s, dir) => {
-      val idx = cachedMinhashIndex(s, dir)
-      MinHashLSH
-        .incrementalPairs(idx, Tables.documents(s, dir).filter(col("doc_id") % 7 === 3), "doc_id", "text", threshold = 0.5)
-        .orderBy("a", "b")
-    }),
-    // Asymmetric containment dedup over rare 3-grams (df <= 50): quote
-    // inclusion / partial copies that symmetric Jaccard dilutes — both
-    // directions emitted, threshold on the max.
-    "dedup_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, dfCap = 50, threshold = 0.5)),
-    "dedup_simhash" -> ((s, dir) =>
-      SimHash.nearDupPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3).orderBy("a", "b")),
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      // Seed the shared pair memo so dedup_components never recomputes
-      // candidate generation; the entry itself still returns (and bench
-      // still times) the real PPJoin+ computation.
-      cachedNgramPairs(s, dir).count()
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.4).orderBy("a", "b")
-    }),
-    // Threshold calibrated to the synthetic corpus (max pairwise cosine
-    // ~0.46): "near-dup" here = the far tail of the similarity histogram.
-    // 32 tables because the threshold IS the far tail: hyperplane collision
-    // at cos=0.35 is p=0.614/bit, so 6-bit sigs need ~32 OR-ed tables for
-    // ~0.83 worst-case recall right at the boundary (ReplicaSpec measures
-    // it against all-pairs truth).
-    "dedup_embedding" -> ((s, dir) =>
-      Similarity
-        .embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.35, nBits = 6, tables = 32)
-        .orderBy("a", "b")),
-    // SemDeDup (Abbas '23): the same near-dup pairs blocked by k-means
-    // CLUSTER instead of LSH tables — precision 1.0 (exact verify),
-    // recall = the cross-cluster boundary loss (measured in ReplicaSpec).
-    "dedup_semantic" -> ((s, dir) =>
-      Similarity
-        .semanticNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.35)
-        .orderBy("a", "b")),
-
-    // Pairs → clusters: connected components over the exact near-dup pair
-    // graph (min-label propagation), the step that turns pairwise dedup
-    // output into per-cluster survivors. Exact input + deterministic
-    // algorithm → oracle-checkable via a recursive CTE.
-    "dedup_components" -> ((s, dir) =>
-      // Consumes the memoized pair table (built once per JVM, shared with
-      // dedup_ngram_jaccard) — clustering no longer pays for candidate
-      // generation a second time. The resulting label table is itself
-      // memoized (cachedComponents) for downstream consumers.
-      cachedComponents(s, dir)
-        .withColumnRenamed("node", "doc_id")
-        .orderBy("doc_id")),
-
-    // Clusters → kept corpus: one canonical representative per dup
-    // cluster (longest doc, ties to the smallest id), singletons their
-    // own cluster. The pick is a single max_by hash agg over the
-    // LEFT-OUTER-labeled corpus — no window, no second pass; consumes
-    // the memoized LABEL table (not just the pair table), so the
-    // propagation rounds dedup_components already ran are not repeated.
-    "dedup_representatives" -> ((s, dir) => {
-      val comps = cachedComponents(s, dir)
-      val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
-      docs
-        .join(comps, docs("doc_id") === comps("node"), "left_outer")
-        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster"), col("n_chars"))
-        .groupBy("cluster")
-        .agg(
-          max_by(col("doc_id"), struct(col("n_chars"), negate(col("doc_id")))).as("rep_doc_id"),
-          count(lit(1)).as("members")
-        )
-        .orderBy("cluster")
-    }),
-
-    // The dedup report every pipeline run prints: cluster-size histogram
-    // (singletons included) off the memoized label table — two tiny hash
-    // aggs; propagation is never re-run.
-    "dedup_cluster_stats" -> ((s, dir) => {
-      val comps = cachedComponents(s, dir)
-      val docs = Tables.documents(s, dir).select("doc_id")
-      docs
-        .join(comps, docs("doc_id") === comps("node"), "left_outer")
-        .select(coalesce(col("component"), col("doc_id")).as("cluster"))
-        .groupBy("cluster")
-        .agg(count(lit(1)).as("size"))
-        .groupBy("size")
-        .agg(count(lit(1)).as("n_clusters"))
-        .orderBy("size")
-    }),
-
-    // Survivor policy #2 — quality-weighted: the kept doc per dup
-    // cluster maximizes a QUALITY signal (stopword ratio — the classic
-    // "is this prose" proxy), ties to the smallest id, instead of
-    // longest-doc. Same single max_by hash agg over the label-joined
-    // corpus; the quality column rides the same codegen'd scan, so the
-    // policy swap costs nothing at 100 TB.
-    "dedup_survivors_quality" -> ((s, dir) => {
-      val comps = cachedComponents(s, dir)
-      val docs = Tables
-        .documents(s, dir)
-        .select(col("doc_id"), round(TextFns.stopwordRatio(col("text")), 6).as("quality"))
-      docs
-        .join(comps, docs("doc_id") === comps("node"), "left_outer")
-        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster"), col("quality"))
-        .groupBy("cluster")
-        .agg(
-          max_by(col("doc_id"), struct(col("quality"), negate(col("doc_id")))).as("rep_doc_id"),
-          round(max(col("quality")), 6).as("rep_quality"),
-          count(lit(1)).as("members")
-        )
-        .orderBy("cluster")
-    }),
-
-    // ── Similarity search ───────────────────────────────────────────────
-    "ann_bruteforce_topk" -> ((s, dir) =>
-      Similarity.bruteForceTopK(
-        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
-        "vec_id",
-        "embedding",
-        queryVec(s, dir, 0),
-        10
-      )),
-    // Filtered vector search (the OpenSearch knn `filter` clause): the
-    // metadata predicate applies BEFORE scoring — pre-filtering, the
-    // exact-recall strategy — so the scan prunes on label and only
-    // surviving vectors pay the cosine.
-    "ann_filtered_topk" -> ((s, dir) =>
-      Similarity.bruteForceTopK(
-        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0 && col("label") === 2),
-        "vec_id",
-        "embedding",
-        queryVec(s, dir, 0),
-        10
-      )),
-    // _rank_eval: precision@10, MRR, NDCG@10 of the cosine ranking, with
-    // relevance = label agreement with the query vector. The heavy part
-    // is one TakeOrderedAndProject top-10; the rank window and the IDCG
-    // fold both run on ≤10 rows. log2 spelled ln(x)/ln(2) in BOTH
-    // engines so the expression trees match.
-    "search_rank_eval" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val q = queryVec(s, dir, 0)
-      // The query's label stays in-plan (1-row broadcast cross join, the
-      // idcg/stats-frame pattern) — no eager action during construction.
-      val qLabelRow = emb.filter(col("vec_id") === 0).select(col("label").as("_qlabel"))
-      val scored = emb
-        .filter(col("vec_id") =!= 0)
-        .select(
-          col("vec_id"),
-          col("label"),
-          round(VectorFns.cosine(col("embedding"), array(q.map(x => lit(x.toDouble)): _*)), 6).as("cos")
-        )
-        .crossJoin(broadcast(qLabelRow))
-      val top = scored
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(10)
-        .withColumn("rank", row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
-      val rel = col("label") === col("_qlabel")
-      val m = top.agg(
-        round(sum(when(rel, 1).otherwise(0)) / 10.0, 6).as("precision_at_10"),
-        round(coalesce(max(when(rel, lit(1.0) / col("rank"))), lit(0.0)), 6).as("mrr"),
-        sum(when(rel, lit(1.0) / (log(col("rank") + 1) / log(lit(2.0))))).as("_dcg")
-      )
-      val idcg = scored
-        .filter(rel)
-        .agg(count(lit(1)).as("rel_total"))
-        .select(
-          expr(
-            "aggregate(sequence(1, int(least(rel_total, 10))), cast(0.0 as double)," +
-              " (acc, i) -> acc + 1.0 / (ln(i + 1) / ln(2.0)))"
-          ).as("_idcg")
-        )
-      m.crossJoin(broadcast(idcg))
-        .select(
-          col("precision_at_10"),
-          col("mrr"),
-          round(coalesce(col("_dcg") / col("_idcg"), lit(0.0)), 6).as("ndcg_at_10")
-        )
-    }),
-    "ann_knn_join" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity
-        .knnJoin(emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") >= 3), "vec_id", "embedding", 5)
-        .orderBy("probe_id", "rank")
-    }),
-    // 4-bit sigs x 8 tables: ~16 buckets over a 500-vector corpus keeps
-    // per-bucket candidate lists ~30 and multi-table union recall high
-    // (ReplicaSpec pins recall >= 0.5 vs brute force with exact scores).
-    // Split Bm25/IVF-style: ann_lsh_build reports the honest signature
-    // build (fresh every call); ann_lsh_topk probes the amortized index.
-    "ann_lsh_build" -> ((s, dir) =>
-      Similarity
-        .lshIndex(Tables.embeddings(s, dir), "vec_id", "embedding", nBits = 4, tables = 8)
-        .sigs
-        .groupBy("table")
-        .agg(countDistinct(col("sig")).as("n_buckets"), count(lit(1)).as("n_rows"))
-        .orderBy("table")),
-    "ann_lsh_topk" -> ((s, dir) =>
-      Similarity
-        .scoreAgainstLsh(cachedLsh(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10)),
-
-    // IVF ANN, split Bm25-style: ann_ivf_build reports the honest index
-    // build cost (fresh every call — per-cell occupancy result);
-    // ann_ivf_topk scores against the amortized per-JVM index, which is
-    // the per-query cost a deployment actually pays. Approximate ->
-    // rows-only.
-    "ann_ivf_build" -> ((s, dir) =>
-      Similarity
-        .ivfIndex(Tables.embeddings(s, dir), "vec_id", "embedding", nLists = 16)
-        .assigned
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n_vectors"))
-        .orderBy("cell")),
-    "ann_ivf_topk" -> ((s, dir) =>
-      Similarity
-        .scoreAgainstIvf(cachedIvf(s, dir, nLists = 16), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6)),
-    // IVF incremental maintenance — the faiss add() contract: today's
-    // vectors (vec_id % 5 == 0) assign to the EXISTING centroids in one
-    // delta-sized scan and union into the memoized base assignment
-    // table; the same query then searches the grown index. Centroid
-    // drift is the documented trade (cells reflect train-time data;
-    // periodic retrain is the remedy). SimilaritySpec checks the folded
-    // cells against first-principles nearest-centroid math.
-    "ann_ivf_incremental" -> ((s, dir) => {
-      val delta = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
-      val idx = Similarity.addToIvf(cachedIvfBase(s, dir), delta, "vec_id", "embedding")
-      Similarity.scoreAgainstIvf(idx, "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6)
-    }),
-    "ann_ivf_kmeans_topk" -> ((s, dir) =>
-      Similarity
-        .scoreAgainstIvf(cachedIvfKMeans(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6)),
-    // Graph ANN (the NSW/HNSW family — OpenSearch's default knn engine).
-    // Honest build: k-means blocking + in-cell exact top-m adjacency,
-    // fresh every call, summarized per node-degree (approximate-by-design
-    // -> rows-only; structure proven in ReplicaSpec).
-    "ann_graph_build" -> ((s, dir) =>
-      Similarity
-        .graphIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
-        .neighbors
-        .groupBy("id")
-        .agg(count(lit(1)).as("degree"))
-        .groupBy("degree")
-        .agg(count(lit(1)).as("n_nodes"))
-        .orderBy("degree")),
-    // Beam search over the amortized graph: fixed expand/score/prune
-    // rounds, exact emitted cosines, recall floor in ReplicaSpec.
-    "ann_graph_topk" -> ((s, dir) =>
-      Similarity
-        .graphSearch(cachedGraph(s, dir), Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10)),
-    // The batch form: every probe advances through the SAME fixed
-    // rounds as a set-based (probe_id, id, cos) beam frame — constant
-    // job count regardless of probe count, zero driver collects.
-    "ann_graph_batch_topk" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity
-        .graphSearchBatch(cachedGraph(s, dir), emb, "vec_id", "embedding", emb.filter(col("vec_id") < 3), 10)
-        .orderBy("probe_id", "rank")
-    }),
-    // Two-layer graph descent (HNSW's hierarchy, Spark-shaped): honest
-    // top-layer build cost — the ~1/8 id-hash sample's own neighbor
-    // table — reported like every *_build row (the bottom layer's cost
-    // is ann_graph_build).
-    "ann_graph_hier_build" -> ((s, dir) =>
-      Similarity
-        .graphIndex(
-          Tables.embeddings(s, dir).filter(pmod(hash(col("vec_id")), lit(8)) === 0),
-          "vec_id",
-          "embedding"
-        )
-        .neighbors
-        .groupBy("id")
-        .agg(count(lit(1)).as("degree"))
-        .groupBy("degree")
-        .agg(count(lit(1)).as("n_nodes"))
-        .orderBy("degree")),
-    // Descend: brief top-layer beam picks warm entry points, bottom runs
-    // the standard fixed-round search from them — fewer bottom rounds
-    // (2 vs 3) at equal-or-better recall (ReplicaSpec measures the A/B).
-    "ann_graph_hier_topk" -> ((s, dir) =>
-      Similarity
-        .graphSearch2(cachedGraph2(s, dir), Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10)),
-    // PQ maintenance without retrain — the quantized-index add(): the
-    // delta encodes against the FROZEN centroids+codebooks in one
-    // delta-sized scan and unions into the memoized code table; the
-    // standard query then runs the ADC path over the grown index.
-    // Codebook drift documented at Similarity.addToPq; SimilaritySpec
-    // re-derives every delta code first-principles.
-    "ann_pq_incremental" -> ((s, dir) => {
-      val delta = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
-      val grown = Similarity.addToPq(cachedPqBase(s, dir), delta, "vec_id", "embedding")
-      Similarity.scoreAgainstPq(grown, "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 4)
-    }),
-    // NSW insert — graph maintenance without a rebuild: today's vectors
-    // (vec_id % 50 == 0 — a 2% daily delta) beam-search the base graph for their m
-    // neighbors, link both directions, and only touched adjacency lists
-    // re-prune; the standard query (vec 0 IS a delta vector) then runs
-    // over the grown graph, proving new nodes are searchable. Entry-point
-    // and batch-internal-edge trades documented at Similarity.addToGraph;
-    // ReplicaSpec measures post-insert recall.
-    "ann_graph_incremental" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val delta = emb.filter(col("vec_id") % 50 === 0)
-      // Insert budget below the query budget (beam 12 / 2 rounds): the
-      // insert only needs m=8 good neighbors, not a full search —
-      // ReplicaSpec measures post-insert recall at exactly these params.
-      val grown0 =
-        Similarity.addToGraph(cachedGraphBase(s, dir), emb, "vec_id", "embedding", delta, beam = 12, rounds = 2)
-      // Materialize the folded adjacency ONCE (a live tier writes it
-      // durably after the insert — this is that write): the scalar beam
-      // search issues several driver actions, and without this each one
-      // would re-run the whole insert DAG. The suite owns the cache
-      // lifecycle (clearCache between queries).
-      val grown = grown0.copy(
-        neighbors = grown0.neighbors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      )
-      Similarity.graphSearch(grown, emb, "vec_id", "embedding", queryVec(s, dir, 0), 10)
-    }),
-    // Honest PQ build cost: the full encode (coarse assign + residual
-    // codebook training + per-vector codes) runs on every call.
-    "ann_ivf_pq_build" -> ((s, dir) =>
-      Similarity
-        .pqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
-        .codes
-        .filter(col("cell") >= 0)
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n_vectors"))
-        .orderBy("cell")),
-    // ADC scan over the probed cells' 8-byte codes (no vectors read for
-    // ranking), exact-cosine rescore of the short rerank list — replica
-    // bounds in ReplicaSpec (recall vs brute force, exact scores,
-    // compression vs the raw-vector IVF table).
-    "ann_ivf_pq_topk" -> ((s, dir) =>
-      Similarity
-        .scoreAgainstPq(cachedPq(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6)),
-    // Range (radius) search: fixed cosine threshold instead of top-k —
-    // the dedup-query shape (the query itself excluded, as bruteforce).
-    "ann_range_search" -> ((s, dir) =>
-      Similarity
-        .rangeSearch(
-          Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
-          "vec_id",
-          "embedding",
-          queryVec(s, dir, 0),
-          minCos = 0.3
-        )),
-    // OPQ (Ge CVPR'13): learned orthonormal residual rotation before the
-    // subspace split — sample-trained on the driver (best-of-iterations,
-    // never worse than identity = plain PQ), corpus encode still one
-    // projection scan. Honest fresh build; topk probes the amortized
-    // index through the same ADC + exact-rescore path.
-    "ann_ivf_opq_build" -> ((s, dir) =>
-      Similarity
-        .opqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
-        .codes
-        .filter(col("cell") >= 0)
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n_vectors"))
-        .orderBy("cell")),
-    "ann_ivf_opq_topk" -> ((s, dir) =>
-      Similarity
-        .scoreAgainstPq(cachedOpq(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6, rerank = 100)),
-    // Distributed OPQ (the R7 candidate landed): rotation trained on the
-    // FULL corpus — Procrustes cross-covariance Σ x·yᵀ accumulated by a
-    // native TypedImperativeAggregate (dim² doubles per partition on the
-    // shuffle, never vectors), codebooks refit by corpus-wide means, only
-    // the dim×dim SVD driver-side. Honest fresh build; topk probes the
-    // amortized index through the shared ADC + exact-rescore path.
-    "ann_ivf_opq_full_build" -> ((s, dir) =>
-      Similarity
-        .opqIndexFull(Tables.embeddings(s, dir), "vec_id", "embedding")
-        .codes
-        .filter(col("cell") >= 0)
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n_vectors"))
-        .orderBy("cell")),
-    "ann_ivf_opq_full_topk" -> ((s, dir) =>
-      Similarity
-        .scoreAgainstPq(cachedOpqFull(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6, rerank = 100)),
-    // Vectorized multi-probe batch ANN: every probe's (radius-1) buckets
-    // generated as one small frame, ONE pass over the signature table for
-    // the whole batch, TopKPerKey bounded-heap ranking — per-probe result
-    // sets identical to scoreAgainstLsh at the same radius (ReplicaSpec).
-    // Matryoshka (MRL) truncation: rank by the cosine of the first 16
-    // dims (4× less arithmetic and memory traffic per candidate — the
-    // nested-embedding accelerator), exact-rescore the top rerank window
-    // on full vectors. Both phases deterministic, so the whole two-phase
-    // pipeline is oracle-checkable — no recall bound needed.
-    "ann_matryoshka_topk" -> ((s, dir) => {
-      val q = queryVec(s, dir, 0)
-      val q16 = q.take(16)
-      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
-      val cand = emb
-        .select(
-          col("vec_id"),
-          VectorFns.cosine(slice(col("embedding"), 1, 16), array(q16.map(x => lit(x.toDouble)): _*)).as("tcos")
-        )
-        .orderBy(col("tcos").desc, col("vec_id"))
-        .limit(50)
-        .select("vec_id")
-      emb
-        .join(cand, Seq("vec_id"))
-        .select(
-          col("vec_id"),
-          round(VectorFns.cosine(col("embedding"), array(q.map(x => lit(x.toDouble)): _*)), 6).as("cos")
-        )
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(10)
-    }),
-    // Late-interaction (ColBERT-style) maxsim: a multi-vector query
-    // scored against multi-vector documents (labels play the document
-    // grouping) — per (doc, query-token) MAX cosine, summed over query
-    // tokens. The probe set broadcasts (a query is a handful of token
-    // vectors); corpus-side work is one scan + one hash agg, and the
-    // final sum is a FIXED b0+b1+b2 tree (not a 3-row float sum), so
-    // both engines add in the same order.
-    "ann_maxsim" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val probes = emb
-        .filter(col("vec_id") < 3)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val cos = VectorFns.cosine(col("embedding"), col("q_emb"))
-      emb
-        .filter(col("vec_id") >= 3)
-        .crossJoin(broadcast(probes))
-        .select(col("label"), col("q_id"), cos.as("cos"))
-        .groupBy("label")
-        .agg(
-          max(when(col("q_id") === 0, col("cos"))).as("b0"),
-          max(when(col("q_id") === 1, col("cos"))).as("b1"),
-          max(when(col("q_id") === 2, col("cos"))).as("b2")
-        )
-        .select(col("label"), round(col("b0") + col("b1") + col("b2"), 6).as("maxsim"))
-        .orderBy(col("maxsim").desc, col("label"))
-    }),
-    // SQ8 scalar quantization (the per-dim grid complement to PQ's
-    // per-subspace codebooks): honest fresh build — min/max agg + encode
-    // scan; topk ranks on dequantized byte codes (no float vectors read)
-    // then exact-rescores, like every ANN path here.
-    "ann_sq8_build" -> ((s, dir) => {
-      val idx = Similarity.sqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
-      idx.codes.agg(
-        count(lit(1)).as("n_vectors"),
-        max(length(col("code"))).as("bytes_per_vector")
-      )
-    }),
-    "ann_sq8_topk" -> ((s, dir) =>
-      Similarity.scoreAgainstSq(cachedSq(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10)),
-    // Binary quantization: 1 bit per dim (sign vs the per-dim corpus
-    // mean), so a 64-dim vector is ONE 64-bit word — 32× under float32,
-    // the rung below SQ8. The sign test runs in double, the candidate
-    // ranking is bit_count(xor) Hamming with id tie-break, and the top-50
-    // rescore is exact — every step deterministic, so unlike the
-    // replica-bounded rungs this ENTIRE path is oracle-checked (DuckDB
-    // reproduces the bits, the candidate set, and the exact scores).
-    "ann_bq_build" -> ((s, dir) => {
-      val idx = Similarity.bqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
-      idx.codes
-        .select(expr("aggregate(transform(code, w -> bit_count(w)), 0, (a, x) -> a + x)").as("_ones"))
-        .agg(
-          count(lit(1)).as("n_vectors"),
-          sum(col("_ones")).as("total_ones"),
-          min(col("_ones")).as("min_ones"),
-          max(col("_ones")).as("max_ones")
-        )
-    }),
-    "ann_bq_topk" -> ((s, dir) =>
-      Similarity.scoreAgainstBq(cachedBqIdx(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10)),
-    "ann_lsh_batch_topk" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity
-        .knnJoinLsh(cachedLsh4(s, dir), emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5, probeRadius = 1)
-        .orderBy("probe_id", "rank")
-    }),
-    "ann_lsh_multiprobe_topk" -> ((s, dir) =>
-      Similarity
-        .scoreAgainstLsh(cachedLsh4(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, probeRadius = 1)),
-
-    // ── Text analysis ───────────────────────────────────────────────────
-    "text_token_count" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(
-          col("doc_id"),
-          TextFns.tokenCount(col("text")).as("n_tokens"),
-          TextFns.distinctTokenCount(col("text")).as("n_distinct")
-        )
-        .orderBy("doc_id")),
-    "text_quality_score" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(
-          col("doc_id"),
-          TextFns.tokenCount(col("text")).as("n_tokens"),
-          // 6-dp rounding: for rationals with denominator <= ~600 a tie at
-          // the 6th decimal would need a denominator divisible by 2^7*5^k,
-          // so Spark's round-of-shortest-repr and DuckDB's round-of-binary
-          // cannot disagree (they do at 2dp: 189/40 = 4.725).
-          round(TextFns.avgTokenLen(col("text")), 6).as("avg_token_len"),
-          round(TextFns.stopwordRatio(col("text")), 6).as("stop_ratio"),
-          round(TextFns.charRatio(col("text"), "0-9"), 6).as("digit_ratio")
-        )
-        .orderBy("doc_id")),
-    "text_lang_id" -> ((s, dir) => {
-      val scoreCols = TextFns.langScores(col("text")).map { case (l, c) => c.as(s"s_$l") }
-      Tables
-        .documents(s, dir)
-        .select((col("doc_id") +: scoreCols) :+ TextFns.langPredict(col("text")).as("pred_lang"): _*)
-        .orderBy("doc_id")
-    }),
-    // BPE-ish regex tokenizer: letter runs, digit runs, single punctuation
-    // marks — the pre-tokenization shape byte-pair encoders start from.
-    "text_token_count_regex" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(
-          col("doc_id"),
-          size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_subtokens")
-        )
-        .orderBy("doc_id")),
-    // Rolling-hash document shingle fingerprints (content-defined
-    // chunking / fuzzy-match keys). Spark murmur3 hashes -> rows-only.
-    "text_rolling_hash" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
-        .select(col("doc_id"), TextFns.rollingHashesFromTokens(col("_toks"), 5).as("hashes"))
-        .select(col("doc_id"), size(col("hashes")).as("n_windows"), try_element_at(col("hashes"), lit(1)).as("first_hash"))
-        .orderBy("doc_id")),
-    "text_ngram_freq" -> ((s, dir) =>
-      Tables
-        .ensureParallelism(Tables.documents(s, dir).select("text"))
-        .select(TextFns.tokens(col("text")).as("_toks"))
-        .select(explode(TextFns.ngramsFromTokens(col("_toks"), 2)).as("bigram"))
-        .groupBy("bigram")
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("bigram"))
-        .limit(20)),
-
-    // Duplicated-span statistics (Lee et al. ACL'22 substring dedup at
-    // 8-token shingle granularity): per doc, how many of its distinct
-    // spans also occur in ANOTHER document — the span-level contamination
-    // signal document-level dedup cannot see.
-    "text_dup_spans" -> ((s, dir) =>
-      Dedup
-        .dupSpanStats(Tables.documents(s, dir), "doc_id", "text", n = 8)
-        .orderBy("doc_id")),
-
-    // Benchmark decontamination: training docs (id >= 10) sharing any
-    // 4-gram with the "benchmark" docs (id < 10) — the pre-training leak
-    // check every LLM pipeline runs.
-    "text_decontaminate" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      operators.Contamination
-        .sharedNgrams(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10), "doc_id", "text", 4)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
-    }),
-    // The Bloom-pruned decontamination path: identical answer (bloom has
-    // no false negatives; the exact confirm join removes its false
-    // positives) through a ~1.2-byte-per-gram broadcast instead of the
-    // raw gram strings — the shape for eval suites too big to broadcast.
-    // Shares text_decontaminate's oracle: hash-equal, not approximate.
-    "text_decontaminate_bloom" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      operators.Contamination
-        .sharedNgramsBloom(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10), "doc_id", "text", 4)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
-    }),
-    // PII scrubbing: match counts + redacted text for the email/digit-run
-    // patterns (training-data hygiene pass) — customer names carry the
-    // corpus's only long digit runs.
-    "text_pii_redact" -> ((s, dir) =>
-      Tables
-        .customer(s, dir)
-        .select(
-          col("c_custkey").as("id"),
-          TextFns.piiCount(col("c_name"), TextFns.PiiPatterns(0)._2).as("n_email"),
-          TextFns.piiCount(col("c_name"), TextFns.PiiPatterns(1)._2).as("n_digit_runs"),
-          TextFns.piiRedact(col("c_name")).as("redacted")
-        )
-        .orderBy("id")),
-    // Tokenizer-economics facet: bytes per token per source (the
-    // data-recipe dashboard number) — exact integer sums, one double
-    // division at the end.
-    // octet_length, not length: the column names promise BYTES, and the
-    // two diverge on any non-ASCII corpus (length counts characters).
-    "text_bytes_per_token" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("source"), octet_length(col("text")).cast("long").as("n_bytes"), TextFns.tokenCount(col("text")).as("n_tokens"))
-        .groupBy("source")
-        .agg(
-          sum(col("n_bytes")).as("total_bytes"),
-          sum(col("n_tokens")).as("total_tokens"),
-          round(sum(col("n_bytes")).cast("double") / sum(col("n_tokens")), 6).as("bytes_per_token")
-        )
-        .orderBy("source")),
-    // Sequence-packing planner input: docs and token mass per power-of-2
-    // length bucket (a fixed CASE ladder — engine-stable, no log2
-    // boundary ambiguity), one codegen'd scan.
-    "text_length_buckets" -> ((s, dir) => {
-      val n = TextFns.tokenCount(col("text"))
-      val bucket = when(n <= 16, 16)
-        .when(n <= 32, 32)
-        .when(n <= 64, 64)
-        .when(n <= 128, 128)
-        .otherwise(256)
-      Tables
-        .documents(s, dir)
-        .select(bucket.as("len_bucket"), n.as("n_tokens"))
-        .groupBy("len_bucket")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
-        .orderBy("len_bucket")
-    }),
-    // Quality-weighted deterministic sampling: keep probability ∝ the
-    // doc's stopword ratio (prose-ness), decided by a pure integer hash
-    // u(doc_id) = (id·2654435761 mod 2¹⁶)/2¹⁶ — exact binary fraction,
-    // replayable across runs/engines/partitionings, no rand().
-    // Temperature-flattened source mixing (α=0.5): per-source keep rate
-    // (min_mass/mass)^(1−α) derived in-plan from the n_chars mass — the
-    // smallest source keeps all docs, heavier ones downsample toward the
-    // flattened share; membership is the deterministic Knuth-hash draw.
-    "sample_temperature_mix" -> ((s, dir) =>
-      operators.Sampling
-        .temperatureMix(Tables.documents(s, dir), "doc_id", "source", col("n_chars"), alpha = 0.5)
-        .select(col("doc_id"), col("source"))
-        .orderBy("doc_id")),
-    // Concat-and-chunk sequence packing at a 256-token budget. Shards
-    // are (source, 128-doc id block) — the file-level granularity real
-    // pipelines pack at — so the window's partition count SCALES with
-    // the corpus (a source-only key would funnel each source's entire
-    // history through one task's sort, the quartiles-class scale bug).
-    "sample_pack_sequences" -> ((s, dir) =>
-      operators.Sampling
-        .packSequences(
-          Tables.documents(s, dir).withColumn("shard", floor(col("doc_id") / 128).cast("long")),
-          "doc_id",
-          TextFns.tokenCount(col("text")),
-          Seq("source", "shard"),
-          budget = 256
-        )
-        .orderBy("source", "shard", "doc_id")),
-    "sample_weighted_quality" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .filter(
-          pmod(col("doc_id") * lit(2654435761L), lit(65536L)) / 65536.0 <
-            least(lit(1.0), round(TextFns.stopwordRatio(col("text")), 6) * 3.0)
-        )
-        .select(col("doc_id"), col("source"))
-        .orderBy("doc_id")),
-    // DSIR-style importance weighting (Xie et al., NeurIPS'23 "Data
-    // Selection for Language Models via Importance Resampling"): score
-    // every raw doc by log p_target(x) − log p_raw(x) under add-1
-    // unigram LMs (target = the English slice), keep the most
-    // target-like top 100 (the resampling step made deterministic).
-    // Plan: ONE term-keyed shuffle builds both LMs (conditional sums in
-    // the same aggregate), totals are a 1-row broadcast, and the weight
-    // is a per-doc hash agg — the two-pass shape of every LM entry here;
-    // shuffles carry (term, count) pairs, never text.
-    "sample_dsir_weights" -> ((s, dir) => {
-      val toks = Tables
-        .documents(s, dir)
-        .select(col("doc_id"), col("lang"), explode(TextFns.tokens(col("text"))).as("term"))
-      val isTgt = when(col("lang") === "en", 1L).otherwise(0L)
-      val tf = toks.groupBy("term").agg(count(lit(1)).as("cr"), sum(isTgt).as("ct"))
-      // Totals derive from the term table (Σcr, Σct, row count) — the
-      // corpus is scanned once for tf and once for the per-doc join, not
-      // a third time for totals.
-      val tot = tf.agg(sum("cr").as("nr"), sum("ct").as("nt"), count(lit(1)).as("v"))
-      toks
-        .join(tf, "term")
-        .crossJoin(broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          round(
-            sum(
-              log((col("ct") + 1).cast("double") / (col("cr") + 1)) -
-                log((col("nt") + col("v")).cast("double") / (col("nr") + col("v")))
-            ),
-            6
-          ).as("log_ratio")
-        )
-        .orderBy(col("log_ratio").desc, col("doc_id"))
-        .limit(100)
-    }),
-    // Deterministic md5-bucket train/val/test assignment: membership is a
-    // pure function of the id — stable across runs, engines, and corpus
-    // growth.
-    "sample_split" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .groupBy(operators.Sampling.split(col("doc_id")).as("split"))
-        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"))
-        .orderBy("split")),
-    // Deterministic ~25% sample within every language stratum.
-    "sample_stratified" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .groupBy(col("lang"))
-        .agg(
-          count(lit(1)).as("n_total"),
-          sum(operators.Sampling.stratifiedKeep(col("doc_id"), 0.25).cast("long")).as("n_sampled")
-        )
-        .orderBy("lang")),
-    // Per-group quota sampling: at most k docs per source, picked in
-    // deterministic md5-of-id order (stable under corpus growth) — the
-    // "cap any one domain's share of the training mix" op, executed by
-    // the bounded-heap TopKPerKey operator, not a window sort.
-    "sample_cap_per_source" -> ((s, dir) => {
-      val ranked = Tables
-        .documents(s, dir)
-        .select(col("doc_id"), col("source"), col("n_chars"), md5(col("doc_id").cast("string")).as("h"))
-      graft.plans.TopKPerKey
-        .perKey(ranked, Seq("source"), Seq("h" -> true, "doc_id" -> true), 10)
-        .select(col("source"), col("doc_id"), col("n_chars"), col("rank"))
-        .orderBy("source", "rank")
-    }),
-    // Shannon entropy of the token distribution — low-entropy docs are
-    // boilerplate/spam candidates.
-    "text_token_entropy" -> ((s, dir) =>
-      TextFns
-        .tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")),
-    // Unigram-LM self-perplexity (the CCNet/quality-filter signal, with
-    // the corpus itself as the LM): token frequencies in one aggregation,
-    // per-doc cross-entropy −avg ln p(token) in a second. The shuffle
-    // carries (term, count) partials and (doc_id, term) pairs — never
-    // text; the vocab join is AQE-sized (broadcast when the vocab is
-    // small, shuffle when web-scale).
-    // Bigram-LM perplexity (interpolated: λ·p(w2|w1) + (1-λ)·p(w2), the
-    // Jelinek-Mercer smoothing KenLM-style filters approximate): a
-    // sharper fluency signal than the unigram model — word-salad text
-    // with common words scores badly here but fine there. All model
-    // tables (bigram counts, left-context counts, unigram counts) are
-    // vocabulary-scale aggregates; joins shuffle (term, count) pairs,
-    // never document text.
-    "text_perplexity_bigram" -> ((s, dir) => {
-      val docs = Tables
-        .documents(s, dir)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      val uni = docs.select(col("doc_id"), explode(col("toks")).as("term"))
-      val tf = uni.groupBy("term").agg(count(lit(1)).as("cnt"))
-      val tot = uni.agg(count(lit(1)).as("n"))
-      val bi = docs
-        .filter(size(col("toks")) >= 2)
-        .select(
-          col("doc_id"),
-          explode(
-            expr("transform(slice(toks, 1, size(toks) - 1), (t, i) -> struct(t AS w1, toks[i + 1] AS w2))")
-          ).as("b")
-        )
-        .select(col("doc_id"), col("b.w1"), col("b.w2"))
-      val bigramCnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val leftCnt = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val logp = log(
-        lit(0.75) * col("c12").cast("double") / col("c1")
-          + lit(0.25) * col("cnt").cast("double") / col("n")
-      )
-      bi.join(bigramCnt, Seq("w1", "w2"))
-        .join(leftCnt, Seq("w1"))
-        .join(tf.withColumnRenamed("term", "w2"), Seq("w2"))
-        .crossJoin(broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_bigrams"),
-          round(-avg(logp), 6).as("cross_entropy"),
-          round(exp(-avg(logp)), 6).as("perplexity")
-        )
-        .orderBy("doc_id")
-    }),
-    "text_perplexity_unigram" -> ((s, dir) => {
-      val toks = Tables
-        .documents(s, dir)
-        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
-      val tf = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-      val tot = toks.agg(count(lit(1)).as("n"))
-      val logp = log(col("cnt").cast("double") / col("n"))
-      toks
-        .join(tf, "term")
-        .crossJoin(broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          round(-avg(logp), 6).as("cross_entropy"),
-          round(exp(-avg(logp)), 6).as("perplexity")
-        )
-        .orderBy("doc_id")
-    }),
-    // Composite quality gate: first failing rule (in a fixed order) or
-    // 'keep' — the decision + audit-reason column a filtering pipeline
-    // writes. All rules are per-row codegen'd expressions; one scan.
-    "text_filter_chain" -> ((s, dir) => {
-      val nTok = TextFns.tokenCount(col("text"))
-      val avgLen = TextFns.avgTokenLen(col("text"))
-      val stopR = TextFns.stopwordRatio(col("text"))
-      val digitR = TextFns.charRatio(col("text"), "0-9")
-      val firstFail = when(nTok < 50, "too_short")
-        .when(nTok > 2000, "too_long")
-        .when(avgLen < 3 || avgLen > 10, "odd_token_len")
-        .when(stopR < 0.03, "low_stopword")
-        .when(digitR > 0.2, "digit_heavy")
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), coalesce(firstFail, lit("keep")).as("verdict"))
-        .orderBy("doc_id")
-    }),
-    // OpenSearch `fuzzy` query: docs containing a token within edit
-    // distance 1 of "spark", via vocabulary-level levenshtein (see Fuzzy).
-    "search_fuzzy" -> ((s, dir) =>
-      search.Fuzzy
-        .fuzzyMatch(Tables.documents(s, dir), "doc_id", "text", "spark", 1)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")),
-    // rare_terms: the vocabulary long tail (the synthetic corpus's dense
-    // vocab bottoms out at ~26 occurrences, so "rare" = at most 40) — the
-    // terms agg's complement.
-    "search_rare_terms" -> ((s, dir) =>
-      Aggs.rareTerms(
-        Tables
-          .ensureParallelism(Tables.documents(s, dir).select("text"))
-          .select(explode(TextFns.tokens(col("text"))).as("tok")),
-        col("tok"),
-        40
-      )),
-    // multi_terms: top composite buckets ranked by doc count (unlike
-    // composite_after, which pages in key order).
-    "search_multi_terms" -> ((s, dir) =>
-      Aggs.multiTerms(Tables.orders(s, dir), Seq(col("o_orderpriority"), col("o_orderstatus")), 5)),
-    // weighted_avg: quantity-weighted mean unit price over lineitem.
-    "search_weighted_avg" -> ((s, dir) =>
-      Aggs.weightedAvg(
-        Tables.lineitem(s, dir),
-        decMoney(col("l_extendedprice")),
-        decMoney(col("l_quantity"))
-      )),
-    // Sibling pipeline aggs (avg_bucket/min_bucket/max_bucket/sum_bucket)
-    // over the monthly-revenue buckets — bucket-table-sized work.
-    "search_avg_bucket" -> ((s, dir) =>
-      Aggs.bucketStats(
-        Tables
-          .orders(s, dir)
-          .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
-          .agg(round(sum("o_totalprice"), 2).as("revenue")),
-        col("revenue")
-      )),
-    // serial_diff pipeline agg at lag 12: year-over-year differencing of
-    // the monthly revenue buckets — the window sees ~tens of bucket
-    // rows, never the fact table.
-    "search_serial_diff" -> ((s, dir) => {
-      val buckets = Tables
-        .orders(s, dir)
-        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
-        .agg(round(sum("o_totalprice"), 2).as("revenue"))
-      buckets
-        .select(
-          col("bucket"),
-          col("revenue"),
-          round(col("revenue") - lag("revenue", 12).over(Window.orderBy("bucket")), 2).as("yoy_diff")
-        )
-        .orderBy("bucket")
-    }),
-    // percentiles_bucket pipeline agg: the exact percentile ladder over
-    // the bucket METRIC values (~tens of rows) — sibling to avg_bucket.
-    "search_percentiles_bucket" -> ((s, dir) =>
-      Aggs.percentiles(
-        Tables
-          .orders(s, dir)
-          .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
-          .agg(round(sum("o_totalprice"), 2).as("revenue")),
-        col("revenue"),
-        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
-      )),
-    // bucket_sort pipeline agg: re-rank + truncate the buckets by their
-    // metric (top revenue months) — a bounded TakeOrdered over buckets.
-    "search_bucket_sort" -> ((s, dir) =>
-      Tables
-        .orders(s, dir)
-        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
-        .agg(round(sum("o_totalprice"), 2).as("revenue"))
-        .orderBy(col("revenue").desc, col("bucket"))
-        .limit(5)),
-    // bucket_selector pipeline agg: the HAVING of the bucket world — keep
-    // months whose average order price clears the threshold. The
-    // predicate runs over the ~80-row bucket table, never the fact table,
-    // so the selector costs nothing more than the aggregation itself.
-    "search_bucket_selector" -> ((s, dir) =>
-      Tables
-        .orders(s, dir)
-        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
-        .agg(count(lit(1)).as("doc_count"), max("o_totalprice").as("max_price"))
-        .filter(col("max_price") > 450000.0)
-        .orderBy("bucket")),
-    // bucket_selector from the wire format: buckets_path maps the script
-    // variable onto the sibling avg metric; same bucket-table HAVING plan
-    // as the structured twin (JsonDslSpec asserts plan equality).
-    "search_dsl_json_bucket_selector" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir).select("o_orderdate", "o_totalprice"),
-        """{"aggs": {"monthly": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
-          |  "aggs": {"max_price": {"max": {"field": "o_totalprice"}},
-          |           "rich_months": {"bucket_selector": {"buckets_path": {"top": "max_price"},
-          |                                               "script": "params.top > 450000"}}}}}}""".stripMargin
-      )),
-    // Term suggester ("did you mean"): corrections for the misspelling
-    // "sparc", ranked by edit distance then corpus frequency.
-    "search_suggest" -> ((s, dir) =>
-      search.Fuzzy.suggest(Tables.documents(s, dir), "text", "sparc", 2, 5)),
-    // rescore API: a cheap first phase ranks the corpus (n_chars), the
-    // expensive scorer runs ONLY on the top window — the OpenSearch
-    // two-phase cost model (TakeOrderedAndProject bounds phase one).
-    "search_rescore" -> ((s, dir) => {
-      val first = Tables
-        .documents(s, dir)
-        .select(col("doc_id"), col("n_chars"), SearchDsl.analyze(col("text")).as("_toks"))
-        .orderBy(col("n_chars").desc, col("doc_id"))
-        .limit(50)
-      first
-        .select(
-          col("doc_id"),
-          col("n_chars"),
-          size(array_intersect(array_distinct(col("_toks")), array(lit("spark"), lit("query"), lit("table"))))
-            .as("matched")
-        )
-        .orderBy(col("matched").desc, col("n_chars").desc, col("doc_id"))
-        .limit(10)
-    }),
-    // Completion suggester: prefix-ranked completions from the corpus
-    // vocabulary (most frequent first) — the vocab table is the tiny
-    // side, the corpus-scale work is the one token-count agg.
-    "search_suggest_completion" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(explode(SearchDsl.analyze(col("text"))).as("tok"))
-        .filter(col("tok").startsWith("s"))
-        .groupBy("tok")
-        .agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("tok"))
-        .limit(5)
-        .select(col("tok").as("suggestion"), col("freq"))),
-    // has_child (parent-join surface): parent docs (orders) with ≥1 child
-    // (lineitem) matching the child query — a LEFT SEMI join, never a
-    // fan-out + distinct repair.
-    "search_has_child" -> ((s, dir) => {
-      val l = Tables
-        .lineitem(s, dir)
-        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 45)
-        .select("l_orderkey")
-      Tables
-        .orders(s, dir)
-        .join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .orderBy("o_orderkey")
-        .limit(100)
-    }),
-    // has_parent: child docs (lineitems) whose parent order matches the
-    // parent query — the parent side is filter-pruned BEFORE the join.
-    "search_has_parent" -> ((s, dir) => {
-      val o = Tables
-        .orders(s, dir)
-        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 400000)
-        .select("o_orderkey")
-      Tables
-        .lineitem(s, dir)
-        .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-        // (orderkey, linenumber) is NOT unique in this testdata — the
-        // quantity tiebreak totally orders the selected row, so the
-        // driver's unsorted row-order compare is deterministic at any SF.
-        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
-    }),
-    // nested query: the array-of-struct field type where the WHOLE inner
-    // clause must hold on ONE element (an order with a qty-48 'N' item
-    // and a qty-10 'R' item does NOT match flag='R' AND qty>=48 — the
-    // object-vs-nested distinction). The index shape is built once
-    // (Nested.nestedIndex: one child shuffle keyed by parent id); the
-    // query itself is an `exists` HOF — no join, no explode at search
-    // time. n_inner_hits counts the matching elements per hit.
-    "search_nested" -> ((s, dir) => {
-      val nested = search.Nested.nestedIndex(
-        Tables.orders(s, dir),
-        Tables.lineitem(s, dir),
-        "o_orderkey",
-        "l_orderkey",
-        "items",
-        Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
-      )
-      val pred = (x: Column) => x.getField("l_returnflag") === "R" && x.getField("l_quantity") >= 48
-      nested
-        .filter(search.Nested.query(col("items"), pred))
-        .select(
-          col("o_orderkey"),
-          col("o_totalprice"),
-          size(search.Nested.innerHits(col("items"), pred)).cast("long").as("n_inner_hits")
-        )
-        .orderBy("o_orderkey")
-    }),
-    // nested from the wire format: same clause through the JSON compiler
-    // (path-prefixed fields resolving against the lambda element).
-    "search_dsl_json_nested" -> ((s, dir) => {
-      val nested = search.Nested.nestedIndex(
-        Tables.orders(s, dir),
-        Tables.lineitem(s, dir),
-        "o_orderkey",
-        "l_orderkey",
-        "items",
-        Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
-      )
-      JsonDsl.parse(
-        nested,
-        """{"query": {"nested": {"path": "items",
-          |   "query": {"bool": {"must": [
-          |     {"term": {"items.l_returnflag": {"value": "R"}}},
-          |     {"range": {"items.l_quantity": {"gte": 48}}}]}}}},
-          | "sort": [{"o_orderkey": "asc"}],
-          | "_source": ["o_orderkey", "o_orderstatus", "o_totalprice"]}""".stripMargin
-      )
-    }),
-    // inner_hits from the wire format: one row per MATCHING element of
-    // each matching parent — filter HOF then explode, multiplying only
-    // matched rows by their matched-element count.
-    "search_dsl_json_nested_inner_hits" -> ((s, dir) => {
-      val nested = search.Nested.nestedIndex(
-        Tables.orders(s, dir),
-        Tables.lineitem(s, dir),
-        "o_orderkey",
-        "l_orderkey",
-        "items",
-        Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
-      )
-      JsonDsl.innerHits(
-        nested,
-        """{"query": {"nested": {"path": "items", "inner_hits": {},
-          |   "query": {"bool": {"must": [
-          |     {"term": {"items.l_returnflag": {"value": "R"}}},
-          |     {"range": {"items.l_quantity": {"gte": 48}}}]}}}},
-          | "sort": [{"o_orderkey": "asc"}, {"l_linenumber": "asc"},
-          |          {"l_quantity": "asc"}, {"l_extendedprice": "asc"}],
-          | "_source": ["o_orderkey"]}""".stripMargin
-      )
-    }),
-    // percentile_ranks: the inverse of the percentiles agg — the fraction
-    // of orders at or below each given value.
-    "search_percentile_ranks" -> ((s, dir) =>
-      Tables
-        .orders(s, dir)
-        .agg(
-          round(avg((col("o_totalprice") <= 100000).cast("double")), 6).as("pr_100k"),
-          round(avg((col("o_totalprice") <= 300000).cast("double")), 6).as("pr_300k")
-        )),
-    // `collapse`: one top order per priority (max_by hash agg, no window).
-    "search_collapse" -> ((s, dir) =>
-      Aggs
-        .collapse(
-          Tables.orders(s, dir),
-          "o_orderpriority",
-          Seq("o_orderkey", "o_totalprice"),
-          struct(col("o_totalprice"), (lit(-1L) * col("o_orderkey")).as("negkey"))
-        )
-        .orderBy("o_orderpriority")),
-    // date_histogram with min_doc_count=0: empty days surface as zero
-    // buckets (rare high-value orders leave ~half the days empty).
-    "search_date_histogram_filled" -> ((s, dir) =>
-      Aggs.dateHistogramFilled(
-        Tables.orders(s, dir).filter(col("o_totalprice") > 450000),
-        col("o_orderdate"),
-        "day",
-        round(sum("o_totalprice"), 2).as("revenue")
-      )),
-
-    // Gopher-style repetition signals (Rae et al. 2021 quality filters):
-    // the share of tokens claimed by the most common bigram and the
-    // duplicate-token fraction — per-row expressions, no shuffle.
-    "text_repetition" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
-        .select(
-          col("doc_id"),
-          size(col("_toks")).as("n_tokens"),
-          round(TextFns.maxBigramCount(col("_toks")) * lit(2.0) / size(col("_toks")), 6)
-            .as("top_bigram_frac"),
-          round(lit(1) - size(array_distinct(col("_toks"))).cast("double") / size(col("_toks")), 6)
-            .as("dup_token_frac")
-        )
-        .orderBy("doc_id")),
-
-    // ── Multimodal ──────────────────────────────────────────────────────
-    "mm_binary_meta" -> ((s, dir) =>
-      Binary
-        .asPayload(Tables.documents(s, dir), col("doc_id"), col("text"))
-        .select(col("id"), col("n_bytes"), col("sha256"), col("format"))
-        .orderBy("id")),
-    "mm_frame_sample" -> ((s, dir) =>
-      Binary
-        .frameSampleRows(Binary.asPayload(Tables.documents(s, dir), col("doc_id"), col("text")), 64, 4)
-        .orderBy("id", "frame_idx")),
-    // ViT-style patch grid over the payload raster (32-byte rows, 16x4
-    // tiles): strided slice + fold per tile, digests hash-checked.
-    "mm_tile_grid" -> ((s, dir) =>
-      Binary
-        .tileGrid(Binary.asPayload(Tables.documents(s, dir), col("doc_id"), col("text")), rowBytes = 32, tileW = 16, tileH = 4)
-        .orderBy("id", "tile_row", "tile_col")),
-    // Exact dedup over OPAQUE binary payloads: hash-aggregate on the
-    // content digest — the digest shuffles, the payload bytes never do
-    // (the multimodal twin of dedup_exact).
-    "mm_payload_dedup" -> ((s, dir) =>
-      Binary
-        .asPayload(Tables.documents(s, dir), col("doc_id"), col("text"))
-        .groupBy(col("sha256"))
-        .agg(count(lit(1)).as("n_copies"), min("id").as("keep_id"))
-        .orderBy("keep_id")),
-    // TPC-H Q15: top supplier by quarterly revenue — the max is a 1-row
-    // broadcast scalar joined back, not a window over the aggregate.
-    "q15_top_supplier" -> ((s, dir) => {
-      val rev = Tables
-        .lineitem(s, dir)
-        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
-        .filter(col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
-        .select("l_suppkey", "l_extendedprice", "l_discount")
-        .groupBy(col("l_suppkey"))
-        .agg(
-          round(sum(decMoney(col("l_extendedprice")) * (lit(1) - decMoney(col("l_discount")))), 2)
-            .cast("double")
-            .as("total_revenue")
-        )
-        // consumed by the 1-row max AND the equality join-back: cache the
-        // |suppliers|-scale aggregate so the quarter's lineitem scan runs once
-        .persist()
-      val mx = rev.agg(max("total_revenue").as("mx"))
-      rev
-        .join(broadcast(mx), col("total_revenue") === col("mx"))
-        .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"), col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
-        .orderBy("s_suppkey")
-    }),
-
-    // ── R6: wider OpenSearch agg/query surface ──────────────────────────
-    // adjacency_matrix: named filters + pairwise intersections, ONE
-    // conditional-count pass (never a scan per matrix cell).
-    "search_adjacency_matrix" -> ((s, dir) =>
-      Aggs.adjacencyMatrix(
-        Tables.documents(s, dir),
-        Seq(
-          "en" -> (col("lang") === "en"),
-          "long" -> (col("n_chars") > 300),
-          "src1" -> (col("source") === "src1")
-        )
-      )),
-    // auto_date_histogram: interval chosen from the ladder by a 1-row
-    // span probe so the bucket count stays under the target.
-    "search_auto_date_histogram" -> ((s, dir) =>
-      Aggs.autoDateHistogram(Tables.events(s, dir), col("ts"), targetBuckets = 40)),
-    "search_string_stats" -> ((s, dir) => Aggs.stringStats(Tables.documents(s, dir), col("text"))),
-    "search_mad" -> ((s, dir) =>
-      Aggs.medianAbsoluteDeviation(Tables.orders(s, dir), col("o_totalprice"))),
-    "search_boxplot" -> ((s, dir) => Aggs.boxplot(Tables.lineitem(s, dir), col("l_extendedprice"))),
-    // rate agg: monthly revenue normalized per-day by each bucket's own
-    // calendar length; exact decimal sum → identical double both engines.
-    "search_rate" -> ((s, dir) =>
-      Aggs.dateHistogramRate(Tables.orders(s, dir), col("o_orderdate"), decMoney(col("o_totalprice")))),
-    // bucket_script + bucket_selector + bucket_sort over a date_histogram:
-    // per-bucket computed metric, bucket filter, metric-ordered truncation
-    // — all bucket-table math after one fact-table aggregation.
-    "search_bucket_script" -> ((s, dir) =>
-      Tables
-        .events(s, dir)
-        .groupBy(date_trunc("day", col("ts")).as("bucket"))
-        .agg(
-          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
-          count(lit(1)).as("n_total")
-        )
-        .select(
-          col("bucket"),
-          col("n_errors"),
-          col("n_total"),
-          round(col("n_errors").cast("double") / col("n_total"), 6).as("error_rate")
-        )
-        .filter(col("error_rate") > 0.2)
-        .orderBy(col("error_rate").desc, col("bucket"))
-        .limit(5)),
-    "search_cumulative_cardinality" -> ((s, dir) =>
-      Aggs.cumulativeCardinality(Tables.events(s, dir), col("ts"), col("user_id"), "day")),
-    // moving_fn (max/min/sum over a 3-bucket window) + serial_diff lag-2,
-    // the remaining Kibana time-series pipeline kit; windows run over the
-    // ~tens-of-rows bucket table only.
-    "search_moving_fn" -> ((s, dir) => {
-      val buckets = Tables
-        .orders(s, dir)
-        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
-        .agg(round(sum("o_totalprice"), 2).as("revenue"))
-      val w = Window.orderBy("bucket")
-      val w3 = w.rowsBetween(-2, Window.currentRow)
-      buckets
-        .select(
-          col("bucket"),
-          col("revenue"),
-          round(max("revenue").over(w3), 2).as("mov_max"),
-          round(min("revenue").over(w3), 2).as("mov_min"),
-          round(sum("revenue").over(w3), 2).as("mov_sum"),
-          round(col("revenue") - lag("revenue", 2).over(w), 2).as("serial_diff2")
-        )
-        .orderBy("bucket")
-    }),
-    // dis_max over two constant_score clauses: score = best clause +
-    // tie_breaker × the rest (deterministic, scoring-model-free).
-    "search_dis_max" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), SearchDsl.analyze(col("text")).as("_t"))
-        .select(
-          col("doc_id"),
-          when(array_contains(col("_t"), "spark"), 2.0).otherwise(0.0).as("_s1"),
-          when(array_contains(col("_t"), "query"), 1.5).otherwise(0.0).as("_s2")
-        )
-        .filter(col("_s1") + col("_s2") > 0)
-        .select(
-          col("doc_id"),
-          round(
-            greatest(col("_s1"), col("_s2")) +
-              lit(0.3) * (col("_s1") + col("_s2") - greatest(col("_s1"), col("_s2"))),
-            6
-          ).as("score")
-        )
-        .orderBy(col("score").desc, col("doc_id"))),
-    // function_score field_value_factor: ln1p modifier × factor, boost
-    // replace — a pure projection over the match filter.
-    "search_function_score" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .filter(array_contains(SearchDsl.analyze(col("text")), "spark"))
-        .select(
-          col("doc_id"),
-          col("n_chars"),
-          round(lit(1.5) * log(lit(1.0) + col("n_chars")), 6).as("score")
-        )
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(20)),
-    // function_score from the wire format (field_value_factor body):
-    // the inner match filters, boost × ln1p(factor × n_chars) ranks —
-    // the same filter-then-project-then-top-k plan as the structured
-    // twin (JsonDslSpec asserts the shape), emitted as _score per the
-    // wire convention.
-    "search_dsl_json_function_score" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir).select("doc_id", "text", "n_chars"),
-        """{"query": {"function_score": {
-          |   "query": {"match": {"text": "spark"}},
-          |   "field_value_factor": {"field": "n_chars", "modifier": "ln1p", "factor": 1.0},
-          |   "boost": 1.5}},
-          | "sort": [{"doc_id": "asc"}], "size": 20,
-          | "_source": ["doc_id", "n_chars", "_score"]}""".stripMargin,
-        docsMapping
-      )),
-    // boosting query: positive matches kept, negative matches demoted by
-    // negative_boost (0.5) rather than excluded.
-    "search_boosting" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), SearchDsl.analyze(col("text")).as("_t"))
-        .filter(array_contains(col("_t"), "spark"))
-        .select(col("doc_id"), when(array_contains(col("_t"), "slow"), 0.5).otherwise(1.0).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))),
-    // terms_set: docs matching at least `minimum_should_match` of the
-    // given terms — one array_intersect per row, no explode.
-    "search_terms_set" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(
-          col("doc_id"),
-          array_intersect(
-            array_distinct(SearchDsl.analyze(col("text"))),
-            array(lit("spark"), lit("query"), lit("merge"))
-          ).as("_m")
-        )
-        .filter(size(col("_m")) >= 2)
-        .select(col("doc_id"), size(col("_m")).cast("long").as("n_matched"))
-        .orderBy("doc_id")),
-    // span_near: 'big' strictly before 'table' within slop 2 (position
-    // gap ≤ 3). Token positions via HOFs over the materialized token
-    // array — per-row work, no self-join, no explode-shuffle.
-    "search_span_near" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
-        .select(
-          col("doc_id"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'big', i, -1)), x -> x >= 0)").as("_pa"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'table', i, -1)), x -> x >= 0)").as("_pb")
-        )
-        .filter(expr("exists(_pa, a -> exists(_pb, b -> b > a AND b - a <= 3))"))
-        .select("doc_id")
-        .orderBy("doc_id")),
-    // match_phrase_prefix: the phrase's last term is a PREFIX — 'big'
-    // followed immediately by a 'dat…' token. Same token-position HOF
-    // shape as span_near: per-row array work, no self-join.
-    "search_match_phrase_prefix" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
-        .filter(
-          expr(
-            "size(filter(transform(_toks, (t, i) -> t = 'big' AND i + 2 <= size(_toks)" +
-              " AND startswith(element_at(_toks, i + 2), 'dat')), x -> x)) > 0"
-          )
-        )
-        .select("doc_id")
-        .orderBy("doc_id")),
-    // match_bool_prefix: every term a term-match except the last, which
-    // is a prefix; default OR semantics (minimum_should_match = 1).
-    "search_match_bool_prefix" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
-        .filter(array_contains(col("_toks"), "spark") || expr("exists(_toks, t -> startswith(t, 'quer'))"))
-        .select("doc_id")
-        .orderBy("doc_id")),
-    // intervals query, ordered mode: 'stream' before 'merge' at ANY gap
-    // (the unbounded-slop complement of span_near's bounded window).
-    "search_intervals_ordered" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
-        .select(
-          col("doc_id"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'stream', i, -1)), x -> x >= 0)").as("_pa"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'merge', i, -1)), x -> x >= 0)").as("_pb")
-        )
-        .filter(expr("exists(_pa, a -> exists(_pb, b -> b > a))"))
-        .select("doc_id")
-        .orderBy("doc_id")),
-    // children aggregation: parent buckets with child-doc metrics — the
-    // has_child query family's aggregation face (orders parent lineitem
-    // via the order key, the reference's one real parent/child pair).
-    // Join + hash agg with map-side partials; the colocated q-entries
-    // show the zero-exchange layout for this exact join at scale.
-    "search_children_agg" -> ((s, dir) =>
-      Tables
-        .orders(s, dir)
-        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderpriority").as("key"))
-        .agg(count(lit(1)).as("child_count"), sum(col("l_quantity")).as("total_qty"))
-        .orderBy("key")),
-    // span_or: match if ANY sub-span matches — a rare term OR an ordered
-    // near-pair. Same per-row HOF shape as span_near; the disjunction is
-    // a boolean OR of the two whole-row span predicates.
-    "search_span_or" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
-        .select(
-          col("doc_id"),
-          col("_toks"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'big', i, -1)), x -> x >= 0)").as("_pa"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'data', i, -1)), x -> x >= 0)").as("_pb")
-        )
-        .filter(
-          array_contains(col("_toks"), "dup") ||
-            expr("exists(_pa, a -> exists(_pb, b -> b > a AND b - a <= 2))")
-        )
-        .select("doc_id")
-        .orderBy("doc_id")),
-    // span_not: include spans ('data') minus those overlapping an exclude
-    // span (the phrase "big data") — emitted with the count of surviving
-    // positions so the hash checks span arithmetic, not just membership.
-    "search_span_not" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
-        .select(
-          col("doc_id"),
-          // transform's index is 0-based while element_at is 1-based, so
-          // element_at(_toks, i) IS the previous token; i = 0 guards the
-          // first position (element_at(…, 0) throws under ANSI).
-          expr(
-            "size(filter(transform(_toks, (t, i) -> t = 'data' AND IF(i = 0, true, element_at(_toks, i) != 'big')), x -> x))"
-          ).as("n_spans")
-        )
-        .filter(col("n_spans") > 0)
-        .orderBy("doc_id")),
-    // span_within: 'fast' occurrences enclosed by a stream…merge ordered
-    // span (gap ≤ 6) — n_spans counts the enclosed LITTLE spans.
-    "search_span_within" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
-        .select(
-          col("doc_id"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'stream', i, -1)), x -> x >= 0)").as("_pa"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'merge', i, -1)), x -> x >= 0)").as("_pb"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'fast', i, -1)), x -> x >= 0)").as("_pp")
-        )
-        .select(
-          col("doc_id"),
-          expr(
-            "size(filter(_pp, p -> exists(_pa, a -> exists(_pb, b -> b > a AND b - a <= 6 AND p > a AND p < b))))"
-          ).as("n_spans")
-        )
-        .filter(col("n_spans") > 0)
-        .orderBy("doc_id")),
-    // span_containing: sort…scan ordered spans (gap ≤ 5) that CONTAIN a
-    // 'key' occurrence — n_spans counts the containing BIG spans (the
-    // dual of span_within's little-span count).
-    "search_span_containing" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
-        .select(
-          col("doc_id"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'sort', i, -1)), x -> x >= 0)").as("_pa"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'scan', i, -1)), x -> x >= 0)").as("_pb"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'key', i, -1)), x -> x >= 0)").as("_pp")
-        )
-        .select(
-          col("doc_id"),
-          expr(
-            "aggregate(_pa, 0L, (acc, a) -> acc + size(filter(_pb, " +
-              "b -> b > a AND b - a <= 5 AND exists(_pp, p -> p > a AND p < b))))"
-          ).as("n_spans")
-        )
-        .filter(col("n_spans") > 0)
-        .orderBy("doc_id")),
-    // script_score: replace relevance with a deterministic script over
-    // doc fields — one codegen'd expression per row, top-k bounded.
-    "search_script_score" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .filter(col("text").contains("spark"))
-        .select(
-          col("doc_id"),
-          round(log(lit(1.0) + col("n_chars")) * 1.5 + (col("doc_id") % 7).cast("double"), 4).as("score")
-        )
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(15)),
-    // intervals query, all_of(ordered, max_gaps=3) over [any_of(big,
-    // fast), table]: an any_of alternative feeding an ordered bounded-gap
-    // composition — max_gaps counts positions BETWEEN matches, so the
-    // position test is b − a − 1 ≤ 3. Same per-row HOF plan as span_near.
-    "search_intervals_any" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
-        .select(
-          col("doc_id"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'big' OR t = 'fast', i, -1)), x -> x >= 0)").as("_pa"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'table', i, -1)), x -> x >= 0)").as("_pb")
-        )
-        .filter(expr("exists(_pa, a -> exists(_pb, b -> b > a AND b - a - 1 <= 3))"))
-        .select("doc_id")
-        .orderBy("doc_id")),
-    // constant_score: filter context with a fixed boost as _score — no
-    // relevance computation at all, the cheapest scored query there is.
-    "search_constant_score" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .filter(array_contains(SearchDsl.analyze(col("text")), "vector"))
-        .select(col("doc_id"), lit(1.2).as("_score"))
-        .orderBy("doc_id")),
-    // constant_score from the wire format: same filter-plus-fixed-boost
-    // plan as the structured twin (JsonDslSpec asserts plan equality).
-    "search_dsl_json_constant_score" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir).select("doc_id", "text"),
-        """{"query": {"constant_score": {"filter": {"match": {"text": "vector"}}, "boost": 1.2}},
-          | "sort": ["doc_id"], "_source": ["doc_id", "_score"]}""".stripMargin,
-        docsMapping
-      )),
-    // dis_max from the wire format: both constant_score clauses evaluate
-    // in ONE pass over each row, fused as best + tie_breaker × rest —
-    // same single-scan shape as the structured search_dis_max.
-    "search_dsl_json_dis_max" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir).select("doc_id", "text"),
-        """{"query": {"dis_max": {"tie_breaker": 0.3, "queries": [
-          |   {"constant_score": {"filter": {"match": {"text": "spark"}}, "boost": 2.0}},
-          |   {"constant_score": {"filter": {"match": {"text": "query"}}, "boost": 1.5}}]}},
-          | "sort": ["doc_id"], "_source": ["doc_id", "_score"]}""".stripMargin,
-        docsMapping
-      )),
-    // global agg: bucket scoped to ALL documents alongside the query's
-    // own hits — both aggregates come out of ONE scan (conditional +
-    // unconditional sums), then meet in a 1-row broadcast cross join.
-    "search_global_agg" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).select(col("event_type"), decMoney(col("value")).as("v"))
-      val hits = ev
-        .filter(col("event_type") === "purchase")
-        .agg(
-          count(lit(1)).as("n_hits"),
-          round(sum(col("v")).cast("double") / count(lit(1)), 6).as("hits_avg_value")
-        )
-      val all = ev.agg(
-        count(lit(1)).as("n_total"),
-        round(sum(col("v")).cast("double") / count(lit(1)), 6).as("total_avg_value")
-      )
-      hits.crossJoin(broadcast(all))
-    }),
-    // terms agg with a terms SUB-agg (the nested bucket tree): per-lang
-    // top-3 sources by doc count — counted by one hash agg, ranked by
-    // the bounded-heap TopKPerKey exec (no window sort).
-    "search_terms_sub_terms" -> ((s, dir) => {
-      val counted = Tables
-        .documents(s, dir)
-        .groupBy("lang", "source")
-        .agg(count(lit(1)).as("doc_count"))
-      graft.plans.TopKPerKey
-        .perKey(counted, Seq("lang"), Seq("doc_count" -> false, "source" -> true), 3)
-        .orderBy("lang", "rank")
-    }),
-    // t_test agg (Welch's unpaired): purchase-vs-view event values. The
-    // moments are EXACT decimal sums from one conditional-agg scan; the
-    // statistic is then a fixed double expression tree (+,*,/,sqrt are
-    // all IEEE correctly-rounded, so both engines agree bit-for-bit —
-    // var_samp's partition-order accumulation would not).
-    "search_t_test" -> ((s, dir) =>
-      Aggs.tTest(
-        Tables.events(s, dir).filter(col("event_type").isin("purchase", "view")),
-        col("value"),
-        col("event_type") === "purchase",
-        col("event_type") === "view"
-      )),
-    // matrix_stats agg: pairwise covariance/correlation of three numeric
-    // fields from ONE scan of exact decimal moments (n, Σx, Σx², Σxy per
-    // pair), the statistics derived in a fixed double tree and unpivoted
-    // with stack() — never three covar_samp/corr aggs (partition-order
-    // double accumulation) nor three scans.
-    "search_matrix_stats" -> ((s, dir) =>
-      Aggs.matrixStats(Tables.lineitem(s, dir), Seq("l_quantity", "l_extendedprice", "l_discount"))),
-    // Zipf slope of the token-frequency distribution: OLS of ln(count)
-    // on ln(rank) — the corpus-health fingerprint (natural prose ≈ −1).
-    // The vocabulary table is the only windowed input (|V| rows, tiny);
-    // the corpus-scale work is the one explode + hash count.
-    "text_zipf_slope" -> ((s, dir) => {
-      val tf = Tables
-        .documents(s, dir)
-        .select(explode(TextFns.tokens(col("text"))).as("tok"))
-        .groupBy("tok")
-        .agg(count(lit(1)).as("cnt"))
-      val ranked = tf
-        .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
-        .select(log(col("rank").cast("double")).as("x"), log(col("cnt").cast("double")).as("y"))
-      ranked
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("x") * col("y")).as("sxy")
-        )
-        .select(
-          round(
-            (col("n") * col("sxy") - col("sx") * col("sy")) /
-              (col("n") * col("sxx") - col("sx") * col("sx")),
-            6
-          ).as("zipf_slope"),
-          col("n").as("vocab_size")
-        )
-    }),
-
-    // ── Geo queries (derived coordinates — see geoEvents) ───────────────
-    // geo_distance: events within 1000 km of (10, 20), equirectangular
-    // distance with a FIXED mid-latitude scale literal — only *, +, sqrt
-    // (all IEEE correctly-rounded) so both engines agree bit-for-bit;
-    // haversine's sin/cos/atan2 are NOT correctly-rounded and could flip
-    // boundary rows between engines. The distance predicate is
-    // scan-pushable via the lat/lon bounding comparisons a real layout
-    // would partition on.
-    "search_geo_distance" -> ((s, dir) => {
-      val dlat = col("lat") - lit(10.0)
-      val dlon = (col("lon") - lit(20.0)) * lit(0.7071067811865476)
-      geoEvents(s, dir)
-        .withColumn("dist_km", sqrt(dlat * dlat + dlon * dlon) * lit(111.195))
-        .filter(col("dist_km") <= 1000.0)
-        .select(col("event_id"), round(col("dist_km"), 6).as("dist_km"))
-        .orderBy("event_id")
-    }),
-    // geo_distance AGGREGATION (rings around an origin): each doc lands
-    // in one distance band, one hash-agg over ≤4 ring keys — the
-    // bucketing is a per-row projection, so this is a plain codegen'd
-    // scan + tiny aggregate at any corpus size. Ring keys follow the
-    // OpenSearch "*-1000.0" / "1000.0-3000.0" naming.
-    "search_geo_distance_rings" -> ((s, dir) => {
-      val dlat = col("lat") - lit(10.0)
-      val dlon = (col("lon") - lit(20.0)) * lit(0.7071067811865476)
-      geoEvents(s, dir)
-        .withColumn("dist_km", sqrt(dlat * dlat + dlon * dlon) * lit(111.195))
-        .withColumn(
-          "ring",
-          when(col("dist_km") < 1000.0, "*-1000.0")
-            .when(col("dist_km") < 3000.0, "1000.0-3000.0")
-            .when(col("dist_km") < 8000.0, "3000.0-8000.0")
-            .otherwise("8000.0-*")
-        )
-        .groupBy("ring")
-        .agg(count(lit(1)).as("doc_count"))
-        .orderBy("ring")
-    }),
-    // geo_bounding_box: pure range comparisons — fully pushdown-able.
-    "search_geo_bbox" -> ((s, dir) =>
-      geoEvents(s, dir)
-        .filter(col("lat") >= 0.0 && col("lat") < 45.0 && col("lon") >= -90.0 && col("lon") < 0.0)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("doc_count"))
-        .orderBy("event_type")),
-    // geotile_grid agg: 15°×15° cells, top 20 by density — floor-binned
-    // integer cell keys, one hash agg.
-    "search_geotile_grid" -> ((s, dir) =>
-      geoEvents(s, dir)
-        .groupBy(
-          floor(col("lat") / 15.0).cast("long").as("cell_y"),
-          floor(col("lon") / 15.0).cast("long").as("cell_x")
-        )
-        .agg(count(lit(1)).as("doc_count"))
-        .orderBy(col("doc_count").desc, col("cell_y"), col("cell_x"))
-        .limit(20)),
-    // geo_polygon query: pnpoly ray casting against a diamond around the
-    // origin — edges unroll into one codegen'd per-row expression (the
-    // polygon is request metadata); count per event type. Exact-binary
-    // vertices keep the oracle's IEEE arithmetic term-identical.
-    "search_geo_polygon" -> ((s, dir) =>
-      geoEvents(s, dir)
-        .filter(
-          graft.search.Aggs
-            .pointInPolygon(col("lat"), col("lon"), Seq((0.0, -90.0), (45.0, 0.0), (0.0, 90.0), (-45.0, 0.0)))
-        )
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("doc_count"))
-        .orderBy("event_type")),
-    // geohash_grid agg: precision-5 geohash cells, top 20 by density.
-    // The cell key is pure integer arithmetic from the synthetic
-    // hundredth-degree coordinates (quantize → interleave → base32), so
-    // the DuckDB oracle reproduces identical strings — no geo library on
-    // either side. One hash agg; GeohashSpec pins the encoding against
-    // the textbook bisection encoder.
-    "search_geohash_grid" -> ((s, dir) =>
-      Tables
-        .events(s, dir)
-        .select(
-          graft.search.Aggs
-            .geohash5(pmod(col("user_id") * 1237, lit(18000)), pmod(col("event_id") * 91, lit(36000)))
-            .as("geohash")
-        )
-        .groupBy("geohash")
-        .agg(count(lit(1)).as("doc_count"))
-        .orderBy(col("doc_count").desc, col("geohash"))
-        .limit(20)),
-    // stats_bucket pipeline agg: count/min/max/avg/sum over a sibling
-    // date_histogram's per-bucket revenue — stats of the bucket table
-    // (months, driver-scale), order-proof via exact decimal sums.
-    "search_stats_bucket" -> ((s, dir) => {
-      val buckets = Tables
-        .orders(s, dir)
-        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
-        .agg(round(sum("o_totalprice"), 2).as("revenue"))
-      buckets.agg(
-        count(lit(1)).as("n_buckets"),
-        round(min("revenue"), 2).as("min_rev"),
-        round(max("revenue"), 2).as("max_rev"),
-        round(sum(col("revenue").cast("decimal(18,2)")).cast("double") / count(lit(1)), 6).as("avg_rev"),
-        sum(col("revenue").cast("decimal(18,2)")).cast("double").as("sum_rev")
-      )
-    }),
-    // geo_centroid agg: per-type centroid via EXACT decimal coordinate
-    // sums (the coordinates are 2dp by construction), double-divided at
-    // the end — partition-order-proof, like every money aggregate here.
-    "search_geo_centroid" -> ((s, dir) =>
-      geoEvents(s, dir)
-        .groupBy("event_type")
-        .agg(
-          round(sum(col("lat").cast("decimal(9,2)")).cast("double") / count(lit(1)), 6).as("centroid_lat"),
-          round(sum(col("lon").cast("decimal(9,2)")).cast("double") / count(lit(1)), 6).as("centroid_lon"),
-          count(lit(1)).as("doc_count")
-        )
-        .orderBy("event_type")),
-    // geo_bounds aggregation: the tightest lat/lon envelope per bucket —
-    // pure min/max selections (2dp-exact doubles), one hash agg.
-    "search_geo_bounds" -> ((s, dir) =>
-      geoEvents(s, dir)
-        .groupBy("event_type")
-        .agg(
-          max("lat").as("top"),
-          min("lat").as("bottom"),
-          min("lon").as("left"),
-          max("lon").as("right"),
-          count(lit(1)).as("doc_count")
-        )
-        .orderBy("event_type")),
-    // JSON-body twins of the new agg/query types — same parameters as the
-    // structured entries, so they share the oracle SQL and (plan-asserted
-    // in JsonDslSpec) the Catalyst plan.
-    "search_dsl_json_adjacency" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"aggs": {"interactions": {"adjacency_matrix": {"filters": {
-          |  "en":   {"term": {"lang": "en"}},
-          |  "long": {"range": {"n_chars": {"gt": 300}}},
-          |  "src1": {"term": {"source": "src1"}}
-          |}}}}}""".stripMargin,
-        docsMapping
-      )),
-    // scripted_metric: the "script" is a Catalyst SQL expression compiled
-    // into the scan (codegen'd, pushdown-friendly) — the Spark-first
-    // answer to painless, with sum/avg/min/max/count reduce phases.
-    "search_scripted_metric" -> ((s, dir) =>
-      Aggs.scriptedMetric(Tables.lineitem(s, dir), "l_extendedprice * (1 - l_discount)", "sum")),
-    "search_dsl_json_scripted_metric" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.lineitem(s, dir),
-        """{"aggs": {"revenue": {"scripted_metric": {
-          |  "map_script": "l_extendedprice * (1 - l_discount)",
-          |  "reduce_script": "sum"}}}}""".stripMargin
-      )),
-    // JSON-body more_like_this (free-text `like` form): analyzed like-
-    // terms as an msm-gated match.
-    "search_dsl_json_mlt" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"more_like_this": {"fields": ["text"], "like": "big data table scan",
-          |  "minimum_should_match": 3}},
-          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin,
-        docsMapping
-      )),
-    // JSON-body geo aggs over the struct geo field; the grid twin shares
-    // search_geotile_grid's oracle, the centroid is the ungrouped form.
-    "search_dsl_json_geotile" -> ((s, dir) =>
-      JsonDsl.parse(
-        geoEvents(s, dir).select(struct(col("lat"), col("lon")).as("location")),
-        """{"aggs": {"grid": {"geotile_grid": {"field": "location", "precision": 15, "size": 20}}}}"""
-      )),
-    // intervals from the wire format: all_of(ordered, max_gaps=3) with an
-    // any_of alternative — oracle identical to search_intervals_any.
-    "search_dsl_json_intervals" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"intervals": {"text": {"all_of": {
-          |   "ordered": true, "max_gaps": 3,
-          |   "intervals": [
-          |     {"any_of": {"intervals": [{"match": {"query": "big"}}, {"match": {"query": "fast"}}]}},
-          |     {"match": {"query": "table"}}
-          |   ]}}}},
-          | "sort": [{"doc_id": {"order": "asc"}}],
-          | "_source": ["doc_id"]}""".stripMargin,
-        docsMapping
-      )),
-    // match_phrase_prefix from the wire format: 'big dat…' — oracle
-    // identical to the structured entry.
-    "search_dsl_json_match_phrase_prefix" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"match_phrase_prefix": {"text": "big dat"}},
-          | "sort": [{"doc_id": {"order": "asc"}}],
-          | "_source": ["doc_id"]}""".stripMargin,
-        docsMapping
-      )),
-    // geo_polygon from the wire format: the points list rides the body,
-    // same pnpoly predicate over a struct geo field — shared oracle.
-    "search_dsl_json_geo_polygon" -> ((s, dir) =>
-      JsonDsl.parse(
-        geoEvents(s, dir).select(col("event_type"), struct(col("lat"), col("lon")).as("location")),
-        """{"query": {"geo_polygon": {"location": {"points": [
-          |   {"lat": 0.0, "lon": -90.0}, {"lat": 45.0, "lon": 0.0},
-          |   {"lat": 0.0, "lon": 90.0}, {"lat": -45.0, "lon": 0.0}
-          | ]}}},
-          | "aggs": {"types": {"terms": {"field": "event_type", "size": 100}}}}""".stripMargin
-      ).orderBy("key")),
-    // geohash_grid from the wire format: same precision-5 integer
-    // encoder (Aggs.geohash5), struct field carrying the hundredth-
-    // degree grid — oracle shared with search_geohash_grid's shape.
-    "search_dsl_json_geohash" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables
-          .events(s, dir)
-          .select(
-            struct(
-              pmod(col("user_id") * 1237, lit(18000)).as("la100"),
-              pmod(col("event_id") * 91, lit(36000)).as("lo100")
-            ).as("position")
-          ),
-        """{"aggs": {"cells": {"geohash_grid": {"field": "position", "precision": 5, "size": 20}}}}"""
-      )),
-    // Sibling pipeline from the wire format: a date_histogram with a sum
-    // sub-agg feeding a stats_bucket sibling via buckets_path — the
-    // two-top-level-agg request shape OpenSearch uses for bucket stats.
-    "search_dsl_json_stats_bucket" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {
-          |  "monthly": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
-          |              "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}}},
-          |  "rev_stats": {"stats_bucket": {"buckets_path": "monthly>revenue"}}
-          |}}""".stripMargin
-      )),
-    // span_or from the wire format: span_term OR span_near, compiled to
-    // one per-row predicate pass — oracle identical to search_span_or.
-    "search_dsl_json_span_or" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"span_or": {"clauses": [
-          |   {"span_term": {"text": {"value": "dup"}}},
-          |   {"span_near": {"clauses": [
-          |      {"span_term": {"text": {"value": "big"}}},
-          |      {"span_term": {"text": {"value": "data"}}}
-          |    ], "slop": 2, "in_order": true}}
-          | ]}},
-          | "sort": [{"doc_id": {"order": "asc"}}],
-          | "_source": ["doc_id"]}""".stripMargin,
-        docsMapping
-      )),
-    "search_dsl_json_geo_centroid" -> ((s, dir) =>
-      JsonDsl.parse(
-        geoEvents(s, dir).select(struct(col("lat"), col("lon")).as("location")),
-        """{"aggs": {"c": {"geo_centroid": {"field": "location"}}}}"""
-      )),
-    // JSON-body geo_distance over a struct geo field — same predicate as
-    // the flat-column search_geo_distance (ids-only projection).
-    "search_dsl_json_geo" -> ((s, dir) =>
-      JsonDsl.parse(
-        geoEvents(s, dir).select(col("event_id"), struct(col("lat"), col("lon")).as("location")),
-        """{"query": {"geo_distance": {"distance": "1000km", "location": {"lat": 10.0, "lon": 20.0}}},
-          | "sort": [{"event_id": "asc"}], "_source": ["event_id"]}""".stripMargin
-      )),
-    "search_dsl_json_t_test" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.events(s, dir),
-        """{"aggs": {"vals": {"t_test": {
-          |  "a": {"field": "value", "filter": {"term": {"event_type": "purchase"}}},
-          |  "b": {"field": "value", "filter": {"term": {"event_type": "view"}}},
-          |  "type": "heteroscedastic"}}}}""".stripMargin
-      )),
-    "search_dsl_json_boxplot" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.lineitem(s, dir),
-        """{"aggs": {"price_box": {"boxplot": {"field": "l_extendedprice"}}}}"""
-      )),
-    "search_dsl_json_terms_set" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"terms_set": {"text": {
-          |   "terms": ["spark", "query", "merge"], "minimum_should_match": 2}}},
-          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id", "lang"]}""".stripMargin,
-        docsMapping
-      )),
-    // percolate: reverse search — stored queries evaluated against a doc
-    // stream. The (tiny) registered-query table broadcasts; one scan of
-    // the docs evaluates every query via a generic (field, op, value)
-    // interpreter — never one pass per stored query.
-    "search_percolate" -> ((s, dir) => {
-      import s.implicits._
-      val stored = Seq(
-        (1L, "o_orderstatus", "term", "O"),
-        (2L, "o_totalprice", "gt", "200000"),
-        (3L, "o_orderpriority", "prefix", "1"),
-        (4L, "o_orderstatus", "term", "F")
-      ).toDF("query_id", "field", "op", "value")
-      Tables
-        .orders(s, dir)
-        .filter(col("o_orderkey") < 100)
-        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
-        .crossJoin(broadcast(stored))
-        .filter(
-          (col("op") === "term" && (
-            (col("field") === "o_orderstatus" && col("o_orderstatus") === col("value")) ||
-              (col("field") === "o_orderpriority" && col("o_orderpriority") === col("value"))
-          )) ||
-            (col("op") === "gt" && col("field") === "o_totalprice" &&
-              col("o_totalprice") > col("value").cast("double")) ||
-            (col("op") === "prefix" && col("field") === "o_orderpriority" &&
-              expr("startswith(o_orderpriority, value)"))
-        )
-        .select(col("o_orderkey"), col("query_id"))
-        .orderBy("o_orderkey", "query_id")
-    }),
-    // percolate from the JSON wire format: the registry rows are
-    // OpenSearch request bodies; JsonDsl compiles each ONCE into the
-    // same predicate the forward search would apply, and a single doc
-    // scan emits every (doc, stored-query) match — the same one-pass
-    // plan shape as the structured search_percolate above.
-    "search_dsl_json_percolate" -> ((s, dir) => {
-      val registry = Seq(
-        1L -> """{"query": {"term": {"o_orderstatus": "O"}}}""",
-        2L -> """{"query": {"range": {"o_totalprice": {"gt": 200000}}}}""",
-        3L -> """{"query": {"prefix": {"o_orderpriority": "1"}}}""",
-        4L -> """{"query": {"bool": {"must": [{"term": {"o_orderstatus": "F"}},
-                 {"range": {"o_totalprice": {"lte": 100000}}}]}}}"""
-      )
-      JsonDsl
-        .percolate(
-          Tables
-            .orders(s, dir)
-            .filter(col("o_orderkey") < 100)
-            .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"),
-          registry
-        )
-        .select(col("o_orderkey"), col("query_id"))
-        .orderBy("o_orderkey", "query_id")
-    }),
-    // rank_feature query: score = boost · x/(x + pivot) — the saturating
-    // feature-ranking curve, a pure projection over the match filter.
-    "search_rank_feature" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .filter(array_contains(SearchDsl.analyze(col("text")), "spark"))
-        .select(
-          col("doc_id"),
-          col("n_chars"),
-          round(lit(2.0) * col("n_chars") / (col("n_chars") + lit(250.0)), 6).as("score")
-        )
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(20)),
-    // diversified_sampler: deterministic md5-ordered sample capped at 20
-    // docs per lang (TopKPerKey bounded heaps — the same quota-sampling
-    // exec as sample_cap_per_source), feeding a terms agg on source.
-    "search_sampler_diversified" -> ((s, dir) => {
-      val d = Tables
-        .documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("source"), md5(col("doc_id").cast("string")).as("_h"))
-      Aggs
-        .topHits(d, col("lang"), 20, Seq(col("_h").asc, col("doc_id").asc))
-        .groupBy(col("source").as("key"))
-        .agg(count(lit(1)).as("doc_count"))
-        .orderBy(col("doc_count").desc, col("key"))
-    }),
-    // ── Remaining query-DSL surface (r7) ────────────────────────────────
-    // pinned query: curated ids surface first IN LIST ORDER, organic hits
-    // follow ranked by score. One scan — the rank is array_position into
-    // the pinned list (0/absent = organic tier), not per-id union
-    // branches, so the plan is a bounded top-k over a single pass.
-    "search_pinned" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(
-          col("doc_id"),
-          coalesce(array_position(array(lit(7L), lit(3L), lit(11L)), col("doc_id")), lit(0L)).as("_pin"),
-          SearchDsl.matchScore(col("text"), Seq("spark")).as("score")
-        )
-        .filter(col("_pin") > 0 || col("score") > 0)
-        .select(
-          col("doc_id"),
-          (col("_pin") > 0).as("pinned"),
-          col("score"),
-          when(col("_pin") > 0, col("_pin")).otherwise(lit(Long.MaxValue)).as("_tier")
-        )
-        .orderBy(col("_tier").asc, col("score").desc, col("doc_id"))
-        .select("doc_id", "pinned", "score")
-        .limit(10)),
-    // terms lookup: the term list comes from ANOTHER document (the
-    // OpenSearch index/id/path form), not the request body. The lookup
-    // row's indexed tokens become a broadcast semi-join onto the corpus
-    // token table — one scan, no driver round-trip, no O(terms) OR-chain.
-    "search_terms_lookup" -> ((s, dir) => {
-      val lookupTerms = Tables
-        .documents(s, dir)
-        .filter(col("doc_id") === 0L)
-        .select(explode(array_distinct(SearchDsl.analyze(col("text")))).as("term"))
-        .filter(length(col("term")) >= 5)
-      Tables
-        .documents(s, dir)
-        .filter(col("doc_id") =!= 0L)
-        .select(col("doc_id"), col("lang"), explode(array_distinct(SearchDsl.analyze(col("text")))).as("term"))
-        .join(broadcast(lookupTerms), "term")
-        .select("doc_id", "lang")
-        .distinct()
-        .orderBy("doc_id")
-    }),
-    // span_first: the match must begin within the first N token
-    // positions — see SearchDsl.spanFirstPos (whole-row, no explode).
-    "search_span_first" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), SearchDsl.spanFirstPos(col("text"), "spark").as("pos"))
-        .filter(col("pos").between(1, 5))
-        .orderBy("doc_id")),
-    // distance_feature: relevance decays with distance from an origin
-    // timestamp as boost·pivot/(pivot+dist) — projection math over the
-    // filtered scan, bounded top-k. origin = 2024-02-01T00:00Z, pivot =
-    // 7 days.
-    "search_distance_feature" -> ((s, dir) =>
-      Tables
-        .events(s, dir)
-        .filter(col("event_type") === "purchase")
-        .select(
-          col("event_id"),
-          round(
-            SearchDsl.distanceFeature(
-              abs(unix_timestamp(col("ts")) - lit(1706745600L)).cast("double"),
-              pivot = 604800.0,
-              boost = 2.0
-            ),
-            6
-          ).as("score")
-        )
-        .orderBy(col("score").desc, col("event_id"))
-        .limit(10)),
-    // function_score gauss decay on a numeric field: 1.0 within `offset`
-    // of the origin, `decay` at offset+scale — see SearchDsl.gaussDecay.
-    "search_decay_gauss" -> ((s, dir) =>
-      Tables
-        .orders(s, dir)
-        .filter(col("o_orderkey") < 500)
-        .select(
-          col("o_orderkey"),
-          round(SearchDsl.gaussDecay(col("o_totalprice"), 150000.0, 50000.0, 10000.0, 0.5), 6).as("score")
-        )
-        .orderBy(col("score").desc, col("o_orderkey"))
-        .limit(20)),
-    // random_score(seed): deterministic uniform jitter from md5(seed:id)
-    // — reproducible across runs, partition layouts, and engines (the
-    // property OpenSearch's seeded variant promises).
-    "search_random_score" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), round(SearchDsl.randomScore(col("doc_id"), 42), 6).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(10)),
-    // exists / missing: field presence after enrichment — customers
-    // left-joined to the distinct keys of their HIGH-VALUE orders
-    // (>450k), a genuinely sparse field (most-but-not-all customers
-    // qualify; the generator gives every customer *some* order, so the
-    // unfiltered key set would be exists-everywhere and vacuous). The
-    // probe side is reduced to distinct keys BEFORE the join, so the
-    // shuffle carries one row per qualifying buyer, not per order; no
-    // broadcast hint — the buyer set scales with SF, AQE decides.
-    "search_exists" -> ((s, dir) => {
-      val buyers =
-        Tables.orders(s, dir).filter(col("o_totalprice") > 450000).select(col("o_custkey")).distinct()
-      Tables
-        .customer(s, dir)
-        .join(buyers, col("c_custkey") === col("o_custkey"), "left")
-        .groupBy(col("c_mktsegment").as("segment"))
-        .agg(
-          count(lit(1)).as("n_customers"),
-          count(col("o_custkey")).as("n_with_orders"),
-          (count(lit(1)) - count(col("o_custkey"))).as("n_missing")
-        )
-        .orderBy("segment")
-    }),
-    // max_bucket pipeline agg: the bucket KEY(s) holding the maximum
-    // metric — argmax via a 1-row broadcast of the max back onto the
-    // (tiny, ~84-row) bucket table, never a global sort of buckets.
-    "search_max_bucket" -> ((s, dir) => {
-      val buckets = Tables
-        .orders(s, dir)
-        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
-        .agg(round(sum("o_totalprice"), 2).as("revenue"))
-      buckets
-        .crossJoin(broadcast(buckets.agg(max("revenue").as("_mx"))))
-        .filter(col("revenue") === col("_mx"))
-        .select("bucket", "revenue")
-        .orderBy("bucket")
-    }),
-    // normalize pipeline agg (percent_of_sum): each bucket's share of
-    // the grand total — 1-row broadcast of the total, codegen'd division
-    // over the bucket table.
-    "search_normalize" -> ((s, dir) => {
-      val buckets = Tables
-        .orders(s, dir)
-        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
-        .agg(round(sum("o_totalprice"), 2).as("revenue"))
-      buckets
-        .crossJoin(broadcast(buckets.agg(round(sum("revenue"), 2).as("_tot"))))
-        .select(
-          col("bucket"),
-          col("revenue"),
-          round(col("revenue") / col("_tot") * 100.0, 6).as("pct_of_sum")
-        )
-        .orderBy("bucket")
-    }),
-    // moving_percentiles pipeline agg: exact interpolated p50/p90 over a
-    // trailing 6-bucket window — the window runs over the bucket table
-    // (~84 rows), never the fact scan.
-    "search_moving_percentiles" -> ((s, dir) => {
-      val buckets = Tables
-        .orders(s, dir)
-        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
-        .agg(round(sum("o_totalprice"), 2).as("revenue"))
-      val w = Window.orderBy("bucket").rowsBetween(-5, Window.currentRow)
-      buckets
-        .select(
-          col("bucket"),
-          col("revenue"),
-          round(expr("percentile(revenue, 0.5)").over(w), 6).as("p50_6m"),
-          round(expr("percentile(revenue, 0.9)").over(w), 6).as("p90_6m")
-        )
-        .orderBy("bucket")
-    }),
-    // geo_line agg: per group, the track of points ordered by timestamp,
-    // capped at 10 — TopKPerKey bounds per-group state to the cap
-    // (bounded heaps, no full collect-then-slice), then one tiny
-    // hash agg assembles the line string. Coordinates print through
-    // decimal(6,2) so both engines render identical fixed-point text.
-    "search_geo_line" -> ((s, dir) => {
-      val pts = geoEvents(s, dir).select(
-        col("event_type"),
-        col("ts"),
-        col("event_id"),
-        concat(
-          col("lat").cast("decimal(6,2)").cast("string"),
-          lit(","),
-          col("lon").cast("decimal(6,2)").cast("string")
-        ).as("pt")
-      )
-      graft.plans.TopKPerKey
-        .perKey(pts, Seq("event_type"), Seq("ts" -> true, "event_id" -> true), 10)
-        .groupBy("event_type")
-        .agg(concat_ws(" ", expr("transform(array_sort(collect_list(struct(rank, pt))), x -> x.pt)")).as("line"))
-        .orderBy("event_type")
-    }),
-    // frequent_item_sets agg (pair tier): market-basket pairs over
-    // (user, day) baskets of DISTINCT event types. The self-join fans
-    // out C(|basket|, 2) ≤ C(|vocab|, 2) pairs per basket — bounded by
-    // the item vocabulary, not the event count — and support is one
-    // hash agg against the broadcast basket total.
-    "search_frequent_pairs" -> ((s, dir) => {
-      val baskets = Tables
-        .events(s, dir)
-        .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("event_type"))
-        .distinct()
-      val nBaskets = baskets.select("user_id", "day").distinct().agg(count(lit(1)).as("_n"))
-      baskets
-        .as("a")
-        .join(baskets.as("b"), Seq("user_id", "day"))
-        .filter(col("a.event_type") < col("b.event_type"))
-        .groupBy(col("a.event_type").as("item1"), col("b.event_type").as("item2"))
-        .agg(count(lit(1)).as("pair_count"))
-        .crossJoin(broadcast(nBaskets))
-        .select(
-          col("item1"),
-          col("item2"),
-          col("pair_count"),
-          round(col("pair_count") / col("_n"), 6).as("support")
-        )
-        .orderBy(col("pair_count").desc, col("item1"), col("item2"))
-        .limit(10)
-    }),
-    // change_point agg: the split of the monthly-revenue series that
-    // maximizes |mean(left) − mean(right)| — prefix sums via one window
-    // over the bucket table plus a 1-row broadcast total; emitted row =
-    // the last bucket of the left segment. Means divide as doubles of
-    // 2dp-exact sums so both engines run identical IEEE ops.
-    "search_change_point" -> ((s, dir) => {
-      val buckets = Tables
-        .orders(s, dir)
-        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
-        .agg(round(sum("o_totalprice"), 2).as("revenue"))
-      val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val dec = col("revenue").cast("decimal(18,2)")
-      buckets
-        .select(
-          col("bucket"),
-          sum(dec).over(w).as("_cum"),
-          count(lit(1)).over(w).as("_k")
-        )
-        .crossJoin(broadcast(buckets.agg(sum(dec).as("_tot"), count(lit(1)).as("_n"))))
-        .filter(col("_k") < col("_n"))
-        .select(
-          col("bucket"),
-          round(col("_cum").cast("double") / col("_k"), 6).as("left_mean"),
-          round((col("_tot") - col("_cum")).cast("double") / (col("_n") - col("_k")), 6).as("right_mean")
-        )
-        .withColumn("delta", round(abs(col("left_mean") - col("right_mean")), 6))
-        .orderBy(col("delta").desc, col("bucket"))
-        .limit(1)
-    }),
-    // simple_query_string: the fault-tolerant end-user syntax (+ AND,
-    // | OR, - negate, "..." phrase, grouping) compiled by SimpleQuery
-    // into ONE codegen'd predicate in the scan.
-    "search_simple_query_string" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .filter(
-          // default_operator=and: the bare-adjacent -slow must AND in
-          search.SimpleQuery.parse(col("text"), "spark + (merge | \"hash join\") -slow", defaultAnd = true)
-        )
-        .select("doc_id", "lang")
-        .orderBy("doc_id")),
-    // combined_fields: term-centric BM25F-style scoring across p_name
-    // (weight 1.0) and p_type (weight 0.5) — see Bm25.combinedFields
-    // (whole-row weighted tf, 1-row broadcast stats, fixed-order sum).
-    "search_combined_fields" -> ((s, dir) =>
-      search.Bm25.combinedFields(
-        Tables.part(s, dir).select("p_partkey", "p_name", "p_type"),
-        "p_partkey",
-        Seq("p_name" -> 1.0, "p_type" -> 0.5),
-        Seq("small", "large"),
-        20
-      )),
-    // phrase suggester: "fast qery" → per-position vocabulary
-    // corrections composed into phrases, ranked by corpus bigram
-    // frequency with unigram backoff — see Fuzzy.suggestPhrase.
-    "search_phrase_suggest" -> ((s, dir) =>
-      search.Fuzzy.suggestPhrase(Tables.documents(s, dir), "text", Seq("fast", "qery"), 2, 5)),
-    // function_score gauss decay from the wire format — same scorer as
-    // the structured search_decay_gauss (JsonDslSpec asserts the plan),
-    // emitted as _score per the wire convention.
-    "search_dsl_json_decay" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
-        """{"query": {"function_score": {
-          |   "query": {"range": {"o_orderkey": {"lt": 500}}},
-          |   "gauss": {"o_totalprice": {
-          |     "origin": 150000.0, "scale": 50000.0, "offset": 10000.0, "decay": 0.5}}}},
-          | "sort": [{"o_orderkey": "asc"}], "size": 20,
-          | "_source": ["o_orderkey", "_score"]}""".stripMargin
-      )),
-    // exists from the wire format, in must_not position: customers whose
-    // enriched order-key field is missing (the sparse left-join field
-    // search_exists buckets) — the executor's exists → isNotNull plus
-    // the bool must_not NULL-keeping coalesce.
-    "search_dsl_json_exists" -> ((s, dir) => {
-      val buyers =
-        Tables.orders(s, dir).filter(col("o_totalprice") > 450000).select(col("o_custkey")).distinct()
-      val enriched = Tables
-        .customer(s, dir)
-        .join(buyers, col("c_custkey") === col("o_custkey"), "left")
-        .select("c_custkey", "c_mktsegment", "o_custkey")
-      JsonDsl.parse(
-        enriched,
-        """{"query": {"bool": {"must_not": [{"exists": {"field": "o_custkey"}}]}},
-          | "sort": [{"c_custkey": "asc"}], "size": 50,
-          | "_source": ["c_custkey", "c_mktsegment"]}""".stripMargin
-      )
-    }),
-    // simple_query_string from the wire format — same parser, reached
-    // through the JSON clause compiler (fields list + default_operator).
-    "search_dsl_json_simple_query_string" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"simple_query_string": {
-          |   "query": "spark + (merge | \"hash join\") -slow",
-          |   "fields": ["text"], "default_operator": "and"}},
-          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id", "lang"]}""".stripMargin,
-        docsMapping
-      )),
-    // ── Wire-format completeness sweep (r8): JSON twins for the last
-    //    structured-only query-DSL families ─────────────────────────────
-    // boosting from the wire format: positive kept, negative demoted.
-    "search_dsl_json_boosting" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"boosting": {
-          |   "positive": {"match": {"text": "spark"}},
-          |   "negative": {"match": {"text": "slow"}},
-          |   "negative_boost": 0.5}},
-          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id", "_score"]}""".stripMargin,
-        docsMapping
-      )),
-    // rank_feature as a bool should scoring clause (saturation form).
-    "search_dsl_json_rank_feature" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"bool": {
-          |   "must": [{"match": {"text": "spark"}}],
-          |   "should": [{"rank_feature": {"field": "n_chars",
-          |                "saturation": {"pivot": 250}, "boost": 2.0}}]}},
-          | "sort": [{"doc_id": "asc"}], "size": 20,
-          | "_source": ["doc_id", "n_chars", "_score"]}""".stripMargin,
-        docsMapping
-      )),
-    // distance_feature as a bool should scoring clause (ISO origin +
-    // duration pivot over the event timestamp).
-    "search_dsl_json_distance_feature" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.events(s, dir),
-        """{"query": {"bool": {
-          |   "must": [{"term": {"event_type": {"value": "purchase"}}}],
-          |   "should": [{"distance_feature": {"field": "ts",
-          |                "origin": "2024-02-01T00:00:00Z", "pivot": "7d", "boost": 2.0}}]}},
-          | "sort": [{"event_id": "asc"}], "size": 10,
-          | "_source": ["event_id", "_score"]}""".stripMargin
-      )),
-    // rescore from the wire format: windowed second phase over the
-    // first-phase sort.
-    "search_dsl_json_rescore" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"match_all": {}},
-          | "sort": [{"n_chars": "desc"}, {"doc_id": "asc"}],
-          | "rescore": {"window_size": 50,
-          |   "query": {"rescore_query": {"match": {"text": "spark query table"}}}},
-          | "size": 10, "_source": ["doc_id", "n_chars", "_score"]}""".stripMargin,
-        docsMapping
-      )),
-    // has_child from the wire format: the child side arrives via
-    // `relations`, the join keys via the clause's `join` object (the
-    // wire stand-in for OpenSearch's join-field mapping).
-    "search_dsl_json_has_child" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"query": {"has_child": {"type": "lineitem",
-          |   "join": {"parent": "o_orderkey", "child": "l_orderkey"},
-          |   "query": {"bool": {"must": [
-          |     {"term": {"l_returnflag": {"value": "R"}}},
-          |     {"range": {"l_quantity": {"gte": 45}}}]}}}},
-          | "sort": [{"o_orderkey": "asc"}], "size": 100,
-          | "_source": ["o_orderkey", "o_orderstatus", "o_totalprice"]}""".stripMargin,
-        relations = Map("lineitem" -> Tables.lineitem(s, dir))
-      )),
-    "search_dsl_json_has_parent" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.lineitem(s, dir),
-        """{"query": {"has_parent": {"parent_type": "orders",
-          |   "join": {"parent": "o_orderkey", "child": "l_orderkey"},
-          |   "query": {"bool": {"must": [
-          |     {"term": {"o_orderpriority": {"value": "1-URGENT"}}},
-          |     {"range": {"o_totalprice": {"gt": 400000}}}]}}}},
-          | "sort": [{"l_orderkey": "asc"}, {"l_linenumber": "asc"}, {"l_quantity": "asc"}],
-          | "_source": ["l_orderkey", "l_linenumber", "l_quantity"]}""".stripMargin,
-        relations = Map("orders" -> Tables.orders(s, dir))
-      )),
-    // terms lookup from the wire format (index/id/path form): the term
-    // list is a row of the lookup relation, broadcast onto the corpus.
-    "search_dsl_json_terms_lookup" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir).filter(col("doc_id") =!= 0L),
-        """{"query": {"terms": {"text": {"index": "documents", "id": 0,
-          |   "path": "text", "min_term_length": 5}}},
-          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id", "lang"]}""".stripMargin,
-        relations = Map("documents" -> Tables.documents(s, dir).withColumnRenamed("doc_id", "_id"))
-      )),
-    // span family from the wire format — filter-context predicates over
-    // token positions, one per-row HOF pass each.
-    "search_dsl_json_span_first" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"span_first": {
-          |   "match": {"span_term": {"text": {"value": "spark"}}}, "end": 5}},
-          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin
-      )),
-    "search_dsl_json_span_not" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"span_not": {
-          |   "include": {"span_term": {"text": {"value": "data"}}},
-          |   "exclude": {"span_term": {"text": {"value": "big"}}}, "pre": 1}},
-          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin
-      )),
-    "search_dsl_json_span_within" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"span_within": {
-          |   "little": {"span_term": {"text": {"value": "fast"}}},
-          |   "big": {"span_near": {"clauses": [
-          |     {"span_term": {"text": {"value": "stream"}}},
-          |     {"span_term": {"text": {"value": "merge"}}}], "slop": 6, "in_order": true}}}},
-          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin
-      )),
-    "search_dsl_json_span_containing" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"span_containing": {
-          |   "big": {"span_near": {"clauses": [
-          |     {"span_term": {"text": {"value": "sort"}}},
-          |     {"span_term": {"text": {"value": "scan"}}}], "slop": 5, "in_order": true}},
-          |   "little": {"span_term": {"text": {"value": "key"}}}}},
-          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin
-      )),
-    "search_dsl_json_match_bool_prefix" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"match_bool_prefix": {"text": {"query": "spark quer"}}},
-          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin
-      )),
-    // agg twins: weighted_avg / multi_terms / percentile_ranks from the
-    // wire format — each one hash agg, shared plan with the structured
-    // entry.
-    "search_dsl_json_weighted_avg" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.lineitem(s, dir),
-        """{"aggs": {"w": {"weighted_avg": {
-          |   "value": {"field": "l_extendedprice"},
-          |   "weight": {"field": "l_quantity"}}}}}""".stripMargin
-      )),
-    "search_dsl_json_multi_terms" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {"m": {"multi_terms": {
-          |   "terms": [{"field": "o_orderpriority"}, {"field": "o_orderstatus"}],
-          |   "size": 5}}}}""".stripMargin
-      )),
-    "search_dsl_json_percentile_ranks" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {"p": {"percentile_ranks": {
-          |   "field": "o_totalprice", "values": [100000, 300000]}}}}""".stripMargin
-      )),
-    // remaining metric-agg twins: the wire compiler already had these
-    // cases; the entries close the name-level gap with shared oracles.
-    "search_dsl_json_auto_date_histogram" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.events(s, dir),
-        """{"aggs": {"a": {"auto_date_histogram": {"field": "ts", "buckets": 40}}}}"""
-      )),
-    "search_dsl_json_string_stats" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"aggs": {"s": {"string_stats": {"field": "text"}}}}"""
-      )),
-    "search_dsl_json_mad" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {"m": {"median_absolute_deviation": {"field": "o_totalprice"}}}}"""
-      )),
-    "search_dsl_json_extended_stats" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {"e": {"extended_stats": {"field": "o_totalprice"}}}}"""
-      )),
-    "search_dsl_json_histogram" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {"h": {"histogram": {"field": "o_totalprice", "interval": 50000}}}}"""
-      )),
-    "search_dsl_json_cardinality" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.lineitem(s, dir),
-        """{"aggs": {"n_parts": {"cardinality": {"field": "l_partkey"}}}}"""
-      )),
-    // pipeline-agg twins over the monthly bucket table: serial_diff /
-    // moving_fn / normalize ride the date_histogram sub-agg compiler —
-    // bounded windows over tens of buckets, never the fact table.
-    "search_dsl_json_serial_diff" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {"monthly": {
-          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
-          |   "aggs": {
-          |     "revenue": {"sum": {"field": "o_totalprice"}},
-          |     "yoy_diff": {"serial_diff": {"buckets_path": "revenue", "lag": 12}}}}}}""".stripMargin
-      )),
-    "search_dsl_json_moving_fn" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {"monthly": {
-          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
-          |   "aggs": {
-          |     "revenue": {"sum": {"field": "o_totalprice"}},
-          |     "mov_max": {"moving_fn": {"buckets_path": "revenue", "window": 3,
-          |                 "script": "MovingFunctions.max(values)"}}}}}}""".stripMargin
-      )),
-    "search_dsl_json_normalize" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {"monthly": {
-          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
-          |   "aggs": {
-          |     "revenue": {"sum": {"field": "o_totalprice"}},
-          |     "pct_of_sum": {"normalize": {"buckets_path": "revenue",
-          |                    "method": "percent_of_sum"}}}}}}""".stripMargin
-      )),
-    // pinned from the wire format: curated _ids first in list order,
-    // organic matches follow — the structured search_pinned tier plan.
-    "search_dsl_json_pinned" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir).withColumnRenamed("doc_id", "_id"),
-        """{"query": {"pinned": {
-          |   "ids": [7, 3, 11],
-          |   "organic": {"match": {"text": "spark"}}}},
-          | "sort": [{"_id": "asc"}], "size": 10, "_source": ["_id", "lang"]}""".stripMargin,
-        docsMapping
-      )),
-    // _search/template: mustache-lite {{param}} substitution, then the
-    // ordinary wire executor — the plan is identical to the direct body.
-    "search_dsl_json_template" -> ((s, dir) =>
-      JsonDsl.parseTemplate(
-        Tables.documents(s, dir),
-        """{"source": "{\"query\": {\"bool\": {\"must\": [{\"match\": {\"text\": \"{{term}}\"}}, {\"range\": {\"n_chars\": {\"gte\": {{min_chars}}}}}]}}, \"sort\": [{\"doc_id\": \"asc\"}], \"_source\": [\"doc_id\", \"n_chars\"]}",
-          | "params": {"term": "spark", "min_chars": 200}}""".stripMargin,
-        docsMapping
-      )),
-    // ── R9: wire twins for the remaining agg families ──────────────────
-    // Sibling pipelines (avg/max/percentiles_bucket, change_point) ride
-    // the two-agg sibling detector; bucket_script / moving_ewma /
-    // moving_percentiles / cumulative_cardinality the date_histogram
-    // sub-agg compiler; ip_prefix / ip_range / categorize_text /
-    // variable_width_histogram / geo_line are first-class agg cases.
-    "search_dsl_json_avg_bucket" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {
-          |  "monthly": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
-          |              "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}}},
-          |  "rev_avg": {"avg_bucket": {"buckets_path": "monthly>revenue"}}
-          |}}""".stripMargin
-      )),
-    "search_dsl_json_max_bucket" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {
-          |  "monthly": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
-          |              "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}}},
-          |  "best": {"max_bucket": {"buckets_path": "monthly>revenue"}}
-          |}}""".stripMargin
-      )),
-    "search_dsl_json_percentiles_bucket" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {
-          |  "monthly": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
-          |              "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}}},
-          |  "ladder": {"percentiles_bucket": {"buckets_path": "monthly>revenue", "percents": [25, 50, 75]}}
-          |}}""".stripMargin
-      )),
-    "search_dsl_json_change_point" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {
-          |  "monthly": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
-          |              "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}}},
-          |  "shift": {"change_point": {"buckets_path": "monthly>revenue"}}
-          |}}""".stripMargin
-      )),
-    "search_dsl_json_bucket_script" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {"monthly": {
-          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
-          |   "aggs": {
-          |     "revenue": {"sum": {"field": "o_totalprice"}},
-          |     "aov": {"bucket_script": {"buckets_path": {"r": "revenue", "c": "_count"},
-          |             "script": "params.r / params.c"}}}}}}""".stripMargin
-      )),
-    "search_dsl_json_cumulative_cardinality" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.events(s, dir),
-        """{"aggs": {"daily": {
-          |   "date_histogram": {"field": "ts", "calendar_interval": "day"},
-          |   "aggs": {
-          |     "u": {"cardinality": {"field": "user_id"}},
-          |     "cum_users": {"cumulative_cardinality": {"buckets_path": "u"}}}}}}""".stripMargin
-      )),
-    "search_dsl_json_moving_ewma" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.events(s, dir),
-        """{"aggs": {"daily": {
-          |   "date_histogram": {"field": "ts", "calendar_interval": "day"},
-          |   "aggs": {
-          |     "ewma": {"moving_fn": {"buckets_path": "_count", "window": 10000,
-          |              "script": "MovingFunctions.ewma(values, 0.3)"}}}}}}""".stripMargin
-      )),
-    "search_dsl_json_moving_percentiles" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {"monthly": {
-          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
-          |   "aggs": {
-          |     "revenue": {"sum": {"field": "o_totalprice"}},
-          |     "p50_6m": {"moving_percentiles": {"buckets_path": "revenue", "window": 6, "percent": 50}},
-          |     "p90_6m": {"moving_percentiles": {"buckets_path": "revenue", "window": 6, "percent": 90}}}}}}""".stripMargin
-      )),
-    "search_dsl_json_categorize_text" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"aggs": {"patterns": {"categorize_text": {"field": "text", "size": 10}}}}"""
-      )),
-    "search_dsl_json_variable_width_histogram" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {"price_clusters": {"variable_width_histogram": {"field": "o_totalprice", "buckets": 8}}}}"""
-      )),
-    "search_dsl_json_ip_prefix" -> ((s, dir) =>
-      JsonDsl.parse(
-        ipEvents(s, dir),
-        """{"aggs": {"nets": {
-          |   "ip_prefix": {"field": "ip", "prefix_length": 16, "size": 20},
-          |   "aggs": {"unique_users": {"cardinality": {"field": "user_id"}}}}}}""".stripMargin
-      )),
-    "search_dsl_json_ip_range" -> ((s, dir) =>
-      JsonDsl.parse(
-        ipEvents(s, dir),
-        """{"aggs": {"tiers": {"ip_range": {"field": "ip", "ranges": [
-          |   {"key": "a_low", "to": "10.5.0.0"},
-          |   {"key": "b_mid", "from": "10.5.0.0", "to": "10.10.0.0"},
-          |   {"key": "c_high", "from": "10.10.0.0"}]}}}}""".stripMargin
-      )),
-    "search_dsl_json_suggest" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"suggest": {"spell": {"text": "sparc",
-          |   "term": {"field": "text", "max_edits": 2, "size": 5}}}}""".stripMargin
-      )),
-    "search_dsl_json_suggest_completion" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"suggest": {"c": {"prefix": "s",
-          |   "completion": {"field": "text", "size": 5}}}}""".stripMargin
-      )),
-    "search_dsl_json_geo_distance_rings" -> ((s, dir) =>
-      JsonDsl.parse(
-        geoEvents(s, dir).select(struct(col("lat"), col("lon")).as("location")),
-        """{"aggs": {"rings": {"geo_distance": {
-          |   "field": "location", "origin": {"lat": 10.0, "lon": 20.0},
-          |   "ranges": [{"to": 1000.0}, {"from": 1000.0, "to": 3000.0},
-          |              {"from": 3000.0, "to": 8000.0}, {"from": 8000.0}]}}}}""".stripMargin
-      )),
-    "search_dsl_json_rate" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {"monthly": {
-          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
-          |   "aggs": {"r": {"rate": {"field": "o_totalprice", "unit": "day"}}}}}}""".stripMargin
-      )),
-    "search_dsl_json_bucket_sort" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {"monthly": {
-          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
-          |   "aggs": {
-          |     "revenue": {"sum": {"field": "o_totalprice"}},
-          |     "top_months": {"bucket_sort": {"sort": [{"revenue": {"order": "desc"}}, {"bucket": "asc"}],
-          |                    "size": 5}}}}}}""".stripMargin
-      )),
-    "search_dsl_json_filters_other" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.events(s, dir),
-        """{"aggs": {"kinds": {"filters": {
-          |   "filters": {
-          |     "clicks": {"term": {"event_type": "click"}},
-          |     "errors": {"term": {"event_type": "error"}}},
-          |   "other_bucket": true}}}}""".stripMargin
-      )),
-    "search_dsl_json_geo_bounds" -> ((s, dir) =>
-      JsonDsl.parse(
-        geoEvents(s, dir)
-          .select(col("event_type"), struct(col("lat"), col("lon")).as("location")),
-        """{"aggs": {"by_type": {
-          |   "terms": {"field": "event_type"},
-          |   "aggs": {"box": {"geo_bounds": {"field": "location"}}}}}}""".stripMargin
-      )),
-    "search_dsl_json_frequent_pairs" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.events(s, dir).select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("event_type")),
-        """{"aggs": {"pairs": {"frequent_item_sets": {
-          |   "fields": [{"field": "event_type"}],
-          |   "basket": {"fields": ["user_id", "day"]},
-          |   "minimum_set_size": 2, "size": 10}}}}""".stripMargin
-      )),
-    "search_dsl_json_geo_line" -> ((s, dir) =>
-      JsonDsl.parse(
-        geoEvents(s, dir)
-          .select(col("event_type"), col("ts"), col("event_id"), struct(col("lat"), col("lon")).as("location")),
-        """{"aggs": {"tracks": {
-          |   "terms": {"field": "event_type"},
-          |   "aggs": {"line": {"geo_line": {
-          |     "point": {"field": "location"}, "sort": {"field": "ts"},
-          |     "tie_breaker": "event_id", "size": 10}}}}}}""".stripMargin
-      )),
-    // ── R9b: wire twins for the last structured-only families ──────────
-    // script_score / combined_fields / function_score random_score /
-    // script_fields ride the query compiler; matrix_stats / global /
-    // children / diversified_sampler / date_histogram min_doc_count=0
-    // the agg compiler. Each shares its structured twin's plan shape.
-    "search_dsl_json_script_score" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"script_score": {
-          |   "query": {"match": {"text": "spark"}},
-          |   "script": {"source": "ln(1 + n_chars) * 1.5 + mod(doc_id, 7)"}}},
-          | "sort": [{"doc_id": "asc"}], "size": 15, "_source": ["doc_id", "_score"]}""".stripMargin,
-        docsMapping
-      )),
-    "search_dsl_json_combined_fields" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.part(s, dir).select("p_partkey", "p_name", "p_type"),
-        """{"query": {"combined_fields": {
-          |   "query": "small large", "fields": ["p_name", "p_type^0.5"]}},
-          | "sort": [{"p_partkey": "asc"}], "size": 20, "_source": ["p_partkey", "_score"]}""".stripMargin
-      )),
-    "search_dsl_json_random_score" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"function_score": {
-          |   "random_score": {"seed": 42, "field": "doc_id"}}},
-          | "sort": [{"doc_id": "asc"}], "size": 10, "_source": ["doc_id", "_score"]}""".stripMargin
-      )),
-    "search_dsl_json_script_fields" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"query": {"term": {"o_orderpriority": "1-URGENT"}},
-          | "script_fields": {"charge": {"script": {"source": "o_totalprice * 1.1"}}},
-          | "sort": [{"o_orderkey": "asc"}], "_source": ["o_orderkey", "charge"]}""".stripMargin
-      )),
-    "search_dsl_json_matrix_stats" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.lineitem(s, dir),
-        """{"aggs": {"stats": {"matrix_stats": {
-          |   "fields": ["l_quantity", "l_extendedprice", "l_discount"]}}}}""".stripMargin
-      )),
-    "search_dsl_json_global" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.events(s, dir),
-        """{"query": {"term": {"event_type": "purchase"}},
-          | "aggs": {
-          |   "hits_avg_value": {"avg": {"field": "value"}},
-          |   "all_docs": {"global": {},
-          |     "aggs": {"total_avg_value": {"avg": {"field": "value"}}}}}}""".stripMargin
-      )),
-    "search_dsl_json_children" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {"per_priority": {
-          |   "terms": {"field": "o_orderpriority"},
-          |   "aggs": {"to_line": {
-          |     "children": {"type": "lineitem",
-          |                  "join": {"parent": "o_orderkey", "child": "l_orderkey"}},
-          |     "aggs": {
-          |       "child_count": {"value_count": {"field": "l_orderkey"}},
-          |       "total_qty": {"sum": {"field": "l_quantity"}}}}}}}}""".stripMargin,
-        relations = Map("lineitem" -> Tables.lineitem(s, dir))
-      )),
-    "search_dsl_json_sampler" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"aggs": {"sample": {
-          |   "diversified_sampler": {"field": "lang", "max_docs_per_value": 20, "id_field": "doc_id"},
-          |   "aggs": {"sources": {"terms": {"field": "source"}}}}}}""".stripMargin
-      )),
-    "search_dsl_json_date_histogram_filled" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"query": {"range": {"o_totalprice": {"gt": 450000}}},
-          | "aggs": {"daily": {
-          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "day", "min_doc_count": 0},
-          |   "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}}}}}""".stripMargin
-      )),
-    "search_dsl_json_phrase_suggest" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"suggest": {"fix": {"text": "fast qery",
-          |   "phrase": {"field": "text", "max_errors": 2, "size": 5}}}}""".stripMargin
-      )),
-    // ── R9c: the absent agg families — missing / filter / nested agg /
-    // reverse_nested / parent, structured + wire ───────────────────────
-    // missing agg: the docs whose (genuinely sparse, join-derived) field
-    // is NULL — customers with no high-value order. The probe side is
-    // distinct keys BEFORE the join (one row per qualifying buyer); the
-    // missing bucket is an IsNull filter + 1-row exact-decimal aggregate.
-    "search_missing_agg" -> ((s, dir) => {
-      val buyers =
-        Tables.orders(s, dir).filter(col("o_totalprice") > 450000).select(col("o_custkey")).distinct()
-      Tables
-        .customer(s, dir)
-        .join(buyers, col("c_custkey") === col("o_custkey"), "left")
-        .filter(col("o_custkey").isNull)
-        .agg(
-          count(lit(1)).as("doc_count"),
-          round(sum(decMoney(col("c_acctbal"))).cast("double") / count(lit(1)), 6).as("avg_acctbal")
-        )
-    }),
-    "search_dsl_json_missing" -> ((s, dir) => {
-      val buyers =
-        Tables.orders(s, dir).filter(col("o_totalprice") > 450000).select(col("o_custkey")).distinct()
-      JsonDsl.parse(
-        Tables.customer(s, dir).join(buyers, col("c_custkey") === col("o_custkey"), "left"),
-        """{"aggs": {"no_vip": {"missing": {"field": "o_custkey"},
-          |   "aggs": {"avg_acctbal": {"avg": {"field": "c_acctbal"}}}}}}""".stripMargin
-      )
-    }),
-    // filter agg: one named single-filter bucket with metric sub-aggs —
-    // the predicate pushes to the parquet scan, then a 1-row aggregate.
-    "search_filter_agg" -> ((s, dir) =>
-      Tables
-        .orders(s, dir)
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .agg(
-          count(lit(1)).as("doc_count"),
-          round(sum(decMoney(col("o_totalprice"))).cast("double") / count(lit(1)), 6).as("avg_price")
-        )),
-    "search_dsl_json_filter_agg" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {"urgent": {"filter": {"term": {"o_orderpriority": "1-URGENT"}},
-          |   "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}}}}}""".stripMargin
-      )),
-    // nested agg (metrics form): element count + exact-decimal mean over
-    // ALL nested elements — per-row partial sums (size + decimal HOF
-    // fold), the element table is never exploded (Nested.nestedAgg).
-    "search_nested_agg" -> ((s, dir) =>
-      search.Nested.nestedAgg(
-        search.Nested.nestedIndex(
-          Tables.orders(s, dir),
-          Tables.lineitem(s, dir),
-          "o_orderkey",
-          "l_orderkey",
-          "items",
-          Seq("l_quantity")
-        ),
-        "items",
-        "l_quantity",
-        "avg_l_quantity"
-      )),
-    "search_dsl_json_nested_agg" -> ((s, dir) =>
-      JsonDsl.parse(
-        search.Nested.nestedIndex(
-          Tables.orders(s, dir),
-          Tables.lineitem(s, dir),
-          "o_orderkey",
-          "l_orderkey",
-          "items",
-          Seq("l_quantity")
-        ),
-        """{"aggs": {"line_items": {"nested": {"path": "items"},
-          |   "aggs": {"avg_l_quantity": {"avg": {"field": "items.l_quantity"}}}}}}""".stripMargin
-      )),
-    // reverse_nested: bucket the ELEMENTS, count DISTINCT parent docs per
-    // bucket — explode is per-element-once, the distinct is (key, parent)
-    // pairs, never a window.
-    "search_reverse_nested" -> ((s, dir) =>
-      search.Nested
-        .nestedIndex(
-          Tables.orders(s, dir),
-          Tables.lineitem(s, dir),
-          "o_orderkey",
-          "l_orderkey",
-          "items",
-          Seq("l_returnflag")
-        )
-        .select(col("o_orderkey"), explode(col("items")).as("_e"))
-        .groupBy(col("_e.l_returnflag").as("key"))
-        .agg(count(lit(1)).as("doc_count"), countDistinct(col("o_orderkey")).as("parent_count"))
-        .orderBy("key")),
-    "search_dsl_json_reverse_nested" -> ((s, dir) =>
-      JsonDsl.parse(
-        search.Nested.nestedIndex(
-          Tables.orders(s, dir),
-          Tables.lineitem(s, dir),
-          "o_orderkey",
-          "l_orderkey",
-          "items",
-          Seq("l_returnflag")
-        ),
-        """{"aggs": {"line_items": {"nested": {"path": "items"},
-          |   "aggs": {"by_flag": {"terms": {"field": "items.l_returnflag"},
-          |     "aggs": {"parents": {"reverse_nested": {"id_field": "o_orderkey"}}}}}}}}""".stripMargin
-      )),
-    // parent agg: from CHILD docs, buckets carry PARENT-side metrics with
-    // each parent counted once per bucket — distinct (bucket, key) pairs
-    // shrink the join input to one row per parent per bucket.
-    "search_parent_agg" -> ((s, dir) =>
-      Tables
-        .lineitem(s, dir)
-        .select(col("l_returnflag").as("key"), col("l_orderkey"))
-        .distinct()
-        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .groupBy("key")
-        .agg(
-          count(lit(1)).as("parent_count"),
-          round(sum(decMoney(col("o_totalprice"))).cast("double") / count(lit(1)), 6).as("avg_order_value")
-        )
-        .orderBy("key")),
-    "search_dsl_json_parent" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.lineitem(s, dir),
-        """{"aggs": {"by_flag": {"terms": {"field": "l_returnflag"},
-          |   "aggs": {"to_order": {
-          |     "parent": {"type": "order", "join": {"parent": "o_orderkey", "child": "l_orderkey"}},
-          |     "aggs": {"avg_order_value": {"avg": {"field": "o_totalprice"}}}}}}}}""".stripMargin,
-        relations = Map("order" -> Tables.orders(s, dir))
-      )),
-    // _analyze: the analyzer's token stream for a request body — what
-    // this endpoint shows is exactly what the index matches on.
-    "search_analyze_api" -> ((s, dir) =>
-      JsonDsl.analyzeText(
-        s,
-        """{"analyzer": "standard", "text": "Fast Spark QUERIES shuffle Data"}"""
-      )),
-    // _analyze with a custom filter chain (stop + s_stem): the endpoint
-    // reflects the full configurable analyzer — what it shows is what a
-    // stemmed-analyzer index matches on. The oracle replays the same
-    // stop/CASE-stem rules in SQL over the literal.
-    "search_analyze_stemmed" -> ((s, dir) =>
-      JsonDsl.analyzeText(
-        s,
-        """{"text": "The Queries against big Tables",
-          | "filter": ["lowercase", {"type": "stop", "stopwords": ["the", "a"]}, "s_stem"]}""".stripMargin
-      )),
-    // _field_caps: per-field capabilities from schema + mapping (text
-    // searchable-not-aggregatable, the OpenSearch defaults).
-    "search_field_caps" -> ((s, dir) => JsonDsl.fieldCaps(Tables.documents(s, dir), docsMapping)),
-    // _plugins/_sql: read-only SQL over an index through Spark's own SQL
-    // compiler (full Catalyst path); the oracle runs the SAME statement.
-    "search_sql_api" -> ((s, dir) =>
-      JsonDsl.sqlQuery(
-        Tables.documents(s, dir),
-        "documents",
-        """{"query": "SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY lang ORDER BY lang"}"""
-      )),
-    // _script sort from the wire format: the compiled arithmetic subset
-    // as the ranking key — a projection under TakeOrderedAndProject.
-    "search_dsl_json_script_sort" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"match_all": {}},
-          | "sort": [{"_script": {"type": "number",
-          |    "script": {"source": "n_chars / (doc_id + 1)"}, "order": "desc"}},
-          |   {"doc_id": "asc"}],
-          | "size": 10, "_source": ["doc_id", "n_chars"]}""".stripMargin
-      )),
-    // extended_stats_bucket: moments of the monthly-revenue bucket
-    // metric from exact decimal sums in a fixed double tree.
-    "search_dsl_json_extended_stats_bucket" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.orders(s, dir),
-        """{"aggs": {
-          |  "monthly": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
-          |              "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}}},
-          |  "spread": {"extended_stats_bucket": {"buckets_path": "monthly>revenue"}}
-          |}}""".stripMargin
-      )),
-    // sampler (plain): md5-ordered first-100 docs feeding a terms
-    // sub-agg — a bounded TakeOrderedAndProject, never a full sort.
-    "search_dsl_json_sampler_plain" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"aggs": {"sample": {
-          |   "sampler": {"shard_size": 100, "id_field": "doc_id"},
-          |   "aggs": {"sources": {"terms": {"field": "source"}}}}}}""".stripMargin
-      )),
-    // span_multi: a multi-term matcher (prefix) as a span, composed
-    // under span_near — prefix-matching token positions within slop of
-    // 'fast', either direction. Same per-row HOF pass as span_near.
-    "search_span_multi" -> ((s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
-        .select(
-          col("doc_id"),
-          expr("filter(transform(_toks, (t, i) -> IF(t LIKE 'spar%', i, -1)), x -> x >= 0)").as("_pa"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'fast', i, -1)), x -> x >= 0)").as("_pb")
-        )
-        .filter(expr("exists(_pa, a -> exists(_pb, b -> b != a AND abs(b - a) <= 5))"))
-        .select("doc_id")
-        .orderBy("doc_id")),
-    "search_dsl_json_span_multi" -> ((s, dir) =>
-      JsonDsl.parse(
-        Tables.documents(s, dir),
-        """{"query": {"span_near": {
-          |   "clauses": [
-          |     {"span_multi": {"match": {"prefix": {"text": {"value": "spar"}}}}},
-          |     {"span_term": {"text": {"value": "fast"}}}],
-          |   "slop": 5, "in_order": false}},
-          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin,
-        docsMapping
-      )),
-    // knn with method=ivf from the wire format: the SCALE path — only
-    // the probed cells score (the in-band knn handler is the exact
-    // brute-force baseline). Approximate by design → rows-only; the spec
-    // pins equality with the structured ann_ivf_topk for the same body.
-    "search_dsl_json_knn_ivf" -> ((s, dir) => {
-      val v = queryVec(s, dir, 0).mkString("[", ",", "]")
-      JsonDsl.knnIvf(
-        cachedIvf(s, dir, nLists = 16),
-        "vec_id",
-        "embedding",
-        s"""{"query": {"knn": {"embedding": {"vector": $v, "k": 10,
-           |  "method": {"name": "ivf", "nprobe": 6}}}}}""".stripMargin
-      )
-    }),
-    // knn with method=hnsw from the wire format: the graph-index engine
-    // behind the same wire face — beam search over the runtime-bound
-    // neighbor graph (ef_search = beam width). Approximate by design →
-    // rows-only; the spec pins equality with the structured graphSearch
-    // for the same body (JsonDslSpec).
-    "search_dsl_json_knn_hnsw" -> ((s, dir) => {
-      val v = queryVec(s, dir, 0).mkString("[", ",", "]")
-      JsonDsl.knnGraph(
-        cachedGraph(s, dir),
-        Tables.embeddings(s, dir),
-        "vec_id",
-        "embedding",
-        s"""{"query": {"knn": {"embedding": {"vector": $v, "k": 10,
-           |  "method": {"name": "hnsw", "ef_search": 16, "rounds": 3}}}}}""".stripMargin
-      )
-    }),
-    // variable_width_histogram: exact-quantile seeds + nearest-seed
-    // assignment — the shared Aggs implementation (the wire twin compiles
-    // to the same call; see Aggs.variableWidthHistogram for the contract).
-    "search_variable_width_histogram" -> ((s, dir) =>
-      Aggs.variableWidthHistogram(Tables.orders(s, dir), col("o_totalprice"), 8)),
-    // ip_prefix agg (/16): network-prefix buckets over the derived IP
-    // space — integer-arithmetic octets (see ipEvents), one hash agg
-    // with an exact per-prefix user cardinality.
-    "search_ip_prefix" -> ((s, dir) =>
-      ipEvents(s, dir)
-        .groupBy(concat(lit("10."), col("_o2"), lit(".0.0/16")).as("prefix"))
-        .agg(count(lit(1)).as("doc_count"), countDistinct(col("user_id")).as("unique_users"))
-        .orderBy(col("doc_count").desc, col("prefix"))
-        .limit(20)),
-    // ip_range agg: labeled ranges over the 32-bit address value — the
-    // standard rangeAgg plan (one CASE projection, k-row hash agg).
-    "search_ip_range" -> ((s, dir) =>
-      Aggs.rangeAgg(
-        ipEvents(s, dir),
-        col("ipnum").cast("double"),
-        Seq(
-          ("a_low", None, Some(168099840.0)),
-          ("b_mid", Some(168099840.0), Some(168427520.0)),
-          ("c_high", Some(168427520.0), None)
-        )
-      )),
-    // ── Corpus analysis / curation (r7) ─────────────────────────────────
-    // fasttext-style linear quality classifier: interpretable features
-    // (token count, stopword ratio, type-token ratio, average word
-    // length) through a fixed-weight logistic — the cheap quality gate a
-    // curation pipeline runs before any model-based scorer. Whole-row
-    // codegen'd expressions; avg word length derives from n_chars
-    // arithmetic (single-space tokenization), no second pass.
-    "text_quality_logistic" -> ((s, dir) => {
-      val toks = TextFns.tokens(col("text"))
-      val stops = Seq("the", "a", "to", "of", "and")
-      val n = size(toks).cast("double")
-      val stopRatio = size(filter(toks, t => t.isInCollection(stops))) / n
-      val ttr = size(array_distinct(toks)) / n
-      val avgLen = (col("n_chars") - n + lit(1.0)) / n
-      val z = lit(-2.0) + lit(0.35) * log(n) + lit(2.5) * stopRatio - lit(1.2) * ttr + lit(0.08) * avgLen
-      val q = lit(1.0) / (lit(1.0) + exp(-z))
-      Tables
-        .documents(s, dir)
-        .filter(col("doc_id") < 100)
-        .select(col("doc_id"), round(q, 6).as("quality_prob"), (q >= 0.5).as("keep"))
-        .orderBy("doc_id")
-    }),
-    // TF-IDF keyword extraction: top-3 terms per document — tf over the
-    // target docs, df over the FULL corpus (one vocab-keyed agg), ranked
-    // inside bounded per-doc windows.
-    "text_idf_keywords" -> ((s, dir) => {
-      val toks = Tables
-        .documents(s, dir)
-        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
-      val docFreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
-      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("_n"))
-      val tf = toks.filter(col("doc_id") < 50).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
-      tf.join(docFreq, "term")
-        .crossJoin(broadcast(nDocs))
-        .select(
-          col("doc_id"),
-          col("term"),
-          col("tf"),
-          round(col("tf") * log(col("_n").cast("double") / col("df")), 6).as("tfidf")
-        )
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .orderBy("doc_id", "rank")
-    }),
-    // PMI collocations: adjacent-bigram pointwise mutual information
-    // ln(c12·N / (c1·c2)) with a min-count floor — marginals and joint
-    // from one bigram table, counts cast to double BEFORE multiplying so
-    // the products cannot overflow long at corpus scale.
-    "text_cooccurrence_pmi" -> ((s, dir) => {
-      val base = Tables.documents(s, dir).select(TextFns.tokens(col("text")).as("toks"))
-      val bi = base
-        .filter(size(col("toks")) >= 2)
-        .select(
-          explode(
-            expr("transform(slice(toks, 1, size(toks) - 1), (t, i) -> struct(t AS w1, toks[i + 1] AS w2))")
-          ).as("b")
-        )
-        .select(col("b.w1"), col("b.w2"))
-      val joint = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val leftM = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val rightM = bi.groupBy("w2").agg(count(lit(1)).as("c2"))
-      val tot = bi.agg(count(lit(1)).as("_n2"))
-      joint
-        .filter(col("c12") >= 20)
-        .join(leftM, "w1")
-        .join(rightM, "w2")
-        .crossJoin(broadcast(tot))
-        .select(
-          col("w1"),
-          col("w2"),
-          col("c12"),
-          round(
-            log(col("c12").cast("double") * col("_n2") / (col("c1").cast("double") * col("c2"))),
-            6
-          ).as("pmi")
-        )
-        .orderBy(col("pmi").desc, col("w1"), col("w2"))
-        .limit(20)
-    })
-  )
-
-  // Shared by the structured entry and its JSON-body twin (same
-  // parameters → same oracle).
-  private val adjacencyMatrixSql: String =
-    """WITH a AS (SELECT
-      |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_en,
-      |  CAST(count(*) FILTER (WHERE n_chars > 300) AS BIGINT) AS c_long,
-      |  CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS c_src1,
-      |  CAST(count(*) FILTER (WHERE lang = 'en' AND n_chars > 300) AS BIGINT) AS c_en_long,
-      |  CAST(count(*) FILTER (WHERE lang = 'en' AND source = 'src1') AS BIGINT) AS c_en_src1,
-      |  CAST(count(*) FILTER (WHERE n_chars > 300 AND source = 'src1') AS BIGINT) AS c_long_src1
-      |FROM documents)
-      |SELECT key, doc_count FROM (
-      |  SELECT 'en' AS key, c_en AS doc_count FROM a
-      |  UNION ALL SELECT 'long', c_long FROM a
-      |  UNION ALL SELECT 'src1', c_src1 FROM a
-      |  UNION ALL SELECT 'en&long', c_en_long FROM a
-      |  UNION ALL SELECT 'en&src1', c_en_src1 FROM a
-      |  UNION ALL SELECT 'long&src1', c_long_src1 FROM a) t
-      |WHERE doc_count > 0 ORDER BY key""".stripMargin
-
-  private val boxplotSql: String =
-    """SELECT round(min(l_extendedprice), 2) AS min_v,
-      |       round(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
-      |       round(quantile_cont(l_extendedprice, 0.5), 6) AS q2,
-      |       round(quantile_cont(l_extendedprice, 0.75), 6) AS q3,
-      |       round(max(l_extendedprice), 2) AS max_v
-      |FROM lineitem""".stripMargin
-
-  def oracleSql: Map[String, String] = Map(
-    "cdc_latest_state" ->
-      """SELECT user_id, event_id, ts, event_type, value
-        |FROM (SELECT user_id, event_id, ts, event_type, value,
-        |             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |      FROM events) t
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
-    "cdc_apply_ops" ->
-      """SELECT user_id, event_id, ts, event_type, value
-        |FROM (SELECT user_id, event_id, ts, event_type, value,
-        |             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |      FROM events) t
-        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
-    "cdc_snapshot_sync" ->
-      """SELECT CAST(c_custkey AS BIGINT) AS id, lower(c_name) AS name,
-        |       CAST(c_nationkey AS BIGINT) AS nation_id,
-        |       round(c_acctbal, 2) AS balance, c_acctbal > 0 AS in_good_standing,
-        |       lower(c_mktsegment) AS segment
-        |FROM customer ORDER BY id""".stripMargin,
-    "cdc_op_stats" ->
-      """SELECT CASE WHEN event_type = 'signup' THEN 'c' WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
-        |       count(*) AS cnt
-        |FROM events GROUP BY 1 ORDER BY op""".stripMargin,
-    "cdc_changelog_rate" ->
-      """SELECT date_trunc('hour', ts) AS bucket, count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
-    "cdc_count_parity" ->
-      """SELECT * FROM (
-        |  SELECT 'customer' AS entity, count(*) AS n FROM customer
-        |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
-        |  UNION ALL SELECT 'orders', count(*) FROM orders) t
-        |ORDER BY entity""".stripMargin,
-    "cdc_scd2_history" ->
-      """SELECT user_id,
-        |       CAST(row_number() OVER w AS INTEGER) AS version,
-        |       ts AS valid_from,
-        |       lead(ts) OVER w AS valid_to,
-        |       lead(ts) OVER w IS NULL AS is_current,
-        |       event_type, value
-        |FROM events WHERE event_type <> 'click'
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, version""".stripMargin,
-    "cdc_asof_enrich" ->
-      """WITH probe AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
-        |u AS (
-        |  SELECT 0 AS side, ts AS uts, CAST(-9223372036854775807 AS BIGINT) AS seq,
-        |         user_id, event_id, ts, CAST(NULL AS BIGINT) AS b_event_id, CAST(NULL AS DOUBLE) AS b_value
-        |  FROM probe
-        |  UNION ALL
-        |  SELECT 1, ts, event_id, user_id, NULL, NULL, event_id, value FROM events)
-        |SELECT user_id, event_id, ts, prior_event_id, prior_value FROM (
-        |  SELECT side, user_id, event_id, ts,
-        |         last_value(b_event_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY uts, side, seq
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_event_id,
-        |         last_value(b_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY uts, side, seq
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_value
-        |  FROM u) t
-        |WHERE side = 0 ORDER BY user_id, event_id""".stripMargin,
-    "search_match" ->
-      """SELECT doc_id, score FROM (
-        |  SELECT doc_id,
-        |         (CASE WHEN list_contains(string_split(lower(text), ' '), 'spark') THEN 1 ELSE 0 END
-        |        + CASE WHEN list_contains(string_split(lower(text), ' '), 'stream') THEN 1 ELSE 0 END) AS score
-        |  FROM documents) t
-        |WHERE score > 0 ORDER BY score DESC, doc_id""".stripMargin,
-    // The stemmed-analyzer oracles replay the IDENTICAL chain in SQL:
-    // stopword list_filter, then Harman's three S-stemmer rules as a
-    // CASE over each token — string ops only, so the hash compare is
-    // exact (the reason S-stem was chosen over Porter).
-    "search_match_stemmed" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_transform(
-        |    list_filter(string_split(lower(text), ' '), t -> t NOT IN ('the', 'a')),
-        |    t -> CASE
-        |      WHEN length(t) > 3 AND t LIKE '%ies' AND t NOT LIKE '%eies' AND t NOT LIKE '%aies'
-        |        THEN regexp_replace(t, 'ies$', 'y')
-        |      WHEN length(t) > 3 AND t LIKE '%es' AND t NOT LIKE '%aes' AND t NOT LIKE '%ees' AND t NOT LIKE '%oes'
-        |        THEN regexp_replace(t, 'es$', 'e')
-        |      WHEN length(t) > 2 AND t LIKE '%s' AND t NOT LIKE '%us' AND t NOT LIKE '%ss'
-        |        THEN regexp_replace(t, 's$', '')
-        |      ELSE t END) AS tt
-        |  FROM documents)
-        |SELECT doc_id,
-        |       CAST(list_contains(tt, 'query') AS INT) + CAST(list_contains(tt, 'table') AS INT) AS score
-        |FROM toks
-        |WHERE list_contains(tt, 'query') OR list_contains(tt, 'table')
-        |ORDER BY score DESC, doc_id""".stripMargin,
-    "search_dsl_json_match_stemmed" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_transform(
-        |    list_filter(string_split(lower(text), ' '), t -> t NOT IN ('the', 'a')),
-        |    t -> CASE
-        |      WHEN length(t) > 3 AND t LIKE '%ies' AND t NOT LIKE '%eies' AND t NOT LIKE '%aies'
-        |        THEN regexp_replace(t, 'ies$', 'y')
-        |      WHEN length(t) > 3 AND t LIKE '%es' AND t NOT LIKE '%aes' AND t NOT LIKE '%ees' AND t NOT LIKE '%oes'
-        |        THEN regexp_replace(t, 'es$', 'e')
-        |      WHEN length(t) > 2 AND t LIKE '%s' AND t NOT LIKE '%us' AND t NOT LIKE '%ss'
-        |        THEN regexp_replace(t, 's$', '')
-        |      ELSE t END) AS tt
-        |  FROM documents)
-        |SELECT doc_id FROM toks
-        |WHERE list_contains(tt, 'scan') OR list_contains(tt, 'join')
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json" ->
-      """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE (list_contains(string_split(lower(text), ' '), 'spark')
-        |    OR list_contains(string_split(lower(text), ' '), 'stream'))
-        |  AND n_chars >= 200 AND NOT (lang = 'de')
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_agg" ->
-      """SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket, count(*) AS doc_count,
-        |       count(user_id) AS n_users
-        |FROM events WHERE value >= 100 GROUP BY 1 ORDER BY bucket""".stripMargin,
-    "search_dsl_json_msearch" ->
-      """SELECT 0 AS search, count(*) AS hits FROM documents WHERE lang = 'en'
-        |UNION ALL
-        |SELECT 1, count(*) FROM documents WHERE n_chars >= 500 AND NOT coalesce(source = 'src3', false)
-        |UNION ALL
-        |SELECT 2, count(*) FROM events WHERE value >= 250
-        |UNION ALL
-        |SELECT 3, count(*) FROM documents WHERE source LIKE 'src1%'
-        |ORDER BY search""".stripMargin,
-    "search_mapped_query" ->
-      """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE lang = 'en'
-        |  AND (list_contains(string_split(lower(text), ' '), 'data')
-        |    OR list_contains(string_split(lower(text), ' '), 'quality'))
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_multi_match" ->
-      """SELECT doc_id, source, n_chars FROM documents
-        |WHERE list_contains(string_split(lower(text), ' '), 'spark') OR source = 'spark'
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_ids" ->
-      """SELECT doc_id AS "_id", lang, n_chars FROM documents
-        |WHERE doc_id IN (3, 11, 42) ORDER BY 1""".stripMargin,
-    "search_dsl_json_fuzzy" ->
-      """SELECT doc_id, n_chars FROM documents
-        |WHERE len(list_filter(string_split(lower(text), ' '), t -> levenshtein(t, 'sparc') <= 1)) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_search_after" ->
-      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice FROM orders
-        |WHERE o_orderdate < TIMESTAMP '2000-06-15 00:00:00'
-        |   OR (o_orderdate = TIMESTAMP '2000-06-15 00:00:00' AND o_orderkey < 900)
-        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10""".stripMargin,
-    "search_dsl_json_highlight" ->
-      """SELECT doc_id, n_chars,
-        |       CASE WHEN strpos(text, 'spark') > 0
-        |            THEN substring(text, greatest(CAST(strpos(text, 'spark') AS INTEGER) - 15, 1), 40)
-        |       END AS text_highlight
-        |FROM documents
-        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_scroll" ->
-      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice FROM orders
-        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10 OFFSET 20""".stripMargin,
-    "search_dsl_json_significant_text" ->
-      """WITH toks AS (SELECT doc_id, lang = 'de' AS fg,
-        |                     unnest(list_distinct(string_split(lower(text), ' '))) AS term
-        |              FROM documents),
-        |counts AS (SELECT term,
-        |                  CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_count,
-        |                  CAST(count(*) AS BIGINT) AS bg_count
-        |           FROM toks GROUP BY 1),
-        |tot AS (SELECT CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS fg_total,
-        |               CAST(count(*) AS BIGINT) AS bg_total
-        |        FROM documents)
-        |SELECT term, fg_count, bg_count,
-        |       round(CAST(fg_count AS DOUBLE) / fg_total - CAST(bg_count AS DOUBLE) / bg_total, 6) AS score
-        |FROM counts CROSS JOIN tot ORDER BY score DESC, term LIMIT 5""".stripMargin,
-    "sample_weighted" ->
-      """SELECT lang, CAST(count(*) AS BIGINT) AS n_kept FROM documents
-        |WHERE CASE lang
-        |  WHEN 'en' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
-        |  WHEN 'de' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
-        |  WHEN 'es' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
-        |  WHEN 'fr' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
-        |  WHEN 'zh' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
-        |  ELSE TRUE END
-        |GROUP BY 1 ORDER BY lang""".stripMargin,
-    "search_dsl_json_terms_order" ->
-      """SELECT o_orderpriority AS "key", CAST(count(*) AS BIGINT) AS doc_count,
-        |       round(avg(o_totalprice), 6) AS avg_price
-        |FROM orders GROUP BY 1 ORDER BY avg_price DESC, "key" LIMIT 5""".stripMargin,
-    "search_dsl_json_date_range" ->
-      """SELECT bucket, CAST(count(*) AS BIGINT) AS doc_count FROM (
-        |  SELECT CASE WHEN ts < TIMESTAMP '2024-01-10 00:00:00' THEN 'early'
-        |              WHEN ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'middle'
-        |              WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' THEN 'late'
-        |         END AS bucket
-        |  FROM events) t
-        |WHERE bucket IS NOT NULL GROUP BY 1 ORDER BY bucket""".stripMargin,
-    "search_dsl_json_top_metrics" ->
-      """SELECT max_by(value, event_id) AS value, max(event_id) AS sort_value
-        |FROM events""".stripMargin,
-    "search_dsl_json_regexp" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE regexp_full_match(lang, 'e[ns]') ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_filters" ->
-      """SELECT count(*) AS n_total,
-        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
-        |       CAST(sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS high_value
-        |FROM events""".stripMargin,
-    "search_dsl_json_terms_metrics" ->
-      """SELECT o_orderpriority AS "key", count(*) AS doc_count,
-        |       round(avg(o_totalprice), 6) AS avg_price, round(sum(o_totalprice), 2) AS total
-        |FROM orders GROUP BY 1 ORDER BY doc_count DESC, "key" LIMIT 5""".stripMargin,
-    "search_dsl_json_percentiles" ->
-      """SELECT round(quantile_cont(l_quantity, 0.5), 6) AS p50,
-        |       round(quantile_cont(l_quantity, 0.9), 6) AS p90,
-        |       round(quantile_cont(l_quantity, 0.99), 6) AS p99
-        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
-    "search_dsl_json_significant" ->
-      """SELECT term, fg_count, bg_count,
-        |       round(CAST(fg_count AS DOUBLE) / fg_total - CAST(bg_count AS DOUBLE) / bg_total, 6) AS score
-        |FROM (SELECT event_type AS term,
-        |             count(*) FILTER (WHERE value > 150) AS fg_count,
-        |             count(*) AS bg_count
-        |      FROM events GROUP BY 1) a
-        |CROSS JOIN (SELECT count(*) FILTER (WHERE value > 150) AS fg_total, count(*) AS bg_total FROM events) b
-        |ORDER BY score DESC, term""".stripMargin,
-    "search_dsl_json_rare_terms" ->
-      """SELECT lang AS "key", count(*) AS doc_count FROM documents
-        |GROUP BY 1 HAVING count(*) <= 100 ORDER BY doc_count, "key"""".stripMargin,
-    "search_dsl_json_composite" ->
-      """SELECT o_orderpriority AS k0, o_orderstatus AS k1, count(*) AS doc_count
-        |FROM orders GROUP BY 1, 2
-        |HAVING o_orderpriority > '2-HIGH' OR (o_orderpriority = '2-HIGH' AND o_orderstatus > 'F')
-        |ORDER BY k0, k1 LIMIT 5""".stripMargin,
-    "search_dsl_json_knn" ->
-      """SELECT * FROM (
-        |  SELECT vec_id AS "_id",
-        |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS "_score"
-        |  FROM embeddings ORDER BY "_score" DESC, "_id" LIMIT 10) t
-        |ORDER BY "_id"""".stripMargin,
-    "search_dsl_json_knn_min_score" ->
-      """SELECT * FROM (
-        |  SELECT vec_id AS "_id",
-        |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS "_score"
-        |  FROM embeddings WHERE vec_id <> 0) t
-        |WHERE "_score" >= 0.3
-        |ORDER BY "_id"""".stripMargin,
-    "search_dsl_json_knn_filtered" ->
-      """SELECT * FROM (
-        |  SELECT vec_id AS "_id",
-        |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS "_score"
-        |  FROM embeddings WHERE vec_id <> 0 AND label = 2
-        |  ORDER BY "_score" DESC, "_id" LIMIT 10) t
-        |ORDER BY "_id"""".stripMargin,
-    "search_dsl_json_rank_eval" ->
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
-        |top1 AS (SELECT vec_id,
-        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS s
-        |       FROM embeddings ORDER BY s DESC, vec_id LIMIT 10),
-        |j1 AS (SELECT CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS INTEGER) AS rank,
-        |              coalesce(r.rating, 0) AS rating
-        |       FROM top1 LEFT JOIN (VALUES (1, 2), (2, 1), (3, 0), (5, 3), (8, 1), (13, 2)) AS r(id, rating)
-        |         ON top1.vec_id = r.id),
-        |d1 AS (SELECT coalesce(sum((pow(2.0, rating) - 1.0) / (ln(rank + 1) / ln(2.0))), 0.0) AS dcg FROM j1),
-        |i1 AS (SELECT sum((pow(2.0, rating) - 1.0) / (ln(rn + 1) / ln(2.0))) AS ideal
-        |       FROM (SELECT rating, row_number() OVER (ORDER BY rating DESC) AS rn
-        |             FROM (VALUES (2), (1), (3), (1), (2)) AS t(rating)) s WHERE rn <= 10),
-        |top2 AS (SELECT vec_id,
-        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS s
-        |       FROM embeddings WHERE label = 2 ORDER BY s DESC, vec_id LIMIT 10),
-        |j2 AS (SELECT CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS INTEGER) AS rank,
-        |              coalesce(r.rating, 0) AS rating
-        |       FROM top2 LEFT JOIN (VALUES (1, 1), (4, 2), (9, 1), (16, 2), (25, 1)) AS r(id, rating)
-        |         ON top2.vec_id = r.id),
-        |d2 AS (SELECT coalesce(sum((pow(2.0, rating) - 1.0) / (ln(rank + 1) / ln(2.0))), 0.0) AS dcg FROM j2),
-        |i2 AS (SELECT sum((pow(2.0, rating) - 1.0) / (ln(rn + 1) / ln(2.0))) AS ideal
-        |       FROM (SELECT rating, row_number() OVER (ORDER BY rating DESC) AS rn
-        |             FROM (VALUES (1), (2), (1), (2), (1)) AS t(rating)) s WHERE rn <= 10)
-        |SELECT 'q_all' AS request_id, round(d1.dcg / i1.ideal, 6) AS metric_score FROM d1, i1
-        |UNION ALL
-        |SELECT 'q_label2' AS request_id, round(d2.dcg / i2.ideal, 6) AS metric_score FROM d2, i2
-        |ORDER BY request_id""".stripMargin,
-    "search_dsl_json_top_hits" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
-        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
-        |              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
-        |  FROM orders) t
-        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
-    "search_bool_term" ->
-      """SELECT o_orderkey,
-        |       (CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
-        |      + CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS score
-        |FROM orders WHERE o_orderstatus = 'O' AND NOT (o_orderpriority = '5-LOW')
-        |ORDER BY score DESC, o_orderkey""".stripMargin,
-    "search_range" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-        |FROM lineitem
-        |WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-    "search_wildcard" ->
-      """SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%re%' ORDER BY p_partkey""".stripMargin,
-    "search_terms_agg" ->
-      """SELECT o_orderpriority AS "key", count(*) AS doc_count
-        |FROM orders GROUP BY 1 ORDER BY doc_count DESC, "key" LIMIT 5""".stripMargin,
-    "search_date_histogram" ->
-      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket, count(*) AS doc_count,
-        |       round(sum(o_totalprice), 2) AS revenue
-        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
-    "search_filtered_count" ->
-      """SELECT count(*) AS n_total,
-        |       count(*) FILTER (WHERE value > 100) AS n_high_value,
-        |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
-        |FROM events""".stripMargin,
-    "search_stats_agg" ->
-      """SELECT count(l_extendedprice) AS cnt, round(min(l_extendedprice), 2) AS min_v,
-        |       round(max(l_extendedprice), 2) AS max_v, round(avg(l_extendedprice), 2) AS avg_v,
-        |       round(sum(l_extendedprice), 2) AS sum_v
-        |FROM lineitem""".stripMargin,
-    "search_extended_stats" ->
-      """WITH a AS (SELECT count(o_totalprice) AS cnt,
-        |                  round(min(o_totalprice), 2) AS mn, round(max(o_totalprice), 2) AS mx,
-        |                  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
-        |                  sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS sq
-        |           FROM orders)
-        |SELECT CAST(cnt AS BIGINT) AS cnt, mn AS min_v, mx AS max_v,
-        |       round(CAST(s AS DOUBLE) / cnt, 6) AS avg_v,
-        |       round(CAST(s AS DOUBLE), 2) AS sum_v,
-        |       round(CAST(sq AS DOUBLE), 2) AS sum_sq,
-        |       round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1), 6) AS variance,
-        |       round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1)), 6) AS std_dev
-        |FROM a""".stripMargin,
-    "search_more_like_this" ->
-      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term FROM documents),
-        |tgt AS (SELECT term FROM toks WHERE doc_id = 7),
-        |shared AS (SELECT toks.doc_id, toks.term FROM toks JOIN tgt USING (term)),
-        |dfq AS (SELECT term, count(*) AS df FROM shared GROUP BY 1),
-        |n AS (SELECT count(*) AS n_docs FROM documents)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared,
-        |       round(sum(ln(CAST(n_docs AS DOUBLE) / df)), 6) AS score
-        |FROM shared JOIN dfq USING (term) CROSS JOIN n
-        |WHERE doc_id <> 7
-        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
-    "search_cardinality" ->
-      """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
-        |       count(DISTINCT l_orderkey) AS n_orders
-        |FROM lineitem""".stripMargin,
-    "search_percentiles" ->
-      """SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
-        |       round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
-        |       round(quantile_cont(o_totalprice, 0.99), 6) AS p99
-        |FROM orders""".stripMargin,
-    "search_top_n" ->
-      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, o_orderstatus
-        |FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10""".stripMargin,
-    "search_search_after" ->
-      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice FROM orders
-        |WHERE o_orderdate < TIMESTAMP '2000-06-15 00:00:00'
-        |   OR (o_orderdate = TIMESTAMP '2000-06-15 00:00:00' AND o_orderkey < 900)
-        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10""".stripMargin,
-    "monitor_threshold_alert" ->
-      """SELECT bucket, n_errors, n_total FROM (
-        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
-        |         count(*) FILTER (WHERE event_type = 'error') AS n_errors,
-        |         count(*) AS n_total
-        |  FROM events GROUP BY 1) t
-        |WHERE n_errors * 100 > n_total * 21 ORDER BY bucket""".stripMargin,
-    "search_hybrid_rrf" ->
-      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
-        |                     len(string_split(lower(text), ' ')) AS dl
-        |              FROM documents),
-        |postings AS (SELECT id, dl, t.term, count(*) AS tf
-        |             FROM base, unnest(toks) AS t(term)
-        |             WHERE t.term IN ('spark', 'query') GROUP BY id, dl, t.term),
-        |docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
-        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
-        |lex AS (SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER) AS lex_rank FROM (
-        |  SELECT id, round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-        |                       * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
-        |  FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
-        |  GROUP BY id ORDER BY score DESC, id LIMIT 10) t),
-        |vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
-        |vec AS (SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id) AS INTEGER) AS vec_rank FROM (
-        |  SELECT vec_id AS id,
-        |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM vq)), 6) AS cos
-        |  FROM embeddings WHERE vec_id <> 0 ORDER BY cos DESC, id LIMIT 10) t)
-        |SELECT coalesce(lex.id, vec.id) AS id,
-        |       round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0.0)
-        |             + coalesce(CAST(1 AS DOUBLE) / (60 + vec_rank), 0.0), 6) AS rrf_score
-        |FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
-        |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin,
-    "search_dsl_json_span_near" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |p AS (SELECT doc_id,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'big') AS pa,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table') AS pb
-        |      FROM t)
-        |SELECT doc_id FROM p
-        |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b > a AND b - a <= 3)) > 0)) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_collapse" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
-        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-        |         row_number() OVER (PARTITION BY o_orderpriority
-        |              ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        |  FROM orders) t
-        |WHERE rn = 1 ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
-    "search_dsl_json_pipeline" ->
-      """SELECT bucket, doc_count,
-        |       CAST(sum(doc_count) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
-        |       CAST(doc_count - lag(doc_count) OVER (ORDER BY bucket) AS BIGINT) AS deriv_docs,
-        |       round(avg(doc_count) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_docs
-        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |             CAST(count(*) AS BIGINT) AS doc_count
-        |      FROM orders GROUP BY 1) t
-        |ORDER BY bucket""".stripMargin,
-    "search_dsl_json_hybrid" ->
-      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
-        |                     len(string_split(lower(text), ' ')) AS dl
-        |              FROM documents),
-        |postings AS (SELECT id, dl, t.term, count(*) AS tf
-        |             FROM base, unnest(toks) AS t(term)
-        |             WHERE t.term IN ('spark', 'query') GROUP BY id, dl, t.term),
-        |docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
-        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
-        |lex AS (SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER) AS lex_rank FROM (
-        |  SELECT id, round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-        |                       * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
-        |  FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
-        |  GROUP BY id ORDER BY score DESC, id LIMIT 10) t),
-        |vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
-        |vec AS (SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id) AS INTEGER) AS vec_rank FROM (
-        |  SELECT vec_id AS id,
-        |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM vq)), 6) AS cos
-        |  FROM embeddings WHERE vec_id <> 0 ORDER BY cos DESC, id LIMIT 10) t)
-        |SELECT coalesce(lex.id, vec.id) AS id,
-        |       round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0.0)
-        |             + coalesce(CAST(1 AS DOUBLE) / (60 + vec_rank), 0.0), 6) AS rrf_score
-        |FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
-        |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin,
-    "search_bm25" ->
-      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
-        |                     len(string_split(lower(text), ' ')) AS dl
-        |              FROM documents),
-        |postings AS (SELECT id, dl, t.term, count(*) AS tf
-        |             FROM base, unnest(toks) AS t(term)
-        |             WHERE t.term IN ('spark', 'query') GROUP BY id, dl, t.term),
-        |docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
-        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base)
-        |SELECT id, round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-        |                     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
-        |FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
-        |GROUP BY id ORDER BY score DESC, id LIMIT 10""".stripMargin,
-    "search_bm25_build" ->
-      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents),
-        |postings AS (SELECT id, t.term, count(*) AS tf
-        |             FROM base, unnest(toks) AS t(term) GROUP BY id, t.term)
-        |SELECT CAST(count(*) AS BIGINT) AS n_postings,
-        |       CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
-        |       CAST(sum(tf) AS BIGINT) AS total_tf,
-        |       CAST(count(DISTINCT id) AS BIGINT) AS n_docs
-        |FROM postings""".stripMargin,
-    "search_bm25_explain" ->
-      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
-        |                     len(string_split(lower(text), ' ')) AS dl
-        |              FROM documents),
-        |postings AS (SELECT id, dl, t.term, count(*) AS tf
-        |             FROM base, unnest(toks) AS t(term)
-        |             WHERE t.term IN ('spark', 'query') GROUP BY id, dl, t.term),
-        |docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
-        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
-        |contrib AS (SELECT id, term,
-        |                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-        |                     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS ts
-        |            FROM postings JOIN docfreq USING (term) CROSS JOIN corpus)
-        |SELECT id, round(sum(CASE WHEN term = 'spark' THEN ts ELSE 0 END), 4) AS spark_score,
-        |       round(sum(CASE WHEN term = 'query' THEN ts ELSE 0 END), 4) AS query_score,
-        |       round(sum(ts), 4) AS score
-        |FROM contrib GROUP BY id ORDER BY score DESC, id LIMIT 10""".stripMargin,
-    "search_bm25_incremental" ->
-      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
-        |                     len(string_split(lower(text), ' ')) AS dl
-        |              FROM documents
-        |              WHERE NOT (doc_id % 5 <> 0 AND doc_id % 11 = 2)),
-        |postings AS (SELECT id, dl, t.term, count(*) AS tf
-        |             FROM base, unnest(toks) AS t(term)
-        |             WHERE t.term IN ('spark', 'query') GROUP BY id, dl, t.term),
-        |docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
-        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base)
-        |SELECT id, round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-        |                     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
-        |FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
-        |GROUP BY id ORDER BY score DESC, id LIMIT 10""".stripMargin,
-    "search_highlight" ->
-      """SELECT doc_id, CAST(strpos(text, 'spark') AS INTEGER) AS pos,
-        |       substring(text, greatest(CAST(strpos(text, 'spark') AS INTEGER) - 15, 1), 40) AS snippet
-        |FROM documents WHERE strpos(text, 'spark') > 0 ORDER BY doc_id""".stripMargin,
-    "search_pipeline_agg" ->
-      """SELECT bucket, revenue,
-        |       round(sum(revenue) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue,
-        |       round(revenue - lag(revenue) OVER (ORDER BY bucket), 2) AS deriv,
-        |       round(avg(revenue) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
-        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |             round(sum(o_totalprice), 2) AS revenue
-        |      FROM orders GROUP BY 1) t
-        |ORDER BY bucket""".stripMargin,
-    "search_query_string" ->
-      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
-        |FROM orders
-        |WHERE (o_orderstatus = 'O' OR o_orderstatus = 'F') AND o_totalprice > 150000
-        |  AND o_orderpriority LIKE '2%' AND NOT (o_orderkey >= 0 AND o_orderkey <= 500)
-        |ORDER BY o_orderkey""".stripMargin,
-    "search_multi_index" ->
-      """SELECT * FROM (
-        |  SELECT 'lineitem' AS idx, count(*) AS n, round(sum(l_extendedprice), 2) AS amount FROM lineitem
-        |  UNION ALL SELECT 'orders', count(*), round(sum(o_totalprice), 2) FROM orders) t
-        |ORDER BY idx""".stripMargin,
-    "search_match_phrase" ->
-      """SELECT doc_id FROM documents
-        |WHERE contains(' ' || lower(text) || ' ', ' the fast ') ORDER BY doc_id""".stripMargin,
-    "search_prefix" ->
-      """SELECT doc_id FROM documents
-        |WHERE len(list_filter(string_split(lower(text), ' '), t -> t LIKE 'str%')) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "search_min_should_match" ->
-      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
-        |WHERE (CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END
-        |     + CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
-        |     + CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) >= 2
-        |ORDER BY o_orderkey""".stripMargin,
-    "search_json_field" ->
-      """SELECT event_type, count(*) AS n, round(avg(CAST(props->>'k' AS INTEGER)), 6) AS avg_k
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
-    "search_histogram_agg" ->
-      """SELECT floor(o_totalprice / 50000) * 50000 AS bucket, count(*) AS doc_count
-        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
-    "search_range_agg" ->
-      """SELECT bucket, count(*) AS doc_count FROM (
-        |  SELECT CASE WHEN value < 50 THEN 'a_low'
-        |              WHEN value >= 50 AND value < 150 THEN 'b_mid'
-        |              WHEN value >= 150 THEN 'c_high' END AS bucket
-        |  FROM events) t
-        |WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket""".stripMargin,
-    "search_top_hits" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
-        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
-        |              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
-        |  FROM orders) t
-        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
-    "search_top_hits_native" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
-        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
-        |              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
-        |  FROM orders) t
-        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
-    "search_significant_terms" ->
-      """SELECT term, fg_count, bg_count,
-        |       round(CAST(fg_count AS DOUBLE) / fg_total - CAST(bg_count AS DOUBLE) / bg_total, 6) AS score
-        |FROM (SELECT event_type AS term,
-        |             count(*) FILTER (WHERE value > 150) AS fg_count,
-        |             count(*) AS bg_count
-        |      FROM events GROUP BY 1) a
-        |CROSS JOIN (SELECT count(*) FILTER (WHERE value > 150) AS fg_total, count(*) AS bg_total FROM events) b
-        |ORDER BY score DESC, term""".stripMargin,
-    "search_composite_after" ->
-      """SELECT o_orderpriority AS k0, o_orderstatus AS k1, count(*) AS doc_count
-        |FROM orders GROUP BY 1, 2
-        |HAVING o_orderpriority > '2-HIGH' OR (o_orderpriority = '2-HIGH' AND o_orderstatus > 'F')
-        |ORDER BY k0, k1 LIMIT 5""".stripMargin,
-    "search_scripted_field" ->
-      """SELECT o_orderkey,
-        |       round(o_totalprice * CASE WHEN o_orderpriority = '1-URGENT' THEN 1.1 ELSE 1.0 END, 4) AS charge
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-    "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc_price,
-        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_charge,
-        |       round(avg(l_quantity), 2) AS avg_qty,
-        |       round(avg(l_extendedprice), 2) AS avg_price,
-        |       round(avg(l_discount), 2) AS avg_disc,
-        |       count(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "q3_shipping_priority" ->
-      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
-        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
-        |FROM customer, orders, lineitem
-        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
-        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
-    "q3_shipping_colocated" ->
-      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
-        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
-        |FROM customer, orders, lineitem
-        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
-        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
-    "q5_local_supplier" ->
-      """SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
-        |FROM customer, orders, lineitem, supplier, nation, region
-        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
-        |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        |  AND r_name = 'ASIA'
-        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
-    "q7_volume_shipping" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
-        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
-        |FROM lineitem, orders, supplier, customer, nation n1, nation n2
-        |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND o_custkey = c_custkey
-        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
-        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-        |  AND n1.n_name <> n2.n_name
-        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
-    "q7_volume_colocated" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
-        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
-        |FROM lineitem, orders, supplier, customer, nation n1, nation n2
-        |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND o_custkey = c_custkey
-        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
-        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-        |  AND n1.n_name <> n2.n_name
-        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
-    "q10_returned_items" ->
-      """SELECT c_custkey, c_name, n_name,
-        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
-        |FROM lineitem, orders, customer, nation
-        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND c_nationkey = n_nationkey
-        |  AND l_returnflag = 'R'
-        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
-    "q4_order_priority" ->
-      """SELECT o_orderpriority, count(*) AS order_count
-        |FROM orders
-        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
-        |  AND EXISTS (SELECT 1 FROM lineitem
-        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "q6_forecast_revenue" ->
-      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
-    "q14_promo_revenue" ->
-      """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
-        |                                   THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
-        |                                   ELSE 0 END) AS DOUBLE)
-        |             / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6) AS promo_revenue
-        |FROM lineitem, part
-        |WHERE l_partkey = p_partkey
-        |  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
-    "q16_parts_suppliers" ->
-      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
-        |FROM lineitem, part
-        |WHERE l_partkey = p_partkey AND p_brand <> 'Brand#5' AND p_size IN (1, 5, 9, 14, 23, 36, 45)
-        |GROUP BY p_brand, p_type, p_size
-        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
-    "q18_large_orders" ->
-      """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, round(qty, 2) AS qty
-        |FROM orders, customer,
-        |     (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY l_orderkey
-        |      HAVING sum(l_quantity) > 300) t
-        |WHERE o_orderkey = t.l_orderkey AND c_custkey = o_custkey
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
-    "q18_large_orders_colocated" ->
-      """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, round(qty, 2) AS qty
-        |FROM orders, customer,
-        |     (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY l_orderkey
-        |      HAVING sum(l_quantity) > 300) t
-        |WHERE o_orderkey = t.l_orderkey AND c_custkey = o_custkey
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
-    "q19_discounted_revenue" ->
-      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
-        |FROM lineitem, part
-        |WHERE p_partkey = l_partkey AND
-        |  ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
-        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
-        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
-    "q8_market_share" ->
-      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        |       round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
-        |                           THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
-        |                           ELSE 0 END) AS DOUBLE)
-        |             / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6) AS mkt_share
-        |FROM lineitem, part, orders, customer, supplier, nation n1, nation n2, region
-        |WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey AND o_custkey = c_custkey
-        |  AND l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey
-        |  AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
-        |  AND r_name = 'ASIA' AND p_type = 'PROMO'
-        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-        |GROUP BY 1 ORDER BY o_year""".stripMargin,
-    "q9_product_profit" ->
-      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
-        |                      - CAST(p_retailprice * l_quantity * 0.5 AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_profit
-        |FROM lineitem, part, supplier, nation, orders
-        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-        |  AND l_orderkey = o_orderkey AND p_name LIKE '%widget%'
-        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
-    "q9_product_colocated" ->
-      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
-        |                      - CAST(p_retailprice * l_quantity * 0.5 AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_profit
-        |FROM lineitem, part, supplier, nation, orders
-        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-        |  AND l_orderkey = o_orderkey AND p_name LIKE '%widget%'
-        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
-    "q11_important_parts" ->
-      """WITH per AS (
-        |  SELECT l_partkey,
-        |         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS v
-        |  FROM lineitem, supplier, nation, region
-        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA'
-        |  GROUP BY l_partkey)
-        |SELECT l_partkey, CAST(round(v, 2) AS DOUBLE) AS value
-        |FROM per
-        |WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) * 2.0 / count(*) FROM per)
-        |ORDER BY value DESC, l_partkey""".stripMargin,
-    "q13_customer_distribution" ->
-      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
-        |      FROM customer LEFT OUTER JOIN orders
-        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-        |      GROUP BY c_custkey) t
-        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
-    "q17_small_quantity" ->
-      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
-        |FROM lineitem, part
-        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
-        |  AND l_quantity < 0.2 * (SELECT avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
-    "q22_idle_customers" ->
-      """SELECT c_nationkey, count(*) AS numcust,
-        |       CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
-        |FROM customer
-        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
-        |                   FROM customer WHERE c_acctbal > 0)
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-        |                  AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
-        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
-    "q2_min_cost_supplier" ->
-      """WITH ps AS (
-        |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS supply_cost
-        |  FROM lineitem GROUP BY 1, 2),
-        |eur AS (
-        |  SELECT s_suppkey, s_name, s_acctbal, n_name
-        |  FROM supplier, nation, region
-        |  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'),
-        |cand AS (
-        |  SELECT p_partkey, s_name, s_acctbal, n_name, supply_cost
-        |  FROM ps, part, eur
-        |  WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey AND p_type = 'STANDARD')
-        |SELECT s_acctbal, s_name, n_name, p_partkey, round(supply_cost, 2) AS supply_cost
-        |FROM cand
-        |WHERE supply_cost = (SELECT min(supply_cost) FROM cand c2 WHERE c2.p_partkey = cand.p_partkey)
-        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
-    "q12_ship_priority" ->
-      """SELECT l_linestatus,
-        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-        |FROM orders, lineitem
-        |WHERE o_orderkey = l_orderkey
-        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
-        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q20_excess_suppliers" ->
-      """WITH shipped AS (
-        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS ps_qty
-        |  FROM lineitem, orders
-        |  WHERE l_orderkey = o_orderkey
-        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-        |  GROUP BY 1, 2),
-        |tot AS (SELECT l_partkey AS t_pk, sum(ps_qty) AS part_qty FROM shipped GROUP BY 1)
-        |SELECT s_name, round(s_acctbal, 2) AS s_acctbal
-        |FROM supplier, nation
-        |WHERE s_nationkey = n_nationkey AND n_regionkey = 3
-        |  AND s_suppkey IN (
-        |    SELECT l_suppkey FROM shipped, tot, part
-        |    WHERE l_partkey = t_pk AND l_partkey = p_partkey
-        |      AND p_name LIKE '%widget%' AND ps_qty > 0.3 * part_qty)
-        |ORDER BY s_name""".stripMargin,
-    "q21_waiting_suppliers" ->
-      """SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
-        |FROM supplier, lineitem l1, orders
-        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
-        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
-        |  AND EXISTS (SELECT 1 FROM lineitem l2
-        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
-        |                  WHERE l3.l_orderkey = l1.l_orderkey AND o3.o_orderkey = l3.l_orderkey
-        |                    AND l3.l_suppkey <> l1.l_suppkey
-        |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
-        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
-    "q12_ship_colocated" ->
-      """SELECT l_linestatus,
-        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-        |FROM orders, lineitem
-        |WHERE o_orderkey = l_orderkey
-        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
-        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q21_waiting_colocated" ->
-      """SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
-        |FROM supplier, lineitem l1, orders
-        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
-        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
-        |  AND EXISTS (SELECT 1 FROM lineitem l2
-        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
-        |                  WHERE l3.l_orderkey = l1.l_orderkey AND o3.o_orderkey = l3.l_orderkey
-        |                    AND l3.l_suppkey <> l1.l_suppkey
-        |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
-        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
-    "agg_rollup" ->
-      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
-        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
-        |FROM orders
-        |GROUP BY ROLLUP (1, 2)
-        |ORDER BY o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
-    "agg_cube" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
-        |FROM orders
-        |GROUP BY CUBE (1, 2)
-        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
-    "agg_pivot" ->
-      """SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
-        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
-        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
-        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
-        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
-        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    "search_moving_ewma" ->
-      """WITH daily AS (
-        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, CAST(count(*) AS DOUBLE) AS v
-        |  FROM events GROUP BY 1),
-        |a AS (SELECT list(bucket ORDER BY bucket) AS bl, list(v ORDER BY bucket) AS vl FROM daily)
-        |SELECT unnest(bl) AS bucket, unnest(vl) AS v,
-        |       unnest(list_transform(vl, (x, i) ->
-        |         round(list_reduce(list_slice(vl, 1, i), (acc, y) -> y * 0.3 + acc * 0.7), 6))) AS ewma
-        |FROM a ORDER BY bucket""".stripMargin,
-    "search_filters_other" ->
-      """SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
-        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
-        |       CAST(sum(CASE WHEN event_type NOT IN ('click', 'error') THEN 1 ELSE 0 END) AS BIGINT) AS other_bucket
-        |FROM events""".stripMargin,
-    "monitor_anomaly_zscore" ->
-      """WITH daily AS (
-        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
-        |         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
-        |  FROM events GROUP BY 1),
-        |st AS (SELECT count(*) AS n, sum(v) AS s, sum(v * v) AS ss FROM daily)
-        |SELECT bucket, round(v, 2) AS day_value,
-        |       round((v - s / n) / sqrt((ss - s * s / n) / (n - 1)), 6) AS z_score
-        |FROM daily, st
-        |WHERE abs(round((v - s / n) / sqrt((ss - s * s / n) / (n - 1)), 6)) > 2.0
-        |ORDER BY bucket""".stripMargin,
-    "agg_funnel_3step" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
-        |s2 AS (SELECT s1.user_id, min(t1) AS t1, min(CASE WHEN e.ts > t1 THEN e.ts END) AS t2
-        |       FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id AND e.event_type = 'view'
-        |       GROUP BY 1),
-        |s3 AS (SELECT s2.user_id,
-        |              CAST(max(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
-        |              CAST(max(CASE WHEN e.ts > t2 THEN 1 ELSE 0 END) AS BIGINT) AS purchased
-        |       FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id AND e.event_type = 'purchase'
-        |       GROUP BY 1)
-        |SELECT count(*) AS n_signup_users,
-        |       CAST(sum(viewed) AS BIGINT) AS n_viewed,
-        |       CAST(sum(purchased) AS BIGINT) AS n_purchased,
-        |       round(sum(viewed) / CAST(count(*) AS DOUBLE), 6) AS view_rate,
-        |       round(sum(purchased) / CAST(count(*) AS DOUBLE), 6) AS purchase_rate
-        |FROM s3""".stripMargin,
-    "agg_churn" ->
-      """WITH pairs AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events)
-        |SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS churned
-        |FROM pairs p
-        |WHERE NOT EXISTS (SELECT 1 FROM pairs n
-        |                  WHERE n.user_id = p.user_id AND n.week = p.week + INTERVAL 7 DAY)
-        |GROUP BY week ORDER BY week""".stripMargin,
-    "search_categorize_text" ->
-      """SELECT array_to_string(list_slice(string_split(lower(text), ' '), 1, 3), ' ') AS pattern,
-        |       count(*) AS doc_count
-        |FROM documents GROUP BY 1 ORDER BY doc_count DESC, pattern LIMIT 10""".stripMargin,
-    "agg_retention_cohorts" ->
-      """WITH cohort AS (
-        |  SELECT user_id AS c_uid, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
-        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
-        |active AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week FROM events)
-        |SELECT cohort_week,
-        |       CAST(floor((epoch(act_week) - epoch(cohort_week)) / 604800) AS BIGINT) AS week_offset,
-        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
-        |FROM active JOIN cohort ON user_id = c_uid
-        |WHERE act_week >= cohort_week
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "agg_rolling_wau" ->
-      """WITH pairs AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
-        |spine AS (SELECT DISTINCT day AS target_day FROM pairs),
-        |fan AS (SELECT user_id,
-        |               unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS target_day
-        |        FROM pairs)
-        |SELECT target_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
-        |FROM fan WHERE target_day IN (SELECT target_day FROM spine)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "agg_value_quartiles" ->
-      """WITH th AS (
-        |  SELECT event_type AS th_type,
-        |         round(quantile_cont(value, 0.25), 6) AS q1,
-        |         round(quantile_cont(value, 0.5), 6) AS q2,
-        |         round(quantile_cont(value, 0.75), 6) AS q3
-        |  FROM events GROUP BY 1)
-        |SELECT event_type,
-        |       CAST(1 + CAST(value > q1 AS INTEGER) + CAST(value > q2 AS INTEGER)
-        |                + CAST(value > q3 AS INTEGER) AS INTEGER) AS quartile,
-        |       count(*) AS n, round(min(value), 2) AS lo, round(max(value), 2) AS hi
-        |FROM events JOIN th ON event_type = th_type
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "agg_running_balance" ->
-      """SELECT user_id, event_id, ts,
-        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS balance
-        |FROM events ORDER BY user_id, event_id""".stripMargin,
-    "agg_event_windows" ->
-      """SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 * 1000000 AS BIGINT)) AS win_start,
-        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY win_start""".stripMargin,
-    "agg_rfm_segments" ->
-      """WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_o, count(*) AS n,
-        |                    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS m
-        |             FROM orders GROUP BY 1)
-        |SELECT CASE WHEN last_o >= TIMESTAMP '1998-03-01' THEN 'R1' ELSE 'R0' END AS r,
-        |       CASE WHEN n >= 13 THEN 'F2' WHEN n >= 8 THEN 'F1' ELSE 'F0' END AS f,
-        |       CASE WHEN m >= 3300000 THEN 'M2' WHEN m >= 1700000 THEN 'M1' ELSE 'M0' END AS m,
-        |       count(*) AS n_customers
-        |FROM per GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin,
-    "agg_path_transitions" ->
-      """SELECT event_type, next_type, count(*) AS n_transitions
-        |FROM (SELECT user_id, event_type,
-        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-        |      FROM events) a
-        |WHERE next_type IS NOT NULL
-        |GROUP BY 1, 2
-        |ORDER BY n_transitions DESC, event_type, next_type""".stripMargin,
-    "agg_sessionize" ->
-      """SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
-        |FROM (SELECT user_id, ts,
-        |             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |      FROM (SELECT user_id, ts, event_id,
-        |                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
-        |                        THEN 1 ELSE 0 END AS is_new
-        |            FROM events) a) b
-        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
-    // The prefix filter is lossless (PPJoin exactness), so the operator's
-    // output equals the naive all-pairs Jaccard — which the oracle can
-    // brute-force at verification scale.
-    "dedup_containment" ->
-      """WITH grams AS (
-        |  SELECT DISTINCT doc_id AS id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
-        |  CROSS JOIN unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
-        |rare AS (SELECT id, g FROM grams
-        |         JOIN (SELECT g, count(*) AS df FROM grams GROUP BY 1) f USING (g)
-        |         WHERE df <= 50),
-        |sizes AS (SELECT id, count(*) AS n_rare FROM rare GROUP BY 1),
-        |shared AS (
-        |  SELECT x.id AS a, y.id AS b, count(*) AS shared
-        |  FROM rare x JOIN rare y USING (g) WHERE x.id < y.id GROUP BY 1, 2)
-        |SELECT a, b,
-        |       round(shared * 1.0 / sa.n_rare, 4) AS containment_ab,
-        |       round(shared * 1.0 / sb.n_rare, 4) AS containment_ba
-        |FROM shared
-        |JOIN sizes sa ON sa.id = a
-        |JOIN sizes sb ON sb.id = b
-        |WHERE greatest(round(shared * 1.0 / sa.n_rare, 4), round(shared * 1.0 / sb.n_rare, 4)) >= 0.5
-        |ORDER BY a, b""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                        for i in generate_series(1, len(t) - 2)]) AS sh
-        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
-        |  WHERE len(t) >= 3)
-        |SELECT a, b, jaccard FROM (
-        |  SELECT x.doc_id AS a, y.doc_id AS b,
-        |         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        |               / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
-        |  FROM s x, s y WHERE x.doc_id < y.doc_id) t
-        |WHERE jaccard >= 0.4 ORDER BY a, b""".stripMargin,
-    "dedup_exact" ->
-      """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
-        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
-    // Connected components over the same (exact) pair derivation as the
-    // dedup_ngram_jaccard oracle, closed transitively with min-label
-    // propagation in a recursive CTE.
-    "dedup_components" ->
-      """WITH RECURSIVE s AS (
-        |  SELECT doc_id,
-        |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                        for i in generate_series(1, len(t) - 2)]) AS sh
-        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
-        |  WHERE len(t) >= 3),
-        |prs AS (
-        |  SELECT a, b FROM (
-        |    SELECT x.doc_id AS a, y.doc_id AS b,
-        |           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        |                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
-        |    FROM s x, s y WHERE x.doc_id < y.doc_id) t
-        |  WHERE jaccard >= 0.4),
-        |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
-        |reach(node, lbl) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
-        |SELECT node AS doc_id, min(lbl) AS component FROM reach
-        |GROUP BY node ORDER BY doc_id""".stripMargin,
-    // Same recursive-CTE component derivation, then one representative
-    // per cluster: longest doc, ties to the smallest id.
-    "dedup_representatives" ->
-      """WITH RECURSIVE s AS (
-        |  SELECT doc_id,
-        |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                        for i in generate_series(1, len(t) - 2)]) AS sh
-        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
-        |  WHERE len(t) >= 3),
-        |prs AS (
-        |  SELECT a, b FROM (
-        |    SELECT x.doc_id AS a, y.doc_id AS b,
-        |           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        |                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
-        |    FROM s x, s y WHERE x.doc_id < y.doc_id) t
-        |  WHERE jaccard >= 0.4),
-        |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
-        |reach(node, lbl) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
-        |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
-        |lab AS (
-        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster, d.n_chars
-        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
-        |SELECT cluster, rep_doc_id, members FROM (
-        |  SELECT cluster, doc_id AS rep_doc_id,
-        |         CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS members,
-        |         row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
-        |  FROM lab) t
-        |WHERE rn = 1 ORDER BY cluster""".stripMargin,
-    // Same component derivation; the survivor maximizes stopword ratio
-    // (ties to smallest id) instead of document length.
-    "dedup_survivors_quality" ->
-      """WITH RECURSIVE s AS (
-        |  SELECT doc_id,
-        |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                        for i in generate_series(1, len(t) - 2)]) AS sh
-        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
-        |  WHERE len(t) >= 3),
-        |prs AS (
-        |  SELECT a, b FROM (
-        |    SELECT x.doc_id AS a, y.doc_id AS b,
-        |           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        |                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
-        |    FROM s x, s y WHERE x.doc_id < y.doc_id) t
-        |  WHERE jaccard >= 0.4),
-        |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
-        |reach(node, lbl) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
-        |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
-        |lab AS (
-        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
-        |         round(CAST(len(list_filter(string_split(lower(d.text), ' '),
-        |                      t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
-        |               / len(string_split(lower(d.text), ' ')), 6) AS q
-        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
-        |SELECT cluster, rep_doc_id, rep_quality, members FROM (
-        |  SELECT cluster, doc_id AS rep_doc_id, q AS rep_quality,
-        |         CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS members,
-        |         row_number() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id) AS rn
-        |  FROM lab) t
-        |WHERE rn = 1 ORDER BY cluster""".stripMargin,
-    "text_dup_spans" ->
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS g
-        |  FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
-        |),
-        |freq AS (SELECT g, count(*) AS nd FROM grams GROUP BY 1)
-        |SELECT doc_id,
-        |       CAST(count(*) AS BIGINT) AS n_spans,
-        |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
-        |       round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
-        |FROM grams JOIN freq USING (g)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "text_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        |g AS (SELECT doc_id,
-        |             unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-        |                                   for i in generate_series(1, len(t) - 3)])) AS gram
-        |      FROM toks WHERE len(t) >= 4),
-        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
-        |SELECT g.doc_id, count(*) AS n_shared
-        |FROM g JOIN bench USING (gram) WHERE g.doc_id >= 10
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
-    // The bloom path is exact end-to-end (prune + confirm), so it shares
-    // the same oracle as text_decontaminate.
-    "text_decontaminate_bloom" ->
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        |g AS (SELECT doc_id,
-        |             unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-        |                                   for i in generate_series(1, len(t) - 3)])) AS gram
-        |      FROM toks WHERE len(t) >= 4),
-        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
-        |SELECT g.doc_id, count(*) AS n_shared
-        |FROM g JOIN bench USING (gram) WHERE g.doc_id >= 10
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
-    "text_pii_redact" ->
-      """SELECT c_custkey AS id,
-        |       CAST(len(regexp_extract_all(c_name, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_email,
-        |       CAST(len(regexp_extract_all(c_name, '[0-9]{4,}')) AS INTEGER) AS n_digit_runs,
-        |       regexp_replace(regexp_replace(c_name,
-        |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[PII]', 'g'),
-        |           '[0-9]{4,}', '[PII]', 'g') AS redacted
-        |FROM customer ORDER BY id""".stripMargin,
-    "sample_cap_per_source" ->
-      """SELECT source, doc_id, n_chars, rank FROM (
-        |  SELECT source, doc_id, n_chars,
-        |         row_number() OVER (PARTITION BY source
-        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
-        |  FROM documents) t
-        |WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
-    "text_token_entropy" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
-        |cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
-        |agg AS (SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS s FROM cnt GROUP BY 1)
-        |SELECT doc_id, round(log2(n) - s / n, 6) AS entropy FROM agg ORDER BY doc_id""".stripMargin,
-    "text_filter_chain" ->
-      """SELECT doc_id,
-        |  CASE WHEN len(string_split(lower(text), ' ')) < 50 THEN 'too_short'
-        |       WHEN len(string_split(lower(text), ' ')) > 2000 THEN 'too_long'
-        |       WHEN (CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(lower(text), ' '))) < 3
-        |         OR (CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(lower(text), ' '))) > 10
-        |         THEN 'odd_token_len'
-        |       WHEN (CAST(len(list_filter(string_split(lower(text), ' '),
-        |                     t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
-        |             / len(string_split(lower(text), ' '))) < 0.03 THEN 'low_stopword'
-        |       WHEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) > 0.2
-        |         THEN 'digit_heavy'
-        |       ELSE 'keep' END AS verdict
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "sample_split" ->
-      """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0' THEN 'train'
-        |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e0' THEN 'val'
-        |            ELSE 'test' END AS split,
-        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
-        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
-    "sample_stratified" ->
-      """SELECT lang, count(*) AS n_total,
-        |       CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
-        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
-        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
-    "search_fuzzy" ->
-      """SELECT doc_id FROM documents
-        |WHERE len(list_filter(list_distinct(string_split(lower(text), ' ')),
-        |                      t -> levenshtein(t, 'spark') <= 1)) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "search_rare_terms" ->
-      """SELECT tok AS "key", count(*) AS doc_count
-        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
-        |GROUP BY 1 HAVING count(*) <= 40 ORDER BY doc_count, "key"""".stripMargin,
-    "search_multi_terms" ->
-      """SELECT o_orderpriority AS k0, o_orderstatus AS k1, count(*) AS doc_count
-        |FROM orders GROUP BY 1, 2 ORDER BY doc_count DESC, k0, k1 LIMIT 5""".stripMargin,
-    "search_weighted_avg" ->
-      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-        |           / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6) AS weighted_avg
-        |FROM lineitem""".stripMargin,
-    "search_avg_bucket" ->
-      """SELECT round(avg(revenue), 6) AS avg_bucket, round(min(revenue), 2) AS min_bucket,
-        |       round(max(revenue), 2) AS max_bucket, round(sum(revenue), 2) AS sum_bucket
-        |FROM (SELECT date_trunc('month', o_orderdate) AS bucket, round(sum(o_totalprice), 2) AS revenue
-        |      FROM orders GROUP BY 1) t""".stripMargin,
-    "search_serial_diff" ->
-      """SELECT bucket, revenue,
-        |       round(revenue - lag(revenue, 12) OVER (ORDER BY bucket), 2) AS yoy_diff
-        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |             round(sum(o_totalprice), 2) AS revenue
-        |      FROM orders GROUP BY 1) t
-        |ORDER BY bucket""".stripMargin,
-    "search_percentiles_bucket" ->
-      """SELECT round(quantile_cont(revenue, 0.25), 6) AS p25,
-        |       round(quantile_cont(revenue, 0.5), 6) AS p50,
-        |       round(quantile_cont(revenue, 0.75), 6) AS p75
-        |FROM (SELECT date_trunc('month', o_orderdate) AS bucket, round(sum(o_totalprice), 2) AS revenue
-        |      FROM orders GROUP BY 1) t""".stripMargin,
-    "search_bucket_sort" ->
-      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |       round(sum(o_totalprice), 2) AS revenue
-        |FROM orders GROUP BY 1
-        |ORDER BY revenue DESC, bucket LIMIT 5""".stripMargin,
-    "search_bucket_selector" ->
-      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |       count(*) AS doc_count, max(o_totalprice) AS max_price
-        |FROM orders GROUP BY 1
-        |HAVING max(o_totalprice) > 450000
-        |ORDER BY bucket""".stripMargin,
-    "search_dsl_json_bucket_selector" ->
-      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |       count(*) AS doc_count, max(o_totalprice) AS max_price
-        |FROM orders GROUP BY 1
-        |HAVING max(o_totalprice) > 450000
-        |ORDER BY bucket""".stripMargin,
-    "search_suggest" ->
-      """SELECT suggestion, freq, dist FROM (
-        |  SELECT t.tok AS suggestion, count(*) AS freq,
-        |         CAST(levenshtein(t.tok, 'sparc') AS INTEGER) AS dist
-        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
-        |  GROUP BY 1) v
-        |WHERE dist <= 2 AND dist > 0
-        |ORDER BY dist, freq DESC, suggestion LIMIT 5""".stripMargin,
-    "search_percentile_ranks" ->
-      """SELECT round(avg(CASE WHEN o_totalprice <= 100000 THEN 1.0 ELSE 0.0 END), 6) AS pr_100k,
-        |       round(avg(CASE WHEN o_totalprice <= 300000 THEN 1.0 ELSE 0.0 END), 6) AS pr_300k
-        |FROM orders""".stripMargin,
-    "search_suggest_completion" ->
-      """SELECT tok AS suggestion, count(*) AS freq
-        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
-        |WHERE starts_with(tok, 's')
-        |GROUP BY tok ORDER BY freq DESC, tok LIMIT 5""".stripMargin,
-    "search_has_child" ->
-      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-        |WHERE EXISTS (SELECT 1 FROM lineitem
-        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R' AND l_quantity >= 45)
-        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
-    "search_has_parent" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |WHERE EXISTS (SELECT 1 FROM orders
-        |              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT'
-        |                AND o_totalprice > 400000)
-        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
-    // the per-element conjunction (flag AND qty on the SAME lineitem) is
-    // exactly an EXISTS with both predicates inside — nested semantics
-    "search_nested" ->
-      """SELECT o.o_orderkey, o.o_totalprice, CAST(count(*) AS BIGINT) AS n_inner_hits
-        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        |WHERE l.l_returnflag = 'R' AND l.l_quantity >= 48
-        |GROUP BY o.o_orderkey, o.o_totalprice
-        |ORDER BY o.o_orderkey""".stripMargin,
-    "search_dsl_json_nested" ->
-      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-        |WHERE EXISTS (SELECT 1 FROM lineitem
-        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R' AND l_quantity >= 48)
-        |ORDER BY o_orderkey""".stripMargin,
-    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem,
-    // so the sort adds qty + price to stay total on both engines
-    "search_dsl_json_nested_inner_hits" ->
-      """SELECT o_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
-        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-        |WHERE l_returnflag = 'R' AND l_quantity >= 48
-        |ORDER BY o_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
-    "text_bytes_per_token" ->
-      """SELECT source,
-        |       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
-        |       CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
-        |       round(CAST(sum(strlen(text)) AS DOUBLE) / sum(len(string_split(lower(text), ' '))), 6) AS bytes_per_token
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-    "text_length_buckets" ->
-      """SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
-        |            WHEN n <= 128 THEN 128 ELSE 256 END AS len_bucket,
-        |       count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
-        |FROM (SELECT CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n FROM documents) t
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "dedup_cluster_stats" ->
-      """WITH RECURSIVE s AS (
-        |  SELECT doc_id,
-        |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |                        for i in generate_series(1, len(t) - 2)]) AS sh
-        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
-        |  WHERE len(t) >= 3),
-        |prs AS (
-        |  SELECT a, b FROM (
-        |    SELECT x.doc_id AS a, y.doc_id AS b,
-        |           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        |                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
-        |    FROM s x, s y WHERE x.doc_id < y.doc_id) t
-        |  WHERE jaccard >= 0.4),
-        |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
-        |reach(node, lbl) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
-        |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
-        |sizes AS (
-        |  SELECT coalesce(c.component, d.doc_id) AS cluster, count(*) AS size
-        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
-        |  GROUP BY 1)
-        |SELECT size, count(*) AS n_clusters FROM sizes GROUP BY size ORDER BY size""".stripMargin,
-    "search_collapse" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
-        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-        |         row_number() OVER (PARTITION BY o_orderpriority
-        |              ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        |  FROM orders) t
-        |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
-    "search_date_histogram_filled" ->
-      """WITH b AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS bucket,
-        |                  count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
-        |           FROM orders WHERE o_totalprice > 450000 GROUP BY 1),
-        |spine AS (SELECT unnest(generate_series((SELECT min(bucket) FROM b),
-        |                                        (SELECT max(bucket) FROM b),
-        |                                        INTERVAL 1 DAY)) AS bucket)
-        |SELECT spine.bucket, coalesce(cnt, 0) AS doc_count, coalesce(rev, 0.0) AS revenue
-        |FROM spine LEFT JOIN b USING (bucket) ORDER BY bucket""".stripMargin,
-    "dedup_fingerprint" ->
-      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
-        |       count(*) AS n_dups, min(doc_id) AS keep_id
-        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
-    "ann_bruteforce_topk" ->
-      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
-        |FROM embeddings WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
-    "ann_matryoshka_topk" ->
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
-        |cand AS (
-        |  SELECT vec_id,
-        |         list_cosine_similarity(CAST(list_slice(embedding, 1, 16) AS DOUBLE[]),
-        |                                (SELECT CAST(list_slice(qe, 1, 16) AS DOUBLE[]) FROM q)) AS tcos
-        |  FROM embeddings WHERE vec_id <> 0
-        |  ORDER BY tcos DESC, vec_id LIMIT 50)
-        |SELECT e.vec_id,
-        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS cos
-        |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
-        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
-    "ann_bq_build" ->
-      """WITH m AS (SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS mean
-        |           FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
-        |           GROUP BY i),
-        |bits AS (SELECT e.vec_id,
-        |                sum(CASE WHEN CAST(e.embedding[m.i] AS DOUBLE) > m.mean THEN 1 ELSE 0 END) AS ones
-        |         FROM embeddings e CROSS JOIN m
-        |         GROUP BY e.vec_id)
-        |SELECT CAST(count(*) AS BIGINT) AS n_vectors, CAST(sum(ones) AS BIGINT) AS total_ones,
-        |       CAST(min(ones) AS INTEGER) AS min_ones, CAST(max(ones) AS INTEGER) AS max_ones
-        |FROM bits""".stripMargin,
-    "ann_bq_topk" ->
-      """WITH m AS (SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS mean
-        |           FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
-        |           GROUP BY i),
-        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        |h AS (SELECT e.vec_id,
-        |             sum(CASE WHEN (CAST(e.embedding[m.i] AS DOUBLE) > m.mean)
-        |                       <> (CAST(q.qe[m.i] AS DOUBLE) > m.mean) THEN 1 ELSE 0 END) AS ham
-        |      FROM embeddings e CROSS JOIN m CROSS JOIN q
-        |      GROUP BY e.vec_id),
-        |cand AS (SELECT vec_id FROM h ORDER BY ham, vec_id LIMIT 50)
-        |SELECT e.vec_id,
-        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                                    (SELECT CAST(qe AS DOUBLE[]) FROM q)), 6) AS cos
-        |FROM embeddings e JOIN cand USING (vec_id)
-        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
-    "search_heatmap" ->
-      """SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
-        |       CAST(floor(value / 50.0) AS BIGINT) AS value_band,
-        |       count(*) AS doc_count
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "ann_maxsim" ->
-      """WITH probes AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
-        |                FROM embeddings WHERE vec_id < 3),
-        |pm AS (SELECT label,
-        |         max(CASE WHEN q_id = 0 THEN list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) END) AS b0,
-        |         max(CASE WHEN q_id = 1 THEN list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) END) AS b1,
-        |         max(CASE WHEN q_id = 2 THEN list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) END) AS b2
-        |       FROM embeddings, probes WHERE vec_id >= 3 GROUP BY label)
-        |SELECT label, round(b0 + b1 + b2, 6) AS maxsim FROM pm
-        |ORDER BY maxsim DESC, label""".stripMargin,
-    "search_rescore" ->
-      """WITH first AS (SELECT doc_id, n_chars, list_distinct(string_split(lower(text), ' ')) AS toks
-        |               FROM documents ORDER BY n_chars DESC, doc_id LIMIT 50)
-        |SELECT doc_id, n_chars,
-        |       CAST(len(list_intersect(toks, ['spark', 'query', 'table'])) AS INTEGER) AS matched
-        |FROM first ORDER BY matched DESC, n_chars DESC, doc_id LIMIT 10""".stripMargin,
-    "ann_filtered_topk" ->
-      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
-        |FROM embeddings WHERE vec_id <> 0 AND label = 2 ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
-    "search_rank_eval" ->
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe, label AS ql FROM embeddings WHERE vec_id = 0),
-        |scored AS (
-        |  SELECT e.vec_id, e.label, q.ql,
-        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos
-        |  FROM embeddings e, q WHERE e.vec_id <> 0),
-        |top AS (
-        |  SELECT vec_id, label, ql, cos,
-        |         CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
-        |  FROM scored QUALIFY rank <= 10),
-        |r AS (SELECT count(*) AS rel_total FROM scored WHERE label = ql),
-        |idcg AS (SELECT sum(1.0 / (ln(i + 1) / ln(2.0))) AS v
-        |         FROM generate_series(1, 10) AS t(i), r WHERE i <= least(rel_total, 10)),
-        |m AS (SELECT round(sum(CASE WHEN label = ql THEN 1 ELSE 0 END) / 10.0, 6) AS precision_at_10,
-        |             round(coalesce(max(CASE WHEN label = ql THEN 1.0 / rank END), 0.0), 6) AS mrr,
-        |             sum(CASE WHEN label = ql THEN 1.0 / (ln(rank + 1) / ln(2.0)) END) AS dcg
-        |      FROM top)
-        |SELECT precision_at_10, mrr,
-        |       round(coalesce(dcg / (SELECT v FROM idcg), 0.0), 6) AS ndcg_at_10
-        |FROM m""".stripMargin,
-    "sample_temperature_mix" ->
-      """WITH mass AS (SELECT source, sum(n_chars) AS m FROM documents GROUP BY source),
-        |r AS (SELECT source, pow(CAST((SELECT min(m) FROM mass) AS DOUBLE) / m, 0.5) AS rate FROM mass)
-        |SELECT d.doc_id, d.source
-        |FROM documents d JOIN r USING (source)
-        |WHERE ((d.doc_id * 2654435761) % 65536) / 65536.0 < r.rate
-        |ORDER BY d.doc_id""".stripMargin,
-    "sample_pack_sequences" ->
-      """SELECT source, shard, doc_id, n_tokens,
-        |       CAST(floor((cum_end - n_tokens) / 256.0) AS BIGINT) AS pack_id,
-        |       CAST((cum_end - n_tokens) % 256 AS BIGINT) AS pack_offset,
-        |       (CAST(floor((cum_end - 1) / 256.0) AS BIGINT)
-        |          > CAST(floor((cum_end - n_tokens) / 256.0) AS BIGINT)) AS spans_boundary
-        |FROM (SELECT source, CAST(floor(doc_id / 128.0) AS BIGINT) AS shard, doc_id,
-        |             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
-        |             sum(len(string_split(lower(text), ' ')))
-        |               OVER (PARTITION BY source, CAST(floor(doc_id / 128.0) AS BIGINT) ORDER BY doc_id) AS cum_end
-        |      FROM documents) t
-        |ORDER BY source, shard, doc_id""".stripMargin,
-    "sample_weighted_quality" ->
-      """SELECT doc_id, source FROM documents
-        |WHERE ((doc_id * 2654435761) % 65536) / 65536.0 <
-        |      least(1.0, round(CAST(len(list_filter(string_split(lower(text), ' '),
-        |                   t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
-        |            / len(string_split(lower(text), ' ')), 6) * 3.0)
-        |ORDER BY doc_id""".stripMargin,
-    "sample_dsir_weights" ->
-      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term FROM documents),
-        |tf AS (SELECT term, count(*) AS cr, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
-        |       FROM toks GROUP BY 1),
-        |tot AS (SELECT count(*) AS nr, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
-        |               count(DISTINCT term) AS v
-        |        FROM toks)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |       round(sum(ln(CAST(ct + 1 AS DOUBLE) / (cr + 1))
-        |                 - ln(CAST(nt + v AS DOUBLE) / (nr + v))), 6) AS log_ratio
-        |FROM toks JOIN tf USING (term) CROSS JOIN tot
-        |GROUP BY doc_id ORDER BY log_ratio DESC, doc_id LIMIT 100""".stripMargin,
-    "ann_knn_join" ->
-      """SELECT probe_id, cand_id, cos, rank FROM (
-        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-        |         round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos,
-        |         CAST(row_number() OVER (PARTITION BY p.vec_id
-        |           ORDER BY round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
-        |                    c.vec_id) AS INTEGER) AS rank
-        |  FROM embeddings p, embeddings c WHERE p.vec_id < 3 AND c.vec_id >= 3) t
-        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
-    "text_token_count" ->
-      """SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
-        |       CAST(len(list_distinct(string_split(lower(text), ' '))) AS INTEGER) AS n_distinct
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "text_quality_score" ->
-      """SELECT doc_id,
-        |       CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
-        |       round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(lower(text), ' ')), 6) AS avg_token_len,
-        |       round(CAST(len(list_filter(string_split(lower(text), ' '),
-        |                    t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
-        |             / len(string_split(lower(text), ' ')), 6) AS stop_ratio,
-        |       round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 6) AS digit_ratio
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "text_lang_id" ->
-      """SELECT doc_id, s_en, s_fr, s_de, s_es,
-        |       CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
-        |            WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
-        |            WHEN s_de >= s_es THEN 'de'
-        |            ELSE 'es' END AS pred_lang
-        |FROM (SELECT doc_id,
-        |        CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains(['the','a','of','and'], t))) AS INTEGER) AS s_en,
-        |        CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains(['le','la','et','les'], t))) AS INTEGER) AS s_fr,
-        |        CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains(['der','die','und','das'], t))) AS INTEGER) AS s_de,
-        |        CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains(['el','los','que','y'], t))) AS INTEGER) AS s_es
-        |      FROM documents) t
-        |ORDER BY doc_id""".stripMargin,
-    "text_token_count_regex" ->
-      """SELECT doc_id,
-        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_subtokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "text_ngram_freq" ->
-      """SELECT bigram, count(*) AS n FROM (
-        |  SELECT t[i] || ' ' || t[i + 1] AS bigram
-        |  FROM (SELECT string_split(lower(text), ' ') AS t FROM documents) d
-        |  CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(i)) b
-        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
-    "text_repetition" ->
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        |big AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
-        |        FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(i)
-        |        WHERE len(t) >= 2),
-        |mx AS (SELECT doc_id, max(c) AS mc
-        |       FROM (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2) GROUP BY 1)
-        |SELECT toks.doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
-        |       round(CAST(coalesce(mc, 0) * 2 AS DOUBLE) / len(t), 6) AS top_bigram_frac,
-        |       round(1 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS dup_token_frac
-        |FROM toks LEFT JOIN mx USING (doc_id) ORDER BY doc_id""".stripMargin,
-    "mm_binary_meta" ->
-      """SELECT doc_id AS id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
-        |       sha256(text) AS sha256,
-        |       CASE WHEN text LIKE 'th%' THEN 'th-container' ELSE 'raw' END AS format
-        |FROM documents ORDER BY id""".stripMargin,
-    // The corpus is pure ASCII (checked per scale factor), so DuckDB's
-    // character substring equals Spark's byte slicing of the payload.
-    "mm_frame_sample" ->
-      """SELECT doc_id AS id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
-        |       nf AS n_frames, CAST(i AS INTEGER) AS frame_idx,
-        |       md5(substring(text, CAST(i AS INTEGER) * 64 + 1, 64)) AS frame_md5
-        |FROM (SELECT doc_id, text,
-        |             CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS INTEGER) AS nf
-        |      FROM documents) d
-        |CROSS JOIN unnest(generate_series(0, nf - 1, 4)) AS u(i)
-        |ORDER BY id, frame_idx""".stripMargin,
-    "mm_tile_grid" ->
-      """WITH d AS (SELECT doc_id, text, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
-        |           FROM documents),
-        |dims AS (SELECT *, CAST(ceil(ceil(n_bytes / 32.0) / 4.0) AS INTEGER) AS tile_rows FROM d),
-        |tiles AS (
-        |  SELECT doc_id, text, n_bytes,
-        |         CAST(t.i // 2 AS INTEGER) AS tile_row, CAST(t.i % 2 AS INTEGER) AS tile_col
-        |  FROM dims CROSS JOIN unnest(generate_series(0, tile_rows * 2 - 1)) AS t(i)),
-        |parts AS (
-        |  SELECT doc_id, n_bytes, tile_row, tile_col, k.i AS k,
-        |         substring(text, (tile_row * 4 + k.i) * 32 + tile_col * 16 + 1, 16) AS part
-        |  FROM tiles CROSS JOIN unnest(generate_series(0, 3)) AS k(i))
-        |SELECT doc_id AS id, n_bytes, tile_row, tile_col,
-        |       md5(string_agg(part, '' ORDER BY k)) AS tile_md5
-        |FROM parts GROUP BY 1, 2, 3, 4
-        |ORDER BY id, tile_row, tile_col""".stripMargin,
-    "mm_payload_dedup" ->
-      """SELECT sha256(text) AS sha256, count(*) AS n_copies, min(doc_id) AS keep_id
-        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
-    "q15_top_supplier" ->
-      """WITH rev AS (
-        |  SELECT l_suppkey,
-        |         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS total_revenue
-        |  FROM lineitem
-        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-        |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, total_revenue
-        |FROM supplier, rev
-        |WHERE s_suppkey = l_suppkey AND total_revenue = (SELECT max(total_revenue) FROM rev)
-        |ORDER BY s_suppkey""".stripMargin,
-    "search_dsl_json_adjacency" -> adjacencyMatrixSql,
-    "search_dsl_json_boxplot" -> boxplotSql,
-    "search_dsl_json_terms_set" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE len(list_intersect(list_distinct(string_split(lower(text), ' ')),
-        |                         ['spark', 'query', 'merge'])) >= 2
-        |ORDER BY doc_id""".stripMargin,
-    "search_adjacency_matrix" -> adjacencyMatrixSql,
-    "search_auto_date_histogram" ->
-      """WITH span AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
-        |iv AS (SELECT CASE
-        |    WHEN date_diff('hour', lo, hi) + 1 <= 40 THEN 'hour'
-        |    WHEN date_diff('day', lo, hi) + 1 <= 40 THEN 'day'
-        |    WHEN date_diff('month', lo, hi) + 1 <= 40 THEN 'month'
-        |    ELSE 'year' END AS interval FROM span)
-        |SELECT interval, CAST(date_trunc(interval, ts) AS TIMESTAMP) AS bucket, count(*) AS doc_count
-        |FROM events, iv GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
-    "search_string_stats" ->
-      """WITH chars AS (SELECT unnest(range(1, length(text) + 1)) AS i, text FROM documents),
-        |cc AS (SELECT substr(text, CAST(i AS INTEGER), 1) AS ch, count(*) AS n FROM chars GROUP BY 1),
-        |e AS (SELECT round((ln(sum(n)) - sum(n * ln(n)) / sum(n)) / ln(2.0), 6) AS entropy FROM cc)
-        |SELECT count(text) AS cnt,
-        |       CAST(min(length(text)) AS BIGINT) AS min_length,
-        |       CAST(max(length(text)) AS BIGINT) AS max_length,
-        |       round(avg(length(text)), 6) AS avg_length,
-        |       (SELECT entropy FROM e) AS entropy
-        |FROM documents""".stripMargin,
-    "search_mad" ->
-      """WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS md FROM orders)
-        |SELECT round(quantile_cont(abs(o_totalprice - md), 0.5), 6) AS mad FROM orders, m""".stripMargin,
-    "search_boxplot" -> boxplotSql,
-    "search_rate" ->
-      """SELECT bucket, doc_count,
-        |       round(CAST(s AS DOUBLE), 2) AS month_sum,
-        |       round(CAST(s AS DOUBLE) / date_diff('day', bucket, bucket + INTERVAL 1 MONTH), 6) AS per_day_rate
-        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |             count(*) AS doc_count, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s
-        |      FROM orders GROUP BY 1) t ORDER BY bucket""".stripMargin,
-    "search_bucket_script" ->
-      """SELECT bucket, n_errors, n_total, error_rate FROM (
-        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
-        |         CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors,
-        |         count(*) AS n_total,
-        |         round(CAST(count(*) FILTER (WHERE event_type = 'error') AS DOUBLE) / count(*), 6) AS error_rate
-        |  FROM events GROUP BY 1) t
-        |WHERE error_rate > 0.2
-        |ORDER BY error_rate DESC, bucket LIMIT 5""".stripMargin,
-    "search_cumulative_cardinality" ->
-      """WITH fs AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS bucket
-        |            FROM events GROUP BY 1),
-        |nk AS (SELECT bucket, count(*) AS new_keys FROM fs GROUP BY 1),
-        |spine AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket FROM events)
-        |SELECT bucket, CAST(coalesce(new_keys, 0) AS BIGINT) AS new_keys,
-        |       CAST(sum(coalesce(new_keys, 0))
-        |            OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |         AS cum_cardinality
-        |FROM spine LEFT JOIN nk USING (bucket) ORDER BY bucket""".stripMargin,
-    "search_moving_fn" ->
-      """SELECT bucket, revenue,
-        |       round(max(revenue) OVER w3, 2) AS mov_max,
-        |       round(min(revenue) OVER w3, 2) AS mov_min,
-        |       round(sum(revenue) OVER w3, 2) AS mov_sum,
-        |       round(revenue - lag(revenue, 2) OVER (ORDER BY bucket), 2) AS serial_diff2
-        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |             round(sum(o_totalprice), 2) AS revenue
-        |      FROM orders GROUP BY 1) t
-        |WINDOW w3 AS (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        |ORDER BY bucket""".stripMargin,
-    "search_dis_max" ->
-      """WITH t AS (SELECT doc_id,
-        |  CASE WHEN list_contains(string_split(lower(text), ' '), 'spark')
-        |       THEN CAST(2.0 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS s1,
-        |  CASE WHEN list_contains(string_split(lower(text), ' '), 'query')
-        |       THEN CAST(1.5 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS s2
-        |FROM documents)
-        |SELECT doc_id, round(greatest(s1, s2) + 0.3 * (s1 + s2 - greatest(s1, s2)), 6) AS score
-        |FROM t WHERE s1 + s2 > 0 ORDER BY score DESC, doc_id""".stripMargin,
-    "search_dsl_json_dis_max" ->
-      """WITH t AS (SELECT doc_id,
-        |  CASE WHEN list_contains(string_split(lower(text), ' '), 'spark')
-        |       THEN CAST(2.0 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS s1,
-        |  CASE WHEN list_contains(string_split(lower(text), ' '), 'query')
-        |       THEN CAST(1.5 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS s2
-        |FROM documents)
-        |SELECT doc_id, round(greatest(s1, s2) + 0.3 * (s1 + s2 - greatest(s1, s2)), 6) AS "_score"
-        |FROM t WHERE s1 + s2 > 0 ORDER BY "_score" DESC, doc_id""".stripMargin,
-    "search_function_score" ->
-      """SELECT doc_id, n_chars, round(1.5 * ln(1.0 + n_chars), 6) AS score
-        |FROM documents
-        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
-    "search_dsl_json_function_score" ->
-      """SELECT doc_id, n_chars, round(1.5 * ln(1.0 + n_chars), 6) AS "_score"
-        |FROM documents
-        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
-        |ORDER BY doc_id LIMIT 20""".stripMargin,
-    "search_boosting" ->
-      """SELECT doc_id,
-        |       CASE WHEN list_contains(string_split(lower(text), ' '), 'slow')
-        |            THEN CAST(0.5 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS score
-        |FROM documents
-        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
-        |ORDER BY score DESC, doc_id""".stripMargin,
-    "search_dsl_json_boosting" ->
-      """SELECT doc_id,
-        |       CASE WHEN list_contains(string_split(lower(text), ' '), 'slow')
-        |            THEN CAST(0.5 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS _score
-        |FROM documents
-        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
-        |ORDER BY _score DESC, doc_id""".stripMargin,
-    "search_dsl_json_rank_feature" ->
-      """SELECT doc_id, n_chars, round(2.0 * n_chars / (n_chars + 250.0), 6) AS _score
-        |FROM documents
-        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
-        |ORDER BY _score DESC, doc_id LIMIT 20""".stripMargin,
-    "search_dsl_json_distance_feature" ->
-      """SELECT event_id,
-        |       round(2.0 * 604800.0 / (604800.0 + abs(floor(epoch(ts)) - 1706745600)), 6) AS _score
-        |FROM events WHERE event_type = 'purchase'
-        |ORDER BY _score DESC, event_id LIMIT 10""".stripMargin,
-    "search_dsl_json_rescore" ->
-      """WITH first AS (SELECT doc_id, n_chars, list_distinct(string_split(lower(text), ' ')) AS toks
-        |               FROM documents ORDER BY n_chars DESC, doc_id LIMIT 50)
-        |SELECT doc_id, n_chars,
-        |       CAST(len(list_intersect(toks, ['spark', 'query', 'table'])) AS INTEGER) AS _score
-        |FROM first ORDER BY _score DESC, n_chars DESC, doc_id LIMIT 10""".stripMargin,
-    "search_dsl_json_has_child" ->
-      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-        |WHERE EXISTS (SELECT 1 FROM lineitem
-        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R' AND l_quantity >= 45)
-        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
-    "search_dsl_json_has_parent" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |WHERE EXISTS (SELECT 1 FROM orders
-        |              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT'
-        |                AND o_totalprice > 400000)
-        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
-    "search_dsl_json_terms_lookup" ->
-      """WITH lk AS (SELECT DISTINCT tok FROM (
-        |              SELECT unnest(string_split(lower(text), ' ')) AS tok
-        |              FROM documents WHERE doc_id = 0) t
-        |            WHERE len(tok) >= 5),
-        |toks AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
-        |         FROM documents WHERE doc_id <> 0)
-        |SELECT DISTINCT doc_id, lang FROM toks JOIN lk USING (tok) ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_span_first" ->
-      """SELECT doc_id FROM documents
-        |WHERE list_position(string_split(lower(text), ' '), 'spark') BETWEEN 1 AND 5
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_span_not" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
-        |SELECT doc_id FROM t
-        |WHERE len(list_filter(range(1, len(toks) + 1),
-        |                      i -> toks[i] = 'data' AND (i = 1 OR toks[i - 1] <> 'big'))) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_span_within" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |p AS (SELECT doc_id,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'stream') AS pa,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'merge') AS pb,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'fast') AS pp
-        |      FROM t)
-        |SELECT doc_id FROM p
-        |WHERE len(list_filter(pp, p -> len(list_filter(pa, a -> len(list_filter(pb,
-        |          b -> b > a AND b - a <= 6 AND p > a AND p < b)) > 0)) > 0)) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_span_containing" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |p AS (SELECT doc_id,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'sort') AS pa,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'scan') AS pb,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'key') AS pp
-        |      FROM t)
-        |SELECT doc_id FROM p
-        |WHERE len(list_filter(pa, a -> len(list_filter(pb,
-        |          b -> b > a AND b - a <= 5 AND len(list_filter(pp, x -> x > a AND x < b)) > 0)) > 0)) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_match_bool_prefix" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
-        |SELECT doc_id FROM t
-        |WHERE list_contains(toks, 'spark') OR len(list_filter(toks, x -> starts_with(x, 'quer'))) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_weighted_avg" ->
-      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-        |           / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6) AS weighted_avg
-        |FROM lineitem""".stripMargin,
-    "search_dsl_json_multi_terms" ->
-      """SELECT o_orderpriority AS k0, o_orderstatus AS k1, count(*) AS doc_count
-        |FROM orders GROUP BY 1, 2 ORDER BY doc_count DESC, k0, k1 LIMIT 5""".stripMargin,
-    "search_dsl_json_percentile_ranks" ->
-      """SELECT round(avg(CASE WHEN o_totalprice <= 100000 THEN 1.0 ELSE 0.0 END), 6) AS pr_100000,
-        |       round(avg(CASE WHEN o_totalprice <= 300000 THEN 1.0 ELSE 0.0 END), 6) AS pr_300000
-        |FROM orders""".stripMargin,
-    "search_dsl_json_auto_date_histogram" ->
-      """WITH span AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
-        |iv AS (SELECT CASE
-        |    WHEN date_diff('hour', lo, hi) + 1 <= 40 THEN 'hour'
-        |    WHEN date_diff('day', lo, hi) + 1 <= 40 THEN 'day'
-        |    WHEN date_diff('month', lo, hi) + 1 <= 40 THEN 'month'
-        |    ELSE 'year' END AS interval FROM span)
-        |SELECT interval, CAST(date_trunc(interval, ts) AS TIMESTAMP) AS bucket, count(*) AS doc_count
-        |FROM events, iv GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
-    "search_dsl_json_string_stats" ->
-      """WITH chars AS (SELECT unnest(range(1, length(text) + 1)) AS i, text FROM documents),
-        |cc AS (SELECT substr(text, CAST(i AS INTEGER), 1) AS ch, count(*) AS n FROM chars GROUP BY 1),
-        |e AS (SELECT round((ln(sum(n)) - sum(n * ln(n)) / sum(n)) / ln(2.0), 6) AS entropy FROM cc)
-        |SELECT count(text) AS cnt,
-        |       CAST(min(length(text)) AS BIGINT) AS min_length,
-        |       CAST(max(length(text)) AS BIGINT) AS max_length,
-        |       round(avg(length(text)), 6) AS avg_length,
-        |       (SELECT entropy FROM e) AS entropy
-        |FROM documents""".stripMargin,
-    "search_dsl_json_mad" ->
-      """WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS md FROM orders)
-        |SELECT round(quantile_cont(abs(o_totalprice - md), 0.5), 6) AS mad FROM orders, m""".stripMargin,
-    "search_dsl_json_extended_stats" ->
-      """WITH a AS (SELECT count(o_totalprice) AS cnt,
-        |                  round(min(o_totalprice), 2) AS mn, round(max(o_totalprice), 2) AS mx,
-        |                  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
-        |                  sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS sq
-        |           FROM orders)
-        |SELECT CAST(cnt AS BIGINT) AS cnt, mn AS min_v, mx AS max_v,
-        |       round(CAST(s AS DOUBLE) / cnt, 6) AS avg_v,
-        |       round(CAST(s AS DOUBLE), 2) AS sum_v,
-        |       round(CAST(sq AS DOUBLE), 2) AS sum_sq,
-        |       round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1), 6) AS variance,
-        |       round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1)), 6) AS std_dev
-        |FROM a""".stripMargin,
-    "search_dsl_json_histogram" ->
-      """SELECT floor(o_totalprice / 50000) * 50000 AS bucket, count(*) AS doc_count
-        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
-    "search_dsl_json_cardinality" ->
-      """SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem""".stripMargin,
-    "search_dsl_json_serial_diff" ->
-      """SELECT bucket, doc_count, revenue,
-        |       round(revenue - lag(revenue, 12) OVER (ORDER BY bucket), 2) AS yoy_diff
-        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |             count(*) AS doc_count, round(sum(o_totalprice), 2) AS revenue
-        |      FROM orders GROUP BY 1) t
-        |ORDER BY bucket""".stripMargin,
-    "search_dsl_json_moving_fn" ->
-      """SELECT bucket, doc_count, revenue,
-        |       round(max(revenue) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_max
-        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |             count(*) AS doc_count, round(sum(o_totalprice), 2) AS revenue
-        |      FROM orders GROUP BY 1) t
-        |ORDER BY bucket""".stripMargin,
-    "search_dsl_json_normalize" ->
-      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |                  count(*) AS doc_count, round(sum(o_totalprice), 2) AS revenue
-        |           FROM orders GROUP BY 1)
-        |SELECT bucket, doc_count, revenue,
-        |       round(revenue / (SELECT sum(revenue) FROM b) * 100.0, 6) AS pct_of_sum
-        |FROM b ORDER BY bucket""".stripMargin,
-    "search_terms_set" ->
-      """SELECT doc_id,
-        |       CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')),
-        |                               ['spark', 'query', 'merge'])) AS BIGINT) AS n_matched
-        |FROM documents
-        |WHERE len(list_intersect(list_distinct(string_split(lower(text), ' ')),
-        |                         ['spark', 'query', 'merge'])) >= 2
-        |ORDER BY doc_id""".stripMargin,
-    "search_span_near" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |p AS (SELECT doc_id,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'big') AS pa,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table') AS pb
-        |      FROM t)
-        |SELECT doc_id FROM p
-        |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b > a AND b - a <= 3)) > 0)) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "search_span_or" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |p AS (SELECT doc_id, toks,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'big') AS pa,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'data') AS pb
-        |      FROM t)
-        |SELECT doc_id FROM p
-        |WHERE list_contains(toks, 'dup')
-        |   OR len(list_filter(pa, a -> len(list_filter(pb, b -> b > a AND b - a <= 2)) > 0)) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "search_span_not" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |p AS (SELECT doc_id,
-        |        len(list_filter(range(1, len(toks) + 1),
-        |                        i -> toks[i] = 'data' AND (i = 1 OR toks[i - 1] <> 'big'))) AS n_spans
-        |      FROM t)
-        |SELECT doc_id, n_spans FROM p WHERE n_spans > 0 ORDER BY doc_id""".stripMargin,
-    "search_span_within" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |p AS (SELECT doc_id,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'stream') AS pa,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'merge') AS pb,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'fast') AS pp
-        |      FROM t),
-        |n AS (SELECT doc_id,
-        |        len(list_filter(pp, p -> len(list_filter(pa, a -> len(list_filter(pb,
-        |            b -> b > a AND b - a <= 6 AND p > a AND p < b)) > 0)) > 0)) AS n_spans
-        |      FROM p)
-        |SELECT doc_id, n_spans FROM n WHERE n_spans > 0 ORDER BY doc_id""".stripMargin,
-    "search_span_containing" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |p AS (SELECT doc_id,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'sort') AS pa,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'scan') AS pb,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'key') AS pp
-        |      FROM t),
-        |n AS (SELECT doc_id,
-        |        CAST(coalesce(list_sum(list_transform(pa, a -> len(list_filter(pb,
-        |            b -> b > a AND b - a <= 5 AND len(list_filter(pp, p -> p > a AND p < b)) > 0)))), 0) AS BIGINT) AS n_spans
-        |      FROM p)
-        |SELECT doc_id, n_spans FROM n WHERE n_spans > 0 ORDER BY doc_id""".stripMargin,
-    "search_intervals_any" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |p AS (SELECT doc_id,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'big' OR toks[i] = 'fast') AS pa,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table') AS pb
-        |      FROM t)
-        |SELECT doc_id FROM p
-        |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b > a AND b - a - 1 <= 3)) > 0)) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "search_script_score" ->
-      """SELECT doc_id, round(ln(1 + n_chars) * 1.5 + CAST(doc_id % 7 AS DOUBLE), 4) AS score
-        |FROM documents WHERE text LIKE '%spark%'
-        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
-    "search_dsl_json_wrapper" ->
-      """SELECT doc_id, lang FROM documents WHERE lang = 'de' ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_count" ->
-      """SELECT count(*) AS count FROM documents
-        |WHERE list_contains(string_split(lower(text), ' '), 'spark') AND n_chars >= 150""".stripMargin,
-    "search_sampler_diversified" ->
-      """WITH s AS (SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
-        |           QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= 20)
-        |SELECT source AS key, count(*) AS doc_count FROM s
-        |GROUP BY 1 ORDER BY doc_count DESC, key""".stripMargin,
-    "search_match_phrase_prefix" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
-        |SELECT doc_id FROM t
-        |WHERE len(list_filter(range(1, len(toks)), i -> toks[i] = 'big' AND starts_with(toks[i+1], 'dat'))) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_intervals" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |p AS (SELECT doc_id,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'big' OR toks[i] = 'fast') AS pa,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table') AS pb
-        |      FROM t)
-        |SELECT doc_id FROM p
-        |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b > a AND b - a - 1 <= 3)) > 0)) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_match_phrase_prefix" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
-        |SELECT doc_id FROM t
-        |WHERE len(list_filter(range(1, len(toks)), i -> toks[i] = 'big' AND starts_with(toks[i+1], 'dat'))) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "search_match_bool_prefix" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
-        |SELECT doc_id FROM t
-        |WHERE list_contains(toks, 'spark') OR len(list_filter(toks, x -> starts_with(x, 'quer'))) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "search_intervals_ordered" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |p AS (SELECT doc_id,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'stream') AS pa,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'merge') AS pb
-        |      FROM t)
-        |SELECT doc_id FROM p
-        |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b > a)) > 0)) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "search_constant_score" ->
-      """SELECT doc_id, 1.2 AS _score FROM documents
-        |WHERE list_contains(string_split(lower(text), ' '), 'vector')
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_constant_score" ->
-      """SELECT doc_id, 1.2 AS _score FROM documents
-        |WHERE list_contains(string_split(lower(text), ' '), 'vector')
-        |ORDER BY doc_id""".stripMargin,
-    "search_global_agg" ->
-      """SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-        |       round(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
-        |             / sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 6) AS hits_avg_value,
-        |       count(*) AS n_total,
-        |       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS total_avg_value
-        |FROM events""".stripMargin,
-    "search_terms_sub_terms" ->
-      """SELECT lang, source, doc_count, CAST(rn AS INTEGER) AS rank FROM (
-        |  SELECT lang, source, count(*) AS doc_count,
-        |         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, source) AS rn
-        |  FROM documents GROUP BY lang, source) t
-        |WHERE rn <= 3 ORDER BY lang, rank""".stripMargin,
-    "search_t_test" ->
-      """WITH a AS (
-        |  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS s1,
-        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS ss1,
-        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-        |         CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS s2,
-        |         CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS ss2
-        |  FROM events WHERE event_type IN ('purchase', 'view'))
-        |SELECT round((s1 / n1 - s2 / n2)
-        |             / sqrt(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1 + ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2), 6) AS t_stat,
-        |       round(s1 / n1, 6) AS mean_a,
-        |       round(s2 / n2, 6) AS mean_b
-        |FROM a""".stripMargin,
-    "search_matrix_stats" ->
-      """WITH m AS (
-        |  SELECT count(*) AS n,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
-        |         CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sd,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sqq,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spp,
-        |         CAST(sum(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sdd,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sqd,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS spd
-        |  FROM lineitem)
-        |SELECT field_x, field_y,
-        |       round((sxy - sx * sy / n) / (n - 1), 6) AS covariance,
-        |       round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS correlation
-        |FROM (
-        |  SELECT 'l_quantity' AS field_x, 'l_extendedprice' AS field_y, n, sqp AS sxy, sq AS sx, sp AS sy, sqq AS sxx, spp AS syy FROM m
-        |  UNION ALL
-        |  SELECT 'l_quantity', 'l_discount', n, sqd, sq, sd, sqq, sdd FROM m
-        |  UNION ALL
-        |  SELECT 'l_extendedprice', 'l_discount', n, spd, sp, sd, spp, sdd FROM m) t
-        |ORDER BY field_x, field_y""".stripMargin,
-    "text_zipf_slope" ->
-      """WITH tf AS (
-        |  SELECT tok, count(*) AS cnt
-        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
-        |  GROUP BY tok),
-        |ranked AS (
-        |  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS DOUBLE)) AS x,
-        |         ln(CAST(cnt AS DOUBLE)) AS y
-        |  FROM tf)
-        |SELECT round((count(*) * sum(x * y) - sum(x) * sum(y))
-        |             / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS zipf_slope,
-        |       count(*) AS vocab_size
-        |FROM ranked""".stripMargin,
-    "search_geo_distance" ->
-      """WITH g AS (
-        |  SELECT event_id,
-        |         ((user_id * 1237) % 18000) / 100.0 - 90.0 AS lat,
-        |         ((event_id * 91) % 36000) / 100.0 - 180.0 AS lon
-        |  FROM events)
-        |SELECT event_id,
-        |       round(sqrt((lat - 10.0) * (lat - 10.0)
-        |                  + ((lon - 20.0) * 0.7071067811865476) * ((lon - 20.0) * 0.7071067811865476))
-        |             * 111.195, 6) AS dist_km
-        |FROM g
-        |WHERE sqrt((lat - 10.0) * (lat - 10.0)
-        |           + ((lon - 20.0) * 0.7071067811865476) * ((lon - 20.0) * 0.7071067811865476)) * 111.195 <= 1000.0
-        |ORDER BY event_id""".stripMargin,
-    "search_geo_distance_rings" ->
-      """WITH g AS (
-        |  SELECT ((user_id * 1237) % 18000) / 100.0 - 90.0 AS lat,
-        |         ((event_id * 91) % 36000) / 100.0 - 180.0 AS lon
-        |  FROM events),
-        |d AS (
-        |  SELECT sqrt((lat - 10.0) * (lat - 10.0)
-        |              + ((lon - 20.0) * 0.7071067811865476) * ((lon - 20.0) * 0.7071067811865476))
-        |         * 111.195 AS dist_km
-        |  FROM g)
-        |SELECT CASE WHEN dist_km < 1000.0 THEN '*-1000.0'
-        |            WHEN dist_km < 3000.0 THEN '1000.0-3000.0'
-        |            WHEN dist_km < 8000.0 THEN '3000.0-8000.0'
-        |            ELSE '8000.0-*' END AS ring,
-        |       count(*) AS doc_count
-        |FROM d GROUP BY 1 ORDER BY ring""".stripMargin,
-    "search_geo_bbox" ->
-      """SELECT event_type, count(*) AS doc_count
-        |FROM (SELECT event_type,
-        |             ((user_id * 1237) % 18000) / 100.0 - 90.0 AS lat,
-        |             ((event_id * 91) % 36000) / 100.0 - 180.0 AS lon
-        |      FROM events) g
-        |WHERE lat >= 0.0 AND lat < 45.0 AND lon >= -90.0 AND lon < 0.0
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "search_geotile_grid" ->
-      """SELECT CAST(floor((((user_id * 1237) % 18000) / 100.0 - 90.0) / 15.0) AS BIGINT) AS cell_y,
-        |       CAST(floor((((event_id * 91) % 36000) / 100.0 - 180.0) / 15.0) AS BIGINT) AS cell_x,
-        |       count(*) AS doc_count
-        |FROM events
-        |GROUP BY 1, 2 ORDER BY doc_count DESC, cell_y, cell_x LIMIT 20""".stripMargin,
-    "search_scripted_metric" ->
-      """SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS value
-        |FROM lineitem""".stripMargin,
-    "search_geo_polygon" ->
-      s"""SELECT event_type, count(*) AS doc_count
-         |FROM (SELECT event_type, ((user_id * 1237) % 18000) / 100.0 - 90.0 AS lat,
-         |             ((event_id * 91) % 36000) / 100.0 - 180.0 AS lon
-         |      FROM events) g
-         |WHERE $geoPolygonPredSql
-         |GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "search_dsl_json_geo_polygon" ->
-      s"""SELECT event_type AS key, count(*) AS doc_count
-         |FROM (SELECT event_type, ((user_id * 1237) % 18000) / 100.0 - 90.0 AS lat,
-         |             ((event_id * 91) % 36000) / 100.0 - 180.0 AS lon
-         |      FROM events) g
-         |WHERE $geoPolygonPredSql
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "search_geohash_grid" -> geohashGridOracleSql,
-    "search_dsl_json_geohash" -> geohashGridOracleSql,
-    "search_dsl_json_stats_bucket" ->
-      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |                  round(sum(o_totalprice), 2) AS revenue
-        |           FROM orders GROUP BY 1)
-        |SELECT count(*) AS "count", round(min(revenue), 2) AS "min", round(max(revenue), 2) AS "max",
-        |       round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS "avg",
-        |       CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS "sum"
-        |FROM b""".stripMargin,
-    "search_dsl_json_scroll_sliced" ->
-      """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE doc_id % 4 = 1 ORDER BY doc_id LIMIT 20 OFFSET 20""".stripMargin,
-    "search_dsl_json_synonyms" ->
-      """SELECT doc_id FROM documents
-        |WHERE list_contains(string_split(lower(text), ' '), 'join')
-        |   OR list_contains(string_split(lower(text), ' '), 'merge')
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_runtime_field" ->
-      """SELECT doc_id, n_chars FROM documents
-        |WHERE ln(n_chars) * 2 + n_chars / 100 >= 14
-        |ORDER BY doc_id""".stripMargin,
-    // index-time mode, same answer by the opposite mechanism
-    "search_match_synonyms_index" ->
-      """SELECT doc_id FROM documents
-        |WHERE list_contains(string_split(lower(text), ' '), 'join')
-        |   OR list_contains(string_split(lower(text), ' '), 'merge')
-        |ORDER BY doc_id""".stripMargin,
-    "search_children_agg" ->
-      """SELECT o_orderpriority AS key, count(*) AS child_count, sum(l_quantity) AS total_qty
-        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "search_dsl_json_span_or" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |p AS (SELECT doc_id, toks,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'big') AS pa,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'data') AS pb
-        |      FROM t)
-        |SELECT doc_id FROM p
-        |WHERE list_contains(toks, 'dup')
-        |   OR len(list_filter(pa, a -> len(list_filter(pb, b -> b > a AND b - a <= 2)) > 0)) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "search_stats_bucket" ->
-      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |                  round(sum(o_totalprice), 2) AS revenue
-        |           FROM orders GROUP BY 1)
-        |SELECT count(*) AS n_buckets, round(min(revenue), 2) AS min_rev, round(max(revenue), 2) AS max_rev,
-        |       round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_rev,
-        |       CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS sum_rev
-        |FROM b""".stripMargin,
-    "search_dsl_json_scripted_metric" ->
-      """SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS value
-        |FROM lineitem""".stripMargin,
-    "search_dsl_json_mlt" ->
-      """SELECT doc_id FROM documents
-        |WHERE len(list_intersect(list_distinct(string_split(lower(text), ' ')),
-        |                         ['big', 'data', 'table', 'scan'])) >= 3
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_geotile" ->
-      """SELECT CAST(floor((((user_id * 1237) % 18000) / 100.0 - 90.0) / 15.0) AS BIGINT) AS cell_y,
-        |       CAST(floor((((event_id * 91) % 36000) / 100.0 - 180.0) / 15.0) AS BIGINT) AS cell_x,
-        |       count(*) AS doc_count
-        |FROM events
-        |GROUP BY 1, 2 ORDER BY doc_count DESC, cell_y, cell_x LIMIT 20""".stripMargin,
-    "search_dsl_json_geo_centroid" ->
-      """SELECT round(CAST(sum(CAST(((user_id * 1237) % 18000) / 100.0 - 90.0 AS DECIMAL(9,2))) AS DOUBLE) / count(*), 6) AS centroid_lat,
-        |       round(CAST(sum(CAST(((event_id * 91) % 36000) / 100.0 - 180.0 AS DECIMAL(9,2))) AS DOUBLE) / count(*), 6) AS centroid_lon,
-        |       count(*) AS doc_count
-        |FROM events""".stripMargin,
-    "search_dsl_json_geo" ->
-      """WITH g AS (
-        |  SELECT event_id,
-        |         ((user_id * 1237) % 18000) / 100.0 - 90.0 AS lat,
-        |         ((event_id * 91) % 36000) / 100.0 - 180.0 AS lon
-        |  FROM events)
-        |SELECT event_id FROM g
-        |WHERE sqrt((lat - 10.0) * (lat - 10.0)
-        |           + ((lon - 20.0) * 0.7071067811865476) * ((lon - 20.0) * 0.7071067811865476)) * 111.195 <= 1000.0
-        |ORDER BY event_id""".stripMargin,
-    "search_dsl_json_t_test" ->
-      """WITH a AS (
-        |  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS s1,
-        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS ss1,
-        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-        |         CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS s2,
-        |         CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS ss2
-        |  FROM events)
-        |SELECT round((s1 / n1 - s2 / n2)
-        |             / sqrt(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1 + ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2), 6) AS t_stat,
-        |       round(s1 / n1, 6) AS mean_a,
-        |       round(s2 / n2, 6) AS mean_b
-        |FROM a""".stripMargin,
-    "search_geo_centroid" ->
-      """SELECT event_type,
-        |       round(CAST(sum(CAST(((user_id * 1237) % 18000) / 100.0 - 90.0 AS DECIMAL(9,2))) AS DOUBLE) / count(*), 6) AS centroid_lat,
-        |       round(CAST(sum(CAST(((event_id * 91) % 36000) / 100.0 - 180.0 AS DECIMAL(9,2))) AS DOUBLE) / count(*), 6) AS centroid_lon,
-        |       count(*) AS doc_count
-        |FROM events
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "search_geo_bounds" ->
-      """SELECT event_type,
-        |       max(((user_id * 1237) % 18000) / 100.0 - 90.0) AS top,
-        |       min(((user_id * 1237) % 18000) / 100.0 - 90.0) AS bottom,
-        |       min(((event_id * 91) % 36000) / 100.0 - 180.0) AS "left",
-        |       max(((event_id * 91) % 36000) / 100.0 - 180.0) AS "right",
-        |       count(*) AS doc_count
-        |FROM events
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "search_percolate" ->
-      """WITH stored(query_id, field, op, value) AS (VALUES
-        |  (1, 'o_orderstatus', 'term', 'O'),
-        |  (2, 'o_totalprice', 'gt', '200000'),
-        |  (3, 'o_orderpriority', 'prefix', '1'),
-        |  (4, 'o_orderstatus', 'term', 'F')),
-        |docs AS (SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
-        |         FROM orders WHERE o_orderkey < 100)
-        |SELECT o_orderkey, CAST(query_id AS BIGINT) AS query_id
-        |FROM docs, stored
-        |WHERE (op = 'term' AND ((field = 'o_orderstatus' AND o_orderstatus = value)
-        |                     OR (field = 'o_orderpriority' AND o_orderpriority = value)))
-        |   OR (op = 'gt' AND field = 'o_totalprice' AND o_totalprice > CAST(value AS DOUBLE))
-        |   OR (op = 'prefix' AND field = 'o_orderpriority' AND starts_with(o_orderpriority, value))
-        |ORDER BY o_orderkey, query_id""".stripMargin,
-    "search_dsl_json_percolate" ->
-      """WITH docs AS (SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
-        |              FROM orders WHERE o_orderkey < 100)
-        |SELECT o_orderkey, query_id FROM (
-        |  SELECT o_orderkey, CAST(1 AS BIGINT) AS query_id FROM docs WHERE o_orderstatus = 'O'
-        |  UNION ALL
-        |  SELECT o_orderkey, CAST(2 AS BIGINT) FROM docs WHERE o_totalprice > 200000
-        |  UNION ALL
-        |  SELECT o_orderkey, CAST(3 AS BIGINT) FROM docs WHERE o_orderpriority LIKE '1%'
-        |  UNION ALL
-        |  SELECT o_orderkey, CAST(4 AS BIGINT) FROM docs
-        |  WHERE o_orderstatus = 'F' AND o_totalprice <= 100000) t
-        |ORDER BY o_orderkey, query_id""".stripMargin,
-    "search_rank_feature" ->
-      """SELECT doc_id, n_chars, round(2.0 * n_chars / (n_chars + 250.0), 6) AS score
-        |FROM documents
-        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
-    "text_perplexity_bigram" ->
-      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
-        |uni AS (SELECT doc_id, unnest(ts) AS term FROM d),
-        |tf AS (SELECT term, count(*) AS cnt FROM uni GROUP BY 1),
-        |tot AS (SELECT count(*) AS n FROM uni),
-        |bi AS (SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
-        |       FROM d WHERE len(ts) >= 2),
-        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
-        |lc AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |       round(-avg(ln(0.75 * CAST(c12 AS DOUBLE) / c1 + 0.25 * CAST(cnt AS DOUBLE) / n)), 6) AS cross_entropy,
-        |       round(exp(-avg(ln(0.75 * CAST(c12 AS DOUBLE) / c1 + 0.25 * CAST(cnt AS DOUBLE) / n))), 6) AS perplexity
-        |FROM bi JOIN bc USING (w1, w2) JOIN lc USING (w1)
-        |     JOIN tf ON bi.w2 = tf.term CROSS JOIN tot
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "text_perplexity_unigram" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
-        |tf AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
-        |tot AS (SELECT count(*) AS n FROM toks)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |       round(-avg(ln(CAST(cnt AS DOUBLE) / n)), 6) AS cross_entropy,
-        |       round(exp(-avg(ln(CAST(cnt AS DOUBLE) / n))), 6) AS perplexity
-        |FROM toks JOIN tf USING (term) CROSS JOIN tot
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "ann_range_search" ->
-      """SELECT vec_id, cos FROM (
-        |  SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
-        |  FROM embeddings WHERE vec_id <> 0) t
-        |WHERE cos >= 0.3 ORDER BY cos DESC, vec_id""".stripMargin,
-    // session_window closes a session when the NEXT event lands at or
-    // past start+gap (exclusive window end) — hence >= 1800, where the
-    // lag-based sessionize entry's convention is > 1800.
-    "agg_session_window_native" ->
-      """SELECT user_id, min(ts) AS session_start,
-        |       max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
-        |FROM (SELECT user_id, ts,
-        |             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |      FROM (SELECT user_id, ts, event_id,
-        |                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
-        |                        THEN 1 ELSE 0 END AS is_new
-        |            FROM events) a) b
-        |GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
-    "agg_funnel" ->
-      """WITH fs AS (SELECT user_id, min(ts) AS t_signup FROM events
-        |            WHERE event_type = 'signup' GROUP BY 1),
-        |conv AS (SELECT fs.user_id,
-        |                max(CASE WHEN e.ts > fs.t_signup THEN 1 ELSE 0 END) AS converted
-        |         FROM fs LEFT JOIN events e
-        |           ON e.user_id = fs.user_id AND e.event_type = 'purchase'
-        |         GROUP BY 1)
-        |SELECT count(*) AS n_signup_users,
-        |       CAST(sum(converted) AS BIGINT) AS n_converted,
-        |       round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS conversion_rate
-        |FROM conv""".stripMargin,
-    "search_pinned" ->
-      """SELECT doc_id, pinned, score FROM (
-        |  SELECT doc_id,
-        |         coalesce(list_position([7, 3, 11], doc_id), 0) AS pin,
-        |         coalesce(list_position([7, 3, 11], doc_id), 0) > 0 AS pinned,
-        |         CASE WHEN list_contains(string_split(lower(text), ' '), 'spark')
-        |              THEN 1 ELSE 0 END AS score
-        |  FROM documents) t
-        |WHERE pin > 0 OR score > 0
-        |ORDER BY CASE WHEN pin > 0 THEN pin ELSE 9223372036854775807 END, score DESC, doc_id
-        |LIMIT 10""".stripMargin,
-    "search_terms_lookup" ->
-      """WITH lk AS (SELECT DISTINCT tok FROM (
-        |              SELECT unnest(string_split(lower(text), ' ')) AS tok
-        |              FROM documents WHERE doc_id = 0) t
-        |            WHERE len(tok) >= 5),
-        |toks AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
-        |         FROM documents WHERE doc_id <> 0)
-        |SELECT DISTINCT doc_id, lang FROM toks JOIN lk USING (tok) ORDER BY doc_id""".stripMargin,
-    "search_span_first" ->
-      """SELECT doc_id,
-        |       CAST(list_position(string_split(lower(text), ' '), 'spark') AS BIGINT) AS pos
-        |FROM documents
-        |WHERE list_position(string_split(lower(text), ' '), 'spark') BETWEEN 1 AND 5
-        |ORDER BY doc_id""".stripMargin,
-    "search_distance_feature" ->
-      """SELECT event_id,
-        |       round(2.0 * 604800.0 / (604800.0 + abs(floor(epoch(ts)) - 1706745600)), 6) AS score
-        |FROM events WHERE event_type = 'purchase'
-        |ORDER BY score DESC, event_id LIMIT 10""".stripMargin,
-    "search_decay_gauss" ->
-      """SELECT o_orderkey,
-        |       round(exp((-0.6931471805599453 / (50000.0 * 50000.0))
-        |                 * greatest(abs(o_totalprice - 150000.0) - 10000.0, 0.0)
-        |                 * greatest(abs(o_totalprice - 150000.0) - 10000.0, 0.0)), 6) AS score
-        |FROM orders WHERE o_orderkey < 500
-        |ORDER BY score DESC, o_orderkey LIMIT 20""".stripMargin,
-    "search_random_score" ->
-      """SELECT doc_id,
-        |       round(CAST(concat('0x', substring(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
-        |             / 4294967296.0, 6) AS score
-        |FROM documents ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
-    "search_exists" ->
-      """SELECT c_mktsegment AS segment, count(*) AS n_customers,
-        |       count(o_custkey) AS n_with_orders,
-        |       count(*) - count(o_custkey) AS n_missing
-        |FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
-        |                         WHERE o_totalprice > 450000) o
-        |  ON c_custkey = o_custkey
-        |GROUP BY 1 ORDER BY segment""".stripMargin,
-    "search_max_bucket" ->
-      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |                  round(sum(o_totalprice), 2) AS revenue
-        |           FROM orders GROUP BY 1)
-        |SELECT bucket, revenue FROM b
-        |WHERE revenue = (SELECT max(revenue) FROM b)
-        |ORDER BY bucket""".stripMargin,
-    "search_normalize" ->
-      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |                  round(sum(o_totalprice), 2) AS revenue
-        |           FROM orders GROUP BY 1)
-        |SELECT bucket, revenue,
-        |       round(revenue / (SELECT round(sum(revenue), 2) FROM b) * 100.0, 6) AS pct_of_sum
-        |FROM b ORDER BY bucket""".stripMargin,
-    "search_moving_percentiles" ->
-      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |                  round(sum(o_totalprice), 2) AS revenue
-        |           FROM orders GROUP BY 1)
-        |SELECT bucket, revenue,
-        |       round(quantile_cont(revenue, 0.5) OVER (ORDER BY bucket
-        |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS p50_6m,
-        |       round(quantile_cont(revenue, 0.9) OVER (ORDER BY bucket
-        |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS p90_6m
-        |FROM b ORDER BY bucket""".stripMargin,
-    "search_geo_line" ->
-      """WITH g AS (SELECT event_type, ts, event_id,
-        |             CAST(CAST(((user_id * 1237) % 18000) / 100.0 - 90.0 AS DECIMAL(6,2)) AS VARCHAR) AS slat,
-        |             CAST(CAST(((event_id * 91) % 36000) / 100.0 - 180.0 AS DECIMAL(6,2)) AS VARCHAR) AS slon
-        |           FROM events)
-        |SELECT event_type,
-        |       array_to_string(list(concat(slat, ',', slon) ORDER BY ts, event_id)[1:10], ' ') AS line
-        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin,
-    "search_frequent_pairs" ->
-      """WITH baskets AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type FROM events),
-        |n AS (SELECT count(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM baskets) t)
-        |SELECT a.event_type AS item1, b.event_type AS item2,
-        |       count(*) AS pair_count,
-        |       round(count(*) / (SELECT n_baskets FROM n), 6) AS support
-        |FROM baskets a JOIN baskets b USING (user_id, day)
-        |WHERE a.event_type < b.event_type
-        |GROUP BY 1, 2 ORDER BY pair_count DESC, item1, item2 LIMIT 10""".stripMargin,
-    "search_change_point" ->
-      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |                  round(sum(o_totalprice), 2) AS revenue
-        |           FROM orders GROUP BY 1),
-        |c AS (SELECT bucket,
-        |             sum(CAST(revenue AS DECIMAL(18,2))) OVER (ORDER BY bucket
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |             CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS k
-        |      FROM b),
-        |t AS (SELECT sum(CAST(revenue AS DECIMAL(18,2))) AS tot, count(*) AS n FROM b)
-        |SELECT bucket, left_mean, right_mean,
-        |       round(abs(left_mean - right_mean), 6) AS delta
-        |FROM (SELECT bucket,
-        |             round(CAST(cum AS DOUBLE) / k, 6) AS left_mean,
-        |             round(CAST(tot - cum AS DOUBLE) / (n - k), 6) AS right_mean
-        |      FROM c CROSS JOIN t WHERE k < n) s
-        |ORDER BY delta DESC, bucket LIMIT 1""".stripMargin,
-    "search_simple_query_string" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
-        |  AND (list_contains(string_split(lower(text), ' '), 'merge')
-        |       OR contains(concat(' ', lower(text), ' '), ' hash join '))
-        |  AND NOT list_contains(string_split(lower(text), ' '), 'slow')
-        |ORDER BY doc_id""".stripMargin,
-    "search_combined_fields" ->
-      """WITH f AS (SELECT p_partkey,
-        |             1.0 * len(list_filter(string_split(lower(p_name), ' '), x -> x = 'small'))
-        |               + 0.5 * len(list_filter(string_split(lower(p_type), ' '), x -> x = 'small')) AS ctf_small,
-        |             1.0 * len(list_filter(string_split(lower(p_name), ' '), x -> x = 'large'))
-        |               + 0.5 * len(list_filter(string_split(lower(p_type), ' '), x -> x = 'large')) AS ctf_large
-        |           FROM part),
-        |s AS (SELECT count(*) AS n,
-        |             sum(CASE WHEN ctf_small > 0 THEN 1 ELSE 0 END) AS df_small,
-        |             sum(CASE WHEN ctf_large > 0 THEN 1 ELSE 0 END) AS df_large
-        |      FROM f)
-        |SELECT p_partkey, score FROM (
-        |  SELECT p_partkey,
-        |         round(ln(1.0 + (n - df_small + 0.5) / (df_small + 0.5)) * (ctf_small / (ctf_small + 1.2))
-        |               + ln(1.0 + (n - df_large + 0.5) / (df_large + 0.5)) * (ctf_large / (ctf_large + 1.2)),
-        |               6) AS score
-        |  FROM f CROSS JOIN s) t
-        |WHERE score > 0 ORDER BY score DESC, p_partkey LIMIT 20""".stripMargin,
-    "search_phrase_suggest" ->
-      """WITH toks AS (SELECT doc_id, tok, p FROM (
-        |       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
-        |              generate_subscripts(string_split(lower(text), ' '), 1) AS p
-        |       FROM documents) t),
-        |vocab AS (SELECT tok AS term, count(*) AS freq FROM toks GROUP BY 1),
-        |c1 AS (SELECT term AS w1, freq AS f1, CAST(levenshtein(term, 'fast') AS INTEGER) AS d1
-        |       FROM vocab WHERE abs(len(term) - 4) <= 2 AND levenshtein(term, 'fast') <= 2),
-        |c2 AS (SELECT term AS w2, freq AS f2, CAST(levenshtein(term, 'qery') AS INTEGER) AS d2
-        |       FROM vocab WHERE abs(len(term) - 4) <= 2 AND levenshtein(term, 'qery') <= 2),
-        |bi AS (SELECT w1, w2, count(*) AS c12 FROM (
-        |         SELECT doc_id, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS w2
-        |         FROM toks) b
-        |       WHERE w2 IS NOT NULL GROUP BY 1, 2)
-        |SELECT concat(w1, ' ', w2) AS suggestion,
-        |       d1 + d2 AS dist,
-        |       coalesce(c12, 0) AS bigram_count,
-        |       f1 + f2 AS cand_freq
-        |FROM c1 CROSS JOIN c2 LEFT JOIN bi USING (w1, w2)
-        |ORDER BY bigram_count DESC, dist, cand_freq DESC, suggestion LIMIT 5""".stripMargin,
-    "search_dsl_json_decay" ->
-      """SELECT o_orderkey,
-        |       round(1.0 * exp((-0.6931471805599453 / (50000.0 * 50000.0))
-        |                 * greatest(abs(o_totalprice - 150000.0) - 10000.0, 0.0)
-        |                 * greatest(abs(o_totalprice - 150000.0) - 10000.0, 0.0)), 6) AS "_score"
-        |FROM orders WHERE o_orderkey < 500
-        |ORDER BY o_orderkey LIMIT 20""".stripMargin,
-    "search_dsl_json_exists" ->
-      """SELECT c_custkey, c_mktsegment
-        |FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
-        |                         WHERE o_totalprice > 450000) o
-        |  ON c_custkey = o_custkey
-        |WHERE o_custkey IS NULL
-        |ORDER BY c_custkey LIMIT 50""".stripMargin,
-    "search_dsl_json_simple_query_string" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
-        |  AND (list_contains(string_split(lower(text), ' '), 'merge')
-        |       OR contains(concat(' ', lower(text), ' '), ' hash join '))
-        |  AND NOT list_contains(string_split(lower(text), ' '), 'slow')
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_pinned" ->
-      """SELECT "_id", lang FROM (
-        |  SELECT doc_id AS "_id", lang,
-        |         coalesce(list_position([7, 3, 11], doc_id), 0) AS pin,
-        |         list_contains(string_split(lower(text), ' '), 'spark') AS organic
-        |  FROM documents) t
-        |WHERE pin > 0 OR organic
-        |ORDER BY CASE WHEN pin > 0 THEN pin ELSE 9223372036854775807 END, "_id"
-        |LIMIT 10""".stripMargin,
-    "search_dsl_json_template" ->
-      """SELECT doc_id, n_chars FROM documents
-        |WHERE list_contains(string_split(lower(text), ' '), 'spark') AND n_chars >= 200
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_avg_bucket" ->
-      """SELECT round(avg(revenue), 6) AS avg_bucket, round(min(revenue), 2) AS min_bucket,
-        |       round(max(revenue), 2) AS max_bucket, round(sum(revenue), 2) AS sum_bucket
-        |FROM (SELECT date_trunc('month', o_orderdate) AS bucket, round(sum(o_totalprice), 2) AS revenue
-        |      FROM orders GROUP BY 1) t""".stripMargin,
-    "search_dsl_json_max_bucket" ->
-      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |                  round(sum(o_totalprice), 2) AS revenue
-        |           FROM orders GROUP BY 1)
-        |SELECT bucket, revenue FROM b
-        |WHERE revenue = (SELECT max(revenue) FROM b)
-        |ORDER BY bucket""".stripMargin,
-    "search_dsl_json_percentiles_bucket" ->
-      """SELECT round(quantile_cont(revenue, 0.25), 6) AS p25,
-        |       round(quantile_cont(revenue, 0.5), 6) AS p50,
-        |       round(quantile_cont(revenue, 0.75), 6) AS p75
-        |FROM (SELECT date_trunc('month', o_orderdate) AS bucket, round(sum(o_totalprice), 2) AS revenue
-        |      FROM orders GROUP BY 1) t""".stripMargin,
-    "search_dsl_json_change_point" ->
-      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |                  round(sum(o_totalprice), 2) AS revenue
-        |           FROM orders GROUP BY 1),
-        |c AS (SELECT bucket,
-        |             sum(CAST(revenue AS DECIMAL(18,2))) OVER (ORDER BY bucket
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |             CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS k
-        |      FROM b),
-        |t AS (SELECT sum(CAST(revenue AS DECIMAL(18,2))) AS tot, count(*) AS n FROM b)
-        |SELECT bucket, left_mean, right_mean,
-        |       round(abs(left_mean - right_mean), 6) AS delta
-        |FROM (SELECT bucket,
-        |             round(CAST(cum AS DOUBLE) / k, 6) AS left_mean,
-        |             round(CAST(tot - cum AS DOUBLE) / (n - k), 6) AS right_mean
-        |      FROM c CROSS JOIN t WHERE k < n) s
-        |ORDER BY delta DESC, bucket LIMIT 1""".stripMargin,
-    "search_dsl_json_bucket_script" ->
-      """SELECT bucket, doc_count, revenue,
-        |       round(revenue / doc_count, 6) AS aov
-        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |             count(*) AS doc_count, round(sum(o_totalprice), 2) AS revenue
-        |      FROM orders GROUP BY 1) t
-        |ORDER BY bucket""".stripMargin,
-    "search_dsl_json_cumulative_cardinality" ->
-      """WITH fs AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS bucket
-        |            FROM events GROUP BY 1),
-        |nk AS (SELECT bucket, count(*) AS new_keys FROM fs GROUP BY 1),
-        |spine AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket FROM events)
-        |SELECT bucket, CAST(coalesce(new_keys, 0) AS BIGINT) AS new_keys,
-        |       CAST(sum(coalesce(new_keys, 0))
-        |            OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |         AS cum_cardinality
-        |FROM spine LEFT JOIN nk USING (bucket) ORDER BY bucket""".stripMargin,
-    "search_dsl_json_moving_ewma" ->
-      """WITH daily AS (
-        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, count(*) AS doc_count
-        |  FROM events GROUP BY 1),
-        |a AS (SELECT list(bucket ORDER BY bucket) AS bl,
-        |             list(doc_count ORDER BY bucket) AS cl,
-        |             list(CAST(doc_count AS DOUBLE) ORDER BY bucket) AS vl FROM daily)
-        |SELECT unnest(bl) AS bucket, unnest(cl) AS doc_count,
-        |       unnest(list_transform(vl, (x, i) ->
-        |         round(list_reduce(list_slice(vl, 1, i), (acc, y) -> y * 0.3 + acc * 0.7), 6))) AS ewma
-        |FROM a ORDER BY bucket""".stripMargin,
-    "search_dsl_json_moving_percentiles" ->
-      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |                  count(*) AS doc_count, round(sum(o_totalprice), 2) AS revenue
-        |           FROM orders GROUP BY 1)
-        |SELECT bucket, doc_count, revenue,
-        |       round(quantile_cont(revenue, 0.5) OVER (ORDER BY bucket
-        |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS p50_6m,
-        |       round(quantile_cont(revenue, 0.9) OVER (ORDER BY bucket
-        |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS p90_6m
-        |FROM b ORDER BY bucket""".stripMargin,
-    "search_dsl_json_categorize_text" ->
-      """SELECT array_to_string(list_slice(string_split(lower(text), ' '), 1, 3), ' ') AS pattern,
-        |       count(*) AS doc_count
-        |FROM documents GROUP BY 1 ORDER BY doc_count DESC, pattern LIMIT 10""".stripMargin,
-    "search_dsl_json_variable_width_histogram" ->
-      """WITH s AS (SELECT quantile_cont(o_totalprice,
-        |             [0.0625, 0.1875, 0.3125, 0.4375, 0.5625, 0.6875, 0.8125, 0.9375]) AS seeds
-        |           FROM orders),
-        |a AS (SELECT o_totalprice,
-        |        CAST(list_position(list_transform(seeds, x -> abs(o_totalprice - x)),
-        |               list_aggregate(list_transform(seeds, x -> abs(o_totalprice - x)), 'min'))
-        |             AS BIGINT) AS bucket
-        |      FROM orders CROSS JOIN s)
-        |SELECT bucket, count(*) AS doc_count,
-        |       round(min(o_totalprice), 2) AS min_v,
-        |       round(max(o_totalprice), 2) AS max_v,
-        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS centroid
-        |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin,
-    "search_dsl_json_ip_prefix" ->
-      """SELECT concat('10.', user_id % 200, '.0.0/16') AS prefix,
-        |       count(*) AS doc_count,
-        |       count(DISTINCT user_id) AS unique_users
-        |FROM events GROUP BY 1 ORDER BY doc_count DESC, prefix LIMIT 20""".stripMargin,
-    "search_dsl_json_ip_range" ->
-      """SELECT bucket, count(*) AS doc_count FROM (
-        |  SELECT CASE WHEN ipnum < 168099840.0 THEN 'a_low'
-        |              WHEN ipnum >= 168099840.0 AND ipnum < 168427520.0 THEN 'b_mid'
-        |              WHEN ipnum >= 168427520.0 THEN 'c_high' END AS bucket
-        |  FROM (SELECT CAST(10 * 16777216 + (user_id % 200) * 65536
-        |                    + ((user_id * 7) % 250) * 256 + (event_id % 254 + 1) AS DOUBLE) AS ipnum
-        |        FROM events) i) t
-        |WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket""".stripMargin,
-    "search_dsl_json_suggest" ->
-      """SELECT suggestion, freq, dist FROM (
-        |  SELECT t.tok AS suggestion, count(*) AS freq,
-        |         CAST(levenshtein(t.tok, 'sparc') AS INTEGER) AS dist
-        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
-        |  GROUP BY 1) v
-        |WHERE dist <= 2 AND dist > 0
-        |ORDER BY dist, freq DESC, suggestion LIMIT 5""".stripMargin,
-    "search_dsl_json_suggest_completion" ->
-      """SELECT tok AS suggestion, count(*) AS freq
-        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
-        |WHERE starts_with(tok, 's')
-        |GROUP BY tok ORDER BY freq DESC, tok LIMIT 5""".stripMargin,
-    "search_dsl_json_geo_distance_rings" ->
-      """WITH g AS (
-        |  SELECT ((user_id * 1237) % 18000) / 100.0 - 90.0 AS lat,
-        |         ((event_id * 91) % 36000) / 100.0 - 180.0 AS lon
-        |  FROM events),
-        |d AS (
-        |  SELECT sqrt((lat - 10.0) * (lat - 10.0)
-        |              + ((lon - 20.0) * 0.7071067811865476) * ((lon - 20.0) * 0.7071067811865476))
-        |         * 111.195 AS dist_km
-        |  FROM g)
-        |SELECT CASE WHEN dist_km < 1000.0 THEN '*-1000.0'
-        |            WHEN dist_km < 3000.0 THEN '1000.0-3000.0'
-        |            WHEN dist_km < 8000.0 THEN '3000.0-8000.0'
-        |            ELSE '8000.0-*' END AS ring,
-        |       count(*) AS doc_count
-        |FROM d GROUP BY 1 ORDER BY ring""".stripMargin,
-    "search_dsl_json_rate" ->
-      """SELECT bucket, doc_count,
-        |       round(CAST(s AS DOUBLE), 2) AS month_sum,
-        |       round(CAST(s AS DOUBLE) / date_diff('day', bucket, bucket + INTERVAL 1 MONTH), 6) AS per_day_rate
-        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |             count(*) AS doc_count, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s
-        |      FROM orders GROUP BY 1) t ORDER BY bucket""".stripMargin,
-    "search_dsl_json_bucket_sort" ->
-      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
-        |       count(*) AS doc_count,
-        |       round(sum(o_totalprice), 2) AS revenue
-        |FROM orders GROUP BY 1
-        |ORDER BY revenue DESC, bucket LIMIT 5""".stripMargin,
-    "search_dsl_json_filters_other" ->
-      """SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
-        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
-        |       CAST(sum(CASE WHEN event_type NOT IN ('click', 'error') THEN 1 ELSE 0 END) AS BIGINT) AS other_bucket
-        |FROM events""".stripMargin,
-    "search_dsl_json_geo_bounds" ->
-      """SELECT event_type,
-        |       max(((user_id * 1237) % 18000) / 100.0 - 90.0) AS top,
-        |       min(((user_id * 1237) % 18000) / 100.0 - 90.0) AS bottom,
-        |       min(((event_id * 91) % 36000) / 100.0 - 180.0) AS "left",
-        |       max(((event_id * 91) % 36000) / 100.0 - 180.0) AS "right",
-        |       count(*) AS doc_count
-        |FROM events
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "search_dsl_json_frequent_pairs" ->
-      """WITH baskets AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type FROM events),
-        |n AS (SELECT count(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM baskets) t)
-        |SELECT a.event_type AS item1, b.event_type AS item2,
-        |       count(*) AS pair_count,
-        |       round(count(*) / (SELECT n_baskets FROM n), 6) AS support
-        |FROM baskets a JOIN baskets b USING (user_id, day)
-        |WHERE a.event_type < b.event_type
-        |GROUP BY 1, 2 ORDER BY pair_count DESC, item1, item2 LIMIT 10""".stripMargin,
-    "search_dsl_json_geo_line" ->
-      """WITH g AS (SELECT event_type, ts, event_id,
-        |             CAST(CAST(((user_id * 1237) % 18000) / 100.0 - 90.0 AS DECIMAL(6,2)) AS VARCHAR) AS slat,
-        |             CAST(CAST(((event_id * 91) % 36000) / 100.0 - 180.0 AS DECIMAL(6,2)) AS VARCHAR) AS slon
-        |           FROM events)
-        |SELECT event_type,
-        |       array_to_string(list(concat(slat, ',', slon) ORDER BY ts, event_id)[1:10], ' ') AS line
-        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin,
-    "search_dsl_json_script_score" ->
-      """SELECT doc_id, round(ln(1 + n_chars) * 1.5 + CAST(doc_id % 7 AS DOUBLE), 6) AS "_score"
-        |FROM documents
-        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
-        |ORDER BY doc_id LIMIT 15""".stripMargin,
-    "search_dsl_json_combined_fields" ->
-      """WITH f AS (SELECT p_partkey,
-        |             1.0 * len(list_filter(string_split(lower(p_name), ' '), x -> x = 'small'))
-        |               + 0.5 * len(list_filter(string_split(lower(p_type), ' '), x -> x = 'small')) AS ctf_small,
-        |             1.0 * len(list_filter(string_split(lower(p_name), ' '), x -> x = 'large'))
-        |               + 0.5 * len(list_filter(string_split(lower(p_type), ' '), x -> x = 'large')) AS ctf_large
-        |           FROM part),
-        |s AS (SELECT count(*) AS n,
-        |             sum(CASE WHEN ctf_small > 0 THEN 1 ELSE 0 END) AS df_small,
-        |             sum(CASE WHEN ctf_large > 0 THEN 1 ELSE 0 END) AS df_large
-        |      FROM f)
-        |SELECT p_partkey, "_score" FROM (
-        |  SELECT p_partkey,
-        |         round(ln(1.0 + (n - df_small + 0.5) / (df_small + 0.5)) * (ctf_small / (ctf_small + 1.2))
-        |               + ln(1.0 + (n - df_large + 0.5) / (df_large + 0.5)) * (ctf_large / (ctf_large + 1.2)),
-        |               6) AS "_score"
-        |  FROM f CROSS JOIN s) t
-        |WHERE "_score" > 0 ORDER BY p_partkey LIMIT 20""".stripMargin,
-    "search_dsl_json_random_score" ->
-      """SELECT doc_id,
-        |       round(CAST(concat('0x', substring(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
-        |             / 4294967296.0, 6) AS "_score"
-        |FROM documents ORDER BY doc_id LIMIT 10""".stripMargin,
-    "search_dsl_json_script_fields" ->
-      """SELECT o_orderkey, o_totalprice * 1.1 AS charge
-        |FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey""".stripMargin,
-    "search_dsl_json_matrix_stats" ->
-      """WITH m AS (
-        |  SELECT count(*) AS n,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
-        |         CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sd,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sqq,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spp,
-        |         CAST(sum(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sdd,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sqd,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS spd
-        |  FROM lineitem)
-        |SELECT field_x, field_y,
-        |       round((sxy - sx * sy / n) / (n - 1), 6) AS covariance,
-        |       round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS correlation
-        |FROM (
-        |  SELECT 'l_quantity' AS field_x, 'l_extendedprice' AS field_y, n, sqp AS sxy, sq AS sx, sp AS sy, sqq AS sxx, spp AS syy FROM m
-        |  UNION ALL
-        |  SELECT 'l_quantity', 'l_discount', n, sqd, sq, sd, sqq, sdd FROM m
-        |  UNION ALL
-        |  SELECT 'l_extendedprice', 'l_discount', n, spd, sp, sd, spp, sdd FROM m) t
-        |ORDER BY field_x, field_y""".stripMargin,
-    "search_dsl_json_global" ->
-      """SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-        |       round(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
-        |             / sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 6) AS hits_avg_value,
-        |       count(*) AS n_total,
-        |       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS total_avg_value
-        |FROM events""".stripMargin,
-    "search_dsl_json_children" ->
-      """SELECT o_orderpriority AS key, count(*) AS child_count, sum(l_quantity) AS total_qty
-        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "search_dsl_json_sampler" ->
-      """WITH s AS (SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
-        |           QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= 20)
-        |SELECT source AS key, count(*) AS doc_count FROM s
-        |GROUP BY 1 ORDER BY doc_count DESC, key""".stripMargin,
-    "search_dsl_json_date_histogram_filled" ->
-      """WITH b AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS bucket,
-        |                  count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
-        |           FROM orders WHERE o_totalprice > 450000 GROUP BY 1),
-        |spine AS (SELECT unnest(generate_series((SELECT min(bucket) FROM b),
-        |                                        (SELECT max(bucket) FROM b),
-        |                                        INTERVAL 1 DAY)) AS bucket)
-        |SELECT spine.bucket, coalesce(cnt, 0) AS doc_count, coalesce(rev, 0.0) AS revenue
-        |FROM spine LEFT JOIN b USING (bucket) ORDER BY bucket""".stripMargin,
-    "search_dsl_json_phrase_suggest" ->
-      """WITH toks AS (SELECT doc_id, tok, p FROM (
-        |       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
-        |              generate_subscripts(string_split(lower(text), ' '), 1) AS p
-        |       FROM documents) t),
-        |vocab AS (SELECT tok AS term, count(*) AS freq FROM toks GROUP BY 1),
-        |c1 AS (SELECT term AS w1, freq AS f1, CAST(levenshtein(term, 'fast') AS INTEGER) AS d1
-        |       FROM vocab WHERE abs(len(term) - 4) <= 2 AND levenshtein(term, 'fast') <= 2),
-        |c2 AS (SELECT term AS w2, freq AS f2, CAST(levenshtein(term, 'qery') AS INTEGER) AS d2
-        |       FROM vocab WHERE abs(len(term) - 4) <= 2 AND levenshtein(term, 'qery') <= 2),
-        |bi AS (SELECT w1, w2, count(*) AS c12 FROM (
-        |         SELECT doc_id, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS w2
-        |         FROM toks) b
-        |       WHERE w2 IS NOT NULL GROUP BY 1, 2)
-        |SELECT concat(w1, ' ', w2) AS suggestion,
-        |       d1 + d2 AS dist,
-        |       coalesce(c12, 0) AS bigram_count,
-        |       f1 + f2 AS cand_freq
-        |FROM c1 CROSS JOIN c2 LEFT JOIN bi USING (w1, w2)
-        |ORDER BY bigram_count DESC, dist, cand_freq DESC, suggestion LIMIT 5""".stripMargin,
-    "search_missing_agg" ->
-      """WITH buyers AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
-        |SELECT count(*) AS doc_count,
-        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_acctbal
-        |FROM customer LEFT JOIN buyers ON c_custkey = o_custkey
-        |WHERE o_custkey IS NULL""".stripMargin,
-    "search_dsl_json_missing" ->
-      """WITH buyers AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
-        |SELECT count(*) AS doc_count,
-        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_acctbal
-        |FROM customer LEFT JOIN buyers ON c_custkey = o_custkey
-        |WHERE o_custkey IS NULL""".stripMargin,
-    "search_filter_agg" ->
-      """SELECT count(*) AS doc_count,
-        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price
-        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
-    "search_dsl_json_filter_agg" ->
-      """SELECT count(*) AS doc_count,
-        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price
-        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
-    "search_nested_agg" ->
-      """SELECT count(*) AS doc_count,
-        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_l_quantity
-        |FROM lineitem""".stripMargin,
-    "search_dsl_json_nested_agg" ->
-      """SELECT count(*) AS doc_count,
-        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_l_quantity
-        |FROM lineitem""".stripMargin,
-    "search_reverse_nested" ->
-      """SELECT l_returnflag AS key, count(*) AS doc_count,
-        |       count(DISTINCT l_orderkey) AS parent_count
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-    "search_dsl_json_reverse_nested" ->
-      """SELECT l_returnflag AS key, count(*) AS doc_count,
-        |       count(DISTINCT l_orderkey) AS parent_count
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-    "search_parent_agg" ->
-      """WITH p AS (SELECT DISTINCT l_returnflag AS key, l_orderkey FROM lineitem)
-        |SELECT key, count(*) AS parent_count,
-        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_order_value
-        |FROM p JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY key ORDER BY key""".stripMargin,
-    "search_dsl_json_parent" ->
-      """WITH p AS (SELECT DISTINCT l_returnflag AS key, l_orderkey FROM lineitem)
-        |SELECT key, count(*) AS parent_count,
-        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_order_value
-        |FROM p JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY key ORDER BY key""".stripMargin,
-    "search_analyze_api" ->
-      """SELECT CAST(p - 1 AS BIGINT) AS position, tok AS token FROM (
-        |  SELECT unnest(string_split(lower('Fast Spark QUERIES shuffle Data'), ' ')) AS tok,
-        |         generate_subscripts(string_split(lower('Fast Spark QUERIES shuffle Data'), ' '), 1) AS p)
-        |ORDER BY position""".stripMargin,
-    "search_analyze_stemmed" ->
-      """WITH f AS (
-        |  SELECT list_transform(
-        |    list_filter(string_split(lower('The Queries against big Tables'), ' '), t -> t NOT IN ('the', 'a')),
-        |    t -> CASE
-        |      WHEN length(t) > 3 AND t LIKE '%ies' AND t NOT LIKE '%eies' AND t NOT LIKE '%aies'
-        |        THEN regexp_replace(t, 'ies$', 'y')
-        |      WHEN length(t) > 3 AND t LIKE '%es' AND t NOT LIKE '%aes' AND t NOT LIKE '%ees' AND t NOT LIKE '%oes'
-        |        THEN regexp_replace(t, 'es$', 'e')
-        |      WHEN length(t) > 2 AND t LIKE '%s' AND t NOT LIKE '%us' AND t NOT LIKE '%ss'
-        |        THEN regexp_replace(t, 's$', '')
-        |      ELSE t END) AS tt)
-        |SELECT CAST(p - 1 AS BIGINT) AS position, tok AS token FROM (
-        |  SELECT unnest(tt) AS tok, generate_subscripts(tt, 1) AS p FROM f)
-        |ORDER BY position""".stripMargin,
-    "search_field_caps" ->
-      """SELECT column_name AS field,
-        |       CASE WHEN column_name = 'text' THEN 'text'
-        |            WHEN data_type = 'VARCHAR' THEN 'keyword'
-        |            WHEN data_type = 'BIGINT' THEN 'long'
-        |            WHEN data_type = 'DOUBLE' THEN 'double'
-        |            ELSE lower(data_type) END AS type,
-        |       true AS searchable,
-        |       column_name <> 'text' AS aggregatable
-        |FROM information_schema.columns WHERE table_name = 'documents'
-        |ORDER BY field""".stripMargin,
-    "search_sql_api" ->
-      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-    "search_dsl_json_script_sort" ->
-      """SELECT doc_id, n_chars FROM documents
-        |ORDER BY (CAST(n_chars AS DOUBLE) / (doc_id + 1)) DESC, doc_id LIMIT 10""".stripMargin,
-    "search_dsl_json_extended_stats_bucket" ->
-      """WITH b AS (SELECT date_trunc('month', o_orderdate) AS bucket,
-        |                  round(sum(o_totalprice), 2) AS revenue
-        |           FROM orders GROUP BY 1),
-        |m AS (SELECT count(*) AS n,
-        |             CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS s,
-        |             CAST(sum(CAST(revenue AS DECIMAL(28,2)) * CAST(revenue AS DECIMAL(28,2))) AS DOUBLE) AS ss,
-        |             round(min(revenue), 2) AS mn, round(max(revenue), 2) AS mx
-        |      FROM b)
-        |SELECT n AS count, mn AS min, mx AS max, round(s / n, 6) AS avg, s AS sum,
-        |       round(ss, -6) AS sum_of_squares,
-        |       round((ss - s * s / n) / n, -4) AS variance,
-        |       round(sqrt((ss - s * s / n) / n), 4) AS std_deviation
-        |FROM m""".stripMargin,
-    "search_dsl_json_sampler_plain" ->
-      """WITH s AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
-        |           ORDER BY h, doc_id LIMIT 100)
-        |SELECT source AS key, count(*) AS doc_count FROM s
-        |GROUP BY 1 ORDER BY doc_count DESC, key""".stripMargin,
-    "search_span_multi" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |p AS (SELECT doc_id,
-        |        list_filter(range(1, len(toks) + 1), i -> starts_with(toks[i], 'spar')) AS pa,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'fast') AS pb
-        |      FROM t)
-        |SELECT doc_id FROM p
-        |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b <> a AND abs(b - a) <= 5)) > 0)) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "search_dsl_json_span_multi" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |p AS (SELECT doc_id,
-        |        list_filter(range(1, len(toks) + 1), i -> starts_with(toks[i], 'spar')) AS pa,
-        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'fast') AS pb
-        |      FROM t)
-        |SELECT doc_id FROM p
-        |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b <> a AND abs(b - a) <= 5)) > 0)) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "search_variable_width_histogram" ->
-      """WITH s AS (SELECT quantile_cont(o_totalprice,
-        |             [0.0625, 0.1875, 0.3125, 0.4375, 0.5625, 0.6875, 0.8125, 0.9375]) AS seeds
-        |           FROM orders),
-        |a AS (SELECT o_totalprice,
-        |        CAST(list_position(list_transform(seeds, x -> abs(o_totalprice - x)),
-        |               list_aggregate(list_transform(seeds, x -> abs(o_totalprice - x)), 'min'))
-        |             AS BIGINT) AS bucket
-        |      FROM orders CROSS JOIN s)
-        |SELECT bucket, count(*) AS doc_count,
-        |       round(min(o_totalprice), 2) AS min_v,
-        |       round(max(o_totalprice), 2) AS max_v,
-        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS centroid
-        |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin,
-    "search_ip_prefix" ->
-      """SELECT concat('10.', user_id % 200, '.0.0/16') AS prefix,
-        |       count(*) AS doc_count,
-        |       count(DISTINCT user_id) AS unique_users
-        |FROM events GROUP BY 1 ORDER BY doc_count DESC, prefix LIMIT 20""".stripMargin,
-    "search_ip_range" ->
-      """SELECT bucket, count(*) AS doc_count FROM (
-        |  SELECT CASE WHEN ipnum < 168099840.0 THEN 'a_low'
-        |              WHEN ipnum >= 168099840.0 AND ipnum < 168427520.0 THEN 'b_mid'
-        |              WHEN ipnum >= 168427520.0 THEN 'c_high' END AS bucket
-        |  FROM (SELECT CAST(10 * 16777216 + (user_id % 200) * 65536
-        |                    + ((user_id * 7) % 250) * 256 + (event_id % 254 + 1) AS DOUBLE) AS ipnum
-        |        FROM events) i) t
-        |WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket""".stripMargin,
-    "text_quality_logistic" ->
-      """SELECT doc_id, round(q, 6) AS quality_prob, q >= 0.5 AS keep FROM (
-        |  SELECT doc_id,
-        |         1.0 / (1.0 + exp(-(-2.0 + 0.35 * ln(n) + 2.5 * stop_ratio - 1.2 * ttr + 0.08 * avg_len))) AS q
-        |  FROM (SELECT doc_id,
-        |               CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n,
-        |               len(list_filter(string_split(lower(text), ' '),
-        |                               t -> t IN ('the', 'a', 'to', 'of', 'and')))
-        |                 / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stop_ratio,
-        |               len(list_distinct(string_split(lower(text), ' ')))
-        |                 / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS ttr,
-        |               (n_chars - CAST(len(string_split(lower(text), ' ')) AS DOUBLE) + 1.0)
-        |                 / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS avg_len
-        |        FROM documents WHERE doc_id < 100) f) t
-        |ORDER BY doc_id""".stripMargin,
-    "text_idf_keywords" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
-        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
-        |n AS (SELECT count(*) AS n FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE doc_id < 50 GROUP BY 1, 2),
-        |sc AS (SELECT doc_id, term, tf,
-        |              round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
-        |       FROM tf JOIN df USING (term) CROSS JOIN n)
-        |SELECT doc_id, term, tf, tfidf, CAST(rank AS INTEGER) AS rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
-        |  FROM sc) t
-        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
-    "text_cooccurrence_pmi" ->
-      """WITH toks AS (SELECT doc_id, tok, p FROM (
-        |       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
-        |              generate_subscripts(string_split(lower(text), ' '), 1) AS p
-        |       FROM documents) t),
-        |bi AS (SELECT w1, w2 FROM (
-        |         SELECT doc_id, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS w2
-        |         FROM toks) b
-        |       WHERE w2 IS NOT NULL),
-        |joint AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
-        |lm AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
-        |rm AS (SELECT w2, count(*) AS c2 FROM bi GROUP BY 1),
-        |tot AS (SELECT count(*) AS n2 FROM bi)
-        |SELECT w1, w2, c12,
-        |       round(ln(CAST(c12 AS DOUBLE) * n2 / (CAST(c1 AS DOUBLE) * c2)), 6) AS pmi
-        |FROM joint JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
-        |WHERE c12 >= 20
-        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
-  )
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    CdcEntries.queries ++
+      SearchEntries.queries ++
+      SearchWireEntries.queries ++
+      AnalyticsEntries.queries ++
+      DedupEntries.queries ++
+      AnnEntries.queries ++
+      TextEntries.queries ++
+      MultimodalEntries.queries
+
+  lazy val oracleSql: Map[String, String] =
+    CdcEntries.oracleSql ++
+      SearchEntries.oracleSql ++
+      SearchWireEntries.oracleSql ++
+      AnalyticsEntries.oracleSql ++
+      DedupEntries.oracleSql ++
+      AnnEntries.oracleSql ++
+      TextEntries.oracleSql ++
+      MultimodalEntries.oracleSql
 }

@@ -1,0 +1,457 @@
+package graft
+
+import graft.cdc.CdcBatch
+import graft.functions.{TextFns, VectorFns}
+import graft.multimodal.Binary
+import graft.operators.{Dedup, MinHashLSH, SimHash, Similarity}
+import graft.search.{Aggs, IndexMapping, JsonDsl, SearchDsl}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+
+import graft.EntrySupport._
+
+/** Similarity search (ANN) index builds + query paths.
+  * Split out of the monolithic SparkEntry registry (round 10)
+  * purely mechanically — entry bodies and oracle SQL are
+  * byte-identical; SparkEntry aggregates the family maps.
+  */
+private[graft] object AnnEntries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+
+    // ── Similarity search ───────────────────────────────────────────────
+    "ann_bruteforce_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        "vec_id",
+        "embedding",
+        queryVec(s, dir, 0),
+        10
+      )),
+
+    // Filtered vector search (the OpenSearch knn `filter` clause): the
+    // metadata predicate applies BEFORE scoring — pre-filtering, the
+    // exact-recall strategy — so the scan prunes on label and only
+    // surviving vectors pay the cosine.
+    "ann_filtered_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0 && col("label") === 2),
+        "vec_id",
+        "embedding",
+        queryVec(s, dir, 0),
+        10
+      )),
+
+    "ann_knn_join" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity
+        .knnJoin(emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") >= 3), "vec_id", "embedding", 5)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // 4-bit sigs x 8 tables: ~16 buckets over a 500-vector corpus keeps
+    // per-bucket candidate lists ~30 and multi-table union recall high
+    // (ReplicaSpec pins recall >= 0.5 vs brute force with exact scores).
+    // Split Bm25/IVF-style: ann_lsh_build reports the honest signature
+    // build (fresh every call); ann_lsh_topk probes the amortized index.
+    "ann_lsh_build" -> ((s, dir) =>
+      Similarity
+        .lshIndex(Tables.embeddings(s, dir), "vec_id", "embedding", nBits = 4, tables = 8)
+        .sigs
+        .groupBy("table")
+        .agg(countDistinct(col("sig")).as("n_buckets"), count(lit(1)).as("n_rows"))
+        .orderBy("table")),
+
+    "ann_lsh_topk" -> ((s, dir) =>
+      Similarity
+        .scoreAgainstLsh(cachedLsh(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10)),
+
+
+    // IVF ANN, split Bm25-style: ann_ivf_build reports the honest index
+    // build cost (fresh every call — per-cell occupancy result);
+    // ann_ivf_topk scores against the amortized per-JVM index, which is
+    // the per-query cost a deployment actually pays. Approximate ->
+    // rows-only.
+    "ann_ivf_build" -> ((s, dir) =>
+      Similarity
+        .ivfIndex(Tables.embeddings(s, dir), "vec_id", "embedding", nLists = 16)
+        .assigned
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("cell")),
+
+    "ann_ivf_topk" -> ((s, dir) =>
+      Similarity
+        .scoreAgainstIvf(cachedIvf(s, dir, nLists = 16), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6)),
+
+    // IVF incremental maintenance — the faiss add() contract: today's
+    // vectors (vec_id % 5 == 0) assign to the EXISTING centroids in one
+    // delta-sized scan and union into the memoized base assignment
+    // table; the same query then searches the grown index. Centroid
+    // drift is the documented trade (cells reflect train-time data;
+    // periodic retrain is the remedy). SimilaritySpec checks the folded
+    // cells against first-principles nearest-centroid math.
+    "ann_ivf_incremental" -> ((s, dir) => {
+      val delta = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+      val idx = Similarity.addToIvf(cachedIvfBase(s, dir), delta, "vec_id", "embedding")
+      Similarity.scoreAgainstIvf(idx, "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6)
+    }),
+
+    "ann_ivf_kmeans_topk" -> ((s, dir) =>
+      Similarity
+        .scoreAgainstIvf(cachedIvfKMeans(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6)),
+
+    // Graph ANN (the NSW/HNSW family — OpenSearch's default knn engine).
+    // Honest build: k-means blocking + in-cell exact top-m adjacency,
+    // fresh every call, summarized per node-degree (approximate-by-design
+    // -> rows-only; structure proven in ReplicaSpec).
+    "ann_graph_build" -> ((s, dir) =>
+      Similarity
+        .graphIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .neighbors
+        .groupBy("id")
+        .agg(count(lit(1)).as("degree"))
+        .groupBy("degree")
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")),
+
+    // Beam search over the amortized graph: fixed expand/score/prune
+    // rounds, exact emitted cosines, recall floor in ReplicaSpec.
+    "ann_graph_topk" -> ((s, dir) =>
+      Similarity
+        .graphSearch(cachedGraph(s, dir), Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10)),
+
+    // The batch form: every probe advances through the SAME fixed
+    // rounds as a set-based (probe_id, id, cos) beam frame — constant
+    // job count regardless of probe count, zero driver collects.
+    "ann_graph_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity
+        .graphSearchBatch(cachedGraph(s, dir), emb, "vec_id", "embedding", emb.filter(col("vec_id") < 3), 10)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // Two-layer graph descent (HNSW's hierarchy, Spark-shaped): honest
+    // top-layer build cost — the ~1/8 id-hash sample's own neighbor
+    // table — reported like every *_build row (the bottom layer's cost
+    // is ann_graph_build).
+    "ann_graph_hier_build" -> ((s, dir) =>
+      Similarity
+        .graphIndex(
+          Tables.embeddings(s, dir).filter(pmod(hash(col("vec_id")), lit(8)) === 0),
+          "vec_id",
+          "embedding"
+        )
+        .neighbors
+        .groupBy("id")
+        .agg(count(lit(1)).as("degree"))
+        .groupBy("degree")
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")),
+
+    // Descend: brief top-layer beam picks warm entry points, bottom runs
+    // the standard fixed-round search from them — fewer bottom rounds
+    // (2 vs 3) at equal-or-better recall (ReplicaSpec measures the A/B).
+    "ann_graph_hier_topk" -> ((s, dir) =>
+      Similarity
+        .graphSearch2(cachedGraph2(s, dir), Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10)),
+
+    // PQ maintenance without retrain — the quantized-index add(): the
+    // delta encodes against the FROZEN centroids+codebooks in one
+    // delta-sized scan and unions into the memoized code table; the
+    // standard query then runs the ADC path over the grown index.
+    // Codebook drift documented at Similarity.addToPq; SimilaritySpec
+    // re-derives every delta code first-principles.
+    "ann_pq_incremental" -> ((s, dir) => {
+      val delta = Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0)
+      val grown = Similarity.addToPq(cachedPqBase(s, dir), delta, "vec_id", "embedding")
+      Similarity.scoreAgainstPq(grown, "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 4)
+    }),
+
+    // NSW insert — graph maintenance without a rebuild: today's vectors
+    // (vec_id % 50 == 0 — a 2% daily delta) beam-search the base graph for their m
+    // neighbors, link both directions, and only touched adjacency lists
+    // re-prune; the standard query (vec 0 IS a delta vector) then runs
+    // over the grown graph, proving new nodes are searchable. Entry-point
+    // and batch-internal-edge trades documented at Similarity.addToGraph;
+    // ReplicaSpec measures post-insert recall.
+    "ann_graph_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val delta = emb.filter(col("vec_id") % 50 === 0)
+      // Insert budget below the query budget (beam 12 / 2 rounds): the
+      // insert only needs m=8 good neighbors, not a full search —
+      // ReplicaSpec measures post-insert recall at exactly these params.
+      val grown0 =
+        Similarity.addToGraph(cachedGraphBase(s, dir), emb, "vec_id", "embedding", delta, beam = 12, rounds = 2)
+      // Materialize the folded adjacency ONCE (a live tier writes it
+      // durably after the insert — this is that write): the scalar beam
+      // search issues several driver actions, and without this each one
+      // would re-run the whole insert DAG. The suite owns the cache
+      // lifecycle (clearCache between queries).
+      val grown = grown0.copy(
+        neighbors = grown0.neighbors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      )
+      Similarity.graphSearch(grown, emb, "vec_id", "embedding", queryVec(s, dir, 0), 10)
+    }),
+
+    // Honest PQ build cost: the full encode (coarse assign + residual
+    // codebook training + per-vector codes) runs on every call.
+    "ann_ivf_pq_build" -> ((s, dir) =>
+      Similarity
+        .pqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .codes
+        .filter(col("cell") >= 0)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("cell")),
+
+    // ADC scan over the probed cells' 8-byte codes (no vectors read for
+    // ranking), exact-cosine rescore of the short rerank list — replica
+    // bounds in ReplicaSpec (recall vs brute force, exact scores,
+    // compression vs the raw-vector IVF table).
+    "ann_ivf_pq_topk" -> ((s, dir) =>
+      Similarity
+        .scoreAgainstPq(cachedPq(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6)),
+
+    // Range (radius) search: fixed cosine threshold instead of top-k —
+    // the dedup-query shape (the query itself excluded, as bruteforce).
+    "ann_range_search" -> ((s, dir) =>
+      Similarity
+        .rangeSearch(
+          Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+          "vec_id",
+          "embedding",
+          queryVec(s, dir, 0),
+          minCos = 0.3
+        )),
+
+    // OPQ (Ge CVPR'13): learned orthonormal residual rotation before the
+    // subspace split — sample-trained on the driver (best-of-iterations,
+    // never worse than identity = plain PQ), corpus encode still one
+    // projection scan. Honest fresh build; topk probes the amortized
+    // index through the same ADC + exact-rescore path.
+    "ann_ivf_opq_build" -> ((s, dir) =>
+      Similarity
+        .opqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .codes
+        .filter(col("cell") >= 0)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("cell")),
+
+    "ann_ivf_opq_topk" -> ((s, dir) =>
+      Similarity
+        .scoreAgainstPq(cachedOpq(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6, rerank = 100)),
+
+    // Distributed OPQ (the R7 candidate landed): rotation trained on the
+    // FULL corpus — Procrustes cross-covariance Σ x·yᵀ accumulated by a
+    // native TypedImperativeAggregate (dim² doubles per partition on the
+    // shuffle, never vectors), codebooks refit by corpus-wide means, only
+    // the dim×dim SVD driver-side. Honest fresh build; topk probes the
+    // amortized index through the shared ADC + exact-rescore path.
+    "ann_ivf_opq_full_build" -> ((s, dir) =>
+      Similarity
+        .opqIndexFull(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .codes
+        .filter(col("cell") >= 0)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("cell")),
+
+    "ann_ivf_opq_full_topk" -> ((s, dir) =>
+      Similarity
+        .scoreAgainstPq(cachedOpqFull(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, nProbe = 6, rerank = 100)),
+
+    // Vectorized multi-probe batch ANN: every probe's (radius-1) buckets
+    // generated as one small frame, ONE pass over the signature table for
+    // the whole batch, TopKPerKey bounded-heap ranking — per-probe result
+    // sets identical to scoreAgainstLsh at the same radius (ReplicaSpec).
+    // Matryoshka (MRL) truncation: rank by the cosine of the first 16
+    // dims (4× less arithmetic and memory traffic per candidate — the
+    // nested-embedding accelerator), exact-rescore the top rerank window
+    // on full vectors. Both phases deterministic, so the whole two-phase
+    // pipeline is oracle-checkable — no recall bound needed.
+    "ann_matryoshka_topk" -> ((s, dir) => {
+      val q = queryVec(s, dir, 0)
+      val q16 = q.take(16)
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val cand = emb
+        .select(
+          col("vec_id"),
+          VectorFns.cosine(slice(col("embedding"), 1, 16), array(q16.map(x => lit(x.toDouble)): _*)).as("tcos")
+        )
+        .orderBy(col("tcos").desc, col("vec_id"))
+        .limit(50)
+        .select("vec_id")
+      emb
+        .join(cand, Seq("vec_id"))
+        .select(
+          col("vec_id"),
+          round(VectorFns.cosine(col("embedding"), array(q.map(x => lit(x.toDouble)): _*)), 6).as("cos")
+        )
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // Late-interaction (ColBERT-style) maxsim: a multi-vector query
+    // scored against multi-vector documents (labels play the document
+    // grouping) — per (doc, query-token) MAX cosine, summed over query
+    // tokens. The probe set broadcasts (a query is a handful of token
+    // vectors); corpus-side work is one scan + one hash agg, and the
+    // final sum is a FIXED b0+b1+b2 tree (not a 3-row float sum), so
+    // both engines add in the same order.
+    "ann_maxsim" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb
+        .filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cos = VectorFns.cosine(col("embedding"), col("q_emb"))
+      emb
+        .filter(col("vec_id") >= 3)
+        .crossJoin(broadcast(probes))
+        .select(col("label"), col("q_id"), cos.as("cos"))
+        .groupBy("label")
+        .agg(
+          max(when(col("q_id") === 0, col("cos"))).as("b0"),
+          max(when(col("q_id") === 1, col("cos"))).as("b1"),
+          max(when(col("q_id") === 2, col("cos"))).as("b2")
+        )
+        .select(col("label"), round(col("b0") + col("b1") + col("b2"), 6).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("label"))
+    }),
+
+    // SQ8 scalar quantization (the per-dim grid complement to PQ's
+    // per-subspace codebooks): honest fresh build — min/max agg + encode
+    // scan; topk ranks on dequantized byte codes (no float vectors read)
+    // then exact-rescores, like every ANN path here.
+    "ann_sq8_build" -> ((s, dir) => {
+      val idx = Similarity.sqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
+      idx.codes.agg(
+        count(lit(1)).as("n_vectors"),
+        max(length(col("code"))).as("bytes_per_vector")
+      )
+    }),
+
+    "ann_sq8_topk" -> ((s, dir) =>
+      Similarity.scoreAgainstSq(cachedSq(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10)),
+
+    // Binary quantization: 1 bit per dim (sign vs the per-dim corpus
+    // mean), so a 64-dim vector is ONE 64-bit word — 32× under float32,
+    // the rung below SQ8. The sign test runs in double, the candidate
+    // ranking is bit_count(xor) Hamming with id tie-break, and the top-50
+    // rescore is exact — every step deterministic, so unlike the
+    // replica-bounded rungs this ENTIRE path is oracle-checked (DuckDB
+    // reproduces the bits, the candidate set, and the exact scores).
+    "ann_bq_build" -> ((s, dir) => {
+      val idx = Similarity.bqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
+      idx.codes
+        .select(expr("aggregate(transform(code, w -> bit_count(w)), 0, (a, x) -> a + x)").as("_ones"))
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          sum(col("_ones")).as("total_ones"),
+          min(col("_ones")).as("min_ones"),
+          max(col("_ones")).as("max_ones")
+        )
+    }),
+
+    "ann_bq_topk" -> ((s, dir) =>
+      Similarity.scoreAgainstBq(cachedBqIdx(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10)),
+
+    "ann_lsh_batch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity
+        .knnJoinLsh(cachedLsh4(s, dir), emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5, probeRadius = 1)
+        .orderBy("probe_id", "rank")
+    }),
+
+    "ann_lsh_multiprobe_topk" -> ((s, dir) =>
+      Similarity
+        .scoreAgainstLsh(cachedLsh4(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, probeRadius = 1))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "ann_bruteforce_topk" ->
+      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ann_matryoshka_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT vec_id,
+        |         list_cosine_similarity(CAST(list_slice(embedding, 1, 16) AS DOUBLE[]),
+        |                                (SELECT CAST(list_slice(qe, 1, 16) AS DOUBLE[]) FROM q)) AS tcos
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY tcos DESC, vec_id LIMIT 50)
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS cos
+        |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
+        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "ann_bq_build" ->
+      """WITH m AS (SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS mean
+        |           FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+        |           GROUP BY i),
+        |bits AS (SELECT e.vec_id,
+        |                sum(CASE WHEN CAST(e.embedding[m.i] AS DOUBLE) > m.mean THEN 1 ELSE 0 END) AS ones
+        |         FROM embeddings e CROSS JOIN m
+        |         GROUP BY e.vec_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vectors, CAST(sum(ones) AS BIGINT) AS total_ones,
+        |       CAST(min(ones) AS INTEGER) AS min_ones, CAST(max(ones) AS INTEGER) AS max_ones
+        |FROM bits""".stripMargin,
+
+    "ann_bq_topk" ->
+      """WITH m AS (SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS mean
+        |           FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+        |           GROUP BY i),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |h AS (SELECT e.vec_id,
+        |             sum(CASE WHEN (CAST(e.embedding[m.i] AS DOUBLE) > m.mean)
+        |                       <> (CAST(q.qe[m.i] AS DOUBLE) > m.mean) THEN 1 ELSE 0 END) AS ham
+        |      FROM embeddings e CROSS JOIN m CROSS JOIN q
+        |      GROUP BY e.vec_id),
+        |cand AS (SELECT vec_id FROM h ORDER BY ham, vec_id LIMIT 50)
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                    (SELECT CAST(qe AS DOUBLE[]) FROM q)), 6) AS cos
+        |FROM embeddings e JOIN cand USING (vec_id)
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ann_maxsim" ->
+      """WITH probes AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |                FROM embeddings WHERE vec_id < 3),
+        |pm AS (SELECT label,
+        |         max(CASE WHEN q_id = 0 THEN list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) END) AS b0,
+        |         max(CASE WHEN q_id = 1 THEN list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) END) AS b1,
+        |         max(CASE WHEN q_id = 2 THEN list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) END) AS b2
+        |       FROM embeddings, probes WHERE vec_id >= 3 GROUP BY label)
+        |SELECT label, round(b0 + b1 + b2, 6) AS maxsim FROM pm
+        |ORDER BY maxsim DESC, label""".stripMargin,
+
+    "ann_filtered_topk" ->
+      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings WHERE vec_id <> 0 AND label = 2 ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ann_knn_join" ->
+      """SELECT probe_id, cand_id, cos, rank FROM (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |         round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos,
+        |         CAST(row_number() OVER (PARTITION BY p.vec_id
+        |           ORDER BY round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+        |                    c.vec_id) AS INTEGER) AS rank
+        |  FROM embeddings p, embeddings c WHERE p.vec_id < 3 AND c.vec_id >= 3) t
+        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "ann_range_search" ->
+      """SELECT vec_id, cos FROM (
+        |  SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |  FROM embeddings WHERE vec_id <> 0) t
+        |WHERE cos >= 0.3 ORDER BY cos DESC, vec_id""".stripMargin
+  )
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.cdc.CdcBatch
+import graft.functions.{TextFns, VectorFns}
+import graft.multimodal.Binary
+import graft.operators.{Dedup, MinHashLSH, SimHash, Similarity}
+import graft.search.{Aggs, IndexMapping, JsonDsl, SearchDsl}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+
+import graft.EntrySupport._
+
+/** Multimodal binary-column operators.
+  * Split out of the monolithic SparkEntry registry (round 10)
+  * purely mechanically — entry bodies and oracle SQL are
+  * byte-identical; SparkEntry aggregates the family maps.
+  */
+private[graft] object MultimodalEntries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+
+    // ── Multimodal ──────────────────────────────────────────────────────
+    "mm_binary_meta" -> ((s, dir) =>
+      Binary
+        .asPayload(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .select(col("id"), col("n_bytes"), col("sha256"), col("format"))
+        .orderBy("id")),
+
+    "mm_frame_sample" -> ((s, dir) =>
+      Binary
+        .frameSampleRows(Binary.asPayload(Tables.documents(s, dir), col("doc_id"), col("text")), 64, 4)
+        .orderBy("id", "frame_idx")),
+
+    // ViT-style patch grid over the payload raster (32-byte rows, 16x4
+    // tiles): strided slice + fold per tile, digests hash-checked.
+    "mm_tile_grid" -> ((s, dir) =>
+      Binary
+        .tileGrid(Binary.asPayload(Tables.documents(s, dir), col("doc_id"), col("text")), rowBytes = 32, tileW = 16, tileH = 4)
+        .orderBy("id", "tile_row", "tile_col")),
+
+    // Exact dedup over OPAQUE binary payloads: hash-aggregate on the
+    // content digest — the digest shuffles, the payload bytes never do
+    // (the multimodal twin of dedup_exact).
+    "mm_payload_dedup" -> ((s, dir) =>
+      Binary
+        .asPayload(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .groupBy(col("sha256"))
+        .agg(count(lit(1)).as("n_copies"), min("id").as("keep_id"))
+        .orderBy("keep_id"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "mm_binary_meta" ->
+      """SELECT doc_id AS id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |       sha256(text) AS sha256,
+        |       CASE WHEN text LIKE 'th%' THEN 'th-container' ELSE 'raw' END AS format
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // The corpus is pure ASCII (checked per scale factor), so DuckDB's
+    // character substring equals Spark's byte slicing of the payload.
+    "mm_frame_sample" ->
+      """SELECT doc_id AS id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |       nf AS n_frames, CAST(i AS INTEGER) AS frame_idx,
+        |       md5(substring(text, CAST(i AS INTEGER) * 64 + 1, 64)) AS frame_md5
+        |FROM (SELECT doc_id, text,
+        |             CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS INTEGER) AS nf
+        |      FROM documents) d
+        |CROSS JOIN unnest(generate_series(0, nf - 1, 4)) AS u(i)
+        |ORDER BY id, frame_idx""".stripMargin,
+
+    "mm_tile_grid" ->
+      """WITH d AS (SELECT doc_id, text, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
+        |           FROM documents),
+        |dims AS (SELECT *, CAST(ceil(ceil(n_bytes / 32.0) / 4.0) AS INTEGER) AS tile_rows FROM d),
+        |tiles AS (
+        |  SELECT doc_id, text, n_bytes,
+        |         CAST(t.i // 2 AS INTEGER) AS tile_row, CAST(t.i % 2 AS INTEGER) AS tile_col
+        |  FROM dims CROSS JOIN unnest(generate_series(0, tile_rows * 2 - 1)) AS t(i)),
+        |parts AS (
+        |  SELECT doc_id, n_bytes, tile_row, tile_col, k.i AS k,
+        |         substring(text, (tile_row * 4 + k.i) * 32 + tile_col * 16 + 1, 16) AS part
+        |  FROM tiles CROSS JOIN unnest(generate_series(0, 3)) AS k(i))
+        |SELECT doc_id AS id, n_bytes, tile_row, tile_col,
+        |       md5(string_agg(part, '' ORDER BY k)) AS tile_md5
+        |FROM parts GROUP BY 1, 2, 3, 4
+        |ORDER BY id, tile_row, tile_col""".stripMargin,
+
+    "mm_payload_dedup" ->
+      """SELECT sha256(text) AS sha256, count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+  )
+}

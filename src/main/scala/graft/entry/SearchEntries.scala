@@ -1,0 +1,3019 @@
+package graft
+
+import graft.cdc.CdcBatch
+import graft.functions.{TextFns, VectorFns}
+import graft.multimodal.Binary
+import graft.operators.{Dedup, MinHashLSH, SimHash, Similarity}
+import graft.search.{Aggs, IndexMapping, JsonDsl, SearchDsl}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+
+import graft.EntrySupport._
+
+/** Search / query DSL, structured form + endpoints + monitors.
+  * Split out of the monolithic SparkEntry registry (round 10)
+  * purely mechanically — entry bodies and oracle SQL are
+  * byte-identical; SparkEntry aggregates the family maps.
+  */
+private[graft] object SearchEntries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+
+    // ── Search / query DSL ──────────────────────────────────────────────
+    "search_match" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), SearchDsl.matchScore(col("text"), Seq("spark", "stream")).as("score"))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))),
+
+    // match under a configured analyzer chain (stopwords + Harman
+    // S-stemmer): the plural query terms normalize to the corpus'
+    // singular vocabulary through the same chain the column analyzes
+    // with — symmetric index/query analysis, all codegen'd string
+    // expressions, and the DuckDB oracle runs the identical CASE rules.
+    "search_match_stemmed" -> ((s, dir) => {
+      val a = graft.search.Analyzer("light_english", stopwords = Seq("the", "a"), stem = true)
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          SearchDsl.matchScoreWith(col("text"), a, Seq("queries", "tables", "the")).as("score")
+        )
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    "search_dsl_json" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"bool": {
+          |   "must":     [{"match": {"text": "spark stream"}}],
+          |   "filter":   [{"range": {"n_chars": {"gte": 200}}}],
+          |   "must_not": [{"term":  {"lang": "de"}}]
+          | }},
+          | "sort": [{"doc_id": {"order": "asc"}}],
+          | "_source": ["doc_id", "lang", "n_chars"]}""".stripMargin,
+        docsMapping
+      )),
+
+    // Mapping-driven semantics: the SAME `match` clause is exact equality
+    // on the keyword-mapped `lang` and an analyzed term test on the
+    // text-mapped `text` — the mapping artifact decides.
+    "search_mapped_query" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"bool": {"must": [
+          |   {"match": {"lang": "en"}},
+          |   {"match": {"text": "data quality"}}
+          | ]}},
+          | "sort": ["doc_id"],
+          | "_source": ["doc_id", "lang", "n_chars"]}""".stripMargin,
+        docsMapping
+      )),
+
+    // INDEX-time synonyms — the other synonym_graph mode: every 'merge'
+    // token also indexes a 'join' token (keyword_repeat-style injection
+    // at analysis time), so a plain 'join' query matches both. Same
+    // answer as the query-time entry via the opposite mechanism — the
+    // two entries share one oracle, cross-validating the modes.
+    "search_match_synonyms_index" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          expr("concat(_toks, transform(filter(_toks, t -> t = 'merge'), t -> 'join'))").as("_indexed")
+        )
+        .filter(array_contains(col("_indexed"), "join"))
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    "search_bool_term" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .filter(
+          SearchDsl.bool(
+            must = Seq(SearchDsl.term(col("o_orderstatus"), "O")),
+            mustNot = Seq(SearchDsl.term(col("o_orderpriority"), "5-LOW"))
+          )
+        )
+        .select(
+          col("o_orderkey"),
+          SearchDsl
+            .shouldScore(Seq(col("o_orderpriority") === "1-URGENT", col("o_orderpriority") === "2-HIGH"))
+            .as("score")
+        )
+        .orderBy(col("score").desc, col("o_orderkey"))),
+
+    "search_range" -> ((s, dir) =>
+      Tables
+        .lineitem(s, dir)
+        .filter(
+          SearchDsl.range(col("l_quantity"), gte = Some(10), lte = Some(20)) &&
+            SearchDsl.range(col("l_shipdate"), gte = Some("1999-01-01 00:00:00"))
+        )
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "search_wildcard" -> ((s, dir) =>
+      Tables
+        .part(s, dir)
+        .filter(SearchDsl.wildcard(col("p_name"), "*re*"))
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy("p_partkey")),
+
+    "search_terms_agg" -> ((s, dir) => Aggs.termsAgg(Tables.orders(s, dir), col("o_orderpriority"), 5)),
+
+    "search_date_histogram" -> ((s, dir) =>
+      Aggs.dateHistogram(
+        Tables.orders(s, dir),
+        col("o_orderdate"),
+        "month",
+        Seq(round(sum("o_totalprice"), 2).as("revenue"))
+      )),
+
+    "search_filtered_count" -> ((s, dir) =>
+      Aggs.filteredCounts(
+        Tables.events(s, dir),
+        Seq("n_high_value" -> (col("value") > 100), "n_purchase" -> (col("event_type") === "purchase"))
+      )),
+
+    "search_stats_agg" -> ((s, dir) => Aggs.stats(Tables.lineitem(s, dir), col("l_extendedprice"))),
+
+    // extended_stats: every moment derived from exact decimal sums cast
+    // to double, so both engines run the identical IEEE expression tree
+    // (var_samp's engine-specific accumulation order would not hash-match
+    // at sum-of-squares magnitudes).
+    "search_extended_stats" -> ((s, dir) =>
+      Aggs.extendedStats(Tables.orders(s, dir), col("o_totalprice"))),
+
+    // more_like_this: idf-weighted overlap with the target doc's distinct
+    // terms — target term set broadcast, shuffle carries matching
+    // (term, doc_id) pairs only.
+    "search_more_like_this" -> ((s, dir) =>
+      graft.search.Bm25
+        .moreLikeThisAgainstIndex(cachedBm25(s, dir), 7L, 10)
+        .withColumnRenamed("id", "doc_id")),
+
+    "search_cardinality" -> ((s, dir) =>
+      Aggs.cardinality(
+        Tables.lineitem(s, dir),
+        Seq("n_parts" -> col("l_partkey"), "n_supps" -> col("l_suppkey"), "n_orders" -> col("l_orderkey"))
+      )),
+
+    // HLL++ sketch variant (what OpenSearch cardinality actually runs):
+    // approximate -> rows-only check, no oracle.
+    "search_cardinality_approx" -> ((s, dir) =>
+      Aggs.approxCardinality(
+        Tables.lineitem(s, dir),
+        Seq("n_parts" -> col("l_partkey"), "n_supps" -> col("l_suppkey"), "n_orders" -> col("l_orderkey"))
+      )),
+
+    "search_percentiles" -> ((s, dir) =>
+      Aggs.percentiles(Tables.orders(s, dir), col("o_totalprice"), Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))),
+
+    "search_top_n" -> ((s, dir) =>
+      Aggs.topN(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"), col("o_orderstatus")),
+        10,
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc)
+      )),
+
+    // search_after keyset pagination: the page strictly after a sort-key
+    // cursor — O(page) work per page, unlike from+size deep paging.
+    "search_search_after" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .filter(
+          col("o_orderdate") < lit("2000-06-15 00:00:00").cast("timestamp") ||
+            (col("o_orderdate") === lit("2000-06-15 00:00:00").cast("timestamp") && col("o_orderkey") < 900)
+        )
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(10)),
+
+    // Threshold alerting (the dashboards' "Alerts" feature): buckets whose
+    // aggregate breaches the trigger condition.
+    "monitor_threshold_alert" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("bucket"))
+        .agg(
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+          count(lit(1)).as("n_total")
+        )
+        .filter(col("n_errors") * 100 > col("n_total") * 21)
+        .select(col("bucket"), col("n_errors"), col("n_total"))
+        .orderBy("bucket")),
+
+    // categorize_text (log-pattern grouping, the deterministic core):
+    // messages bucket by their leading-trigram signature — one analyzed
+    // projection + one hash agg, top patterns first.
+    "search_categorize_text" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(concat_ws(" ", slice(SearchDsl.analyze(col("text")), 1, 3)).as("pattern"))
+        .groupBy("pattern")
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy(col("doc_count").desc, col("pattern"))
+        .limit(10)),
+
+    // Heatmap (the Kibana heat matrix): hour-of-day × value-band density
+    // in one hash agg — floor-binned band keys, no histogram UDAF.
+    "search_heatmap" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(hour(col("ts")).as("hour_of_day"), floor(col("value") / 50.0).cast("long").as("value_band"))
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy("hour_of_day", "value_band")),
+
+    // moving_fn ewma (the forecasting smoother): EWMA is a RECURSION, so
+    // no window frame expresses it — instead the (small by construction)
+    // bucket table collapses to ordered arrays and each bucket's value
+    // folds its prefix sequentially (aggregate HOF seeded with the first
+    // element; DuckDB's list_reduce seeds identically, so both engines
+    // run the same fold in the same order → bit-identical doubles).
+    "search_moving_ewma" -> ((s, dir) => {
+      val daily = Tables
+        .events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      daily
+        .agg(sort_array(collect_list(struct(col("bucket"), col("v")))).as("l"))
+        .select(expr("transform(l, e -> e.bucket)").as("bl"), expr("transform(l, e -> e.v)").as("vl"))
+        .select(
+          col("bl"),
+          col("vl"),
+          expr(
+            "transform(vl, (x, i) -> round(aggregate(slice(vl, 2, i)," +
+              " cast(element_at(vl, 1) as double)," +
+              " (acc, y) -> y * cast(0.3 as double) + acc * cast(0.7 as double)), 6))"
+          ).as("ew")
+        )
+        .select(explode(arrays_zip(col("bl"), col("vl"), col("ew"))).as("z"))
+        .select(col("z.bl").as("bucket"), col("z.vl").as("v"), col("z.ew").as("ewma"))
+        .orderBy("bucket")
+    }),
+
+    // filters agg with other_bucket: the named buckets AND the complement
+    // in the same one-pass conditional aggregation.
+    "search_filters_other" -> ((s, dir) => {
+      val isClick = col("event_type") === "click"
+      val isError = col("event_type") === "error"
+      Tables
+        .events(s, dir)
+        .agg(
+          sum(when(isClick, 1L).otherwise(0L)).as("clicks"),
+          sum(when(isError, 1L).otherwise(0L)).as("errors"),
+          sum(when(!isClick && !isError, 1L).otherwise(0L)).as("other_bucket")
+        )
+    }),
+
+    // Anomaly monitor: daily buckets whose value z-score breaks ±2σ.
+    // Mean/std derive from EXACT decimal sums over the bucket table
+    // (engine-identical fixed tree — stddev_samp's accumulation order is
+    // not); the 1-row stats broadcast back onto the buckets.
+    "monitor_anomaly_zscore" -> ((s, dir) => {
+      val daily = Tables
+        .events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("bucket"))
+        .agg(sum(decMoney(col("value"))).as("v_dec"))
+        .select(col("bucket"), col("v_dec").cast("double").as("v"))
+      val stats = daily.agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ss")
+      )
+      daily
+        .crossJoin(broadcast(stats))
+        .select(
+          col("bucket"),
+          round(col("v"), 2).as("day_value"),
+          round(
+            (col("v") - col("s") / col("n")) /
+              sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - lit(1))),
+            6
+          ).as("z_score")
+        )
+        .filter(abs(col("z_score")) > 2.0)
+        .orderBy("bucket")
+    }),
+
+    // BM25 relevance — the scoring OpenSearch actually runs for match
+    // queries (k1=1.2, b=0.75). Scores against the per-JVM posting
+    // artifact; search_bm25_build below reports the honest build cost.
+    "search_bm25" -> ((s, dir) =>
+      graft.search.Bm25.scoreAgainstIndex(cachedBm25(s, dir), Seq("spark", "query"), 10)),
+
+    // The honest BM25 index build (fresh every call — tokenize, explode,
+    // (doc, term) aggregate): summarized to deterministic corpus-level
+    // posting stats so the oracle can hash-check the artifact's content.
+    "search_bm25_build" -> ((s, dir) => {
+      val idx = graft.search.Bm25.buildIndex(Tables.documents(s, dir), "doc_id", "text")
+      idx.postings.agg(
+        count(lit(1)).as("n_postings"),
+        countDistinct(col("term")).as("n_terms"),
+        sum(col("tf")).as("total_tf"),
+        countDistinct(col("id")).as("n_docs")
+      )
+    }),
+
+    // The _explain API: per-hit score breakdown — each query term's BM25
+    // contribution as its own column next to the total, against the same
+    // posting artifact (OpenSearch's explain=true "description" tree,
+    // flattened to columns). Same plan family as search_bm25 plus one
+    // conditional-sum pivot.
+    "search_bm25_explain" -> ((s, dir) => {
+      val idx = cachedBm25(s, dir)
+      val qp = idx.postings.filter(col("term").isin("spark", "query"))
+      val dfreq = qp.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val contrib = qp
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(idx.corpus))
+        .select(
+          col("id"),
+          col("term"),
+          (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))).as("ts")
+        )
+      contrib
+        .groupBy(col("id"))
+        .agg(
+          round(sum(when(col("term") === "spark", col("ts")).otherwise(0.0)), 4).as("spark_score"),
+          round(sum(when(col("term") === "query", col("ts")).otherwise(0.0)), 4).as("query_score"),
+          round(sum(col("ts")), 4).as("score")
+        )
+        .orderBy(col("score").desc, col("id"))
+        .limit(10)
+    }),
+
+    // Incremental index maintenance — the CDC loop's index half: today's
+    // inserts (doc_id % 5 == 0) and deletes (% 11 == 2 of the base) fold
+    // into the memoized posting artifact via applyDelta (delta-sized
+    // work, exact integer corpus-stat adjustment), then the SAME query
+    // scores against it. Oracle = BM25 over the post-delta corpus;
+    // Bm25IndexSpec proves applyDelta ≡ full rebuild posting-for-posting.
+    "search_bm25_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val upserts = docs.filter(col("doc_id") % 5 === 0)
+      val deletes = docs
+        .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 11 === 2)
+        .select("doc_id")
+      val idx = graft.search.Bm25.applyDelta(cachedBm25Base(s, dir), upserts, deletes, "doc_id", "text")
+      graft.search.Bm25.scoreAgainstIndex(idx, Seq("spark", "query"), 10)
+    }),
+
+    // Hybrid search with reciprocal-rank fusion: the BM25 top-10 and the
+    // vector top-10 fuse by Σ 1/(60 + rank) — rank-space fusion needs no
+    // score normalization across incomparable scales (the OpenSearch
+    // hybrid-query processor's standard mode). Each leg is its own
+    // bounded top-k; the rank windows see 10 rows; the fusion join is
+    // 10×10-bounded.
+    "search_hybrid_rrf" -> ((s, dir) => {
+      val lex = graft.search.Bm25
+        .scoreAgainstIndex(cachedBm25(s, dir), Seq("spark", "query"), 10)
+        .withColumn("lex_rank", row_number().over(Window.orderBy(col("score").desc, col("id"))))
+        .select(col("id"), col("lex_rank"))
+      val q = queryVec(s, dir, 0)
+      val vec = Tables
+        .embeddings(s, dir)
+        .filter(col("vec_id") =!= 0)
+        .select(
+          col("vec_id").as("id"),
+          round(VectorFns.cosine(col("embedding"), array(q.map(x => lit(x.toDouble)): _*)), 6).as("cos")
+        )
+        .orderBy(col("cos").desc, col("id"))
+        .limit(10)
+        .withColumn("vec_rank", row_number().over(Window.orderBy(col("cos").desc, col("id"))))
+        .select(col("id"), col("vec_rank"))
+      lex
+        .join(vec, Seq("id"), "full_outer")
+        .select(
+          col("id"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)),
+            6
+          ).as("rrf_score")
+        )
+        .orderBy(col("rrf_score").desc, col("id"))
+        .limit(10)
+    }),
+
+    // Highlighting: snippet around the first occurrence of the match term.
+    "search_highlight" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), locate("spark", col("text")).as("pos"), col("text"))
+        .filter(col("pos") > 0)
+        .select(col("doc_id"), col("pos"), expr("substring(text, greatest(pos - 15, 1), 40)").as("snippet"))
+        .orderBy("doc_id")),
+
+    // Pipeline aggregations over the date_histogram: cumulative_sum,
+    // derivative, moving_avg (the Kibana time-series toolkit). The window
+    // runs over ~tens of buckets, not the fact table.
+    "search_pipeline_agg" -> ((s, dir) => {
+      val buckets = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      val w = Window.orderBy("bucket")
+      buckets
+        .select(
+          col("bucket"),
+          col("revenue"),
+          round(sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("cum_revenue"),
+          round(col("revenue") - lag("revenue", 1).over(w), 2).as("deriv"),
+          round(avg("revenue").over(w.rowsBetween(-2, Window.currentRow)), 6).as("mov_avg")
+        )
+        .orderBy("bucket")
+    }),
+
+    // Discover's typed search box — the reference's #1 day-to-day
+    // interaction (DASHBOARD_GUIDE.md:89,124): a query STRING parsed to
+    // the same predicates the structured DSL builds, exercising field
+    // terms, OR, comparison, wildcard, NOT and an inclusive range.
+    "search_query_string" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.filter(
+        SearchDsl.parseQueryString(
+          o,
+          "(o_orderstatus:O OR o_orderstatus:F) AND o_totalprice > 150000 " +
+            "AND o_orderpriority:2* AND NOT o_orderkey:[0 TO 500]"
+        )
+      ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    "search_multi_index" -> ((s, dir) => {
+      val li = Tables
+        .lineitem(s, dir)
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("amount"))
+        .select(lit("lineitem").as("idx"), col("n"), col("amount"))
+      val o = Tables
+        .orders(s, dir)
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("amount"))
+        .select(lit("orders").as("idx"), col("n"), col("amount"))
+      SearchDsl.multiIndex(Seq(li, o)).orderBy("idx")
+    }),
+
+
+    "search_match_phrase" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .filter(SearchDsl.matchPhrase(col("text"), "the fast"))
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    "search_prefix" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .filter(SearchDsl.prefixQuery(col("text"), "str"))
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    "search_min_should_match" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .filter(
+          SearchDsl.minimumShouldMatch(
+            Seq(col("o_orderstatus") === "O", col("o_orderpriority") === "1-URGENT", col("o_totalprice") > 200000),
+            2
+          )
+        )
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    "search_json_field" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .select(col("event_type"), SearchDsl.jsonField(col("props"), "k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg("k"), 6).as("avg_k"))
+        .orderBy("event_type")),
+
+    "search_histogram_agg" -> ((s, dir) =>
+      Aggs.histogram(Tables.orders(s, dir), col("o_totalprice"), 50000.0)),
+
+    "search_range_agg" -> ((s, dir) =>
+      Aggs.rangeAgg(
+        Tables.events(s, dir),
+        col("value"),
+        Seq(("a_low", None, Some(50.0)), ("b_mid", Some(50.0), Some(150.0)), ("c_high", Some(150.0), None))
+      )),
+
+    "search_top_hits" -> ((s, dir) =>
+      Aggs
+        .topHits(
+          Tables.orders(s, dir).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          col("o_orderpriority"),
+          3,
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+        )
+        .orderBy("o_orderpriority", "rank")),
+
+    // Same semantics as search_top_hits but executed by the custom
+    // TopKPerKey physical operator (bounded per-key heaps, no sort) —
+    // oracle-checked against the identical SQL.
+    "search_top_hits_native" -> ((s, dir) =>
+      graft.plans.TopKPerKey
+        .perKey(
+          Tables.orders(s, dir).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          Seq("o_orderpriority"),
+          Seq("o_totalprice" -> false, "o_orderkey" -> true),
+          3
+        )
+        .orderBy("o_orderpriority", "rank")),
+
+    "search_significant_terms" -> ((s, dir) =>
+      Aggs.significantTerms(Tables.events(s, dir), col("event_type"), col("value") > 150)),
+
+    "search_composite_after" -> ((s, dir) =>
+      Aggs.compositePage(
+        Tables.orders(s, dir),
+        Seq(col("o_orderpriority"), col("o_orderstatus")),
+        after = Some(Seq("2-HIGH", "F")),
+        size = 5
+      )),
+
+    "search_scripted_field" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          SearchDsl
+            .scriptedField(
+              round(col("o_totalprice") * when(col("o_orderpriority") === "1-URGENT", 1.1).otherwise(1.0), 4)
+            )
+            .as("charge")
+        )
+        .orderBy("o_orderkey")),
+
+    // _rank_eval: precision@10, MRR, NDCG@10 of the cosine ranking, with
+    // relevance = label agreement with the query vector. The heavy part
+    // is one TakeOrderedAndProject top-10; the rank window and the IDCG
+    // fold both run on ≤10 rows. log2 spelled ln(x)/ln(2) in BOTH
+    // engines so the expression trees match.
+    "search_rank_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVec(s, dir, 0)
+      // The query's label stays in-plan (1-row broadcast cross join, the
+      // idcg/stats-frame pattern) — no eager action during construction.
+      val qLabelRow = emb.filter(col("vec_id") === 0).select(col("label").as("_qlabel"))
+      val scored = emb
+        .filter(col("vec_id") =!= 0)
+        .select(
+          col("vec_id"),
+          col("label"),
+          round(VectorFns.cosine(col("embedding"), array(q.map(x => lit(x.toDouble)): _*)), 6).as("cos")
+        )
+        .crossJoin(broadcast(qLabelRow))
+      val top = scored
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+        .withColumn("rank", row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+      val rel = col("label") === col("_qlabel")
+      val m = top.agg(
+        round(sum(when(rel, 1).otherwise(0)) / 10.0, 6).as("precision_at_10"),
+        round(coalesce(max(when(rel, lit(1.0) / col("rank"))), lit(0.0)), 6).as("mrr"),
+        sum(when(rel, lit(1.0) / (log(col("rank") + 1) / log(lit(2.0))))).as("_dcg")
+      )
+      val idcg = scored
+        .filter(rel)
+        .agg(count(lit(1)).as("rel_total"))
+        .select(
+          expr(
+            "aggregate(sequence(1, int(least(rel_total, 10))), cast(0.0 as double)," +
+              " (acc, i) -> acc + 1.0 / (ln(i + 1) / ln(2.0)))"
+          ).as("_idcg")
+        )
+      m.crossJoin(broadcast(idcg))
+        .select(
+          col("precision_at_10"),
+          col("mrr"),
+          round(coalesce(col("_dcg") / col("_idcg"), lit(0.0)), 6).as("ndcg_at_10")
+        )
+    }),
+
+    // OpenSearch `fuzzy` query: docs containing a token within edit
+    // distance 1 of "spark", via vocabulary-level levenshtein (see Fuzzy).
+    "search_fuzzy" -> ((s, dir) =>
+      search.Fuzzy
+        .fuzzyMatch(Tables.documents(s, dir), "doc_id", "text", "spark", 1)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // rare_terms: the vocabulary long tail (the synthetic corpus's dense
+    // vocab bottoms out at ~26 occurrences, so "rare" = at most 40) — the
+    // terms agg's complement.
+    "search_rare_terms" -> ((s, dir) =>
+      Aggs.rareTerms(
+        Tables
+          .ensureParallelism(Tables.documents(s, dir).select("text"))
+          .select(explode(TextFns.tokens(col("text"))).as("tok")),
+        col("tok"),
+        40
+      )),
+
+    // multi_terms: top composite buckets ranked by doc count (unlike
+    // composite_after, which pages in key order).
+    "search_multi_terms" -> ((s, dir) =>
+      Aggs.multiTerms(Tables.orders(s, dir), Seq(col("o_orderpriority"), col("o_orderstatus")), 5)),
+
+    // weighted_avg: quantity-weighted mean unit price over lineitem.
+    "search_weighted_avg" -> ((s, dir) =>
+      Aggs.weightedAvg(
+        Tables.lineitem(s, dir),
+        decMoney(col("l_extendedprice")),
+        decMoney(col("l_quantity"))
+      )),
+
+    // Sibling pipeline aggs (avg_bucket/min_bucket/max_bucket/sum_bucket)
+    // over the monthly-revenue buckets — bucket-table-sized work.
+    "search_avg_bucket" -> ((s, dir) =>
+      Aggs.bucketStats(
+        Tables
+          .orders(s, dir)
+          .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+          .agg(round(sum("o_totalprice"), 2).as("revenue")),
+        col("revenue")
+      )),
+
+    // serial_diff pipeline agg at lag 12: year-over-year differencing of
+    // the monthly revenue buckets — the window sees ~tens of bucket
+    // rows, never the fact table.
+    "search_serial_diff" -> ((s, dir) => {
+      val buckets = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      buckets
+        .select(
+          col("bucket"),
+          col("revenue"),
+          round(col("revenue") - lag("revenue", 12).over(Window.orderBy("bucket")), 2).as("yoy_diff")
+        )
+        .orderBy("bucket")
+    }),
+
+    // percentiles_bucket pipeline agg: the exact percentile ladder over
+    // the bucket METRIC values (~tens of rows) — sibling to avg_bucket.
+    "search_percentiles_bucket" -> ((s, dir) =>
+      Aggs.percentiles(
+        Tables
+          .orders(s, dir)
+          .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+          .agg(round(sum("o_totalprice"), 2).as("revenue")),
+        col("revenue"),
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
+      )),
+
+    // bucket_sort pipeline agg: re-rank + truncate the buckets by their
+    // metric (top revenue months) — a bounded TakeOrdered over buckets.
+    "search_bucket_sort" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("bucket"))
+        .limit(5)),
+
+    // bucket_selector pipeline agg: the HAVING of the bucket world — keep
+    // months whose average order price clears the threshold. The
+    // predicate runs over the ~80-row bucket table, never the fact table,
+    // so the selector costs nothing more than the aggregation itself.
+    "search_bucket_selector" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(count(lit(1)).as("doc_count"), max("o_totalprice").as("max_price"))
+        .filter(col("max_price") > 450000.0)
+        .orderBy("bucket")),
+
+    // Term suggester ("did you mean"): corrections for the misspelling
+    // "sparc", ranked by edit distance then corpus frequency.
+    "search_suggest" -> ((s, dir) =>
+      search.Fuzzy.suggest(Tables.documents(s, dir), "text", "sparc", 2, 5)),
+
+    // rescore API: a cheap first phase ranks the corpus (n_chars), the
+    // expensive scorer runs ONLY on the top window — the OpenSearch
+    // two-phase cost model (TakeOrderedAndProject bounds phase one).
+    "search_rescore" -> ((s, dir) => {
+      val first = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), SearchDsl.analyze(col("text")).as("_toks"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .limit(50)
+      first
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(array_intersect(array_distinct(col("_toks")), array(lit("spark"), lit("query"), lit("table"))))
+            .as("matched")
+        )
+        .orderBy(col("matched").desc, col("n_chars").desc, col("doc_id"))
+        .limit(10)
+    }),
+
+    // Completion suggester: prefix-ranked completions from the corpus
+    // vocabulary (most frequent first) — the vocab table is the tiny
+    // side, the corpus-scale work is the one token-count agg.
+    "search_suggest_completion" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(explode(SearchDsl.analyze(col("text"))).as("tok"))
+        .filter(col("tok").startsWith("s"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok"))
+        .limit(5)
+        .select(col("tok").as("suggestion"), col("freq"))),
+
+    // has_child (parent-join surface): parent docs (orders) with ≥1 child
+    // (lineitem) matching the child query — a LEFT SEMI join, never a
+    // fan-out + distinct repair.
+    "search_has_child" -> ((s, dir) => {
+      val l = Tables
+        .lineitem(s, dir)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 45)
+        .select("l_orderkey")
+      Tables
+        .orders(s, dir)
+        .join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(100)
+    }),
+
+    // has_parent: child docs (lineitems) whose parent order matches the
+    // parent query — the parent side is filter-pruned BEFORE the join.
+    "search_has_parent" -> ((s, dir) => {
+      val o = Tables
+        .orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 400000)
+        .select("o_orderkey")
+      Tables
+        .lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        // (orderkey, linenumber) is NOT unique in this testdata — the
+        // quantity tiebreak totally orders the selected row, so the
+        // driver's unsorted row-order compare is deterministic at any SF.
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
+    // nested query: the array-of-struct field type where the WHOLE inner
+    // clause must hold on ONE element (an order with a qty-48 'N' item
+    // and a qty-10 'R' item does NOT match flag='R' AND qty>=48 — the
+    // object-vs-nested distinction). The index shape is built once
+    // (Nested.nestedIndex: one child shuffle keyed by parent id); the
+    // query itself is an `exists` HOF — no join, no explode at search
+    // time. n_inner_hits counts the matching elements per hit.
+    "search_nested" -> ((s, dir) => {
+      val nested = search.Nested.nestedIndex(
+        Tables.orders(s, dir),
+        Tables.lineitem(s, dir),
+        "o_orderkey",
+        "l_orderkey",
+        "items",
+        Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+      )
+      val pred = (x: Column) => x.getField("l_returnflag") === "R" && x.getField("l_quantity") >= 48
+      nested
+        .filter(search.Nested.query(col("items"), pred))
+        .select(
+          col("o_orderkey"),
+          col("o_totalprice"),
+          size(search.Nested.innerHits(col("items"), pred)).cast("long").as("n_inner_hits")
+        )
+        .orderBy("o_orderkey")
+    }),
+
+    // percentile_ranks: the inverse of the percentiles agg — the fraction
+    // of orders at or below each given value.
+    "search_percentile_ranks" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .agg(
+          round(avg((col("o_totalprice") <= 100000).cast("double")), 6).as("pr_100k"),
+          round(avg((col("o_totalprice") <= 300000).cast("double")), 6).as("pr_300k")
+        )),
+
+    // `collapse`: one top order per priority (max_by hash agg, no window).
+    "search_collapse" -> ((s, dir) =>
+      Aggs
+        .collapse(
+          Tables.orders(s, dir),
+          "o_orderpriority",
+          Seq("o_orderkey", "o_totalprice"),
+          struct(col("o_totalprice"), (lit(-1L) * col("o_orderkey")).as("negkey"))
+        )
+        .orderBy("o_orderpriority")),
+
+    // date_histogram with min_doc_count=0: empty days surface as zero
+    // buckets (rare high-value orders leave ~half the days empty).
+    "search_date_histogram_filled" -> ((s, dir) =>
+      Aggs.dateHistogramFilled(
+        Tables.orders(s, dir).filter(col("o_totalprice") > 450000),
+        col("o_orderdate"),
+        "day",
+        round(sum("o_totalprice"), 2).as("revenue")
+      )),
+
+
+    // ── R6: wider OpenSearch agg/query surface ──────────────────────────
+    // adjacency_matrix: named filters + pairwise intersections, ONE
+    // conditional-count pass (never a scan per matrix cell).
+    "search_adjacency_matrix" -> ((s, dir) =>
+      Aggs.adjacencyMatrix(
+        Tables.documents(s, dir),
+        Seq(
+          "en" -> (col("lang") === "en"),
+          "long" -> (col("n_chars") > 300),
+          "src1" -> (col("source") === "src1")
+        )
+      )),
+
+    // auto_date_histogram: interval chosen from the ladder by a 1-row
+    // span probe so the bucket count stays under the target.
+    "search_auto_date_histogram" -> ((s, dir) =>
+      Aggs.autoDateHistogram(Tables.events(s, dir), col("ts"), targetBuckets = 40)),
+
+    "search_string_stats" -> ((s, dir) => Aggs.stringStats(Tables.documents(s, dir), col("text"))),
+
+    "search_mad" -> ((s, dir) =>
+      Aggs.medianAbsoluteDeviation(Tables.orders(s, dir), col("o_totalprice"))),
+
+    "search_boxplot" -> ((s, dir) => Aggs.boxplot(Tables.lineitem(s, dir), col("l_extendedprice"))),
+
+    // rate agg: monthly revenue normalized per-day by each bucket's own
+    // calendar length; exact decimal sum → identical double both engines.
+    "search_rate" -> ((s, dir) =>
+      Aggs.dateHistogramRate(Tables.orders(s, dir), col("o_orderdate"), decMoney(col("o_totalprice")))),
+
+    // bucket_script + bucket_selector + bucket_sort over a date_histogram:
+    // per-bucket computed metric, bucket filter, metric-ordered truncation
+    // — all bucket-table math after one fact-table aggregation.
+    "search_bucket_script" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("bucket"))
+        .agg(
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+          count(lit(1)).as("n_total")
+        )
+        .select(
+          col("bucket"),
+          col("n_errors"),
+          col("n_total"),
+          round(col("n_errors").cast("double") / col("n_total"), 6).as("error_rate")
+        )
+        .filter(col("error_rate") > 0.2)
+        .orderBy(col("error_rate").desc, col("bucket"))
+        .limit(5)),
+
+    "search_cumulative_cardinality" -> ((s, dir) =>
+      Aggs.cumulativeCardinality(Tables.events(s, dir), col("ts"), col("user_id"), "day")),
+
+    // moving_fn (max/min/sum over a 3-bucket window) + serial_diff lag-2,
+    // the remaining Kibana time-series pipeline kit; windows run over the
+    // ~tens-of-rows bucket table only.
+    "search_moving_fn" -> ((s, dir) => {
+      val buckets = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      val w = Window.orderBy("bucket")
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      buckets
+        .select(
+          col("bucket"),
+          col("revenue"),
+          round(max("revenue").over(w3), 2).as("mov_max"),
+          round(min("revenue").over(w3), 2).as("mov_min"),
+          round(sum("revenue").over(w3), 2).as("mov_sum"),
+          round(col("revenue") - lag("revenue", 2).over(w), 2).as("serial_diff2")
+        )
+        .orderBy("bucket")
+    }),
+
+    // dis_max over two constant_score clauses: score = best clause +
+    // tie_breaker × the rest (deterministic, scoring-model-free).
+    "search_dis_max" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), SearchDsl.analyze(col("text")).as("_t"))
+        .select(
+          col("doc_id"),
+          when(array_contains(col("_t"), "spark"), 2.0).otherwise(0.0).as("_s1"),
+          when(array_contains(col("_t"), "query"), 1.5).otherwise(0.0).as("_s2")
+        )
+        .filter(col("_s1") + col("_s2") > 0)
+        .select(
+          col("doc_id"),
+          round(
+            greatest(col("_s1"), col("_s2")) +
+              lit(0.3) * (col("_s1") + col("_s2") - greatest(col("_s1"), col("_s2"))),
+            6
+          ).as("score")
+        )
+        .orderBy(col("score").desc, col("doc_id"))),
+
+    // function_score field_value_factor: ln1p modifier × factor, boost
+    // replace — a pure projection over the match filter.
+    "search_function_score" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .filter(array_contains(SearchDsl.analyze(col("text")), "spark"))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          round(lit(1.5) * log(lit(1.0) + col("n_chars")), 6).as("score")
+        )
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)),
+
+    // boosting query: positive matches kept, negative matches demoted by
+    // negative_boost (0.5) rather than excluded.
+    "search_boosting" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), SearchDsl.analyze(col("text")).as("_t"))
+        .filter(array_contains(col("_t"), "spark"))
+        .select(col("doc_id"), when(array_contains(col("_t"), "slow"), 0.5).otherwise(1.0).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))),
+
+    // terms_set: docs matching at least `minimum_should_match` of the
+    // given terms — one array_intersect per row, no explode.
+    "search_terms_set" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          array_intersect(
+            array_distinct(SearchDsl.analyze(col("text"))),
+            array(lit("spark"), lit("query"), lit("merge"))
+          ).as("_m")
+        )
+        .filter(size(col("_m")) >= 2)
+        .select(col("doc_id"), size(col("_m")).cast("long").as("n_matched"))
+        .orderBy("doc_id")),
+
+    // span_near: 'big' strictly before 'table' within slop 2 (position
+    // gap ≤ 3). Token positions via HOFs over the materialized token
+    // array — per-row work, no self-join, no explode-shuffle.
+    "search_span_near" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'big', i, -1)), x -> x >= 0)").as("_pa"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'table', i, -1)), x -> x >= 0)").as("_pb")
+        )
+        .filter(expr("exists(_pa, a -> exists(_pb, b -> b > a AND b - a <= 3))"))
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    // match_phrase_prefix: the phrase's last term is a PREFIX — 'big'
+    // followed immediately by a 'dat…' token. Same token-position HOF
+    // shape as span_near: per-row array work, no self-join.
+    "search_match_phrase_prefix" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .filter(
+          expr(
+            "size(filter(transform(_toks, (t, i) -> t = 'big' AND i + 2 <= size(_toks)" +
+              " AND startswith(element_at(_toks, i + 2), 'dat')), x -> x)) > 0"
+          )
+        )
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    // match_bool_prefix: every term a term-match except the last, which
+    // is a prefix; default OR semantics (minimum_should_match = 1).
+    "search_match_bool_prefix" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .filter(array_contains(col("_toks"), "spark") || expr("exists(_toks, t -> startswith(t, 'quer'))"))
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    // intervals query, ordered mode: 'stream' before 'merge' at ANY gap
+    // (the unbounded-slop complement of span_near's bounded window).
+    "search_intervals_ordered" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'stream', i, -1)), x -> x >= 0)").as("_pa"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'merge', i, -1)), x -> x >= 0)").as("_pb")
+        )
+        .filter(expr("exists(_pa, a -> exists(_pb, b -> b > a))"))
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    // children aggregation: parent buckets with child-doc metrics — the
+    // has_child query family's aggregation face (orders parent lineitem
+    // via the order key, the reference's one real parent/child pair).
+    // Join + hash agg with map-side partials; the colocated q-entries
+    // show the zero-exchange layout for this exact join at scale.
+    "search_children_agg" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority").as("key"))
+        .agg(count(lit(1)).as("child_count"), sum(col("l_quantity")).as("total_qty"))
+        .orderBy("key")),
+
+    // span_or: match if ANY sub-span matches — a rare term OR an ordered
+    // near-pair. Same per-row HOF shape as span_near; the disjunction is
+    // a boolean OR of the two whole-row span predicates.
+    "search_span_or" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          col("_toks"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'big', i, -1)), x -> x >= 0)").as("_pa"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'data', i, -1)), x -> x >= 0)").as("_pb")
+        )
+        .filter(
+          array_contains(col("_toks"), "dup") ||
+            expr("exists(_pa, a -> exists(_pb, b -> b > a AND b - a <= 2))")
+        )
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    // span_not: include spans ('data') minus those overlapping an exclude
+    // span (the phrase "big data") — emitted with the count of surviving
+    // positions so the hash checks span arithmetic, not just membership.
+    "search_span_not" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          // transform's index is 0-based while element_at is 1-based, so
+          // element_at(_toks, i) IS the previous token; i = 0 guards the
+          // first position (element_at(…, 0) throws under ANSI).
+          expr(
+            "size(filter(transform(_toks, (t, i) -> t = 'data' AND IF(i = 0, true, element_at(_toks, i) != 'big')), x -> x))"
+          ).as("n_spans")
+        )
+        .filter(col("n_spans") > 0)
+        .orderBy("doc_id")),
+
+    // span_within: 'fast' occurrences enclosed by a stream…merge ordered
+    // span (gap ≤ 6) — n_spans counts the enclosed LITTLE spans.
+    "search_span_within" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'stream', i, -1)), x -> x >= 0)").as("_pa"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'merge', i, -1)), x -> x >= 0)").as("_pb"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'fast', i, -1)), x -> x >= 0)").as("_pp")
+        )
+        .select(
+          col("doc_id"),
+          expr(
+            "size(filter(_pp, p -> exists(_pa, a -> exists(_pb, b -> b > a AND b - a <= 6 AND p > a AND p < b))))"
+          ).as("n_spans")
+        )
+        .filter(col("n_spans") > 0)
+        .orderBy("doc_id")),
+
+    // span_containing: sort…scan ordered spans (gap ≤ 5) that CONTAIN a
+    // 'key' occurrence — n_spans counts the containing BIG spans (the
+    // dual of span_within's little-span count).
+    "search_span_containing" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'sort', i, -1)), x -> x >= 0)").as("_pa"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'scan', i, -1)), x -> x >= 0)").as("_pb"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'key', i, -1)), x -> x >= 0)").as("_pp")
+        )
+        .select(
+          col("doc_id"),
+          expr(
+            "aggregate(_pa, 0L, (acc, a) -> acc + size(filter(_pb, " +
+              "b -> b > a AND b - a <= 5 AND exists(_pp, p -> p > a AND p < b))))"
+          ).as("n_spans")
+        )
+        .filter(col("n_spans") > 0)
+        .orderBy("doc_id")),
+
+    // script_score: replace relevance with a deterministic script over
+    // doc fields — one codegen'd expression per row, top-k bounded.
+    "search_script_score" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .filter(col("text").contains("spark"))
+        .select(
+          col("doc_id"),
+          round(log(lit(1.0) + col("n_chars")) * 1.5 + (col("doc_id") % 7).cast("double"), 4).as("score")
+        )
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)),
+
+    // intervals query, all_of(ordered, max_gaps=3) over [any_of(big,
+    // fast), table]: an any_of alternative feeding an ordered bounded-gap
+    // composition — max_gaps counts positions BETWEEN matches, so the
+    // position test is b − a − 1 ≤ 3. Same per-row HOF plan as span_near.
+    "search_intervals_any" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'big' OR t = 'fast', i, -1)), x -> x >= 0)").as("_pa"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'table', i, -1)), x -> x >= 0)").as("_pb")
+        )
+        .filter(expr("exists(_pa, a -> exists(_pb, b -> b > a AND b - a - 1 <= 3))"))
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    // constant_score: filter context with a fixed boost as _score — no
+    // relevance computation at all, the cheapest scored query there is.
+    "search_constant_score" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .filter(array_contains(SearchDsl.analyze(col("text")), "vector"))
+        .select(col("doc_id"), lit(1.2).as("_score"))
+        .orderBy("doc_id")),
+
+    // global agg: bucket scoped to ALL documents alongside the query's
+    // own hits — both aggregates come out of ONE scan (conditional +
+    // unconditional sums), then meet in a 1-row broadcast cross join.
+    "search_global_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), decMoney(col("value")).as("v"))
+      val hits = ev
+        .filter(col("event_type") === "purchase")
+        .agg(
+          count(lit(1)).as("n_hits"),
+          round(sum(col("v")).cast("double") / count(lit(1)), 6).as("hits_avg_value")
+        )
+      val all = ev.agg(
+        count(lit(1)).as("n_total"),
+        round(sum(col("v")).cast("double") / count(lit(1)), 6).as("total_avg_value")
+      )
+      hits.crossJoin(broadcast(all))
+    }),
+
+    // terms agg with a terms SUB-agg (the nested bucket tree): per-lang
+    // top-3 sources by doc count — counted by one hash agg, ranked by
+    // the bounded-heap TopKPerKey exec (no window sort).
+    "search_terms_sub_terms" -> ((s, dir) => {
+      val counted = Tables
+        .documents(s, dir)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("doc_count"))
+      graft.plans.TopKPerKey
+        .perKey(counted, Seq("lang"), Seq("doc_count" -> false, "source" -> true), 3)
+        .orderBy("lang", "rank")
+    }),
+
+    // t_test agg (Welch's unpaired): purchase-vs-view event values. The
+    // moments are EXACT decimal sums from one conditional-agg scan; the
+    // statistic is then a fixed double expression tree (+,*,/,sqrt are
+    // all IEEE correctly-rounded, so both engines agree bit-for-bit —
+    // var_samp's partition-order accumulation would not).
+    "search_t_test" -> ((s, dir) =>
+      Aggs.tTest(
+        Tables.events(s, dir).filter(col("event_type").isin("purchase", "view")),
+        col("value"),
+        col("event_type") === "purchase",
+        col("event_type") === "view"
+      )),
+
+    // matrix_stats agg: pairwise covariance/correlation of three numeric
+    // fields from ONE scan of exact decimal moments (n, Σx, Σx², Σxy per
+    // pair), the statistics derived in a fixed double tree and unpivoted
+    // with stack() — never three covar_samp/corr aggs (partition-order
+    // double accumulation) nor three scans.
+    "search_matrix_stats" -> ((s, dir) =>
+      Aggs.matrixStats(Tables.lineitem(s, dir), Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+
+    // ── Geo queries (derived coordinates — see geoEvents) ───────────────
+    // geo_distance: events within 1000 km of (10, 20), equirectangular
+    // distance with a FIXED mid-latitude scale literal — only *, +, sqrt
+    // (all IEEE correctly-rounded) so both engines agree bit-for-bit;
+    // haversine's sin/cos/atan2 are NOT correctly-rounded and could flip
+    // boundary rows between engines. The distance predicate is
+    // scan-pushable via the lat/lon bounding comparisons a real layout
+    // would partition on.
+    "search_geo_distance" -> ((s, dir) => {
+      val dlat = col("lat") - lit(10.0)
+      val dlon = (col("lon") - lit(20.0)) * lit(0.7071067811865476)
+      geoEvents(s, dir)
+        .withColumn("dist_km", sqrt(dlat * dlat + dlon * dlon) * lit(111.195))
+        .filter(col("dist_km") <= 1000.0)
+        .select(col("event_id"), round(col("dist_km"), 6).as("dist_km"))
+        .orderBy("event_id")
+    }),
+
+    // geo_distance AGGREGATION (rings around an origin): each doc lands
+    // in one distance band, one hash-agg over ≤4 ring keys — the
+    // bucketing is a per-row projection, so this is a plain codegen'd
+    // scan + tiny aggregate at any corpus size. Ring keys follow the
+    // OpenSearch "*-1000.0" / "1000.0-3000.0" naming.
+    "search_geo_distance_rings" -> ((s, dir) => {
+      val dlat = col("lat") - lit(10.0)
+      val dlon = (col("lon") - lit(20.0)) * lit(0.7071067811865476)
+      geoEvents(s, dir)
+        .withColumn("dist_km", sqrt(dlat * dlat + dlon * dlon) * lit(111.195))
+        .withColumn(
+          "ring",
+          when(col("dist_km") < 1000.0, "*-1000.0")
+            .when(col("dist_km") < 3000.0, "1000.0-3000.0")
+            .when(col("dist_km") < 8000.0, "3000.0-8000.0")
+            .otherwise("8000.0-*")
+        )
+        .groupBy("ring")
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy("ring")
+    }),
+
+    // geo_bounding_box: pure range comparisons — fully pushdown-able.
+    "search_geo_bbox" -> ((s, dir) =>
+      geoEvents(s, dir)
+        .filter(col("lat") >= 0.0 && col("lat") < 45.0 && col("lon") >= -90.0 && col("lon") < 0.0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy("event_type")),
+
+    // geotile_grid agg: 15°×15° cells, top 20 by density — floor-binned
+    // integer cell keys, one hash agg.
+    "search_geotile_grid" -> ((s, dir) =>
+      geoEvents(s, dir)
+        .groupBy(
+          floor(col("lat") / 15.0).cast("long").as("cell_y"),
+          floor(col("lon") / 15.0).cast("long").as("cell_x")
+        )
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy(col("doc_count").desc, col("cell_y"), col("cell_x"))
+        .limit(20)),
+
+    // geo_polygon query: pnpoly ray casting against a diamond around the
+    // origin — edges unroll into one codegen'd per-row expression (the
+    // polygon is request metadata); count per event type. Exact-binary
+    // vertices keep the oracle's IEEE arithmetic term-identical.
+    "search_geo_polygon" -> ((s, dir) =>
+      geoEvents(s, dir)
+        .filter(
+          graft.search.Aggs
+            .pointInPolygon(col("lat"), col("lon"), Seq((0.0, -90.0), (45.0, 0.0), (0.0, 90.0), (-45.0, 0.0)))
+        )
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy("event_type")),
+
+    // geohash_grid agg: precision-5 geohash cells, top 20 by density.
+    // The cell key is pure integer arithmetic from the synthetic
+    // hundredth-degree coordinates (quantize → interleave → base32), so
+    // the DuckDB oracle reproduces identical strings — no geo library on
+    // either side. One hash agg; GeohashSpec pins the encoding against
+    // the textbook bisection encoder.
+    "search_geohash_grid" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .select(
+          graft.search.Aggs
+            .geohash5(pmod(col("user_id") * 1237, lit(18000)), pmod(col("event_id") * 91, lit(36000)))
+            .as("geohash")
+        )
+        .groupBy("geohash")
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy(col("doc_count").desc, col("geohash"))
+        .limit(20)),
+
+    // stats_bucket pipeline agg: count/min/max/avg/sum over a sibling
+    // date_histogram's per-bucket revenue — stats of the bucket table
+    // (months, driver-scale), order-proof via exact decimal sums.
+    "search_stats_bucket" -> ((s, dir) => {
+      val buckets = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      buckets.agg(
+        count(lit(1)).as("n_buckets"),
+        round(min("revenue"), 2).as("min_rev"),
+        round(max("revenue"), 2).as("max_rev"),
+        round(sum(col("revenue").cast("decimal(18,2)")).cast("double") / count(lit(1)), 6).as("avg_rev"),
+        sum(col("revenue").cast("decimal(18,2)")).cast("double").as("sum_rev")
+      )
+    }),
+
+    // geo_centroid agg: per-type centroid via EXACT decimal coordinate
+    // sums (the coordinates are 2dp by construction), double-divided at
+    // the end — partition-order-proof, like every money aggregate here.
+    "search_geo_centroid" -> ((s, dir) =>
+      geoEvents(s, dir)
+        .groupBy("event_type")
+        .agg(
+          round(sum(col("lat").cast("decimal(9,2)")).cast("double") / count(lit(1)), 6).as("centroid_lat"),
+          round(sum(col("lon").cast("decimal(9,2)")).cast("double") / count(lit(1)), 6).as("centroid_lon"),
+          count(lit(1)).as("doc_count")
+        )
+        .orderBy("event_type")),
+
+    // geo_bounds aggregation: the tightest lat/lon envelope per bucket —
+    // pure min/max selections (2dp-exact doubles), one hash agg.
+    "search_geo_bounds" -> ((s, dir) =>
+      geoEvents(s, dir)
+        .groupBy("event_type")
+        .agg(
+          max("lat").as("top"),
+          min("lat").as("bottom"),
+          min("lon").as("left"),
+          max("lon").as("right"),
+          count(lit(1)).as("doc_count")
+        )
+        .orderBy("event_type")),
+
+    // scripted_metric: the "script" is a Catalyst SQL expression compiled
+    // into the scan (codegen'd, pushdown-friendly) — the Spark-first
+    // answer to painless, with sum/avg/min/max/count reduce phases.
+    "search_scripted_metric" -> ((s, dir) =>
+      Aggs.scriptedMetric(Tables.lineitem(s, dir), "l_extendedprice * (1 - l_discount)", "sum")),
+
+    // percolate: reverse search — stored queries evaluated against a doc
+    // stream. The (tiny) registered-query table broadcasts; one scan of
+    // the docs evaluates every query via a generic (field, op, value)
+    // interpreter — never one pass per stored query.
+    "search_percolate" -> ((s, dir) => {
+      import s.implicits._
+      val stored = Seq(
+        (1L, "o_orderstatus", "term", "O"),
+        (2L, "o_totalprice", "gt", "200000"),
+        (3L, "o_orderpriority", "prefix", "1"),
+        (4L, "o_orderstatus", "term", "F")
+      ).toDF("query_id", "field", "op", "value")
+      Tables
+        .orders(s, dir)
+        .filter(col("o_orderkey") < 100)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .crossJoin(broadcast(stored))
+        .filter(
+          (col("op") === "term" && (
+            (col("field") === "o_orderstatus" && col("o_orderstatus") === col("value")) ||
+              (col("field") === "o_orderpriority" && col("o_orderpriority") === col("value"))
+          )) ||
+            (col("op") === "gt" && col("field") === "o_totalprice" &&
+              col("o_totalprice") > col("value").cast("double")) ||
+            (col("op") === "prefix" && col("field") === "o_orderpriority" &&
+              expr("startswith(o_orderpriority, value)"))
+        )
+        .select(col("o_orderkey"), col("query_id"))
+        .orderBy("o_orderkey", "query_id")
+    }),
+
+    // rank_feature query: score = boost · x/(x + pivot) — the saturating
+    // feature-ranking curve, a pure projection over the match filter.
+    "search_rank_feature" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .filter(array_contains(SearchDsl.analyze(col("text")), "spark"))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          round(lit(2.0) * col("n_chars") / (col("n_chars") + lit(250.0)), 6).as("score")
+        )
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)),
+
+    // diversified_sampler: deterministic md5-ordered sample capped at 20
+    // docs per lang (TopKPerKey bounded heaps — the same quota-sampling
+    // exec as sample_cap_per_source), feeding a terms agg on source.
+    "search_sampler_diversified" -> ((s, dir) => {
+      val d = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), md5(col("doc_id").cast("string")).as("_h"))
+      Aggs
+        .topHits(d, col("lang"), 20, Seq(col("_h").asc, col("doc_id").asc))
+        .groupBy(col("source").as("key"))
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy(col("doc_count").desc, col("key"))
+    }),
+
+    // ── Remaining query-DSL surface (r7) ────────────────────────────────
+    // pinned query: curated ids surface first IN LIST ORDER, organic hits
+    // follow ranked by score. One scan — the rank is array_position into
+    // the pinned list (0/absent = organic tier), not per-id union
+    // branches, so the plan is a bounded top-k over a single pass.
+    "search_pinned" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          coalesce(array_position(array(lit(7L), lit(3L), lit(11L)), col("doc_id")), lit(0L)).as("_pin"),
+          SearchDsl.matchScore(col("text"), Seq("spark")).as("score")
+        )
+        .filter(col("_pin") > 0 || col("score") > 0)
+        .select(
+          col("doc_id"),
+          (col("_pin") > 0).as("pinned"),
+          col("score"),
+          when(col("_pin") > 0, col("_pin")).otherwise(lit(Long.MaxValue)).as("_tier")
+        )
+        .orderBy(col("_tier").asc, col("score").desc, col("doc_id"))
+        .select("doc_id", "pinned", "score")
+        .limit(10)),
+
+    // terms lookup: the term list comes from ANOTHER document (the
+    // OpenSearch index/id/path form), not the request body. The lookup
+    // row's indexed tokens become a broadcast semi-join onto the corpus
+    // token table — one scan, no driver round-trip, no O(terms) OR-chain.
+    "search_terms_lookup" -> ((s, dir) => {
+      val lookupTerms = Tables
+        .documents(s, dir)
+        .filter(col("doc_id") === 0L)
+        .select(explode(array_distinct(SearchDsl.analyze(col("text")))).as("term"))
+        .filter(length(col("term")) >= 5)
+      Tables
+        .documents(s, dir)
+        .filter(col("doc_id") =!= 0L)
+        .select(col("doc_id"), col("lang"), explode(array_distinct(SearchDsl.analyze(col("text")))).as("term"))
+        .join(broadcast(lookupTerms), "term")
+        .select("doc_id", "lang")
+        .distinct()
+        .orderBy("doc_id")
+    }),
+
+    // span_first: the match must begin within the first N token
+    // positions — see SearchDsl.spanFirstPos (whole-row, no explode).
+    "search_span_first" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), SearchDsl.spanFirstPos(col("text"), "spark").as("pos"))
+        .filter(col("pos").between(1, 5))
+        .orderBy("doc_id")),
+
+    // distance_feature: relevance decays with distance from an origin
+    // timestamp as boost·pivot/(pivot+dist) — projection math over the
+    // filtered scan, bounded top-k. origin = 2024-02-01T00:00Z, pivot =
+    // 7 days.
+    "search_distance_feature" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id"),
+          round(
+            SearchDsl.distanceFeature(
+              abs(unix_timestamp(col("ts")) - lit(1706745600L)).cast("double"),
+              pivot = 604800.0,
+              boost = 2.0
+            ),
+            6
+          ).as("score")
+        )
+        .orderBy(col("score").desc, col("event_id"))
+        .limit(10)),
+
+    // function_score gauss decay on a numeric field: 1.0 within `offset`
+    // of the origin, `decay` at offset+scale — see SearchDsl.gaussDecay.
+    "search_decay_gauss" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .filter(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          round(SearchDsl.gaussDecay(col("o_totalprice"), 150000.0, 50000.0, 10000.0, 0.5), 6).as("score")
+        )
+        .orderBy(col("score").desc, col("o_orderkey"))
+        .limit(20)),
+
+    // random_score(seed): deterministic uniform jitter from md5(seed:id)
+    // — reproducible across runs, partition layouts, and engines (the
+    // property OpenSearch's seeded variant promises).
+    "search_random_score" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), round(SearchDsl.randomScore(col("doc_id"), 42), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)),
+
+    // exists / missing: field presence after enrichment — customers
+    // left-joined to the distinct keys of their HIGH-VALUE orders
+    // (>450k), a genuinely sparse field (most-but-not-all customers
+    // qualify; the generator gives every customer *some* order, so the
+    // unfiltered key set would be exists-everywhere and vacuous). The
+    // probe side is reduced to distinct keys BEFORE the join, so the
+    // shuffle carries one row per qualifying buyer, not per order; no
+    // broadcast hint — the buyer set scales with SF, AQE decides.
+    "search_exists" -> ((s, dir) => {
+      val buyers =
+        Tables.orders(s, dir).filter(col("o_totalprice") > 450000).select(col("o_custkey")).distinct()
+      Tables
+        .customer(s, dir)
+        .join(buyers, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          count(col("o_custkey")).as("n_with_orders"),
+          (count(lit(1)) - count(col("o_custkey"))).as("n_missing")
+        )
+        .orderBy("segment")
+    }),
+
+    // max_bucket pipeline agg: the bucket KEY(s) holding the maximum
+    // metric — argmax via a 1-row broadcast of the max back onto the
+    // (tiny, ~84-row) bucket table, never a global sort of buckets.
+    "search_max_bucket" -> ((s, dir) => {
+      val buckets = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      buckets
+        .crossJoin(broadcast(buckets.agg(max("revenue").as("_mx"))))
+        .filter(col("revenue") === col("_mx"))
+        .select("bucket", "revenue")
+        .orderBy("bucket")
+    }),
+
+    // normalize pipeline agg (percent_of_sum): each bucket's share of
+    // the grand total — 1-row broadcast of the total, codegen'd division
+    // over the bucket table.
+    "search_normalize" -> ((s, dir) => {
+      val buckets = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      buckets
+        .crossJoin(broadcast(buckets.agg(round(sum("revenue"), 2).as("_tot"))))
+        .select(
+          col("bucket"),
+          col("revenue"),
+          round(col("revenue") / col("_tot") * 100.0, 6).as("pct_of_sum")
+        )
+        .orderBy("bucket")
+    }),
+
+    // moving_percentiles pipeline agg: exact interpolated p50/p90 over a
+    // trailing 6-bucket window — the window runs over the bucket table
+    // (~84 rows), never the fact scan.
+    "search_moving_percentiles" -> ((s, dir) => {
+      val buckets = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      val w = Window.orderBy("bucket").rowsBetween(-5, Window.currentRow)
+      buckets
+        .select(
+          col("bucket"),
+          col("revenue"),
+          round(expr("percentile(revenue, 0.5)").over(w), 6).as("p50_6m"),
+          round(expr("percentile(revenue, 0.9)").over(w), 6).as("p90_6m")
+        )
+        .orderBy("bucket")
+    }),
+
+    // geo_line agg: per group, the track of points ordered by timestamp,
+    // capped at 10 — TopKPerKey bounds per-group state to the cap
+    // (bounded heaps, no full collect-then-slice), then one tiny
+    // hash agg assembles the line string. Coordinates print through
+    // decimal(6,2) so both engines render identical fixed-point text.
+    "search_geo_line" -> ((s, dir) => {
+      val pts = geoEvents(s, dir).select(
+        col("event_type"),
+        col("ts"),
+        col("event_id"),
+        concat(
+          col("lat").cast("decimal(6,2)").cast("string"),
+          lit(","),
+          col("lon").cast("decimal(6,2)").cast("string")
+        ).as("pt")
+      )
+      graft.plans.TopKPerKey
+        .perKey(pts, Seq("event_type"), Seq("ts" -> true, "event_id" -> true), 10)
+        .groupBy("event_type")
+        .agg(concat_ws(" ", expr("transform(array_sort(collect_list(struct(rank, pt))), x -> x.pt)")).as("line"))
+        .orderBy("event_type")
+    }),
+
+    // frequent_item_sets agg (pair tier): market-basket pairs over
+    // (user, day) baskets of DISTINCT event types. The self-join fans
+    // out C(|basket|, 2) ≤ C(|vocab|, 2) pairs per basket — bounded by
+    // the item vocabulary, not the event count — and support is one
+    // hash agg against the broadcast basket total.
+    "search_frequent_pairs" -> ((s, dir) => {
+      val baskets = Tables
+        .events(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .distinct()
+      val nBaskets = baskets.select("user_id", "day").distinct().agg(count(lit(1)).as("_n"))
+      baskets
+        .as("a")
+        .join(baskets.as("b"), Seq("user_id", "day"))
+        .filter(col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("item1"), col("b.event_type").as("item2"))
+        .agg(count(lit(1)).as("pair_count"))
+        .crossJoin(broadcast(nBaskets))
+        .select(
+          col("item1"),
+          col("item2"),
+          col("pair_count"),
+          round(col("pair_count") / col("_n"), 6).as("support")
+        )
+        .orderBy(col("pair_count").desc, col("item1"), col("item2"))
+        .limit(10)
+    }),
+
+    // change_point agg: the split of the monthly-revenue series that
+    // maximizes |mean(left) − mean(right)| — prefix sums via one window
+    // over the bucket table plus a 1-row broadcast total; emitted row =
+    // the last bucket of the left segment. Means divide as doubles of
+    // 2dp-exact sums so both engines run identical IEEE ops.
+    "search_change_point" -> ((s, dir) => {
+      val buckets = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dec = col("revenue").cast("decimal(18,2)")
+      buckets
+        .select(
+          col("bucket"),
+          sum(dec).over(w).as("_cum"),
+          count(lit(1)).over(w).as("_k")
+        )
+        .crossJoin(broadcast(buckets.agg(sum(dec).as("_tot"), count(lit(1)).as("_n"))))
+        .filter(col("_k") < col("_n"))
+        .select(
+          col("bucket"),
+          round(col("_cum").cast("double") / col("_k"), 6).as("left_mean"),
+          round((col("_tot") - col("_cum")).cast("double") / (col("_n") - col("_k")), 6).as("right_mean")
+        )
+        .withColumn("delta", round(abs(col("left_mean") - col("right_mean")), 6))
+        .orderBy(col("delta").desc, col("bucket"))
+        .limit(1)
+    }),
+
+    // simple_query_string: the fault-tolerant end-user syntax (+ AND,
+    // | OR, - negate, "..." phrase, grouping) compiled by SimpleQuery
+    // into ONE codegen'd predicate in the scan.
+    "search_simple_query_string" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .filter(
+          // default_operator=and: the bare-adjacent -slow must AND in
+          search.SimpleQuery.parse(col("text"), "spark + (merge | \"hash join\") -slow", defaultAnd = true)
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // combined_fields: term-centric BM25F-style scoring across p_name
+    // (weight 1.0) and p_type (weight 0.5) — see Bm25.combinedFields
+    // (whole-row weighted tf, 1-row broadcast stats, fixed-order sum).
+    "search_combined_fields" -> ((s, dir) =>
+      search.Bm25.combinedFields(
+        Tables.part(s, dir).select("p_partkey", "p_name", "p_type"),
+        "p_partkey",
+        Seq("p_name" -> 1.0, "p_type" -> 0.5),
+        Seq("small", "large"),
+        20
+      )),
+
+    // phrase suggester: "fast qery" → per-position vocabulary
+    // corrections composed into phrases, ranked by corpus bigram
+    // frequency with unigram backoff — see Fuzzy.suggestPhrase.
+    "search_phrase_suggest" -> ((s, dir) =>
+      search.Fuzzy.suggestPhrase(Tables.documents(s, dir), "text", Seq("fast", "qery"), 2, 5)),
+
+    // ── R9c: the absent agg families — missing / filter / nested agg /
+    // reverse_nested / parent, structured + wire ───────────────────────
+    // missing agg: the docs whose (genuinely sparse, join-derived) field
+    // is NULL — customers with no high-value order. The probe side is
+    // distinct keys BEFORE the join (one row per qualifying buyer); the
+    // missing bucket is an IsNull filter + 1-row exact-decimal aggregate.
+    "search_missing_agg" -> ((s, dir) => {
+      val buyers =
+        Tables.orders(s, dir).filter(col("o_totalprice") > 450000).select(col("o_custkey")).distinct()
+      Tables
+        .customer(s, dir)
+        .join(buyers, col("c_custkey") === col("o_custkey"), "left")
+        .filter(col("o_custkey").isNull)
+        .agg(
+          count(lit(1)).as("doc_count"),
+          round(sum(decMoney(col("c_acctbal"))).cast("double") / count(lit(1)), 6).as("avg_acctbal")
+        )
+    }),
+
+    // filter agg: one named single-filter bucket with metric sub-aggs —
+    // the predicate pushes to the parquet scan, then a 1-row aggregate.
+    "search_filter_agg" -> ((s, dir) =>
+      Tables
+        .orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .agg(
+          count(lit(1)).as("doc_count"),
+          round(sum(decMoney(col("o_totalprice"))).cast("double") / count(lit(1)), 6).as("avg_price")
+        )),
+
+    // nested agg (metrics form): element count + exact-decimal mean over
+    // ALL nested elements — per-row partial sums (size + decimal HOF
+    // fold), the element table is never exploded (Nested.nestedAgg).
+    "search_nested_agg" -> ((s, dir) =>
+      search.Nested.nestedAgg(
+        search.Nested.nestedIndex(
+          Tables.orders(s, dir),
+          Tables.lineitem(s, dir),
+          "o_orderkey",
+          "l_orderkey",
+          "items",
+          Seq("l_quantity")
+        ),
+        "items",
+        "l_quantity",
+        "avg_l_quantity"
+      )),
+
+    // reverse_nested: bucket the ELEMENTS, count DISTINCT parent docs per
+    // bucket — explode is per-element-once, the distinct is (key, parent)
+    // pairs, never a window.
+    "search_reverse_nested" -> ((s, dir) =>
+      search.Nested
+        .nestedIndex(
+          Tables.orders(s, dir),
+          Tables.lineitem(s, dir),
+          "o_orderkey",
+          "l_orderkey",
+          "items",
+          Seq("l_returnflag")
+        )
+        .select(col("o_orderkey"), explode(col("items")).as("_e"))
+        .groupBy(col("_e.l_returnflag").as("key"))
+        .agg(count(lit(1)).as("doc_count"), countDistinct(col("o_orderkey")).as("parent_count"))
+        .orderBy("key")),
+
+    // parent agg: from CHILD docs, buckets carry PARENT-side metrics with
+    // each parent counted once per bucket — distinct (bucket, key) pairs
+    // shrink the join input to one row per parent per bucket.
+    "search_parent_agg" -> ((s, dir) =>
+      Tables
+        .lineitem(s, dir)
+        .select(col("l_returnflag").as("key"), col("l_orderkey"))
+        .distinct()
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("key")
+        .agg(
+          count(lit(1)).as("parent_count"),
+          round(sum(decMoney(col("o_totalprice"))).cast("double") / count(lit(1)), 6).as("avg_order_value")
+        )
+        .orderBy("key")),
+
+    // _analyze: the analyzer's token stream for a request body — what
+    // this endpoint shows is exactly what the index matches on.
+    "search_analyze_api" -> ((s, dir) =>
+      JsonDsl.analyzeText(
+        s,
+        """{"analyzer": "standard", "text": "Fast Spark QUERIES shuffle Data"}"""
+      )),
+
+    // _analyze with a custom filter chain (stop + s_stem): the endpoint
+    // reflects the full configurable analyzer — what it shows is what a
+    // stemmed-analyzer index matches on. The oracle replays the same
+    // stop/CASE-stem rules in SQL over the literal.
+    "search_analyze_stemmed" -> ((s, dir) =>
+      JsonDsl.analyzeText(
+        s,
+        """{"text": "The Queries against big Tables",
+          | "filter": ["lowercase", {"type": "stop", "stopwords": ["the", "a"]}, "s_stem"]}""".stripMargin
+      )),
+
+    // _field_caps: per-field capabilities from schema + mapping (text
+    // searchable-not-aggregatable, the OpenSearch defaults).
+    "search_field_caps" -> ((s, dir) => JsonDsl.fieldCaps(Tables.documents(s, dir), docsMapping)),
+
+    // _plugins/_sql: read-only SQL over an index through Spark's own SQL
+    // compiler (full Catalyst path); the oracle runs the SAME statement.
+    "search_sql_api" -> ((s, dir) =>
+      JsonDsl.sqlQuery(
+        Tables.documents(s, dir),
+        "documents",
+        """{"query": "SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY lang ORDER BY lang"}"""
+      )),
+
+    // span_multi: a multi-term matcher (prefix) as a span, composed
+    // under span_near — prefix-matching token positions within slop of
+    // 'fast', either direction. Same per-row HOF pass as span_near.
+    "search_span_multi" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          expr("filter(transform(_toks, (t, i) -> IF(t LIKE 'spar%', i, -1)), x -> x >= 0)").as("_pa"),
+          expr("filter(transform(_toks, (t, i) -> IF(t = 'fast', i, -1)), x -> x >= 0)").as("_pb")
+        )
+        .filter(expr("exists(_pa, a -> exists(_pb, b -> b != a AND abs(b - a) <= 5))"))
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    // variable_width_histogram: exact-quantile seeds + nearest-seed
+    // assignment — the shared Aggs implementation (the wire twin compiles
+    // to the same call; see Aggs.variableWidthHistogram for the contract).
+    "search_variable_width_histogram" -> ((s, dir) =>
+      Aggs.variableWidthHistogram(Tables.orders(s, dir), col("o_totalprice"), 8)),
+
+    // ip_prefix agg (/16): network-prefix buckets over the derived IP
+    // space — integer-arithmetic octets (see ipEvents), one hash agg
+    // with an exact per-prefix user cardinality.
+    "search_ip_prefix" -> ((s, dir) =>
+      ipEvents(s, dir)
+        .groupBy(concat(lit("10."), col("_o2"), lit(".0.0/16")).as("prefix"))
+        .agg(count(lit(1)).as("doc_count"), countDistinct(col("user_id")).as("unique_users"))
+        .orderBy(col("doc_count").desc, col("prefix"))
+        .limit(20)),
+
+    // ip_range agg: labeled ranges over the 32-bit address value — the
+    // standard rangeAgg plan (one CASE projection, k-row hash agg).
+    "search_ip_range" -> ((s, dir) =>
+      Aggs.rangeAgg(
+        ipEvents(s, dir),
+        col("ipnum").cast("double"),
+        Seq(
+          ("a_low", None, Some(168099840.0)),
+          ("b_mid", Some(168099840.0), Some(168427520.0)),
+          ("c_high", Some(168427520.0), None)
+        )
+      ))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "search_match" ->
+      """SELECT doc_id, score FROM (
+        |  SELECT doc_id,
+        |         (CASE WHEN list_contains(string_split(lower(text), ' '), 'spark') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(string_split(lower(text), ' '), 'stream') THEN 1 ELSE 0 END) AS score
+        |  FROM documents) t
+        |WHERE score > 0 ORDER BY score DESC, doc_id""".stripMargin,
+
+    // The stemmed-analyzer oracles replay the IDENTICAL chain in SQL:
+    // stopword list_filter, then Harman's three S-stemmer rules as a
+    // CASE over each token — string ops only, so the hash compare is
+    // exact (the reason S-stem was chosen over Porter).
+    "search_match_stemmed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_transform(
+        |    list_filter(string_split(lower(text), ' '), t -> t NOT IN ('the', 'a')),
+        |    t -> CASE
+        |      WHEN length(t) > 3 AND t LIKE '%ies' AND t NOT LIKE '%eies' AND t NOT LIKE '%aies'
+        |        THEN regexp_replace(t, 'ies$', 'y')
+        |      WHEN length(t) > 3 AND t LIKE '%es' AND t NOT LIKE '%aes' AND t NOT LIKE '%ees' AND t NOT LIKE '%oes'
+        |        THEN regexp_replace(t, 'es$', 'e')
+        |      WHEN length(t) > 2 AND t LIKE '%s' AND t NOT LIKE '%us' AND t NOT LIKE '%ss'
+        |        THEN regexp_replace(t, 's$', '')
+        |      ELSE t END) AS tt
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(list_contains(tt, 'query') AS INT) + CAST(list_contains(tt, 'table') AS INT) AS score
+        |FROM toks
+        |WHERE list_contains(tt, 'query') OR list_contains(tt, 'table')
+        |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "search_dsl_json" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE (list_contains(string_split(lower(text), ' '), 'spark')
+        |    OR list_contains(string_split(lower(text), ' '), 'stream'))
+        |  AND n_chars >= 200 AND NOT (lang = 'de')
+        |ORDER BY doc_id""".stripMargin,
+
+    "search_mapped_query" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en'
+        |  AND (list_contains(string_split(lower(text), ' '), 'data')
+        |    OR list_contains(string_split(lower(text), ' '), 'quality'))
+        |ORDER BY doc_id""".stripMargin,
+
+    "search_bool_term" ->
+      """SELECT o_orderkey,
+        |       (CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+        |      + CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS score
+        |FROM orders WHERE o_orderstatus = 'O' AND NOT (o_orderpriority = '5-LOW')
+        |ORDER BY score DESC, o_orderkey""".stripMargin,
+
+    "search_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "search_wildcard" ->
+      """SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%re%' ORDER BY p_partkey""".stripMargin,
+
+    "search_terms_agg" ->
+      """SELECT o_orderpriority AS "key", count(*) AS doc_count
+        |FROM orders GROUP BY 1 ORDER BY doc_count DESC, "key" LIMIT 5""".stripMargin,
+
+    "search_date_histogram" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket, count(*) AS doc_count,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "search_filtered_count" ->
+      """SELECT count(*) AS n_total,
+        |       count(*) FILTER (WHERE value > 100) AS n_high_value,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+        |FROM events""".stripMargin,
+
+    "search_stats_agg" ->
+      """SELECT count(l_extendedprice) AS cnt, round(min(l_extendedprice), 2) AS min_v,
+        |       round(max(l_extendedprice), 2) AS max_v, round(avg(l_extendedprice), 2) AS avg_v,
+        |       round(sum(l_extendedprice), 2) AS sum_v
+        |FROM lineitem""".stripMargin,
+
+    "search_extended_stats" ->
+      """WITH a AS (SELECT count(o_totalprice) AS cnt,
+        |                  round(min(o_totalprice), 2) AS mn, round(max(o_totalprice), 2) AS mx,
+        |                  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
+        |                  sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS sq
+        |           FROM orders)
+        |SELECT CAST(cnt AS BIGINT) AS cnt, mn AS min_v, mx AS max_v,
+        |       round(CAST(s AS DOUBLE) / cnt, 6) AS avg_v,
+        |       round(CAST(s AS DOUBLE), 2) AS sum_v,
+        |       round(CAST(sq AS DOUBLE), 2) AS sum_sq,
+        |       round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1), 6) AS variance,
+        |       round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1)), 6) AS std_dev
+        |FROM a""".stripMargin,
+
+    "search_more_like_this" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term FROM documents),
+        |tgt AS (SELECT term FROM toks WHERE doc_id = 7),
+        |shared AS (SELECT toks.doc_id, toks.term FROM toks JOIN tgt USING (term)),
+        |dfq AS (SELECT term, count(*) AS df FROM shared GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared,
+        |       round(sum(ln(CAST(n_docs AS DOUBLE) / df)), 6) AS score
+        |FROM shared JOIN dfq USING (term) CROSS JOIN n
+        |WHERE doc_id <> 7
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "search_cardinality" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
+        |       count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+
+    "search_percentiles" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+        |       round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+        |FROM orders""".stripMargin,
+
+    "search_top_n" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, o_orderstatus
+        |FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10""".stripMargin,
+
+    "search_search_after" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate < TIMESTAMP '2000-06-15 00:00:00'
+        |   OR (o_orderdate = TIMESTAMP '2000-06-15 00:00:00' AND o_orderkey < 900)
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10""".stripMargin,
+
+    "monitor_threshold_alert" ->
+      """SELECT bucket, n_errors, n_total FROM (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |         count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+        |         count(*) AS n_total
+        |  FROM events GROUP BY 1) t
+        |WHERE n_errors * 100 > n_total * 21 ORDER BY bucket""".stripMargin,
+
+    "search_hybrid_rrf" ->
+      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
+        |                     len(string_split(lower(text), ' ')) AS dl
+        |              FROM documents),
+        |postings AS (SELECT id, dl, t.term, count(*) AS tf
+        |             FROM base, unnest(toks) AS t(term)
+        |             WHERE t.term IN ('spark', 'query') GROUP BY id, dl, t.term),
+        |docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+        |lex AS (SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER) AS lex_rank FROM (
+        |  SELECT id, round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |                       * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |  FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
+        |  GROUP BY id ORDER BY score DESC, id LIMIT 10) t),
+        |vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |vec AS (SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id) AS INTEGER) AS vec_rank FROM (
+        |  SELECT vec_id AS id,
+        |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM vq)), 6) AS cos
+        |  FROM embeddings WHERE vec_id <> 0 ORDER BY cos DESC, id LIMIT 10) t)
+        |SELECT coalesce(lex.id, vec.id) AS id,
+        |       round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0.0)
+        |             + coalesce(CAST(1 AS DOUBLE) / (60 + vec_rank), 0.0), 6) AS rrf_score
+        |FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+        |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin,
+
+    "search_bm25" ->
+      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
+        |                     len(string_split(lower(text), ' ')) AS dl
+        |              FROM documents),
+        |postings AS (SELECT id, dl, t.term, count(*) AS tf
+        |             FROM base, unnest(toks) AS t(term)
+        |             WHERE t.term IN ('spark', 'query') GROUP BY id, dl, t.term),
+        |docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base)
+        |SELECT id, round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |                     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
+        |GROUP BY id ORDER BY score DESC, id LIMIT 10""".stripMargin,
+
+    "search_bm25_build" ->
+      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents),
+        |postings AS (SELECT id, t.term, count(*) AS tf
+        |             FROM base, unnest(toks) AS t(term) GROUP BY id, t.term)
+        |SELECT CAST(count(*) AS BIGINT) AS n_postings,
+        |       CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+        |       CAST(sum(tf) AS BIGINT) AS total_tf,
+        |       CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+        |FROM postings""".stripMargin,
+
+    "search_bm25_explain" ->
+      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
+        |                     len(string_split(lower(text), ' ')) AS dl
+        |              FROM documents),
+        |postings AS (SELECT id, dl, t.term, count(*) AS tf
+        |             FROM base, unnest(toks) AS t(term)
+        |             WHERE t.term IN ('spark', 'query') GROUP BY id, dl, t.term),
+        |docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+        |contrib AS (SELECT id, term,
+        |                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |                     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS ts
+        |            FROM postings JOIN docfreq USING (term) CROSS JOIN corpus)
+        |SELECT id, round(sum(CASE WHEN term = 'spark' THEN ts ELSE 0 END), 4) AS spark_score,
+        |       round(sum(CASE WHEN term = 'query' THEN ts ELSE 0 END), 4) AS query_score,
+        |       round(sum(ts), 4) AS score
+        |FROM contrib GROUP BY id ORDER BY score DESC, id LIMIT 10""".stripMargin,
+
+    "search_bm25_incremental" ->
+      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
+        |                     len(string_split(lower(text), ' ')) AS dl
+        |              FROM documents
+        |              WHERE NOT (doc_id % 5 <> 0 AND doc_id % 11 = 2)),
+        |postings AS (SELECT id, dl, t.term, count(*) AS tf
+        |             FROM base, unnest(toks) AS t(term)
+        |             WHERE t.term IN ('spark', 'query') GROUP BY id, dl, t.term),
+        |docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base)
+        |SELECT id, round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |                     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
+        |GROUP BY id ORDER BY score DESC, id LIMIT 10""".stripMargin,
+
+    "search_highlight" ->
+      """SELECT doc_id, CAST(strpos(text, 'spark') AS INTEGER) AS pos,
+        |       substring(text, greatest(CAST(strpos(text, 'spark') AS INTEGER) - 15, 1), 40) AS snippet
+        |FROM documents WHERE strpos(text, 'spark') > 0 ORDER BY doc_id""".stripMargin,
+
+    "search_pipeline_agg" ->
+      """SELECT bucket, revenue,
+        |       round(sum(revenue) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue,
+        |       round(revenue - lag(revenue) OVER (ORDER BY bucket), 2) AS deriv,
+        |       round(avg(revenue) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |             round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t
+        |ORDER BY bucket""".stripMargin,
+
+    "search_query_string" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |FROM orders
+        |WHERE (o_orderstatus = 'O' OR o_orderstatus = 'F') AND o_totalprice > 150000
+        |  AND o_orderpriority LIKE '2%' AND NOT (o_orderkey >= 0 AND o_orderkey <= 500)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "search_multi_index" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem' AS idx, count(*) AS n, round(sum(l_extendedprice), 2) AS amount FROM lineitem
+        |  UNION ALL SELECT 'orders', count(*), round(sum(o_totalprice), 2) FROM orders) t
+        |ORDER BY idx""".stripMargin,
+
+    "search_match_phrase" ->
+      """SELECT doc_id FROM documents
+        |WHERE contains(' ' || lower(text) || ' ', ' the fast ') ORDER BY doc_id""".stripMargin,
+
+    "search_prefix" ->
+      """SELECT doc_id FROM documents
+        |WHERE len(list_filter(string_split(lower(text), ' '), t -> t LIKE 'str%')) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "search_min_should_match" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |WHERE (CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END
+        |     + CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+        |     + CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) >= 2
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "search_json_field" ->
+      """SELECT event_type, count(*) AS n, round(avg(CAST(props->>'k' AS INTEGER)), 6) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "search_histogram_agg" ->
+      """SELECT floor(o_totalprice / 50000) * 50000 AS bucket, count(*) AS doc_count
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "search_range_agg" ->
+      """SELECT bucket, count(*) AS doc_count FROM (
+        |  SELECT CASE WHEN value < 50 THEN 'a_low'
+        |              WHEN value >= 50 AND value < 150 THEN 'b_mid'
+        |              WHEN value >= 150 THEN 'c_high' END AS bucket
+        |  FROM events) t
+        |WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "search_top_hits" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+        |  FROM orders) t
+        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+
+    "search_top_hits_native" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+        |  FROM orders) t
+        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+
+    "search_significant_terms" ->
+      """SELECT term, fg_count, bg_count,
+        |       round(CAST(fg_count AS DOUBLE) / fg_total - CAST(bg_count AS DOUBLE) / bg_total, 6) AS score
+        |FROM (SELECT event_type AS term,
+        |             count(*) FILTER (WHERE value > 150) AS fg_count,
+        |             count(*) AS bg_count
+        |      FROM events GROUP BY 1) a
+        |CROSS JOIN (SELECT count(*) FILTER (WHERE value > 150) AS fg_total, count(*) AS bg_total FROM events) b
+        |ORDER BY score DESC, term""".stripMargin,
+
+    "search_composite_after" ->
+      """SELECT o_orderpriority AS k0, o_orderstatus AS k1, count(*) AS doc_count
+        |FROM orders GROUP BY 1, 2
+        |HAVING o_orderpriority > '2-HIGH' OR (o_orderpriority = '2-HIGH' AND o_orderstatus > 'F')
+        |ORDER BY k0, k1 LIMIT 5""".stripMargin,
+
+    "search_scripted_field" ->
+      """SELECT o_orderkey,
+        |       round(o_totalprice * CASE WHEN o_orderpriority = '1-URGENT' THEN 1.1 ELSE 1.0 END, 4) AS charge
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "search_moving_ewma" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, CAST(count(*) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT list(bucket ORDER BY bucket) AS bl, list(v ORDER BY bucket) AS vl FROM daily)
+        |SELECT unnest(bl) AS bucket, unnest(vl) AS v,
+        |       unnest(list_transform(vl, (x, i) ->
+        |         round(list_reduce(list_slice(vl, 1, i), (acc, y) -> y * 0.3 + acc * 0.7), 6))) AS ewma
+        |FROM a ORDER BY bucket""".stripMargin,
+
+    "search_filters_other" ->
+      """SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        |       CAST(sum(CASE WHEN event_type NOT IN ('click', 'error') THEN 1 ELSE 0 END) AS BIGINT) AS other_bucket
+        |FROM events""".stripMargin,
+
+    "monitor_anomaly_zscore" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT count(*) AS n, sum(v) AS s, sum(v * v) AS ss FROM daily)
+        |SELECT bucket, round(v, 2) AS day_value,
+        |       round((v - s / n) / sqrt((ss - s * s / n) / (n - 1)), 6) AS z_score
+        |FROM daily, st
+        |WHERE abs(round((v - s / n) / sqrt((ss - s * s / n) / (n - 1)), 6)) > 2.0
+        |ORDER BY bucket""".stripMargin,
+
+    "search_categorize_text" ->
+      """SELECT array_to_string(list_slice(string_split(lower(text), ' '), 1, 3), ' ') AS pattern,
+        |       count(*) AS doc_count
+        |FROM documents GROUP BY 1 ORDER BY doc_count DESC, pattern LIMIT 10""".stripMargin,
+
+    "search_fuzzy" ->
+      """SELECT doc_id FROM documents
+        |WHERE len(list_filter(list_distinct(string_split(lower(text), ' ')),
+        |                      t -> levenshtein(t, 'spark') <= 1)) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "search_rare_terms" ->
+      """SELECT tok AS "key", count(*) AS doc_count
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+        |GROUP BY 1 HAVING count(*) <= 40 ORDER BY doc_count, "key"""".stripMargin,
+
+    "search_multi_terms" ->
+      """SELECT o_orderpriority AS k0, o_orderstatus AS k1, count(*) AS doc_count
+        |FROM orders GROUP BY 1, 2 ORDER BY doc_count DESC, k0, k1 LIMIT 5""".stripMargin,
+
+    "search_weighted_avg" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |           / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6) AS weighted_avg
+        |FROM lineitem""".stripMargin,
+
+    "search_avg_bucket" ->
+      """SELECT round(avg(revenue), 6) AS avg_bucket, round(min(revenue), 2) AS min_bucket,
+        |       round(max(revenue), 2) AS max_bucket, round(sum(revenue), 2) AS sum_bucket
+        |FROM (SELECT date_trunc('month', o_orderdate) AS bucket, round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t""".stripMargin,
+
+    "search_serial_diff" ->
+      """SELECT bucket, revenue,
+        |       round(revenue - lag(revenue, 12) OVER (ORDER BY bucket), 2) AS yoy_diff
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |             round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t
+        |ORDER BY bucket""".stripMargin,
+
+    "search_percentiles_bucket" ->
+      """SELECT round(quantile_cont(revenue, 0.25), 6) AS p25,
+        |       round(quantile_cont(revenue, 0.5), 6) AS p50,
+        |       round(quantile_cont(revenue, 0.75), 6) AS p75
+        |FROM (SELECT date_trunc('month', o_orderdate) AS bucket, round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t""".stripMargin,
+
+    "search_bucket_sort" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1
+        |ORDER BY revenue DESC, bucket LIMIT 5""".stripMargin,
+
+    "search_bucket_selector" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |       count(*) AS doc_count, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1
+        |HAVING max(o_totalprice) > 450000
+        |ORDER BY bucket""".stripMargin,
+
+    "search_suggest" ->
+      """SELECT suggestion, freq, dist FROM (
+        |  SELECT t.tok AS suggestion, count(*) AS freq,
+        |         CAST(levenshtein(t.tok, 'sparc') AS INTEGER) AS dist
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+        |  GROUP BY 1) v
+        |WHERE dist <= 2 AND dist > 0
+        |ORDER BY dist, freq DESC, suggestion LIMIT 5""".stripMargin,
+
+    "search_percentile_ranks" ->
+      """SELECT round(avg(CASE WHEN o_totalprice <= 100000 THEN 1.0 ELSE 0.0 END), 6) AS pr_100k,
+        |       round(avg(CASE WHEN o_totalprice <= 300000 THEN 1.0 ELSE 0.0 END), 6) AS pr_300k
+        |FROM orders""".stripMargin,
+
+    "search_suggest_completion" ->
+      """SELECT tok AS suggestion, count(*) AS freq
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+        |WHERE starts_with(tok, 's')
+        |GROUP BY tok ORDER BY freq DESC, tok LIMIT 5""".stripMargin,
+
+    "search_has_child" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R' AND l_quantity >= 45)
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+
+    "search_has_parent" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT'
+        |                AND o_totalprice > 400000)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    // the per-element conjunction (flag AND qty on the SAME lineitem) is
+    // exactly an EXISTS with both predicates inside — nested semantics
+    "search_nested" ->
+      """SELECT o.o_orderkey, o.o_totalprice, CAST(count(*) AS BIGINT) AS n_inner_hits
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_returnflag = 'R' AND l.l_quantity >= 48
+        |GROUP BY o.o_orderkey, o.o_totalprice
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "search_collapse" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "search_date_histogram_filled" ->
+      """WITH b AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS bucket,
+        |                  count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
+        |           FROM orders WHERE o_totalprice > 450000 GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series((SELECT min(bucket) FROM b),
+        |                                        (SELECT max(bucket) FROM b),
+        |                                        INTERVAL 1 DAY)) AS bucket)
+        |SELECT spine.bucket, coalesce(cnt, 0) AS doc_count, coalesce(rev, 0.0) AS revenue
+        |FROM spine LEFT JOIN b USING (bucket) ORDER BY bucket""".stripMargin,
+
+    "search_heatmap" ->
+      """SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+        |       CAST(floor(value / 50.0) AS BIGINT) AS value_band,
+        |       count(*) AS doc_count
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "search_rescore" ->
+      """WITH first AS (SELECT doc_id, n_chars, list_distinct(string_split(lower(text), ' ')) AS toks
+        |               FROM documents ORDER BY n_chars DESC, doc_id LIMIT 50)
+        |SELECT doc_id, n_chars,
+        |       CAST(len(list_intersect(toks, ['spark', 'query', 'table'])) AS INTEGER) AS matched
+        |FROM first ORDER BY matched DESC, n_chars DESC, doc_id LIMIT 10""".stripMargin,
+
+    "search_rank_eval" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe, label AS ql FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id, e.label, q.ql,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> 0),
+        |top AS (
+        |  SELECT vec_id, label, ql, cos,
+        |         CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored QUALIFY rank <= 10),
+        |r AS (SELECT count(*) AS rel_total FROM scored WHERE label = ql),
+        |idcg AS (SELECT sum(1.0 / (ln(i + 1) / ln(2.0))) AS v
+        |         FROM generate_series(1, 10) AS t(i), r WHERE i <= least(rel_total, 10)),
+        |m AS (SELECT round(sum(CASE WHEN label = ql THEN 1 ELSE 0 END) / 10.0, 6) AS precision_at_10,
+        |             round(coalesce(max(CASE WHEN label = ql THEN 1.0 / rank END), 0.0), 6) AS mrr,
+        |             sum(CASE WHEN label = ql THEN 1.0 / (ln(rank + 1) / ln(2.0)) END) AS dcg
+        |      FROM top)
+        |SELECT precision_at_10, mrr,
+        |       round(coalesce(dcg / (SELECT v FROM idcg), 0.0), 6) AS ndcg_at_10
+        |FROM m""".stripMargin,
+
+    "search_adjacency_matrix" -> adjacencyMatrixSql,
+
+    "search_auto_date_histogram" ->
+      """WITH span AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
+        |iv AS (SELECT CASE
+        |    WHEN date_diff('hour', lo, hi) + 1 <= 40 THEN 'hour'
+        |    WHEN date_diff('day', lo, hi) + 1 <= 40 THEN 'day'
+        |    WHEN date_diff('month', lo, hi) + 1 <= 40 THEN 'month'
+        |    ELSE 'year' END AS interval FROM span)
+        |SELECT interval, CAST(date_trunc(interval, ts) AS TIMESTAMP) AS bucket, count(*) AS doc_count
+        |FROM events, iv GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+
+    "search_string_stats" ->
+      """WITH chars AS (SELECT unnest(range(1, length(text) + 1)) AS i, text FROM documents),
+        |cc AS (SELECT substr(text, CAST(i AS INTEGER), 1) AS ch, count(*) AS n FROM chars GROUP BY 1),
+        |e AS (SELECT round((ln(sum(n)) - sum(n * ln(n)) / sum(n)) / ln(2.0), 6) AS entropy FROM cc)
+        |SELECT count(text) AS cnt,
+        |       CAST(min(length(text)) AS BIGINT) AS min_length,
+        |       CAST(max(length(text)) AS BIGINT) AS max_length,
+        |       round(avg(length(text)), 6) AS avg_length,
+        |       (SELECT entropy FROM e) AS entropy
+        |FROM documents""".stripMargin,
+
+    "search_mad" ->
+      """WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS md FROM orders)
+        |SELECT round(quantile_cont(abs(o_totalprice - md), 0.5), 6) AS mad FROM orders, m""".stripMargin,
+
+    "search_boxplot" -> boxplotSql,
+
+    "search_rate" ->
+      """SELECT bucket, doc_count,
+        |       round(CAST(s AS DOUBLE), 2) AS month_sum,
+        |       round(CAST(s AS DOUBLE) / date_diff('day', bucket, bucket + INTERVAL 1 MONTH), 6) AS per_day_rate
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |             count(*) AS doc_count, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s
+        |      FROM orders GROUP BY 1) t ORDER BY bucket""".stripMargin,
+
+    "search_bucket_script" ->
+      """SELECT bucket, n_errors, n_total, error_rate FROM (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |         CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors,
+        |         count(*) AS n_total,
+        |         round(CAST(count(*) FILTER (WHERE event_type = 'error') AS DOUBLE) / count(*), 6) AS error_rate
+        |  FROM events GROUP BY 1) t
+        |WHERE error_rate > 0.2
+        |ORDER BY error_rate DESC, bucket LIMIT 5""".stripMargin,
+
+    "search_cumulative_cardinality" ->
+      """WITH fs AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS bucket
+        |            FROM events GROUP BY 1),
+        |nk AS (SELECT bucket, count(*) AS new_keys FROM fs GROUP BY 1),
+        |spine AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket FROM events)
+        |SELECT bucket, CAST(coalesce(new_keys, 0) AS BIGINT) AS new_keys,
+        |       CAST(sum(coalesce(new_keys, 0))
+        |            OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_cardinality
+        |FROM spine LEFT JOIN nk USING (bucket) ORDER BY bucket""".stripMargin,
+
+    "search_moving_fn" ->
+      """SELECT bucket, revenue,
+        |       round(max(revenue) OVER w3, 2) AS mov_max,
+        |       round(min(revenue) OVER w3, 2) AS mov_min,
+        |       round(sum(revenue) OVER w3, 2) AS mov_sum,
+        |       round(revenue - lag(revenue, 2) OVER (ORDER BY bucket), 2) AS serial_diff2
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |             round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t
+        |WINDOW w3 AS (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket""".stripMargin,
+
+    "search_dis_max" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN list_contains(string_split(lower(text), ' '), 'spark')
+        |       THEN CAST(2.0 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS s1,
+        |  CASE WHEN list_contains(string_split(lower(text), ' '), 'query')
+        |       THEN CAST(1.5 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS s2
+        |FROM documents)
+        |SELECT doc_id, round(greatest(s1, s2) + 0.3 * (s1 + s2 - greatest(s1, s2)), 6) AS score
+        |FROM t WHERE s1 + s2 > 0 ORDER BY score DESC, doc_id""".stripMargin,
+
+    "search_function_score" ->
+      """SELECT doc_id, n_chars, round(1.5 * ln(1.0 + n_chars), 6) AS score
+        |FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "search_boosting" ->
+      """SELECT doc_id,
+        |       CASE WHEN list_contains(string_split(lower(text), ' '), 'slow')
+        |            THEN CAST(0.5 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS score
+        |FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "search_terms_set" ->
+      """SELECT doc_id,
+        |       CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+        |                               ['spark', 'query', 'merge'])) AS BIGINT) AS n_matched
+        |FROM documents
+        |WHERE len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+        |                         ['spark', 'query', 'merge'])) >= 2
+        |ORDER BY doc_id""".stripMargin,
+
+    "search_span_near" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'big') AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table') AS pb
+        |      FROM t)
+        |SELECT doc_id FROM p
+        |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b > a AND b - a <= 3)) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "search_span_or" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, toks,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'big') AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'data') AS pb
+        |      FROM t)
+        |SELECT doc_id FROM p
+        |WHERE list_contains(toks, 'dup')
+        |   OR len(list_filter(pa, a -> len(list_filter(pb, b -> b > a AND b - a <= 2)) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "search_span_not" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        len(list_filter(range(1, len(toks) + 1),
+        |                        i -> toks[i] = 'data' AND (i = 1 OR toks[i - 1] <> 'big'))) AS n_spans
+        |      FROM t)
+        |SELECT doc_id, n_spans FROM p WHERE n_spans > 0 ORDER BY doc_id""".stripMargin,
+
+    "search_span_within" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'stream') AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'merge') AS pb,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'fast') AS pp
+        |      FROM t),
+        |n AS (SELECT doc_id,
+        |        len(list_filter(pp, p -> len(list_filter(pa, a -> len(list_filter(pb,
+        |            b -> b > a AND b - a <= 6 AND p > a AND p < b)) > 0)) > 0)) AS n_spans
+        |      FROM p)
+        |SELECT doc_id, n_spans FROM n WHERE n_spans > 0 ORDER BY doc_id""".stripMargin,
+
+    "search_span_containing" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'sort') AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'scan') AS pb,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'key') AS pp
+        |      FROM t),
+        |n AS (SELECT doc_id,
+        |        CAST(coalesce(list_sum(list_transform(pa, a -> len(list_filter(pb,
+        |            b -> b > a AND b - a <= 5 AND len(list_filter(pp, p -> p > a AND p < b)) > 0)))), 0) AS BIGINT) AS n_spans
+        |      FROM p)
+        |SELECT doc_id, n_spans FROM n WHERE n_spans > 0 ORDER BY doc_id""".stripMargin,
+
+    "search_intervals_any" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'big' OR toks[i] = 'fast') AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table') AS pb
+        |      FROM t)
+        |SELECT doc_id FROM p
+        |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b > a AND b - a - 1 <= 3)) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "search_script_score" ->
+      """SELECT doc_id, round(ln(1 + n_chars) * 1.5 + CAST(doc_id % 7 AS DOUBLE), 4) AS score
+        |FROM documents WHERE text LIKE '%spark%'
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "search_sampler_diversified" ->
+      """WITH s AS (SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+        |           QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= 20)
+        |SELECT source AS key, count(*) AS doc_count FROM s
+        |GROUP BY 1 ORDER BY doc_count DESC, key""".stripMargin,
+
+    "search_match_phrase_prefix" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+        |SELECT doc_id FROM t
+        |WHERE len(list_filter(range(1, len(toks)), i -> toks[i] = 'big' AND starts_with(toks[i+1], 'dat'))) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "search_match_bool_prefix" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+        |SELECT doc_id FROM t
+        |WHERE list_contains(toks, 'spark') OR len(list_filter(toks, x -> starts_with(x, 'quer'))) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "search_intervals_ordered" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'stream') AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'merge') AS pb
+        |      FROM t)
+        |SELECT doc_id FROM p
+        |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b > a)) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "search_constant_score" ->
+      """SELECT doc_id, 1.2 AS _score FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'vector')
+        |ORDER BY doc_id""".stripMargin,
+
+    "search_global_agg" ->
+      """SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |       round(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+        |             / sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 6) AS hits_avg_value,
+        |       count(*) AS n_total,
+        |       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS total_avg_value
+        |FROM events""".stripMargin,
+
+    "search_terms_sub_terms" ->
+      """SELECT lang, source, doc_count, CAST(rn AS INTEGER) AS rank FROM (
+        |  SELECT lang, source, count(*) AS doc_count,
+        |         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, source) AS rn
+        |  FROM documents GROUP BY lang, source) t
+        |WHERE rn <= 3 ORDER BY lang, rank""".stripMargin,
+
+    "search_t_test" ->
+      """WITH a AS (
+        |  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS s1,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS ss1,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS s2,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS ss2
+        |  FROM events WHERE event_type IN ('purchase', 'view'))
+        |SELECT round((s1 / n1 - s2 / n2)
+        |             / sqrt(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1 + ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2), 6) AS t_stat,
+        |       round(s1 / n1, 6) AS mean_a,
+        |       round(s2 / n2, 6) AS mean_b
+        |FROM a""".stripMargin,
+
+    "search_matrix_stats" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
+        |         CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sd,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sqq,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spp,
+        |         CAST(sum(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sdd,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sqd,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS spd
+        |  FROM lineitem)
+        |SELECT field_x, field_y,
+        |       round((sxy - sx * sy / n) / (n - 1), 6) AS covariance,
+        |       round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS correlation
+        |FROM (
+        |  SELECT 'l_quantity' AS field_x, 'l_extendedprice' AS field_y, n, sqp AS sxy, sq AS sx, sp AS sy, sqq AS sxx, spp AS syy FROM m
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount', n, sqd, sq, sd, sqq, sdd FROM m
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount', n, spd, sp, sd, spp, sdd FROM m) t
+        |ORDER BY field_x, field_y""".stripMargin,
+
+    "search_geo_distance" ->
+      """WITH g AS (
+        |  SELECT event_id,
+        |         ((user_id * 1237) % 18000) / 100.0 - 90.0 AS lat,
+        |         ((event_id * 91) % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events)
+        |SELECT event_id,
+        |       round(sqrt((lat - 10.0) * (lat - 10.0)
+        |                  + ((lon - 20.0) * 0.7071067811865476) * ((lon - 20.0) * 0.7071067811865476))
+        |             * 111.195, 6) AS dist_km
+        |FROM g
+        |WHERE sqrt((lat - 10.0) * (lat - 10.0)
+        |           + ((lon - 20.0) * 0.7071067811865476) * ((lon - 20.0) * 0.7071067811865476)) * 111.195 <= 1000.0
+        |ORDER BY event_id""".stripMargin,
+
+    "search_geo_distance_rings" ->
+      """WITH g AS (
+        |  SELECT ((user_id * 1237) % 18000) / 100.0 - 90.0 AS lat,
+        |         ((event_id * 91) % 36000) / 100.0 - 180.0 AS lon
+        |  FROM events),
+        |d AS (
+        |  SELECT sqrt((lat - 10.0) * (lat - 10.0)
+        |              + ((lon - 20.0) * 0.7071067811865476) * ((lon - 20.0) * 0.7071067811865476))
+        |         * 111.195 AS dist_km
+        |  FROM g)
+        |SELECT CASE WHEN dist_km < 1000.0 THEN '*-1000.0'
+        |            WHEN dist_km < 3000.0 THEN '1000.0-3000.0'
+        |            WHEN dist_km < 8000.0 THEN '3000.0-8000.0'
+        |            ELSE '8000.0-*' END AS ring,
+        |       count(*) AS doc_count
+        |FROM d GROUP BY 1 ORDER BY ring""".stripMargin,
+
+    "search_geo_bbox" ->
+      """SELECT event_type, count(*) AS doc_count
+        |FROM (SELECT event_type,
+        |             ((user_id * 1237) % 18000) / 100.0 - 90.0 AS lat,
+        |             ((event_id * 91) % 36000) / 100.0 - 180.0 AS lon
+        |      FROM events) g
+        |WHERE lat >= 0.0 AND lat < 45.0 AND lon >= -90.0 AND lon < 0.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "search_geotile_grid" ->
+      """SELECT CAST(floor((((user_id * 1237) % 18000) / 100.0 - 90.0) / 15.0) AS BIGINT) AS cell_y,
+        |       CAST(floor((((event_id * 91) % 36000) / 100.0 - 180.0) / 15.0) AS BIGINT) AS cell_x,
+        |       count(*) AS doc_count
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY doc_count DESC, cell_y, cell_x LIMIT 20""".stripMargin,
+
+    "search_scripted_metric" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS value
+        |FROM lineitem""".stripMargin,
+
+    "search_geo_polygon" ->
+      s"""SELECT event_type, count(*) AS doc_count
+         |FROM (SELECT event_type, ((user_id * 1237) % 18000) / 100.0 - 90.0 AS lat,
+         |             ((event_id * 91) % 36000) / 100.0 - 180.0 AS lon
+         |      FROM events) g
+         |WHERE $geoPolygonPredSql
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "search_geohash_grid" -> geohashGridOracleSql,
+
+    // index-time mode, same answer by the opposite mechanism
+    "search_match_synonyms_index" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'join')
+        |   OR list_contains(string_split(lower(text), ' '), 'merge')
+        |ORDER BY doc_id""".stripMargin,
+
+    "search_children_agg" ->
+      """SELECT o_orderpriority AS key, count(*) AS child_count, sum(l_quantity) AS total_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "search_stats_bucket" ->
+      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |                  round(sum(o_totalprice), 2) AS revenue
+        |           FROM orders GROUP BY 1)
+        |SELECT count(*) AS n_buckets, round(min(revenue), 2) AS min_rev, round(max(revenue), 2) AS max_rev,
+        |       round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_rev,
+        |       CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS sum_rev
+        |FROM b""".stripMargin,
+
+    "search_geo_centroid" ->
+      """SELECT event_type,
+        |       round(CAST(sum(CAST(((user_id * 1237) % 18000) / 100.0 - 90.0 AS DECIMAL(9,2))) AS DOUBLE) / count(*), 6) AS centroid_lat,
+        |       round(CAST(sum(CAST(((event_id * 91) % 36000) / 100.0 - 180.0 AS DECIMAL(9,2))) AS DOUBLE) / count(*), 6) AS centroid_lon,
+        |       count(*) AS doc_count
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "search_geo_bounds" ->
+      """SELECT event_type,
+        |       max(((user_id * 1237) % 18000) / 100.0 - 90.0) AS top,
+        |       min(((user_id * 1237) % 18000) / 100.0 - 90.0) AS bottom,
+        |       min(((event_id * 91) % 36000) / 100.0 - 180.0) AS "left",
+        |       max(((event_id * 91) % 36000) / 100.0 - 180.0) AS "right",
+        |       count(*) AS doc_count
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "search_percolate" ->
+      """WITH stored(query_id, field, op, value) AS (VALUES
+        |  (1, 'o_orderstatus', 'term', 'O'),
+        |  (2, 'o_totalprice', 'gt', '200000'),
+        |  (3, 'o_orderpriority', 'prefix', '1'),
+        |  (4, 'o_orderstatus', 'term', 'F')),
+        |docs AS (SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |         FROM orders WHERE o_orderkey < 100)
+        |SELECT o_orderkey, CAST(query_id AS BIGINT) AS query_id
+        |FROM docs, stored
+        |WHERE (op = 'term' AND ((field = 'o_orderstatus' AND o_orderstatus = value)
+        |                     OR (field = 'o_orderpriority' AND o_orderpriority = value)))
+        |   OR (op = 'gt' AND field = 'o_totalprice' AND o_totalprice > CAST(value AS DOUBLE))
+        |   OR (op = 'prefix' AND field = 'o_orderpriority' AND starts_with(o_orderpriority, value))
+        |ORDER BY o_orderkey, query_id""".stripMargin,
+
+    "search_rank_feature" ->
+      """SELECT doc_id, n_chars, round(2.0 * n_chars / (n_chars + 250.0), 6) AS score
+        |FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "search_pinned" ->
+      """SELECT doc_id, pinned, score FROM (
+        |  SELECT doc_id,
+        |         coalesce(list_position([7, 3, 11], doc_id), 0) AS pin,
+        |         coalesce(list_position([7, 3, 11], doc_id), 0) > 0 AS pinned,
+        |         CASE WHEN list_contains(string_split(lower(text), ' '), 'spark')
+        |              THEN 1 ELSE 0 END AS score
+        |  FROM documents) t
+        |WHERE pin > 0 OR score > 0
+        |ORDER BY CASE WHEN pin > 0 THEN pin ELSE 9223372036854775807 END, score DESC, doc_id
+        |LIMIT 10""".stripMargin,
+
+    "search_terms_lookup" ->
+      """WITH lk AS (SELECT DISTINCT tok FROM (
+        |              SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |              FROM documents WHERE doc_id = 0) t
+        |            WHERE len(tok) >= 5),
+        |toks AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+        |         FROM documents WHERE doc_id <> 0)
+        |SELECT DISTINCT doc_id, lang FROM toks JOIN lk USING (tok) ORDER BY doc_id""".stripMargin,
+
+    "search_span_first" ->
+      """SELECT doc_id,
+        |       CAST(list_position(string_split(lower(text), ' '), 'spark') AS BIGINT) AS pos
+        |FROM documents
+        |WHERE list_position(string_split(lower(text), ' '), 'spark') BETWEEN 1 AND 5
+        |ORDER BY doc_id""".stripMargin,
+
+    "search_distance_feature" ->
+      """SELECT event_id,
+        |       round(2.0 * 604800.0 / (604800.0 + abs(floor(epoch(ts)) - 1706745600)), 6) AS score
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY score DESC, event_id LIMIT 10""".stripMargin,
+
+    "search_decay_gauss" ->
+      """SELECT o_orderkey,
+        |       round(exp((-0.6931471805599453 / (50000.0 * 50000.0))
+        |                 * greatest(abs(o_totalprice - 150000.0) - 10000.0, 0.0)
+        |                 * greatest(abs(o_totalprice - 150000.0) - 10000.0, 0.0)), 6) AS score
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY score DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "search_random_score" ->
+      """SELECT doc_id,
+        |       round(CAST(concat('0x', substring(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+        |             / 4294967296.0, 6) AS score
+        |FROM documents ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "search_exists" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_customers,
+        |       count(o_custkey) AS n_with_orders,
+        |       count(*) - count(o_custkey) AS n_missing
+        |FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+        |                         WHERE o_totalprice > 450000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "search_max_bucket" ->
+      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |                  round(sum(o_totalprice), 2) AS revenue
+        |           FROM orders GROUP BY 1)
+        |SELECT bucket, revenue FROM b
+        |WHERE revenue = (SELECT max(revenue) FROM b)
+        |ORDER BY bucket""".stripMargin,
+
+    "search_normalize" ->
+      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |                  round(sum(o_totalprice), 2) AS revenue
+        |           FROM orders GROUP BY 1)
+        |SELECT bucket, revenue,
+        |       round(revenue / (SELECT round(sum(revenue), 2) FROM b) * 100.0, 6) AS pct_of_sum
+        |FROM b ORDER BY bucket""".stripMargin,
+
+    "search_moving_percentiles" ->
+      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |                  round(sum(o_totalprice), 2) AS revenue
+        |           FROM orders GROUP BY 1)
+        |SELECT bucket, revenue,
+        |       round(quantile_cont(revenue, 0.5) OVER (ORDER BY bucket
+        |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS p50_6m,
+        |       round(quantile_cont(revenue, 0.9) OVER (ORDER BY bucket
+        |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS p90_6m
+        |FROM b ORDER BY bucket""".stripMargin,
+
+    "search_geo_line" ->
+      """WITH g AS (SELECT event_type, ts, event_id,
+        |             CAST(CAST(((user_id * 1237) % 18000) / 100.0 - 90.0 AS DECIMAL(6,2)) AS VARCHAR) AS slat,
+        |             CAST(CAST(((event_id * 91) % 36000) / 100.0 - 180.0 AS DECIMAL(6,2)) AS VARCHAR) AS slon
+        |           FROM events)
+        |SELECT event_type,
+        |       array_to_string(list(concat(slat, ',', slon) ORDER BY ts, event_id)[1:10], ' ') AS line
+        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "search_frequent_pairs" ->
+      """WITH baskets AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type FROM events),
+        |n AS (SELECT count(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM baskets) t)
+        |SELECT a.event_type AS item1, b.event_type AS item2,
+        |       count(*) AS pair_count,
+        |       round(count(*) / (SELECT n_baskets FROM n), 6) AS support
+        |FROM baskets a JOIN baskets b USING (user_id, day)
+        |WHERE a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY pair_count DESC, item1, item2 LIMIT 10""".stripMargin,
+
+    "search_change_point" ->
+      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |                  round(sum(o_totalprice), 2) AS revenue
+        |           FROM orders GROUP BY 1),
+        |c AS (SELECT bucket,
+        |             sum(CAST(revenue AS DECIMAL(18,2))) OVER (ORDER BY bucket
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |             CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS k
+        |      FROM b),
+        |t AS (SELECT sum(CAST(revenue AS DECIMAL(18,2))) AS tot, count(*) AS n FROM b)
+        |SELECT bucket, left_mean, right_mean,
+        |       round(abs(left_mean - right_mean), 6) AS delta
+        |FROM (SELECT bucket,
+        |             round(CAST(cum AS DOUBLE) / k, 6) AS left_mean,
+        |             round(CAST(tot - cum AS DOUBLE) / (n - k), 6) AS right_mean
+        |      FROM c CROSS JOIN t WHERE k < n) s
+        |ORDER BY delta DESC, bucket LIMIT 1""".stripMargin,
+
+    "search_simple_query_string" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |  AND (list_contains(string_split(lower(text), ' '), 'merge')
+        |       OR contains(concat(' ', lower(text), ' '), ' hash join '))
+        |  AND NOT list_contains(string_split(lower(text), ' '), 'slow')
+        |ORDER BY doc_id""".stripMargin,
+
+    "search_combined_fields" ->
+      """WITH f AS (SELECT p_partkey,
+        |             1.0 * len(list_filter(string_split(lower(p_name), ' '), x -> x = 'small'))
+        |               + 0.5 * len(list_filter(string_split(lower(p_type), ' '), x -> x = 'small')) AS ctf_small,
+        |             1.0 * len(list_filter(string_split(lower(p_name), ' '), x -> x = 'large'))
+        |               + 0.5 * len(list_filter(string_split(lower(p_type), ' '), x -> x = 'large')) AS ctf_large
+        |           FROM part),
+        |s AS (SELECT count(*) AS n,
+        |             sum(CASE WHEN ctf_small > 0 THEN 1 ELSE 0 END) AS df_small,
+        |             sum(CASE WHEN ctf_large > 0 THEN 1 ELSE 0 END) AS df_large
+        |      FROM f)
+        |SELECT p_partkey, score FROM (
+        |  SELECT p_partkey,
+        |         round(ln(1.0 + (n - df_small + 0.5) / (df_small + 0.5)) * (ctf_small / (ctf_small + 1.2))
+        |               + ln(1.0 + (n - df_large + 0.5) / (df_large + 0.5)) * (ctf_large / (ctf_large + 1.2)),
+        |               6) AS score
+        |  FROM f CROSS JOIN s) t
+        |WHERE score > 0 ORDER BY score DESC, p_partkey LIMIT 20""".stripMargin,
+
+    "search_phrase_suggest" ->
+      """WITH toks AS (SELECT doc_id, tok, p FROM (
+        |       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+        |              generate_subscripts(string_split(lower(text), ' '), 1) AS p
+        |       FROM documents) t),
+        |vocab AS (SELECT tok AS term, count(*) AS freq FROM toks GROUP BY 1),
+        |c1 AS (SELECT term AS w1, freq AS f1, CAST(levenshtein(term, 'fast') AS INTEGER) AS d1
+        |       FROM vocab WHERE abs(len(term) - 4) <= 2 AND levenshtein(term, 'fast') <= 2),
+        |c2 AS (SELECT term AS w2, freq AS f2, CAST(levenshtein(term, 'qery') AS INTEGER) AS d2
+        |       FROM vocab WHERE abs(len(term) - 4) <= 2 AND levenshtein(term, 'qery') <= 2),
+        |bi AS (SELECT w1, w2, count(*) AS c12 FROM (
+        |         SELECT doc_id, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+        |         FROM toks) b
+        |       WHERE w2 IS NOT NULL GROUP BY 1, 2)
+        |SELECT concat(w1, ' ', w2) AS suggestion,
+        |       d1 + d2 AS dist,
+        |       coalesce(c12, 0) AS bigram_count,
+        |       f1 + f2 AS cand_freq
+        |FROM c1 CROSS JOIN c2 LEFT JOIN bi USING (w1, w2)
+        |ORDER BY bigram_count DESC, dist, cand_freq DESC, suggestion LIMIT 5""".stripMargin,
+
+    "search_missing_agg" ->
+      """WITH buyers AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
+        |SELECT count(*) AS doc_count,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_acctbal
+        |FROM customer LEFT JOIN buyers ON c_custkey = o_custkey
+        |WHERE o_custkey IS NULL""".stripMargin,
+
+    "search_filter_agg" ->
+      """SELECT count(*) AS doc_count,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+
+    "search_nested_agg" ->
+      """SELECT count(*) AS doc_count,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_l_quantity
+        |FROM lineitem""".stripMargin,
+
+    "search_reverse_nested" ->
+      """SELECT l_returnflag AS key, count(*) AS doc_count,
+        |       count(DISTINCT l_orderkey) AS parent_count
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "search_parent_agg" ->
+      """WITH p AS (SELECT DISTINCT l_returnflag AS key, l_orderkey FROM lineitem)
+        |SELECT key, count(*) AS parent_count,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_order_value
+        |FROM p JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY key ORDER BY key""".stripMargin,
+
+    "search_analyze_api" ->
+      """SELECT CAST(p - 1 AS BIGINT) AS position, tok AS token FROM (
+        |  SELECT unnest(string_split(lower('Fast Spark QUERIES shuffle Data'), ' ')) AS tok,
+        |         generate_subscripts(string_split(lower('Fast Spark QUERIES shuffle Data'), ' '), 1) AS p)
+        |ORDER BY position""".stripMargin,
+
+    "search_analyze_stemmed" ->
+      """WITH f AS (
+        |  SELECT list_transform(
+        |    list_filter(string_split(lower('The Queries against big Tables'), ' '), t -> t NOT IN ('the', 'a')),
+        |    t -> CASE
+        |      WHEN length(t) > 3 AND t LIKE '%ies' AND t NOT LIKE '%eies' AND t NOT LIKE '%aies'
+        |        THEN regexp_replace(t, 'ies$', 'y')
+        |      WHEN length(t) > 3 AND t LIKE '%es' AND t NOT LIKE '%aes' AND t NOT LIKE '%ees' AND t NOT LIKE '%oes'
+        |        THEN regexp_replace(t, 'es$', 'e')
+        |      WHEN length(t) > 2 AND t LIKE '%s' AND t NOT LIKE '%us' AND t NOT LIKE '%ss'
+        |        THEN regexp_replace(t, 's$', '')
+        |      ELSE t END) AS tt)
+        |SELECT CAST(p - 1 AS BIGINT) AS position, tok AS token FROM (
+        |  SELECT unnest(tt) AS tok, generate_subscripts(tt, 1) AS p FROM f)
+        |ORDER BY position""".stripMargin,
+
+    "search_field_caps" ->
+      """SELECT column_name AS field,
+        |       CASE WHEN column_name = 'text' THEN 'text'
+        |            WHEN data_type = 'VARCHAR' THEN 'keyword'
+        |            WHEN data_type = 'BIGINT' THEN 'long'
+        |            WHEN data_type = 'DOUBLE' THEN 'double'
+        |            ELSE lower(data_type) END AS type,
+        |       true AS searchable,
+        |       column_name <> 'text' AS aggregatable
+        |FROM information_schema.columns WHERE table_name = 'documents'
+        |ORDER BY field""".stripMargin,
+
+    "search_sql_api" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "search_span_multi" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(range(1, len(toks) + 1), i -> starts_with(toks[i], 'spar')) AS pa,
+        |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'fast') AS pb
+        |      FROM t)
+        |SELECT doc_id FROM p
+        |WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> b <> a AND abs(b - a) <= 5)) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "search_variable_width_histogram" ->
+      """WITH s AS (SELECT quantile_cont(o_totalprice,
+        |             [0.0625, 0.1875, 0.3125, 0.4375, 0.5625, 0.6875, 0.8125, 0.9375]) AS seeds
+        |           FROM orders),
+        |a AS (SELECT o_totalprice,
+        |        CAST(list_position(list_transform(seeds, x -> abs(o_totalprice - x)),
+        |               list_aggregate(list_transform(seeds, x -> abs(o_totalprice - x)), 'min'))
+        |             AS BIGINT) AS bucket
+        |      FROM orders CROSS JOIN s)
+        |SELECT bucket, count(*) AS doc_count,
+        |       round(min(o_totalprice), 2) AS min_v,
+        |       round(max(o_totalprice), 2) AS max_v,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS centroid
+        |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "search_ip_prefix" ->
+      """SELECT concat('10.', user_id % 200, '.0.0/16') AS prefix,
+        |       count(*) AS doc_count,
+        |       count(DISTINCT user_id) AS unique_users
+        |FROM events GROUP BY 1 ORDER BY doc_count DESC, prefix LIMIT 20""".stripMargin,
+
+    "search_ip_range" ->
+      """SELECT bucket, count(*) AS doc_count FROM (
+        |  SELECT CASE WHEN ipnum < 168099840.0 THEN 'a_low'
+        |              WHEN ipnum >= 168099840.0 AND ipnum < 168427520.0 THEN 'b_mid'
+        |              WHEN ipnum >= 168427520.0 THEN 'c_high' END AS bucket
+        |  FROM (SELECT CAST(10 * 16777216 + (user_id % 200) * 65536
+        |                    + ((user_id * 7) % 250) * 256 + (event_id % 254 + 1) AS DOUBLE) AS ipnum
+        |        FROM events) i) t
+        |WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket""".stripMargin
+  )
+}
