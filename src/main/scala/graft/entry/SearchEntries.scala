@@ -309,6 +309,18 @@ private[graft] object SearchEntries {
     "search_bm25" -> ((s, dir) =>
       graft.search.Bm25.scoreAgainstIndex(cachedBm25(s, dir), Seq("spark", "query"), 10)),
 
+    // BM25 over a STEMMED index: the configured analyzer chain
+    // (stopwords + S-stemmer) applies at index time, plural query terms
+    // normalize through the same chain — dl is the post-filter token
+    // count (the Lucene convention). Fresh build per call (the honest
+    // cost, like search_bm25_build); the oracle replays the identical
+    // chain in SQL.
+    "search_bm25_stemmed" -> ((s, dir) => {
+      val a = graft.search.Analyzer("light_english", stopwords = Seq("the", "a"), stem = true)
+      val idx = graft.search.Bm25.buildIndex(Tables.documents(s, dir), "doc_id", "text", a)
+      graft.search.Bm25.scoreAgainstIndex(idx, a.normalizeTerms(Seq("sparks", "queries")), 10)
+    }),
+
     // The honest BM25 index build (fresh every call — tokenize, explode,
     // (doc, term) aggregate): summarized to deterministic corpus-level
     // posting stats so the oracle can hash-check the artifact's content.
@@ -2025,6 +2037,30 @@ private[graft] object SearchEntries {
       """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
         |                     len(string_split(lower(text), ' ')) AS dl
         |              FROM documents),
+        |postings AS (SELECT id, dl, t.term, count(*) AS tf
+        |             FROM base, unnest(toks) AS t(term)
+        |             WHERE t.term IN ('spark', 'query') GROUP BY id, dl, t.term),
+        |docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base)
+        |SELECT id, round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |                     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
+        |GROUP BY id ORDER BY score DESC, id LIMIT 10""".stripMargin,
+
+    "search_bm25_stemmed" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id AS id, list_transform(
+        |    list_filter(string_split(lower(text), ' '), t -> t NOT IN ('the', 'a')),
+        |    t -> CASE
+        |      WHEN length(t) > 3 AND t LIKE '%ies' AND t NOT LIKE '%eies' AND t NOT LIKE '%aies'
+        |        THEN regexp_replace(t, 'ies$', 'y')
+        |      WHEN length(t) > 3 AND t LIKE '%es' AND t NOT LIKE '%aes' AND t NOT LIKE '%ees' AND t NOT LIKE '%oes'
+        |        THEN regexp_replace(t, 'es$', 'e')
+        |      WHEN length(t) > 2 AND t LIKE '%s' AND t NOT LIKE '%us' AND t NOT LIKE '%ss'
+        |        THEN regexp_replace(t, 's$', '')
+        |      ELSE t END) AS toks
+        |  FROM documents),
+        |base AS (SELECT id, toks, len(toks) AS dl FROM toks0),
         |postings AS (SELECT id, dl, t.term, count(*) AS tf
         |             FROM base, unnest(toks) AS t(term)
         |             WHERE t.term IN ('spark', 'query') GROUP BY id, dl, t.term),

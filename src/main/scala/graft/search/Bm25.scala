@@ -42,12 +42,24 @@ object Bm25 {
     * (id, term) count). Document frequency is not pre-aggregated: scoring
     * derives the df of exactly its query terms from the filtered postings
     * (bit-identical, and a groupBy over two terms instead of the whole
-    * vocabulary).
+    * vocabulary). The optional `analyzer` applies the configured
+    * token-filter chain (stopwords, stemming) at INDEX time; query terms
+    * must pass through the same chain ([[Analyzer.normalizeTerms]]) —
+    * the index/query symmetry every analyzed search depends on. Document
+    * length `dl` is the POST-filter token count, the Lucene convention
+    * (stopwords don't count toward length normalization). The default
+    * standard chain compiles to exactly the pre-r10 expression, so
+    * existing indexes and oracles are unchanged.
     */
-  def buildIndex(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+  def buildIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      analyzer: Analyzer = Analyzer.standard
+  ): Bm25Index = {
     val base = graft.Tables
       .ensureParallelism(docs.select(col(idCol).as("id"), col(textCol).as("_text")))
-      .select(col("id"), TextFns.tokens(col("_text")).as("_toks"))
+      .select(col("id"), SearchDsl.analyzeWith(col("_text"), analyzer).as("_toks"))
       .select(col("id"), col("_toks"), size(col("_toks")).as("dl"))
     val postings = base
       .select(col("id"), col("dl"), explode(col("_toks")).as("term"))

@@ -69,4 +69,32 @@ class Bm25IndexSpec extends SparkSpec {
       assert(viaIndex.nonEmpty)
     } finally index.unpersist()
   }
+
+  test("stemmed index: plural queries reach singular corpus; dl excludes stopwords; default chain unchanged") {
+    import graft.search.Analyzer
+    import org.apache.spark.sql.functions.col
+    val a = Analyzer("light_english", stopwords = Seq("the", "a"), stem = true)
+    val docs = Seq(
+      (1L, "the spark query planner"),
+      (2L, "a slow scan of tables"),
+      (3L, "spark queries run fast")
+    ).toDF("doc_id", "text")
+    val idx = Bm25.buildIndex(docs, "doc_id", "text", a)
+    // index terms are stemmed and stopword-free: doc 3's "queries"
+    // landed as "query", no "the"/"a" postings anywhere
+    val terms = idx.postings.select("term").as[String].collect().toSet
+    assert(terms.contains("query") && !terms.contains("queries"))
+    assert(!terms.contains("the") && !terms.contains("a"))
+    // dl is the POST-filter count (doc 1: 4 raw tokens, 3 after stop)
+    val dl1 = idx.postings.filter($"id" === 1L).select(col("dl").cast("long")).as[Long].head()
+    assert(dl1 == 3L, s"dl must exclude stopwords, got $dl1")
+    // a plural query normalized through the same chain scores both docs
+    val hits = Bm25.scoreAgainstIndex(idx, a.normalizeTerms(Seq("queries")), 10)
+      .select("id").as[Long].collect().toSet
+    assert(hits == Set(1L, 3L))
+    // the default standard chain still builds the identical index
+    val std = Bm25.buildIndex(docs, "doc_id", "text")
+    val legacy = Bm25.buildIndex(docs, "doc_id", "text", Analyzer.standard)
+    assert(std.postings.collect().toSet == legacy.postings.collect().toSet)
+  }
 }
