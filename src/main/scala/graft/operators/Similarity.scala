@@ -1538,16 +1538,35 @@ object Similarity {
     * corpus so per-cell work stays bounded, and the quadratic step never
     * leaves a cell.
     */
+  /** Cluster count for a corpus of `n` vectors so the per-cell
+    * population (×nAssign multi-assignment) stays ~`targetCell`: the
+    * in-cell quadratic is then n·targetCell, never n²/nLists with a
+    * FIXED list count. 16 at the gate SFs (2 k vectors — unchanged
+    * results), ~98 at 200 k, always ≥16. The 100× disk blow-up this
+    * fixes: 200 k vectors in 16 fixed cells ⇒ ~5 G candidate pairs
+    * through the distinct shuffle (~150 GB spill); scaled cells keep
+    * the candidate volume linear in n.
+    */
+  def semanticAutoLists(n: Long, nAssign: Int = 2, targetCell: Int = 4096): Int =
+    math.max(16L, math.ceil(n.toDouble * nAssign / targetCell).toLong).toInt
+
   def semanticNearDupPairs(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nLists: Int = 16,
+      nLists: Int = 0,
       iters: Int = 2,
       nAssign: Int = 2
   ): DataFrame = {
-    val idx = ivfIndexKMeans(emb, idCol, vecCol, nLists, iters)
+    // nLists = 0 (the default) = AUTO: scale the cluster count with the
+    // corpus (one cheap count) so "cluster count scales with corpus"
+    // holds in the implementation, not just the docstring. Explicit
+    // nLists remains for the spec fixtures.
+    val lists =
+      if (nLists > 0) nLists
+      else semanticAutoLists(emb.filter(col(vecCol).isNotNull).count(), nAssign)
+    val idx = ivfIndexKMeans(emb, idCol, vecCol, lists, iters)
     // Multi-assignment: index each vector under its nAssign nearest
     // cells — a boundary pair split by the Voronoi edge still meets in
     // the runner-up cell. Storage grows ×nAssign (ids only, not
@@ -1582,10 +1601,26 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Signature width that keeps expected bucket occupancy ~`targetBucket`
+    * as the corpus grows: nBits = ceil(log2(n / targetBucket)). With
+    * FIXED bits the per-table candidate volume is n²/2^bits — quadratic;
+    * occupancy-scaled bits keep it n·targetBucket. The LSH theory cost
+    * is explicit and honest: wider signatures lower per-table recall at
+    * the threshold boundary, so a corpus-scale deployment holding a
+    * recall floor adds OR-ed tables as it adds bits (L grows ~n^ρ) —
+    * there is no free constant-recall constant-candidate operating
+    * point. Callers pin (nBits, tables) for a measured recall contract
+    * (the dedup_embedding entry: 6/32 at its gate-SF operating point);
+    * this helper picks the bounded-candidate width for a given n.
+    */
+  def embeddingAutoBits(n: Long, targetBucket: Int = 32): Int =
+    math.max(4, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
   /** Embedding-cosine near-duplicate pairs: bucket by one hyperplane
     * signature, pair within buckets (a < b), verify exact cosine >=
     * threshold. Same banding shape as MinHash — quadratic work confined to
-    * buckets.
+    * buckets (size the signature via [[embeddingAutoBits]] when scaling
+    * the corpus; see its scaling-law note).
     */
   def embeddingNearDupPairs(
       emb: DataFrame,

@@ -165,4 +165,28 @@ class DedupSpec extends SparkSpec {
     assert(withFilter == without, s"suffix filter changed results: ${withFilter diff without} / ${without diff withFilter}")
     assert(withFilter.nonEmpty || Sf.contains("0.001"), "expected some pairs on real data")
   }
+
+  test("blocking parameters scale with the corpus: auto cluster count and auto signature width") {
+    import graft.operators.Similarity
+    // SemDeDup cluster count: 16 at the gate SFs (results unchanged),
+    // grows linearly past targetCell×16/nAssign so per-cell pair volume
+    // stays ~n·targetCell — the 100× candidate/spill blow-up guard.
+    assert(Similarity.semanticAutoLists(200) == 16)
+    assert(Similarity.semanticAutoLists(2000) == 16)
+    assert(Similarity.semanticAutoLists(200000) == 98)
+    assert(Similarity.semanticAutoLists(2000000) == 977)
+    // auto == the old fixed default at the spec fixture size, so the
+    // replica recall contract is measuring the same operator
+    val emb = (0L until 40L).map(i => (i, Array.tabulate(4)(d => ((i % 8) * 3 + d).toFloat))).toDF("id", "v")
+    val auto = Similarity.semanticNearDupPairs(emb, "id", "v", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val fixed = Similarity.semanticNearDupPairs(emb, "id", "v", threshold = 0.9, nLists = 16)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto == fixed)
+    // embedding-LSH signature width: occupancy-constant bits — 6 at the
+    // 2k gate corpus (the dedup_embedding operating point), 13 at 200k
+    assert(Similarity.embeddingAutoBits(2000) == 6)
+    assert(Similarity.embeddingAutoBits(200000) == 13)
+    assert(Similarity.embeddingAutoBits(10) == 4, "floor at 4 bits")
+  }
 }
