@@ -27,6 +27,21 @@ class AnalyzerSpec extends SparkSpec {
     assert(got == want, s"SQL and JVM stemmers diverged: ${words.zip(got).zip(want).filter(p => p._1._2 != p._2)}")
   }
 
+  test("S-stemmer lockstep holds under generated vocabulary (property)") {
+    // 400 deterministic pseudo-random tokens biased toward s/es/ies
+    // suffixes and the exception tails — the space where the SQL CASE
+    // and the JVM twin could drift apart.
+    val rng = new scala.util.Random(42)
+    val stems = Seq("", "s", "es", "ies", "us", "ss", "aes", "ees", "oes", "eies", "aies")
+    val bases = Seq("quer", "tabl", "scan", "x", "cit", "bu", "cla", "go", "tre", "sho", "a", "zz")
+    val words = (1 to 400).map { _ =>
+      bases(rng.nextInt(bases.length)) + stems(rng.nextInt(stems.length))
+    }.distinct
+    val got = words.toDF("w").select(SearchDsl.sStem(col("w")).as("s")).as[String].collect().toSeq
+    val want = words.map(Analyzer.sStem)
+    assert(got == want, s"drift: ${words.zip(got).zip(want).collect { case ((w, g), e) if g != e => (w, g, e) }}")
+  }
+
   test("analyzeWith: stopwords drop, stems apply, standard chain is the base analyze") {
     val a = Analyzer("light_english", stopwords = Seq("the", "a"), stem = true)
     val toks = Seq("The queries run against big tables").toDF("t")
