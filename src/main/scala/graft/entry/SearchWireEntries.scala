@@ -21,16 +21,27 @@ private[graft] object SearchWireEntries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // The wire twin: docsMapping declares the analyzer for `text`, the
-    // match clause compiles against it (no per-query analyzer plumbing).
+    // The wire twin, with the analyzer declared in the WIRE mapping
+    // format end-to-end: a settings.analysis block names the chain
+    // (stop filter + s_stem), the text field binds it by name, and the
+    // match clause compiles against it — exactly how a real index
+    // declares stemming; no programmatic analyzer plumbing.
     "search_dsl_json_match_stemmed" -> ((s, dir) =>
       JsonDsl.parse(
         Tables.documents(s, dir),
         """{"query": {"match": {"text": "scans joins the"}},
           | "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""".stripMargin,
-        docsMapping.withAnalyzer(
-          "text",
-          graft.search.Analyzer("light_english", stopwords = Seq("the", "a"), stem = true)
+        IndexMapping.fromJson(
+          """{"settings": {"analysis": {
+            |   "filter": {"my_stop": {"type": "stop", "stopwords": ["the", "a"]}},
+            |   "analyzer": {"light_english": {"filter": ["lowercase", "my_stop", "s_stem"]}}}},
+            | "mappings": {"properties": {
+            |   "doc_id":  {"type": "long"},
+            |   "text":    {"type": "text", "analyzer": "light_english"},
+            |   "lang":    {"type": "keyword"},
+            |   "source":  {"type": "keyword"},
+            |   "n_chars": {"type": "long"}
+            |}}}""".stripMargin
         )
       )),
 

@@ -178,20 +178,72 @@ object IndexMapping {
 
   /** Parse the OpenSearch `_mapping` body format the reference's TDD uses:
     * `{"properties": {"field": {"type": "text"}, ...}}` (a top-level
-    * `{"mappings": {...}}` wrapper is accepted too).
+    * `{"mappings": {...}}` wrapper is accepted too). An index-settings
+    * `analysis` block declares named analyzer chains in the OpenSearch
+    * format — `settings.analysis.analyzer.<name>.filter` lists the
+    * token filters (`lowercase` always-on, `s_stem`, or a named custom
+    * filter resolved from `settings.analysis.filter.<name>` with
+    * `{"type": "stop", "stopwords": [...]}`) — and a text field binds
+    * one by name (`{"type": "text", "analyzer": "<name>"}`), exactly
+    * how a real index declares stemming. The parsed chain is the same
+    * [[Analyzer]] every text query compiles against.
     */
   def fromJson(body: String): IndexMapping = {
     val root0 = new ObjectMapper().readTree(body)
     require(root0 != null && root0.isObject, s"mapping body must be a JSON object: $body")
+    // Named custom filters, then named analyzers, from the settings block.
+    val analysis = Option(root0.get("settings")).flatMap(s => Option(s.get("analysis")))
+    val namedFilters: Map[String, Analyzer => Analyzer] = analysis
+      .flatMap(a => Option(a.get("filter")))
+      .map(_.fields().asScala.map { e =>
+        val spec = e.getValue
+        val f: Analyzer => Analyzer =
+          Option(spec.get("type")).map(_.asText).getOrElse("") match {
+            case "stop" =>
+              val words = Option(spec.get("stopwords"))
+                .map(_.elements().asScala.map(_.asText).toSeq)
+                .getOrElse(throw new IllegalArgumentException(s"stop filter '${e.getKey}' needs a stopwords list"))
+              a => a.copy(stopwords = a.stopwords ++ words)
+            case other =>
+              throw new IllegalArgumentException(s"unsupported custom token filter type '$other' ('${e.getKey}')")
+          }
+        e.getKey -> f
+      }.toMap)
+      .getOrElse(Map.empty)
+    val namedAnalyzers: Map[String, Analyzer] = analysis
+      .flatMap(a => Option(a.get("analyzer")))
+      .map(_.fields().asScala.map { e =>
+        val spec = e.getValue
+        val filters = Option(spec.get("filter")).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+        val chain = filters.foldLeft(Analyzer(e.getKey)) { (acc, fname) =>
+          fname match {
+            case "lowercase" => acc
+            case "s_stem"    => acc.copy(stem = true)
+            case custom =>
+              namedFilters
+                .getOrElse(custom, throw new IllegalArgumentException(s"undeclared token filter '$custom'"))
+                .apply(acc)
+          }
+        }
+        e.getKey -> chain
+      }.toMap)
+      .getOrElse(Map.empty)
     val root = if (root0.has("mappings")) root0.get("mappings") else root0
     val props = root.get("properties")
     require(props != null && props.isObject, s"mapping body needs a 'properties' object: $body")
+    val entries = props.fields().asScala.toSeq
+    val fieldAnalyzers = entries.flatMap { e =>
+      Option(e.getValue.get("analyzer")).map { an =>
+        val name = an.asText
+        e.getKey -> namedAnalyzers.getOrElse(
+          name,
+          throw new IllegalArgumentException(s"field '${e.getKey}' binds undeclared analyzer '$name'")
+        )
+      }
+    }.toMap
     IndexMapping(
-      props
-        .fields()
-        .asScala
-        .map(e => e.getKey -> Option(e.getValue.get("type")).map(_.asText).getOrElse("keyword"))
-        .toMap
+      entries.map(e => e.getKey -> Option(e.getValue.get("type")).map(_.asText).getOrElse("keyword")).toMap,
+      analyzers = fieldAnalyzers
     )
   }
 }

@@ -96,4 +96,33 @@ class AnalyzerSpec extends SparkSpec {
       JsonDsl.analyzeText(spark, """{"text": "x", "filter": ["porter"]}""")
     )
   }
+
+  test("wire mapping declares the chain: settings.analysis named filters + per-field analyzer binding") {
+    val body =
+      """{"settings": {"analysis": {
+        |   "filter": {"my_stop": {"type": "stop", "stopwords": ["the", "a"]}},
+        |   "analyzer": {"light_english": {"filter": ["lowercase", "my_stop", "s_stem"]}}}},
+        | "mappings": {"properties": {
+        |   "doc_id": {"type": "long"},
+        |   "text":   {"type": "text", "analyzer": "light_english"},
+        |   "tag":    {"type": "keyword"}
+        |}}}""".stripMargin
+    val m = IndexMapping.fromJson(body)
+    assert(m.isText("text") && m.fieldType("tag") == "keyword")
+    val a = m.analyzerFor("text")
+    assert(a.stem && a.stopwords == Seq("the", "a"))
+    assert(m.analyzerFor("tag") == Analyzer.standard, "unbound fields keep the standard chain")
+    // the bound chain drives a match end-to-end (plural reaches singular)
+    val docs = Seq((1L, "fast scan engine"), (2L, "hash join plan")).toDF("doc_id", "text")
+    val got = JsonDsl
+      .parse(docs, """{"query": {"match": {"text": "scans"}}, "_source": ["doc_id"]}""", m)
+      .as[Long].collect().toSeq
+    assert(got == Seq(1L))
+    // binding an undeclared analyzer or an undeclared filter fails loudly
+    intercept[IllegalArgumentException](IndexMapping.fromJson(
+      """{"mappings": {"properties": {"text": {"type": "text", "analyzer": "ghost"}}}}"""))
+    intercept[IllegalArgumentException](IndexMapping.fromJson(
+      """{"settings": {"analysis": {"analyzer": {"x": {"filter": ["ghost_filter"]}}}},
+        | "mappings": {"properties": {"text": {"type": "text", "analyzer": "x"}}}}""".stripMargin))
+  }
 }
