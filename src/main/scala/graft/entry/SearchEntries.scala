@@ -309,6 +309,22 @@ private[graft] object SearchEntries {
     "search_bm25" -> ((s, dir) =>
       graft.search.Bm25.scoreAgainstIndex(cachedBm25(s, dir), Seq("spark", "query"), 10)),
 
+    // match_phrase under the analyzer chain with ES-exact POSITION
+    // GAPS: the stop filter drops tokens but preserves the survivors'
+    // position increments on both sides, so "tables the parts" (kept:
+    // table@0, part@2 after stop+stem) matches docs where part sits
+    // exactly two positions after table — whatever the middle token is
+    // (the documented Lucene behavior) — and not adjacent "table part".
+    // Codegen'd HOF array expressions; the oracle replays the chain.
+    "search_match_phrase_stemmed" -> ((s, dir) => {
+      val a = graft.search.Analyzer("light_english", stopwords = Seq("the", "a"), stem = true)
+      Tables
+        .documents(s, dir)
+        .filter(SearchDsl.matchPhraseWith(col("text"), a, "tables the parts"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // BM25 over a STEMMED index: the configured analyzer chain
     // (stopwords + S-stemmer) applies at index time, plural query terms
     // normalize through the same chain — dl is the post-filter token
@@ -2046,6 +2062,32 @@ private[graft] object SearchEntries {
         |                     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
         |FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
         |GROUP BY id ORDER BY score DESC, id LIMIT 10""".stripMargin,
+
+    "search_match_phrase_stemmed" ->
+      """WITH p AS (
+        |  SELECT doc_id, list_filter(
+        |    list_transform(string_split(lower(text), ' '), (t, i) -> {'pos': i, 'raw': t}),
+        |    s -> s.raw NOT IN ('the', 'a')) AS posed
+        |  FROM documents)
+        |SELECT doc_id FROM p
+        |WHERE len(list_filter(
+        |    list_transform(list_filter(posed, s -> (CASE
+        |      WHEN length(s.raw) > 3 AND s.raw LIKE '%ies' AND s.raw NOT LIKE '%eies' AND s.raw NOT LIKE '%aies'
+        |        THEN regexp_replace(s.raw, 'ies$', 'y')
+        |      WHEN length(s.raw) > 3 AND s.raw LIKE '%es' AND s.raw NOT LIKE '%aes' AND s.raw NOT LIKE '%ees' AND s.raw NOT LIKE '%oes'
+        |        THEN regexp_replace(s.raw, 'es$', 'e')
+        |      WHEN length(s.raw) > 2 AND s.raw LIKE '%s' AND s.raw NOT LIKE '%us' AND s.raw NOT LIKE '%ss'
+        |        THEN regexp_replace(s.raw, 's$', '')
+        |      ELSE s.raw END) = 'table'), s -> s.pos),
+        |    x -> list_contains(list_transform(list_filter(posed, s -> (CASE
+        |      WHEN length(s.raw) > 3 AND s.raw LIKE '%ies' AND s.raw NOT LIKE '%eies' AND s.raw NOT LIKE '%aies'
+        |        THEN regexp_replace(s.raw, 'ies$', 'y')
+        |      WHEN length(s.raw) > 3 AND s.raw LIKE '%es' AND s.raw NOT LIKE '%aes' AND s.raw NOT LIKE '%ees' AND s.raw NOT LIKE '%oes'
+        |        THEN regexp_replace(s.raw, 'es$', 'e')
+        |      WHEN length(s.raw) > 2 AND s.raw LIKE '%s' AND s.raw NOT LIKE '%us' AND s.raw NOT LIKE '%ss'
+        |        THEN regexp_replace(s.raw, 's$', '')
+        |      ELSE s.raw END) = 'part'), s -> s.pos), x + 2))) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "search_bm25_stemmed" ->
       """WITH toks0 AS (

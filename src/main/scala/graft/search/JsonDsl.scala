@@ -1378,8 +1378,14 @@ object JsonDsl {
         } else col(keywordField(df, f)) === lit(scalarValue(v))
       case "match_phrase" =>
         val (f, v) = fieldAndValue(body, "query")
-        if (mapping.isText(f)) SearchDsl.matchPhrase(col(f), v.asText)
-        else col(keywordField(df, f)) === lit(scalarValue(v))
+        if (mapping.isText(f)) {
+          val a = mapping.analyzerFor(f)
+          // A declared analyzer switches to the positional form (stop
+          // gaps preserved, ES-exact); the standard chain keeps the
+          // adjacency fast path.
+          if (a == Analyzer.standard) SearchDsl.matchPhrase(col(f), v.asText)
+          else SearchDsl.matchPhraseWith(col(f), a, v.asText)
+        } else col(keywordField(df, f)) === lit(scalarValue(v))
       case "term" =>
         val (f, v) = fieldAndValue(body, "value")
         SearchDsl.term(col(keywordField(df, f)), scalarValue(v))

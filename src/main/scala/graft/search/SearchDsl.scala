@@ -118,6 +118,42 @@ object SearchDsl {
   def matchPhrase(text: Column, phrase: String): Column =
     concat(lit(" "), lower(text), lit(" ")).contains(" " + phrase.toLowerCase + " ")
 
+  /** `match_phrase` under a configured analyzer chain, with ES-exact
+    * POSITION GAPS: the stop filter removes tokens but PRESERVES the
+    * survivors' position increments (Lucene's
+    * enablePositionIncrements), on BOTH the document and the query
+    * phrase. A query "tables the parts" (stop drops `the`, stems leave
+    * table@0, part@2) therefore matches any document where `part`
+    * sits exactly two positions after `table` — whatever the middle
+    * token is (the well-known Lucene behavior: the gap is positional,
+    * not lexical), and does NOT match an adjacent "table part". The
+    * doc side keeps (original position, raw token) pairs and stems at
+    * compare time; everything is codegen'd HOF array expressions — no
+    * UDF, and the DuckDB oracle replays the identical chain (its
+    * 1-based lambda index cancels in the position DIFFERENCES).
+    */
+  def matchPhraseWith(text: Column, a: Analyzer, phrase: String): Column = {
+    val kept: Seq[(String, Int)] = phrase.toLowerCase
+      .split("\\s+").toSeq.filter(_.nonEmpty).zipWithIndex
+      .collect { case (t, i) if !a.stopwords.contains(t) => (if (a.stem) Analyzer.sStem(t) else t, i) }
+    require(kept.nonEmpty, "every phrase term was removed by the analyzer chain")
+    val paired = transform(analyze(text), (t, i) => struct(i.as("pos"), t.as("raw")))
+    val posed =
+      if (a.stopwords.isEmpty) paired
+      else filter(paired, s => !s.getField("raw").isInCollection(a.stopwords))
+    def stemTok(c: Column): Column = if (a.stem) sStem(c) else c
+    def positions(term: String): Column =
+      transform(filter(posed, s => stemTok(s.getField("raw")) === lit(term)), s => s.getField("pos"))
+    val (t0, o0) = kept.head
+    exists(
+      positions(t0),
+      x =>
+        kept.tail
+          .map { case (tj, oj) => array_contains(positions(tj), x + lit(oj - o0)) }
+          .foldLeft(lit(true))(_ && _)
+    )
+  }
+
   /** `prefix` query over analyzed tokens: some token starts with `p`. */
   def prefixQuery(text: Column, p: String): Column =
     exists(analyze(text), t => t.startsWith(p.toLowerCase))

@@ -97,6 +97,32 @@ class AnalyzerSpec extends SparkSpec {
     )
   }
 
+  test("positional phrase under the chain: stop gaps preserved, filler-agnostic, stems apply") {
+    val a = Analyzer("light_english", stopwords = Seq("the", "a"), stem = true)
+    val docs = Seq(
+      (1L, "scan the table the part done"),   // table@2, part@4 → gap 2 ✓
+      (2L, "scan table big part done"),       // table@1, part@3 → gap 2 ✓ (filler-agnostic)
+      (3L, "scan table part done"),           // adjacent → gap 1 ✗
+      (4L, "scan tables a parts done"),       // stems + stop gap 2 ✓
+      (5L, "part then table later")           // wrong order ✗
+    ).toDF("doc_id", "text")
+    def hits(phrase: String): Set[Long] =
+      docs.filter(SearchDsl.matchPhraseWith(col("text"), a, phrase)).select("doc_id").as[Long].collect().toSet
+    assert(hits("tables the parts") == Set(1L, 2L, 4L))
+    // adjacent query phrase (no stopword between) requires gap 1
+    assert(hits("table parts") == Set(3L))
+    // single kept term degenerates to term presence
+    assert(hits("the tables") == Set(1L, 2L, 3L, 4L, 5L))
+    // an all-stopword phrase is a 400-class error
+    intercept[IllegalArgumentException](hits("the a"))
+    // the wire clause consults the mapping's analyzer for match_phrase
+    val m = IndexMapping(Map("text" -> "text")).withAnalyzer("text", a)
+    val wire = JsonDsl
+      .parse(docs, """{"query": {"match_phrase": {"text": "tables the parts"}}, "_source": ["doc_id"]}""", m)
+      .as[Long].collect().toSet
+    assert(wire == Set(1L, 2L, 4L))
+  }
+
   test("wire mapping declares the chain: settings.analysis named filters + per-field analyzer binding") {
     val body =
       """{"settings": {"analysis": {
