@@ -1431,9 +1431,15 @@ object JsonDsl {
         require(fields.nonEmpty, s"multi_match needs at least one field: $body")
         fields
           .map { f =>
-            if (mapping.isText(f))
-              SearchDsl.matchScore(col(f), q.toLowerCase.split("\\s+").toSeq) > 0
-            else col(f) === lit(q)
+            if (mapping.isText(f)) {
+              // per-field analyzer, like the match clause: each listed
+              // field analyzes (and normalizes the query terms) with
+              // ITS declared chain
+              val a = mapping.analyzerFor(f)
+              val terms = q.toLowerCase.split("\\s+").toSeq
+              if (a == Analyzer.standard) SearchDsl.matchScore(col(f), terms) > 0
+              else SearchDsl.matchScoreWith(col(f), a, terms) > 0
+            } else col(f) === lit(q)
           }
           .reduce(_ || _)
       case "ids" =>
