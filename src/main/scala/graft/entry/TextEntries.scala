@@ -50,6 +50,23 @@ private[graft] object TextEntries {
         )
         .orderBy("doc_id")),
 
+    // Sliding-window chunking (the RAG/provenance chunker): 32-token
+    // windows at stride 24 (8-token overlap), chunk provenance
+    // (doc_id, chunk_id) on every row, trailing partials emitted — one
+    // codegen'd projection + explode, a map-only stage at any scale
+    // (padding/packing to a fixed budget is sample_pack_sequences).
+    "text_chunk_sliding" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), explode(TextFns.slidingChunks(col("text"), window = 32, stride = 24)).as("c"))
+        .select(
+          col("doc_id"),
+          col("c.chunk_id").cast("long").as("chunk_id"),
+          size(col("c.toks")).cast("long").as("n_tokens"),
+          array_join(col("c.toks"), " ").as("chunk_text")
+        )
+        .orderBy("doc_id", "chunk_id")),
+
     "text_quality_score" -> ((s, dir) =>
       Tables
         .documents(s, dir)
@@ -690,6 +707,16 @@ private[graft] object TextEntries {
       """SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
         |       CAST(len(list_distinct(string_split(lower(text), ' '))) AS INTEGER) AS n_distinct
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_chunk_sliding" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |             unnest(range(0, (len(toks) - 1) // 24 + 1)) AS k
+        |      FROM t)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        |       CAST(len(toks[k*24 + 1 : k*24 + 32]) AS BIGINT) AS n_tokens,
+        |       array_to_string(toks[k*24 + 1 : k*24 + 32], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
 
     "text_quality_score" ->
       """SELECT doc_id,

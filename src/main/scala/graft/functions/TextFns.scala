@@ -17,6 +17,27 @@ object TextFns {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Sliding-window document chunking — the RAG/provenance chunker
+    * (split each document into overlapping `window`-token chunks at
+    * `stride` starts), as one codegen'd per-row array expression:
+    * chunk k covers tokens [k·stride, k·stride+window), for every
+    * start < n. Trailing chunks shorter than `window` are EMITTED
+    * (provenance is this operator's job — padding/packing to a fixed
+    * budget is [[graft.operators.Sampling]]'s sequence packer).
+    * Returns array<struct<chunk_id, toks>>; explode downstream. Pure
+    * projection: embarrassingly parallel, chunk provenance (doc_id,
+    * chunk_id) rides the row — at 100 TB this is a map-only stage.
+    */
+  def slidingChunks(text: Column, window: Int, stride: Int): Column = {
+    require(window > 0 && stride > 0 && stride <= window, s"need 0 < stride <= window: window=$window stride=$stride")
+    val toks = tokens(text)
+    val n = size(toks)
+    transform(
+      sequence(lit(0), ((n - lit(1)) / lit(stride)).cast("int")),
+      k => struct(k.as("chunk_id"), slice(toks, k * lit(stride) + lit(1), lit(window)).as("toks"))
+    )
+  }
+
   /** Shannon entropy (bits) of each document's token distribution — the
     * classic repetitiveness/diversity quality signal (low entropy = a few
     * tokens dominate; boilerplate and generated spam score low).

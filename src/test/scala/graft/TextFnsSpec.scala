@@ -104,4 +104,30 @@ class TextFnsSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("string"), e.getMessage)
   }
+
+  test("slidingChunks: overlap, trailing partials, short docs, exact coverage") {
+    val rows = Seq(
+      (1L, (1 to 80).map(i => s"t$i").mkString(" ")), // 80 toks → starts 0,24,48,72 → 32,32,32,8
+      (2L, "a b c"),                                  // shorter than one window → single chunk
+      (3L, (1 to 48).map(i => s"x$i").mkString(" "))  // 48 → starts 0,24 → 32,24
+    ).toDF("doc_id", "text")
+    val out = rows
+      .select(col("doc_id"), explode(TextFns.slidingChunks(col("text"), window = 32, stride = 24)).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), size(col("c.toks")).as("n"), col("c.toks").getItem(0).as("first"))
+      .as[(Long, Int, Int, String)]
+      .collect()
+      .toSeq
+      .sorted
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq(
+      (1L, 0, 32), (1L, 1, 32), (1L, 2, 32), (1L, 3, 8),
+      (2L, 0, 3),
+      (3L, 0, 32), (3L, 1, 24)
+    ))
+    // stride semantics: doc 3's second chunk starts at token 25
+    assert(out.find(r => r._1 == 3L && r._2 == 1).get._4 == "x25")
+    // every token of doc 1 is covered at least once (provenance-complete)
+    val covered = out.filter(_._1 == 1L).flatMap(r => (r._2 * 24) until (r._2 * 24 + r._3)).toSet
+    assert(covered == (0 until 80).toSet)
+    intercept[IllegalArgumentException](TextFns.slidingChunks(col("text"), window = 8, stride = 9))
+  }
 }
