@@ -82,4 +82,58 @@ class CdcSourceSpec extends SparkSpec {
     val df = CdcSource.snapshot(spark, url, "empty_t", "id", numPartitions = 4, props)
     assert(df.count() == 0)
   }
+
+  test("end-to-end: Derby snapshot + watermark polls fold into the search index, equal to a fresh rebuild") {
+    import org.apache.spark.sql.functions._
+    import graft.search.Bm25
+    // The reference's full ingest loop against a REAL database: initial
+    // snapshot (op=r), then two poll cycles picking up inserts/updates,
+    // each folded into the BM25 posting artifact via applyDelta — and
+    // the final index must equal a fresh build over the final DB state
+    // (the exactly-once/idempotence contract the reference relies on).
+    withConn { c =>
+      c.createStatement().execute(
+        "CREATE TABLE docs_t (d_id BIGINT PRIMARY KEY, body VARCHAR(200), updated_at TIMESTAMP)")
+      val ins = c.prepareStatement("INSERT INTO docs_t VALUES (?, ?, ?)")
+      Seq(
+        (1L, "spark joins data", "2024-05-01 09:00:00"),
+        (2L, "slow table scan", "2024-05-01 09:30:00"),
+        (3L, "spark shuffle plan", "2024-05-01 10:00:00")
+      ).foreach { case (id, b, ts) =>
+        ins.setLong(1, id); ins.setString(2, b); ins.setTimestamp(3, java.sql.Timestamp.valueOf(ts)); ins.addBatch()
+      }
+      ins.executeBatch()
+    }
+    val snap = CdcSource.snapshot(spark, url, "docs_t", "d_id", numPartitions = 2, props)
+      .select(col("d_id").as("id"), col("body").as("text"))
+    var index = Bm25.buildIndex(snap, "id", "text")
+    var hwm = java.sql.Timestamp.valueOf("2024-05-01 10:00:00")
+    // poll cycle 1: one new doc + an update of doc 2 land in the DB
+    withConn { c =>
+      val st = c.createStatement()
+      st.execute("INSERT INTO docs_t VALUES (4, 'fast spark query planner', TIMESTAMP('2024-05-01 11:00:00'))")
+      st.execute("UPDATE docs_t SET body = 'fast columnar scan', updated_at = TIMESTAMP('2024-05-01 11:30:00') WHERE d_id = 2")
+    }
+    def poll(): org.apache.spark.sql.DataFrame =
+      CdcSource.incremental(spark, url, "docs_t", "updated_at", hwm, props)
+        .select(col("d_id").as("id"), col("body").as("text"), col("updated_at"))
+    val d1 = poll().localCheckpoint(true)
+    index = Bm25.applyDelta(index, d1.select("id", "text"), d1.limit(0).select("id"), "id", "text")
+    hwm = java.sql.Timestamp.valueOf("2024-05-01 11:30:00")
+    // poll cycle 2: another update of the same doc (idempotent upsert path)
+    withConn(_.createStatement().execute(
+      "UPDATE docs_t SET body = 'fast vector scan engine', updated_at = TIMESTAMP('2024-05-01 12:00:00') WHERE d_id = 2"))
+    val d2 = poll().localCheckpoint(true)
+    index = Bm25.applyDelta(index, d2.select("id", "text"), d2.limit(0).select("id"), "id", "text")
+    // truth: a fresh index over the CURRENT Derby state
+    val finalState = CdcSource.snapshot(spark, url, "docs_t", "d_id", numPartitions = 2, props)
+      .select(col("d_id").as("id"), col("body").as("text"))
+    val fresh = Bm25.buildIndex(finalState, "id", "text")
+    val got = index.postings.select("id", "term", "tf").as[(Long, String, Long)].collect().toSet
+    val want = fresh.postings.select("id", "term", "tf").as[(Long, String, Long)].collect().toSet
+    assert(got == want, s"folded index diverged from rebuild: ${got.diff(want)} / ${want.diff(got)}")
+    val score = Bm25.scoreAgainstIndex(index, Seq("spark", "scan"), 10).as[(Long, Double)].collect().toSeq
+    val scoreWant = Bm25.scoreAgainstIndex(fresh, Seq("spark", "scan"), 10).as[(Long, Double)].collect().toSeq
+    assert(score == scoreWant && score.nonEmpty)
+  }
 }
