@@ -144,6 +144,34 @@ private[graft] object TextEntries {
         .orderBy("doc_id")
     }),
 
+    // Chunk-level decontamination: the chunker composed with the exact
+    // n-gram contamination check — (doc_id, chunk_id, n_shared) per
+    // CONTAMINATED CHUNK, the surgical-removal unit (drop the chunk,
+    // keep the document; doc-level text_decontaminate would discard the
+    // whole doc). Same broadcast-gram join shape; chunk provenance
+    // rides a composite key through the generic operator.
+    "text_chunk_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val chunks = docs
+        .filter(col("doc_id") >= 10)
+        .select(col("doc_id"), explode(TextFns.slidingChunks(col("text"), window = 32, stride = 24)).as("c"))
+        .select(
+          concat(col("doc_id"), lit(":"), col("c.chunk_id")).as("cid"),
+          array_join(col("c.toks"), " ").as("chunk_text")
+        )
+      val bench = docs
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id").cast("string").as("cid"), col("text").as("chunk_text"))
+      operators.Contamination
+        .sharedNgrams(chunks, bench, "cid", "chunk_text", 4)
+        .select(
+          split(col("id"), ":").getItem(0).cast("long").as("doc_id"),
+          split(col("id"), ":").getItem(1).cast("long").as("chunk_id"),
+          col("n_shared")
+        )
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // The Bloom-pruned decontamination path: identical answer (bloom has
     // no false negatives; the exact confirm join removes its false
     // positives) through a ~1.2-byte-per-gram broadcast instead of the
@@ -582,6 +610,23 @@ private[graft] object TextEntries {
         |SELECT g.doc_id, count(*) AS n_shared
         |FROM g JOIN bench USING (gram) WHERE g.doc_id >= 10
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "text_chunk_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |bench_g AS (SELECT DISTINCT unnest(list_distinct(
+        |              [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+        |               for i in generate_series(1, len(toks) - 3)])) AS gram
+        |            FROM t WHERE doc_id < 10 AND len(toks) >= 4),
+        |ch AS (SELECT doc_id, k AS chunk_id, toks[k*24 + 1 : k*24 + 32] AS ct
+        |       FROM (SELECT doc_id, toks, unnest(range(0, (len(toks) - 1) // 24 + 1)) AS k
+        |             FROM t WHERE doc_id >= 10)),
+        |cg AS (SELECT doc_id, chunk_id, unnest(list_distinct(
+        |              [ct[i] || ' ' || ct[i+1] || ' ' || ct[i+2] || ' ' || ct[i+3]
+        |               for i in generate_series(1, len(ct) - 3)])) AS gram
+        |       FROM ch WHERE len(ct) >= 4)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, count(*) AS n_shared
+        |FROM cg JOIN bench_g USING (gram)
+        |GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin,
 
     // The bloom path is exact end-to-end (prune + confirm), so it shares
     // the same oracle as text_decontaminate.

@@ -923,6 +923,7 @@ object JsonDsl {
           throw new IllegalArgumentException(s"request body is not valid JSON: ${e.getMessage}")
       }
     require(root != null && root.isObject, s"_analyze body must be a JSON object: $body")
+    require(root.get("field") == null, "_analyze with 'field' needs the index mapping — use the (spark, body, mapping) overload")
     val analyzer = Option(root.get("analyzer")).map(_.asText).getOrElse("standard")
     require(analyzer == "standard", s"unsupported analyzer '$analyzer'")
     // Custom filter chain (the _analyze `filter` array): lowercase is
@@ -945,6 +946,36 @@ object JsonDsl {
       }
     }
     val chain = Analyzer(if (filters.isEmpty) "standard" else "custom", stop, stem)
+    val text = req(root, "text", "_analyze").asText
+    spark
+      .range(1)
+      .select(posexplode(SearchDsl.analyzeWith(lit(text), chain)))
+      .select(col("pos").cast("long").as("position"), col("col").as("token"))
+      .orderBy("position")
+  }
+
+  /** `_analyze` with a `field` element: the analyzer resolves from the
+    * index MAPPING (the OpenSearch behavior — what you see is exactly
+    * what that field's queries match on), instead of an inline filter
+    * chain. `{"field": "text", "text": "..."}` → the field's declared
+    * [[Analyzer]] (standard when unbound).
+    */
+  def analyzeText(
+      spark: org.apache.spark.sql.SparkSession,
+      body: String,
+      mapping: IndexMapping
+  ): DataFrame = {
+    val root =
+      try mapper.readTree(body)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(s"request body is not valid JSON: ${e.getMessage}")
+      }
+    require(root != null && root.isObject, s"_analyze body must be a JSON object: $body")
+    val field = req(root, "field", "_analyze").asText
+    require(root.get("analyzer") == null && root.get("filter") == null,
+      "_analyze takes either 'field' (mapping-resolved) or an explicit analyzer/filter chain, not both")
+    val chain = mapping.analyzerFor(field)
     val text = req(root, "text", "_analyze").asText
     spark
       .range(1)

@@ -144,6 +144,22 @@ class AnalyzerSpec extends SparkSpec {
       .parse(docs, """{"query": {"match": {"text": "scans"}}, "_source": ["doc_id"]}""", m)
       .as[Long].collect().toSeq
     assert(got == Seq(1L))
+    // _analyze with `field` resolves the analyzer from this mapping
+    val viaField = JsonDsl
+      .analyzeText(spark, """{"field": "text", "text": "The Queries run"}""", m)
+      .as[(Long, String)].collect().toSeq
+    assert(viaField == Seq((0L, "query"), (1L, "run")))
+    // an unbound field analyzes with the standard chain
+    val unbound = JsonDsl
+      .analyzeText(spark, """{"field": "tag", "text": "The Queries"}""", m)
+      .as[(Long, String)].collect().toSeq
+    assert(unbound == Seq((0L, "the"), (1L, "queries")))
+    // field + explicit chain is ambiguous → 400-class; field without
+    // mapping overload likewise
+    intercept[IllegalArgumentException](
+      JsonDsl.analyzeText(spark, """{"field": "text", "analyzer": "standard", "text": "x"}""", m))
+    intercept[IllegalArgumentException](
+      JsonDsl.analyzeText(spark, """{"field": "text", "text": "x"}"""))
     // binding an undeclared analyzer or an undeclared filter fails loudly
     intercept[IllegalArgumentException](IndexMapping.fromJson(
       """{"mappings": {"properties": {"text": {"type": "text", "analyzer": "ghost"}}}}"""))
