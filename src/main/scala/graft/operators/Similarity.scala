@@ -43,12 +43,16 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
 
   /** Batch k-NN join: for every probe row, its top-k neighbors from the
-    * candidate set. Probes are broadcast (small side); ranking runs through
-    * [[graft.plans.TopKPerKey]] — partial bounded heaps per partition, so
-    * the shuffle carries at most k rows per probe per partition. A window
-    * partitioned by probe_id would instead hash the ENTIRE scored set into
-    * #probes partitions and sort it: a straggler machine whenever the probe
-    * batch is small.
+    * candidate set. The probe×candidate pairing carries NO hint: AQE
+    * picks broadcast from runtime stats when the probe batch is small
+    * and is free to shuffle when it is data-sized — a forced
+    * `broadcast(probes)` would pin an unbounded frame to every executor
+    * precisely in the batch use where probes grow with the data.
+    * Ranking runs through [[graft.plans.TopKPerKey]] — partial bounded
+    * heaps per partition, so the shuffle carries at most k rows per
+    * probe per partition. A window partitioned by probe_id would
+    * instead hash the ENTIRE scored set into #probes partitions and
+    * sort it: a straggler machine whenever the probe batch is small.
     */
   def knnJoin(
       probes: DataFrame,
@@ -60,7 +64,7 @@ object Similarity {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
     val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
     val scored = c
-      .join(broadcast(p))
+      .crossJoin(p)
       .select(
         col("probe_id"),
         col("cand_id"),

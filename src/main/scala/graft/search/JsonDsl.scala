@@ -927,25 +927,31 @@ object JsonDsl {
     val analyzer = Option(root.get("analyzer")).map(_.asText).getOrElse("standard")
     require(analyzer == "standard", s"unsupported analyzer '$analyzer'")
     // Custom filter chain (the _analyze `filter` array): lowercase is
-    // the always-on base; `stop` (with its stopwords list) and `s_stem`
-    // compose in request order semantics onto the same [[Analyzer]]
-    // chain every text query compiles against — what this endpoint
-    // shows IS what the index matches on.
+    // the always-on base; `stop` (with its stopwords list), `s_stem`
+    // and `edge_ngram` compose IN REQUEST ORDER onto the same
+    // [[Analyzer]] chain every text query compiles against — what this
+    // endpoint shows IS what the index matches on.
     val filters = Option(root.get("filter")).map(_.elements().asScala.toSeq).getOrElse(Nil)
-    var stop = Seq.empty[String]
-    var stem = false
-    filters.foreach { fn =>
+    val stages: Seq[TokenFilter] = filters.flatMap { fn =>
       val ftype = if (fn.isTextual) fn.asText else req(fn, "type", "_analyze filter").asText
       ftype match {
-        case "lowercase" => ()
-        case "s_stem"    => stem = true
+        case "lowercase" => None
+        case "s_stem"    => Some(TokenFilter.SStem)
         case "stop" =>
           require(fn.isObject && fn.get("stopwords") != null, "stop filter needs a stopwords list")
-          stop = fn.get("stopwords").elements().asScala.map(_.asText).toSeq
+          Some(TokenFilter.Stop(fn.get("stopwords").elements().asScala.map(_.asText).toSeq))
+        case "edge_ngram" =>
+          require(fn.isObject, "edge_ngram filter needs min_gram/max_gram")
+          Some(
+            TokenFilter.EdgeNgram(
+              Option(fn.get("min_gram")).map(_.asInt).getOrElse(1),
+              Option(fn.get("max_gram")).map(_.asInt).getOrElse(2)
+            )
+          )
         case other => throw new IllegalArgumentException(s"unsupported token filter '$other'")
       }
     }
-    val chain = Analyzer(if (filters.isEmpty) "standard" else "custom", stop, stem)
+    val chain = Analyzer(if (stages.isEmpty) "standard" else "custom", stages)
     val text = req(root, "text", "_analyze").asText
     spark
       .range(1)
@@ -1401,11 +1407,13 @@ object JsonDsl {
         if (mapping.isText(f)) {
           val raw = v.asText.toLowerCase.split("\\s+").toSeq.flatMap(mapping.expand).distinct
           val a = mapping.analyzerFor(f)
-          // A declared per-field analyzer chain applies symmetrically:
-          // the column analyzes with the filters, the query terms pass
-          // through the JVM twin of the same chain.
-          if (a == Analyzer.standard) SearchDsl.matchScore(col(f), raw) > 0
-          else SearchDsl.matchScoreWith(col(f), a, raw) > 0
+          val sa = mapping.searchAnalyzerFor(f)
+          // A declared per-field analyzer chain applies symmetrically
+          // (column analyzes with the filters, query terms through the
+          // JVM twin) — unless the mapping declares a search_analyzer,
+          // which takes the query side (the autocomplete asymmetry).
+          if (a == Analyzer.standard && sa == Analyzer.standard) SearchDsl.matchScore(col(f), raw) > 0
+          else SearchDsl.matchScoreWith(col(f), a, raw, sa) > 0
         } else col(keywordField(df, f)) === lit(scalarValue(v))
       case "match_phrase" =>
         val (f, v) = fieldAndValue(body, "query")
@@ -1467,9 +1475,10 @@ object JsonDsl {
               // field analyzes (and normalizes the query terms) with
               // ITS declared chain
               val a = mapping.analyzerFor(f)
+              val sa = mapping.searchAnalyzerFor(f)
               val terms = q.toLowerCase.split("\\s+").toSeq
-              if (a == Analyzer.standard) SearchDsl.matchScore(col(f), terms) > 0
-              else SearchDsl.matchScoreWith(col(f), a, terms) > 0
+              if (a == Analyzer.standard && sa == Analyzer.standard) SearchDsl.matchScore(col(f), terms) > 0
+              else SearchDsl.matchScoreWith(col(f), a, terms, sa) > 0
             } else col(f) === lit(q)
           }
           .reduce(_ || _)

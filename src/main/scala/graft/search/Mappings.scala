@@ -15,15 +15,42 @@ import scala.jdk.CollectionConverters._
   * [[JsonDsl]]; everything stays a declarative Catalyst predicate either
   * way, so pushdown is unaffected.
   */
+/** One stage of an analyzer's token-filter chain. Filters compose in
+  * DECLARED order (the OpenSearch contract: `filter: ["s_stem",
+  * "my_stop"]` stems first, so the stopword list must be in stemmed
+  * form to fire) — each stage sees the tokens the previous stage
+  * emitted, never the raw stream.
+  */
+sealed trait TokenFilter extends Product with Serializable
+object TokenFilter {
+
+  /** `stop`: drops a token whose CURRENT form (post earlier stages) is
+    * in the list.
+    */
+  final case class Stop(words: Seq[String]) extends TokenFilter
+
+  /** `s_stem`: Harman's S-stemmer (see [[Analyzer.sStem]]). */
+  case object SStem extends TokenFilter
+
+  /** `edge_ngram`: one token expands to its minGram..maxGram prefixes —
+    * the autocomplete filter (OpenSearch `edge_ngram`). A token shorter
+    * than minGram emits nothing; maxGram caps at the token's length.
+    */
+  final case class EdgeNgram(minGram: Int, maxGram: Int) extends TokenFilter {
+    require(minGram >= 1 && maxGram >= minGram, s"edge_ngram needs 1 <= min_gram <= max_gram, got ($minGram, $maxGram)")
+  }
+}
+
 /** A configurable per-field token-filter chain — the index-settings
   * `analyzer` block (OpenSearch's `analysis` section cut to the filters
   * this engine supports as exact, oracle-reproducible expressions):
-  * whitespace tokenize → lowercase (always, the standard base) →
-  * optional stopword removal → optional light English S-stemmer
-  * (Harman 1991, "How effective is suffixing?" — the three plural
-  * rules: -ies→-y, -es→-e, -s→∅ with the published exception lists).
-  * The same chain applies at INDEX time (the analyzed column) and at
-  * QUERY time (the compiled query terms, [[normalizeTerm]]) — the
+  * whitespace tokenize → lowercase (always, the standard base) → the
+  * declared [[TokenFilter]]s applied IN ORDER (stopword removal,
+  * Harman-1991 light English S-stemming — "How effective is
+  * suffixing?": -ies→-y, -es→-e, -s→∅ with the published exception
+  * lists — and edge_ngram prefix expansion). The same chain applies at
+  * INDEX time (the analyzed column, [[SearchDsl.analyzeWith]]) and at
+  * QUERY time (the compiled query terms, [[normalizeTerms]]) — the
   * symmetry OpenSearch guarantees when search_analyzer is unset. The
   * S-stemmer is chosen over Porter because every rule is a suffix test
   * + literal rewrite, so the DuckDB oracle can run the identical
@@ -31,25 +58,48 @@ import scala.jdk.CollectionConverters._
   */
 final case class Analyzer(
     name: String = "standard",
-    stopwords: Seq[String] = Nil,
-    stem: Boolean = false
+    filters: Seq[TokenFilter] = Nil
 ) {
 
-  /** The query-time twin of the column chain: lowercase, drop
-    * stopwords, stem — MUST mirror [[SearchDsl.analyzeWith]]'s SQL
-    * rules token for token (AnalyzerSpec pins the equivalence).
+  /** Every stopword any stage declares (diagnostic accessor; matching
+    * consults the ordered chain, not this flattened view).
     */
-  def normalizeTerm(t: String): Option[String] = {
-    val lower = t.toLowerCase
-    if (stopwords.contains(lower)) None
-    else Some(if (stem) Analyzer.sStem(lower) else lower)
-  }
+  def stopwords: Seq[String] = filters.collect { case TokenFilter.Stop(w) => w }.flatten
 
-  def normalizeTerms(ts: Seq[String]): Seq[String] = ts.flatMap(normalizeTerm)
+  def stem: Boolean = filters.contains(TokenFilter.SStem)
+
+  /** The query-time twin of the column chain: lowercase, then each
+    * declared filter in order — MUST mirror [[SearchDsl.analyzeWith]]'s
+    * SQL rules token for token (AnalyzerSpec pins the equivalence).
+    * One input token can map to zero (stopped), one, or many
+    * (edge_ngram) output tokens.
+    */
+  def normalizeAll(t: String): Seq[String] =
+    filters.foldLeft(Seq(t.toLowerCase)) {
+      case (ts, TokenFilter.Stop(words)) => ts.filterNot(words.contains)
+      case (ts, TokenFilter.SStem)       => ts.map(Analyzer.sStem)
+      case (ts, TokenFilter.EdgeNgram(mn, mx)) =>
+        ts.flatMap(tok => (mn to math.min(mx, tok.length)).map(tok.substring(0, _)))
+    }
+
+  def normalizeTerm(t: String): Option[String] = normalizeAll(t).headOption
+
+  def normalizeTerms(ts: Seq[String]): Seq[String] = ts.flatMap(normalizeAll)
 }
 
 object Analyzer {
   val standard: Analyzer = Analyzer()
+
+  /** The fixed stop-then-stem shape as a convenience constructor (the
+    * common declaration; any other order goes through the primary
+    * `filters` constructor).
+    */
+  def apply(name: String, stopwords: Seq[String], stem: Boolean): Analyzer =
+    Analyzer(
+      name,
+      (if (stopwords.nonEmpty) Seq[TokenFilter](TokenFilter.Stop(stopwords)) else Nil) ++
+        (if (stem) Seq[TokenFilter](TokenFilter.SStem) else Nil)
+    )
 
   /** Harman's S-stemmer on one lowercase token (JVM twin of the SQL
     * rules in [[SearchDsl.sStem]]; keep the two in lockstep).
@@ -67,7 +117,8 @@ object Analyzer {
 final case class IndexMapping(
     fields: Map[String, String],
     synonyms: Map[String, Seq[String]] = Map.empty,
-    analyzers: Map[String, Analyzer] = Map.empty
+    analyzers: Map[String, Analyzer] = Map.empty,
+    searchAnalyzers: Map[String, Analyzer] = Map.empty
 ) {
 
   /** OpenSearch's dynamic-mapping default for strings is keyword-with-
@@ -80,11 +131,26 @@ final case class IndexMapping(
   /** The analyzer declared for a field (standard when undeclared). */
   def analyzerFor(name: String): Analyzer = analyzers.getOrElse(name, Analyzer.standard)
 
+  /** The QUERY-side analyzer for a field: its declared `search_analyzer`
+    * when one exists, else the index analyzer — OpenSearch's resolution
+    * order. The asymmetric pair is the autocomplete pattern: index with
+    * edge_ngram, search with the plain chain, so the typed prefix
+    * matches the indexed prefix tokens without being expanded itself.
+    */
+  def searchAnalyzerFor(name: String): Analyzer =
+    searchAnalyzers.getOrElse(name, analyzerFor(name))
+
   /** Declare a per-field analyzer chain (the index-settings `analysis`
     * block): consulted by every text query compile against that field.
     */
   def withAnalyzer(field: String, a: Analyzer): IndexMapping =
     copy(analyzers = analyzers + (field -> a))
+
+  /** Declare an asymmetric query-time chain for a field (the mapping's
+    * `search_analyzer` element).
+    */
+  def withSearchAnalyzer(field: String, a: Analyzer): IndexMapping =
+    copy(searchAnalyzers = searchAnalyzers + (field -> a))
 
   /** Declare query-time synonym expansion (the synonym_graph token
     * filter in its query-time form — the recommended OpenSearch setup,
@@ -192,18 +258,26 @@ object IndexMapping {
     val root0 = new ObjectMapper().readTree(body)
     require(root0 != null && root0.isObject, s"mapping body must be a JSON object: $body")
     // Named custom filters, then named analyzers, from the settings block.
+    // A chain's declared filter ORDER is preserved: ["s_stem", "my_stop"]
+    // stems before testing stopwords (the list must be in stemmed form),
+    // the reverse order tests raw tokens first — OpenSearch composes the
+    // stages exactly as listed and so does the parsed [[Analyzer]].
     val analysis = Option(root0.get("settings")).flatMap(s => Option(s.get("analysis")))
-    val namedFilters: Map[String, Analyzer => Analyzer] = analysis
+    val namedFilters: Map[String, TokenFilter] = analysis
       .flatMap(a => Option(a.get("filter")))
       .map(_.fields().asScala.map { e =>
         val spec = e.getValue
-        val f: Analyzer => Analyzer =
+        val f: TokenFilter =
           Option(spec.get("type")).map(_.asText).getOrElse("") match {
             case "stop" =>
               val words = Option(spec.get("stopwords"))
                 .map(_.elements().asScala.map(_.asText).toSeq)
                 .getOrElse(throw new IllegalArgumentException(s"stop filter '${e.getKey}' needs a stopwords list"))
-              a => a.copy(stopwords = a.stopwords ++ words)
+              TokenFilter.Stop(words)
+            case "edge_ngram" =>
+              val mn = Option(spec.get("min_gram")).map(_.asInt).getOrElse(1)
+              val mx = Option(spec.get("max_gram")).map(_.asInt).getOrElse(2)
+              TokenFilter.EdgeNgram(mn, mx)
             case other =>
               throw new IllegalArgumentException(s"unsupported custom token filter type '$other' ('${e.getKey}')")
           }
@@ -215,35 +289,45 @@ object IndexMapping {
       .map(_.fields().asScala.map { e =>
         val spec = e.getValue
         val filters = Option(spec.get("filter")).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
-        val chain = filters.foldLeft(Analyzer(e.getKey)) { (acc, fname) =>
-          fname match {
-            case "lowercase" => acc
-            case "s_stem"    => acc.copy(stem = true)
-            case custom =>
+        val chain = filters.flatMap {
+          case "lowercase" => None // the always-on base stage
+          case "s_stem"    => Some(TokenFilter.SStem)
+          case custom =>
+            Some(
               namedFilters
                 .getOrElse(custom, throw new IllegalArgumentException(s"undeclared token filter '$custom'"))
-                .apply(acc)
-          }
+            )
         }
-        e.getKey -> chain
+        e.getKey -> Analyzer(e.getKey, chain)
       }.toMap)
       .getOrElse(Map.empty)
+    def resolveAnalyzer(field: String, name: String): Analyzer =
+      if (name == "standard") Analyzer.standard
+      else
+        namedAnalyzers.getOrElse(
+          name,
+          throw new IllegalArgumentException(s"field '$field' binds undeclared analyzer '$name'")
+        )
     val root = if (root0.has("mappings")) root0.get("mappings") else root0
     val props = root.get("properties")
     require(props != null && props.isObject, s"mapping body needs a 'properties' object: $body")
     val entries = props.fields().asScala.toSeq
     val fieldAnalyzers = entries.flatMap { e =>
-      Option(e.getValue.get("analyzer")).map { an =>
-        val name = an.asText
-        e.getKey -> namedAnalyzers.getOrElse(
-          name,
-          throw new IllegalArgumentException(s"field '${e.getKey}' binds undeclared analyzer '$name'")
+      Option(e.getValue.get("analyzer")).map(an => e.getKey -> resolveAnalyzer(e.getKey, an.asText))
+    }.toMap
+    val fieldSearchAnalyzers = entries.flatMap { e =>
+      Option(e.getValue.get("search_analyzer")).map { an =>
+        require(
+          e.getValue.get("analyzer") != null,
+          s"field '${e.getKey}' declares search_analyzer without an (index) analyzer"
         )
+        e.getKey -> resolveAnalyzer(e.getKey, an.asText)
       }
     }.toMap
     IndexMapping(
       entries.map(e => e.getKey -> Option(e.getValue.get("type")).map(_.asText).getOrElse("keyword")).toMap,
-      analyzers = fieldAnalyzers
+      analyzers = fieldAnalyzers,
+      searchAnalyzers = fieldSearchAnalyzers
     )
   }
 }

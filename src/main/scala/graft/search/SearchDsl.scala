@@ -39,28 +39,64 @@ object SearchDsl {
     ).otherwise(t)
 
   /** The configurable token-filter chain ([[Analyzer]]): whitespace
-    * tokenize + lowercase (the standard base), optional stopword
-    * removal, optional S-stemming — each stage a codegen'd higher-order
-    * array expression over the base tokens, so the analyzed column
-    * stays inside whole-stage codegen exactly like [[analyze]].
+    * tokenize + lowercase (the standard base), then each declared
+    * [[TokenFilter]] IN ORDER — stopword removal, S-stemming, edge_ngram
+    * prefix expansion — each stage a codegen'd higher-order array
+    * expression over the previous stage's tokens, so the analyzed
+    * column stays inside whole-stage codegen exactly like [[analyze]].
+    * Order matters and is honored: `[s_stem, stop]` tests stopwords
+    * against STEMMED tokens, `[stop, s_stem]` against raw ones —
+    * mirroring [[Analyzer.normalizeAll]] stage for stage.
     */
-  def analyzeWith(text: Column, a: Analyzer): Column = {
-    val toks = analyze(text)
-    val stopped =
-      if (a.stopwords.nonEmpty) filter(toks, t => !t.isInCollection(a.stopwords))
-      else toks
-    if (a.stem) transform(stopped, t => sStem(t)) else stopped
+  def analyzeWith(text: Column, a: Analyzer): Column =
+    a.filters.foldLeft(analyze(text)) {
+      case (toks, TokenFilter.Stop(words)) => filter(toks, t => !t.isInCollection(words))
+      case (toks, TokenFilter.SStem)       => transform(toks, t => sStem(t))
+      case (toks, TokenFilter.EdgeNgram(mn, mx)) =>
+        flatten(
+          transform(
+            toks,
+            t =>
+              transform(
+                filter(sequence(lit(mn), lit(mx)), n => n <= length(t)),
+                n => t.substr(lit(1), n)
+              )
+          )
+        )
+    }
+
+  /** One token through the chain's SCALAR form: the transformed token,
+    * or null when a stop stage (at its declared position) drops it.
+    * Powers the positional phrase path, which needs a per-original-token
+    * verdict; expansion stages (edge_ngram) have no scalar form and are
+    * rejected there.
+    */
+  private def tokenThrough(a: Analyzer, tok: Column): Column =
+    a.filters.foldLeft(tok) {
+      case (cur, TokenFilter.Stop(words)) =>
+        when(cur.isInCollection(words), lit(null).cast("string")).otherwise(cur)
+      case (cur, TokenFilter.SStem) => sStem(cur)
+      case (_, TokenFilter.EdgeNgram(_, _)) =>
+        throw new IllegalArgumentException("positional phrase match is undefined under an edge_ngram chain")
+    }
+
+  /** `match` under a configured analyzer: the query terms pass through
+    * the QUERY-side chain (`searchA`, the mapping's search_analyzer when
+    * declared, else the index chain); the column side analyzes with the
+    * index chain. A query whose every term is removed by the chain
+    * analyzes to zero tokens and matches no documents (score 0
+    * everywhere — OpenSearch's MatchNoDocsQuery), not an error.
+    */
+  def matchScoreWith(text: Column, a: Analyzer, queryTerms: Seq[String], searchA: Analyzer): Column = {
+    val terms = searchA.normalizeTerms(queryTerms)
+    terms
+      .map(t => array_contains(analyzeWith(text, a), t).cast("int"))
+      .reduceOption(_ + _)
+      .getOrElse(lit(0))
   }
 
-  /** `match` under a configured analyzer: the query terms are already
-    * normalized through the same chain ([[Analyzer.normalizeTerms]]);
-    * the column side analyzes with the declared filters.
-    */
-  def matchScoreWith(text: Column, a: Analyzer, queryTerms: Seq[String]): Column = {
-    val terms = a.normalizeTerms(queryTerms)
-    require(terms.nonEmpty, "every query term was removed by the analyzer chain")
-    terms.map(t => array_contains(analyzeWith(text, a), t).cast("int")).reduce(_ + _)
-  }
+  def matchScoreWith(text: Column, a: Analyzer, queryTerms: Seq[String]): Column =
+    matchScoreWith(text, a, queryTerms, a)
 
   /** `term` query: exact filter-context match. */
   def term(field: Column, value: Any): Column = field === lit(value)
@@ -135,23 +171,26 @@ object SearchDsl {
   def matchPhraseWith(text: Column, a: Analyzer, phrase: String): Column = {
     val kept: Seq[(String, Int)] = phrase.toLowerCase
       .split("\\s+").toSeq.filter(_.nonEmpty).zipWithIndex
-      .collect { case (t, i) if !a.stopwords.contains(t) => (if (a.stem) Analyzer.sStem(t) else t, i) }
-    require(kept.nonEmpty, "every phrase term was removed by the analyzer chain")
-    val paired = transform(analyze(text), (t, i) => struct(i.as("pos"), t.as("raw")))
-    val posed =
-      if (a.stopwords.isEmpty) paired
-      else filter(paired, s => !s.getField("raw").isInCollection(a.stopwords))
-    def stemTok(c: Column): Column = if (a.stem) sStem(c) else c
-    def positions(term: String): Column =
-      transform(filter(posed, s => stemTok(s.getField("raw")) === lit(term)), s => s.getField("pos"))
-    val (t0, o0) = kept.head
-    exists(
-      positions(t0),
-      x =>
-        kept.tail
-          .map { case (tj, oj) => array_contains(positions(tj), x + lit(oj - o0)) }
-          .foldLeft(lit(true))(_ && _)
-    )
+      .flatMap { case (t, i) => a.normalizeTerm(t).map(nt => (nt, i)) }
+    if (kept.isEmpty) lit(false) // all-stopword phrase → zero hits (MatchNoDocsQuery), not an error
+    else {
+      // Doc side: each original token keeps its ORIGINAL position and
+      // runs through the chain's scalar form (null = dropped by a stop
+      // stage at its declared point) — so gaps left by stopwords stay
+      // positional, whatever order the chain declares its stages in.
+      val paired = transform(analyze(text), (t, i) => struct(i.as("pos"), tokenThrough(a, t).as("tok")))
+      val posed = filter(paired, s => s.getField("tok").isNotNull)
+      def positions(term: String): Column =
+        transform(filter(posed, s => s.getField("tok") === lit(term)), s => s.getField("pos"))
+      val (t0, o0) = kept.head
+      exists(
+        positions(t0),
+        x =>
+          kept.tail
+            .map { case (tj, oj) => array_contains(positions(tj), x + lit(oj - o0)) }
+            .foldLeft(lit(true))(_ && _)
+      )
+    }
   }
 
   /** `prefix` query over analyzed tokens: some token starts with `p`. */

@@ -64,8 +64,10 @@ class AnalyzerSpec extends SparkSpec {
         .select("id").as[Long].collect().toSet
     assert(hits("queries") == Set(1L, 2L), "plural query must reach both forms")
     assert(hits("query") == Set(1L, 2L), "singular query must reach both forms")
-    // a query of only stopwords is a 400-class error, not a silent match-none
-    intercept[IllegalArgumentException](hits("the"))
+    // a query of only stopwords analyzes to zero tokens and matches no
+    // documents (MatchNoDocsQuery) — the reference's semantics, not a
+    // 400-class error
+    assert(hits("the") == Set.empty[Long])
   }
 
   test("wire match consults the mapping's per-field analyzer; _analyze reflects the chain") {
@@ -113,8 +115,8 @@ class AnalyzerSpec extends SparkSpec {
     assert(hits("table parts") == Set(3L))
     // single kept term degenerates to term presence
     assert(hits("the tables") == Set(1L, 2L, 3L, 4L, 5L))
-    // an all-stopword phrase is a 400-class error
-    intercept[IllegalArgumentException](hits("the a"))
+    // an all-stopword phrase analyzes to zero tokens → matches nothing
+    assert(hits("the a") == Set.empty[Long])
     // the wire clause consults the mapping's analyzer for match_phrase
     val m = IndexMapping(Map("text" -> "text")).withAnalyzer("text", a)
     val wire = JsonDsl
@@ -166,5 +168,81 @@ class AnalyzerSpec extends SparkSpec {
     intercept[IllegalArgumentException](IndexMapping.fromJson(
       """{"settings": {"analysis": {"analyzer": {"x": {"filter": ["ghost_filter"]}}}},
         | "mappings": {"properties": {"text": {"type": "text", "analyzer": "x"}}}}""".stripMargin))
+  }
+
+  test("filter ORDER is honored: stem-before-stop tests stopwords in stemmed form") {
+    import graft.search.TokenFilter
+    // stopword list holds the STEMMED form 'query': only the chain that
+    // stems first can drop the surface forms 'query'/'queries'.
+    val stemFirst = Analyzer("stem_first", Seq(TokenFilter.SStem, TokenFilter.Stop(Seq("query"))))
+    val stopFirst = Analyzer("stop_first", Seq(TokenFilter.Stop(Seq("query")), TokenFilter.SStem))
+    def toks(a: Analyzer, text: String): Seq[String] =
+      Seq(text).toDF("t").select(SearchDsl.analyzeWith(col("t"), a).as("tt")).as[Seq[String]].collect().head
+    assert(toks(stemFirst, "Queries run fast scans") == Seq("run", "fast", "scan"))
+    assert(toks(stopFirst, "Queries run fast scans") == Seq("query", "run", "fast", "scan"))
+    // same order sensitivity on the JVM query-term twin
+    assert(stemFirst.normalizeTerms(Seq("Queries", "runs")) == Seq("run"))
+    assert(stopFirst.normalizeTerms(Seq("Queries", "runs")) == Seq("query", "run"))
+    // the wire mapping preserves declared order the same way
+    def chainOf(order: String): Analyzer = IndexMapping.fromJson(
+      s"""{"settings": {"analysis": {
+         |   "filter": {"q_stop": {"type": "stop", "stopwords": ["query"]}},
+         |   "analyzer": {"c": {"filter": $order}}}},
+         | "mappings": {"properties": {"text": {"type": "text", "analyzer": "c"}}}}""".stripMargin
+    ).analyzerFor("text")
+    assert(chainOf("""["s_stem", "q_stop"]""").normalizeAll("queries") == Nil)
+    assert(chainOf("""["q_stop", "s_stem"]""").normalizeAll("queries") == Seq("query"))
+    // positional phrase honors the order too: under stem-first the term
+    // 'queries' is a (stemmed) stopword and leaves a positional gap
+    val docs = Seq((1L, "fast queries scan"), (2L, "fast big scan"), (3L, "fast scan now")).toDF("doc_id", "text")
+    def phraseHits(a: Analyzer, p: String): Set[Long] =
+      docs.filter(SearchDsl.matchPhraseWith(col("text"), a, p)).select("doc_id").as[Long].collect().toSet
+    // "fast queries scan": stem-first drops 'queries' → fast@0, scan@2 (gap 2)
+    assert(phraseHits(stemFirst, "fast queries scan") == Set(1L, 2L))
+    // stop-first keeps 'query' as a positional term → only doc 1
+    assert(phraseHits(stopFirst, "fast queries scan") == Set(1L))
+  }
+
+  test("edge_ngram chain + search_analyzer: indexed prefix tokens match un-expanded query terms") {
+    import graft.search.TokenFilter
+    val auto = Analyzer("autocomplete", Seq(TokenFilter.EdgeNgram(2, 4)))
+    def toks(text: String): Seq[String] =
+      Seq(text).toDF("t").select(SearchDsl.analyzeWith(col("t"), auto).as("tt")).as[Seq[String]].collect().head
+    // prefixes 2..4 per token; a 1-char token emits nothing
+    assert(toks("Spark a run") == Seq("sp", "spa", "spar", "ru", "run"))
+    // JVM twin agrees
+    assert(auto.normalizeAll("spark") == Seq("sp", "spa", "spar"))
+    assert(auto.normalizeAll("a") == Nil)
+    // wire: index-analyzer expands, search_analyzer keeps the typed prefix
+    val body =
+      """{"settings": {"analysis": {
+        |   "filter": {"auto_edge": {"type": "edge_ngram", "min_gram": 2, "max_gram": 4}},
+        |   "analyzer": {"autocomplete": {"filter": ["lowercase", "auto_edge"]}}}},
+        | "mappings": {"properties": {
+        |   "doc_id": {"type": "long"},
+        |   "text":   {"type": "text", "analyzer": "autocomplete", "search_analyzer": "standard"}
+        |}}}""".stripMargin
+    val m = IndexMapping.fromJson(body)
+    assert(m.analyzerFor("text").filters == Seq(TokenFilter.EdgeNgram(2, 4)))
+    assert(m.searchAnalyzerFor("text") == Analyzer.standard)
+    val docs = Seq((1L, "sparse vector scan"), (2L, "spark planner"), (3L, "dense rows")).toDF("doc_id", "text")
+    def wireHits(q: String): Seq[Long] = JsonDsl.parse(
+      docs,
+      s"""{"query": {"match": {"text": "$q"}}, "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}""",
+      m
+    ).as[Long].collect().toSeq
+    // the typed prefix "spa" (3 chars) matches BOTH spar(se) and spar(k)
+    assert(wireHits("spa") == Seq(1L, 2L))
+    assert(wireHits("spar") == Seq(1L, 2L))
+    // 5-char query exceeds max_gram → no indexed token (the documented
+    // edge_ngram truncation behavior at query time with a standard
+    // search_analyzer)
+    assert(wireHits("spark") == Seq.empty)
+    // search_analyzer requires an index analyzer
+    intercept[IllegalArgumentException](IndexMapping.fromJson(
+      """{"mappings": {"properties": {"text": {"type": "text", "search_analyzer": "standard"}}}}"""))
+    // phrase under an edge_ngram chain has no positional meaning → 400-class
+    intercept[IllegalArgumentException](
+      docs.filter(SearchDsl.matchPhraseWith(col("text"), auto, "spa sca")).count())
   }
 }

@@ -60,6 +60,18 @@ class SimilaritySpec extends SparkSpec {
       .collect()
     assert(out.length == 4)
     assert(out(0) == ((0L, 4L, 1)) && out(1) == ((0L, 2L, 2)))
+    // No forced broadcast on the probe frame (same contract as
+    // graphSearchBatch): the batch knn-join is exactly the use where
+    // probes can be data-sized, so AQE must stay free to shuffle —
+    // it still picks broadcast at small sizes from runtime stats.
+    val plan = Similarity
+      .knnJoin(vecs.limit(3), vecs, "vec_id", "embedding", 2)
+      .queryExecution.analyzed
+    val hinted = plan.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.child.output.exists(a => a.name == "probe_vec" || a.name == "probe_id") => h
+    }
+    assert(hinted.isEmpty, "knnJoin still broadcast-hints the probe frame")
   }
 
   test("LSH topk recall matches brute force on the real corpus") {
