@@ -45,6 +45,32 @@ private[graft] object SearchWireEntries {
         )
       )),
 
+    // search-as-you-type over the wire: the mapping's settings.analysis
+    // declares an edge_ngram filter, the text field indexes with it and
+    // sets search_analyzer=standard — so the typed prefix "spa" matches
+    // the INDEXED prefix tokens (an analyzed-token equality, the
+    // autocomplete scale path) without being expanded itself. The
+    // asymmetric analyzer pair is the whole point: symmetric expansion
+    // would match any document sharing a 2-char prefix with the query.
+    "search_dsl_json_match_sayt" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"match": {"text": "spa"}},
+          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id", "n_chars"]}""".stripMargin,
+        IndexMapping.fromJson(
+          """{"settings": {"analysis": {
+            |   "filter": {"auto_edge": {"type": "edge_ngram", "min_gram": 2, "max_gram": 8}},
+            |   "analyzer": {"autocomplete": {"filter": ["lowercase", "auto_edge"]}}}},
+            | "mappings": {"properties": {
+            |   "doc_id":  {"type": "long"},
+            |   "text":    {"type": "text", "analyzer": "autocomplete", "search_analyzer": "standard"},
+            |   "lang":    {"type": "keyword"},
+            |   "source":  {"type": "keyword"},
+            |   "n_chars": {"type": "long"}
+            |}}}""".stripMargin
+        )
+      )),
+
     // ── JSON request-body executor: the reference's actual wire format
     // (DASHBOARD_GUIDE.md Dev Tools bodies) compiled onto SearchDsl/Aggs.
     // docsMapping mirrors the TDD §4 index definition for `documents`.
@@ -1475,6 +1501,13 @@ private[graft] object SearchWireEntries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // indexed edge-ngram (2..8) membership of 'spa' ≡ a token with that
+    // prefix (the prefix length is inside the gram range)
+    "search_dsl_json_match_sayt" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE len(list_filter(string_split(lower(text), ' '), t -> starts_with(t, 'spa'))) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "search_dsl_json_match_stemmed" ->
       """WITH toks AS (

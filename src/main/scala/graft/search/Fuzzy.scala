@@ -63,6 +63,42 @@ object Fuzzy {
       .limit(k)
   }
 
+  /** Indexed completion suggester: the (prefix → completion) posting
+    * table a deployment materializes ONCE — the corpus aggregates to
+    * its vocabulary first (Heaps-sublinear, the only corpus-scale pass),
+    * then each distinct token explodes to its edge-ngram prefixes
+    * paired with the FULL token. Completing a prefix at query time is
+    * then an exact-key EQUALITY lookup on `pref` (pushable; prunes to
+    * one posting group — or one bucket when the table is written
+    * bucketed by pref), instead of the vocabulary-wide starts_with scan
+    * the unindexed suggester runs per keystroke. Expansion is bounded:
+    * at most maxGram−minGram+1 prefix rows per vocabulary token.
+    */
+  def completionIndex(docs: DataFrame, textCol: String, minGram: Int, maxGram: Int): DataFrame =
+    graft.Tables
+      .ensureParallelism(docs.select(col(textCol).as("_text")))
+      .select(explode(TextFns.tokens(col("_text"))).as("suggestion"))
+      .groupBy("suggestion")
+      .agg(count(lit(1)).as("freq"))
+      .select(
+        explode(SearchDsl.edgeNgrams(col("suggestion"), minGram, maxGram)).as("pref"),
+        col("suggestion"),
+        col("freq")
+      )
+
+  /** Top-k completions for a typed prefix from a [[completionIndex]]:
+    * most frequent first, ties lexicographic — the completion
+    * suggester's ranking. The prefix must be within the index's gram
+    * range (shorter/longer prefixes have no posting rows by
+    * construction).
+    */
+  def complete(index: DataFrame, prefix: String, k: Int): DataFrame =
+    index
+      .filter(col("pref") === lit(prefix.toLowerCase))
+      .orderBy(col("freq").desc, col("suggestion"))
+      .limit(k)
+      .select("suggestion", "freq")
+
   /** OpenSearch phrase suggester ("did you mean" over whole phrases):
     * per-position correction candidates from the vocabulary (edit
     * distance ≤ maxDist — the [[suggest]] plan per term), composed into

@@ -53,17 +53,20 @@ object SearchDsl {
       case (toks, TokenFilter.Stop(words)) => filter(toks, t => !t.isInCollection(words))
       case (toks, TokenFilter.SStem)       => transform(toks, t => sStem(t))
       case (toks, TokenFilter.EdgeNgram(mn, mx)) =>
-        flatten(
-          transform(
-            toks,
-            t =>
-              transform(
-                filter(sequence(lit(mn), lit(mx)), n => n <= length(t)),
-                n => t.substr(lit(1), n)
-              )
-          )
-        )
+        flatten(transform(toks, t => edgeNgrams(t, mn, mx)))
     }
+
+  /** One token's edge n-grams: its minGram..min(maxGram, length)
+    * prefixes, as a codegen'd array expression (a token shorter than
+    * minGram emits an empty array). Shared by the [[analyzeWith]]
+    * edge_ngram stage and the indexed completion suggester's posting
+    * build ([[Fuzzy.completionIndex]]).
+    */
+  def edgeNgrams(tok: Column, minGram: Int, maxGram: Int): Column =
+    transform(
+      filter(sequence(lit(minGram), lit(maxGram)), n => n <= length(tok)),
+      n => tok.substr(lit(1), n)
+    )
 
   /** One token through the chain's SCALAR form: the transformed token,
     * or null when a stop stage (at its declared position) drops it.
