@@ -189,4 +189,91 @@ class DedupSpec extends SparkSpec {
     assert(Similarity.embeddingAutoBits(200000) == 13)
     assert(Similarity.embeddingAutoBits(10) == 4, "floor at 4 bits")
   }
+
+  test("ScaleData mutate mode holds text dup density constant: per-replica truth composes, zero cross-replica pairs") {
+    // The constant-density invariant the 10×/100× dedup bench evidence
+    // rests on: the mutated N-copy corpus's TRUE pair set (exact
+    // 3-shingle Jaccard ≥ t) must be exactly the per-replica shifted
+    // union of the base corpus's true pair set — within-replica Jaccard
+    // values bit-identical (the token map is injective), cross-replica
+    // pairs suppressed to ~0.008 Jaccard.
+    val t = 0.5
+    val baseDocs = Tables.documents(spark, Sf)
+    val stride = baseDocs.agg(max($"doc_id")).as[Long].head() + 1
+    val copies = 3
+    val mutated = (0 until copies)
+      .map(i => ScaleData.mutateDocuments(baseDocs.withColumn("doc_id", $"doc_id" + lit(stride * i)), "text", i))
+      .reduce(_ unionByName _)
+
+    def truthPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val sh = MinHashLSH.shingles(df, "doc_id", "text", 3)
+      sh.select($"id".as("a"), $"shingles".as("sa"))
+        .crossJoin(sh.select($"id".as("b"), $"shingles".as("sb")))
+        .filter($"a" < $"b")
+        .filter(round(Dedup.jaccardUdf($"sa", $"sb"), 4) >= t)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    }
+    val baseTruth = truthPairs(baseDocs)
+    assert(baseTruth.nonEmpty, "vacuous: base corpus has no near-dup pairs")
+    val scaledTruth = truthPairs(mutated)
+    val composed = (0 until copies).flatMap { i =>
+      baseTruth.map { case (a, b) => (a + stride * i, b + stride * i) }
+    }.toSet
+    // density constant: the scaled truth IS the composed truth — every
+    // planted pair survives mutation in every replica (injectivity) and
+    // no cross-replica pair reaches the threshold (suppression)
+    assert(scaledTruth == composed,
+      s"extra=${scaledTruth.diff(composed).take(5)} missing=${composed.diff(scaledTruth).take(5)}")
+
+    // within-replica Jaccard is BIT-identical, not merely threshold-stable
+    val sh0 = MinHashLSH.shingles(baseDocs, "doc_id", "text", 3)
+    val sh1 = MinHashLSH.shingles(
+      ScaleData.mutateDocuments(baseDocs, "text", 1), "doc_id", "text", 3)
+    val basePairsDf = baseTruth.toSeq.toDF("a", "b")
+    def jmap(sh: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      basePairsDf
+        .join(sh.select($"id".as("a"), $"shingles".as("sa")), Seq("a"))
+        .join(sh.select($"id".as("b"), $"shingles".as("sb")), Seq("b"))
+        .select($"a", $"b", Dedup.jaccardUdf($"sa", $"sb").as("j"))
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val j0 = jmap(sh0)
+    val j1 = jmap(sh1)
+    baseTruth.foreach(p => assert(j0(p) == j1(p), s"Jaccard drifted under mutation for $p: ${j0(p)} vs ${j1(p)}"))
+  }
+
+  test("ScaleData mutate mode on embeddings: orthogonal map preserves within-replica cosines; cross-replica tail is the natural iid rate") {
+    import graft.functions.VectorFns
+    val emb = Tables.embeddings(spark, Sf)
+    val dim = emb.select(size($"embedding")).as[Int].head()
+    val m1 = ScaleData.mutateEmbeddings(emb, "embedding", 1, dim)
+    // orthogonality: every pairwise cosine preserved (fp reassociation
+    // only — the permutation reorders the dot-product sum)
+    val l0 = emb.select($"vec_id".as("a"), $"embedding".as("va"))
+    val r0 = emb.select($"vec_id".as("b"), $"embedding".as("vb"))
+    val c0 = l0.crossJoin(r0).filter($"a" < $"b")
+      .select($"a", $"b", VectorFns.cosine($"va", $"vb").as("c"))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val l1 = m1.select($"vec_id".as("a"), $"embedding".as("va"))
+    val r1 = m1.select($"vec_id".as("b"), $"embedding".as("vb"))
+    val c1 = l1.crossJoin(r1).filter($"a" < $"b")
+      .select($"a", $"b", VectorFns.cosine($"va", $"vb").as("c"))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    c0.foreach { case (p, c) => assert(math.abs(c1(p) - c) < 1e-5, s"cosine drifted for $p: $c vs ${c1(p)}") }
+    // cross-replica: the scramble must behave like a FRESH iid draw —
+    // per-pair rate at the 0.35 threshold within a loose band of the
+    // base corpus's own rate (NOT the ×(N−1) exact-copy inflation,
+    // and NOT zero: constant density is unattainable for low-dim
+    // embeddings; see ScaleData's doc)
+    val t = 0.35
+    val baseRate = c0.values.count(_ >= t).toDouble / c0.size
+    val cross = l0.crossJoin(r1.select($"b", $"vb"))
+      .select(VectorFns.cosine($"va", $"vb").as("c")).as[Double].collect()
+    val crossRate = cross.count(_ >= t).toDouble / cross.length
+    info(f"embedding tail rates: base=$baseRate%.5f cross-replica=$crossRate%.5f")
+    assert(crossRate < math.max(4 * baseRate, 0.02), s"cross-replica tail $crossRate far above natural rate $baseRate")
+    // and the exact-copy pathology is gone: no cos≈1.0 identity pairs
+    val sameId = l0.join(m1.select($"vec_id".as("a"), $"embedding".as("vm")), Seq("a"))
+      .select(VectorFns.cosine($"va", $"vm").as("c")).as[Double].collect()
+    assert(sameId.forall(_ < 0.95), s"identity pair survived the scramble: max=${sameId.max}")
+  }
 }
