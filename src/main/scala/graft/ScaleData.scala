@@ -27,19 +27,24 @@ import org.apache.spark.sql.functions._
   * set is, by construction, the per-replica shifted union of the base
   * corpus's pair set. Keys still shift; dims still copy through.
   *
-  *   - documents.text: every token whose REPLICA-KEYED xxhash64 is even
-  *     gains a replica-unique suffix ("~r<i>" — no corpus token contains
-  *     '~', so the map cannot collide with an existing token). Within a
-  *     replica the map depends only on the token VALUE, so it is an
-  *     injection (token sets and shingle sets transform 1:1, Jaccard
-  *     values are bit-identical). Across replicas i≠j the two selected
-  *     halves are independent (the hash is keyed by the replica id —
-  *     crucially NOT a fixed parity, which would leave any
-  *     all-odd-hash document verbatim in EVERY replica), so a token
-  *     survives both replicas with p=1/4: token Jaccard ≈ 1/7 and
-  *     3-shingle Jaccard ≈ (1/64)/(2−1/64) ≈ 0.008 — far below every
-  *     text threshold, and the simhash fingerprints differ in far more
-  *     than maxHamming bits.
+  *   - documents.text: in EVERY replica (including 0), each token whose
+  *     REPLICA-KEYED xxhash64 is ≢0 (mod 4) gains a replica-unique
+  *     suffix ("~r<i>" — no corpus token contains '~', so the map
+  *     cannot collide with an existing token). Within a replica the map
+  *     depends only on the token VALUE, so it is an injection (token
+  *     sets and shingle sets transform 1:1, Jaccard values are
+  *     bit-identical). Across replicas i≠j a token survives both with
+  *     p = 1/16 (the hash is keyed by the replica id — NOT a fixed
+  *     parity, which would leave any all-keep document verbatim in
+  *     EVERY replica): token Jaccard ≈ 1/31, 3-shingle survival
+  *     1/4096, and the Jaccard≥threshold leakage tail is ~1e-20 per
+  *     pair even for the corpus's shortest (10-token) docs — no
+  *     quadratic-in-copies self-pair leakage at any bench scale. A
+  *     quarter of the vocabulary stays shared across all replicas, so
+  *     cross-replica LSH band collisions (the false-positive quadratic
+  *     a real shared-vocabulary corpus pays) remain live in the
+  *     measurement. The simhash fingerprints of cross-replica twins
+  *     differ in far more than maxHamming bits.
   *   - embeddings.embedding: a per-replica signed coordinate
   *     permutation (an orthogonal map: vec'_k = s_k · vec_{π(k)}).
   *     Orthogonality preserves every within-replica cosine EXACTLY;
@@ -61,23 +66,32 @@ import org.apache.spark.sql.functions._
 object ScaleData {
 
   /** Deterministic per-replica token mutation for document text (see
-    * object doc). Replica 0 is the untouched base corpus.
+    * object doc). EVERY replica is mutated — including 0 — at rate 3/4:
+    * a token is kept verbatim only when its replica-keyed hash ≡ 0
+    * (mod 4). Within a replica the map stays an injection (value-keyed,
+    * and no corpus token contains '~'), so pairwise Jaccard is
+    * bit-identical; across any replica pair i≠j a token survives both
+    * with p = 1/16, so a 3-shingle survives with p = 1/4096 — the
+    * Jaccard≥0.5 leakage tail for the corpus's shortest docs (10
+    * tokens at sf0.1) is ~1e-20 per pair. (The earlier 1/2-rate with
+    * an untouched replica 0 left (0,i) shingle survival at 1/8, and
+    * 11-token docs leaked above threshold at a measured ~2e-4/pair —
+    * quadratic in copy count, which is exactly what this mode exists
+    * to prevent.)
     */
-  def mutateDocuments(df: DataFrame, textCol: String, replica: Int): DataFrame =
-    if (replica == 0) df
-    else {
-      val sfx = lit(s"~r$replica")
-      df.withColumn(
-        textCol,
-        concat_ws(
-          " ",
-          transform(
-            split(col(textCol), " "),
-            t => when(pmod(xxhash64(t, lit(replica)), lit(2)) === 0, concat(t, sfx)).otherwise(t)
-          )
+  def mutateDocuments(df: DataFrame, textCol: String, replica: Int): DataFrame = {
+    val sfx = lit(s"~r$replica")
+    df.withColumn(
+      textCol,
+      concat_ws(
+        " ",
+        transform(
+          split(col(textCol), " "),
+          t => when(pmod(xxhash64(t, lit(replica)), lit(4)) === 0, t).otherwise(concat(t, sfx))
         )
       )
-    }
+    )
+  }
 
   /** The signed coordinate permutation for one replica: (π, s) drawn
     * from a replica-seeded deterministic RNG. Exposed so the spec can

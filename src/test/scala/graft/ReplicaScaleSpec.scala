@@ -87,6 +87,43 @@ class ReplicaScaleSpec extends SparkSpec {
       .foreach { case (id, cos) => assert(all(id) == cos, s"stale LSH score for vec $id") }
   }
 
+  test("scale MinHash-LSH on the MUTATED replica corpus: recall >= 0.9 vs composed truth, zero cross-replica leakage") {
+    assume(scaleDir.isDefined, "GRAFT_SCALE_SF not set")
+    // The contract behind the 10×/100× dedup bench evidence: on a
+    // ScaleData-mutated N-copy corpus the TRUE pair set is exactly the
+    // per-replica shifted union of the base pair set (DedupSpec proves
+    // the identity at sf0.001; here the OPERATOR is held to it at the
+    // scale-gate SF) — so recall is measurable at any scale without a
+    // quadratic oracle over the scaled corpus.
+    val t = 0.5
+    val stride = docs.agg(max($"doc_id")).as[Long].head() + 1
+    val copies = 3
+    val mutated = (0 until copies)
+      .map(i => ScaleData.mutateDocuments(docs.withColumn("doc_id", $"doc_id" + lit(stride * i)), "text", i))
+      .reduce(_ unionByName _)
+    val sh = MinHashLSH.shingles(docs, "doc_id", "text", 3)
+    val baseTruth = sh.select($"id".as("a"), $"shingles".as("sa"))
+      .crossJoin(sh.select($"id".as("b"), $"shingles".as("sb")))
+      .filter($"a" < $"b")
+      .filter(round(Dedup.jaccardUdf($"sa", $"sb"), 4) >= t)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(baseTruth.nonEmpty, "vacuous: no base near-dup pairs")
+    val composed = (0 until copies).flatMap { i =>
+      baseTruth.map { case (a, b) => (a + stride * i, b + stride * i) }
+    }.toSet
+    val got = MinHashLSH.nearDupPairs(mutated, "doc_id", "text", threshold = t)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // precision vs composed truth: every emitted pair is an exact-
+    // verified pair of the mutated corpus, and by the density invariant
+    // those are exactly the within-replica shifts — so ANY emitted pair
+    // outside `composed` would mean cross-replica leakage (or a verify
+    // bug) at this SF
+    assert(got.subsetOf(composed), s"pairs outside the composed truth: ${got.diff(composed).take(5)}")
+    val recall = got.intersect(composed).size.toDouble / composed.size
+    info(s"mutated-corpus recall at $copies copies: $recall (truth ${composed.size}, got ${got.size})")
+    assert(recall >= 0.9, s"recall=$recall on the mutated replica corpus")
+  }
+
   test("scale IVF: top-k scores exact; k-means top-k exact too") {
     assume(scaleDir.isDefined, "GRAFT_SCALE_SF not set")
     val corpus = emb.count().toInt

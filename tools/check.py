@@ -116,7 +116,11 @@ def main():
     con = duckdb.connect()
     for p in glob.glob(f"{sfdir}/*.parquet"):
         name = os.path.basename(p).replace(".parquet", "")
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+        # testdata ships single files; ScaleData writes Spark-style
+        # directories — register either shape (the sf1 spot-gate runs
+        # against a scaled directory layout)
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     # GRAFT_CHECK_SKIP: comma-separated key substrings to skip. Used for
