@@ -69,7 +69,12 @@ private[graft] object DedupEntries {
     // it against all-pairs truth).
     "dedup_embedding" -> ((s, dir) =>
       Similarity
-        .embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.35, nBits = 6, tables = 32)
+        // nBits = 0 = auto occupancy-scaled signature width: resolves to
+        // the measured 6-bit operating point at the gate SF (2 k vectors)
+        // and widens with the corpus so candidate volume stays linear —
+        // the pinned 6/32 was quadratic past ~10 k vectors (ReplicaSpec
+        // pins the explicit-parameter recall contract).
+        .embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.35, nBits = 0, tables = 32)
         .orderBy("a", "b")),
 
     // SemDeDup (Abbas '23): the same near-dup pairs blocked by k-means

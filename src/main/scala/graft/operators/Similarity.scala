@@ -1546,12 +1546,16 @@ object Similarity {
     * population (×nAssign multi-assignment) stays ~`targetCell`: the
     * in-cell quadratic is then n·targetCell, never n²/nLists with a
     * FIXED list count. 16 at the gate SFs (2 k vectors — unchanged
-    * results), ~98 at 200 k, always ≥16. The 100× disk blow-up this
-    * fixes: 200 k vectors in 16 fixed cells ⇒ ~5 G candidate pairs
-    * through the distinct shuffle (~150 GB spill); scaled cells keep
-    * the candidate volume linear in n.
+    * results, since the ≥16 floor dominates below n·nAssign = 16 k),
+    * ~391 at 200 k, always ≥16. The 100× disk blow-up this fixes:
+    * 200 k vectors in 16 fixed cells ⇒ ~5 G candidate pairs through
+    * the distinct shuffle (~150 GB spill); scaled cells keep the
+    * candidate volume linear in n (n·targetCell/2 pairs — ~100 M at
+    * 200 k with the 1 024 default, sized so a single-box 100× run
+    * verifies in minutes, not hours; on a cluster the per-cell work is
+    * embarrassingly parallel either way).
     */
-  def semanticAutoLists(n: Long, nAssign: Int = 2, targetCell: Int = 4096): Int =
+  def semanticAutoLists(n: Long, nAssign: Int = 2, targetCell: Int = 1024): Int =
     math.max(16L, math.ceil(n.toDouble * nAssign / targetCell).toLong).toInt
 
   def semanticNearDupPairs(
@@ -1613,9 +1617,12 @@ object Similarity {
     * the threshold boundary, so a corpus-scale deployment holding a
     * recall floor adds OR-ed tables as it adds bits (L grows ~n^ρ) —
     * there is no free constant-recall constant-candidate operating
-    * point. Callers pin (nBits, tables) for a measured recall contract
-    * (the dedup_embedding entry: 6/32 at its gate-SF operating point);
-    * this helper picks the bounded-candidate width for a given n.
+    * point. The dedup_embedding entry passes nBits = 0 (auto): at its
+    * gate-SF operating point (2 k vectors) auto resolves to the same
+    * 6 bits its recall contract was measured at, and past that the
+    * signature widens with the corpus so candidate volume stays
+    * n·targetBucket·tables/2 instead of quadratic. Specs that need an
+    * exact replica contract pin (nBits, tables) explicitly.
     */
   def embeddingAutoBits(n: Long, targetBucket: Int = 32): Int =
     math.max(4, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
@@ -1634,13 +1641,18 @@ object Similarity {
       nBits: Int = 8,
       tables: Int = 4
   ): DataFrame = {
+    // nBits = 0 = AUTO: occupancy-scaled signature width (one cheap
+    // count), mirroring semanticNearDupPairs' auto cluster count.
+    val bits =
+      if (nBits > 0) nBits
+      else embeddingAutoBits(emb.filter(col(vecCol).isNotNull).count())
     val sigd = graft.Tables
       .ensureParallelism(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .select(
         col("id"),
         col("vec"),
         posexplode(
-          array((0 until tables).map(t => VectorFns.hyperplaneSig(col("vec"), nBits, seed = t * 104729 + 13)): _*)
+          array((0 until tables).map(t => VectorFns.hyperplaneSig(col("vec"), bits, seed = t * 104729 + 13)): _*)
         ).as(Seq("table", "sig"))
       )
     // Candidate distinct() shuffles only (a, b) id pairs; the 64-float
