@@ -69,6 +69,27 @@ object VectorFns {
   /** Squared L2 distance (monotone in L2 — fine for ranking, cheaper). */
   def l2sq(a: Column, b: Column): Column = l2sqUdf(asDouble(a), asDouble(b))
 
+  /** The `nAssign` centroid indices nearest an `array<float>` vector via
+    * the native codegen'd [[NearestCells]] expression (distance asc,
+    * tie → lower index; bit-identical to the retired boxed UDF). The
+    * centroid matrix is flattened row-major once on the driver and rides
+    * the plan as a single `float[]` reference object. All centroid rows
+    * must share one dimensionality (IVF centroids are sampled corpus
+    * vectors, so they do).
+    */
+  def nearestCells(vec: Column, centroids: Array[Array[Float]], nAssign: Int): Column = {
+    val dim = if (centroids.isEmpty) 1 else centroids(0).length
+    val flat = new Array[Float](centroids.length * dim)
+    var i = 0
+    while (i < centroids.length) {
+      System.arraycopy(centroids(i), 0, flat, i * dim, math.min(dim, centroids(i).length))
+      i += 1
+    }
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      NearestCells(org.apache.spark.sql.graft.ColumnBridge.expression(vec), flat, dim, nAssign)
+    )
+  }
+
   /** Register the scalar vector kernels for SQL use:
     * cosine_sim(a, b), dot_product(a, b), l2_sq(a, b).
     */

@@ -271,24 +271,12 @@ object Similarity {
     * assignment is a pure projection (one scan, zero shuffle). NULL
     * vectors go to cell -1, which is never probed.
     */
-  private def assignUdf(centroids: Array[Array[Float]]) = udf { (v: Seq[Float]) =>
-    if (v == null) -1
-    else {
-      var best = 0
-      var bestD = Double.MaxValue
-      var i = 0
-      while (i < centroids.length) {
-        val c = centroids(i)
-        var d = 0.0
-        var j = 0
-        val n = math.min(c.length, v.length)
-        while (j < n) { val t = v(j).toDouble - c(j).toDouble; d += t * t; j += 1 }
-        if (d < bestD) { bestD = d; best = i }
-        i += 1
-      }
-      best
-    }
-  }
+  /** Nearest-cell id via the native [[VectorFns.nearestCells]] codegen
+    * expression (null vector → cell −1, never probed — the retired boxed
+    * UDF's contract, bit-identical assignments).
+    */
+  private def assignCell(centroids: Array[Array[Float]], v: Column): Column =
+    coalesce(element_at(VectorFns.nearestCells(v, centroids, 1), 1), lit(-1))
 
   def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, nLists: Int): IvfIndex = {
     // O(nLists) driver fetch: index metadata, same class as a probe-vector
@@ -305,7 +293,7 @@ object Similarity {
       .map(_.getSeq[Float](1).toArray)
     val assigned = graft.Tables
       .ensureParallelism(emb.select(col(idCol), col(vecCol)))
-      .withColumn("cell", assignUdf(centroids)(col(vecCol)))
+      .withColumn("cell", assignCell(centroids, col(vecCol)))
     IvfIndex(centroids, assigned)
   }
 
@@ -327,15 +315,19 @@ object Similarity {
   def addToIvf(index: IvfIndex, delta: DataFrame, idCol: String, vecCol: String): IvfIndex = {
     val newAssigned = graft.Tables
       .ensureParallelism(delta.select(col(idCol), col(vecCol)))
-      .withColumn("cell", assignUdf(index.centroids)(col(vecCol)))
+      .withColumn("cell", assignCell(index.centroids, col(vecCol)))
     index.copy(assigned = index.assigned.unionByName(newAssigned))
   }
 
   /** Lloyd (k-means) refinement of the IVF coarse quantizer: each round
-    * re-assigns every vector to its nearest centroid (pure projection)
-    * and moves each centroid to its cell's per-dimension mean — one
-    * explode + hash-aggregate per round, shuffling (cell, dim, partial
-    * mean) triples, never vectors. Refined cells are tighter and more
+    * re-assigns every vector to its nearest centroid (the native
+    * [[assignCell]] expression) and moves each centroid to its cell's
+    * per-dimension mean — one hash-aggregate per round over dim native
+    * `avg(element_at(vec, k))` columns, shuffling nLists × dim partial
+    * means, never vectors. No explode: the earlier `posexplode` plan let
+    * Catalyst collapse the assignment into the Generate, re-running the
+    * O(nLists·dim) kernel once per EXPLODED row — a dim-× amplification
+    * that dominated scaled builds. Refined cells are tighter and more
     * even, so the same nProbe recovers more true neighbors (standard IVF
     * practice; the index structure and score path are unchanged). Empty
     * cells keep their previous centroid. The per-round cost is one corpus
@@ -345,20 +337,27 @@ object Similarity {
   def ivfRefine(emb: DataFrame, idCol: String, vecCol: String, index: IvfIndex, iters: Int): IvfIndex = {
     val base = emb.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull)
     var cents = index.centroids
-    for (_ <- 0 until iters) {
-      // (cell, dim) means: nLists × dim result rows — driver-scale index
-      // metadata, same class as the centroid array itself.
+    val dim = if (cents.isEmpty) 0 else cents(0).length
+    for (_ <- 0 until iters if dim > 0) {
+      // nLists rows × dim mean columns — driver-scale index metadata,
+      // same class as the centroid array itself.
+      // `get` (0-based) not `element_at`: null — not an ANSI error — past a
+      // ragged vector's end, matching the explode plan's missing-dim rows.
+      val meanCols = (0 until dim).map(k => avg(get(col(vecCol), lit(k))).as(s"m$k"))
       val means = graft.Tables
         .ensureParallelism(base)
-        .select(assignUdf(cents)(col(vecCol)).as("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
-        .groupBy("cell", "dim")
-        .agg(avg("x").as("m"))
+        .groupBy(assignCell(cents, col(vecCol)).as("cell"))
+        .agg(meanCols.head, meanCols.tail: _*)
         .collect()
       val next = cents.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+      means.foreach { r =>
+        val cell = r.getInt(0)
+        var k = 0
+        while (k < dim) { if (!r.isNullAt(k + 1)) next(cell)(k) = r.getDouble(k + 1).toFloat; k += 1 }
+      }
       cents = next
     }
-    IvfIndex(cents, base.withColumn("cell", assignUdf(cents)(col(vecCol))))
+    IvfIndex(cents, base.withColumn("cell", assignCell(cents, col(vecCol))))
   }
 
   /** Build + refine in one call: the deterministic sample seeds Lloyd. */
@@ -1546,16 +1545,20 @@ object Similarity {
     * population (×nAssign multi-assignment) stays ~`targetCell`: the
     * in-cell quadratic is then n·targetCell, never n²/nLists with a
     * FIXED list count. 16 at the gate SFs (2 k vectors — unchanged
-    * results, since the ≥16 floor dominates below n·nAssign = 16 k),
-    * ~391 at 200 k, always ≥16. The 100× disk blow-up this fixes:
-    * 200 k vectors in 16 fixed cells ⇒ ~5 G candidate pairs through
-    * the distinct shuffle (~150 GB spill); scaled cells keep the
-    * candidate volume linear in n (n·targetCell/2 pairs — ~100 M at
-    * 200 k with the 1 024 default, sized so a single-box 100× run
-    * verifies in minutes, not hours; on a cluster the per-cell work is
-    * embarrassingly parallel either way).
+    * results, since the ≥16 floor dominates up to n·nAssign = 4 k,
+    * i.e. exactly through the gate corpora), ~1 563 at 200 k, always
+    * ≥16. The 100× disk blow-up this fixes: 200 k vectors in 16 fixed
+    * cells ⇒ ~5 G candidate pairs through the distinct shuffle
+    * (~150 GB spill); scaled cells keep the candidate volume linear in
+    * n (n·targetCell/2 pairs — ~26 M at 200 k). targetCell = 256
+    * matches the ~250-vector cells the gate-SF corpus actually
+    * operates at under the floor, so the base→10×→100× series measures
+    * ONE operating point (a larger targetCell makes the first decade
+    * look superlinear purely because cells are still growing toward
+    * it). On a cluster the per-cell work is embarrassingly parallel
+    * either way.
     */
-  def semanticAutoLists(n: Long, nAssign: Int = 2, targetCell: Int = 1024): Int =
+  def semanticAutoLists(n: Long, nAssign: Int = 2, targetCell: Int = 256): Int =
     math.max(16L, math.ceil(n.toDouble * nAssign / targetCell).toLong).toInt
 
   def semanticNearDupPairs(
@@ -1580,24 +1583,11 @@ object Similarity {
     // the runner-up cell. Storage grows ×nAssign (ids only, not
     // vectors); candidate dedup collapses the double-finds.
     val cents = idx.centroids
-    val topCells = udf { (v: Seq[Float]) =>
-      if (v == null) Seq.empty[Int]
-      else
-        cents.indices
-          .map { i =>
-            var d = 0.0
-            var j = 0
-            val c = cents(i)
-            val n = math.min(c.length, v.length)
-            while (j < n) { val t = v(j).toDouble - c(j).toDouble; d += t * t; j += 1 }
-            (d, i)
-          }
-          .sorted
-          .take(nAssign)
-          .map(_._2)
-    }
+    // Native nearest-cells expression (nAssign runner-up cells); a null
+    // vector yields a null array and explode drops it — the same
+    // zero-rows contract the boxed UDF's empty Seq produced.
     val cells = emb
-      .select(col(idCol).as("id"), explode(topCells(col(vecCol))).as("cell"))
+      .select(col(idCol).as("id"), explode(VectorFns.nearestCells(col(vecCol), cents, nAssign)).as("cell"))
     val l = cells.select(col("id").as("a"), col("cell"))
     val r = cells.select(col("id").as("b"), col("cell"))
     val cands = l.join(r, Seq("cell")).filter(col("a") < col("b")).select("a", "b").distinct()

@@ -173,8 +173,8 @@ class DedupSpec extends SparkSpec {
     // stays ~n·targetCell — the 100× candidate/spill blow-up guard.
     assert(Similarity.semanticAutoLists(200) == 16)
     assert(Similarity.semanticAutoLists(2000) == 16)
-    assert(Similarity.semanticAutoLists(200000) == 391)
-    assert(Similarity.semanticAutoLists(2000000) == 3907)
+    assert(Similarity.semanticAutoLists(200000) == 1563)
+    assert(Similarity.semanticAutoLists(2000000) == 15625)
     // auto == the old fixed default at the spec fixture size, so the
     // replica recall contract is measuring the same operator
     val emb = (0L until 40L).map(i => (i, Array.tabulate(4)(d => ((i % 8) * 3 + d).toFloat))).toDF("id", "v")
