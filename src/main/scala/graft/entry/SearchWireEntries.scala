@@ -87,6 +87,30 @@ private[graft] object SearchWireEntries {
         docsMapping
       )),
 
+    // _terms_enum over a text field: the enumerated terms are the INDEX
+    // analyzer's token stream (what match queries actually hit), prefix
+    // filtered before the distinct, bounded TakeOrdered — never a
+    // vocabulary collect.
+    "search_dsl_json_terms_enum" -> ((s, dir) =>
+      JsonDsl.termsEnum(
+        Tables.documents(s, dir),
+        """{"field": "text", "string": "sp", "size": 10}""",
+        docsMapping
+      )),
+
+    // _terms_enum over a keyword field, exercising the full request
+    // surface: case-insensitive prefix (terms return AS STORED) and
+    // search_after resuming strictly after a prior page's last term —
+    // the paging contract that makes the endpoint usable on a large
+    // vocabulary.
+    "search_dsl_json_terms_enum_keyword" -> ((s, dir) =>
+      JsonDsl.termsEnum(
+        Tables.documents(s, dir),
+        """{"field": "source", "string": "SRC1", "case_insensitive": true,
+          | "search_after": "src12", "size": 5}""".stripMargin,
+        docsMapping
+      )),
+
     // wrapper + match_none from the wire format: the term query rides
     // base64-encoded inside a wrapper clause (the raw-query escape hatch),
     // OR-ed with a match_none that must contribute nothing. Oracle = the
@@ -1992,6 +2016,16 @@ private[graft] object SearchWireEntries {
     "search_dsl_json_count" ->
       """SELECT count(*) AS count FROM documents
         |WHERE list_contains(string_split(lower(text), ' '), 'spark') AND n_chars >= 150""".stripMargin,
+
+    "search_dsl_json_terms_enum" ->
+      """SELECT DISTINCT tok AS terms
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+        |WHERE starts_with(tok, 'sp') ORDER BY tok LIMIT 10""".stripMargin,
+
+    "search_dsl_json_terms_enum_keyword" ->
+      """SELECT DISTINCT source AS terms FROM documents
+        |WHERE starts_with(lower(source), 'src1') AND source > 'src12'
+        |ORDER BY source LIMIT 5""".stripMargin,
 
     "search_dsl_json_intervals" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

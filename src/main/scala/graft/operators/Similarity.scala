@@ -555,18 +555,40 @@ object Similarity {
     for (_ <- 0 until iters) {
       // One scan: encode, explode residual dims, mean per (subspace,
       // assigned code, dim-within-subspace). Empty codes keep their entry.
-      val enc = encodeUdf(cents, books)
+      // ONE struct UDF evaluated once per row, then posexplode over its
+      // residual half: the struct is referenced twice (code + exploded
+      // residual), so CollapseProject cannot fold the UDF into the
+      // Generate and re-run it per exploded row — the silent dim-×
+      // amplification the previous two-UDF projection paid (the same
+      // class as the ivfRefine fix; the OPQ refit always had this shape).
       val cb = books
-      val residUdf = udf { (v: Seq[Float]) =>
+      val trainScan = udf { (v: Seq[Float]) =>
         val c = cents(nearestCell(cents, v))
-        Seq.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
+        val res = Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
+        val dsubV = v.length / cb.length
+        val code = Array.tabulate(cb.length) { mi =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var k = 0
+          val book = cb(mi)
+          while (k < book.length) {
+            var d = 0.0
+            var j = 0
+            while (j < dsubV) { val t = res(mi * dsubV + j).toDouble - book(k)(j).toDouble; d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = k }
+            k += 1
+          }
+          best
+        }
+        (code.toSeq, res.toSeq)
       }
       val means = graft.Tables
         .ensureParallelism(base)
-        .select(enc(col(vecCol)).as("pq"), posexplode(residUdf(col(vecCol))).as(Seq("dim", "x")))
+        .select(trainScan(col(vecCol)).as("t"))
+        .select(col("t._1").as("code"), posexplode(col("t._2")).as(Seq("dim", "x")))
         .select(
           (col("dim") / dsub).cast("int").as("sub"),
-          element_at(col("pq.code"), (col("dim") / dsub).cast("int") + 1).as("codeId"),
+          element_at(col("code"), (col("dim") / dsub).cast("int") + 1).as("codeId"),
           (col("dim") % dsub).as("within"),
           col("x")
         )

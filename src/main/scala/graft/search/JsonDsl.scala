@@ -1056,6 +1056,50 @@ object JsonDsl {
     df.filter(pred).agg(count(lit(1)).as("count"))
   }
 
+  /** The `_terms_enum` API (POST /{index}/_terms_enum): enumerate
+    * INDEXED terms of one field that start with `string`,
+    * lexicographically ascending, at most `size` (default 10) — the
+    * low-latency term-discovery endpoint behind keyword autocomplete
+    * UIs. For a `text` field the indexed terms are the field's INDEX
+    * analyzer output (the same token stream match compiles against);
+    * for `keyword` fields the raw stored values. `case_insensitive`
+    * relaxes only the prefix test — terms come back as indexed, exactly
+    * like the real API. An optional `search_after` term resumes the
+    * enumeration strictly after a previous page's last term.
+    *
+    * Scale shape: prefix filter BEFORE the distinct (on keyword fields
+    * it pushes into the parquet scan as a StartsWith), map-side partial
+    * distinct on the term stream, then a bounded TakeOrdered — the
+    * vocabulary is never collected or globally sorted.
+    */
+  def termsEnum(df: DataFrame, body: String, mapping: IndexMapping = IndexMapping.empty): DataFrame = {
+    val root =
+      try mapper.readTree(body)
+      catch { case e: Exception => throw new IllegalArgumentException(s"malformed _terms_enum body: ${e.getMessage}") }
+    require(root != null && root.hasNonNull("field"), "_terms_enum requires a \"field\"")
+    val field = root.get("field").asText
+    require(df.columns.contains(field), s"unknown field: $field")
+    val prefix = Option(root.get("string")).map(_.asText).getOrElse("")
+    val size = Option(root.get("size")).map(_.asInt).getOrElse(10)
+    val ci = Option(root.get("case_insensitive")).exists(_.asBoolean)
+    val after = Option(root.get("search_after")).map(_.asText)
+    val terms =
+      if (mapping.isText(field))
+        df.select(explode(SearchDsl.analyzeWith(col(field), mapping.analyzerFor(field))).as("term"))
+      else df.select(col(field).cast("string").as("term"))
+    val prefixPred =
+      if (prefix.isEmpty) lit(true)
+      else if (ci) lower(col("term")).startsWith(prefix.toLowerCase)
+      else col("term").startsWith(prefix)
+    val afterPred = after.map(col("term") > _).getOrElse(lit(true))
+    terms
+      .filter(col("term").isNotNull && prefixPred && afterPred)
+      .distinct()
+      .orderBy("term")
+      .limit(size)
+      .select(col("term").as("terms"))
+  }
+
   def msearchCounts(
       resolve: String => DataFrame,
       ndjson: String,

@@ -1137,6 +1137,46 @@ class JsonDslSpec extends SparkSpec {
     assert(byField("id")._2 == "bigint" && byField("id")._4)
   }
 
+  test("_terms_enum enumerates indexed terms: analyzed tokens for text, stored values for keyword") {
+    // text field: terms are the index analyzer's token stream, asc
+    val txt = JsonDsl
+      .termsEnum(cards, """{"field": "text", "string": "s"}""", mapping)
+      .as[String]
+      .collect()
+      .toSeq
+    assert(txt == Seq("sleeps", "slow", "spark", "streaming"))
+    // keyword field: raw stored values, case-insensitive prefix returns
+    // terms AS STORED; size bounds; search_after resumes strictly after
+    val kw = JsonDsl
+      .termsEnum(
+        cards,
+        """{"field": "status", "string": "a", "case_insensitive": true, "size": 1}""",
+        mapping
+      )
+      .as[String]
+      .collect()
+      .toSeq
+    assert(kw == Seq("ACTIVE"))
+    val paged = JsonDsl
+      .termsEnum(
+        cards,
+        """{"field": "status", "search_after": "ACTIVE"}""",
+        mapping
+      )
+      .as[String]
+      .collect()
+      .toSeq
+    assert(paged == Seq("BLOCKED", "CLOSED"))
+    // case-SENSITIVE prefix on a keyword field misses stored uppercase
+    assert(JsonDsl.termsEnum(cards, """{"field": "status", "string": "a"}""", mapping).isEmpty)
+    // contract errors: missing field / unknown field / malformed body
+    assertThrows[IllegalArgumentException](JsonDsl.termsEnum(cards, """{"string": "a"}""", mapping))
+    assertThrows[IllegalArgumentException](
+      JsonDsl.termsEnum(cards, """{"field": "ghost"}""", mapping)
+    )
+    assertThrows[IllegalArgumentException](JsonDsl.termsEnum(cards, """{"field": """, mapping))
+  }
+
   test("knn method=hnsw wire body runs the graph engine: equal to the structured graphSearch") {
     import graft.operators.Similarity
     val emb = (0L until 40L).map(i => (i, Array.tabulate(4)(d => ((i % 8) * 3 + d).toFloat))).toDF("vec_id", "embedding")
