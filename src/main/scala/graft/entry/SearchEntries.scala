@@ -309,6 +309,19 @@ private[graft] object SearchEntries {
     "search_bm25" -> ((s, dir) =>
       graft.search.Bm25.scoreAgainstIndex(cachedBm25(s, dir), Seq("spark", "query"), 10)),
 
+    // _termvectors: per-term stats of ONE document from the inverted
+    // index (term_freq / doc_freq / ttf) — a point filter on the
+    // postings joined against the once-aggregated vocabulary stats.
+    "search_termvectors" -> ((s, dir) =>
+      graft.search.Bm25.termVectors(cachedBm25(s, dir), 7L)),
+
+    // _explain: the per-term BM25 factor breakdown (tf, df, idf,
+    // contribution) for one (doc, query) pair, computed by exactly the
+    // scoring path's expressions — contributions sum to the emitted
+    // score bit for bit.
+    "search_explain" -> ((s, dir) =>
+      graft.search.Bm25.explainScore(cachedBm25(s, dir), 4L, Seq("spark", "query"))),
+
     // match_phrase under the analyzer chain with ES-exact POSITION
     // GAPS: the stop filter drops tokens but preserves the survivors'
     // position increments on both sides, so "tables the parts" (kept:
@@ -2074,6 +2087,32 @@ private[graft] object SearchEntries {
         |                     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
         |FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
         |GROUP BY id ORDER BY score DESC, id LIMIT 10""".stripMargin,
+
+    "search_termvectors" ->
+      """WITH toks AS (SELECT doc_id, t.term
+        |              FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)),
+        |tf AS (SELECT doc_id, term, count(*) AS term_freq FROM toks GROUP BY 1, 2),
+        |stats AS (SELECT term, count(*) AS doc_freq, CAST(sum(term_freq) AS BIGINT) AS ttf
+        |          FROM tf GROUP BY 1)
+        |SELECT t.term, t.term_freq, s.doc_freq, s.ttf
+        |FROM tf t JOIN stats s USING (term)
+        |WHERE t.doc_id = 7 ORDER BY t.term""".stripMargin,
+
+    "search_explain" ->
+      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
+        |                     len(string_split(lower(text), ' ')) AS dl
+        |              FROM documents),
+        |postings AS (SELECT id, dl, t.term, count(*) AS tf
+        |             FROM base, unnest(toks) AS t(term)
+        |             WHERE t.term IN ('spark', 'query') GROUP BY id, dl, t.term),
+        |docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base)
+        |SELECT term, tf, df,
+        |       round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf,
+        |       round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |             * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 4) AS contribution
+        |FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
+        |WHERE id = 4 ORDER BY term""".stripMargin,
 
     "search_match_phrase_stemmed" ->
       """WITH p AS (

@@ -1262,28 +1262,14 @@ object Similarity {
   ): GraphIndex = {
     val idx = ivfIndexKMeans(emb, idCol, vecCol, nLists, iters = 2)
     val cents = idx.centroids
-    val topCells = udf { (v: Seq[Float]) =>
-      if (v == null) Seq.empty[Int]
-      else
-        cents.indices
-          .map { i =>
-            var d = 0.0
-            var j = 0
-            val c = cents(i)
-            val n = math.min(c.length, v.length)
-            while (j < n) { val t = v(j).toDouble - c(j).toDouble; d += t * t; j += 1 }
-            (d, i)
-          }
-          .sorted
-          .take(nAssign)
-          .map(_._2)
-    }
     // Persisted: the frame feeds the cell census AND both sides of the
     // candidate self-join — without the cache each consumer re-runs the
-    // nLists-distance assignment UDF over the whole corpus (3 passes).
+    // nLists-distance assignment over the whole corpus (3 passes). The
+    // assignment itself is the native [[VectorFns.nearestCells]] codegen
+    // expression (bit-identical ordering to the retired boxed UDF).
     val cells = graft.Tables
       .ensureParallelism(emb.select(col(idCol).as("id"), col(vecCol).as("vec")).filter(col("vec").isNotNull))
-      .withColumn("cells", topCells(col("vec"))) // full assignment rides along for row-local pair dedup
+      .withColumn("cells", VectorFns.nearestCells(col("vec"), cents, nAssign)) // full assignment rides along for row-local pair dedup
       .select(col("id"), col("vec"), col("cells"), explode(col("cells")).as("cell"))
       .persist()
     val half = graphCandidatePairs(cells, maxCell)

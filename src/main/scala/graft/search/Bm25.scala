@@ -249,6 +249,64 @@ object Bm25 {
     * — no re-tokenization of the corpus. Scores are identical to
     * [[moreLikeThis]] (Bm25IndexSpec asserts it).
     */
+  /** The `_termvectors` API for one document: per-term statistics from
+    * the inverted index — term_freq (tf in the doc), doc_freq (docs
+    * containing the term), ttf (total term frequency across the
+    * corpus) — term ascending. Plan: the vocabulary stats aggregate
+    * ONCE over the posting table (map-side combined, vocabulary-sized
+    * output); the single-document posting slice is a point filter on
+    * the postings joined against it (AQE broadcasts the doc-sized
+    * side) — the corpus is never re-tokenized per call.
+    */
+  def termVectors(index: Bm25Index, docId: Any): DataFrame = {
+    val stats = index.postings
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("tf")).as("ttf"))
+    index.postings
+      .filter(col("id") === lit(docId))
+      .select(col("term"), col("tf").as("term_freq"))
+      .join(stats, "term")
+      .select(col("term"), col("term_freq"), col("doc_freq"), col("ttf"))
+      .orderBy("term")
+  }
+
+  /** The `_explain` API: why one document scores as it does for a term
+    * query — one row per MATCHED query term with the BM25 factor
+    * breakdown (tf, df, idf, contribution), computed by exactly the
+    * [[scoreAgainstIndex]] expressions in the same order, so the
+    * contributions sum to the emitted score bit for bit. df counts the
+    * term's documents across the WHOLE index (not just the explained
+    * doc), as the real API reports.
+    */
+  def explainScore(
+      index: Bm25Index,
+      docId: Any,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val qPostings = index.postings.filter(col("term").isin(terms: _*))
+    val docFreq = qPostings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    qPostings
+      .filter(col("id") === lit(docId))
+      .join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(index.corpus))
+      .select(
+        col("term"),
+        col("tf"),
+        col("df"),
+        round(idf, 6).as("idf"),
+        round(
+          idf * (col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
+          4
+        ).as("contribution")
+      )
+      .orderBy("term")
+  }
+
   def moreLikeThisAgainstIndex(index: Bm25Index, targetId: Any, k: Int): DataFrame = {
     val terms = index.postings.select(col("id"), col("term"))
     val target = terms.filter(col("id") === lit(targetId)).select(col("term"))

@@ -57,6 +57,44 @@ class Bm25IndexSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("_explain contributions sum to the emitted score; _termvectors agrees with the postings") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf)
+    val index = Bm25.buildIndex(docs, "doc_id", "text").persist()
+    try {
+      val terms = Seq("spark", "query")
+      // every scored document's explain rows sum (rounded as the score
+      // path rounds) to its emitted score — the breakdown IS the score
+      val scored = Bm25.scoreAgainstIndex(index, terms, 5).as[(Long, Double)].collect().toSeq
+      assert(scored.nonEmpty)
+      scored.foreach { case (id, score) =>
+        val contribs = Bm25
+          .explainScore(index, id, terms)
+          .select(col("contribution"))
+          .as[Double]
+          .collect()
+        // contributions are rounded at 4dp individually; the score is the
+        // rounded sum of UNrounded terms — allow one ulp-of-rounding slack
+        assert(math.abs(contribs.sum - score) < 5e-4, s"doc $id: ${contribs.toSeq} vs $score")
+      }
+      // termvectors: term_freq equals the doc's posting tf; doc_freq and
+      // ttf equal first-principles aggregates over the posting table
+      val tv = Bm25
+        .termVectors(index, 7L)
+        .as[(String, Long, Long, Long)]
+        .collect()
+        .toSeq
+      assert(tv.nonEmpty && tv.map(_._1) == tv.map(_._1).sorted)
+      val postings = index.postings.select(col("id"), col("term"), col("tf")).as[(Long, String, Long)].collect()
+      val mine = postings.filter(_._1 == 7L).map(t => t._2 -> t._3).toMap
+      assert(tv.map(t => t._1 -> t._2).toMap == mine)
+      tv.foreach { case (term, _, df, ttf) =>
+        assert(df == postings.count(_._2 == term).toLong, term)
+        assert(ttf == postings.filter(_._2 == term).map(_._3).sum, term)
+      }
+    } finally index.unpersist()
+  }
+
   test("more_like_this against the index equals the from-scratch path") {
     val docs = Tables.documents(spark, Sf)
     val index = Bm25.buildIndex(docs, "doc_id", "text").persist()
