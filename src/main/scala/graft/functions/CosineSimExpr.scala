@@ -3,16 +3,22 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native codegen'd cosine similarity over two `array<double>` columns.
+/** Native codegen'd cosine similarity over two `array<float>` or
+  * `array<double>` columns (any combination).
   *
   * Versus the Scala-UDF kernel: no Seq boxing, no encoder round-trip — the
   * generated code reads both `ArrayData` buffers primitively inside the
   * consuming whole-stage-codegen loop, so a 100 TB ANN scan stays in one
-  * fused pass. Accumulation is the same strict sequential left-to-right
-  * order as the UDF and DuckDB's list_cosine_similarity, so results are
-  * bitwise-identical across all three.
+  * fused pass. Float inputs are read with `getFloat` and widened to
+  * double per element (float→double widening is exact, so results are
+  * bitwise-identical to the previous cast-to-array<double> plan — but
+  * WITHOUT the per-row converted-array allocation the Cast paid on
+  * every scan row). Accumulation is the same strict sequential
+  * left-to-right order as the UDF and DuckDB's
+  * list_cosine_similarity, so results are bitwise-identical across all
+  * three.
   *
   * Null semantics: null if either side is null (NullIntolerant).
   */
@@ -22,20 +28,29 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case _ =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-          .TypeCheckFailure(s"cosine_sim needs array<double> inputs, got ${left.dataType} / ${right.dataType}")
-    }
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"cosine_sim needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}"
+        )
+
+  private def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    CosineSim.compute(x, y)
+    CosineSim.compute(x, isFloat(left.dataType), y, isFloat(right.dataType))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -50,12 +65,14 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
         val nb = ctx.freshName("nb")
         val x = ctx.freshName("x")
         val y = ctx.freshName("y")
+        val getA = if (isFloat(left.dataType)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+        val getB = if (isFloat(right.dataType)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
         s"""
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  double $x = $a.getDouble($i);
-           |  double $y = $b.getDouble($i);
+           |  double $x = $getA;
+           |  double $y = $getB;
            |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
            |}
            |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
@@ -68,15 +85,15 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 object CosineSim {
-  def compute(x: ArrayData, y: ArrayData): Double = {
+  def compute(x: ArrayData, xFloat: Boolean, y: ArrayData, yFloat: Boolean): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val a = x.getDouble(i)
-      val b = y.getDouble(i)
+      val a = if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val b = if (yFloat) y.getFloat(i).toDouble else y.getDouble(i)
       dot += a * b
       na += a * a
       nb += b * b
@@ -84,4 +101,7 @@ object CosineSim {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Back-compat double-only kernel (SQL twin tests). */
+  def compute(x: ArrayData, y: ArrayData): Double = compute(x, xFloat = false, y, yFloat = false)
 }

@@ -57,12 +57,16 @@ object VectorFns {
 
   /** Cosine similarity via the native codegen'd [[CosineSim]] expression
     * (the UDF kernel remains registered for SQL as `cosine_sim`).
+    * Float arrays are read natively — no cast-to-array<double> copy per
+    * row (float→double widening per ELEMENT is exact, so values are
+    * bitwise-unchanged); non-array inputs still go through the cast so
+    * the analysis error surfaces as before.
     */
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       CosineSim(
-        org.apache.spark.sql.graft.ColumnBridge.expression(asDouble(a)),
-        org.apache.spark.sql.graft.ColumnBridge.expression(asDouble(b))
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)
       )
     )
 

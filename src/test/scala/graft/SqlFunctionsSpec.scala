@@ -69,4 +69,60 @@ class SqlFunctionsSpec extends SparkSpec {
         .head()
     }
   }
+
+  test("NearestCells kernel: ordering, ties, ragged vectors, edge sizes — codegen and interpreted agree") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.functions.VectorFns
+    val cents = Array(
+      Array(0f, 0f), // cell 0
+      Array(1f, 0f), // cell 1
+      Array(0f, 1f), // cell 2 — same distance from (0.5, 0.5) as cell 1
+      Array(9f, 9f)  // cell 3 — far
+    )
+    def top(v: Array[Float], k: Int): Seq[Int] = {
+      val df = Seq(Tuple1(v)).toDF("v")
+      val interpreted = df
+        .select(VectorFns.nearestCells(col("v"), cents, k).as("c"))
+        .head()
+        .getSeq[Int](0)
+        .toSeq
+      // force the row through a whole-stage-codegen projection too (a
+      // filter keeps the projection inside codegen)
+      val codegen = df
+        .filter(lit(true))
+        .select(VectorFns.nearestCells(col("v"), cents, k).as("c"))
+        .head()
+        .getSeq[Int](0)
+        .toSeq
+      assert(interpreted == codegen, s"codegen/interpreted split on ${v.toSeq}")
+      interpreted
+    }
+    // plain ordering: nearest first
+    assert(top(Array(0.9f, 0.1f), 2) == Seq(1, 0))
+    // TIE: (0.5, 0.5) is equidistant from cells 1 and 2 — lower index
+    // wins, and it also ties cell 0 — full order by (dist, idx)
+    assert(top(Array(0.5f, 0.5f), 3) == Seq(0, 1, 2))
+    // k > nLists clamps
+    assert(top(Array(0f, 0f), 9) == Seq(0, 1, 2, 3))
+    // ragged: a 1-dim vector scores against the first dim only
+    assert(top(Array(1f), 1) == Seq(1))
+    // null vector → null array (never a crash)
+    val nullRow = Seq(Tuple1(null.asInstanceOf[Array[Float]]))
+      .toDF("v")
+      .select(VectorFns.nearestCells(col("v"), cents, 2).as("c"))
+      .head()
+    assert(nullRow.isNullAt(0))
+    // empty centroid set → empty result, not an exception
+    val empty = Seq(Tuple1(Array(1f, 2f)))
+      .toDF("v")
+      .select(VectorFns.nearestCells(col("v"), Array.empty[Array[Float]], 2).as("c"))
+      .head()
+      .getSeq[Int](0)
+    assert(empty.isEmpty)
+    // analysis-time type check: non-float arrays rejected
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1(Array(1.0, 2.0))).toDF("v").select(VectorFns.nearestCells(col("v"), cents, 1)).head()
+    }
+  }
 }
