@@ -42,6 +42,39 @@ class AnalyzerSpec extends SparkSpec {
     assert(got == want, s"drift: ${words.zip(got).zip(want).collect { case ((w, g), e) if g != e => (w, g, e) }}")
   }
 
+  test("chain lockstep property: random ordered filter chains, SQL analyzeWith ≡ JVM normalizeAll") {
+    import graft.search.TokenFilter
+    // The index/query symmetry every match depends on, across ARBITRARY
+    // declared chains (any count, any order, any parameters) — not just
+    // the hand-picked fixtures: the SQL column pipeline and the JVM
+    // query-term twin must emit identical token streams.
+    val rng = new scala.util.Random(7)
+    val vocabulary = Seq(
+      "the", "a", "Tables", "queries", "spark", "SCANS", "fast",
+      "parts", "cities", "bus", "x", "glass", "goes", "trees"
+    )
+    def randChain(): Seq[TokenFilter] = Seq.fill(rng.nextInt(4)) {
+      rng.nextInt(3) match {
+        case 0 =>
+          TokenFilter.Stop(
+            Seq.fill(1 + rng.nextInt(3))(vocabulary(rng.nextInt(vocabulary.length)).toLowerCase).distinct
+          )
+        case 1 => TokenFilter.SStem
+        case 2 =>
+          val mn = 1 + rng.nextInt(2)
+          TokenFilter.EdgeNgram(mn, mn + rng.nextInt(5))
+      }
+    }
+    for (trial <- 1 to 50) {
+      val a = Analyzer(s"rand$trial", randChain())
+      val docs =
+        (1 to 8).map(_ => Seq.fill(1 + rng.nextInt(8))(vocabulary(rng.nextInt(vocabulary.length))).mkString(" "))
+      val got = docs.toDF("text").select(SearchDsl.analyzeWith(col("text"), a).as("toks")).as[Seq[String]].collect().toSeq
+      val want = docs.map(d => a.normalizeTerms(d.split(" ").toSeq))
+      assert(got == want, s"chain ${a.filters} drift on $docs: got=$got want=$want")
+    }
+  }
+
   test("analyzeWith: stopwords drop, stems apply, standard chain is the base analyze") {
     val a = Analyzer("light_english", stopwords = Seq("the", "a"), stem = true)
     val toks = Seq("The queries run against big tables").toDF("t")
