@@ -113,6 +113,26 @@ private[graft] object CdcEntries {
         .orderBy("user_id", "version")),
 
 
+    // Point-in-time read (the structured twin of search_dsl_json_pit):
+    // the changelog's latest-state reduction frozen at a snapshot
+    // timestamp — the ts <= pit filter pushes to the scan, then the same
+    // map-side-combining max_by per key as cdc_latest_state. Two pits
+    // over one growing changelog = time travel.
+    "cdc_pit_read" -> ((s, dir) =>
+      CdcBatch
+        .latestState(
+          Tables.events(s, dir).filter(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp")),
+          "user_id",
+          struct(col("ts"), col("event_id")),
+          col("event_id"),
+          col("ts"),
+          col("event_type"),
+          col("value")
+        )
+        .filter(col("event_type") === "purchase")
+        .orderBy("user_id")
+        .limit(40)),
+
     // As-of (temporal) join: each purchase enriched with the user's latest
     // strictly-prior event — the point-in-time lookup CDC analytics needs.
     "cdc_asof_enrich" -> ((s, dir) => {
@@ -173,6 +193,14 @@ private[graft] object CdcEntries {
         |FROM events WHERE event_type <> 'click'
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, version""".stripMargin,
+
+    "cdc_pit_read" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t
+        |WHERE rn = 1 AND event_type = 'purchase'
+        |ORDER BY user_id LIMIT 40""".stripMargin,
 
     "cdc_asof_enrich" ->
       """WITH probe AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),

@@ -309,6 +309,13 @@ private[graft] object SearchEntries {
     "search_bm25" -> ((s, dir) =>
       graft.search.Bm25.scoreAgainstIndex(cachedBm25(s, dir), Seq("spark", "query"), 10)),
 
+    // neural_sparse semantics with the deterministic statistical encoder
+    // (doc ln(1+tf) · query idf dot product, no length normalization —
+    // see Bm25.neuralSparseScored): the second sparse-scoring family
+    // over the same term-keyed posting artifact BM25 serves from.
+    "search_neural_sparse" -> ((s, dir) =>
+      graft.search.Bm25.neuralSparseScored(cachedBm25(s, dir), Seq("spark", "query"), 10)),
+
     // _termvectors: per-term stats of ONE document from the inverted
     // index (term_freq / doc_freq / ttf) — a point filter on the
     // postings joined against the once-aggregated vocabulary stats.
@@ -2085,6 +2092,17 @@ private[graft] object SearchEntries {
         |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base)
         |SELECT id, round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
         |                     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
+        |GROUP BY id ORDER BY score DESC, id LIMIT 10""".stripMargin,
+
+    "search_neural_sparse" ->
+      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents),
+        |postings AS (SELECT id, t.term, count(*) AS tf
+        |             FROM base, unnest(toks) AS t(term)
+        |             WHERE t.term IN ('spark', 'query') GROUP BY id, t.term),
+        |docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        |corpus AS (SELECT count(*) AS n_docs FROM base)
+        |SELECT id, round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * ln(1.0 + tf)), 4) AS score
         |FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
         |GROUP BY id ORDER BY score DESC, id LIMIT 10""".stripMargin,
 

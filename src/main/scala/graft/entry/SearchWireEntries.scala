@@ -502,6 +502,74 @@ private[graft] object SearchWireEntries {
       )
     }),
 
+    // neural_sparse from the wire format: query_text analyzed with the
+    // standard chain, scored as a sparse dot product against the Memo'd
+    // posting artifact (deterministic statistical encoder — see
+    // Bm25.neuralSparseScored); same answer as search_neural_sparse.
+    "search_dsl_json_neural_sparse" -> ((s, dir) =>
+      JsonDsl.neuralSparse(
+        cachedBm25(s, dir),
+        """{"query": {"neural_sparse": {"text": {"query_text": "spark query"}}}, "size": 10}"""
+      )),
+
+    // Point-in-time search over the CDC changelog: the pit id is the
+    // snapshot timestamp, the frozen index is the latest-state reduction
+    // at or before it, and the rest of the body runs as a plain search
+    // over the materialized state — exact PIT semantics on append-only
+    // data (time travel the upsert-only reference index cannot answer).
+    "search_dsl_json_pit" -> ((s, dir) =>
+      JsonDsl.pitSearch(
+        Tables.events(s, dir),
+        "user_id",
+        Seq("ts", "event_id"),
+        "ts",
+        Seq("event_id", "ts", "event_type", "value"),
+        """{"pit": {"id": "2024-01-15 00:00:00"},
+          | "query": {"term": {"event_type": "purchase"}},
+          | "sort": [{"user_id": "asc"}], "size": 40,
+          | "_source": ["user_id", "event_id", "ts", "event_type", "value"]}""".stripMargin
+      )),
+
+    // _mget: batch point lookup in request order with found flags —
+    // missing ids come back found=false (an ids QUERY would drop them);
+    // the request ids prune the corpus scan, the request frame joins
+    // only the survivors.
+    "search_dsl_json_mget" -> ((s, dir) =>
+      JsonDsl.mget(
+        Tables.documents(s, dir),
+        "doc_id",
+        """{"docs": [{"_id": 7}, {"_id": 3}, {"_id": 999999999}, {"_id": 12}],
+          | "_source": ["lang", "source", "n_chars"]}""".stripMargin
+      )),
+
+    // _bulk: the per-operation result ledger with OpenSearch's
+    // result/error vocabulary and the sequential within-bulk contract
+    // (delete-then-create creates; create on existing conflicts; bare
+    // update cannot create) — presence folds in closed form, the corpus
+    // pays one IN-pruned membership scan.
+    "search_dsl_json_bulk" -> ((s, dir) =>
+      JsonDsl.bulkLedger(
+        Tables.documents(s, dir),
+        "doc_id",
+        """{"index": {"_id": 3}}
+          |{"text": "replacement body"}
+          |{"create": {"_id": 3}}
+          |{"text": "conflicting create"}
+          |{"delete": {"_id": 3}}
+          |{"create": {"_id": 3}}
+          |{"text": "recreated after delete"}
+          |{"update": {"_id": 999999999}}
+          |{"doc": {"text": "bare update cannot create"}}
+          |{"index": {"_id": 999999999}}
+          |{"text": "now indexed"}
+          |{"update": {"_id": 999999999}}
+          |{"doc": {"text": "and now updatable"}}
+          |{"delete": {"_id": 888888888}}
+          |{"update": {"_id": 7}}
+          |{"doc": {"text": "existing doc updates fine"}}
+          |{"delete": {"_id": 7}}""".stripMargin
+      )),
+
     // bucket_selector from the wire format: buckets_path maps the script
     // variable onto the sibling avg metric; same bucket-table HAVING plan
     // as the structured twin (JsonDslSpec asserts plan equality).
@@ -1787,6 +1855,55 @@ private[graft] object SearchWireEntries {
         |             + coalesce(CAST(1 AS DOUBLE) / (60 + vec_rank), 0.0), 6) AS rrf_score
         |FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
         |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin,
+
+    "search_dsl_json_pit" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t
+        |WHERE rn = 1 AND event_type = 'purchase'
+        |ORDER BY user_id LIMIT 40""".stripMargin,
+
+    "search_dsl_json_mget" ->
+      """SELECT CAST(req.seq AS BIGINT) AS seq, CAST(req._id AS VARCHAR) AS _id,
+        |       d.doc_id IS NOT NULL AS found, d.lang, d.source, d.n_chars
+        |FROM (VALUES (1, 7), (2, 3), (3, 999999999), (4, 12)) req(seq, _id)
+        |LEFT JOIN documents d ON d.doc_id = req._id
+        |ORDER BY seq""".stripMargin,
+
+    "search_dsl_json_bulk" ->
+      """WITH ops(seq, action, _id) AS (
+        |  SELECT * FROM (VALUES
+        |    (1, 'index', '3'), (2, 'create', '3'), (3, 'delete', '3'), (4, 'create', '3'),
+        |    (5, 'update', '999999999'), (6, 'index', '999999999'), (7, 'update', '999999999'),
+        |    (8, 'delete', '888888888'), (9, 'update', '7'), (10, 'delete', '7')) v),
+        |pre AS (
+        |  SELECT seq, action, _id,
+        |         coalesce(
+        |           last_value(CASE WHEN action = 'update' THEN NULL
+        |                           WHEN action = 'delete' THEN false ELSE true END IGNORE NULLS)
+        |             OVER (PARTITION BY _id ORDER BY seq
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           EXISTS (SELECT 1 FROM documents d WHERE CAST(d.doc_id AS VARCHAR) = ops._id)
+        |         ) AS before
+        |  FROM ops)
+        |SELECT CAST(seq AS BIGINT) AS seq, action, _id,
+        |       CASE WHEN action = 'index'  THEN CASE WHEN before THEN 'updated' ELSE 'created' END
+        |            WHEN action = 'create' THEN CASE WHEN before THEN 'version_conflict' ELSE 'created' END
+        |            WHEN action = 'update' THEN CASE WHEN before THEN 'updated' ELSE 'document_missing' END
+        |            ELSE CASE WHEN before THEN 'deleted' ELSE 'not_found' END END AS result
+        |FROM pre ORDER BY seq""".stripMargin,
+
+    "search_dsl_json_neural_sparse" ->
+      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents),
+        |postings AS (SELECT id, t.term, count(*) AS tf
+        |             FROM base, unnest(toks) AS t(term)
+        |             WHERE t.term IN ('spark', 'query') GROUP BY id, t.term),
+        |docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        |corpus AS (SELECT count(*) AS n_docs FROM base)
+        |SELECT id, round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * ln(1.0 + tf)), 4) AS score
+        |FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
+        |GROUP BY id ORDER BY score DESC, id LIMIT 10""".stripMargin,
 
     "search_dsl_json_bucket_selector" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,

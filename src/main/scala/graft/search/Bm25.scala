@@ -161,6 +161,48 @@ object Bm25 {
       .limit(k)
   }
 
+  /** `neural_sparse` query semantics (OpenSearch neural-sparse search:
+    * query text and documents both map to sparse term→weight vectors and
+    * score by their dot product) with a DETERMINISTIC statistical encoder
+    * standing in for the learned model — the sandbox has no ML runtime,
+    * and a reproducible encoder is what an oracle-gated engine can verify:
+    * doc-side weight w_d(t) = ln(1 + tf) (sublinear term saturation, the
+    * shape SPLADE's log-activation produces), query-side weight
+    * w_q(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (the BM25 idf — rare
+    * query terms carry more of the dot product). Score = Σ_{t ∈ q∩d}
+    * w_q(t)·w_d(t). Unlike BM25 there is no document-length
+    * normalization: sparse-vector dot products don't renormalize by dl,
+    * which is exactly how the two rankings diverge (long documents are
+    * not discounted here).
+    *
+    * Plan shape = the scoreAgainstIndex path: tiny IN filter prunes the
+    * term-keyed posting artifact, df derived from the filtered rows,
+    * corpus scalars broadcast, one hash agg per doc. A swap to a real
+    * learned encoder changes only the two weight expressions; the
+    * index/plumbing contract is identical.
+    */
+  def neuralSparseScored(
+      index: Bm25Index,
+      queryTerms: Seq[String],
+      k: Int
+  ): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase)
+    val qPostings = index.postings.filter(col("term").isin(terms: _*))
+    val docFreq = qPostings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    qPostings
+      .join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(index.corpus.select("n_docs")))
+      .select(
+        col("id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          log(lit(1.0) + col("tf"))).as("term_score")
+      )
+      .groupBy(col("id"))
+      .agg(round(sum(col("term_score")), 4).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** `combined_fields` query: term-centric scoring across several short
     * text fields as if their tokens formed one combined field — the
     * BM25F-style weighted term frequencies of the OpenSearch

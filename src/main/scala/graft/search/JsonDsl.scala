@@ -1056,6 +1056,185 @@ object JsonDsl {
     df.filter(pred).agg(count(lit(1)).as("count"))
   }
 
+  /** Point-in-time search: `{"pit": {"id": ...}, ...}` — the OpenSearch
+    * PIT contract (a search against a snapshot handle sees the index
+    * frozen at PIT creation, however many writes land afterwards)
+    * realized the way an append-only changelog world can make it EXACT:
+    * the pit id IS the creation timestamp, and the frozen index is the
+    * latest-state reduction over events at or before it. Searching two
+    * different pit ids over the same growing changelog is time travel;
+    * the reference's upsert-only index can only answer "now".
+    *
+    * Plan: the `ts <= pit` filter pushes into the changelog scan
+    * (partition-pruning on a date-partitioned changelog at scale), then
+    * ONE map-side-combining `max_by` per key (CdcBatch.latestState —
+    * never a window sort), then the remaining body compiles through
+    * [[parse]] exactly as a plain search over the materialized state.
+    *
+    * `seqCols` orders writes within a key (lexicographic struct, e.g.
+    * (ts, event_id)); `payloadCols` are the materialized state columns.
+    */
+  def pitSearch(
+      changelog: DataFrame,
+      keyCol: String,
+      seqCols: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String],
+      body: String,
+      mapping: IndexMapping = IndexMapping.empty
+  ): DataFrame = {
+    val root =
+      try mapper.readTree(body)
+      catch { case e: Exception => throw new IllegalArgumentException(s"malformed pit search body: ${e.getMessage}") }
+    require(root != null && root.isObject, s"request body must be a JSON object: $body")
+    val pit = req(root, "pit", "pit search")
+    val pitId = req(pit, "id", "pit").asText
+    val state = graft.cdc.CdcBatch.latestState(
+      changelog.filter(col(tsCol) <= lit(pitId).cast("timestamp")),
+      keyCol,
+      struct(seqCols.map(col): _*),
+      payloadCols.map(col): _*
+    )
+    val rest = root.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    rest.remove("pit")
+    parse(state, mapper.writeValueAsString(rest), mapping)
+  }
+
+  /** The `_mget` API: fetch many documents by id in ONE request —
+    * response in REQUEST ORDER (`seq`), every requested id present with
+    * a `found` flag (missing ids come back found=false with null
+    * source fields, exactly the wire contract; the `ids` QUERY merely
+    * filters and would drop them). Optional top-level `_source` selects
+    * the returned fields.
+    *
+    * Plan: the request ids filter the corpus first (an IN predicate
+    * that pushes into the parquet scan — the corpus is never read
+    * wholesale for a point-lookup batch), and the surviving
+    * request-sized frame left-joins the request list, which AQE
+    * broadcasts. At 100 TB with an id-bucketed layout the IN prune
+    * touches only the buckets holding the requested ids.
+    */
+  def mget(df: DataFrame, idCol: String, body: String): DataFrame = {
+    val root =
+      try mapper.readTree(body)
+      catch { case e: Exception => throw new IllegalArgumentException(s"malformed _mget body: ${e.getMessage}") }
+    require(root != null && root.hasNonNull("docs"), "_mget requires a \"docs\" array")
+    val docs = root.get("docs").elements().asScala.toSeq
+    require(docs.nonEmpty, "_mget docs must be non-empty")
+    val ids: Seq[Any] = docs.map { d =>
+      val n = req(d, "_id", "_mget doc")
+      if (n.isIntegralNumber) n.asLong else n.asText
+    }
+    val sourceCols: Seq[String] = Option(root.get("_source")) match {
+      case Some(srcN) => srcN.elements().asScala.map(_.asText).toSeq
+      case None => df.columns.filterNot(_ == idCol).toSeq
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val reqFrame = ids.zipWithIndex
+      .map { case (id, i) => (i + 1L, String.valueOf(id)) }
+      .toDF("seq", "_id_s")
+    val hits = df
+      .filter(col(idCol).isin(ids: _*))
+      .select((col(idCol).cast("string").as("_hit_id") +: sourceCols.map(col)): _*)
+    reqFrame
+      .join(hits, col("_id_s") === col("_hit_id"), "left")
+      .select(
+        (Seq(
+          col("seq"),
+          col("_id_s").as("_id"),
+          col("_hit_id").isNotNull.as("found")
+        ) ++ sourceCols.map(col)): _*
+      )
+      .orderBy("seq")
+  }
+
+  /** The `_bulk` API's per-operation result ledger: the ndjson body's
+    * index/create/update/delete actions applied IN ORDER against the
+    * current corpus, one (seq, action, _id, result) row per action with
+    * OpenSearch's result/error vocabulary — index → created/updated,
+    * create → created or `version_conflict` on an existing doc, update →
+    * updated or `document_missing` (no upsert), delete → deleted or
+    * `not_found`. Within one bulk, later actions see earlier ones'
+    * effects (delete-then-create creates; the sequential contract).
+    *
+    * The sequential fold has a CLOSED FORM — presence before action k is
+    * decided by the last non-`update` action on that id (index/create →
+    * present, delete → absent; updates never change presence because a
+    * bare update cannot create), else by base-corpus membership. So the
+    * plan is: one IN-pruned corpus scan for membership of the touched
+    * ids (pushes to the parquet scan; the corpus is never read
+    * wholesale), then a window over the REQUEST-SIZED action frame —
+    * data-side work is O(touched ids), driver holds only the parsed
+    * body, exactly the wire protocol's own cost model.
+    */
+  def bulkLedger(df: DataFrame, idCol: String, ndjson: String): DataFrame = {
+    val actions = Set("index", "create", "update", "delete")
+    val lines = ndjson.split("\n").map(_.trim).filter(_.nonEmpty)
+    val ops = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    var i = 0
+    while (i < lines.length) {
+      val node =
+        try mapper.readTree(lines(i))
+        catch { case e: Exception => throw new IllegalArgumentException(s"malformed _bulk line ${i + 1}: ${e.getMessage}") }
+      require(node != null && node.isObject && node.size == 1, s"_bulk line ${i + 1} must hold one action: ${lines(i)}")
+      val action = node.fieldNames().next()
+      require(actions.contains(action), s"unknown _bulk action '$action' at line ${i + 1}")
+      val idN = req(node.get(action), "_id", s"_bulk $action")
+      val id = if (idN.isIntegralNumber) idN.asLong.toString else idN.asText
+      ops += ((ops.size + 1L, action, id))
+      if (action != "delete") {
+        require(i + 1 < lines.length, s"_bulk $action at line ${i + 1} is missing its source line")
+        val src =
+          try mapper.readTree(lines(i + 1))
+          catch { case e: Exception => throw new IllegalArgumentException(s"malformed _bulk source line ${i + 2}: ${e.getMessage}") }
+        require(
+          src != null && src.isObject && !(src.size == 1 && actions.contains(src.fieldNames().next())),
+          s"_bulk $action at line ${i + 1} must be followed by a document source line"
+        )
+        i += 2
+      } else i += 1
+    }
+    require(ops.nonEmpty, "_bulk body holds no actions")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val opFrame = ops.toSeq.toDF("seq", "action", "_id")
+    val touched = ops.map(_._3).distinct.toSeq
+    val present = df
+      .filter(col(idCol).cast("string").isin(touched: _*))
+      .select(col(idCol).cast("string").as("_id"))
+      .distinct()
+      .withColumn("base_present", lit(true))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id"))
+      .orderBy(col("seq"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    opFrame
+      .join(present, Seq("_id"), "left")
+      .withColumn(
+        "_before",
+        coalesce(
+          last(
+            when(col("action") === "delete", lit(false))
+              .when(col("action") =!= "update", lit(true)),
+            ignoreNulls = true
+          ).over(w),
+          coalesce(col("base_present"), lit(false))
+        )
+      )
+      .select(
+        col("seq"),
+        col("action"),
+        col("_id"),
+        when(col("action") === "index", when(col("_before"), "updated").otherwise("created"))
+          .when(col("action") === "create", when(col("_before"), "version_conflict").otherwise("created"))
+          .when(col("action") === "update", when(col("_before"), "updated").otherwise("document_missing"))
+          .otherwise(when(col("_before"), "deleted").otherwise("not_found"))
+          .as("result")
+      )
+      .orderBy("seq")
+  }
+
   /** The `_terms_enum` API (POST /{index}/_terms_enum): enumerate
     * INDEXED terms of one field that start with `string`,
     * lexicographically ascending, at most `size` (default 10) — the
@@ -1304,6 +1483,41 @@ object JsonDsl {
       )
       .orderBy(col("rrf_score").desc, col("id"))
       .limit(k)
+  }
+
+  /** OpenSearch `neural_sparse` query from the wire format:
+    * `{"query": {"neural_sparse": {"<field>": {"query_text": ...}}}, "size": k}`.
+    * The learned sparse encoder is stood in for by the deterministic
+    * statistical encoder documented on [[Bm25.neuralSparseScored]]
+    * (doc side ln(1+tf), query side BM25 idf — dot product over shared
+    * terms, no length normalization); `query_text` analyzes with the
+    * standard chain, exactly the terms the doc-side index analyzed with.
+    * The clause scores against the prebuilt posting artifact — the same
+    * term-keyed index BM25 serves from, because a sparse dot product IS
+    * an inverted-index scan (that equivalence is why neural-sparse
+    * retrieval deploys on Lucene unchanged).
+    */
+  def neuralSparse(index: Bm25.Bm25Index, body: String): DataFrame = {
+    val root =
+      try mapper.readTree(body)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(s"request body is not valid JSON: ${e.getMessage}")
+      }
+    require(root != null && root.isObject, s"request body must be a JSON object: $body")
+    val q = req(root, "query", "neural_sparse request")
+    require(
+      q.isObject && q.size == 1 && q.fieldNames().next() == "neural_sparse",
+      s"expected a neural_sparse query: $q"
+    )
+    val clause = q.get("neural_sparse")
+    val f = singleField(clause)
+    val spec = clause.get(f)
+    val text = req(spec, "query_text", "neural_sparse").asText
+    val k = Option(root.get("size")).map(_.asInt).getOrElse(10)
+    val terms = text.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, "neural_sparse query_text analyzed to zero terms")
+    Bm25.neuralSparseScored(index, terms, k)
   }
 
   /** OpenSearch `_rank_eval`: ranking evaluation of search requests

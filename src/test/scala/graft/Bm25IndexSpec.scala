@@ -108,6 +108,42 @@ class Bm25IndexSpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  test("neural_sparse: dot-product scoring, no length normalization, wire twin plan-equal") {
+    import org.apache.spark.sql.functions._
+    // Equal tf of the query term but very different document lengths:
+    // neural_sparse (no dl normalization) scores them EQUALLY where BM25
+    // separates them — the defining divergence of the two rankings.
+    val docs = Seq(
+      (1L, "spark fast"),
+      (2L, "spark " + Seq.fill(40)("filler").mkString(" ")),
+      (3L, "unrelated text entirely")
+    ).toDF("doc_id", "text")
+    val idx = Bm25.buildIndex(docs, "doc_id", "text")
+    val ns = Bm25.neuralSparseScored(idx, Seq("spark"), 10).as[(Long, Double)].collect().toMap
+    assert(ns.keySet == Set(1L, 2L) && ns(1L) == ns(2L), s"neural_sparse must not length-normalize: $ns")
+    val bm = Bm25.scoreAgainstIndex(idx, Seq("spark"), 10).as[(Long, Double)].collect().toMap
+    assert(bm(1L) != bm(2L), s"BM25 length normalization should separate the docs: $bm")
+    // tf saturates logarithmically on the doc side: tf=3 scores ln(4)/ln(2)
+    // times tf=1 at equal idf
+    val rep = Seq((1L, "spark spark spark"), (2L, "spark")).toDF("doc_id", "text")
+    val rIdx = Bm25.buildIndex(rep, "doc_id", "text")
+    val r = Bm25.neuralSparseScored(rIdx, Seq("spark"), 10).as[(Long, Double)].collect().toMap
+    assert(math.abs(r(1L) / r(2L) - math.log(4.0) / math.log(2.0)) < 1e-3, r.toString)
+    // the wire twin compiles to the structured plan on the corpus index
+    val corpus = Tables.documents(spark, Sf)
+    val cIdx = Bm25.buildIndex(corpus, "doc_id", "text")
+    val structured = Bm25.neuralSparseScored(cIdx, Seq("spark", "query"), 10)
+    val wire = graft.search.JsonDsl.neuralSparse(
+      cIdx,
+      """{"query": {"neural_sparse": {"text": {"query_text": "spark query"}}}, "size": 10}"""
+    )
+    assert(
+      wire.queryExecution.optimizedPlan.canonicalized == structured.queryExecution.optimizedPlan.canonicalized,
+      "wire neural_sparse must compile to the structured plan"
+    )
+    assert(structured.as[(Long, Double)].collect().toSeq.nonEmpty)
+  }
+
   test("stemmed index: plural queries reach singular corpus; dl excludes stopwords; default chain unchanged") {
     import graft.search.Analyzer
     import org.apache.spark.sql.functions.col

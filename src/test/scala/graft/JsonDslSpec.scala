@@ -1258,4 +1258,68 @@ class JsonDslSpec extends SparkSpec {
       )
     finally spark.catalog.dropTempView("secret_view")
   }
+
+  test("pit search: two pit ids over one changelog are time travel; query composes over the frozen state") {
+    val log = Seq(
+      (1L, "2024-01-01 10:00:00", 10L, "signup", 1.0),
+      (2L, "2024-01-02 10:00:00", 10L, "purchase", 5.0),
+      (3L, "2024-01-03 10:00:00", 10L, "click", 0.0), // after pit A: 10's latest is no longer purchase
+      (4L, "2024-01-02 12:00:00", 20L, "purchase", 7.0),
+      (5L, "2024-01-04 10:00:00", 20L, "purchase", 9.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    def search(pit: String) = JsonDsl.pitSearch(
+      log, "user_id", Seq("ts", "event_id"), "ts", Seq("event_id", "ts", "event_type", "value"),
+      s"""{"pit": {"id": "$pit"}, "query": {"term": {"event_type": "purchase"}},
+         | "sort": [{"user_id": "asc"}], "_source": ["user_id", "event_id", "value"]}""".stripMargin
+    )
+    val atA = search("2024-01-02 23:59:59").select("user_id", "event_id").as[(Long, Long)].collect().toSeq
+    assert(atA == Seq((10L, 2L), (20L, 4L)), s"pit A state: $atA")
+    val atB = search("2024-01-05 00:00:00").select("user_id", "event_id").as[(Long, Long)].collect().toSeq
+    // user 10's latest is now the click — gone from the purchase query;
+    // user 20's latest purchase advanced: same pit contract, later snapshot
+    assert(atB == Seq((20L, 5L)), s"pit B state: $atB")
+    intercept[IllegalArgumentException](
+      JsonDsl.pitSearch(log, "user_id", Seq("ts"), "ts", Seq("event_id"), """{"query": {"term": {"event_type": "x"}}}""")
+    )
+  }
+
+  test("_mget keeps request order and missing ids (found=false); _bulk folds the sequential contract") {
+    val docs = Seq((3L, "alpha", "en"), (7L, "beta", "de")).toDF("doc_id", "text", "lang")
+    val got = JsonDsl
+      .mget(docs, "doc_id", """{"docs": [{"_id": 7}, {"_id": 99}, {"_id": 3}], "_source": ["lang"]}""")
+      .as[(Long, String, Boolean, String)].collect().toSeq
+    assert(got == Seq((1L, "7", true, "de"), (2L, "99", false, null), (3L, "3", true, "en")), got.toString)
+    val ledger = JsonDsl
+      .bulkLedger(
+        docs,
+        "doc_id",
+        """{"create": {"_id": 3}}
+          |{"text": "conflict"}
+          |{"delete": {"_id": 3}}
+          |{"create": {"_id": 3}}
+          |{"text": "ok now"}
+          |{"update": {"_id": 99}}
+          |{"doc": {"text": "no upsert"}}
+          |{"index": {"_id": 99}}
+          |{"text": "created"}
+          |{"delete": {"_id": 50}}""".stripMargin
+      )
+      .as[(Long, String, String, String)].collect().toSeq
+    assert(
+      ledger == Seq(
+        (1L, "create", "3", "version_conflict"),
+        (2L, "delete", "3", "deleted"),
+        (3L, "create", "3", "created"),
+        (4L, "update", "99", "document_missing"),
+        (5L, "index", "99", "created"),
+        (6L, "delete", "50", "not_found")
+      ),
+      ledger.toString
+    )
+    // a source line where an action line is expected is a 400, not a silent skip
+    intercept[IllegalArgumentException](
+      JsonDsl.bulkLedger(docs, "doc_id", """{"index": {"_id": 3}}""")
+    )
+  }
 }
