@@ -824,4 +824,50 @@ class StreamingSpec extends SparkSpec {
     })
     assert(full.nonEmpty, "vacuous: the corpus has no near-dup pairs at this threshold")
   }
+
+  test("PercolateStream.alertsSuppressed: one page per (key, stored query) within the watermark horizon") {
+    implicit val sq = spark.sqlContext
+    val registry = Seq(
+      1L -> """{"query": {"term": {"status": "ACTIVE"}}}""",
+      2L -> """{"query": {"range": {"amount": {"gte": 1000}}}}"""
+    )
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val docs = input.toDF().toDF("user_id", "ts", "status", "amount")
+    val q = graft.streaming.PercolateStream
+      .alertsSuppressed(docs, registry, "ts", "1 hour", Seq("user_id"))
+      .select("user_id", "query_id")
+      .writeStream
+      .format("memory")
+      .queryName("percolate_suppressed")
+      .outputMode(OutputMode.Append)
+      .start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    try {
+      // user 10 breaches rule 1 twice within the horizon → ONE alert;
+      // its second event also breaches rule 2 → that alert still fires
+      // (suppression is per (key, query), not per key).
+      input.addData((10L, t(0), "ACTIVE", 50.0), (20L, t(1), "BLOCKED", 10.0))
+      q.processAllAvailable()
+      input.addData((10L, t(5), "ACTIVE", 1500.0), (20L, t(6), "ACTIVE", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("percolate_suppressed").as[(Long, Long)].collect().toSeq
+      assert(out.count(_ == (10L -> 1L)) == 1, s"duplicate page not suppressed: $out")
+      assert(out.toSet == Set(10L -> 1L, 10L -> 2L, 20L -> 1L), out.toString)
+    } finally q.stop()
+    // the unsuppressed twin is the batch projection verbatim: same rows
+    // streaming and batch for the same data (stateless operator)
+    val batchDocs = Seq(
+      (10L, t(0), "ACTIVE", 50.0),
+      (20L, t(1), "BLOCKED", 10.0),
+      (10L, t(5), "ACTIVE", 1500.0),
+      (20L, t(6), "ACTIVE", 5.0)
+    ).toDF("user_id", "ts", "status", "amount")
+    val batch = graft.streaming.PercolateStream
+      .alerts(batchDocs, registry)
+      .select("user_id", "query_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+    assert(batch.count(_ == (10L -> 1L)) == 2, "batch projection must NOT suppress")
+  }
 }
