@@ -1871,6 +1871,43 @@ private[graft] object SearchEntries {
         """{"query": "SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY lang ORDER BY lang"}"""
       )),
 
+    // _plugins/_ppl: the Piped Processing Language endpoint — each pipe
+    // stage compiles to the corresponding DataFrame combinator, the
+    // whole pipeline lands in Catalyst as ONE plan (the where reaches
+    // the scan). stats with decimal-exact sums (partition-order-proof).
+    "search_ppl_stats" -> ((s, dir) =>
+      search.Ppl.queryBody(
+        name => { require(name == "events", s"unknown index $name"); Tables.events(s, dir) },
+        """{"query": "source=events | where value > 0 and event_type != 'click' | stats count() as cnt, sum(value) as total, avg(value) as avg_value by event_type | sort event_type"}"""
+      )),
+
+    // PPL span() bucketing: the dashboard histogram grain as a pipe
+    // stage (date_trunc under a hash agg — one pass).
+    "search_ppl_span" -> ((s, dir) =>
+      search.Ppl.query(
+        name => Tables.events(s, dir),
+        "source=events | stats count() as cnt, max(value) as peak by span(ts, 1d) as day | sort day | head 20"
+      )),
+
+    // PPL eval + where-on-computed + projection + bounded sort: eval
+    // costs one codegen'd projection; head N bounds the sort to a
+    // TakeOrdered.
+    "search_ppl_eval" -> ((s, dir) =>
+      search.Ppl.query(
+        name => Tables.orders(s, dir),
+        "source=orders | eval tax = o_totalprice * 0.07 | where tax > 10000 and (o_orderstatus = 'O' or o_orderstatus = 'F') | fields o_orderkey, o_totalprice, tax | sort -tax, o_orderkey | head 15"
+      )),
+
+    // PPL top-by-group: value frequencies ranked per group on the
+    // bounded-heap TopKPerKey operator — never a windowed row_number.
+    "search_ppl_top" -> ((s, dir) =>
+      search.Ppl
+        .query(
+          name => Tables.documents(s, dir),
+          "source=documents | top 3 lang by source"
+        )
+        .orderBy("source", "lang")),
+
     // span_multi: a multi-term matcher (prefix) as a span, composed
     // under span_near — prefix-matching token positions within slop of
     // 'fast', either direction. Same per-row HOF pass as span_near.
@@ -3135,6 +3172,30 @@ private[graft] object SearchEntries {
     "search_sql_api" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "search_ppl_stats" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+        |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value) AS avg_value
+        |FROM events WHERE value > 0 AND event_type <> 'click'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "search_ppl_span" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS cnt, max(value) AS peak
+        |FROM events GROUP BY 1 ORDER BY day LIMIT 20""".stripMargin,
+
+    "search_ppl_eval" ->
+      """SELECT o_orderkey, o_totalprice, o_totalprice * 0.07 AS tax
+        |FROM orders
+        |WHERE o_totalprice * 0.07 > 10000 AND (o_orderstatus = 'O' OR o_orderstatus = 'F')
+        |ORDER BY tax DESC, o_orderkey LIMIT 15""".stripMargin,
+
+    "search_ppl_top" ->
+      """WITH counts AS (SELECT source, lang, count(*) AS "count" FROM documents GROUP BY 1, 2),
+        |ranked AS (SELECT source, lang, "count",
+        |                  row_number() OVER (PARTITION BY source ORDER BY "count" DESC, lang) AS rn
+        |           FROM counts)
+        |SELECT source, lang, "count" FROM ranked WHERE rn <= 3 ORDER BY source, lang""".stripMargin,
 
     "search_span_multi" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

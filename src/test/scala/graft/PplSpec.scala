@@ -1,0 +1,78 @@
+package graft
+
+import graft.search.Ppl
+import org.apache.spark.sql.functions._
+
+/** The PPL pipeline compiler: each pipe stage must land as the
+  * corresponding DataFrame combinator in ONE Catalyst plan, with the
+  * documented error contract for everything outside the subset.
+  */
+class PplSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Seq(
+    (1L, "click", 1.0, "2024-01-01 10:00:00"),
+    (2L, "purchase", 10.0, "2024-01-01 11:00:00"),
+    (3L, "purchase", 30.0, "2024-01-02 09:00:00"),
+    (4L, "signup", 0.0, "2024-01-02 10:00:00"),
+    (5L, "purchase", 5.0, "2024-01-02 11:30:00")
+  ).toDF("event_id", "event_type", "value", "ts")
+    .withColumn("ts", col("ts").cast("timestamp"))
+
+  private def run(ppl: String) = Ppl.query(_ => events, ppl)
+
+  test("where/fields/sort/head compose; the filter reaches the plan as one Filter") {
+    val got = run("source=e | where value >= 5 and not event_type = 'signup' | fields event_id, value | sort -value | head 2")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((3L, 30.0), (2L, 10.0)))
+    // one plan: filter + project + bounded sort (TakeOrdered, no global sort)
+    val plan = run("source=e | where value >= 5 | fields event_id | sort -event_id | head 2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("eval computes, where sees evaled columns, parenthesized comparisons backtrack") {
+    val got = run("source=e | eval double_v = value * 2 | where (double_v + 1) > 20 | fields event_id, double_v | sort event_id")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 20.0), (3L, 60.0)))
+    // boolean parens still group
+    val or = run("source=e | where (event_type = 'signup' or value > 25) and event_id < 4 | fields event_id | sort event_id")
+      .as[Long].collect().toSeq
+    assert(or == Seq(3L))
+  }
+
+  test("stats: exact decimal sums, avg as fixed division, span bucketing, rename") {
+    val got = run("source=e | stats count() as cnt, sum(value) as sv, avg(value) as av by event_type | sort event_type")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("click", 1L, 1.0, 1.0), ("purchase", 3L, 45.0, 15.0), ("signup", 1L, 0.0, 0.0)))
+    val spanned = run("source=e | stats count() as cnt by span(ts, 1d) as day | sort day")
+      .select(date_format(col("day"), "yyyy-MM-dd"), col("cnt")).as[(String, Long)].collect().toSeq
+    assert(spanned == Seq(("2024-01-01", 2L), ("2024-01-02", 3L)))
+    val renamed = run("source=e | rename event_type as kind | stats distinct_count(kind) as kinds")
+      .as[Long].collect().toSeq
+    assert(renamed == Seq(3L))
+  }
+
+  test("top by group ranks on the bounded-heap operator; like() is SQL LIKE") {
+    val docs = Seq(("s1", "en"), ("s1", "en"), ("s1", "de"), ("s1", "fr"), ("s2", "de"))
+      .toDF("source", "lang")
+    val top = Ppl.query(_ => docs, "source=d | top 2 lang by source").orderBy("source", "lang")
+    assert(top.as[(String, String, Long)].collect().toSeq == Seq(("s1", "de", 1L), ("s1", "en", 2L), ("s2", "de", 1L)))
+    assert(top.queryExecution.executedPlan.toString.contains("TopKPerKey"), "grouped top must use the bounded-heap exec")
+    val liked = run("source=e | where like(event_type, 'purch%') | stats count() as cnt").as[Long].head()
+    assert(liked == 3L)
+  }
+
+  test("error contract: unknown command, unknown index, malformed stats, trailing garbage") {
+    intercept[IllegalArgumentException](run("source=e | explode value"))
+    intercept[IllegalArgumentException](Ppl.query(n => throw new RuntimeException(n), "source=nope | head 1"))
+    intercept[IllegalArgumentException](run("source=e | stats median(value) as m"))
+    intercept[IllegalArgumentException](run("source=e | stats sum(value)")) // metric aggs need an alias
+    intercept[IllegalArgumentException](run("source=e | where value > 1 garbage"))
+    intercept[IllegalArgumentException](run("head 3")) // must start with source=
+    // wire body form parses the same pipeline
+    val viaBody = Ppl.queryBody(_ => events, """{"query": "source=e | stats count() as cnt"}""").as[Long].head()
+    assert(viaBody == 5L)
+    intercept[IllegalArgumentException](Ppl.queryBody(_ => events, """{"q": "x"}"""))
+  }
+}
