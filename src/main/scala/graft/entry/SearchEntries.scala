@@ -1908,6 +1908,15 @@ private[graft] object SearchEntries {
         )
         .orderBy("source", "lang")),
 
+    // PPL parse: named-group regex extraction (the observability
+    // field-carving primitive) + in-list filtering — extraction is a
+    // codegen'd projection on the same scan, no second pass.
+    "search_ppl_parse" -> ((s, dir) =>
+      search.Ppl.query(
+        name => Tables.documents(s, dir),
+        "source=documents | parse text '^(?<first>[a-z]+) (?<second>[a-z]+)' | where lang in ('en', 'de', 'fr') | stats count() as cnt by first, second | sort -cnt, first, second | head 15"
+      )),
+
     // span_multi: a multi-term matcher (prefix) as a span, composed
     // under span_near — prefix-matching token positions within slop of
     // 'fast', either direction. Same per-row HOF pass as span_near.
@@ -3189,6 +3198,13 @@ private[graft] object SearchEntries {
         |FROM orders
         |WHERE o_totalprice * 0.07 > 10000 AND (o_orderstatus = 'O' OR o_orderstatus = 'F')
         |ORDER BY tax DESC, o_orderkey LIMIT 15""".stripMargin,
+
+    "search_ppl_parse" ->
+      """SELECT regexp_extract(text, '^([a-z]+) ([a-z]+)', 1) AS first,
+        |       regexp_extract(text, '^([a-z]+) ([a-z]+)', 2) AS second,
+        |       count(*) AS cnt
+        |FROM documents WHERE lang IN ('en', 'de', 'fr')
+        |GROUP BY 1, 2 ORDER BY cnt DESC, first, second LIMIT 15""".stripMargin,
 
     "search_ppl_top" ->
       """WITH counts AS (SELECT source, lang, count(*) AS "count" FROM documents GROUP BY 1, 2),

@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   * the wire 400):
   *
   *   source=<index>
-  *   where <predicate>            and/or/not, comparisons, like(f,'pat')
+  *   where <predicate>            and/or/not, comparisons, like(f,'pat'),
+  *                                f in ('a', 'b', ...)
   *   fields [-] f1, f2, ...       projection (or exclusion with -)
+  *   parse field '<regex>'        named-group extraction: every
+  *                                (?<name>...) group becomes a column
+  *                                (empty string where unmatched)
   *   eval name = <arith>, ...     computed columns (+ - * /, parens)
   *   rename a as b, ...
   *   stats <agg> [as alias], ... [by key | span(ts, 1d) [as alias], ...]
@@ -103,6 +107,7 @@ object Ppl {
             case _ => throw new IllegalArgumentException(s"rename expects a as b: '$a'")
           }
         }
+      case ("parse", p) => parseCommand(df, p)
       case ("stats", p) => statsCommand(df, p)
       case ("sort", p) =>
         val keys = splitTop(p).map { k =>
@@ -136,6 +141,31 @@ object Ppl {
     }
     out += cur.toString()
     out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `parse field '<regex>'`: each (?<name>...) named group becomes a
+    * column via regexp_extract (one codegen'd projection per group over
+    * the same scan — no second pass). The grammar requires EVERY
+    * capturing group to be named, so group numbering is unambiguous and
+    * the oracle's positional regexp_extract replays it exactly; Spark's
+    * convention (empty string where the pattern does not match) is kept.
+    */
+  private def parseCommand(df: DataFrame, p: String): DataFrame = {
+    val m = "(?s)^([A-Za-z_][A-Za-z0-9_.]*)\\s+'(.*)'$".r
+    p.trim match {
+      case m(field, pattern) =>
+        val names = "\\(\\?<([A-Za-z][A-Za-z0-9]*)>".r.findAllMatchIn(pattern).map(_.group(1)).toSeq
+        require(names.nonEmpty, s"parse pattern has no (?<name>...) groups: '$pattern'")
+        val unnamed = "(?<!\\\\)\\((?!\\?)".r.findAllMatchIn(pattern).size
+        require(
+          unnamed == 0,
+          s"parse requires every capturing group to be named, found $unnamed unnamed group(s): '$pattern'"
+        )
+        names.zipWithIndex.foldLeft(df) { case (acc, (name, idx)) =>
+          acc.withColumn(name, regexp_extract(col(field), pattern, idx + 1))
+        }
+      case other => throw new IllegalArgumentException(s"parse expects: field '<regex>', got '$other'")
+    }
   }
 
   /** The decimal-accumulation rule (see object doc): exact sum, one
@@ -306,6 +336,30 @@ object Ppl {
       }
       val l = additive()
       ws()
+      if (peekWord.equalsIgnoreCase("in")) {
+        i += 2
+        ws()
+        require(peek == '(', s"in expects a literal list at offset $i")
+        i += 1
+        val vals = scala.collection.mutable.ArrayBuffer[Any]()
+        var done = false
+        while (!done) {
+          ws()
+          if (peek == '\'') vals += stringLit()
+          else if (peek.isDigit || peek == '-') {
+            val neg = peek == '-'
+            if (neg) i += 1
+            vals += (number() match {
+              case d: Double => if (neg) -d else d
+              case l0: Long => if (neg) -l0 else l0
+            })
+          } else throw new IllegalArgumentException(s"in list expects literals at offset $i")
+          ws()
+          if (peek == ',') i += 1
+          else { require(peek == ')', s"in list expects ')' at offset $i"); i += 1; done = true }
+        }
+        return l.isin(vals.toSeq: _*)
+      }
       val op =
         if (peek == '!' && i + 1 < s.length && s(i + 1) == '=') { i += 2; "!=" }
         else if (peek == '>' && i + 1 < s.length && s(i + 1) == '=') { i += 2; ">=" }

@@ -63,6 +63,33 @@ class PplSpec extends SparkSpec {
     assert(liked == 3L)
   }
 
+  test("parse extracts named groups as columns; in-lists filter; unnamed groups rejected") {
+    val logs = Seq(
+      (1L, "GET /api/users 200"),
+      (2L, "POST /api/orders 500"),
+      (3L, "GET /health 200"),
+      (4L, "malformed line")
+    ).toDF("id", "msg")
+    val got = Ppl
+      .query(_ => logs, "source=l | parse msg '^(?<verb>[A-Z]+) (?<path>\\S+) (?<status>\\d+)' | fields id, verb, status | sort id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((1L, "GET", "200"), (2L, "POST", "500"), (3L, "GET", "200"), (4L, "", "")))
+    // parsed columns feed downstream stages like stored ones
+    val counted = Ppl
+      .query(_ => logs, "source=l | parse msg '^(?<verb>[A-Z]+)' | where verb in ('GET', 'PUT') | stats count() as cnt")
+      .as[Long].head()
+    assert(counted == 2L)
+    // numeric in-list
+    val nums = run("source=e | where event_id in (1, 3, 99) | stats count() as cnt").as[Long].head()
+    assert(nums == 2L)
+    intercept[IllegalArgumentException](
+      Ppl.query(_ => logs, "source=l | parse msg '^([A-Z]+) (?<path>\\S+)'") // unnamed group
+    )
+    intercept[IllegalArgumentException](
+      Ppl.query(_ => logs, "source=l | parse msg '^[A-Z]+'") // no groups at all
+    )
+  }
+
   test("error contract: unknown command, unknown index, malformed stats, trailing garbage") {
     intercept[IllegalArgumentException](run("source=e | explode value"))
     intercept[IllegalArgumentException](Ppl.query(n => throw new RuntimeException(n), "source=nope | head 1"))
