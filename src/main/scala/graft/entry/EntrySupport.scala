@@ -360,6 +360,25 @@ private[graft] object EntrySupport {
        |GROUP BY 1 ORDER BY doc_count DESC, geohash LIMIT 20""".stripMargin
   }
 
+  val bpeMemo = scala.collection.concurrent.TrieMap[String, graft.functions.Bpe.BpeModel]()
+
+  /** The learned BPE model over `dir`'s documents (12 merges), built
+    * once per JVM and spilled to parquet — the durable tokenizer
+    * artifact a pipeline trains once and applies everywhere (the other
+    * index caches' contract; text_bpe_train stays the honest fresh
+    * build).
+    */
+  def cachedBpe(s: SparkSession, dir: String): graft.functions.Bpe.BpeModel =
+    bpeMemo.getOrElseUpdate(
+      dir, {
+        val m = graft.functions.Bpe.train(Tables.documents(s, dir), "text", 12)
+        graft.functions.Bpe.BpeModel(
+          merges = Memo.parquet(s, s"bpe-merges:$dir")(m.merges),
+          vocab = Memo.parquet(s, s"bpe-vocab:$dir")(m.vocab)
+        )
+      }
+    )
+
   val bqMemo = scala.collection.concurrent.TrieMap[String, Similarity.BqIndex]()
 
   /** Binary-quantization index for `dir`, built once per JVM (same

@@ -199,6 +199,25 @@ private[graft] object TextEntries {
         )
         .orderBy("id")),
 
+    // BPE vocabulary induction (Sennrich ACL'16): merge learning on the
+    // word-frequency table — the corpus pays ONE (word, freq) pass, each
+    // round then rides |vocab| (pair count + argmax + codegen'd array
+    // fold). Honest fresh train per call (the *_build convention);
+    // rows-only + BpeSpec's exact-equality contract vs an in-memory
+    // reference implementation.
+    "text_bpe_train" -> ((s, dir) =>
+      graft.functions.Bpe.train(Tables.documents(s, dir), "text", 12).merges.orderBy("rank")),
+
+    // Tokenizer economics under the LEARNED vocabulary: docs join their
+    // word occurrences against the segmented vocab (tokens-per-word), so
+    // the merge chain never re-runs on the corpus; scores the data
+    // recipe the way a real tokenizer swap would.
+    "text_bpe_economics" -> ((s, dir) =>
+      graft.functions.Bpe
+        .economics(Tables.documents(s, dir), "source", "text", cachedBpe(s, dir))
+        .select(col("source"), col("bytes"), col("tokens"), round(col("bytes_per_token"), 6).as("bytes_per_token"))
+        .orderBy("source")),
+
     // Tokenizer-economics facet: bytes per token per source (the
     // data-recipe dashboard number) — exact integer sums, one double
     // division at the end.
