@@ -530,6 +530,23 @@ private[graft] object SearchWireEntries {
           | "_source": ["user_id", "event_id", "ts", "event_type", "value"]}""".stripMargin
       )),
 
+    // The canonical PIT usage: deep paging with search_after against a
+    // FROZEN snapshot — the cursor predicate composes with the pit
+    // reduction (page N of a consistent index, however many writes land
+    // while paging; the exact problem PIT exists to solve).
+    "search_dsl_json_pit_search_after" -> ((s, dir) =>
+      JsonDsl.pitSearch(
+        Tables.events(s, dir),
+        "user_id",
+        Seq("ts", "event_id"),
+        "ts",
+        Seq("event_id", "ts", "event_type", "value"),
+        """{"pit": {"id": "2024-01-20 00:00:00"},
+          | "query": {"term": {"event_type": "purchase"}},
+          | "sort": [{"user_id": "asc"}], "search_after": [30], "size": 25,
+          | "_source": ["user_id", "event_id", "ts", "event_type", "value"]}""".stripMargin
+      )),
+
     // _mget: batch point lookup in request order with found flags —
     // missing ids come back found=false (an ids QUERY would drop them);
     // the request ids prune the corpus scan, the request frame joins
@@ -1863,6 +1880,14 @@ private[graft] object SearchWireEntries {
         |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t
         |WHERE rn = 1 AND event_type = 'purchase'
         |ORDER BY user_id LIMIT 40""".stripMargin,
+
+    "search_dsl_json_pit_search_after" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00') t
+        |WHERE rn = 1 AND event_type = 'purchase' AND user_id > 30
+        |ORDER BY user_id LIMIT 25""".stripMargin,
 
     "search_dsl_json_mget" ->
       """SELECT CAST(req.seq AS BIGINT) AS seq, CAST(req._id AS VARCHAR) AS _id,
