@@ -269,6 +269,41 @@ private[graft] object AnnEntries {
     // generated as one small frame, ONE pass over the signature table for
     // the whole batch, TopKPerKey bounded-heap ranking — per-probe result
     // sets identical to scoreAgainstLsh at the same radius (ReplicaSpec).
+    // PCA fit (the dimensionality-reduction/whitening step of an
+    // embedding pipeline): one corpus pass accumulates count, per-dim
+    // sums, and the native outer-product Σx·xᵀ (shuffle carries dim²
+    // doubles, never vectors); the 64×64 eigensolve is driver math.
+    // Honest fresh fit per call; rows-only + PcaSpec contracts
+    // (orthonormality, variance capture, reconstruction identity).
+    "ann_pca_build" -> ((s, dir) => {
+      import s.implicits._
+      val m = operators.Pca.fit(Tables.embeddings(s, dir), "embedding", 64, 16)
+      m.eigenvalues.zipWithIndex
+        .map { case (ev, i) =>
+          (i + 1, math.round(ev * 1e6) / 1e6, math.round(ev / m.totalVariance * 1e6) / 1e6)
+        }
+        .toSeq
+        .toDF("component", "eigenvalue", "explained_ratio")
+        .orderBy("component")
+    }),
+
+    // Two-phase PCA ANN: rank by 16-dim projected distance (4× less
+    // arithmetic per candidate — the learned-variance analogue of the
+    // matryoshka slice), exact-cosine rescore of the top window. The
+    // projection is learned float math, so candidates are not
+    // SQL-reproducible: rows-only + PcaSpec recall floor vs brute force
+    // with exact emitted scores.
+    "ann_pca_topk" -> ((s, dir) =>
+      operators.Pca.pcaTopK(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        "vec_id",
+        "embedding",
+        cachedPca(s, dir),
+        queryVec(s, dir, 0),
+        window = 100,
+        kOut = 10
+      )),
+
     // Matryoshka (MRL) truncation: rank by the cosine of the first 16
     // dims (4× less arithmetic and memory traffic per candidate — the
     // nested-embedding accelerator), exact-rescore the top rerank window

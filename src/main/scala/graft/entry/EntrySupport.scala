@@ -360,6 +360,16 @@ private[graft] object EntrySupport {
        |GROUP BY 1 ORDER BY doc_count DESC, geohash LIMIT 20""".stripMargin
   }
 
+  val pcaMemo = scala.collection.concurrent.TrieMap[String, operators.Pca.PcaModel]()
+
+  /** The 16-component PCA model over `dir`'s embeddings, fit once per
+    * JVM — mean/components/eigenvalues are O(k·dim) driver metadata
+    * (the centroid-array contract); ann_pca_build stays the honest
+    * fresh fit.
+    */
+  def cachedPca(s: SparkSession, dir: String): operators.Pca.PcaModel =
+    pcaMemo.getOrElseUpdate(dir, operators.Pca.fit(Tables.embeddings(s, dir), "embedding", 64, 16))
+
   val bpeMemo = scala.collection.concurrent.TrieMap[String, graft.functions.Bpe.BpeModel]()
 
   /** The learned BPE model over `dir`'s documents (12 merges), built
