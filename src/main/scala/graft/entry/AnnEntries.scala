@@ -289,8 +289,9 @@ private[graft] object AnnEntries {
 
     // Two-phase PCA ANN: rank by 16-dim projected distance (4× less
     // arithmetic per candidate — the learned-variance analogue of the
-    // matryoshka slice), exact-cosine rescore of the top window. The
-    // projection is learned float math, so candidates are not
+    // matryoshka slice; the projection is one HOF matrix-vector
+    // expression, no UDF), exact-cosine rescore of the top window.
+    // The projection is learned float math, so candidates are not
     // SQL-reproducible: rows-only + PcaSpec recall floor vs brute force
     // with exact emitted scores.
     "ann_pca_topk" -> ((s, dir) =>

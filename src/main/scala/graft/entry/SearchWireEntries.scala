@@ -543,7 +543,7 @@ private[graft] object SearchWireEntries {
         Seq("event_id", "ts", "event_type", "value"),
         """{"pit": {"id": "2024-01-20 00:00:00"},
           | "query": {"term": {"event_type": "purchase"}},
-          | "sort": [{"user_id": "asc"}], "search_after": [30], "size": 25,
+          | "sort": [{"user_id": "asc"}], "search_after": [2], "size": 25,
           | "_source": ["user_id", "event_id", "ts", "event_type", "value"]}""".stripMargin
       )),
 
@@ -1886,7 +1886,7 @@ private[graft] object SearchWireEntries {
         |  SELECT user_id, event_id, ts, event_type, value,
         |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00') t
-        |WHERE rn = 1 AND event_type = 'purchase' AND user_id > 30
+        |WHERE rn = 1 AND event_type = 'purchase' AND user_id > 2
         |ORDER BY user_id LIMIT 25""".stripMargin,
 
     "search_dsl_json_mget" ->

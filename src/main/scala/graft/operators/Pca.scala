@@ -62,17 +62,27 @@ object Pca {
     PcaModel(mean, top.toArray, order.take(k).map(eigVals).toArray, (0 until dim).map(i => cov(i)(i)).sum)
   }
 
-  /** The projection y = W(x − μ) as one codegen'd array expression —
-    * k dot products unrolled over the vector's elements (the
-    * geo_polygon unrolling precedent; no UDF, no shuffle).
+  /** The projection y = W(x − μ) as ONE array expression: the weight
+    * matrix rides the plan as a nested-array literal and each component
+    * is a zip_with/aggregate dot product — no UDF, no shuffle, and no
+    * unrolled-term blowup (a k×dim unrolling at 16×64 breaks janino's
+    * 64 KB method limit and silently drops the query to interpreted
+    * mode — found by the full gate, hence the HOF form). The fold order
+    * is element order, so results are deterministic.
     */
   def projectExpr(model: PcaModel, vec: Column): Column = {
-    val dim = model.mean.length
-    val off = model.offsets
-    array(model.components.zipWithIndex.map { case (w, j) =>
-      val terms = (0 until dim).map(i => element_at(vec, i + 1).cast("double") * lit(w(i)))
-      terms.reduce(_ + _) - lit(off(j))
-    }: _*)
+    val w = typedLit(model.components.map(_.toSeq).toSeq)
+    val off = typedLit(model.offsets.toSeq)
+    val x = vec.cast("array<double>")
+    transform(
+      sequence(lit(1), lit(model.components.length)),
+      j =>
+        aggregate(
+          zip_with(x, element_at(w, j), (a, b) => a * b),
+          lit(0.0),
+          (acc, t) => acc + t
+        ) - element_at(off, j)
+    )
   }
 
   /** Project every vector: (id, proj array<double>). */
@@ -99,13 +109,15 @@ object Pca {
     val q = model.components.map { w =>
       (0 until dim).map(i => w(i) * (queryVec(i) - model.mean(i))).sum
     }
-    val proj = projectExpr(model, col(vecCol))
-    val dist2 = q.zipWithIndex
-      .map { case (qj, j) =>
-        val d = element_at(proj, j + 1) - lit(qj)
-        d * d
-      }
-      .reduce(_ + _)
+    // ONE reference to the projection expression: the distance folds
+    // over zip_with(proj, qLit) — referencing element_at(proj, j) per
+    // component would duplicate the whole projection subtree k times
+    // (the CollapseProject amplification documented in §5).
+    val dist2 = aggregate(
+      zip_with(projectExpr(model, col(vecCol)), typedLit(q.toSeq), (y, qj) => (y - qj) * (y - qj)),
+      lit(0.0),
+      (acc, t) => acc + t
+    )
     val cand = df
       .select(col(idCol), col(vecCol), dist2.as("_d2"))
       .orderBy(col("_d2").asc, col(idCol))
