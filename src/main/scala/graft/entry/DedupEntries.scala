@@ -29,6 +29,19 @@ private[graft] object DedupEntries {
     "dedup_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintGroups(Tables.documents(s, dir), col("text"), col("doc_id")).orderBy("fp")),
 
+    // CCNet-style paragraph-level exact dedup with document reassembly:
+    // paragraphs (non-overlapping 20-token windows on this single-line
+    // corpus) are deduplicated corpus-wide keep-first, and every document
+    // is rebuilt from its surviving paragraphs — the pass CCNet/
+    // RefinedWeb/Dolma run before any fuzzy dedup. Winner election is an
+    // agg + digest join (map-side partials absorb hot paragraphs), never
+    // a window over the digest.
+    "dedup_paragraph" -> ((s, dir) =>
+      Dedup
+        .paragraphDedup(Tables.documents(s, dir), "doc_id", "text", paraTokens = 20)
+        .select(col("id").as("doc_id"), col("n_paras"), col("n_kept"), col("kept_text"))
+        .orderBy("doc_id")),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       MinHashLSH.nearDupPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5).orderBy("a", "b")),
 
@@ -205,6 +218,22 @@ private[graft] object DedupEntries {
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+
+    // Winner = corpus-wide min (doc_id, pidx) per paragraph text; the
+    // oracle elects it with a window (fine at oracle scale), the engine
+    // with an agg + digest join (the plan that partial-aggregates).
+    "dedup_paragraph" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, unnest(range(0, (len(toks) - 1) // 20 + 1)) AS pidx, toks FROM t),
+        |p AS (SELECT doc_id, CAST(pidx AS BIGINT) AS pidx,
+        |             array_to_string(toks[pidx*20 + 1 : pidx*20 + 20], ' ') AS ptext FROM c),
+        |w AS (SELECT doc_id, pidx, ptext,
+        |             row_number() OVER (PARTITION BY ptext ORDER BY doc_id, pidx) AS rn FROM p)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_paras,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       string_agg(CASE WHEN rn = 1 THEN ptext END, ' ' ORDER BY pidx) AS kept_text
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Connected components over the same (exact) pair derivation as the
     // dedup_ngram_jaccard oracle, closed transitively with min-label

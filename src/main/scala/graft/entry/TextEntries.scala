@@ -351,6 +351,38 @@ private[graft] object TextEntries {
         )
         .orderBy("lang")),
 
+    // Seeded fixed-size uniform sample (the distributed reservoir): rank
+    // every row by md5(id : seed) and take the k smallest — a pure
+    // function of the id, so the sample is stable across runs, engines,
+    // and partitionings, and re-running with a larger k EXTENDS the
+    // sample (nested property the classic stateful reservoir lacks).
+    // Plan: TakeOrderedAndProject — per-partition top-k then a k-row
+    // driver merge, no global sort, no state; at 100 TB the shuffle is
+    // k rows per partition, nothing else.
+    "sample_reservoir" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), md5(concat(col("doc_id").cast("string"), lit(":r11"))).as("rk"))
+        .orderBy("rk")
+        .limit(64)),
+
+    // Deterministic training-shard shuffle: the "globally shuffle the
+    // corpus into N ordered shards" step every LLM training run needs.
+    // shard = multiplicative hash of the id; within-shard order = an
+    // independent md5 rank. Both are pure id functions (reproducible,
+    // resumable); the orderBy is a range-partitioned sort — each shard's
+    // order is defined by data, not by arrival, so a 1000-executor
+    // writer emits identical shard files to this local run.
+    "sample_shuffle_shards" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          (col("doc_id") * lit(2654435761L) % 65536 % 8).cast("long").as("shard"),
+          col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit(":shuf"))).as("rk")
+        )
+        .orderBy("shard", "rk")),
+
     // Per-group quota sampling: at most k docs per source, picked in
     // deterministic md5-of-id order (stable under corpus growth) — the
     // "cap any one domain's share of the training mix" op, executed by
@@ -710,6 +742,15 @@ private[graft] object TextEntries {
         |       CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "sample_reservoir" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':r11') AS rk
+        |FROM documents ORDER BY rk LIMIT 64""".stripMargin,
+
+    "sample_shuffle_shards" ->
+      """SELECT CAST((doc_id * 2654435761) % 65536 % 8 AS BIGINT) AS shard, doc_id,
+        |       md5(CAST(doc_id AS VARCHAR) || ':shuf') AS rk
+        |FROM documents ORDER BY shard, rk""".stripMargin,
 
     "text_bytes_per_token" ->
       """SELECT source,

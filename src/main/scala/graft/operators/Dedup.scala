@@ -132,6 +132,62 @@ object Dedup {
       )
   }
 
+  /** CCNet-style corpus-wide exact paragraph deduplication with document
+    * reassembly (Wenzek '20 §3.1; RefinedWeb and Dolma run the same
+    * pass before any fuzzy dedup). The synthetic corpus is single-line,
+    * so "paragraph" is the deterministic non-overlapping
+    * `paraTokens`-token window — the unit is a parameter, the algorithm
+    * is the published one: hash every paragraph, keep the corpus-wide
+    * FIRST occurrence (min (id, idx)), drop every other copy, and
+    * reassemble each document from its surviving paragraphs in order.
+    * A document whose every paragraph was seen earlier collapses to
+    * NULL text but keeps its ledger row (n_kept = 0), so the drop is
+    * auditable downstream.
+    *
+    * Scale shape: explode to paragraph rows (map-only), one hash
+    * aggregate on the 16-byte digest to elect winners — map-side
+    * partials absorb hot paragraphs (the boilerplate a real corpus
+    * repeats millions of times collapses inside each partition), which
+    * is why this is an agg + join and NOT a row_number window over the
+    * digest: a window cannot partial-aggregate, so its hottest key
+    * would serialize one reducer at 100 TB. The join back is
+    * digest-keyed (16-byte keys on the wire, not text), AQE-sized; the
+    * final groupBy(id) reassembly shuffles each document's surviving
+    * paragraphs once.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String, paraTokens: Int = 20): DataFrame = {
+    val paras = graft.Tables
+      .ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(
+        col("id"),
+        explode(TextFns.slidingChunks(col("_t"), window = paraTokens, stride = paraTokens)).as("c")
+      )
+      .select(col("id"), col("c.chunk_id").cast("long").as("pidx"), array_join(col("c.toks"), " ").as("ptext"))
+      .withColumn("h", md5(col("ptext")))
+    val firsts = paras.groupBy("h").agg(min(struct(col("id"), col("pidx"))).as("first"))
+    paras
+      .join(firsts, "h")
+      .withColumn("kept", struct(col("id"), col("pidx")) === col("first"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"), struct(col("pidx"), col("ptext"))))),
+            x => x.getField("ptext")
+          ),
+          " "
+        ).as("_kept_raw")
+      )
+      .select(
+        col("id"),
+        col("n_paras"),
+        col("n_kept"),
+        when(col("n_kept") > 0, col("_kept_raw")).as("kept_text")
+      )
+  }
+
   /** Rare-n-gram containment pairs — the ASYMMETRIC near-dup signal
     * C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| that catches quote
     * inclusion and partial copies, which symmetric Jaccard dilutes (a

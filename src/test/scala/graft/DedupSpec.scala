@@ -32,6 +32,28 @@ class DedupSpec extends SparkSpec {
     assert(groups.head.getAs[Long]("n_dups") == 3L) // 1, 2, 4
   }
 
+  test("paragraphDedup: corpus-wide keep-first, in-order reassembly, ledger rows for fully-dropped docs") {
+    val pA = "a1 a2 a3 a4 a5"; val pB = "b1 b2 b3 b4 b5"
+    val pC = "c1 c2 c3 c4 c5"; val pE = "e1 e2 e3 e4 e5"
+    val corpus = Seq(
+      (1L, s"$pA $pB"),     // both kept (first occurrences)
+      (2L, s"$pB $pC"),     // B already seen in doc 1 -> dropped; C kept
+      (3L, s"$pA $pB"),     // everything seen -> fully dropped, ledger row stays
+      (4L, "d1 d2 d3"),     // trailing partial paragraph is a real paragraph
+      (5L, s"$pE $pE")      // within-doc repeat: second copy dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .paragraphDedup(corpus, "doc_id", "text", paraTokens = 5)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[Long]("n_paras"), r.getAs[Long]("n_kept"), r.getAs[String]("kept_text"))))
+      .toMap
+    assert(out(1L) == ((2L, 2L, s"$pA $pB")))
+    assert(out(2L) == ((2L, 1L, pC)))
+    assert(out(3L) == ((2L, 0L, null))) // fully dropped but auditable
+    assert(out(4L) == ((1L, 1L, "d1 d2 d3")))
+    assert(out(5L) == ((2L, 1L, pE)))
+  }
+
   test("MinHash LSH finds exact and near dups, not unrelated docs") {
     val pairs = MinHashLSH
       .nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
