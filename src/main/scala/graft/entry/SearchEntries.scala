@@ -1917,6 +1917,33 @@ private[graft] object SearchEntries {
         "source=documents | parse text '^(?<first>[a-z]+) (?<second>[a-z]+)' | where lang in ('en', 'de', 'fr') | stats count() as cnt by first, second | sort -cnt, first, second | head 15"
       )),
 
+    // PPL eventstats: group statistics appended to every row (agg +
+    // null-safe join back — partial-aggregates, never a window over the
+    // group key), driving the canonical above-group-average filter.
+    "search_ppl_eventstats" -> ((s, dir) =>
+      search.Ppl.query(
+        name => Tables.events(s, dir),
+        "source=events | eventstats count() as n_ev, avg(value) as avg_v by event_type | where value > avg_v | stats count() as n_above, max(value) as peak by event_type | sort event_type"
+      )),
+
+    // PPL trendline: trailing moving average over the day-bucketed
+    // series (the dashboard smoothing pass) — stats collapses the fact
+    // table first, so the ordered window runs over a bounded series.
+    "search_ppl_trendline" -> ((s, dir) =>
+      search.Ppl.query(
+        name => Tables.events(s, dir),
+        "source=events | stats sum(value) as daily by span(ts, 1d) as day | trendline sort day sma(3, daily) as sma3 | sort day | head 20"
+      )),
+
+    // PPL fillnull: the warm-up NULLs the sma emits before its window
+    // fills, replaced inline — the trendline | fillnull composition
+    // every dashboard uses.
+    "search_ppl_fillnull" -> ((s, dir) =>
+      search.Ppl.query(
+        name => Tables.events(s, dir),
+        "source=events | stats sum(value) as daily by span(ts, 1d) as day | trendline sort day sma(4, daily) | fillnull with -1 in daily_trendline | sort day | head 15"
+      )),
+
     // span_multi: a multi-term matcher (prefix) as a span, composed
     // under span_near — prefix-matching token positions within slop of
     // 'fast', either direction. Same per-row HOF pass as span_near.
@@ -3212,6 +3239,37 @@ private[graft] object SearchEntries {
         |                  row_number() OVER (PARTITION BY source ORDER BY "count" DESC, lang) AS rn
         |           FROM counts)
         |SELECT source, lang, "count" FROM ranked WHERE rn <= 3 ORDER BY source, lang""".stripMargin,
+
+    "search_ppl_eventstats" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |         CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY event_type) AS DOUBLE)
+        |           / count(value) OVER (PARTITION BY event_type) AS avg_v
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_above, max(value) AS peak
+        |FROM w WHERE value > avg_v
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "search_ppl_trendline" ->
+      """WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS daily
+        |           FROM events GROUP BY 1)
+        |SELECT day, daily,
+        |       CASE WHEN count(*) OVER w = 3
+        |            THEN CAST(sum(CAST(daily AS DECIMAL(38,6))) OVER w AS DOUBLE) / 3 END AS sma3
+        |FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY day LIMIT 20""".stripMargin,
+
+    "search_ppl_fillnull" ->
+      """WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS daily
+        |           FROM events GROUP BY 1)
+        |SELECT day, daily,
+        |       coalesce(CASE WHEN count(*) OVER w = 4
+        |                     THEN CAST(sum(CAST(daily AS DECIMAL(38,6))) OVER w AS DOUBLE) / 4 END,
+        |                -1) AS daily_trendline
+        |FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY day LIMIT 15""".stripMargin,
 
     "search_span_multi" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

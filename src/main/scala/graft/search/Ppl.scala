@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   *   eval name = <arith>, ...     computed columns (+ - * /, parens)
   *   rename a as b, ...
   *   stats <agg> [as alias], ... [by key | span(ts, 1d) [as alias], ...]
+  *   eventstats <agg> [as alias], ... [by key, ...]
+  *                                group statistics appended to every row
+  *                                (agg + null-safe join back, not a window)
+  *   trendline sort [+|-]f sma(N, field) [as alias], ...
+  *                                trailing N-row moving average in declared
+  *                                order; NULL until the window fills; the
+  *                                sort clause is required (determinism)
+  *   fillnull with <v> in f, ...  null replacement (also: using f = v, ...)
   *   sort [+|-]field, ...
   *   head N
   *   top N field [by group]       most frequent values (bounded heaps)
@@ -109,6 +117,9 @@ object Ppl {
         }
       case ("parse", p) => parseCommand(df, p)
       case ("stats", p) => statsCommand(df, p)
+      case ("eventstats", p) => eventstatsCommand(df, p)
+      case ("trendline", p) => trendlineCommand(df, p)
+      case ("fillnull", p) => fillnullCommand(df, p)
       case ("sort", p) =>
         val keys = splitTop(p).map { k =>
           val t = k.trim
@@ -173,13 +184,15 @@ object Ppl {
     */
   private def exactSum(e: Column): Column = sum(e.cast("decimal(38,6)")).cast("double")
 
-  private def statsCommand(df: DataFrame, p: String): DataFrame = {
-    val (aggPart, byPart) = p.split("(?i)\\s+by\\s+") match {
+  private def splitBy(p: String): (String, Option[String]) =
+    p.split("(?i)\\s+by\\s+") match {
       case Array(a) => (a, None)
       case Array(a, b) => (a, Some(b))
-      case _ => throw new IllegalArgumentException(s"stats allows one 'by': '$p'")
+      case _ => throw new IllegalArgumentException(s"only one 'by' clause allowed: '$p'")
     }
-    val aggs = splitTop(aggPart).map { a =>
+
+  private def parseAggList(aggPart: String, cmd: String): Seq[Column] =
+    splitTop(aggPart).map { a =>
       val m = "(?i)^(count|sum|avg|min|max|distinct_count|dc)\\s*\\(([^)]*)\\)(?:\\s+as\\s+([A-Za-z_][A-Za-z0-9_]*))?$".r
       a.trim match {
         case m(fn, argS, alias) =>
@@ -201,13 +214,17 @@ object Ppl {
               }
           }
           val name = Option(alias).getOrElse {
-            require(fl == "count", s"stats ${fl}() needs an 'as' alias: '$a'")
+            require(fl == "count", s"$cmd ${fl}() needs an 'as' alias: '$a'")
             "count"
           }
           c.as(name)
-        case other => throw new IllegalArgumentException(s"unsupported stats aggregation: '$other'")
+        case other => throw new IllegalArgumentException(s"unsupported $cmd aggregation: '$other'")
       }
     }
+
+  private def statsCommand(df: DataFrame, p: String): DataFrame = {
+    val (aggPart, byPart) = splitBy(p)
+    val aggs = parseAggList(aggPart, "stats")
     byPart match {
       case None => df.agg(aggs.head, aggs.tail: _*)
       case Some(bp) =>
@@ -222,6 +239,100 @@ object Ppl {
           }
         }
         df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** `eventstats <agg> [as alias], ... [by k1, k2]`: the stats
+    * aggregates APPENDED to every input row instead of collapsing them —
+    * the "compare each row to its group's statistic" primitive (above-
+    * average filters, share-of-group). Compiled as a hash aggregate plus
+    * a null-safe join back on the group keys, NOT a window over the
+    * keys: the agg partial-aggregates map-side and the join is
+    * AQE-sized (broadcast when the group table is small), so a hot
+    * group never serializes one window reducer. The ungrouped form is a
+    * crossJoin against the broadcast 1-row aggregate.
+    */
+  private def eventstatsCommand(df: DataFrame, p: String): DataFrame = {
+    val (aggPart, byPart) = splitBy(p)
+    val aggs = parseAggList(aggPart, "eventstats")
+    byPart match {
+      case None => df.crossJoin(broadcast(df.agg(aggs.head, aggs.tail: _*)))
+      case Some(bp) =>
+        val keys = splitIdents(bp)
+        keys.foreach(k =>
+          require(k.matches("[A-Za-z_][A-Za-z0-9_.]*"), s"eventstats by-keys must be plain fields: '$k'")
+        )
+        // Null-safe equality so a NULL group joins its own statistics,
+        // exactly as a window PARTITION BY would group it.
+        val gk = keys.map(k => col(k).as(s"_esk_$k"))
+        val stats = df.groupBy(gk: _*).agg(aggs.head, aggs.tail: _*)
+        val cond = keys.map(k => col(k) <=> col(s"_esk_$k")).reduce(_ && _)
+        df.join(stats, cond, "left").drop(keys.map(k => s"_esk_$k"): _*)
+    }
+  }
+
+  /** `trendline sort [+|-]field sma(N, field) [as alias], ...`: simple
+    * moving average over the N-row trailing window in the declared sort
+    * order; NULL until the window is full (the OpenSearch convention).
+    * The sort clause is REQUIRED here (upstream makes it optional and
+    * falls back to arrival order, which a distributed scan does not
+    * define — same determinism stance as the absent `dedup`). Sums ride
+    * DECIMAL(38,6) with one conversion to double before the division.
+    *
+    * An ordered-series operator is inherently sequential: the window
+    * has no partition, so Spark evaluates it on one task. That is the
+    * operator's nature, not a plan defect — dashboards run trendline
+    * over bucketed stats output (a bounded series), never a raw fact
+    * table; at scale the pipeline shape is `stats ... by span | trendline`.
+    */
+  private def trendlineCommand(df: DataFrame, p: String): DataFrame = {
+    val m = "(?is)^sort\\s+([+-]?)\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s+(.*)$".r
+    p.trim match {
+      case m(sign, sortField, rest) =>
+        val ord = if (sign == "-") col(sortField).desc else col(sortField).asc
+        val base = org.apache.spark.sql.expressions.Window.orderBy(ord)
+        splitTop(rest).foldLeft(df) { (acc, clause) =>
+          val sm =
+            "(?i)^sma\\s*\\(\\s*(\\d+)\\s*,\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s*\\)(?:\\s+as\\s+([A-Za-z_][A-Za-z0-9_]*))?$".r
+          clause.trim match {
+            case sm(nS, field, alias) =>
+              val n = nS.toInt
+              require(n > 0, s"sma window must be positive: '$clause'")
+              val w = base.rowsBetween(-(n - 1), 0)
+              val smaC = when(
+                count(lit(1)).over(w) === n,
+                (sum(col(field).cast("decimal(38,6)")).over(w).cast("double") / n)
+              )
+              acc.withColumn(Option(alias).getOrElse(s"${field}_trendline"), smaC)
+            case other => throw new IllegalArgumentException(s"trendline expects sma(N, field) [as alias]: '$other'")
+          }
+        }
+      case _ =>
+        throw new IllegalArgumentException(
+          s"trendline requires an explicit sort: trendline sort [+|-]field sma(N, field) [as alias], got '$p'"
+        )
+    }
+  }
+
+  /** `fillnull with <literal> in f1, f2` / `fillnull using f1 = <expr>,
+    * ...`: null replacement, one codegen'd coalesce projection.
+    */
+  private def fillnullCommand(df: DataFrame, p: String): DataFrame = {
+    val withM = "(?is)^with\\s+(.+?)\\s+in\\s+(.+)$".r
+    val usingM = "(?is)^using\\s+(.+)$".r
+    p.trim match {
+      case withM(valS, fieldsS) =>
+        val v = new Expr(valS.trim).parseArith()
+        splitIdents(fieldsS).foldLeft(df)((acc, f) => acc.withColumn(f, coalesce(col(f), v)))
+      case usingM(assigns) =>
+        splitTop(assigns).foldLeft(df) { (acc, a) =>
+          val eq = a.indexOf('=')
+          require(eq > 0, s"fillnull using expects field = value: '$a'")
+          val f = a.take(eq).trim
+          acc.withColumn(f, coalesce(col(f), new Expr(a.drop(eq + 1)).parseArith()))
+        }
+      case other =>
+        throw new IllegalArgumentException(s"fillnull expects 'with <value> in <fields>' or 'using f = v, ...': '$other'")
     }
   }
 

@@ -90,6 +90,43 @@ class PplSpec extends SparkSpec {
     )
   }
 
+  test("eventstats appends group stats to every row (null-safe keys); ungrouped form broadcasts") {
+    val got = run("source=e | eventstats avg(value) as av by event_type | where value > av | fields event_id | sort event_id")
+      .as[Long].collect().toSeq
+    assert(got == Seq(3L)) // purchase avg 15.0: only the 30.0 row is above
+    // every input row survives (left join), rows and columns appended
+    val all = run("source=e | eventstats count() as n by event_type")
+    assert(all.count() == 5L && all.columns.contains("n"))
+    // a NULL group key joins its own statistics (window-partition semantics)
+    val withNull = events.withColumn("event_type", when($"event_id" > 3, lit(null: String)).otherwise($"event_type"))
+    val nulls = Ppl.query(_ => withNull, "source=e | eventstats count() as n by event_type")
+      .filter($"event_type".isNull).select("n").distinct().as[Long].collect().toSeq
+    assert(nulls == Seq(2L))
+    // ungrouped: the 1-row aggregate rides a broadcast
+    val ungrouped = run("source=e | eventstats max(value) as mx | where value = mx | fields event_id")
+      .as[Long].collect().toSeq
+    assert(ungrouped == Seq(3L))
+  }
+
+  test("trendline: NULL until the window fills, decimal-exact sma, sort required; fillnull replaces") {
+    val got = run("source=e | stats sum(value) as hourly by span(ts, 1h) as hr | trendline sort hr sma(2, hourly) as sma2 | sort hr")
+      .select(col("sma2")).as[Option[Double]].collect().toSeq
+    // hourly series: 1.0, 10.0, 30.0, 0.0, 5.0 -> sma2: null, 5.5, 20.0, 15.0, 2.5
+    assert(got == Seq(None, Some(5.5), Some(20.0), Some(15.0), Some(2.5)))
+    // default alias <field>_trendline; fillnull 'with ... in' replaces the warm-up NULL
+    val filled = run("source=e | stats sum(value) as hourly by span(ts, 1h) as hr | trendline sort hr sma(2, hourly) | fillnull with -1 in hourly_trendline | sort hr")
+      .select(col("hourly_trendline")).as[Double].collect().toSeq
+    assert(filled.head == -1.0 && filled(1) == 5.5)
+    // fillnull 'using f = v' form
+    val usingForm = Ppl.query(
+      _ => events.withColumn("value", when($"event_id" === 1, lit(null: java.lang.Double)).otherwise($"value")),
+      "source=e | fillnull using value = 0 | stats sum(value) as sv"
+    ).as[Double].head()
+    assert(usingForm == 45.0)
+    intercept[IllegalArgumentException](run("source=e | trendline sma(2, value)")) // sort is required
+    intercept[IllegalArgumentException](run("source=e | trendline sort ts wma(2, value)"))
+  }
+
   test("error contract: unknown command, unknown index, malformed stats, trailing garbage") {
     intercept[IllegalArgumentException](run("source=e | explode value"))
     intercept[IllegalArgumentException](Ppl.query(n => throw new RuntimeException(n), "source=nope | head 1"))
