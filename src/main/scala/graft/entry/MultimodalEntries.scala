@@ -41,6 +41,24 @@ private[graft] object MultimodalEntries {
         .tileGrid(Binary.asPayload(Tables.documents(s, dir), col("doc_id"), col("text")), rowBytes = 32, tileW = 16, tileH = 4)
         .orderBy("id", "tile_row", "tile_col")),
 
+    // ViT-style pooled image embedding: per-patch stub features (hex
+    // bytes of each tile digest — deterministic, NOT a vision model)
+    // mean-pooled per image through EXACT integer sums with one double
+    // division, so the embedding is bit-identical under any
+    // partitioning. The real contract a decoder plugs into.
+    "mm_embed_pool" -> ((s, dir) =>
+      Binary
+        .tileFeaturePool(
+          Binary.tileGrid(
+            Binary.asPayload(Tables.documents(s, dir), col("doc_id"), col("text")),
+            rowBytes = 32,
+            tileW = 16,
+            tileH = 4
+          ),
+          dims = 4
+        )
+        .orderBy("id")),
+
     // Exact dedup over OPAQUE binary payloads: hash-aggregate on the
     // content digest — the digest shuffles, the payload bytes never do
     // (the multimodal twin of dedup_exact).
@@ -91,6 +109,28 @@ private[graft] object MultimodalEntries {
 
     "mm_payload_dedup" ->
       """SELECT sha256(text) AS sha256, count(*) AS n_copies, min(doc_id) AS keep_id
-        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "mm_embed_pool" ->
+      """WITH d AS (SELECT doc_id, text, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
+        |           FROM documents),
+        |dims AS (SELECT *, CAST(ceil(ceil(n_bytes / 32.0) / 4.0) AS INTEGER) AS tile_rows FROM d),
+        |tiles AS (
+        |  SELECT doc_id, text,
+        |         CAST(t.i // 2 AS INTEGER) AS tile_row, CAST(t.i % 2 AS INTEGER) AS tile_col
+        |  FROM dims CROSS JOIN unnest(generate_series(0, tile_rows * 2 - 1)) AS t(i)),
+        |parts AS (
+        |  SELECT doc_id, tile_row, tile_col, k.i AS k,
+        |         substring(text, (tile_row * 4 + k.i) * 32 + tile_col * 16 + 1, 16) AS part
+        |  FROM tiles CROSS JOIN unnest(generate_series(0, 3)) AS k(i)),
+        |tg AS (SELECT doc_id AS id, tile_row, tile_col,
+        |              md5(string_agg(part, '' ORDER BY k)) AS tile_md5
+        |       FROM parts GROUP BY 1, 2, 3)
+        |SELECT id, count(*) AS n_tiles,
+        |       CAST(sum(CAST('0x' || substring(tile_md5, 1, 2) AS INT)) AS DOUBLE) / (255.0 * count(*)) AS e0,
+        |       CAST(sum(CAST('0x' || substring(tile_md5, 3, 2) AS INT)) AS DOUBLE) / (255.0 * count(*)) AS e1,
+        |       CAST(sum(CAST('0x' || substring(tile_md5, 5, 2) AS INT)) AS DOUBLE) / (255.0 * count(*)) AS e2,
+        |       CAST(sum(CAST('0x' || substring(tile_md5, 7, 2) AS INT)) AS DOUBLE) / (255.0 * count(*)) AS e3
+        |FROM tg GROUP BY id ORDER BY id""".stripMargin
   )
 }

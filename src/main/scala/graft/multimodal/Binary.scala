@@ -98,6 +98,31 @@ object Binary {
       .select("id", "n_bytes", "tile_row", "tile_col", "tile_md5")
   }
 
+  /** Patch-feature extraction + mean pooling over a [[tileGrid]] — the
+    * ViT pooled-embedding shape (per-patch features averaged into one
+    * image vector). The per-tile "feature" is a STUB (hex bytes of the
+    * tile digest scaled to [0,1] — deterministic, NOT a real vision
+    * model); the pooling is the real contract: features accumulate as
+    * EXACT integer sums per image with one double division at the end
+    * (`Σh / (255·n)`), so the pooled embedding is bit-identical under
+    * any partitioning — a double-sum mean would drift by partition
+    * order. One hash aggregate with map-side partials; the payload
+    * bytes never shuffle, only (id, digest-derived ints).
+    */
+  def tileFeaturePool(tiles: DataFrame, dims: Int = 4): DataFrame = {
+    require(dims > 0 && dims <= 16, s"digest provides at most 16 feature bytes: $dims")
+    val sums = (0 until dims).map(j =>
+      sum(conv(substring(col("tile_md5"), 2 * j + 1, 2), 16, 10).cast("long")).as(s"_s$j")
+    )
+    tiles
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tiles"), sums: _*)
+      .select(
+        col("id") +: col("n_tiles") +:
+          (0 until dims).map(j => (col(s"_s$j").cast("double") / (lit(255.0) * col("n_tiles"))).as(s"e$j")): _*
+      )
+  }
+
   /** [[frameSample]] in exploded row form — one row per sampled frame
     * (id, n_bytes, n_frames, frame_idx, frame_md5). Scalar columns only, so
     * results are directly comparable/joinable (and hash-verifiable) without

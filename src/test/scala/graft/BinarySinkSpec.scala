@@ -36,6 +36,24 @@ class BinarySinkSpec extends SparkSpec {
     assert(Binary.frameSampleRows(Binary.asPayload(empty, $"doc_id", $"text"), 64, 4).count() == 0)
   }
 
+  test("tileFeaturePool: mean of per-tile digest features via exact integer sums, partition-proof") {
+    val tiles = Binary.tileGrid(Binary.asPayload(docs, $"doc_id", $"text"), rowBytes = 32, tileW = 16, tileH = 4)
+    val pooled = Binary.tileFeaturePool(tiles, dims = 4).orderBy("id").collect()
+    assert(pooled.length == 2)
+    // hand-check one value: e0 == sum of first digest bytes / (255 * n)
+    val raw = tiles.orderBy("id", "tile_row", "tile_col").collect()
+    val doc1 = raw.filter(_.getAs[Long]("id") == 1L)
+    val expect = doc1.map(r => Integer.parseInt(r.getAs[String]("tile_md5").substring(0, 2), 16)).sum /
+      (255.0 * doc1.length)
+    assert(pooled(0).getAs[Long]("n_tiles") == doc1.length.toLong)
+    assert(pooled(0).getAs[Double]("e0") == expect) // bitwise: one division of exact ints
+    // every feature lands in [0, 1]
+    (0 until 4).foreach(j => pooled.foreach(r => assert(r.getAs[Double](s"e$j") >= 0.0 && r.getAs[Double](s"e$j") <= 1.0)))
+    // partition-proof: same bits at a different parallelism
+    val repart = Binary.tileFeaturePool(tiles.repartition(7), dims = 4).orderBy("id").collect()
+    assert(repart.map(_.getAs[Double]("e0")).toSeq == pooled.map(_.getAs[Double]("e0")).toSeq)
+  }
+
   test("decodeFeatures: mapPartitions plumbing with the stub decoder") {
     val out = Binary.decodeFeatures(Binary.asPayload(docs, $"doc_id", $"text"), featureDim = 8).orderBy("id").collect()
     assert(out.length == 2)
