@@ -351,6 +351,27 @@ private[graft] object TextEntries {
         )
         .orderBy("lang")),
 
+    // Corpus cartography: k-means topic clusters over the embedding
+    // space labeled with each cluster's most discriminative terms
+    // (cluster-TF × corpus-IDF over per-doc distinct tokens, top-3 off
+    // the bounded-heap TopKPerKey). k-means is not SQL-expressible →
+    // rows-only at the gate; PipelineOpsSpec pins the contracts
+    // (partition invariance, size conservation, exclusive-term ranking).
+    "text_cluster_topics" -> ((s, dir) =>
+      operators.ClusterTopics
+        .clusterTopics(
+          Tables.embeddings(s, dir),
+          "vec_id",
+          "embedding",
+          Tables.documents(s, dir),
+          "doc_id",
+          "text",
+          k = 8,
+          iters = 2,
+          topTerms = 3
+        )
+        .orderBy("cell", "rank")),
+
     // Seeded fixed-size uniform sample (the distributed reservoir): rank
     // every row by md5(id : seed) and take the k smallest — a pure
     // function of the id, so the sample is stable across runs, engines,

@@ -39,6 +39,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("clusterTopics: separated clusters get their exclusive terms ranked first; sizes conserve; partition-invariant") {
+    // two well-separated embedding groups with cluster-exclusive vocab
+    val emb = (0L until 12L)
+      .map(i => (i, if (i < 6) Array(1.0f, 0.02f * i) else Array(-1.0f, 0.02f * i)))
+      .toDF("vec_id", "embedding")
+    val docs = (0L until 12L)
+      .map(i => (i, if (i < 6) s"alpha shared filler$i" else s"omega shared filler$i"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.ClusterTopics
+      .clusterTopics(emb, "vec_id", "embedding", docs, "doc_id", "text", k = 2, iters = 3, topTerms = 2)
+      .collect()
+    // sizes conserve the corpus; exactly k clusters; topTerms bound holds
+    val sizes = out.groupBy(_.getAs[Int]("cell")).map { case (c, rs) => c -> rs.head.getAs[Long]("n_docs") }
+    assert(sizes.values.sum == 12L && sizes.size == 2)
+    assert(out.groupBy(_.getAs[Int]("cell")).forall(_._2.length <= 2))
+    // rank-1 term of each cluster is its exclusive token, never 'shared'
+    // (shared has df = N so ln(N/df) = 0)
+    val rank1 = out.filter(_.getAs[Int]("rank") == 1).map(_.getAs[String]("term")).toSet
+    assert(rank1 == Set("alpha", "omega"))
+    // partition invariance: same rows at a different parallelism
+    val repart = graft.operators.ClusterTopics
+      .clusterTopics(emb.repartition(5), "vec_id", "embedding", docs.repartition(3), "doc_id", "text", k = 2, iters = 3, topTerms = 2)
+      .collect()
+    assert(repart.map(_.toString).sorted.toSeq == out.map(_.toString).sorted.toSeq)
+  }
+
   test("connectedComponents durable-checkpoint path matches the in-memory path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     // Two components + a chain: exercises several propagation rounds so
