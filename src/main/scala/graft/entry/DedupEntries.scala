@@ -42,6 +42,24 @@ private[graft] object DedupEntries {
         .select(col("id").as("doc_id"), col("n_paras"), col("n_kept"), col("kept_text"))
         .orderBy("doc_id")),
 
+    // Cross-source duplicate-leakage matrix: for every source pair, how
+    // many normalized fingerprints they share — the "is my web dump
+    // contaminating my curated set" diagnostic a mixing decision needs
+    // BEFORE dedup runs. Distinct (fingerprint, source) first, then a
+    // digest-keyed self-join whose per-group fan-out is bounded by the
+    // SOURCE COUNT (never by dup volume) — linear at any corpus size.
+    "dedup_source_overlap" -> ((s, dir) => {
+      val hs = Tables
+        .documents(s, dir)
+        .select(TextFns.fingerprint(col("text")).as("h"), col("source"))
+        .distinct()
+      hs.as("x")
+        .join(hs.as("y"), col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("src_a", "src_b")
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       MinHashLSH.nearDupPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5).orderBy("a", "b")),
 
@@ -356,6 +374,15 @@ private[graft] object DedupEntries {
     "dedup_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
         |       count(*) AS n_dups, min(doc_id) AS keep_id
-        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "dedup_source_overlap" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS h,
+        |         source
+        |  FROM documents)
+        |SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_shared
+        |FROM hs x JOIN hs y ON x.h = y.h AND x.source < y.source
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
   )
 }

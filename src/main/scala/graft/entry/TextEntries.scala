@@ -404,6 +404,31 @@ private[graft] object TextEntries {
         )
         .orderBy("shard", "rk")),
 
+    // Per-source token-budget fill: data recipes are specified in TOKEN
+    // budgets, not doc counts — greedily admit docs per source in
+    // deterministic md5-of-id order until the source's cumulative token
+    // count reaches the budget. A windowed running sum PARTITIONED BY
+    // source (every partition is one source's docs — parallel across
+    // sources, never a global single-reducer window), then one filter.
+    "sample_token_budget" -> ((s, dir) => {
+      val w = Window
+        .partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          col("source"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string")).as("h")
+        )
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .filter(col("cum_tokens") <= 500)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens")
+    }),
+
     // Per-group quota sampling: at most k docs per source, picked in
     // deterministic md5-of-id order (stable under corpus growth) — the
     // "cap any one domain's share of the training mix" op, executed by
@@ -767,6 +792,16 @@ private[graft] object TextEntries {
     "sample_reservoir" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':r11') AS rk
         |FROM documents ORDER BY rk LIMIT 64""".stripMargin,
+
+    "sample_token_budget" ->
+      """SELECT source, doc_id, n_tokens, cum_tokens FROM (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CAST(len(string_split(lower(text), ' ')) AS BIGINT)) OVER
+        |           (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM documents) t
+        |WHERE cum_tokens <= 500 ORDER BY source, cum_tokens""".stripMargin,
 
     "sample_shuffle_shards" ->
       """SELECT CAST((doc_id * 2654435761) % 65536 % 8 AS BIGINT) AS shard, doc_id,
