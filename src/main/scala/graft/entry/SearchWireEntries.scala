@@ -502,6 +502,30 @@ private[graft] object SearchWireEntries {
       )
     }),
 
+    // Score-space hybrid via a request-level search_pipeline with the
+    // normalization-processor (min_max per leg over its top-k, weighted
+    // arithmetic mean, weights bound to declared sub-query order) — the
+    // default OpenSearch hybrid configuration; the rank-space RRF twin
+    // is search_dsl_json_hybrid.
+    "search_dsl_json_hybrid_normalized" -> ((s, dir) => {
+      val qv = queryVec(s, dir, 0).map(_.toDouble).mkString("[", ",", "]")
+      JsonDsl.hybridNormalized(
+        cachedBm25(s, dir),
+        Tables.embeddings(s, dir).select(col("vec_id").as("_id"), col("embedding")),
+        "_id",
+        s"""{"query": {"hybrid": {"queries": [
+           |  {"match": {"text": "spark query"}},
+           |  {"knn": {"embedding": {"vector": $qv, "k": 10,
+           |     "filter": {"bool": {"must_not": [{"ids": {"values": [0]}}]}}}}}]}},
+           | "size": 10,
+           | "search_pipeline": {"phase_results_processors": [
+           |   {"normalization-processor": {
+           |      "normalization": {"technique": "min_max"},
+           |      "combination": {"technique": "arithmetic_mean",
+           |                      "parameters": {"weights": [0.3, 0.7]}}}}]}}""".stripMargin
+      )
+    }),
+
     // neural_sparse from the wire format: query_text analyzed with the
     // standard chain, scored as a sparse dot product against the Memo'd
     // posting artifact (deterministic statistical encoder — see
@@ -1872,6 +1896,32 @@ private[graft] object SearchWireEntries {
         |             + coalesce(CAST(1 AS DOUBLE) / (60 + vec_rank), 0.0), 6) AS rrf_score
         |FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
         |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin,
+
+    "search_dsl_json_hybrid_normalized" ->
+      """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks,
+        |                     len(string_split(lower(text), ' ')) AS dl
+        |              FROM documents),
+        |postings AS (SELECT id, dl, t.term, count(*) AS tf
+        |             FROM base, unnest(toks) AS t(term)
+        |             WHERE t.term IN ('spark', 'query') GROUP BY id, dl, t.term),
+        |docfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+        |lexs AS (SELECT id, round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |                             * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |         FROM postings JOIN docfreq USING (term) CROSS JOIN corpus
+        |         GROUP BY id ORDER BY score DESC, id LIMIT 10),
+        |lexn AS (SELECT id, CASE WHEN mx = mn THEN 1.0 ELSE (score - mn) / (mx - mn) END AS lex_n
+        |         FROM (SELECT id, score, min(score) OVER () AS mn, max(score) OVER () AS mx FROM lexs) t),
+        |vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |vecs_ AS (SELECT vec_id AS id,
+        |                 round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM vq)), 6) AS cos
+        |          FROM embeddings WHERE vec_id <> 0 ORDER BY cos DESC, id LIMIT 10),
+        |vecn AS (SELECT id, CASE WHEN mx = mn THEN 1.0 ELSE (cos - mn) / (mx - mn) END AS vec_n
+        |         FROM (SELECT id, cos, min(cos) OVER () AS mn, max(cos) OVER () AS mx FROM vecs_) t)
+        |SELECT coalesce(l.id, v.id) AS id,
+        |       round((coalesce(lex_n, 0.0) * 0.3 + coalesce(vec_n, 0.0) * 0.7) / (0.3 + 0.7), 6) AS hybrid_score
+        |FROM lexn l FULL OUTER JOIN vecn v ON l.id = v.id
+        |ORDER BY hybrid_score DESC, id LIMIT 10""".stripMargin,
 
     "search_dsl_json_pit" ->
       """SELECT user_id, event_id, ts, event_type, value FROM (

@@ -1437,6 +1437,40 @@ object JsonDsl {
           throw new IllegalArgumentException(s"request body is not valid JSON: ${e.getMessage}")
       }
     require(root != null && root.isObject, s"request body must be a JSON object: $body")
+    val (lexS, vecS, k, _) = hybridLegParse(index, vecs, idCol, root, mapping)
+    val w = org.apache.spark.sql.expressions.Window
+    val lex = lexS
+      .withColumn("lex_rank", row_number().over(w.orderBy(col("score").desc, col("id"))))
+      .select(col("id"), col("lex_rank"))
+    val vecLeg = vecS
+      .withColumn("vec_rank", row_number().over(w.orderBy(col("cos").desc, col("id"))))
+      .select(col("id"), col("vec_rank"))
+    lex
+      .join(vecLeg, Seq("id"), "full_outer")
+      .select(
+        col("id"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)),
+          6
+        ).as("rrf_score")
+      )
+      .orderBy(col("rrf_score").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Shared leg computation for the hybrid fusions: parse the hybrid
+    * body, run each sub-query as its own bounded top-k, and return
+    * (lex top-k (id, score), knn top-k (id, cos), size, lexDeclaredFirst
+    * — the declared sub-query order binds combination weights).
+    */
+  private def hybridLegParse(
+      index: Bm25.Bm25Index,
+      vecs: DataFrame,
+      idCol: String,
+      root: com.fasterxml.jackson.databind.JsonNode,
+      mapping: IndexMapping
+  ): (DataFrame, DataFrame, Int, Boolean) = {
     val q = req(root, "query", "hybrid")
     require(q.isObject && q.size == 1 && q.fieldNames().next() == "hybrid", s"expected a hybrid query: $q")
     val subs = req(q.get("hybrid"), "queries", "hybrid").elements().asScala.toSeq
@@ -1449,11 +1483,7 @@ object JsonDsl {
     require(lexSubs.head.fieldNames().next() == "match", "the lexical leg must be a match clause")
     val (_, v) = fieldAndValue(lexSubs.head.get("match"), "query")
     val terms = v.asText.toLowerCase.split("\\s+").toSeq
-    val w = org.apache.spark.sql.expressions.Window
-    val lex = Bm25
-      .scoreAgainstIndex(index, terms, k)
-      .withColumn("lex_rank", row_number().over(w.orderBy(col("score").desc, col("id"))))
-      .select(col("id"), col("lex_rank"))
+    val lex = Bm25.scoreAgainstIndex(index, terms, k)
     val knnBody = knnSubs.head.get("knn")
     val vf = singleField(knnBody)
     val spec = knnBody.get(vf)
@@ -1469,19 +1499,81 @@ object JsonDsl {
       )
       .orderBy(col("cos").desc, col("id"))
       .limit(kk)
-      .withColumn("vec_rank", row_number().over(w.orderBy(col("cos").desc, col("id"))))
-      .select(col("id"), col("vec_rank"))
-    lex
-      .join(vecLeg, Seq("id"), "full_outer")
+    (lex, vecLeg, k, subs.head.fieldNames().next() != "knn")
+  }
+
+  /** OpenSearch SCORE-space hybrid search via a request-level
+    * `search_pipeline` with a `normalization-processor` — the default
+    * hybrid-search configuration (min_max normalization per sub-query,
+    * weighted arithmetic-mean combination), the score-space sibling of
+    * the rank-space [[hybrid]] RRF.
+    *
+    * Semantics (deterministic, oracle-replayed): each leg's scores are
+    * min-max normalized over ITS retrieved top-k set — `(s−min)/(max−min)`,
+    * a single-valued leg normalizes to 1.0; a document missing from a
+    * leg contributes 0 with that leg's weight still in the denominator
+    * (`(wₗ·nₗ + wᵥ·nᵥ)/(wₗ+wᵥ)`), so both-leg hits outrank single-leg
+    * hits — the behavior the processor exists to produce. Weights bind
+    * to the DECLARED sub-query order. The per-leg min/max are 1-row
+    * aggregates riding a broadcast; everything else is the bounded
+    * k×k fusion join.
+    */
+  def hybridNormalized(
+      index: Bm25.Bm25Index,
+      vecs: DataFrame,
+      idCol: String,
+      body: String,
+      mapping: IndexMapping = IndexMapping.empty
+  ): DataFrame = {
+    val root =
+      try mapper.readTree(body)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(s"request body is not valid JSON: ${e.getMessage}")
+      }
+    require(root != null && root.isObject, s"request body must be a JSON object: $body")
+    val (lexS, vecS, k, lexFirst) = hybridLegParse(index, vecs, idCol, root, mapping)
+    val procs = Option(root.get("search_pipeline"))
+      .flatMap(p => Option(p.get("phase_results_processors")))
+      .map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty)
+    require(
+      procs.size == 1 && procs.head.has("normalization-processor"),
+      "expected one normalization-processor in search_pipeline.phase_results_processors"
+    )
+    val np = procs.head.get("normalization-processor")
+    val normT = Option(np.get("normalization")).flatMap(n => Option(n.get("technique"))).map(_.asText).getOrElse("min_max")
+    require(normT == "min_max", s"unsupported normalization technique '$normT' (supported: min_max)")
+    val combNode = Option(np.get("combination"))
+    val combT = combNode.flatMap(c => Option(c.get("technique"))).map(_.asText).getOrElse("arithmetic_mean")
+    require(combT == "arithmetic_mean", s"unsupported combination technique '$combT' (supported: arithmetic_mean)")
+    val weights = combNode
+      .flatMap(c => Option(c.get("parameters")))
+      .flatMap(p => Option(p.get("weights")))
+      .map(_.elements().asScala.toSeq.map(_.asDouble))
+      .getOrElse(Seq(0.5, 0.5))
+    require(weights.size == 2 && weights.forall(_ > 0), s"weights must be 2 positive numbers: $weights")
+    val (wLex, wVec) = if (lexFirst) (weights(0), weights(1)) else (weights(1), weights(0))
+    def mmNorm(df: DataFrame, scoreCol: String, out: String): DataFrame = {
+      val mm = df.agg(min(col(scoreCol)).as("_mn"), max(col(scoreCol)).as("_mx"))
+      df.crossJoin(broadcast(mm))
+        .select(
+          col("id"),
+          when(col("_mx") === col("_mn"), lit(1.0))
+            .otherwise((col(scoreCol) - col("_mn")) / (col("_mx") - col("_mn")))
+            .as(out)
+        )
+    }
+    mmNorm(lexS, "score", "lex_n")
+      .join(mmNorm(vecS, "cos", "vec_n"), Seq("id"), "full_outer")
       .select(
         col("id"),
         round(
-          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)),
+          (coalesce(col("lex_n"), lit(0.0)) * wLex + coalesce(col("vec_n"), lit(0.0)) * wVec) / (wLex + wVec),
           6
-        ).as("rrf_score")
+        ).as("hybrid_score")
       )
-      .orderBy(col("rrf_score").desc, col("id"))
+      .orderBy(col("hybrid_score").desc, col("id"))
       .limit(k)
   }
 

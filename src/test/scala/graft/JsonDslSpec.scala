@@ -1008,6 +1008,84 @@ class JsonDslSpec extends SparkSpec {
     assert(got.map(_._2) == Seq(top, tie, tie), got.toString)
   }
 
+  test("hybridNormalized: min_max per leg, weighted mean, missing leg contributes 0, weights follow declared order") {
+    val docs = Seq(
+      (1L, "spark query engine"),
+      (2L, "the fast cat runs"),
+      (3L, "spark streaming jobs"),
+      (4L, "a slow dog sleeps")
+    ).toDF("doc_id", "text")
+    val vecs = Seq(
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f)),
+      (4L, Array(-1.0f, 0.0f))
+    ).toDF("_id", "embedding")
+    val idx = graft.search.Bm25.buildIndex(docs, "doc_id", "text")
+    def run(w: String) = JsonDsl
+      .hybridNormalized(
+        idx,
+        vecs,
+        "_id",
+        s"""{"query": {"hybrid": {"queries": [
+           |  {"match": {"text": "spark query"}},
+           |  {"knn": {"embedding": {"vector": [1.0, 0.0], "k": 2}}}]}},
+           | "size": 4,
+           | "search_pipeline": {"phase_results_processors": [
+           |   {"normalization-processor": {
+           |      "normalization": {"technique": "min_max"},
+           |      "combination": {"technique": "arithmetic_mean",
+           |                      "parameters": {"weights": $w}}}}]}}""".stripMargin
+      )
+      .as[(Long, Double)]
+      .collect()
+      .toSeq
+    // lex leg retrieves docs 1, 3 -> min_max: doc1 = 1.0, doc3 = 0.0;
+    // knn leg retrieves docs 2 (cos 1.0 -> 1.0), 3 (-> 0.0).
+    // equal weights: doc1 = 0.5, doc2 = 0.5, doc3 = 0.0 — both-leg doc 3
+    // happens to normalize to the min of BOTH legs here, so the
+    // missing-leg zeros are what the assertion pins.
+    val eq = run("[0.5, 0.5]").toMap
+    assert(eq(1L) == 0.5 && eq(2L) == 0.5 && eq(3L) == 0.0)
+    // weighted 0.3 lex / 0.7 vec: doc1 = 0.3, doc2 = 0.7
+    val wgt = run("[0.3, 0.7]").toMap
+    assert(wgt(1L) == 0.3 && wgt(2L) == 0.7)
+    // single-valued leg normalizes to 1.0: k=1 on the knn leg
+    val single = JsonDsl
+      .hybridNormalized(
+        idx,
+        vecs,
+        "_id",
+        """{"query": {"hybrid": {"queries": [
+          |  {"match": {"text": "spark query"}},
+          |  {"knn": {"embedding": {"vector": [1.0, 0.0], "k": 1}}}]}},
+          | "size": 4,
+          | "search_pipeline": {"phase_results_processors": [
+          |   {"normalization-processor": {
+          |      "normalization": {"technique": "min_max"},
+          |      "combination": {"technique": "arithmetic_mean"}}}]}}""".stripMargin
+      )
+      .as[(Long, Double)]
+      .collect()
+      .toMap
+    assert(single(2L) == 0.5) // lone knn hit: 1.0 * 0.5 weight share
+    // error contract: unsupported techniques fail fast, naming the value
+    val bad = intercept[IllegalArgumentException](run("[0.5]"))
+    assert(bad.getMessage.contains("weights"))
+    intercept[IllegalArgumentException] {
+      JsonDsl.hybridNormalized(
+        idx,
+        vecs,
+        "_id",
+        """{"query": {"hybrid": {"queries": [
+          |  {"match": {"text": "spark"}},
+          |  {"knn": {"embedding": {"vector": [1.0, 0.0], "k": 2}}}]}},
+          | "search_pipeline": {"phase_results_processors": [
+          |   {"normalization-processor": {"normalization": {"technique": "l2"}}}]}}""".stripMargin
+      )
+    }
+  }
+
   test("_rank_eval: normalized dcg against explicit graded ratings (hand-computed)") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)),
