@@ -127,6 +127,88 @@ class PplSpec extends SparkSpec {
     intercept[IllegalArgumentException](run("source=e | trendline sort ts wma(2, value)"))
   }
 
+  test("property: random expression trees round-trip through the PPL parser bit-identically") {
+    // The parser's risky surface is precedence + parenthesized-group
+    // backtracking; generate random arith trees and predicates, render
+    // them with random redundant parens/whitespace, and compare the
+    // compiled pipeline against the directly-built Column. Seeded — a
+    // failure reproduces.
+    val rnd = new scala.util.Random(20260815L)
+    def ws: String = " " * rnd.nextInt(3)
+
+    // (ppl rendering, reference Column, precedence: 1 = +/-, 2 = *, 3 = atom).
+    // Precedence-aware unparse: a child is parenthesized only when the
+    // flat rendering would re-associate it — left child when strictly
+    // looser, right child also on EQUAL precedence (double + and - are
+    // not associative bitwise, so the tree shape must survive). Tighter
+    // children stay bare, which is exactly what exercises the parser's
+    // precedence climbing.
+    def genArith(depth: Int): (String, org.apache.spark.sql.Column, Int) =
+      if (depth == 0 || rnd.nextInt(4) == 0) rnd.nextInt(4) match {
+        case 0 => ("value", col("value"), 3)
+        case 1 => ("event_id", col("event_id"), 3)
+        case 2 => val n = rnd.nextInt(10); (n.toString, lit(n.toLong), 3)
+        case _ => val d = rnd.nextInt(90) / 10.0; (d.toString, lit(d), 3)
+      }
+      else {
+        def sub(parentPrec: Int, rightSide: Boolean): (String, org.apache.spark.sql.Column) = {
+          val (s, c, p) = genArith(depth - 1)
+          if (p < parentPrec || (rightSide && p == parentPrec)) (s"($s)", c) else (s, c)
+        }
+        rnd.nextInt(4) match {
+          case 0 =>
+            val (ls, lc) = sub(1, rightSide = false); val (rs, rc) = sub(1, rightSide = true)
+            (s"$ls$ws+$ws$rs", lc + rc, 1)
+          case 1 =>
+            val (ls, lc) = sub(1, rightSide = false); val (rs, rc) = sub(1, rightSide = true)
+            (s"$ls$ws-$ws$rs", lc - rc, 1)
+          case 2 =>
+            val (ls, lc) = sub(2, rightSide = false); val (rs, rc) = sub(2, rightSide = true)
+            (s"$ls$ws*$ws$rs", lc * rc, 2)
+          case _ =>
+            val (s, c, _) = genArith(depth - 1)
+            if (rnd.nextBoolean()) (s"($s)", c, 3) else (s"-($s)", lit(0) - c, 3)
+        }
+      }
+
+    def genPred(depth: Int): (String, org.apache.spark.sql.Column) =
+      if (depth == 0 || rnd.nextInt(3) == 0) {
+        val (ls, lc, _) = genArith(2); val (rs, rc, _) = genArith(2)
+        rnd.nextInt(4) match {
+          case 0 => (s"$ls$ws>$ws$rs", lc > rc)
+          case 1 => (s"$ls$ws<=$ws$rs", lc <= rc)
+          case 2 => (s"$ls$ws=$ws$rs", lc === rc)
+          case _ => (s"$ls$ws!=$ws$rs", lc =!= rc)
+        }
+      }
+      else rnd.nextInt(3) match {
+        case 0 =>
+          val (ls, lc) = genPred(depth - 1); val (rs, rc) = genPred(depth - 1)
+          (s"$ls and $rs", lc.and(rc))
+        case 1 =>
+          val (ls, lc) = genPred(depth - 1); val (rs, rc) = genPred(depth - 1)
+          (s"($ls or $rs)", lc.or(rc))
+        case _ =>
+          val (s, c) = genPred(depth - 1)
+          (s"not ($s)", !c)
+      }
+
+    (1 to 60).foreach { i =>
+      val (es, ec, _) = genArith(3)
+      val got = run(s"source=e | eval z = $es | fields event_id, z | sort event_id")
+        .collect().map(r => (r.getLong(0), r.get(1)))
+      val want = events.select(col("event_id"), ec.as("z")).orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.get(1)))
+      assert(got.toSeq == want.toSeq, s"arith case $i: '$es'")
+    }
+    (1 to 60).foreach { i =>
+      val (ps, pc) = genPred(3)
+      val got = run(s"source=e | where $ps | fields event_id | sort event_id").as[Long].collect().toSeq
+      val want = events.filter(pc).select("event_id").orderBy("event_id").as[Long].collect().toSeq
+      assert(got == want, s"pred case $i: '$ps'")
+    }
+  }
+
   test("error contract: unknown command, unknown index, malformed stats, trailing garbage") {
     intercept[IllegalArgumentException](run("source=e | explode value"))
     intercept[IllegalArgumentException](Ppl.query(n => throw new RuntimeException(n), "source=nope | head 1"))
