@@ -710,6 +710,50 @@ private[graft] object SearchEntries {
         .orderBy("bucket")
     }),
 
+    // derivative pipeline agg: 1-lag differencing of the monthly revenue
+    // buckets, plus the `unit: day` normalized_value — diff divided by
+    // the REAL day gap between bucket starts (months are 28-31 days, so
+    // a constant divisor would be wrong). Window over the bucket table.
+    "search_derivative" -> ((s, dir) => {
+      val buckets = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      val w = Window.orderBy("bucket")
+      buckets
+        .select(
+          col("bucket"),
+          col("revenue"),
+          round(col("revenue") - lag("revenue", 1).over(w), 2).as("deriv"),
+          round(
+            (col("revenue") - lag("revenue", 1).over(w)) /
+              datediff(col("bucket"), lag(col("bucket"), 1).over(w)),
+            6
+          ).as("deriv_normalized")
+        )
+        .orderBy("bucket")
+    }),
+
+    // cumulative_sum pipeline agg: running total of the monthly revenue
+    // buckets — an unbounded-preceding frame over the bucket table.
+    "search_cumulative_sum" -> ((s, dir) => {
+      val buckets = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      buckets
+        .select(
+          col("bucket"),
+          col("revenue"),
+          round(
+            sum("revenue").over(
+              Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            2
+          ).as("cum_revenue")
+        )
+        .orderBy("bucket")
+    }),
+
     // percentiles_bucket pipeline agg: the exact percentile ladder over
     // the bucket METRIC values (~tens of rows) — sibling to avg_bucket.
     "search_percentiles_bucket" -> ((s, dir) =>
@@ -2457,6 +2501,24 @@ private[graft] object SearchEntries {
     "search_serial_diff" ->
       """SELECT bucket, revenue,
         |       round(revenue - lag(revenue, 12) OVER (ORDER BY bucket), 2) AS yoy_diff
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |             round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t
+        |ORDER BY bucket""".stripMargin,
+
+    "search_derivative" ->
+      """SELECT bucket, revenue,
+        |       round(revenue - lag(revenue, 1) OVER (ORDER BY bucket), 2) AS deriv,
+        |       round((revenue - lag(revenue, 1) OVER (ORDER BY bucket))
+        |             / date_diff('day', CAST(lag(bucket, 1) OVER (ORDER BY bucket) AS DATE), CAST(bucket AS DATE)), 6) AS deriv_normalized
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |             round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t
+        |ORDER BY bucket""".stripMargin,
+
+    "search_cumulative_sum" ->
+      """SELECT bucket, revenue,
+        |       round(sum(revenue) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
         |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
         |             round(sum(o_totalprice), 2) AS revenue
         |      FROM orders GROUP BY 1) t

@@ -611,6 +611,45 @@ private[graft] object SearchWireEntries {
           |{"delete": {"_id": 7}}""".stripMargin
       )),
 
+    // _update_by_query: script applied to every query match; the emitted
+    // frame is the post-update state of the matched docs (count() = the
+    // wire `updated`). Predicate pushes into the scan, script is a
+    // codegen'd projection — map-only at any corpus size.
+    "search_dsl_json_update_by_query" -> ((s, dir) =>
+      JsonDsl
+        .updateByQuery(
+          Tables.documents(s, dir).drop("text"),
+          """{"query": {"bool": {"must": [{"term": {"lang": "de"}},
+            |                             {"range": {"n_chars": {"lt": 400}}}]}},
+            | "script": {"source": "ctx._source.n_chars = ctx._source.n_chars * 2 + 1",
+            |            "lang": "painless"}}""".stripMargin
+        )
+        .orderBy("doc_id")),
+
+    // _delete_by_query: the result ledger (deleted/remaining/total) from
+    // one conditional-count scan — `deleted` is the wire response field.
+    "search_dsl_json_delete_by_query" -> ((s, dir) =>
+      JsonDsl.deleteByQuery(
+        Tables.documents(s, dir),
+        """{"query": {"range": {"n_chars": {"gte": 1000}}}}"""
+      )),
+
+    // _reindex: source query + _source projection + per-doc script into
+    // the dest index — filter and column prune reach the source scan, so
+    // the copy pays only for surviving bytes.
+    "search_dsl_json_reindex" -> ((s, dir) =>
+      JsonDsl
+        .reindex(
+          Tables.documents(s, dir),
+          "doc_id",
+          """{"source": {"index": "documents",
+            |            "query": {"term": {"lang": "fr"}},
+            |            "_source": ["lang", "source", "n_chars"]},
+            | "dest": {"index": "documents_fr"},
+            | "script": {"source": "ctx._source.n_kilochars = ctx._source.n_chars / 1000"}}""".stripMargin
+        )
+        .orderBy("doc_id")),
+
     // bucket_selector from the wire format: buckets_path maps the script
     // variable onto the sibling avg metric; same bucket-table HAVING plan
     // as the structured twin (JsonDslSpec asserts plan equality).
@@ -1171,6 +1210,43 @@ private[graft] object SearchWireEntries {
           |     "revenue": {"sum": {"field": "o_totalprice"}},
           |     "mov_max": {"moving_fn": {"buckets_path": "revenue", "window": 3,
           |                 "script": "MovingFunctions.max(values)"}}}}}}""".stripMargin
+      )),
+
+    // derivative from the wire format, with `unit: day` → the extra
+    // normalized_value column (diff / real day gap between bucket starts —
+    // calendar months are 28-31 days, so the divisor is per-row).
+    "search_dsl_json_derivative" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"monthly": {
+          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |   "aggs": {
+          |     "revenue": {"sum": {"field": "o_totalprice"}},
+          |     "deriv": {"derivative": {"buckets_path": "revenue", "unit": "day"}}}}}}""".stripMargin
+      )),
+
+    // cumulative_sum from the wire format: running revenue total over the
+    // bucket table — an unbounded-preceding frame over tens of rows.
+    "search_dsl_json_cumulative_sum" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"monthly": {
+          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |   "aggs": {
+          |     "revenue": {"sum": {"field": "o_totalprice"}},
+          |     "cum_revenue": {"cumulative_sum": {"buckets_path": "revenue"}}}}}}""".stripMargin
+      )),
+
+    // moving_avg (the legacy pre-moving_fn spelling, still parsed by the
+    // wire compiler): trailing-6 mean of monthly revenue.
+    "search_dsl_json_moving_avg" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"monthly": {
+          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |   "aggs": {
+          |     "revenue": {"sum": {"field": "o_totalprice"}},
+          |     "mov_avg": {"moving_avg": {"buckets_path": "revenue", "window": 6}}}}}}""".stripMargin
       )),
 
     "search_dsl_json_normalize" -> ((s, dir) =>
@@ -1969,6 +2045,20 @@ private[graft] object SearchWireEntries {
         |            ELSE CASE WHEN before THEN 'deleted' ELSE 'not_found' END END AS result
         |FROM pre ORDER BY seq""".stripMargin,
 
+    "search_dsl_json_update_by_query" ->
+      """SELECT doc_id, lang, source, CAST(n_chars * 2.0 + 1.0 AS BIGINT) AS n_chars
+        |FROM documents WHERE lang = 'de' AND n_chars < 400 ORDER BY doc_id""".stripMargin,
+
+    "search_dsl_json_delete_by_query" ->
+      """SELECT count(*) FILTER (WHERE n_chars >= 1000) AS deleted,
+        |       count(*) FILTER (WHERE NOT n_chars >= 1000) AS remaining,
+        |       count(*) AS total
+        |FROM documents""".stripMargin,
+
+    "search_dsl_json_reindex" ->
+      """SELECT doc_id, lang, source, n_chars, n_chars / 1000.0 AS n_kilochars
+        |FROM documents WHERE lang = 'fr' ORDER BY doc_id""".stripMargin,
+
     "search_dsl_json_neural_sparse" ->
       """WITH base AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS toks FROM documents),
         |postings AS (SELECT id, t.term, count(*) AS tf
@@ -2189,6 +2279,32 @@ private[graft] object SearchWireEntries {
     "search_dsl_json_moving_fn" ->
       """SELECT bucket, doc_count, revenue,
         |       round(max(revenue) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_max
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |             count(*) AS doc_count, round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t
+        |ORDER BY bucket""".stripMargin,
+
+    "search_dsl_json_derivative" ->
+      """SELECT bucket, doc_count, revenue,
+        |       round(revenue - lag(revenue, 1) OVER (ORDER BY bucket), 2) AS deriv,
+        |       round((revenue - lag(revenue, 1) OVER (ORDER BY bucket))
+        |             / date_diff('day', CAST(lag(bucket, 1) OVER (ORDER BY bucket) AS DATE), CAST(bucket AS DATE)), 6) AS deriv_normalized
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |             count(*) AS doc_count, round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t
+        |ORDER BY bucket""".stripMargin,
+
+    "search_dsl_json_cumulative_sum" ->
+      """SELECT bucket, doc_count, revenue,
+        |       round(sum(revenue) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |             count(*) AS doc_count, round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1) t
+        |ORDER BY bucket""".stripMargin,
+
+    "search_dsl_json_moving_avg" ->
+      """SELECT bucket, doc_count, revenue,
+        |       round(avg(revenue) OVER (ORDER BY bucket ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6) AS mov_avg
         |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
         |             count(*) AS doc_count, round(sum(o_totalprice), 2) AS revenue
         |      FROM orders GROUP BY 1) t

@@ -1279,6 +1279,131 @@ object JsonDsl {
       .select(col("term").as("terms"))
   }
 
+  /** The update/reindex script subset: one or more semicolon-separated
+    * `ctx._source.<field> = <arithmetic>` statements, where the RHS is
+    * the same arithmetic grammar runtime fields use ([[ScriptExpr]] —
+    * codegen'd, no per-row interpretation) and may reference other
+    * fields as `ctx._source.<g>` or bare `<g>`. Statements apply in
+    * order, later ones seeing earlier assignments (the painless
+    * sequential contract). An assignment to an EXISTING column casts
+    * back to the column's stored type — `_update_by_query` mutates
+    * documents in place, it never changes the index mapping.
+    */
+  private def applyCtxScript(df: DataFrame, source: String): DataFrame = {
+    val assign = """^ctx\._source\.(\w+)\s*=\s*(.+)$""".r
+    val stmts = source.split(";").map(_.trim).filter(_.nonEmpty)
+    require(stmts.nonEmpty, "update script holds no statements")
+    stmts.foldLeft(df) { (acc, st) =>
+      st match {
+        case assign(f, rhs) =>
+          val rhsCol = ScriptExpr.compile(rhs.replace("ctx._source.", ""))
+          val casted =
+            if (acc.columns.contains(f)) rhsCol.cast(acc.schema(f).dataType) else rhsCol
+          acc.withColumn(f, casted)
+        case _ =>
+          throw new IllegalArgumentException(
+            s"unsupported update script statement '$st' (want: ctx._source.<field> = <arithmetic>)")
+      }
+    }
+  }
+
+  /** The `_update_by_query` API: apply a script to every document the
+    * query matches. The emitted frame is the POST-UPDATE state of the
+    * matched documents (its `count()` is the wire response's `updated`);
+    * unmatched documents are untouched and not re-emitted, exactly the
+    * write amplification the real API pays — only matching docs are
+    * re-indexed.
+    *
+    * Scale shape: one scan — the query predicate pushes into the parquet
+    * scan where pushable, and the script is a codegen'd projection over
+    * the survivors. No shuffle, no driver state; at 100 TB this is a
+    * map-only job whose output volume is the match count.
+    */
+  def updateByQuery(
+      df: DataFrame,
+      body: String,
+      mapping: IndexMapping = IndexMapping.empty
+  ): DataFrame = {
+    val root =
+      try mapper.readTree(body)
+      catch { case e: Exception => throw new IllegalArgumentException(s"malformed _update_by_query body: ${e.getMessage}") }
+    require(root != null && root.isObject, "_update_by_query body must be an object")
+    val pred = Option(root.get("query")).map(compileQuery(df, _, mapping)).getOrElse(lit(true))
+    val script = req(req(root, "script", "_update_by_query"), "source", "_update_by_query script").asText
+    try applyCtxScript(df.filter(pred), script)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(s"request references unknown schema elements: ${e.getMessage}", e)
+    }
+  }
+
+  /** The `_delete_by_query` API's result ledger: `deleted` (docs the
+    * query matched — the wire response field), `remaining`, `total`.
+    * One conditional-count scan; a NULL predicate (e.g. a range over a
+    * null field) matches nothing, per query semantics.
+    */
+  def deleteByQuery(
+      df: DataFrame,
+      body: String,
+      mapping: IndexMapping = IndexMapping.empty
+  ): DataFrame = {
+    val root =
+      try mapper.readTree(body)
+      catch { case e: Exception => throw new IllegalArgumentException(s"malformed _delete_by_query body: ${e.getMessage}") }
+    require(root != null && root.hasNonNull("query"), "_delete_by_query requires a \"query\"")
+    val matched = coalesce(compileQuery(df, root.get("query"), mapping), lit(false))
+    try df.agg(
+      count(when(matched, 1)).as("deleted"),
+      count(when(!matched, 1)).as("remaining"),
+      count(lit(1)).as("total")
+    )
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(s"request references unknown schema elements: ${e.getMessage}", e)
+    }
+  }
+
+  /** The `_reindex` API: copy `source.index` into `dest.index`, with the
+    * three request-side transforms the real endpoint supports — a
+    * `source.query` filter, a `source._source` column selection, and an
+    * optional `script` over each copied doc. The emitted frame IS the
+    * dest index content (`idCol` always survives projection: a reindexed
+    * doc keeps its `_id`).
+    *
+    * Scale shape: filter + prune push into the source scan (only the
+    * selected columns are read), script is a codegen'd projection —
+    * a map-only copy whose cost is the surviving bytes, never a shuffle.
+    */
+  def reindex(
+      df: DataFrame,
+      idCol: String,
+      body: String,
+      mapping: IndexMapping = IndexMapping.empty
+  ): DataFrame = {
+    val root =
+      try mapper.readTree(body)
+      catch { case e: Exception => throw new IllegalArgumentException(s"malformed _reindex body: ${e.getMessage}") }
+    require(root != null && root.hasNonNull("source"), "_reindex requires a \"source\"")
+    val src = root.get("source")
+    require(src.hasNonNull("index"), "_reindex source requires an \"index\"")
+    require(root.hasNonNull("dest") && root.get("dest").hasNonNull("index"), "_reindex requires a \"dest.index\"")
+    val pred = Option(src.get("query")).map(compileQuery(df, _, mapping)).getOrElse(lit(true))
+    val filtered = df.filter(pred)
+    val projected = Option(src.get("_source")) match {
+      case Some(cs) =>
+        val names = cs.elements().asScala.map(_.asText).toSeq
+        filtered.select((idCol +: names.filterNot(_ == idCol)).map(col): _*)
+      case None => filtered
+    }
+    try Option(root.get("script"))
+      .map(s => applyCtxScript(projected, req(s, "source", "_reindex script").asText))
+      .getOrElse(projected)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(s"request references unknown schema elements: ${e.getMessage}", e)
+    }
+  }
+
   def msearchCounts(
       resolve: String => DataFrame,
       ndjson: String,
@@ -2616,7 +2741,29 @@ object JsonDsl {
                 round(src / sum(src).over(full) * 100.0, 6).as(name)
             }
           }
-          applyBucketSort(base.select(col("*") +: pipeCols: _*).orderBy("bucket"))
+          // derivative with `unit`: OpenSearch emits a second
+          // `normalized_value` = diff / x-axis distance in `unit`s. For
+          // calendar buckets the distance is the real day gap between
+          // bucket starts (months are 28-31 days — a constant divisor
+          // would be wrong for 'day'), so the divisor is datediff over
+          // the same 1-lag window the diff itself uses.
+          val normCols = pipeEntries.flatMap { e =>
+            val pType = e.getValue.fieldNames().next()
+            val spec = e.getValue.get(pType)
+            if (pType == "derivative" && spec.hasNonNull("unit")) {
+              val unit = spec.get("unit").asText
+              require(unit == "day" || unit == "1d", s"derivative unit '$unit' unsupported (day/1d)")
+              val pathName = req(spec, "buckets_path", "derivative").asText
+              val src = if (pathName == "_count") col("doc_count") else col(pathName)
+              Seq(
+                round(
+                  (src - lag(src, 1).over(w)) /
+                    datediff(col("bucket"), lag(col("bucket"), 1).over(w)),
+                  6
+                ).as(s"${e.getKey}_normalized"))
+            } else Nil
+          }
+          applyBucketSort(base.select(col("*") +: (pipeCols ++ normCols): _*).orderBy("bucket"))
         }
       case "stats"          => Aggs.stats(df, field)
       case "extended_stats" => Aggs.extendedStats(df, field)

@@ -1400,4 +1400,76 @@ class JsonDslSpec extends SparkSpec {
       JsonDsl.bulkLedger(docs, "doc_id", """{"index": {"_id": 3}}""")
     )
   }
+
+  test("_update_by_query / _delete_by_query / _reindex: script sequencing, type preservation, ledgers") {
+    val docs = Seq((1L, "en", 100L), (2L, "de", 300L), (3L, "de", 900L), (4L, "fr", 50L))
+      .toDF("doc_id", "lang", "n_chars")
+
+    // update_by_query: only matches are emitted, statements apply in
+    // order (the second sees the first's assignment), and an assignment
+    // to an existing column casts back to the STORED type — the mapping
+    // never changes.
+    val upd = JsonDsl
+      .updateByQuery(
+        docs,
+        """{"query": {"term": {"lang": "de"}},
+          | "script": {"source": "ctx._source.n_chars = ctx._source.n_chars * 2; ctx._source.n_chars = ctx._source.n_chars + 1"}}""".stripMargin
+      )
+      .orderBy("doc_id")
+    assert(upd.schema("n_chars").dataType == org.apache.spark.sql.types.LongType)
+    assert(upd.as[(Long, String, Long)].collect().toSeq == Seq((2L, "de", 601L), (3L, "de", 1801L)))
+    // no script → 400; a non-assignment statement → 400
+    intercept[IllegalArgumentException](JsonDsl.updateByQuery(docs, """{"query": {"match_all": {}}}"""))
+    intercept[IllegalArgumentException](
+      JsonDsl.updateByQuery(docs, """{"script": {"source": "ctx._source.n_chars += 1"}}""")
+    )
+
+    // delete_by_query: the conditional-count ledger conserves total; a
+    // query is required.
+    val del = JsonDsl.deleteByQuery(docs, """{"query": {"range": {"n_chars": {"gte": 300}}}}""")
+    assert(del.as[(Long, Long, Long)].collect().toSeq == Seq((2L, 2L, 4L)))
+    intercept[IllegalArgumentException](JsonDsl.deleteByQuery(docs, """{}"""))
+
+    // reindex: _id always survives _source projection, the script may ADD
+    // a column (no stored type to cast back to), and dest.index is
+    // required — the wire contract.
+    val re = JsonDsl
+      .reindex(
+        docs,
+        "doc_id",
+        """{"source": {"index": "docs", "query": {"range": {"n_chars": {"lt": 500}}}, "_source": ["n_chars"]},
+          | "dest": {"index": "docs2"},
+          | "script": {"source": "ctx._source.half = ctx._source.n_chars / 2"}}""".stripMargin
+      )
+      .orderBy("doc_id")
+    assert(re.columns.toSeq == Seq("doc_id", "n_chars", "half"))
+    assert(re.as[(Long, Long, Double)].collect().toSeq ==
+      Seq((1L, 100L, 50.0), (2L, 300L, 150.0), (4L, 50L, 25.0)))
+    intercept[IllegalArgumentException](
+      JsonDsl.reindex(docs, "doc_id", """{"source": {"index": "docs"}}""")
+    )
+  }
+
+  test("derivative `unit: day` normalizes by the REAL calendar gap between bucket starts") {
+    // Jan→Feb is 31 days, Feb→Mar is 28 (2023): same diff, different
+    // normalized_value — a constant divisor would collapse them.
+    val rows = Seq(
+      ("2023-01-10", 10.0), ("2023-01-20", 21.0),
+      ("2023-02-10", 62.0), ("2023-03-10", 90.0)
+    ).toDF("ts0", "v").select(to_timestamp($"ts0").as("ts"), $"v")
+    val got = JsonDsl
+      .parse(
+        rows,
+        """{"aggs": {"m": {"date_histogram": {"field": "ts", "calendar_interval": "month"},
+          |  "aggs": {"total": {"sum": {"field": "v"}},
+          |           "d": {"derivative": {"buckets_path": "total", "unit": "day"}}}}}}""".stripMargin
+      )
+      .select("total", "d", "d_normalized")
+      .as[(Double, Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (31.0, None, None),
+      (62.0, Some(31.0), Some(1.0)),           // +31 over the 31-day January
+      (90.0, Some(28.0), Some(1.0))            // +28 over the 28-day February
+    ), got.toString)
+  }
 }
