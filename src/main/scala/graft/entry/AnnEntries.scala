@@ -45,6 +45,22 @@ private[graft] object AnnEntries {
         10
       )),
 
+    // MMR diversified re-rank (Carbonell-Goldstein '98): the distributed
+    // retrieval stage hands a bounded top-50 window to the coordinator-
+    // side greedy selection (λ·rel − (1−λ)·max-sim-to-selected), the
+    // rescore-phase shape. λ=1 ≡ plain top-k (ReplicaSpec equality);
+    // rows-only in the gate — emitted scores are replica-verified.
+    "ann_mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerank(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        "vec_id",
+        "embedding",
+        queryVec(s, dir, 0),
+        10,
+        50,
+        0.5
+      )),
+
     "ann_knn_join" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity

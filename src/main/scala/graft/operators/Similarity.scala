@@ -42,6 +42,80 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .orderBy(col("cos").desc, col(idCol).asc)
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98):
+    * diversified top-k — each pick maximizes
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s)`, so near-duplicates of
+    * an already-selected result are penalized exactly by their redundancy.
+    * λ=1 degenerates to plain relevance top-k (ReplicaSpec pins that
+    * equality); λ→0 maximizes pairwise diversity.
+    *
+    * Scale shape: the DATA-sized stage is the candidate retrieval — one
+    * distributed scan scoring every vector, bounded TakeOrdered to the
+    * `window` (swap any ANN index path in for the scan at scale; the
+    * contract only needs (id, rel, vector) rows). The greedy selection is
+    * a k·window loop over the collected window — coordinator-side over a
+    * BOUNDED frame, the same place the real engine runs its rescore
+    * phase. The corpus is never collected; `window` is a request
+    * constant (50 here), independent of corpus size.
+    *
+    * Ties break by higher relevance then smaller id at every step, so
+    * the emitted ranking is deterministic and replica-checkable.
+    */
+  def mmrRerank(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      window: Int,
+      lambda: Double
+  ): DataFrame = {
+    require(k > 0 && window >= k, s"need window >= k > 0, got k=$k window=$window")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val cand: Array[(Long, Double, Array[Double])] = emb
+      .select(
+        col(idCol).cast("long"),
+        round(VectorFns.cosine(col(vecCol), vecLit(query)), 6).as("rel"),
+        col(vecCol).cast("array<double>")
+      )
+      .orderBy(col("rel").desc, col(idCol).asc)
+      .limit(window)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length && i < b.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]() // (id, rel, mmr)
+    val remaining = scala.collection.mutable.ArrayBuffer(cand.indices: _*)
+    // maxSim(i) = max cosine of candidate i to any selected doc so far —
+    // updated incrementally after each pick, so the loop is k·window
+    // cosines, not k·window².
+    val maxSim = Array.fill(cand.length)(Double.NegativeInfinity)
+    while (selected.size < k && remaining.nonEmpty) {
+      val pick = remaining.maxBy { i =>
+        val (_, rel, _) = cand(i)
+        val penalty = if (selected.isEmpty) 0.0 else maxSim(i)
+        // tuple ordering = (objective, rel, -id): deterministic ties
+        (lambda * rel - (1 - lambda) * penalty, rel, -cand(i)._1.toDouble)
+      }
+      val (id, rel, vec) = cand(pick)
+      val mmr = if (selected.isEmpty) lambda * rel else lambda * rel - (1 - lambda) * maxSim(pick)
+      selected += ((id, rel, BigDecimal(mmr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      remaining -= pick
+      remaining.foreach { i =>
+        val s = cos(cand(i)._3, vec)
+        if (s > maxSim(i)) maxSim(i) = s
+      }
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, rel, mmr), i) => (i + 1, id, rel, mmr) }
+      .toDF("rank", idCol, "rel", "mmr_score")
+  }
+
   /** Batch k-NN join: for every probe row, its top-k neighbors from the
     * candidate set. The probe×candidate pairing carries NO hint: AQE
     * picks broadcast from runtime stats when the probe batch is small

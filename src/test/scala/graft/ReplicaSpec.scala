@@ -655,4 +655,73 @@ class ReplicaSpec extends SparkSpec {
       rows.foreach { case (id, cos) => assert(all(id) == cos, s"$name: stale score for vec $id") }
     }
   }
+
+  test("MMR re-rank: λ=1 ≡ plain top-k; greedy optimality vs a naive quadratic reference; diversity beats a near-dup") {
+    val q = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val corpus = emb.filter($"vec_id" =!= 0)
+
+    // λ=1 degenerates to plain relevance ranking — exact equality.
+    val plain = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    val l1 = Similarity.mmrRerank(corpus, "vec_id", "embedding", q, 10, 50, 1.0)
+      .select("vec_id", "rel").as[(Long, Double)].collect().toSeq
+    assert(l1 == plain)
+
+    // Greedy optimality at λ=0.5: a NAIVE quadratic reference (penalties
+    // recomputed fresh every round, no incremental max-sim state) over
+    // the same candidate window reproduces the emitted ranking and
+    // scores exactly.
+    val lambda = 0.5
+    val got = Similarity.mmrRerank(corpus, "vec_id", "embedding", q, 10, 50, lambda)
+      .select("rank", "vec_id", "rel", "mmr_score")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    val window: Array[(Long, Double, Array[Double])] = corpus
+      .select(
+        $"vec_id",
+        round(VectorFns.cosine($"embedding", array(q.map(x => lit(x.toDouble)): _*)), 6).as("rel"),
+        $"embedding".cast("array<double>")
+      )
+      .orderBy($"rel".desc, $"vec_id".asc)
+      .limit(50)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    def cosRef(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum
+      val nb = b.map(x => x * x).sum
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    var sel = Vector.empty[(Long, Double, Double)]
+    var rem = window.toVector
+    while (sel.size < 10 && rem.nonEmpty) {
+      val best = rem.maxBy { case (id, rel, v) =>
+        val pen = if (sel.isEmpty) 0.0
+        else sel.map(s => cosRef(v, window.find(_._1 == s._1).get._3)).max
+        (lambda * rel - (1 - lambda) * pen, rel, -id.toDouble)
+      }
+      val pen = if (sel.isEmpty) 0.0
+      else sel.map(s => cosRef(best._3, window.find(_._1 == s._1).get._3)).max
+      val mmr = BigDecimal(lambda * best._2 - (if (sel.isEmpty) 0.0 else (1 - lambda) * pen))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      sel :+= ((best._1, best._2, mmr))
+      rem = rem.filterNot(_._1 == best._1)
+    }
+    val want = sel.zipWithIndex.map { case ((id, rel, mmr), i) => (i + 1, id, rel, mmr) }
+    assert(got == want, s"got=$got\nwant=$want")
+
+    // Diversity: a near-duplicate of the top hit is displaced by a
+    // diverse doc at λ=0.5 where plain ranking keeps it at rank 2.
+    val tiny = Seq(
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.9f, 0.11f)), // near-dup of 1 (cos ≈ 0.99995)
+      (3L, Seq(0.5f, -0.5f))  // diverse (cos to 1 ≈ 0.62)
+    ).toDF("vec_id", "embedding")
+    val probe = Seq(1.0f, 0.0f)
+    val plainTiny = Similarity.bruteForceTopK(tiny, "vec_id", "embedding", probe, 2)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    val mmrTiny = Similarity.mmrRerank(tiny, "vec_id", "embedding", probe, 2, 3, 0.5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(plainTiny == Seq(1L, 2L))
+    assert(mmrTiny == Seq(1L, 3L))
+  }
 }
