@@ -1925,6 +1925,20 @@ private[graft] object SearchEntries {
         """{"query": "source=events | where value > 0 and event_type != 'click' | stats count() as cnt, sum(value) as total, avg(value) as avg_value by event_type | sort event_type"}"""
       )),
 
+    // PPL lookup: dimension-join enrichment as a pipe stage — the fact
+    // stream left-joins the lookup index on the mapped key (no hint;
+    // AQE broadcasts the dimension side from runtime stats), then the
+    // enriched rows aggregate by a looked-up attribute.
+    "search_ppl_lookup" -> ((s, dir) =>
+      search.Ppl.query(
+        {
+          case "events"   => Tables.events(s, dir)
+          case "customer" => Tables.customer(s, dir).select("c_custkey", "c_mktsegment", "c_nationkey")
+          case n          => throw new IllegalArgumentException(s"unknown index $n")
+        },
+        "source=events | lookup customer c_custkey as user_id | stats count() as cnt, avg(value) as avg_value by c_mktsegment | sort c_mktsegment"
+      )),
+
     // PPL span() bucketing: the dashboard histogram grain as a pipe
     // stage (date_trunc under a hash agg — one pass).
     "search_ppl_span" -> ((s, dir) =>
@@ -3277,6 +3291,12 @@ private[graft] object SearchEntries {
         |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(value) AS avg_value
         |FROM events WHERE value > 0 AND event_type <> 'click'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "search_ppl_lookup" ->
+      """SELECT c.c_mktsegment, count(*) AS cnt,
+        |       CAST(sum(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) / count(e.value) AS avg_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
     "search_ppl_span" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS cnt, max(value) AS peak

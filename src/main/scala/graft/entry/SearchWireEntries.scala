@@ -484,6 +484,19 @@ private[graft] object SearchWireEntries {
           |           "mov_docs": {"moving_avg": {"buckets_path": "_count", "window": 3}}}}}}""".stripMargin
       )),
 
+    // Request-level search_pipeline with a filter_query processor: the
+    // pipeline's query ANDs onto the body's own — one fused predicate on
+    // the scan (Catalyst pushes both down together), zero extra passes.
+    "search_dsl_json_pipeline_filter_query" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir).drop("text"),
+        """{"search_pipeline": {"request_processors": [
+          |    {"filter_query": {"query": {"term": {"lang": "en"}}}}]},
+          | "query": {"range": {"n_chars": {"gte": 500}}},
+          | "sort": [{"doc_id": "asc"}], "size": 20,
+          | "_source": ["doc_id", "lang", "source", "n_chars"]}""".stripMargin
+      )),
+
     // The hybrid query from the wire format: the match leg BM25-scores
     // against the Memo'd posting artifact, the knn leg carries the
     // must_not self-exclusion filter, RRF fuses in rank space — same
@@ -2044,6 +2057,11 @@ private[graft] object SearchWireEntries {
         |            WHEN action = 'update' THEN CASE WHEN before THEN 'updated' ELSE 'document_missing' END
         |            ELSE CASE WHEN before THEN 'deleted' ELSE 'not_found' END END AS result
         |FROM pre ORDER BY seq""".stripMargin,
+
+    "search_dsl_json_pipeline_filter_query" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE lang = 'en' AND n_chars >= 500
+        |ORDER BY doc_id LIMIT 20""".stripMargin,
 
     "search_dsl_json_update_by_query" ->
       """SELECT doc_id, lang, source, CAST(n_chars * 2.0 + 1.0 AS BIGINT) AS n_chars

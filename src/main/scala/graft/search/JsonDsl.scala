@@ -75,11 +75,50 @@ object JsonDsl {
       mapping: IndexMapping = IndexMapping.empty,
       relations: Map[String, DataFrame] = Map.empty
   ): DataFrame =
-    try parseImpl(withRuntimeFields(df, body), body, mapping, relations)
-    catch {
+    try {
+      val (df2, body2) = applyRequestPipeline(df, body, mapping)
+      parseImpl(withRuntimeFields(df2, body2), body2, mapping, relations)
+    } catch {
       case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalArgumentException(s"request references unknown schema elements: ${e.getMessage}", e)
     }
+
+  /** Request-level `search_pipeline` processors: rewrite the REQUEST
+    * before the search runs. `filter_query` ANDs an extra query onto the
+    * body — the processor OpenSearch ships for tenant scoping / soft
+    * deletes — so here it becomes one more predicate on the scan, fused
+    * with the body's own query by Catalyst (both push down together;
+    * the pipeline costs zero extra passes). Phase-results processors
+    * (the hybrid normalization-processor) are NOT handled here — they
+    * belong to the hybrid execution path — and their presence alongside
+    * request_processors is rejected explicitly rather than silently
+    * dropped. Malformed JSON falls through untouched: parseImpl owns
+    * that diagnosis.
+    */
+  private def applyRequestPipeline(df: DataFrame, body: String, mapping: IndexMapping): (DataFrame, String) = {
+    val root = try mapper.readTree(body) catch { case _: Exception => return (df, body) }
+    if (root == null || !root.isObject || !root.hasNonNull("search_pipeline")) return (df, body)
+    val sp = root.get("search_pipeline")
+    if (!sp.isObject || !sp.hasNonNull("request_processors")) return (df, body)
+    require(
+      !sp.hasNonNull("phase_results_processors"),
+      "request_processors cannot be combined with phase_results_processors in one inline pipeline"
+    )
+    val procs = sp.get("request_processors").elements().asScala.toSeq
+    val out = procs.foldLeft(df) { (acc, p) =>
+      require(p.isObject && p.size == 1, s"a request processor must hold exactly one type: $p")
+      p.fieldNames().next() match {
+        case "filter_query" =>
+          val q = req(p.get("filter_query"), "query", "filter_query processor")
+          acc.filter(compileQuery(acc, q, mapping))
+        case other =>
+          throw new IllegalArgumentException(s"unsupported request processor '$other' (supported: filter_query)")
+      }
+    }
+    val rest = root.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    rest.remove("search_pipeline")
+    (out, mapper.writeValueAsString(rest))
+  }
 
   /** `runtime_mappings`: computed fields declared in the request and
     * usable anywhere a stored field is (query, sort, _source). The

@@ -67,7 +67,7 @@ object Ppl {
     val base =
       try resolve(index)
       catch { case e: Exception => throw new IllegalArgumentException(s"unknown source index '$index'", e) }
-    stages.tail.foldLeft(base)((df, cmd) => applyCommand(df, cmd.trim))
+    stages.tail.foldLeft(base)((df, cmd) => applyCommand(df, cmd.trim, resolve))
   }
 
   /** The wire body form: `{"query": "source=... | ..."}`. */
@@ -95,9 +95,14 @@ object Ppl {
     out.toSeq
   }
 
-  private def applyCommand(df: DataFrame, cmd: String): DataFrame = {
+  private def applyCommand(
+      df: DataFrame,
+      cmd: String,
+      resolve: String => DataFrame = n => throw new IllegalArgumentException(s"unknown lookup index '$n'")
+  ): DataFrame = {
     val (word, rest) = cmd.span(c => c.isLetter || c == '_')
     (word.toLowerCase, rest.trim) match {
+      case ("lookup", p) => lookupCommand(df, p, resolve)
       case ("where", p) => df.filter(new Expr(p).parsePredicate())
       case ("fields", p) =>
         if (p.startsWith("-")) df.drop(splitIdents(p.drop(1)): _*)
@@ -132,6 +137,39 @@ object Ppl {
       case ("top", p) => topRare(df, p, asc = false)
       case ("rare", p) => topRare(df, p, asc = true)
       case (w, _) => throw new IllegalArgumentException(s"unsupported PPL command '$w'")
+    }
+  }
+
+  /** `lookup <index> <lookupField> [as <sourceField>]`: enrich each row
+    * from a lookup index — the PPL spelling of a dimension join. All
+    * non-key lookup fields are appended with REPLACE semantics (a
+    * pre-existing source column of the same name is overwritten by the
+    * lookup's value, per the command's default).
+    *
+    * Scale shape: a left equi-join with NO broadcast hint — the lookup
+    * side is dimension-sized by design and AQE converts it to a
+    * broadcast join from runtime stats; if a user points lookup at a
+    * fact-sized index, the plan degrades to a shuffle join instead of
+    * OOMing every executor.
+    */
+  private def lookupCommand(df: DataFrame, p: String, resolve: String => DataFrame): DataFrame = {
+    val pat =
+      """^([A-Za-z_][A-Za-z0-9_]*)\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+(?i:as)\s+([A-Za-z_][A-Za-z0-9_]*))?\s*$""".r
+    p.trim match {
+      case pat(index, lookupField, srcFieldOrNull) =>
+        val srcField = Option(srcFieldOrNull).getOrElse(lookupField)
+        val lk =
+          try resolve(index)
+          catch { case e: Exception => throw new IllegalArgumentException(s"unknown lookup index '$index'", e) }
+        require(lk.columns.contains(lookupField), s"lookup index '$index' has no field '$lookupField'")
+        require(df.columns.contains(srcField), s"source has no field '$srcField'")
+        val appended = lk.columns.filterNot(_ == lookupField).toSeq
+        val pruned = appended.foldLeft(df)((acc, c) => if (acc.columns.contains(c)) acc.drop(c) else acc)
+        pruned
+          .join(lk.withColumnRenamed(lookupField, "__lk_key"), col(srcField) === col("__lk_key"), "left")
+          .drop("__lk_key")
+      case _ =>
+        throw new IllegalArgumentException(s"lookup expects: lookup <index> <field> [as <sourcefield>]: '$p'")
     }
   }
 

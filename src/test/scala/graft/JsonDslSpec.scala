@@ -1450,6 +1450,37 @@ class JsonDslSpec extends SparkSpec {
     )
   }
 
+  test("search_pipeline filter_query fuses with the body's query into one pushed-down predicate") {
+    val docs = Seq((1L, "en", 600L), (2L, "de", 700L), (3L, "en", 100L), (4L, "en", 900L))
+      .toDF("doc_id", "lang", "n_chars")
+    val piped = JsonDsl.parse(
+      docs,
+      """{"search_pipeline": {"request_processors": [
+        |    {"filter_query": {"query": {"term": {"lang": "en"}}}}]},
+        | "query": {"range": {"n_chars": {"gte": 500}}},
+        | "sort": [{"doc_id": "asc"}]}""".stripMargin
+    )
+    assert(piped.select("doc_id").as[Long].collect().toSeq == Seq(1L, 4L))
+    // the pipeline predicate and the body predicate fuse: at most ONE
+    // Filter survives optimization (zero here — Catalyst folds both into
+    // the LocalRelation), never two passes over the scan
+    val filters = piped.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    assert(filters.size <= 1, piped.queryExecution.optimizedPlan.toString)
+    // unsupported processor type and mixing with phase_results_processors are 400s
+    intercept[IllegalArgumentException](JsonDsl.parse(
+      docs,
+      """{"search_pipeline": {"request_processors": [{"rename_field": {}}]}, "query": {"match_all": {}}}"""
+    ))
+    intercept[IllegalArgumentException](JsonDsl.parse(
+      docs,
+      """{"search_pipeline": {"request_processors": [{"filter_query": {"query": {"match_all": {}}}}],
+        |                     "phase_results_processors": []},
+        | "query": {"match_all": {}}}""".stripMargin
+    ))
+  }
+
   test("derivative `unit: day` normalizes by the REAL calendar gap between bucket starts") {
     // Jan→Feb is 31 days, Feb→Mar is 28 (2023): same diff, different
     // normalized_value — a constant divisor would collapse them.

@@ -209,6 +209,38 @@ class PplSpec extends SparkSpec {
     }
   }
 
+  test("lookup enriches from a dimension index: as-mapping, replace semantics, left-join misses, no hint") {
+    val users = Seq((1L, "ACME", "gold"), (2L, "INIT", "silver")).toDF("uid", "org", "tier")
+    def resolve(n: String) =
+      n match { case "users" => users; case _ => throw new RuntimeException(s"no $n") }
+    def runL(ppl: String) = Ppl.query({ case "e" => events; case n => resolve(n) }, ppl)
+
+    // as-mapping joins uid onto event_id; non-matching rows survive with nulls
+    val got = runL("source=e | lookup users uid as event_id | fields event_id, org, tier | sort event_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "ACME", "gold"), (2L, "INIT", "silver"),
+      (3L, null, null), (4L, null, null), (5L, null, null)))
+
+    // replace semantics: a pre-existing column of the lookup's name is
+    // overwritten by the lookup value (null where unmatched)
+    val shadowed = Ppl.query(
+      { case "e" => events.withColumn("org", lit("pre")); case n => resolve(n) },
+      "source=e | lookup users uid as event_id | fields event_id, org | sort event_id"
+    ).as[(Long, String)].collect().toSeq
+    assert(shadowed == Seq((1L, "ACME"), (2L, "INIT"), (3L, null), (4L, null), (5L, null)))
+
+    // no broadcast hint in the logical plan — AQE owns the strategy
+    val plan = runL("source=e | lookup users uid as event_id").queryExecution.logical.toString
+    assert(!plan.contains("ResolvedHint"), plan)
+
+    // error contract: unknown index / unknown fields / malformed syntax
+    intercept[IllegalArgumentException](runL("source=e | lookup nope uid as event_id"))
+    intercept[IllegalArgumentException](runL("source=e | lookup users missing as event_id"))
+    intercept[IllegalArgumentException](runL("source=e | lookup users uid as missing"))
+    intercept[IllegalArgumentException](runL("source=e | lookup users"))
+  }
+
   test("error contract: unknown command, unknown index, malformed stats, trailing garbage") {
     intercept[IllegalArgumentException](run("source=e | explode value"))
     intercept[IllegalArgumentException](Ppl.query(n => throw new RuntimeException(n), "source=nope | head 1"))
