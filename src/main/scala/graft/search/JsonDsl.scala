@@ -1346,8 +1346,11 @@ object JsonDsl {
     }
   }
 
-  /** The `_update_by_query` API: apply a script to every document the
-    * query matches. The emitted frame is the POST-UPDATE state of the
+  /** The `_update_by_query` API's WIRE form: apply a script to every
+    * document the query matches (the persisted-store executor with
+    * Column predicates and atomic swap is [[graft.sinks.IndexOps]] —
+    * this is the request-body compiler that produces what that executor
+    * writes). The emitted frame is the POST-UPDATE state of the
     * matched documents (its `count()` is the wire response's `updated`);
     * unmatched documents are untouched and not re-emitted, exactly the
     * write amplification the real API pays — only matching docs are
