@@ -67,6 +67,36 @@ private[graft] object TextEntries {
         )
         .orderBy("doc_id", "chunk_id")),
 
+    // Sentence-boundary chunking: the boundary-aware grain (vs the
+    // fixed-stride sliding window above) — one lookaround-free regex
+    // both engines run identically, trimmed, empties dropped; map-only.
+    // The synthetic corpus carries no terminators, so the entry injects
+    // them deterministically (replace-all on two literal words — the
+    // derived-geo-coordinates precedent): the operator then sees real
+    // multi-sentence inputs with MIXED terminators and unterminated
+    // tails, not a vacuous one-sentence-per-doc pass.
+    "text_chunk_sentences" -> ((s, dir) =>
+      Tables
+        .documents(s, dir)
+        .withColumn("_t", expr("replace(replace(text, 'table', 'table.'), 'value', 'value!')"))
+        .select(col("doc_id"), posexplode(TextFns.sentences(col("_t"))).as(Seq("sent_idx", "sentence")))
+        .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"), col("sentence"))
+        .orderBy("doc_id", "sent_idx")),
+
+    // Fractional-epoch mixture materialization: src0 runs 2.5 epochs,
+    // src1 1.4, src2 0.6, src3 1.0; the other 16 sources are excluded —
+    // floor(e) full copies + a deterministic hash-draw partial epoch,
+    // one explode, map-only (output volume IS the recipe's budget).
+    "sample_epochs_upsample" -> ((s, dir) =>
+      operators.Sampling
+        .epochsUpsample(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          col("doc_id"),
+          col("source"),
+          Map("src0" -> 2.5, "src1" -> 1.4, "src2" -> 0.6, "src3" -> 1.0)
+        )
+        .orderBy("doc_id", "epoch")),
+
     "text_quality_score" -> ((s, dir) =>
       Tables
         .documents(s, dir)
@@ -878,6 +908,30 @@ private[graft] object TextEntries {
         |       CAST(len(toks[k*24 + 1 : k*24 + 32]) AS BIGINT) AS n_tokens,
         |       array_to_string(toks[k*24 + 1 : k*24 + 32], ' ') AS chunk_text
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "text_chunk_sentences" ->
+      """WITH a AS (SELECT doc_id,
+        |                  list_filter(list_transform(regexp_extract_all(
+        |                      replace(replace(text, 'table', 'table.'), 'value', 'value!'),
+        |                      '[^.!?]+[.!?]*'), x -> trim(x)),
+        |                              x -> x <> '') AS sents
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(unnest(range(len(sents))) AS BIGINT) AS sent_idx,
+        |       unnest(sents) AS sentence
+        |FROM a ORDER BY doc_id, sent_idx""".stripMargin,
+
+    "sample_epochs_upsample" ->
+      """WITH p AS (SELECT doc_id, source,
+        |                  CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.4
+        |                              WHEN 'src2' THEN 0.6 WHEN 'src3' THEN 1.0 ELSE 0 END AS e
+        |           FROM documents),
+        |c AS (SELECT doc_id, source, CAST(floor(e) AS BIGINT) AS nf, e - floor(e) AS fr FROM p),
+        |k AS (SELECT doc_id, source,
+        |             nf + CASE WHEN ((doc_id + nf) * 2654435761) % 65536 / 65536.0 < fr THEN 1 ELSE 0 END AS copies
+        |      FROM c)
+        |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS epoch
+        |FROM k ORDER BY doc_id, epoch""".stripMargin,
 
     "text_quality_score" ->
       """SELECT doc_id,

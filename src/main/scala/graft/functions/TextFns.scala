@@ -38,6 +38,21 @@ object TextFns {
     )
   }
 
+  /** Sentence-boundary segmentation — the boundary-aware grain for
+    * chunking, packing, and decontamination (vs [[slidingChunks]]'
+    * fixed-stride windows). One codegen'd per-row expression: sentences
+    * are maximal runs of non-terminator characters plus their trailing
+    * `.!?` run (`[^.!?]+[.!?]*` — deliberately lookaround-free so the
+    * SAME pattern runs under Java regex here and RE2 in the oracle),
+    * trimmed, empties dropped. Map-only at any corpus size; sentence
+    * provenance (doc_id, sent_idx) rides the row.
+    */
+  def sentences(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0)), s => trim(s)),
+      s => s =!= ""
+    )
+
   /** Shannon entropy (bits) of each document's token distribution — the
     * classic repetitiveness/diversity quality signal (low entropy = a few
     * tokens dominate; boilerplate and generated spam score low).

@@ -79,6 +79,41 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Fractional-epoch mixture materialization — the pre-training recipe
+    * "run source s for e_s epochs" (wiki 2.5, web 0.7, …): every doc of
+    * source s emits floor(e_s) full copies plus one more iff its hash
+    * draw falls under frac(e_s). The draw keys on (id + floor(e_s)) via
+    * the same integer-exact [[hashFrac]] arithmetic, so the partial
+    * epoch is a deterministic uniform subsample, stable under corpus
+    * growth and engine. Sources absent from `epochs` contribute zero
+    * copies (excluded from the mixture).
+    *
+    * Scale shape: one map-only pass — a per-row when-chain picks e_s,
+    * an explode over sequence(0, copies−1) emits the copies with their
+    * epoch ordinal (so downstream shard shuffling can interleave
+    * epochs). No shuffle, no RNG state; output volume is exactly
+    * Σ_s e_s·|s|, the recipe's token budget.
+    */
+  def epochsUpsample(
+      df: DataFrame,
+      id: Column,
+      source: Column,
+      epochs: Map[String, Double]
+  ): DataFrame = {
+    require(epochs.nonEmpty, "epochs map must be non-empty")
+    epochs.values.foreach(e => require(e >= 0, s"epoch factors must be >= 0: $epochs"))
+    val e = epochs.toSeq.sortBy(_._1).foldLeft(lit(0.0)) { case (acc, (s, f)) =>
+      when(source === s, lit(f)).otherwise(acc)
+    }
+    val nf = floor(e) // Spark FLOOR(double) is already LONG
+    val fr = e - floor(e)
+    val extra = (pmod((id.cast("long") + nf) * lit(2654435761L), lit(65536L)) / 65536.0) < fr
+    df.withColumn("__copies", nf + when(extra, 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Concat-and-chunk sequence packing — the GPT-style pretraining
     * layout: within each shard, documents concatenate in id order and
     * chunk at `budget`-token boundaries. Emits where each document

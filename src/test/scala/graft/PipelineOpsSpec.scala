@@ -280,4 +280,53 @@ class PipelineOpsSpec extends SparkSpec {
       .head()
     assert(got == "call [PII] or mail [PII] now", got)
   }
+
+  test("sentences: mixed terminators, punctuation runs, unterminated tails, whitespace, degenerate inputs") {
+    def seg(t: String): Seq[String] =
+      Seq((t, 1L)).toDF("t", "id")
+        .select(graft.functions.TextFns.sentences(col("t")).as("s"))
+        .as[Seq[String]].head()
+    assert(seg("One. Two! Three?") == Seq("One.", "Two!", "Three?"))
+    assert(seg("Wait... really?! yes") == Seq("Wait...", "really?!", "yes")) // runs stay attached; tail kept
+    assert(seg("   spaced .  out  ") == Seq("spaced .", "out"))              // trimmed
+    assert(seg("no terminators at all") == Seq("no terminators at all"))
+    assert(seg("...") == Seq.empty)                                          // punctuation-only → nothing
+    assert(seg("") == Seq.empty)
+  }
+
+  test("epochsUpsample: floor copies + deterministic partial epoch, contiguous ordinals, exclusion") {
+    val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "src")
+    val out = graft.operators.Sampling
+      .epochsUpsample(docs, col("id"), col("src"), Map("a" -> 2.25, "b" -> 0.5))
+      .as[(Long, String, Long)].collect().toSeq
+
+    // per-doc copy counts: source a gets 2 or 3, source b gets 0 or 1;
+    // epoch ordinals are contiguous from 0
+    val byDoc = out.groupBy(_._1)
+    byDoc.foreach { case (id, rows) =>
+      val src = rows.head._2
+      val epochs = rows.map(_._3).sorted
+      assert(epochs == (0L until epochs.size).toSeq, s"doc $id ordinals: $epochs")
+      if (src == "a") assert(epochs.size == 2 || epochs.size == 3, s"doc $id: ${epochs.size}")
+      else assert(epochs.size == 1, s"doc $id: ${epochs.size}") // 0-copy docs don't appear
+    }
+    // the partial epochs hit ~their fraction (deterministic, not flaky):
+    // a's quarter epoch and b's half epoch over 200 docs each
+    val aExtra = byDoc.collect { case (_, rows) if rows.head._2 == "a" && rows.size == 3 => 1 }.sum
+    val bKept = byDoc.count(_._2.head._2 == "b")
+    assert(aExtra >= 30 && aExtra <= 70, s"a partial-epoch kept $aExtra of 200 (expect ~50)")
+    assert(bKept >= 75 && bKept <= 125, s"b kept $bKept of 200 (expect ~100)")
+    // total output volume = sum of epoch factors times source sizes, within the same bounds
+    assert(out.size == 200 * 2 + aExtra + bKept)
+    // a source absent from the map contributes nothing
+    val excl = graft.operators.Sampling
+      .epochsUpsample(docs, col("id"), col("src"), Map("a" -> 1.0))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(excl.size == 200 && excl.forall(_._2 == "a"))
+    // determinism: re-running yields the identical multiset
+    val again = graft.operators.Sampling
+      .epochsUpsample(docs, col("id"), col("src"), Map("a" -> 2.25, "b" -> 0.5))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(again.sorted == out.sorted)
+  }
 }
