@@ -1704,6 +1704,22 @@ private[graft] object SearchWireEntries {
       )
     }),
 
+    // knn with method=ivf + encoder=pq from the wire format (the faiss
+    // method spelling): candidate ranking over 8-byte PQ codes, exact
+    // rescore of the deterministic top window. Approximate by design →
+    // rows-only; the spec pins equality with the structured
+    // ann_ivf_pq_topk for the same body.
+    "search_dsl_json_knn_pq" -> ((s, dir) => {
+      val v = queryVec(s, dir, 0).mkString("[", ",", "]")
+      JsonDsl.knnPq(
+        cachedPq(s, dir),
+        "vec_id",
+        "embedding",
+        s"""{"query": {"knn": {"embedding": {"vector": $v, "k": 10,
+           |  "method": {"name": "ivf", "encoder": {"name": "pq"}, "nprobe": 6}}}}}""".stripMargin
+      )
+    }),
+
     // knn with method=hnsw from the wire format: the graph-index engine
     // behind the same wire face — beam search over the runtime-bound
     // neighbor graph (ef_search = beam width). Approximate by design →

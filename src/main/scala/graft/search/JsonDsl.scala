@@ -843,12 +843,11 @@ object JsonDsl {
     * `relations` precedent: a wire request names resources, the runtime
     * binds them); the body's field must name the index's vector column.
     */
-  def knnIvf(
-      index: graft.operators.Similarity.IvfIndex,
-      idCol: String,
-      vecCol: String,
-      body: String
-  ): DataFrame = {
+  /** Shared indexed-knn body parse: (vector, k, method node). The body's
+    * field must name the index's vector column; `filter` is rejected
+    * (the exact in-band knn handler owns pre-filtering).
+    */
+  private def knnSpec(body: String, vecCol: String): (Seq[Float], Int, JsonNode) = {
     val root =
       try mapper.readTree(body)
       catch {
@@ -864,11 +863,43 @@ object JsonDsl {
     val spec = knn.get(f)
     val vec = req(spec, "vector", "knn").elements().asScala.toSeq.map(_.floatValue)
     val k = req(spec, "k", "knn").asInt
-    val method = req(spec, "method", "indexed knn")
-    require(req(method, "name", "knn method").asText == "ivf", s"unsupported knn method: $method")
-    val nProbe = Option(method.get("nprobe")).map(_.asInt).getOrElse(4)
     require(spec.get("filter") == null, "indexed knn does not support filter (use the exact knn handler)")
+    (vec, k, req(spec, "method", "indexed knn"))
+  }
+
+  def knnIvf(
+      index: graft.operators.Similarity.IvfIndex,
+      idCol: String,
+      vecCol: String,
+      body: String
+  ): DataFrame = {
+    val (vec, k, method) = knnSpec(body, vecCol)
+    require(req(method, "name", "knn method").asText == "ivf", s"unsupported knn method: $method")
+    require(method.get("encoder") == null, s"flat ivf expected (no encoder): $method")
+    val nProbe = Option(method.get("nprobe")).map(_.asInt).getOrElse(4)
     graft.operators.Similarity.scoreAgainstIvf(index, idCol, vecCol, vec, k, nProbe)
+  }
+
+  /** knn against a prebuilt IVF-PQ index — the wire face of the
+    * compressed scale path, spelled exactly as OpenSearch's faiss
+    * method does it: `"method": {"name": "ivf", "encoder": {"name":
+    * "pq"}, "nprobe": N}`. Same body grammar as [[knnIvf]]; the encoder
+    * object selects the product-quantized codes, so candidate ranking
+    * reads 8-byte codes instead of raw vectors and the deterministic
+    * top window exact-rescores (the PqIndex contract).
+    */
+  def knnPq(
+      index: graft.operators.Similarity.PqIndex,
+      idCol: String,
+      vecCol: String,
+      body: String
+  ): DataFrame = {
+    val (vec, k, method) = knnSpec(body, vecCol)
+    require(req(method, "name", "knn method").asText == "ivf", s"unsupported knn method: $method")
+    val enc = req(method, "encoder", "ivf-pq method")
+    require(req(enc, "name", "knn encoder").asText == "pq", s"unsupported knn encoder: $enc")
+    val nProbe = Option(method.get("nprobe")).map(_.asInt).getOrElse(4)
+    graft.operators.Similarity.scoreAgainstPq(index, idCol, vecCol, vec, k, nProbe)
   }
 
   /** knn against a prebuilt neighbor graph — the wire face of the
@@ -889,26 +920,10 @@ object JsonDsl {
       vecCol: String,
       body: String
   ): DataFrame = {
-    val root =
-      try mapper.readTree(body)
-      catch {
-        case e: com.fasterxml.jackson.core.JacksonException =>
-          throw new IllegalArgumentException(s"request body is not valid JSON: ${e.getMessage}")
-      }
-    require(root != null && root.isObject, s"knn body must be a JSON object: $body")
-    val q = req(root, "query", "knn")
-    require(q.isObject && q.size == 1 && q.fieldNames().next() == "knn", s"expected a knn query: $q")
-    val knn = q.get("knn")
-    val f = singleField(knn)
-    require(f == vecCol, s"knn field '$f' must name the index's vector column '$vecCol'")
-    val spec = knn.get(f)
-    val vec = req(spec, "vector", "knn").elements().asScala.toSeq.map(_.floatValue)
-    val k = req(spec, "k", "knn").asInt
-    val method = req(spec, "method", "indexed knn")
+    val (vec, k, method) = knnSpec(body, vecCol)
     require(req(method, "name", "knn method").asText == "hnsw", s"unsupported knn method: $method")
     val beam = Option(method.get("ef_search")).map(_.asInt).getOrElse(16)
     val rounds = Option(method.get("rounds")).map(_.asInt).getOrElse(3)
-    require(spec.get("filter") == null, "indexed knn does not support filter (use the exact knn handler)")
     graft.operators.Similarity
       .graphSearch(index, emb, idCol, vecCol, vec, k, beam, rounds)
       .select(col("id").as(idCol), col("cos"))

@@ -400,6 +400,19 @@ class WireTwinsSpec extends SparkSpec {
       JsonDsl.knnIvf(idx, "id", "wrong",
         """{"query": {"knn": {"v": {"vector": [1, 2, 3, 4], "k": 5, "method": {"name": "ivf"}}}}}""")
     }
+
+    // the faiss ivf+pq encoder spelling routes to the PQ engine and
+    // matches the structured scoreAgainstPq exactly; a pq body on the
+    // flat-ivf handler (and vice versa) is a 400, not a silent fallback
+    val pqIdx = Similarity.pqIndex(emb, "id", "v", nLists = 4, m = 2, ksub = 4)
+    val pqBody =
+      """{"query": {"knn": {"v": {"vector": [1.0, 2.0, 3.0, 4.0], "k": 5,
+        |  "method": {"name": "ivf", "encoder": {"name": "pq"}, "nprobe": 2}}}}}""".stripMargin
+    val pqWire = JsonDsl.knnPq(pqIdx, "id", "v", pqBody).collect().toSeq
+    val pqStructured = Similarity.scoreAgainstPq(pqIdx, "id", "v", Seq(1f, 2f, 3f, 4f), 5, 2).collect().toSeq
+    assert(pqWire == pqStructured && pqWire.size == 5)
+    intercept[IllegalArgumentException](JsonDsl.knnIvf(idx, "id", "v", pqBody))
+    intercept[IllegalArgumentException](JsonDsl.knnPq(pqIdx, "id", "v", body))
   }
 
   test("span_multi wraps a prefix matcher as a span; non-prefix matchers fail") {
