@@ -163,6 +163,17 @@ private[graft] object TextEntries {
         .orderBy("doc_id")),
 
 
+    // The Lee '22 span-dedup SURGERY the statistics above inform: shared
+    // 8-token spans survive only in their lowest-id keeper doc; every
+    // other doc drops the covered tokens and re-joins the survivors in
+    // order (fully-excised docs come back empty — dropping them is
+    // quality filtering's call). Same single gram-frequency exchange as
+    // text_dup_spans; text never rides a shuffle.
+    "text_dup_spans_excise" -> ((s, dir) =>
+      Dedup
+        .exciseDupSpans(Tables.documents(s, dir), "doc_id", "text", n = 8)
+        .orderBy("doc_id")),
+
     // Benchmark decontamination: training docs (id >= 10) sharing any
     // 4-gram with the "benchmark" docs (id < 10) — the pre-training leak
     // check every LLM pipeline runs.
@@ -726,6 +737,26 @@ private[graft] object TextEntries {
         |       round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
         |FROM grams JOIN freq USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_dup_spans_excise" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS p FROM toks),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS p, array_to_string(list_slice(t, i, i + 7), ' ') AS g
+        |  FROM toks CROSS JOIN unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+        |),
+        |freq AS (SELECT g, count(DISTINCT doc_id) AS nd, min(doc_id) AS keeper FROM grams GROUP BY 1),
+        |cov AS (
+        |  SELECT DISTINCT b.doc_id, b.p + o.o AS p
+        |  FROM (SELECT DISTINCT grams.doc_id, grams.p
+        |        FROM grams JOIN freq USING (g)
+        |        WHERE freq.nd > 1 AND freq.keeper <> grams.doc_id) b
+        |  CROSS JOIN unnest(generate_series(0, 7)) AS o(o)
+        |),
+        |kept AS (SELECT pos.doc_id, pos.p, pos.tok FROM pos ANTI JOIN cov USING (doc_id, p)),
+        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(reb.text, '') AS text
+        |FROM toks t LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "text_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),

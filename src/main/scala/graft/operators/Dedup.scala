@@ -132,6 +132,58 @@ object Dedup {
       )
   }
 
+  /** Lee et al. ACL'22 substring-dedup SURGERY — the removal op the span
+    * statistics above inform: every n-token span occurring in MORE THAN
+    * ONE document survives only in its lowest-id document (the
+    * deterministic keeper); every other document drops the tokens its
+    * duplicated spans cover, and the survivors re-join in token order.
+    * Fully-excised documents come back as empty text (the caller
+    * decides whether to drop them — quality filtering's job, not the
+    * surgeon's). Keeper granularity is the DOCUMENT: the keeper keeps
+    * all its occurrences. When shared spans with DIFFERENT keepers
+    * overlap inside one document, the cuts union — a doc can lose part
+    * of a span it is itself the keeper of (the conservative bias:
+    * never retain two copies beats keeper courtesy; DedupSpec pins the
+    * case).
+    *
+    * Plan: positional n-grams (one posexplode), gram frequency + keeper
+    * in one hash agg (count distinct ids + min id — map-side partials),
+    * an equi-join back on the gram key (never all-pairs), covered
+    * positions via one bounded n-offset explode, one anti-join, and a
+    * per-doc ordered re-join (array_sort over (pos, token) structs — no
+    * window, no global sort). Shuffles carry (id, gram) and (id, pos)
+    * pairs, never document text; at 100 TB the gram-frequency agg is
+    * the only corpus-wide exchange, the same one dupSpanStats already
+    * pays.
+    */
+  def exciseDupSpans(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val toks = graft.Tables
+      .ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("_t0")))
+      .select(col("id"), TextFns.tokens(col("_t0")).as("_t"))
+    val pos = toks.select(col("id"), posexplode(col("_t")).as(Seq("p", "tok")))
+    // gram k (0-based start) covers tokens [k, k+n-1]
+    val grams = toks.select(col("id"), posexplode(TextFns.ngramsFromTokens(col("_t"), n)).as(Seq("p", "g")))
+    val freq = grams.groupBy("g").agg(count_distinct(col("id")).as("nd"), min("id").as("keeper"))
+    val covered = grams
+      .join(freq, "g")
+      .filter(col("nd") > 1 && col("id") =!= col("keeper"))
+      .select(col("id"), explode(sequence(col("p"), col("p") + lit(n - 1))).as("p"))
+      .distinct()
+    val rebuilt = pos
+      .join(covered, Seq("id", "p"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))), x => x.getField("tok")),
+          " "
+        ).as("_kept")
+      )
+    toks
+      .select(col("id").as(idCol))
+      .join(rebuilt.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_kept"), lit("")).as(textCol))
+  }
+
   /** CCNet-style corpus-wide exact paragraph deduplication with document
     * reassembly (Wenzek '20 §3.1; RefinedWeb and Dolma run the same
     * pass before any fuzzy dedup). The synthetic corpus is single-line,

@@ -172,6 +172,33 @@ class DedupSpec extends SparkSpec {
     assert(byId(3L)._3 == 0 && byId(3L)._4 == 0.0)
   }
 
+  test("exciseDupSpans: keeper retains, others lose covered tokens, overlaps union, full excision → empty") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h x1 y1"),              // keeper of the shared span
+      (2L, "z2 a b c d e f g h y2"),              // loses positions 1-8, keeps the flanks
+      (3L, "a b c d e f g h i j"),                // two overlapping shared grams (with doc 4) → union of covers
+      (4L, "a b c d e f g h i k"),                // shares [a..h] (keeper 1) and [b..i] (keeper 3)
+      (5L, "a b c d e f g h"),                    // exactly the shared span → fully excised
+      (6L, "totally unrelated words only here")   // untouched (too short for any shared 8-gram)
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .exciseDupSpans(corpus, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "a b c d e f g h x1 y1")      // lowest-id keeper keeps everything
+    assert(got(2L) == "z2 y2")                      // covered tokens cut, order preserved
+    // doc 3 is the keeper of [b..i] but NOT of [a..h] (keeper: doc 1):
+    // [a..h]'s cut removes positions 0-7, taking most of [b..i] with it —
+    // the conservative bias (never keep two copies) over keeper courtesy.
+    assert(got(3L) == "i j")
+    // doc 4 loses the union of both grams' covers (positions 0-8) → "k"
+    assert(got(4L) == "k")
+    assert(got(5L) == "")                           // fully excised, still present
+    assert(got(6L) == "totally unrelated words only here")
+    // the span survives in exactly its keeper document
+    assert(got.values.count(_.contains("a b c d e f g h")) == 1)
+  }
+
   test("suffix filtering is lossless: identical pairs AND scores with it off") {
     // Run on the real corpus (sf0.001 documents), not the toy frame —
     // the suffix bound only engages when pairs share several prefix
