@@ -21,16 +21,29 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => filterPats.forall(_.exists(name.contains)) }
       .sortBy(_._1)
+    // The timing action materializes the query's OWN plan — every output
+    // column, every ordering — by counting its InternalRow RDD. A plain
+    // df.count() builds a NEW count-aggregate plan over the query, and
+    // Catalyst then prunes everything the count doesn't need: unreferenced
+    // aggregate expressions, final left joins against by-key aggregates,
+    // global sorts — under-measuring output-materializing operators by
+    // orders of magnitude (text_dup_spans_excise: 0.75 s counted vs
+    // 127.8 s materialized at 100x, the r11 finding). toRdd executes the
+    // same optimized plan a write would, without collecting rows to the
+    // driver.
+    def force(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.toRdd.count(); ()
+    }
     // Warm-up pass: JIT + codegen compilation + parquet footer caches, so
     // the timed pass measures steady-state query cost.
     ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count()
+      try force(fn(spark, sfDir))
       catch { case _: Throwable => () }
     }
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { force(fn(spark, sfDir)); true }
         catch { case _: Throwable => false }
       // Operators that persist intermediates (shingle tables) own their
       // lineage, not their cache lifecycle — drop cached blocks between

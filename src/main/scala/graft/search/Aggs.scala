@@ -340,17 +340,18 @@ object Aggs {
     * verification scale). `approxPercentiles` is the sketch-based path for
     * 100 TB (no global sort).
     */
+  /** ONE array-percentile aggregate: k separate percentile() instances
+    * each buffer the full value set independently (k× the memory traffic
+    * and merge work — a cost the count-pruning bench hid until the r11
+    * methodology fix). The array form sorts once and reads k ranks.
+    */
   def percentiles(df: DataFrame, field: Column, ps: Seq[(String, Double)]): DataFrame =
-    df.agg(
-      round(percentile(field, lit(ps.head._2)), 6).as(ps.head._1),
-      ps.tail.map { case (n, p) => round(percentile(field, lit(p)), 6).as(n) }: _*
-    )
+    df.agg(percentile(field, lit(ps.map(_._2).toArray)).as("_ps"))
+      .select(ps.zipWithIndex.map { case ((n, _), i) => round(element_at(col("_ps"), i + 1), 6).as(n) }: _*)
 
   def approxPercentiles(df: DataFrame, field: Column, ps: Seq[(String, Double)]): DataFrame =
-    df.agg(
-      round(approx_percentile(field, lit(ps.head._2), lit(10000)), 2).as(ps.head._1),
-      ps.tail.map { case (n, p) => round(approx_percentile(field, lit(p), lit(10000)), 2).as(n) }: _*
-    )
+    df.agg(approx_percentile(field, lit(ps.map(_._2).toArray), lit(10000)).as("_ps"))
+      .select(ps.zipWithIndex.map { case ((n, _), i) => round(element_at(col("_ps"), i + 1), 2).as(n) }: _*)
 
   /** Filter-context conditional counts (the "Active vs Pending" metric
     * visualization): one pass, no join of separate filtered scans.
@@ -591,13 +592,19 @@ object Aggs {
     * interpolation, same convention as [[percentiles]]).
     */
   def boxplot(df: DataFrame, field: Column): DataFrame =
+    // one array-percentile buffer for all three quartiles (see percentiles)
     df.agg(
-      round(min(field), 2).as("min_v"),
-      round(percentile(field, lit(0.25)), 6).as("q1"),
-      round(percentile(field, lit(0.5)), 6).as("q2"),
-      round(percentile(field, lit(0.75)), 6).as("q3"),
-      round(max(field), 2).as("max_v")
-    )
+        round(min(field), 2).as("min_v"),
+        percentile(field, lit(Array(0.25, 0.5, 0.75))).as("_qs"),
+        round(max(field), 2).as("max_v")
+      )
+      .select(
+        col("min_v"),
+        round(element_at(col("_qs"), 1), 6).as("q1"),
+        round(element_at(col("_qs"), 2), 6).as("q2"),
+        round(element_at(col("_qs"), 3), 6).as("q3"),
+        col("max_v")
+      )
 
   /** `rate` aggregation under a monthly date_histogram: the bucket's sum
     * normalized to a per-day rate by the bucket's own calendar length (a
