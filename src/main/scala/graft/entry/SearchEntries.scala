@@ -176,6 +176,17 @@ private[graft] object SearchEntries {
     "search_percentiles" -> ((s, dir) =>
       Aggs.percentiles(Tables.orders(s, dir), col("o_totalprice"), Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))),
 
+    // Sketch twin (the blessed 100 TB path — SURVEY §5 percentile
+    // tiering): mergeable GK sketch, bounded buffers, map-side merge.
+    // Approximate -> rows-only check; ReplicaSpec pins it within rank-ε
+    // of the exact twin (the cardinality_approx precedent).
+    "search_percentiles_approx" -> ((s, dir) =>
+      Aggs.approxPercentiles(
+        Tables.orders(s, dir),
+        col("o_totalprice"),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+      )),
+
     "search_top_n" -> ((s, dir) =>
       Aggs.topN(
         Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"), col("o_orderstatus")),
@@ -956,6 +967,14 @@ private[graft] object SearchEntries {
 
     "search_boxplot" -> ((s, dir) => Aggs.boxplot(Tables.lineitem(s, dir), col("l_extendedprice"))),
 
+    // Sketch twins of mad/boxplot (SURVEY §5 percentile tiering):
+    // bounded mergeable buffers; ReplicaSpec tolerance contracts.
+    "search_mad_approx" -> ((s, dir) =>
+      Aggs.approxMedianAbsoluteDeviation(Tables.orders(s, dir), col("o_totalprice"))),
+
+    "search_boxplot_approx" -> ((s, dir) =>
+      Aggs.approxBoxplot(Tables.lineitem(s, dir), col("l_extendedprice"))),
+
     // rate agg: monthly revenue normalized per-day by each bucket's own
     // calendar length; exact decimal sum → identical double both engines.
     "search_rate" -> ((s, dir) =>
@@ -1689,6 +1708,27 @@ private[graft] object SearchEntries {
         .orderBy("bucket")
     }),
 
+    // Sketch twin of moving_percentiles (SURVEY §5 percentile tiering):
+    // same trailing 6-bucket window over the bucket table, quantiles
+    // from the mergeable sketch — the path that also survives a
+    // fine-grained (hourly × years) bucket spine where the window
+    // partition itself gets big.
+    "search_moving_percentiles_approx" -> ((s, dir) => {
+      val buckets = Tables
+        .orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      val w = Window.orderBy("bucket").rowsBetween(-5, Window.currentRow)
+      buckets
+        .select(
+          col("bucket"),
+          col("revenue"),
+          round(expr("approx_percentile(revenue, 0.5, 10000)").over(w), 6).as("p50_6m"),
+          round(expr("approx_percentile(revenue, 0.9, 10000)").over(w), 6).as("p90_6m")
+        )
+        .orderBy("bucket")
+    }),
+
     // geo_line agg: per group, the track of points ordered by timestamp,
     // capped at 10 — TopKPerKey bounds per-group state to the cap
     // (bounded heaps, no full collect-then-slice), then one tiny
@@ -2023,6 +2063,11 @@ private[graft] object SearchEntries {
     // to the same call; see Aggs.variableWidthHistogram for the contract).
     "search_variable_width_histogram" -> ((s, dir) =>
       Aggs.variableWidthHistogram(Tables.orders(s, dir), col("o_totalprice"), 8)),
+
+    // Sketch-seeded twin (SURVEY §5 percentile tiering): seeds from the
+    // mergeable sketch, identical assignment scan.
+    "search_variable_width_histogram_approx" -> ((s, dir) =>
+      Aggs.approxVariableWidthHistogram(Tables.orders(s, dir), col("o_totalprice"), 8)),
 
     // ip_prefix agg (/16): network-prefix buckets over the derived IP
     // space — integer-arithmetic octets (see ipEvents), one hash agg

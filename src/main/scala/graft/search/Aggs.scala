@@ -353,6 +353,64 @@ object Aggs {
     df.agg(approx_percentile(field, lit(ps.map(_._2).toArray), lit(10000)).as("_ps"))
       .select(ps.zipWithIndex.map { case ((n, _), i) => round(element_at(col("_ps"), i + 1), 2).as(n) }: _*)
 
+  // ── Sketch tier (the blessed 100 TB percentile paths — SURVEY §5) ──────
+  // percentile() is exact but buffers EVERY value of the column in one
+  // final aggregation buffer — a single-reducer/driver-memory killer at
+  // 100×. approx_percentile (Greenwald-Khanna sketch, accuracy 10000 →
+  // rank error ≤ 1e-4) keeps the buffer BOUNDED at O(accuracy) per
+  // partition and MERGEABLE map-side, so the shuffle carries sketches,
+  // not values. Each *_approx twin below mirrors its exact counterpart's
+  // output schema; ReplicaSpec pins the sketch within tolerance of the
+  // exact twin (the search_cardinality_approx precedent). The exact
+  // entries stay for the hash gate; these are the deployment paths.
+
+  /** Sketch twin of [[boxplot]]: min/max stay exact (bounded selections);
+    * the three quartiles come from ONE mergeable sketch.
+    */
+  def approxBoxplot(df: DataFrame, field: Column): DataFrame =
+    df.agg(
+        round(min(field), 2).as("min_v"),
+        approx_percentile(field, lit(Array(0.25, 0.5, 0.75)), lit(10000)).as("_qs"),
+        round(max(field), 2).as("max_v")
+      )
+      .select(
+        col("min_v"),
+        round(element_at(col("_qs"), 1), 6).as("q1"),
+        round(element_at(col("_qs"), 2), 6).as("q2"),
+        round(element_at(col("_qs"), 3), 6).as("q3"),
+        col("max_v")
+      )
+
+  /** Sketch twin of [[medianAbsoluteDeviation]]: both medians ride the
+    * bounded sketch; the 1-row inner median still broadcasts back onto
+    * the scan (two passes, zero unbounded buffers).
+    */
+  def approxMedianAbsoluteDeviation(df: DataFrame, field: Column): DataFrame = {
+    val med = df.agg(approx_percentile(field, lit(0.5), lit(10000)).as("_med"))
+    df.select(field.as("_x"))
+      .crossJoin(broadcast(med))
+      .agg(round(approx_percentile(abs(col("_x") - col("_med")), lit(0.5), lit(10000)), 6).as("mad"))
+  }
+
+  /** Sketch twin of [[variableWidthHistogram]]: seeds from the mergeable
+    * sketch instead of the exact buffer; assignment scan identical.
+    */
+  def approxVariableWidthHistogram(df: DataFrame, field: Column, k: Int): DataFrame = {
+    val ps = (0 until k).map(i => (2 * i + 1).toDouble / (2 * k))
+    val seeds = df.agg(approx_percentile(field, lit(ps.toArray), lit(10000)).as("_seeds"))
+    df.crossJoin(broadcast(seeds))
+      .withColumn("_d", transform(col("_seeds"), s => abs(field - s)))
+      .withColumn("bucket", array_position(col("_d"), array_min(col("_d"))))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("doc_count"),
+        round(min(field), 2).as("min_v"),
+        round(max(field), 2).as("max_v"),
+        round(sum(field.cast("decimal(12,2)")).cast("double") / count(lit(1)), 6).as("centroid")
+      )
+      .orderBy("bucket")
+  }
+
   /** Filter-context conditional counts (the "Active vs Pending" metric
     * visualization): one pass, no join of separate filtered scans.
     */

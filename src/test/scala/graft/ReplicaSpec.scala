@@ -166,6 +166,112 @@ class ReplicaSpec extends SparkSpec {
     }
   }
 
+  test("approx boxplot: exact extrema, quartiles inside the rank-error band") {
+    import graft.search.Aggs
+    val li = Tables.lineitem(spark, Sf)
+    val exact = Aggs.boxplot(li, col("l_extendedprice")).head()
+    val approx = Aggs.approxBoxplot(li, col("l_extendedprice")).head()
+    // min/max are real selections in both twins — bitwise equal.
+    assert(approx.getDouble(0) == exact.getDouble(0), "min_v differs")
+    assert(approx.getDouble(4) == exact.getDouble(4), "max_v differs")
+    Seq(0.25 -> 1, 0.5 -> 2, 0.75 -> 3).foreach { case (p, i) =>
+      val b = li
+        .agg(
+          percentile(col("l_extendedprice"), lit(p - 0.005)).as("lo"),
+          percentile(col("l_extendedprice"), lit(p + 0.005)).as("hi")
+        )
+        .head()
+      val v = approx.getDouble(i)
+      assert(
+        v >= b.getDouble(0) - 0.01 && v <= b.getDouble(1) + 0.01,
+        s"q@$p: approx=$v outside exact band [${b.getDouble(0)}, ${b.getDouble(1)}]"
+      )
+    }
+  }
+
+  test("approx MAD: sketch median of |x - sketch-median| inside the staged rank band") {
+    import graft.search.Aggs
+    val od = Tables.orders(spark, Sf)
+    val got = Aggs.approxMedianAbsoluteDeviation(od, col("o_totalprice")).head().getDouble(0)
+    // Stage the contract: given the approx inner median the twin ACTUALLY
+    // used (deterministic — same sketch), the outer sketch value must sit
+    // in the exact 0.5±0.005 band of |x − m̃|. This is the rank-error
+    // guarantee applied to the composition, not a tolerance guess.
+    val mTilde =
+      od.agg(approx_percentile(col("o_totalprice"), lit(0.5), lit(10000))).head().getDouble(0)
+    val b = od
+      .select(abs(col("o_totalprice") - lit(mTilde)).as("_d"))
+      .agg(percentile(col("_d"), lit(0.495)).as("lo"), percentile(col("_d"), lit(0.505)).as("hi"))
+      .head()
+    assert(
+      got >= b.getDouble(0) - 1e-6 && got <= b.getDouble(1) + 1e-6,
+      s"approx MAD=$got outside band [${b.getDouble(0)}, ${b.getDouble(1)}]"
+    )
+  }
+
+  test("approx moving percentiles: within one rank of the target order statistic per window") {
+    // Windows hold <= 6 rows (<< sketch accuracy), so the sketch is an
+    // exact nearest-rank selection while the exact twin interpolates.
+    // Contract, verified per window on the tiny (~80-row) bucket table:
+    // the approx value IS one of the window's values, at a rank within
+    // one of the target rank ceil(p·n) — the sketch's guarantee with
+    // zero rank error plus its rank-rounding convention.
+    val approx = SparkEntry.queries("search_moving_percentiles_approx")(spark, Sf)
+      .select("bucket", "p50_6m", "p90_6m")
+      .collect()
+      .map(r => (r.get(0).toString, r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val revenues = Tables
+      .orders(spark, Sf)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("bucket")
+      .collect()
+      .map(r => (r.get(0).toString, r.getDouble(1)))
+    assert(approx.map(_._1).toSeq == revenues.map(_._1).toSeq, "bucket spines differ")
+    for (i <- revenues.indices) {
+      val win = revenues.slice(math.max(0, i - 5), i + 1).map(_._2).sorted
+      val n = win.length
+      def okAt(p: Double, v: Double): Boolean = {
+        val target = math.ceil(p * n).toInt.max(1)
+        (target - 1 to target + 1).exists(r => r >= 1 && r <= n && math.abs(win(r - 1) - v) <= 0.01)
+      }
+      assert(okAt(0.5, approx(i)._2), s"bucket ${revenues(i)._1}: p50 ${approx(i)._2} not a ±1-rank stat of $win")
+      assert(okAt(0.9, approx(i)._3), s"bucket ${revenues(i)._1}: p90 ${approx(i)._3} not a ±1-rank stat of $win")
+    }
+  }
+
+  test("approx variable-width histogram: sketch seeds in-band, partition invariants hold") {
+    import graft.search.Aggs
+    val od = Tables.orders(spark, Sf)
+    val n = od.count()
+    val out = Aggs.approxVariableWidthHistogram(od, col("o_totalprice"), 8).collect()
+    // Partition invariants: every row lands in exactly one of the 8
+    // buckets; centroids sit inside their bucket's [min, max].
+    assert(out.map(_.getAs[Long]("doc_count")).sum == n, "doc_counts do not partition the table")
+    assert(out.length == 8, s"expected 8 buckets, got ${out.length}")
+    out.foreach { r =>
+      val (lo, hi, c) = (r.getAs[Double]("min_v"), r.getAs[Double]("max_v"), r.getAs[Double]("centroid"))
+      assert(c >= lo - 0.01 && c <= hi + 0.01, s"centroid $c outside [$lo, $hi]")
+    }
+    // Seed quality: each sketch seed inside the exact band p ± 0.005.
+    val ps = (0 until 8).map(i => (2 * i + 1).toDouble / 16)
+    val seeds =
+      od.agg(approx_percentile(col("o_totalprice"), lit(ps.toArray), lit(10000))).head().getSeq[Double](0)
+    ps.zip(seeds).foreach { case (p, s) =>
+      val b = od
+        .agg(
+          percentile(col("o_totalprice"), lit(math.max(0, p - 0.005))).as("lo"),
+          percentile(col("o_totalprice"), lit(math.min(1, p + 0.005))).as("hi")
+        )
+        .head()
+      assert(
+        s >= b.getDouble(0) - 1e-6 && s <= b.getDouble(1) + 1e-6,
+        s"seed@$p=$s outside [${b.getDouble(0)}, ${b.getDouble(1)}]"
+      )
+    }
+  }
+
   test("k-means refinement never increases IVF inertia and keeps the recall bound") {
     val base = Similarity.ivfIndex(emb, "vec_id", "embedding", nLists = 16)
     val refined = Similarity.ivfRefine(emb, "vec_id", "embedding", base, iters = 3)
