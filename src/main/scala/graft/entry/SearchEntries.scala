@@ -886,19 +886,13 @@ private[graft] object SearchEntries {
     // nested query: the array-of-struct field type where the WHOLE inner
     // clause must hold on ONE element (an order with a qty-48 'N' item
     // and a qty-10 'R' item does NOT match flag='R' AND qty>=48 — the
-    // object-vs-nested distinction). The index shape is built once
-    // (Nested.nestedIndex: one child shuffle keyed by parent id); the
-    // query itself is an `exists` HOF — no join, no explode at search
-    // time. n_inner_hits counts the matching elements per hit.
+    // object-vs-nested distinction). Queries SCORE against the memoized
+    // artifact (cachedNested — the Bm25 build/score split; OpenSearch
+    // pays this once at indexing time); the query itself is an `exists`
+    // HOF — no join, no explode at search time. The honest build cost is
+    // search_nested_build; CDC maintenance is search_nested_incremental.
     "search_nested" -> ((s, dir) => {
-      val nested = search.Nested.nestedIndex(
-        Tables.orders(s, dir),
-        Tables.lineitem(s, dir),
-        "o_orderkey",
-        "l_orderkey",
-        "items",
-        Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
-      )
+      val nested = cachedNested(s, dir)
       val pred = (x: Column) => x.getField("l_returnflag") === "R" && x.getField("l_quantity") >= 48
       nested
         .filter(search.Nested.query(col("items"), pred))
@@ -906,6 +900,64 @@ private[graft] object SearchEntries {
           col("o_orderkey"),
           col("o_totalprice"),
           size(search.Nested.innerHits(col("items"), pred)).cast("long").as("n_inner_hits")
+        )
+        .orderBy("o_orderkey")
+    }),
+
+    // The honest nested-layout build (the *_build contract: the real
+    // child shuffle keyed by parent id + parent join runs every call),
+    // summarized per parent (element count + exact-decimal qty sum) so
+    // DuckDB can oracle the artifact's content from the flat tables.
+    "search_nested_build" -> ((s, dir) =>
+      search.Nested
+        .nestedIndex(
+          Tables.orders(s, dir),
+          Tables.lineitem(s, dir),
+          "o_orderkey",
+          "l_orderkey",
+          "items",
+          nestedFields
+        )
+        .select(
+          col("o_orderkey"),
+          size(col("items")).cast("long").as("n_items"),
+          expr(
+            "CAST(aggregate(items, CAST(0 AS DECIMAL(18,2)), " +
+              "(a, x) -> CAST(a + CAST(x.l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,2))) AS DOUBLE)"
+          ).as("sum_qty")
+        )
+        .orderBy("o_orderkey")),
+
+    // CDC maintenance of the nested artifact (Nested.applyDelta — the
+    // Bm25.applyDelta contract in array-of-struct form): today's child
+    // upserts (every %5 parent's full child set) and deletes (ordinal-1
+    // elements of the %7 parents) fold into yesterday's memoized layout
+    // in ONE delta-sized aggregation + id-keyed join — the artifact is
+    // never rebuilt. The oracle recomputes the final child set flat.
+    "search_nested_incremental" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val cols = nestedFields.map(col) :+ col("l_orderkey")
+      val ups = li.filter(col("l_orderkey") % 5 === 0).select(cols: _*).withColumn("op", lit("u"))
+      val dels = li
+        .filter(col("l_orderkey") % 5 =!= 0 && col("l_orderkey") % 7 === 0 && col("l_linenumber") === 1)
+        .select(cols: _*)
+        .withColumn("op", lit("d"))
+      search.Nested
+        .applyDelta(
+          cachedNestedBase(s, dir),
+          ups.unionByName(dels),
+          "o_orderkey",
+          "l_orderkey",
+          "items",
+          nestedFields
+        )
+        .select(
+          col("o_orderkey"),
+          size(col("items")).cast("long").as("n_items"),
+          expr(
+            "CAST(aggregate(items, CAST(0 AS DECIMAL(18,2)), " +
+              "(a, x) -> CAST(a + CAST(x.l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,2))) AS DOUBLE)"
+          ).as("sum_qty")
         )
         .orderBy("o_orderkey")
     }),
@@ -1876,14 +1928,7 @@ private[graft] object SearchEntries {
     // fold), the element table is never exploded (Nested.nestedAgg).
     "search_nested_agg" -> ((s, dir) =>
       search.Nested.nestedAgg(
-        search.Nested.nestedIndex(
-          Tables.orders(s, dir),
-          Tables.lineitem(s, dir),
-          "o_orderkey",
-          "l_orderkey",
-          "items",
-          Seq("l_quantity")
-        ),
+        cachedNested(s, dir),
         "items",
         "l_quantity",
         "avg_l_quantity"
@@ -1893,15 +1938,7 @@ private[graft] object SearchEntries {
     // bucket — explode is per-element-once, the distinct is (key, parent)
     // pairs, never a window.
     "search_reverse_nested" -> ((s, dir) =>
-      search.Nested
-        .nestedIndex(
-          Tables.orders(s, dir),
-          Tables.lineitem(s, dir),
-          "o_orderkey",
-          "l_orderkey",
-          "items",
-          Seq("l_returnflag")
-        )
+      cachedNested(s, dir)
         .select(col("o_orderkey"), explode(col("items")).as("_e"))
         .groupBy(col("_e.l_returnflag").as("key"))
         .agg(count(lit(1)).as("doc_count"), countDistinct(col("o_orderkey")).as("parent_count"))
@@ -2657,6 +2694,27 @@ private[graft] object SearchEntries {
         |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_returnflag = 'R' AND l.l_quantity >= 48
         |GROUP BY o.o_orderkey, o.o_totalprice
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "search_nested_build" ->
+      """SELECT o.o_orderkey,
+        |       CAST(coalesce(li.n, 0) AS BIGINT) AS n_items,
+        |       CAST(coalesce(li.q, 0) AS DOUBLE) AS sum_qty
+        |FROM orders o LEFT JOIN (
+        |  SELECT l_orderkey, count(*) AS n, sum(l_quantity) AS q
+        |  FROM lineitem GROUP BY 1) li ON li.l_orderkey = o.o_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "search_nested_incremental" ->
+      """SELECT o.o_orderkey,
+        |       CAST(coalesce(li.n, 0) AS BIGINT) AS n_items,
+        |       CAST(coalesce(li.q, 0) AS DOUBLE) AS sum_qty
+        |FROM orders o LEFT JOIN (
+        |  SELECT l_orderkey, count(*) AS n, sum(l_quantity) AS q
+        |  FROM lineitem
+        |  WHERE l_orderkey % 5 = 0
+        |     OR NOT (l_orderkey % 7 = 0 AND l_linenumber = 1)
+        |  GROUP BY 1) li ON li.l_orderkey = o.o_orderkey
         |ORDER BY o.o_orderkey""".stripMargin,
 
     "search_collapse" ->

@@ -677,15 +677,11 @@ private[graft] object SearchWireEntries {
 
     // nested from the wire format: same clause through the JSON compiler
     // (path-prefixed fields resolving against the lambda element).
+    // Queries SCORE against the memoized artifact (cachedNested — the
+    // Bm25 build/score split); the honest build cost is
+    // search_nested_build, CDC maintenance search_nested_incremental.
     "search_dsl_json_nested" -> ((s, dir) => {
-      val nested = search.Nested.nestedIndex(
-        Tables.orders(s, dir),
-        Tables.lineitem(s, dir),
-        "o_orderkey",
-        "l_orderkey",
-        "items",
-        Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
-      )
+      val nested = cachedNested(s, dir)
       JsonDsl.parse(
         nested,
         """{"query": {"nested": {"path": "items",
@@ -701,14 +697,7 @@ private[graft] object SearchWireEntries {
     // each matching parent — filter HOF then explode, multiplying only
     // matched rows by their matched-element count.
     "search_dsl_json_nested_inner_hits" -> ((s, dir) => {
-      val nested = search.Nested.nestedIndex(
-        Tables.orders(s, dir),
-        Tables.lineitem(s, dir),
-        "o_orderkey",
-        "l_orderkey",
-        "items",
-        Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
-      )
+      val nested = cachedNested(s, dir)
       JsonDsl.innerHits(
         nested,
         """{"query": {"nested": {"path": "items", "inner_hits": {},
@@ -1606,28 +1595,14 @@ private[graft] object SearchWireEntries {
 
     "search_dsl_json_nested_agg" -> ((s, dir) =>
       JsonDsl.parse(
-        search.Nested.nestedIndex(
-          Tables.orders(s, dir),
-          Tables.lineitem(s, dir),
-          "o_orderkey",
-          "l_orderkey",
-          "items",
-          Seq("l_quantity")
-        ),
+        cachedNested(s, dir),
         """{"aggs": {"line_items": {"nested": {"path": "items"},
           |   "aggs": {"avg_l_quantity": {"avg": {"field": "items.l_quantity"}}}}}}""".stripMargin
       )),
 
     "search_dsl_json_reverse_nested" -> ((s, dir) =>
       JsonDsl.parse(
-        search.Nested.nestedIndex(
-          Tables.orders(s, dir),
-          Tables.lineitem(s, dir),
-          "o_orderkey",
-          "l_orderkey",
-          "items",
-          Seq("l_returnflag")
-        ),
+        cachedNested(s, dir),
         """{"aggs": {"line_items": {"nested": {"path": "items"},
           |   "aggs": {"by_flag": {"terms": {"field": "items.l_returnflag"},
           |     "aggs": {"parents": {"reverse_nested": {"id_field": "o_orderkey"}}}}}}}}""".stripMargin

@@ -49,6 +49,65 @@ object Nested {
       .withColumn(path, coalesce(col(path), emptyItems))
   }
 
+  /** CDC maintenance for the nested artifact (the Bm25.applyDelta
+    * precedent in array-of-struct form): child-level ops keyed by
+    * (parent id, element ordinal) rewrite ONLY the touched parents'
+    * element arrays. `delta` carries `op` ∈ {"u" upsert, "d" delete},
+    * the parent id under `childKey`, and (for upserts) the element
+    * `fields`; the FIRST field is the ordinal — the artifact's
+    * sort key and the element's identity within its parent, so an
+    * upsert of an existing ordinal replaces that element.
+    *
+    * Work is delta-sized: the delta aggregates to one row per touched
+    * parent (ordinals to drop + structs to add — a map-side-combined
+    * hash agg over the delta only), and the artifact left-joins it
+    * id-keyed: the array surgery (filter + concat + sort_array) runs
+    * only where the join matched; untouched parents stream through
+    * with `path` unchanged. At 100 TB the artifact is id-bucketed, so
+    * the join is bucket-local and the rewrite touches |delta|-many
+    * buckets; AQE broadcasts the aggregated delta when it is small.
+    * Children of parents absent from the artifact drop out with the
+    * join (nested docs cannot exist without their parent — the
+    * OpenSearch parent-routing rule).
+    */
+  def applyDelta(
+      index: DataFrame,
+      delta: DataFrame,
+      parentKey: String,
+      childKey: String,
+      path: String,
+      fields: Seq[String],
+      opCol: String = "op"
+  ): DataFrame = {
+    require(fields.nonEmpty, "nested delta needs at least one child field (the ordinal)")
+    val ordinal = fields.head
+    // One row per touched parent: every delta'd ordinal drops (upsert
+    // replaces, delete removes); upsert structs append.
+    val perParent = delta
+      .groupBy(col(childKey).as(parentKey))
+      .agg(
+        collect_set(col(ordinal)).as("_drop"),
+        collect_list(when(col(opCol) === "u", struct(fields.map(col): _*))).as("_adds")
+      )
+    val itemsType = index.schema(path).dataType
+    val emptyItems = array().cast(itemsType)
+    index
+      .join(perParent, Seq(parentKey), "left")
+      .withColumn(
+        path,
+        when(col("_drop").isNull, col(path)).otherwise(
+          sort_array(
+            concat(
+              filter(col(path), x => !array_contains(col("_drop"), x.getField(ordinal))),
+              coalesce(col("_adds").cast(itemsType), emptyItems)
+            ),
+            asc = true
+          )
+        )
+      )
+      .drop("_drop", "_adds")
+  }
+
   /** The `nested` query predicate: SOME element satisfies the whole
     * inner clause. One codegen'd loop per row.
     */

@@ -107,4 +107,43 @@ class NestedSpec extends SparkSpec {
     )
     assert(wire.as[Long].collect().toSeq == Seq(1L))
   }
+
+  private def summarize(idx: org.apache.spark.sql.DataFrame) =
+    idx
+      .select(col("pid"), expr("transform(items, x -> struct(x.line, x.qty, x.flag))").as("items"))
+      .as[(Long, Seq[(Int, Double, String)])]
+      .collect()
+      .toMap
+
+  test("applyDelta: upsert replaces the ordinal group, delete removes it, others untouched") {
+    val delta = Seq(
+      (1L, 1, "R", 99.0, "u"), // replace parent 1's line-1 element
+      (2L, 3, "X", 1.0, "u"),  // append a new ordinal to parent 2
+      (4L, 1, "N", 0.0, "d"),  // delete parent 4's only element
+      (9L, 1, "Z", 7.0, "u")   // unknown parent: dropped (no parent, no nested doc)
+    ).toDF("cid", "line", "flag", "qty", "op")
+    val out = summarize(
+      Nested.applyDelta(nested, delta, "pid", "cid", "items", Seq("line", "qty", "flag"))
+    )
+    assert(out(1L) == Seq((1, 99.0, "R"), (2, 10.0, "N")), s"upsert-replace wrong: ${out(1L)}")
+    assert(out(2L) == Seq((1, 10.0, "R"), (2, 50.0, "N"), (3, 1.0, "X")), s"append wrong: ${out(2L)}")
+    assert(out(3L).isEmpty && out(4L).isEmpty, "delete/empty parents wrong")
+    assert(!out.contains(9L), "a child of an unknown parent must not materialize a parent")
+  }
+
+  test("applyDelta folded over deltas equals a fresh build on the net child set") {
+    val d1 = Seq((1L, 1, "R", 99.0, "u"), (3L, 1, "A", 2.0, "u")).toDF("cid", "line", "flag", "qty", "op")
+    val d2 = Seq((3L, 1, "A", 0.0, "d"), (4L, 2, "B", 3.0, "u")).toDF("cid", "line", "flag", "qty", "op")
+    val live = Nested.applyDelta(
+      Nested.applyDelta(nested, d1, "pid", "cid", "items", Seq("line", "qty", "flag")),
+      d2, "pid", "cid", "items", Seq("line", "qty", "flag")
+    )
+    val netChildren = Seq(
+      (1L, 1, "R", 99.0), (1L, 2, "N", 10.0),
+      (2L, 1, "R", 10.0), (2L, 2, "N", 50.0),
+      (4L, 1, "N", 5.0), (4L, 2, "B", 3.0)
+    ).toDF("cid", "line", "flag", "qty")
+    val rebuilt = Nested.nestedIndex(parents, netChildren, "pid", "cid", "items", Seq("line", "qty", "flag"))
+    assert(summarize(live) == summarize(rebuilt), "live-maintained artifact diverged from rebuild")
+  }
 }

@@ -428,6 +428,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming nested-layout maintenance: child CDC micro-batches fold into the artifact, equal to rebuild") {
+    import graft.search.Nested
+    implicit val sq = spark.sqlContext
+    val parents = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("pid", "tag")
+    val children = Seq((1L, 1, 10.0), (1L, 2, 20.0), (2L, 1, 30.0)).toDF("cid", "line", "qty")
+    val fields = Seq("line", "qty")
+    val base = Nested.nestedIndex(parents, children, "pid", "cid", "items", fields)
+    val streamed = new graft.streaming.StreamingNested(base, "pid", "cid", "items", fields)
+    val input = MemoryStream[(Long, Int, Double, String)]
+    val q = streamed.attach(input.toDF().toDF("cid", "line", "qty", "op"))
+    try {
+      // batch 1: replace parent 1's line-1 element, give parent 3 a child
+      input.addData((1L, 1, 99.0, "u"), (3L, 1, 7.0, "u"))
+      q.processAllAvailable()
+      // batch 2: delete parent 2's only element
+      input.addData((2L, 1, 30.0, "d"))
+      q.processAllAvailable()
+      val net = Seq((1L, 1, 99.0), (1L, 2, 20.0), (3L, 1, 7.0)).toDF("cid", "line", "qty")
+      val rebuilt = Nested.nestedIndex(parents, net, "pid", "cid", "items", fields)
+      def dump(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("pid"), expr("transform(items, x -> struct(x.line, x.qty))").as("e"))
+          .as[(Long, Seq[(Int, Double)])]
+          .collect()
+          .toMap
+      assert(dump(streamed.index) == dump(rebuilt), "live-maintained nested artifact diverged from rebuild")
+    } finally q.stop()
+  }
+
   test("streaming near-dup detection: per-batch pairs union to the full-recompute answer") {
     import graft.operators.MinHashLSH
     implicit val sq = spark.sqlContext
