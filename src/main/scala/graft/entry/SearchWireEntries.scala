@@ -347,6 +347,54 @@ private[graft] object SearchWireEntries {
           | "aggs": {"qty": {"percentiles": {"field": "l_quantity", "percents": [50, 90, 99]}}}}""".stripMargin
       )),
 
+    // percentiles as a SUB-aggregation of terms (the under-bucket metric
+    // set matches the top-level set, r12): ONE hash agg with an
+    // array-percentile per group — never a second scan, a join, or k
+    // independent percentile buffers.
+    "search_dsl_json_terms_percentiles" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"by_priority": {
+          |   "terms": {"field": "o_orderpriority", "size": 5},
+          |   "aggs": {"price": {"percentiles": {"field": "o_totalprice", "percents": [50, 90]}}}
+          | }}}""".stripMargin
+      )),
+
+    // grouped boxplot under terms: five numbers per bucket from one
+    // hash agg (exact min/max selections + one array-percentile).
+    "search_dsl_json_terms_boxplot" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.lineitem(s, dir),
+        """{"aggs": {"by_flag": {
+          |   "terms": {"field": "l_returnflag", "size": 3},
+          |   "aggs": {"price": {"boxplot": {"field": "l_extendedprice"}}}
+          | }}}""".stripMargin
+      )),
+
+    // extended_stats under terms: per-bucket sample moments derived from
+    // exact decimal sums in a fixed double tree (the top-level
+    // extended_stats convention), still one hash agg.
+    "search_dsl_json_terms_extended_stats" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"by_priority": {
+          |   "terms": {"field": "o_orderpriority", "size": 5},
+          |   "aggs": {"price": {"extended_stats": {"field": "o_totalprice"}}}
+          | }}}""".stripMargin
+      )),
+
+    // percentiles + cardinality under a date_histogram — the same
+    // one-hash-agg compilation on the calendar spine.
+    "search_dsl_json_dh_percentiles" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"monthly": {
+          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |   "aggs": {"price": {"percentiles": {"field": "o_totalprice", "percents": [50, 90]}},
+          |            "buyers": {"cardinality": {"field": "o_custkey"}}}
+          | }}}""".stripMargin
+      )),
+
     // The OpenSearch vector-search clause from the wire format, routed to
     // the brute-force ANN plan (one scan + TakeOrderedAndProject). The
     // vector is serialized at double precision so the literal in the body
@@ -1840,6 +1888,42 @@ private[graft] object SearchWireEntries {
         |       round(quantile_cont(l_quantity, 0.9), 6) AS p90,
         |       round(quantile_cont(l_quantity, 0.99), 6) AS p99
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
+
+    "search_dsl_json_terms_percentiles" ->
+      """SELECT o_orderpriority AS "key", count(*) AS doc_count,
+        |       round(quantile_cont(o_totalprice, 0.5), 6) AS price_p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 6) AS price_p90
+        |FROM orders GROUP BY 1 ORDER BY doc_count DESC, "key" LIMIT 5""".stripMargin,
+
+    "search_dsl_json_terms_boxplot" ->
+      """SELECT l_returnflag AS "key", count(*) AS doc_count,
+        |       round(min(l_extendedprice), 2) AS price_min,
+        |       round(quantile_cont(l_extendedprice, 0.25), 6) AS price_q1,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS price_q2,
+        |       round(quantile_cont(l_extendedprice, 0.75), 6) AS price_q3,
+        |       round(max(l_extendedprice), 2) AS price_max
+        |FROM lineitem GROUP BY 1 ORDER BY doc_count DESC, "key" LIMIT 3""".stripMargin,
+
+    "search_dsl_json_terms_extended_stats" ->
+      """WITH m AS (SELECT o_orderpriority AS "key", count(*) AS doc_count,
+        |                  count(o_totalprice) AS n,
+        |                  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
+        |                  sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS ss
+        |           FROM orders GROUP BY 1)
+        |SELECT "key", doc_count,
+        |       n AS price_count,
+        |       round(CAST(s AS DOUBLE), 2) AS price_sum,
+        |       round(CAST(s AS DOUBLE) / n, 6) AS price_avg,
+        |       round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1), 2) AS price_variance,
+        |       round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 6) AS price_std
+        |FROM m ORDER BY doc_count DESC, "key" LIMIT 5""".stripMargin,
+
+    "search_dsl_json_dh_percentiles" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket, count(*) AS doc_count,
+        |       round(quantile_cont(o_totalprice, 0.5), 6) AS price_p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 6) AS price_p90,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS buyers
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "search_dsl_json_significant" ->
       """SELECT term, fg_count, bg_count,

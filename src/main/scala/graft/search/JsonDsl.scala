@@ -2562,6 +2562,19 @@ object JsonDsl {
                 count(lit(1)).as("doc_count")
               )
               .orderBy(groupName)
+          // Rich metric sub-aggs (percentiles/boxplot/extended_stats/
+          // cardinality — the full top-level metric set under buckets):
+          // one hash agg carries every metric's aggregate columns, the
+          // post projection runs on the bucket table.
+          case Some(sa)
+              if sa.fields().asScala.exists(e =>
+                e.getValue.isObject && richMetricTypes(e.getValue.fieldNames().next())) =>
+            val (aggCols, postCols) = sa.fields().asScala.toSeq.map(richMetric).unzip
+            df.groupBy(field.as("key"))
+              .agg(count(lit(1)).as("doc_count"), aggCols.flatten: _*)
+              .select(col("key") +: col("doc_count") +: postCols.flatten: _*)
+              .orderBy(col("doc_count").desc, col("key").asc)
+              .limit(size)
           case Some(sa) => Aggs.termsAggWith(df, field, size, sa.fields().asScala.toSeq.map(roundedMetric))
           case None     => Aggs.termsAgg(df, field, size)
         }
@@ -2627,6 +2640,22 @@ object JsonDsl {
           nonSelector.partition(e => e.getValue.isObject && e.getValue.fieldNames().next() == "bucket_sort")
         val (pipeEntries, metricEntries) =
           nonSort.partition(e => e.getValue.isObject && pipelineTypes(e.getValue.fieldNames().next()))
+        // Rich metric sub-aggs under the histogram (percentiles/boxplot/
+        // extended_stats/cardinality): same one-hash-agg compilation as
+        // the terms branch. Pipelines reference single-column sibling
+        // metrics; combining them with rich metrics is out of contract.
+        if (metricEntries.exists(e => richMetricTypes(e.getValue.fieldNames().next()))) {
+          require(
+            pipeEntries.isEmpty && selectorEntries.isEmpty && sortEntries.isEmpty,
+            "pipeline/bucket_selector/bucket_sort sub-aggs cannot combine with multi-column metrics"
+          )
+          val (aggCols, postCols) = metricEntries.map(richMetric).unzip
+          return df
+            .groupBy(date_trunc(interval.get, field).as("bucket"))
+            .agg(count(lit(1)).as("doc_count"), aggCols.flatten: _*)
+            .select(col("bucket") +: col("doc_count") +: postCols.flatten: _*)
+            .orderBy("bucket")
+        }
         // Metric sub-aggs here follow the house money convention: `sum`
         // accumulates in exact DECIMAL (partition-order-proof — a double
         // sum's last-ulp wobble vs the oracle's is a hash mismatch) and
@@ -3168,6 +3197,85 @@ object JsonDsl {
     case "max"         => round(max(f), 2)
     case "value_count" => count(f)
     case other         => throw new IllegalArgumentException(s"unsupported metric aggregation '$other'")
+  }
+
+  /** Metric sub-aggregation types that expand to MORE than one output
+    * column (percentiles/boxplot/extended_stats) or need a dedicated
+    * aggregate (cardinality) — OpenSearch allows the full metric set
+    * under any bucketing agg, so the wire executor's under-bucket set
+    * matches the top-level set.
+    */
+  private val richMetricTypes: Set[String] = Set("percentiles", "boxplot", "extended_stats", "cardinality")
+
+  /** One metric sub-aggregation entry → (aggregate columns, post-agg
+    * projections). ALL of a request's metrics — however many columns
+    * they expand to — ride ONE hash aggregate over the fact scan
+    * (grouped percentiles is an array-percentile per group, never a
+    * second scan, a join, or k independent percentile buffers), and the
+    * post projection runs on the bucket table. Naming: percentiles emit
+    * `<name>_p<percent>`, boxplot `<name>_{min,q1,q2,q3,max}`,
+    * extended_stats `<name>_{count,sum,avg,variance,std}` (sample
+    * semantics, derived from exact decimal moments in a fixed double
+    * tree — the top-level extendedStats convention).
+    */
+  private def richMetric(e: java.util.Map.Entry[String, JsonNode]): (Seq[Column], Seq[Column]) = {
+    val name = e.getKey
+    require(e.getValue.isObject && e.getValue.size == 1, s"metric '$name' must have exactly one type")
+    val mType = e.getValue.fieldNames().next()
+    val spec = e.getValue.get(mType)
+    val f = col(req(spec, "field", s"metric '$name' ($mType)").asText)
+    mType match {
+      case "percentiles" =>
+        val ps = Option(spec.get("percents"))
+          .map(_.elements().asScala.toSeq.map(_.asDouble))
+          .getOrElse(Seq(25.0, 50.0, 75.0, 95.0, 99.0))
+        val arr = percentile(f, lit(ps.map(_ / 100.0).toArray)).as(s"_${name}_ps")
+        val posts = ps.zipWithIndex.map { case (p, i) =>
+          round(element_at(col(s"_${name}_ps"), i + 1), 6).as(s"${name}_${percentileName(p)}")
+        }
+        (Seq(arr), posts)
+      case "boxplot" =>
+        val aggs = Seq(
+          round(min(f), 2).as(s"_${name}_min"),
+          percentile(f, lit(Array(0.25, 0.5, 0.75))).as(s"_${name}_qs"),
+          round(max(f), 2).as(s"_${name}_max")
+        )
+        val posts = Seq(
+          col(s"_${name}_min").as(s"${name}_min"),
+          round(element_at(col(s"_${name}_qs"), 1), 6).as(s"${name}_q1"),
+          round(element_at(col(s"_${name}_qs"), 2), 6).as(s"${name}_q2"),
+          round(element_at(col(s"_${name}_qs"), 3), 6).as(s"${name}_q3"),
+          col(s"_${name}_max").as(s"${name}_max")
+        )
+        (aggs, posts)
+      case "cardinality" =>
+        (Seq(count_distinct(f).as(name)), Seq(col(name)))
+      case "extended_stats" =>
+        // exact decimal moments (2dp money → 4dp squares, decimal sums
+        // exact) → fixed double tree: both engines agree bitwise.
+        val d = f.cast("decimal(12,2)")
+        val aggs = Seq(
+          count(f).as(s"_${name}_n"),
+          sum(d).as(s"_${name}_s"),
+          sum(d * d).as(s"_${name}_ss")
+        )
+        val n = col(s"_${name}_n")
+        val s = col(s"_${name}_s").cast("double")
+        val ss = col(s"_${name}_ss").cast("double")
+        val variance = (ss - s * s / n) / (n - lit(1))
+        val posts = Seq(
+          n.as(s"${name}_count"),
+          round(s, 2).as(s"${name}_sum"),
+          round(s / n, 6).as(s"${name}_avg"),
+          // variance magnitudes (money²) put a 6dp quantum BELOW the
+          // double ulp — engine-divergent noise; 2dp stays ≫ ulp.
+          round(variance, 2).as(s"${name}_variance"),
+          round(sqrt(variance), 6).as(s"${name}_std")
+        )
+        (aggs, posts)
+      case single =>
+        (Seq(roundedMetricOf(single, f).as(name)), Seq(col(name)))
+    }
   }
 
   /** The exact-decimal avg metric (sum(decimal)/count, round 6) — the

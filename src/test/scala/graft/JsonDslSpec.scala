@@ -1503,4 +1503,35 @@ class JsonDslSpec extends SparkSpec {
       (90.0, Some(28.0), Some(1.0))            // +28 over the 28-day February
     ), got.toString)
   }
+
+  test("rich metric sub-aggs (percentiles/boxplot/extended_stats/cardinality) compile as ONE aggregation") {
+    // However many output columns the metrics expand to, the fact table
+    // is scanned once and aggregated once — never a per-metric scan, a
+    // join of separate aggs, or k independent percentile buffers.
+    val od = Tables.orders(spark, Sf)
+    val body =
+      """{"aggs": {"by_priority": {
+        |   "terms": {"field": "o_orderpriority", "size": 5},
+        |   "aggs": {"price": {"percentiles": {"field": "o_totalprice", "percents": [50, 90]}},
+        |            "box":   {"boxplot": {"field": "o_totalprice"}},
+        |            "stats": {"extended_stats": {"field": "o_totalprice"}},
+        |            "buyers": {"cardinality": {"field": "o_custkey"}}}
+        | }}}""".stripMargin
+    val got = JsonDsl.parse(od, body)
+    val plan = got.queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(plan).length == 1, s"expected one fact scan:\n$plan")
+    assert(!plan.contains("Join"), s"rich metrics must not join separate aggregations:\n$plan")
+    // Distinct aggregates (cardinality) legitimately add a two-key round;
+    // the aggregate-node count stays the partial/merge/final ladder of
+    // ONE aggregation (4 nodes), not one ladder per metric.
+    val aggNodes = "HashAggregate".r.findAllIn(plan).length
+    assert(aggNodes <= 4, s"expected one aggregation ladder, got $aggNodes nodes:\n$plan")
+    // values spot-check against the structured twins on one bucket
+    val row = got.filter(col("key") === "1-URGENT").head()
+    val box = graft.search.Aggs
+      .boxplot(od.filter(col("o_orderpriority") === "1-URGENT"), col("o_totalprice"))
+      .head()
+    assert(row.getAs[Double]("box_q2") == box.getAs[Double]("q2"), "grouped q2 != per-bucket boxplot q2")
+    assert(row.getAs[Double]("box_min") == box.getAs[Double]("min_v"))
+  }
 }
