@@ -2224,8 +2224,8 @@ private[graft] object SearchEntries {
         |       round(CAST(s AS DOUBLE) / cnt, 6) AS avg_v,
         |       round(CAST(s AS DOUBLE), 2) AS sum_v,
         |       round(CAST(sq AS DOUBLE), 2) AS sum_sq,
-        |       round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1), 6) AS variance,
-        |       round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1)), 6) AS std_dev
+        |       round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt, 6) AS variance,
+        |       round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt), 6) AS std_dev
         |FROM a""".stripMargin,
 
     "search_more_like_this" ->

@@ -360,6 +360,21 @@ private[graft] object SearchWireEntries {
           | }}}""".stripMargin
       )),
 
+    // Sketch twin (the blessed 100 TB path): "approx": true compiles the
+    // grouped ladder to approx_percentile — per-group buffers bounded at
+    // O(accuracy) and mergeable map-side, so a hot terms key holding 10⁹
+    // rows cannot blow one aggregation buffer the way grouped exact
+    // percentile() would. Same columns, same one-hash-agg plan;
+    // per-bucket rank-band contract in ReplicaSpec.
+    "search_dsl_json_terms_percentiles_approx" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"by_priority": {
+          |   "terms": {"field": "o_orderpriority", "size": 5},
+          |   "aggs": {"price": {"percentiles": {"field": "o_totalprice", "percents": [50, 90], "approx": true}}}
+          | }}}""".stripMargin
+      )),
+
     // grouped boxplot under terms: five numbers per bucket from one
     // hash agg (exact min/max selections + one array-percentile).
     "search_dsl_json_terms_boxplot" -> ((s, dir) =>
@@ -371,9 +386,20 @@ private[graft] object SearchWireEntries {
           | }}}""".stripMargin
       )),
 
-    // extended_stats under terms: per-bucket sample moments derived from
-    // exact decimal sums in a fixed double tree (the top-level
-    // extended_stats convention), still one hash agg.
+    // Sketch twin of the grouped boxplot: quartiles from one grouped GK
+    // sketch, min/max stay exact selections (bounded by definition).
+    "search_dsl_json_terms_boxplot_approx" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.lineitem(s, dir),
+        """{"aggs": {"by_flag": {
+          |   "terms": {"field": "l_returnflag", "size": 3},
+          |   "aggs": {"price": {"boxplot": {"field": "l_extendedprice", "approx": true}}}
+          | }}}""".stripMargin
+      )),
+
+    // extended_stats under terms: per-bucket population moments derived
+    // from exact decimal sums in a fixed double tree (the family-wide
+    // OpenSearch convention), still one hash agg.
     "search_dsl_json_terms_extended_stats" -> ((s, dir) =>
       JsonDsl.parse(
         Tables.orders(s, dir),
@@ -392,6 +418,34 @@ private[graft] object SearchWireEntries {
           |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
           |   "aggs": {"price": {"percentiles": {"field": "o_totalprice", "percents": [50, 90]}},
           |            "buyers": {"cardinality": {"field": "o_custkey"}}}
+          | }}}""".stripMargin
+      )),
+
+    // Sketch twin on the calendar spine: a month of a 100 TB fact table
+    // is billions of rows behind one bucket — grouped approx_percentile
+    // keeps that bucket's buffer bounded where exact percentile() would
+    // buffer the whole month.
+    "search_dsl_json_dh_percentiles_approx" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"monthly": {
+          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |   "aggs": {"price": {"percentiles": {"field": "o_totalprice", "percents": [50, 90], "approx": true}},
+          |            "buyers": {"cardinality": {"field": "o_custkey"}}}
+          | }}}""".stripMargin
+      )),
+
+    // Pipeline over a rich metric: moving_avg addresses ONE column of the
+    // percentiles sibling through OpenSearch's dotted buckets_path
+    // ("price.50") — the window still runs over the tiny bucket table,
+    // after the one-hash-agg rich-metric compilation.
+    "search_dsl_json_dh_percentiles_moving" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.orders(s, dir),
+        """{"aggs": {"monthly": {
+          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |   "aggs": {"price": {"percentiles": {"field": "o_totalprice", "percents": [50]}},
+          |            "trend": {"moving_avg": {"buckets_path": "price.50", "window": 3}}}
           | }}}""".stripMargin
       )),
 
@@ -1914,8 +1968,8 @@ private[graft] object SearchWireEntries {
         |       n AS price_count,
         |       round(CAST(s AS DOUBLE), 2) AS price_sum,
         |       round(CAST(s AS DOUBLE) / n, 6) AS price_avg,
-        |       round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1), 2) AS price_variance,
-        |       round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 6) AS price_std
+        |       round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n, 2) AS price_variance,
+        |       round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n), 6) AS price_std
         |FROM m ORDER BY doc_count DESC, "key" LIMIT 5""".stripMargin,
 
     "search_dsl_json_dh_percentiles" ->
@@ -1924,6 +1978,15 @@ private[graft] object SearchWireEntries {
         |       round(quantile_cont(o_totalprice, 0.9), 6) AS price_p90,
         |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS buyers
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "search_dsl_json_dh_percentiles_moving" ->
+      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |                  count(*) AS doc_count,
+        |                  round(quantile_cont(o_totalprice, 0.5), 6) AS price_p50
+        |           FROM orders GROUP BY 1)
+        |SELECT bucket, doc_count, price_p50,
+        |       round(avg(price_p50) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS trend
+        |FROM b ORDER BY bucket""".stripMargin,
 
     "search_dsl_json_significant" ->
       """SELECT term, fg_count, bg_count,
@@ -2350,8 +2413,8 @@ private[graft] object SearchWireEntries {
         |       round(CAST(s AS DOUBLE) / cnt, 6) AS avg_v,
         |       round(CAST(s AS DOUBLE), 2) AS sum_v,
         |       round(CAST(sq AS DOUBLE), 2) AS sum_sq,
-        |       round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1), 6) AS variance,
-        |       round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1)), 6) AS std_dev
+        |       round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt, 6) AS variance,
+        |       round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt), 6) AS std_dev
         |FROM a""".stripMargin,
 
     "search_dsl_json_histogram" ->

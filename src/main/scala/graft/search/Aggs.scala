@@ -286,7 +286,9 @@ object Aggs {
     )
 
   /** `extended_stats` aggregation: stats plus sum-of-squares, variance and
-    * standard deviation (sample semantics, OpenSearch's default).
+    * standard deviation (POPULATION semantics, E[x²]−E[x]² — OpenSearch's
+    * convention; one family-wide convention with extended_stats_bucket
+    * and the grouped rich-metric path).
     *
     * Float determinism: `var_samp`/`stddev_samp` accumulate in
     * engine-specific orders, and at sum-of-squares magnitudes the noise
@@ -314,8 +316,8 @@ object Aggs {
       round(s / n, 6).as("avg_v"),
       round(s, 2).as("sum_v"),
       round(sq, 2).as("sum_sq"),
-      round((sq - s * s / n) / (n - lit(1)), 6).as("variance"),
-      round(sqrt((sq - s * s / n) / (n - lit(1))), 6).as("std_dev")
+      round((sq - s * s / n) / n, 6).as("variance"),
+      round(sqrt((sq - s * s / n) / n), 6).as("std_dev")
     )
   }
 
@@ -394,10 +396,16 @@ object Aggs {
 
   /** Sketch twin of [[variableWidthHistogram]]: seeds from the mergeable
     * sketch instead of the exact buffer; assignment scan identical.
+    * Skewed/low-cardinality data can make sketch ranks COLLIDE (several
+    * target ranks resolving to one value) — duplicate seeds would then
+    * silently swallow buckets via ties in array_position, so seeds are
+    * deduplicated first: the output has AT MOST k buckets, each nonempty,
+    * still partitioning the table.
     */
   def approxVariableWidthHistogram(df: DataFrame, field: Column, k: Int): DataFrame = {
     val ps = (0 until k).map(i => (2 * i + 1).toDouble / (2 * k))
-    val seeds = df.agg(approx_percentile(field, lit(ps.toArray), lit(10000)).as("_seeds"))
+    val seeds = df.agg(
+      array_distinct(approx_percentile(field, lit(ps.toArray), lit(10000))).as("_seeds"))
     df.crossJoin(broadcast(seeds))
       .withColumn("_d", transform(col("_seeds"), s => abs(field - s)))
       .withColumn("bucket", array_position(col("_d"), array_min(col("_d"))))

@@ -2642,44 +2642,68 @@ object JsonDsl {
           nonSort.partition(e => e.getValue.isObject && pipelineTypes(e.getValue.fieldNames().next()))
         // Rich metric sub-aggs under the histogram (percentiles/boxplot/
         // extended_stats/cardinality): same one-hash-agg compilation as
-        // the terms branch. Pipelines reference single-column sibling
-        // metrics; combining them with rich metrics is out of contract.
-        if (metricEntries.exists(e => richMetricTypes(e.getValue.fieldNames().next()))) {
-          require(
-            pipeEntries.isEmpty && selectorEntries.isEmpty && sortEntries.isEmpty,
-            "pipeline/bucket_selector/bucket_sort sub-aggs cannot combine with multi-column metrics"
-          )
-          val (aggCols, postCols) = metricEntries.map(richMetric).unzip
-          return df
-            .groupBy(date_trunc(interval.get, field).as("bucket"))
-            .agg(count(lit(1)).as("doc_count"), aggCols.flatten: _*)
-            .select(col("bucket") +: col("doc_count") +: postCols.flatten: _*)
-            .orderBy("bucket")
-        }
-        // Metric sub-aggs here follow the house money convention: `sum`
-        // accumulates in exact DECIMAL (partition-order-proof — a double
-        // sum's last-ulp wobble vs the oracle's is a hash mismatch) and
-        // every metric rounds to the oracle's precision (sum/min/max 2,
-        // avg 6), because pipeline columns derive from these values.
-        val metricsCols = subAggs.toSeq.flatMap { a =>
-          val pruned = a.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
-          (pipeEntries ++ selectorEntries ++ sortEntries).foreach(e => pruned.remove(e.getKey))
-          if (pruned.size == 0) Nil
-          else
-            pruned.fields().asScala.toSeq.map { e =>
-              val name = e.getKey
-              require(e.getValue.isObject && e.getValue.size == 1, s"metric '$name' must have exactly one type")
-              val mType = e.getValue.fieldNames().next()
-              val f = col(req(e.getValue.get(mType), "field", s"metric '$name' ($mType)").asText)
-              val c = mType match {
-                case "sum" => round(sum(f.cast("decimal(12,2)")).cast("double"), 2)
-                case _     => roundedMetricOf(mType, f)
-              }
-              c.as(name)
+        // the terms branch. Pipelines COMPOSE with them — a dotted
+        // buckets_path ("price.50", OpenSearch's percentile-metric
+        // syntax) selects one column of a multi-column sibling, and the
+        // pipeline window then runs over the bucket table exactly as it
+        // does over single-column metrics.
+        val base0 =
+          if (metricEntries.exists(e => richMetricTypes(e.getValue.fieldNames().next()))) {
+            val (aggCols, postCols) = metricEntries.map(richMetric).unzip
+            df.groupBy(date_trunc(interval.get, field).as("bucket"))
+              .agg(count(lit(1)).as("doc_count"), aggCols.flatten: _*)
+              .select(col("bucket") +: col("doc_count") +: postCols.flatten: _*)
+              .orderBy("bucket")
+          } else {
+            // Metric sub-aggs here follow the house money convention: `sum`
+            // accumulates in exact DECIMAL (partition-order-proof — a double
+            // sum's last-ulp wobble vs the oracle's is a hash mismatch) and
+            // every metric rounds to the oracle's precision (sum/min/max 2,
+            // avg 6), because pipeline columns derive from these values.
+            val metricsCols = subAggs.toSeq.flatMap { a =>
+              val pruned = a.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+              (pipeEntries ++ selectorEntries ++ sortEntries).foreach(e => pruned.remove(e.getKey))
+              if (pruned.size == 0) Nil
+              else
+                pruned.fields().asScala.toSeq.map { e =>
+                  val name = e.getKey
+                  require(e.getValue.isObject && e.getValue.size == 1, s"metric '$name' must have exactly one type")
+                  val mType = e.getValue.fieldNames().next()
+                  val f = col(req(e.getValue.get(mType), "field", s"metric '$name' ($mType)").asText)
+                  val c = mType match {
+                    case "sum" => round(sum(f.cast("decimal(12,2)")).cast("double"), 2)
+                    case _     => roundedMetricOf(mType, f)
+                  }
+                  c.as(name)
+                }
             }
+            Aggs.dateHistogram(df, field, interval.get, metricsCols)
+          }
+        // The addressable metric columns of the bucket table — plain
+        // metric names for single-column metrics, expanded names
+        // (price_p50, box_q2, stats_std …) for rich ones. selectors,
+        // sorts and pipelines all validate against this set.
+        val metricNames = base0.columns.toSet - "bucket" - "doc_count"
+        // buckets_path resolution: "_count" → doc_count; a plain sibling
+        // name → its column; "name.50" / "name>50" / "name.p50" (the
+        // OpenSearch dotted form into a percentiles metric) → name_p50;
+        // "name.q2"-style suffixes address boxplot/extended_stats parts.
+        def resolveBucketsPath(p: String, who: String): String = {
+          if (p == "_count") "doc_count"
+          else if (metricNames(p)) p
+          else {
+            val dotted = p.split("[.>]", 2) match {
+              case Array(a, b0) =>
+                val b = if (b0.endsWith(".0")) b0.dropRight(2) else b0
+                val suffix = if (b.nonEmpty && b.head.isDigit) "p" + b else b
+                Some(s"${a}_$suffix")
+              case _ => None
+            }
+            dotted.filter(metricNames).getOrElse(
+              throw new IllegalArgumentException(
+                s"$who buckets_path '$p' does not name a sibling metric, a rich-metric column, or _count"))
+          }
         }
-        val base0 = Aggs.dateHistogram(df, field, interval.get, metricsCols)
-        val metricNames = metricEntries.map(_.getKey).toSet
         val base = selectorEntries.foldLeft(base0) { (acc, e) =>
           acc.filter(bucketSelector(e.getValue.get("bucket_selector"), metricNames))
         }
@@ -2709,15 +2733,13 @@ object JsonDsl {
             val pType = e.getValue.fieldNames().next()
             val spec = e.getValue.get(pType)
             // bucket_script's buckets_path is an OBJECT (var -> metric);
-            // every other pipeline names a single sibling metric.
+            // every other pipeline names a single sibling metric — or one
+            // COLUMN of a rich sibling via the dotted form (price.50).
             val pathName =
               if (pType == "bucket_script") "_count"
               else req(spec, "buckets_path", s"pipeline '$name' ($pType)").asText
-            require(
-              pathName == "_count" || metricEntries.exists(_.getKey == pathName),
-              s"pipeline '$name' buckets_path '$pathName' does not name a sibling metric or _count"
-            )
-            val src = if (pathName == "_count") col("doc_count") else col(pathName)
+            val resolvedName = resolveBucketsPath(pathName, s"pipeline '$name' ($pType)")
+            val src = col(resolvedName)
             pType match {
               case "cumulative_sum" => round(sum(src).over(unbounded), 2).as(name)
               case "derivative"     => round(src - lag(src, 1).over(w), 2).as(name)
@@ -2781,9 +2803,8 @@ object JsonDsl {
                   })
                   .getOrElse(throw new IllegalArgumentException(
                     "moving_percentiles needs a single 'percent' (one pipeline entry per column)"))
-                val srcName = if (pathName == "_count") "doc_count" else pathName
                 val wp = w.rowsBetween(-(win - 1), org.apache.spark.sql.expressions.Window.currentRow)
-                round(expr(s"percentile($srcName, ${p / 100.0})").over(wp), 6).as(name)
+                round(expr(s"percentile($resolvedName, ${p / 100.0})").over(wp), 6).as(name)
               // bucket_script: per-bucket arithmetic over sibling metrics
               // (params.<a> <op> params.<b>) — runs over the bucket table.
               case "bucket_script" =>
@@ -2793,11 +2814,7 @@ object JsonDsl {
                 def ref(v: String): Column = {
                   val p = vars.getOrElse(v, throw new IllegalArgumentException(
                     s"bucket_script script variable '$v' is not in buckets_path"))
-                  require(
-                    p == "_count" || metricEntries.exists(_.getKey == p),
-                    s"bucket_script buckets_path '$p' does not name a sibling metric or _count"
-                  )
-                  (if (p == "_count") col("doc_count") else col(p)).cast("double")
+                  col(resolveBucketsPath(p, "bucket_script")).cast("double")
                 }
                 val script = req(spec, "script", "bucket_script").asText
                 val pat = """^\s*params\.(\w+)\s*([*/+-])\s*params\.(\w+)\s*$""".r
@@ -3214,9 +3231,19 @@ object JsonDsl {
     * second scan, a join, or k independent percentile buffers), and the
     * post projection runs on the bucket table. Naming: percentiles emit
     * `<name>_p<percent>`, boxplot `<name>_{min,q1,q2,q3,max}`,
-    * extended_stats `<name>_{count,sum,avg,variance,std}` (sample
+    * extended_stats `<name>_{count,sum,avg,variance,std}` (POPULATION
     * semantics, derived from exact decimal moments in a fixed double
-    * tree — the top-level extendedStats convention).
+    * tree — one convention across the extended_stats family).
+    *
+    * Sketch tier: `"approx": true` inside a percentiles/boxplot spec
+    * selects grouped `approx_percentile` (GK sketch, accuracy 10000) —
+    * the blessed 100 TB path. Exact grouped `percentile()` buffers one
+    * bucket's ENTIRE value set in one aggregation buffer, so a hot
+    * `terms` key (10⁹ rows behind one group at 100 TB) is the same
+    * unbounded-buffer hazard the top-level twins retired; the sketch
+    * keeps every group's buffer O(accuracy) and mergeable map-side.
+    * Same output columns, same one-hash-agg plan; per-bucket rank-band
+    * replica contracts in ReplicaSpec.
     */
   private def richMetric(e: java.util.Map.Entry[String, JsonNode]): (Seq[Column], Seq[Column]) = {
     val name = e.getKey
@@ -3224,12 +3251,15 @@ object JsonDsl {
     val mType = e.getValue.fieldNames().next()
     val spec = e.getValue.get(mType)
     val f = col(req(spec, "field", s"metric '$name' ($mType)").asText)
+    val approx = Option(spec.get("approx")).exists(_.asBoolean)
+    def ranks(ps: Seq[Double]): Column =
+      if (approx) approx_percentile(f, lit(ps.toArray), lit(10000)) else percentile(f, lit(ps.toArray))
     mType match {
       case "percentiles" =>
         val ps = Option(spec.get("percents"))
           .map(_.elements().asScala.toSeq.map(_.asDouble))
-          .getOrElse(Seq(25.0, 50.0, 75.0, 95.0, 99.0))
-        val arr = percentile(f, lit(ps.map(_ / 100.0).toArray)).as(s"_${name}_ps")
+          .getOrElse(Seq(50.0, 90.0, 99.0)) // the top-level percentiles handler's default set
+        val arr = ranks(ps.map(_ / 100.0)).as(s"_${name}_ps")
         val posts = ps.zipWithIndex.map { case (p, i) =>
           round(element_at(col(s"_${name}_ps"), i + 1), 6).as(s"${name}_${percentileName(p)}")
         }
@@ -3237,7 +3267,7 @@ object JsonDsl {
       case "boxplot" =>
         val aggs = Seq(
           round(min(f), 2).as(s"_${name}_min"),
-          percentile(f, lit(Array(0.25, 0.5, 0.75))).as(s"_${name}_qs"),
+          ranks(Seq(0.25, 0.5, 0.75)).as(s"_${name}_qs"),
           round(max(f), 2).as(s"_${name}_max")
         )
         val posts = Seq(
@@ -3262,7 +3292,7 @@ object JsonDsl {
         val n = col(s"_${name}_n")
         val s = col(s"_${name}_s").cast("double")
         val ss = col(s"_${name}_ss").cast("double")
-        val variance = (ss - s * s / n) / (n - lit(1))
+        val variance = (ss - s * s / n) / n
         val posts = Seq(
           n.as(s"${name}_count"),
           round(s, 2).as(s"${name}_sum"),
@@ -3273,6 +3303,11 @@ object JsonDsl {
           round(sqrt(variance), 6).as(s"${name}_std")
         )
         (aggs, posts)
+      case "sum" =>
+        // exact-decimal accumulation (partition-order-proof) — the same
+        // guarantee the non-rich date_histogram metric path gives, kept
+        // when a plain sum rides next to a rich metric.
+        (Seq(round(sum(f.cast("decimal(12,2)")).cast("double"), 2).as(name)), Seq(col(name)))
       case single =>
         (Seq(roundedMetricOf(single, f).as(name)), Seq(col(name)))
     }

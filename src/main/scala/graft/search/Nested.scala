@@ -69,6 +69,17 @@ object Nested {
     * Children of parents absent from the artifact drop out with the
     * join (nested docs cannot exist without their parent — the
     * OpenSearch parent-routing rule).
+    *
+    * Op ordering WITHIN a delta: the per-parent aggregation is
+    * set-shaped (drops ∪ adds), so two ops on the SAME (parent,
+    * ordinal) in one delta would resolve op-order-insensitively (the
+    * upsert always wins). Callers with multi-op deltas — a CDC
+    * micro-batch carrying insert-then-delete for one element — MUST
+    * pass `seqCol`, a monotone per-element sequence (Debezium LSN /
+    * Kafka offset): the delta is first reduced to the LAST op per
+    * (parent, ordinal) via one max_by aggregation, delta-sized like
+    * everything else here. Without `seqCol` the single-op-per-element-
+    * per-delta contract is the caller's to uphold.
     */
   def applyDelta(
       index: DataFrame,
@@ -77,19 +88,44 @@ object Nested {
       childKey: String,
       path: String,
       fields: Seq[String],
-      opCol: String = "op"
+      opCol: String = "op",
+      seqCol: Option[String] = None
   ): DataFrame = {
     require(fields.nonEmpty, "nested delta needs at least one child field (the ordinal)")
     val ordinal = fields.head
+    // Multi-op deltas: keep only the last op per (parent, ordinal) —
+    // max_by over the sequence column, one delta-sized aggregation.
+    val reduced = seqCol.fold(delta) { sc =>
+      val payload = struct((opCol +: fields.tail).map(col): _*)
+      delta
+        .groupBy(col(childKey), col(ordinal))
+        .agg(max_by(payload, col(sc)).as("_last"))
+        .select(
+          col(childKey) +: col(ordinal) +:
+            (opCol +: fields.tail).map(n => col(s"_last.$n").as(n)): _*
+        )
+    }
     // One row per touched parent: every delta'd ordinal drops (upsert
     // replaces, delete removes); upsert structs append.
-    val perParent = delta
+    val perParent = reduced
       .groupBy(col(childKey).as(parentKey))
       .agg(
         collect_set(col(ordinal)).as("_drop"),
         collect_list(when(col(opCol) === "u", struct(fields.map(col): _*))).as("_adds")
       )
-    val itemsType = index.schema(path).dataType
+    // Cast target for the add-structs: the artifact's element type with
+    // nullability RELAXED — the seqCol max_by reduction makes payload
+    // fields nullable, and Spark refuses a nullable→non-null array cast.
+    // Values are unchanged; only schema nullability loosens.
+    def relax(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = dt match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        org.apache.spark.sql.types.ArrayType(relax(et), containsNull = true)
+      case s: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType(
+          s.fields.map(f => f.copy(dataType = relax(f.dataType), nullable = true)))
+      case other => other
+    }
+    val itemsType = relax(index.schema(path).dataType)
     val emptyItems = array().cast(itemsType)
     index
       .join(perParent, Seq(parentKey), "left")

@@ -14,13 +14,21 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * stand-in for a deployment rewriting only the touched id-buckets of
   * the parquet artifact. Readers take a consistent snapshot via
   * [[index]]; StreamingSpec proves live-maintained ≡ rebuilt.
+  *
+  * A micro-batch may carry SEVERAL ops for one (parent, ordinal) —
+  * insert then delete is a routine CDC sequence — so streams must
+  * name a monotone per-op sequence column (`seqCol`, the Kafka
+  * offset / LSN); applyDelta then keeps only the last op per element.
+  * Pass None only when the source guarantees one op per element per
+  * batch.
   */
 final class StreamingNested(
     initial: DataFrame,
     parentKey: String,
     childKey: String,
     path: String,
-    fields: Seq[String]
+    fields: Seq[String],
+    seqCol: Option[String] = None
 ) {
   @volatile private var current: DataFrame = initial.localCheckpoint(eager = true)
 
@@ -31,7 +39,7 @@ final class StreamingNested(
     if (!batch.isEmpty) {
       val cached = batch.localCheckpoint(eager = true)
       current = graft.search.Nested
-        .applyDelta(current, cached, parentKey, childKey, path, fields)
+        .applyDelta(current, cached, parentKey, childKey, path, fields, seqCol = seqCol)
         .localCheckpoint(eager = true)
     }
   }

@@ -1534,4 +1534,59 @@ class JsonDslSpec extends SparkSpec {
     assert(row.getAs[Double]("box_q2") == box.getAs[Double]("q2"), "grouped q2 != per-bucket boxplot q2")
     assert(row.getAs[Double]("box_min") == box.getAs[Double]("min_v"))
   }
+
+  test("sketch-tier grouped percentiles ('approx': true) keep the one-aggregation plan") {
+    // Same one-ladder shape as the exact twin — the sketch changes the
+    // aggregate function (bounded GK buffers), never the plan topology.
+    val od = Tables.orders(spark, Sf)
+    val got = JsonDsl.parse(
+      od,
+      """{"aggs": {"by_priority": {
+        |   "terms": {"field": "o_orderpriority", "size": 5},
+        |   "aggs": {"price": {"percentiles": {"field": "o_totalprice", "percents": [50, 90], "approx": true}},
+        |            "box":   {"boxplot": {"field": "o_totalprice", "approx": true}}}
+        | }}}""".stripMargin
+    )
+    val plan = got.queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(plan).length == 1, s"expected one fact scan:\n$plan")
+    assert(!plan.contains("Join"), s"sketch metrics must not join separate aggregations:\n$plan")
+    assert(plan.contains("approx_percentile"), s"approx flag did not select the sketch:\n$plan")
+    assert("(?<!approx_)percentile\\(".r.findFirstIn(plan).isEmpty,
+      s"exact percentile leaked into the sketch tier:\n$plan")
+    assert(got.columns.toSeq == Seq("key", "doc_count", "price_p50", "price_p90",
+      "box_min", "box_q1", "box_q2", "box_q3", "box_max"), got.columns.mkString(","))
+  }
+
+  test("pipelines address rich-metric columns via dotted buckets_path (price.50)") {
+    val od = Tables.orders(spark, Sf)
+    val got = JsonDsl.parse(
+      od,
+      """{"aggs": {"monthly": {
+        |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+        |   "aggs": {"price": {"percentiles": {"field": "o_totalprice", "percents": [50]}},
+        |            "trend": {"moving_avg": {"buckets_path": "price.50", "window": 3}}}
+        | }}}""".stripMargin
+    ).orderBy("bucket").collect()
+    assert(got.nonEmpty)
+    // the pipeline column is the trailing-3 mean of the percentile column
+    val p50s = got.map(_.getAs[Double]("price_p50"))
+    got.zipWithIndex.foreach { case (r, i) =>
+      val win = p50s.slice(math.max(0, i - 2), i + 1)
+      val want = BigDecimal(win.sum / win.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("trend") - want) < 1e-9,
+        s"row $i: trend ${r.getAs[Double]("trend")} != mean of $win")
+    }
+    // an unknown dotted path still fails loudly
+    intercept[IllegalArgumentException] {
+      JsonDsl.parse(
+        od,
+        """{"aggs": {"monthly": {
+          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |   "aggs": {"price": {"percentiles": {"field": "o_totalprice", "percents": [50]}},
+          |            "trend": {"moving_avg": {"buckets_path": "price.95", "window": 3}}}
+          | }}}""".stripMargin
+      )
+    }
+  }
 }

@@ -146,4 +146,29 @@ class NestedSpec extends SparkSpec {
     val rebuilt = Nested.nestedIndex(parents, netChildren, "pid", "cid", "items", Seq("line", "qty", "flag"))
     assert(summarize(live) == summarize(rebuilt), "live-maintained artifact diverged from rebuild")
   }
+
+  test("applyDelta with seqCol: multi-op deltas resolve to the LAST op per (parent, ordinal)") {
+    // insert-then-delete in ONE delta (a routine CDC micro-batch shape):
+    // without the sequence reduction the set-shaped aggregation would keep
+    // the upsert regardless of order; with seqCol the element must vanish.
+    val insThenDel = Seq(
+      (2L, 3, "X", 1.0, "u", 10L), // insert a new element on parent 2 ...
+      (2L, 3, "X", 1.0, "d", 11L)  // ... then delete it, later offset
+    ).toDF("cid", "line", "flag", "qty", "op", "off")
+    val out1 = summarize(
+      Nested.applyDelta(nested, insThenDel, "pid", "cid", "items",
+        Seq("line", "qty", "flag"), seqCol = Some("off"))
+    )
+    assert(out1(2L) == Seq((1, 10.0, "R"), (2, 50.0, "N")), s"u-then-d must delete: ${out1(2L)}")
+    // the mirror order: delete-then-reinsert keeps the reinserted value
+    val delThenIns = Seq(
+      (1L, 1, "R", 10.0, "d", 10L),
+      (1L, 1, "Q", 77.0, "u", 11L)
+    ).toDF("cid", "line", "flag", "qty", "op", "off")
+    val out2 = summarize(
+      Nested.applyDelta(nested, delThenIns, "pid", "cid", "items",
+        Seq("line", "qty", "flag"), seqCol = Some("off"))
+    )
+    assert(out2(1L) == Seq((1, 77.0, "Q"), (2, 10.0, "N")), s"d-then-u must reinsert: ${out2(1L)}")
+  }
 }

@@ -830,4 +830,88 @@ class ReplicaSpec extends SparkSpec {
     assert(plainTiny == Seq(1L, 2L))
     assert(mmrTiny == Seq(1L, 3L))
   }
+
+  // ── Grouped sketch twins (the under-bucket 100 TB percentile paths) ────
+  // Contract, per BUCKET of n rows: the grouped approx_percentile value
+  // must sit in that bucket's exact [p−ε, p+ε] percentile band with
+  // ε = max(0.005, 1.5/n) — the 0.005 term is the sketch's rank-error
+  // guarantee at accuracy 10000 (the top-level twins' contract); the
+  // 1.5/n term covers SMALL buckets, where the sketch is an exact
+  // nearest-rank selection while the exact twin interpolates between
+  // ranks (±1 element plus the rounding convention) — the same treatment
+  // the moving-percentiles contract gives its ≤6-row windows.
+
+  private def assertInBucketBand(
+      fact: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      valCol: String,
+      bucketKey: Any,
+      p: Double,
+      got: Double,
+      what: String
+  ): Unit = {
+    val bucket = fact.filter(col(keyCol) === lit(bucketKey))
+    val n = bucket.count().toDouble
+    val eps = math.max(0.005, 1.5 / math.max(1.0, n))
+    val b = bucket
+      .agg(
+        percentile(col(valCol), lit(math.max(0.0, p - eps))).as("lo"),
+        percentile(col(valCol), lit(math.min(1.0, p + eps))).as("hi")
+      )
+      .head()
+    assert(
+      got >= b.getDouble(0) - 0.01 && got <= b.getDouble(1) + 0.01,
+      s"$what: bucket=$bucketKey p=$p approx=$got outside [${b.getDouble(0)}, ${b.getDouble(1)}]"
+    )
+  }
+
+  test("grouped approx percentiles under terms: every bucket inside its own rank band") {
+    val od = Tables.orders(spark, Sf)
+    val rows = SparkEntry.queries("search_dsl_json_terms_percentiles_approx")(spark, Sf).collect()
+    assert(rows.length == 5, s"expected 5 priority buckets, got ${rows.length}")
+    rows.foreach { r =>
+      val key = r.getAs[String]("key")
+      assertInBucketBand(od, "o_orderpriority", "o_totalprice", key, 0.5,
+        r.getAs[Double]("price_p50"), "terms_percentiles_approx p50")
+      assertInBucketBand(od, "o_orderpriority", "o_totalprice", key, 0.9,
+        r.getAs[Double]("price_p90"), "terms_percentiles_approx p90")
+    }
+  }
+
+  test("grouped approx boxplot under terms: exact extrema per bucket, quartiles in-band") {
+    val li = Tables.lineitem(spark, Sf)
+    val approxRows = SparkEntry.queries("search_dsl_json_terms_boxplot_approx")(spark, Sf).collect()
+    val exactRows = SparkEntry.queries("search_dsl_json_terms_boxplot")(spark, Sf)
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(approxRows.length == 3, s"expected 3 flag buckets, got ${approxRows.length}")
+    approxRows.foreach { r =>
+      val key = r.getAs[String]("key")
+      val ex = exactRows(key)
+      // min/max are real selections in both twins — bitwise equal.
+      assert(r.getAs[Double]("price_min") == ex.getAs[Double]("price_min"), s"$key: min differs")
+      assert(r.getAs[Double]("price_max") == ex.getAs[Double]("price_max"), s"$key: max differs")
+      Seq(0.25 -> "price_q1", 0.5 -> "price_q2", 0.75 -> "price_q3").foreach { case (p, c) =>
+        assertInBucketBand(li, "l_returnflag", "l_extendedprice", key, p,
+          r.getAs[Double](c), "terms_boxplot_approx")
+      }
+    }
+  }
+
+  test("grouped approx percentiles under date_histogram: every month in-band, cardinality exact") {
+    val od = Tables.orders(spark, Sf)
+      .withColumn("_m", date_trunc("month", col("o_orderdate")))
+    val approxRows = SparkEntry.queries("search_dsl_json_dh_percentiles_approx")(spark, Sf).collect()
+    val exactRows = SparkEntry.queries("search_dsl_json_dh_percentiles")(spark, Sf)
+      .collect().map(r => r.get(0) -> r).toMap
+    assert(approxRows.nonEmpty, "no monthly buckets")
+    approxRows.foreach { r =>
+      val bucket = r.get(0)
+      // the buyers cardinality column is exact in both twins
+      assert(r.getAs[Long]("buyers") == exactRows(bucket).getAs[Long]("buyers"), s"$bucket: buyers differ")
+      assertInBucketBand(od, "_m", "o_totalprice", bucket, 0.5,
+        r.getAs[Double]("price_p50"), "dh_percentiles_approx p50")
+      assertInBucketBand(od, "_m", "o_totalprice", bucket, 0.9,
+        r.getAs[Double]("price_p90"), "dh_percentiles_approx p90")
+    }
+  }
 }
