@@ -1559,6 +1559,33 @@ private[graft] object SearchEntries {
         .orderBy("o_orderkey", "query_id")
     }),
 
+    // percolate, INDEX tier (r13): stored queries selected per document
+    // through a term→query posting table BEFORE any predicate runs —
+    // work is candidate-bound, never docs × registry, and the plan does
+    // not grow with the registry (10⁵ stored queries compile to the
+    // same five-operator plan as these 8; PercolateSpec measures the
+    // 10⁵ bound and proves equality with the compiled flat tier).
+    "search_percolate_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val specs = Seq(
+        (1L, Seq("dup", "vector"), false, Option.empty[Double], Option.empty[Double]),
+        (2L, Seq("customer", "query", "join"), true, None, None),
+        (3L, Seq("spark"), false, Some(300.0), None),
+        (4L, Seq("merge", "batch"), true, None, Some(250.0)),
+        (5L, Seq("scan", "filter"), false, Some(100.0), Some(400.0)),
+        (6L, Seq("dup"), true, None, None),
+        (7L, Seq("the", "a"), false, None, None),
+        (8L, Seq("window", "group", "sort", "hash"), true, None, None)
+      ).toDF("query_id", "terms", "conj", "rgt", "rlte")
+      graft.search.Percolate
+        .percolate(
+          graft.search.Percolate.buildIndex(specs),
+          Tables.documents(s, dir),
+          "doc_id", "text", "n_chars"
+        )
+        .orderBy("doc_id", "query_id")
+    }),
+
     // rank_feature query: score = boost · x/(x + pivot) — the saturating
     // feature-ranking curve, a pure projection over the match filter.
     "search_rank_feature" -> ((s, dir) =>
@@ -3145,6 +3172,25 @@ private[graft] object SearchEntries {
         |   OR (op = 'gt' AND field = 'o_totalprice' AND o_totalprice > CAST(value AS DOUBLE))
         |   OR (op = 'prefix' AND field = 'o_orderpriority' AND starts_with(o_orderpriority, value))
         |ORDER BY o_orderkey, query_id""".stripMargin,
+
+    "search_percolate_indexed" ->
+      """WITH q(query_id, terms, conj, rgt, rlte) AS (VALUES
+        |  (1, ['dup','vector'], false, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+        |  (2, ['customer','query','join'], true, NULL, NULL),
+        |  (3, ['spark'], false, 300.0, NULL),
+        |  (4, ['merge','batch'], true, NULL, 250.0),
+        |  (5, ['scan','filter'], false, 100.0, 400.0),
+        |  (6, ['dup'], true, NULL, NULL),
+        |  (7, ['the','a'], false, NULL, NULL),
+        |  (8, ['window','group','sort','hash'], true, NULL, NULL)),
+        |d AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks,
+        |             CAST(n_chars AS DOUBLE) AS rv
+        |      FROM documents)
+        |SELECT d.doc_id, CAST(q.query_id AS BIGINT) AS query_id
+        |FROM d, q
+        |WHERE (CASE WHEN q.conj THEN list_has_all(d.toks, q.terms) ELSE list_has_any(d.toks, q.terms) END)
+        |  AND (q.rgt IS NULL OR d.rv > q.rgt) AND (q.rlte IS NULL OR d.rv <= q.rlte)
+        |ORDER BY 1, 2""".stripMargin,
 
     "search_rank_feature" ->
       """SELECT doc_id, n_chars, round(2.0 * n_chars / (n_chars + 250.0), 6) AS score

@@ -1,0 +1,187 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The percolator's INDEX tier: stored queries as DATA, selected per
+  * document through a term→query posting table before any predicate
+  * runs. Reference surface: the "reverse search" alerting flow the
+  * dashboards guide drives off the CDC stream (srosio/
+  * postgres-opensearch-cdc DASHBOARD_GUIDE.md — threshold/match alerts
+  * over incoming rows), at registry sizes the compiled tier cannot
+  * reach.
+  *
+  * The repo ships percolate in three tiers:
+  *   1. [[JsonDsl.percolate]] — every stored JSON body compiles into one
+  *      when-array over the doc scan. Full query-DSL power, but the PLAN
+  *      grows with the registry: fine to ~10³ stored queries, and the
+  *      driver-side compile + codegen wall is real at 10⁴ (measured in
+  *      PercolateSpec's bound test lineage).
+  *   2. The flat queries-as-data interpreter (`search_percolate`): a
+  *      broadcast registry crossed against the scan — plan size O(1),
+  *      but every doc still evaluates EVERY stored query: work is
+  *      O(docs × queries).
+  *   3. THIS tier: OpenSearch's actual percolator design. Each stored
+  *      query contributes posting rows (term → query_id); a document is
+  *      only ever tested against the queries whose posting terms it
+  *      CONTAINS. Work is O(docs × avg matching postings) — candidate-
+  *      bound, not registry-bound — so 10⁵–10⁷ stored queries cost what
+  *      their true selectivity costs, never a 10⁵-wide cross product.
+  *
+  * Query model (queries-as-data rows, one per stored query):
+  *   - `terms`: the analyzed token set of a `match` clause on ONE text
+  *     field (the percolator mapping's field, named at percolate time);
+  *   - `conj`:  false = OR semantics (OpenSearch `match` default —
+  *     ANY term present matches), true = AND (`operator: "and"` /
+  *     bool.must of single-term matches — ALL terms present);
+  *   - `rgt` / `rlte`: optional numeric range filter bounds over one
+  *     caller-named numeric column (`range` clause conjoined in
+  *     bool.filter). NULL = unbounded.
+  * This is the data form of the JSON bodies the compiled tier accepts;
+  * PercolateSpec proves row-for-row equality against
+  * [[JsonDsl.percolate]] on the rendered bodies.
+  *
+  * Candidate selection is CONSERVATIVE by construction:
+  *   - OR queries post EVERY term — candidacy ⟺ term overlap ⟺ the
+  *     match predicate itself, so verification adds only the range
+  *     bounds;
+  *   - AND queries post ONE anchor term (the longest token — the static
+  *     proxy for rarity when corpus statistics are unavailable at
+  *     registry-build time; OpenSearch uses min-doc-freq, and a
+  *     deployment with a maintained term-stats table would pick the
+  *     rarest the same way). Candidacy is then a superset; the verifier
+  *     re-checks ALL terms with a forall over the doc's token set.
+  *   - term-less queries (pure range) are UNINDEXABLE here and post the
+  *     reserved empty term against every doc's implicit empty token —
+  *     callers route them to the flat tier instead (require below).
+  *
+  * Scale shape at 100 TB: the posting table is registry-sized (rows =
+  * Σ terms per query — millions of rows for 10⁶ queries, a SMALL frame
+  * by fact standards) and shuffles once on `term`, exactly like a BM25
+  * posting build; the doc side explodes to (doc, distinct term) — the
+  * same text-scan cost every search-index maintenance pass already
+  * pays; the candidate join is term-keyed (AQE broadcasts registry-
+  * sized postings); verification joins candidates back by doc id
+  * (bucket-local on an id-bucketed doc store) and by query_id against
+  * the registry. No stage's work carries the docs × queries product,
+  * and no driver-side plan growth: 10⁵ queries compile to the SAME
+  * five-operator plan as 10 queries.
+  */
+object Percolate {
+
+  /** A registry frame + its term posting table. `specs` columns:
+    * query_id LONG, terms ARRAY<STRING>, conj BOOLEAN, rgt DOUBLE
+    * (nullable), rlte DOUBLE (nullable). `posting`: term STRING,
+    * query_id LONG.
+    */
+  final case class PercolateIndex(specs: DataFrame, posting: DataFrame)
+
+  /** Build the posting table from a queries-as-data registry frame.
+    * Driver-free: one registry-sized pass; OR queries explode all
+    * terms, AND queries keep the longest-token anchor.
+    */
+  def buildIndex(specs: DataFrame): PercolateIndex = {
+    val required = Seq("query_id", "terms", "conj", "rgt", "rlte")
+    require(
+      required.forall(specs.columns.contains),
+      s"specs needs columns $required, got ${specs.columns.toSeq}"
+    )
+    // A term-less (pure-range) query would post nothing and silently
+    // never match — refuse it here; the flat tier evaluates those.
+    val termless =
+      specs.filter(size(filter(col("terms"), t => length(t) > 0)) === 0).limit(1).count()
+    require(termless == 0,
+      "term-less stored queries are not indexable (no posting term) — route them to the flat tier")
+    val anchor =
+      expr("array_sort(terms, (a, b) -> CASE WHEN length(a) > length(b) THEN -1 " +
+        "WHEN length(a) < length(b) THEN 1 WHEN a < b THEN -1 WHEN a > b THEN 1 ELSE 0 END)[0]")
+    val posting = specs
+      .select(
+        col("query_id"),
+        when(col("conj"), array(anchor)).otherwise(col("terms")).as("_post")
+      )
+      .select(col("query_id"), explode(col("_post")).as("term"))
+      .filter(col("term").isNotNull && length(col("term")) > 0)
+      .distinct()
+    PercolateIndex(specs, posting)
+  }
+
+  /** Percolate `docs` through the index: (doc id, query_id) match pairs.
+    * `textCol` is the percolator field (analyzed with the house
+    * whitespace analyzer — [[SearchDsl.analyze]] parity); `rangeCol`
+    * names the numeric column the registry's range bounds address.
+    */
+  def percolate(
+      index: PercolateIndex,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rangeCol: String
+  ): DataFrame = {
+    val docTerms = docs
+      .select(col(idCol).as("_pid"), explode(array_distinct(SearchDsl.analyze(col(textCol)))).as("term"))
+    // term-keyed candidate join: each doc meets only the queries whose
+    // posting terms it contains. distinct collapses multi-term overlaps
+    // of the same (doc, query) pair before verification.
+    val candidates = docTerms
+      .join(index.posting, Seq("term"))
+      .select(col("_pid"), col("query_id"))
+      .distinct()
+    // verification: AND queries re-check every term against the doc's
+    // token set; range bounds check the named numeric column. OR
+    // candidacy is already the predicate.
+    val verified = candidates
+      .join(index.specs, Seq("query_id"))
+      .join(
+        docs.select(
+          col(idCol).as("_pid"),
+          array_distinct(SearchDsl.analyze(col(textCol))).as("_toks"),
+          col(rangeCol).cast("double").as("_rv")
+        ),
+        Seq("_pid")
+      )
+      .filter(
+        (!col("conj") || forall(col("terms"), t => array_contains(col("_toks"), t))) &&
+          (col("rgt").isNull || col("_rv") > col("rgt")) &&
+          (col("rlte").isNull || col("_rv") <= col("rlte"))
+      )
+    verified.select(col("_pid").as(idCol), col("query_id"))
+  }
+
+  /** The candidate set alone (pre-verification) — exposed so the
+    * superset contract is testable exactly as stated.
+    */
+  def candidates(
+      index: PercolateIndex,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame =
+    docs
+      .select(col(idCol).as("_pid"), explode(array_distinct(SearchDsl.analyze(col(textCol)))).as("term"))
+      .join(index.posting, Seq("term"))
+      .select(col("_pid").as(idCol), col("query_id"))
+      .distinct()
+
+  /** Render one registry row as the JSON body the compiled tier
+    * ([[JsonDsl.percolate]]) accepts — the equality bridge PercolateSpec
+    * drives: indexed results ≡ compiled results on the same registry.
+    */
+  def asJsonBody(
+      terms: Seq[String],
+      conj: Boolean,
+      rgt: Option[Double],
+      rlte: Option[Double],
+      textField: String,
+      rangeField: String
+  ): String = {
+    val matchClauses =
+      if (conj) terms.map(t => s"""{"match": {"$textField": "$t"}}""")
+      else Seq(s"""{"match": {"$textField": "${terms.mkString(" ")}"}}""")
+    val rangeParts = rgt.map(v => s""""gt": $v""").toSeq ++ rlte.map(v => s""""lte": $v""").toSeq
+    val filterClause =
+      if (rangeParts.isEmpty) ""
+      else s""", "filter": [{"range": {"$rangeField": {${rangeParts.mkString(", ")}}}}]"""
+    s"""{"query": {"bool": {"must": [${matchClauses.mkString(", ")}]$filterClause}}}"""
+  }
+}

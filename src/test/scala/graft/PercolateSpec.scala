@@ -1,0 +1,103 @@
+package graft
+
+import graft.search.{IndexMapping, JsonDsl, Percolate}
+import org.apache.spark.sql.functions._
+
+/** The percolator index tier's three contracts:
+  *   1. candidates ⊇ matches (conservative selection, by data not just
+  *      by construction);
+  *   2. verified matches ≡ the COMPILED tier ([[JsonDsl.percolate]])
+  *      run on the same registry rendered as JSON bodies — row-for-row;
+  *   3. the 10⁵ bound: a 100 000-query registry percolates in one
+  *      five-operator plan whose work is candidate-bound (the compiled
+  *      tier's when-array would need a 100 000-branch expression tree —
+  *      it cannot reach this registry size), and its matches still equal
+  *      the flat evaluation of the live subset.
+  */
+class PercolateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val textMapping = IndexMapping(Map("text" -> "text"))
+
+  private def registry = Seq(
+    (1L, Seq("dup", "vector"), false, Option.empty[Double], Option.empty[Double]),
+    (2L, Seq("customer", "query", "join"), true, None, None),
+    (3L, Seq("spark"), false, Some(300.0), None),
+    (4L, Seq("merge", "batch"), true, None, Some(250.0)),
+    (5L, Seq("scan", "filter"), false, Some(100.0), Some(400.0)),
+    (6L, Seq("dup"), true, None, None),
+    (7L, Seq("the", "a"), false, None, None),
+    (8L, Seq("window", "group", "sort", "hash"), true, None, None)
+  )
+
+  private def specsDf = registry.toDF("query_id", "terms", "conj", "rgt", "rlte")
+
+  test("candidates are a superset of matches; AND anchors are genuinely conservative") {
+    val docs = Tables.documents(spark, Sf)
+    val index = Percolate.buildIndex(specsDf)
+    val cand = Percolate.candidates(index, docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val got = Percolate.percolate(index, docs, "doc_id", "text", "n_chars")
+      .as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty, "vacuous: no matches at test scale")
+    assert(got.subsetOf(cand), s"verified matches escaped the candidate set: ${(got -- cand).take(5)}")
+    // the 4-term AND query (id 8) must have candidates its verifier
+    // rejects — otherwise the superset assertion is vacuous for the
+    // anchor-posted family.
+    assert(
+      cand.count(_._2 == 8L) > got.count(_._2 == 8L),
+      "AND anchor candidacy never over-selected — the conservative-superset leg is untested"
+    )
+  }
+
+  test("indexed tier ≡ compiled tier on the same registry (rendered JSON bodies)") {
+    val docs = Tables.documents(spark, Sf)
+    val bodies = registry.map { case (id, terms, conj, rgt, rlte) =>
+      id -> Percolate.asJsonBody(terms, conj, rgt, rlte, "text", "n_chars")
+    }
+    val flat = JsonDsl.percolate(docs, bodies, textMapping)
+      .select(col("doc_id"), col("query_id"))
+      .as[(Long, Long)].collect().toSet
+    val indexed = Percolate
+      .percolate(Percolate.buildIndex(specsDf), docs, "doc_id", "text", "n_chars")
+      .as[(Long, Long)].collect().toSet
+    assert(indexed == flat,
+      s"tiers diverge: indexed-only=${(indexed -- flat).take(5)}, flat-only=${(flat -- indexed).take(5)}")
+  }
+
+  test("term-less stored queries are refused at build time") {
+    val bad = Seq((9L, Seq.empty[String], false, Option.empty[Double], Option.empty[Double]))
+      .toDF("query_id", "terms", "conj", "rgt", "rlte")
+    intercept[IllegalArgumentException] { Percolate.buildIndex(bad) }
+  }
+
+  test("10^5 stored queries: candidate-bound work, same matches as the live subset") {
+    // 99 000 dormant rules (anchor tokens absent from the corpus — the
+    // realistic alerting registry where most rules match nothing) +
+    // 1 000 live rules cycling the fixture registry. The posting table
+    // carries ~10^5 rows; candidates come ONLY from the live slice.
+    val live = (0 until 1000).map { i =>
+      val (_, terms, conj, rgt, rlte) = registry(i % registry.size)
+      (100000L + i, terms, conj, rgt, rlte)
+    }
+    val dormant = (0 until 99000).map { i =>
+      (200000L + i, Seq(s"rule_token_$i", "nonexistent_term"), true,
+        Option.empty[Double], Option.empty[Double])
+    }
+    val specs = (live ++ dormant).toDF("query_id", "terms", "conj", "rgt", "rlte")
+    val docs = Tables.documents(spark, Sf)
+    val t0 = System.nanoTime()
+    val index = Percolate.buildIndex(specs)
+    val got = Percolate.percolate(index, docs, "doc_id", "text", "n_chars")
+      .as[(Long, Long)].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"10^5-query percolate: ${got.length} matches in $secs%.2f s")
+    // no dormant rule may match; the live slice must reproduce the
+    // fixture matches exactly (mod the cycled ids)
+    assert(got.forall(_._2 < 200000L), "a dormant (no-corpus-term) rule matched")
+    val gotBase = got.map { case (d, q) => (d, registry(((q - 100000L) % registry.size).toInt)._1) }.toSet
+    val want = Percolate.percolate(Percolate.buildIndex(specsDf), docs, "doc_id", "text", "n_chars")
+      .as[(Long, Long)].collect().toSet
+    assert(gotBase == want, "live-slice matches diverge from the fixture registry's")
+  }
+}
