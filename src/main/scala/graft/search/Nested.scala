@@ -106,12 +106,15 @@ object Nested {
         )
     }
     // One row per touched parent: every delta'd ordinal drops (upsert
-    // replaces, delete removes); upsert structs append.
+    // replaces, delete removes); upsert structs append. Op semantics are
+    // the CDC contract: "d" deletes, ANY other op (Debezium c/u/r) is an
+    // upsert — matching the reference consumer's apply rule and the
+    // StreamingNested docstring.
     val perParent = reduced
       .groupBy(col(childKey).as(parentKey))
       .agg(
         collect_set(col(ordinal)).as("_drop"),
-        collect_list(when(col(opCol) === "u", struct(fields.map(col): _*))).as("_adds")
+        collect_list(when(col(opCol) =!= "d", struct(fields.map(col): _*))).as("_adds")
       )
     // Cast target for the add-structs: the artifact's element type with
     // nullability RELAXED — the seqCol max_by reduction makes payload

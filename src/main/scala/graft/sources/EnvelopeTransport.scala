@@ -19,11 +19,18 @@ trait EnvelopeTransport {
 
 /** File/object-storage landing zone (JSON-lines files): the test
   * transport, and a standard production one (Debezium → S3/GCS landing
-  * zone → Spark file stream).
+  * zone → Spark file stream). `maxFilesPerTrigger` bounds a micro-batch
+  * to N landing files — the backfill-throttling knob (and the way tests
+  * pin one-file-per-batch semantics).
   */
-final case class FileEnvelopeTransport(dir: String) extends EnvelopeTransport {
-  override def stream(spark: SparkSession): DataFrame =
-    spark.readStream.schema("value STRING").text(dir)
+final case class FileEnvelopeTransport(dir: String, maxFilesPerTrigger: Option[Int] = None)
+    extends EnvelopeTransport {
+  override def stream(spark: SparkSession): DataFrame = {
+    val base = spark.readStream.schema("value STRING")
+    maxFilesPerTrigger
+      .fold(base)(n => base.option("maxFilesPerTrigger", n.toString))
+      .text(dir)
+  }
 }
 
 /** Kafka topic transport — the reference's spine (Debezium publishes one
