@@ -424,14 +424,16 @@ private[graft] object SearchWireEntries {
     // Sketch twin on the calendar spine: a month of a 100 TB fact table
     // is billions of rows behind one bucket — grouped approx_percentile
     // keeps that bucket's buffer bounded where exact percentile() would
-    // buffer the whole month.
+    // buffer the whole month, and the buyers cardinality rides HLL++
+    // (an exact count_distinct here would reintroduce the
+    // distinct-expand + second shuffle the sketch tier exists to avoid).
     "search_dsl_json_dh_percentiles_approx" -> ((s, dir) =>
       JsonDsl.parse(
         Tables.orders(s, dir),
         """{"aggs": {"monthly": {
           |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
           |   "aggs": {"price": {"percentiles": {"field": "o_totalprice", "percents": [50, 90], "approx": true}},
-          |            "buyers": {"cardinality": {"field": "o_custkey"}}}
+          |            "buyers": {"cardinality": {"field": "o_custkey", "approx": true}}}
           | }}}""".stripMargin
       )),
 

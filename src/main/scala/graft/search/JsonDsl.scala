@@ -3252,8 +3252,15 @@ object JsonDsl {
     val spec = e.getValue.get(mType)
     val f = col(req(spec, "field", s"metric '$name' ($mType)").asText)
     val approx = Option(spec.get("approx")).exists(_.asBoolean)
+    // Grouped sketch accuracy 2000 (rank error ≤ 5e-4): the per-GROUP
+    // buffer is accuracy-sized and every bucket pays it in each partial,
+    // so the top-level twins' 10000 would multiply across buckets for
+    // precision far beyond the asserted 0.005 rank band (and beyond
+    // OpenSearch's own tdigest default). Measured: the monthly-spine
+    // twin at 10000 cost 3.3 s isolated at sf0.1; 2000 keeps the
+    // ReplicaSpec band with 10× margin at a fraction of the merge work.
     def ranks(ps: Seq[Double]): Column =
-      if (approx) approx_percentile(f, lit(ps.toArray), lit(10000)) else percentile(f, lit(ps.toArray))
+      if (approx) approx_percentile(f, lit(ps.toArray), lit(2000)) else percentile(f, lit(ps.toArray))
     mType match {
       case "percentiles" =>
         val ps = Option(spec.get("percents"))
@@ -3279,7 +3286,13 @@ object JsonDsl {
         )
         (aggs, posts)
       case "cardinality" =>
-        (Seq(count_distinct(f).as(name)), Seq(col(name)))
+        // "approx": true → HLL++ (the sketch OpenSearch itself runs):
+        // no distinct-expand, no second shuffle, bounded registers —
+        // the coherent pairing for a sketch-tier request (an exact
+        // count_distinct alongside grouped approx_percentile would
+        // reintroduce the expand + re-shuffle the sketch tier avoids).
+        if (approx) (Seq(approx_count_distinct(f).as(name)), Seq(col(name)))
+        else (Seq(count_distinct(f).as(name)), Seq(col(name)))
       case "extended_stats" =>
         // exact decimal moments (2dp money → 4dp squares, decimal sums
         // exact) → fixed double tree: both engines agree bitwise.

@@ -906,8 +906,13 @@ class ReplicaSpec extends SparkSpec {
     assert(approxRows.nonEmpty, "no monthly buckets")
     approxRows.foreach { r =>
       val bucket = r.get(0)
-      // the buyers cardinality column is exact in both twins
-      assert(r.getAs[Long]("buyers") == exactRows(bucket).getAs[Long]("buyers"), s"$bucket: buyers differ")
+      // buyers rides HLL++ in the sketch twin: exact below the sparse
+      // threshold (these test-scale buckets), and within the 3σ band of
+      // the default rsd=0.05 above it — both covered by one assertion.
+      val exactBuyers = exactRows(bucket).getAs[Long]("buyers")
+      val gotBuyers = r.getAs[Long]("buyers")
+      assert(math.abs(gotBuyers - exactBuyers) <= math.max(1L, (0.15 * exactBuyers).toLong),
+        s"$bucket: HLL buyers $gotBuyers outside the 3σ band of exact $exactBuyers")
       assertInBucketBand(od, "_m", "o_totalprice", bucket, 0.5,
         r.getAs[Double]("price_p50"), "dh_percentiles_approx p50")
       assertInBucketBand(od, "_m", "o_totalprice", bucket, 0.9,
