@@ -2857,7 +2857,7 @@ object JsonDsl {
               val unit = spec.get("unit").asText
               require(unit == "day" || unit == "1d", s"derivative unit '$unit' unsupported (day/1d)")
               val pathName = req(spec, "buckets_path", "derivative").asText
-              val src = if (pathName == "_count") col("doc_count") else col(pathName)
+              val src = col(resolveBucketsPath(pathName, "derivative (unit)"))
               Seq(
                 round(
                   (src - lag(src, 1).over(w)) /

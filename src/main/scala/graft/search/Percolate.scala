@@ -57,15 +57,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape at 100 TB: the posting table is registry-sized (rows =
   * Σ terms per query — millions of rows for 10⁶ queries, a SMALL frame
-  * by fact standards) and shuffles once on `term`, exactly like a BM25
-  * posting build; the doc side explodes to (doc, distinct term) — the
-  * same text-scan cost every search-index maintenance pass already
-  * pays; the candidate join is term-keyed (AQE broadcasts registry-
-  * sized postings); verification joins candidates back by doc id
-  * (bucket-local on an id-bucketed doc store) and by query_id against
-  * the registry. No stage's work carries the docs × queries product,
-  * and no driver-side plan growth: 10⁵ queries compile to the SAME
-  * five-operator plan as 10 queries.
+  * by fact standards); the doc side explodes to (doc, distinct term)
+  * rows carrying the doc's token set — the same text-scan cost every
+  * search-index maintenance pass already pays; the candidate join is
+  * term-keyed (AQE broadcasts registry-sized postings) and the spec
+  * join query_id-keyed, and a row-local first-posted-term ownership
+  * test replaces any distinct — so the WHOLE operator is one stateless
+  * join chain. No stage's work carries the docs × queries product, no
+  * driver-side plan growth (10⁵ queries compile to the SAME plan as
+  * 10), and the identical plan runs over a STREAMING doc side as a
+  * stream-static join (append mode, no watermark, no state store).
   */
 object Percolate {
 
@@ -95,21 +96,37 @@ object Percolate {
     val anchor =
       expr("array_sort(terms, (a, b) -> CASE WHEN length(a) > length(b) THEN -1 " +
         "WHEN length(a) < length(b) THEN 1 WHEN a < b THEN -1 WHEN a > b THEN 1 ELSE 0 END)[0]")
-    val posting = specs
-      .select(
-        col("query_id"),
-        when(col("conj"), array(anchor)).otherwise(col("terms")).as("_post")
-      )
-      .select(col("query_id"), explode(col("_post")).as("term"))
-      .filter(col("term").isNotNull && length(col("term")) > 0)
+    // `_posted` rides the specs frame: the exact term set this query
+    // posted, in a FIXED order — percolate's row-local first-match
+    // dedup keys off it (only the first posted term present in a doc
+    // emits the pair, so multi-term overlaps never need a distinct).
+    val specsAug = specs.withColumn(
+      "_posted",
+      array_distinct(filter(
+        when(col("conj"), array(anchor)).otherwise(col("terms")),
+        t => t.isNotNull && length(t) > 0
+      ))
+    )
+    val posting = specsAug
+      .select(col("query_id"), explode(col("_posted")).as("term"))
       .distinct()
-    PercolateIndex(specs, posting)
+    PercolateIndex(specsAug, posting)
   }
 
   /** Percolate `docs` through the index: (doc id, query_id) match pairs.
     * `textCol` is the percolator field (analyzed with the house
     * whitespace analyzer — [[SearchDsl.analyze]] parity); `rangeCol`
     * names the numeric column the registry's range bounds address.
+    *
+    * ONE join chain, no distinct, no join back to the doc side: the
+    * doc's token set and range value ride THROUGH the exploded term
+    * rows, and a multi-term overlap of the same (doc, query) pair
+    * dedups ROW-LOCALLY — only the query's FIRST posted term present
+    * in the doc (array_intersect preserves `_posted` order) emits the
+    * pair. That keeps the operator STATELESS and stream-safe: with a
+    * streaming doc side this is a pure stream-static join pipeline —
+    * append mode, no watermark, no state store
+    * ([[graft.streaming.PercolateStream.alertsIndexed]]).
     */
   def percolate(
       index: PercolateIndex,
@@ -117,36 +134,27 @@ object Percolate {
       idCol: String,
       textCol: String,
       rangeCol: String
-  ): DataFrame = {
-    val docTerms = docs
-      .select(col(idCol).as("_pid"), explode(array_distinct(SearchDsl.analyze(col(textCol)))).as("term"))
-    // term-keyed candidate join: each doc meets only the queries whose
-    // posting terms it contains. distinct collapses multi-term overlaps
-    // of the same (doc, query) pair before verification.
-    val candidates = docTerms
-      .join(index.posting, Seq("term"))
-      .select(col("_pid"), col("query_id"))
-      .distinct()
-    // verification: AND queries re-check every term against the doc's
-    // token set; range bounds check the named numeric column. OR
-    // candidacy is already the predicate.
-    val verified = candidates
-      .join(index.specs, Seq("query_id"))
-      .join(
-        docs.select(
-          col(idCol).as("_pid"),
-          array_distinct(SearchDsl.analyze(col(textCol))).as("_toks"),
-          col(rangeCol).cast("double").as("_rv")
-        ),
-        Seq("_pid")
+  ): DataFrame =
+    docs
+      .select(
+        col(idCol).as("_pid"),
+        array_distinct(SearchDsl.analyze(col(textCol))).as("_toks"),
+        col(rangeCol).cast("double").as("_rv")
       )
+      .select(col("_pid"), col("_toks"), col("_rv"), explode(col("_toks")).as("term"))
+      .join(index.posting, Seq("term"))
+      .join(index.specs, Seq("query_id"))
       .filter(
-        (!col("conj") || forall(col("terms"), t => array_contains(col("_toks"), t))) &&
+        // first-posted-term ownership: exactly one exploded row per
+        // matching (doc, query) survives
+        col("term") === element_at(array_intersect(col("_posted"), col("_toks")), 1) &&
+          // verification: AND re-checks every term; OR candidacy is the
+          // predicate; range bounds check the named numeric column
+          (!col("conj") || forall(col("terms"), t => array_contains(col("_toks"), t))) &&
           (col("rgt").isNull || col("_rv") > col("rgt")) &&
           (col("rlte").isNull || col("_rv") <= col("rlte"))
       )
-    verified.select(col("_pid").as(idCol), col("query_id"))
-  }
+      .select(col("_pid").as(idCol), col("query_id"))
 
   /** The candidate set alone (pre-verification) — exposed so the
     * superset contract is testable exactly as stated.

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.search.{IndexMapping, JsonDsl}
+import graft.search.{IndexMapping, JsonDsl, Percolate}
 import org.apache.spark.sql.DataFrame
 
 /** Streaming percolation — the live face of the alerting/monitor story
@@ -49,4 +49,24 @@ object PercolateStream {
     JsonDsl
       .percolate(stream.withWatermark(tsCol, watermark), stored, mapping)
       .dropDuplicatesWithinWatermark(keyCols :+ "query_id")
+
+  /** The INDEX-tier streaming percolator — alerting at registry sizes
+    * the compiled projection cannot reach (10⁵–10⁷ stored rules). Each
+    * micro-batch of documents term-joins the registry's posting table
+    * ([[Percolate]]): work per batch is candidate-bound (dormant rules
+    * whose terms never arrive cost nothing), the registry is a pair of
+    * static frames (AQE broadcasts registry-sized postings under the
+    * stream), and the operator stays STATELESS — stream-static joins
+    * need no watermark and no state store, so this too runs append-mode.
+    * A registry update swaps the static frames at the next restart, the
+    * same deployment model as the compiled tier.
+    */
+  def alertsIndexed(
+      index: Percolate.PercolateIndex,
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      rangeCol: String
+  ): DataFrame =
+    Percolate.percolate(index, stream, idCol, textCol, rangeCol)
 }

@@ -71,6 +71,33 @@ class PercolateSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Percolate.buildIndex(bad) }
   }
 
+  test("alertsIndexed: a streaming doc side through the index tier ≡ batch, with ZERO state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val index = Percolate.buildIndex(specsDf)
+    val mem = MemoryStream[(Long, String, Long)]
+    val alerts = graft.streaming.PercolateStream.alertsIndexed(
+      index, mem.toDF.toDF("doc_id", "text", "n_chars"), "doc_id", "text", "n_chars")
+    val q = alerts.writeStream.format("memory").queryName("idx_alerts").outputMode("append").start()
+    val docs = Tables.documents(spark, Sf)
+    val rows = docs.select("doc_id", "text", "n_chars").as[(Long, String, Long)].collect().toSeq
+    try {
+      mem.addData(rows.take(20))
+      q.processAllAvailable()
+      mem.addData(rows.drop(20))
+      q.processAllAvailable()
+      // stateless by construction: a stream-static join pipeline keeps
+      // no state store (the property that lets the alerting tier run
+      // append-mode at source parallelism with no watermark)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"indexed streaming percolate grew state: ${q.lastProgress.stateOperators.mkString(",")}")
+    } finally q.stop()
+    val got = spark.table("idx_alerts").as[(Long, Long)].collect().toSet
+    val want = Percolate.percolate(index, docs, "doc_id", "text", "n_chars")
+      .as[(Long, Long)].collect().toSet
+    assert(got == want, s"streamed alerts diverge from batch percolate: ${(got.diff(want) ++ want.diff(got)).take(5)}")
+  }
+
   test("10^5 stored queries: candidate-bound work, same matches as the live subset") {
     // 99 000 dormant rules (anchor tokens absent from the corpus — the
     // realistic alerting registry where most rules match nothing) +
