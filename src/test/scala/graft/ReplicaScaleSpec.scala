@@ -135,4 +135,68 @@ class ReplicaScaleSpec extends SparkSpec {
       .collect()
       .foreach { case (id, cos) => assert(all(id) == cos, s"stale IVF score for vec $id") }
   }
+
+  test("scale grouped sketch twins: every bucket's quantiles inside its own rank band") {
+    assume(scaleDir.isDefined, "GRAFT_SCALE_SF not set")
+    // grouped accuracy 2000 → rank error ≤ 5e-4; asserted at the 10×-margin
+    // 0.005 band (plus interpolation slack for small buckets) — the same
+    // contract ReplicaSpec pins at sf0.001, re-proven where buckets hold
+    // tens of thousands of rows and the sketch actually compresses.
+    val od = Tables.orders(spark, dir)
+    val odm = od.withColumn("_m", date_trunc("month", col("o_orderdate")))
+    def band(keyCol: String, key: Any, p: Double, got: Double, what: String): Unit = {
+      val bucket = odm.filter(col(keyCol) === lit(key))
+      val eps = math.max(0.005, 1.5 / math.max(1.0, bucket.count().toDouble))
+      val b = bucket.agg(
+        percentile(col("o_totalprice"), lit(math.max(0.0, p - eps))).as("lo"),
+        percentile(col("o_totalprice"), lit(math.min(1.0, p + eps))).as("hi")).head()
+      assert(got >= b.getDouble(0) - 0.01 && got <= b.getDouble(1) + 0.01,
+        s"$what: bucket=$key p=$p approx=$got outside [${b.getDouble(0)}, ${b.getDouble(1)}]")
+    }
+    SparkEntry.queries("search_dsl_json_terms_percentiles_approx")(spark, dir).collect().foreach { r =>
+      band("o_orderpriority", r.getAs[String]("key"), 0.5, r.getAs[Double]("price_p50"), "terms p50")
+      band("o_orderpriority", r.getAs[String]("key"), 0.9, r.getAs[Double]("price_p90"), "terms p90")
+    }
+    val dh = SparkEntry.queries("search_dsl_json_dh_percentiles_approx")(spark, dir).collect()
+    val exact = SparkEntry.queries("search_dsl_json_dh_percentiles")(spark, dir)
+      .collect().map(r => r.get(0) -> r.getAs[Long]("buyers")).toMap
+    dh.foreach { r =>
+      val bucket = r.get(0)
+      band("_m", bucket, 0.5, r.getAs[Double]("price_p50"), "dh p50")
+      // HLL buyers: within the 3σ band of rsd=0.05 at scale cardinalities
+      val ex = exact(bucket)
+      assert(math.abs(r.getAs[Long]("buyers") - ex) <= math.max(1L, (0.15 * ex).toLong),
+        s"$bucket: HLL buyers ${r.getAs[Long]("buyers")} vs exact $ex")
+    }
+  }
+
+  test("scale percolate index tier: every emitted match row-reverifies; candidates are a superset") {
+    assume(scaleDir.isDefined, "GRAFT_SCALE_SF not set")
+    import graft.search.Percolate
+    val specs = Seq(
+      (1L, Seq("dup", "vector"), false, Option.empty[Double], Option.empty[Double]),
+      (2L, Seq("customer", "query", "join"), true, None, None),
+      (5L, Seq("scan", "filter"), false, Some(100.0), Some(400.0)),
+      (8L, Seq("window", "group", "sort", "hash"), true, None, None)
+    ).toDF("query_id", "terms", "conj", "rgt", "rlte")
+    val index = Percolate.buildIndex(specs)
+    val got = Percolate.percolate(index, docs, "doc_id", "text", "n_chars")
+    val cand = Percolate.candidates(index, docs, "doc_id", "text")
+    assert(got.count() > 0, "vacuous at scale")
+    assert(got.join(cand, Seq("doc_id", "query_id"), "left_anti").isEmpty,
+      "verified matches escaped the candidate set at scale")
+    // row re-verification: join the emitted pairs back to raw docs+specs
+    // and re-evaluate the predicate first-principles
+    val bad = got
+      .join(docs.select(col("doc_id"),
+        split(lower(col("text")), " ").as("_toks"), col("n_chars").cast("double").as("_rv")), Seq("doc_id"))
+      .join(specs, Seq("query_id"))
+      .filter(!(
+        (col("conj") && forall(col("terms"), t => array_contains(col("_toks"), t))) ||
+          (!col("conj") && exists(col("terms"), t => array_contains(col("_toks"), t)))
+      ) || (col("rgt").isNotNull && !(col("_rv") > col("rgt")))
+        || (col("rlte").isNotNull && !(col("_rv") <= col("rlte"))))
+      .count()
+    assert(bad == 0, s"$bad emitted percolate matches fail first-principles re-verification")
+  }
 }
