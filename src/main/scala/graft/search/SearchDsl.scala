@@ -186,12 +186,31 @@ object SearchDsl {
       def positions(term: String): Column =
         transform(filter(posed, s => s.getField("tok") === lit(term)), s => s.getField("pos"))
       val (t0, o0) = kept.head
-      exists(
-        positions(t0),
-        x =>
-          kept.tail
-            .map { case (tj, oj) => array_contains(positions(tj), x + lit(oj - o0)) }
-            .foldLeft(lit(true))(_ && _)
+      // Let-binding idiom: every term's position array rides the
+      // transform's ARGUMENT (a 1-element struct array), so the
+      // analyzer chain runs ONCE per row. Referencing positions(tj)
+      // free inside the exists lambda would re-run the whole per-token
+      // stem chain for EVERY candidate position x — the same
+      // re-evaluation-inside-a-lambda trap as the CollapseProject ×
+      // Generate finding (SURVEY §5 r11), one level down.
+      val ctx = array(struct(kept.zipWithIndex.map { case ((t, _), j) =>
+        positions(t).as(s"p$j")
+      }: _*))
+      element_at(
+        transform(
+          ctx,
+          c =>
+            exists(
+              c.getField("p0"),
+              x =>
+                kept.tail.zipWithIndex
+                  .map { case ((_, oj), j) =>
+                    array_contains(c.getField(s"p${j + 1}"), x + lit(oj - o0))
+                  }
+                  .foldLeft(lit(true))(_ && _)
+            )
+        ),
+        1
       )
     }
   }
