@@ -67,7 +67,30 @@ private[graft] object MultimodalEntries {
         .asPayload(Tables.documents(s, dir), col("doc_id"), col("text"))
         .groupBy(col("sha256"))
         .agg(count(lit(1)).as("n_copies"), min("id").as("keep_id"))
-        .orderBy("keep_id"))
+        .orderBy("keep_id")),
+
+    // Modality-mix stats for dataset cards / mixture planning: one hash
+    // aggregate over typed metadata — the payload bytes never shuffle.
+    "mm_modality_mix" -> ((s, dir) =>
+      Binary
+        .asPayload(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .groupBy(col("format"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_bytes").cast("long")).as("total_bytes"),
+          round(sum(col("n_bytes").cast("long")).cast("double") / count(lit(1)), 6).as("avg_bytes")
+        )
+        .orderBy("format")),
+
+    // Perceptual-class near-dup over opaque payloads: tile-digest
+    // collision blocking + shared-fraction verify (the pHash relational
+    // shape; stop-tile pruning caps hot-digest pair volume).
+    "mm_near_dup_tiles" -> ((s, dir) =>
+      Binary
+        .nearDupByTiles(
+          Binary.asPayload(Tables.documents(s, dir), col("doc_id"), col("text")),
+          rowBytes = 32, tileW = 16, tileH = 4, minOverlap = 0.5, maxDf = 100)
+        .orderBy("a", "b"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -131,6 +154,39 @@ private[graft] object MultimodalEntries {
         |       CAST(sum(CAST('0x' || substring(tile_md5, 3, 2) AS INT)) AS DOUBLE) / (255.0 * count(*)) AS e1,
         |       CAST(sum(CAST('0x' || substring(tile_md5, 5, 2) AS INT)) AS DOUBLE) / (255.0 * count(*)) AS e2,
         |       CAST(sum(CAST('0x' || substring(tile_md5, 7, 2) AS INT)) AS DOUBLE) / (255.0 * count(*)) AS e3
-        |FROM tg GROUP BY id ORDER BY id""".stripMargin
+        |FROM tg GROUP BY id ORDER BY id""".stripMargin,
+
+    "mm_modality_mix" ->
+      """SELECT CASE WHEN text LIKE 'th%' THEN 'th-container' ELSE 'raw' END AS format,
+        |       count(*) AS n_docs,
+        |       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+        |       round(CAST(sum(octet_length(CAST(text AS BLOB))) AS DOUBLE) / count(*), 6) AS avg_bytes
+        |FROM documents GROUP BY 1 ORDER BY format""".stripMargin,
+
+    "mm_near_dup_tiles" ->
+      """WITH d AS (SELECT doc_id, text, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
+        |           FROM documents),
+        |dims AS (SELECT *, CAST(ceil(ceil(n_bytes / 32.0) / 4.0) AS INTEGER) AS tile_rows FROM d),
+        |tiles0 AS (
+        |  SELECT doc_id, text,
+        |         CAST(t.i // 2 AS INTEGER) AS tile_row, CAST(t.i % 2 AS INTEGER) AS tile_col
+        |  FROM dims CROSS JOIN unnest(generate_series(0, tile_rows * 2 - 1)) AS t(i)),
+        |parts AS (
+        |  SELECT doc_id, tile_row, tile_col, k.i AS k,
+        |         substring(text, (tile_row * 4 + k.i) * 32 + tile_col * 16 + 1, 16) AS part
+        |  FROM tiles0 CROSS JOIN unnest(generate_series(0, 3)) AS k(i)),
+        |tg AS (SELECT doc_id AS id, md5(string_agg(part, '' ORDER BY k)) AS tile_md5
+        |       FROM parts GROUP BY doc_id, tile_row, tile_col),
+        |tiles AS (SELECT DISTINCT id, tile_md5 FROM tg),
+        |freq AS (SELECT tile_md5, count(*) AS df FROM tiles GROUP BY 1),
+        |kept AS (SELECT t.id, t.tile_md5 FROM tiles t JOIN freq USING (tile_md5) WHERE df <= 100),
+        |sizes AS (SELECT id, count(*) AS n_tiles FROM kept GROUP BY 1),
+        |pairs AS (SELECT a.id AS a, b.id AS b, count(*) AS shared
+        |          FROM kept a JOIN kept b ON a.tile_md5 = b.tile_md5 AND a.id < b.id
+        |          GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.shared, sa.n_tiles AS n_tiles_a, sb.n_tiles AS n_tiles_b
+        |FROM pairs p JOIN sizes sa ON p.a = sa.id JOIN sizes sb ON p.b = sb.id
+        |WHERE p.shared >= ceil(0.5 * least(sa.n_tiles, sb.n_tiles))
+        |ORDER BY p.a, p.b""".stripMargin
   )
 }

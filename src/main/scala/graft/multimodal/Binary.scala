@@ -123,6 +123,48 @@ object Binary {
       )
   }
 
+  /** Perceptual-class near-duplicate detection over opaque payloads —
+    * the image near-dup stand-in (two images sharing most of their
+    * patch digests are crops/re-encodes/paddings of each other; a real
+    * pipeline swaps the tile digest for a pHash, the RELATIONAL shape
+    * is identical): candidate pairs come ONLY from tile-digest
+    * collisions (a tile-keyed self-join — the n-gram-Jaccard blocking
+    * discipline on binary content), and a pair qualifies when its
+    * shared-tile count reaches `minOverlap` of the smaller image's tile
+    * set. Stop-tile pruning (`maxDf`): a digest shared by more than
+    * `maxDf` images — letterbox padding, solid backgrounds — is
+    * blocking-useless and quadratic in pair volume, so it is dropped
+    * from CANDIDACY (the stopword rule for binary content; overlap
+    * counts are computed over kept tiles on both sides, so the measure
+    * stays symmetric). Payload bytes never shuffle — only (id, digest).
+    */
+  def nearDupByTiles(
+      payloads: DataFrame,
+      rowBytes: Int,
+      tileW: Int,
+      tileH: Int,
+      minOverlap: Double,
+      maxDf: Int
+  ): DataFrame = {
+    require(minOverlap > 0 && minOverlap <= 1, s"minOverlap in (0,1]: $minOverlap")
+    require(maxDf > 1, s"maxDf must exceed 1 or no pair can ever form: $maxDf")
+    val tiles = tileGrid(payloads, rowBytes, tileW, tileH)
+      .select(col("id"), col("tile_md5"))
+      .distinct()
+    val freq = tiles.groupBy("tile_md5").agg(count(lit(1)).as("_df"))
+    val kept = tiles.join(freq.filter(col("_df") <= maxDf), Seq("tile_md5"))
+    val shared = kept.as("a")
+      .join(kept.as("b"), col("a.tile_md5") === col("b.tile_md5") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a"), col("b.id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("n_tiles"))
+    shared
+      .join(sizes.select(col("id").as("a"), col("n_tiles").as("n_tiles_a")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("n_tiles").as("n_tiles_b")), Seq("b"))
+      .filter(col("shared") >= ceil(lit(minOverlap) * least(col("n_tiles_a"), col("n_tiles_b"))))
+      .select("a", "b", "shared", "n_tiles_a", "n_tiles_b")
+  }
+
   /** [[frameSample]] in exploded row form — one row per sampled frame
     * (id, n_bytes, n_frames, frame_idx, frame_md5). Scalar columns only, so
     * results are directly comparable/joinable (and hash-verifiable) without
