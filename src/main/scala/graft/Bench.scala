@@ -83,7 +83,10 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       val dt1 = timeOne(fn)
       val dt2 = timeOne(fn)
-      name -> (if (dt1 > 0 && dt2 > 0) math.min(dt1, dt2) else math.max(dt1, dt2))
+      // min of two passes; if EITHER run failed its (negative) time wins,
+      // so a flaky key surfaces in the errors list instead of being
+      // silently recorded as a clean pass off its one lucky run.
+      name -> math.min(dt1, dt2)
     }.toMap
     // Millisecond precision keeps the whole line under the driver's stdout
     // tail capture (full-precision doubles pushed r2's line past it and the

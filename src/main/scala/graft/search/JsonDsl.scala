@@ -2695,7 +2695,9 @@ object JsonDsl {
             val dotted = p.split("[.>]", 2) match {
               case Array(a, b0) =>
                 val b = if (b0.endsWith(".0")) b0.dropRight(2) else b0
-                val suffix = if (b.nonEmpty && b.head.isDigit) "p" + b else b
+                // fractional percents ("price.99.9") must land on the
+                // percentileName spelling (p99_9), not a literal dot
+                val suffix = if (b.nonEmpty && b.head.isDigit) "p" + b.replace('.', '_') else b
                 Some(s"${a}_$suffix")
               case _ => None
             }

@@ -89,8 +89,14 @@ object Percolate {
     )
     // A term-less (pure-range) query would post nothing and silently
     // never match — refuse it here; the flat tier evaluates those.
+    // NULL-safe: a NULL terms array makes size(filter(...)) yield NULL
+    // (never === 0), which would slip past the guard, post nothing, and
+    // silently never match — exactly the failure this require prevents.
     val termless =
-      specs.filter(size(filter(col("terms"), t => length(t) > 0)) === 0).limit(1).count()
+      specs
+        .filter(col("terms").isNull || size(filter(col("terms"), t => t.isNotNull && length(t) > 0)) === 0)
+        .limit(1)
+        .count()
     require(termless == 0,
       "term-less stored queries are not indexable (no posting term) — route them to the flat tier")
     val anchor =
@@ -148,9 +154,15 @@ object Percolate {
         // first-posted-term ownership: exactly one exploded row per
         // matching (doc, query) survives
         col("term") === element_at(array_intersect(col("_posted"), col("_toks")), 1) &&
-          // verification: AND re-checks every term; OR candidacy is the
-          // predicate; range bounds check the named numeric column
-          (!col("conj") || forall(col("terms"), t => array_contains(col("_toks"), t))) &&
+          // verification: AND re-checks every term — over the SAME
+          // filtered non-null/non-empty set posting used, so a registry
+          // with stray ""/null tokens keeps tier equivalence with the
+          // compiled tier; OR candidacy is the predicate; range bounds
+          // check the named numeric column
+          (!col("conj") || forall(
+            filter(col("terms"), t => t.isNotNull && length(t) > 0),
+            t => array_contains(col("_toks"), t)
+          )) &&
           (col("rgt").isNull || col("_rv") > col("rgt")) &&
           (col("rlte").isNull || col("_rv") <= col("rlte"))
       )
@@ -170,6 +182,230 @@ object Percolate {
       .join(index.posting, Seq("term"))
       .select(col("_pid").as(idCol), col("query_id"))
       .distinct()
+
+  // ───────────────────────────────────────────────────────────────────
+  // RICH query model (r14): the indexed tier grows from "one match on
+  // one field (+ one range)" to OpenSearch's bool.must-of-clauses form —
+  // multi-field terms, `operator: and` matches, and match_phrase — while
+  // keeping every structural property of the flat model: candidate-
+  // superset selection, row-local first-posted-term dedup (no distinct),
+  // one stateless join chain, plan O(1) in registry size, stream-static
+  // safe.
+  //
+  // Registry row shape (queries-as-data):
+  //   query_id LONG,
+  //   clauses  ARRAY<STRUCT<field: STRING, kind: STRING,
+  //                         terms: ARRAY<STRING>>>,
+  //   rgt/rlte DOUBLE (nullable — the bool.filter range, as before).
+  // kinds: 'or'     = match default (ANY term present on `field`);
+  //        'and'    = match operator:and (ALL terms present);
+  //        'phrase' = match_phrase (terms ADJACENT IN ORDER under the
+  //                   house whitespace analyzer — verified positionally
+  //                   against the field's full in-order token array).
+  // Query semantics = bool.must over the clauses (ALL must hold), so:
+  //   - candidacy = ANY clause's anchors present (each conjunct alone
+  //     bounds the true match set from above — posting EVERY conjunct's
+  //     anchors keeps the superset while letting rare-anchored clauses
+  //     prune);
+  //   - 'or' clauses post every term (their anchors ARE the predicate),
+  //     'and'/'phrase' clauses post the longest term (the static rarity
+  //     proxy, as in the flat tier).
+  // Posting keys are field-qualified (`field term`) so a term on
+  // `source` never creates candidacy for a `text` clause.
+  // ───────────────────────────────────────────────────────────────────
+
+  /** Rich registry + field-qualified posting table. `posting` columns:
+    * pterm STRING ("field term"), query_id LONG.
+    */
+  final case class RichIndex(specs: DataFrame, posting: DataFrame)
+
+  private val FieldSep = " "
+
+  /** Longest clean term of a clause — comparator form of the flat
+    * tier's anchor sort, usable on nested lambda variables.
+    */
+  private def anchorOf(terms: Column): Column =
+    array_sort(
+      terms,
+      (a, b) =>
+        when(length(a) > length(b), -1)
+          .when(length(a) < length(b), 1)
+          .when(a < b, -1)
+          .when(a > b, 1)
+          .otherwise(0)
+    ).getItem(0)
+
+  private def cleanTerms(terms: Column): Column =
+    filter(terms, t => t.isNotNull && length(t) > 0)
+
+  /** Build the field-qualified posting table from a rich registry.
+    * Driver-free except the two build-time validity guards (both
+    * LIMIT-1 probes, registry-sized at worst).
+    */
+  def buildIndexRich(specs: DataFrame): RichIndex = {
+    val required = Seq("query_id", "clauses", "rgt", "rlte")
+    require(
+      required.forall(specs.columns.contains),
+      s"specs needs columns $required, got ${specs.columns.toSeq}"
+    )
+    // Clause-less queries and term-less clauses would post nothing and
+    // silently never match — refuse at build time (NULL-safe, as in the
+    // flat tier's guard). Unknown kinds would verify as 'phrase' by the
+    // otherwise-branch — refuse those too.
+    val bad = specs
+      .filter(
+        col("clauses").isNull || size(col("clauses")) === 0 ||
+          exists(col("clauses"), c => size(cleanTerms(c.getField("terms"))) === 0) ||
+          exists(col("clauses"), c => !c.getField("kind").isin("or", "and", "phrase")) ||
+          // a null/empty token INSIDE a phrase has positional meaning the
+          // analyzed-token verifier cannot reproduce — require clean
+          exists(
+            col("clauses"),
+            c =>
+              c.getField("kind") === "phrase" &&
+                size(cleanTerms(c.getField("terms"))) =!= size(c.getField("terms"))
+          )
+      )
+      .limit(1)
+      .count()
+    require(bad == 0,
+      "rich registry rows must have ≥1 clause, every clause ≥1 non-empty term " +
+        "(phrase clauses: ALL terms non-empty), kind ∈ {or,and,phrase}")
+    val postedOf = (c: Column) => {
+      val clean = cleanTerms(c.getField("terms"))
+      transform(
+        when(c.getField("kind") === "or", clean).otherwise(array(anchorOf(clean))),
+        t => concat(c.getField("field"), lit(FieldSep), t)
+      )
+    }
+    val specsAug = specs.withColumn(
+      "_posted",
+      array_distinct(flatten(transform(col("clauses"), postedOf)))
+    )
+    val posting = specsAug
+      .select(col("query_id"), explode(col("_posted")).as("pterm"))
+      .distinct()
+    RichIndex(specsAug, posting)
+  }
+
+  /** The doc side's field-qualified DISTINCT token set over the named
+    * text fields — the candidacy key space.
+    */
+  private def docCompositeToks(textFields: Seq[String]): Column =
+    array_distinct(flatten(array(textFields.map { f =>
+      transform(
+        array_distinct(SearchDsl.analyze(col(f))),
+        t => concat(lit(f), lit(FieldSep), t)
+      )
+    }: _*)))
+
+  /** Positional phrase verification: the phrase's terms occur adjacently
+    * in order somewhere in the field's full (in-order, duplicates kept)
+    * token array. Pure nested-HOF codegen — no UDF; `when` guards the
+    * short-doc case so `sequence` never runs descending.
+    */
+  private def phraseOk(toks: Column, terms: Column): Column = {
+    val n = size(terms)
+    val m = size(toks)
+    when(
+      m >= n,
+      exists(
+        sequence(lit(1), m - n + lit(1)),
+        i => forall(sequence(lit(1), n), j => element_at(toks, i + j - lit(1)) === element_at(terms, j))
+      )
+    ).otherwise(lit(false))
+  }
+
+  /** One clause's verification predicate over the post-join row, which
+    * carries each field's full token array as `_tk_<field>`. Dispatch on
+    * the clause's field is a plan-time fold over the KNOWN field list —
+    * the attribute references are materialized join outputs, so the
+    * analyzer chain runs once per doc row, never once per lambda
+    * iteration (the matchPhraseWith let-binding discipline).
+    */
+  private def clauseOk(c: Column, textFields: Seq[String]): Column = {
+    def checkOn(toks: Column): Column = {
+      val clean = cleanTerms(c.getField("terms"))
+      when(c.getField("kind") === "or", exists(clean, t => array_contains(toks, t)))
+        .when(c.getField("kind") === "and", forall(clean, t => array_contains(toks, t)))
+        .otherwise(phraseOk(toks, clean))
+    }
+    textFields.foldRight(lit(false)) { (f, els) =>
+      when(c.getField("field") === f, checkOn(col(s"_tk_$f"))).otherwise(els)
+    }
+  }
+
+  /** Percolate `docs` through a rich index: (doc id, query_id) pairs.
+    * Same one-join-chain shape as the flat tier — explode the doc's
+    * field-qualified token set, posting join, spec join, then row-local
+    * first-posted-term ownership + full bool.must verification. Stateless
+    * and stream-safe for the same reasons
+    * ([[graft.streaming.PercolateStream.alertsIndexedRich]]).
+    */
+  def percolateRich(
+      index: RichIndex,
+      docs: DataFrame,
+      idCol: String,
+      textFields: Seq[String],
+      rangeCol: String
+  ): DataFrame = {
+    val tokCols = textFields.map(f => SearchDsl.analyze(col(f)).as(s"_tk_$f"))
+    docs
+      .select(
+        Seq(
+          col(idCol).as("_pid"),
+          docCompositeToks(textFields).as("_ctoks"),
+          col(rangeCol).cast("double").as("_rv")
+        ) ++ tokCols: _*
+      )
+      .withColumn("pterm", explode(col("_ctoks")))
+      .join(index.posting, Seq("pterm"))
+      .join(index.specs, Seq("query_id"))
+      .filter(
+        col("pterm") === element_at(array_intersect(col("_posted"), col("_ctoks")), 1) &&
+          forall(col("clauses"), c => clauseOk(c, textFields)) &&
+          (col("rgt").isNull || col("_rv") > col("rgt")) &&
+          (col("rlte").isNull || col("_rv") <= col("rlte"))
+      )
+      .select(col("_pid").as(idCol), col("query_id"))
+  }
+
+  /** Rich candidate set (pre-verification) — the testable superset. */
+  def candidatesRich(
+      index: RichIndex,
+      docs: DataFrame,
+      idCol: String,
+      textFields: Seq[String]
+  ): DataFrame =
+    docs
+      .select(col(idCol).as("_pid"), explode(docCompositeToks(textFields)).as("pterm"))
+      .join(index.posting, Seq("pterm"))
+      .select(col("_pid").as(idCol), col("query_id"))
+      .distinct()
+
+  /** Render one rich registry row as the JSON body the compiled tier
+    * accepts — bool.must of match / match-operator-and / match_phrase
+    * clauses plus the range filter. The equality bridge for the rich
+    * tier's PercolateSpec contract.
+    */
+  def asJsonBodyRich(
+      clauses: Seq[(String, String, Seq[String])],
+      rgt: Option[Double],
+      rlte: Option[Double],
+      rangeField: String
+  ): String = {
+    val musts = clauses.flatMap {
+      case (f, "or", terms)     => Seq(s"""{"match": {"$f": "${terms.mkString(" ")}"}}""")
+      case (f, "and", terms)    => terms.map(t => s"""{"match": {"$f": "$t"}}""")
+      case (f, "phrase", terms) => Seq(s"""{"match_phrase": {"$f": "${terms.mkString(" ")}"}}""")
+      case (_, k, _)            => throw new IllegalArgumentException(s"unknown clause kind '$k'")
+    }
+    val rangeParts = rgt.map(v => s""""gt": $v""").toSeq ++ rlte.map(v => s""""lte": $v""").toSeq
+    val filterClause =
+      if (rangeParts.isEmpty) ""
+      else s""", "filter": [{"range": {"$rangeField": {${rangeParts.mkString(", ")}}}}]"""
+    s"""{"query": {"bool": {"must": [${musts.mkString(", ")}]$filterClause}}}"""
+  }
 
   /** Render one registry row as the JSON body the compiled tier
     * ([[JsonDsl.percolate]]) accepts — the equality bridge PercolateSpec

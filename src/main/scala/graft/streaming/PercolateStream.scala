@@ -69,4 +69,18 @@ object PercolateStream {
       rangeCol: String
   ): DataFrame =
     Percolate.percolate(index, stream, idCol, textCol, rangeCol)
+
+  /** The RICH index tier's streaming face — bool.must-of-clauses rules
+    * (multi-field, operator:and, match_phrase) at posting-table scale.
+    * Structurally identical to [[alertsIndexed]]: a stream-static join
+    * chain, stateless, append-mode, candidate-bound per micro-batch.
+    */
+  def alertsIndexedRich(
+      index: Percolate.RichIndex,
+      stream: DataFrame,
+      idCol: String,
+      textFields: Seq[String],
+      rangeCol: String
+  ): DataFrame =
+    Percolate.percolateRich(index, stream, idCol, textFields, rangeCol)
 }

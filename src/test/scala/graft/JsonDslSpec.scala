@@ -1589,4 +1589,26 @@ class JsonDslSpec extends SparkSpec {
       )
     }
   }
+
+  test("dotted buckets_path resolves FRACTIONAL percents (price.99.9 → price_p99_9)") {
+    val od = Tables.orders(spark, Sf)
+    val got = JsonDsl.parse(
+      od,
+      """{"aggs": {"monthly": {
+        |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+        |   "aggs": {"price": {"percentiles": {"field": "o_totalprice", "percents": [99.9]}},
+        |            "cum": {"cumulative_sum": {"buckets_path": "price.99.9"}}}
+        | }}}""".stripMargin
+    ).orderBy("bucket").collect()
+    assert(got.nonEmpty)
+    val vals = got.map(_.getAs[Double]("price_p99_9"))
+    var running = 0.0
+    got.zipWithIndex.foreach { case (r, i) =>
+      running += vals(i)
+      // cumulative_sum keeps the money convention (2 dp)
+      val want = BigDecimal(running).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("cum") - want) < 1e-6,
+        s"row $i: cum ${r.getAs[Double]("cum")} != running $want")
+    }
+  }
 }

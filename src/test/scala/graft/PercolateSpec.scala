@@ -71,6 +71,167 @@ class PercolateSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Percolate.buildIndex(bad) }
   }
 
+  test("NULL terms arrays are refused too (size(NULL) never === 0 must not slip the guard)") {
+    val bad = Seq((9L, Option.empty[Seq[String]], false, Option.empty[Double], Option.empty[Double]))
+      .toDF("query_id", "terms", "conj", "rgt", "rlte")
+    intercept[IllegalArgumentException] { Percolate.buildIndex(bad) }
+  }
+
+  test("AND verification ignores empty/null tokens — tier equivalence on a dirty registry") {
+    val docs = Tables.documents(spark, Sf)
+    // "" inside an AND term list: posting filters it out; verification
+    // must check the SAME filtered set, or the indexed tier can never
+    // match what the compiled tier matches.
+    val dirty = Seq((1L, Seq("dup", "", "vector"), true, Option.empty[Double], Option.empty[Double]))
+      .toDF("query_id", "terms", "conj", "rgt", "rlte")
+    val indexed = Percolate.percolate(Percolate.buildIndex(dirty), docs, "doc_id", "text", "n_chars")
+      .as[(Long, Long)].collect().toSet
+    val clean = Seq((1L, Seq("dup", "vector"), true, Option.empty[Double], Option.empty[Double]))
+      .toDF("query_id", "terms", "conj", "rgt", "rlte")
+    val want = Percolate.percolate(Percolate.buildIndex(clean), docs, "doc_id", "text", "n_chars")
+      .as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "vacuous: the clean AND query matches nothing at test scale")
+    assert(indexed == want, "a stray empty token changed AND-match results")
+  }
+
+  // ── RICH tier: bool.must of multi-field / operator:and / phrase ──
+
+  private val richMapping = IndexMapping(Map("text" -> "text", "source" -> "text"))
+
+  private def richRegistry: Seq[(Long, Seq[(String, String, Seq[String])], Option[Double], Option[Double])] = Seq(
+    (1L, Seq(("text", "phrase", Seq("fast", "sort"))), None, None),
+    (2L, Seq(("text", "or", Seq("dup", "vector")), ("text", "and", Seq("merge", "batch"))), None, None),
+    (3L, Seq(("text", "or", Seq("spark")), ("source", "or", Seq("src3", "src5"))), None, None),
+    (4L, Seq(("text", "phrase", Seq("table", "value"))), Some(200.0), None),
+    (5L, Seq(("text", "and", Seq("scan", "filter")), ("text", "phrase", Seq("the", "line"))), None, None),
+    (6L, Seq(("source", "or", Seq("src1"))), None, None),
+    (7L, Seq(("text", "phrase", Seq("a", "row", "fast"))), None, None),
+    (8L, Seq(("text", "and", Seq("window", "group")), ("source", "or", Seq("src2", "src4", "src6"))), None, Some(400.0))
+  )
+
+  private def richSpecsDf =
+    richRegistry
+      .map { case (id, cls, rgt, rlte) =>
+        (id, cls.map { case (f, k, ts) => (f, k, ts) }, rgt, rlte)
+      }
+      .toDF("query_id", "clauses", "rgt", "rlte")
+      .withColumn(
+        "clauses",
+        expr("transform(clauses, c -> struct(c._1 AS field, c._2 AS kind, c._3 AS terms))")
+      )
+
+  test("rich tier: candidates ⊇ matches, with genuinely over-selecting anchors") {
+    val docs = Tables.documents(spark, Sf)
+    val index = Percolate.buildIndexRich(richSpecsDf)
+    val cand = Percolate.candidatesRich(index, docs, "doc_id", Seq("text", "source"))
+      .as[(Long, Long)].collect().toSet
+    val got = Percolate.percolateRich(index, docs, "doc_id", Seq("text", "source"), "n_chars")
+      .as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty, "vacuous: no rich matches at test scale")
+    assert(got.subsetOf(cand), s"verified matches escaped candidates: ${(got -- cand).take(5)}")
+    // phrase anchors select on containment but verify adjacency — the
+    // over-selection leg must be non-vacuous for the phrase family
+    val phraseIds = Set(1L, 4L, 7L)
+    assert(
+      phraseIds.exists(q => cand.count(_._2 == q) > got.count(_._2 == q)),
+      "no phrase query ever over-selected — the adjacency verifier is untested"
+    )
+  }
+
+  test("rich tier ≡ compiled tier on rendered bool.must bodies (multi-field + phrase + and)") {
+    val docs = Tables.documents(spark, Sf)
+    val bodies = richRegistry.map { case (id, cls, rgt, rlte) =>
+      id -> Percolate.asJsonBodyRich(cls, rgt, rlte, "n_chars")
+    }
+    val flat = JsonDsl.percolate(docs, bodies, richMapping)
+      .select(col("doc_id"), col("query_id"))
+      .as[(Long, Long)].collect().toSet
+    val indexed = Percolate
+      .percolateRich(Percolate.buildIndexRich(richSpecsDf), docs, "doc_id", Seq("text", "source"), "n_chars")
+      .as[(Long, Long)].collect().toSet
+    assert(indexed == flat,
+      s"rich tiers diverge: indexed-only=${(indexed -- flat).take(5)}, flat-only=${(flat -- indexed).take(5)}")
+  }
+
+  test("rich build guards: clause-less, term-less, unknown-kind, dirty-phrase registries refused") {
+    def df(rows: Seq[(Long, Seq[(String, String, Seq[String])])]) =
+      rows
+        .map { case (id, cls) => (id, cls, Option.empty[Double], Option.empty[Double]) }
+        .toDF("query_id", "clauses", "rgt", "rlte")
+        .withColumn(
+          "clauses",
+          expr("transform(clauses, c -> struct(c._1 AS field, c._2 AS kind, c._3 AS terms))")
+        )
+    intercept[IllegalArgumentException] {
+      Percolate.buildIndexRich(df(Seq((1L, Seq.empty))))
+    }
+    intercept[IllegalArgumentException] {
+      Percolate.buildIndexRich(df(Seq((1L, Seq(("text", "or", Seq("", "")))))))
+    }
+    intercept[IllegalArgumentException] {
+      Percolate.buildIndexRich(df(Seq((1L, Seq(("text", "fuzzy", Seq("dup")))))))
+    }
+    intercept[IllegalArgumentException] {
+      Percolate.buildIndexRich(df(Seq((1L, Seq(("text", "phrase", Seq("fast", "", "sort")))))))
+    }
+  }
+
+  test("rich 10^5 stored queries: candidate-bound, live slice ≡ fixture matches") {
+    val live = (0 until 1000).map { i =>
+      val (_, cls, rgt, rlte) = richRegistry(i % richRegistry.size)
+      (100000L + i, cls, rgt, rlte)
+    }
+    val dormant = (0 until 99000).map { i =>
+      (200000L + i,
+        Seq(("text", "phrase", Seq(s"rule_token_$i", "nonexistent_term")),
+          ("source", "or", Seq(s"no_such_source_$i"))),
+        Option.empty[Double], Option.empty[Double])
+    }
+    val specs = (live ++ dormant)
+      .toDF("query_id", "clauses", "rgt", "rlte")
+      .withColumn(
+        "clauses",
+        expr("transform(clauses, c -> struct(c._1 AS field, c._2 AS kind, c._3 AS terms))")
+      )
+    val docs = Tables.documents(spark, Sf)
+    val t0 = System.nanoTime()
+    val index = Percolate.buildIndexRich(specs)
+    val got = Percolate.percolateRich(index, docs, "doc_id", Seq("text", "source"), "n_chars")
+      .as[(Long, Long)].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"rich 10^5-query percolate: ${got.length} matches in $secs%.2f s")
+    assert(got.forall(_._2 < 200000L), "a dormant rich rule matched")
+    val gotBase = got.map { case (d, q) => (d, richRegistry(((q - 100000L) % richRegistry.size).toInt)._1) }.toSet
+    val want = Percolate
+      .percolateRich(Percolate.buildIndexRich(richSpecsDf), docs, "doc_id", Seq("text", "source"), "n_chars")
+      .as[(Long, Long)].collect().toSet
+    assert(gotBase == want, "rich live-slice matches diverge from the fixture registry's")
+  }
+
+  test("rich streaming face: stream-static, zero state, parity with batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val index = Percolate.buildIndexRich(richSpecsDf)
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val alerts = graft.streaming.PercolateStream.alertsIndexedRich(
+      index, mem.toDF.toDF("doc_id", "text", "source", "n_chars"),
+      "doc_id", Seq("text", "source"), "n_chars")
+    val q = alerts.writeStream.format("memory").queryName("rich_alerts").outputMode("append").start()
+    val docs = Tables.documents(spark, Sf)
+    val rows = docs.select("doc_id", "text", "source", "n_chars")
+      .as[(Long, String, String, Long)].collect().toSeq
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"rich streaming percolate grew state: ${q.lastProgress.stateOperators.mkString(",")}")
+    } finally q.stop()
+    val got = spark.table("rich_alerts").as[(Long, Long)].collect().toSet
+    val want = Percolate.percolateRich(index, docs, "doc_id", Seq("text", "source"), "n_chars")
+      .as[(Long, Long)].collect().toSet
+    assert(got == want, s"rich streamed alerts diverge from batch: ${(got.diff(want) ++ want.diff(got)).take(5)}")
+  }
+
   test("alertsIndexed: a streaming doc side through the index tier ≡ batch, with ZERO state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
