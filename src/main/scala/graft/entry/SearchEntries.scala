@@ -1056,6 +1056,14 @@ private[graft] object SearchEntries {
     "search_cumulative_cardinality" -> ((s, dir) =>
       Aggs.cumulativeCardinality(Tables.events(s, dir), col("ts"), col("user_id"), "day")),
 
+    // sketch twin (r14, §5 audit rule): the exact plan's first-appearance
+    // aggregation shuffles every (key) once; this one's only fact pass is
+    // a bucket-keyed HLL sketch aggregate (map-side merged), cumulative
+    // union over the tiny bucket table. Replica-verified ≤5% of exact,
+    // monotone (ReplicaSpec).
+    "search_cumulative_cardinality_approx" -> ((s, dir) =>
+      Aggs.cumulativeCardinalityApprox(Tables.events(s, dir), col("ts"), col("user_id"), "day")),
+
     // moving_fn (max/min/sum over a 3-bucket window) + serial_diff lag-2,
     // the remaining Kibana time-series pipeline kit; windows run over the
     // ~tens-of-rows bucket table only.
@@ -1582,6 +1590,37 @@ private[graft] object SearchEntries {
           graft.search.Percolate.buildIndex(specs),
           Tables.documents(s, dir),
           "doc_id", "text", "n_chars"
+        )
+        .orderBy("doc_id", "query_id")
+    }),
+
+    // percolate, RICH index tier (r14): the indexed percolator's query
+    // model at OpenSearch's bool.must-of-clauses shape — multi-field
+    // terms, operator:and matches, match_phrase verified positionally —
+    // still one stateless field-qualified posting join, candidate-bound,
+    // plan O(1) in registry size (PercolateSpec: compiled-tier equality
+    // + 10⁵-rule bound for THIS model).
+    "search_percolate_indexed_rich" -> ((s, dir) => {
+      import s.implicits._
+      val specs = Seq(
+        (1L, Seq(("text", "phrase", Seq("fast", "sort"))), Option.empty[Double], Option.empty[Double]),
+        (2L, Seq(("text", "or", Seq("dup", "vector")), ("text", "and", Seq("merge", "batch"))), None, None),
+        (3L, Seq(("text", "or", Seq("spark")), ("source", "or", Seq("src3", "src5"))), None, None),
+        (4L, Seq(("text", "phrase", Seq("table", "value"))), Some(200.0), None),
+        (5L, Seq(("text", "and", Seq("scan", "filter")), ("text", "phrase", Seq("the", "line"))), None, None),
+        (6L, Seq(("source", "or", Seq("src1"))), None, None),
+        (7L, Seq(("text", "phrase", Seq("a", "row", "fast"))), None, None),
+        (8L, Seq(("text", "and", Seq("window", "group")), ("source", "or", Seq("src2", "src4", "src6"))), None, Some(400.0))
+      ).toDF("query_id", "clauses", "rgt", "rlte")
+        .withColumn(
+          "clauses",
+          expr("transform(clauses, c -> struct(c._1 AS field, c._2 AS kind, c._3 AS terms))")
+        )
+      graft.search.Percolate
+        .percolateRich(
+          graft.search.Percolate.buildIndexRich(specs),
+          Tables.documents(s, dir),
+          "doc_id", Seq("text", "source"), "n_chars"
         )
         .orderBy("doc_id", "query_id")
     }),
@@ -3191,6 +3230,38 @@ private[graft] object SearchEntries {
         |WHERE (CASE WHEN q.conj THEN list_has_all(d.toks, q.terms) ELSE list_has_any(d.toks, q.terms) END)
         |  AND (q.rgt IS NULL OR d.rv > q.rgt) AND (q.rlte IS NULL OR d.rv <= q.rlte)
         |ORDER BY 1, 2""".stripMargin,
+
+    "search_percolate_indexed_rich" ->
+      """WITH d AS (SELECT doc_id,
+        |                  string_split(lower(text), ' ') AS toks,
+        |                  ' ' || lower(text) || ' ' AS padded,
+        |                  string_split(lower(source), ' ') AS stoks,
+        |                  CAST(n_chars AS DOUBLE) AS rv
+        |           FROM documents)
+        |SELECT doc_id, query_id FROM (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS query_id FROM d
+        |    WHERE contains(padded, ' fast sort ')
+        |  UNION ALL
+        |  SELECT doc_id, 2 FROM d
+        |    WHERE list_has_any(toks, ['dup','vector']) AND list_has_all(toks, ['merge','batch'])
+        |  UNION ALL
+        |  SELECT doc_id, 3 FROM d
+        |    WHERE list_contains(toks, 'spark') AND list_has_any(stoks, ['src3','src5'])
+        |  UNION ALL
+        |  SELECT doc_id, 4 FROM d
+        |    WHERE contains(padded, ' table value ') AND rv > 200.0
+        |  UNION ALL
+        |  SELECT doc_id, 5 FROM d
+        |    WHERE list_has_all(toks, ['scan','filter']) AND contains(padded, ' the line ')
+        |  UNION ALL
+        |  SELECT doc_id, 6 FROM d WHERE list_contains(stoks, 'src1')
+        |  UNION ALL
+        |  SELECT doc_id, 7 FROM d WHERE contains(padded, ' a row fast ')
+        |  UNION ALL
+        |  SELECT doc_id, 8 FROM d
+        |    WHERE list_has_all(toks, ['window','group'])
+        |      AND list_has_any(stoks, ['src2','src4','src6']) AND rv <= 400.0
+        |) ORDER BY 1, 2""".stripMargin,
 
     "search_rank_feature" ->
       """SELECT doc_id, n_chars, round(2.0 * n_chars / (n_chars + 250.0), 6) AS score

@@ -1455,6 +1455,20 @@ private[graft] object SearchWireEntries {
           |     "cum_users": {"cumulative_cardinality": {"buckets_path": "u"}}}}}}""".stripMargin
       )),
 
+    // sketch twin of the wire cumulative_cardinality (r14): "approx"
+    // routes the whole request to the HLL plan — bucket-keyed sketch
+    // aggregate + cumulative union, no per-key shuffle, no Expand.
+    // Replica contract rides the structured twin (ReplicaSpec).
+    "search_dsl_json_cumulative_cardinality_approx" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.events(s, dir),
+        """{"aggs": {"daily": {
+          |   "date_histogram": {"field": "ts", "calendar_interval": "day"},
+          |   "aggs": {
+          |     "u": {"cardinality": {"field": "user_id"}},
+          |     "cum_users": {"cumulative_cardinality": {"buckets_path": "u", "approx": true}}}}}}""".stripMargin
+      )),
+
     "search_dsl_json_moving_ewma" -> ((s, dir) =>
       JsonDsl.parse(
         Tables.events(s, dir),

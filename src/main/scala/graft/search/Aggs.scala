@@ -714,6 +714,34 @@ object Aggs {
       .orderBy("bucket")
   }
 
+  /** The SKETCH tier of [[cumulativeCardinality]]: per-bucket HLL
+    * (Datasketches) sketches, unioned cumulatively. Where the exact
+    * plan's first-appearance aggregation still shuffles the full fact
+    * table by key, this one's only fact-table pass is a map-side-merged
+    * `hll_sketch_agg` groupBy on the BUCKET key (tens of groups), and
+    * the cumulative union runs over the tiny bucket table's sketches —
+    * the shuffle carries kilobyte sketches, never keys. No distinct,
+    * no Expand, anywhere (the §5 audit rule: a sketch-tier request is
+    * sketch-tier THROUGHOUT). Estimate error is the HLL default
+    * (lgConfigK=12, RSE ≈0.8%); the replica contract bounds it at 5%
+    * against the exact twin per bucket and asserts monotonicity.
+    */
+  def cumulativeCardinalityApprox(df: DataFrame, ts: Column, key: Column, interval: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perBucket = df
+      .select(date_trunc(interval, ts).as("bucket"), key.as("_k"))
+      .groupBy("bucket")
+      .agg(hll_sketch_agg(col("_k")).as("_sk"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .select(
+        col("bucket"),
+        hll_sketch_estimate(col("_sk")).as("bucket_cardinality"),
+        hll_sketch_estimate(hll_union_agg(col("_sk")).over(w)).as("cum_cardinality")
+      )
+      .orderBy("bucket")
+  }
+
   /** `auto_date_histogram`: the smallest calendar interval from the
     * hour → day → month → year ladder that keeps the bucket count at or
     * under `targetBuckets`. The span probe is a 1-row min/max aggregate

@@ -2605,7 +2605,15 @@ object JsonDsl {
             )
             require(entries.size == 2, "cumulative_cardinality supports exactly the cardinality sibling + itself")
             val keyField = col(req(card.get.getValue.get("cardinality"), "field", "cardinality").asText)
-            return Aggs.cumulativeCardinality(df, field, keyField, interval.get)
+            // "approx": true → the sketch tier: per-bucket HLL sketches
+            // unioned cumulatively; the exact tier's per-key shuffle
+            // becomes a bucket-keyed sketch aggregate (§5 audit rule —
+            // sketch-tier THROUGHOUT, no Expand anywhere).
+            val approx = Option(cum.getValue.get("cumulative_cardinality").get("approx")).exists(_.asBoolean)
+            return {
+              if (approx) Aggs.cumulativeCardinalityApprox(df, field, keyField, interval.get)
+              else Aggs.cumulativeCardinality(df, field, keyField, interval.get)
+            }
           case None => ()
         }
         // rate sub-agg: per-day rate of a monthly decimal sum — delegates

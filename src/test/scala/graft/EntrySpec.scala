@@ -97,6 +97,22 @@ class EntrySpec extends SparkSpec {
     assert(pa.contains("HashAggregate(keys=[key"), s"parent agg lost its pre-join distinct:\n$pa")
   }
 
+  test("sketch-tier audit: no *_approx plan contains a distinct Expand") {
+    // The §5 audit rule, applied as a standing sweep instead of a
+    // one-off: a sketch-tier request must be sketch-tier THROUGHOUT.
+    // One exact count(DISTINCT) alongside mergeable sketches compiles
+    // to an Expand that re-shuffles the whole scan — the r13 dh-twin
+    // finding (79 s at 100× vs 2.3 s with HLL). Every *_approx key's
+    // physical plan must therefore be Expand-free, permanently.
+    val approxKeys = SparkEntry.queries.keys.filter(_.endsWith("_approx")).toSeq.sorted
+    assert(approxKeys.nonEmpty)
+    for (q <- approxKeys) {
+      val plan = SparkEntry.queries(q)(spark, Sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("Expand"),
+        s"$q: sketch-tier plan contains a distinct-expand (exact distinct smuggled into the sketch tier):\n$plan")
+    }
+  }
+
   test("join-back family pays each fact scan once (cache or window restructure)") {
     // q11/q15 branch on a shared aggregate: both consumers must read the
     // persisted frame (2 InMemoryTableScans; the fact scan runs once, at

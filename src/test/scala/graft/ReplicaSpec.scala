@@ -919,4 +919,21 @@ class ReplicaSpec extends SparkSpec {
         r.getAs[Double]("price_p90"), "dh_percentiles_approx p90")
     }
   }
+
+  test("cumulative cardinality sketch twin: per-bucket ≤5% of exact, monotone non-decreasing") {
+    val approx = SparkEntry.queries("search_cumulative_cardinality_approx")(spark, Sf)
+      .collect().map(r => r.get(0) -> r.getAs[Long]("cum_cardinality")).toMap
+    val exact = SparkEntry.queries("search_cumulative_cardinality")(spark, Sf)
+      .collect().map(r => r.get(0) -> r.getAs[Long]("cum_cardinality"))
+    assert(exact.nonEmpty, "no buckets")
+    assert(approx.keySet == exact.map(_._1).toSet, "bucket spines diverge between the twins")
+    exact.foreach { case (bucket, want) =>
+      val got = approx(bucket)
+      assert(math.abs(got - want) <= math.max(1L, (0.05 * want).toLong),
+        s"$bucket: HLL cumulative cardinality $got outside 5% of exact $want")
+    }
+    val inOrder = exact.map { case (b, _) => approx(b) }
+    assert(inOrder.zip(inOrder.tail).forall { case (a, b) => b >= a },
+      "cumulative union is not monotone — sketches are not being unioned")
+  }
 }
