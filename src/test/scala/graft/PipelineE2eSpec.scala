@@ -214,6 +214,63 @@ class PipelineE2eSpec extends SparkSpec {
     val liveHits = nestedHits(nested)
     assert(liveHits == nestedHits(freshNested) && liveHits == 500,
       s"nested query diverged or wrong: $liveHits")
+    // ── 6. The ALERTING loop (r14): the same envelope stream drives the
+    //       indexed percolator against a 10⁴-rule registry — the
+    //       reference's threshold/match alert panels over the CDC
+    //       stream, at registry sizes the compiled tier cannot reach.
+    //       500 live rules (vocab terms + body-length thresholds) +
+    //       9 500 dormant ones (terms absent from the corpus — the
+    //       realistic monitor registry where most rules match nothing).
+    val tAlert = System.nanoTime()
+    val liveRules = (0 until 500).map { i =>
+      val t1 = vocab(i % 16); val t2 = vocab((i / 16) % 16)
+      (i.toLong, Seq(t1, t2), i % 2 == 0,
+        if (i % 3 == 0) Option(20.0) else Option.empty[Double],
+        if (i % 5 == 0) Option(35.0) else Option.empty[Double])
+    }
+    val dormantRules = (0 until 9500).map { i =>
+      (10000L + i, Seq(s"zz_rule_$i", "zz_never_in_corpus"), true,
+        Option.empty[Double], Option.empty[Double])
+    }
+    val pindex = graft.search.Percolate.buildIndex(
+      (liveRules ++ dormantRules).toDF("query_id", "terms", "conj", "rgt", "rlte"))
+    val docUpStream = graft.cdc.ChangeEvent
+      .parse(
+        FileEnvelopeTransport(landing.getAbsolutePath, maxFilesPerTrigger = Some(1)).stream(spark),
+        col("value"), keyField = "d_id")
+      .filter(col("table") === "docs" && col("op") =!= "d")
+      .select(col("key").cast("long").as("d_id"), element_at(col("after"), "body").as("body"))
+      .withColumn("blen", length(col("body")))
+    val alertQ = graft.streaming.PercolateStream
+      .alertsIndexed(pindex, docUpStream, "d_id", "body", "blen")
+      .writeStream.format("memory").queryName("e2e_alerts").outputMode("append")
+      .start()
+    try {
+      alertQ.processAllAvailable()
+      // the alerting leg must stay a stateless stream-static join — no
+      // watermark, no state store, source-parallel append
+      assert(alertQ.lastProgress.stateOperators.isEmpty,
+        s"alerting leg grew state: ${alertQ.lastProgress.stateOperators.mkString(",")}")
+    } finally alertQ.stop()
+    val streamedAlerts = spark.table("e2e_alerts").as[(Long, Long)].collect().toSet
+    assert(streamedAlerts.nonEmpty, "vacuous: no alerts fired over the CDC stream")
+    assert(streamedAlerts.forall(_._2 < 10000L), "a dormant rule alerted")
+    // Parity with the batch percolate over the FINAL DB state: every doc
+    // image the stream upserted survives unchanged to the final state in
+    // this drill (one upsert per doc, none later deleted), so batch-
+    // percolating the final state restricted to the streamed ids must
+    // reproduce the streamed alerts exactly.
+    val streamedIds = (upd ++ ins).toDF("d_id")
+    val batchAlerts = graft.search.Percolate
+      .percolate(
+        pindex,
+        finalDocs.join(streamedIds, Seq("d_id")).withColumn("blen", length(col("body"))),
+        "d_id", "body", "blen")
+      .as[(Long, Long)].collect().toSet
+    assert(streamedAlerts == batchAlerts,
+      s"streamed alerts diverge from batch percolate over final state: " +
+        s"stream-only=${(streamedAlerts -- batchAlerts).take(5)}, batch-only=${(batchAlerts -- streamedAlerts).take(5)}")
+    info(f"alerting leg (10^4-rule registry over the CDC stream): ${streamedAlerts.size} alerts, ${(System.nanoTime() - tAlert) / 1e9}%.1f s")
     info(f"E2E drill (${NDocs} docs + ${2 * NDocs} sections + 2 CDC batches): ${(System.nanoTime() - t0) / 1e9}%.1f s")
   }
 }
