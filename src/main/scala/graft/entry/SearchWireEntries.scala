@@ -1044,6 +1044,41 @@ private[graft] object SearchWireEntries {
         .orderBy("o_orderkey", "query_id")
     }),
 
+    // percolate from the JSON wire format at the INDEX tier (r14): the
+    // registry rows are the same OpenSearch bodies, but instead of
+    // compiling each into the plan (~10³ ceiling) they compile into
+    // rich queries-as-data rows (Percolate.compileJsonRegistry) and run
+    // through the field-qualified posting join — the bridge that takes
+    // a JSON rule registry to 10⁵–10⁶ scale. PercolateSpec proves
+    // compiled-registry ≡ hand-built-registry results and fail-fast on
+    // non-indexable bodies.
+    "search_dsl_json_percolate_indexed" -> ((s, dir) => {
+      val registry = Seq(
+        1L -> """{"query": {"match_phrase": {"text": "fast sort"}}}""",
+        2L -> """{"query": {"bool": {"must": [{"match": {"text": "dup vector"}},
+                 {"match": {"text": {"query": "merge batch", "operator": "and"}}}]}}}""",
+        3L -> """{"query": {"bool": {"must": [{"match": {"text": "spark"}},
+                 {"match": {"source": "src3 src5"}}]}}}""",
+        4L -> """{"query": {"bool": {"must": [{"match_phrase": {"text": "table value"}}],
+                 "filter": [{"range": {"n_chars": {"gt": 200}}}]}}}""",
+        5L -> """{"query": {"bool": {"must": [{"match": {"text": {"query": "scan filter", "operator": "and"}}},
+                 {"match_phrase": {"text": "the line"}}]}}}""",
+        6L -> """{"query": {"match": {"source": "src1"}}}""",
+        7L -> """{"query": {"match_phrase": {"text": "a row fast"}}}""",
+        8L -> """{"query": {"bool": {"must": [{"match": {"text": {"query": "window group", "operator": "and"}}},
+                 {"match": {"source": "src2 src4 src6"}}],
+                 "filter": [{"range": {"n_chars": {"lte": 400}}}]}}}"""
+      )
+      val specs = graft.search.Percolate.compileJsonRegistry(s, registry, Seq("text", "source"), "n_chars")
+      graft.search.Percolate
+        .percolateRich(
+          graft.search.Percolate.buildIndexRich(specs),
+          Tables.documents(s, dir),
+          "doc_id", Seq("text", "source"), "n_chars"
+        )
+        .orderBy("doc_id", "query_id")
+    }),
+
     // function_score gauss decay from the wire format — same scorer as
     // the structured search_decay_gauss (JsonDslSpec asserts the plan),
     // emitted as _score per the wire convention.
@@ -2635,6 +2670,40 @@ private[graft] object SearchWireEntries {
         |  SELECT o_orderkey, CAST(4 AS BIGINT) FROM docs
         |  WHERE o_orderstatus = 'F' AND o_totalprice <= 100000) t
         |ORDER BY o_orderkey, query_id""".stripMargin,
+
+    // same registry semantics as the structured search_percolate_indexed_rich
+    // (the wire bodies compile to the identical rich rows)
+    "search_dsl_json_percolate_indexed" ->
+      """WITH d AS (SELECT doc_id,
+        |                  string_split(lower(text), ' ') AS toks,
+        |                  ' ' || lower(text) || ' ' AS padded,
+        |                  string_split(lower(source), ' ') AS stoks,
+        |                  CAST(n_chars AS DOUBLE) AS rv
+        |           FROM documents)
+        |SELECT doc_id, query_id FROM (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS query_id FROM d
+        |    WHERE contains(padded, ' fast sort ')
+        |  UNION ALL
+        |  SELECT doc_id, 2 FROM d
+        |    WHERE list_has_any(toks, ['dup','vector']) AND list_has_all(toks, ['merge','batch'])
+        |  UNION ALL
+        |  SELECT doc_id, 3 FROM d
+        |    WHERE list_contains(toks, 'spark') AND list_has_any(stoks, ['src3','src5'])
+        |  UNION ALL
+        |  SELECT doc_id, 4 FROM d
+        |    WHERE contains(padded, ' table value ') AND rv > 200.0
+        |  UNION ALL
+        |  SELECT doc_id, 5 FROM d
+        |    WHERE list_has_all(toks, ['scan','filter']) AND contains(padded, ' the line ')
+        |  UNION ALL
+        |  SELECT doc_id, 6 FROM d WHERE list_contains(stoks, 'src1')
+        |  UNION ALL
+        |  SELECT doc_id, 7 FROM d WHERE contains(padded, ' a row fast ')
+        |  UNION ALL
+        |  SELECT doc_id, 8 FROM d
+        |    WHERE list_has_all(toks, ['window','group'])
+        |      AND list_has_any(stoks, ['src2','src4','src6']) AND rv <= 400.0
+        |) ORDER BY 1, 2""".stripMargin,
 
     "search_dsl_json_decay" ->
       """SELECT o_orderkey,

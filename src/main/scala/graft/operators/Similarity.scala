@@ -1669,16 +1669,28 @@ object Similarity {
     // vector yields a null array and explode drops it — the same
     // zero-rows contract the boxed UDF's empty Seq produced.
     val cells = emb
-      .select(col(idCol).as("id"), explode(VectorFns.nearestCells(col(vecCol), cents, nAssign)).as("cell"))
-    val l = cells.select(col("id").as("a"), col("cell"))
-    val r = cells.select(col("id").as("b"), col("cell"))
-    val cands = l.join(r, Seq("cell")).filter(col("a") < col("b")).select("a", "b").distinct()
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    cands
-      .join(base.select(col("id").as("a"), col("vec").as("va")), "a")
-      .join(base.select(col("id").as("b"), col("vec").as("vb")), "b")
+      .select(
+        col(idCol).as("id"),
+        col(vecCol).as("vec"),
+        explode(VectorFns.nearestCells(col(vecCol), cents, nAssign)).as("cell")
+      )
+    // Vectors RIDE the cell self-join and the exact-cosine verify runs
+    // INLINE on the join output (pipelined — candidate pairs are never
+    // materialized through an exchange). The old shape shuffled the
+    // ~targetCell·nAssign·n candidate id-pair volume THREE times at 100×
+    // (the candidate distinct + two vector join-backs — the r14 sf10
+    // re-cut measured it super-linear on the last decade from exactly
+    // that spill); here the only exchange is the cell-keyed sort of
+    // n·nAssign (id, vec) rows, and the final distinct runs on the
+    // (output-sized) verified pairs — a multi-assign double-find of the
+    // same pair yields identical rows either way.
+    val l = cells.select(col("cell"), col("id").as("a"), col("vec").as("va"))
+    val r = cells.select(col("cell"), col("id").as("b"), col("vec").as("vb"))
+    l.join(r, Seq("cell"))
+      .filter(col("a") < col("b"))
       .select(col("a"), col("b"), round(VectorFns.cosine(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
+      .distinct()
   }
 
   /** Signature width that keeps expected bucket occupancy ~`targetBucket`
@@ -1727,19 +1739,23 @@ object Similarity {
           array((0 until tables).map(t => VectorFns.hyperplaneSig(col("vec"), bits, seed = t * 104729 + 13)): _*)
         ).as(Seq("table", "sig"))
       )
-    // Candidate distinct() shuffles only (a, b) id pairs; the 64-float
-    // vectors are joined back by id for the exact-cosine verify.
-    val l = sigd.as("l")
-    val r = sigd.as("r")
-    val cands = l
-      .join(r, col("l.table") === col("r.table") && col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"))
-      .distinct()
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    cands
-      .join(base.select(col("id").as("a"), col("vec").as("va")), "a")
-      .join(base.select(col("id").as("b"), col("vec").as("vb")), "b")
+    // Vectors RIDE the (table, sig) self-join and the exact-cosine
+    // verify runs INLINE on the join output — candidate pairs are never
+    // materialized through an exchange. The old shape shuffled the
+    // ~targetBucket·tables·n/2 candidate id-pair volume three times
+    // (candidate distinct + two vector join-backs): ~100 M rows at the
+    // 100× point, measured super-linear on the last decade from the
+    // spill (r14 sf10 re-cut). Here the only exchange is the
+    // (table, sig)-keyed sort of n·tables (id, vec) rows; a multi-table
+    // double-find verifies cosine once per colliding table but produces
+    // IDENTICAL (a, b, cos) rows, so the final distinct — now on the
+    // output-sized verified pairs — collapses them exactly as before.
+    val l = sigd.select(col("table"), col("sig"), col("id").as("a"), col("vec").as("va"))
+    val r = sigd.select(col("table"), col("sig"), col("id").as("b"), col("vec").as("vb"))
+    l.join(r, Seq("table", "sig"))
+      .filter(col("a") < col("b"))
       .select(col("a"), col("b"), round(VectorFns.cosine(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
+      .distinct()
   }
 }

@@ -148,8 +148,16 @@ object Percolate {
         col(rangeCol).cast("double").as("_rv")
       )
       .select(col("_pid"), col("_toks"), col("_rv"), explode(col("_toks")).as("term"))
-      .join(index.posting, Seq("term"))
-      .join(index.specs, Seq("query_id"))
+      // Registry frames broadcast EXPLICITLY: at 10⁶ rules the posting/
+      // specs frames (~tens of MB) fall out of the 10 MB auto-broadcast
+      // threshold, and a sort-merge fallback would shuffle the candidate
+      // volume — and re-shuffle the static side EVERY micro-batch on the
+      // streaming path (measured: a 10⁶-rule registry stalled a 45 s
+      // window before the hint; candidate-bound after). Registry frames
+      // are metadata-sized by the tier's own design; a 10⁷⁺-rule
+      // deployment partitions the registry before it outgrows broadcast.
+      .join(broadcast(index.posting), Seq("term"))
+      .join(broadcast(index.specs), Seq("query_id"))
       .filter(
         // first-posted-term ownership: exactly one exploded row per
         // matching (doc, query) survives
@@ -179,7 +187,7 @@ object Percolate {
   ): DataFrame =
     docs
       .select(col(idCol).as("_pid"), explode(array_distinct(SearchDsl.analyze(col(textCol)))).as("term"))
-      .join(index.posting, Seq("term"))
+      .join(broadcast(index.posting), Seq("term"))
       .select(col("_pid").as(idCol), col("query_id"))
       .distinct()
 
@@ -359,8 +367,9 @@ object Percolate {
         ) ++ tokCols: _*
       )
       .withColumn("pterm", explode(col("_ctoks")))
-      .join(index.posting, Seq("pterm"))
-      .join(index.specs, Seq("query_id"))
+      // registry broadcast: same rationale as the flat tier's percolate
+      .join(broadcast(index.posting), Seq("pterm"))
+      .join(broadcast(index.specs), Seq("query_id"))
       .filter(
         col("pterm") === element_at(array_intersect(col("_posted"), col("_ctoks")), 1) &&
           forall(col("clauses"), c => clauseOk(c, textFields)) &&
@@ -379,9 +388,106 @@ object Percolate {
   ): DataFrame =
     docs
       .select(col(idCol).as("_pid"), explode(docCompositeToks(textFields)).as("pterm"))
-      .join(index.posting, Seq("pterm"))
+      .join(broadcast(index.posting), Seq("pterm"))
       .select(col("_pid").as(idCol), col("query_id"))
       .distinct()
+
+  /** Compile a JSON-body rule registry (the wire form users actually
+    * store — the same bodies [[JsonDsl.percolate]] compiles into a
+    * projection) into rich queries-as-data rows for [[buildIndexRich]]:
+    * the bridge that lets a JSON registry run at posting-table scale
+    * instead of the compiled tier's ~10³ plan ceiling.
+    *
+    * Accepted query shapes (the indexable subset — anything else
+    * fail-fasts so a rule never silently degrades):
+    *   - `match` {field: "terms"} → 'or' clause; {field: {"query": …,
+    *     "operator": "and"}} → 'and' clause;
+    *   - `match_phrase` {field: "…"} → 'phrase' clause;
+    *   - `bool` with `must` (array or single) of the above, plus an
+    *     optional `filter` of ONE `range` on `rangeField` with gt/lte
+    *     bounds (the rich model's range slots).
+    * Fields must be in `textFields` (the fields percolate-time will
+    * tokenize); query text analyzes with the house whitespace-lower
+    * analyzer, matching [[SearchDsl.analyze]] on the doc side.
+    *
+    * Registry parsing is driver-side (a registry is metadata-sized —
+    * 10⁶ rules parse in seconds and the posting build is distributed);
+    * the percolate itself never touches the driver.
+    */
+  def compileJsonRegistry(
+      spark: org.apache.spark.sql.SparkSession,
+      bodies: Seq[(Long, String)],
+      textFields: Seq[String],
+      rangeField: String
+  ): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def analyzed(s: String): Seq[String] = s.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    def clauseOf(node: com.fasterxml.jackson.databind.JsonNode): (String, String, Seq[String]) = {
+      require(node.isObject && node.size == 1, s"clause must have exactly one query type: $node")
+      val qt = node.fieldNames().next()
+      val body = node.get(qt)
+      require(body.isObject && body.size == 1, s"$qt must name exactly one field: $body")
+      val field = body.fieldNames().next()
+      require(textFields.contains(field), s"$qt on '$field' — not a percolate text field $textFields")
+      val v = body.get(field)
+      qt match {
+        case "match" =>
+          if (v.isObject) {
+            val q = v.get("query")
+            require(q != null, s"match on '$field' needs a query")
+            val and = Option(v.get("operator")).exists(_.asText == "and")
+            (field, if (and) "and" else "or", analyzed(q.asText))
+          } else (field, "or", analyzed(v.asText))
+        case "match_phrase" =>
+          require(!v.isObject, s"match_phrase on '$field' takes a plain string here")
+          (field, "phrase", analyzed(v.asText))
+        case other =>
+          throw new IllegalArgumentException(
+            s"query type '$other' is not indexable — route this rule to the compiled tier")
+      }
+    }
+    val rows = bodies.map { case (id, body) =>
+      val root0 = mapper.readTree(body)
+      val root = if (root0.has("query")) root0.get("query") else root0
+      require(root.isObject && root.size == 1, s"rule $id: body must have exactly one top-level query")
+      val qt = root.fieldNames().next()
+      val (clauses, rgt, rlte) = qt match {
+        case "bool" =>
+          val b = root.get("bool")
+          val extra = b.fieldNames().asScala.toSet -- Set("must", "filter")
+          require(extra.isEmpty, s"rule $id: unsupported bool sections $extra")
+          val must = Option(b.get("must")).map { m =>
+            (if (m.isArray) m.elements().asScala.toSeq else Seq(m)).map(clauseOf)
+          }.getOrElse(Seq.empty)
+          require(must.nonEmpty, s"rule $id: bool without must clauses is not indexable")
+          val (g, l) = Option(b.get("filter")).map { f =>
+            val fs = if (f.isArray) f.elements().asScala.toSeq else Seq(f)
+            require(fs.size == 1 && fs.head.has("range"), s"rule $id: filter must be one range clause")
+            val r = fs.head.get("range")
+            require(r.size == 1 && r.has(rangeField), s"rule $id: range must address '$rangeField'")
+            val bounds = r.get(rangeField)
+            val extraB = bounds.fieldNames().asScala.toSet -- Set("gt", "lte")
+            require(extraB.isEmpty, s"rule $id: only gt/lte range bounds are indexable, got $extraB")
+            (Option(bounds.get("gt")).map(_.asDouble), Option(bounds.get("lte")).map(_.asDouble))
+          }.getOrElse((Option.empty[Double], Option.empty[Double]))
+          (must, g, l)
+        case "match" | "match_phrase" =>
+          (Seq(clauseOf(root)), Option.empty[Double], Option.empty[Double])
+        case other =>
+          throw new IllegalArgumentException(
+            s"rule $id: query type '$other' is not indexable — route to the compiled tier")
+      }
+      (id, clauses, rgt, rlte)
+    }
+    import spark.implicits._
+    rows
+      .toDF("query_id", "clauses", "rgt", "rlte")
+      .withColumn(
+        "clauses",
+        expr("transform(clauses, c -> struct(c._1 AS field, c._2 AS kind, c._3 AS terms))")
+      )
+  }
 
   /** Render one rich registry row as the JSON body the compiled tier
     * accepts — bool.must of match / match-operator-and / match_phrase

@@ -208,6 +208,48 @@ class PercolateSpec extends SparkSpec {
     assert(gotBase == want, "rich live-slice matches diverge from the fixture registry's")
   }
 
+  test("JSON registry compiles to the rich index tier: same results as the hand-built rows") {
+    val docs = Tables.documents(spark, Sf)
+    // round-trip through the WIRE form: render each fixture row as the
+    // JSON body a user would store, compile it back, percolate — must
+    // equal the hand-built registry row-for-row. (asJsonBodyRich renders
+    // 'and' clauses as must-of-single-term matches; the compiler reads
+    // those as single-term clauses — semantically identical, and the
+    // equality here proves it by data.)
+    val bodies = richRegistry.map { case (id, cls, rgt, rlte) =>
+      id -> Percolate.asJsonBodyRich(cls, rgt, rlte, "n_chars")
+    }
+    val compiled = Percolate.compileJsonRegistry(spark, bodies, Seq("text", "source"), "n_chars")
+    val got = Percolate
+      .percolateRich(Percolate.buildIndexRich(compiled), docs, "doc_id", Seq("text", "source"), "n_chars")
+      .as[(Long, Long)].collect().toSet
+    val want = Percolate
+      .percolateRich(Percolate.buildIndexRich(richSpecsDf), docs, "doc_id", Seq("text", "source"), "n_chars")
+      .as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty && got == want,
+      s"compiled-registry percolate diverges: got-only=${(got -- want).take(5)}, want-only=${(want -- got).take(5)}")
+  }
+
+  test("JSON registry compiler fail-fasts on non-indexable shapes (no silent degradation)") {
+    def compile(body: String) =
+      Percolate.compileJsonRegistry(spark, Seq(1L -> body), Seq("text"), "n_chars")
+    intercept[IllegalArgumentException] {
+      compile("""{"query": {"wildcard": {"text": "sp*rk"}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      compile("""{"query": {"bool": {"should": [{"match": {"text": "spark"}}]}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      compile("""{"query": {"bool": {"must": [{"match": {"text": "spark"}}], "filter": [{"range": {"wrong_col": {"gt": 1}}}]}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      compile("""{"query": {"bool": {"must": [{"match": {"text": "spark"}}], "filter": [{"range": {"n_chars": {"gte": 1}}}]}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      compile("""{"query": {"match": {"not_a_text_field": "spark"}}}""")
+    }
+  }
+
   test("rich streaming face: stream-static, zero state, parity with batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
