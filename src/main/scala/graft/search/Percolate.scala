@@ -309,8 +309,13 @@ object Percolate {
 
   /** Positional phrase verification: the phrase's terms occur adjacently
     * in order somewhere in the field's full (in-order, duplicates kept)
-    * token array. Pure nested-HOF codegen — no UDF; `when` guards the
-    * short-doc case so `sequence` never runs descending.
+    * token array. Pure nested-HOF codegen — no UDF. The candidate
+    * positions are pre-filtered to FIRST-TERM hits, so the inner
+    * per-position conjunction (and its sequence allocation) runs only on
+    * the few true anchors, not every position of every candidate row;
+    * `when` guards the short-doc case so `sequence` never runs
+    * descending, and the single-term branch short-circuits before the
+    * (then-descending) inner sequence(2, 1) could be touched.
     */
   private def phraseOk(toks: Column, terms: Column): Column = {
     val n = size(terms)
@@ -318,8 +323,10 @@ object Percolate {
     when(
       m >= n,
       exists(
-        sequence(lit(1), m - n + lit(1)),
-        i => forall(sequence(lit(1), n), j => element_at(toks, i + j - lit(1)) === element_at(terms, j))
+        filter(sequence(lit(1), m - n + lit(1)), i => element_at(toks, i) === element_at(terms, 1)),
+        i =>
+          (n === lit(1)) ||
+            forall(sequence(lit(2), n), j => element_at(toks, i + j - lit(1)) === element_at(terms, j))
       )
     ).otherwise(lit(false))
   }
@@ -371,10 +378,13 @@ object Percolate {
       .join(broadcast(index.posting), Seq("pterm"))
       .join(broadcast(index.specs), Seq("query_id"))
       .filter(
+        // evaluation order matters: ownership (one intersect) and the
+        // constant-time range bounds prune BEFORE the per-clause HOF
+        // verification ever runs — And short-circuits left-to-right
         col("pterm") === element_at(array_intersect(col("_posted"), col("_ctoks")), 1) &&
-          forall(col("clauses"), c => clauseOk(c, textFields)) &&
           (col("rgt").isNull || col("_rv") > col("rgt")) &&
-          (col("rlte").isNull || col("_rv") <= col("rlte"))
+          (col("rlte").isNull || col("_rv") <= col("rlte")) &&
+          forall(col("clauses"), c => clauseOk(c, textFields))
       )
       .select(col("_pid").as(idCol), col("query_id"))
   }
