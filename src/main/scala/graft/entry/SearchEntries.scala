@@ -1625,6 +1625,34 @@ private[graft] object SearchEntries {
         .orderBy("doc_id", "query_id")
     }),
 
+    // percolate index tier with NEGATION (r14): bool.must_not clauses as
+    // 'not_or'/'not_and'/'not_phrase' kinds — negations post nothing
+    // (they can't anchor candidacy), the positive conjuncts anchor, and
+    // verification applies the negations. Candidacy stays a superset:
+    // must_not only removes matches. All-negative rules are refused at
+    // build (routed to the flat tier).
+    "search_percolate_indexed_negation" -> ((s, dir) => {
+      import s.implicits._
+      val specs = Seq(
+        (1L, Seq(("text", "or", Seq("spark")), ("text", "not_or", Seq("vector", "dup"))),
+          Option.empty[Double], Option.empty[Double]),
+        (2L, Seq(("text", "and", Seq("table", "row")), ("text", "not_phrase", Seq("fast", "sort"))), None, None),
+        (3L, Seq(("source", "or", Seq("src2", "src3")), ("text", "not_and", Seq("merge", "batch"))), None, None),
+        (4L, Seq(("text", "phrase", Seq("the", "line")), ("source", "not_or", Seq("src1", "src4"))), Some(150.0), None)
+      ).toDF("query_id", "clauses", "rgt", "rlte")
+        .withColumn(
+          "clauses",
+          expr("transform(clauses, c -> struct(c._1 AS field, c._2 AS kind, c._3 AS terms))")
+        )
+      graft.search.Percolate
+        .percolateRich(
+          graft.search.Percolate.buildIndexRich(specs),
+          Tables.documents(s, dir),
+          "doc_id", Seq("text", "source"), "n_chars"
+        )
+        .orderBy("doc_id", "query_id")
+    }),
+
     // rank_feature query: score = boost · x/(x + pivot) — the saturating
     // feature-ranking curve, a pure projection over the match filter.
     "search_rank_feature" -> ((s, dir) =>
@@ -3261,6 +3289,28 @@ private[graft] object SearchEntries {
         |  SELECT doc_id, 8 FROM d
         |    WHERE list_has_all(toks, ['window','group'])
         |      AND list_has_any(stoks, ['src2','src4','src6']) AND rv <= 400.0
+        |) ORDER BY 1, 2""".stripMargin,
+
+    "search_percolate_indexed_negation" ->
+      """WITH d AS (SELECT doc_id,
+        |                  string_split(lower(text), ' ') AS toks,
+        |                  ' ' || lower(text) || ' ' AS padded,
+        |                  string_split(lower(source), ' ') AS stoks,
+        |                  CAST(n_chars AS DOUBLE) AS rv
+        |           FROM documents)
+        |SELECT doc_id, query_id FROM (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS query_id FROM d
+        |    WHERE list_contains(toks, 'spark') AND NOT list_has_any(toks, ['vector','dup'])
+        |  UNION ALL
+        |  SELECT doc_id, 2 FROM d
+        |    WHERE list_has_all(toks, ['table','row']) AND NOT contains(padded, ' fast sort ')
+        |  UNION ALL
+        |  SELECT doc_id, 3 FROM d
+        |    WHERE list_has_any(stoks, ['src2','src3']) AND NOT list_has_all(toks, ['merge','batch'])
+        |  UNION ALL
+        |  SELECT doc_id, 4 FROM d
+        |    WHERE contains(padded, ' the line ') AND NOT list_has_any(stoks, ['src1','src4'])
+        |      AND rv > 150.0
         |) ORDER BY 1, 2""".stripMargin,
 
     "search_rank_feature" ->

@@ -45,6 +45,18 @@ private[graft] object SearchWireEntries {
         )
       )),
 
+    // match with operator:and (the object form): ALL query terms must be
+    // present, not any — r14, after the percolator's indexed≡compiled
+    // tier-equality contract caught the compiled tier silently dropping
+    // the operator and applying OR semantics.
+    "search_dsl_json_match_operator_and" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"match": {"text": {"query": "merge batch vector", "operator": "and"}}},
+          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id", "source"]}""".stripMargin,
+        IndexMapping(Map("text" -> "text"))
+      )),
+
     // search-as-you-type over the wire: the mapping's settings.analysis
     // declares an edge_ngram filter, the text field indexes with it and
     // sets search_analyzer=standard — so the typed prefix "spa" matches
@@ -1890,6 +1902,11 @@ private[graft] object SearchWireEntries {
         |  FROM documents)
         |SELECT doc_id FROM toks
         |WHERE list_contains(tt, 'scan') OR list_contains(tt, 'join')
+        |ORDER BY doc_id""".stripMargin,
+
+    "search_dsl_json_match_operator_and" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE list_has_all(string_split(lower(text), ' '), ['merge', 'batch', 'vector'])
         |ORDER BY doc_id""".stripMargin,
 
     "search_dsl_json_agg" ->

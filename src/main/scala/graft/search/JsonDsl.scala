@@ -1937,15 +1937,30 @@ object JsonDsl {
       case "match" =>
         val (f, v) = fieldAndValue(body, "query")
         if (mapping.isText(f)) {
-          val raw = v.asText.toLowerCase.split("\\s+").toSeq.flatMap(mapping.expand).distinct
+          // `operator: "and"` (the object form) switches OR-of-terms to
+          // AND-of-terms — with synonym expansion staying per-token
+          // (each ORIGINAL token must match via ANY of its expansions:
+          // and-of-ors, the Lucene synonym-graph semantics). Previously
+          // the object form silently dropped the operator — found by
+          // the percolator's indexed≡compiled tier-equality contract.
+          val andOp = body.get(f).isObject &&
+            Option(body.get(f).get("operator")).exists(_.asText.equalsIgnoreCase("and"))
           val a = mapping.analyzerFor(f)
           val sa = mapping.searchAnalyzerFor(f)
-          // A declared per-field analyzer chain applies symmetrically
-          // (column analyzes with the filters, query terms through the
-          // JVM twin) — unless the mapping declares a search_analyzer,
-          // which takes the query side (the autocomplete asymmetry).
-          if (a == Analyzer.standard && sa == Analyzer.standard) SearchDsl.matchScore(col(f), raw) > 0
-          else SearchDsl.matchScoreWith(col(f), a, raw, sa) > 0
+          def scoreOf(terms: Seq[String]): Column =
+            // A declared per-field analyzer chain applies symmetrically
+            // (column analyzes with the filters, query terms through the
+            // JVM twin) — unless the mapping declares a search_analyzer,
+            // which takes the query side (the autocomplete asymmetry).
+            if (a == Analyzer.standard && sa == Analyzer.standard) SearchDsl.matchScore(col(f), terms)
+            else SearchDsl.matchScoreWith(col(f), a, terms, sa)
+          val tokens = v.asText.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+          if (andOp)
+            tokens
+              .map(t => scoreOf(mapping.expand(t).distinct) > 0)
+              .reduceOption(_ && _)
+              .getOrElse(lit(false))
+          else scoreOf(tokens.flatMap(mapping.expand).distinct) > 0
         } else col(keywordField(df, f)) === lit(scalarValue(v))
       case "match_phrase" =>
         val (f, v) = fieldAndValue(body, "query")

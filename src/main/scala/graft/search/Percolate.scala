@@ -218,16 +218,23 @@ object Percolate {
   //   - 'or' clauses post every term (their anchors ARE the predicate),
   //     'and'/'phrase' clauses post the longest term (the static rarity
   //     proxy, as in the flat tier).
-  // Posting keys are field-qualified (`field term`) so a term on
+  // NEGATION (bool.must_not, r14): kinds 'not_or' / 'not_and' /
+  // 'not_phrase' — the clause holds when its positive form does NOT.
+  // Negative clauses post NOTHING (a negation can't anchor candidacy —
+  // it's true of almost every doc), so a query needs ≥1 positive clause
+  // to be indexable (build-time guard); verification then applies the
+  // negations. Candidacy stays a superset: must_not only removes
+  // matches from what the positive anchors select.
+  // Posting keys are field-qualified (`field<NUL>term`) so a term on
   // `source` never creates candidacy for a `text` clause.
   // ───────────────────────────────────────────────────────────────────
 
   /** Rich registry + field-qualified posting table. `posting` columns:
-    * pterm STRING ("field term"), query_id LONG.
+    * pterm STRING ("field<NUL>term"), query_id LONG.
     */
   final case class RichIndex(specs: DataFrame, posting: DataFrame)
 
-  private val FieldSep = " "
+  private val FieldSep = "\u0000"
 
   /** Longest clean term of a clause — comparator form of the flat
     * tier's anchor sort, usable on nested lambda variables.
@@ -259,30 +266,38 @@ object Percolate {
     // Clause-less queries and term-less clauses would post nothing and
     // silently never match — refuse at build time (NULL-safe, as in the
     // flat tier's guard). Unknown kinds would verify as 'phrase' by the
-    // otherwise-branch — refuse those too.
+    // otherwise-branch — refuse those too. A query with ONLY negative
+    // clauses has no anchor to post (its candidacy would be "almost
+    // every doc") — not indexable, route it to the flat tier.
+    val positiveKinds = Seq("or", "and", "phrase")
+    val allKinds = positiveKinds ++ Seq("not_or", "not_and", "not_phrase")
     val bad = specs
       .filter(
         col("clauses").isNull || size(col("clauses")) === 0 ||
           exists(col("clauses"), c => size(cleanTerms(c.getField("terms"))) === 0) ||
-          exists(col("clauses"), c => !c.getField("kind").isin("or", "and", "phrase")) ||
+          exists(col("clauses"), c => !c.getField("kind").isin(allKinds.map(lit): _*)) ||
+          !exists(col("clauses"), c => c.getField("kind").isin(positiveKinds.map(lit): _*)) ||
           // a null/empty token INSIDE a phrase has positional meaning the
           // analyzed-token verifier cannot reproduce — require clean
           exists(
             col("clauses"),
             c =>
-              c.getField("kind") === "phrase" &&
+              c.getField("kind").isin("phrase", "not_phrase") &&
                 size(cleanTerms(c.getField("terms"))) =!= size(c.getField("terms"))
           )
       )
       .limit(1)
       .count()
     require(bad == 0,
-      "rich registry rows must have ≥1 clause, every clause ≥1 non-empty term " +
-        "(phrase clauses: ALL terms non-empty), kind ∈ {or,and,phrase}")
+      "rich registry rows must have ≥1 POSITIVE clause, every clause ≥1 non-empty term " +
+        "(phrase clauses: ALL terms non-empty), kind ∈ {or,and,phrase,not_or,not_and,not_phrase}")
     val postedOf = (c: Column) => {
       val clean = cleanTerms(c.getField("terms"))
       transform(
-        when(c.getField("kind") === "or", clean).otherwise(array(anchorOf(clean))),
+        when(c.getField("kind") === "or", clean)
+          .when(c.getField("kind").isin("and", "phrase"), array(anchorOf(clean)))
+          // negative clauses anchor nothing
+          .otherwise(array().cast("array<string>")),
         t => concat(c.getField("field"), lit(FieldSep), t)
       )
     }
@@ -341,9 +356,14 @@ object Percolate {
   private def clauseOk(c: Column, textFields: Seq[String]): Column = {
     def checkOn(toks: Column): Column = {
       val clean = cleanTerms(c.getField("terms"))
-      when(c.getField("kind") === "or", exists(clean, t => array_contains(toks, t)))
-        .when(c.getField("kind") === "and", forall(clean, t => array_contains(toks, t)))
-        .otherwise(phraseOk(toks, clean))
+      val kind = c.getField("kind")
+      when(kind === "or", exists(clean, t => array_contains(toks, t)))
+        .when(kind === "and", forall(clean, t => array_contains(toks, t)))
+        .when(kind === "phrase", phraseOk(toks, clean))
+        // negations: the clause holds when its positive form does NOT
+        .when(kind === "not_or", !exists(clean, t => array_contains(toks, t)))
+        .when(kind === "not_and", !forall(clean, t => array_contains(toks, t)))
+        .otherwise(!phraseOk(toks, clean))
     }
     textFields.foldRight(lit(false)) { (f, els) =>
       when(c.getField("field") === f, checkOn(col(s"_tk_$f"))).otherwise(els)
@@ -465,12 +485,19 @@ object Percolate {
       val (clauses, rgt, rlte) = qt match {
         case "bool" =>
           val b = root.get("bool")
-          val extra = b.fieldNames().asScala.toSet -- Set("must", "filter")
+          val extra = b.fieldNames().asScala.toSet -- Set("must", "must_not", "filter")
           require(extra.isEmpty, s"rule $id: unsupported bool sections $extra")
           val must = Option(b.get("must")).map { m =>
             (if (m.isArray) m.elements().asScala.toSeq else Seq(m)).map(clauseOf)
           }.getOrElse(Seq.empty)
-          require(must.nonEmpty, s"rule $id: bool without must clauses is not indexable")
+          require(must.nonEmpty,
+            s"rule $id: bool without must clauses is not indexable (negations cannot anchor candidacy)")
+          val mustNot = Option(b.get("must_not")).map { m =>
+            (if (m.isArray) m.elements().asScala.toSeq else Seq(m))
+              .map(clauseOf)
+              .map { case (f, k, ts) => (f, "not_" + k, ts) }
+          }.getOrElse(Seq.empty)
+          val all = must ++ mustNot
           val (g, l) = Option(b.get("filter")).map { f =>
             val fs = if (f.isArray) f.elements().asScala.toSeq else Seq(f)
             require(fs.size == 1 && fs.head.has("range"), s"rule $id: filter must be one range clause")
@@ -481,7 +508,7 @@ object Percolate {
             require(extraB.isEmpty, s"rule $id: only gt/lte range bounds are indexable, got $extraB")
             (Option(bounds.get("gt")).map(_.asDouble), Option(bounds.get("lte")).map(_.asDouble))
           }.getOrElse((Option.empty[Double], Option.empty[Double]))
-          (must, g, l)
+          (all, g, l)
         case "match" | "match_phrase" =>
           (Seq(clauseOf(root)), Option.empty[Double], Option.empty[Double])
         case other =>
@@ -510,17 +537,26 @@ object Percolate {
       rlte: Option[Double],
       rangeField: String
   ): String = {
-    val musts = clauses.flatMap {
+    val (neg, pos) = clauses.partition(_._2.startsWith("not_"))
+    val musts = pos.flatMap {
       case (f, "or", terms)     => Seq(s"""{"match": {"$f": "${terms.mkString(" ")}"}}""")
       case (f, "and", terms)    => terms.map(t => s"""{"match": {"$f": "$t"}}""")
       case (f, "phrase", terms) => Seq(s"""{"match_phrase": {"$f": "${terms.mkString(" ")}"}}""")
       case (_, k, _)            => throw new IllegalArgumentException(s"unknown clause kind '$k'")
     }
+    val mustNots = neg.flatMap {
+      case (f, "not_or", terms)     => Seq(s"""{"match": {"$f": "${terms.mkString(" ")}"}}""")
+      case (f, "not_and", terms)    => Seq(s"""{"match": {"$f": {"query": "${terms.mkString(" ")}", "operator": "and"}}}""")
+      case (f, "not_phrase", terms) => Seq(s"""{"match_phrase": {"$f": "${terms.mkString(" ")}"}}""")
+      case (_, k, _)                => throw new IllegalArgumentException(s"unknown clause kind '$k'")
+    }
+    val mustNotClause =
+      if (mustNots.isEmpty) "" else s""", "must_not": [${mustNots.mkString(", ")}]"""
     val rangeParts = rgt.map(v => s""""gt": $v""").toSeq ++ rlte.map(v => s""""lte": $v""").toSeq
     val filterClause =
       if (rangeParts.isEmpty) ""
       else s""", "filter": [{"range": {"$rangeField": {${rangeParts.mkString(", ")}}}}]"""
-    s"""{"query": {"bool": {"must": [${musts.mkString(", ")}]$filterClause}}}"""
+    s"""{"query": {"bool": {"must": [${musts.mkString(", ")}]$mustNotClause$filterClause}}}"""
   }
 
   /** Render one registry row as the JSON body the compiled tier

@@ -106,7 +106,11 @@ class PercolateSpec extends SparkSpec {
     (5L, Seq(("text", "and", Seq("scan", "filter")), ("text", "phrase", Seq("the", "line"))), None, None),
     (6L, Seq(("source", "or", Seq("src1"))), None, None),
     (7L, Seq(("text", "phrase", Seq("a", "row", "fast"))), None, None),
-    (8L, Seq(("text", "and", Seq("window", "group")), ("source", "or", Seq("src2", "src4", "src6"))), None, Some(400.0))
+    (8L, Seq(("text", "and", Seq("window", "group")), ("source", "or", Seq("src2", "src4", "src6"))), None, Some(400.0)),
+    // negation rows (bool.must_not): anchored by their positive clause
+    (9L, Seq(("text", "or", Seq("spark")), ("text", "not_or", Seq("vector", "dup"))), None, None),
+    (10L, Seq(("text", "and", Seq("table", "row")), ("text", "not_phrase", Seq("fast", "sort"))), None, None),
+    (11L, Seq(("source", "or", Seq("src2", "src3")), ("text", "not_and", Seq("merge", "batch"))), None, None)
   )
 
   private def richSpecsDf =
@@ -173,6 +177,10 @@ class PercolateSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       Percolate.buildIndexRich(df(Seq((1L, Seq(("text", "phrase", Seq("fast", "", "sort")))))))
+    }
+    // a query with ONLY negative clauses has nothing to anchor candidacy
+    intercept[IllegalArgumentException] {
+      Percolate.buildIndexRich(df(Seq((1L, Seq(("text", "not_or", Seq("spark")))))))
     }
   }
 
