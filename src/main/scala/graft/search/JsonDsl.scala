@@ -2012,9 +2012,12 @@ object JsonDsl {
       case "multi_match" =>
         // best_fields in filter context: the clause matches if ANY listed
         // field matches — analyzed on text fields, exact on keyword.
+        // `operator: "and"` applies PER FIELD (OpenSearch best_fields
+        // semantics: some one field must contain ALL the terms).
         val q = req(body, "query", "multi_match").asText
         val fields = req(body, "fields", "multi_match").elements().asScala.toSeq.map(_.asText)
         require(fields.nonEmpty, s"multi_match needs at least one field: $body")
+        val andOp = Option(body.get("operator")).exists(_.asText.equalsIgnoreCase("and"))
         fields
           .map { f =>
             if (mapping.isText(f)) {
@@ -2023,9 +2026,13 @@ object JsonDsl {
               // ITS declared chain
               val a = mapping.analyzerFor(f)
               val sa = mapping.searchAnalyzerFor(f)
-              val terms = q.toLowerCase.split("\\s+").toSeq
-              if (a == Analyzer.standard && sa == Analyzer.standard) SearchDsl.matchScore(col(f), terms) > 0
-              else SearchDsl.matchScoreWith(col(f), a, terms, sa) > 0
+              def scoreOf(terms: Seq[String]): Column =
+                if (a == Analyzer.standard && sa == Analyzer.standard) SearchDsl.matchScore(col(f), terms)
+                else SearchDsl.matchScoreWith(col(f), a, terms, sa)
+              val tokens = q.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+              if (andOp)
+                tokens.map(t => scoreOf(Seq(t)) > 0).reduceOption(_ && _).getOrElse(lit(false))
+              else scoreOf(tokens) > 0
             } else col(f) === lit(q)
           }
           .reduce(_ || _)

@@ -198,6 +198,29 @@ class JsonDslSpec extends SparkSpec {
     assert(got.select("id").as[Long].collect().toSet == Set(4L, 5L))
   }
 
+  test("match and multi_match honor operator:and (all terms, not any)") {
+    val df = cards
+    // match OR (default): any of {fast, dog} → ids 1, 2, 3
+    val orGot = JsonDsl.parse(df, """{"query": {"match": {"text": "fast dog"}}}""", mapping)
+    assert(orGot.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // match AND: both fast and dog → id 3 only
+    val andGot = JsonDsl.parse(
+      df, """{"query": {"match": {"text": {"query": "fast dog", "operator": "and"}}}}""", mapping)
+    assert(andGot.select("id").as[Long].collect().toSet == Set(3L))
+    // multi_match AND applies per field: text must contain BOTH terms
+    // (status can't — it's a keyword equality on the whole query string)
+    val mmAnd = JsonDsl.parse(
+      df,
+      """{"query": {"multi_match": {"query": "spark query", "fields": ["text", "status"], "operator": "and"}}}""",
+      mapping)
+    assert(mmAnd.select("id").as[Long].collect().toSet == Set(5L))
+    val mmOr = JsonDsl.parse(
+      df,
+      """{"query": {"multi_match": {"query": "spark query", "fields": ["text", "status"]}}}""",
+      mapping)
+    assert(mmOr.select("id").as[Long].collect().toSet == Set(4L, 5L))
+  }
+
   test("ids selects by the _id column; fuzzy matches within edit distance") {
     val df = cards.withColumnRenamed("id", "_id")
     val byId = JsonDsl.parse(df, """{"query": {"ids": {"values": [2, 4]}}}""", mapping)
