@@ -1936,6 +1936,18 @@ object JsonDsl {
         compileQuery(df, mapper.readTree(decoded), mapping)
       case "match" =>
         val (f, v) = fieldAndValue(body, "query")
+        // Strict options: an UNSUPPORTED option must fail loudly, never
+        // be dropped — a silently-ignored `fuzziness` would hand back
+        // exact-match results to a caller who asked for fuzzy ones (the
+        // same silent-degradation class the percolator tier-equality
+        // contract caught on `operator`). `boost` is accepted and
+        // inert: it cannot change a filter-context hit set.
+        if (body.get(f).isObject) {
+          val extraOpts = body.get(f).fieldNames().asScala.toSet -- Set("query", "operator", "boost")
+          require(extraOpts.isEmpty,
+            s"match on '$f': unsupported options $extraOpts (fuzziness → the fuzzy clause; " +
+              "minimum_should_match → bool.should)")
+        }
         if (mapping.isText(f)) {
           // `operator: "and"` (the object form) switches OR-of-terms to
           // AND-of-terms — with synonym expansion staying per-token
@@ -1964,6 +1976,13 @@ object JsonDsl {
         } else col(keywordField(df, f)) === lit(scalarValue(v))
       case "match_phrase" =>
         val (f, v) = fieldAndValue(body, "query")
+        // strict options: slop would silently widen to adjacency-only —
+        // fail loudly (span_near carries slop semantics); boost is inert
+        if (body.get(f).isObject) {
+          val extraOpts = body.get(f).fieldNames().asScala.toSet -- Set("query", "boost")
+          require(extraOpts.isEmpty,
+            s"match_phrase on '$f': unsupported options $extraOpts (slop → span_near)")
+        }
         if (mapping.isText(f)) {
           val a = mapping.analyzerFor(f)
           // A declared analyzer switches to the positional form (stop
@@ -2017,6 +2036,15 @@ object JsonDsl {
         val q = req(body, "query", "multi_match").asText
         val fields = req(body, "fields", "multi_match").elements().asScala.toSeq.map(_.asText)
         require(fields.nonEmpty, s"multi_match needs at least one field: $body")
+        // strict options: only best_fields is implemented — most_fields/
+        // phrase/cross_fields change semantics and must not silently
+        // degrade to best_fields
+        val extraOpts = body.fieldNames().asScala.toSet -- Set("query", "fields", "operator", "type", "boost")
+        require(extraOpts.isEmpty, s"multi_match: unsupported options $extraOpts")
+        require(
+          Option(body.get("type")).forall(_.asText == "best_fields"),
+          s"multi_match type '${body.get("type")}' is not best_fields — other types change semantics"
+        )
         val andOp = Option(body.get("operator")).exists(_.asText.equalsIgnoreCase("and"))
         fields
           .map { f =>

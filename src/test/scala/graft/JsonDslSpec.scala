@@ -221,6 +221,28 @@ class JsonDslSpec extends SparkSpec {
     assert(mmOr.select("id").as[Long].collect().toSet == Set(4L, 5L))
   }
 
+  test("unsupported clause options fail loudly instead of silently degrading") {
+    val df = cards
+    // fuzziness on match would silently return exact-match results
+    intercept[IllegalArgumentException](JsonDsl.parse(
+      df, """{"query": {"match": {"text": {"query": "spark", "fuzziness": 2}}}}""", mapping))
+    // minimum_should_match on match — bool.should carries that semantic
+    intercept[IllegalArgumentException](JsonDsl.parse(
+      df, """{"query": {"match": {"text": {"query": "spark query", "minimum_should_match": 2}}}}""", mapping))
+    // slop on match_phrase would silently tighten to adjacency
+    intercept[IllegalArgumentException](JsonDsl.parse(
+      df, """{"query": {"match_phrase": {"text": {"query": "fast dog", "slop": 2}}}}""", mapping))
+    // multi_match types other than best_fields change semantics
+    intercept[IllegalArgumentException](JsonDsl.parse(
+      df,
+      """{"query": {"multi_match": {"query": "spark", "fields": ["text"], "type": "cross_fields"}}}""",
+      mapping))
+    // boost stays accepted (inert in filter context)
+    assert(JsonDsl.parse(
+      df, """{"query": {"match": {"text": {"query": "spark", "boost": 2.0}}}}""", mapping)
+      .select("id").as[Long].collect().toSet == Set(4L, 5L))
+  }
+
   test("ids selects by the _id column; fuzzy matches within edit distance") {
     val df = cards.withColumnRenamed("id", "_id")
     val byId = JsonDsl.parse(df, """{"query": {"ids": {"values": [2, 4]}}}""", mapping)
