@@ -57,6 +57,17 @@ private[graft] object SearchWireEntries {
         IndexMapping(Map("text" -> "text"))
       )),
 
+    // match with fuzziness (r14): per-token edit distance against the
+    // analyzed doc tokens — "merg" reaches "merge" at distance 1 while
+    // "batch" stays exact; OR across tokens (the match default).
+    "search_dsl_json_match_fuzziness" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.documents(s, dir),
+        """{"query": {"match": {"text": {"query": "merg windoww", "fuzziness": 1}}},
+          | "sort": [{"doc_id": "asc"}], "_source": ["doc_id", "n_chars"]}""".stripMargin,
+        IndexMapping(Map("text" -> "text"))
+      )),
+
     // search-as-you-type over the wire: the mapping's settings.analysis
     // declares an edge_ngram filter, the text field indexes with it and
     // sets search_analyzer=standard — so the typed prefix "spa" matches
@@ -1907,6 +1918,12 @@ private[graft] object SearchWireEntries {
     "search_dsl_json_match_operator_and" ->
       """SELECT doc_id, source FROM documents
         |WHERE list_has_all(string_split(lower(text), ' '), ['merge', 'batch', 'vector'])
+        |ORDER BY doc_id""".stripMargin,
+
+    "search_dsl_json_match_fuzziness" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE len(list_filter(string_split(lower(text), ' '), t -> levenshtein(t, 'merg') <= 1)) > 0
+        |   OR len(list_filter(string_split(lower(text), ' '), t -> levenshtein(t, 'windoww') <= 1)) > 0
         |ORDER BY doc_id""".stripMargin,
 
     "search_dsl_json_agg" ->

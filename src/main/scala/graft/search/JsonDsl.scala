@@ -1937,16 +1937,16 @@ object JsonDsl {
       case "match" =>
         val (f, v) = fieldAndValue(body, "query")
         // Strict options: an UNSUPPORTED option must fail loudly, never
-        // be dropped — a silently-ignored `fuzziness` would hand back
-        // exact-match results to a caller who asked for fuzzy ones (the
-        // same silent-degradation class the percolator tier-equality
-        // contract caught on `operator`). `boost` is accepted and
-        // inert: it cannot change a filter-context hit set.
+        // be dropped — a silently-ignored option hands back wrong results
+        // under a correct-looking query (the silent-degradation class the
+        // percolator tier-equality contract caught on `operator`).
+        // `boost` is accepted and inert: it cannot change a filter-
+        // context hit set.
         if (body.get(f).isObject) {
-          val extraOpts = body.get(f).fieldNames().asScala.toSet -- Set("query", "operator", "boost")
+          val extraOpts =
+            body.get(f).fieldNames().asScala.toSet -- Set("query", "operator", "boost", "fuzziness")
           require(extraOpts.isEmpty,
-            s"match on '$f': unsupported options $extraOpts (fuzziness → the fuzzy clause; " +
-              "minimum_should_match → bool.should)")
+            s"match on '$f': unsupported options $extraOpts (minimum_should_match → bool.should)")
         }
         if (mapping.isText(f)) {
           // `operator: "and"` (the object form) switches OR-of-terms to
@@ -1955,8 +1955,16 @@ object JsonDsl {
           // and-of-ors, the Lucene synonym-graph semantics). Previously
           // the object form silently dropped the operator — found by
           // the percolator's indexed≡compiled tier-equality contract.
-          val andOp = body.get(f).isObject &&
-            Option(body.get(f).get("operator")).exists(_.asText.equalsIgnoreCase("and"))
+          val opts = Option(body.get(f)).filter(_.isObject)
+          val andOp = opts.flatMap(o => Option(o.get("operator"))).exists(_.asText.equalsIgnoreCase("and"))
+          // `fuzziness` (int or "AUTO" — OpenSearch's length ladder:
+          // 0 for <3 chars, 1 for 3–5, 2 past that): each query token
+          // matches when ANY analyzed doc token is within its edit
+          // distance. Standard-analyzer only, and incompatible with a
+          // declared synonym expansion (both rewrite the token — their
+          // composition order is not well-defined here; loud, not
+          // silent).
+          val fuzzNode = opts.flatMap(o => Option(o.get("fuzziness")))
           val a = mapping.analyzerFor(f)
           val sa = mapping.searchAnalyzerFor(f)
           def scoreOf(terms: Seq[String]): Column =
@@ -1967,12 +1975,26 @@ object JsonDsl {
             if (a == Analyzer.standard && sa == Analyzer.standard) SearchDsl.matchScore(col(f), terms)
             else SearchDsl.matchScoreWith(col(f), a, terms, sa)
           val tokens = v.asText.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
-          if (andOp)
-            tokens
-              .map(t => scoreOf(mapping.expand(t).distinct) > 0)
-              .reduceOption(_ && _)
-              .getOrElse(lit(false))
-          else scoreOf(tokens.flatMap(mapping.expand).distinct) > 0
+          def fuzzOf(t: String): Int = fuzzNode.get.asText match {
+            case "AUTO" => if (t.length < 3) 0 else if (t.length <= 5) 1 else 2
+            case n      => n.toInt
+          }
+          def tokenPred(t: String): Column = fuzzNode match {
+            case None => scoreOf(mapping.expand(t).distinct) > 0
+            case Some(_) =>
+              require(a == Analyzer.standard && sa == Analyzer.standard,
+                s"match fuzziness on '$f' requires the standard analyzer")
+              require(mapping.expand(t) == Seq(t),
+                s"match fuzziness is incompatible with a declared synonym expansion of '$t'")
+              val d = fuzzOf(t)
+              if (d == 0) scoreOf(Seq(t)) > 0
+              else exists(SearchDsl.analyze(col(f)), dt => levenshtein(dt, lit(t)) <= d)
+          }
+          if (andOp || fuzzNode.isDefined) {
+            val preds = tokens.map(tokenPred)
+            if (andOp) preds.reduceOption(_ && _).getOrElse(lit(false))
+            else preds.reduceOption(_ || _).getOrElse(lit(false))
+          } else scoreOf(tokens.flatMap(mapping.expand).distinct) > 0
         } else col(keywordField(df, f)) === lit(scalarValue(v))
       case "match_phrase" =>
         val (f, v) = fieldAndValue(body, "query")

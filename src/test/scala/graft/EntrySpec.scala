@@ -97,6 +97,20 @@ class EntrySpec extends SparkSpec {
     assert(pa.contains("HashAggregate(keys=[key"), s"parent agg lost its pre-join distinct:\n$pa")
   }
 
+  test("indexed percolate keys broadcast their registry joins (never sort-merge)") {
+    // The r14 10⁶-rule load bench caught the registry frames falling out
+    // of the 10 MB auto-broadcast threshold: Spark re-shuffled the
+    // static side + the candidate volume EVERY micro-batch. The explicit
+    // hints must hold in every indexed-percolate plan, permanently.
+    for (q <- Seq("search_percolate_indexed", "search_percolate_indexed_rich",
+      "search_percolate_indexed_negation", "search_dsl_json_percolate_indexed")) {
+      val plan = SparkEntry.queries(q)(spark, Sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: a registry join fell back to sort-merge (candidate volume would shuffle):\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"$q: no broadcast join in plan:\n$plan")
+    }
+  }
+
   test("sketch-tier audit: no *_approx plan contains a distinct Expand") {
     // The §5 audit rule, applied as a standing sweep instead of a
     // one-off: a sketch-tier request must be sketch-tier THROUGHOUT.

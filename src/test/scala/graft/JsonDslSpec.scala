@@ -221,11 +221,30 @@ class JsonDslSpec extends SparkSpec {
     assert(mmOr.select("id").as[Long].collect().toSet == Set(4L, 5L))
   }
 
+  test("match fuzziness: per-token edit distance, AUTO ladder, composes with operator:and") {
+    val df = cards
+    // "sprak" is distance 2 from "spark" (transposition): fuzziness 2 hits
+    val fz2 = JsonDsl.parse(
+      df, """{"query": {"match": {"text": {"query": "sprak", "fuzziness": 2}}}}""", mapping)
+    assert(fz2.select("id").as[Long].collect().toSet == Set(4L, 5L))
+    // fuzziness 1 does not
+    val fz1 = JsonDsl.parse(
+      df, """{"query": {"match": {"text": {"query": "sprak", "fuzziness": 1}}}}""", mapping)
+    assert(fz1.select("id").as[Long].collect().isEmpty)
+    // AUTO: "sprak" (5 chars) → distance 1 → no hits; "streaminge" (10) → 2 → hits id 4
+    val auto = JsonDsl.parse(
+      df, """{"query": {"match": {"text": {"query": "sprak streaminge", "fuzziness": "AUTO"}}}}""", mapping)
+    assert(auto.select("id").as[Long].collect().toSet == Set(4L))
+    // composes with operator:and — every token must fuzzy-match
+    val andFz = JsonDsl.parse(
+      df,
+      """{"query": {"match": {"text": {"query": "sprak querry", "operator": "and", "fuzziness": 2}}}}""",
+      mapping)
+    assert(andFz.select("id").as[Long].collect().toSet == Set(5L))
+  }
+
   test("unsupported clause options fail loudly instead of silently degrading") {
     val df = cards
-    // fuzziness on match would silently return exact-match results
-    intercept[IllegalArgumentException](JsonDsl.parse(
-      df, """{"query": {"match": {"text": {"query": "spark", "fuzziness": 2}}}}""", mapping))
     // minimum_should_match on match — bool.should carries that semantic
     intercept[IllegalArgumentException](JsonDsl.parse(
       df, """{"query": {"match": {"text": {"query": "spark query", "minimum_should_match": 2}}}}""", mapping))
