@@ -2015,6 +2015,9 @@ object JsonDsl {
         } else col(keywordField(df, f)) === lit(scalarValue(v))
       case "term" =>
         val (f, v) = fieldAndValue(body, "value")
+        // strict options: case_insensitive would silently keep
+        // case-SENSITIVE equality; boost is inert in filter context
+        strictOpts(body, f, "term", Set("value", "boost"))
         SearchDsl.term(col(keywordField(df, f)), scalarValue(v))
       case "terms" =>
         val f = singleField(body)
@@ -2022,6 +2025,11 @@ object JsonDsl {
       case "range" =>
         val f = singleField(body)
         val b = body.get(f)
+        // strict options: a silently-dropped time_zone/format/relation
+        // shifts range semantics without any visible failure; boost is
+        // inert in filter context
+        val extraOpts = b.fieldNames().asScala.toSet -- Set("gte", "gt", "lte", "lt", "boost")
+        require(extraOpts.isEmpty, s"range on '$f': unsupported options $extraOpts")
         val ops: Seq[(String, Column => Column)] = Seq(
           "gte" -> (v => col(f) >= v),
           "gt" -> (v => col(f) > v),
@@ -2094,6 +2102,7 @@ object JsonDsl {
         col("_id").isin(vals: _*)
       case "fuzzy" =>
         val (f, v) = fieldAndValue(body, "value")
+        strictOpts(body, f, "fuzzy", Set("value", "fuzziness", "boost"))
         val fuzz = Option(body.get(f))
           .filter(_.isObject)
           .flatMap(o => Option(o.get("fuzziness")))
@@ -2108,17 +2117,21 @@ object JsonDsl {
         else levenshtein(col(f), lit(v.asText)) <= fuzz
       case "wildcard" =>
         val (f, v) = fieldAndValue(body, "value")
+        strictOpts(body, f, "wildcard", Set("value", "boost"))
         SearchDsl.wildcard(col(f), v.asText)
       case "regexp" =>
         // OpenSearch regexp is ANCHORED (the pattern must match the whole
         // value / whole analyzed term) — wrap before compiling to rlike,
         // whose contract is substring search.
         val (f, v) = fieldAndValue(body, "value")
+        // flags would silently change the dialect; boost inert
+        strictOpts(body, f, "regexp", Set("value", "boost"))
         val anchored = "^(?:" + v.asText + ")$"
         if (mapping.isText(f)) exists(SearchDsl.analyze(col(f)), t => t.rlike(anchored))
         else col(f).rlike(anchored)
       case "prefix" =>
         val (f, v) = fieldAndValue(body, "value")
+        strictOpts(body, f, "prefix", Set("value", "boost"))
         if (mapping.isText(f)) SearchDsl.prefixQuery(col(f), v.asText)
         else col(f).startsWith(v.asText)
       case "bool" =>
@@ -3609,6 +3622,19 @@ object JsonDsl {
     val f = singleField(body)
     val v = body.get(f)
     if (v.isObject) (f, req(v, valueKey, s"clause on '$f'")) else (f, v)
+  }
+
+  /** Strict clause options (r14 rule): an option this engine does not
+    * implement must FAIL, never be silently dropped — a dropped option
+    * hands back wrong results under a correct-looking query.
+    */
+  private def strictOpts(body: JsonNode, f: String, clause: String, allowed: Set[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val v = body.get(f)
+    if (v != null && v.isObject) {
+      val extra = v.fieldNames().asScala.toSet -- allowed
+      require(extra.isEmpty, s"$clause on '$f': unsupported options $extra")
+    }
   }
 
   /** Required-key access: a malformed body is an IllegalArgumentException

@@ -256,6 +256,15 @@ class JsonDslSpec extends SparkSpec {
       df,
       """{"query": {"multi_match": {"query": "spark", "fields": ["text"], "type": "cross_fields"}}}""",
       mapping))
+    // time_zone on range would silently shift the bounds
+    intercept[IllegalArgumentException](JsonDsl.parse(
+      df, """{"query": {"range": {"amount": {"gte": 100, "time_zone": "+01:00"}}}}""", mapping))
+    // case_insensitive on term would silently stay case-sensitive
+    intercept[IllegalArgumentException](JsonDsl.parse(
+      df, """{"query": {"term": {"status": {"value": "active", "case_insensitive": true}}}}""", mapping))
+    // regexp flags would silently change the dialect
+    intercept[IllegalArgumentException](JsonDsl.parse(
+      df, """{"query": {"regexp": {"status": {"value": "ACT.*", "flags": "COMPLEMENT"}}}}""", mapping))
     // boost stays accepted (inert in filter context)
     assert(JsonDsl.parse(
       df, """{"query": {"match": {"text": {"query": "spark", "boost": 2.0}}}}""", mapping)
