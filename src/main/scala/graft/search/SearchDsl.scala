@@ -113,9 +113,24 @@ object SearchDsl {
       .reduceOption(_ && _)
       .getOrElse(lit(true))
 
-  /** `wildcard` query: `*` → `%`, `?` → `_` (SQL LIKE). */
+  /** `wildcard` query: `*` → `%`, `?` → `_` (SQL LIKE) — with LIKE's own
+    * metacharacters escaped FIRST, so a literal `_` or `%` in the pattern
+    * stays literal (OpenSearch treats only `*` and `?` as wildcards; the
+    * unescaped form let pattern `a_b` match value `a%b` — found by the
+    * JsonDslFuzzSpec differential drill). Spark LIKE's default escape
+    * char is `\`, and LikeSimplification still rewrites escape-free
+    * patterns (`re*` → StartsWith), so plain prefixes keep their fast
+    * path.
+    */
   def wildcard(field: Column, pattern: String): Column =
-    field.like(pattern.replace("*", "%").replace("?", "_"))
+    field.like(
+      pattern
+        .replace("\\", "\\\\")
+        .replace("%", "\\%")
+        .replace("_", "\\_")
+        .replace("*", "%")
+        .replace("?", "_")
+    )
 
   /** `match` query (OR operator): at least one analyzed query term occurs.
     * Returns the per-row number of matching terms — a deterministic stand-in
