@@ -94,6 +94,13 @@ class JsonDslFuzzSpec extends SparkSpec {
   private case class Prefix(field: String, p: String) extends Q
   private case class Wildcard(pattern: String) extends Q
   private case class Ids(vals: Seq[Long]) extends Q
+  private case class FuzzyQ(field: String, v: String, fuzz: Int) extends Q
+  private case class MatchFuzzy(tokens: Seq[String], auto: Boolean, and: Boolean) extends Q
+  private case class PhrasePrefix(tokens: Seq[String]) extends Q
+  private case class TermsSet(field: String, terms: Seq[String], msm: Int) extends Q
+  private case class MultiMatch(tokens: Seq[String], and: Boolean) extends Q
+  private case class StrRange(gte: Option[String], lt: Option[String]) extends Q
+  private case class Regexp(pattern: String) extends Q
   private case class Bool(
       must: Seq[Q],
       filter: Seq[Q],
@@ -102,7 +109,15 @@ class JsonDslFuzzSpec extends SparkSpec {
       msm: Option[Int]
   ) extends Q
 
-  private def genLeaf(rnd: scala.util.Random): Q = rnd.nextInt(10) match {
+  private def mutate(rnd: scala.util.Random, s: String): String =
+    if (s.isEmpty) s
+    else rnd.nextInt(3) match {
+      case 0 => s.updated(rnd.nextInt(s.length), ('a' + rnd.nextInt(26)).toChar) // substitute
+      case 1 => s.patch(rnd.nextInt(s.length), "", 1) // delete
+      case 2 => s.patch(rnd.nextInt(s.length + 1), ('a' + rnd.nextInt(26)).toChar.toString, 0) // insert
+    }
+
+  private def genLeaf(rnd: scala.util.Random): Q = rnd.nextInt(17) match {
     case 0 => Term(tagVals(rnd.nextInt(tagVals.size)))
     case 1 => TermsIn(Seq.fill(1 + rnd.nextInt(3))(tagVals(rnd.nextInt(tagVals.size))).distinct)
     case 2 =>
@@ -134,6 +149,54 @@ class JsonDslFuzzSpec extends SparkSpec {
       }
       Wildcard(pattern)
     case 9 => Ids(Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(docs.size).toLong).distinct)
+    case 10 =>
+      // fuzzy: near-miss values built by mutating real corpus values,
+      // so the edit-distance boundary is actually exercised
+      if (rnd.nextBoolean()) {
+        val v = mutate(rnd, mutate(rnd, tagVals(rnd.nextInt(tagVals.size))))
+        FuzzyQ("tag", v, 1 + rnd.nextInt(2))
+      } else {
+        val v = mutate(rnd, vocab(rnd.nextInt(vocab.size)))
+        FuzzyQ("text", v, 1 + rnd.nextInt(2))
+      }
+    case 11 =>
+      MatchFuzzy(
+        Seq.fill(1 + rnd.nextInt(2))(mutate(rnd, vocab(rnd.nextInt(vocab.size)))).distinct,
+        auto = rnd.nextBoolean(),
+        and = rnd.nextBoolean()
+      )
+    case 12 =>
+      val ts = Seq.fill(1 + rnd.nextInt(2))(vocab(rnd.nextInt(vocab.size)))
+      val last = ts.last
+      PhrasePrefix(ts.init :+ last.substring(0, 1 + rnd.nextInt(last.length)))
+    case 13 =>
+      if (rnd.nextBoolean())
+        TermsSet("text", Seq.fill(2 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size))).distinct, 1 + rnd.nextInt(3))
+      else
+        TermsSet("tag", Seq.fill(1 + rnd.nextInt(3))(tagVals(rnd.nextInt(tagVals.size))).distinct, 1 + rnd.nextInt(2))
+    case 14 =>
+      // multi_match over [text, tag]: query tokens from the text vocab,
+      // OR a tag value (hitting the keyword leg's whole-string equality)
+      val q =
+        if (rnd.nextInt(4) == 0) Seq(tagVals(rnd.nextInt(tagVals.size)))
+        else Seq.fill(1 + rnd.nextInt(2))(vocab(rnd.nextInt(vocab.size))).distinct
+      MultiMatch(q, rnd.nextBoolean())
+    case 15 =>
+      val lo = if (rnd.nextBoolean()) Some(tagVals(rnd.nextInt(tagVals.size))) else None
+      val hi = if (lo.isEmpty || rnd.nextBoolean()) Some(tagVals(rnd.nextInt(tagVals.size))) else None
+      StrRange(lo, hi)
+    case 16 =>
+      // safe dialect subset shared by Java regex and OpenSearch regexp:
+      // literals (tag chars are not regex-special), alternation, `.*`
+      val a = tagVals(rnd.nextInt(tagVals.size))
+      val b = tagVals(rnd.nextInt(tagVals.size))
+      val pattern = rnd.nextInt(4) match {
+        case 0 => a
+        case 1 => s"$a|$b"
+        case 2 => a.take(1 + rnd.nextInt(a.length)) + ".*"
+        case 3 => ".*" + a.drop(rnd.nextInt(a.length))
+      }
+      Regexp(pattern)
   }
 
   private def genQ(rnd: scala.util.Random, depth: Int): Q =
@@ -168,6 +231,23 @@ class JsonDslFuzzSpec extends SparkSpec {
     case Prefix(f, p) => s"""{"prefix": {"$f": {"value": ${jstr(p)}}}}"""
     case Wildcard(p) => s"""{"wildcard": {"tag": {"value": ${jstr(p)}}}}"""
     case Ids(vals) => s"""{"ids": {"values": [${vals.mkString(",")}]}}"""
+    case FuzzyQ(f, v, fuzz) =>
+      s"""{"fuzzy": {"$f": {"value": ${jstr(v)}, "fuzziness": $fuzz}}}"""
+    case MatchFuzzy(ts, auto, and) =>
+      val fz = if (auto) "\"AUTO\"" else "1"
+      val op = if (and) """, "operator": "and"""" else ""
+      s"""{"match": {"text": {"query": ${jstr(ts.mkString(" "))}, "fuzziness": $fz$op}}}"""
+    case PhrasePrefix(ts) =>
+      s"""{"match_phrase_prefix": {"text": {"query": ${jstr(ts.mkString(" "))}}}}"""
+    case TermsSet(f, ts, msm) =>
+      s"""{"terms_set": {"$f": {"terms": [${ts.map(jstr).mkString(",")}], "minimum_should_match": $msm}}}"""
+    case MultiMatch(ts, and) =>
+      val op = if (and) """, "operator": "and"""" else ""
+      s"""{"multi_match": {"query": ${jstr(ts.mkString(" "))}, "fields": ["text", "tag"]$op}}"""
+    case StrRange(gte, lt) =>
+      val bounds = gte.map(v => s""""gte": ${jstr(v)}""").toSeq ++ lt.map(v => s""""lt": ${jstr(v)}""")
+      s"""{"range": {"tag": {${bounds.mkString(",")}}}}"""
+    case Regexp(p) => s"""{"regexp": {"tag": {"value": ${jstr(p)}}}}"""
     case Bool(must, fil, should, mustNot, msm) =>
       val parts = Seq(
         if (must.nonEmpty) Some(s""""must": [${must.map(render).mkString(",")}]""") else None,
@@ -181,6 +261,22 @@ class JsonDslFuzzSpec extends SparkSpec {
 
   // ── independent evaluator (documented contract, not the impl) ───────
   private def analyzeRef(text: String): Seq[String] = text.toLowerCase.split(" ", -1).toSeq
+
+  /** Textbook Levenshtein DP — independent of Spark's expression. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(
+        math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+      )
+    d(a.length)(b.length)
+  }
+
+  /** OpenSearch AUTO fuzziness ladder: 0 for <3 chars, 1 for 3–5, 2 past. */
+  private def autoFuzz(t: String): Int = if (t.length < 3) 0 else if (t.length <= 5) 1 else 2
 
   private def eval(q: Q, d: Doc): Boolean = q match {
     case MatchAll => true
@@ -216,6 +312,48 @@ class JsonDslFuzzSpec extends SparkSpec {
       }
       d.tag.exists(_.matches(regex))
     case Ids(vals) => vals.contains(d.id)
+    case FuzzyQ(f, v, fuzz) =>
+      // keyword: whole-value edit distance, case-sensitive; text: any
+      // analyzed token within distance of the LOWERCASED query value
+      if (f == "tag") d.tag.exists(t => lev(t, v) <= fuzz)
+      else d.text.exists(analyzeRef(_).exists(t => lev(t, v.toLowerCase) <= fuzz))
+    case MatchFuzzy(ts, auto, and) =>
+      d.text.exists { t =>
+        val toks = analyzeRef(t)
+        def hit(q: String): Boolean = {
+          val dd = if (auto) autoFuzz(q) else 1
+          if (dd == 0) toks.contains(q) else toks.exists(lev(_, q) <= dd)
+        }
+        if (and) ts.forall(hit) else ts.exists(hit)
+      }
+    case PhrasePrefix(ts) =>
+      d.text.exists { t =>
+        val toks = analyzeRef(t)
+        val n = ts.length
+        toks.indices.exists { i =>
+          i + n <= toks.length &&
+          ts.init.zipWithIndex.forall { case (q, j) => toks(i + j) == q } &&
+          toks(i + n - 1).startsWith(ts.last)
+        }
+      }
+    case TermsSet(f, ts, msm) =>
+      if (f == "text")
+        d.text.exists(t => analyzeRef(t).toSet.intersect(ts.map(_.toLowerCase).toSet).size >= msm)
+      else d.tag.exists(t => (if (ts.contains(t)) 1 else 0) >= msm)
+    case MultiMatch(ts, and) =>
+      // best_fields filter context: ANY field matches; text leg analyzed
+      // (operator applies per field), keyword leg is whole-string
+      // equality with the RAW query
+      val q = ts.mkString(" ")
+      val textHit = d.text.exists { t =>
+        val toks = analyzeRef(t).toSet
+        val qs = q.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+        if (and) qs.forall(toks) else qs.exists(toks)
+      }
+      textHit || d.tag.contains(q)
+    case StrRange(gte, lt) =>
+      d.tag.exists(t => gte.forall(t.compareTo(_) >= 0) && lt.forall(t.compareTo(_) < 0))
+    case Regexp(p) => d.tag.exists(_.matches(p))
     case Bool(must, fil, should, mustNot, msmOpt) =>
       val msm = msmOpt.getOrElse(if (must.isEmpty && fil.isEmpty && should.nonEmpty) 1 else 0)
       must.forall(eval(_, d)) &&
@@ -225,7 +363,7 @@ class JsonDslFuzzSpec extends SparkSpec {
   }
 
   // ── the drill ───────────────────────────────────────────────────────
-  private val QueryCount = 400
+  private val QueryCount = 800
   private val Batch = 50
 
   test(s"$QueryCount random wire queries: compiled hit sets == reference evaluator") {
