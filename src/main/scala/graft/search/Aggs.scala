@@ -85,16 +85,25 @@ object Aggs {
     * the deterministic tie-break (OpenSearch's own tie-break).
     */
   def termsAgg(df: DataFrame, field: Column, size: Int): DataFrame =
-    df.groupBy(field.as("key"))
+    df.filter(field.isNotNull)
+      .groupBy(field.as("key"))
       .agg(count(lit(1)).as("doc_count"))
       .orderBy(col("doc_count").desc, col("key").asc)
       .limit(size)
 
   /** `terms` aggregation with metric sub-aggregations: same bucketing and
     * ordering as [[termsAgg]], plus aliased per-bucket metrics.
+    *
+    * Docs MISSING the bucket field belong to NO bucket (OpenSearch: a
+    * missing value simply isn't counted; the `missing` agg exists to
+    * count those docs explicitly) — a bare GROUP BY would instead emit
+    * a NULL-key bucket OpenSearch never has. The IsNotNull filter is a
+    * pushable scan predicate, found by the AggsFuzzSpec differential
+    * drill.
     */
   def termsAggWith(df: DataFrame, field: Column, size: Int, metrics: Seq[Column]): DataFrame =
-    df.groupBy(field.as("key"))
+    df.filter(field.isNotNull)
+      .groupBy(field.as("key"))
       .agg(count(lit(1)).as("doc_count"), metrics: _*)
       .orderBy(col("doc_count").desc, col("key").asc)
       .limit(size)
@@ -112,7 +121,8 @@ object Aggs {
       orderKey: String,
       asc: Boolean
   ): DataFrame = {
-    val agged = df.groupBy(field.as("key")).agg(count(lit(1)).as("doc_count"), metrics: _*)
+    val agged =
+      df.filter(field.isNotNull).groupBy(field.as("key")).agg(count(lit(1)).as("doc_count"), metrics: _*)
     val oc = orderKey match {
       case "_key"   => col("key")
       case "_count" => col("doc_count")
@@ -525,8 +535,19 @@ object Aggs {
 
   /** `histogram` aggregation: fixed-width numeric buckets. */
   def histogram(df: DataFrame, field: Column, width: Double): DataFrame =
-    df.groupBy((floor(field / width) * width).as("bucket"))
-      .agg(count(lit(1)).as("doc_count"))
+    histogramWith(df, field, width, Nil)
+
+  /** Numeric histogram with metric sub-aggregations — OpenSearch allows
+    * the full metric set under any bucketing agg, and the wire executor
+    * previously DROPPED sub-metrics under histogram silently (the
+    * degradation class the strict-options rule bans; found by the
+    * AggsFuzzSpec drill). Missing-field docs bucket nowhere, as in
+    * [[termsAggWith]].
+    */
+  def histogramWith(df: DataFrame, field: Column, width: Double, metrics: Seq[Column]): DataFrame =
+    df.filter(field.isNotNull)
+      .groupBy((floor(field / width) * width).as("bucket"))
+      .agg(count(lit(1)).as("doc_count"), metrics: _*)
       .orderBy("bucket")
 
   /** `range` aggregation: explicit [from, to) buckets keyed by label. */

@@ -2966,7 +2966,12 @@ object JsonDsl {
       case "stats"          => Aggs.stats(df, field)
       case "extended_stats" => Aggs.extendedStats(df, field)
       case "cardinality" => Aggs.cardinality(df, Seq(aggName -> field))
-      case "histogram"   => Aggs.histogram(df, field, req(body, "interval", "histogram").asDouble)
+      case "histogram" =>
+        // metric sub-aggs ride the same hash aggregate (previously they
+        // were silently dropped here — the degradation class the
+        // strict-options rule bans)
+        val metrics = subAggs.map(sa => sa.fields().asScala.toSeq.map(roundedMetric)).getOrElse(Nil)
+        Aggs.histogramWith(df, field, req(body, "interval", "histogram").asDouble, metrics)
       case "range" =>
         val ranges = req(body, "ranges", "range aggregation").elements().asScala.toSeq.map { r =>
           val from = Option(r.get("from")).map(_.asDouble)

@@ -130,7 +130,15 @@ object QueryString {
     }
 
     private def parseNot(): Column = peek match {
-      case Some(t) if isKeyword(t, "NOT") => next(); !parseNot()
+      // Lucene/KQL NOT is set complement: a clause over a MISSING field
+      // "did not match", so its negation MUST match. Bare `!` flips SQL
+      // NULL to NULL and the filter drops the doc — the same three-valued
+      // trap SearchDsl.bool coalesces for must_not (and SimpleQuery for
+      // `-`). NULL→false commutes with AND/OR (both Kleene-monotone), so
+      // this NOT-site coalesce is the only one the parser needs. Found by
+      // the QueryStringFuzzSpec differential drill (`NOT m* AND qty>41`
+      // dropped null-text docs).
+      case Some(t) if isKeyword(t, "NOT") => next(); !coalesce(parseNot(), lit(false))
       case Some(LParen) =>
         next()
         val c = parseExpr()

@@ -1,0 +1,227 @@
+package graft
+
+import graft.search.{IndexMapping, JsonDsl}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Differential fuzzer for the wire-format AGGREGATION executor —
+  * the bucket-side sibling of JsonDslFuzzSpec.
+  *
+  * Random agg bodies (terms with order/size and metric sub-aggs,
+  * numeric histogram, labeled range buckets, optional query filter)
+  * run through [[JsonDsl.parse]] and must reproduce an independent
+  * evaluator of the documented OpenSearch semantics: doc_count-desc
+  * key-asc default order, explicit `order` overrides with key-asc tie
+  * break, size truncation AFTER ordering, metric rounding per the
+  * house convention (sum/min/max 2dp, avg 6dp), and — the SQL trap —
+  * docs MISSING the bucket field belong to NO bucket (a GROUP BY
+  * would happily emit a NULL-key bucket OpenSearch never has).
+  *
+  * doc_count and keys compare exactly; double metrics compare within
+  * 1e-9 relative (the engines' accumulation orders differ legally).
+  */
+class AggsFuzzSpec extends SparkSpec {
+
+  private val tagPool = Vector("red", "blue", "green", "amber", "cyan", "plum", "teal", "rust")
+
+  private case class Doc(id: Long, tag: Option[String], price: Option[Double], qty: Option[Int])
+
+  private val docs: Vector[Doc] = {
+    val rnd = new scala.util.Random(77L)
+    Vector.tabulate(300) { i =>
+      Doc(
+        i.toLong,
+        if (rnd.nextInt(8) == 0) None else Some(tagPool(rnd.nextInt(tagPool.size))),
+        if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(10000) / 100.0),
+        if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(50))
+      )
+    }
+  }
+
+  private lazy val frame = {
+    val s = spark
+    import s.implicits._
+    docs
+      .map(d => (d.id, d.tag.orNull, d.price.map(Double.box).orNull, d.qty.map(Int.box).orNull))
+      .toDF("_id", "tag", "price", "qty")
+      .select(col("_id"), col("tag"), col("price").cast("double").as("price"), col("qty").cast("int").as("qty"))
+      .cache()
+  }
+
+  // ── request model ───────────────────────────────────────────────────
+  private case class Metric(name: String, mType: String, field: String)
+  private sealed trait AggReq
+  private case class TermsAgg(size: Int, metrics: Seq[Metric], order: Option[(String, Boolean)]) extends AggReq
+  private case class HistAgg(interval: Double, metrics: Seq[Metric]) extends AggReq
+  private case class RangeAgg(bounds: Seq[Double]) extends AggReq
+
+  private case class Request(filterQty: Option[Int], agg: AggReq)
+
+  private def genMetrics(rnd: scala.util.Random): Seq[Metric] = {
+    val types = Vector("sum", "avg", "min", "max", "value_count")
+    Seq.tabulate(rnd.nextInt(3)) { i =>
+      Metric(s"m$i", types(rnd.nextInt(types.size)), if (rnd.nextBoolean()) "price" else "qty")
+    }
+  }
+
+  private def gen(rnd: scala.util.Random): Request = {
+    val filter = if (rnd.nextInt(3) == 0) Some(rnd.nextInt(40)) else None
+    val agg = rnd.nextInt(4) match {
+      case 0 | 1 =>
+        val metrics = genMetrics(rnd)
+        val order =
+          if (rnd.nextInt(3) == 0) {
+            val keys = Vector("_key", "_count") ++ metrics.filter(_.mType != "value_count").map(_.name)
+            Some((keys(rnd.nextInt(keys.size)), rnd.nextBoolean()))
+          } else None
+        TermsAgg(1 + rnd.nextInt(10), metrics, order)
+      case 2 => HistAgg(Vector(5.0, 10.0, 25.0)(rnd.nextInt(3)), genMetrics(rnd))
+      case 3 =>
+        val cuts = Seq.fill(1 + rnd.nextInt(2))(rnd.nextInt(90) + 5).distinct.sorted.map(_.toDouble)
+        RangeAgg(cuts)
+    }
+    Request(filter, agg)
+  }
+
+  // ── wire rendering ──────────────────────────────────────────────────
+  private def metricJson(m: Metric): String = s""""${m.name}": {"${m.mType}": {"field": "${m.field}"}}"""
+
+  private def render(r: Request): String = {
+    val queryPart = r.filterQty.map(q => s""""query": {"range": {"qty": {"gte": $q}}}, """).getOrElse("")
+    val aggPart = r.agg match {
+      case TermsAgg(size, metrics, order) =>
+        val sub = if (metrics.isEmpty) "" else s""", "aggs": {${metrics.map(metricJson).mkString(",")}}"""
+        val ord = order.map { case (k, asc) => s""", "order": {"$k": "${if (asc) "asc" else "desc"}"}""" }.getOrElse("")
+        s""""buckets": {"terms": {"field": "tag", "size": $size$ord}$sub}"""
+      case HistAgg(interval, metrics) =>
+        val sub = if (metrics.isEmpty) "" else s""", "aggs": {${metrics.map(metricJson).mkString(",")}}"""
+        s""""buckets": {"histogram": {"field": "price", "interval": $interval}$sub}"""
+      case RangeAgg(cuts) =>
+        val ranges = (None +: cuts.map(Some(_))).zip(cuts.map(Some(_)) :+ None).map {
+          case (from, to) =>
+            val f = from.map(v => s""""from": $v""").toSeq ++ to.map(v => s""""to": $v""")
+            s"{${f.mkString(",")}}"
+        }
+        s""""buckets": {"range": {"field": "price", "ranges": [${ranges.mkString(",")}]}}"""
+    }
+    s"""{$queryPart"aggs": {$aggPart}}"""
+  }
+
+  // ── reference evaluator ─────────────────────────────────────────────
+  private def round2(v: Double): Double =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def metricVal(m: Metric, group: Seq[Doc]): Option[Double] = {
+    val vs = group.flatMap(d => if (m.field == "price") d.price else d.qty.map(_.toDouble))
+    m.mType match {
+      case "value_count" => Some(vs.size.toDouble)
+      case _ if vs.isEmpty => None
+      case "sum" => Some(round2(vs.sum))
+      case "avg" => Some(round6(vs.sum / vs.size))
+      case "min" => Some(round2(vs.min))
+      case "max" => Some(round2(vs.max))
+    }
+  }
+
+  /** (key, doc_count, metric values) rows in the order the engine must emit. */
+  private def evalRef(r: Request): Seq[(Any, Long, Seq[Option[Double]])] = {
+    val base = r.filterQty.map(q => docs.filter(_.qty.exists(_ >= q))).getOrElse(docs)
+    r.agg match {
+      case TermsAgg(size, metrics, order) =>
+        val groups = base.filter(_.tag.isDefined).groupBy(_.tag.get)
+        val rows = groups.toSeq.map { case (k, g) => (k, g.size.toLong, metrics.map(metricVal(_, g))) }
+        val ordered = order match {
+          case None => rows.sortBy { case (k, n, _) => (-n, k) }
+          case Some(("_key", asc)) =>
+            val s = rows.sortBy(_._1); if (asc) s else s.reverse
+          case Some(("_count", asc)) =>
+            if (asc) rows.sortBy { case (k, n, _) => (n, k.toString) }
+            else rows.sortBy { case (k, n, _) => (-n, k.toString) }
+          case Some((name, asc)) =>
+            val idx = metrics.indexWhere(_.name == name)
+            // metric order: a bucket's metric can be NULL (every value in
+            // the bucket null); the engine contract is SQL ordering —
+            // NULLS FIRST ascending, NULLS LAST descending
+            rows.sortBy { case (k, _, ms) =>
+              val v = ms(idx)
+              (if (asc) v.getOrElse(Double.NegativeInfinity) else -v.getOrElse(Double.NegativeInfinity),
+               k.toString)
+            }
+        }
+        ordered.take(size)
+      case HistAgg(interval, metrics) =>
+        base
+          .filter(_.price.isDefined)
+          .groupBy(d => math.floor(d.price.get / interval) * interval)
+          .toSeq
+          .map { case (k, g) => (k: Any, g.size.toLong, metrics.map(metricVal(_, g))) }
+          .sortBy(_._1.asInstanceOf[Double])
+      case RangeAgg(cuts) =>
+        // engine contract (gate-established): EMPTY ranges are absent and
+        // buckets sort by label — the SQL-group shape, not OpenSearch's
+        // request-order-with-zeros response shape
+        val bounds = (None +: cuts.map(Some(_))).zip(cuts.map(Some(_)) :+ None)
+        bounds
+          .map { case (from, to) =>
+            val key = s"${from.map(_.toString).getOrElse("*")}-${to.map(_.toString).getOrElse("*")}"
+            val g = base.filter(_.price.exists(p => from.forall(p >= _) && to.forall(p < _)))
+            (key: Any, g.size.toLong, Seq.empty[Option[Double]])
+          }
+          .filter(_._2 > 0)
+          .sortBy(_._1.toString)
+    }
+  }
+
+  // ── the drill ───────────────────────────────────────────────────────
+  private def close(a: Option[Double], b: Option[Double]): Boolean = (a, b) match {
+    case (None, None) => true
+    case (Some(x), Some(y)) => math.abs(x - y) <= 1e-9 + 1e-9 * math.abs(x)
+    case _ => false
+  }
+
+  test("200 random agg bodies: buckets, order, size, metrics == reference") {
+    val rnd = new scala.util.Random(0xa66f022L)
+    val mapping = IndexMapping(Map("tag" -> "keyword"))
+    (1 to 200).foreach { qi =>
+      val req = gen(rnd)
+      val body = render(req)
+      val want = evalRef(req)
+      val got: Seq[Row] = JsonDsl.parse(frame, body, mapping).collect().toSeq
+      val metricNames = req.agg match {
+        case TermsAgg(_, ms, _) => ms
+        case HistAgg(_, ms) => ms
+        case _ => Seq.empty
+      }
+      def rowStr(r: Row) = r.toSeq.mkString("[", ", ", "]")
+      assert(
+        got.size == want.size,
+        s"#$qi bucket count: got ${got.size} want ${want.size}\n  body=$body\n  got=${got.map(rowStr)}\n  want=$want"
+      )
+      got.zip(want).zipWithIndex.foreach { case ((g, (wk, wn, wms)), bi) =>
+        val gk = g.get(0)
+        val gn = g.getLong(g.fieldIndex("doc_count"))
+        val keyOk = (gk, wk) match {
+          case (a: Double, b: Double) => math.abs(a - b) < 1e-9
+          case (a, b) => a == b
+        }
+        assert(
+          keyOk && gn == wn,
+          s"#$qi bucket $bi: got key=$gk n=$gn want key=$wk n=$wn\n  body=$body\n  got=${got.map(rowStr)}\n  want=$want"
+        )
+        metricNames.zipWithIndex.foreach { case (m, mi) =>
+          val gv = Option(g.get(g.fieldIndex(m.name))).map {
+            case d: Double => d
+            case l: Long => l.toDouble
+            case x => x.toString.toDouble
+          }
+          assert(
+            close(gv, wms(mi)),
+            s"#$qi bucket $bi metric ${m.name} (${m.mType}): got $gv want ${wms(mi)}\n  body=$body"
+          )
+        }
+      }
+    }
+  }
+}
