@@ -1802,6 +1802,37 @@ private[graft] object SearchEntries {
         .orderBy("segment")
     }),
 
+    // terms agg over a genuinely SPARSE field (join-derived): docs
+    // missing the field belong to NO bucket — pins the no-NULL-key-bucket
+    // contract (AggsFuzzSpec finding) at the oracle gate, which the raw
+    // tables (null-free) cannot exercise.
+    "search_terms_agg_sparse" -> ((s, dir) => {
+      val top = Tables
+        .orders(s, dir)
+        .filter(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderpriority")).as("top_priority"))
+      val j = Tables.customer(s, dir).join(top, col("c_custkey") === col("o_custkey"), "left")
+      Aggs.termsAgg(j, col("top_priority"), 10)
+    }),
+
+    // query_string NOT over the same sparse field: Lucene/KQL NOT is set
+    // complement, so customers with NO qualifying order (NULL field) MUST
+    // match — pins the QueryStringFuzzSpec three-valued-logic fix.
+    "search_query_string_not_sparse" -> ((s, dir) => {
+      val top = Tables
+        .orders(s, dir)
+        .filter(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderpriority")).as("top_priority"))
+      val j = Tables
+        .customer(s, dir)
+        .join(top, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("top_priority"), col("c_acctbal"))
+      j.filter(SearchDsl.parseQueryString(j, "NOT top_priority:1* AND c_acctbal > 5000"))
+        .orderBy("c_custkey")
+    }),
+
     // max_bucket pipeline agg: the bucket KEY(s) holding the maximum
     // metric — argmax via a 1-row broadcast of the max back onto the
     // (tiny, ~84-row) bucket table, never a global sort of buckets.
@@ -3375,6 +3406,22 @@ private[graft] object SearchEntries {
         |                         WHERE o_totalprice > 450000) o
         |  ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "search_terms_agg_sparse" ->
+      """WITH t AS (SELECT o_custkey, max(o_orderpriority) AS top_priority
+        |           FROM orders WHERE o_totalprice > 400000 GROUP BY 1)
+        |SELECT top_priority AS key, count(*) AS doc_count
+        |FROM customer LEFT JOIN t ON c_custkey = o_custkey
+        |WHERE top_priority IS NOT NULL
+        |GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10""".stripMargin,
+
+    "search_query_string_not_sparse" ->
+      """WITH t AS (SELECT o_custkey, max(o_orderpriority) AS top_priority
+        |           FROM orders WHERE o_totalprice > 400000 GROUP BY 1)
+        |SELECT c_custkey, top_priority, c_acctbal
+        |FROM customer LEFT JOIN t ON c_custkey = o_custkey
+        |WHERE NOT coalesce(top_priority LIKE '1%', false) AND c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin,
 
     "search_max_bucket" ->
       """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,

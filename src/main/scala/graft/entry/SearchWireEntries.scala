@@ -1346,6 +1346,19 @@ private[graft] object SearchWireEntries {
         """{"aggs": {"h": {"histogram": {"field": "o_totalprice", "interval": 50000}}}}"""
       )),
 
+    // histogram with metric sub-aggregations: they ride the SAME hash
+    // aggregate as doc_count (previously silently dropped — the
+    // AggsFuzzSpec finding; OpenSearch allows the full metric set under
+    // any bucketing agg).
+    "search_dsl_json_histogram_metrics" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.events(s, dir),
+        """{"query": {"term": {"event_type": "purchase"}},
+          | "aggs": {"h": {"histogram": {"field": "value", "interval": 100},
+          |   "aggs": {"rev": {"sum": {"field": "value"}},
+          |            "n_users": {"value_count": {"field": "user_id"}}}}}}""".stripMargin
+      )),
+
     "search_dsl_json_cardinality" -> ((s, dir) =>
       JsonDsl.parse(
         Tables.lineitem(s, dir),
@@ -2505,6 +2518,12 @@ private[graft] object SearchWireEntries {
     "search_dsl_json_histogram" ->
       """SELECT floor(o_totalprice / 50000) * 50000 AS bucket, count(*) AS doc_count
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "search_dsl_json_histogram_metrics" ->
+      """SELECT floor(value / 100) * 100 AS bucket, count(*) AS doc_count,
+        |       round(sum(value), 2) AS rev, count(user_id) AS n_users
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "search_dsl_json_cardinality" ->
       """SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem""".stripMargin,
