@@ -100,9 +100,13 @@ object SimpleQuery {
     }
 
     // must_not keeps rows where the clause is NULL (missing field) —
-    // same coalesce convention as SearchDsl.bool.
+    // same coalesce convention as SearchDsl.bool. Recursive: `--x`
+    // composes (negation of negation) instead of crashing — this is the
+    // fault-tolerant parser; throwing on stacked operators was the one
+    // input shape the SimpleQueryFuzzSpec generator produced that the
+    // parser refused.
     private def parseUnary(): Column = peek match {
-      case Some(Not) => next(); !coalesce(parseAtom(), lit(false))
+      case Some(Not) => next(); !coalesce(parseUnary(), lit(false))
       case _         => parseAtom()
     }
 
