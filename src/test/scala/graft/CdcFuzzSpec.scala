@@ -117,4 +117,44 @@ class CdcFuzzSpec extends SparkSpec {
       assert(maintained == rebuilt, s"round $round: maintained != rebuilt")
     }
   }
+
+  test("nested applyDelta: random micro-batch BOUNDARIES change nothing — any split folds to the same artifact") {
+    // the streaming face is applyDelta per micro-batch; the invariant is
+    // that WHERE the batch boundaries fall is immaterial
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(0xcdc3L)
+    val nParents = 20
+    val parents = (1 to nParents).map(p => (p.toLong, s"dim$p")).toDF("pid", "dim")
+    val baseChildren =
+      (for { p <- 1 to nParents; o <- 0 until rnd.nextInt(4) } yield (p.toLong, o, s"b${p}_$o")).toVector
+    val artifact = Nested
+      .nestedIndex(parents, baseChildren.toDF("cpid", "ord", "v"), "pid", "cpid", "items", Seq("ord", "v"))
+      .cache()
+
+    val stream = (1 to 120).map { seq =>
+      ((1 + rnd.nextInt(nParents)).toLong, rnd.nextInt(5), Vector("c", "u", "r", "d")(rnd.nextInt(4)), s"s$seq", seq.toLong)
+    }
+
+    def fold(splits: Seq[Seq[(Long, Int, String, String, Long)]]): Map[Long, Seq[(Int, String)]] =
+      splits
+        .filter(_.nonEmpty)
+        .foldLeft(artifact.toDF) { (ix, batch) =>
+          Nested.applyDelta(ix, batch.toDF("cpid", "ord", "op", "v", "lsn"), "pid", "cpid", "items", Seq("ord", "v"), seqCol = Some("lsn"))
+        }
+        .collect()
+        .map(r =>
+          r.getLong(r.fieldIndex("pid")) ->
+            r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("items")).map(x => (x.getInt(0), x.getString(1)))
+        )
+        .toMap
+
+    val oneShot = fold(Seq(stream))
+    (1 to 2).foreach { trial =>
+      val cuts = (Vector(0, stream.size) ++ Vector.fill(1 + rnd.nextInt(4))(rnd.nextInt(stream.size))).distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => stream.slice(a, b) }
+      val split = fold(batches)
+      assert(split == oneShot, s"trial $trial: batch boundaries $cuts changed the artifact")
+    }
+  }
 }
