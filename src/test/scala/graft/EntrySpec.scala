@@ -244,4 +244,19 @@ class EntrySpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("registry-wide plan audit: no CartesianProduct anywhere (470 keys)") {
+    // A crossJoin is legitimate ONLY against a broadcast 1-row scalar
+    // frame (it compiles to BroadcastNestedLoopJoin); a CartesianProduct
+    // node means two non-broadcast sides met without keys — the
+    // quadratic-at-scale accident this audit exists to catch, standing,
+    // for every key the registry will ever hold.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, Sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      } catch { case e: Throwable => Some(s"$name (plan failed: ${e.getMessage.take(80)})") }
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: ${offenders.mkString(", ")}")
+  }
 }
