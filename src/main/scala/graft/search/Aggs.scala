@@ -56,6 +56,40 @@ object Aggs {
     }: _*)
   }
 
+  /** `ip_prefix` aggregation: bucket by the /N subnet of a 32-bit
+    * address value — the CIDR cousin of [[rangeAgg]]'s labeled ranges.
+    * Pure integer math (mask = bitwiseAND, octets by shift), one hash
+    * agg over the subnet keys; bucket key is the dotted network address
+    * with the "/N" suffix, top-`size` by doc count (prefix asc as the
+    * tie-break). Optional `metrics` ride the same hash aggregate (the
+    * wire face passes its cardinality sub-agg here). Missing addresses
+    * bucket nowhere, as across the bucketing family. This is the ONE
+    * implementation both the structured entry and the wire executor
+    * compile to — the twins cannot drift.
+    */
+  def ipPrefixAgg(
+      df: DataFrame,
+      ipnum: Column,
+      prefixLen: Int,
+      size: Int = 20,
+      metrics: Seq[Column] = Nil
+  ): DataFrame = {
+    require(prefixLen >= 0 && prefixLen <= 32, s"ip_prefix prefix_length out of range [0,32]: $prefixLen")
+    val mask = if (prefixLen == 0) 0L else (0xffffffffL << (32 - prefixLen)) & 0xffffffffL
+    // Materialize the masked network value ONCE per row: the octet
+    // re-rendering references it four times.
+    val masked = df.filter(ipnum.isNotNull).withColumn("_net", ipnum.bitwiseAND(lit(mask)))
+    def octet(sh: Int) = pmod(shiftright(col("_net"), sh), lit(256L))
+    val prefix =
+      concat(concat_ws(".", octet(24), octet(16), octet(8), pmod(col("_net"), lit(256L))), lit(s"/$prefixLen"))
+        .as("prefix")
+    masked
+      .groupBy(prefix)
+      .agg(count(lit(1)).as("doc_count"), metrics: _*)
+      .orderBy(col("doc_count").desc, col("prefix"))
+      .limit(size)
+  }
+
   /** Point-in-polygon by ray casting (the pnpoly crossing test) — the
     * geo_polygon query's predicate. Edges unroll at compile time into
     * one codegen'd expression (the polygon is request metadata, never

@@ -3146,29 +3146,21 @@ object JsonDsl {
       // an exact distinct count per prefix.
       case "ip_prefix" =>
         val len = Option(body.get("prefix_length")).map(_.asInt).getOrElse(16)
-        require(len >= 0 && len <= 32, s"ip_prefix prefix_length out of range: $len")
         val size = Option(body.get("size")).map(_.asInt).getOrElse(20)
-        // Materialize the masked network value ONCE per row: the octet
-        // re-rendering references it four times, and without the explicit
-        // projection each reference re-splits the dotted string.
-        val masked = df.withColumn(
-          "_net",
-          ipNum(field).bitwiseAND(lit(if (len == 0) 0L else (0xffffffffL << (32 - len)) & 0xffffffffL))
+        // strict options: is_ipv6 would silently change the address space
+        val extraOpts =
+          body.fieldNames().asScala.toSet -- Set("field", "prefix_length", "size", "is_ipv6")
+        require(extraOpts.isEmpty, s"ip_prefix: unsupported options $extraOpts")
+        require(
+          !Option(body.get("is_ipv6")).exists(_.asBoolean),
+          "ip_prefix supports is_ipv6=false only (the engine's address model is 32-bit)"
         )
-        def octet(sh: Int) = pmod(shiftright(col("_net"), sh), lit(256L))
-        val prefix =
-          concat(concat_ws(".", octet(24), octet(16), octet(8), pmod(col("_net"), lit(256L))), lit(s"/$len"))
-            .as("prefix")
         val extra = subAggs.toSeq.flatMap(_.fields().asScala.toSeq).map { e =>
           val t = e.getValue.fieldNames().next()
           require(t == "cardinality", s"ip_prefix sub-aggregation must be cardinality, got '$t'")
           countDistinct(col(req(e.getValue.get("cardinality"), "field", "cardinality").asText)).as(e.getKey)
         }
-        masked
-          .groupBy(prefix)
-          .agg(count(lit(1)).as("doc_count"), extra: _*)
-          .orderBy(col("doc_count").desc, col("prefix"))
-          .limit(size)
+        Aggs.ipPrefixAgg(df, ipNum(field), len, size, extra)
       // ip_range: labeled ranges over the 32-bit address value — the
       // standard rangeAgg plan (one CASE projection, k-row hash agg).
       case "ip_range" =>
