@@ -249,6 +249,78 @@ class PplFuzzSpec extends SparkSpec {
     }
   }
 
+  test("10 random full pipelines: where | eval | stats..by | sort == typed reference fold") {
+    // the command-plumbing face: a filtered frame gains an eval-computed
+    // column, aggregates by a NULLABLE key (SQL semantics: the null
+    // group EXISTS in PPL), and sorts. sum/avg go through the engine's
+    // exact-decimal rule (each value quantized at 6dp HALF_UP, summed
+    // exactly, one double conversion) — the reference replays it, so
+    // sums compare bit-for-bit; generator keeps eval outputs within 4dp
+    // (one multiplication of 2dp operands) so the quantization is the
+    // identity and the drill tests PLUMBING, not rounding edges.
+    val rnd = new scala.util.Random(0x991f2L)
+    val resolve: String => org.apache.spark.sql.DataFrame = { case "t" => frame }
+    (1 to 10).foreach { ci =>
+      val filterB = genB(rnd, 2)
+      val evalA = genA(rnd, 2, 1)
+      val q = s"source=t | where ${renderB(filterB)} | eval m = ${renderA(evalA)} | " +
+        "stats sum(m) as s_m, avg(m) as a_m, count() as n, min(m) as mn, max(m) as mx by tag | sort tag"
+      val got = Ppl
+        .query(resolve, q)
+        .collect()
+        .map { r =>
+          (Option(r.get(r.fieldIndex("tag"))).map(_.toString),
+           Option(r.get(r.fieldIndex("s_m"))).map(_.toString.toDouble),
+           Option(r.get(r.fieldIndex("a_m"))).map(_.toString.toDouble),
+           r.getLong(r.fieldIndex("n")),
+           Option(r.get(r.fieldIndex("mn"))).map(_.toString.toDouble),
+           Option(r.get(r.fieldIndex("mx"))).map(_.toString.toDouble))
+        }
+        .toVector
+
+      val kept = docs.filter(d => evalB3(filterB, d).contains(true))
+      val want = kept
+        .groupBy(_.tag)
+        .toSeq
+        .sortBy(_._1) // None (null key) first — Spark asc nulls-first
+        .map { case (tag, g) =>
+          val vs = g.flatMap(d => evalA match { case _ => evalA1(evalA, d) })
+          val sumExact =
+            if (vs.isEmpty) None
+            else
+              Some(
+                vs.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+                  .sum
+                  .toDouble
+              )
+          (tag,
+           sumExact,
+           sumExact.map(_ / vs.size),
+           g.size.toLong,
+           if (vs.isEmpty) None else Some(vs.min),
+           if (vs.isEmpty) None else Some(vs.max))
+        }
+
+      assert(got.size == want.size, s"#$ci <$q>: ${got.size} groups vs ${want.size}")
+      got.zip(want).foreach { case (g, w) =>
+        def close(a: Option[Double], b: Option[Double]) = (a, b) match {
+          case (None, None) => true
+          case (Some(x), Some(y)) => math.abs(x - y) <= 1e-9 + 1e-12 * math.abs(x)
+          case _ => false
+        }
+        assert(
+          g._1 == w._1 && close(g._2, w._2) && close(g._3, w._3) && g._4 == w._4 &&
+            close(g._5, w._5) && close(g._6, w._6),
+          s"#$ci <$q>: got $g want $w"
+        )
+      }
+    }
+  }
+
+  /** eval-expression value as a double (None when a referenced field is null). */
+  private def evalA1(a: A, d: Doc): Option[Double] =
+    evalA(a, d).map(_.fold(_.toDouble, identity))
+
   test("PPL precedence ladder: or < and < not < comparison < additive < multiplicative") {
     val resolve: String => org.apache.spark.sql.DataFrame = { case "t" => frame }
     // qty + 2 * 3 = qty + 6 (not (qty+2)*3); not A and B groups as (not A) and B
