@@ -198,7 +198,10 @@ object Aggs {
 
   /** `date_histogram` with calendar interval + metric sub-aggregations. */
   def dateHistogram(df: DataFrame, ts: Column, interval: String, metrics: Seq[Column]): DataFrame =
-    df.groupBy(date_trunc(interval, ts).as("bucket"))
+    // missing timestamps bucket nowhere (OpenSearch; the NULL-key-bucket
+    // SQL trap the AggsFuzzSpec drill caught on terms/histogram)
+    df.filter(ts.isNotNull)
+      .groupBy(date_trunc(interval, ts).as("bucket"))
       .agg(count(lit(1)).as("doc_count"), metrics: _*)
       .orderBy("bucket")
 

@@ -24,7 +24,11 @@ class AggsFuzzSpec extends SparkSpec {
 
   private val tagPool = Vector("red", "blue", "green", "amber", "cyan", "plum", "teal", "rust")
 
-  private case class Doc(id: Long, tag: Option[String], price: Option[Double], qty: Option[Int])
+  private case class Doc(id: Long, tag: Option[String], price: Option[Double], qty: Option[Int], ts: Option[Long])
+
+  // epoch-second timestamps inside 2024, so month/day/hour truncations
+  // all produce multiple buckets
+  private val Epoch2024 = 1704067200L
 
   private val docs: Vector[Doc] = {
     val rnd = new scala.util.Random(77L)
@@ -33,7 +37,8 @@ class AggsFuzzSpec extends SparkSpec {
         i.toLong,
         if (rnd.nextInt(8) == 0) None else Some(tagPool(rnd.nextInt(tagPool.size))),
         if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(10000) / 100.0),
-        if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(50))
+        if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(50)),
+        if (rnd.nextInt(8) == 0) None else Some(Epoch2024 + rnd.nextInt(180) * 86400L + rnd.nextInt(86400))
       )
     }
   }
@@ -42,9 +47,15 @@ class AggsFuzzSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     docs
-      .map(d => (d.id, d.tag.orNull, d.price.map(Double.box).orNull, d.qty.map(Int.box).orNull))
-      .toDF("_id", "tag", "price", "qty")
-      .select(col("_id"), col("tag"), col("price").cast("double").as("price"), col("qty").cast("int").as("qty"))
+      .map(d => (d.id, d.tag.orNull, d.price.map(Double.box).orNull, d.qty.map(Int.box).orNull, d.ts.map(Long.box).orNull))
+      .toDF("_id", "tag", "price", "qty", "_epoch")
+      .select(
+        col("_id"),
+        col("tag"),
+        col("price").cast("double").as("price"),
+        col("qty").cast("int").as("qty"),
+        timestamp_seconds(col("_epoch")).as("ts")
+      )
       .cache()
   }
 
@@ -54,6 +65,7 @@ class AggsFuzzSpec extends SparkSpec {
   private case class TermsAgg(size: Int, metrics: Seq[Metric], order: Option[(String, Boolean)]) extends AggReq
   private case class HistAgg(interval: Double, metrics: Seq[Metric]) extends AggReq
   private case class RangeAgg(bounds: Seq[Double]) extends AggReq
+  private case class DateHist(interval: String, metrics: Seq[Metric]) extends AggReq
 
   private case class Request(filterQty: Option[Int], agg: AggReq)
 
@@ -66,7 +78,7 @@ class AggsFuzzSpec extends SparkSpec {
 
   private def gen(rnd: scala.util.Random): Request = {
     val filter = if (rnd.nextInt(3) == 0) Some(rnd.nextInt(40)) else None
-    val agg = rnd.nextInt(4) match {
+    val agg = rnd.nextInt(5) match {
       case 0 | 1 =>
         val metrics = genMetrics(rnd)
         val order =
@@ -79,6 +91,7 @@ class AggsFuzzSpec extends SparkSpec {
       case 3 =>
         val cuts = Seq.fill(1 + rnd.nextInt(2))(rnd.nextInt(90) + 5).distinct.sorted.map(_.toDouble)
         RangeAgg(cuts)
+      case 4 => DateHist(Vector("month", "day", "hour")(rnd.nextInt(3)), genMetrics(rnd))
     }
     Request(filter, agg)
   }
@@ -96,6 +109,9 @@ class AggsFuzzSpec extends SparkSpec {
       case HistAgg(interval, metrics) =>
         val sub = if (metrics.isEmpty) "" else s""", "aggs": {${metrics.map(metricJson).mkString(",")}}"""
         s""""buckets": {"histogram": {"field": "price", "interval": $interval}$sub}"""
+      case DateHist(interval, metrics) =>
+        val sub = if (metrics.isEmpty) "" else s""", "aggs": {${metrics.map(metricJson).mkString(",")}}"""
+        s""""buckets": {"date_histogram": {"field": "ts", "calendar_interval": "$interval"}$sub}"""
       case RangeAgg(cuts) =>
         val ranges = (None +: cuts.map(Some(_))).zip(cuts.map(Some(_)) :+ None).map {
           case (from, to) =>
@@ -151,6 +167,22 @@ class AggsFuzzSpec extends SparkSpec {
             }
         }
         ordered.take(size)
+      case DateHist(interval, metrics) =>
+        def trunc(epoch: Long): Long = {
+          val z = java.time.Instant.ofEpochSecond(epoch).atZone(java.time.ZoneOffset.UTC)
+          val t = interval match {
+            case "month" => z.withDayOfMonth(1).toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
+            case "day" => z.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
+            case "hour" => z.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+          }
+          t.toEpochSecond
+        }
+        base
+          .filter(_.ts.isDefined)
+          .groupBy(d => trunc(d.ts.get))
+          .toSeq
+          .map { case (k, g) => (k: Any, g.size.toLong, metrics.map(metricVal(_, g))) }
+          .sortBy(_._1.asInstanceOf[Long])
       case HistAgg(interval, metrics) =>
         base
           .filter(_.price.isDefined)
@@ -192,6 +224,7 @@ class AggsFuzzSpec extends SparkSpec {
       val metricNames = req.agg match {
         case TermsAgg(_, ms, _) => ms
         case HistAgg(_, ms) => ms
+        case DateHist(_, ms) => ms
         case _ => Seq.empty
       }
       def rowStr(r: Row) = r.toSeq.mkString("[", ", ", "]")
@@ -204,6 +237,7 @@ class AggsFuzzSpec extends SparkSpec {
         val gn = g.getLong(g.fieldIndex("doc_count"))
         val keyOk = (gk, wk) match {
           case (a: Double, b: Double) => math.abs(a - b) < 1e-9
+          case (a: java.sql.Timestamp, b: Long) => a.toInstant.getEpochSecond == b
           case (a, b) => a == b
         }
         assert(
