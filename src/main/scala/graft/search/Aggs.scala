@@ -223,6 +223,7 @@ object Aggs {
         )
       )
     val buckets = df
+      .filter(ts.isNotNull) // missing timestamps bucket nowhere (family rule)
       .groupBy(date_trunc(interval, ts).as("bucket"))
       .agg(count(lit(1)).as("doc_count"), metric)
     // Zero-fill in the metric's OWN type: a bigint sum stays bigint, a
@@ -736,7 +737,8 @@ object Aggs {
     * math, not fact-table work.
     */
   def dateHistogramRate(df: DataFrame, ts: Column, value: Column): DataFrame =
-    df.groupBy(date_trunc("month", ts).as("bucket"))
+    df.filter(ts.isNotNull) // missing timestamps bucket nowhere (family rule)
+      .groupBy(date_trunc("month", ts).as("bucket"))
       .agg(count(lit(1)).as("doc_count"), sum(value).as("_sum"))
       .select(
         col("bucket"),
@@ -821,7 +823,8 @@ object Aggs {
     val interval = Seq("hour", "day", "month")
       .find(iv => crossings(iv) + 1 <= targetBuckets)
       .getOrElse("year")
-    df.groupBy(date_trunc(interval, ts).as("bucket"))
+    df.filter(ts.isNotNull) // missing timestamps bucket nowhere (family rule)
+      .groupBy(date_trunc(interval, ts).as("bucket"))
       .agg(count(lit(1)).as("doc_count"))
       .select(lit(interval).as("interval"), col("bucket"), col("doc_count"))
       .orderBy("bucket")
