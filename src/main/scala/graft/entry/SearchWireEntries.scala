@@ -575,6 +575,28 @@ private[graft] object SearchWireEntries {
           |  "after": {"k0": "2-HIGH", "k1": "F"}}}}}""".stripMargin
       )),
 
+    // composite over a join-derived SPARSE source: docs with a missing
+    // source value bucket nowhere (OpenSearch missing_bucket=false
+    // default). Pins the CompositeFuzzSpec null-key fix at the oracle
+    // gate — a NULL bucket here wouldn't just be a wrong row, it would
+    // poison the after-cursor of every subsequent page (k > NULL is
+    // never true). Same sparse-field derivation as search_terms_agg_sparse.
+    "search_dsl_json_composite_sparse" -> ((s, dir) => {
+      val top = Tables
+        .orders(s, dir)
+        .filter(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderpriority")).as("top_priority"))
+      val j = Tables.customer(s, dir).join(top, col("c_custkey") === col("o_custkey"), "left")
+      JsonDsl.parse(
+        j,
+        """{"aggs": {"page": {"composite": {"size": 8,
+          |  "sources": [{"k0": {"terms": {"field": "top_priority"}}},
+          |              {"k1": {"terms": {"field": "c_mktsegment"}}}],
+          |  "after": {"k0": "1-URGENT", "k1": "BUILDING"}}}}}""".stripMargin
+      )
+    }),
+
     // span_near from the wire format: 'big' before 'table' within 3
     // token positions — same token-position HOF plan as the structured
     // search_span_near (shared oracle shape).
@@ -2105,6 +2127,16 @@ private[graft] object SearchWireEntries {
         |FROM orders GROUP BY 1, 2
         |HAVING o_orderpriority > '2-HIGH' OR (o_orderpriority = '2-HIGH' AND o_orderstatus > 'F')
         |ORDER BY k0, k1 LIMIT 5""".stripMargin,
+
+    "search_dsl_json_composite_sparse" ->
+      """WITH t AS (SELECT o_custkey, max(o_orderpriority) AS top_priority
+        |           FROM orders WHERE o_totalprice > 400000 GROUP BY 1)
+        |SELECT top_priority AS k0, c_mktsegment AS k1, count(*) AS doc_count
+        |FROM customer LEFT JOIN t ON c_custkey = o_custkey
+        |WHERE top_priority IS NOT NULL
+        |GROUP BY 1, 2
+        |HAVING top_priority > '1-URGENT' OR (top_priority = '1-URGENT' AND c_mktsegment > 'BUILDING')
+        |ORDER BY k0, k1 LIMIT 8""".stripMargin,
 
     "search_dsl_json_knn" ->
       """SELECT * FROM (

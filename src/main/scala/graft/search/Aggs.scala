@@ -859,6 +859,13 @@ object Aggs {
     * strictly after the `after` cursor — the scalable "paginate all
     * buckets" pattern (each page is one bounded aggregation, no global
     * materialization of the bucket space).
+    *
+    * Docs with a missing value in ANY source bucket nowhere (the
+    * OpenSearch default, missing_bucket=false) — same null-key rule as
+    * terms/histogram, and load-bearing here beyond bucket identity: a
+    * NULL key emitted into a page would poison the after-cursor
+    * (`k > NULL` is never true), silently truncating the walk. The
+    * IsNotNull conjunction is pushable to the scan.
     */
   def compositePage(
       df: DataFrame,
@@ -868,6 +875,7 @@ object Aggs {
   ): DataFrame = {
     val named = keys.zipWithIndex.map { case (k, i) => k.as(s"k$i") }
     val grouped = df
+      .filter(keys.map(_.isNotNull).reduce(_ && _))
       .groupBy(named: _*)
       .agg(count(lit(1)).as("doc_count"))
     val paged = after match {

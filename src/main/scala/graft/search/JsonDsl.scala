@@ -3009,6 +3009,9 @@ object JsonDsl {
           val n = singleField(s)
           val t = s.get(n)
           val terms = req(t, "terms", s"composite source '$n'")
+          // missing_bucket/order would change bucket membership or walk
+          // order — unimplemented options must fail, not silently skew.
+          strictOpts(t, "terms", s"composite source '$n'", Set("field"))
           (n, col(req(terms, "field", s"composite source '$n'").asText))
         }
         val after = Option(body.get("after"))
