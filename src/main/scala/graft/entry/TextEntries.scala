@@ -328,7 +328,7 @@ private[graft] object TextEntries {
       Tables
         .documents(s, dir)
         .filter(
-          pmod(col("doc_id") * lit(2654435761L), lit(65536L)) / 65536.0 <
+          graft.operators.Sampling.hashFrac(col("doc_id")) <
             least(lit(1.0), round(TextFns.stopwordRatio(col("text")), 6) * 3.0)
         )
         .select(col("doc_id"), col("source"))
@@ -439,7 +439,7 @@ private[graft] object TextEntries {
       Tables
         .documents(s, dir)
         .select(
-          (col("doc_id") * lit(2654435761L) % 65536 % 8).cast("long").as("shard"),
+          (graft.operators.Sampling.knuthDraw16(col("doc_id")) % 8).cast("long").as("shard"),
           col("doc_id"),
           md5(concat(col("doc_id").cast("string"), lit(":shuf"))).as("rk")
         )

@@ -42,6 +42,18 @@ object Sampling {
     if (buckets >= 256) lit(true) else hashBucket(id) < f"$buckets%02x"
   }
 
+  /** The 16-bit Knuth multiplicative draw as an integer in [0, 65536):
+    * computed as ((id mod 2¹⁶) · (K mod 2¹⁶)) mod 2¹⁶, which equals
+    * (id · K) mod 2¹⁶ for EVERY 64-bit id — the naive `id * K` form
+    * overflows Long past id ≈ 3.5e9 and THROWS under ANSI mode, so a
+    * corpus with snowflake-style ids would crash the sampler. The
+    * reduced form's intermediate maxes at 65535 · 31153 (K mod 2¹⁶),
+    * and emitted membership is bit-identical to the original draw on
+    * every id the original survived.
+    */
+  private[graft] def knuthDraw16(x: Column): Column =
+    pmod(pmod(x, lit(65536L)) * lit(31153L), lit(65536L))
+
   /** The 16-bit Knuth multiplicative-hash fraction of an integer id —
     * the cross-engine-exact uniform draw (pure integer arithmetic, then
     * one exact /65536 division), for when the keep rate is a
@@ -49,7 +61,7 @@ object Sampling {
     * hex-prefix trick needs a literal to render).
     */
   def hashFrac(id: Column): Column =
-    pmod(id * lit(2654435761L), lit(65536L)) / 65536.0
+    knuthDraw16(id) / 65536.0
 
   /** Temperature-flattened source mixing — the multilingual/multi-source
     * pretraining recipe (sample source s ∝ mass_s^α; α < 1 flattens the
@@ -107,7 +119,7 @@ object Sampling {
     }
     val nf = floor(e) // Spark FLOOR(double) is already LONG
     val fr = e - floor(e)
-    val extra = (pmod((id.cast("long") + nf) * lit(2654435761L), lit(65536L)) / 65536.0) < fr
+    val extra = (knuthDraw16(id.cast("long") + nf) / 65536.0) < fr
     df.withColumn("__copies", nf + when(extra, 1L).otherwise(0L))
       .filter(col("__copies") > 0)
       .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
