@@ -245,6 +245,31 @@ class EntrySpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("registry-wide plan audit: every global window is bucket-sized, never over a scan") {
+    // An unpartitioned Window moves its ENTIRE input to one partition —
+    // legitimate only when that input is already bounded: a bucket table
+    // (aggregate below), or a top-k/limit result. Over raw scan rows it
+    // is the single-machine sort that kills a 100 TB plan. All current
+    // sites are pipeline aggs / hybrid fusion / rank_eval over bounded
+    // frames; this audit keeps it that way for every future key.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def bounded(p: SparkPlan): Boolean =
+      p.isInstanceOf[BaseAggregateExec] ||
+        p.getClass.getSimpleName.contains("Limit") ||
+        p.getClass.getSimpleName.contains("TakeOrdered") ||
+        p.children.exists(bounded)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, Sf).queryExecution.sparkPlan
+          .collect { case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) => name }
+          .distinct
+      } catch { case e: Throwable => Seq(s"$name (plan failed: ${e.getMessage.take(80)})") }
+    }
+    assert(offenders.isEmpty, s"data-sized global window in: ${offenders.mkString(", ")}")
+  }
+
   test("registry-wide plan audit: no CartesianProduct anywhere (470 keys)") {
     // A crossJoin is legitimate ONLY against a broadcast 1-row scalar
     // frame (it compiles to BroadcastNestedLoopJoin); a CartesianProduct
