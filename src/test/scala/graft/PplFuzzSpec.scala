@@ -334,4 +334,82 @@ class PplFuzzSpec extends SparkSpec {
     val want2 = docs.filter(d => d.tag.exists(_ != "red") && d.qty.exists(_ > 40)).map(_.id).toSet
     assert(q2 == want2)
   }
+
+  test("row-shaping pipelines: fillnull | rename | where | fields | sort | head == reference fold") {
+    // the commands that move/patch columns rather than compute: fillnull
+    // patches BEFORE the filter sees the column (ordering is the point —
+    // a filled qty passes a qty-filter the null row would have failed),
+    // rename rebinds the name downstream commands must use, head
+    // truncates AFTER the sort. The sort appends _id so ties are
+    // deterministic and the fold compares ordered, not as a set.
+    val rnd = new scala.util.Random(0x991f3L)
+    val resolve: String => org.apache.spark.sql.DataFrame = { case "t" => frame }
+    (1 to 12).foreach { ci =>
+      val fill = rnd.nextInt(50).toLong
+      val cut = rnd.nextInt(50)
+      val desc = rnd.nextBoolean()
+      val n = 1 + rnd.nextInt(30)
+      val q = s"source=t | fillnull with $fill in qty | rename tag as label | " +
+        s"where qty >= $cut | fields _id, label, qty | sort ${if (desc) "-" else "+"}qty, +_id | head $n"
+      val got = Ppl
+        .query(resolve, q)
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.get(2).toString.toInt)) // qty widens to long via the fill literal
+        .toSeq
+      val want = docs
+        .map(d => (d.id, d.tag, d.qty.getOrElse(fill.toInt)))
+        .filter(_._3 >= cut)
+        .sortBy { case (id, _, qty) => (if (desc) -qty else qty, id) }
+        .take(n)
+      assert(got == want, s"#$ci <$q>: got ${got.take(5)} want ${want.take(5)}")
+    }
+  }
+
+  test("top / rare with and without by == frequency folds (count tie-break by key asc)") {
+    val rnd = new scala.util.Random(0x991f4L)
+    val resolve: String => org.apache.spark.sql.DataFrame = { case "t" => frame }
+    (1 to 10).foreach { ci =>
+      val n = 1 + rnd.nextInt(6)
+      val rare = rnd.nextBoolean()
+      val cmd = if (rare) "rare" else "top"
+
+      // ungrouped: ranked value frequencies with deterministic tie-break.
+      // tag is nullable and the bucketing family drops null keys nowhere
+      // here — PPL top/rare ranks the VALUES present; null tags group as
+      // the null value in Spark's groupBy, so the fold keeps them too.
+      val got = Ppl
+        .query(resolve, s"source=t | $cmd $n tag")
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1)))
+        .toSeq
+      val freq = docs.groupBy(_.tag).map { case (t, xs) => (t, xs.size.toLong) }.toSeq
+      val want = freq
+        .sortBy { case (t, c) => (if (rare) c else -c, t.isDefined, t.getOrElse("")) } // null key first (asc nulls-first)
+        .take(n)
+      assert(got == want, s"#$ci $cmd $n tag: got $got want $want")
+
+      // grouped: per-group ranking through the bounded-heap operator
+      val gotBy = Ppl
+        .query(resolve, s"source=t | $cmd $n qty by tag")
+        .collect()
+        .map(r =>
+          (Option(r.get(r.fieldIndex("tag"))).map(_.toString),
+           Option(r.get(r.fieldIndex("qty"))).map(_.toString.toInt),
+           r.getLong(r.fieldIndex("count")))
+        )
+        .toSet
+      val wantBy = docs
+        .groupBy(_.tag)
+        .flatMap { case (t, xs) =>
+          xs.groupBy(_.qty)
+            .map { case (q, g) => (q, g.size.toLong) }
+            .toSeq
+            .sortBy { case (q, c) => (if (rare) c else -c, q.isDefined, q.getOrElse(0)) }
+            .take(n)
+            .map { case (q, c) => (t.map(_.toString), q, c) }
+        }
+        .toSet
+      assert(gotBy == wantBy, s"#$ci $cmd $n qty by tag mismatch")
+    }
+  }
 }
