@@ -270,7 +270,7 @@ class EntrySpec extends SparkSpec {
     assert(offenders.isEmpty, s"data-sized global window in: ${offenders.mkString(", ")}")
   }
 
-  test("registry-wide plan audit: no CartesianProduct anywhere (470 keys)") {
+  test("registry-wide plan audit: no CartesianProduct anywhere (whole registry)") {
     // A crossJoin is legitimate ONLY against a broadcast 1-row scalar
     // frame (it compiles to BroadcastNestedLoopJoin); a CartesianProduct
     // node means two non-broadcast sides met without keys — the
