@@ -566,6 +566,24 @@ private[graft] object SearchWireEntries {
         """{"aggs": {"rare_langs": {"rare_terms": {"field": "lang", "max_doc_count": 100}}}}"""
       )),
 
+    // multi_terms over a join-derived SPARSE key: docs missing ANY
+    // source value bucket nowhere (the composite-source rule applied to
+    // multi_terms — pins the AggsFuzzSpec terms-family null fix at the
+    // oracle gate on the search_terms_agg_sparse derivation).
+    "search_dsl_json_multi_terms_sparse" -> ((s, dir) => {
+      val top = Tables
+        .orders(s, dir)
+        .filter(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderpriority")).as("top_priority"))
+      val j = Tables.customer(s, dir).join(top, col("c_custkey") === col("o_custkey"), "left")
+      JsonDsl.parse(
+        j,
+        """{"aggs": {"m": {"multi_terms": {
+          |  "terms": [{"field": "top_priority"}, {"field": "c_mktsegment"}], "size": 12}}}}""".stripMargin
+      )
+    }),
+
     "search_dsl_json_composite" -> ((s, dir) =>
       JsonDsl.parse(
         Tables.orders(s, dir),
@@ -2127,6 +2145,15 @@ private[graft] object SearchWireEntries {
         |FROM orders GROUP BY 1, 2
         |HAVING o_orderpriority > '2-HIGH' OR (o_orderpriority = '2-HIGH' AND o_orderstatus > 'F')
         |ORDER BY k0, k1 LIMIT 5""".stripMargin,
+
+    "search_dsl_json_multi_terms_sparse" ->
+      """WITH t AS (SELECT o_custkey, max(o_orderpriority) AS top_priority
+        |           FROM orders WHERE o_totalprice > 400000 GROUP BY 1)
+        |SELECT top_priority AS k0, c_mktsegment AS k1, count(*) AS doc_count
+        |FROM customer LEFT JOIN t ON c_custkey = o_custkey
+        |WHERE top_priority IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY doc_count DESC, k0, k1 LIMIT 12""".stripMargin,
 
     "search_dsl_json_composite_sparse" ->
       """WITH t AS (SELECT o_custkey, max(o_orderpriority) AS top_priority

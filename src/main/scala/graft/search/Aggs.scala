@@ -258,17 +258,21 @@ object Aggs {
     * buckets whose doc count is at most `maxCount`, rarest first.
     */
   def rareTerms(df: DataFrame, field: Column, maxCount: Long): DataFrame =
-    df.groupBy(field.as("key"))
+    df.filter(field.isNotNull) // missing-field docs bucket nowhere (family rule)
+      .groupBy(field.as("key"))
       .agg(count(lit(1)).as("doc_count"))
       .filter(col("doc_count") <= maxCount)
       .orderBy(col("doc_count").asc, col("key").asc)
 
   /** `multi_terms` aggregation: top-`size` buckets over a composite key,
-    * by doc count desc (keys asc as the tie-break).
+    * by doc count desc (keys asc as the tie-break). A doc missing ANY
+    * key value buckets nowhere — OpenSearch's multi_terms requires
+    * every source value present (same family rule as terms/composite).
     */
   def multiTerms(df: DataFrame, fields: Seq[Column], size: Int): DataFrame = {
     val keyed = fields.zipWithIndex.map { case (f, i) => f.as(s"k$i") }
-    df.groupBy(keyed: _*)
+    df.filter(fields.map(_.isNotNull).reduce(_ && _))
+      .groupBy(keyed: _*)
       .agg(count(lit(1)).as("doc_count"))
       .orderBy(col("doc_count").desc +: keyed.indices.map(i => col(s"k$i").asc): _*)
       .limit(size)
@@ -310,7 +314,10 @@ object Aggs {
     // ONE array-percentile aggregate: k separate percentile() instances
     // would each buffer the whole column (measured 2.7x slower at sf0.1).
     val seeds = df.agg(percentile(field, lit(ps.toArray)).as("_seeds"))
-    df.crossJoin(broadcast(seeds))
+    // null values bucket nowhere (family rule) — and would otherwise
+    // produce a NULL nearest-seed position, i.e. a phantom bucket.
+    df.filter(field.isNotNull)
+      .crossJoin(broadcast(seeds))
       .withColumn("_d", transform(col("_seeds"), s => abs(field - s)))
       .withColumn("bucket", array_position(col("_d"), array_min(col("_d"))))
       .groupBy("bucket")
@@ -622,7 +629,11 @@ object Aggs {
     * a broadcast of the two scalar totals.
     */
   def significantTerms(df: DataFrame, term: Column, foreground: Column): DataFrame = {
+    // Missing-field docs bucket nowhere AND stay out of the fg/bg
+    // totals (family rule): a NULL term row would both emit a bucket
+    // OpenSearch never has and dilute every other term's frequency.
     val agg = df
+      .filter(term.isNotNull)
       .groupBy(term.as("term"))
       .agg(
         sum(when(foreground, 1L).otherwise(0L)).as("fg_count"),

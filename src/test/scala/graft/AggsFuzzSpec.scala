@@ -258,4 +258,79 @@ class AggsFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("rare/multi/significant terms: null keys bucket nowhere, folds exact") {
+    // the rest of the terms family under the same null-key rule the main
+    // arm pins for terms/histogram: rare_terms (count-capped, count-asc
+    // key-asc order), multi_terms (ALL key values must be present —
+    // the composite-source rule), significant_terms (frequency-delta
+    // score over a query-defined foreground, with NULL terms out of the
+    // buckets AND out of both totals).
+    val rnd = new scala.util.Random(0x5197e12L)
+    (1 to 10).foreach { ci =>
+      // rare_terms
+      val cap = 1L + rnd.nextInt(60)
+      val gotRare = JsonDsl
+        .parse(frame, s"""{"aggs": {"r": {"rare_terms": {"field": "tag", "max_doc_count": $cap}}}}""")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .toSeq
+      val wantRare = docs
+        .flatMap(_.tag)
+        .groupBy(identity)
+        .map { case (t, xs) => (t, xs.size.toLong) }
+        .toSeq
+        .filter(_._2 <= cap)
+        .sortBy { case (t, c) => (c, t) }
+      assert(gotRare == wantRare, s"#$ci rare_terms cap=$cap mismatch")
+
+      // multi_terms over (tag, qty): docs missing EITHER bucket nowhere
+      val size = 1 + rnd.nextInt(12)
+      val gotMulti = JsonDsl
+        .parse(
+          frame,
+          s"""{"aggs": {"m": {"multi_terms": {"terms": [{"field": "tag"}, {"field": "qty"}], "size": $size}}}}"""
+        )
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .toSeq
+      val wantMulti = docs
+        .collect { case d if d.tag.isDefined && d.qty.isDefined => (d.tag.get, d.qty.get) }
+        .groupBy(identity)
+        .map { case ((t, q), xs) => (t, q, xs.size.toLong) }
+        .toSeq
+        .sortBy { case (t, q, c) => (-c, t, q) }
+        .take(size)
+      assert(gotMulti == wantMulti, s"#$ci multi_terms size=$size mismatch")
+
+      // significant_terms: foreground = qty >= cut; null tags excluded
+      // from buckets and from fg/bg totals
+      val cut = rnd.nextInt(50)
+      val gotSig = JsonDsl
+        .parse(
+          frame,
+          s"""{"query": {"range": {"qty": {"gte": $cut}}},
+             | "aggs": {"sig": {"significant_terms": {"field": "tag"}}}}""".stripMargin
+        )
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      val tagged = docs.filter(_.tag.isDefined)
+      val fgTotal = tagged.count(_.qty.exists(_ >= cut))
+      val bgTotal = tagged.size
+      val wantSig = tagged
+        .groupBy(_.tag.get)
+        .map { case (t, xs) =>
+          val fg = xs.count(_.qty.exists(_ >= cut)).toLong
+          val bg = xs.size.toLong
+          val score = BigDecimal(fg.toDouble / fgTotal - bg.toDouble / bgTotal)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+          (t, fg, bg, score)
+        }
+        .toSeq
+        .sortBy { case (t, _, _, sc) => (-sc, t) }
+      assert(gotSig == wantSig, s"#$ci significant_terms cut=$cut mismatch")
+    }
+  }
 }
