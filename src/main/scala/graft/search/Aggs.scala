@@ -284,9 +284,14 @@ object Aggs {
     * bit-identical on any engine.
     */
   def weightedAvg(df: DataFrame, value: Column, weight: Column): DataFrame =
-    df.agg(
-      round(sum(value * weight).cast("double") / sum(weight).cast("double"), 6).as("weighted_avg")
-    )
+    // Docs missing either side are ignored (OpenSearch default without
+    // a `missing` parameter): sum(value·weight) skips a NULL product by
+    // itself, but sum(weight) would still count a null-VALUE doc's
+    // weight — a silently deflated average on sparse data.
+    df.filter(value.isNotNull && weight.isNotNull)
+      .agg(
+        round(sum(value * weight).cast("double") / sum(weight).cast("double"), 6).as("weighted_avg")
+      )
 
   /** Sibling pipeline aggregations over a bucketed frame: avg/max/min/sum
     * of a per-bucket metric (`avg_bucket` & co. — one row of bucket-level
@@ -515,7 +520,13 @@ object Aggs {
     */
   def matrixStats(df: DataFrame, fields: Seq[String]): DataFrame = {
     require(fields.size >= 2, s"matrix_stats needs at least two fields, got: $fields")
-    val sel = df.select(fields.map(f => col(f).cast("decimal(12,2)").as(f)): _*)
+    // Docs missing ANY field are excluded from the whole matrix (the
+    // OpenSearch default): the cross-product sums skip NULL pairs on
+    // their own, but `n` would still count the row — a silently wrong
+    // covariance denominator on sparse data.
+    val sel = df
+      .filter(fields.map(col(_).isNotNull).reduce(_ && _))
+      .select(fields.map(f => col(f).cast("decimal(12,2)").as(f)): _*)
     val sums = fields.map(f => sum(col(f)).cast("double").as(s"_s_$f"))
     val cross = for { i <- fields.indices; j <- i until fields.size }
       yield sum(col(fields(i)) * col(fields(j))).cast("double").as(s"_x_${i}_$j")
@@ -544,7 +555,12 @@ object Aggs {
 
   def tTest(df: DataFrame, value: Column, condA: Column, condB: Column): DataFrame = {
     val v = value.cast("decimal(12,2)")
-    val agg = df.agg(
+    // Docs missing the value are ignored (family rule, metric form):
+    // the sums already skip NULLs, so without this filter the group
+    // COUNTS would include rows the sums exclude — silently deflating
+    // both means and inflating both variances on sparse data.
+    val df2 = df.filter(value.isNotNull)
+    val agg = df2.agg(
       sum(when(condA, 1L).otherwise(0L)).as("n1"),
       sum(when(condA, v)).cast("double").as("s1"),
       sum(when(condA, v * v)).cast("double").as("ss1"),

@@ -333,4 +333,66 @@ class AggsFuzzSpec extends SparkSpec {
       assert(gotSig == wantSig, s"#$ci significant_terms cut=$cut mismatch")
     }
   }
+
+  test("metric aggs on sparse fields: weighted_avg / t_test / matrix_stats exclude null docs") {
+    // the metric-side form of the null rule: sums skip NULLs on their
+    // own, so any agg that pairs a null-skipping sum with a count(*) is
+    // silently wrong on sparse data — the count includes rows the sum
+    // excluded. Folds replay the engine's exact-decimal convention
+    // (2dp-quantized values, exact sums, one double conversion).
+    val rnd = new scala.util.Random(0x3e7a1c5L)
+    def d2(x: Double): BigDecimal = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (1 to 8).foreach { ci =>
+      // weighted_avg(price, qty): docs missing either side drop
+      val gotW = JsonDsl
+        .parse(frame, """{"aggs": {"w": {"weighted_avg": {"value": {"field": "price"}, "weight": {"field": "qty"}}}}}""")
+        .collect()(0)
+        .getDouble(0)
+      val both = docs.collect { case d if d.price.isDefined && d.qty.isDefined => (d2(d.price.get), BigDecimal(d.qty.get)) }
+      val wantW = r6((both.map { case (v, w) => v * w }.sum / both.map(_._2).sum).toDouble)
+      assert(math.abs(gotW - wantW) < 1e-9, s"#$ci weighted_avg: $gotW != $wantW")
+
+      // t_test over price with random qty-defined populations
+      val cut = 10 + rnd.nextInt(30)
+      val gotT = JsonDsl
+        .parse(
+          frame,
+          s"""{"aggs": {"t": {"t_test": {
+             |  "a": {"field": "price", "filter": {"range": {"qty": {"gte": $cut}}}},
+             |  "b": {"field": "price", "filter": {"range": {"qty": {"lt": $cut}}}}}}}}""".stripMargin
+        )
+        .collect()(0)
+      val priced = docs.filter(_.price.isDefined)
+      def moments(pop: Seq[BigDecimal]): (Long, Double, Double) =
+        (pop.size.toLong, pop.sum.toDouble, pop.map(v => v * v).sum.toDouble)
+      val (n1, s1, ss1) = moments(priced.filter(_.qty.exists(_ >= cut)).map(d => d2(d.price.get)))
+      val (n2, s2, ss2) = moments(priced.filter(_.qty.exists(_ < cut)).map(d => d2(d.price.get)))
+      val wantMeanA = r6(s1 / n1)
+      val wantMeanB = r6(s2 / n2)
+      assert(math.abs(gotT.getDouble(gotT.fieldIndex("mean_a")) - wantMeanA) < 1e-9, s"#$ci t_test mean_a")
+      assert(math.abs(gotT.getDouble(gotT.fieldIndex("mean_b")) - wantMeanB) < 1e-9, s"#$ci t_test mean_b")
+      val wantT = r6(
+        (s1 / n1 - s2 / n2) /
+          math.sqrt(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1 + ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+      )
+      assert(math.abs(gotT.getDouble(gotT.fieldIndex("t_stat")) - wantT) < 1e-6, s"#$ci t_stat")
+
+      // matrix_stats over (price, qty): docs missing EITHER drop entirely
+      val gotM = JsonDsl
+        .parse(frame, """{"aggs": {"m": {"matrix_stats": {"fields": ["price", "qty"]}}}}""")
+        .collect()(0)
+      val pairs = docs.collect { case d if d.price.isDefined && d.qty.isDefined => (d2(d.price.get), BigDecimal(d.qty.get)) }
+      val n = pairs.size
+      val sx = pairs.map(_._1).sum.toDouble
+      val sy = pairs.map(_._2).sum.toDouble
+      val sxy = pairs.map { case (x, y) => x * y }.sum.toDouble
+      val sxx = pairs.map { case (x, _) => x * x }.sum.toDouble
+      val syy = pairs.map { case (_, y) => y * y }.sum.toDouble
+      val wantCov = r6((sxy - sx * sy / n) / (n - 1))
+      val wantCor = r6((n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)))
+      assert(math.abs(gotM.getDouble(gotM.fieldIndex("covariance")) - wantCov) < 1e-6, s"#$ci covariance")
+      assert(math.abs(gotM.getDouble(gotM.fieldIndex("correlation")) - wantCor) < 1e-6, s"#$ci correlation")
+    }
+  }
 }
