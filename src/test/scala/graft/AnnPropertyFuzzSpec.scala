@@ -133,6 +133,44 @@ class AnnPropertyFuzzSpec extends SparkSpec {
     }
   }
 
+  test("graph search: exact scores, rank-consistent, partition-invariant") {
+    val rnd = new scala.util.Random(0x96a9a1L)
+    def cosRef(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { val x = a(i).toDouble; val y = b(i).toDouble; dot += x * y; na += x * x; nb += y * y; i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (1 to 3).foreach { ci =>
+      val corpus = mkCorpus(rnd, 90 + rnd.nextInt(80), 8)
+      val byId = corpus.toMap
+      val df = toDf(corpus.toSeq, rnd)
+      val idx = Similarity.graphIndex(df, "vec_id", "embedding", m = 6, nLists = 6)
+      val probes = Array.tabulate(3)(i => (500L + i, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+      val pByIdQ = probes.toMap
+      val k = 3 + rnd.nextInt(6)
+      def run(e: DataFrame): Seq[(Long, Long, Double, Int)] =
+        Similarity
+          .graphSearchBatch(idx, e, "vec_id", "embedding", toDf(probes.toSeq, rnd), k)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .sortBy(t => (t._1, t._4))
+          .toSeq
+      val got = run(df)
+      got.foreach { case (pid, id, c, _) =>
+        assert(c == r6(cosRef(byId(id), pByIdQ(pid))), s"corpus $ci: stale graph score ($pid, $id)")
+      }
+      got.groupBy(_._1).values.foreach { rs =>
+        val sorted = rs.sortBy(_._4)
+        assert(sorted.map(r => (-r._3, r._2)) == sorted.map(r => (-r._3, r._2)).sorted,
+          s"corpus $ci: rank order violates (cos desc, id asc)")
+        assert(sorted.size <= k && sorted.map(_._2).distinct.size == sorted.size)
+      }
+      // beam state is deterministic under repartitioning (ties by id)
+      assert(got == run(toDf(corpus.toSeq, rnd).repartition(7)), s"corpus $ci: graph search partition-sensitive")
+    }
+  }
+
   test("SQ8 / BQ: emitted scores are exact cosines, ordered, bounded, duplicate-free") {
     val rnd = new scala.util.Random(0x58b9L)
     def cosRef(a: Array[Float], b: Array[Float]): Double = {
