@@ -636,7 +636,9 @@ object Aggs {
     */
   def topHits(df: DataFrame, bucket: Column, k: Int, ordering: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.sortSpec
-    graft.plans.TopKPerKey.perKey(df, Seq(sortSpec(bucket)._1), ordering.map(sortSpec), k)
+    // missing-key docs bucket nowhere (the terms family rule — top_hits
+    // rides a terms bucketing, so a NULL key must not form a group)
+    graft.plans.TopKPerKey.perKey(df.filter(bucket.isNotNull), Seq(sortSpec(bucket)._1), ordering.map(sortSpec), k)
   }
 
   /** `significant_terms`: terms whose foreground frequency exceeds their
