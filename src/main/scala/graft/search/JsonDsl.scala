@@ -2638,7 +2638,9 @@ object JsonDsl {
             val gb = sa.elements().asScala.next().get("geo_bounds")
             val pf = req(gb, "field", "geo_bounds").asText
             val groupName = req(body, "field", "terms").asText
-            df.groupBy(groupName)
+            // terms rule: a NULL group key buckets nowhere
+            df.filter(col(groupName).isNotNull)
+              .groupBy(groupName)
               .agg(
                 max(col(pf).getField("lat")).as("top"),
                 min(col(pf).getField("lat")).as("bottom"),
@@ -3083,7 +3085,8 @@ object JsonDsl {
         val f = req(body, "field", "geohash_grid").asText
         val size = Option(body.get("size")).map(_.asInt).getOrElse(20)
         val precision = Option(body.get("precision")).map(_.asInt).getOrElse(5)
-        df.groupBy(
+        // missing points bucket nowhere (family rule)
+        df.filter(col(f).isNotNull).groupBy(
           Aggs.geohash(col(f).getField("la100"), col(f).getField("lo100"), precision).as("geohash")
         ).agg(count(lit(1)).as("doc_count"))
           .orderBy(col("doc_count").desc, col("geohash"))
@@ -3094,7 +3097,8 @@ object JsonDsl {
         // power-of-two reparameterization of the same floor-binning).
         val f = req(body, "field", "geotile_grid").asText
         val cell = Option(body.get("precision")).map(_.asDouble).getOrElse(15.0)
-        df.groupBy(
+        // missing points bucket nowhere (family rule)
+        df.filter(col(f).isNotNull).groupBy(
           floor(col(f).getField("lat") / cell).cast("long").as("cell_y"),
           floor(col(f).getField("lon") / cell).cast("long").as("cell_x")
         ).agg(count(lit(1)).as("doc_count"))
@@ -3102,7 +3106,10 @@ object JsonDsl {
           .limit(Option(body.get("size")).map(_.asInt).getOrElse(10))
       case "geo_centroid" =>
         val f = req(body, "field", "geo_centroid").asText
-        df.agg(
+        // docs missing the point are excluded from count AND sums (the
+        // metric-agg form of the null rule: the decimal sums skip NULLs
+        // by themselves, so count(*) would be a wrong denominator)
+        df.filter(col(f).isNotNull).agg(
           round(sum(col(f).getField("lat").cast("decimal(9,2)")).cast("double") / count(lit(1)), 6)
             .as("centroid_lat"),
           round(sum(col(f).getField("lon").cast("decimal(9,2)")).cast("double") / count(lit(1)), 6)
@@ -3136,7 +3143,10 @@ object JsonDsl {
       // bucket by the leading-trigram signature of the analyzed text.
       case "categorize_text" =>
         val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
-        df.select(concat_ws(" ", slice(SearchDsl.analyze(field), 1, 3)).as("pattern"))
+        // missing texts bucket nowhere — concat_ws never returns NULL, so
+        // without the filter every null doc lands in a phantom "" pattern
+        df.filter(field.isNotNull)
+          .select(concat_ws(" ", slice(SearchDsl.analyze(field), 1, 3)).as("pattern"))
           .groupBy("pattern")
           .agg(count(lit(1)).as("doc_count"))
           .orderBy(col("doc_count").desc, col("pattern"))
