@@ -395,4 +395,63 @@ class AggsFuzzSpec extends SparkSpec {
       assert(math.abs(gotM.getDouble(gotM.fieldIndex("correlation")) - wantCor) < 1e-6, s"#$ci correlation")
     }
   }
+
+  test("geo grids / geo_centroid / categorize_text / top_hits: null docs bucket nowhere") {
+    // pins the straggler null fixes on data the oracle gate cannot see
+    // (its geo/text columns are null-free): a corpus with null points,
+    // null texts and null bucket keys must produce NO null-key buckets,
+    // a centroid over only the present points, and no "" pattern.
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(0x9e011cL)
+    val pts = Seq.tabulate(120) { i =>
+      val hasPt = rnd.nextInt(4) != 0
+      (i.toLong,
+       if (hasPt) (rnd.nextInt(18000).toLong, rnd.nextInt(36000).toLong, rnd.nextInt(170) - 85.0, rnd.nextInt(350) - 175.0) else null,
+       if (rnd.nextInt(4) == 0) null else s"alpha beta gamma delta${i % 7}",
+       if (rnd.nextInt(4) == 0) null else s"g${i % 5}")
+    }
+    val df = pts
+      .map { case (id, pt, text, grp) =>
+        (id, Option(pt).map(_._1).map(Long.box).orNull, Option(pt).map(_._2).map(Long.box).orNull,
+         Option(pt).map(_._3).map(Double.box).orNull, Option(pt).map(_._4).map(Double.box).orNull, text, grp)
+      }
+      .toDF("id", "la100", "lo100", "lat", "lon", "text", "grp")
+      .select(
+        col("id"),
+        when(col("la100").isNotNull,
+          struct(col("la100").as("la100"), col("lo100").as("lo100"), col("lat").as("lat"), col("lon").as("lon")))
+          .as("pt"),
+        col("text"),
+        col("grp")
+      )
+      .repartition(3)
+
+    val nPts = pts.count(_._2 != null)
+    val gh = JsonDsl.parse(df, """{"aggs": {"g": {"geohash_grid": {"field": "pt", "size": 1000}}}}""").collect()
+    assert(gh.forall(r => r.getString(0) != null), "geohash_grid emitted a null cell")
+    assert(gh.map(_.getLong(1)).sum == nPts, "geohash_grid doc_counts != docs with points")
+
+    val gt = JsonDsl.parse(df, """{"aggs": {"g": {"geotile_grid": {"field": "pt", "size": 1000}}}}""").collect()
+    assert(gt.forall(r => !r.isNullAt(0) && !r.isNullAt(1)), "geotile_grid emitted a null cell")
+    assert(gt.map(_.getLong(2)).sum == nPts, "geotile_grid doc_counts != docs with points")
+
+    val gc = JsonDsl.parse(df, """{"aggs": {"c": {"geo_centroid": {"field": "pt"}}}}""").collect()(0)
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val present = pts.collect { case (_, pt, _, _) if pt != null => (d2(pt._3), d2(pt._4)) }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(gc.getLong(2) == nPts, "geo_centroid counted null points")
+    assert(math.abs(gc.getDouble(0) - r6((present.map(_._1).sum / present.size).toDouble)) < 1e-9)
+    assert(math.abs(gc.getDouble(1) - r6((present.map(_._2).sum / present.size).toDouble)) < 1e-9)
+
+    val ct = JsonDsl.parse(df, """{"aggs": {"p": {"categorize_text": {"field": "text", "size": 100}}}}""").collect()
+    assert(ct.forall(r => r.getString(0) != null && r.getString(0).nonEmpty), "categorize_text kept a null/empty pattern")
+    assert(ct.map(_.getLong(1)).sum == pts.count(_._3 != null), "categorize_text counted null texts")
+
+    val th = JsonDsl
+      .parse(df, """{"aggs": {"t": {"terms": {"field": "grp"},
+                   | "aggs": {"h": {"top_hits": {"size": 2, "sort": [{"id": "asc"}]}}}}}}""".stripMargin)
+      .collect()
+    assert(th.forall(r => r.get(r.fieldIndex("grp")) != null), "top_hits emitted a null group")
+  }
 }
