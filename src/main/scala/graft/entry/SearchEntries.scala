@@ -136,6 +136,18 @@ private[graft] object SearchEntries {
         Seq(round(sum("o_totalprice"), 2).as("revenue"))
       )),
 
+    // structured twin of search_dsl_json_dh_timezone: daily buckets on
+    // America/New_York wall clock, keys back as the UTC instants of the
+    // local midnights (Aggs.dateHistogramTz).
+    "search_date_histogram_tz" -> ((s, dir) =>
+      Aggs.dateHistogramTz(
+        Tables.events(s, dir),
+        col("ts"),
+        "day",
+        "America/New_York",
+        Seq(round(sum(col("value").cast("decimal(12,2)")).cast("double"), 2).as("total"))
+      )),
+
     "search_filtered_count" -> ((s, dir) =>
       Aggs.filteredCounts(
         Tables.events(s, dir),
@@ -2638,6 +2650,13 @@ private[graft] object SearchEntries {
         |              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
         |  FROM orders) t
         |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+
+    "search_date_histogram_tz" ->
+      """SELECT CAST((date_trunc('day', (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York')
+        |             AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS TIMESTAMP) AS bucket,
+        |       count(*) AS doc_count,
+        |       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "search_significant_terms" ->
       """SELECT term, fg_count, bg_count,

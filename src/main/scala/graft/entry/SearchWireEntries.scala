@@ -164,6 +164,62 @@ private[graft] object SearchWireEntries {
           | }}}""".stripMargin
       )),
 
+    // date_histogram with time_zone: daily buckets on AMERICA/NEW_YORK
+    // wall clock — a 04:59 UTC event belongs to the PREVIOUS New-York
+    // day. The field shifts to local before truncation and the emitted
+    // key is the UTC instant of the local midnight (OpenSearch's
+    // epoch-millis key); the DuckDB oracle replays the identical
+    // AT TIME ZONE round-trip. DST-boundary behavior is pinned by the
+    // TimeZoneSpec fixture (the testdata window sits inside EST).
+    "search_dsl_json_dh_timezone" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.events(s, dir),
+        """{"aggs": {"by_day": {
+          |  "date_histogram": {"field": "ts", "calendar_interval": "day", "time_zone": "America/New_York"},
+          |  "aggs": {"total": {"sum": {"field": "value"}}}
+          |}}}""".stripMargin
+      )),
+
+    // range query with time_zone: the endpoints are wall-clock datetimes
+    // in the given zone, converted ONCE to UTC instants (constant-folded
+    // literals — the comparison stays a scan-pushable predicate).
+    "search_dsl_json_range_timezone" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.events(s, dir),
+        """{"query": {"range": {"ts": {"gte": "2024-01-10 00:00:00", "lt": "2024-01-20 00:00:00",
+          |                            "time_zone": "America/New_York"}}},
+          | "sort": ["event_id"], "_source": ["event_id", "ts"]}""".stripMargin
+      )),
+
+    // date_range aggregation with time_zone: bucket boundaries are local
+    // wall-clock instants (same endpoint conversion as the range query).
+    "search_dsl_json_date_range_timezone" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.events(s, dir),
+        """{"aggs": {"spans": {"date_range": {"field": "ts", "time_zone": "America/New_York",
+          |  "ranges": [{"key": "early", "to": "2024-01-10 00:00:00"},
+          |             {"key": "mid", "from": "2024-01-10 00:00:00", "to": "2024-01-20 00:00:00"},
+          |             {"key": "late", "from": "2024-01-20 00:00:00"}]}}}}""".stripMargin
+      )),
+
+    // terms with the `missing:` substitution parameter: docs WITHOUT the
+    // field take the given value instead of bucketing nowhere — the
+    // substituted bucket competes in the same doc_count-desc order.
+    // Runs on the join-derived sparse field so the option actually
+    // fires (top_priority IS NULL for most customers).
+    "search_dsl_json_terms_missing_param" -> ((s, dir) => {
+      val top = Tables
+        .orders(s, dir)
+        .filter(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderpriority")).as("top_priority"))
+      val j = Tables.customer(s, dir).join(top, col("c_custkey") === col("o_custkey"), "left")
+      JsonDsl.parse(
+        j,
+        """{"aggs": {"m": {"terms": {"field": "top_priority", "missing": "NONE", "size": 10}}}}"""
+      )
+    }),
+
     // _msearch: four searches over two indices in ONE batch — same-index
     // searches fold into a single conditional-count scan (2 scans total,
     // not 4), one (ordinal, hits) row per search in request order.
@@ -581,6 +637,27 @@ private[graft] object SearchWireEntries {
         j,
         """{"aggs": {"m": {"multi_terms": {
           |  "terms": [{"field": "top_priority"}, {"field": "c_mktsegment"}], "size": 12}}}}""".stripMargin
+      )
+    }),
+
+    // significant_terms over a join-derived SPARSE term field: NULL
+    // terms bucket nowhere but STAY IN subset/superset totals —
+    // OpenSearch's subset_size/superset_size count the fg/bg DOC SETS,
+    // not the term-bearing docs (the r14 advice finding: summing the
+    // null-filtered buckets would dilute every score on sparse data).
+    // This entry pins the rule at the oracle gate on data that actually
+    // has NULL terms.
+    "search_dsl_json_significant_terms_sparse" -> ((s, dir) => {
+      val top = Tables
+        .orders(s, dir)
+        .filter(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderpriority")).as("top_priority"))
+      val j = Tables.customer(s, dir).join(top, col("c_custkey") === col("o_custkey"), "left")
+      JsonDsl.parse(
+        j,
+        """{"query": {"term": {"c_mktsegment": "BUILDING"}},
+          | "aggs": {"sig": {"significant_terms": {"field": "top_priority"}}}}""".stripMargin
       )
     }),
 
@@ -1984,6 +2061,36 @@ private[graft] object SearchWireEntries {
         |       count(user_id) AS n_users
         |FROM events WHERE value >= 100 GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+    "search_dsl_json_dh_timezone" ->
+      """SELECT CAST((date_trunc('day', (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York')
+        |             AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS TIMESTAMP) AS bucket,
+        |       count(*) AS doc_count,
+        |       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "search_dsl_json_range_timezone" ->
+      """SELECT event_id, ts FROM events
+        |WHERE ts >= (TIMESTAMP '2024-01-10 00:00:00' AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC'
+        |  AND ts <  (TIMESTAMP '2024-01-20 00:00:00' AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC'
+        |ORDER BY event_id""".stripMargin,
+
+    "search_dsl_json_date_range_timezone" ->
+      """WITH b AS (SELECT (TIMESTAMP '2024-01-10 00:00:00' AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS b1,
+        |                  (TIMESTAMP '2024-01-20 00:00:00' AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS b2)
+        |SELECT bucket, count(*) AS doc_count FROM (
+        |  SELECT CASE WHEN ts < b1 THEN 'early'
+        |              WHEN ts >= b1 AND ts < b2 THEN 'mid'
+        |              WHEN ts >= b2 THEN 'late' END AS bucket
+        |  FROM events CROSS JOIN b) t
+        |WHERE bucket IS NOT NULL GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "search_dsl_json_terms_missing_param" ->
+      """WITH t AS (SELECT o_custkey, max(o_orderpriority) AS top_priority
+        |           FROM orders WHERE o_totalprice > 400000 GROUP BY 1)
+        |SELECT coalesce(top_priority, 'NONE') AS "key", count(*) AS doc_count
+        |FROM customer LEFT JOIN t ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY doc_count DESC, "key" LIMIT 10""".stripMargin,
+
     "search_dsl_json_msearch" ->
       """SELECT 0 AS search, count(*) AS hits FROM documents WHERE lang = 'en'
         |UNION ALL
@@ -2151,16 +2258,31 @@ private[graft] object SearchWireEntries {
         |           FROM orders WHERE o_totalprice > 400000 GROUP BY 1)
         |SELECT top_priority AS k0, c_mktsegment AS k1, count(*) AS doc_count
         |FROM customer LEFT JOIN t ON c_custkey = o_custkey
-        |WHERE top_priority IS NOT NULL
+        |WHERE top_priority IS NOT NULL AND c_mktsegment IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY doc_count DESC, k0, k1 LIMIT 12""".stripMargin,
+
+    "search_dsl_json_significant_terms_sparse" ->
+      """WITH t AS (SELECT o_custkey, max(o_orderpriority) AS top_priority
+        |           FROM orders WHERE o_totalprice > 400000 GROUP BY 1),
+        |j AS (SELECT top_priority, c_mktsegment
+        |      FROM customer LEFT JOIN t ON c_custkey = o_custkey)
+        |SELECT term, fg_count, bg_count,
+        |       round(CAST(fg_count AS DOUBLE) / fg_total - CAST(bg_count AS DOUBLE) / bg_total, 6) AS score
+        |FROM (SELECT top_priority AS term,
+        |             count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS fg_count,
+        |             count(*) AS bg_count
+        |      FROM j WHERE top_priority IS NOT NULL GROUP BY 1) a
+        |CROSS JOIN (SELECT count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS fg_total,
+        |                   count(*) AS bg_total FROM j) b
+        |ORDER BY score DESC, term""".stripMargin,
 
     "search_dsl_json_composite_sparse" ->
       """WITH t AS (SELECT o_custkey, max(o_orderpriority) AS top_priority
         |           FROM orders WHERE o_totalprice > 400000 GROUP BY 1)
         |SELECT top_priority AS k0, c_mktsegment AS k1, count(*) AS doc_count
         |FROM customer LEFT JOIN t ON c_custkey = o_custkey
-        |WHERE top_priority IS NOT NULL
+        |WHERE top_priority IS NOT NULL AND c_mktsegment IS NOT NULL
         |GROUP BY 1, 2
         |HAVING top_priority > '1-URGENT' OR (top_priority = '1-URGENT' AND c_mktsegment > 'BUILDING')
         |ORDER BY k0, k1 LIMIT 8""".stripMargin,

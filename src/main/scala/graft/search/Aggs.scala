@@ -168,11 +168,23 @@ object Aggs {
   /** `date_range` aggregation: explicit [from, to) buckets over a
     * timestamp field, keyed by label — the calendar cousin of [[rangeAgg]].
     */
-  def dateRangeAgg(df: DataFrame, field: Column, ranges: Seq[(String, Option[String], Option[String])]): DataFrame = {
+  def dateRangeAgg(
+      df: DataFrame,
+      field: Column,
+      ranges: Seq[(String, Option[String], Option[String])],
+      timeZone: Option[String] = None
+  ): DataFrame = {
+    // time_zone: the from/to strings are WALL-CLOCK datetimes in the
+    // given zone — each boundary converts to its UTC instant once
+    // (constant-folded), the scan-side comparison is unchanged.
+    def bound(s: String): Column = {
+      val t = lit(s).cast("timestamp")
+      timeZone.map(z => to_utc_timestamp(t, z)).getOrElse(t)
+    }
     val bucket = ranges.foldLeft(when(lit(false), "")) { case (acc, (label, from, to)) =>
       val conds = Seq(
-        from.map(f => field >= lit(f).cast("timestamp")),
-        to.map(t => field < lit(t).cast("timestamp"))
+        from.map(f => field >= bound(f)),
+        to.map(t => field < bound(t))
       ).flatten
       acc.when(conds.reduceOption(_ && _).getOrElse(lit(true)), label)
     }
@@ -204,6 +216,17 @@ object Aggs {
       .groupBy(date_trunc(interval, ts).as("bucket"))
       .agg(count(lit(1)).as("doc_count"), metrics: _*)
       .orderBy("bucket")
+
+  /** [[dateHistogram]] with OpenSearch `time_zone` semantics: bucket
+    * boundaries sit on the ZONE's wall clock (a non-UTC org's "daily"
+    * dashboard), the emitted key is the UTC instant of the local bucket
+    * start. DST-aware — from/to_utc_timestamp apply the zone's rules, so
+    * a 23/25-hour day truncates at its real local midnight (pinned by
+    * TimeZoneSpec's DST-boundary fixture).
+    */
+  def dateHistogramTz(df: DataFrame, ts: Column, interval: String, tz: String, metrics: Seq[Column]): DataFrame =
+    dateHistogram(df, from_utc_timestamp(ts, tz), interval, metrics)
+      .withColumn("bucket", to_utc_timestamp(col("bucket"), tz))
 
   /** `date_histogram` with `min_doc_count: 0` + `extended_bounds`
     * semantics: empty calendar buckets appear with zero counts. The bucket
@@ -647,9 +670,12 @@ object Aggs {
     * a broadcast of the two scalar totals.
     */
   def significantTerms(df: DataFrame, term: Column, foreground: Column): DataFrame = {
-    // Missing-field docs bucket nowhere AND stay out of the fg/bg
-    // totals (family rule): a NULL term row would both emit a bucket
-    // OpenSearch never has and dilute every other term's frequency.
+    // Missing-field docs bucket nowhere (family rule: a NULL term never
+    // forms a bucket) — but they STAY IN the fg/bg totals: OpenSearch's
+    // subset_size/superset_size count all docs in the foreground /
+    // background SETS regardless of field presence (the r14 advice
+    // finding — summing the null-filtered buckets would dilute scores
+    // on sparse data and diverge from the unfiltered count(*) oracle).
     val agg = df
       .filter(term.isNotNull)
       .groupBy(term.as("term"))
@@ -657,7 +683,10 @@ object Aggs {
         sum(when(foreground, 1L).otherwise(0L)).as("fg_count"),
         count(lit(1)).as("bg_count")
       )
-    val totals = agg.agg(sum("fg_count").as("fg_total"), sum("bg_count").as("bg_total"))
+    val totals = df.agg(
+      sum(when(foreground, 1L).otherwise(0L)).as("fg_total"),
+      count(lit(1)).as("bg_total")
+    )
     agg
       .crossJoin(broadcast(totals))
       .select(

@@ -2025,18 +2025,24 @@ object JsonDsl {
       case "range" =>
         val f = singleField(body)
         val b = body.get(f)
-        // strict options: a silently-dropped time_zone/format/relation
-        // shifts range semantics without any visible failure; boost is
-        // inert in filter context
-        val extraOpts = b.fieldNames().asScala.toSet -- Set("gte", "gt", "lte", "lt", "boost")
+        // strict options: a silently-dropped format/relation shifts range
+        // semantics without any visible failure; boost is inert in filter
+        // context. time_zone IS implemented: endpoints are wall-clock
+        // datetimes in the given zone, converted to their UTC instants
+        // once (constant-folded literals — the comparison still reaches
+        // the scan as a pushable predicate).
+        val extraOpts = b.fieldNames().asScala.toSet -- Set("gte", "gt", "lte", "lt", "boost", "time_zone")
         require(extraOpts.isEmpty, s"range on '$f': unsupported options $extraOpts")
+        val rangeTz = Option(b.get("time_zone")).map(_.asText)
+        def endpoint(v: JsonNode): Column =
+          rangeTz.map(z => to_utc_timestamp(lit(v.asText).cast("timestamp"), z)).getOrElse(lit(scalarValue(v)))
         val ops: Seq[(String, Column => Column)] = Seq(
           "gte" -> (v => col(f) >= v),
           "gt" -> (v => col(f) > v),
           "lte" -> (v => col(f) <= v),
           "lt" -> (v => col(f) < v)
         )
-        val conds = ops.flatMap { case (k, op) => Option(b.get(k)).map(v => op(lit(scalarValue(v)))) }
+        val conds = ops.flatMap { case (k, op) => Option(b.get(k)).map(v => op(endpoint(v))) }
         require(conds.nonEmpty, s"range on '$f' needs at least one of gte/gt/lte/lt")
         conds.reduce(_ && _)
       case "exists" => col(req(body, "field", "exists").asText).isNotNull
@@ -2476,7 +2482,20 @@ object JsonDsl {
       .nextOption()
       .getOrElse(throw new IllegalArgumentException(s"aggregation '$aggName' has no type key: $spec"))
     val body = spec.get(typeName)
-    def field = col(req(body, "field", s"aggregation '$typeName'").asText)
+    // `missing:` value substitution (the per-agg OpenSearch option): docs
+    // WITHOUT the field take the given value instead of bucketing nowhere
+    // — a coalesce BEFORE bucketing, so it composes with the family's
+    // null-key rule (the substituted docs are no longer null-keyed) and
+    // with order/size/metrics unchanged. Applied wherever `field` is
+    // read, matching OpenSearch's support across the terms/histogram
+    // bucket aggs and field-based metrics.
+    val missingSub =
+      if (body != null && body.isObject) Option(body.get("missing")).map(m => lit(scalarValue(m)))
+      else None
+    def field = {
+      val f0 = col(req(body, "field", s"aggregation '$typeName'").asText)
+      missingSub.map(ms => coalesce(f0, ms)).getOrElse(f0)
+    }
     typeName match {
       // missing: the docs whose field is NULL, as one bucket with
       // optional exact-decimal avg sub-metrics — an IsNull filter that
@@ -2669,6 +2688,19 @@ object JsonDsl {
         val interval =
           Option(body.get("calendar_interval")).orElse(Option(body.get("interval"))).map(_.asText)
         require(interval.isDefined, "date_histogram needs calendar_interval")
+        // time_zone: bucket boundaries are WALL-CLOCK in the given zone
+        // (a non-UTC org's "daily" dashboard). The field shifts to local
+        // time BEFORE truncation (from_utc_timestamp; DST-aware, so a
+        // 23/25-hour day truncates at its real local midnight), every
+        // downstream path buckets on local wall time, and the emitted
+        // key converts BACK to the UTC instant of the local bucket start
+        // (OpenSearch's epoch-millis key) at the very end. The end
+        // conversion is order-preserving, so pipeline windows /
+        // bucket_sort over the local table are unaffected.
+        val dhTz = Option(body.get("time_zone")).map(_.asText)
+        val fieldLoc = dhTz.map(z => from_utc_timestamp(field, z)).getOrElse(field)
+        def unlocalize(out: DataFrame): DataFrame =
+          dhTz.map(z => out.withColumn("bucket", to_utc_timestamp(col("bucket"), z))).getOrElse(out)
         // Pipeline sub-aggregations (the Kibana time-series toolkit:
         // cumulative_sum / derivative / moving_avg over a sibling metric
         // or _count) run over the BUCKET table — tens of rows — so the
@@ -2697,9 +2729,9 @@ object JsonDsl {
             // becomes a bucket-keyed sketch aggregate (§5 audit rule —
             // sketch-tier THROUGHOUT, no Expand anywhere).
             val approx = Option(cum.getValue.get("cumulative_cardinality").get("approx")).exists(_.asBoolean)
-            return {
-              if (approx) Aggs.cumulativeCardinalityApprox(df, field, keyField, interval.get)
-              else Aggs.cumulativeCardinality(df, field, keyField, interval.get)
+            return unlocalize {
+              if (approx) Aggs.cumulativeCardinalityApprox(df, fieldLoc, keyField, interval.get)
+              else Aggs.cumulativeCardinality(df, fieldLoc, keyField, interval.get)
             }
           case None => ()
         }
@@ -2711,7 +2743,7 @@ object JsonDsl {
             require(interval.get == "month", s"rate sub-agg requires calendar_interval=month, got ${interval.get}")
             require(entries.size == 1, "rate must be the only sub-aggregation")
             val vf = col(req(r.getValue.get("rate"), "field", "rate").asText)
-            return Aggs.dateHistogramRate(df, field, vf.cast("decimal(12,2)"))
+            return unlocalize(Aggs.dateHistogramRate(df, fieldLoc, vf.cast("decimal(12,2)")))
           case None => ()
         }
         // min_doc_count=0: empty buckets surface as zero rows — the spine
@@ -2722,7 +2754,7 @@ object JsonDsl {
             entries.size == 1 && entries.head.getValue.isObject,
             "min_doc_count=0 supports exactly one metric sub-aggregation"
           )
-          return Aggs.dateHistogramFilled(df, field, interval.get, roundedMetric(entries.head))
+          return unlocalize(Aggs.dateHistogramFilled(df, fieldLoc, interval.get, roundedMetric(entries.head)))
         }
         // bucket_selector is the HAVING of the bucket world: it filters
         // the (tiny) bucket table by a script over sibling metrics and
@@ -2745,7 +2777,7 @@ object JsonDsl {
         val base0 =
           if (metricEntries.exists(e => richMetricTypes(e.getValue.fieldNames().next()))) {
             val (aggCols, postCols) = metricEntries.map(richMetric).unzip
-            df.groupBy(date_trunc(interval.get, field).as("bucket"))
+            df.groupBy(date_trunc(interval.get, fieldLoc).as("bucket"))
               .agg(count(lit(1)).as("doc_count"), aggCols.flatten: _*)
               .select(col("bucket") +: col("doc_count") +: postCols.flatten: _*)
               .orderBy("bucket")
@@ -2772,7 +2804,7 @@ object JsonDsl {
                   c.as(name)
                 }
             }
-            Aggs.dateHistogram(df, field, interval.get, metricsCols)
+            Aggs.dateHistogram(df, fieldLoc, interval.get, metricsCols)
           }
         // The addressable metric columns of the bucket table — plain
         // metric names for single-column metrics, expanded names
@@ -2818,7 +2850,7 @@ object JsonDsl {
           val sorted0 = acc.orderBy(sortCols: _*)
           Option(spec.get("size")).map(n => sorted0.limit(n.asInt)).getOrElse(sorted0)
         }
-        if (pipeEntries.isEmpty) applyBucketSort(base)
+        if (pipeEntries.isEmpty) unlocalize(applyBucketSort(base))
         else {
           val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
           val unbounded = w.rowsBetween(
@@ -2963,7 +2995,7 @@ object JsonDsl {
                 ).as(s"${e.getKey}_normalized"))
             } else Nil
           }
-          applyBucketSort(base.select(col("*") +: (pipeCols ++ normCols): _*).orderBy("bucket"))
+          unlocalize(applyBucketSort(base.select(col("*") +: (pipeCols ++ normCols): _*).orderBy("bucket")))
         }
       case "stats"          => Aggs.stats(df, field)
       case "extended_stats" => Aggs.extendedStats(df, field)
@@ -2993,7 +3025,7 @@ object JsonDsl {
             .getOrElse(s"${from.getOrElse("*")}-${to.getOrElse("*")}")
           (key, from, to)
         }
-        Aggs.dateRangeAgg(df, field, ranges)
+        Aggs.dateRangeAgg(df, field, ranges, Option(body.get("time_zone")).map(_.asText))
       case "top_metrics" =>
         val ms = req(body, "metrics", "top_metrics")
         val metricList = (if (ms.isArray) ms.elements().asScala.toSeq else Seq(ms)).map { m =>

@@ -62,8 +62,13 @@ class AggsFuzzSpec extends SparkSpec {
   // ── request model ───────────────────────────────────────────────────
   private case class Metric(name: String, mType: String, field: String)
   private sealed trait AggReq
-  private case class TermsAgg(size: Int, metrics: Seq[Metric], order: Option[(String, Boolean)]) extends AggReq
-  private case class HistAgg(interval: Double, metrics: Seq[Metric]) extends AggReq
+  // `missing`: the per-agg substitution option — null-keyed docs take
+  // the given value instead of bucketing nowhere, and the substituted
+  // bucket competes in ordering/size like any other (it composes with
+  // the family null-key rule, which is why it gets its own fuzz arm).
+  private case class TermsAgg(size: Int, metrics: Seq[Metric], order: Option[(String, Boolean)], missing: Option[String])
+      extends AggReq
+  private case class HistAgg(interval: Double, metrics: Seq[Metric], missing: Option[Double]) extends AggReq
   private case class RangeAgg(bounds: Seq[Double]) extends AggReq
   private case class DateHist(interval: String, metrics: Seq[Metric]) extends AggReq
 
@@ -86,8 +91,13 @@ class AggsFuzzSpec extends SparkSpec {
             val keys = Vector("_key", "_count") ++ metrics.filter(_.mType != "value_count").map(_.name)
             Some((keys(rnd.nextInt(keys.size)), rnd.nextBoolean()))
           } else None
-        TermsAgg(1 + rnd.nextInt(10), metrics, order)
-      case 2 => HistAgg(Vector(5.0, 10.0, 25.0)(rnd.nextInt(3)), genMetrics(rnd))
+        TermsAgg(1 + rnd.nextInt(10), metrics, order, if (rnd.nextInt(3) == 0) Some("none") else None)
+      case 2 =>
+        HistAgg(
+          Vector(5.0, 10.0, 25.0)(rnd.nextInt(3)),
+          genMetrics(rnd),
+          if (rnd.nextInt(3) == 0) Some(rnd.nextInt(100).toDouble) else None
+        )
       case 3 =>
         val cuts = Seq.fill(1 + rnd.nextInt(2))(rnd.nextInt(90) + 5).distinct.sorted.map(_.toDouble)
         RangeAgg(cuts)
@@ -102,13 +112,15 @@ class AggsFuzzSpec extends SparkSpec {
   private def render(r: Request): String = {
     val queryPart = r.filterQty.map(q => s""""query": {"range": {"qty": {"gte": $q}}}, """).getOrElse("")
     val aggPart = r.agg match {
-      case TermsAgg(size, metrics, order) =>
+      case TermsAgg(size, metrics, order, missing) =>
         val sub = if (metrics.isEmpty) "" else s""", "aggs": {${metrics.map(metricJson).mkString(",")}}"""
         val ord = order.map { case (k, asc) => s""", "order": {"$k": "${if (asc) "asc" else "desc"}"}""" }.getOrElse("")
-        s""""buckets": {"terms": {"field": "tag", "size": $size$ord}$sub}"""
-      case HistAgg(interval, metrics) =>
+        val miss = missing.map(v => s""", "missing": "$v"""").getOrElse("")
+        s""""buckets": {"terms": {"field": "tag", "size": $size$ord$miss}$sub}"""
+      case HistAgg(interval, metrics, missing) =>
         val sub = if (metrics.isEmpty) "" else s""", "aggs": {${metrics.map(metricJson).mkString(",")}}"""
-        s""""buckets": {"histogram": {"field": "price", "interval": $interval}$sub}"""
+        val miss = missing.map(v => s""", "missing": $v""").getOrElse("")
+        s""""buckets": {"histogram": {"field": "price", "interval": $interval$miss}$sub}"""
       case DateHist(interval, metrics) =>
         val sub = if (metrics.isEmpty) "" else s""", "aggs": {${metrics.map(metricJson).mkString(",")}}"""
         s""""buckets": {"date_histogram": {"field": "ts", "calendar_interval": "$interval"}$sub}"""
@@ -145,8 +157,11 @@ class AggsFuzzSpec extends SparkSpec {
   private def evalRef(r: Request): Seq[(Any, Long, Seq[Option[Double]])] = {
     val base = r.filterQty.map(q => docs.filter(_.qty.exists(_ >= q))).getOrElse(docs)
     r.agg match {
-      case TermsAgg(size, metrics, order) =>
-        val groups = base.filter(_.tag.isDefined).groupBy(_.tag.get)
+      case TermsAgg(size, metrics, order, missing) =>
+        val groups = missing match {
+          case Some(m) => base.groupBy(d => d.tag.getOrElse(m))
+          case None    => base.filter(_.tag.isDefined).groupBy(_.tag.get)
+        }
         val rows = groups.toSeq.map { case (k, g) => (k, g.size.toLong, metrics.map(metricVal(_, g))) }
         val ordered = order match {
           case None => rows.sortBy { case (k, n, _) => (-n, k) }
@@ -183,12 +198,15 @@ class AggsFuzzSpec extends SparkSpec {
           .toSeq
           .map { case (k, g) => (k: Any, g.size.toLong, metrics.map(metricVal(_, g))) }
           .sortBy(_._1.asInstanceOf[Long])
-      case HistAgg(interval, metrics) =>
+      case HistAgg(interval, metrics, missing) =>
+        // `missing` substitutes into THIS agg's value source only — the
+        // sub-metrics still see the doc's actual (possibly null) field
+        // (OpenSearch: missing is per-aggregation, not per-document)
         base
-          .filter(_.price.isDefined)
-          .groupBy(d => math.floor(d.price.get / interval) * interval)
+          .flatMap(d => d.price.orElse(missing).map(v => (math.floor(v / interval) * interval, d)))
+          .groupBy(_._1)
           .toSeq
-          .map { case (k, g) => (k: Any, g.size.toLong, metrics.map(metricVal(_, g))) }
+          .map { case (k, g) => (k: Any, g.size.toLong, metrics.map(metricVal(_, g.map(_._2)))) }
           .sortBy(_._1.asInstanceOf[Double])
       case RangeAgg(cuts) =>
         // engine contract (gate-established): EMPTY ranges are absent and
@@ -222,8 +240,8 @@ class AggsFuzzSpec extends SparkSpec {
       val want = evalRef(req)
       val got: Seq[Row] = JsonDsl.parse(frame, body, mapping).collect().toSeq
       val metricNames = req.agg match {
-        case TermsAgg(_, ms, _) => ms
-        case HistAgg(_, ms) => ms
+        case TermsAgg(_, ms, _, _) => ms
+        case HistAgg(_, ms, _) => ms
         case DateHist(_, ms) => ms
         case _ => Seq.empty
       }
@@ -304,7 +322,8 @@ class AggsFuzzSpec extends SparkSpec {
       assert(gotMulti == wantMulti, s"#$ci multi_terms size=$size mismatch")
 
       // significant_terms: foreground = qty >= cut; null tags excluded
-      // from buckets and from fg/bg totals
+      // from buckets but COUNTED in fg/bg totals (OpenSearch subset/
+      // superset sizes are doc-set sizes, not term-bearing-doc sizes)
       val cut = rnd.nextInt(50)
       val gotSig = JsonDsl
         .parse(
@@ -316,8 +335,8 @@ class AggsFuzzSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
         .toSeq
       val tagged = docs.filter(_.tag.isDefined)
-      val fgTotal = tagged.count(_.qty.exists(_ >= cut))
-      val bgTotal = tagged.size
+      val fgTotal = docs.count(_.qty.exists(_ >= cut))
+      val bgTotal = docs.size
       val wantSig = tagged
         .groupBy(_.tag.get)
         .map { case (t, xs) =>
