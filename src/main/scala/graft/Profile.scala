@@ -78,6 +78,32 @@ object Profile {
       time("full_op")(println("pairs " + operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.4).count()))
     }
 
+    if (section == "graphseq") {
+      // single-probe graph serving latency (the ANN_QPS graph_seq shape)
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(spark, sfDir).persist()
+      emb.count()
+      val graph = Similarity.graphIndex(emb, "vec_id", "embedding").persist()
+      graph.neighbors.count()
+      val serving = Similarity.graphServing(graph, emb, "vec_id", "embedding")
+      val probes = emb
+        .filter(col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
+        .toSeq
+      probes.foreach { case (_, v) => Similarity.graphSearchServe(serving, v, 10) }
+      val t0 = System.nanoTime()
+      probes.foreach { case (_, v) => Similarity.graphSearchServe(serving, v, 10) }
+      val per = (System.nanoTime() - t0) / 1e9 / probes.size
+      println(f"[profile] graph_serve per-query: $per%.3f s (${1.0 / per}%.2f QPS)")
+      probes.foreach { case (_, v) => Similarity.graphSearch(graph, emb, "vec_id", "embedding", v, 10).count() }
+      val t1 = System.nanoTime()
+      probes.foreach { case (_, v) => Similarity.graphSearch(graph, emb, "vec_id", "embedding", v, 10).count() }
+      val per1 = (System.nanoTime() - t1) / 1e9 / probes.size
+      println(f"[profile] graph_seq (DataFrame) per-query: $per1%.3f s (${1.0 / per1}%.2f QPS)")
+    }
+
     if (section == "all" || section == "minhash") {
       val docs = Tables.documents(spark, sfDir)
       val sh = operators.MinHashLSH.shingles(docs, "doc_id", "text", 3)

@@ -140,6 +140,19 @@ private[graft] object AnnEntries {
       Similarity
         .graphSearch(cachedGraph(s, dir), Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10)),
 
+    // The ONLINE serving tier (r15): the bucketed GraphServing handle —
+    // id-hash-partitioned cached RDDs, per-round partition-pruned
+    // point-reads, no per-query SQL planning (the measured majority of
+    // single-probe latency; ANN_QPS_r15 graph_seq 1.18 → ~9 QPS).
+    // Result-identical to ann_graph_topk by GraphServingSpec's
+    // bit-parity pin (same probe, same policy, same cosine fold).
+    "ann_graph_serving" -> ((s, dir) => {
+      import s.implicits._
+      Similarity
+        .graphSearchServe(cachedGraphServing(s, dir), queryVec(s, dir, 0), 10)
+        .toDF("id", "cos")
+    }),
+
     // The batch form: every probe advances through the SAME fixed
     // rounds as a set-based (probe_id, id, cos) beam frame — constant
     // job count regardless of probe count, zero driver collects.

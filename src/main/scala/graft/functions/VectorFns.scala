@@ -6,12 +6,13 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
 /** Vector math over `array<float>`/`array<double>` embedding columns.
   *
-  * Implemented as compiled JVM UDFs with strict sequential left-to-right
-  * double accumulation: that is bitwise-identical to DuckDB's list
-  * functions (so the oracle compares rounded values exactly), and measured
-  * ~10x faster than interpreted `zip_with`/`aggregate` higher-order
-  * expressions on the ANN hot paths. A native codegen `Expression` is the
-  * next step if the scan loop ever dominates.
+  * The scalar kernels (cosine / dot / l2sq) are native codegen
+  * `Expression`s ([[CosineSim]], [[DotProduct]], [[L2Sq]]) — primitive
+  * ArrayData reads fused into the consuming whole-stage-codegen loop,
+  * with strict sequential left-to-right double accumulation that is
+  * bitwise-identical to DuckDB's list functions (so the oracle compares
+  * rounded values exactly) and to the UDF twins still registered for SQL
+  * (SqlFunctionsSpec pins the parity).
   */
 object VectorFns {
 
@@ -50,8 +51,19 @@ object VectorFns {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column = dotUdf(asDouble(a), asDouble(b))
+  /** Sequential-fold dot product in double precision via the native
+    * codegen'd [[DotProduct]] expression (float arrays read natively —
+    * no cast-to-array<double> copy per row; the UDF kernel stays
+    * registered for SQL as `dot_product`, bit-parity pinned by
+    * SqlFunctionsSpec).
+    */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      DotProduct(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)
+      )
+    )
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -70,8 +82,17 @@ object VectorFns {
       )
     )
 
-  /** Squared L2 distance (monotone in L2 — fine for ranking, cheaper). */
-  def l2sq(a: Column, b: Column): Column = l2sqUdf(asDouble(a), asDouble(b))
+  /** Squared L2 distance (monotone in L2 — fine for ranking, cheaper)
+    * via the native codegen'd [[L2Sq]] expression; same migration notes
+    * as [[dot]].
+    */
+  def l2sq(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      L2Sq(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)
+      )
+    )
 
   /** The `nAssign` centroid indices nearest an `array<float>` vector via
     * the native codegen'd [[NearestCells]] expression (distance asc,

@@ -83,7 +83,7 @@ class SqlFunctionsSpec extends SparkSpec {
     def top(v: Array[Float], k: Int): Seq[Int] = {
       val df = Seq(Tuple1(v)).toDF("v")
       val interpreted = df
-        .select(VectorFns.nearestCells(col("v"), cents, k).as("c"))
+        .select(graft.functions.VectorFns.nearestCells(col("v"), cents, k).as("c"))
         .head()
         .getSeq[Int](0)
         .toSeq
@@ -91,7 +91,7 @@ class SqlFunctionsSpec extends SparkSpec {
       // filter keeps the projection inside codegen)
       val codegen = df
         .filter(lit(true))
-        .select(VectorFns.nearestCells(col("v"), cents, k).as("c"))
+        .select(graft.functions.VectorFns.nearestCells(col("v"), cents, k).as("c"))
         .head()
         .getSeq[Int](0)
         .toSeq
@@ -110,19 +110,66 @@ class SqlFunctionsSpec extends SparkSpec {
     // null vector → null array (never a crash)
     val nullRow = Seq(Tuple1(null.asInstanceOf[Array[Float]]))
       .toDF("v")
-      .select(VectorFns.nearestCells(col("v"), cents, 2).as("c"))
+      .select(graft.functions.VectorFns.nearestCells(col("v"), cents, 2).as("c"))
       .head()
     assert(nullRow.isNullAt(0))
     // empty centroid set → empty result, not an exception
     val empty = Seq(Tuple1(Array(1f, 2f)))
       .toDF("v")
-      .select(VectorFns.nearestCells(col("v"), Array.empty[Array[Float]], 2).as("c"))
+      .select(graft.functions.VectorFns.nearestCells(col("v"), Array.empty[Array[Float]], 2).as("c"))
       .head()
       .getSeq[Int](0)
     assert(empty.isEmpty)
     // analysis-time type check: non-float arrays rejected
     intercept[org.apache.spark.sql.AnalysisException] {
-      Seq(Tuple1(Array(1.0, 2.0))).toDF("v").select(VectorFns.nearestCells(col("v"), cents, 1)).head()
+      Seq(Tuple1(Array(1.0, 2.0))).toDF("v").select(graft.functions.VectorFns.nearestCells(col("v"), cents, 1)).head()
     }
+  }
+
+  test("native dot_product / l2_sq expressions are bit-identical to the SQL UDF twins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.registerAll(spark)
+    val rnd = new scala.util.Random(0xd07157L)
+    // float AND double sides (any combination is legal), ragged lengths,
+    // adversarial magnitudes — the parity must be BITWISE (long bits),
+    // not within-epsilon: the native kernels claim the exact UDF fold
+    val rows = Seq.tabulate(64) { i =>
+      val n = 1 + rnd.nextInt(9)
+      val a = Array.fill(n)((rnd.nextGaussian() * math.pow(10, rnd.nextInt(7) - 3)).toFloat)
+      val b = Array.fill(1 + rnd.nextInt(9))(rnd.nextGaussian() * math.pow(10, rnd.nextInt(7) - 3))
+      (i, a, b)
+    }
+    val df = rows.toDF("i", "af", "bd").cache()
+    val native = df
+      .select(
+        col("i"),
+        graft.functions.VectorFns.dot(col("af"), col("bd")).as("dot"),
+        graft.functions.VectorFns.l2sq(col("af"), col("bd")).as("l2")
+      )
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    df.createOrReplaceTempView("vec_parity")
+    val viaUdf = spark
+      .sql("""SELECT i, dot_product(CAST(af AS ARRAY<DOUBLE>), bd) AS dot,
+             |       l2_sq(CAST(af AS ARRAY<DOUBLE>), bd) AS l2 FROM vec_parity""".stripMargin)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    rows.foreach { case (i, _, _) =>
+      assert(
+        java.lang.Double.doubleToLongBits(native(i)._1) == java.lang.Double.doubleToLongBits(viaUdf(i)._1) &&
+          java.lang.Double.doubleToLongBits(native(i)._2) == java.lang.Double.doubleToLongBits(viaUdf(i)._2),
+        s"row $i: native ${native(i)} != udf ${viaUdf(i)}"
+      )
+    }
+    // null semantics: null if either side is null
+    val nr = Seq((Array(1.0f), null.asInstanceOf[Array[Double]]))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFns.dot(col("a"), col("b")).as("d"), graft.functions.VectorFns.l2sq(col("a"), col("b")).as("l"))
+      .head()
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+    df.unpersist()
   }
 }
