@@ -104,6 +104,35 @@ object Profile {
       println(f"[profile] graph_seq (DataFrame) per-query: $per1%.3f s (${1.0 / per1}%.2f QPS)")
     }
 
+    if (section == "dedupemb") {
+      // cost split of embeddingNearDupPairs at the given SF
+      import graft.functions.VectorFns
+      val emb = Tables.embeddings(spark, sfDir)
+      val n = emb.filter(col("embedding").isNotNull).count()
+      val bits = operators.Similarity.embeddingAutoBits(n)
+      println(s"[profile] n=$n bits=$bits")
+      val sigd = Tables
+        .ensureParallelism(emb.select(col("vec_id").as("id"), col("embedding").as("vec")))
+        .select(
+          col("id"),
+          col("vec"),
+          posexplode(VectorFns.hyperplaneSigs(col("vec"), bits, (0 until 32).map(t => t * 104729 + 13)))
+            .as(Seq("table", "sig"))
+        )
+      time("sig_build")(println("  sig rows " + sigd.count()))
+      val l = sigd.select(col("table"), col("sig"), col("id").as("a"), col("vec").as("va"))
+      val r = sigd.select(col("table"), col("sig"), col("id").as("b"), col("vec").as("vb"))
+      val joined = l.join(r, Seq("table", "sig")).filter(col("a") < col("b"))
+      time("join_pairs")(println("  candidate rows " + joined.count()))
+      val verified = joined
+        .select(col("a"), col("b"), round(VectorFns.cosine(col("va"), col("vb")), 6).as("cos"))
+        .filter(col("cos") >= 0.35)
+      time("join+verify")(println("  verified rows " + verified.count()))
+      time("full_op")(println("  pairs " + verified.distinct().count()))
+      time("full_op_2nd")(println("  pairs " + operators.Similarity
+        .embeddingNearDupPairs(emb, "vec_id", "embedding", 0.35, nBits = 0, tables = 32).count()))
+    }
+
     if (section == "all" || section == "minhash") {
       val docs = Tables.documents(spark, sfDir)
       val sh = operators.MinHashLSH.shingles(docs, "doc_id", "text", 3)

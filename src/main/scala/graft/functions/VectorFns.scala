@@ -187,6 +187,42 @@ object VectorFns {
     * At 100 TB the signature is the bucketing key: candidate generation
     * becomes a shuffle on (sig) instead of a cross join.
     */
+  /** ALL tables' hyperplane signatures in ONE kernel call — the batched
+    * form of [[hyperplaneSig]] for multi-table consumers
+    * (embeddingNearDupPairs' 32 OR-tables): signature VALUES are
+    * bit-identical per table (same [[HyperplaneCache]] planes, same
+    * fold), but the row pays ONE Seq unboxing and one udf dispatch
+    * instead of `tables` of each — the per-table `cast(array<double>)` +
+    * boxed-Seq churn was the dominant constant in the 100× signature
+    * build (r15). Returns `array<long>`, one element per seed.
+    */
+  def hyperplaneSigs(vec: Column, nBits: Int, seeds: Seq[Int]): Column = {
+    val bits = nBits
+    val sds = seeds.toArray
+    val f = udf((v: Seq[Double]) => {
+      val arr = v.toArray
+      val out = new Array[Long](sds.length)
+      var t = 0
+      while (t < sds.length) {
+        val planes = HyperplaneCache.planes(bits, sds(t), arr.length)
+        var sig = 0L
+        var p = 0
+        while (p < bits) {
+          val pl = planes(p)
+          var acc = 0.0
+          var d = 0
+          while (d < arr.length) { acc += arr(d) * pl(d); d += 1 }
+          if (acc > 0) sig |= (1L << p)
+          p += 1
+        }
+        out(t) = sig
+        t += 1
+      }
+      out
+    })
+    f(asDouble(vec))
+  }
+
   def hyperplaneSig(vec: Column, nBits: Int, seed: Int): Column = {
     val bits = nBits
     val sd = seed

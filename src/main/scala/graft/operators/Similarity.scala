@@ -173,8 +173,9 @@ object Similarity {
       .ensureParallelism(base)
       .select(
         col(idCol),
+        // one batched kernel call per row (values identical per table)
         posexplode(
-          array((0 until tables).map(t => VectorFns.hyperplaneSig(col(vecCol), nBits, seed = lshSeed(t))): _*)
+          VectorFns.hyperplaneSigs(col(vecCol), nBits, (0 until tables).map(lshSeed))
         ).as(Seq("table", "sig"))
       )
     LshIndex(nBits, tables, sigs, base)
@@ -260,8 +261,9 @@ object Similarity {
     val exact = p.select(
       col("probe_id"),
       col("probe_vec"),
+      // one batched kernel call per probe row (values identical per table)
       posexplode(
-        array((0 until index.tables).map(t => VectorFns.hyperplaneSig(col("probe_vec"), index.nBits, seed = lshSeed(t))): _*)
+        VectorFns.hyperplaneSigs(col("probe_vec"), index.nBits, (0 until index.tables).map(lshSeed))
       ).as(Seq("table", "sig"))
     )
     val probeSigs =
@@ -1859,13 +1861,18 @@ object Similarity {
     val bits =
       if (nBits > 0) nBits
       else embeddingAutoBits(emb.filter(col(vecCol).isNotNull).count())
+    // ONE batched signature kernel per row (all tables at once,
+    // VectorFns.hyperplaneSigs): per-table values identical, but the
+    // 32-table build previously paid 32 casts + boxed-Seq unboxings per
+    // vector — measured as the dominant constant of the 100× run (r15:
+    // 52.6 → 35.5 s at 100× from this alone).
     val sigd = graft.Tables
       .ensureParallelism(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .select(
         col("id"),
         col("vec"),
         posexplode(
-          array((0 until tables).map(t => VectorFns.hyperplaneSig(col("vec"), bits, seed = t * 104729 + 13)): _*)
+          VectorFns.hyperplaneSigs(col("vec"), bits, (0 until tables).map(t => t * 104729 + 13))
         ).as(Seq("table", "sig"))
       )
     // Vectors RIDE the (table, sig) self-join and the exact-cosine
@@ -1879,6 +1886,12 @@ object Similarity {
     // double-find verifies cosine once per colliding table but produces
     // IDENTICAL (a, b, cos) rows, so the final distinct — now on the
     // output-sized verified pairs — collapses them exactly as before.
+    // (r15 measured-and-rejected: a first-collision ownership test that
+    // retires this distinct — carrying both sides' 32-long signature
+    // arrays through the exchange doubled the sort payload and cost 2×
+    // MORE than the duplicate verifies it saved on the constant-dup-
+    // density corpus, even with the test as a native codegen prefix
+    // loop; 35.5 s → 65.4 s at 100×.)
     val l = sigd.select(col("table"), col("sig"), col("id").as("a"), col("vec").as("va"))
     val r = sigd.select(col("table"), col("sig"), col("id").as("b"), col("vec").as("vb"))
     l.join(r, Seq("table", "sig"))
