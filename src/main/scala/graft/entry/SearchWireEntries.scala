@@ -220,6 +220,22 @@ private[graft] object SearchWireEntries {
       )
     }),
 
+    // runtime-field division over a REAL zero-bearing divisor
+    // (l_discount = 0 on ~5% of lineitem): x/0 is NULL, never a crash —
+    // ScriptExpr compiles `/` to try_divide because Spark's default ANSI
+    // mode throws SparkArithmeticException on the plain operator (the
+    // ScriptExprFuzzSpec finding, r15; one bad row must not kill the
+    // query). DuckDB's double division already yields NULL at 0, so the
+    // oracle is the plain quotient.
+    "search_dsl_json_runtime_try_divide" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.lineitem(s, dir),
+        """{"runtime_mappings": {"ratio": {"type": "double", "script": "l_extendedprice / l_discount"}},
+          | "query": {"range": {"l_orderkey": {"lte": 600}}},
+          | "sort": ["l_orderkey", "l_linenumber"],
+          | "_source": ["l_orderkey", "l_linenumber", "ratio"]}""".stripMargin
+      )),
+
     // _msearch: four searches over two indices in ONE batch — same-index
     // searches fold into a single conditional-count scan (2 scans total,
     // not 4), one (ordinal, hits) row per search in request order.
@@ -2083,6 +2099,11 @@ private[graft] object SearchWireEntries {
         |              WHEN ts >= b2 THEN 'late' END AS bucket
         |  FROM events CROSS JOIN b) t
         |WHERE bucket IS NOT NULL GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "search_dsl_json_runtime_try_divide" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice / l_discount AS ratio
+        |FROM lineitem WHERE l_orderkey <= 600
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "search_dsl_json_terms_missing_param" ->
       """WITH t AS (SELECT o_custkey, max(o_orderpriority) AS top_priority

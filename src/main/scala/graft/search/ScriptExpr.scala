@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   * recursive descent in the QueryString lexer's house style; every
   * malformed script raises IllegalArgumentException — the wire error
   * contract.
+  *
+  * Degenerate arithmetic is NULL, never a crash: `/` and `mod` compile
+  * to try_divide/try_mod (x/0 → NULL) and ln(≤0) is NULL (Spark's log)
+  * — under Spark's default ANSI mode the plain operators THROW
+  * SparkArithmeticException on a zero divisor, so one bad row would
+  * kill the whole dashboard query at scale (found by ScriptExprFuzzSpec,
+  * the same defect family as the r14 sampler Long-overflow). NULL is
+  * the 3VL contract every other engine surface already follows.
   */
 object ScriptExpr {
 
@@ -58,7 +66,7 @@ object ScriptExpr {
       while (peek == '*' || peek == '/') {
         val op = peek; i += 1
         val r = factor()
-        l = if (op == '*') l * r else l / r
+        l = if (op == '*') l * r else try_divide(l, r)
         ws()
       }
       l
@@ -95,7 +103,7 @@ object ScriptExpr {
             require(peek == ',', s"mod needs two comma-separated arguments in: $s"); i += 1
             val b = expr(); ws()
             require(peek == ')', s"unclosed mod(...) in: $s"); i += 1
-            a % b
+            try_mod(a, b)
           case ref if ref.startsWith("doc.") => col(ref.stripPrefix("doc."))
           case ref                           => col(ref)
         }
