@@ -2360,8 +2360,8 @@ private[graft] object SearchEntries {
         |SELECT CAST(cnt AS BIGINT) AS cnt, mn AS min_v, mx AS max_v,
         |       round(CAST(s AS DOUBLE) / cnt, 6) AS avg_v,
         |       round(CAST(s AS DOUBLE), 2) AS sum_v,
-        |       round(CAST(sq AS DOUBLE), 2) AS sum_sq,
-        |       round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt, 6) AS variance,
+        |       round(CAST(sq AS DOUBLE), -6) AS sum_sq,
+        |       round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt, 2) AS variance,
         |       round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt), 6) AS std_dev
         |FROM a""".stripMargin,
 
@@ -2733,8 +2733,10 @@ private[graft] object SearchEntries {
         |FROM lineitem""".stripMargin,
 
     "search_avg_bucket" ->
-      """SELECT round(avg(revenue), 6) AS avg_bucket, round(min(revenue), 2) AS min_bucket,
-        |       round(max(revenue), 2) AS max_bucket, round(sum(revenue), 2) AS sum_bucket
+      """SELECT round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_bucket,
+        |       round(min(revenue), 2) AS min_bucket,
+        |       round(max(revenue), 2) AS max_bucket,
+        |       round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bucket
         |FROM (SELECT date_trunc('month', o_orderdate) AS bucket, round(sum(o_totalprice), 2) AS revenue
         |      FROM orders GROUP BY 1) t""".stripMargin,
 

@@ -320,13 +320,20 @@ object Aggs {
     * of a per-bucket metric (`avg_bucket` & co. — one row of bucket-level
     * stats computed from the tiny bucket table, not the fact table).
     */
-  def bucketStats(buckets: DataFrame, metric: Column): DataFrame =
+  def bucketStats(buckets: DataFrame, metric: Column): DataFrame = {
+    // exact DECIMAL sum, one double division (the stats_bucket pattern):
+    // a plain double avg's partition-order accumulation differs from the
+    // oracle's by ulps, which at bucket-sum magnitudes (4.7e9 at
+    // sf1-scale, ulp ≈ 1e-6) survives the 6dp round — the r15 sf1
+    // full-registry gate caught exactly that on avg_bucket.
+    val s = sum(metric.cast("decimal(18,2)")).cast("double")
     buckets.agg(
-      round(avg(metric), 6).as("avg_bucket"),
+      round(s / count(lit(1)), 6).as("avg_bucket"),
       round(min(metric), 2).as("min_bucket"),
       round(max(metric), 2).as("max_bucket"),
-      round(sum(metric), 2).as("sum_bucket")
+      round(s, 2).as("sum_bucket")
     )
+  }
 
   /** `variable_width_histogram`: OpenSearch computes this agg
     * approximately (streaming 1-D clustering); here the cluster seeds are
@@ -398,8 +405,17 @@ object Aggs {
       col("max_v"),
       round(s / n, 6).as("avg_v"),
       round(s, 2).as("sum_v"),
-      round(sq, 2).as("sum_sq"),
-      round((sq - s * s / n) / n, 6).as("variance"),
+      // sum_sq sits past double's exact-integer range once the corpus
+      // grows (1.25e17 at sf1-scale, ulp ≈ 16): the engines' exact-
+      // decimal→double conversions differ by ulps there, and the
+      // variance cancellation amplifies them — the sf1 full-registry
+      // gate caught both (r15), the same class the bucket sibling
+      // already guards. Big moments round at ABSOLUTE precision far
+      // above ulp noise; variance keeps the family's 2dp money²
+      // convention (its cancellation error is ~ulp(sum_sq)/n — relative
+      // to the data, not the corpus, so 2dp holds at any n).
+      round(sq, -6).as("sum_sq"),
+      round((sq - s * s / n) / n, 2).as("variance"),
       round(sqrt((sq - s * s / n) / n), 6).as("std_dev")
     )
   }
