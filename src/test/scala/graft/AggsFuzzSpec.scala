@@ -70,7 +70,11 @@ class AggsFuzzSpec extends SparkSpec {
       extends AggReq
   private case class HistAgg(interval: Double, metrics: Seq[Metric], missing: Option[Double]) extends AggReq
   private case class RangeAgg(bounds: Seq[Double]) extends AggReq
-  private case class DateHist(interval: String, metrics: Seq[Metric]) extends AggReq
+  // `tz`: the r15 time_zone option — buckets on the zone's wall clock,
+  // keys back as UTC instants of the local bucket starts (the 180-day
+  // corpus crosses the 2024-03-10 America/New_York DST gap, so a fixed
+  // -05:00 arithmetic fails this arm)
+  private case class DateHist(interval: String, metrics: Seq[Metric], tz: Option[String]) extends AggReq
 
   private case class Request(filterQty: Option[Int], agg: AggReq)
 
@@ -101,7 +105,13 @@ class AggsFuzzSpec extends SparkSpec {
       case 3 =>
         val cuts = Seq.fill(1 + rnd.nextInt(2))(rnd.nextInt(90) + 5).distinct.sorted.map(_.toDouble)
         RangeAgg(cuts)
-      case 4 => DateHist(Vector("month", "day", "hour")(rnd.nextInt(3)), genMetrics(rnd))
+      case 4 =>
+        val zones = Vector("America/New_York", "Asia/Tokyo", "Europe/Berlin")
+        DateHist(
+          Vector("month", "day", "hour")(rnd.nextInt(3)),
+          genMetrics(rnd),
+          if (rnd.nextInt(3) == 0) Some(zones(rnd.nextInt(zones.size))) else None
+        )
     }
     Request(filter, agg)
   }
@@ -121,9 +131,10 @@ class AggsFuzzSpec extends SparkSpec {
         val sub = if (metrics.isEmpty) "" else s""", "aggs": {${metrics.map(metricJson).mkString(",")}}"""
         val miss = missing.map(v => s""", "missing": $v""").getOrElse("")
         s""""buckets": {"histogram": {"field": "price", "interval": $interval$miss}$sub}"""
-      case DateHist(interval, metrics) =>
+      case DateHist(interval, metrics, tz) =>
         val sub = if (metrics.isEmpty) "" else s""", "aggs": {${metrics.map(metricJson).mkString(",")}}"""
-        s""""buckets": {"date_histogram": {"field": "ts", "calendar_interval": "$interval"}$sub}"""
+        val tzp = tz.map(z => s""", "time_zone": "$z"""").getOrElse("")
+        s""""buckets": {"date_histogram": {"field": "ts", "calendar_interval": "$interval"$tzp}$sub}"""
       case RangeAgg(cuts) =>
         val ranges = (None +: cuts.map(Some(_))).zip(cuts.map(Some(_)) :+ None).map {
           case (from, to) =>
@@ -182,12 +193,16 @@ class AggsFuzzSpec extends SparkSpec {
             }
         }
         ordered.take(size)
-      case DateHist(interval, metrics) =>
+      case DateHist(interval, metrics, tz) =>
+        // with time_zone: truncate on the ZONE's wall clock (java.time is
+        // the independent DST authority), key = the UTC instant of the
+        // local bucket start
+        val zone = tz.map(java.time.ZoneId.of).getOrElse(java.time.ZoneOffset.UTC)
         def trunc(epoch: Long): Long = {
-          val z = java.time.Instant.ofEpochSecond(epoch).atZone(java.time.ZoneOffset.UTC)
+          val z = java.time.Instant.ofEpochSecond(epoch).atZone(zone)
           val t = interval match {
-            case "month" => z.withDayOfMonth(1).toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
-            case "day" => z.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
+            case "month" => z.withDayOfMonth(1).toLocalDate.atStartOfDay(zone)
+            case "day" => z.toLocalDate.atStartOfDay(zone)
             case "hour" => z.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
           }
           t.toEpochSecond
@@ -242,7 +257,7 @@ class AggsFuzzSpec extends SparkSpec {
       val metricNames = req.agg match {
         case TermsAgg(_, ms, _, _) => ms
         case HistAgg(_, ms, _) => ms
-        case DateHist(_, ms) => ms
+        case DateHist(_, ms, _) => ms
         case _ => Seq.empty
       }
       def rowStr(r: Row) = r.toSeq.mkString("[", ", ", "]")
