@@ -236,6 +236,40 @@ private[graft] object SearchWireEntries {
           | "_source": ["l_orderkey", "l_linenumber", "ratio"]}""".stripMargin
       )),
 
+    // terms with min_doc_count: buckets under the floor drop BEFORE the
+    // size truncation (a pruned bucket frees a slot) — a bucket-table
+    // HAVING on the same one-pass hash aggregate. The frame is pinned to
+    // the first 200 partkeys (the sf0.001 universe, identical at every
+    // SF), so the 8 floor prunes SOME brands and keeps others at every
+    // gate — the pruning semantics are value-gated everywhere instead of
+    // degenerating with scale.
+    "search_dsl_json_terms_min_doc_count" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.part(s, dir).filter(col("p_partkey") <= 200),
+        """{"aggs": {"brands": {"terms": {"field": "p_brand", "size": 25, "min_doc_count": 8}}}}"""
+      )),
+
+    // date_histogram with offset: "+6h" shifts the day boundary to 6am
+    // (truncate ts − 6h, emit bucket + 6h) — the shift-work dashboard
+    // knob; composes with time_zone (offset applies on the wall clock,
+    // AggsFuzzSpec's date-histogram arm fuzzes the composition).
+    "search_dsl_json_dh_offset" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.events(s, dir),
+        """{"aggs": {"shifted_days": {
+          |  "date_histogram": {"field": "ts", "calendar_interval": "day", "offset": "+6h"},
+          |  "aggs": {"total": {"sum": {"field": "value"}}}
+          |}}}""".stripMargin
+      )),
+
+    // numeric histogram with offset: key = floor((x − o)/w)·w + o.
+    "search_dsl_json_histogram_offset" -> ((s, dir) =>
+      JsonDsl.parse(
+        Tables.lineitem(s, dir),
+        """{"aggs": {"price_bands": {"histogram": {"field": "l_extendedprice",
+          |  "interval": 10000, "offset": 2500}}}}""".stripMargin
+      )),
+
     // _msearch: four searches over two indices in ONE batch — same-index
     // searches fold into a single conditional-count scan (2 scans total,
     // not 4), one (ordinal, hits) row per search in request order.
@@ -2099,6 +2133,21 @@ private[graft] object SearchWireEntries {
         |              WHEN ts >= b2 THEN 'late' END AS bucket
         |  FROM events CROSS JOIN b) t
         |WHERE bucket IS NOT NULL GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "search_dsl_json_terms_min_doc_count" ->
+      """SELECT p_brand AS "key", count(*) AS doc_count
+        |FROM part WHERE p_partkey <= 200 GROUP BY 1 HAVING count(*) >= 8
+        |ORDER BY doc_count DESC, "key" LIMIT 25""".stripMargin,
+
+    "search_dsl_json_dh_offset" ->
+      """SELECT CAST(date_trunc('day', ts - INTERVAL 6 HOUR) + INTERVAL 6 HOUR AS TIMESTAMP) AS bucket,
+        |       count(*) AS doc_count,
+        |       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "search_dsl_json_histogram_offset" ->
+      """SELECT floor((l_extendedprice - 2500) / 10000) * 10000 + 2500 AS bucket, count(*) AS doc_count
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "search_dsl_json_runtime_try_divide" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice / l_discount AS ratio

@@ -118,10 +118,14 @@ object Aggs {
   /** `terms` aggregation: top-`size` buckets by doc count (desc), key asc as
     * the deterministic tie-break (OpenSearch's own tie-break).
     */
-  def termsAgg(df: DataFrame, field: Column, size: Int): DataFrame =
+  def termsAgg(df: DataFrame, field: Column, size: Int, minDocCount: Long = 1L): DataFrame =
+    // min_doc_count: buckets below the floor are dropped BEFORE the
+    // size truncation (OpenSearch — a pruned bucket frees a size slot).
+    // A bucket-table-sized HAVING, evaluated map-side-combined.
     df.filter(field.isNotNull)
       .groupBy(field.as("key"))
       .agg(count(lit(1)).as("doc_count"))
+      .filter(col("doc_count") >= minDocCount)
       .orderBy(col("doc_count").desc, col("key").asc)
       .limit(size)
 
@@ -135,10 +139,17 @@ object Aggs {
     * pushable scan predicate, found by the AggsFuzzSpec differential
     * drill.
     */
-  def termsAggWith(df: DataFrame, field: Column, size: Int, metrics: Seq[Column]): DataFrame =
+  def termsAggWith(
+      df: DataFrame,
+      field: Column,
+      size: Int,
+      metrics: Seq[Column],
+      minDocCount: Long = 1L
+  ): DataFrame =
     df.filter(field.isNotNull)
       .groupBy(field.as("key"))
       .agg(count(lit(1)).as("doc_count"), metrics: _*)
+      .filter(col("doc_count") >= minDocCount)
       .orderBy(col("doc_count").desc, col("key").asc)
       .limit(size)
 
@@ -153,10 +164,14 @@ object Aggs {
       size: Int,
       metrics: Seq[Column],
       orderKey: String,
-      asc: Boolean
+      asc: Boolean,
+      minDocCount: Long = 1L
   ): DataFrame = {
-    val agged =
-      df.filter(field.isNotNull).groupBy(field.as("key")).agg(count(lit(1)).as("doc_count"), metrics: _*)
+    val agged = df
+      .filter(field.isNotNull)
+      .groupBy(field.as("key"))
+      .agg(count(lit(1)).as("doc_count"), metrics: _*)
+      .filter(col("doc_count") >= minDocCount)
     val oc = orderKey match {
       case "_key"   => col("key")
       case "_count" => col("doc_count")
@@ -644,9 +659,17 @@ object Aggs {
     * AggsFuzzSpec drill). Missing-field docs bucket nowhere, as in
     * [[termsAggWith]].
     */
-  def histogramWith(df: DataFrame, field: Column, width: Double, metrics: Seq[Column]): DataFrame =
+  def histogramWith(
+      df: DataFrame,
+      field: Column,
+      width: Double,
+      metrics: Seq[Column],
+      offset: Double = 0.0
+  ): DataFrame =
+    // offset shifts bucket boundaries: key = floor((x − o) / w)·w + o
+    // (the OpenSearch histogram option; 0 keeps the plain grid)
     df.filter(field.isNotNull)
-      .groupBy((floor(field / width) * width).as("bucket"))
+      .groupBy((floor((field - offset) / width) * width + offset).as("bucket"))
       .agg(count(lit(1)).as("doc_count"), metrics: _*)
       .orderBy("bucket")
 

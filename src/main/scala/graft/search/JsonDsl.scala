@@ -2600,6 +2600,7 @@ object JsonDsl {
       case "terms" if body.has("order") =>
         // Explicit bucket order: {"order": {"<sub-metric>|_key|_count": "asc|desc"}}
         val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
+        val minDc = Option(body.get("min_doc_count")).map(_.asLong).getOrElse(1L)
         val o = body.get("order")
         require(o.isObject && o.size == 1, s"terms order must have exactly one key: $o")
         val key = o.fieldNames().next()
@@ -2610,9 +2611,17 @@ object JsonDsl {
           key == "_key" || key == "_count" || metricNames.contains(key),
           s"terms order by '$key' needs a matching metric sub-aggregation, have: $metricNames"
         )
-        Aggs.termsAggOrdered(df, field, size, metrics, key, asc)
+        Aggs.termsAggOrdered(df, field, size, metrics, key, asc, minDc)
       case "terms" =>
         val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
+        // min_doc_count: buckets below the floor drop BEFORE size
+        // truncation (a pruned bucket frees a slot) — a bucket-table
+        // HAVING. Supported on the count/metric paths; the structural
+        // sub-agg paths (top_hits/geo_line/geo_bounds/rich) reject it
+        // loudly rather than silently ignoring (strict-options rule).
+        val minDc = Option(body.get("min_doc_count")).map(_.asLong).getOrElse(1L)
+        def requireNoMinDc(who: String): Unit =
+          require(minDc == 1L, s"terms min_doc_count is unsupported with a $who sub-aggregation")
         subAggs match {
           // top_hits sub-aggregation: top-k DOCUMENTS per bucket, executed
           // by the bounded-heap TopKPerKey operator (rank column, no
@@ -2621,6 +2630,7 @@ object JsonDsl {
           case Some(sa)
               if sa.size == 1 && sa.elements().asScala.toSeq.headOption.exists(_.has("top_hits")) =>
             require(body.get("size") == null, "terms size with a top_hits sub-aggregation is unsupported")
+            requireNoMinDc("top_hits")
             val th = sa.elements().asScala.next().get("top_hits")
             val k = req(th, "size", "top_hits").asInt
             val ordering = compileSort(req(th, "sort", "top_hits"))
@@ -2631,6 +2641,7 @@ object JsonDsl {
           // Coordinates print through decimal(6,2) for fixed-point text.
           case Some(sa)
               if sa.size == 1 && sa.elements().asScala.toSeq.headOption.exists(_.has("geo_line")) =>
+            requireNoMinDc("geo_line")
             val gl = sa.elements().asScala.next().get("geo_line")
             val pf = req(req(gl, "point", "geo_line"), "field", "geo_line point").asText
             val sortF = req(req(gl, "sort", "geo_line"), "field", "geo_line sort").asText
@@ -2654,6 +2665,7 @@ object JsonDsl {
           // struct geo field — four extrema + count in one hash agg.
           case Some(sa)
               if sa.size == 1 && sa.elements().asScala.toSeq.headOption.exists(_.has("geo_bounds")) =>
+            requireNoMinDc("geo_bounds")
             val gb = sa.elements().asScala.next().get("geo_bounds")
             val pf = req(gb, "field", "geo_bounds").asText
             val groupName = req(body, "field", "terms").asText
@@ -2675,14 +2687,15 @@ object JsonDsl {
           case Some(sa)
               if sa.fields().asScala.exists(e =>
                 e.getValue.isObject && richMetricTypes(e.getValue.fieldNames().next())) =>
+            requireNoMinDc("rich-metric")
             val (aggCols, postCols) = sa.fields().asScala.toSeq.map(richMetric).unzip
             df.groupBy(field.as("key"))
               .agg(count(lit(1)).as("doc_count"), aggCols.flatten: _*)
               .select(col("key") +: col("doc_count") +: postCols.flatten: _*)
               .orderBy(col("doc_count").desc, col("key").asc)
               .limit(size)
-          case Some(sa) => Aggs.termsAggWith(df, field, size, sa.fields().asScala.toSeq.map(roundedMetric))
-          case None     => Aggs.termsAgg(df, field, size)
+          case Some(sa) => Aggs.termsAggWith(df, field, size, sa.fields().asScala.toSeq.map(roundedMetric), minDc)
+          case None     => Aggs.termsAgg(df, field, size, minDc)
         }
       case "date_histogram" =>
         val interval =
@@ -2698,9 +2711,34 @@ object JsonDsl {
         // conversion is order-preserving, so pipeline windows /
         // bucket_sort over the local table are unaffected.
         val dhTz = Option(body.get("time_zone")).map(_.asText)
-        val fieldLoc = dhTz.map(z => from_utc_timestamp(field, z)).getOrElse(field)
-        def unlocalize(out: DataFrame): DataFrame =
-          dhTz.map(z => out.withColumn("bucket", to_utc_timestamp(col("bucket"), z))).getOrElse(out)
+        // offset: shift bucket BOUNDARIES by a duration ("+6h" — the
+        // "day starts at 6am" dashboard knob): truncate (ts − offset),
+        // emit (bucket + offset). Composes with time_zone in OpenSearch's
+        // order — offset applies on the (local) wall clock, the key then
+        // converts back to a UTC instant.
+        val dhOff = Option(body.get("offset")).map(_.asText).map { o =>
+          val m = """^([+-]?)(\d+)(s|m|h|d)$""".r
+          o match {
+            case m(sign, n, u) =>
+              val unit = u match {
+                case "s" => "SECOND"
+                case "m" => "MINUTE"
+                case "h" => "HOUR"
+                case "d" => "DAY"
+              }
+              val iv = expr(s"INTERVAL '$n' $unit")
+              if (sign == "-") (-1, iv) else (1, iv)
+            case _ => throw new IllegalArgumentException(s"date_histogram offset '$o' (want e.g. \"+6h\", \"-30m\")")
+          }
+        }
+        val fieldLoc0 = dhTz.map(z => from_utc_timestamp(field, z)).getOrElse(field)
+        val fieldLoc = dhOff.fold(fieldLoc0) { case (sg, iv) => if (sg > 0) fieldLoc0 - iv else fieldLoc0 + iv }
+        def unlocalize(out: DataFrame): DataFrame = {
+          val shifted = dhOff.fold(out) { case (sg, iv) =>
+            out.withColumn("bucket", if (sg > 0) col("bucket") + iv else col("bucket") - iv)
+          }
+          dhTz.map(z => shifted.withColumn("bucket", to_utc_timestamp(col("bucket"), z))).getOrElse(shifted)
+        }
         // Pipeline sub-aggregations (the Kibana time-series toolkit:
         // cumulative_sum / derivative / moving_avg over a sibling metric
         // or _count) run over the BUCKET table — tens of rows — so the
@@ -3005,7 +3043,13 @@ object JsonDsl {
         // were silently dropped here — the degradation class the
         // strict-options rule bans)
         val metrics = subAggs.map(sa => sa.fields().asScala.toSeq.map(roundedMetric)).getOrElse(Nil)
-        Aggs.histogramWith(df, field, req(body, "interval", "histogram").asDouble, metrics)
+        Aggs.histogramWith(
+          df,
+          field,
+          req(body, "interval", "histogram").asDouble,
+          metrics,
+          Option(body.get("offset")).map(_.asDouble).getOrElse(0.0)
+        )
       case "range" =>
         val ranges = req(body, "ranges", "range aggregation").elements().asScala.toSeq.map { r =>
           val from = Option(r.get("from")).map(_.asDouble)

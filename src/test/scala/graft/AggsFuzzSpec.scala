@@ -66,15 +66,27 @@ class AggsFuzzSpec extends SparkSpec {
   // the given value instead of bucketing nowhere, and the substituted
   // bucket competes in ordering/size like any other (it composes with
   // the family null-key rule, which is why it gets its own fuzz arm).
-  private case class TermsAgg(size: Int, metrics: Seq[Metric], order: Option[(String, Boolean)], missing: Option[String])
+  // `minDc`: min_doc_count — buckets under the floor drop BEFORE size
+  // truncation (a pruned bucket frees a slot)
+  private case class TermsAgg(
+      size: Int,
+      metrics: Seq[Metric],
+      order: Option[(String, Boolean)],
+      missing: Option[String],
+      minDc: Long
+  ) extends AggReq
+  // `offset` shifts bucket boundaries: key = floor((x − o)/w)·w + o
+  private case class HistAgg(interval: Double, metrics: Seq[Metric], missing: Option[Double], offset: Double)
       extends AggReq
-  private case class HistAgg(interval: Double, metrics: Seq[Metric], missing: Option[Double]) extends AggReq
   private case class RangeAgg(bounds: Seq[Double]) extends AggReq
   // `tz`: the r15 time_zone option — buckets on the zone's wall clock,
   // keys back as UTC instants of the local bucket starts (the 180-day
   // corpus crosses the 2024-03-10 America/New_York DST gap, so a fixed
   // -05:00 arithmetic fails this arm)
-  private case class DateHist(interval: String, metrics: Seq[Metric], tz: Option[String]) extends AggReq
+  // `offsetH`: bucket boundaries shifted by whole hours ("+6h"),
+  // composing with tz on the wall clock
+  private case class DateHist(interval: String, metrics: Seq[Metric], tz: Option[String], offsetH: Int)
+      extends AggReq
 
   private case class Request(filterQty: Option[Int], agg: AggReq)
 
@@ -95,12 +107,19 @@ class AggsFuzzSpec extends SparkSpec {
             val keys = Vector("_key", "_count") ++ metrics.filter(_.mType != "value_count").map(_.name)
             Some((keys(rnd.nextInt(keys.size)), rnd.nextBoolean()))
           } else None
-        TermsAgg(1 + rnd.nextInt(10), metrics, order, if (rnd.nextInt(3) == 0) Some("none") else None)
+        TermsAgg(
+          1 + rnd.nextInt(10),
+          metrics,
+          order,
+          if (rnd.nextInt(3) == 0) Some("none") else None,
+          if (rnd.nextInt(3) == 0) 1L + rnd.nextInt(40) else 1L
+        )
       case 2 =>
         HistAgg(
           Vector(5.0, 10.0, 25.0)(rnd.nextInt(3)),
           genMetrics(rnd),
-          if (rnd.nextInt(3) == 0) Some(rnd.nextInt(100).toDouble) else None
+          if (rnd.nextInt(3) == 0) Some(rnd.nextInt(100).toDouble) else None,
+          if (rnd.nextInt(3) == 0) rnd.nextInt(5).toDouble else 0.0
         )
       case 3 =>
         val cuts = Seq.fill(1 + rnd.nextInt(2))(rnd.nextInt(90) + 5).distinct.sorted.map(_.toDouble)
@@ -110,7 +129,8 @@ class AggsFuzzSpec extends SparkSpec {
         DateHist(
           Vector("month", "day", "hour")(rnd.nextInt(3)),
           genMetrics(rnd),
-          if (rnd.nextInt(3) == 0) Some(zones(rnd.nextInt(zones.size))) else None
+          if (rnd.nextInt(3) == 0) Some(zones(rnd.nextInt(zones.size))) else None,
+          if (rnd.nextInt(3) == 0) 1 + rnd.nextInt(11) else 0
         )
     }
     Request(filter, agg)
@@ -122,19 +142,22 @@ class AggsFuzzSpec extends SparkSpec {
   private def render(r: Request): String = {
     val queryPart = r.filterQty.map(q => s""""query": {"range": {"qty": {"gte": $q}}}, """).getOrElse("")
     val aggPart = r.agg match {
-      case TermsAgg(size, metrics, order, missing) =>
+      case TermsAgg(size, metrics, order, missing, minDc) =>
         val sub = if (metrics.isEmpty) "" else s""", "aggs": {${metrics.map(metricJson).mkString(",")}}"""
         val ord = order.map { case (k, asc) => s""", "order": {"$k": "${if (asc) "asc" else "desc"}"}""" }.getOrElse("")
         val miss = missing.map(v => s""", "missing": "$v"""").getOrElse("")
-        s""""buckets": {"terms": {"field": "tag", "size": $size$ord$miss}$sub}"""
-      case HistAgg(interval, metrics, missing) =>
+        val mdc = if (minDc > 1) s""", "min_doc_count": $minDc""" else ""
+        s""""buckets": {"terms": {"field": "tag", "size": $size$ord$miss$mdc}$sub}"""
+      case HistAgg(interval, metrics, missing, offset) =>
         val sub = if (metrics.isEmpty) "" else s""", "aggs": {${metrics.map(metricJson).mkString(",")}}"""
         val miss = missing.map(v => s""", "missing": $v""").getOrElse("")
-        s""""buckets": {"histogram": {"field": "price", "interval": $interval$miss}$sub}"""
-      case DateHist(interval, metrics, tz) =>
+        val off = if (offset != 0.0) s""", "offset": $offset""" else ""
+        s""""buckets": {"histogram": {"field": "price", "interval": $interval$miss$off}$sub}"""
+      case DateHist(interval, metrics, tz, offsetH) =>
         val sub = if (metrics.isEmpty) "" else s""", "aggs": {${metrics.map(metricJson).mkString(",")}}"""
         val tzp = tz.map(z => s""", "time_zone": "$z"""").getOrElse("")
-        s""""buckets": {"date_histogram": {"field": "ts", "calendar_interval": "$interval"$tzp}$sub}"""
+        val off = if (offsetH != 0) s""", "offset": "+${offsetH}h"""" else ""
+        s""""buckets": {"date_histogram": {"field": "ts", "calendar_interval": "$interval"$tzp$off}$sub}"""
       case RangeAgg(cuts) =>
         val ranges = (None +: cuts.map(Some(_))).zip(cuts.map(Some(_)) :+ None).map {
           case (from, to) =>
@@ -168,12 +191,14 @@ class AggsFuzzSpec extends SparkSpec {
   private def evalRef(r: Request): Seq[(Any, Long, Seq[Option[Double]])] = {
     val base = r.filterQty.map(q => docs.filter(_.qty.exists(_ >= q))).getOrElse(docs)
     r.agg match {
-      case TermsAgg(size, metrics, order, missing) =>
+      case TermsAgg(size, metrics, order, missing, minDc) =>
         val groups = missing match {
           case Some(m) => base.groupBy(d => d.tag.getOrElse(m))
           case None    => base.filter(_.tag.isDefined).groupBy(_.tag.get)
         }
-        val rows = groups.toSeq.map { case (k, g) => (k, g.size.toLong, metrics.map(metricVal(_, g))) }
+        val rows = groups.toSeq
+          .map { case (k, g) => (k, g.size.toLong, metrics.map(metricVal(_, g))) }
+          .filter(_._2 >= minDc)
         val ordered = order match {
           case None => rows.sortBy { case (k, n, _) => (-n, k) }
           case Some(("_key", asc)) =>
@@ -193,19 +218,23 @@ class AggsFuzzSpec extends SparkSpec {
             }
         }
         ordered.take(size)
-      case DateHist(interval, metrics, tz) =>
+      case DateHist(interval, metrics, tz, offsetH) =>
         // with time_zone: truncate on the ZONE's wall clock (java.time is
         // the independent DST authority), key = the UTC instant of the
-        // local bucket start
-        val zone = tz.map(java.time.ZoneId.of).getOrElse(java.time.ZoneOffset.UTC)
+        // local bucket start; `offset` shifts boundaries ON the wall
+        // clock — truncate(local − off) + off. NOTE the reference shifts
+        // LOCAL time (a plain LocalDateTime minus hours), exactly the
+        // engine's order of operations.
+        val zone = tz.map(java.time.ZoneId.of).getOrElse(java.time.ZoneOffset.UTC): java.time.ZoneId
         def trunc(epoch: Long): Long = {
-          val z = java.time.Instant.ofEpochSecond(epoch).atZone(zone)
+          val local = java.time.Instant.ofEpochSecond(epoch).atZone(zone).toLocalDateTime
+            .minusHours(offsetH.toLong)
           val t = interval match {
-            case "month" => z.withDayOfMonth(1).toLocalDate.atStartOfDay(zone)
-            case "day" => z.toLocalDate.atStartOfDay(zone)
-            case "hour" => z.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+            case "month" => local.toLocalDate.withDayOfMonth(1).atStartOfDay()
+            case "day" => local.toLocalDate.atStartOfDay()
+            case "hour" => local.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
           }
-          t.toEpochSecond
+          t.plusHours(offsetH.toLong).atZone(zone).toEpochSecond
         }
         base
           .filter(_.ts.isDefined)
@@ -213,12 +242,13 @@ class AggsFuzzSpec extends SparkSpec {
           .toSeq
           .map { case (k, g) => (k: Any, g.size.toLong, metrics.map(metricVal(_, g))) }
           .sortBy(_._1.asInstanceOf[Long])
-      case HistAgg(interval, metrics, missing) =>
+      case HistAgg(interval, metrics, missing, offset) =>
         // `missing` substitutes into THIS agg's value source only — the
         // sub-metrics still see the doc's actual (possibly null) field
         // (OpenSearch: missing is per-aggregation, not per-document)
         base
-          .flatMap(d => d.price.orElse(missing).map(v => (math.floor(v / interval) * interval, d)))
+          .flatMap(d =>
+            d.price.orElse(missing).map(v => (math.floor((v - offset) / interval) * interval + offset, d)))
           .groupBy(_._1)
           .toSeq
           .map { case (k, g) => (k: Any, g.size.toLong, metrics.map(metricVal(_, g.map(_._2)))) }
@@ -255,9 +285,9 @@ class AggsFuzzSpec extends SparkSpec {
       val want = evalRef(req)
       val got: Seq[Row] = JsonDsl.parse(frame, body, mapping).collect().toSeq
       val metricNames = req.agg match {
-        case TermsAgg(_, ms, _, _) => ms
-        case HistAgg(_, ms, _) => ms
-        case DateHist(_, ms, _) => ms
+        case TermsAgg(_, ms, _, _, _) => ms
+        case HistAgg(_, ms, _, _) => ms
+        case DateHist(_, ms, _, _) => ms
         case _ => Seq.empty
       }
       def rowStr(r: Row) = r.toSeq.mkString("[", ", ", "]")
