@@ -71,46 +71,25 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble)
           .toMap
       } catch { case _: Throwable => Map.empty }
-    // Every key is timed TWICE and the min recorded — a uniform policy,
-    // not a threshold-gated retry. The old guard (retry only when >2x the
-    // previous record) made the record methodology-inconsistent: r11's
-    // numbers were all min-of-two (the toRdd methodology change tripped
-    // the threshold for every key) while r12's single runs landed at the
-    // half-warm JIT level, manufacturing a phantom 1.45-2.0x "ANN
-    // regression" that sat just under the retry threshold. Min-of-two
-    // also absorbs transient box-load spikes; a REAL slowdown reproduces
-    // in both runs, so the policy cannot hide one.
-    val results0 = ordered.map { case (name, fn) =>
-      val dt1 = timeOne(fn)
-      val dt2 = timeOne(fn)
-      // min of two passes; if EITHER run failed its (negative) time wins,
-      // so a flaky key surfaces in the errors list instead of being
-      // silently recorded as a clean pass off its one lucky run.
-      name -> math.min(dt1, dt2)
-    }.toMap
-    // r15 (the r14 verdict's top item): before parking a poisoned run,
-    // give the still-inflated keys a THIRD pass. Both observed poisoning
-    // episodes (r13, r14) were a transient load window over a contiguous
-    // alphabetical span — by suite end the box is usually idle again, so
-    // one targeted re-run restores an honest min for exactly the keys
-    // the load touched, and the round closes with a clean record instead
-    // of a quarantined artifact + forensics. Bounded and honest: one
-    // extra pass, only over keys >1.5x their recorded time; a REAL
-    // regression reproduces in the third run and the guard still trips.
-    val stillInflated =
-      if (filterPats.isDefined) Nil
-      else results0.toSeq.collect { case (k, v) if v > 0 && prev.get(k).exists(p => p > 0 && v > 1.5 * p) => k }
-    val results =
-      if (stillInflated.isEmpty) results0
-      else {
-        System.err.println(
-          s"[bench] third pass for ${stillInflated.size} inflated keys: ${stillInflated.sorted.mkString(",")}")
-        val byName = ordered.toMap
-        results0 ++ stillInflated.map { k =>
-          val dt3 = timeOne(byName(k))
-          k -> (if (dt3 > 0) math.min(results0(k), dt3) else results0(k))
-        }
-      }
+    // Every key is timed THREE times and the min recorded — one UNIFORM
+    // policy for every key, no threshold-gated retries. History of the
+    // policy: single runs landed at the half-warm JIT level (r12's
+    // phantom "ANN regression"); min-of-two fixed that but r15 bolted on
+    // a threshold-gated third pass for inflated keys, which reintroduced
+    // the methodology inconsistency the min-of-two comment itself banned
+    // (near-threshold keys best-of-two, inflated keys best-of-three —
+    // selectively biasing exactly the judged keys). r16: min-of-three
+    // for EVERYONE, and all three samples published (bench_variance
+    // .json + band stats in the record) so the sampling policy and the
+    // box's noise band are auditable instead of arguable. A REAL
+    // slowdown reproduces in all three runs; the policy cannot hide one.
+    val samples: Seq[(String, Seq[Double])] = ordered.map { case (name, fn) =>
+      name -> Seq(timeOne(fn), timeOne(fn), timeOne(fn))
+    }
+    // min of the passes; if ANY run failed its (negative) time wins, so a
+    // flaky key surfaces in the errors list instead of being silently
+    // recorded as a clean pass off its lucky runs.
+    val results: Map[String, Double] = samples.map { case (n, ts) => n -> ts.min }.toMap
     // Millisecond precision keeps the whole line under the driver's stdout
     // tail capture (full-precision doubles pushed r2's line past it and the
     // per-query map was truncated); the identical JSON also lands in
@@ -142,8 +121,26 @@ object Bench {
     val loadPoisoned = comparable.nonEmpty &&
       (inflated * 5 > comparable.size || (totPrev > 0 && totNew > 1.25 * totPrev))
     val outPath = if (loadPoisoned && filterPats.isEmpty) "bench_loaded.json" else recordPath
+    // Per-key noise band across the three samples: rel spread =
+    // (max-min)/min of the clean samples. The record carries the band's
+    // median/p90/max so round-over-round diffs can be judged against the
+    // instrument's OWN resolution; the raw samples land in
+    // bench_variance.json for per-key forensics.
+    val spreads = samples.collect {
+      case (n, ts) if ts.forall(_ > 0) => n -> ((ts.max - ts.min) / ts.min)
+    }.sortBy(_._2)
+    def pct(p: Double): Double =
+      if (spreads.isEmpty) 0.0 else spreads(math.min(spreads.size - 1, (p * spreads.size).toInt))._2
+    val band =
+      s"""{"median_rel_spread":${f3(pct(0.5))},"p90_rel_spread":${f3(pct(0.9))},"max_rel_spread":${f3(pct(1.0))}}"""
+    val varLine = samples.sortBy(_._1).map { case (n, ts) =>
+      "\"" + n + "\":[" + ts.map(f3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(if (filterPats.isDefined) "bench_variance_filtered.json" else "bench_variance.json"),
+      varLine + "\n")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errors,"load_poisoned":$loadPoisoned,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":3,"aggregation":"min","band":$band,"queries":$qs,"errors":$errors,"load_poisoned":$loadPoisoned,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     println(line)
     // The full line outgrew the driver's stdout-tail capture (the record
@@ -159,7 +156,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":3,"aggregation":"min","band":$band,"n_queries":${results.size},"queries":$slow,"errors":$errors,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

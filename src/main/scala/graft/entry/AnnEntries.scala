@@ -153,6 +153,22 @@ private[graft] object AnnEntries {
         .toDF("id", "cos")
     }),
 
+    // The batched SERVING tier (r16): the whole (bounded) probe set
+    // advances through the bucketed point-read handle together — one
+    // adjacency fetch + one vector fetch per round for the BATCH, each
+    // id read once however many probes want it. Result rows are
+    // bit-identical per probe to ann_graph_serving / the DataFrame
+    // beam (GraphServingSpec pins it); this is the online batch path,
+    // ann_graph_batch_topk below stays the unbounded probe-set plan.
+    "ann_graph_serving_batch" -> ((s, dir) => {
+      import s.implicits._
+      val probes = (0 until 3).map(i => i.toLong -> queryVec(s, dir, i))
+      Similarity
+        .graphSearchServeBatch(cachedGraphServing(s, dir), probes, 10)
+        .toDF("probe_id", "id", "cos")
+        .orderBy("probe_id", "id")
+    }),
+
     // The batch form: every probe advances through the SAME fixed
     // rounds as a set-based (probe_id, id, cos) beam frame — constant
     // job count regardless of probe count, zero driver collects.

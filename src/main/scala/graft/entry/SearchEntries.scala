@@ -2360,8 +2360,11 @@ private[graft] object SearchEntries {
         |SELECT CAST(cnt AS BIGINT) AS cnt, mn AS min_v, mx AS max_v,
         |       round(CAST(s AS DOUBLE) / cnt, 6) AS avg_v,
         |       round(CAST(s AS DOUBLE), 2) AS sum_v,
-        |       round(CAST(sq AS DOUBLE), -6) AS sum_sq,
-        |       round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt, 2) AS variance,
+        |       CAST(CAST(sq AS DECIMAL(38,4)) AS VARCHAR) AS sum_sq,
+        |       CASE WHEN sq < 1e9
+        |            THEN round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt, 6)
+        |            ELSE round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt, 2)
+        |       END AS variance,
         |       round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / cnt), 6) AS std_dev
         |FROM a""".stripMargin,
 

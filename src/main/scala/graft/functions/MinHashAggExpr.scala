@@ -7,7 +7,6 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native MinHash aggregate: one pass over (id, shingle) rows, producing
@@ -18,9 +17,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * method-size limits and fall back to interpreted evaluation (measured
   * ~15s for 5k docs); this TypedImperativeAggregate keeps one primitive
   * int[] buffer per group, runs inside ObjectHashAggregate with map-side
-  * partial aggregation, and hashes each shingle `numPerms` times in a tight
-  * JVM loop. Permutation p is murmur3_32(shingle bytes, seed=p) — the same
-  * hash family Spark's `hash()` uses, deterministic across JVMs.
+  * partial aggregation, and digests each shingle ONCE in a tight JVM loop.
+  *
+  * Permutation p is the affine family over an md5-derived base
+  * ([[OracleHash]]): base = md5Int60(shingle) mod P, h_p = (a_p·base +
+  * b_p) mod P — every value recomputable in DuckDB SQL, which is what
+  * makes the whole MinHash pipeline (signatures → bands → candidates →
+  * verified pairs) fully oracle-checkable (r16; the murmur3-seeded form
+  * it replaces was rows-only). Also cheaper: one digest per shingle
+  * instead of numPerms murmur3 passes over the bytes.
   */
 case class MinHashAgg(
     child: Expression,
@@ -46,16 +51,19 @@ case class MinHashAgg(
 
   override def createAggregationBuffer(): Array[Int] = Array.fill(numPerms)(Int.MaxValue)
 
+  // permutation coefficients, hoisted out of the per-row loop
+  @transient private lazy val pa: Array[Long] = Array.tabulate(numPerms)(OracleHash.permA)
+  @transient private lazy val pb: Array[Long] = Array.tabulate(numPerms)(OracleHash.permB)
+
   override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String]
-      val base = s.getBaseObject
-      val off = s.getBaseOffset
-      val len = s.numBytes()
+      val base = OracleHash.md5ModP(s.getBytes)
       var p = 0
       while (p < numPerms) {
-        val h = Murmur3_x86_32.hashUnsafeBytes(base, off, len, p)
+        // (a·base + b) mod P < 2^31-1: fits the int buffer exactly
+        val h = ((pa(p) * base + pb(p)) % OracleHash.P).toInt
         if (h < buffer(p)) buffer(p) = h
         p += 1
       }

@@ -200,6 +200,11 @@ object VectorFns {
     val bits = nBits
     val sds = seeds.toArray
     val f = udf((v: Seq[Double]) => {
+      // Family rule: missing vectors bucket nowhere. A null embedding
+      // yields a null signature array (posexplode of null → zero rows),
+      // so one bad row can't kill a whole index/dedup job.
+      if (v == null) null
+      else {
       val arr = v.toArray
       val out = new Array[Long](sds.length)
       var t = 0
@@ -219,6 +224,7 @@ object VectorFns {
         t += 1
       }
       out
+      }
     })
     f(asDouble(vec))
   }
@@ -227,6 +233,9 @@ object VectorFns {
     val bits = nBits
     val sd = seed
     val f = udf((v: Seq[Double]) => {
+      // null vector → null signature (see hyperplaneSigs).
+      if (v == null) null.asInstanceOf[java.lang.Long]
+      else {
       val planes = HyperplaneCache.planes(bits, sd, v.length)
       var sig = 0L
       var p = 0
@@ -241,7 +250,8 @@ object VectorFns {
         if (acc > 0) sig |= (1L << p)
         p += 1
       }
-      sig
+      java.lang.Long.valueOf(sig)
+      }
     })
     f(asDouble(vec))
   }

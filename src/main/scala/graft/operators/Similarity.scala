@@ -168,7 +168,9 @@ object Similarity {
   }
 
   def lshIndex(emb: DataFrame, idCol: String, vecCol: String, nBits: Int, tables: Int): LshIndex = {
-    val base = emb.select(col(idCol), col(vecCol))
+    // Missing vectors bucket nowhere (family rule): drop null embeddings
+    // up front so one bad row can't kill the index build or rescore.
+    val base = emb.filter(col(vecCol).isNotNull).select(col(idCol), col(vecCol))
     val sigs = graft.Tables
       .ensureParallelism(base)
       .select(
@@ -1527,51 +1529,112 @@ object Similarity {
     * jobs per query; driver state bounded by entry + rounds·beam·m
     * (id, cos) pairs.
     */
+  /** The CosineSim fold verbatim: left = corpus vector, right = query,
+    * strict sequential accumulation, then Spark round()'s HALF_UP 6dp —
+    * the serving tiers' driver-side cosine, bit-identical to the
+    * DataFrame paths (GraphServingSpec pins it).
+    */
+  private def servingCos(v: Array[Float], q: Array[Float]): Double = {
+    val n = math.min(v.length, q.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v(i).toDouble
+      val y = q(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val c = dot / (math.sqrt(na) * math.sqrt(nb))
+    BigDecimal.decimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   def graphSearchServe(
       serving: GraphServing,
       query: Seq[Float],
       k: Int,
       beam: Int = 16,
       rounds: Int = 3
-  ): Seq[(Long, Double)] = {
-    val q = query.toArray
-    def cosOf(v: Array[Float]): Double = {
-      // the CosineSim fold verbatim: left = corpus vector, right = query,
-      // strict sequential accumulation, then Spark round()'s HALF_UP 6dp
-      val n = math.min(v.length, q.length)
-      var dot = 0.0
-      var na = 0.0
-      var nb = 0.0
-      var i = 0
-      while (i < n) {
-        val x = v(i).toDouble
-        val y = q(i).toDouble
-        dot += x * y
-        na += x * x
-        nb += y * y
-        i += 1
-      }
-      val c = dot / (math.sqrt(na) * math.sqrt(nb))
-      BigDecimal.decimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  ): Seq[(Long, Double)] =
+    graphSearchServeBatch(serving, Seq((-1L, query)), k, beam, rounds).map {
+      case (_, id, cos) => (id, cos)
     }
-    def scoreIds(ids: Seq[Long]): Seq[(Long, Double)] =
-      fetchByKey(serving.vecs, ids).map { case (id, v) => (id, cosOf(v)) }
-    val scored = scala.collection.mutable.Map.empty[Long, Double]
-    val expanded = scala.collection.mutable.Set.empty[Long]
-    scoreIds(serving.entryPoints.distinct).foreach { case (id, c) => scored(id) = c }
+
+  /** Batched serving search: EVERY probe advances through the bucketed
+    * point-read tier TOGETHER — per round, ONE partition-pruned
+    * adjacency fetch over the union of all probes' frontiers and ONE
+    * vector fetch over the union of all probes' unseen candidates
+    * (each id read once however many probes want it), so the whole
+    * batch costs 1 + 2·rounds pruned jobs — the per-probe loop's cost
+    * for ONE query (r16: this is what re-wins graph_batch over
+    * graph_seq; the DataFrame [[graphSearchBatch]] stays the unbounded
+    * probe-set path, this tier is the ONLINE bounded-batch server).
+    * Per-probe expansion policy is exactly the scalar one (top-beam
+    * not-yet-expanded by cos desc / id asc, only never-seen candidates
+    * score, every scored node retained), so emitted (probe, id, score)
+    * rows are bit-identical to [[graphSearchServe]] and the DataFrame
+    * beam. Driver state: probes × (entry + rounds·beam·m) (id, cos)
+    * pairs — the scalar loop's bound times the (bounded) batch size.
+    */
+  def graphSearchServeBatch(
+      serving: GraphServing,
+      probes: Seq[(Long, Seq[Float])],
+      k: Int,
+      beam: Int = 16,
+      rounds: Int = 3
+  ): Seq[(Long, Long, Double)] = {
+    if (probes.isEmpty) return Nil
+    val qs: Seq[(Long, Array[Float])] = probes.map { case (pid, v) => (pid, v.toArray) }
+    val scored =
+      qs.map { case (pid, _) => pid -> scala.collection.mutable.Map.empty[Long, Double] }.toMap
+    val expanded =
+      qs.map { case (pid, _) => pid -> scala.collection.mutable.Set.empty[Long] }.toMap
+    // one vector fetch serves every probe: score the fetched ids against
+    // each probe that asked for them
+    def scoreIds(wants: Seq[(Long, Seq[Long])]): Unit = {
+      val need = wants.flatMap(_._2).distinct
+      if (need.isEmpty) return
+      val vecs = fetchByKey(serving.vecs, need).toMap
+      val byProbe = qs.toMap
+      wants.foreach { case (pid, ids) =>
+        val q = byProbe(pid)
+        val tgt = scored(pid)
+        ids.foreach { id =>
+          vecs.get(id).foreach(v => tgt(id) = servingCos(v, q))
+        }
+      }
+    }
+    val entries = serving.entryPoints.distinct
+    scoreIds(qs.map { case (pid, _) => pid -> entries })
     for (_ <- 0 until rounds) {
-      val frontier = scored.toSeq
-        .filterNot { case (id, _) => expanded(id) }
-        .sortBy { case (id, c) => (-c, id) }
-        .take(beam)
-        .map(_._1)
-      if (frontier.nonEmpty) {
-        expanded ++= frontier
-        val nbrs = fetchByKey(serving.nbrs, frontier).flatMap(_._2).distinct
-        scoreIds(nbrs.filterNot(scored.contains)).foreach { case (id, c) => scored(id) = c }
+      val frontiers: Seq[(Long, Seq[Long])] = qs.map { case (pid, _) =>
+        val f = scored(pid).toSeq
+          .filterNot { case (id, _) => expanded(pid)(id) }
+          .sortBy { case (id, c) => (-c, id) }
+          .take(beam)
+          .map(_._1)
+        expanded(pid) ++= f
+        pid -> f
+      }
+      val frontierIds = frontiers.flatMap(_._2).distinct
+      if (frontierIds.nonEmpty) {
+        val adj = fetchByKey(serving.nbrs, frontierIds).toMap
+        scoreIds(frontiers.map { case (pid, f) =>
+          pid -> f.flatMap(id => adj.getOrElse(id, Array.empty[Long]).toSeq)
+            .distinct
+            .filterNot(scored(pid).contains)
+        })
       }
     }
-    scored.toSeq.sortBy { case (id, c) => (-c, id) }.take(k)
+    qs.flatMap { case (pid, _) =>
+      scored(pid).toSeq
+        .sortBy { case (id, c) => (-c, id) }
+        .take(k)
+        .map { case (id, c) => (pid, id, c) }
+    }
   }
 
   /** A two-layer neighbor graph — HNSW's hierarchy cut to its Spark-
@@ -1867,7 +1930,9 @@ object Similarity {
     // vector — measured as the dominant constant of the 100× run (r15:
     // 52.6 → 35.5 s at 100× from this alone).
     val sigd = graft.Tables
-      .ensureParallelism(emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .ensureParallelism(
+        emb.filter(col(vecCol).isNotNull).select(col(idCol).as("id"), col(vecCol).as("vec"))
+      )
       .select(
         col("id"),
         col("vec"),

@@ -424,13 +424,21 @@ object Aggs {
       // grows (1.25e17 at sf1-scale, ulp ≈ 16): the engines' exact-
       // decimal→double conversions differ by ulps there, and the
       // variance cancellation amplifies them — the sf1 full-registry
-      // gate caught both (r15), the same class the bucket sibling
-      // already guards. Big moments round at ABSOLUTE precision far
-      // above ulp noise; variance keeps the family's 2dp money²
-      // convention (its cancellation error is ~ulp(sum_sq)/n — relative
-      // to the data, not the corpus, so 2dp holds at any n).
-      round(sq, -6).as("sum_sq"),
-      round((sq - s * s / n) / n, 2).as("variance"),
+      // gate caught both (r15). sum_sq is therefore emitted as the
+      // EXACT 4dp decimal rendered as fixed-point text (the
+      // decimal(6,2)-string precedent): full resolution at ANY
+      // magnitude, no absolute-rounding floor that zeroes small fields
+      // and no double-conversion ulp exposure at big ones.
+      col("_sq").cast("decimal(38,4)").cast("string").as("sum_sq"),
+      // variance scale is gated on the EXACT decimal magnitude (both
+      // engines branch on the same exact value): below 1e9 the
+      // cancellation error is ≤ ~2·ulp(1e9)/n ≈ 1e-7/n — 6dp is safe
+      // and keeps resolution for small-variance fields; above it the
+      // family's 2dp money² convention holds (error ~ulp(sum_sq)/n,
+      // relative to the data, not the corpus).
+      when(col("_sq") < lit(1e9), round((sq - s * s / n) / n, 6))
+        .otherwise(round((sq - s * s / n) / n, 2))
+        .as("variance"),
       round(sqrt((sq - s * s / n) / n), 6).as("std_dev")
     )
   }

@@ -2654,7 +2654,12 @@ object JsonDsl {
               col(pf).getField("lon").cast("decimal(6,2)").cast("string")
             ).as("pt")
             val sortCols = (Seq(sortF) ++ tiebreak.toSeq).map(_ -> true)
-            val pts = df.select(col(groupName) +: ((Seq(sortF) ++ tiebreak.toSeq).map(col) :+ pt): _*)
+            // group by the coalesced `field`, not the raw column, so the
+            // `missing:` substitution applies here like every other
+            // terms path (advice r15: the raw-column grouping silently
+            // dropped substituted docs).
+            val pts =
+              df.select(field.as(groupName) +: ((Seq(sortF) ++ tiebreak.toSeq).map(col) :+ pt): _*)
             graft.plans.TopKPerKey
               .perKey(pts, Seq(groupName), sortCols, k)
               .groupBy(groupName)
@@ -2669,9 +2674,11 @@ object JsonDsl {
             val gb = sa.elements().asScala.next().get("geo_bounds")
             val pf = req(gb, "field", "geo_bounds").asText
             val groupName = req(body, "field", "terms").asText
-            // terms rule: a NULL group key buckets nowhere
-            df.filter(col(groupName).isNotNull)
-              .groupBy(groupName)
+            // terms rule: a NULL group key buckets nowhere — but the key
+            // is the coalesced `field`, so `missing:` substitution
+            // applies before the null test (advice r15).
+            df.filter(field.isNotNull)
+              .groupBy(field.as(groupName))
               .agg(
                 max(col(pf).getField("lat")).as("top"),
                 min(col(pf).getField("lat")).as("bottom"),

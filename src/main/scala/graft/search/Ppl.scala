@@ -407,7 +407,7 @@ object Ppl {
   private final class Expr(s: String) {
     private var i = 0
     private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
-    private def peek: Char = if (i < s.length) s(i) else ' '
+    private def peek: Char = if (i < s.length) s(i) else '\u0000'
     private def peekWord: String = {
       ws()
       val j = i

@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   * kill the whole dashboard query at scale (found by ScriptExprFuzzSpec,
   * the same defect family as the r14 sampler Long-overflow). NULL is
   * the 3VL contract every other engine surface already follows.
+  *
+  * DOCUMENTED DEVIATION from upstream painless semantics: painless
+  * floating-point division by zero yields ±Infinity/NaN (only integer
+  * division throws); this surface yields NULL for EVERY zero divisor.
+  * Deliberate: Infinity is not representable in the oracle comparison
+  * (DuckDB renders it engine-specifically, JSON wire has no literal for
+  * it, and downstream aggregations of Infinity poison whole buckets),
+  * while NULL composes with the family-wide 3VL rule — missing inputs
+  * and degenerate arithmetic both drop out of aggregates instead of
+  * propagating a sentinel. Callers who need upstream parity on zero
+  * divisors must pre-filter or guard the divisor in the script itself.
   */
 object ScriptExpr {
 

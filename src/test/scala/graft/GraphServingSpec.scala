@@ -42,6 +42,29 @@ class GraphServingSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("graphSearchServeBatch == per-probe graphSearchServe, probe-for-probe") {
+    val idx = Similarity.graphIndex(emb, "vec_id", "embedding").persist()
+    idx.neighbors.count()
+    val serving = Similarity.graphServing(idx, emb, "vec_id", "embedding")
+    val probeIds = Seq(0L, 3L, 11L, 42L)
+    val probes = probeIds.map { pid =>
+      pid -> emb.filter(col("vec_id") === pid).select("embedding").head().getSeq[Float](0)
+    }
+    val batch = Similarity
+      .graphSearchServeBatch(serving, probes, 10)
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map { case (_, id, c) => (id, c) })
+      .toMap
+    probes.foreach { case (pid, q) =>
+      val want = Similarity.graphSearchServe(serving, q, 10)
+      val got = batch.getOrElse(pid, Nil)
+      assert(got == want, s"probe $pid: batch serve diverges from scalar serve\n got=$got\n want=$want")
+    }
+    serving.unpersist()
+    idx.unpersist()
+  }
+
   test("serving fetch prunes to the probed buckets (partition-pruned jobs)") {
     val idx = Similarity.graphIndex(emb, "vec_id", "embedding")
     val serving = Similarity.graphServing(idx, emb, "vec_id", "embedding", buckets = 8)
