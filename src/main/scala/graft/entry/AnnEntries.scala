@@ -73,12 +73,22 @@ private[graft] object AnnEntries {
     // (ReplicaSpec pins recall >= 0.5 vs brute force with exact scores).
     // Split Bm25/IVF-style: ann_lsh_build reports the honest signature
     // build (fresh every call); ann_lsh_topk probes the amortized index.
+    // r16: md5-derived hyperplanes (VectorFns.HyperplaneCache) make every
+    // signature recomputable in DuckDB — full per-table occupancy
+    // histogram oracle-checked (was rows-only under murmur3 planes).
     "ann_lsh_build" -> ((s, dir) =>
       Similarity
         .lshIndex(Tables.embeddings(s, dir), "vec_id", "embedding", nBits = 4, tables = 8)
         .sigs
+        .groupBy("table", "sig")
+        .agg(count(lit(1)).as("n"))
         .groupBy("table")
-        .agg(countDistinct(col("sig")).as("n_buckets"), count(lit(1)).as("n_rows"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          sum("n").as("n_rows"),
+          max("n").as("max_bucket"),
+          min("n").as("min_bucket")
+        )
         .orderBy("table")),
 
     "ann_lsh_topk" -> ((s, dir) =>
@@ -459,6 +469,51 @@ private[graft] object AnnEntries {
       """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
         |FROM embeddings WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // FULL LSH replication (r16): hyperplane components from md5
+    // ("p:d:seed" → [0,1e5) → [-0.5,0.5)), per-(vector,table) 4-bit sign
+    // signatures via list_dot_product (sequential fold — sig-value parity
+    // with the JVM kernel pinned 4000/4000 on this corpus), then the
+    // per-table bucket-occupancy histogram the entry emits.
+    "ann_lsh_build" ->
+      """WITH planes AS (
+        |  SELECT t.t, p.p,
+        |         list_transform(generate_series(1,64), d ->
+        |           (CAST(('0x'||substr(md5(p.p || ':' || (d-1) || ':' || (t.t*7919+1)),1,15)) AS BIGINT) % 100000)/100000.0 - 0.5) AS pl
+        |  FROM generate_series(0,7) t(t) CROSS JOIN generate_series(0,3) p(p)),
+        |sigs AS (
+        |  SELECT e.vec_id, pl.t,
+        |         sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pl) > 0 THEN (1 << pl.p) ELSE 0 END) AS sig
+        |  FROM embeddings e CROSS JOIN planes pl
+        |  GROUP BY e.vec_id, pl.t),
+        |occ AS (SELECT t, sig, count(*) AS n FROM sigs GROUP BY t, sig)
+        |SELECT CAST(t AS INTEGER) AS "table", CAST(count(*) AS BIGINT) AS n_buckets,
+        |       CAST(sum(n) AS BIGINT) AS n_rows, CAST(max(n) AS BIGINT) AS max_bucket,
+        |       CAST(min(n) AS BIGINT) AS min_bucket
+        |FROM occ GROUP BY t ORDER BY "table"""".stripMargin,
+
+    // Same signature replication, then the probe path: candidates = rows
+    // sharing the probe's signature in ≥1 table (radius 0), exact-cosine
+    // rescore, top-10 — the candidate SET and the scores are both
+    // oracle-checked end-to-end.
+    "ann_lsh_topk" ->
+      """WITH planes AS (
+        |  SELECT t.t, p.p,
+        |         list_transform(generate_series(1,64), d ->
+        |           (CAST(('0x'||substr(md5(p.p || ':' || (d-1) || ':' || (t.t*7919+1)),1,15)) AS BIGINT) % 100000)/100000.0 - 0.5) AS pl
+        |  FROM generate_series(0,7) t(t) CROSS JOIN generate_series(0,3) p(p)),
+        |sigs AS (
+        |  SELECT e.vec_id, pl.t,
+        |         sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pl) > 0 THEN (1 << pl.p) ELSE 0 END) AS sig
+        |  FROM embeddings e CROSS JOIN planes pl
+        |  GROUP BY e.vec_id, pl.t),
+        |q AS (SELECT t, sig FROM sigs WHERE vec_id = 0),
+        |cand AS (SELECT DISTINCT s.vec_id FROM sigs s JOIN q ON s.t = q.t AND s.sig = q.sig)
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings e JOIN cand USING (vec_id)
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     "ann_matryoshka_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),

@@ -195,6 +195,77 @@ private[graft] object DedupEntries {
 
   val oracleSql: Map[String, String] = Map(
 
+    // FULL LSH replication (r16): the oracle recomputes the md5-based
+    // signatures, band keys, candidate set, AND the Jaccard verify — so
+    // banding recall loss is part of the checked contract, not an excuse
+    // for rows-only. Shared spec with graft.functions.OracleHash:
+    // base = ('0x'||substr(md5(shingle),1,15))::BIGINT % P,
+    // perm_i = (a_i*base + b_i) % P, band key = md5("b,v1..v8").
+    "dedup_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t)-2,0)), i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM toks),
+        |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |base AS (SELECT doc_id, CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647 AS h FROM shx),
+        |perms AS (SELECT doc_id, i,
+        |            min(((((i*1103515245 + 12345) % 2147483646) + 1) * h + (i*69069 + 7) % 2147483647) % 2147483647) AS v
+        |          FROM base CROSS JOIN generate_series(0, 127) g(i)
+        |          GROUP BY doc_id, i),
+        |sigs AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM perms GROUP BY doc_id),
+        |banded AS (SELECT doc_id, b, md5(b || ',' || array_to_string(sig[b*8+1:b*8+8], ',')) AS bh
+        |           FROM sigs CROSS JOIN generate_series(0, 15) g(b)),
+        |cands AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |          FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
+        |j AS (SELECT c.a, c.b,
+        |        round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |              (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+        |      FROM cands c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)
+        |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
+
+    // Incremental ≡ full(corpus ∪ delta) restricted to delta-involving
+    // pairs (the DedupSpec equivalence, now oracle-checked): same full
+    // LSH replication, filtered to doc_id % 7 = 3 on either side.
+    "dedup_minhash_incremental" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t)-2,0)), i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM toks),
+        |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |base AS (SELECT doc_id, CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647 AS h FROM shx),
+        |perms AS (SELECT doc_id, i,
+        |            min(((((i*1103515245 + 12345) % 2147483646) + 1) * h + (i*69069 + 7) % 2147483647) % 2147483647) AS v
+        |          FROM base CROSS JOIN generate_series(0, 127) g(i)
+        |          GROUP BY doc_id, i),
+        |sigs AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM perms GROUP BY doc_id),
+        |banded AS (SELECT doc_id, b, md5(b || ',' || array_to_string(sig[b*8+1:b*8+8], ',')) AS bh
+        |           FROM sigs CROSS JOIN generate_series(0, 15) g(b)),
+        |cands AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |          FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
+        |j AS (SELECT c.a, c.b,
+        |        round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |              (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+        |      FROM cands c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)
+        |SELECT a, b, jaccard FROM j
+        |WHERE jaccard >= 0.5 AND (a % 7 = 3 OR b % 7 = 3) ORDER BY a, b""".stripMargin,
+
+    // SimHash with md5 token hashes (r16): signatures recomputed from two
+    // 32-bit md5 halves; pigeonhole banding is EXACT for maxHamming <
+    // blocks, so the operator's output equals this all-pairs truth.
+    "dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok FROM documents),
+        |th AS (SELECT doc_id, CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) AS hi,
+        |              CAST(('0x'||substr(md5(tok),9,8)) AS BIGINT) AS lo FROM toks),
+        |bits AS (SELECT doc_id, k,
+        |           sum(CASE WHEN ((CASE WHEN k < 32 THEN lo ELSE hi END) >> (k % 32)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |         FROM th CROSS JOIN generate_series(0, 63) g(k)
+        |         GROUP BY doc_id, k),
+        |sigs AS (SELECT doc_id,
+        |           sum(CASE WHEN c > 0 AND k >= 32 THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS shi,
+        |           sum(CASE WHEN c > 0 AND k < 32 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS slo
+        |         FROM bits GROUP BY doc_id)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |       CAST(bit_count(xor(x.shi, y.shi)) + bit_count(xor(x.slo, y.slo)) AS INTEGER) AS hamming
+        |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.shi, y.shi)) + bit_count(xor(x.slo, y.slo)) <= 3
+        |ORDER BY a, b""".stripMargin,
+
     // The prefix filter is lossless (PPJoin exactness), so the operator's
     // output equals the naive all-pairs Jaccard — which the oracle can
     // brute-force at verification scale.

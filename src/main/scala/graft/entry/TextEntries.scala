@@ -133,13 +133,22 @@ private[graft] object TextEntries {
         .orderBy("doc_id")),
 
     // Rolling-hash document shingle fingerprints (content-defined
-    // chunking / fuzzy-match keys). Spark murmur3 hashes -> rows-only.
+    // chunking / fuzzy-match keys). r16: md5-based polynomial rolling
+    // mod 2^31-1 (OracleHash) — every window value recomputable in
+    // DuckDB, so the key is FULLY oracle-checked (was rows-only under
+    // murmur3). min_hash is the chunk-boundary selection signal CDC-
+    // style chunkers cut on.
     "text_rolling_hash" -> ((s, dir) =>
       Tables
         .documents(s, dir)
         .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
         .select(col("doc_id"), TextFns.rollingHashesFromTokens(col("_toks"), 5).as("hashes"))
-        .select(col("doc_id"), size(col("hashes")).as("n_windows"), try_element_at(col("hashes"), lit(1)).as("first_hash"))
+        .select(
+          col("doc_id"),
+          size(col("hashes")).as("n_windows"),
+          try_element_at(col("hashes"), lit(1)).as("first_hash"),
+          array_min(col("hashes")).as("min_hash")
+        )
         .orderBy("doc_id")),
 
     "text_ngram_freq" -> ((s, dir) =>
@@ -992,6 +1001,22 @@ private[graft] object TextEntries {
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_subtokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Full recomputation of the md5-based polynomial rolling hash: token
+    // bases from the first 15 md5 hex chars mod P, window values by the
+    // same Horner fold the kernel's rolling recurrence is spec-pinned to.
+    "text_rolling_hash" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |        list_transform(t, x -> CAST(('0x' || substr(md5(x),1,15)) AS BIGINT) % 2147483647) AS b,
+        |        len(t) AS n
+        |      FROM toks),
+        |wins AS (SELECT doc_id,
+        |        list_transform(generate_series(1, greatest(n-4, 0)), i ->
+        |          (((((((((b[i]*1000003 + b[i+1]) % 2147483647)*1000003 + b[i+2]) % 2147483647)*1000003 + b[i+3]) % 2147483647)*1000003 + b[i+4]) % 2147483647))) AS hs
+        |      FROM h)
+        |SELECT doc_id, CAST(len(hs) AS INTEGER) AS n_windows, hs[1] AS first_hash, list_min(hs) AS min_hash
+        |FROM wins ORDER BY doc_id""".stripMargin,
 
     "text_ngram_freq" ->
       """SELECT bigram, count(*) AS n FROM (

@@ -162,33 +162,45 @@ object TextFns {
   /** Convenience form over raw text. */
   def wordNgrams(text: Column, n: Int): Column = ngramsFromTokens(tokens(text), n)
 
-  /** Rolling hash over the token stream (document shingling fingerprint):
-    * hash each w-token window with the same chained murmur3 Spark's
-    * `hash(c1..cw)` computes (seed 42, each token's UTF-8 bytes hashed with
-    * the running value as seed), so values are row-identical to the
-    * previous `abs(hash(element_at...))` HOF form — including null-in →
-    * null-out — but compiled: the HOF version is interpreted (no codegen)
-    * and re-evaluates the token-array subtree per element, measured ~50x
-    * slower (see [[ngramsFromTokens]]).
+  /** TRUE polynomial rolling hash over the token stream (document
+    * shingling fingerprint / content-defined chunking keys): window i's
+    * value is Σ_j base(tok_{i+j})·B^{w-1-j} mod P with base(t) =
+    * md5Int60(t) mod P ([[graft.functions.OracleHash]]) — ONE digest per
+    * TOKEN, then O(1) per slide (the genuinely rolling recurrence
+    * h' = (h − b_out·B^{w-1})·B + b_in mod P), where the old chained-
+    * murmur3 form re-hashed every window from scratch. r16: every window
+    * value is recomputable in DuckDB (md5 + exact signed-64 modular
+    * arithmetic), promoting the key from rows-only to full oracle.
+    * null-in → null-out; fewer than w tokens → empty array.
     */
   def rollingHashesFromTokens(t: Column, window: Int): Column = {
     val w = window
     val f = udf((toks: Seq[String]) =>
       if (toks == null) null
-      else if (toks.length < w) Seq.empty[Int]
+      else if (toks.length < w) Seq.empty[Long]
       else {
-        val bytes = toks.iterator.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
-        Seq.tabulate(toks.length - w + 1) { i =>
-          var h = 42
-          var j = 0
-          while (j < w) {
-            val b = bytes(i + j)
-            h = org.apache.spark.unsafe.hash.Murmur3_x86_32
-              .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, h)
-            j += 1
-          }
-          math.abs(h)
+        val P = graft.functions.OracleHash.P
+        val B = graft.functions.OracleHash.RollB
+        // B^(w-1) mod P, for the roll-out term
+        var bw = 1L
+        var e = 0
+        while (e < w - 1) { bw = (bw * B) % P; e += 1 }
+        val bases = toks.iterator
+          .map(tok => graft.functions.OracleHash.md5ModP(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          .toArray
+        val out = new Array[Long](toks.length - w + 1)
+        var h = 0L
+        var j = 0
+        while (j < w) { h = (h * B + bases(j)) % P; j += 1 }
+        out(0) = h
+        var i = 1
+        while (i < out.length) {
+          // subtract the outgoing token's top term, shift, add incoming
+          h = (((h - (bases(i - 1) * bw) % P + P) % P) * B + bases(i + w - 1)) % P
+          out(i) = h
+          i += 1
         }
+        out.toSeq
       }
     )
     f(t)

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
 /** Vector math over `array<float>`/`array<double>` embedding columns.
   *
@@ -140,11 +139,15 @@ object VectorFns {
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[(Int, Int), java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]]()
 
+    // md5-derived (r16, was chained murmur3): component (p,d) of the
+    // seed's plane set is md5Int60("p:d:seed") reduced to [0,1e5) then
+    // scaled to [-0.5, 0.5) — in DuckDB,
+    //   (('0x'||substr(md5(p||':'||d||':'||sd),1,15))::BIGINT % 100000)
+    //     / 100000.0 - 0.5
+    // so signatures, buckets, and LSH candidate sets are recomputable in
+    // oracle SQL (sig-value parity pinned 4000/4000 on the gate corpus).
     private def component(p: Int, d: Int, sd: Int): Double = {
-      var h = Murmur3_x86_32.hashInt(p, 42)
-      h = Murmur3_x86_32.hashInt(d, h)
-      h = Murmur3_x86_32.hashInt(sd, h)
-      val m = ((h % 100000) + 100000) % 100000
+      val m = OracleHash.md5Int60(s"$p:$d:$sd") % 100000L
       m / 100000.0 - 0.5
     }
 
@@ -177,8 +180,9 @@ object VectorFns {
 
   /** Random-hyperplane LSH signature: `nBits` sign bits of dot products
     * with deterministic pseudo-random planes, packed into a long. Plane
-    * component d of plane p derives from chained murmur3_32 of
-    * (p, d, seed) scaled to [-0.5, 0.5) — reproducible across JVMs and
+    * component d of plane p derives from md5 of "p:d:seed"
+    * ([[HyperplaneCache.component]] — oracle-recomputable, r16) scaled to
+    * [-0.5, 0.5) — reproducible across JVMs and
     * executors, no driver-side RNG state or fitted model broadcast. The
     * plane matrix is hoisted out of the row loop into a per-executor
     * lazy cache ([[HyperplaneCache]]); the per-row work is the nBits

@@ -51,11 +51,22 @@ object MinHashLSH {
     */
   final case class MinHashIndex(banded: DataFrame, shingles: DataFrame)
 
+  /** Band key = md5 hex of "band,v1,v2,…,vr" (the band's signature slice
+    * rendered as decimal text). md5 instead of murmur3 (r16): collisions
+    * are gone for practical purposes (the murmur3-32 form had ~2^-33
+    * birthday odds per band-key pair of manufacturing a spurious
+    * candidate), and the key is recomputable in DuckDB — the whole
+    * candidate set is oracle-checked end-to-end. A 32-char key shuffles
+    * ~24 bytes more than an int per (id, band) row; candidate generation
+    * stays a groupBy on ~corpus-cardinality keys.
+    */
   private def bandedOf(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
     sigs.select(
       col("id"),
       posexplode(
-        array((0 until bands).map(b => hash(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)
+        array((0 until bands).map(b =>
+          md5(concat_ws(",", lit(b) +: (0 until rows).map(r => col("sig").getItem(b * rows + r).cast("string")): _*))
+        ): _*)
       ).as(Seq("band", "bandHash"))
     )
 

@@ -17,23 +17,21 @@ import org.apache.spark.sql.functions._
 object SimHash {
 
   /** 64-bit simhash of the lowercased whitespace tokens: per bit k, sum ±1
-    * over tokens by bit k of a 64-bit token hash, take the sign. Computed
-    * by a compiled JVM UDF (a tight 64-counter loop per token) — 64
-    * interpreted aggregate expressions over the token array measured an
-    * order of magnitude slower. The token hash is two seeded murmur3_32
-    * halves, deterministic across JVMs.
+    * over tokens by bit k of a 64-bit token hash, take the sign (tie → 0).
+    * Computed by a compiled JVM UDF (a tight 64-counter loop per token) —
+    * 64 interpreted aggregate expressions over the token array measured an
+    * order of magnitude slower. The token hash is the first 8 md5 digest
+    * bytes big-endian ([[graft.functions.OracleHash.md5Long]]) — r16:
+    * recomputable in DuckDB from two 32-bit hex halves, so signatures AND
+    * the emitted near-dup pairs are fully oracle-checked (the seeded-
+    * murmur3 form was rows-only).
     */
   def simhash64(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
     val df = graft.Tables.ensureParallelism(df0.select(col(idCol), col(textCol)))
     val sim = udf((toks: Seq[String]) => {
       val counts = new Array[Int](64)
       toks.foreach { t =>
-        val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val h1 = org.apache.spark.unsafe.hash.Murmur3_x86_32
-          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 0x9747b28c)
-        val h2 = org.apache.spark.unsafe.hash.Murmur3_x86_32
-          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 0x85ebca6b)
-        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        val h = graft.functions.OracleHash.md5Long(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         var k = 0
         while (k < 64) {
           if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1

@@ -268,8 +268,11 @@ object Percolate {
     // flat tier's guard). Unknown kinds would verify as 'phrase' by the
     // otherwise-branch — refuse those too. A query with ONLY negative
     // clauses has no anchor to post (its candidacy would be "almost
-    // every doc") — not indexable, route it to the flat tier.
-    val positiveKinds = Seq("or", "and", "phrase")
+    // every doc") — not indexable, route it to the flat tier. should_*
+    // kinds (r16, minimum_should_match=1 semantics: ≥1 should clause
+    // must hold) ARE anchoring: every should clause posts, so candidacy
+    // covers "any should matched".
+    val positiveKinds = Seq("or", "and", "phrase", "should_or", "should_and", "should_phrase")
     val allKinds = positiveKinds ++ Seq("not_or", "not_and", "not_phrase")
     val bad = specs
       .filter(
@@ -282,20 +285,25 @@ object Percolate {
           exists(
             col("clauses"),
             c =>
-              c.getField("kind").isin("phrase", "not_phrase") &&
+              c.getField("kind").isin("phrase", "not_phrase", "should_phrase") &&
                 size(cleanTerms(c.getField("terms"))) =!= size(c.getField("terms"))
-          )
+          ) ||
+          // a must-anchored rule may carry shoulds; a should-only rule
+          // must post EVERY should clause (it does) — but a rule mixing
+          // zero musts with ONLY not_* + should_* anchors on the shoulds
+          // alone, which is sound, so no extra structural rule needed.
+          lit(false)
       )
       .limit(1)
       .count()
     require(bad == 0,
       "rich registry rows must have ≥1 POSITIVE clause, every clause ≥1 non-empty term " +
-        "(phrase clauses: ALL terms non-empty), kind ∈ {or,and,phrase,not_or,not_and,not_phrase}")
+        "(phrase clauses: ALL terms non-empty), kind ∈ {or,and,phrase,should_*,not_or,not_and,not_phrase}")
     val postedOf = (c: Column) => {
       val clean = cleanTerms(c.getField("terms"))
       transform(
-        when(c.getField("kind") === "or", clean)
-          .when(c.getField("kind").isin("and", "phrase"), array(anchorOf(clean)))
+        when(c.getField("kind").isin("or", "should_or"), clean)
+          .when(c.getField("kind").isin("and", "phrase", "should_and", "should_phrase"), array(anchorOf(clean)))
           // negative clauses anchor nothing
           .otherwise(array().cast("array<string>")),
         t => concat(c.getField("field"), lit(FieldSep), t)
@@ -357,9 +365,9 @@ object Percolate {
     def checkOn(toks: Column): Column = {
       val clean = cleanTerms(c.getField("terms"))
       val kind = c.getField("kind")
-      when(kind === "or", exists(clean, t => array_contains(toks, t)))
-        .when(kind === "and", forall(clean, t => array_contains(toks, t)))
-        .when(kind === "phrase", phraseOk(toks, clean))
+      when(kind.isin("or", "should_or"), exists(clean, t => array_contains(toks, t)))
+        .when(kind.isin("and", "should_and"), forall(clean, t => array_contains(toks, t)))
+        .when(kind.isin("phrase", "should_phrase"), phraseOk(toks, clean))
         // negations: the clause holds when its positive form does NOT
         .when(kind === "not_or", !exists(clean, t => array_contains(toks, t)))
         .when(kind === "not_and", !forall(clean, t => array_contains(toks, t)))
@@ -397,15 +405,21 @@ object Percolate {
       // registry broadcast: same rationale as the flat tier's percolate
       .join(broadcast(index.posting), Seq("pterm"))
       .join(broadcast(index.specs), Seq("query_id"))
-      .filter(
+      .filter {
         // evaluation order matters: ownership (one intersect) and the
         // constant-time range bounds prune BEFORE the per-clause HOF
-        // verification ever runs — And short-circuits left-to-right
+        // verification ever runs — And short-circuits left-to-right.
+        // should_* clauses verify as a group (minimum_should_match=1:
+        // at LEAST one holds); hard clauses (must/must_not) all hold.
+        val isShould = (c: Column) => c.getField("kind").startsWith("should_")
+        val hard = filter(col("clauses"), c => !isShould(c))
+        val shoulds = filter(col("clauses"), isShould)
         col("pterm") === element_at(array_intersect(col("_posted"), col("_ctoks")), 1) &&
           (col("rgt").isNull || col("_rv") > col("rgt")) &&
           (col("rlte").isNull || col("_rv") <= col("rlte")) &&
-          forall(col("clauses"), c => clauseOk(c, textFields))
-      )
+          forall(hard, c => clauseOk(c, textFields)) &&
+          (size(shoulds) === 0 || exists(shoulds, c => clauseOk(c, textFields)))
+      }
       .select(col("_pid").as(idCol), col("query_id"))
   }
 
@@ -485,28 +499,60 @@ object Percolate {
       val (clauses, rgt, rlte) = qt match {
         case "bool" =>
           val b = root.get("bool")
-          val extra = b.fieldNames().asScala.toSet -- Set("must", "must_not", "filter")
+          val extra =
+            b.fieldNames().asScala.toSet -- Set("must", "must_not", "filter", "should", "minimum_should_match")
           require(extra.isEmpty, s"rule $id: unsupported bool sections $extra")
           val must = Option(b.get("must")).map { m =>
             (if (m.isArray) m.elements().asScala.toSeq else Seq(m)).map(clauseOf)
           }.getOrElse(Seq.empty)
-          require(must.nonEmpty,
-            s"rule $id: bool without must clauses is not indexable (negations cannot anchor candidacy)")
+          val shouldRaw = Option(b.get("should")).map { m =>
+            (if (m.isArray) m.elements().asScala.toSeq else Seq(m)).map(clauseOf)
+          }.getOrElse(Seq.empty)
+          val msm = Option(b.get("minimum_should_match")).map(_.asInt)
+          require(msm.isEmpty || shouldRaw.nonEmpty,
+            s"rule $id: minimum_should_match without should clauses")
+          // Upstream semantics (and JsonDsl.compileQuery's, verbatim):
+          // msm defaults to 1 only when the bool has NO must/filter
+          // context, else 0. msm=0 makes should scoring-only — the
+          // percolator emits matches, not scores, so those clauses
+          // compile away (a semantic no-op for the match set). msm=1 is
+          // indexable (r16): every should clause posts, candidacy covers
+          // "any should matched", verification requires ≥1 should to
+          // hold. msm≥2 stays fail-fast (k-of-n candidacy can't anchor
+          // on single terms).
+          val effMsm = msm.getOrElse(
+            if (must.isEmpty && b.get("filter") == null && shouldRaw.nonEmpty) 1 else 0)
+          require(effMsm <= 1,
+            s"rule $id: minimum_should_match=$effMsm is not indexable (only 0/1) — route to the compiled tier")
+          val should =
+            if (shouldRaw.isEmpty || effMsm == 0) Seq.empty
+            else shouldRaw.map { case (f, k, ts) => (f, "should_" + k, ts) }
+          require(must.nonEmpty || should.nonEmpty,
+            s"rule $id: bool without must or qualifying should clauses is not indexable " +
+              "(negations cannot anchor candidacy)")
           val mustNot = Option(b.get("must_not")).map { m =>
             (if (m.isArray) m.elements().asScala.toSeq else Seq(m))
               .map(clauseOf)
               .map { case (f, k, ts) => (f, "not_" + k, ts) }
           }.getOrElse(Seq.empty)
-          val all = must ++ mustNot
+          val all = must ++ should ++ mustNot
+          // Multi-range conjuncts (r16): several gt/lte ranges on the
+          // range field fold exactly to (max gt, min lte) — candidacy
+          // still anchors on the term legs, the folded bounds verify.
           val (g, l) = Option(b.get("filter")).map { f =>
             val fs = if (f.isArray) f.elements().asScala.toSeq else Seq(f)
-            require(fs.size == 1 && fs.head.has("range"), s"rule $id: filter must be one range clause")
-            val r = fs.head.get("range")
-            require(r.size == 1 && r.has(rangeField), s"rule $id: range must address '$rangeField'")
-            val bounds = r.get(rangeField)
-            val extraB = bounds.fieldNames().asScala.toSet -- Set("gt", "lte")
-            require(extraB.isEmpty, s"rule $id: only gt/lte range bounds are indexable, got $extraB")
-            (Option(bounds.get("gt")).map(_.asDouble), Option(bounds.get("lte")).map(_.asDouble))
+            require(fs.nonEmpty && fs.forall(_.has("range")),
+              s"rule $id: filter legs must all be range clauses")
+            val bs = fs.map { leg =>
+              val r = leg.get("range")
+              require(r.size == 1 && r.has(rangeField), s"rule $id: range must address '$rangeField'")
+              val bounds = r.get(rangeField)
+              val extraB = bounds.fieldNames().asScala.toSet -- Set("gt", "lte")
+              require(extraB.isEmpty, s"rule $id: only gt/lte range bounds are indexable, got $extraB")
+              (Option(bounds.get("gt")).map(_.asDouble), Option(bounds.get("lte")).map(_.asDouble))
+            }
+            (bs.flatMap(_._1).reduceOption(math.max(_: Double, _: Double)),
+              bs.flatMap(_._2).reduceOption(math.min(_: Double, _: Double)))
           }.getOrElse((Option.empty[Double], Option.empty[Double]))
           (all, g, l)
         case "match" | "match_phrase" =>
@@ -537,12 +583,20 @@ object Percolate {
       rlte: Option[Double],
       rangeField: String
   ): String = {
-    val (neg, pos) = clauses.partition(_._2.startsWith("not_"))
+    val (neg, rest) = clauses.partition(_._2.startsWith("not_"))
+    val (should, pos) = rest.partition(_._2.startsWith("should_"))
     val musts = pos.flatMap {
       case (f, "or", terms)     => Seq(s"""{"match": {"$f": "${terms.mkString(" ")}"}}""")
       case (f, "and", terms)    => terms.map(t => s"""{"match": {"$f": "$t"}}""")
       case (f, "phrase", terms) => Seq(s"""{"match_phrase": {"$f": "${terms.mkString(" ")}"}}""")
       case (_, k, _)            => throw new IllegalArgumentException(s"unknown clause kind '$k'")
+    }
+    val shoulds = should.map {
+      case (f, "should_or", terms) => s"""{"match": {"$f": "${terms.mkString(" ")}"}}"""
+      case (f, "should_and", terms) =>
+        s"""{"match": {"$f": {"query": "${terms.mkString(" ")}", "operator": "and"}}}"""
+      case (f, "should_phrase", terms) => s"""{"match_phrase": {"$f": "${terms.mkString(" ")}"}}"""
+      case (_, k, _)                   => throw new IllegalArgumentException(s"unknown clause kind '$k'")
     }
     val mustNots = neg.flatMap {
       case (f, "not_or", terms)     => Seq(s"""{"match": {"$f": "${terms.mkString(" ")}"}}""")
@@ -552,11 +606,14 @@ object Percolate {
     }
     val mustNotClause =
       if (mustNots.isEmpty) "" else s""", "must_not": [${mustNots.mkString(", ")}]"""
+    val shouldClause =
+      if (shoulds.isEmpty) ""
+      else s""", "should": [${shoulds.mkString(", ")}], "minimum_should_match": 1"""
     val rangeParts = rgt.map(v => s""""gt": $v""").toSeq ++ rlte.map(v => s""""lte": $v""").toSeq
     val filterClause =
       if (rangeParts.isEmpty) ""
       else s""", "filter": [{"range": {"$rangeField": {${rangeParts.mkString(", ")}}}}]"""
-    s"""{"query": {"bool": {"must": [${musts.mkString(", ")}]$mustNotClause$filterClause}}}"""
+    s"""{"query": {"bool": {"must": [${musts.mkString(", ")}]$shouldClause$mustNotClause$filterClause}}}"""
   }
 
   /** Render one registry row as the JSON body the compiled tier

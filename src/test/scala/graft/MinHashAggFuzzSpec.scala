@@ -2,23 +2,29 @@ package graft
 
 import graft.functions.MinHashAgg
 import org.apache.spark.sql.functions._
-import org.apache.spark.unsafe.Platform
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
 /** Generative drill for the native MinHash TypedImperativeAggregate —
   * custom buffer, merge, and serde code below Catalyst. Random (group,
   * shingle) datasets with NULL shingles and all-NULL groups, under
   * random input partitioning (forcing map-side partials, serialization
-  * across the shuffle, and merge), against a plain-Scala fold of the
-  * same per-permutation murmur3 minimum. Signature arrays must match
-  * int for int; an all-NULL group must yield the untouched
-  * Int.MaxValue buffer.
+  * across the shuffle, and merge), against an INDEPENDENT spelling of
+  * the md5-affine permutation contract (hex-string parse here vs the
+  * kernel's digest-byte shifts — a different code path to the same
+  * documented spec). Signature arrays must match int for int; an
+  * all-NULL group must yield the untouched Int.MaxValue buffer.
   */
 class MinHashAggFuzzSpec extends SparkSpec {
 
-  private def refHash(s: String, seed: Int): Int = {
-    val bytes = s.getBytes("UTF-8")
-    Murmur3_x86_32.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, seed)
+  // the documented contract, spelled independently: base = first 15 hex
+  // chars of md5(s) as a 60-bit int, mod P; perm p = (a_p·base + b_p) % P
+  private val P = 2147483647L
+  private def refHash(s: String, p: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val base = java.lang.Long.parseLong(hex.substring(0, 15), 16) % P
+    val a = ((p.toLong * 1103515245L + 12345L) % (P - 1L)) + 1L
+    val b = (p.toLong * 69069L + 7L) % P
+    ((a * base + b) % P).toInt
   }
 
   test("5 random datasets: native minhash_agg == plain fold, int for int") {

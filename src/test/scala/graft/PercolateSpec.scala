@@ -238,14 +238,56 @@ class PercolateSpec extends SparkSpec {
       s"compiled-registry percolate diverges: got-only=${(got -- want).take(5)}, want-only=${(want -- got).take(5)}")
   }
 
+  test("should/msm=1 and multi-range rules: indexed tier ≡ compiled tier (r16 widening)") {
+    val docs = Tables.documents(spark, Sf)
+    val bodies: Seq[(Long, String)] = Seq(
+      // should-only (msm defaults to 1): OR candidacy IS the predicate
+      1L -> """{"query": {"bool": {"should": [{"match": {"text": "dup vector"}}, {"match": {"source": "web"}}]}}}""",
+      // must + should with explicit msm=1, mixed should kinds
+      2L -> ("""{"query": {"bool": {"must": [{"match": {"text": "the"}}], """ +
+        """"should": [{"match_phrase": {"text": "dup dup"}}, {"match": {"text": {"query": "spark sort", "operator": "and"}}}], """ +
+        """"minimum_should_match": 1}}}"""),
+      // must + should WITHOUT msm (scoring-only upstream): must-only match set
+      3L -> """{"query": {"bool": {"must": [{"match": {"text": "dup"}}], "should": [{"match": {"text": "zz_nonexistent_zz"}}]}}}""",
+      // multi-range conjuncts fold to (max gt, min lte)
+      4L -> ("""{"query": {"bool": {"must": [{"match": {"text": "dup"}}], """ +
+        """"filter": [{"range": {"n_chars": {"gt": 100}}}, {"range": {"n_chars": {"lte": 400}}}, {"range": {"n_chars": {"gt": 50}}}]}}}"""),
+      // should-only + multi-range: msm stays 0 by the filter-context rule
+      // upstream → shoulds compile away → must-less → refused; so pin a
+      // should-only msm=1 EXPLICIT with ranges instead
+      5L -> ("""{"query": {"bool": {"should": [{"match": {"text": "vector"}}, {"match": {"source": "curated"}}], """ +
+        """"minimum_should_match": 1, "filter": [{"range": {"n_chars": {"gt": 150}}}, {"range": {"n_chars": {"lte": 500}}}]}}}""")
+    )
+    val compiledRegistry = Percolate.compileJsonRegistry(spark, bodies, Seq("text", "source"), "n_chars")
+    val indexed = Percolate
+      .percolateRich(Percolate.buildIndexRich(compiledRegistry), docs, "doc_id", Seq("text", "source"), "n_chars")
+      .as[(Long, Long)].collect().toSet
+    val flat = JsonDsl.percolate(docs, bodies, richMapping)
+      .select(col("doc_id"), col("query_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(indexed == flat,
+      s"widened tiers diverge: indexed-only=${(indexed -- flat).take(5)}, flat-only=${(flat -- indexed).take(5)}")
+    // non-vacuous: every rule family matched something
+    Seq(1L, 2L, 3L, 4L, 5L).foreach { q =>
+      assert(flat.exists(_._2 == q), s"rule $q matched nothing — fixture is vacuous for it")
+    }
+  }
+
   test("JSON registry compiler fail-fasts on non-indexable shapes (no silent degradation)") {
     def compile(body: String) =
       Percolate.compileJsonRegistry(spark, Seq(1L -> body), Seq("text"), "n_chars")
     intercept[IllegalArgumentException] {
       compile("""{"query": {"wildcard": {"text": "sp*rk"}}}""")
     }
+    // should-only is INDEXABLE since r16 (msm defaults to 1 there); what
+    // stays refused is k-of-n candidacy and dangling msm
     intercept[IllegalArgumentException] {
-      compile("""{"query": {"bool": {"should": [{"match": {"text": "spark"}}]}}}""")
+      compile(
+        """{"query": {"bool": {"should": [{"match": {"text": "spark"}}, {"match": {"text": "flink"}}],
+          |"minimum_should_match": 2}}}""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      compile("""{"query": {"bool": {"must": [{"match": {"text": "spark"}}], "minimum_should_match": 1}}}""")
     }
     intercept[IllegalArgumentException] {
       compile("""{"query": {"bool": {"must": [{"match": {"text": "spark"}}], "filter": [{"range": {"wrong_col": {"gt": 1}}}]}}}""")

@@ -58,30 +58,33 @@ class TextFnsSpec extends SparkSpec {
   }
 
   test("rollingHashes: same window -> same hash, deterministic across runs") {
-    val h1 = docs.select(TextFns.rollingHashes($"text", 3)).as[Seq[Int]].collect()
-    val h2 = docs.select(TextFns.rollingHashes($"text", 3)).as[Seq[Int]].collect()
+    val h1 = docs.select(TextFns.rollingHashes($"text", 3)).as[Seq[Long]].collect()
+    val h2 = docs.select(TextFns.rollingHashes($"text", 3)).as[Seq[Long]].collect()
     assert(h1.toSeq == h2.toSeq)
     assert(h1.head.length == 3) // 5 tokens, window 3
   }
 
-  test("rollingHashes compiled kernel is row-identical to Spark's chained hash()") {
-    // The kernel replicates hash(t[i], ..., t[i+w-1]) (murmur3 seed 42,
-    // chained); assert bitwise equality with the interpreted HOF form it
-    // replaced, over the real corpus.
+  test("rollingHashes rolling recurrence == direct per-window polynomial (real corpus)") {
+    // The kernel slides in O(1) per window (subtract-shift-add); assert
+    // every window value equals the DIRECT Horner evaluation of that
+    // window — the md5-based contract the DuckDB oracle recomputes.
+    import graft.functions.OracleHash
     val w = 5
-    val real = Tables.documents(spark, Sf).select($"doc_id", TextFns.tokens($"text").as("_toks"))
-    val hof = when(size($"_toks") < w, array().cast("array<int>"))
-      .otherwise(
-        transform(
-          sequence(lit(1), size($"_toks") - (w - 1)),
-          i => abs(hash((0 until w).map(j => element_at($"_toks", i + j)): _*))
-        )
-      )
-    val diff = real
-      .select($"doc_id", TextFns.rollingHashesFromTokens($"_toks", w).as("kernel"), hof.as("hof"))
-      .filter($"kernel" =!= $"hof")
-      .count()
-    assert(diff == 0L)
+    val rows = Tables
+      .documents(spark, Sf)
+      .select($"doc_id", TextFns.tokens($"text").as("_toks"), TextFns.rollingHashesFromTokens(TextFns.tokens($"text"), w).as("kernel"))
+      .as[(Long, Seq[String], Seq[Long])]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, toks, kernel) =>
+      val want =
+        if (toks.length < w) Seq.empty[Long]
+        else
+          (0 to toks.length - w).map { i =>
+            toks.slice(i, i + w).foldLeft(0L)((h, t) => (h * OracleHash.RollB + OracleHash.md5ModP(t)) % OracleHash.P)
+          }
+      assert(kernel == want, s"doc $id: rolling kernel diverges from direct polynomial")
+    }
   }
 
   test("maxBigramCount finds the most repeated bigram; short docs yield 0") {
