@@ -492,6 +492,59 @@ private[graft] object AnnEntries {
         |       CAST(min(n) AS BIGINT) AS min_bucket
         |FROM occ GROUP BY t ORDER BY "table"""".stripMargin,
 
+    // Multi-probe (radius 1): the probe's bucket PLUS each single-bit
+    // flip per table (masks 0,1,2,4,8 on the 4-table/4-bit index) —
+    // candidate set and exact-cosine rescore both recomputed.
+    "ann_lsh_multiprobe_topk" ->
+      """WITH planes AS (
+        |  SELECT t.t, p.p,
+        |         list_transform(generate_series(1,64), d ->
+        |           (CAST(('0x'||substr(md5(p.p || ':' || (d-1) || ':' || (t.t*7919+1)),1,15)) AS BIGINT) % 100000)/100000.0 - 0.5) AS pl
+        |  FROM generate_series(0,3) t(t) CROSS JOIN generate_series(0,3) p(p)),
+        |sigs AS (
+        |  SELECT e.vec_id, pl.t,
+        |         sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pl) > 0 THEN (1 << pl.p) ELSE 0 END) AS sig
+        |  FROM embeddings e CROSS JOIN planes pl
+        |  GROUP BY e.vec_id, pl.t),
+        |q AS (SELECT s.t, xor(s.sig, m.m) AS sig
+        |      FROM sigs s CROSS JOIN (SELECT unnest([0,1,2,4,8]) AS m) m
+        |      WHERE s.vec_id = 0),
+        |cand AS (SELECT DISTINCT s.vec_id FROM sigs s JOIN q ON s.t = q.t AND s.sig = q.sig)
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings e JOIN cand USING (vec_id)
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // The batch knn-join at radius 1 over the same 4-table index: per
+    // probe the same bucket expansion, exact rescore, top-5 with ranks.
+    "ann_lsh_batch_topk" ->
+      """WITH planes AS (
+        |  SELECT t.t, p.p,
+        |         list_transform(generate_series(1,64), d ->
+        |           (CAST(('0x'||substr(md5(p.p || ':' || (d-1) || ':' || (t.t*7919+1)),1,15)) AS BIGINT) % 100000)/100000.0 - 0.5) AS pl
+        |  FROM generate_series(0,3) t(t) CROSS JOIN generate_series(0,3) p(p)),
+        |sigs AS (
+        |  SELECT e.vec_id, pl.t,
+        |         sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pl) > 0 THEN (1 << pl.p) ELSE 0 END) AS sig
+        |  FROM embeddings e CROSS JOIN planes pl
+        |  GROUP BY e.vec_id, pl.t),
+        |q AS (SELECT s.vec_id AS probe_id, s.t, xor(s.sig, m.m) AS sig
+        |      FROM sigs s CROSS JOIN (SELECT unnest([0,1,2,4,8]) AS m) m
+        |      WHERE s.vec_id < 3),
+        |cand AS (SELECT DISTINCT q.probe_id, s.vec_id AS cand_id
+        |         FROM sigs s JOIN q ON s.t = q.t AND s.sig = q.sig),
+        |scored AS (SELECT c.probe_id, c.cand_id,
+        |             round(list_cosine_similarity(CAST(ec.embedding AS DOUBLE[]), CAST(ep.embedding AS DOUBLE[])), 6) AS cos
+        |           FROM cand c
+        |           JOIN embeddings ec ON ec.vec_id = c.cand_id
+        |           JOIN embeddings ep ON ep.vec_id = c.probe_id),
+        |ranked AS (SELECT probe_id, cand_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rank
+        |           FROM scored)
+        |SELECT probe_id, cand_id, cos, rank FROM ranked WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
+
     // Same signature replication, then the probe path: candidates = rows
     // sharing the probe's signature in ≥1 table (radius 0), exact-cosine
     // rescore, top-10 — the candidate SET and the scores are both

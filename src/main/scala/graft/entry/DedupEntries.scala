@@ -266,6 +266,35 @@ private[graft] object DedupEntries {
         |WHERE bit_count(xor(x.shi, y.shi)) + bit_count(xor(x.slo, y.slo)) <= 3
         |ORDER BY a, b""".stripMargin,
 
+    // FULL hyperplane-LSH replication (r16): signature width from the
+    // SAME exact-integer auto rule (smallest b with 2^b·32 ≥ n), 32
+    // tables of md5-derived planes, bucket self-join, exact-cosine
+    // verify — banding recall loss is in the checked contract.
+    "dedup_embedding" ->
+      """WITH n AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
+        |bits AS (SELECT greatest(4, min(b)) AS bits
+        |         FROM generate_series(0, 40) t(b), n WHERE (CAST(1 AS BIGINT) << b) * 32 >= n.n),
+        |planes AS (
+        |  SELECT t.t, p.p,
+        |         list_transform(generate_series(1,64), d ->
+        |           (CAST(('0x'||substr(md5(p.p || ':' || (d-1) || ':' || (t.t*104729+13)),1,15)) AS BIGINT) % 100000)/100000.0 - 0.5) AS pl
+        |  FROM generate_series(0,31) t(t)
+        |  CROSS JOIN generate_series(0,39) p(p)
+        |  JOIN bits ON p.p < bits.bits),
+        |sigs AS (
+        |  SELECT e.vec_id, pl.t,
+        |         sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pl) > 0 THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS sig
+        |  FROM embeddings e CROSS JOIN planes pl
+        |  WHERE e.embedding IS NOT NULL
+        |  GROUP BY e.vec_id, pl.t)
+        |SELECT DISTINCT l.vec_id AS a, r.vec_id AS b,
+        |       round(list_cosine_similarity(CAST(el.embedding AS DOUBLE[]), CAST(er.embedding AS DOUBLE[])), 6) AS cos
+        |FROM sigs l JOIN sigs r ON l.t = r.t AND l.sig = r.sig AND l.vec_id < r.vec_id
+        |JOIN embeddings el ON el.vec_id = l.vec_id
+        |JOIN embeddings er ON er.vec_id = r.vec_id
+        |WHERE round(list_cosine_similarity(CAST(el.embedding AS DOUBLE[]), CAST(er.embedding AS DOUBLE[])), 6) >= 0.35
+        |ORDER BY a, b""".stripMargin,
+
     // The prefix filter is lossless (PPJoin exactness), so the operator's
     // output equals the naive all-pairs Jaccard — which the oracle can
     // brute-force at verification scale.

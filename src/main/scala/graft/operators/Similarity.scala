@@ -1901,9 +1901,19 @@ object Similarity {
     * signature widens with the corpus so candidate volume stays
     * n·targetBucket·tables/2 instead of quadratic. Specs that need an
     * exact replica contract pin (nBits, tables) explicitly.
+    *
+    * EXACT integer arithmetic (r16, was a float ln-ratio): the smallest
+    * b with 2^b·targetBucket ≥ n — the same ceil(log2(n/target)) value
+    * at every non-boundary n, and DETERMINISTIC at exact powers of two
+    * where the float form sat one ulp from a ceil flip. This is what
+    * lets the DuckDB oracle recompute the width from its own count and
+    * agree bit-for-bit (dedup_embedding's r16 promotion).
     */
-  def embeddingAutoBits(n: Long, targetBucket: Int = 32): Int =
-    math.max(4, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+  def embeddingAutoBits(n: Long, targetBucket: Int = 32): Int = {
+    var b = 0
+    while ((1L << b) * targetBucket < n && b < 40) b += 1
+    math.max(4, b)
+  }
 
   /** Embedding-cosine near-duplicate pairs: bucket by one hyperplane
     * signature, pair within buckets (a < b), verify exact cosine >=
