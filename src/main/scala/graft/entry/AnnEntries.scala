@@ -492,6 +492,66 @@ private[graft] object AnnEntries {
         |       CAST(min(n) AS BIGINT) AS min_bucket
         |FROM occ GROUP BY t ORDER BY "table"""".stripMargin,
 
+    // FULL coarse-quantizer replication (r16): centroid sampling order
+    // is md5(id) (re-derivable), assignment = argmin of sequential-fold
+    // L2 (ties → lower cell, the NearestCells insertion rule) — the
+    // whole IVF build is recomputed in SQL.
+    "ann_ivf_build" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id) - 1 AS cell,
+        |         CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |  ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
+        |  LIMIT 16),
+        |dists AS (SELECT e.vec_id, c.cell, list_distance(CAST(e.embedding AS DOUBLE[]), c.c) AS d
+        |          FROM embeddings e CROSS JOIN cents c WHERE e.embedding IS NOT NULL),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dists) WHERE rn = 1)
+        |SELECT CAST(cell AS INTEGER) AS cell, count(*) AS n_vectors FROM assign GROUP BY cell ORDER BY cell""".stripMargin,
+
+    // The probe path: the query's 6 nearest cells (same argmin rule),
+    // then exact-cosine top-10 within the probed cells.
+    "ann_ivf_topk" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id) - 1 AS cell,
+        |         CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |  ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
+        |  LIMIT 16),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |probed AS (SELECT cell FROM (
+        |  SELECT c.cell, row_number() OVER (ORDER BY list_distance((SELECT qe FROM q), c.c), c.cell) AS rn
+        |  FROM cents c) WHERE rn <= 6),
+        |dists AS (SELECT e.vec_id, c.cell, list_distance(CAST(e.embedding AS DOUBLE[]), c.c) AS d
+        |          FROM embeddings e CROSS JOIN cents c WHERE e.embedding IS NOT NULL),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dists) WHERE rn = 1)
+        |SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS cos
+        |FROM embeddings e JOIN assign a USING (vec_id) JOIN probed p ON a.cell = p.cell
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Incremental = the faiss add() contract: centroids from the BASE
+    // corpus (vec_id % 5 <> 0), every vector (base ∪ delta) assigned to
+    // those frozen centroids, same probe path over the grown index.
+    "ann_ivf_incremental" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id) - 1 AS cell,
+        |         CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 5 <> 0
+        |  ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
+        |  LIMIT 16),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |probed AS (SELECT cell FROM (
+        |  SELECT c.cell, row_number() OVER (ORDER BY list_distance((SELECT qe FROM q), c.c), c.cell) AS rn
+        |  FROM cents c) WHERE rn <= 6),
+        |dists AS (SELECT e.vec_id, c.cell, list_distance(CAST(e.embedding AS DOUBLE[]), c.c) AS d
+        |          FROM embeddings e CROSS JOIN cents c WHERE e.embedding IS NOT NULL),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dists) WHERE rn = 1)
+        |SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS cos
+        |FROM embeddings e JOIN assign a USING (vec_id) JOIN probed p ON a.cell = p.cell
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
     // Multi-probe (radius 1): the probe's bucket PLUS each single-bit
     // flip per table (masks 0,1,2,4,8 on the 4-table/4-bit index) —
     // candidate set and exact-cosine rescore both recomputed.

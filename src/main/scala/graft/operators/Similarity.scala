@@ -359,13 +359,16 @@ object Similarity {
   def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, nLists: Int): IvfIndex = {
     // O(nLists) driver fetch: index metadata, same class as a probe-vector
     // fetch. Order (id-hash asc, id asc) is deterministic; the position in
-    // this array IS the cell id.
+    // this array IS the cell id. The id hash is md5-derived (r16, was
+    // Spark murmur3): ('0x'||substr(md5(id::text),1,15))::BIGINT in
+    // DuckDB terms, so the ORACLE can re-derive the same centroid set
+    // and the whole coarse-quantizer tier becomes hash-checkable.
     // NULL embeddings are excluded from the sample (getSeq would NPE) and
     // land in cell -1 at assignment — never probed.
     val centroids: Array[Array[Float]] = emb
       .select(col(idCol), col(vecCol))
       .filter(col(vecCol).isNotNull)
-      .orderBy(pmod(hash(col(idCol)), lit(1 << 30)).asc, col(idCol))
+      .orderBy(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("bigint").asc, col(idCol))
       .limit(nLists)
       .collect()
       .map(_.getSeq[Float](1).toArray)
