@@ -45,12 +45,20 @@ object AnnBench {
     // DataFrame paths is pinned in GraphServingSpec.
     val serving = Similarity.graphServing(graph, emb, "vec_id", "embedding")
 
+    // lsh_seq / lsh_batch measure the ONLINE serving tier (r16): the
+    // (table, sig)-bucketed LshServing handle — driver-side probe
+    // signatures, two pruned point-read jobs per probe (seq) or per
+    // BATCH (batch); bit-parity with the plan paths pinned in
+    // LshServingSpec, and the registry's ann_lsh_topk/_batch_topk keys
+    // still measure the DataFrame paths each bench round.
+    val lshServing = Similarity.lshServing(lsh, "vec_id", "embedding")
+
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     def seqLsh(): Unit =
-      probes.foreach { case (_, v) => Similarity.scoreAgainstLsh(lsh, "vec_id", "embedding", v, 10, probeRadius = 1).count() }
-    def batchLsh(): Unit = { Similarity.knnJoinLsh(lsh, probesDf, "vec_id", "embedding", 10, probeRadius = 1).count(); () }
+      probes.foreach { case (_, v) => Similarity.lshSearchServe(lshServing, v, 10, probeRadius = 1) }
+    def batchLsh(): Unit = { Similarity.lshSearchServeBatch(lshServing, probes, 10, probeRadius = 1); () }
     def seqIvf(): Unit =
       probes.foreach { case (_, v) => Similarity.scoreAgainstIvf(ivf, "vec_id", "embedding", v, 10, nProbe = 6).count() }
     def seqGraph(): Unit =

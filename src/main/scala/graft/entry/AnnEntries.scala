@@ -460,7 +460,34 @@ private[graft] object AnnEntries {
 
     "ann_lsh_multiprobe_topk" -> ((s, dir) =>
       Similarity
-        .scoreAgainstLsh(cachedLsh4(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, probeRadius = 1))
+        .scoreAgainstLsh(cachedLsh4(s, dir), "vec_id", "embedding", queryVec(s, dir, 0), 10, probeRadius = 1)),
+
+    // The LSH ONLINE serving tier (r16): (table, sig)-bucketed cached
+    // RDDs, probe signature computed driver-side through the SAME
+    // kernel the index build ran, TWO pruned point-read jobs per probe
+    // — result rows bit-identical to ann_lsh_topk (LshServingSpec), so
+    // this serving tier shares its DuckDB oracle VERBATIM: a fully
+    // oracle-checked online path.
+    "ann_lsh_serving" -> ((s, dir) => {
+      import s.implicits._
+      Similarity
+        .lshSearchServe(cachedLshServing(s, dir), queryVec(s, dir, 0), 10)
+        .toDF("vec_id", "cos")
+    }),
+
+    // The batched serving form over the 4-table multi-probe index:
+    // the whole probe set shares the two pruned jobs; per-probe rows
+    // equal knnJoinLsh's result set at the same radius (minus the rank
+    // column — ranks are the consumer's ORDER BY here), so the oracle
+    // replays the same bucket expansion + rescore.
+    "ann_lsh_serving_batch" -> ((s, dir) => {
+      import s.implicits._
+      val probes = (0 until 3).map(i => i.toLong -> queryVec(s, dir, i))
+      Similarity
+        .lshSearchServeBatch(cachedLshServing4(s, dir), probes, 5, probeRadius = 1)
+        .toDF("probe_id", "cand_id", "cos")
+        .orderBy("probe_id", "cand_id")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -551,6 +578,58 @@ private[graft] object AnnEntries {
         |SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS cos
         |FROM embeddings e JOIN assign a USING (vec_id) JOIN probed p ON a.cell = p.cell
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // The serving tier is result-identical to ann_lsh_topk by
+    // construction (same signature kernel, same candidate rule, same
+    // cosine fold) — same oracle, checked independently.
+    "ann_lsh_serving" ->
+      """WITH planes AS (
+        |  SELECT t.t, p.p,
+        |         list_transform(generate_series(1,64), d ->
+        |           (CAST(('0x'||substr(md5(p.p || ':' || (d-1) || ':' || (t.t*7919+1)),1,15)) AS BIGINT) % 100000)/100000.0 - 0.5) AS pl
+        |  FROM generate_series(0,7) t(t) CROSS JOIN generate_series(0,3) p(p)),
+        |sigs AS (
+        |  SELECT e.vec_id, pl.t,
+        |         sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pl) > 0 THEN (1 << pl.p) ELSE 0 END) AS sig
+        |  FROM embeddings e CROSS JOIN planes pl
+        |  GROUP BY e.vec_id, pl.t),
+        |q AS (SELECT t, sig FROM sigs WHERE vec_id = 0),
+        |cand AS (SELECT DISTINCT s.vec_id FROM sigs s JOIN q ON s.t = q.t AND s.sig = q.sig)
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings e JOIN cand USING (vec_id)
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Batched serving over the 4-table multi-probe index: same bucket
+    // expansion + rescore as ann_lsh_batch_topk, top-5 per probe,
+    // re-ordered by (probe, candidate) as the entry emits.
+    "ann_lsh_serving_batch" ->
+      """WITH planes AS (
+        |  SELECT t.t, p.p,
+        |         list_transform(generate_series(1,64), d ->
+        |           (CAST(('0x'||substr(md5(p.p || ':' || (d-1) || ':' || (t.t*7919+1)),1,15)) AS BIGINT) % 100000)/100000.0 - 0.5) AS pl
+        |  FROM generate_series(0,3) t(t) CROSS JOIN generate_series(0,3) p(p)),
+        |sigs AS (
+        |  SELECT e.vec_id, pl.t,
+        |         sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pl) > 0 THEN (1 << pl.p) ELSE 0 END) AS sig
+        |  FROM embeddings e CROSS JOIN planes pl
+        |  GROUP BY e.vec_id, pl.t),
+        |q AS (SELECT s.vec_id AS probe_id, s.t, xor(s.sig, m.m) AS sig
+        |      FROM sigs s CROSS JOIN (SELECT unnest([0,1,2,4,8]) AS m) m
+        |      WHERE s.vec_id < 3),
+        |cand AS (SELECT DISTINCT q.probe_id, s.vec_id AS cand_id
+        |         FROM sigs s JOIN q ON s.t = q.t AND s.sig = q.sig),
+        |scored AS (SELECT c.probe_id, c.cand_id,
+        |             round(list_cosine_similarity(CAST(ec.embedding AS DOUBLE[]), CAST(ep.embedding AS DOUBLE[])), 6) AS cos
+        |           FROM cand c
+        |           JOIN embeddings ec ON ec.vec_id = c.cand_id
+        |           JOIN embeddings ep ON ep.vec_id = c.probe_id),
+        |ranked AS (SELECT probe_id, cand_id, cos,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+        |           FROM scored)
+        |SELECT probe_id, cand_id, cos FROM ranked WHERE rank <= 5
+        |ORDER BY probe_id, cand_id""".stripMargin,
 
     // Multi-probe (radius 1): the probe's bucket PLUS each single-bit
     // flip per table (masks 0,1,2,4,8 on the 4-table/4-bit index) —

@@ -244,6 +244,20 @@ private[graft] object EntrySupport {
       Similarity.graphServing(cachedGraph(s, dir), Tables.embeddings(s, dir), "vec_id", "embedding")
     )
 
+  val lshServingMemo = scala.collection.concurrent.TrieMap[String, Similarity.LshServing]()
+  val lshServing4Memo = scala.collection.concurrent.TrieMap[String, Similarity.LshServing]()
+
+  /** The LSH ONLINE serving handles (r16): the 8-table single-probe
+    * index and the 4-table multi-probe index re-keyed into bucketed
+    * cached RDDs — two pruned point-read jobs per probe batch, zero
+    * per-query SQL planning.
+    */
+  def cachedLshServing(s: SparkSession, dir: String): Similarity.LshServing =
+    lshServingMemo.getOrElseUpdate(dir, Similarity.lshServing(cachedLsh(s, dir), "vec_id", "embedding"))
+
+  def cachedLshServing4(s: SparkSession, dir: String): Similarity.LshServing =
+    lshServing4Memo.getOrElseUpdate(dir, Similarity.lshServing(cachedLsh4(s, dir), "vec_id", "embedding"))
+
   val bm25Memo = scala.collection.concurrent.TrieMap[String, graft.search.Bm25.Bm25Index]()
 
   /** The BM25 inverted index over `dir`'s documents, built once per JVM:

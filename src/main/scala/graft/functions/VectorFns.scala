@@ -209,25 +209,14 @@ object VectorFns {
       // so one bad row can't kill a whole index/dedup job.
       if (v == null) null
       else {
-      val arr = v.toArray
-      val out = new Array[Long](sds.length)
-      var t = 0
-      while (t < sds.length) {
-        val planes = HyperplaneCache.planes(bits, sds(t), arr.length)
-        var sig = 0L
-        var p = 0
-        while (p < bits) {
-          val pl = planes(p)
-          var acc = 0.0
-          var d = 0
-          while (d < arr.length) { acc += arr(d) * pl(d); d += 1 }
-          if (acc > 0) sig |= (1L << p)
-          p += 1
+        val arr = v.toArray
+        val out = new Array[Long](sds.length)
+        var t = 0
+        while (t < sds.length) {
+          out(t) = hyperplaneSigLocal(arr, bits, sds(t))
+          t += 1
         }
-        out(t) = sig
-        t += 1
-      }
-      out
+        out
       }
     })
     f(asDouble(vec))
@@ -239,24 +228,29 @@ object VectorFns {
     val f = udf((v: Seq[Double]) => {
       // null vector → null signature (see hyperplaneSigs).
       if (v == null) null.asInstanceOf[java.lang.Long]
-      else {
-      val planes = HyperplaneCache.planes(bits, sd, v.length)
-      var sig = 0L
-      var p = 0
-      while (p < bits) {
-        val pl = planes(p)
-        var acc = 0.0
-        var d = 0
-        while (d < v.length) {
-          acc += v(d) * pl(d)
-          d += 1
-        }
-        if (acc > 0) sig |= (1L << p)
-        p += 1
-      }
-      java.lang.Long.valueOf(sig)
-      }
+      else java.lang.Long.valueOf(hyperplaneSigLocal(v.toArray, bits, sd))
     })
     f(asDouble(vec))
+  }
+
+  /** The ONE signature kernel — every signature producer (the batched
+    * and scalar UDFs above, and the serving tiers' driver-side probe
+    * signatures) routes through this exact fold, so bit-parity across
+    * plan and serving paths holds by construction rather than by test
+    * alone (LshServingSpec still pins it end-to-end).
+    */
+  def hyperplaneSigLocal(arr: Array[Double], nBits: Int, seed: Int): Long = {
+    val planes = HyperplaneCache.planes(nBits, seed, arr.length)
+    var sig = 0L
+    var p = 0
+    while (p < nBits) {
+      val pl = planes(p)
+      var acc = 0.0
+      var d = 0
+      while (d < arr.length) { acc += arr(d) * pl(d); d += 1 }
+      if (acc > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
   }
 }

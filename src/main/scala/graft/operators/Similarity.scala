@@ -1505,18 +1505,20 @@ object Similarity {
   }
 
   /** Keyed point-read on a bucketed serving RDD: one job over ONLY the
-    * partitions the ids hash to (`sc.runJob` with an explicit partition
-    * list), each task filtering its bucket by the bounded id set.
+    * partitions the keys hash to (`sc.runJob` with an explicit partition
+    * list), each task filtering its bucket by the bounded key set.
+    * Generic in the key (graph tiers key by id, the LSH tier by
+    * (table, sig)); multi-row keys return every matching row.
     */
-  private def fetchByKey[V](rdd: org.apache.spark.rdd.RDD[(Long, V)], ids: Seq[Long])(
+  private def fetchByKey[K, V](rdd: org.apache.spark.rdd.RDD[(K, V)], keys: Seq[K])(
       implicit ct: scala.reflect.ClassTag[V]
-  ): Seq[(Long, V)] = {
-    if (ids.isEmpty) return Nil
+  ): Seq[(K, V)] = {
+    if (keys.isEmpty) return Nil
     val part = rdd.partitioner.get
-    val idSet = ids.toSet
-    val parts = idSet.map(part.getPartition).toArray.sorted
+    val keySet = keys.toSet
+    val parts = keySet.map(k => part.getPartition(k)).toArray.sorted.distinct
     rdd.sparkContext
-      .runJob(rdd, (it: Iterator[(Long, V)]) => it.filter(kv => idSet.contains(kv._1)).toArray, parts.toSeq)
+      .runJob(rdd, (it: Iterator[(K, V)]) => it.filter(kv => keySet.contains(kv._1)).toArray, parts.toSeq)
       .flatten
       .toSeq
   }
@@ -1634,6 +1636,100 @@ object Similarity {
     }
     qs.flatMap { case (pid, _) =>
       scored(pid).toSeq
+        .sortBy { case (id, c) => (-c, id) }
+        .take(k)
+        .map { case (id, c) => (pid, id, c) }
+    }
+  }
+
+  /** The ONLINE serving handle for the LSH index (r16 — the lsh_seq
+    * path was the slowest serving tier left, ANN_QPS: one full SQL plan
+    * per probe): the signature table re-keyed into (table, sig)-HASH-
+    * BUCKETED cached RDDs plus an id-bucketed vector store. A probe
+    * costs exactly TWO partition-pruned jobs — one bucket fetch over
+    * all its (table, sig) keys (radius expansion included), one vector
+    * fetch over the deduped candidate ids — with the signature computed
+    * DRIVER-side through the very same kernel the index build ran
+    * ([[VectorFns.hyperplaneSigLocal]]), so candidate sets and scores
+    * are bit-identical to [[scoreAgainstLsh]] (LshServingSpec pins it;
+    * the registry key shares ann_lsh_topk's DuckDB oracle verbatim —
+    * a FULLY oracle-checked serving tier).
+    */
+  final case class LshServing(
+      nBits: Int,
+      tables: Int,
+      buckets: org.apache.spark.rdd.RDD[((Int, Long), Long)],
+      vecs: org.apache.spark.rdd.RDD[(Long, Array[Float])]
+  ) {
+    def unpersist(): Unit = { buckets.unpersist(); vecs.unpersist(); () }
+  }
+
+  def lshServing(index: LshIndex, idCol: String, vecCol: String, nBuckets: Int = 0): LshServing = {
+    val sc = index.sigs.sparkSession.sparkContext
+    val p = new org.apache.spark.HashPartitioner(if (nBuckets > 0) nBuckets else sc.defaultParallelism)
+    val buckets = index.sigs
+      .select(col("table"), col("sig"), col(idCol))
+      .rdd
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+      .partitionBy(p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = index.base
+      .select(col(idCol), col(vecCol))
+      .rdd
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .partitionBy(new org.apache.spark.HashPartitioner(p.numPartitions))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    buckets.count()
+    vecs.count()
+    LshServing(index.nBits, index.tables, buckets, vecs)
+  }
+
+  def lshSearchServe(
+      serving: LshServing,
+      query: Seq[Float],
+      k: Int,
+      probeRadius: Int = 0
+  ): Seq[(Long, Double)] =
+    lshSearchServeBatch(serving, Seq((-1L, query)), k, probeRadius).map { case (_, id, c) => (id, c) }
+
+  /** Batched LSH serving: the whole probe set shares the two pruned
+    * jobs — ONE bucket fetch over the union of every probe's (table,
+    * sig) keys, ONE vector fetch over the union of candidate ids (each
+    * id read once however many probes want it). Per-probe semantics are
+    * exactly [[scoreAgainstLsh]]'s: radius-0/1 bucket expansion, id-
+    * deduped candidates, exact cosine (corpus-left fold, HALF_UP 6dp),
+    * ordered (cos desc, id asc), top-k.
+    */
+  def lshSearchServeBatch(
+      serving: LshServing,
+      probes: Seq[(Long, Seq[Float])],
+      k: Int,
+      probeRadius: Int = 0
+  ): Seq[(Long, Long, Double)] = {
+    if (probes.isEmpty) return Nil
+    val masks: Seq[Long] =
+      if (probeRadius <= 0) Seq(0L) else 0L +: (0 until serving.nBits).map(b => 1L << b)
+    val wants: Seq[(Long, Array[Float], Seq[(Int, Long)])] = probes.map { case (pid, v) =>
+      val q = v.toArray
+      val dq = q.map(_.toDouble)
+      val keys = (0 until serving.tables).flatMap { t =>
+        val s = graft.functions.VectorFns.hyperplaneSigLocal(dq, serving.nBits, lshSeed(t))
+        masks.map(m => (t, s ^ m))
+      }.distinct
+      (pid, q, keys)
+    }
+    val hits = fetchByKey(serving.buckets, wants.flatMap(_._3).distinct)
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2))
+      .toMap
+    val cands: Seq[(Long, Array[Float], Seq[Long])] = wants.map { case (pid, q, keys) =>
+      (pid, q, keys.flatMap(key => hits.getOrElse(key, Nil)).distinct)
+    }
+    val vmap = fetchByKey(serving.vecs, cands.flatMap(_._3).distinct).toMap
+    cands.flatMap { case (pid, q, ids) =>
+      ids
+        .flatMap(id => vmap.get(id).map(v => (id, servingCos(v, q))))
         .sortBy { case (id, c) => (-c, id) }
         .take(k)
         .map { case (id, c) => (pid, id, c) }
