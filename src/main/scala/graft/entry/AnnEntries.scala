@@ -487,6 +487,20 @@ private[graft] object AnnEntries {
         .lshSearchServeBatch(cachedLshServing4(s, dir), probes, 5, probeRadius = 1)
         .toDF("probe_id", "cand_id", "cos")
         .orderBy("probe_id", "cand_id")
+    }),
+
+    // IVF ONLINE serving tier (r17, closing the graph/LSH/IVF serving
+    // set): the assignment table as a cell-hash-bucketed RDD, ONE
+    // partition-pruned job scoring the probe inside the tasks (a cell is
+    // NOT driver-bounded at scale, so only per-task top-k heaps travel).
+    // Same centroids, same probe rule, same cosine fold as ann_ivf_topk
+    // — result rows bit-identical (IvfServingSpec), so this tier shares
+    // ann_ivf_topk's DuckDB oracle VERBATIM: fully oracle-checked.
+    "ann_ivf_serving" -> ((s, dir) => {
+      import s.implicits._
+      Similarity
+        .ivfSearchServe(cachedIvfServing(s, dir), queryVec(s, dir, 0), 10, nProbe = 6)
+        .toDF("vec_id", "cos")
     })
   )
 
@@ -512,6 +526,7 @@ private[graft] object AnnEntries {
         |  SELECT e.vec_id, pl.t,
         |         sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pl) > 0 THEN (1 << pl.p) ELSE 0 END) AS sig
         |  FROM embeddings e CROSS JOIN planes pl
+        |  WHERE e.embedding IS NOT NULL
         |  GROUP BY e.vec_id, pl.t),
         |occ AS (SELECT t, sig, count(*) AS n FROM sigs GROUP BY t, sig)
         |SELECT CAST(t AS INTEGER) AS "table", CAST(count(*) AS BIGINT) AS n_buckets,
@@ -539,6 +554,28 @@ private[graft] object AnnEntries {
     // The probe path: the query's 6 nearest cells (same argmin rule),
     // then exact-cosine top-10 within the probed cells.
     "ann_ivf_topk" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id) - 1 AS cell,
+        |         CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |  ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
+        |  LIMIT 16),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |probed AS (SELECT cell FROM (
+        |  SELECT c.cell, row_number() OVER (ORDER BY list_distance((SELECT qe FROM q), c.c), c.cell) AS rn
+        |  FROM cents c) WHERE rn <= 6),
+        |dists AS (SELECT e.vec_id, c.cell, list_distance(CAST(e.embedding AS DOUBLE[]), c.c) AS d
+        |          FROM embeddings e CROSS JOIN cents c WHERE e.embedding IS NOT NULL),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dists) WHERE rn = 1)
+        |SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS cos
+        |FROM embeddings e JOIN assign a USING (vec_id) JOIN probed p ON a.cell = p.cell
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // The IVF serving tier is result-identical to ann_ivf_topk by
+    // construction (same md5-sampled centroids, same nearest-cell probe
+    // rule, same cosine fold) — same oracle, checked independently.
+    "ann_ivf_serving" ->
       """WITH cents AS (
         |  SELECT row_number() OVER (ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id) - 1 AS cell,
         |         CAST(embedding AS DOUBLE[]) AS c
@@ -592,6 +629,7 @@ private[graft] object AnnEntries {
         |  SELECT e.vec_id, pl.t,
         |         sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pl) > 0 THEN (1 << pl.p) ELSE 0 END) AS sig
         |  FROM embeddings e CROSS JOIN planes pl
+        |  WHERE e.embedding IS NOT NULL
         |  GROUP BY e.vec_id, pl.t),
         |q AS (SELECT t, sig FROM sigs WHERE vec_id = 0),
         |cand AS (SELECT DISTINCT s.vec_id FROM sigs s JOIN q ON s.t = q.t AND s.sig = q.sig)
@@ -614,6 +652,7 @@ private[graft] object AnnEntries {
         |  SELECT e.vec_id, pl.t,
         |         sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pl) > 0 THEN (1 << pl.p) ELSE 0 END) AS sig
         |  FROM embeddings e CROSS JOIN planes pl
+        |  WHERE e.embedding IS NOT NULL
         |  GROUP BY e.vec_id, pl.t),
         |q AS (SELECT s.vec_id AS probe_id, s.t, xor(s.sig, m.m) AS sig
         |      FROM sigs s CROSS JOIN (SELECT unnest([0,1,2,4,8]) AS m) m
@@ -644,6 +683,7 @@ private[graft] object AnnEntries {
         |  SELECT e.vec_id, pl.t,
         |         sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pl) > 0 THEN (1 << pl.p) ELSE 0 END) AS sig
         |  FROM embeddings e CROSS JOIN planes pl
+        |  WHERE e.embedding IS NOT NULL
         |  GROUP BY e.vec_id, pl.t),
         |q AS (SELECT s.t, xor(s.sig, m.m) AS sig
         |      FROM sigs s CROSS JOIN (SELECT unnest([0,1,2,4,8]) AS m) m
@@ -667,6 +707,7 @@ private[graft] object AnnEntries {
         |  SELECT e.vec_id, pl.t,
         |         sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pl) > 0 THEN (1 << pl.p) ELSE 0 END) AS sig
         |  FROM embeddings e CROSS JOIN planes pl
+        |  WHERE e.embedding IS NOT NULL
         |  GROUP BY e.vec_id, pl.t),
         |q AS (SELECT s.vec_id AS probe_id, s.t, xor(s.sig, m.m) AS sig
         |      FROM sigs s CROSS JOIN (SELECT unnest([0,1,2,4,8]) AS m) m
@@ -698,6 +739,7 @@ private[graft] object AnnEntries {
         |  SELECT e.vec_id, pl.t,
         |         sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pl) > 0 THEN (1 << pl.p) ELSE 0 END) AS sig
         |  FROM embeddings e CROSS JOIN planes pl
+        |  WHERE e.embedding IS NOT NULL
         |  GROUP BY e.vec_id, pl.t),
         |q AS (SELECT t, sig FROM sigs WHERE vec_id = 0),
         |cand AS (SELECT DISTINCT s.vec_id FROM sigs s JOIN q ON s.t = q.t AND s.sig = q.sig)

@@ -258,6 +258,20 @@ private[graft] object EntrySupport {
   def cachedLshServing4(s: SparkSession, dir: String): Similarity.LshServing =
     lshServing4Memo.getOrElseUpdate(dir, Similarity.lshServing(cachedLsh4(s, dir), "vec_id", "embedding"))
 
+  val ivfServingMemo = scala.collection.concurrent.TrieMap[String, Similarity.IvfServing]()
+
+  /** The IVF ONLINE serving handle (r17): the memoized assignment table
+    * re-keyed into a cell-hash-bucketed cached RDD — one partition-pruned
+    * scoring job per probe batch, per-task bounded k-heaps, zero
+    * per-query SQL planning (the tier that closes the graph/LSH/IVF
+    * serving set; ivf_seq was the slowest online path in ANN_QPS_r16).
+    */
+  def cachedIvfServing(s: SparkSession, dir: String): Similarity.IvfServing =
+    ivfServingMemo.getOrElseUpdate(
+      dir,
+      Similarity.ivfServing(cachedIvf(s, dir, nLists = 16), "vec_id", "embedding")
+    )
+
   val bm25Memo = scala.collection.concurrent.TrieMap[String, graft.search.Bm25.Bm25Index]()
 
   /** The BM25 inverted index over `dir`'s documents, built once per JVM:

@@ -449,7 +449,10 @@ object Similarity {
     * O(nLists) centroid array (distance asc, cell id asc on ties).
     */
   def probeCells(index: IvfIndex, query: Seq[Float], nProbe: Int): Seq[Int] =
-    index.centroids.zipWithIndex
+    probeCellsOf(index.centroids, query, nProbe)
+
+  private def probeCellsOf(centroids: Array[Array[Float]], query: Seq[Float], nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex
       .map { case (c, i) =>
         var d = 0.0
         var j = 0
@@ -1592,6 +1595,15 @@ object Similarity {
       rounds: Int = 3
   ): Seq[(Long, Long, Double)] = {
     if (probes.isEmpty) return Nil
+    // internal state (scored/expanded/byProbe) is keyed by probe id, so a
+    // duplicated id would silently share state between probes (last vector
+    // wins) — reject up front rather than emit wrong rows; the LSH serving
+    // tier handles duplicate ids per-row, so callers batching the same id
+    // twice should dedup (or re-key) before calling this tier
+    require(
+      probes.map(_._1).distinct.size == probes.size,
+      "graphSearchServeBatch: probe ids must be distinct"
+    )
     val qs: Seq[(Long, Array[Float])] = probes.map { case (pid, v) => (pid, v.toArray) }
     val scored =
       qs.map { case (pid, _) => pid -> scala.collection.mutable.Map.empty[Long, Double] }.toMap
@@ -1733,6 +1745,118 @@ object Similarity {
         .sortBy { case (id, c) => (-c, id) }
         .take(k)
         .map { case (id, c) => (pid, id, c) }
+    }
+  }
+
+  /** The ONLINE serving handle for the IVF index (r17, closing the
+    * serving-tier set: graph r15, LSH r16, IVF here — ivf_seq was the
+    * slowest path left at 12.3 QPS in ANN_QPS_r16). The assignment table
+    * is re-keyed into a cell-HASH-BUCKETED cached RDD — IVF cells are
+    * the natural bucketing unit, exactly the layout the scoreAgainstIvf
+    * doc promises ("partition-prunable when `assigned` is stored
+    * partitioned/bucketed by cell"). Unlike the graph/LSH tiers, a CELL
+    * is not driver-bounded (at 100 TB a cell holds corpus/nLists
+    * vectors), so the probe job does NOT fetch rows to the driver: each
+    * pruned task scores its cell rows against every probe locally and
+    * returns only a per-probe top-k heap — driver state is
+    * parts × probes × k (id, cos) pairs, never vectors. One
+    * partition-pruned job per batch, zero per-query SQL planning.
+    */
+  final case class IvfServing(
+      centroids: Array[Array[Float]],
+      cells: org.apache.spark.rdd.RDD[(Int, (Long, Array[Float]))]
+  ) {
+    def unpersist(): Unit = { cells.unpersist(); () }
+  }
+
+  def ivfServing(index: IvfIndex, idCol: String, vecCol: String, nBuckets: Int = 0): IvfServing = {
+    val sc = index.assigned.sparkSession.sparkContext
+    val p = new org.apache.spark.HashPartitioner(if (nBuckets > 0) nBuckets else sc.defaultParallelism)
+    val cells = index.assigned
+      .filter(col(vecCol).isNotNull && col("cell") >= 0)
+      .select(col("cell"), col(idCol), col(vecCol))
+      .rdd
+      .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Float](2).toArray)))
+      .partitionBy(p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cells.count()
+    IvfServing(index.centroids, cells)
+  }
+
+  def ivfSearchServe(
+      serving: IvfServing,
+      query: Seq[Float],
+      k: Int,
+      nProbe: Int
+  ): Seq[(Long, Double)] =
+    ivfSearchServeBatch(serving, Seq((-1L, query)), k, nProbe).map { case (_, id, c) => (id, c) }
+
+  /** Batched IVF serving search: the whole probe set shares ONE
+    * partition-pruned job over the union of every probe's `nProbe`
+    * nearest cells (driver-side argmin over the O(nLists) centroid
+    * array, the [[probeCells]] rule). Each task streams its bucket once,
+    * scoring a row against exactly the probes that probed its cell, and
+    * keeps a bounded k-heap per probe — the exact-cosine fold + HALF_UP
+    * 6dp round ([[servingCos]]) and the (cos desc, id asc) order make
+    * emitted rows bit-identical to [[scoreAgainstIvf]] (IvfServingSpec
+    * pins the equality; the ann_ivf_serving key shares ann_ivf_topk's
+    * DuckDB oracle verbatim). Closure state probes × (dim + nProbe),
+    * driver merge parts × probes × k — both bounded.
+    */
+  def ivfSearchServeBatch(
+      serving: IvfServing,
+      probes: Seq[(Long, Seq[Float])],
+      k: Int,
+      nProbe: Int
+  ): Seq[(Long, Long, Double)] = {
+    if (probes.isEmpty || k <= 0) return Nil
+    // per-probe state below is positional (arrays indexed by probe), so
+    // duplicate ids are handled naturally — but emitted rows repeat the
+    // id, matching the LSH batch tier's per-row contract
+    val qs: Array[(Long, Array[Float])] = probes.map { case (pid, v) => (pid, v.toArray) }.toArray
+    val cellsPer: Array[Array[Int]] =
+      qs.map { case (_, q) => probeCellsOf(serving.centroids, q.toSeq, nProbe).toArray }
+    val wanted = cellsPer.flatten.distinct
+    if (wanted.isEmpty) return Nil
+    val part = serving.cells.partitioner.get
+    val parts = wanted.map(c => part.getPartition(c)).distinct.sorted
+    val nP = qs.length
+    val qVecs: Array[Array[Float]] = qs.map(_._2)
+    val cellSets: Array[Set[Int]] = cellsPer.map(_.toSet)
+    val kk = k
+    // worst element at the heap head under (cos desc, id asc): the max of
+    // (-cos, id) is the lowest cos, ties broken toward the HIGHER id
+    val heapOrd: Ordering[(Double, Long)] = Ordering.by { case (c, id) => (-c, id) }
+    val perPart: Array[Array[Array[(Double, Long)]]] = serving.cells.sparkContext.runJob(
+      serving.cells,
+      (it: Iterator[(Int, (Long, Array[Float]))]) => {
+        val heaps = Array.fill(nP)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(heapOrd))
+        it.foreach { case (cell, (id, v)) =>
+          var i = 0
+          while (i < nP) {
+            if (cellSets(i).contains(cell)) {
+              val c = servingCos(v, qVecs(i))
+              val h = heaps(i)
+              if (h.size < kk) h.enqueue((c, id))
+              else {
+                val (wc, wid) = h.head
+                if (c > wc || (c == wc && id < wid)) { h.dequeue(); h.enqueue((c, id)); () }
+              }
+            }
+            i += 1
+          }
+        }
+        heaps.map(_.toArray)
+      },
+      parts.toSeq
+    )
+    qs.zipWithIndex.toSeq.flatMap { case ((pid, _), i) =>
+      perPart
+        .flatMap(_(i))
+        .sortBy { case (c, id) => (-c, id) }
+        .take(k)
+        .map { case (c, id) => (pid, id, c) }
+        .toSeq
     }
   }
 

@@ -281,18 +281,17 @@ object Percolate {
           exists(col("clauses"), c => !c.getField("kind").isin(allKinds.map(lit): _*)) ||
           !exists(col("clauses"), c => c.getField("kind").isin(positiveKinds.map(lit): _*)) ||
           // a null/empty token INSIDE a phrase has positional meaning the
-          // analyzed-token verifier cannot reproduce — require clean
+          // analyzed-token verifier cannot reproduce — require clean.
+          // (A must-anchored rule may carry shoulds; a should-only rule
+          // posts EVERY should clause; a rule mixing zero musts with only
+          // not_* + should_* anchors on the shoulds alone, which is sound
+          // — so no extra structural rule is needed beyond the above.)
           exists(
             col("clauses"),
             c =>
               c.getField("kind").isin("phrase", "not_phrase", "should_phrase") &&
                 size(cleanTerms(c.getField("terms"))) =!= size(c.getField("terms"))
-          ) ||
-          // a must-anchored rule may carry shoulds; a should-only rule
-          // must post EVERY should clause (it does) — but a rule mixing
-          // zero musts with ONLY not_* + should_* anchors on the shoulds
-          // alone, which is sound, so no extra structural rule needed.
-          lit(false)
+          )
       )
       .limit(1)
       .count()

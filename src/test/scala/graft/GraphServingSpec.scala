@@ -65,6 +65,19 @@ class GraphServingSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("graphSearchServeBatch rejects duplicate probe ids (state is id-keyed — r17 advice)") {
+    val idx = Similarity.graphIndex(emb, "vec_id", "embedding").persist()
+    idx.neighbors.count()
+    val serving = Similarity.graphServing(idx, emb, "vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.graphSearchServeBatch(serving, Seq((5L, q), (5L, q)), 10)
+    }
+    assert(e.getMessage.contains("distinct"))
+    serving.unpersist()
+    idx.unpersist()
+  }
+
   test("serving fetch prunes to the probed buckets (partition-pruned jobs)") {
     val idx = Similarity.graphIndex(emb, "vec_id", "embedding")
     val serving = Similarity.graphServing(idx, emb, "vec_id", "embedding", buckets = 8)
