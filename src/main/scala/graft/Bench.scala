@@ -47,7 +47,20 @@ object Bench {
       try force(fn(spark, sfDir))
       catch { case _: Throwable => () }
     }
-    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Cumulative stop-the-world GC time across all collectors — read
+    // around each sample so a GC-poisoned environment (heap pressure,
+    // co-tenant memory steal) is machine-visible in the artifact instead
+    // of a forensic guess (the r16 driver-vs-committed 3-7x cluster sat
+    // on allocation-heavy keys with no way to tell GC from plan).
+    def gcMs(): Long = {
+      val it = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.iterator()
+      var t = 0L
+      while (it.hasNext) { val v = it.next().getCollectionTime; if (v > 0) t += v }
+      t
+    }
+    // Returns (wall seconds — negative on failure, gc seconds).
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val g0 = gcMs()
       val t0 = System.nanoTime()
       val ok =
         try { force(fn(spark, sfDir)); true }
@@ -59,7 +72,8 @@ object Bench {
       // A failed query is reported as NEGATIVE time-to-failure so the
       // bench JSON distinguishes failures from passes.
       val dt = (System.nanoTime() - t0) / 1e9
-      if (ok) dt else -dt
+      val gdt = (gcMs() - g0) / 1e3
+      (if (ok) dt else -dt, gdt)
     }
     // Previous recorded per-query times (bench_full.json from the last
     // run), used as the box-load guard baseline below.
@@ -83,9 +97,31 @@ object Bench {
     // .json + band stats in the record) so the sampling policy and the
     // box's noise band are auditable instead of arguable. A REAL
     // slowdown reproduces in all three runs; the policy cannot hide one.
-    val samples: Seq[(String, Seq[Double])] = ordered.map { case (name, fn) =>
-      name -> Seq(timeOne(fn), timeOne(fn), timeOne(fn))
+    //
+    // r17: the three samples are taken as three INTERLEAVED FULL SWEEPS
+    // of the suite (sweep 1 = every key once, then sweep 2, then 3) —
+    // NOT back-to-back per key. Back-to-back triples share whatever
+    // minutes-scale environment state surrounds the key (the r16
+    // driver-record cluster: 3-7x inflation with TIGHT triples on a
+    // contiguous stretch of allocation-heavy keys — three co-located
+    // samples can't decorrelate sustained contention). Sweeping spaces a
+    // key's samples by a full suite pass (~minutes), so a poisoned
+    // stretch poisons at most one sample per key and min-of-three
+    // recovers; per-sweep wall+GC totals in the record show WHICH sweep
+    // was hit.
+    val sweeps: Seq[(Seq[(String, (Double, Double))], Double, Double)] = (0 until 3).map { _ =>
+      val g0 = gcMs()
+      val t0 = System.nanoTime()
+      val one = ordered.map { case (name, fn) => name -> timeOne(fn) }
+      (one, (System.nanoTime() - t0) / 1e9, (gcMs() - g0) / 1e3)
     }
+    val byKey: Seq[Map[String, (Double, Double)]] = sweeps.map(_._1.toMap)
+    val samples: Seq[(String, Seq[Double])] = ordered.map { case (name, _) =>
+      name -> byKey.map(_(name)._1)
+    }
+    val gcSamples: Map[String, Seq[Double]] = ordered.map { case (name, _) =>
+      name -> byKey.map(_(name)._2)
+    }.toMap
     // min of the passes; if ANY run failed its (negative) time wins, so a
     // flaky key surfaces in the errors list instead of being silently
     // recorded as a clean pass off its lucky runs.
@@ -133,14 +169,21 @@ object Bench {
       if (spreads.isEmpty) 0.0 else spreads(math.min(spreads.size - 1, (p * spreads.size).toInt))._2
     val band =
       s"""{"median_rel_spread":${f3(pct(0.5))},"p90_rel_spread":${f3(pct(0.9))},"max_rel_spread":${f3(pct(1.0))}}"""
+    // r17 shape: each key carries its three wall samples AND the GC
+    // seconds observed during each — a key whose slow sample coincides
+    // with a GC spike (or a sweep whose gc total jumps) is environment,
+    // not plan, and the artifact now says so by itself.
     val varLine = samples.sortBy(_._1).map { case (n, ts) =>
-      "\"" + n + "\":[" + ts.map(f3).mkString(",") + "]"
+      "\"" + n + "\":{\"t\":[" + ts.map(f3).mkString(",") + "],\"gc\":[" +
+        gcSamples(n).map(f3).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(if (filterPats.isDefined) "bench_variance_filtered.json" else "bench_variance.json"),
       varLine + "\n")
+    val sweepStats =
+      s"""{"wall":[${sweeps.map(s => f3(s._2)).mkString(",")}],"gc":[${sweeps.map(s => f3(s._3)).mkString(",")}]}"""
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":3,"aggregation":"min","band":$band,"queries":$qs,"errors":$errors,"load_poisoned":$loadPoisoned,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":3,"aggregation":"min","sampling":"interleaved_sweeps","sweeps":$sweepStats,"band":$band,"queries":$qs,"errors":$errors,"load_poisoned":$loadPoisoned,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     println(line)
     // The full line outgrew the driver's stdout-tail capture (the record
@@ -156,7 +199,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":3,"aggregation":"min","band":$band,"n_queries":${results.size},"queries":$slow,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":3,"aggregation":"min","sampling":"interleaved_sweeps","sweeps":$sweepStats,"band":$band,"n_queries":${results.size},"queries":$slow,"errors":$errors,"sf":"$sfDir"}"""
     )
     spark.stop()
   }
