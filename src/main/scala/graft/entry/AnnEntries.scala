@@ -417,13 +417,30 @@ private[graft] object AnnEntries {
     // SQ8 scalar quantization (the per-dim grid complement to PQ's
     // per-subspace codebooks): honest fresh build — min/max agg + encode
     // scan; topk ranks on dequantized byte codes (no float vectors read)
-    // then exact-rescores, like every ANN path here.
+    // then exact-rescores, like every ANN path here. r17: the encode
+    // arithmetic is double-precision, so the WHOLE code table is DuckDB-
+    // recomputable — the build entry emits the per-dim grid bounds plus
+    // exact integer moments of every stored code (sum/min/max/distinct),
+    // a full-strength oracle over the quantizer (was a 1-row rows-only
+    // count).
     "ann_sq8_build" -> ((s, dir) => {
+      import s.implicits._
       val idx = Similarity.sqIndex(Tables.embeddings(s, dir), "vec_id", "embedding")
-      idx.codes.agg(
-        count(lit(1)).as("n_vectors"),
-        max(length(col("code"))).as("bytes_per_vector")
-      )
+      val loHi = idx.lo.indices.map(i => (i, idx.lo(i).toDouble, idx.hi(i).toDouble)).toDF("d", "lo", "hi")
+      val decode = udf((code: Array[Byte]) => code.map(b => b + 128))
+      idx.codes
+        .select(posexplode(decode(col("code"))).as(Seq("d", "q")))
+        .groupBy("d")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("q").as("sum_q"),
+          min("q").as("min_q"),
+          max("q").as("max_q"),
+          countDistinct(col("q")).as("n_codes")
+        )
+        .join(loHi, "d")
+        .select("d", "lo", "hi", "n", "sum_q", "min_q", "max_q", "n_codes")
+        .orderBy("d")
     }),
 
     "ann_sq8_topk" -> ((s, dir) =>
@@ -761,6 +778,133 @@ private[graft] object AnnEntries {
         |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS cos
         |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    // Lloyd-refined IVF FULL replication (r17): the engine's fixed-point
+    // means (Σ floor(x·10⁶+0.5) LONG sums → one double division → REAL)
+    // are partition-order-proof, so both refinement rounds replay in SQL
+    // — seeds, assignments, means, final probe path all recomputed.
+    "ann_ivf_kmeans_topk" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id) - 1 AS cell, v AS c
+        |  FROM base
+        |  ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
+        |  LIMIT 16),
+        |a0 AS (SELECT vec_id, cell FROM (
+        |  SELECT b.vec_id, c.cell, row_number() OVER (PARTITION BY b.vec_id ORDER BY list_distance(b.v, c.c), c.cell) AS rn
+        |  FROM base b CROSS JOIN c0 c) WHERE rn = 1),
+        |s1 AS (
+        |  SELECT a0.cell, d.d,
+        |         sum(CAST(floor(b.v[d.d]*1000000.0 + 0.5) AS BIGINT)) AS s,
+        |         count(b.v[d.d]) AS n
+        |  FROM base b JOIN a0 USING (vec_id) CROSS JOIN generate_series(1,64) d(d)
+        |  GROUP BY a0.cell, d.d),
+        |c0d AS (SELECT cell, d.d, c[d.d] AS x FROM c0 CROSS JOIN generate_series(1,64) d(d)),
+        |c1 AS (
+        |  SELECT c0d.cell,
+        |         list(CASE WHEN s1.n IS NOT NULL AND s1.n > 0
+        |              THEN CAST(CAST(CAST(s1.s AS DOUBLE)/(CAST(s1.n AS DOUBLE)*1000000.0) AS REAL) AS DOUBLE)
+        |              ELSE c0d.x END ORDER BY c0d.d) AS c
+        |  FROM c0d LEFT JOIN s1 ON s1.cell = c0d.cell AND s1.d = c0d.d
+        |  GROUP BY c0d.cell),
+        |a1 AS (SELECT vec_id, cell FROM (
+        |  SELECT b.vec_id, c.cell, row_number() OVER (PARTITION BY b.vec_id ORDER BY list_distance(b.v, c.c), c.cell) AS rn
+        |  FROM base b CROSS JOIN c1 c) WHERE rn = 1),
+        |s2 AS (SELECT a1.cell, d.d, sum(CAST(floor(b.v[d.d]*1000000.0 + 0.5) AS BIGINT)) AS s, count(b.v[d.d]) AS n
+        |  FROM base b JOIN a1 USING (vec_id) CROSS JOIN generate_series(1,64) d(d) GROUP BY a1.cell, d.d),
+        |c1d AS (SELECT cell, d.d, c[d.d] AS x FROM c1 CROSS JOIN generate_series(1,64) d(d)),
+        |c2 AS (SELECT c1d.cell, list(CASE WHEN s2.n IS NOT NULL AND s2.n > 0
+        |              THEN CAST(CAST(CAST(s2.s AS DOUBLE)/(CAST(s2.n AS DOUBLE)*1000000.0) AS REAL) AS DOUBLE)
+        |              ELSE c1d.x END ORDER BY c1d.d) AS c
+        |  FROM c1d LEFT JOIN s2 ON s2.cell = c1d.cell AND s2.d = c1d.d GROUP BY c1d.cell),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |probed AS (SELECT cell FROM (
+        |  SELECT c.cell, row_number() OVER (ORDER BY list_distance((SELECT qe FROM q), c.c), c.cell) AS rn FROM c2 c) WHERE rn <= 6),
+        |a2 AS (SELECT vec_id, cell FROM (
+        |  SELECT b.vec_id, c.cell, row_number() OVER (PARTITION BY b.vec_id ORDER BY list_distance(b.v, c.c), c.cell) AS rn
+        |  FROM base b CROSS JOIN c2 c) WHERE rn = 1)
+        |SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS cos
+        |FROM embeddings e JOIN a2 USING (vec_id) JOIN probed p ON a2.cell = p.cell
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // MMR FULL replication (r17): the greedy Carbonell-Goldstein
+    // selection is k bounded steps over a 50-candidate window — a
+    // recursive CTE carries the chosen set and replays each argmax
+    // (objective desc, rel desc, id asc — the engine's tie tuple), with
+    // the similarity penalty recomputed from the same double-cast
+    // vectors the engine folds (the engine's pairwise kernel uses the
+    // CosineSim √·√ convention precisely so this expression matches).
+    "ann_mmr_rerank" ->
+      """WITH RECURSIVE
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM qv)),6) AS rel,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id <> 0 AND embedding IS NOT NULL
+        |  ORDER BY rel DESC, vec_id LIMIT 50),
+        |pairs AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j, list_cosine_similarity(a.v, b.v) AS s
+        |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        |sel AS (
+        |  (SELECT 1 AS rank, vec_id, rel, round(0.5*rel, 6) AS mmr_score, [vec_id] AS chosen
+        |   FROM cand ORDER BY 0.5*rel DESC, rel DESC, vec_id LIMIT 1)
+        |  UNION ALL
+        |  SELECT s.rank+1, n.vec_id, n.rel, round(n.obj,6), list_append(s.chosen, n.vec_id)
+        |  FROM sel s,
+        |  LATERAL (
+        |    SELECT c.vec_id, c.rel, 0.5*c.rel - 0.5*ms.m AS obj
+        |    FROM cand c
+        |    JOIN (SELECT p.i, max(p.s) AS m FROM pairs p WHERE list_contains(s.chosen, p.j) GROUP BY p.i) ms
+        |      ON ms.i = c.vec_id
+        |    WHERE NOT list_contains(s.chosen, c.vec_id)
+        |    ORDER BY obj DESC, c.rel DESC, c.vec_id LIMIT 1
+        |  ) n
+        |  WHERE s.rank < 10
+        |)
+        |SELECT CAST(rank AS INTEGER) AS rank, vec_id, rel, mmr_score FROM sel ORDER BY rank""".stripMargin,
+
+    // SQ8 FULL replication (r17): per-dim grid bounds are exact
+    // (min/max, order-free), the double-precision encode is the literal
+    // IEEE754 expression DuckDB evaluates — every stored code's integer
+    // moments recomputed and hash-checked.
+    "ann_sq8_build" ->
+      """WITH mm AS (
+        |  SELECT d, min(CAST(embedding[d] AS DOUBLE)) AS lo, max(CAST(embedding[d] AS DOUBLE)) AS hi
+        |  FROM embeddings CROSS JOIN generate_series(1,64) t(d)
+        |  WHERE embedding IS NOT NULL GROUP BY d),
+        |codes AS (
+        |  SELECT e.vec_id, m.d, m.lo, m.hi,
+        |         CASE WHEN m.hi <= m.lo THEN 0
+        |              ELSE least(255, greatest(0, CAST(round(255.0*(CAST(e.embedding[m.d] AS DOUBLE)-m.lo)/(m.hi-m.lo)) AS INTEGER))) END AS q
+        |  FROM embeddings e CROSS JOIN mm m WHERE e.embedding IS NOT NULL)
+        |SELECT CAST(d-1 AS INTEGER) AS d, any_value(lo) AS lo, any_value(hi) AS hi,
+        |       CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS sum_q,
+        |       CAST(min(q) AS INTEGER) AS min_q, CAST(max(q) AS INTEGER) AS max_q,
+        |       CAST(count(DISTINCT q) AS BIGINT) AS n_codes
+        |FROM codes GROUP BY d ORDER BY d""".stripMargin,
+
+    // The approx ranking is recomputed from the re-derived codes (same
+    // double dequantization expression), the top-50 rerank window's
+    // exact-cosine rescore replayed — candidate set AND scores checked.
+    "ann_sq8_topk" ->
+      """WITH mm AS (
+        |  SELECT d, min(CAST(embedding[d] AS DOUBLE)) AS lo, max(CAST(embedding[d] AS DOUBLE)) AS hi
+        |  FROM embeddings CROSS JOIN generate_series(1,64) t(d)
+        |  WHERE embedding IS NOT NULL GROUP BY d),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |deq AS (
+        |  SELECT e.vec_id, m.d,
+        |         CASE WHEN m.hi <= m.lo THEN m.lo
+        |              ELSE m.lo + least(255, greatest(0, CAST(round(255.0*(CAST(e.embedding[m.d] AS DOUBLE)-m.lo)/(m.hi-m.lo)) AS INTEGER)))*(m.hi-m.lo)/255.0 END AS x
+        |  FROM embeddings e CROSS JOIN mm m WHERE e.embedding IS NOT NULL),
+        |acos AS (
+        |  SELECT deq.vec_id,
+        |         sum(deq.x * qe[deq.d]) / sqrt(sum(deq.x*deq.x) * sum(qe[deq.d]*qe[deq.d])) AS a
+        |  FROM deq, qv GROUP BY deq.vec_id),
+        |cand AS (SELECT vec_id FROM acos ORDER BY a DESC, vec_id LIMIT 50)
+        |SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qe FROM qv)), 6) AS cos
+        |FROM embeddings e JOIN cand USING (vec_id)
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     "ann_bq_build" ->
       """WITH m AS (SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS mean

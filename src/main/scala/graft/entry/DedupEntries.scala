@@ -195,6 +195,60 @@ private[graft] object DedupEntries {
 
   val oracleSql: Map[String, String] = Map(
 
+    // SemDeDup FULL replication (r17): the fixed-point Lloyd means
+    // (Σ floor(x·10⁶+0.5) integer sums → one double division → REAL) make
+    // the whole k-means blocking trajectory bit-replayable — the oracle
+    // re-derives the md5-sampled seeds, replays both refinement rounds,
+    // takes each vector's 2 nearest cells (the multi-assign), and
+    // recomputes the in-cell exact-cosine verify. Cluster count scales
+    // with the corpus exactly as semanticAutoLists does (greatest(16,
+    // ceil(n·2/256))), so the same SQL gates every SF.
+    "dedup_semantic" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |nl AS (SELECT greatest(16, CAST(ceil(count(*) * 2.0 / 256) AS BIGINT)) AS n FROM base),
+        |c0 AS (
+        |  SELECT cell, c FROM (
+        |    SELECT row_number() OVER (ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id) - 1 AS cell, v AS c
+        |    FROM base)
+        |  WHERE cell < (SELECT n FROM nl)),
+        |a0 AS (SELECT vec_id, cell FROM (
+        |  SELECT b.vec_id, c.cell, row_number() OVER (PARTITION BY b.vec_id ORDER BY list_distance(b.v, c.c), c.cell) AS rn
+        |  FROM base b CROSS JOIN c0 c) WHERE rn = 1),
+        |s1 AS (
+        |  SELECT a0.cell, d.d,
+        |         sum(CAST(floor(b.v[d.d]*1000000.0 + 0.5) AS BIGINT)) AS s,
+        |         count(b.v[d.d]) AS n
+        |  FROM base b JOIN a0 USING (vec_id) CROSS JOIN generate_series(1,64) d(d)
+        |  GROUP BY a0.cell, d.d),
+        |c0d AS (SELECT cell, d.d, c[d.d] AS x FROM c0 CROSS JOIN generate_series(1,64) d(d)),
+        |c1 AS (
+        |  SELECT c0d.cell,
+        |         list(CASE WHEN s1.n IS NOT NULL AND s1.n > 0
+        |              THEN CAST(CAST(CAST(s1.s AS DOUBLE)/(CAST(s1.n AS DOUBLE)*1000000.0) AS REAL) AS DOUBLE)
+        |              ELSE c0d.x END ORDER BY c0d.d) AS c
+        |  FROM c0d LEFT JOIN s1 ON s1.cell = c0d.cell AND s1.d = c0d.d
+        |  GROUP BY c0d.cell),
+        |a1 AS (SELECT vec_id, cell FROM (
+        |  SELECT b.vec_id, c.cell, row_number() OVER (PARTITION BY b.vec_id ORDER BY list_distance(b.v, c.c), c.cell) AS rn
+        |  FROM base b CROSS JOIN c1 c) WHERE rn = 1),
+        |s2 AS (SELECT a1.cell, d.d, sum(CAST(floor(b.v[d.d]*1000000.0 + 0.5) AS BIGINT)) AS s, count(b.v[d.d]) AS n
+        |  FROM base b JOIN a1 USING (vec_id) CROSS JOIN generate_series(1,64) d(d) GROUP BY a1.cell, d.d),
+        |c1d AS (SELECT cell, d.d, c[d.d] AS x FROM c1 CROSS JOIN generate_series(1,64) d(d)),
+        |c2 AS (SELECT c1d.cell, list(CASE WHEN s2.n IS NOT NULL AND s2.n > 0
+        |              THEN CAST(CAST(CAST(s2.s AS DOUBLE)/(CAST(s2.n AS DOUBLE)*1000000.0) AS REAL) AS DOUBLE)
+        |              ELSE c1d.x END ORDER BY c1d.d) AS c
+        |  FROM c1d LEFT JOIN s2 ON s2.cell = c1d.cell AND s2.d = c1d.d GROUP BY c1d.cell),
+        |cells AS (SELECT vec_id, cell FROM (
+        |  SELECT b.vec_id, c.cell, row_number() OVER (PARTITION BY b.vec_id ORDER BY list_distance(b.v, c.c), c.cell) AS rn
+        |  FROM base b CROSS JOIN c2 c) WHERE rn <= 2)
+        |SELECT DISTINCT l.vec_id AS a, r.vec_id AS b,
+        |       round(list_cosine_similarity(bl.v, br.v), 6) AS cos
+        |FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id < r.vec_id
+        |JOIN base bl ON bl.vec_id = l.vec_id
+        |JOIN base br ON br.vec_id = r.vec_id
+        |WHERE round(list_cosine_similarity(bl.v, br.v), 6) >= 0.35
+        |ORDER BY a, b""".stripMargin,
+
     // FULL LSH replication (r16): the oracle recomputes the md5-based
     // signatures, band keys, candidate set, AND the Jaccard verify — so
     // banding recall loss is part of the checked contract, not an excuse

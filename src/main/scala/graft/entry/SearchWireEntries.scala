@@ -2071,6 +2071,31 @@ private[graft] object SearchWireEntries {
 
   val oracleSql: Map[String, String] = Map(
 
+    // The wire knn-ivf path is scoreAgainstIvf against the SAME memoized
+    // index, query vector (float→text→float round-trips exactly), k and
+    // nprobe as the structured ann_ivf_topk — and that coarse quantizer
+    // is fully oracle-checked since r16 (md5-sampled centroids, argmin
+    // replay), so this key shares the oracle verbatim (r17, the
+    // ann_lsh_serving precedent).
+    "search_dsl_json_knn_ivf" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id) - 1 AS cell,
+        |         CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |  ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
+        |  LIMIT 16),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |probed AS (SELECT cell FROM (
+        |  SELECT c.cell, row_number() OVER (ORDER BY list_distance((SELECT qe FROM q), c.c), c.cell) AS rn
+        |  FROM cents c) WHERE rn <= 6),
+        |dists AS (SELECT e.vec_id, c.cell, list_distance(CAST(e.embedding AS DOUBLE[]), c.c) AS d
+        |          FROM embeddings e CROSS JOIN cents c WHERE e.embedding IS NOT NULL),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dists) WHERE rn = 1)
+        |SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS cos
+        |FROM embeddings e JOIN assign a USING (vec_id) JOIN probed p ON a.cell = p.cell
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
     // indexed edge-ngram (2..8) membership of 'spa' ≡ a token with that
     // prefix (the prefix length is inside the gram range)
     "search_dsl_json_match_sayt" ->

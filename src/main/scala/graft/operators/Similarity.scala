@@ -82,10 +82,14 @@ object Similarity {
       .limit(window)
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    // The CosineSim fold's convention (dot / (√na·√nb), r17 — was
+    // √(na·nb)): the similarity-penalty kernel is then the same
+    // expression the oracle's list_cosine_similarity evaluates, ulps
+    // aside — part of the ann_mmr_rerank full-oracle promotion.
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length && i < b.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
     val selected = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]() // (id, rel, mmr)
     val remaining = scala.collection.mutable.ArrayBuffer(cand.indices: _*)
@@ -424,17 +428,37 @@ object Similarity {
       // same class as the centroid array itself.
       // `get` (0-based) not `element_at`: null — not an ANSI error — past a
       // ragged vector's end, matching the explode plan's missing-dim rows.
-      val meanCols = (0 until dim).map(k => avg(get(col(vecCol), lit(k))).as(s"m$k"))
+      // EXACT fixed-point means (r17, was float avg): per dim the cell
+      // accumulates Σ floor(x·10⁶ + 0.5) as a LONG — an integer sum, so
+      // the value is partition-order-proof — and the mean is ONE double
+      // division S/(n·10⁶) at the end. The whole Lloyd trajectory is then
+      // bit-replayable by a SQL engine (the promotion that takes
+      // ann_ivf_kmeans_topk and dedup_semantic to full oracle), where the
+      // float-avg form depended on double summation order. Quantization
+      // error ≤ 5·10⁻⁷ per dim per round — two decades inside the float32
+      // grid the centroid lands in anyway (the stored value is .toFloat).
+      val aggCols = (0 until dim).flatMap { k =>
+        val x = get(col(vecCol), lit(k)).cast("double")
+        Seq(
+          sum(floor(x * lit(1e6) + lit(0.5)).cast("long")).as(s"s$k"),
+          count(x).as(s"n$k")
+        )
+      }
       val means = graft.Tables
         .ensureParallelism(base)
         .groupBy(assignCell(cents, col(vecCol)).as("cell"))
-        .agg(meanCols.head, meanCols.tail: _*)
+        .agg(aggCols.head, aggCols.tail: _*)
         .collect()
       val next = cents.map(_.clone())
       means.foreach { r =>
         val cell = r.getInt(0)
         var k = 0
-        while (k < dim) { if (!r.isNullAt(k + 1)) next(cell)(k) = r.getDouble(k + 1).toFloat; k += 1 }
+        while (k < dim) {
+          val n = if (r.isNullAt(2 + 2 * k)) 0L else r.getLong(2 + 2 * k)
+          if (n > 0 && !r.isNullAt(1 + 2 * k))
+            next(cell)(k) = (r.getLong(1 + 2 * k).toDouble / (n.toDouble * 1e6)).toFloat
+          k += 1
+        }
       }
       cents = next
     }
@@ -1096,13 +1120,19 @@ object Similarity {
     val lo = new Array[Float](dim)
     val hi = new Array[Float](dim)
     mm.foreach(r => { lo(r.getInt(0)) = r.getFloat(1); hi(r.getInt(0)) = r.getFloat(2) })
+    // Encode arithmetic runs in DOUBLE (r17, was float32): the grid math
+    // is then the literal IEEE754 expression a SQL engine evaluates, so
+    // the whole code table is DuckDB-recomputable — the promotion that
+    // takes ann_sq8_* from rows-only to fully oracle-checked. (float32
+    // intermediates differed from the replay by one code step at
+    // round-to-half boundaries.)
     val encode = udf { (v: Seq[Float]) =>
       val out = new Array[Byte](v.length)
       var j = 0
       while (j < v.length) {
-        val span = hi(j) - lo(j)
-        val q = if (span <= 0f) 0 else math.round(255f * (v(j) - lo(j)) / span)
-        out(j) = (math.max(0, math.min(255, q)) - 128).toByte // stored signed, +128 on decode
+        val span = hi(j).toDouble - lo(j).toDouble
+        val q = if (span <= 0d) 0L else math.round(255.0 * (v(j).toDouble - lo(j).toDouble) / span)
+        out(j) = (math.max(0L, math.min(255L, q)) - 128).toByte // stored signed, +128 on decode
         j += 1
       }
       out
@@ -1130,13 +1160,18 @@ object Similarity {
     val lo = index.lo
     val hi = index.hi
     val q = query.toArray
+    // Dequantization in DOUBLE to mirror the encode (r17): x' is the
+    // exact expression lo + q·span/255 the oracle recomputes; ranking
+    // drift vs the replay is then only summation order (ulps), which the
+    // exact top-k rescore absorbs away from the rerank boundary.
     val approx = udf { (code: Array[Byte]) =>
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var j = 0
       while (j < code.length) {
-        val span = hi(j) - lo(j)
-        val x = lo(j) + (code(j) + 128) * span / 255f
-        dot += x * q(j); na += x * x; nb += q(j) * q(j)
+        val span = hi(j).toDouble - lo(j).toDouble
+        val x = lo(j).toDouble + (code(j) + 128).toDouble * span / 255.0
+        val y = q(j).toDouble
+        dot += x * y; na += x * x; nb += y * y
         j += 1
       }
       if (na == 0 || nb == 0) -1.0 else dot / math.sqrt(na * nb)
