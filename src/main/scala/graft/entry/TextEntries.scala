@@ -404,9 +404,10 @@ private[graft] object TextEntries {
     // Corpus cartography: k-means topic clusters over the embedding
     // space labeled with each cluster's most discriminative terms
     // (cluster-TF × corpus-IDF over per-doc distinct tokens, top-3 off
-    // the bounded-heap TopKPerKey). k-means is not SQL-expressible →
-    // rows-only at the gate; PipelineOpsSpec pins the contracts
-    // (partition invariance, size conservation, exclusive-term ranking).
+    // the bounded-heap TopKPerKey). r17: the fixed-point Lloyd means make
+    // the k-means blocking SQL-replayable, so the WHOLE operator is
+    // oracle-checked; PipelineOpsSpec contracts (partition invariance,
+    // size conservation, exclusive-term ranking) retained.
     "text_cluster_topics" -> ((s, dir) =>
       operators.ClusterTopics
         .clusterTopics(
@@ -938,6 +939,52 @@ private[graft] object TextEntries {
       """SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
         |       CAST(len(list_distinct(string_split(lower(text), ' '))) AS INTEGER) AS n_distinct
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Corpus-cartography FULL replication (r17): the k-means blocking is
+    // the shared IVF trainer, whose fixed-point Lloyd means are now
+    // bit-replayable in SQL (see ann_ivf_kmeans_topk); the TF×IDF term
+    // scoring and bounded top-3 ranking were always SQL — so the whole
+    // operator promotes from rows-only to hash-checked.
+    "text_cluster_topics" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id) - 1 AS cell, v AS c
+        |  FROM base
+        |  ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
+        |  LIMIT 8),
+        |a0 AS (SELECT vec_id, cell FROM (
+        |  SELECT b.vec_id, c.cell, row_number() OVER (PARTITION BY b.vec_id ORDER BY list_distance(b.v, c.c), c.cell) AS rn
+        |  FROM base b CROSS JOIN c0 c) WHERE rn = 1),
+        |s1 AS (SELECT a0.cell, d.d, sum(CAST(floor(b.v[d.d]*1000000.0 + 0.5) AS BIGINT)) AS s, count(b.v[d.d]) AS n
+        |  FROM base b JOIN a0 USING (vec_id) CROSS JOIN generate_series(1,64) d(d) GROUP BY a0.cell, d.d),
+        |c0d AS (SELECT cell, d.d, c[d.d] AS x FROM c0 CROSS JOIN generate_series(1,64) d(d)),
+        |c1 AS (SELECT c0d.cell, list(CASE WHEN s1.n IS NOT NULL AND s1.n > 0
+        |        THEN CAST(CAST(CAST(s1.s AS DOUBLE)/(CAST(s1.n AS DOUBLE)*1000000.0) AS REAL) AS DOUBLE)
+        |        ELSE c0d.x END ORDER BY c0d.d) AS c
+        |  FROM c0d LEFT JOIN s1 ON s1.cell = c0d.cell AND s1.d = c0d.d GROUP BY c0d.cell),
+        |a1 AS (SELECT vec_id, cell FROM (
+        |  SELECT b.vec_id, c.cell, row_number() OVER (PARTITION BY b.vec_id ORDER BY list_distance(b.v, c.c), c.cell) AS rn
+        |  FROM base b CROSS JOIN c1 c) WHERE rn = 1),
+        |s2 AS (SELECT a1.cell, d.d, sum(CAST(floor(b.v[d.d]*1000000.0 + 0.5) AS BIGINT)) AS s, count(b.v[d.d]) AS n
+        |  FROM base b JOIN a1 USING (vec_id) CROSS JOIN generate_series(1,64) d(d) GROUP BY a1.cell, d.d),
+        |c1d AS (SELECT cell, d.d, c[d.d] AS x FROM c1 CROSS JOIN generate_series(1,64) d(d)),
+        |c2 AS (SELECT c1d.cell, list(CASE WHEN s2.n IS NOT NULL AND s2.n > 0
+        |        THEN CAST(CAST(CAST(s2.s AS DOUBLE)/(CAST(s2.n AS DOUBLE)*1000000.0) AS REAL) AS DOUBLE)
+        |        ELSE c1d.x END ORDER BY c1d.d) AS c
+        |  FROM c1d LEFT JOIN s2 ON s2.cell = c1d.cell AND s2.d = c1d.d GROUP BY c1d.cell),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT b.vec_id, c.cell, row_number() OVER (PARTITION BY b.vec_id ORDER BY list_distance(b.v, c.c), c.cell) AS rn
+        |  FROM base b CROSS JOIN c2 c) WHERE rn = 1),
+        |sizes AS (SELECT cell, count(*) AS n_docs FROM assign GROUP BY cell),
+        |docterms AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text),' '))) AS term FROM documents),
+        |corpus AS (SELECT term, count(*) AS df FROM docterms GROUP BY term),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |cellterm AS (SELECT a.cell, dt.term, count(*) AS cf FROM docterms dt JOIN assign a ON a.vec_id = dt.doc_id GROUP BY a.cell, dt.term),
+        |scored AS (SELECT ct.cell, s.n_docs, ct.term, ct.cf,
+        |   round(CAST(ct.cf AS DOUBLE)/s.n_docs * ln(CAST((SELECT n FROM nd) AS DOUBLE)/c.df), 6) AS score
+        |   FROM cellterm ct JOIN corpus c USING (term) JOIN sizes s USING (cell)),
+        |ranked AS (SELECT CAST(cell AS INTEGER) AS cell, n_docs, CAST(row_number() OVER (PARTITION BY cell ORDER BY score DESC, term) AS INTEGER) AS rank, term, cf, score FROM scored)
+        |SELECT cell, n_docs, rank, term, cf, score FROM ranked WHERE rank <= 3 ORDER BY cell, rank""".stripMargin,
 
     "text_chunk_sliding" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

@@ -187,7 +187,8 @@ object Aggs {
       df: DataFrame,
       field: Column,
       ranges: Seq[(String, Option[String], Option[String])],
-      timeZone: Option[String] = None
+      timeZone: Option[String] = None,
+      metrics: Seq[Column] = Nil
   ): DataFrame = {
     // time_zone: the from/to strings are WALL-CLOCK datetimes in the
     // given zone — each boundary converts to its UTC instant once
@@ -203,10 +204,12 @@ object Aggs {
       ).flatten
       acc.when(conds.reduceOption(_ && _).getOrElse(lit(true)), label)
     }
-    df.select(bucket.as("bucket"))
-      .filter(col("bucket").isNotNull)
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("doc_count"))
+    // metric sub-aggs ride the same hash aggregate (r17, the rangeAgg
+    // fix's twin) — keep the source columns in scope
+    df.withColumn("_range_bucket", bucket)
+      .filter(col("_range_bucket").isNotNull)
+      .groupBy(col("_range_bucket").as("bucket"))
+      .agg(count(lit(1)).as("doc_count"), metrics: _*)
       .orderBy("bucket")
   }
 
@@ -672,25 +675,45 @@ object Aggs {
       field: Column,
       width: Double,
       metrics: Seq[Column],
-      offset: Double = 0.0
-  ): DataFrame =
+      offset: Double = 0.0,
+      minDocCount: Long = 1L
+  ): DataFrame = {
     // offset shifts bucket boundaries: key = floor((x − o) / w)·w + o
-    // (the OpenSearch histogram option; 0 keeps the plain grid)
-    df.filter(field.isNotNull)
+    // (the OpenSearch histogram option; 0 keeps the plain grid).
+    // min_doc_count: a bucket-table HAVING, like the terms path (r17 —
+    // the option was previously read nowhere on histogram, so a request
+    // carrying it silently got the unfiltered buckets; found by the
+    // AggsFuzzSpec strict-options sweep). The engine's bucket shape is
+    // the SQL group — only occupied buckets exist — so the default is 1
+    // and 0 (OpenSearch's empty-bucket fill) is rejected loudly upstream.
+    val buckets = df
+      .filter(field.isNotNull)
       .groupBy((floor((field - offset) / width) * width + offset).as("bucket"))
       .agg(count(lit(1)).as("doc_count"), metrics: _*)
+    (if (minDocCount > 1L) buckets.filter(col("doc_count") >= minDocCount) else buckets)
       .orderBy("bucket")
+  }
 
-  /** `range` aggregation: explicit [from, to) buckets keyed by label. */
-  def rangeAgg(df: DataFrame, field: Column, ranges: Seq[(String, Option[Double], Option[Double])]): DataFrame = {
+  /** `range` aggregation: explicit [from, to) buckets keyed by label.
+    * Metric sub-aggregations ride the same hash aggregate (r17 — they
+    * were silently dropped here, the same degradation class the
+    * histogram fix retired in r14; found by the AggsFuzzSpec
+    * strict-options sweep), so the source columns stay in scope.
+    */
+  def rangeAgg(
+      df: DataFrame,
+      field: Column,
+      ranges: Seq[(String, Option[Double], Option[Double])],
+      metrics: Seq[Column] = Nil
+  ): DataFrame = {
     val bucket = ranges.foldLeft(when(lit(false), "")) { case (acc, (label, from, to)) =>
       val cond = Seq(from.map(field >= _), to.map(field < _)).flatten.reduceOption(_ && _).getOrElse(lit(true))
       acc.when(cond, label)
     }
-    df.select(bucket.as("bucket"))
-      .filter(col("bucket").isNotNull)
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("doc_count"))
+    df.withColumn("_range_bucket", bucket)
+      .filter(col("_range_bucket").isNotNull)
+      .groupBy(col("_range_bucket").as("bucket"))
+      .agg(count(lit(1)).as("doc_count"), metrics: _*)
       .orderBy("bucket")
   }
 

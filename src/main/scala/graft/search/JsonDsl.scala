@@ -3050,12 +3050,22 @@ object JsonDsl {
         // were silently dropped here — the degradation class the
         // strict-options rule bans)
         val metrics = subAggs.map(sa => sa.fields().asScala.toSeq.map(roundedMetric)).getOrElse(Nil)
+        // min_doc_count ≥ 1 is a bucket HAVING (r17 strict-options fix:
+        // previously read nowhere here — silently unfiltered); 0 means
+        // OpenSearch's empty-bucket fill, which the numeric histogram
+        // doesn't implement — reject, don't no-op.
+        val histMinDc = Option(body.get("min_doc_count")).map(_.asLong).getOrElse(1L)
+        require(
+          histMinDc >= 1L,
+          "histogram min_doc_count=0 (empty-bucket fill) is unsupported — occupied buckets only"
+        )
         Aggs.histogramWith(
           df,
           field,
           req(body, "interval", "histogram").asDouble,
           metrics,
-          Option(body.get("offset")).map(_.asDouble).getOrElse(0.0)
+          Option(body.get("offset")).map(_.asDouble).getOrElse(0.0),
+          histMinDc
         )
       case "range" =>
         val ranges = req(body, "ranges", "range aggregation").elements().asScala.toSeq.map { r =>
@@ -3066,7 +3076,9 @@ object JsonDsl {
             .getOrElse(s"${from.map(_.toString).getOrElse("*")}-${to.map(_.toString).getOrElse("*")}")
           (key, from, to)
         }
-        Aggs.rangeAgg(df, field, ranges)
+        // metric sub-aggs ride the same hash aggregate (r17 — previously
+        // silently dropped here, the histogram fix's twin)
+        Aggs.rangeAgg(df, field, ranges, subAggs.map(sa => sa.fields().asScala.toSeq.map(roundedMetric)).getOrElse(Nil))
       case "date_range" =>
         val ranges = req(body, "ranges", "date_range aggregation").elements().asScala.toSeq.map { r =>
           val from = Option(r.get("from")).map(_.asText)
@@ -3076,7 +3088,13 @@ object JsonDsl {
             .getOrElse(s"${from.getOrElse("*")}-${to.getOrElse("*")}")
           (key, from, to)
         }
-        Aggs.dateRangeAgg(df, field, ranges, Option(body.get("time_zone")).map(_.asText))
+        Aggs.dateRangeAgg(
+          df,
+          field,
+          ranges,
+          Option(body.get("time_zone")).map(_.asText),
+          subAggs.map(sa => sa.fields().asScala.toSeq.map(roundedMetric)).getOrElse(Nil)
+        )
       case "top_metrics" =>
         val ms = req(body, "metrics", "top_metrics")
         val metricList = (if (ms.isArray) ms.elements().asScala.toSeq else Seq(ms)).map { m =>
@@ -3438,6 +3456,13 @@ object JsonDsl {
     require(e.getValue.isObject && e.getValue.size == 1, s"metric '$name' must have exactly one type")
     val mType = e.getValue.fieldNames().next()
     val spec = e.getValue.get(mType)
+    // strict-options rule: the rich tier's sketch/decimal pipelines don't
+    // implement the per-metric missing substitution — reject loudly
+    // rather than compute the unsubstituted answer under the option's name
+    require(
+      spec.get("missing") == null,
+      s"metric '$name' ($mType): per-metric 'missing' is unsupported on the $mType tier"
+    )
     val f = col(req(spec, "field", s"metric '$name' ($mType)").asText)
     val approx = Option(spec.get("approx")).exists(_.asBoolean)
     // Grouped sketch accuracy 2000 (rank error ≤ 5e-4): the per-GROUP
@@ -3524,15 +3549,35 @@ object JsonDsl {
       e.getValue.isObject && e.getValue.size == 1 && e.getValue.has("avg"),
       s"only avg metrics are supported here, got: ${e.getValue}"
     )
+    // strict-options rule: the decimal pipeline doesn't substitute —
+    // reject rather than silently ignore the option
+    require(
+      e.getValue.get("avg").get("missing") == null,
+      s"metric '${e.getKey}': per-metric 'missing' is unsupported on the decimal-avg tier"
+    )
     val f = col(req(e.getValue.get("avg"), "field", s"metric '${e.getKey}'").asText)
     round(sum(f.cast("decimal(12,2)")).cast("double") / count(lit(1)), 6).as(e.getKey)
+  }
+
+  /** The metric's value source: `field`, with the per-METRIC `missing:`
+    * substitution applied when present (OpenSearch: a metric-level
+    * missing treats docs without the field as the given value — distinct
+    * from the bucket-level missing, which substitutes the GROUP key).
+    * r17 strict-options fix: this key was read nowhere on the simple
+    * metric path, so `"avg": {"field": f, "missing": v}` silently
+    * computed the plain avg — exactly the silently-no-op class the
+    * AggsFuzzSpec sweep now hunts.
+    */
+  private def metricSource(spec: JsonNode, who: String): Column = {
+    val f = col(req(spec, "field", who).asText)
+    Option(spec.get("missing")).map(m => coalesce(f, lit(scalarValue(m)))).getOrElse(f)
   }
 
   private def roundedMetric(e: java.util.Map.Entry[String, JsonNode]): Column = {
     val name = e.getKey
     require(e.getValue.isObject && e.getValue.size == 1, s"metric '$name' must have exactly one type")
     val mType = e.getValue.fieldNames().next()
-    val f = col(req(e.getValue.get(mType), "field", s"metric '$name' ($mType)").asText)
+    val f = metricSource(e.getValue.get(mType), s"metric '$name' ($mType)")
     roundedMetricOf(mType, f).as(name)
   }
 
@@ -3544,7 +3589,7 @@ object JsonDsl {
       val name = e.getKey
       require(e.getValue.isObject && e.getValue.size == 1, s"metric '$name' must have exactly one type")
       val mType = e.getValue.fieldNames().next()
-      val f = col(req(e.getValue.get(mType), "field", s"metric '$name' ($mType)").asText)
+      val f = metricSource(e.getValue.get(mType), s"metric '$name' ($mType)")
       val c = mType match {
         case "sum"         => sum(f)
         case "avg"         => avg(f)

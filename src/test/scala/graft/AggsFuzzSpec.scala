@@ -518,4 +518,93 @@ class AggsFuzzSpec extends SparkSpec {
       .collect()
     assert(th.forall(r => r.get(r.fieldIndex("grp")) != null), "top_hits emitted a null group")
   }
+
+  // ── strict-options sweep (r17 verdict #3) ───────────────────────────
+  // Two silently-dropped-option bugs in two rounds (r14: histogram
+  // sub-metrics; r15: geo_line `missing:`) were each found by a human
+  // reviewer, not the suite. This arm encodes the rule the fixes
+  // established: EVERY supported option on a bucket-agg body, exercised
+  // on data crafted so it MUST matter, either changes the result or is
+  // rejected loudly (IllegalArgumentException). A with/without pair that
+  // parses to identical output is exactly a silently-no-op option — the
+  // class this arm exists to catch before a reviewer does.
+  test("strict options: every bucket-agg option changes output or rejects loudly") {
+    val mapping = IndexMapping(Map("tag" -> "keyword"))
+    def runOn(data: org.apache.spark.sql.DataFrame, body: String): Either[Throwable, (Seq[String], Seq[String])] =
+      try {
+        val df = JsonDsl.parse(data, body, mapping)
+        // emitted ORDER is part of the contract (order: options reorder
+        // without changing the bucket set) — compare rows as emitted
+        Right((df.columns.toSeq, df.collect().toSeq.map(_.toString)))
+      } catch { case e: IllegalArgumentException => Left(e) }
+    def run(body: String): Either[Throwable, (Seq[String], Seq[String])] = runOn(frame, body)
+    def probeOn(data: org.apache.spark.sql.DataFrame)(label: String, without: String, withOpt: String): Unit =
+      (runOn(data, without), runOn(data, withOpt)) match {
+        case (Right(a), Right(b)) =>
+          assert(a != b, s"$label: option present but output identical — silently dropped?\nbody: $withOpt\nrows: ${b._2.take(5)}")
+        case (Right(_), Left(_)) => () // loud rejection satisfies the rule
+        case (Left(e), _) =>
+          fail(s"$label: the BASELINE body (no option) must parse, got: ${e.getMessage}")
+      }
+    def probe(label: String, without: String, withOpt: String): Unit =
+      (run(without), run(withOpt)) match {
+        case (Right(a), Right(b)) =>
+          assert(a != b, s"$label: option present but output identical — silently dropped?\nbody: $withOpt\nrows: ${b._2.take(5)}")
+        case (Right(_), Left(_)) => () // loud rejection satisfies the rule
+        case (Left(e), _) =>
+          fail(s"$label: the BASELINE body (no option) must parse, got: ${e.getMessage}")
+      }
+
+    val termsBase = """{"aggs": {"b": {"terms": {"field": "tag"}}}}"""
+    probe("terms.size", termsBase, """{"aggs": {"b": {"terms": {"field": "tag", "size": 3}}}}""")
+    probe("terms.order._key", termsBase, """{"aggs": {"b": {"terms": {"field": "tag", "order": {"_key": "asc"}}}}}""")
+    probe("terms.order._count", termsBase, """{"aggs": {"b": {"terms": {"field": "tag", "order": {"_count": "asc"}}}}}""")
+    probe("terms.missing", termsBase, """{"aggs": {"b": {"terms": {"field": "tag", "missing": "zzz"}}}}""")
+    probe("terms.min_doc_count", termsBase, """{"aggs": {"b": {"terms": {"field": "tag", "min_doc_count": 40}}}}""")
+    probe("terms sub-metric", termsBase,
+      """{"aggs": {"b": {"terms": {"field": "tag"}, "aggs": {"m0": {"sum": {"field": "price"}}}}}}""")
+    val termsSub = """{"aggs": {"b": {"terms": {"field": "tag"}, "aggs": {"m0": {"avg": {"field": "price"}}}}}}"""
+    probe("terms.order.<metric>", termsSub,
+      """{"aggs": {"b": {"terms": {"field": "tag", "order": {"m0": "asc"}}, "aggs": {"m0": {"avg": {"field": "price"}}}}}}""")
+    probe("terms metric.missing", termsSub,
+      """{"aggs": {"b": {"terms": {"field": "tag"}, "aggs": {"m0": {"avg": {"field": "price", "missing": 500}}}}}}""")
+
+    val histBase = """{"aggs": {"b": {"histogram": {"field": "price", "interval": 10}}}}"""
+    probe("histogram.offset", histBase, """{"aggs": {"b": {"histogram": {"field": "price", "interval": 10, "offset": 2.5}}}}""")
+    probe("histogram.missing", histBase, """{"aggs": {"b": {"histogram": {"field": "price", "interval": 10, "missing": 3.14}}}}""")
+    probe("histogram sub-metric", histBase,
+      """{"aggs": {"b": {"histogram": {"field": "price", "interval": 10}, "aggs": {"m0": {"sum": {"field": "qty"}}}}}}""")
+    probe("histogram.min_doc_count", histBase,
+      """{"aggs": {"b": {"histogram": {"field": "price", "interval": 10, "min_doc_count": 20}}}}""")
+
+    val dhBase = """{"aggs": {"b": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}}}"""
+    probe("date_histogram.time_zone", dhBase,
+      """{"aggs": {"b": {"date_histogram": {"field": "ts", "calendar_interval": "day", "time_zone": "Asia/Tokyo"}}}}""")
+    probe("date_histogram.offset", dhBase,
+      """{"aggs": {"b": {"date_histogram": {"field": "ts", "calendar_interval": "day", "offset": "+6h"}}}}""")
+    probe("date_histogram sub-metric", dhBase,
+      """{"aggs": {"b": {"date_histogram": {"field": "ts", "calendar_interval": "day"}, "aggs": {"m0": {"sum": {"field": "price"}}}}}}""")
+    probe("date_histogram.min_doc_count=0", // empty-day fill on the 180-day corpus
+      """{"aggs": {"b": {"date_histogram": {"field": "ts", "calendar_interval": "day"}, "aggs": {"m0": {"sum": {"field": "price"}}}}}}""",
+      """{"aggs": {"b": {"date_histogram": {"field": "ts", "calendar_interval": "day", "min_doc_count": 0}, "aggs": {"m0": {"sum": {"field": "price"}}}}}}""")
+
+    val rangeBase = """{"aggs": {"b": {"range": {"field": "price", "ranges": [{"to": 50}, {"from": 50}]}}}}"""
+    probe("range sub-metric", rangeBase,
+      """{"aggs": {"b": {"range": {"field": "price", "ranges": [{"to": 50}, {"from": 50}]}, "aggs": {"m0": {"sum": {"field": "qty"}}}}}}""")
+    probe("range.keyed", rangeBase,
+      """{"aggs": {"b": {"range": {"field": "price", "ranges": [{"key": "low", "to": 50}, {"key": "high", "from": 50}]}}}}""")
+
+    val dateRangeBase =
+      """{"aggs": {"b": {"date_range": {"field": "ts", "ranges": [{"to": "2024-04-01"}, {"from": "2024-04-01"}]}}}}"""
+    probe("date_range sub-metric", dateRangeBase,
+      """{"aggs": {"b": {"date_range": {"field": "ts", "ranges": [{"to": "2024-04-01"}, {"from": "2024-04-01"}]}, "aggs": {"m0": {"sum": {"field": "qty"}}}}}}""")
+    // time_zone's reassignment window is the 9 h before each boundary's
+    // UTC midnight — the fuzz corpus happens to have no doc there, so
+    // this probe crafts one doc INSIDE the window (the option's effect
+    // must be certain, not likely, for a silently-dropped check)
+    val tzFrame = frame.sparkSession.sql("SELECT CAST('2024-03-31 20:00:00' AS TIMESTAMP) AS ts")
+    probeOn(tzFrame)("date_range.time_zone",
+      """{"aggs": {"b": {"date_range": {"field": "ts", "ranges": [{"to": "2024-04-01"}, {"from": "2024-04-01"}]}}}}""",
+      """{"aggs": {"b": {"date_range": {"field": "ts", "ranges": [{"to": "2024-04-01"}, {"from": "2024-04-01"}], "time_zone": "Asia/Tokyo"}}}}""")
+  }
 }
