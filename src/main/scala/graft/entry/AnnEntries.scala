@@ -568,6 +568,199 @@ private[graft] object AnnEntries {
         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dists) WHERE rn = 1)
         |SELECT CAST(cell AS INTEGER) AS cell, count(*) AS n_vectors FROM assign GROUP BY cell ORDER BY cell""".stripMargin,
 
+    // The PQ/OPQ build keys emit the coarse-cell occupancy histogram of
+    // the SAME md5-sampled 16-cell quantizer (pqIndex/opqIndex/
+    // opqIndexFull all call ivfIndex(nLists=16); encodeUdf picks the
+    // cell from the RAW vector before any residual rotation or
+    // codebook, so the emitted histogram is codebook- and rotation-
+    // independent by construction) — ann_ivf_build's full replication
+    // applies verbatim, checked independently per key. The codebook/
+    // rotation training itself stays ReplicaSpec-verified
+    // (reconstruction-error monotonicity, recall floors, OPQ ≤ PQ
+    // distortion).
+    "ann_ivf_pq_build" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id) - 1 AS cell,
+        |         CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |  ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
+        |  LIMIT 16),
+        |dists AS (SELECT e.vec_id, c.cell, list_distance(CAST(e.embedding AS DOUBLE[]), c.c) AS d
+        |          FROM embeddings e CROSS JOIN cents c WHERE e.embedding IS NOT NULL),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dists) WHERE rn = 1)
+        |SELECT CAST(cell AS INTEGER) AS cell, count(*) AS n_vectors FROM assign GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "ann_ivf_opq_build" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id) - 1 AS cell,
+        |         CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |  ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
+        |  LIMIT 16),
+        |dists AS (SELECT e.vec_id, c.cell, list_distance(CAST(e.embedding AS DOUBLE[]), c.c) AS d
+        |          FROM embeddings e CROSS JOIN cents c WHERE e.embedding IS NOT NULL),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dists) WHERE rn = 1)
+        |SELECT CAST(cell AS INTEGER) AS cell, count(*) AS n_vectors FROM assign GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "ann_ivf_opq_full_build" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id) - 1 AS cell,
+        |         CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |  ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
+        |  LIMIT 16),
+        |dists AS (SELECT e.vec_id, c.cell, list_distance(CAST(e.embedding AS DOUBLE[]), c.c) AS d
+        |          FROM embeddings e CROSS JOIN cents c WHERE e.embedding IS NOT NULL),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dists) WHERE rn = 1)
+        |SELECT CAST(cell AS INTEGER) AS cell, count(*) AS n_vectors FROM assign GROUP BY cell ORDER BY cell""".stripMargin,
+
+    // FULL PQ replication (r17): the training trajectory is
+    // deterministic and SQL-expressible end-to-end — seed codebooks
+    // from the md5(id||":pq")-ordered residual sample (the salt keeps
+    // seeds off the coarse-centroid rows, whose residuals are exactly
+    // zero), ONE per-subspace Lloyd round with EXACT fixed-point means
+    // (Σ floor(x·10⁶+0.5) BIGINT sums, one double division, cast
+    // through REAL — the ivfRefine idiom), residuals in double
+    // everywhere. DuckDB re-derives seeds → codebooks → every stored
+    // code → the query's per-cell ADC tables (list_dot_product(diff,
+    // diff): the same sequential j-ascending fold as the JVM loop) →
+    // the rank-50 ADC window → the exact-cosine rescore. Approximation
+    // lives only in recall; the emitted rows are bit-checked.
+    "ann_ivf_pq_topk" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |cents AS (
+        |  SELECT row_number() OVER (ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id) - 1 AS cell, v AS c
+        |  FROM base
+        |  ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
+        |  LIMIT 16),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT b.vec_id, c.cell, row_number() OVER (PARTITION BY b.vec_id ORDER BY list_distance(b.v, c.c), c.cell) AS rn
+        |  FROM base b CROSS JOIN cents c) WHERE rn = 1),
+        |resid AS (
+        |  SELECT b.vec_id, a.cell, list_transform(generate_series(1,64), d -> b.v[d] - c.c[d]) AS r
+        |  FROM base b JOIN assign a USING (vec_id) JOIN cents c ON c.cell = a.cell),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)||':pq'),1,15)) AS BIGINT), vec_id) - 1 AS code,
+        |         list_transform(r, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS sr
+        |  FROM resid
+        |  ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)||':pq'),1,15)) AS BIGINT), vec_id
+        |  LIMIT 16),
+        |b0 AS (SELECT m.m AS sub, s.code, list_slice(s.sr, m.m*8+1, m.m*8+8) AS bk
+        |       FROM seeds s CROSS JOIN generate_series(0,7) m(m)),
+        |subres AS (SELECT vec_id, m.m AS sub, list_slice(r, m.m*8+1, m.m*8+8) AS sr
+        |           FROM resid CROSS JOIN generate_series(0,7) m(m)),
+        |la AS (SELECT vec_id, sub, code FROM (
+        |  SELECT s.vec_id, s.sub, b.code,
+        |         row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY list_distance(s.sr, b.bk), b.code) AS rn
+        |  FROM subres s JOIN b0 b ON b.sub = s.sub) WHERE rn = 1),
+        |ms AS (SELECT la.sub, la.code, d.d,
+        |              sum(CAST(floor(s.sr[d.d]*1000000.0 + 0.5) AS BIGINT)) AS fs,
+        |              count(*) AS n
+        |       FROM subres s JOIN la ON la.vec_id = s.vec_id AND la.sub = s.sub
+        |       CROSS JOIN generate_series(1,8) d(d)
+        |       GROUP BY la.sub, la.code, d.d),
+        |b0d AS (SELECT sub, code, d.d, bk[d.d] AS x FROM b0 CROSS JOIN generate_series(1,8) d(d)),
+        |b1 AS (SELECT b0d.sub, b0d.code,
+        |              list(CASE WHEN ms.n IS NOT NULL AND ms.n > 0
+        |                   THEN CAST(CAST(CAST(ms.fs AS DOUBLE)/(CAST(ms.n AS DOUBLE)*1000000.0) AS REAL) AS DOUBLE)
+        |                   ELSE b0d.x END ORDER BY b0d.d) AS bk
+        |       FROM b0d LEFT JOIN ms ON ms.sub = b0d.sub AND ms.code = b0d.code AND ms.d = b0d.d
+        |       GROUP BY b0d.sub, b0d.code),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |  SELECT s.vec_id, s.sub, b.code,
+        |         row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY list_distance(s.sr, b.bk), b.code) AS rn
+        |  FROM subres s JOIN b1 b ON b.sub = s.sub) WHERE rn = 1),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |probed AS (SELECT cell FROM (
+        |  SELECT c.cell, row_number() OVER (ORDER BY list_distance((SELECT qe FROM q), c.c), c.cell) AS rn FROM cents c) WHERE rn <= 6),
+        |qres AS (SELECT p.cell, list_transform(generate_series(1,64), d -> q.qe[d] - c.c[d]) AS qr
+        |         FROM probed p JOIN cents c ON c.cell = p.cell CROSS JOIN q),
+        |lut AS (SELECT t.cell, t.sub, t.code, list_dot_product(t.diff, t.diff) AS dv FROM (
+        |         SELECT qres.cell, b.sub, b.code,
+        |                list_transform(generate_series(1,8), j -> qres.qr[b.sub*8+j] - b.bk[j]) AS diff
+        |         FROM qres CROSS JOIN b1 b) t),
+        |adc AS (SELECT c2.vec_id,
+        |               list_dot_product(list(l.dv ORDER BY l.sub), [1.0,1.0,1.0,1.0,1.0,1.0,1.0,1.0]) AS adc
+        |        FROM codes c2 JOIN assign a ON a.vec_id = c2.vec_id
+        |        JOIN lut l ON l.cell = a.cell AND l.sub = c2.sub AND l.code = c2.code
+        |        GROUP BY c2.vec_id),
+        |cand AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 50)
+        |SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS cos
+        |FROM embeddings e JOIN cand USING (vec_id)
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Incremental PQ = the faiss add() contract over the replayable
+    // trainer: centroids/seeds/codebooks from the BASE corpus
+    // (vec_id % 5 <> 0) only, every vector (base ∪ delta) then coded
+    // against the FROZEN books, probe path over the grown code table
+    // at nprobe 4 — the delta's encode leg is the same argmin the base
+    // rows took, so one SQL replay covers both.
+    "ann_pq_incremental" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |cents AS (
+        |  SELECT row_number() OVER (ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id) - 1 AS cell, v AS c
+        |  FROM base WHERE vec_id % 5 <> 0
+        |  ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
+        |  LIMIT 16),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT b.vec_id, c.cell, row_number() OVER (PARTITION BY b.vec_id ORDER BY list_distance(b.v, c.c), c.cell) AS rn
+        |  FROM base b CROSS JOIN cents c) WHERE rn = 1),
+        |resid AS (
+        |  SELECT b.vec_id, a.cell, list_transform(generate_series(1,64), d -> b.v[d] - c.c[d]) AS r
+        |  FROM base b JOIN assign a USING (vec_id) JOIN cents c ON c.cell = a.cell),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)||':pq'),1,15)) AS BIGINT), vec_id) - 1 AS code,
+        |         list_transform(r, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS sr
+        |  FROM resid WHERE vec_id % 5 <> 0
+        |  ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)||':pq'),1,15)) AS BIGINT), vec_id
+        |  LIMIT 16),
+        |b0 AS (SELECT m.m AS sub, s.code, list_slice(s.sr, m.m*8+1, m.m*8+8) AS bk
+        |       FROM seeds s CROSS JOIN generate_series(0,7) m(m)),
+        |subres AS (SELECT vec_id, m.m AS sub, list_slice(r, m.m*8+1, m.m*8+8) AS sr
+        |           FROM resid CROSS JOIN generate_series(0,7) m(m)),
+        |la AS (SELECT vec_id, sub, code FROM (
+        |  SELECT s.vec_id, s.sub, b.code,
+        |         row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY list_distance(s.sr, b.bk), b.code) AS rn
+        |  FROM subres s JOIN b0 b ON b.sub = s.sub WHERE s.vec_id % 5 <> 0) WHERE rn = 1),
+        |ms AS (SELECT la.sub, la.code, d.d,
+        |              sum(CAST(floor(s.sr[d.d]*1000000.0 + 0.5) AS BIGINT)) AS fs,
+        |              count(*) AS n
+        |       FROM subres s JOIN la ON la.vec_id = s.vec_id AND la.sub = s.sub
+        |       CROSS JOIN generate_series(1,8) d(d)
+        |       GROUP BY la.sub, la.code, d.d),
+        |b0d AS (SELECT sub, code, d.d, bk[d.d] AS x FROM b0 CROSS JOIN generate_series(1,8) d(d)),
+        |b1 AS (SELECT b0d.sub, b0d.code,
+        |              list(CASE WHEN ms.n IS NOT NULL AND ms.n > 0
+        |                   THEN CAST(CAST(CAST(ms.fs AS DOUBLE)/(CAST(ms.n AS DOUBLE)*1000000.0) AS REAL) AS DOUBLE)
+        |                   ELSE b0d.x END ORDER BY b0d.d) AS bk
+        |       FROM b0d LEFT JOIN ms ON ms.sub = b0d.sub AND ms.code = b0d.code AND ms.d = b0d.d
+        |       GROUP BY b0d.sub, b0d.code),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |  SELECT s.vec_id, s.sub, b.code,
+        |         row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY list_distance(s.sr, b.bk), b.code) AS rn
+        |  FROM subres s JOIN b1 b ON b.sub = s.sub) WHERE rn = 1),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |probed AS (SELECT cell FROM (
+        |  SELECT c.cell, row_number() OVER (ORDER BY list_distance((SELECT qe FROM q), c.c), c.cell) AS rn FROM cents c) WHERE rn <= 4),
+        |qres AS (SELECT p.cell, list_transform(generate_series(1,64), d -> q.qe[d] - c.c[d]) AS qr
+        |         FROM probed p JOIN cents c ON c.cell = p.cell CROSS JOIN q),
+        |lut AS (SELECT t.cell, t.sub, t.code, list_dot_product(t.diff, t.diff) AS dv FROM (
+        |         SELECT qres.cell, b.sub, b.code,
+        |                list_transform(generate_series(1,8), j -> qres.qr[b.sub*8+j] - b.bk[j]) AS diff
+        |         FROM qres CROSS JOIN b1 b) t),
+        |adc AS (SELECT c2.vec_id,
+        |               list_dot_product(list(l.dv ORDER BY l.sub), [1.0,1.0,1.0,1.0,1.0,1.0,1.0,1.0]) AS adc
+        |        FROM codes c2 JOIN assign a ON a.vec_id = c2.vec_id
+        |        JOIN lut l ON l.cell = a.cell AND l.sub = c2.sub AND l.code = c2.code
+        |        GROUP BY c2.vec_id),
+        |cand AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 50)
+        |SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS cos
+        |FROM embeddings e JOIN cand USING (vec_id)
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
     // The probe path: the query's 6 nearest cells (same argmin rule),
     // then exact-cosine top-10 within the probed cells.
     "ann_ivf_topk" ->

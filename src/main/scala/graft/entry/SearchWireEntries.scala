@@ -2096,6 +2096,75 @@ private[graft] object SearchWireEntries {
         |FROM embeddings e JOIN assign a USING (vec_id) JOIN probed p ON a.cell = p.cell
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
+    // The wire knn-ivf-pq path is scoreAgainstPq against the SAME
+    // memoized PQ index, query vector, k, nprobe (6) and rerank window
+    // as the structured ann_ivf_pq_topk — and the whole PQ training
+    // trajectory is fully oracle-checked since r17 (md5-salted seed
+    // sample, fixed-point per-subspace Lloyd, double residuals), so
+    // this key shares that oracle verbatim (the knn_ivf precedent).
+    "search_dsl_json_knn_pq" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |cents AS (
+        |  SELECT row_number() OVER (ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id) - 1 AS cell, v AS c
+        |  FROM base
+        |  ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
+        |  LIMIT 16),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT b.vec_id, c.cell, row_number() OVER (PARTITION BY b.vec_id ORDER BY list_distance(b.v, c.c), c.cell) AS rn
+        |  FROM base b CROSS JOIN cents c) WHERE rn = 1),
+        |resid AS (
+        |  SELECT b.vec_id, a.cell, list_transform(generate_series(1,64), d -> b.v[d] - c.c[d]) AS r
+        |  FROM base b JOIN assign a USING (vec_id) JOIN cents c ON c.cell = a.cell),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)||':pq'),1,15)) AS BIGINT), vec_id) - 1 AS code,
+        |         list_transform(r, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS sr
+        |  FROM resid
+        |  ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)||':pq'),1,15)) AS BIGINT), vec_id
+        |  LIMIT 16),
+        |b0 AS (SELECT m.m AS sub, s.code, list_slice(s.sr, m.m*8+1, m.m*8+8) AS bk
+        |       FROM seeds s CROSS JOIN generate_series(0,7) m(m)),
+        |subres AS (SELECT vec_id, m.m AS sub, list_slice(r, m.m*8+1, m.m*8+8) AS sr
+        |           FROM resid CROSS JOIN generate_series(0,7) m(m)),
+        |la AS (SELECT vec_id, sub, code FROM (
+        |  SELECT s.vec_id, s.sub, b.code,
+        |         row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY list_distance(s.sr, b.bk), b.code) AS rn
+        |  FROM subres s JOIN b0 b ON b.sub = s.sub) WHERE rn = 1),
+        |ms AS (SELECT la.sub, la.code, d.d,
+        |              sum(CAST(floor(s.sr[d.d]*1000000.0 + 0.5) AS BIGINT)) AS fs,
+        |              count(*) AS n
+        |       FROM subres s JOIN la ON la.vec_id = s.vec_id AND la.sub = s.sub
+        |       CROSS JOIN generate_series(1,8) d(d)
+        |       GROUP BY la.sub, la.code, d.d),
+        |b0d AS (SELECT sub, code, d.d, bk[d.d] AS x FROM b0 CROSS JOIN generate_series(1,8) d(d)),
+        |b1 AS (SELECT b0d.sub, b0d.code,
+        |              list(CASE WHEN ms.n IS NOT NULL AND ms.n > 0
+        |                   THEN CAST(CAST(CAST(ms.fs AS DOUBLE)/(CAST(ms.n AS DOUBLE)*1000000.0) AS REAL) AS DOUBLE)
+        |                   ELSE b0d.x END ORDER BY b0d.d) AS bk
+        |       FROM b0d LEFT JOIN ms ON ms.sub = b0d.sub AND ms.code = b0d.code AND ms.d = b0d.d
+        |       GROUP BY b0d.sub, b0d.code),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |  SELECT s.vec_id, s.sub, b.code,
+        |         row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY list_distance(s.sr, b.bk), b.code) AS rn
+        |  FROM subres s JOIN b1 b ON b.sub = s.sub) WHERE rn = 1),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |probed AS (SELECT cell FROM (
+        |  SELECT c.cell, row_number() OVER (ORDER BY list_distance((SELECT qe FROM q), c.c), c.cell) AS rn FROM cents c) WHERE rn <= 6),
+        |qres AS (SELECT p.cell, list_transform(generate_series(1,64), d -> q.qe[d] - c.c[d]) AS qr
+        |         FROM probed p JOIN cents c ON c.cell = p.cell CROSS JOIN q),
+        |lut AS (SELECT t.cell, t.sub, t.code, list_dot_product(t.diff, t.diff) AS dv FROM (
+        |         SELECT qres.cell, b.sub, b.code,
+        |                list_transform(generate_series(1,8), j -> qres.qr[b.sub*8+j] - b.bk[j]) AS diff
+        |         FROM qres CROSS JOIN b1 b) t),
+        |adc AS (SELECT c2.vec_id,
+        |               list_dot_product(list(l.dv ORDER BY l.sub), [1.0,1.0,1.0,1.0,1.0,1.0,1.0,1.0]) AS adc
+        |        FROM codes c2 JOIN assign a ON a.vec_id = c2.vec_id
+        |        JOIN lut l ON l.cell = a.cell AND l.sub = c2.sub AND l.code = c2.code
+        |        GROUP BY c2.vec_id),
+        |cand AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 50)
+        |SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS cos
+        |FROM embeddings e JOIN cand USING (vec_id)
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
     // indexed edge-ngram (2..8) membership of 'spa' ≡ a token with that
     // prefix (the prefix length is inside the gram range)
     "search_dsl_json_match_sayt" ->

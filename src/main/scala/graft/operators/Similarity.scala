@@ -590,10 +590,32 @@ object Similarity {
     out
   }
 
+  /** Double-precision rotation (the PQ/OPQ residual path): same fold as
+    * [[rotateVec]] with the residual kept in double end-to-end.
+    */
+  private def rotateVecD(r: Array[Array[Float]], in: Array[Double]): Array[Double] = {
+    val out = new Array[Double](in.length)
+    var a = 0
+    while (a < r.length && a < in.length) {
+      var acc = 0.0
+      var b = 0
+      val row = r(a)
+      while (b < row.length && b < in.length) { acc += row(b).toDouble * in(b); b += 1 }
+      out(a) = acc
+      a += 1
+    }
+    out
+  }
+
   /** Compiled (cell, code) encoder: coarse argmin, then per-subspace
     * argmin over the (optionally OPQ-rotated) residual — a pure
     * projection, one scan, no shuffle. NULL vectors encode as cell -1
-    * (never probed) with an empty code.
+    * (never probed) with an empty code. Residuals are DOUBLE
+    * end-to-end (r17, was float): v[j] − c[j] evaluated in double is
+    * the exact IEEE expression a SQL oracle computes over the same
+    * parquet floats, which is what makes the plain-PQ code table
+    * bit-replayable in DuckDB (the OPQ rotation path shares the
+    * kernel; its training stays replica-tier).
     */
   private def encodeUdf(
       centroids: Array[Array[Float]],
@@ -605,8 +627,8 @@ object Similarity {
       else {
         val cell = nearestCell(centroids, v)
         val c = centroids(cell)
-        val res0 = Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
-        val res = rotation.map(rotateVec(_, res0)).getOrElse(res0)
+        val res0 = Array.tabulate(v.length)(j => v(j).toDouble - (if (j < c.length) c(j).toDouble else 0.0))
+        val res = rotation.map(rotateVecD(_, res0)).getOrElse(res0)
         val dsub = v.length / codebooks.length
         val code = Array.tabulate(codebooks.length) { mi =>
           var best = 0
@@ -616,7 +638,7 @@ object Similarity {
           while (k < book.length) {
             var d = 0.0
             var j = 0
-            while (j < dsub) { val t = res(mi * dsub + j).toDouble - book(k)(j).toDouble; d += t * t; j += 1 }
+            while (j < dsub) { val t = res(mi * dsub + j) - book(k)(j).toDouble; d += t * t; j += 1 }
             if (d < bestD) { bestD = d; best = k }
             k += 1
           }
@@ -631,6 +653,16 @@ object Similarity {
     * no-RNG trick as the IVF centroids) and tightened with `iters`
     * Lloyd rounds per subspace — each round is ONE corpus scan whose
     * aggregate output is (m × ksub × dim/m) means: driver-scale.
+    *
+    * The whole training trajectory is SQL-replayable (r17): the seed
+    * order is md5(id || ":pq") — salted so the seeds are NOT the
+    * coarse-centroid rows, whose residuals are identically zero — the
+    * per-subspace means are EXACT fixed-point (Σ floor(x·10⁶ + 0.5)
+    * LONG sums, partition-order-proof, one double division at the
+    * end, the ivfRefine precedent), and every residual is computed in
+    * double. DuckDB re-derives seeds → Lloyd round → codebooks →
+    * every stored code, which is what promotes ann_ivf_pq_topk and
+    * ann_pq_incremental to full oracle.
     */
   def pqIndex(
       emb: DataFrame,
@@ -646,17 +678,24 @@ object Similarity {
     val dim = cents(0).length
     require(dim % m == 0, s"embedding dim $dim must divide into $m subspaces")
     val dsub = dim / m
-    // ksub sample residuals, deterministic order — the seed codebooks.
+    // ksub sample residuals, deterministic md5(id||":pq") order (the
+    // salt keeps the seeds off the coarse-centroid rows, whose
+    // residuals are exactly zero) — the seed codebooks. Each seed entry
+    // is the double residual rounded to float: the value DuckDB spells
+    // CAST(v[d] - c[d] AS REAL) over the same parquet.
     val sample = emb
       .select(col(idCol), col(vecCol))
       .filter(col(vecCol).isNotNull)
-      .orderBy(pmod(hash(col(idCol), lit(17)), lit(1 << 30)).asc, col(idCol))
+      .orderBy(
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(":pq"))), 1, 15), 16, 10).cast("bigint").asc,
+        col(idCol)
+      )
       .limit(ksub)
       .collect()
       .map { r =>
         val v = r.getSeq[Float](1)
         val c = cents(nearestCell(cents, v))
-        Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
+        Array.tabulate(v.length)(j => (v(j).toDouble - (if (j < c.length) c(j).toDouble else 0.0)).toFloat)
       }
     var books = Array.tabulate(m)(mi => sample.map(_.slice(mi * dsub, (mi + 1) * dsub)))
     val base = emb.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull)
@@ -672,7 +711,7 @@ object Similarity {
       val cb = books
       val trainScan = udf { (v: Seq[Float]) =>
         val c = cents(nearestCell(cents, v))
-        val res = Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
+        val res = Array.tabulate(v.length)(j => v(j).toDouble - (if (j < c.length) c(j).toDouble else 0.0))
         val dsubV = v.length / cb.length
         val code = Array.tabulate(cb.length) { mi =>
           var best = 0
@@ -682,7 +721,7 @@ object Similarity {
           while (k < book.length) {
             var d = 0.0
             var j = 0
-            while (j < dsubV) { val t = res(mi * dsubV + j).toDouble - book(k)(j).toDouble; d += t * t; j += 1 }
+            while (j < dsubV) { val t = res(mi * dsubV + j) - book(k)(j).toDouble; d += t * t; j += 1 }
             if (d < bestD) { bestD = d; best = k }
             k += 1
           }
@@ -690,6 +729,11 @@ object Similarity {
         }
         (code.toSeq, res.toSeq)
       }
+      // EXACT fixed-point means (r17, was float avg — the ivfRefine
+      // precedent): the per-(subspace, code, dim) sum is an integer, so
+      // the mean is partition-order-proof and a SQL engine replays it
+      // bit-for-bit. Quantization error ≤ 5·10⁻⁷ per entry — inside the
+      // float32 grid the codebook entry lands in anyway.
       val means = graft.Tables
         .ensureParallelism(base)
         .select(trainScan(col(vecCol)).as("t"))
@@ -701,10 +745,14 @@ object Similarity {
           col("x")
         )
         .groupBy("sub", "codeId", "within")
-        .agg(avg("x").as("mean"))
+        .agg(sum(floor(col("x") * lit(1e6) + lit(0.5)).cast("long")).as("s"), count(col("x")).as("n"))
         .collect()
       val next = cb.map(_.map(_.clone()))
-      means.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getAs[Int]("within")) = r.getDouble(3).toFloat)
+      means.foreach { r =>
+        val n = r.getLong(4)
+        if (n > 0)
+          next(r.getInt(0))(r.getInt(1))(r.getAs[Int]("within")) = (r.getLong(3).toDouble / (n.toDouble * 1e6)).toFloat
+      }
       books = next
     }
     val codes = graft.Tables
@@ -1313,12 +1361,17 @@ object Similarity {
     // residual to each codebook entry — nProbe × m × ksub doubles.
     val luts: Map[Int, Array[Array[Double]]] = cells.map { cell =>
       val c = cents(cell)
-      val res0 = Array.tabulate(query.length)(j => query(j) - (if (j < c.length) c(j) else 0f))
+      val res0 = Array.tabulate(query.length)(j => query(j).toDouble - (if (j < c.length) c(j).toDouble else 0.0))
       // The stored codes quantize ROTATED residuals (OPQ), so the query
       // residual rotates through the same R before the LUT is built.
-      val res = index.rotation.map(rotateVec(_, res0)).getOrElse(res0)
+      val res = index.rotation.map(rotateVecD(_, res0)).getOrElse(res0)
       cell -> Array.tabulate(books.length) { mi =>
-        books(mi).map(entry => sqDist(entry, res.toSeq, mi * dsub, (mi + 1) * dsub))
+        books(mi).map { entry =>
+          var d = 0.0
+          var j = 0
+          while (j < dsub) { val t = res(mi * dsub + j) - entry(j).toDouble; d += t * t; j += 1 }
+          d
+        }
       }
     }.toMap
     val adcUdf = udf { (cell: Int, code: Seq[Int]) =>

@@ -178,13 +178,15 @@ class SimilaritySpec extends SparkSpec {
       val bestCell = dists.indices.minBy(i => (dists(i), i))
       assert(cell == bestCell, s"vec $id coarse cell $cell != nearest $bestCell")
       val cvec = idx.centroids(cell)
-      val res = Array.tabulate(v.length)(j => v(j) - (if (j < cvec.length) cvec(j) else 0f))
+      // double residual — the engine's (and the DuckDB oracle's) exact
+      // IEEE expression over the same parquet floats (r17)
+      val res = Array.tabulate(v.length)(j => v(j).toDouble - (if (j < cvec.length) cvec(j).toDouble else 0.0))
       val dsub = v.length / m
       (0 until m).foreach { mi =>
         val book = idx.codebooks(mi)
         val best = book.indices.minBy { k =>
           var d = 0.0; var j = 0
-          while (j < dsub) { val t = res(mi * dsub + j).toDouble - book(k)(j).toDouble; d += t * t; j += 1 }
+          while (j < dsub) { val t = res(mi * dsub + j) - book(k)(j).toDouble; d += t * t; j += 1 }
           (d, k)
         }
         assert(code(mi) == best, s"vec $id subspace $mi code ${code(mi)} != argmin $best")
