@@ -1019,8 +1019,11 @@ object Similarity {
       val c = cents(nearestCell(cents, v))
       Seq.tabulate(v.length)(j => v(j).toDouble - (if (j < c.length) c(j).toDouble else 0.0))
     }
-    // Seed codebooks: ksub deterministic id-hash-ordered residuals (the
-    // pqIndex seed), then every refinement below is corpus-scale.
+    // Seed codebooks: ksub deterministic id-hash-ordered residuals.
+    // Murmur ordering is fine here (unlike pqIndex's md5-salted order):
+    // the OPQ rotation training below is driver-side iterative float
+    // math, so this path stays replica-tier regardless of the seed's
+    // SQL-replayability. Every refinement below is corpus-scale.
     val seed = emb
       .select(col(idCol), col(vecCol))
       .filter(col(vecCol).isNotNull)
