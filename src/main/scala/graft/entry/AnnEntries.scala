@@ -1020,6 +1020,66 @@ private[graft] object AnnEntries {
         |FROM embeddings e JOIN a2 USING (vec_id) JOIN probed p ON a2.cell = p.cell
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
+    // NSW graph build FULL replication (r17c): the k-means blocking is
+    // the same 2-round fixed-point Lloyd the ann_ivf_kmeans_topk oracle
+    // replays; the 2-assignment is the top-2 of the same argmin; the
+    // skew-split sub-bucket moved to md5(cell||':'||id) (engine r17) so
+    // the pair-ownership rule replays at ANY cell census (at this
+    // corpus nsub=1 everywhere and the bucket term is inert); pairs
+    // join inside (cell, bucket), dedup across the ≤2 meet cells is
+    // DISTINCT (the emitted triple is cell-independent), per-node top-8
+    // by (cos desc, nbr asc) on the same 6dp-rounded cosine, then the
+    // degree histogram the entry emits.
+    "ann_graph_build" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id) - 1 AS cell, v AS c
+        |  FROM base
+        |  ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
+        |  LIMIT 16),
+        |a0 AS (SELECT vec_id, cell FROM (
+        |  SELECT b.vec_id, c.cell, row_number() OVER (PARTITION BY b.vec_id ORDER BY list_distance(b.v, c.c), c.cell) AS rn
+        |  FROM base b CROSS JOIN c0 c) WHERE rn = 1),
+        |s1 AS (
+        |  SELECT a0.cell, d.d,
+        |         sum(CAST(floor(b.v[d.d]*1000000.0 + 0.5) AS BIGINT)) AS s,
+        |         count(b.v[d.d]) AS n
+        |  FROM base b JOIN a0 USING (vec_id) CROSS JOIN generate_series(1,64) d(d)
+        |  GROUP BY a0.cell, d.d),
+        |c0d AS (SELECT cell, d.d, c[d.d] AS x FROM c0 CROSS JOIN generate_series(1,64) d(d)),
+        |c1 AS (
+        |  SELECT c0d.cell,
+        |         list(CASE WHEN s1.n IS NOT NULL AND s1.n > 0
+        |              THEN CAST(CAST(CAST(s1.s AS DOUBLE)/(CAST(s1.n AS DOUBLE)*1000000.0) AS REAL) AS DOUBLE)
+        |              ELSE c0d.x END ORDER BY c0d.d) AS c
+        |  FROM c0d LEFT JOIN s1 ON s1.cell = c0d.cell AND s1.d = c0d.d
+        |  GROUP BY c0d.cell),
+        |a1 AS (SELECT vec_id, cell FROM (
+        |  SELECT b.vec_id, c.cell, row_number() OVER (PARTITION BY b.vec_id ORDER BY list_distance(b.v, c.c), c.cell) AS rn
+        |  FROM base b CROSS JOIN c1 c) WHERE rn = 1),
+        |s2 AS (SELECT a1.cell, d.d, sum(CAST(floor(b.v[d.d]*1000000.0 + 0.5) AS BIGINT)) AS s, count(b.v[d.d]) AS n
+        |  FROM base b JOIN a1 USING (vec_id) CROSS JOIN generate_series(1,64) d(d) GROUP BY a1.cell, d.d),
+        |c1d AS (SELECT cell, d.d, c[d.d] AS x FROM c1 CROSS JOIN generate_series(1,64) d(d)),
+        |c2 AS (SELECT c1d.cell, list(CASE WHEN s2.n IS NOT NULL AND s2.n > 0
+        |              THEN CAST(CAST(CAST(s2.s AS DOUBLE)/(CAST(s2.n AS DOUBLE)*1000000.0) AS REAL) AS DOUBLE)
+        |              ELSE c1d.x END ORDER BY c1d.d) AS c
+        |  FROM c1d LEFT JOIN s2 ON s2.cell = c1d.cell AND s2.d = c1d.d GROUP BY c1d.cell),
+        |ac2 AS (SELECT vec_id, cell FROM (
+        |  SELECT b.vec_id, c.cell, row_number() OVER (PARTITION BY b.vec_id ORDER BY list_distance(b.v, c.c), c.cell) AS rn
+        |  FROM base b CROSS JOIN c2 c) WHERE rn <= 2),
+        |census AS (SELECT cell, CAST(ceil(count(*)/4096.0) AS BIGINT) AS nsub FROM ac2 GROUP BY cell),
+        |bkt AS (SELECT a.vec_id, a.cell, b.v,
+        |               CAST(('0x'||substr(md5(CAST(a.cell AS VARCHAR)||':'||CAST(a.vec_id AS VARCHAR)),1,15)) AS BIGINT) % cs.nsub AS g
+        |        FROM ac2 a JOIN base b USING (vec_id) JOIN census cs ON cs.cell = a.cell),
+        |half AS (SELECT DISTINCT l.vec_id AS id, r.vec_id AS nbr,
+        |                round(list_cosine_similarity(l.v, r.v), 6) AS cos
+        |         FROM bkt l JOIN bkt r ON l.cell = r.cell AND l.g = r.g AND l.vec_id < r.vec_id),
+        |sym AS (SELECT id, nbr, cos FROM half UNION ALL SELECT nbr AS id, id AS nbr, cos FROM half),
+        |nb AS (SELECT id FROM (
+        |  SELECT id, row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr) AS rn FROM sym) WHERE rn <= 8),
+        |deg AS (SELECT id, count(*) AS degree FROM nb GROUP BY id)
+        |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+
     // MMR FULL replication (r17): the greedy Carbonell-Goldstein
     // selection is k bounded steps over a 50-candidate window — a
     // recursive CTE carries the chosen set and replays each argmax

@@ -1497,10 +1497,14 @@ object Similarity {
       .collect()
       .map(r => r.getInt(0) -> math.max(1L, math.ceil(r.getLong(1).toDouble / maxCell).toLong).toInt)
       .toMap
-    def bucket(cell: Int, id: Long): Int = {
-      val h = scala.util.hashing.MurmurHash3.mix(scala.util.hashing.MurmurHash3.mix(0x9747b28c, cell), (id ^ (id >>> 32)).toInt)
-      Math.floorMod(h, nsub.getOrElse(cell, 1))
-    }
+    // md5-derived sub-bucket (r17, was MurmurHash3.mix): SQL spells it
+    // ('0x'||substr(md5(cell||':'||id),1,15))::BIGINT % nsub, so the
+    // skew-split pair-ownership rule is oracle-replayable at ANY cell
+    // census — the last non-portable piece of the graph build's
+    // candidate generation. md5 cost is per (cell, id) probe, the same
+    // class the MinHash/SimHash kernels pay per shingle.
+    def bucket(cell: Int, id: Long): Int =
+      (graft.functions.OracleHash.md5Int60(s"$cell:$id") % nsub.getOrElse(cell, 1)).toInt
     val bucketUdf = udf((cell: Int, id: Long) => bucket(cell, id))
     val ownerUdf = udf { (cell: Int, ca: Seq[Int], cb: Seq[Int], id: Long, nbr: Long) =>
       val meet = ca.intersect(cb).filter(c => bucket(c, id) == bucket(c, nbr))
