@@ -192,11 +192,14 @@ private[graft] object AnnEntries {
     // Two-layer graph descent (HNSW's hierarchy, Spark-shaped): honest
     // top-layer build cost — the ~1/8 id-hash sample's own neighbor
     // table — reported like every *_build row (the bottom layer's cost
-    // is ann_graph_build).
+    // is ann_graph_build). r18: the sample hash is md5-derived (matching
+    // graphIndex2), so this whole build replays in DuckDB — FULL oracle.
     "ann_graph_hier_build" -> ((s, dir) =>
       Similarity
         .graphIndex(
-          Tables.embeddings(s, dir).filter(pmod(hash(col("vec_id")), lit(8)) === 0),
+          Tables
+            .embeddings(s, dir)
+            .filter(conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("bigint") % 8 === 0),
           "vec_id",
           "embedding"
         )
@@ -1079,6 +1082,23 @@ private[graft] object AnnEntries {
         |  SELECT id, row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr) AS rn FROM sym) WHERE rn <= 8),
         |deg AS (SELECT id, count(*) AS degree FROM nb GROUP BY id)
         |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+
+    // Graph SEARCH family FULL replication (r18): the beam is a fixed
+    // number of expand/score/prune rounds over 6dp cosines with
+    // (cos desc, id asc) ties — [[GraphOracle]] unrolls it as CTE blocks
+    // over ann_graph_build's replayed adjacency + entry points. The
+    // serving tiers emit bit-identical rows to the DataFrame beam
+    // (GraphServingSpec pins it), so all four share the replay.
+    "ann_graph_topk" -> GraphOracle.singleTopkSql("id"),
+    "ann_graph_serving" -> GraphOracle.singleTopkSql("id"),
+    "ann_graph_serving_batch" -> GraphOracle.servingBatchSql,
+    "ann_graph_batch_topk" -> GraphOracle.batchTopkSql,
+
+    // Two-layer keys (r18): the top-layer sample hash moved to
+    // md5Int60(id) % 8 (the r16 centroid-sample / r17 sub-bucket swap),
+    // so BOTH layers' builds and the 2+2-round descent replay end-to-end.
+    "ann_graph_hier_build" -> GraphOracle.hierBuildSql,
+    "ann_graph_hier_topk" -> GraphOracle.hierTopkSql,
 
     // MMR FULL replication (r17): the greedy Carbonell-Goldstein
     // selection is k bounded steps over a 50-candidate window — a

@@ -2096,6 +2096,13 @@ private[graft] object SearchWireEntries {
         |FROM embeddings e JOIN assign a USING (vec_id) JOIN probed p ON a.cell = p.cell
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
+    // The wire hnsw path is graphSearch against the SAME memoized graph,
+    // query vector, k=10, ef_search=16, rounds=3 as the structured
+    // ann_graph_topk — whose beam replay landed in r18 (GraphOracle), so
+    // this key shares the oracle with the id column renamed to the wire
+    // shape's vec_id (the knn_ivf / knn_pq precedent).
+    "search_dsl_json_knn_hnsw" -> GraphOracle.singleTopkSql("vec_id"),
+
     // The wire knn-ivf-pq path is scoreAgainstPq against the SAME
     // memoized PQ index, query vector, k, nprobe (6) and rerank window
     // as the structured ann_ivf_pq_topk — and the whole PQ training

@@ -1975,7 +1975,15 @@ object Similarity {
       nLists: Int = 16,
       topFraction: Int = 8
   ): Graph2Index = {
-    val topNodes = emb.filter(pmod(hash(col(idCol)), lit(topFraction)) === 0)
+    // md5-derived sample (r18, was Spark murmur3 `hash`): the top layer is
+    // the ids with md5Int60(id) % topFraction == 0, which DuckDB spells
+    // ('0x'||substr(md5(id::text),1,15))::BIGINT % f = 0 — the same swap
+    // the IVF centroid sample (r16) and the graph sub-bucket (r17) made,
+    // so the WHOLE two-layer build+search becomes oracle-replayable. The
+    // sample is still a uniform deterministic 1/f id-hash thinning.
+    val topNodes = emb.filter(
+      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("bigint") % topFraction === 0
+    )
     Graph2Index(graphIndex(topNodes, idCol, vecCol, m, nLists), graphIndex(emb, idCol, vecCol, m, nLists))
   }
 
