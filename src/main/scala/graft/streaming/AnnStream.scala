@@ -48,8 +48,10 @@ final class StreamingIvf(initial: Similarity.IvfIndex, idCol: String, vecCol: St
   }
 
   /** Attach to an (id, vector) stream; every micro-batch grows the index. */
-  def attach(stream: DataFrame): StreamingQuery =
-    stream.writeStream.outputMode("append").foreachBatch(fold _).start()
+  def attach(stream: DataFrame, checkpointLocation: Option[String] = None): StreamingQuery = {
+    val w = stream.writeStream.outputMode("append").foreachBatch(fold _)
+    checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
+  }
 }
 
 /** Streaming BM25 index maintenance: a CDC-shaped document stream
@@ -86,8 +88,10 @@ final class StreamingBm25(initial: graft.search.Bm25.Bm25Index, idCol: String, t
   }
 
   /** Attach to an (id, op, text) stream; every micro-batch folds in. */
-  def attach(stream: DataFrame): StreamingQuery =
-    stream.writeStream.outputMode("append").foreachBatch(fold _).start()
+  def attach(stream: DataFrame, checkpointLocation: Option[String] = None): StreamingQuery = {
+    val w = stream.writeStream.outputMode("append").foreachBatch(fold _)
+    checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
+  }
 }
 
 /** Streaming near-dup detection: each micro-batch of (id, text) docs
@@ -133,8 +137,10 @@ final class StreamingMinHash(
   }
 
   /** Attach to an (id, text) document stream. */
-  def attach(stream: DataFrame): StreamingQuery =
-    stream.writeStream.outputMode("append").foreachBatch(fold _).start()
+  def attach(stream: DataFrame, checkpointLocation: Option[String] = None): StreamingQuery = {
+    val w = stream.writeStream.outputMode("append").foreachBatch(fold _)
+    checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
+  }
 }
 
 /** Streaming neighbor-graph maintenance — the last index family to gain
@@ -180,6 +186,8 @@ final class StreamingGraph(
   }
 
   /** Attach to an (id, vector) stream; every micro-batch inserts into the graph. */
-  def attach(stream: DataFrame): StreamingQuery =
-    stream.writeStream.outputMode("append").foreachBatch(fold _).start()
+  def attach(stream: DataFrame, checkpointLocation: Option[String] = None): StreamingQuery = {
+    val w = stream.writeStream.outputMode("append").foreachBatch(fold _)
+    checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
+  }
 }

@@ -45,6 +45,8 @@ final class StreamingNested(
   }
 
   /** Attach to a (childKey, fields..., op) stream; every micro-batch folds in. */
-  def attach(stream: DataFrame): StreamingQuery =
-    stream.writeStream.outputMode("append").foreachBatch(fold _).start()
+  def attach(stream: DataFrame, checkpointLocation: Option[String] = None): StreamingQuery = {
+    val w = stream.writeStream.outputMode("append").foreachBatch(fold _)
+    checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
+  }
 }

@@ -242,4 +242,197 @@ class StreamingRestartFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  // ── r18: the incremental INDEX-maintenance paths (verdict #2) ─────────
+  // The three arms below kill/resume the queries whose live-maintained ≡
+  // rebuilt equivalence is the actual product claim: Bm25.applyDelta,
+  // Nested.applyDelta, and the indexed percolator registry. Maintenance
+  // wrappers hold the artifact outside the state store (the deployment
+  // writes parquet segments), so the restart risk is OFFSET bookkeeping —
+  // a replayed or skipped micro-batch after the cut corrupts the artifact
+  // relative to the restart-oblivious fold.
+
+  /** Feed `batches` into a maintenance wrapper's query, stopping and
+    * re-attaching from the same checkpoint after each cut index — the
+    * wrapper instance (≡ the durable artifact) outlives the query.
+    */
+  private def foldWithRestarts[I](
+      batches: Seq[Seq[I]],
+      cuts: Set[Int],
+      input: MemoryStream[I],
+      start: () => org.apache.spark.sql.streaming.StreamingQuery
+  ): Unit = {
+    var q = start()
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        input.addData(b)
+        q.processAllAvailable()
+        if (cuts.contains(i) && i != batches.size - 1) {
+          q.stop()
+          q = start()
+        }
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+  }
+
+  test("BM25 incremental maintenance survives checkpoint restart: maintained ≡ rebuilt, posting-for-posting") {
+    import graft.search.Bm25
+    withRocksDb {
+      val rnd = new scala.util.Random(seed * 7)
+      (1 to 2).foreach { round =>
+        val vocab = Vector("spark", "scan", "join", "shuffle", "filter", "merge", "sort", "hash", "query", "plan")
+        def text(): String = Seq.fill(2 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        val baseDocs = (1L to 5L).map(id => (id, text()))
+        // one op per id per batch — the applyDelta changelog contract
+        // (CdcBatch collapses upstream); ids 1-3 never delete, so the
+        // corpus stays nonempty and avgdl well-defined
+        val batches = (1 to 8).map { _ =>
+          rnd.shuffle((1L to 9L).toList).take(1 + rnd.nextInt(4)).map { id =>
+            if (id > 3 && rnd.nextInt(4) == 0) (id, "d", "") else (id, "u", text())
+          }
+        }
+        val cuts = Set(batches.size / 3, 2 * batches.size / 3)
+        val docs = scala.collection.mutable.Map(baseDocs: _*)
+        batches.foreach(_.foreach { case (id, op, t) => if (op == "d") docs.remove(id) else docs(id) = t })
+
+        implicit val sq = spark.sqlContext
+        val ckpt = java.nio.file.Files.createTempDirectory(s"graft-restart-bm25-$round").toString
+        val input = MemoryStream[(Long, String, String)]
+        val streamed = new graft.streaming.StreamingBm25(
+          Bm25.buildIndex(baseDocs.toDF("id", "text"), "id", "text"),
+          "id",
+          "text"
+        )
+        foldWithRestarts(batches, cuts, input, () => streamed.attach(input.toDF().toDF("id", "op", "text"), Some(ckpt)))
+
+        val fresh = Bm25.buildIndex(docs.toSeq.toDF("id", "text"), "id", "text")
+        def postings(ix: Bm25.Bm25Index) =
+          ix.postings.select("id", "term", "dl", "tf").collect().map(_.toString).sorted.toSeq
+        def corpus(ix: Bm25.Bm25Index) =
+          ix.corpus.select("n_docs", "sum_dl", "avgdl").collect().map(_.toString).toSeq
+        assert(
+          postings(streamed.index) == postings(fresh),
+          s"round $round: maintained postings diverged from rebuild (cuts=$cuts)\n batches=$batches"
+        )
+        // avgdl is the same IEEE division on exact integer (count, Σdl) —
+        // bit-identical, so string equality is exact equality
+        assert(
+          corpus(streamed.index) == corpus(fresh),
+          s"round $round: corpus stats diverged from rebuild (cuts=$cuts): ${corpus(streamed.index)} vs ${corpus(fresh)}"
+        )
+        val got = Bm25.scoreAgainstIndex(streamed.index, Seq("spark", "scan"), 10).as[(Long, Double)].collect().toSeq
+        val want = Bm25.scoreAgainstIndex(fresh, Seq("spark", "scan"), 10).as[(Long, Double)].collect().toSeq
+        assert(got == want && got.nonEmpty, s"round $round: scores diverged: $got vs $want")
+      }
+    }
+  }
+
+  test("nested-artifact maintenance survives checkpoint restart: multi-op child CDC, maintained ≡ rebuilt") {
+    import graft.search.Nested
+    withRocksDb {
+      val rnd = new scala.util.Random(seed * 41)
+      (1 to 2).foreach { round =>
+        val fields = Seq("line", "qty")
+        val parents = (1L to 4L).map(p => (p, s"p$p")).toDF("pid", "tag")
+        val baseChildren = Seq((1L, 1, 10.0), (1L, 2, 20.0), (2L, 1, 30.0), (3L, 2, 5.0))
+        // multi-op batches: SEVERAL ops per (parent, line) in one batch
+        // are legal here because the stream names seqCol — applyDelta
+        // must keep only the last op per element
+        var seq = 0L
+        val batches = (1 to 7).map { _ =>
+          Seq.fill(2 + rnd.nextInt(5)) {
+            seq += 1
+            val cid = 1L + rnd.nextInt(4)
+            val line = 1 + rnd.nextInt(3)
+            if (rnd.nextInt(3) == 0) (cid, line, 0.0, "d", seq)
+            else (cid, line, (rnd.nextInt(90) + 10).toDouble, "u", seq)
+          }
+        }
+        val cuts = Set(batches.size / 3, 2 * batches.size / 3)
+        // restart-oblivious model: per batch, last op per (parent, line)
+        val state = scala.collection.mutable.Map[(Long, Int), Double](
+          baseChildren.map { case (c, l, q) => (c, l) -> q }: _*
+        )
+        batches.foreach { b =>
+          b.groupBy(e => (e._1, e._2)).foreach { case (key, ops) =>
+            val last = ops.maxBy(_._5)
+            if (last._4 == "d") state.remove(key) else state(key) = last._3
+          }
+        }
+
+        implicit val sq = spark.sqlContext
+        val ckpt = java.nio.file.Files.createTempDirectory(s"graft-restart-nested-$round").toString
+        val input = MemoryStream[(Long, Int, Double, String, Long)]
+        val base = Nested.nestedIndex(parents, baseChildren.toDF("cid", "line", "qty"), "pid", "cid", "items", fields)
+        val streamed = new graft.streaming.StreamingNested(base, "pid", "cid", "items", fields, seqCol = Some("seq"))
+        foldWithRestarts(
+          batches,
+          cuts,
+          input,
+          () => streamed.attach(input.toDF().toDF("cid", "line", "qty", "op", "seq"), Some(ckpt))
+        )
+
+        val net = state.toSeq.map { case ((c, l), q) => (c, l, q) }
+        val rebuilt = Nested.nestedIndex(parents, net.toDF("cid", "line", "qty"), "pid", "cid", "items", fields)
+        def dump(df: org.apache.spark.sql.DataFrame) =
+          df.selectExpr("pid", "transform(items, x -> struct(x.line, x.qty))")
+            .as[(Long, Seq[(Int, Double)])]
+            .collect()
+            .toMap
+        assert(
+          dump(streamed.index) == dump(rebuilt),
+          s"round $round: nested artifact diverged from rebuild (cuts=$cuts)\n batches=$batches"
+        )
+      }
+    }
+  }
+
+  test("indexed percolator stream survives checkpoint restart: cumulative alerts ≡ batch percolate, no gaps or replays") {
+    import graft.search.Percolate
+    withRocksDb {
+      val rnd = new scala.util.Random(seed * 101)
+      (1 to 2).foreach { round =>
+        val registry = Seq(
+          (1L, Seq("spark", "shuffle"), true, None, None),
+          (2L, Seq("scan", "merge"), false, None, None),
+          (3L, Seq("join"), false, Some(20.0), None),
+          (4L, Seq("filter", "sort", "hash"), true, None, Some(60.0)),
+          (5L, Seq("query"), false, None, None)
+        ).toDF("query_id", "terms", "conj", "rgt", "rlte")
+        val index = Percolate.buildIndex(registry)
+        val vocab = Vector("spark", "scan", "join", "shuffle", "filter", "merge", "sort", "hash", "query", "plan")
+        var docId = 0L
+        val batches = (1 to 8).map { _ =>
+          Seq.fill(1 + rnd.nextInt(5)) {
+            docId += 1
+            val t = Seq.fill(2 + rnd.nextInt(7))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+            (docId, t, t.length.toLong)
+          }
+        }
+        val cuts = Set(batches.size / 3, 2 * batches.size / 3)
+        val got = runWithRestarts[(Long, String, Long), (Long, Long)](batches, cuts, s"rst_perc_$round") {
+          (in, collect, ck) =>
+            graft.streaming.PercolateStream
+              .alertsIndexed(index, in.toDF().toDF("doc_id", "text", "n_chars"), "doc_id", "text", "n_chars")
+              .as[(Long, Long)]
+              .writeStream
+              .foreachBatch(collect)
+              .option("checkpointLocation", ck)
+              .outputMode(OutputMode.Append)
+              .start()
+        }
+        val want = Percolate
+          .percolate(index, batches.flatten.toDF("doc_id", "text", "n_chars"), "doc_id", "text", "n_chars")
+          .as[(Long, Long)]
+          .collect()
+          .toSeq
+        assert(want.nonEmpty, s"round $round: no matches — fixture vacuous, widen the vocab overlap")
+        assert(
+          got.sorted == want.sorted,
+          s"round $round: streamed alerts diverged from batch percolate (cuts=$cuts)\n got=${got.sorted.mkString(",")}\n want=${want.sorted.mkString(",")}"
+        )
+      }
+    }
+  }
 }
