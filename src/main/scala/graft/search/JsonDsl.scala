@@ -3473,7 +3473,8 @@ object JsonDsl {
     // twin at 10000 cost 3.3 s isolated at sf0.1; 2000 keeps the
     // ReplicaSpec band with 10× margin at a fraction of the merge work.
     def ranks(ps: Seq[Double]): Column =
-      if (approx) approx_percentile(f, lit(ps.toArray), lit(2000)) else percentile(f, lit(ps.toArray))
+      if (approx) approx_percentile(f, lit(ps.toArray), lit(2000))
+      else graft.functions.ExactPercentileAgg.exactPercentile(f, ps)
     mType match {
       case "percentiles" =>
         val ps = Option(spec.get("percents"))
