@@ -119,6 +119,29 @@ object Percolate {
     PercolateIndex(specsAug, posting)
   }
 
+  /** Distinct posted-term universe of a registry, collected driver-side
+    * when the registry is small enough to inline as a scan-time
+    * prefilter literal (r18). The doc-side explode then emits only the
+    * tokens that can possibly join the posting table — the generate's
+    * output (each row of which copies the doc's full token arrays for
+    * ownership/verification) drops from every-token-of-every-doc to
+    * hit-tokens-only, and docs with zero posted terms vanish before the
+    * join. Registry-sized driver work, same class as the build guards.
+    * Above the cap the literal would grow the plan with the registry —
+    * exactly what the tier's O(1)-plan contract forbids — so big
+    * registries keep the pure join shape (the prefilter is an
+    * optimization, never a semantic change: exploded tokens outside the
+    * universe could never survive the inner posting join anyway).
+    */
+  private def postedUniverse(posting: DataFrame, termCol: String): Option[Array[String]] = {
+    val cap = 4096
+    val rows = posting.select(col(termCol)).distinct().limit(cap + 1).collect()
+    if (rows.length > cap) None else Some(rows.map(_.getString(0)).sorted)
+  }
+
+  private def prefilterToks(toks: Column, universe: Option[Array[String]]): Column =
+    universe.map(u => array_intersect(toks, typedlit(u.toSeq))).getOrElse(toks)
+
   /** Percolate `docs` through the index: (doc id, query_id) match pairs.
     * `textCol` is the percolator field (analyzed with the house
     * whitespace analyzer — [[SearchDsl.analyze]] parity); `rangeCol`
@@ -140,14 +163,20 @@ object Percolate {
       idCol: String,
       textCol: String,
       rangeCol: String
-  ): DataFrame =
+  ): DataFrame = {
+    val universe = postedUniverse(index.posting, "term")
     docs
       .select(
         col(idCol).as("_pid"),
         array_distinct(SearchDsl.analyze(col(textCol))).as("_toks"),
         col(rangeCol).cast("double").as("_rv")
       )
-      .select(col("_pid"), col("_toks"), col("_rv"), explode(col("_toks")).as("term"))
+      // `_hits` (the doc's posted-universe tokens) is what candidacy and
+      // ownership actually consume — exploding and owning off it keeps
+      // the generate's per-row payload to the small hit set (the full
+      // `_toks` still rides for 'and' verification).
+      .withColumn("_hits", prefilterToks(col("_toks"), universe))
+      .select(col("_pid"), col("_toks"), col("_hits"), col("_rv"), explode(col("_hits")).as("term"))
       // Registry frames broadcast EXPLICITLY: at 10⁶ rules the posting/
       // specs frames (~tens of MB) fall out of the 10 MB auto-broadcast
       // threshold, and a sort-merge fallback would shuffle the candidate
@@ -158,23 +187,34 @@ object Percolate {
       // deployment partitions the registry before it outgrows broadcast.
       .join(broadcast(index.posting), Seq("term"))
       .join(broadcast(index.specs), Seq("query_id"))
-      .filter(
-        // first-posted-term ownership: exactly one exploded row per
-        // matching (doc, query) survives
-        col("term") === element_at(array_intersect(col("_posted"), col("_toks")), 1) &&
-          // verification: AND re-checks every term — over the SAME
-          // filtered non-null/non-empty set posting used, so a registry
-          // with stray ""/null tokens keeps tier equivalence with the
-          // compiled tier; OR candidacy is the predicate; range bounds
-          // check the named numeric column
-          (!col("conj") || forall(
-            filter(col("terms"), t => t.isNotNull && length(t) > 0),
-            t => array_contains(col("_toks"), t)
-          )) &&
-          (col("rgt").isNull || col("_rv") > col("rgt")) &&
-          (col("rlte").isNull || col("_rv") <= col("rlte"))
-      )
+      .filter {
+        import org.apache.spark.sql.graft.ColumnBridge
+        // cheap range bounds first, then first-posted-term ownership
+        // (exactly one exploded row per matching (doc, query) survives
+        // — compiled [[graft.functions.FirstPresentEquals]] over the
+        // small `_hits` set, which contains exactly the posted-universe
+        // tokens ownership can ever select), then verification: AND
+        // re-checks every term — over the SAME filtered
+        // non-null/non-empty set posting used, so a registry with stray
+        // ""/null tokens keeps tier equivalence with the compiled tier;
+        // OR candidacy is the predicate. Verification reads the FULL
+        // _toks ('and' queries re-check non-posted terms) as a compiled
+        // eval ([[graft.functions.AllCleanTermsIn]]) instead of the
+        // interpreted filter+forall HOFs — same row set (r18).
+        (col("rgt").isNull || col("_rv") > col("rgt")) &&
+          (col("rlte").isNull || col("_rv") <= col("rlte")) &&
+          ColumnBridge.column(graft.functions.FirstPresentEquals(
+            ColumnBridge.expression(col("_posted")),
+            ColumnBridge.expression(col("_hits")),
+            ColumnBridge.expression(col("term")))) &&
+          (!col("conj") || ColumnBridge.column(
+            graft.functions.AllCleanTermsIn(
+              ColumnBridge.expression(col("terms")),
+              ColumnBridge.expression(col("_toks"))
+            )))
+      }
       .select(col("_pid").as(idCol), col("query_id"))
+  }
 
   /** The candidate set alone (pre-verification) — exposed so the
     * superset contract is testable exactly as stated.
@@ -391,6 +431,7 @@ object Percolate {
       textFields: Seq[String],
       rangeCol: String
   ): DataFrame = {
+    val universe = postedUniverse(index.posting, "pterm")
     val tokCols = textFields.map(f => SearchDsl.analyze(col(f)).as(s"_tk_$f"))
     docs
       .select(
@@ -400,24 +441,40 @@ object Percolate {
           col(rangeCol).cast("double").as("_rv")
         ) ++ tokCols: _*
       )
-      .withColumn("pterm", explode(col("_ctoks")))
+      // `_hits` = the doc's posted-universe composite tokens: candidacy
+      // and ownership consume only these, so the generate's per-row
+      // payload shrinks to the hit set (per-field token arrays still
+      // ride for verification).
+      .withColumn("_hits", prefilterToks(col("_ctoks"), universe))
+      .drop("_ctoks")
+      .withColumn("pterm", explode(col("_hits")))
       // registry broadcast: same rationale as the flat tier's percolate
       .join(broadcast(index.posting), Seq("pterm"))
       .join(broadcast(index.specs), Seq("query_id"))
       .filter {
-        // evaluation order matters: ownership (one intersect) and the
-        // constant-time range bounds prune BEFORE the per-clause HOF
-        // verification ever runs — And short-circuits left-to-right.
-        // should_* clauses verify as a group (minimum_should_match=1:
-        // at LEAST one holds); hard clauses (must/must_not) all hold.
-        val isShould = (c: Column) => c.getField("kind").startsWith("should_")
-        val hard = filter(col("clauses"), c => !isShould(c))
-        val shoulds = filter(col("clauses"), isShould)
-        col("pterm") === element_at(array_intersect(col("_posted"), col("_ctoks")), 1) &&
-          (col("rgt").isNull || col("_rv") > col("rgt")) &&
+        // evaluation order matters: the constant-time range bounds and
+        // the compiled first-posted-term ownership prune BEFORE the
+        // per-clause verification ever runs — And short-circuits
+        // left-to-right. Verification (must all hold; should_* group
+        // holds when ≥1 does, minimum_should_match=1) runs as ONE
+        // native compiled eval ([[graft.functions.RichClausesOk]])
+        // instead of the interpreted forall/exists/phrase HOF tree it
+        // replaces — the HOF tree cost ~37 µs per candidate row
+        // (~1.1 s of this key's 1.6 s at sf0.1); PercolateSpec's
+        // tier-equality and the fuzz drills pin the exact row-set
+        // equivalence.
+        import org.apache.spark.sql.graft.ColumnBridge
+        (col("rgt").isNull || col("_rv") > col("rgt")) &&
           (col("rlte").isNull || col("_rv") <= col("rlte")) &&
-          forall(hard, c => clauseOk(c, textFields)) &&
-          (size(shoulds) === 0 || exists(shoulds, c => clauseOk(c, textFields)))
+          ColumnBridge.column(graft.functions.FirstPresentEquals(
+            ColumnBridge.expression(col("_posted")),
+            ColumnBridge.expression(col("_hits")),
+            ColumnBridge.expression(col("pterm")))) &&
+          ColumnBridge.column(graft.functions.RichClausesOk(
+            ColumnBridge.expression(col("clauses")),
+            textFields,
+            textFields.map(f => ColumnBridge.expression(col(s"_tk_$f")))
+          ))
       }
       .select(col("_pid").as(idCol), col("query_id"))
   }
