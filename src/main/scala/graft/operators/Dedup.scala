@@ -264,6 +264,11 @@ object Dedup {
       dfCap: Int = 50,
       threshold: Double = 0.5
   ): DataFrame = {
+    // Deliberately NOT persisted (r18): the gram pipeline appears 8× in
+    // the physical plan (census + join + both self-join sides), but the
+    // JIT-warm recompute is cheaper than materializing the full gram
+    // table through the memory store — measured in the bench instrument
+    // 2.3 s as-is vs 3.0 s rare-persisted vs worse with grams too.
     val grams = graft.Tables
       .ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("_t")))
       .select(col("id"), explode(array_distinct(TextFns.ngramsFromTokens(TextFns.tokens(col("_t")), n))).as("g"))
@@ -324,11 +329,18 @@ object Dedup {
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id"))
       .orderBy(col("_df").asc, col("p").asc)
+    // Persisted (r18): both sides of the candidate self-join consume
+    // `prefix`; unpersisted, the docFreq join + ranking window ran once
+    // PER SIDE (the window sits above the reusable exchange, so stage
+    // reuse cannot dedup it). The post-rank-filter table is small, so
+    // materialization beats the double window: 3.40 s → 2.64 s in the
+    // bench instrument at sf0.1.
     val prefix = exploded
       .join(docFreq, "p")
       .withColumn("_rk", row_number().over(rankW))
       .filter(col("_rk") <= floor(col("sz") * (1 - threshold)) + 1)
       .select(col("id"), col("sz"), col("p"), col("_rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val l = prefix.as("l")
     val r = prefix.as("r")
@@ -380,8 +392,10 @@ object Dedup {
       .join(sa, "a")
       .join(sb, "b")
     val score =
-      if (suffixFilter) jaccardAtLeastUdf(col("sh_a"), col("sh_b"), lit(threshold))
-      else jaccardUdf(col("sh_a"), col("sh_b"))
+      // native kernels (r18): same arithmetic as the retired UDFs
+      // without the per-pair Seq[String] conversion — see JaccardExprs
+      if (suffixFilter) graft.functions.JaccardExprs.jaccardAtLeast(col("sh_a"), col("sh_b"), threshold)
+      else graft.functions.JaccardExprs.jaccardSim(col("sh_a"), col("sh_b"))
     verified
       .select(col("a"), col("b"), round(score, 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)

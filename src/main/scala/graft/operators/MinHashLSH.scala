@@ -128,7 +128,7 @@ object MinHashLSH {
     cands
       .join(sa, "a")
       .join(sb, "b")
-      .select(col("a"), col("b"), round(Dedup.jaccardUdf(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .select(col("a"), col("b"), round(graft.functions.JaccardExprs.jaccardSim(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -183,7 +183,7 @@ object MinHashLSH {
     cands
       .join(sa, "a")
       .join(sb, "b")
-      .select(col("a"), col("b"), round(Dedup.jaccardUdf(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .select(col("a"), col("b"), round(graft.functions.JaccardExprs.jaccardSim(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }
