@@ -698,7 +698,10 @@ object Similarity {
         Array.tabulate(v.length)(j => (v(j).toDouble - (if (j < c.length) c(j).toDouble else 0.0)).toFloat)
       }
     var books = Array.tabulate(m)(mi => sample.map(_.slice(mi * dsub, (mi + 1) * dsub)))
+    // Persisted (r18): the refit scan(s) and the final encode each
+    // re-read the source otherwise (values unchanged; see opqIndexFull).
     val base = emb.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 0 until iters) {
       // One scan: encode, explode residual dims, mean per (subspace,
       // assigned code, dim-within-subspace). Empty codes keep their entry.
@@ -1014,7 +1017,14 @@ object Similarity {
     val dim = cents(0).length
     require(dim % m == 0, s"embedding dim $dim must divide into $m subspaces")
     val dsub = dim / m
-    val base = graft.Tables.ensureParallelism(emb.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull))
+    // Persisted (r18): the train loop makes opqIters·2 + 2 full scans of
+    // this frame (refit / cross-covariance / MSE / encode) — each one
+    // re-read the parquet and re-paid the ensureParallelism exchange.
+    // Values are unchanged (caching cannot move a training trajectory);
+    // the suite's cache lifecycle clears it between queries.
+    val base = graft.Tables
+      .ensureParallelism(emb.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val residUdfD = udf { (v: Seq[Float]) =>
       val c = cents(nearestCell(cents, v))
       Seq.tabulate(v.length)(j => v(j).toDouble - (if (j < c.length) c(j).toDouble else 0.0))

@@ -49,6 +49,17 @@ object SearchDsl {
     * mirroring [[Analyzer.normalizeAll]] stage for stage.
     */
   def analyzeWith(text: Column, a: Analyzer): Column =
+    // r18: one compiled eval ([[AnalyzeChainExpr]]) instead of the
+    // stage-per-stage interpreted HOF pipeline — bit-identical tokens
+    // (AnalyzeChainSpec pins native ≡ HOF on fuzzed corpora; the HOF
+    // form below stays as the spec's reference implementation).
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      AnalyzeChainExpr(org.apache.spark.sql.graft.ColumnBridge.expression(text), a.filters))
+
+  /** The retired interpreted-HOF chain — reference implementation for
+    * AnalyzeChainSpec's native≡HOF equivalence drills only.
+    */
+  private[graft] def analyzeWithHof(text: Column, a: Analyzer): Column =
     a.filters.foldLeft(analyze(text)) {
       case (toks, TokenFilter.Stop(words)) => filter(toks, t => !t.isInCollection(words))
       case (toks, TokenFilter.SStem)       => transform(toks, t => sStem(t))
@@ -92,8 +103,20 @@ object SearchDsl {
     */
   def matchScoreWith(text: Column, a: Analyzer, queryTerms: Seq[String], searchA: Analyzer): Column = {
     val terms = searchA.normalizeTerms(queryTerms)
+    // r18: one compiled chain evaluation per row ([[ChainTermHits]])
+    // instead of one interpreted analyzeWith per TERM; empty-terms and
+    // NULL-text semantics match the HOF form (lit(0) / NULL sum).
+    if (terms.isEmpty) lit(0)
+    else
+      org.apache.spark.sql.graft.ColumnBridge
+        .column(ChainTermHits(org.apache.spark.sql.graft.ColumnBridge.expression(text), a.filters, terms))
+  }
+
+  /** Retired per-term HOF form — AnalyzeChainSpec reference only. */
+  private[graft] def matchScoreWithHof(text: Column, a: Analyzer, queryTerms: Seq[String], searchA: Analyzer): Column = {
+    val terms = searchA.normalizeTerms(queryTerms)
     terms
-      .map(t => array_contains(analyzeWith(text, a), t).cast("int"))
+      .map(t => array_contains(analyzeWithHof(text, a), t).cast("int"))
       .reduceOption(_ + _)
       .getOrElse(lit(0))
   }
@@ -191,6 +214,21 @@ object SearchDsl {
       .split("\\s+").toSeq.filter(_.nonEmpty).zipWithIndex
       .flatMap { case (t, i) => a.normalizeTerm(t).map(nt => (nt, i)) }
     if (kept.isEmpty) lit(false) // all-stopword phrase → zero hits (MatchNoDocsQuery), not an error
+    else
+      // r18: the positional verdict as one compiled eval
+      // ([[PhraseChainMatch]]) — the interpreted transform/filter/
+      // exists pipeline below (kept as the spec reference) cost ~0.9 s
+      // of search_match_phrase_stemmed's 1.2 s at sf0.1.
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        PhraseChainMatch(org.apache.spark.sql.graft.ColumnBridge.expression(text), a.filters, kept))
+  }
+
+  /** Retired interpreted positional form — AnalyzeChainSpec reference. */
+  private[graft] def matchPhraseWithHof(text: Column, a: Analyzer, phrase: String): Column = {
+    val kept: Seq[(String, Int)] = phrase.toLowerCase
+      .split("\\s+").toSeq.filter(_.nonEmpty).zipWithIndex
+      .flatMap { case (t, i) => a.normalizeTerm(t).map(nt => (nt, i)) }
+    if (kept.isEmpty) lit(false)
     else {
       // Doc side: each original token keeps its ORIGINAL position and
       // runs through the chain's scalar form (null = dropped by a stop
