@@ -1169,8 +1169,8 @@ private[graft] object SearchEntries {
         .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
         .select(
           col("doc_id"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'big', i, -1)), x -> x >= 0)").as("_pa"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'table', i, -1)), x -> x >= 0)").as("_pb")
+          graft.functions.TokenPositions.positionsOf(col("_toks"), "big").as("_pa"),
+          graft.functions.TokenPositions.positionsOf(col("_toks"), "table").as("_pb")
         )
         .filter(expr("exists(_pa, a -> exists(_pb, b -> b > a AND b - a <= 3))"))
         .select("doc_id")
@@ -1210,8 +1210,8 @@ private[graft] object SearchEntries {
         .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
         .select(
           col("doc_id"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'stream', i, -1)), x -> x >= 0)").as("_pa"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'merge', i, -1)), x -> x >= 0)").as("_pb")
+          graft.functions.TokenPositions.positionsOf(col("_toks"), "stream").as("_pa"),
+          graft.functions.TokenPositions.positionsOf(col("_toks"), "merge").as("_pb")
         )
         .filter(expr("exists(_pa, a -> exists(_pb, b -> b > a))"))
         .select("doc_id")
@@ -1240,8 +1240,8 @@ private[graft] object SearchEntries {
         .select(
           col("doc_id"),
           col("_toks"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'big', i, -1)), x -> x >= 0)").as("_pa"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'data', i, -1)), x -> x >= 0)").as("_pb")
+          graft.functions.TokenPositions.positionsOf(col("_toks"), "big").as("_pa"),
+          graft.functions.TokenPositions.positionsOf(col("_toks"), "data").as("_pb")
         )
         .filter(
           array_contains(col("_toks"), "dup") ||
@@ -1277,9 +1277,9 @@ private[graft] object SearchEntries {
         .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
         .select(
           col("doc_id"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'stream', i, -1)), x -> x >= 0)").as("_pa"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'merge', i, -1)), x -> x >= 0)").as("_pb"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'fast', i, -1)), x -> x >= 0)").as("_pp")
+          graft.functions.TokenPositions.positionsOf(col("_toks"), "stream").as("_pa"),
+          graft.functions.TokenPositions.positionsOf(col("_toks"), "merge").as("_pb"),
+          graft.functions.TokenPositions.positionsOf(col("_toks"), "fast").as("_pp")
         )
         .select(
           col("doc_id"),
@@ -1299,9 +1299,9 @@ private[graft] object SearchEntries {
         .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
         .select(
           col("doc_id"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'sort', i, -1)), x -> x >= 0)").as("_pa"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'scan', i, -1)), x -> x >= 0)").as("_pb"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'key', i, -1)), x -> x >= 0)").as("_pp")
+          graft.functions.TokenPositions.positionsOf(col("_toks"), "sort").as("_pa"),
+          graft.functions.TokenPositions.positionsOf(col("_toks"), "scan").as("_pb"),
+          graft.functions.TokenPositions.positionsOf(col("_toks"), "key").as("_pp")
         )
         .select(
           col("doc_id"),
@@ -1336,8 +1336,8 @@ private[graft] object SearchEntries {
         .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
         .select(
           col("doc_id"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'big' OR t = 'fast', i, -1)), x -> x >= 0)").as("_pa"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'table', i, -1)), x -> x >= 0)").as("_pb")
+          graft.functions.TokenPositions.positionsOf(col("_toks"), "big", "fast").as("_pa"),
+          graft.functions.TokenPositions.positionsOf(col("_toks"), "table").as("_pb")
         )
         .filter(expr("exists(_pa, a -> exists(_pb, b -> b > a AND b - a - 1 <= 3))"))
         .select("doc_id")
@@ -2225,8 +2225,8 @@ private[graft] object SearchEntries {
         .select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
         .select(
           col("doc_id"),
-          expr("filter(transform(_toks, (t, i) -> IF(t LIKE 'spar%', i, -1)), x -> x >= 0)").as("_pa"),
-          expr("filter(transform(_toks, (t, i) -> IF(t = 'fast', i, -1)), x -> x >= 0)").as("_pb")
+          graft.functions.TokenPositions.positionsOfPrefix(col("_toks"), "spar").as("_pa"),
+          graft.functions.TokenPositions.positionsOf(col("_toks"), "fast").as("_pb")
         )
         .filter(expr("exists(_pa, a -> exists(_pb, b -> b != a AND abs(b - a) <= 5))"))
         .select("doc_id")

@@ -3837,15 +3837,12 @@ object JsonDsl {
     (f, terms(0)._2, terms(1)._2, Option(body.get("slop")).map(_.asInt).getOrElse(0))
   }
 
-  /** 0-based positions of `term` among the field's analyzed tokens. */
+  /** 0-based positions of `term` among the field's analyzed tokens —
+    * one compiled eval (r18, [[graft.functions.TokenPositions]]) in
+    * place of the interpreted two-pass transform+filter HOF.
+    */
   private def tokenPositions(f: String, term: String): Column =
-    filter(
-      transform(
-        graft.functions.TextFns.tokens(col(f)),
-        (t, i) => when(t === lit(term), i).otherwise(lit(-1))
-      ),
-      x => x >= 0
-    )
+    graft.functions.TokenPositions.positionsOf(graft.functions.TextFns.tokens(col(f)), term)
 
   /** Scoring clauses usable in a bool `should` (additive _score):
     * rank_feature (saturation form: boost·f/(f+pivot)) and
