@@ -199,7 +199,7 @@ private[graft] object AnnEntries {
         .graphIndex(
           Tables
             .embeddings(s, dir)
-            .filter(conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("bigint") % 8 === 0),
+            .filter(functions.Md5PrefixLong.md5PrefixLong(col("vec_id").cast("string"), 15) % 8 === 0),
           "vec_id",
           "embedding"
         )

@@ -30,6 +30,16 @@ object OracleHash {
   private val digests: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
+  /** Raw 16-byte md5 digest (thread-local MessageDigest, zero per-call
+    * allocation beyond the result array) — the shared kernel under
+    * md5Int60/md5Long and the [[Md5PrefixLong]] expression.
+    */
+  def md5Digest(bytes: Array[Byte]): Array[Byte] = {
+    val md = digests.get()
+    md.reset()
+    md.digest(bytes)
+  }
+
   /** First 60 bits of md5(bytes) as a non-negative Long — exactly DuckDB's
     * `CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)` and Spark SQL's
     * `conv(substring(md5(s), 1, 15), 16, 10)`: the first 15 hex chars are

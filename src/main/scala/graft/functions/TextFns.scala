@@ -151,7 +151,18 @@ object TextFns {
     * re-evaluates its argument subtree, which measured ~50x slower than
     * this UDF on the shingling hot path.
     */
-  def ngramsFromTokens(t: Column, n: Int): Column = {
+  def ngramsFromTokens(t: Column, n: Int): Column =
+    // Native codegen expression (r19, was a boxed Seq[String] UDF): same
+    // values — null/short input → empty array, space-joined windows —
+    // without the per-row ArrayData↔Seq conversions; NgramsSpec pins
+    // native ≡ UDF on hostile corpora. The retired UDF form stays below
+    // as the spec's reference implementation.
+    NgramsFromTokensExpr.ngrams(t, n)
+
+  /** The retired UDF form — kept `private[graft]` as the equivalence
+    * spec's reference implementation (NgramsSpec: native ≡ this).
+    */
+  private[graft] def ngramsFromTokensUdf(t: Column, n: Int): Column = {
     val f = udf((toks: Seq[String]) =>
       if (toks == null || toks.length < n) Seq.empty[String]
       else toks.iterator.sliding(n).map(_.mkString(" ")).toSeq

@@ -163,12 +163,20 @@ object Dedup {
     val pos = toks.select(col("id"), posexplode(col("_t")).as(Seq("p", "tok")))
     // gram k (0-based start) covers tokens [k, k+n-1]
     val grams = toks.select(col("id"), posexplode(TextFns.ngramsFromTokens(col("_t"), n)).as(Seq("p", "g")))
-    val freq = grams.groupBy("g").agg(count_distinct(col("id")).as("nd"), min("id").as("keeper"))
+    // "occurs in MORE THAN ONE document" needs only min(id) ≠ max(id),
+    // not a count — r19: the count_distinct form planned as a two-phase
+    // distinct aggregate (an extra (g, id) Exchange + three aggregate
+    // passes); min/max partials aggregate map-side in one exchange.
+    val freq = grams.groupBy("g").agg(min("id").as("keeper"), max("id").as("_maxid"))
     val covered = grams
       .join(freq, "g")
-      .filter(col("nd") > 1 && col("id") =!= col("keeper"))
+      .filter(col("_maxid") =!= col("keeper") && col("id") =!= col("keeper"))
       .select(col("id"), explode(sequence(col("p"), col("p") + lit(n - 1))).as("p"))
-      .distinct()
+    // No distinct(): the only consumer is the left_anti join below, which
+    // is duplicate-insensitive — the old distinct paid a full (id, p)
+    // shuffle + two aggregate passes to remove rows the join ignores
+    // anyway (r19; guide §2.4 "a distinct on data whose consumer doesn't
+    // need it").
     val rebuilt = pos
       .join(covered, Seq("id", "p"), "left_anti")
       .groupBy("id")
@@ -264,16 +272,25 @@ object Dedup {
       dfCap: Int = 50,
       threshold: Double = 0.5
   ): DataFrame = {
-    // Deliberately NOT persisted (r18): the gram pipeline appears 8× in
-    // the physical plan (census + join + both self-join sides), but the
-    // JIT-warm recompute is cheaper than materializing the full gram
-    // table through the memory store — measured in the bench instrument
-    // 2.3 s as-is vs 3.0 s rare-persisted vs worse with grams too.
+    // Deliberately NOT persisted (r18): the gram pipeline appears several
+    // times in the physical plan, but the JIT-warm recompute is cheaper
+    // than materializing the full gram table through the memory store —
+    // measured in the bench instrument 2.3 s as-is vs 3.0 s
+    // rare-persisted vs worse with grams too.
     val grams = graft.Tables
       .ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("_t")))
       .select(col("id"), explode(array_distinct(TextFns.ngramsFromTokens(TextFns.tokens(col("_t")), n))).as("g"))
+    // Rare-gram census as a WINDOW over the gram exchange (r19; was a
+    // groupBy census joined back to a second gram derivation — the gram
+    // pipeline ran once for the census side and once per probe side, 8×
+    // total across the plan's consumers; guide §2.4 remove recompute).
+    // The window's count over partitionBy(g) is the same document
+    // frequency (grams are distinct per doc), each downstream consumer
+    // re-reads the SAME reused shuffle instead of re-tokenizing the
+    // corpus, and the df≤cap filter semantics are unchanged.
     val rare = grams
-      .join(grams.groupBy("g").agg(count(lit(1)).as("_df")).filter(col("_df") <= dfCap), "g")
+      .withColumn("_df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(col("_df") <= dfCap)
       .select("id", "g")
     val sizes = rare.groupBy(col("id")).agg(count(lit(1)).as("n_rare"))
     val shared = rare
@@ -324,7 +341,21 @@ object Dedup {
       .select(col("id"), col("sh"), size(col("sh")).as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val exploded = base.select(col("id"), col("sz"), explode(col("sh")).as("p"))
+    // Grams ride the prefix pipeline as 64-bit xxhash64 keys (r19; guide
+    // §2.3 shuffle keys, not payloads): the document-frequency shuffle,
+    // the ranking window, and the candidate self-join all carry 8 bytes
+    // per gram instead of the gram text. LOSSLESS for the emitted pair
+    // set: the prefix-filter theorems hold for ANY global total order of
+    // the gram universe — (df, hash) is one — and a hash collision can
+    // only MERGE two grams' identities, which inflates df/overlap counts
+    // and loosens every positional bound (more candidates admitted,
+    // never fewer); the verify join re-checks exact Jaccard on the full
+    // textual shingle arrays, so admitted non-pairs die there and true
+    // pairs cannot be lost. DedupSpec's suffix-filter set-equality drill
+    // and the dedup oracle keys pin the end-to-end pair set.
+    val exploded = base
+      .select(col("id"), col("sz"), explode(col("sh")).as("_pt"))
+      .select(col("id"), col("sz"), xxhash64(col("_pt")).as("p"))
     val docFreq = exploded.groupBy(col("p")).agg(count(lit(1)).as("_df"))
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id"))

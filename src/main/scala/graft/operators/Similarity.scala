@@ -372,7 +372,9 @@ object Similarity {
     val centroids: Array[Array[Float]] = emb
       .select(col(idCol), col(vecCol))
       .filter(col(vecCol).isNotNull)
-      .orderBy(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("bigint").asc, col(idCol))
+      // Native md5-prefix expression (r19, was conv(substring(md5(...))) —
+      // same value, no hex-string round-trip; Md5PrefixSpec pins equality).
+      .orderBy(graft.functions.Md5PrefixLong.md5PrefixLong(col(idCol).cast("string"), 15).asc, col(idCol))
       .limit(nLists)
       .collect()
       .map(_.getSeq[Float](1).toArray)
@@ -687,7 +689,9 @@ object Similarity {
       .select(col(idCol), col(vecCol))
       .filter(col(vecCol).isNotNull)
       .orderBy(
-        conv(substring(md5(concat(col(idCol).cast("string"), lit(":pq"))), 1, 15), 16, 10).cast("bigint").asc,
+        graft.functions.Md5PrefixLong
+          .md5PrefixLong(concat(col(idCol).cast("string"), lit(":pq")), 15)
+          .asc,
         col(idCol)
       )
       .limit(ksub)
@@ -1012,34 +1016,49 @@ object Similarity {
       ksub: Int = 16,
       opqIters: Int = 2
   ): PqIndex = {
+    // The seed-row fetch is INDEPENDENT of the centroid TakeOrdered (the
+    // residual math below is driver-side, after both jobs land), so the
+    // two driver actions run concurrently (r19; guide §2.6 overlap
+    // independent jobs) instead of back-to-back.
+    val seedRowsF = scala.concurrent.Future {
+      emb
+        .select(col(idCol), col(vecCol))
+        .filter(col(vecCol).isNotNull)
+        .orderBy(pmod(hash(col(idCol), lit(17)), lit(1 << 30)).asc, col(idCol))
+        .limit(ksub)
+        .collect()
+    }(scala.concurrent.ExecutionContext.global)
     val ivf = ivfIndex(emb, idCol, vecCol, nLists)
     val cents = ivf.centroids
     val dim = cents(0).length
     require(dim % m == 0, s"embedding dim $dim must divide into $m subspaces")
     val dsub = dim / m
-    // Persisted (r18): the train loop makes opqIters·2 + 2 full scans of
-    // this frame (refit / cross-covariance / MSE / encode) — each one
-    // re-read the parquet and re-paid the ensureParallelism exchange.
-    // Values are unchanged (caching cannot move a training trajectory);
-    // the suite's cache lifecycle clears it between queries.
+    // Persisted RESIDUALS (r19; r18 persisted the raw (id, vec) frame):
+    // every training scan (refit / cross-covariance / MSE) starts by
+    // recomputing coarse-assign + residual per row — an nLists-distance
+    // argmin repeated opqIters·2 + 2 times over identical input. The
+    // float residual is a pure function of (vec, cents); computing it
+    // ONCE into the cache removes that recompute from every scan (guide
+    // §2.4), and the downstream UDFs read the exact same float values,
+    // so the training trajectory is bit-identical. ensureParallelism
+    // still runs over the same (id, vec) frame as before, so the
+    // partition layout feeding the aggregates is unchanged. The suite's
+    // cache lifecycle clears the persist between queries.
+    val residUdf = udf { (v: Seq[Float]) =>
+      val c = cents(nearestCell(cents, v))
+      Seq.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
+    }
     val base = graft.Tables
       .ensureParallelism(emb.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull))
+      .select(residUdf(col(vecCol)).as("_res"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val residUdfD = udf { (v: Seq[Float]) =>
-      val c = cents(nearestCell(cents, v))
-      Seq.tabulate(v.length)(j => v(j).toDouble - (if (j < c.length) c(j).toDouble else 0.0))
-    }
     // Seed codebooks: ksub deterministic id-hash-ordered residuals.
     // Murmur ordering is fine here (unlike pqIndex's md5-salted order):
     // the OPQ rotation training below is driver-side iterative float
     // math, so this path stays replica-tier regardless of the seed's
     // SQL-replayability. Every refinement below is corpus-scale.
-    val seed = emb
-      .select(col(idCol), col(vecCol))
-      .filter(col(vecCol).isNotNull)
-      .orderBy(pmod(hash(col(idCol), lit(17)), lit(1 << 30)).asc, col(idCol))
-      .limit(ksub)
-      .collect()
+    val seed = scala.concurrent.Await
+      .result(seedRowsF, scala.concurrent.duration.Duration.Inf)
       .map { r =>
         val v = r.getSeq[Float](1)
         val c = cents(nearestCell(cents, v))
@@ -1055,11 +1074,10 @@ object Similarity {
     def refit(rotD: Array[Array[Double]], cur: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
       val rotF = rotD.map(_.map(_.toFloat))
       val booksD = cur
-      // One evaluation per row: assign + rotate + code once, emitting
-      // (per-subspace code, rotated residual) for the mean refit.
-      val assignUdf = udf { (v: Seq[Float]) =>
-        val c = cents(nearestCell(cents, v))
-        val res0 = Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
+      // One evaluation per row over the CACHED residual: rotate + code,
+      // emitting (per-subspace code, rotated residual) for the mean refit.
+      val assignUdf = udf { (res0s: Seq[Float]) =>
+        val res0 = res0s.toArray
         val res = rotateVec(rotF, res0).map(_.toDouble)
         val code = Array.tabulate(m) { mi =>
           val book = booksD(mi)
@@ -1076,7 +1094,7 @@ object Similarity {
         (code.toSeq, res.toSeq)
       }
       val means = base
-        .select(assignUdf(col(vecCol)).as("t"))
+        .select(assignUdf(col("_res")).as("t"))
         .select(col("t._1").as("code"), posexplode(col("t._2")).as(Seq("dim", "x")))
         .select(
           (col("dim") / dsub).cast("int").as("sub"),
@@ -1095,12 +1113,10 @@ object Similarity {
     // One corpus scan: mean squared quantization error under (R, books).
     def corpusMse(rotD: Array[Array[Double]], cur: Array[Array[Array[Double]]]): Double = {
       val rotF = rotD.map(_.map(_.toFloat))
-      val errUdf = udf { (v: Seq[Float]) =>
-        val c = cents(nearestCell(cents, v))
-        val res0 = Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
-        quantize(rotateVec(rotF, res0).map(_.toDouble), cur)._2
+      val errUdf = udf { (res0s: Seq[Float]) =>
+        quantize(rotateVec(rotF, res0s.toArray).map(_.toDouble), cur)._2
       }
-      base.select(avg(errUdf(col(vecCol))).as("mse")).head().getDouble(0)
+      base.select(avg(errUdf(col("_res"))).as("mse")).head().getDouble(0)
     }
 
     // Identity start = plain PQ trained at corpus scale (the baseline).
@@ -1114,17 +1130,16 @@ object Similarity {
     for (_ <- 0 until opqIters) {
       val rotF = rot.map(_.map(_.toFloat))
       val booksD = books
-      // ONE evaluation per row: coarse assign + rotate + quantize once,
-      // emitting (unrotated residual, reconstruction, squared error) —
-      // three separate UDFs would redo the argmin work three times.
-      val trainUdf = udf { (v: Seq[Float]) =>
-        val c = cents(nearestCell(cents, v))
-        val res0 = Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
+      // ONE evaluation per row over the CACHED residual: rotate +
+      // quantize once, emitting (unrotated residual, reconstruction,
+      // squared error) — separate UDFs would redo the work per column.
+      val trainUdf = udf { (res0s: Seq[Float]) =>
+        val res0 = res0s.toArray
         val (y, err) = quantize(rotateVec(rotF, res0).map(_.toDouble), booksD)
         (res0.map(_.toDouble).toSeq, y.toSeq, err)
       }
       val row = base
-        .select(trainUdf(col(vecCol)).as("t"))
+        .select(trainUdf(col("_res")).as("t"))
         .select(
           graft.functions.OuterProductSumAgg
             .outerProductSum(col("t._1"), col("t._2"), dim)
@@ -1457,20 +1472,31 @@ object Similarity {
       .withColumn("cells", VectorFns.nearestCells(col("vec"), cents, nAssign)) // full assignment rides along for row-local pair dedup
       .select(col("id"), col("vec"), col("cells"), explode(col("cells")).as("cell"))
       .persist()
-    val half = graphCandidatePairs(cells, maxCell)
+    // ONE collect does the skew census AND the entry-point election (r19;
+    // guide §2.4/§1.2 — was two sequential full-corpus jobs, the second
+    // re-running the nLists-distance assignment over idx.assigned). Both
+    // read the SAME persisted frame: per exploded cell, its population
+    // (the sub-bucket census) and the min id among PRIMARY members —
+    // cells(0) is the strict nearest cell (distance asc, index asc), so
+    // `cells(0) = cell` selects exactly the rows idx.assigned held, and
+    // cells with no primary members yield a NULL seed (they had no row in
+    // the old aggregate). Values of both outputs are bit-identical.
+    val censusRows = cells
+      .groupBy("cell")
+      .agg(
+        count(lit(1)).as("_csz"),
+        min(when(element_at(col("cells"), 1) === col("cell"), col("id"))).as("_seed")
+      )
+      .collect()
+    val nsub: Map[Int, Int] = censusRows
+      .map(r => r.getInt(0) -> math.max(1L, math.ceil(r.getLong(1).toDouble / maxCell).toLong).toInt)
+      .toMap
+    val half = graphCandidatePairs(cells, maxCell, Some(nsub))
     val scored = half.unionByName(half.select(col("nbr").as("id"), col("id").as("nbr"), col("cos")))
     val neighbors = graft.plans.TopKPerKey
       .perKey(scored, Seq("id"), Seq("cos" -> false, "nbr" -> true), m)
       .select("id", "nbr", "cos")
-    val entry = idx.assigned
-      .filter(col("cell") >= 0)
-      .groupBy("cell")
-      .agg(min(col(idCol)).as("seed"))
-      .select("seed")
-      .collect()
-      .map(_.getLong(0))
-      .toSeq
-      .sorted
+    val entry = censusRows.filter(!_.isNullAt(2)).map(_.getLong(2)).toSeq.sorted
     GraphIndex(neighbors, entry)
   }
 
@@ -1491,7 +1517,11 @@ object Similarity {
     * outlier). The duplicate cosine kernel work disappears with the
     * duplicate rows, since ownership is decided BEFORE the kernel runs.
     */
-  private[graft] def graphCandidatePairs(cells: DataFrame, maxCell: Int): DataFrame = {
+  private[graft] def graphCandidatePairs(
+      cells: DataFrame,
+      maxCell: Int,
+      precomputedNsub: Option[Map[Int, Int]] = None
+  ): DataFrame = {
     require(maxCell > 0, s"maxCell must be positive: $maxCell")
     // Callers without multi-assignment (spec fixtures) omit the `cells`
     // array; a single-cell assignment makes the ownership test trivial.
@@ -1501,12 +1531,17 @@ object Similarity {
     // Cell census: ≤ nLists rows — bounded index metadata, driver-safe —
     // turned into a closure map so the sub-bucket of ANY (cell, id) pair
     // is computable row-locally on both sides of the ownership test.
-    val nsub: Map[Int, Int] = assigned
-      .groupBy("cell")
-      .agg(count(lit(1)).as("_csz"))
-      .collect()
-      .map(r => r.getInt(0) -> math.max(1L, math.ceil(r.getLong(1).toDouble / maxCell).toLong).toInt)
-      .toMap
+    // graphIndex passes the census it already collected with the
+    // entry-point election (one job instead of two — r19); direct spec
+    // callers still compute it here.
+    val nsub: Map[Int, Int] = precomputedNsub.getOrElse(
+      assigned
+        .groupBy("cell")
+        .agg(count(lit(1)).as("_csz"))
+        .collect()
+        .map(r => r.getInt(0) -> math.max(1L, math.ceil(r.getLong(1).toDouble / maxCell).toLong).toInt)
+        .toMap
+    )
     // md5-derived sub-bucket (r17, was MurmurHash3.mix): SQL spells it
     // ('0x'||substr(md5(cell||':'||id),1,15))::BIGINT % nsub, so the
     // skew-split pair-ownership rule is oracle-replayable at ANY cell
@@ -1992,9 +2027,18 @@ object Similarity {
     // so the WHOLE two-layer build+search becomes oracle-replayable. The
     // sample is still a uniform deterministic 1/f id-hash thinning.
     val topNodes = emb.filter(
-      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("bigint") % topFraction === 0
+      graft.functions.Md5PrefixLong.md5PrefixLong(col(idCol).cast("string"), 15) % topFraction === 0
     )
-    Graph2Index(graphIndex(topNodes, idCol, vecCol, m, nLists), graphIndex(emb, idCol, vecCol, m, nLists))
+    // The two layers are INDEPENDENT builds over different row sets — run
+    // them concurrently (r19; guide §2.6): each is a chain of sequential
+    // driver actions (Lloyd collects, census, candidate join) whose tails
+    // the other's jobs back-fill. Values are unchanged — each build's own
+    // job trajectory is untouched.
+    val topF = scala.concurrent.Future(graphIndex(topNodes, idCol, vecCol, m, nLists))(
+      scala.concurrent.ExecutionContext.global
+    )
+    val bottom = graphIndex(emb, idCol, vecCol, m, nLists)
+    Graph2Index(scala.concurrent.Await.result(topF, scala.concurrent.duration.Duration.Inf), bottom)
   }
 
   /** Descend the two-layer graph: beam the top layer briefly, hand its

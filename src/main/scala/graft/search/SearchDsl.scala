@@ -328,6 +328,7 @@ object SearchDsl {
     * layouts, and engines; uniform in [0, 1).
     */
   def randomScore(id: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(seed.toString + ":"), id.cast("string"))), 1, 8), 16, 10)
+    graft.functions.Md5PrefixLong
+      .md5PrefixLong(concat(lit(seed.toString + ":"), id.cast("string")), 8)
       .cast("double") / lit(4294967296.0)
 }
