@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -70,7 +69,7 @@ private[graft] object JaccardKernels {
 }
 
 case class JaccardSim(left: Expression, right: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression {
   override def children: Seq[Expression] = Seq(left, right)
   override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
@@ -91,12 +90,34 @@ case class JaccardSim(left: Expression, right: Expression)
     else JaccardKernels.plain(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   }
 
+  // Full codegen (r19, was CodegenFallback): children evaluate inside
+  // the whole-stage span and the kernel is one static call — the
+  // fallback boxed an InternalRow and re-entered interpreted eval per
+  // candidate pair (the verdict-flagged WSCG-boundary cost).
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${l.code}
+      ${r.code}
+      boolean ${ev.isNull} = ${l.isNull} || ${r.isNull};
+      double ${ev.value} = 0.0;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.JaccardKernels.plain(${l.value}, ${r.value});
+      }
+    """)
+  }
+
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(left = newChildren(0), right = newChildren(1))
 }
 
 case class JaccardAtLeast(left: Expression, right: Expression, threshold: Double)
-    extends Expression with CodegenFallback {
+    extends Expression {
   override def children: Seq[Expression] = Seq(left, right)
   override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
@@ -115,6 +136,25 @@ case class JaccardAtLeast(left: Expression, right: Expression, threshold: Double
     val b = right.eval(input)
     if (a == null || b == null) null
     else JaccardKernels.atLeast(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+  }
+
+  // Full codegen (r19): see JaccardSim.doGenCode.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${l.code}
+      ${r.code}
+      boolean ${ev.isNull} = ${l.isNull} || ${r.isNull};
+      double ${ev.value} = 0.0;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.JaccardKernels.atLeast(${l.value}, ${r.value}, $threshold);
+      }
+    """)
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =

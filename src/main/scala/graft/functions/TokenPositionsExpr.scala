@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -18,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * NULL tokens never match (the `===` null → else(-1) branch).
   */
 case class TokenPositions(child: Expression, terms: Seq[String], prefixMode: Boolean = false)
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   require(terms.nonEmpty, "tokenPositions needs at least one term")
 
@@ -40,7 +39,38 @@ case class TokenPositions(child: Expression, terms: Seq[String], prefixMode: Boo
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return null
-    val toks = v.asInstanceOf[ArrayData]
+    TokenPositions.compute(v.asInstanceOf[ArrayData], termArr, prefixMode)
+  }
+
+  // Full codegen (r19, was CodegenFallback): the term array rides the
+  // generated class as a reference object and the scan loop is one
+  // static call inside the whole-stage span — the fallback boxed an
+  // InternalRow and re-entered interpreted eval per document row.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val termsRef = ctx.addReferenceObj("terms", termArr, "org.apache.spark.unsafe.types.UTF8String[]")
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.TokenPositions.compute(${c.value}, $termsRef, $prefixMode);
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+object TokenPositions {
+
+  /** The scan loop shared by interpreted eval and generated code. */
+  def compute(toks: ArrayData, termArr: Array[UTF8String], prefixMode: Boolean): ArrayData = {
     val n = toks.numElements()
     val out = new Array[Int](n)
     var k = 0
@@ -61,11 +91,6 @@ case class TokenPositions(child: Expression, terms: Seq[String], prefixMode: Boo
     new GenericArrayData(java.util.Arrays.copyOf(out, k))
   }
 
-  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren(0))
-}
-
-object TokenPositions {
   def positionsOf(toks: Column, terms: String*): Column =
     ColumnBridge.column(TokenPositions(ColumnBridge.expression(toks), terms))
 

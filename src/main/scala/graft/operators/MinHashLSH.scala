@@ -166,7 +166,14 @@ object MinHashLSH {
     // Explode into (band index, hash of the band's signature slice, id)
     // — the same bandedOf the incremental artifact stores, so batch and
     // incremental candidates are bit-comparable.
+    // Persisted (r19): BOTH candidate self-join sides consume this frame,
+    // and the final minhash-signature merge + band hashing sit ABOVE the
+    // reusable (id) exchange — stage reuse dedups only the partial
+    // aggregation below it, so each side re-ran the merge + band md5 per
+    // row (the r18 PPJoin-prefix finding, same shape). The banded table
+    // is (id, band, bandHash) — tiny relative to the shingle table.
     val banded = bandedOf(sigs, bands, rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Same-bucket pairs via self-join on the band key; a < b dedupes the
     // symmetric pair, distinct collapses multi-band collisions.
