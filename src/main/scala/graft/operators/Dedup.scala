@@ -116,9 +116,16 @@ object Dedup {
     val grams = graft.Tables
       .ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("_t")))
       .select(col("id"), explode(array_distinct(TextFns.ngramsFromTokens(TextFns.tokens(col("_t")), n))).as("g"))
+    // Census stays agg + join, NOT a window (a window over g cannot
+    // partial-aggregate or be AQE-skew-split — a boilerplate span would
+    // serialize one reducer at 100 TB). r19 adds the merge hint: the
+    // broadcast form shipped the census driver-side and re-derived the
+    // gram pipeline on the unexchanged probe side; under sort-merge both
+    // sides' (g) exchanges are plan-reused and the pipeline runs once
+    // per side (guide §3.1, §2.4).
     val freq = grams.groupBy("g").agg(count(lit(1)).as("nd"))
     grams
-      .join(freq, "g")
+      .join(freq.hint("merge"), "g")
       .groupBy(col("id").as("doc_id"))
       .agg(
         count(lit(1)).as("n_spans"),
@@ -224,9 +231,18 @@ object Dedup {
       )
       .select(col("id"), col("c.chunk_id").cast("long").as("pidx"), array_join(col("c.toks"), " ").as("ptext"))
       .withColumn("h", md5(col("ptext")))
+    // Census stays agg + join, NOT a window (the docstring's skew
+    // argument: a window over the digest cannot partial-aggregate or be
+    // AQE-skew-split, so a boilerplate paragraph would serialize one
+    // reducer at 100 TB). r19 adds the merge hint: the broadcast form
+    // shipped the census driver-side AND left the probe side without an
+    // exchange, so the chunk+md5 pipeline re-ran per consumer; under
+    // sort-merge both sides' (h) exchanges are plan-reused and the
+    // pipeline runs once per side — the strategy a 100 TB census join
+    // uses anyway (guide §3.1, §2.4).
     val firsts = paras.groupBy("h").agg(min(struct(col("id"), col("pidx"))).as("first"))
     paras
-      .join(firsts, "h")
+      .join(firsts.hint("merge"), "h")
       .withColumn("kept", struct(col("id"), col("pidx")) === col("first"))
       .groupBy(col("id"))
       .agg(
@@ -280,17 +296,18 @@ object Dedup {
     val grams = graft.Tables
       .ensureParallelism(df.select(col(idCol).as("id"), col(textCol).as("_t")))
       .select(col("id"), explode(array_distinct(TextFns.ngramsFromTokens(TextFns.tokens(col("_t")), n))).as("g"))
-    // Rare-gram census as a WINDOW over the gram exchange (r19; was a
-    // groupBy census joined back to a second gram derivation — the gram
-    // pipeline ran once for the census side and once per probe side, 8×
-    // total across the plan's consumers; guide §2.4 remove recompute).
-    // The window's count over partitionBy(g) is the same document
-    // frequency (grams are distinct per doc), each downstream consumer
-    // re-reads the SAME reused shuffle instead of re-tokenizing the
-    // corpus, and the df≤cap filter semantics are unchanged.
+    // Rare-gram census: agg + MERGE join (r19; was a groupBy census
+    // joined back under a broadcast — the census shipped driver-side and
+    // the unexchanged probe side re-derived the gram pipeline per
+    // consumer, 8× across the plan). Under sort-merge, the census's and
+    // probe's (g) exchanges are each plan-reused by every downstream
+    // consumer (sizes + both self-join sides), so the tokenize+shingle
+    // pipeline runs once per side instead of 8× (guide §2.4, §3.1). NOT
+    // a window: a window over g cannot partial-aggregate or be
+    // AQE-skew-split, so a stop-gram would serialize one reducer at
+    // 100 TB. Same df values, same row set, same metric.
     val rare = grams
-      .withColumn("_df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
-      .filter(col("_df") <= dfCap)
+      .join(grams.groupBy("g").agg(count(lit(1)).as("_df")).filter(col("_df") <= dfCap).hint("merge"), "g")
       .select("id", "g")
     val sizes = rare.groupBy(col("id")).agg(count(lit(1)).as("n_rare"))
     val shared = rare

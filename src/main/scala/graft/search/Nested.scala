@@ -44,8 +44,15 @@ object Nested {
       .groupBy(col(childKey).as(parentKey))
       .agg(sort_array(collect_list(struct(fields.map(col): _*)), asc = true).as(path))
     val emptyItems = array().cast(items.schema(path).dataType)
+    // Sort-merge, never broadcast, for the artifact attach (r19; guide
+    // §3.1): the items side carries every child row packed into arrays —
+    // at corpus scale it can NEVER broadcast, and even at bench scale
+    // shipping the heavy arrays driver-side to build a hashed relation
+    // measured ~35% slower than the merge join (3.77 vs 2.67 s per 3
+    // builds, same instrument). The hint picks the strategy a 100 TB
+    // build must use anyway; join semantics (and the artifact) unchanged.
     parent
-      .join(items, Seq(parentKey), "left")
+      .join(items.hint("merge"), Seq(parentKey), "left")
       .withColumn(path, coalesce(col(path), emptyItems))
   }
 
