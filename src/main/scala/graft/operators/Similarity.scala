@@ -675,27 +675,34 @@ object Similarity {
       ksub: Int = 16,
       iters: Int = 1
   ): PqIndex = {
+    // ksub sample rows, deterministic md5(id||":pq") order (the salt
+    // keeps the seeds off the coarse-centroid rows, whose residuals are
+    // exactly zero) — the seed codebooks. The ROW fetch is independent
+    // of the centroid TakeOrdered (residual math is driver-side, after
+    // both land), so the two driver actions run concurrently (r19;
+    // guide §2.6 — the opqIndexFull pattern).
+    val sampleRowsF = scala.concurrent.Future {
+      emb
+        .select(col(idCol), col(vecCol))
+        .filter(col(vecCol).isNotNull)
+        .orderBy(
+          graft.functions.Md5PrefixLong
+            .md5PrefixLong(concat(col(idCol).cast("string"), lit(":pq")), 15)
+            .asc,
+          col(idCol)
+        )
+        .limit(ksub)
+        .collect()
+    }(scala.concurrent.ExecutionContext.global)
     val ivf = ivfIndex(emb, idCol, vecCol, nLists)
     val cents = ivf.centroids
     val dim = cents(0).length
     require(dim % m == 0, s"embedding dim $dim must divide into $m subspaces")
     val dsub = dim / m
-    // ksub sample residuals, deterministic md5(id||":pq") order (the
-    // salt keeps the seeds off the coarse-centroid rows, whose
-    // residuals are exactly zero) — the seed codebooks. Each seed entry
-    // is the double residual rounded to float: the value DuckDB spells
-    // CAST(v[d] - c[d] AS REAL) over the same parquet.
-    val sample = emb
-      .select(col(idCol), col(vecCol))
-      .filter(col(vecCol).isNotNull)
-      .orderBy(
-        graft.functions.Md5PrefixLong
-          .md5PrefixLong(concat(col(idCol).cast("string"), lit(":pq")), 15)
-          .asc,
-        col(idCol)
-      )
-      .limit(ksub)
-      .collect()
+    // Each seed entry is the double residual rounded to float: the value
+    // DuckDB spells CAST(v[d] - c[d] AS REAL) over the same parquet.
+    val sample = scala.concurrent.Await
+      .result(sampleRowsF, scala.concurrent.duration.Duration.Inf)
       .map { r =>
         val v = r.getSeq[Float](1)
         val c = cents(nearestCell(cents, v))
