@@ -75,7 +75,14 @@ object Percolate {
     * (nullable), rlte DOUBLE (nullable). `posting`: term STRING,
     * query_id LONG.
     */
-  final case class PercolateIndex(specs: DataFrame, posting: DataFrame)
+  final case class PercolateIndex(specs: DataFrame, posting: DataFrame) {
+    // Computed once per index handle (r19, ADVICE item): the universe is
+    // a pure function of the registry, so a long-lived index — including
+    // a streaming query that (re)starts against it — pays the collect
+    // once instead of per percolate() call.
+    @transient private[search] lazy val universe: Option[Array[String]] =
+      postedUniverse(posting, "term")
+  }
 
   /** Build the posting table from a queries-as-data registry frame.
     * Driver-free: one registry-sized pass; OR queries explode all
@@ -135,7 +142,10 @@ object Percolate {
     */
   private def postedUniverse(posting: DataFrame, termCol: String): Option[Array[String]] = {
     val cap = 4096
-    val rows = posting.select(col(termCol)).distinct().limit(cap + 1).collect()
+    // Null guard (r19, ADVICE item): buildIndex filters null/empty terms
+    // today, but a null reaching getString would NPE — filter explicitly
+    // rather than lean on the builder invariant.
+    val rows = posting.select(col(termCol)).filter(col(termCol).isNotNull).distinct().limit(cap + 1).collect()
     if (rows.length > cap) None else Some(rows.map(_.getString(0)).sorted)
   }
 
@@ -164,7 +174,7 @@ object Percolate {
       textCol: String,
       rangeCol: String
   ): DataFrame = {
-    val universe = postedUniverse(index.posting, "term")
+    val universe = index.universe
     docs
       .select(
         col(idCol).as("_pid"),
@@ -272,7 +282,10 @@ object Percolate {
   /** Rich registry + field-qualified posting table. `posting` columns:
     * pterm STRING ("field<NUL>term"), query_id LONG.
     */
-  final case class RichIndex(specs: DataFrame, posting: DataFrame)
+  final case class RichIndex(specs: DataFrame, posting: DataFrame) {
+    @transient private[search] lazy val universe: Option[Array[String]] =
+      postedUniverse(posting, "pterm")
+  }
 
   private val FieldSep = "\u0000"
 
@@ -431,7 +444,7 @@ object Percolate {
       textFields: Seq[String],
       rangeCol: String
   ): DataFrame = {
-    val universe = postedUniverse(index.posting, "pterm")
+    val universe = index.universe
     val tokCols = textFields.map(f => SearchDsl.analyze(col(f)).as(s"_tk_$f"))
     docs
       .select(
