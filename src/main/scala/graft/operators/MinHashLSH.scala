@@ -115,8 +115,13 @@ object MinHashLSH {
       threshold: Double = 0.5
   ): DataFrame = {
     val dIdx = index(delta, idCol, textCol, shingleSize, numPerms, bands)
-    val all = idx.banded.select("id", "band", "bandHash").unionByName(dIdx.banded.select("id", "band", "bandHash"))
-    val l = dIdx.banded.as("l") // every pair keeps >= 1 delta side
+    // Persisted (r19, the nearDupPairs banded-persist shape): the delta's
+    // banded table feeds BOTH the union side and the delta join side, and
+    // the signature merge + band hashing sit above the reusable exchange,
+    // so each consumer re-ran them over the delta otherwise. Delta-sized.
+    val dBanded = dIdx.banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = idx.banded.select("id", "band", "bandHash").unionByName(dBanded.select("id", "band", "bandHash"))
+    val l = dBanded.as("l") // every pair keeps >= 1 delta side
     val r = all.as("r")
     val cands = l
       .join(r, col("l.band") === col("r.band") && col("l.bandHash") === col("r.bandHash") && col("l.id") =!= col("r.id"))

@@ -114,6 +114,17 @@ def main():
         return
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # GRAFT_CHECK_MEM / GRAFT_CHECK_THREADS: bound DuckDB for the scaled
+    # gates (r19: the sf1ish run OOM'd inside a posting-list oracle with
+    # >100 GB free — an unbounded intermediate; a memory_limit makes
+    # DuckDB spill instead of die).
+    mem = os.environ.get("GRAFT_CHECK_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute(f"SET temp_directory='/tmp/duckdb_spill'")
+    thr = os.environ.get("GRAFT_CHECK_THREADS")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
     for p in glob.glob(f"{sfdir}/*.parquet"):
         name = os.path.basename(p).replace(".parquet", "")
         # testdata ships single files; ScaleData writes Spark-style
