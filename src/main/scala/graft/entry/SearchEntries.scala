@@ -523,13 +523,15 @@ private[graft] object SearchEntries {
     }),
 
     "search_multi_index" -> ((s, dir) => {
+      // Exact decimal sums (r19): see Aggs.stats — raw double sums at
+      // Σ ≈ 1e11 magnitudes jitter past the 2dp hash at sf1.
       val li = Tables
         .lineitem(s, dir)
-        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("amount"))
+        .agg(count(lit(1)).as("n"), round(sum(decMoney(col("l_extendedprice"))).cast("double"), 2).as("amount"))
         .select(lit("lineitem").as("idx"), col("n"), col("amount"))
       val o = Tables
         .orders(s, dir)
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("amount"))
+        .agg(count(lit(1)).as("n"), round(sum(decMoney(col("o_totalprice"))).cast("double"), 2).as("amount"))
         .select(lit("orders").as("idx"), col("n"), col("amount"))
       SearchDsl.multiIndex(Seq(li, o)).orderBy("idx")
     }),
@@ -2348,7 +2350,7 @@ private[graft] object SearchEntries {
     "search_stats_agg" ->
       """SELECT count(l_extendedprice) AS cnt, round(min(l_extendedprice), 2) AS min_v,
         |       round(max(l_extendedprice), 2) AS max_v, round(avg(l_extendedprice), 2) AS avg_v,
-        |       round(sum(l_extendedprice), 2) AS sum_v
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_v
         |FROM lineitem""".stripMargin,
 
     "search_extended_stats" ->
@@ -2602,8 +2604,10 @@ private[graft] object SearchEntries {
 
     "search_multi_index" ->
       """SELECT * FROM (
-        |  SELECT 'lineitem' AS idx, count(*) AS n, round(sum(l_extendedprice), 2) AS amount FROM lineitem
-        |  UNION ALL SELECT 'orders', count(*), round(sum(o_totalprice), 2) FROM orders) t
+        |  SELECT 'lineitem' AS idx, count(*) AS n,
+        |         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS amount FROM lineitem
+        |  UNION ALL SELECT 'orders', count(*),
+        |         round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) FROM orders) t
         |ORDER BY idx""".stripMargin,
 
     "search_match_phrase" ->

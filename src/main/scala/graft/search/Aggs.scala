@@ -390,7 +390,12 @@ object Aggs {
       round(min(field), 2).as("min_v"),
       round(max(field), 2).as("max_v"),
       round(avg(field), 2).as("avg_v"),
-      round(sum(field), 2).as("sum_v")
+      // Exact decimal sum (r19): a raw double sum at corpus scale drifts
+      // with accumulation order — at sf1 (6M rows, Σ ≈ 3.2e11) both
+      // engines' parallel double sums jitter by ±0.05, so the 2dp hash
+      // diverges run to run (the r15 extendedStats magnitude rule; min/
+      // max/avg magnitudes are ulp-safe and stay double).
+      round(sum(field.cast("decimal(18,2)")).cast("double"), 2).as("sum_v")
     )
 
   /** `extended_stats` aggregation: stats plus sum-of-squares, variance and
